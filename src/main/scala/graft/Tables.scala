@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture-table loaders (see FIXTURES.md §2).
+  *
+  * All queries take the scale-factor dir as a parameter so the driver can
+  * point them at sf0.001 / sf0.01 / sf0.1. Reads are plain parquet scans:
+  * Catalyst pushes filters/projections into the scan (PushedFilters /
+  * ReadSchema), which is the scale story — at 100 TB these would be
+  * partitioned/bucketed directories and the same code pushes partition
+  * pruning.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+      // reader rejects; read the raw int64 nanos and truncate to micros —
+      // exactly what DuckDB (micro-precision timestamps) does, so oracle
+      // comparisons agree. timestamp_ntz matches DuckDB's naive TIMESTAMP.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      raw.withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        .select(raw.columns.map(col).toIndexedSeq: _*)
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Register every fixture as a temp view so spark.sql(...) queries can
+    * reference them by the same names the DuckDB oracle uses. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,970 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The relational operator inventory of SURVEY.md §2.2–2.7, one named query
+  * per operator family, each paired with DuckDB oracle SQL in
+  * [[graft.SparkEntry.oracleSql]].
+  *
+  * Determinism rules (the driver hash-compares against DuckDB):
+  *   - Every query ends in an ORDER BY over a unique key and the oracle
+  *     carries the same ORDER BY with explicit NULLS FIRST/LAST.
+  *   - Aggregates over double columns cast to DECIMAL(18,2) first — decimal
+  *     arithmetic is exact in both engines, so sums match bit-for-bit; the
+  *     final value is cast back to DOUBLE. Raw double sums are
+  *     order-of-summation dependent and would not reproduce.
+  *   - No round()/pow()/stddev() on doubles in compared output (rounding
+  *     rules and accumulation order differ between engines); variance is
+  *     derived from exact decimal sums instead.
+  *
+  * Scale notes are inline per query: which side broadcasts, where the
+  * shuffle lands, and what changes at 100 TB.
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ===========================================================================
+  // §2.2 scans / sources
+  // ===========================================================================
+
+  /** Plain columnar scan + projection: reads exactly 4 columns of lineitem
+    * (ReadSchema pruning — at 100 TB this is the difference between reading
+    * 4/11 of the bytes and all of them). */
+  val scanProject: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val scanProjectSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** generate_series equivalent (partitioned_table.sql:5 seeds rows this
+    * way): spark.range is a parallel, partitioned source — no driver loop. */
+  val generateSeries: Q = (s, _) =>
+    s.range(0, 100)
+      .select(col("id"), concat(lit("val_"), col("id")).as("val"))
+      .orderBy("id")
+
+  val generateSeriesSql: String =
+    "SELECT g AS id, 'val_' || g AS val FROM generate_series(0, 99) t(g) ORDER BY id"
+
+  // ===========================================================================
+  // §2.3 filters / predicates
+  // ===========================================================================
+
+  /** Comparison predicates <, >, = — pushed into the parquet scan
+    * (PushedFilters), so row-group min/max stats skip files at scale. */
+  val filterCompare: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") < 10 && col("l_extendedprice") > 20000 &&
+        col("l_linestatus") === "F")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val filterCompareSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_quantity < 10 AND l_extendedprice > 20000 AND l_linestatus = 'F'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Boolean connectives OR/AND/NOT, IN, BETWEEN, IS NOT NULL
+    * (partitioned_table.sql:9 exercises the OR class). */
+  val filterBool: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .filter((col("o_orderstatus").isin("F", "P") ||
+        col("o_totalprice").between(1000, 5000)) &&
+        !(col("o_orderpriority") === "5-LOW") &&
+        col("o_custkey").isNotNull)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      .orderBy("o_orderkey")
+
+  val filterBoolSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+      |FROM orders
+      |WHERE (o_orderstatus IN ('F','P') OR o_totalprice BETWEEN 1000 AND 5000)
+      |  AND NOT (o_orderpriority = '5-LOW') AND o_custkey IS NOT NULL
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** LIKE / ILIKE / regex predicates. */
+  val filterLike: Q = (s, dir) =>
+    t(s, dir, "part")
+      .filter(col("p_name").like("%ol%") ||
+        col("p_type").ilike("standard%") ||
+        col("p_brand").rlike("^Brand#[12]"))
+      .select("p_partkey", "p_name", "p_type", "p_brand")
+      .orderBy("p_partkey")
+
+  val filterLikeSql: String =
+    """SELECT p_partkey, p_name, p_type, p_brand
+      |FROM part
+      |WHERE p_name LIKE '%ol%' OR p_type ILIKE 'standard%'
+      |   OR regexp_matches(p_brand, '^Brand#[12]')
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Implicit-cast class from sanity.sql:4 (`SET b = a + 1` into a text
+    * column): Spark ANSI store-assignment needs the cast spelled out. */
+  val implicitCast: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_linenumber") + 1).cast("string").as("b"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val implicitCastSql: String =
+    """SELECT l_orderkey, l_linenumber, CAST(l_linenumber + 1 AS VARCHAR) AS b
+      |FROM lineitem WHERE l_orderkey < 100
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ===========================================================================
+  // §2.4 joins
+  // ===========================================================================
+
+  /** Inner equi-join orders ⋈ customer. customer is the small side →
+    * broadcast hint; at 100 TB orders shuffles nothing, customer ships to
+    * every executor once. */
+  val joinInner: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+        col("c_mktsegment"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  val joinInnerSql: String =
+    """SELECT o_orderkey, c_custkey, c_name, c_mktsegment, o_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Left outer join — customers that never ordered keep NULL order cols.
+    * NULLS FIRST is pinned on both sides (Spark asc default = nulls first,
+    * DuckDB default = nulls last). */
+  val joinLeft: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+  }
+
+  val joinLeftSql: String =
+    """SELECT c_custkey, o_orderkey, o_totalprice
+      |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+      |  ON c_custkey = o_custkey
+      |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin
+
+  /** Right outer join (mirror of left). */
+  val joinRight: Q = (s, dir) => {
+    val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+    val c = t(s, dir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"), "right")
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+  }
+
+  val joinRightSql: String =
+    """SELECT c_custkey, o_orderkey, o_totalprice
+      |FROM (SELECT * FROM orders WHERE o_totalprice > 300000) o
+      |RIGHT JOIN customer ON o_custkey = c_custkey
+      |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin
+
+  /** Full outer join of two disjoint-ish aggregates (nation sides of
+    * customer vs supplier). Full outer cannot broadcast — it shuffles both
+    * sides on the key, which is the right plan at scale. */
+  val joinFull: Q = (s, dir) => {
+    val c = t(s, dir, "customer").groupBy("c_nationkey")
+      .agg(count("*").as("n_cust"))
+    val su = t(s, dir, "supplier").groupBy("s_nationkey")
+      .agg(count("*").as("n_supp"))
+    c.join(su, c("c_nationkey") === su("s_nationkey"), "full")
+      .select(col("c_nationkey"), col("s_nationkey"), col("n_cust"), col("n_supp"))
+      .orderBy(col("c_nationkey").asc_nulls_first, col("s_nationkey").asc_nulls_first)
+  }
+
+  val joinFullSql: String =
+    """SELECT c_nationkey, s_nationkey, n_cust, n_supp
+      |FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1) c
+      |FULL JOIN (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) s
+      |  ON c_nationkey = s_nationkey
+      |ORDER BY c_nationkey NULLS FIRST, s_nationkey NULLS FIRST""".stripMargin
+
+  /** Left-semi join = EXISTS subquery. */
+  val joinSemi: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val joinSemiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-anti join = NOT EXISTS subquery. */
+  val joinAnti: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  val joinAntiSql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Cross join (both sides tiny — region × nation). */
+  val joinCross: Q = (s, dir) =>
+    t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+      .select("r_name", "n_name")
+      .orderBy("r_name", "n_name")
+
+  val joinCrossSql: String =
+    "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name"
+
+  /** Theta/range (non-equi) join → broadcast-nested-loop with the tiny
+    * supplier side broadcast. At scale a band join would be rewritten to a
+    * range-bucketed equi-join; supplier is 10 rows so BNLJ is the plan. */
+  val joinRange: Q = (s, dir) => {
+    val su = t(s, dir, "supplier").select("s_suppkey", "s_acctbal")
+    val c = t(s, dir, "customer").select("c_custkey", "c_acctbal")
+    c.join(broadcast(su),
+        c("c_acctbal") >= su("s_acctbal") - 50 &&
+        c("c_acctbal") <= su("s_acctbal") + 50)
+      .select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+      .orderBy("s_suppkey", "c_custkey")
+  }
+
+  val joinRangeSql: String =
+    """SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+      |FROM customer JOIN supplier
+      |  ON c_acctbal >= s_acctbal - 50 AND c_acctbal <= s_acctbal + 50
+      |ORDER BY s_suppkey, c_custkey""".stripMargin
+
+  /** 5-way star join (TPC-H Q5 shape): lineitem ⋈ orders ⋈ customer ⋈
+    * nation ⋈ region, revenue per nation. Dim tables broadcast; only the
+    * fact-side orders⋈lineitem join shuffles. Revenue goes through decimal
+    * so the sum is exact. */
+  val joinStar: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count("*").as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val joinStarSql: String =
+    """SELECT r_name, n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Correlated scalar subquery (the CHANGELOG.md:17 subplan class):
+    * orders equal to their customer's max. Catalyst decorrelates this into
+    * an aggregate + join — no per-row subquery execution. max() is exact on
+    * doubles so the comparison is reproducible. */
+  val corrSubquery: Q = (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val corrSubquerySql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+      |                      WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** AS-OF join (DuckDB ASOF JOIN; SURVEY §2.4 last row): for each order,
+    * the latest event of the same user at-or-before the order date.
+    * Expressed as a range join + max() aggregation, which Catalyst executes
+    * as a shuffled join + partial agg; the output (the matched timestamp)
+    * is tie-insensitive. At scale this becomes a sort-merge within user_id
+    * partitions. */
+  val joinAsof: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val e = t(s, dir, "events").select("user_id", "ts")
+    o.join(e, o("o_custkey") === e("user_id") && e("ts") <= o("o_orderdate"), "left")
+      .groupBy(col("o_orderkey"))
+      .agg(max(col("ts")).as("asof_ts"))
+      .orderBy("o_orderkey")
+  }
+
+  val joinAsofSql: String =
+    """SELECT o_orderkey, e.ts AS asof_ts
+      |FROM orders o ASOF LEFT JOIN events e
+      |  ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ===========================================================================
+  // §2.5 aggregation
+  // ===========================================================================
+
+  /** Flagship TPC-H Q1 shape (README.md:91 filtered-agg class). All money
+    * math in decimal; averages derived from exact sums with a final double
+    * division (identical IEEE op in both engines). Spark plans this as
+    * partial (map-side) + final hash aggregate — one shuffle of 6 groups. */
+  val q1Agg: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+            * (lit(1) + dec(col("l_tax"))))
+          .cast("double").as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast("double") / count("*")).as("avg_qty"),
+        (sum(dec(col("l_extendedprice"))).cast("double") / count("*")).as("avg_price"),
+        count("*").as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |           * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Ungrouped filtered count(*) — the partitioned_table.sql:7-9 class. */
+  val aggCount: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .agg(
+        count(when(col("l_quantity") < 25, 1)).as("cnt_lt25"),
+        count(when(col("l_quantity") < 25 || col("l_quantity") > 45, 1)).as("cnt_or"),
+        count("*").as("cnt_all"))
+
+  val aggCountSql: String =
+    """SELECT count(*) FILTER (WHERE l_quantity < 25) AS cnt_lt25,
+      |  count(*) FILTER (WHERE l_quantity < 25 OR l_quantity > 45) AS cnt_or,
+      |  count(*) AS cnt_all
+      |FROM lineitem""".stripMargin
+
+  /** count(DISTINCT) — exact. Spark plans distinct-aggregate with a
+    * two-stage expand; at scale prefer approx_count_distinct (HLL) which is
+    * tested Spark-side only (sketch internals are engine-specific). */
+  val aggDistinct: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count("*").as("n_rows"))
+      .orderBy("l_returnflag")
+
+  val aggDistinctSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+      |  count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** min/max/count per group — min/max pick existing doubles, exact. */
+  val aggMinMax: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        count("*").as("n"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  val aggMinMaxSql: String =
+    """SELECT o_orderstatus, o_orderpriority, min(o_totalprice) AS min_price,
+      |  max(o_totalprice) AS max_price, count(*) AS n
+      |FROM orders GROUP BY o_orderstatus, o_orderpriority
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
+  /** Sample variance derived from exact decimal sums (Σx, Σx², n) — both
+    * engines then run the identical double formula, so the result
+    * reproduces where a native stddev (order-dependent accumulation) would
+    * not. This is also the map-side-combinable formulation you want at
+    * 100 TB: two decimal sums + a count, no second pass. */
+  val aggVariance: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("s1"),
+        sum(dec(col("l_quantity")) * dec(col("l_quantity"))).cast("double").as("s2"),
+        count("*").as("n"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+          .as("var_qty"))
+      .orderBy("l_returnflag")
+
+  val aggVarianceSql: String =
+    """SELECT l_returnflag, n, (s2 - s1 * s1 / n) / (n - 1) AS var_qty
+      |FROM (SELECT l_returnflag,
+      |        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+      |        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+      |                 * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+      |        count(*) AS n
+      |      FROM lineitem GROUP BY l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** CUBE over two keys (grouping-id disambiguates the NULL rows). */
+  val aggCube: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count("*").as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val aggCubeSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** ROLLUP over two keys. */
+  val aggRollup: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count("*").as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val aggRollupSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** Explicit GROUPING SETS via SQL. */
+  val aggGroupingSets: Q = (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  }
+
+  val aggGroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** HAVING = post-aggregation filter. */
+  val aggHaving: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(count("*").as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      .filter(col("n_orders") >= 12)
+      .orderBy("o_custkey")
+
+  val aggHavingSql: String =
+    """SELECT o_custkey, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+      |ORDER BY o_custkey""".stripMargin
+
+  /** FILTER-clause / conditional aggregation (sum(CASE WHEN …)). */
+  val aggConditional: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("l_returnflag") === "R", dec(col("l_quantity"))))
+          .cast("double").as("qty_returned"),
+        sum(when(col("l_returnflag") =!= "R", dec(col("l_quantity"))))
+          .cast("double").as("qty_kept"),
+        count(when(col("l_discount") > 0.05, 1)).as("n_high_disc"))
+      .orderBy("l_linestatus")
+
+  val aggConditionalSql: String =
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN l_returnflag = 'R'
+      |           THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_returned,
+      |  CAST(sum(CASE WHEN l_returnflag <> 'R'
+      |           THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_kept,
+      |  count(*) FILTER (WHERE l_discount > 0.05) AS n_high_disc
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  // ===========================================================================
+  // §2.6 windows, sort, limit, set ops
+  // ===========================================================================
+
+  /** Ranking window functions. row_number/ntile use a unique ordering
+    * (totalprice, orderkey); rank/dense_rank rank by orderdate where ties
+    * produce deterministic equal ranks. */
+  val windowRank: Q = (s, dir) => {
+    val wUnique = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wTies = Window.partitionBy("o_orderstatus").orderBy(col("o_orderdate"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        row_number().over(wUnique).as("rn"),
+        ntile(4).over(wUnique).as("quartile"),
+        rank().over(wTies).as("rk"),
+        dense_rank().over(wTies).as("drk"))
+      .orderBy("o_orderkey")
+  }
+
+  val windowRankSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |  row_number() OVER w1 AS rn,
+      |  ntile(4) OVER w1 AS quartile,
+      |  rank() OVER w2 AS rk,
+      |  dense_rank() OVER w2 AS drk
+      |FROM orders
+      |WINDOW w1 AS (PARTITION BY o_orderstatus
+      |              ORDER BY o_totalprice DESC, o_orderkey),
+      |       w2 AS (PARTITION BY o_orderstatus ORDER BY o_orderdate)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** lag / lead / first_value / last_value over a unique per-supplier
+    * ordering. */
+  val windowLagLead: Q = (s, dir) => {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    t(s, dir, "lineitem")
+      .filter(col("l_suppkey") <= 5)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"),
+        lag(col("l_extendedprice"), 1).over(w).as("prev_price"),
+        lead(col("l_extendedprice"), 1).over(w).as("next_price"),
+        first(col("l_extendedprice")).over(w).as("first_price"))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  val windowLagLeadSql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+      |  lag(l_extendedprice, 1) OVER w AS prev_price,
+      |  lead(l_extendedprice, 1) OVER w AS next_price,
+      |  first_value(l_extendedprice) OVER w AS first_price
+      |FROM lineitem WHERE l_suppkey <= 5
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |             ORDER BY l_shipdate, l_orderkey, l_linenumber)
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
+  /** Framed aggregate: running decimal sum ROWS UNBOUNDED PRECEDING. */
+  val windowFrame: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .filter(col("o_custkey") <= 20)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val windowFrameSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_total
+      |FROM orders WHERE o_custkey <= 20
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Multi-key ORDER BY with explicit null placement + mixed directions. */
+  val orderMulti: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .orderBy(col("c_mktsegment").desc_nulls_last,
+        col("c_nationkey").asc_nulls_first, col("c_custkey"))
+
+  val orderMultiSql: String =
+    """SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal
+      |FROM customer
+      |ORDER BY c_mktsegment DESC NULLS LAST, c_nationkey ASC NULLS FIRST,
+      |  c_custkey""".stripMargin
+
+  /** Top-k: ORDER BY … LIMIT k — Catalyst plans TakeOrderedAndProject
+    * (per-partition heap + driver merge, no full sort: the plan that
+    * survives 100 TB). */
+  val topK: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .limit(10)
+
+  val topKSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** LIMIT + OFFSET pagination over a total order. */
+  val limitOffset: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .orderBy("c_custkey")
+      .select("c_custkey", "c_name")
+      .offset(5).limit(10)
+
+  val limitOffsetSql: String =
+    "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey LIMIT 10 OFFSET 5"
+
+  /** UNION ALL keeps duplicates. */
+  val unionAll: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    o.filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .unionAll(o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_totalprice")))
+      .orderBy("o_orderkey", "o_totalprice")
+  }
+
+  val unionAllSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+      |ORDER BY o_orderkey, o_totalprice""".stripMargin
+
+  /** UNION (distinct). */
+  val unionDistinct: Q = (s, dir) =>
+    t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      .union(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+      .distinct()
+      .orderBy("nk")
+
+  val unionDistinctSql: String =
+    """SELECT c_nationkey AS nk FROM customer
+      |UNION SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin
+
+  /** INTERSECT (distinct set semantics). */
+  val intersectQ: Q = (s, dir) =>
+    t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+      .orderBy("nk")
+
+  val intersectSql: String =
+    """SELECT c_nationkey AS nk FROM customer
+      |INTERSECT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin
+
+  /** EXCEPT (distinct set semantics). */
+  val exceptQ: Q = (s, dir) =>
+    t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      .except(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+      .orderBy("nk")
+
+  val exceptSql: String =
+    """SELECT c_nationkey AS nk FROM customer
+      |EXCEPT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin
+
+  /** DISTINCT projection. */
+  val distinctQ: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .select("l_returnflag", "l_linestatus")
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val distinctSql: String =
+    """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ===========================================================================
+  // §2.7 scalar function families
+  // ===========================================================================
+
+  /** String family: ||, substr, upper/lower, trim, length, replace,
+    * left/right, lpad. ASCII data → case functions agree across engines. */
+  val scalarString: Q = (s, dir) =>
+    t(s, dir, "part")
+      .filter(col("p_partkey") <= 100)
+      .select(col("p_partkey"),
+        concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+        substring(col("p_name"), 1, 8).as("name8"),
+        upper(col("p_name")).as("name_up"),
+        lower(col("p_type")).as("type_lo"),
+        length(col("p_name")).as("name_len"),
+        trim(col("p_name")).as("name_trim"),
+        regexp_replace(col("p_name"), "a", "@").as("name_sub"),
+        lpad(col("p_brand"), 12, "*").as("brand_pad"))
+      .orderBy("p_partkey")
+
+  val scalarStringSql: String =
+    """SELECT p_partkey,
+      |  p_brand || '/' || p_type AS brand_type,
+      |  substr(p_name, 1, 8) AS name8,
+      |  upper(p_name) AS name_up,
+      |  lower(p_type) AS type_lo,
+      |  length(p_name) AS name_len,
+      |  trim(p_name) AS name_trim,
+      |  regexp_replace(p_name, 'a', '@', 'g') AS name_sub,
+      |  lpad(p_brand, 12, '*') AS brand_pad
+      |FROM part WHERE p_partkey <= 100 ORDER BY p_partkey""".stripMargin
+
+  /** Date/time family: date_trunc, extract parts, interval arithmetic,
+    * date difference, formatting. */
+  val scalarDate: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 300)
+      .select(col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        year(col("o_orderdate")).cast("bigint").as("yr"),
+        month(col("o_orderdate")).cast("bigint").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("bigint").as("dom"),
+        (col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("due_date"),
+        datediff(lit("2000-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("bigint").as("days_to_y2k"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso_day"))
+      .orderBy("o_orderkey")
+
+  val scalarDateSql: String =
+    """SELECT o_orderkey,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      |  date_part('year', o_orderdate) AS yr,
+      |  date_part('month', o_orderdate) AS mo,
+      |  date_part('day', o_orderdate) AS dom,
+      |  o_orderdate + INTERVAL 90 DAY AS due_date,
+      |  date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS iso_day
+      |FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey""".stripMargin
+
+  /** Math family. floor/ceil/abs/sqrt/sign/mod are IEEE-exact (round() on
+    * doubles is deliberately absent — engines disagree on half-rounding). */
+  val scalarMath: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") <= 200)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        ceil(col("l_extendedprice")).as("price_ceil"),
+        abs(col("l_quantity") - 25).as("qty_dev"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        (col("l_partkey") % 7).as("pk_mod"),
+        signum(col("l_discount") - 0.05).as("disc_sign"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val scalarMathSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  floor(l_extendedprice) AS price_floor,
+      |  ceil(l_extendedprice) AS price_ceil,
+      |  abs(l_quantity - 25) AS qty_dev,
+      |  sqrt(l_quantity) AS qty_sqrt,
+      |  l_partkey % 7 AS pk_mod,
+      |  sign(l_discount - 0.05) AS disc_sign
+      |FROM lineitem WHERE l_orderkey <= 200
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Conditional family: CASE, coalesce, nullif, greatest/least. */
+  val scalarCond: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 500)
+      .select(col("o_orderkey"),
+        when(col("o_totalprice") > 300000, "big")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("small").as("bucket"),
+        coalesce(nullif(col("o_orderstatus"), lit("P")), lit("pending"))
+          .as("status_or_default"),
+        greatest(col("o_totalprice"), lit(50000.0)).as("price_floor50k"),
+        least(col("o_totalprice"), lit(400000.0)).as("price_cap400k"))
+      .orderBy("o_orderkey")
+
+  val scalarCondSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice > 300000 THEN 'big'
+      |       WHEN o_totalprice > 100000 THEN 'mid'
+      |       ELSE 'small' END AS bucket,
+      |  coalesce(nullif(o_orderstatus, 'P'), 'pending') AS status_or_default,
+      |  greatest(o_totalprice, 50000.0) AS price_floor50k,
+      |  least(o_totalprice, 400000.0) AS price_cap400k
+      |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin
+
+  /** Array family: split, size, element access, contains, explode
+    * (PG unnest). Duplicate tokens produce identical rows, so sorting by
+    * all columns is still deterministic under multiset semantics. */
+  val scalarArray: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count("*").as("n"))
+      .orderBy("doc_id", "token")
+
+  val scalarArraySql: String =
+    """SELECT doc_id, t.token AS token, count(*) AS n
+      |FROM documents, unnest(string_split(text, ' ')) AS t(token)
+      |WHERE doc_id < 50
+      |GROUP BY doc_id, t.token
+      |ORDER BY doc_id, token""".stripMargin
+
+  /** Array scalar ops without explode: size / element_at / array_contains. */
+  val scalarArrayOps: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+        element_at(split(col("text"), " "), 1).as("first_tok"),
+        element_at(split(col("text"), " "), -1).as("last_tok"),
+        array_contains(split(col("text"), " "), "data").as("has_data"))
+      .orderBy("doc_id")
+
+  val scalarArrayOpsSql: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  string_split(text, ' ')[1] AS first_tok,
+      |  string_split(text, ' ')[-1] AS last_tok,
+      |  list_contains(string_split(text, ' '), 'data') AS has_data
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+
+  /** JSON family over events.props (PG -> / ->> class):
+    * get_json_object + typed extraction. */
+  val scalarJson: Q = (s, dir) =>
+    t(s, dir, "events")
+      .filter(col("event_id") < 200)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k_int"),
+        get_json_object(col("props"), "$.missing").as("k_missing"))
+      .orderBy("event_id")
+
+  val scalarJsonSql: String =
+    """SELECT event_id,
+      |  json_extract_string(props, '$.k') AS k_str,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+      |  json_extract_string(props, '$.missing') AS k_missing
+      |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin
+
+  // ===========================================================================
+  // registry
+  // ===========================================================================
+
+  val queries: Map[String, Q] = Map(
+    "q_scan_project" -> scanProject,
+    "q_generate_series" -> generateSeries,
+    "q_filter_compare" -> filterCompare,
+    "q_filter_bool" -> filterBool,
+    "q_filter_like" -> filterLike,
+    "q_implicit_cast" -> implicitCast,
+    "q_join_inner" -> joinInner,
+    "q_join_left" -> joinLeft,
+    "q_join_right" -> joinRight,
+    "q_join_full" -> joinFull,
+    "q_join_semi" -> joinSemi,
+    "q_join_anti" -> joinAnti,
+    "q_join_cross" -> joinCross,
+    "q_join_range" -> joinRange,
+    "q_join_star" -> joinStar,
+    "q_corr_subquery" -> corrSubquery,
+    "q_join_asof" -> joinAsof,
+    "q1_agg" -> q1Agg,
+    "q_agg_count" -> aggCount,
+    "q_agg_distinct" -> aggDistinct,
+    "q_agg_minmax" -> aggMinMax,
+    "q_agg_variance" -> aggVariance,
+    "q_agg_cube" -> aggCube,
+    "q_agg_rollup" -> aggRollup,
+    "q_agg_grouping_sets" -> aggGroupingSets,
+    "q_agg_having" -> aggHaving,
+    "q_agg_conditional" -> aggConditional,
+    "q_window_rank" -> windowRank,
+    "q_window_lag_lead" -> windowLagLead,
+    "q_window_frame" -> windowFrame,
+    "q_order_multi" -> orderMulti,
+    "q_topk" -> topK,
+    "q_limit_offset" -> limitOffset,
+    "q_union_all" -> unionAll,
+    "q_union_distinct" -> unionDistinct,
+    "q_intersect" -> intersectQ,
+    "q_except" -> exceptQ,
+    "q_distinct" -> distinctQ,
+    "q_scalar_string" -> scalarString,
+    "q_scalar_date" -> scalarDate,
+    "q_scalar_math" -> scalarMath,
+    "q_scalar_cond" -> scalarCond,
+    "q_scalar_array" -> scalarArray,
+    "q_scalar_array_ops" -> scalarArrayOps,
+    "q_scalar_json" -> scalarJson,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_scan_project" -> scanProjectSql,
+    "q_generate_series" -> generateSeriesSql,
+    "q_filter_compare" -> filterCompareSql,
+    "q_filter_bool" -> filterBoolSql,
+    "q_filter_like" -> filterLikeSql,
+    "q_implicit_cast" -> implicitCastSql,
+    "q_join_inner" -> joinInnerSql,
+    "q_join_left" -> joinLeftSql,
+    "q_join_right" -> joinRightSql,
+    "q_join_full" -> joinFullSql,
+    "q_join_semi" -> joinSemiSql,
+    "q_join_anti" -> joinAntiSql,
+    "q_join_cross" -> joinCrossSql,
+    "q_join_range" -> joinRangeSql,
+    "q_join_star" -> joinStarSql,
+    "q_corr_subquery" -> corrSubquerySql,
+    "q_join_asof" -> joinAsofSql,
+    "q1_agg" -> q1AggSql,
+    "q_agg_count" -> aggCountSql,
+    "q_agg_distinct" -> aggDistinctSql,
+    "q_agg_minmax" -> aggMinMaxSql,
+    "q_agg_variance" -> aggVarianceSql,
+    "q_agg_cube" -> aggCubeSql,
+    "q_agg_rollup" -> aggRollupSql,
+    "q_agg_grouping_sets" -> aggGroupingSetsSql,
+    "q_agg_having" -> aggHavingSql,
+    "q_agg_conditional" -> aggConditionalSql,
+    "q_window_rank" -> windowRankSql,
+    "q_window_lag_lead" -> windowLagLeadSql,
+    "q_window_frame" -> windowFrameSql,
+    "q_order_multi" -> orderMultiSql,
+    "q_topk" -> topKSql,
+    "q_limit_offset" -> limitOffsetSql,
+    "q_union_all" -> unionAllSql,
+    "q_union_distinct" -> unionDistinctSql,
+    "q_intersect" -> intersectSql,
+    "q_except" -> exceptSql,
+    "q_distinct" -> distinctSql,
+    "q_scalar_string" -> scalarStringSql,
+    "q_scalar_date" -> scalarDateSql,
+    "q_scalar_math" -> scalarMathSql,
+    "q_scalar_cond" -> scalarCondSql,
+    "q_scalar_array" -> scalarArraySql,
+    "q_scalar_array_ops" -> scalarArrayOpsSql,
+    "q_scalar_json" -> scalarJsonSql,
+  )
+}

@@ -1,0 +1,99 @@
+package graft.lake
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+
+/** One data file of a mirror table, with file-skipping statistics.
+  *
+  * `minKey`/`maxKey` are min/max of the table's first primary-key column
+  * (as a string-encoded long), the same role Iceberg per-file column stats
+  * play for the reference (`/root/reference/CHANGELOG.md:26` "File
+  * statistics and skipping"). CDC apply uses them to rewrite only files
+  * that can contain an affected key — at 100 TB a point-delete touches a
+  * handful of files, not the table.
+  */
+case class DataFile(
+    path: String,
+    rows: Long,
+    bytes: Long,
+    minKey: Option[Long],
+    maxKey: Option[Long])
+
+/** Versioned table manifest — our stand-in for an Iceberg snapshot
+  * (reference keeps the same two frontiers per table:
+  * `/root/reference/src/functions.rs:85-99` `commit_lsn` / `flush_lsn`).
+  *
+  * - `commitVersion`: highest change-batch version accepted (LSN analog).
+  * - `flushVersion`: highest version durably visible in `files` — the
+  *   read-your-writes gate compares against this
+  *   (`/root/reference/src/duckdb_mooncake.rs:27-29`).
+  */
+case class Manifest(
+    table: String,
+    version: Long,
+    commitVersion: Long,
+    flushVersion: Long,
+    schemaDdl: String,
+    pkColumns: Seq[String],
+    files: Seq[DataFile])
+
+object Manifest {
+  private val mapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    // Scala type erasure: without this, Option[Long] fields deserialize as
+    // boxed Integer and blow up on first use.
+    m.configure(DeserializationFeature.USE_LONG_FOR_INTS, true)
+    m
+  }
+
+  def toJson(m: Manifest): String =
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(m)
+
+  def fromJson(s: String): Manifest = mapper.readValue(s, classOf[Manifest])
+
+  private def manifestDir(tableDir: String): Path =
+    Paths.get(tableDir, "manifest")
+
+  private def versionOf(p: Path): Long = {
+    val n = p.getFileName.toString // v%016d.json
+    n.stripPrefix("v").stripSuffix(".json").toLong
+  }
+
+  /** Latest committed manifest, or None for an empty/new table dir. */
+  def latest(tableDir: String): Option[Manifest] = {
+    val dir = manifestDir(tableDir)
+    if (!Files.isDirectory(dir)) return None
+    val versions = Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.matches("v\\d+\\.json"))
+      .toSeq
+    if (versions.isEmpty) None
+    else {
+      val newest = versions.maxBy(versionOf)
+      Some(fromJson(new String(Files.readAllBytes(newest), StandardCharsets.UTF_8)))
+    }
+  }
+
+  /** Atomic commit: write to a temp file, then rename into place. Rename
+    * is atomic on a POSIX filesystem, so readers see either the previous
+    * complete manifest or the new one, never a torn write (SURVEY.md §7
+    * risk 4). On an object store this would be a conditional PUT. */
+  def commit(tableDir: String, m: Manifest): Unit = {
+    val dir = manifestDir(tableDir)
+    Files.createDirectories(dir)
+    val target = dir.resolve(f"v${m.version}%016d.json")
+    if (Files.exists(target))
+      throw new IllegalStateException(
+        s"manifest version ${m.version} already exists for ${m.table} " +
+          "(concurrent writer?)")
+    val tmp = Files.createTempFile(dir, ".tmp-manifest", ".json")
+    Files.write(tmp, toJson(m).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+  }
+}

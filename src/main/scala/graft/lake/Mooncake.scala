@@ -1,0 +1,348 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Thrown when a read demands a fresher snapshot than has been flushed —
+  * the engine-side equivalent of the reference's LSN gate (a scan carries
+  * the reader's `XactLastCommitEnd` and the snapshot must cover it,
+  * `/root/reference/src/duckdb_mooncake.rs:27-29`). */
+class StaleSnapshotException(msg: String) extends RuntimeException(msg)
+
+/** The mooncake control plane re-expressed for Spark: columnstore mirror
+  * tables stored as Parquet + a versioned JSON manifest (playing Iceberg's
+  * role), kept fresh by [[applyChanges]] (the CDC apply operator) with
+  * read-your-writes version gating.
+  *
+  * API parity with `/root/reference/src/functions.rs`:
+  *   - `create_table`  (`:24-43`)  → [[createTable]]
+  *   - `create_snapshot` (`:9-22`) → [[createSnapshot]]
+  *   - `list_tables`   (`:84-116`) → [[listTables]] (same 4 columns)
+  *   - `load_files`    (`:118-130`)→ [[loadFiles]] (parquet/csv/json)
+  *   - `optimize_table`(`:132-144`)→ [[optimizeTable]] (full/data modes)
+  *   - drop trigger    (`:45-82`)  → [[dropTable]]
+  *
+  * Scale design: copy-on-write with manifest-level file skipping. Every
+  * data file records min/max of the leading primary-key column; a CDC
+  * batch rewrites only the files whose key range intersects the batch, and
+  * the (small) affected-key set is broadcast so the anti-join never
+  * shuffles the table. Compaction is explicit, as in the reference (no
+  * vacuum — `/root/reference/src/table.rs:421-428`).
+  */
+class Mooncake(val warehouse: String) {
+
+  private def tableDir(name: String): String =
+    Paths.get(warehouse, Identifier.parse(name).fileName).toString
+
+  private def dataDir(name: String, version: Long): Path =
+    Paths.get(tableDir(name), "data", f"v$version%016d")
+
+  private def require_(m: Option[Manifest], name: String): Manifest =
+    m.getOrElse(throw new NoSuchElementException(s"no mooncake table '$name'"))
+
+  // -------------------------------------------------------------------------
+  // create / drop / list
+  // -------------------------------------------------------------------------
+
+  /** Create a mirror of `source` (schema copied column-for-column, as the
+    * reference copies from pg_attribute — `src/functions.rs:204-221`) and
+    * run the initial backfill. `pk` is the replica-identity key CDC
+    * batches address rows by. */
+  def createTable(spark: SparkSession, name: String, source: DataFrame,
+      pk: Seq[String], initialVersion: Long = 1L): Manifest = {
+    val dir = tableDir(name)
+    if (Manifest.latest(dir).isDefined)
+      throw new IllegalStateException(s"mooncake table '$name' already exists")
+    writeVersion(spark, name, source, pk, version = initialVersion,
+      carryOver = Seq.empty)
+  }
+
+  def dropTable(name: String): Unit = {
+    val dir = Paths.get(tableDir(name))
+    if (Files.exists(dir)) {
+      Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(Files.delete)
+    }
+  }
+
+  /** Same four columns as `mooncake.list_tables()`
+    * (`/root/reference/src/functions.rs:84-116`). */
+  def listTables(spark: SparkSession): DataFrame = {
+    val root = Paths.get(warehouse)
+    val rows =
+      if (!Files.isDirectory(root)) Seq.empty
+      else Files.list(root).iterator().asScala
+        .flatMap(p => Manifest.latest(p.toString).map(m =>
+          (m.table, m.commitVersion, m.flushVersion, p.toString)))
+        .toSeq.sortBy(_._1)
+    import spark.implicits._
+    rows.toDF("table", "commit_lsn", "flush_lsn", "iceberg_warehouse_location")
+  }
+
+  // -------------------------------------------------------------------------
+  // read path
+  // -------------------------------------------------------------------------
+
+  /** Scan the current snapshot. `atLeastVersion` is the reader's
+    * read-your-writes demand: if the flushed frontier hasn't covered it
+    * yet the scan must not proceed on stale files. */
+  def read(spark: SparkSession, name: String,
+      atLeastVersion: Option[Long] = None): DataFrame = {
+    val m = require_(Manifest.latest(tableDir(name)), name)
+    atLeastVersion.foreach { v =>
+      if (m.flushVersion < v)
+        throw new StaleSnapshotException(
+          s"table '$name': reader requires version >= $v but flushVersion " +
+            s"is ${m.flushVersion}")
+    }
+    readFiles(spark, m, m.files)
+  }
+
+  /** Time travel: scan an explicit manifest version. */
+  def readVersion(spark: SparkSession, name: String, version: Long): DataFrame = {
+    val p = Paths.get(tableDir(name), "manifest", f"v$version%016d.json")
+    if (!Files.exists(p))
+      throw new NoSuchElementException(s"table '$name' has no version $version")
+    val m = Manifest.fromJson(new String(Files.readAllBytes(p), "UTF-8"))
+    readFiles(spark, m, m.files)
+  }
+
+  private def readFiles(spark: SparkSession, m: Manifest,
+      files: Seq[DataFile]): DataFrame =
+    if (files.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
+    } else spark.read.parquet(files.map(_.path): _*)
+
+  def currentManifest(name: String): Manifest =
+    require_(Manifest.latest(tableDir(name)), name)
+
+  // -------------------------------------------------------------------------
+  // CDC apply (SURVEY.md §2.8) — the distinctive operator
+  // -------------------------------------------------------------------------
+
+  /** Apply one CDC batch. `changes` carries the table's columns plus:
+    *   - `__op`: 'I' | 'U' | 'D' (UPDATE is delete+insert at the columnar
+    *     layer, as in the reference — SURVEY.md §3.2 step 3);
+    *   - optional `__seq`: intra-batch order; the last op per key wins
+    *     (so I→U→D of one key within a batch nets to absent).
+    *
+    * Execution shape (the part that must survive 100 TB):
+    *   1. distinct affected keys — small, broadcast;
+    *   2. manifest file skipping on the leading pk min/max → only files
+    *      that can contain an affected key are rewritten;
+    *   3. survivors = touched-file rows anti-join affected keys (broadcast
+    *      anti-join, no table shuffle), unioned with the batch's final
+    *      I/U images;
+    *   4. new files written, untouched files carried over, one atomic
+    *      manifest commit with commitVersion = flushVersion = `version`.
+    */
+  def applyChanges(spark: SparkSession, name: String, changes: DataFrame,
+      version: Long): Manifest = {
+    val dir = tableDir(name)
+    val m = require_(Manifest.latest(dir), name)
+    if (version <= m.commitVersion)
+      throw new IllegalArgumentException(
+        s"batch version $version not after commitVersion ${m.commitVersion}")
+    val pk = m.pkColumns
+    val dataCols = changes.columns.filterNot(c => c == "__op" || c == "__seq")
+
+    // Last op per key wins within the batch.
+    val seqCol = if (changes.columns.contains("__seq")) col("__seq")
+      else monotonically_increasing_id()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pk.map(col): _*).orderBy(seqCol.desc)
+    val lastOps = changes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__seq")
+
+    val affectedKeys = lastOps.select(pk.map(col): _*).distinct()
+    val inserts = lastOps.filter(col("__op") =!= "D")
+      .select(dataCols.map(col).toIndexedSeq: _*)
+
+    // File skipping on the leading pk column.
+    val keyBounds = affectedKeys
+      .agg(min(col(pk.head)).cast("long"), max(col(pk.head)).cast("long"))
+      .head()
+    val (loKey, hiKey) = (Option(keyBounds.get(0)).map(_.asInstanceOf[Long]),
+      Option(keyBounds.get(1)).map(_.asInstanceOf[Long]))
+    val (touched, untouched) = m.files.partition { f =>
+      (for { lo <- loKey; hi <- hiKey; fLo <- f.minKey; fHi <- f.maxKey }
+        yield fLo <= hi && fHi >= lo).getOrElse(true)
+    }
+
+    val survivors =
+      if (touched.isEmpty) None
+      else Some(readFiles(spark, m, touched)
+        .join(broadcast(affectedKeys), pk, "left_anti"))
+    val newRows = survivors.map(_.unionByName(inserts)).getOrElse(inserts)
+
+    writeVersion(spark, name, newRows, pk, version, carryOver = untouched)
+  }
+
+  // -------------------------------------------------------------------------
+  // snapshots, file load, compaction
+  // -------------------------------------------------------------------------
+
+  /** Force a durable named snapshot of the current state
+    * (≈ `mooncake.create_snapshot`, `src/functions.rs:9-22`). */
+  def createSnapshot(name: String): Long = {
+    val m = currentManifest(name)
+    val snapDir = Paths.get(tableDir(name), "snapshots")
+    Files.createDirectories(snapDir)
+    Files.write(snapDir.resolve(f"v${m.version}%016d.json"),
+      Manifest.toJson(m).getBytes("UTF-8"))
+    m.version
+  }
+
+  /** Bulk-append external files (≈ `mooncake.load_files`,
+    * `src/functions.rs:118-130`; formats per CHANGELOG.md:24). Columns are
+    * aligned by name and cast to the table schema. */
+  def loadFiles(spark: SparkSession, name: String, files: Seq[String],
+      format: String = "parquet"): Manifest = {
+    val m = currentManifest(name)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    val raw = format match {
+      case "parquet" => spark.read.parquet(files: _*)
+      case "csv" => spark.read.option("header", "true").schema(schema).csv(files: _*)
+      case "json" => spark.read.schema(schema).json(files: _*)
+      case other => throw new IllegalArgumentException(s"format $other")
+    }
+    val aligned = raw.select(schema.fields.map(f =>
+      col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+    writeVersion(spark, name, aligned, m.pkColumns, m.version + 1,
+      carryOver = m.files)
+  }
+
+  /** Explicit compaction (≈ `mooncake.optimize_table`,
+    * `src/functions.rs:132-144`; no vacuum exists, `src/table.rs:421-428`).
+    *   - "full": rewrite the whole table range-clustered by pk → restores
+    *     tight per-file key ranges, maximizing future file skipping;
+    *   - "data": bin-pack only files smaller than the target size,
+    *     leaving well-sized files untouched (the 100 TB-friendly mode —
+    *     cost proportional to fragmentation, not table size). */
+  def optimizeTable(spark: SparkSession, name: String, mode: String = "data",
+      targetFileBytes: Long = 128L * 1024 * 1024): Manifest = {
+    val m = currentManifest(name)
+    mode match {
+      case "full" =>
+        val totalBytes = m.files.map(_.bytes).sum
+        val nFiles = math.max(1, (totalBytes / targetFileBytes).toInt)
+        val df = readFiles(spark, m, m.files)
+        val clustered = m.pkColumns.headOption match {
+          case Some(k) => df.repartitionByRange(nFiles, col(k))
+          case None => df.repartition(nFiles)
+        }
+        writeVersion(spark, name, clustered, m.pkColumns, m.version + 1,
+          carryOver = Seq.empty, alreadyPartitioned = true)
+      case "data" =>
+        val (small, big) = m.files.partition(_.bytes < targetFileBytes / 2)
+        if (small.size <= 1) m // nothing to compact
+        else {
+          val packed = readFiles(spark, m, small)
+            .coalesce(math.max(1, (small.map(_.bytes).sum / targetFileBytes).toInt))
+          writeVersion(spark, name, packed, m.pkColumns, m.version + 1,
+            carryOver = big, alreadyPartitioned = true)
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unknown optimize mode '$other'")
+    }
+  }
+
+  // -------------------------------------------------------------------------
+  // write path
+  // -------------------------------------------------------------------------
+
+  /** Write `df` as the data files of manifest `version` (plus carried-over
+    * files) and commit atomically. Per-file min/max of the leading pk is
+    * collected with a single column-pruned pass over the new files. */
+  private def writeVersion(spark: SparkSession, name: String, df: DataFrame,
+      pk: Seq[String], version: Long, carryOver: Seq[DataFile],
+      alreadyPartitioned: Boolean = false): Manifest = {
+    val dir = tableDir(name)
+    val out = dataDir(name, version)
+    val toWrite =
+      if (alreadyPartitioned || pk.isEmpty) df
+      else df.sortWithinPartitions(pk.map(col): _*)
+    toWrite.write.mode("errorifexists").parquet(out.toString)
+
+    val written = Files.list(out).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    val stats: Map[String, (Long, Option[Long], Option[Long])] =
+      if (written.isEmpty) Map.empty
+      else {
+        val statDf = spark.read.parquet(out.toString)
+        val keyed = pk.headOption match {
+          case Some(k) =>
+            statDf.groupBy(input_file_name().as("__f"))
+              .agg(count(lit(1)).as("__n"),
+                min(col(k)).cast("long").as("__lo"),
+                max(col(k)).cast("long").as("__hi"))
+          case None =>
+            statDf.groupBy(input_file_name().as("__f"))
+              .agg(count(lit(1)).as("__n"),
+                lit(null).cast("long").as("__lo"),
+                lit(null).cast("long").as("__hi"))
+        }
+        keyed.collect().map { r =>
+          val fname = r.getString(0).stripPrefix("file://")
+          (fname, (r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        }.toMap
+      }
+    val newFiles = written.map { p =>
+      val (rows, lo, hi) = stats.getOrElse(p.toString, (0L, None, None))
+      DataFile(p.toString, rows, Files.size(p), lo, hi)
+    }.filter(_.rows > 0)
+
+    val manifest = Manifest(
+      table = Identifier.parse(name).qualified,
+      version = version,
+      commitVersion = version,
+      flushVersion = version,
+      schemaDdl = df.schema.toDDL,
+      pkColumns = pk,
+      files = carryOver ++ newFiles)
+    Manifest.commit(dir, manifest)
+    manifest
+  }
+}
+
+object Mooncake {
+  /** Default warehouse under the working dir (overridable per instance). */
+  def apply(warehouse: String = "target/mooncake-warehouse"): Mooncake =
+    new Mooncake(warehouse)
+}
+
+/** Schema-qualified identifier parsing, same lexical rules the reference
+  * applies (`/root/reference/src/functions.rs:146-163`): unquoted idents
+  * `[A-Za-z_][A-Za-z0-9_$]*` are lowercased; `"quoted"` idents preserve
+  * case with `""` as an escaped quote; default schema is `main`. */
+case class Identifier(schema: String, table: String) {
+  def qualified: String = s"$schema.$table"
+  def fileName: String = s"$schema.$table".replaceAll("[^A-Za-z0-9._-]", "_")
+}
+
+object Identifier {
+  private val Unquoted = "([A-Za-z_][A-Za-z0-9_$]*)"
+  private val Quoted = "\"((?:[^\"]|\"\")+)\""
+  private val Part = s"(?:$Unquoted|$Quoted)"
+  private val Full = s"^$Part(?:\\.$Part)?$$".r
+
+  def parse(s: String): Identifier = s.trim match {
+    case Full(u1, q1, u2, q2) =>
+      def norm(u: String, q: String): String =
+        if (u != null) u.toLowerCase else q.replace("\"\"", "\"")
+      val first = norm(u1, q1)
+      if (u2 == null && q2 == null) Identifier("main", first)
+      else Identifier(first, norm(u2, q2))
+    case other =>
+      throw new IllegalArgumentException(s"invalid table identifier: '$other'")
+  }
+}

@@ -1,0 +1,187 @@
+package graft.lake
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** End-to-end specs for the lake core, replaying the reference's own
+  * regression scenarios (SURVEY.md §5):
+  *   - sanity.sql: INSERT+UPDATE(+implicit cast)+DELETE converges to
+  *     rows (2,'b'),(3,'4')  (`expected/sanity.out:7-12`)
+  *   - partitioned_table.sql: 100-row insert + tail delete → counts
+  *     25 / 75 / 40  (`expected/partitioned_table.out:9-23`)
+  */
+class MooncakeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshLake() = new Mooncake(tmpDir("mooncake-wh"))
+
+  private def rTable(rows: (Int, String)*): DataFrame =
+    rows.toDF("a", "b")
+
+  test("sanity.sql replay: CDC convergence with implicit cast") {
+    val lake = freshLake()
+    // CREATE TABLE r (a int, b text); INSERT (1,'a'),(2,'b'),(3,'c')
+    lake.createTable(spark, "c", rTable(1 -> "a", 2 -> "b", 3 -> "c"), Seq("a"))
+    // UPDATE r SET b = a + 1 WHERE a > 2  (int → text implicit cast)
+    val updates = Seq((3, "U")).toDF("a", "__op")
+      .withColumn("b", (col("a") + 1).cast("string"))
+      .select("a", "b", "__op")
+    lake.applyChanges(spark, "c", updates, version = 2)
+    // DELETE FROM r WHERE a < 2
+    val deletes = Seq((1, null: String, "D")).toDF("a", "b", "__op")
+    lake.applyChanges(spark, "c", deletes, version = 3)
+
+    val got = lake.read(spark, "c", atLeastVersion = Some(3))
+      .orderBy("a").as[(Int, String)].collect().toSeq
+    assert(got === Seq(2 -> "b", 3 -> "4"))
+  }
+
+  test("partitioned_table.sql replay: 25 / 75 / 40") {
+    val lake = freshLake()
+    val src = spark.range(0, 100)
+      .select(col("id").cast("int").as("a"),
+        concat(lit("val_"), col("id")).as("b"))
+    lake.createTable(spark, "pt", src, Seq("a"))
+    // DELETE WHERE a > 90
+    val dels = spark.range(91, 100)
+      .select(col("id").cast("int").as("a"),
+        lit(null: String).as("b"), lit("D").as("__op"))
+    lake.applyChanges(spark, "pt", dels, version = 2)
+
+    val m = lake.read(spark, "pt", atLeastVersion = Some(2))
+    assert(m.filter(col("a") < 25).count() === 25)
+    assert(m.filter(col("a") < 75).count() === 75)
+    assert(m.filter(col("a") < 25 || col("a") > 75).count() === 40)
+  }
+
+  test("read-your-writes gate rejects stale snapshots") {
+    val lake = freshLake()
+    lake.createTable(spark, "ryw", rTable(1 -> "x"), Seq("a"))
+    assertThrows[StaleSnapshotException] {
+      lake.read(spark, "ryw", atLeastVersion = Some(99))
+    }
+    // and a satisfied demand passes
+    assert(lake.read(spark, "ryw", atLeastVersion = Some(1)).count() === 1)
+  }
+
+  test("last-op-per-key wins within a batch (I then D nets to absent)") {
+    val lake = freshLake()
+    lake.createTable(spark, "seq", rTable(1 -> "keep"), Seq("a"))
+    val batch = Seq(
+      (5, "new", "I", 1L),
+      (5, "newer", "U", 2L),
+      (1, null: String, "D", 3L),
+      (1, "reborn", "I", 4L))
+      .toDF("a", "b", "__op", "__seq")
+    lake.applyChanges(spark, "seq", batch, version = 2)
+    val got = lake.read(spark, "seq").orderBy("a")
+      .as[(Int, String)].collect().toSeq
+    assert(got === Seq(1 -> "reborn", 5 -> "newer"))
+  }
+
+  test("file skipping: untouched files are carried over, not rewritten") {
+    val lake = freshLake()
+    // Range-clustered backfill → files have disjoint key ranges.
+    val src = spark.range(0, 1000)
+      .select(col("id").as("a"), concat(lit("v"), col("id")).as("b"))
+      .repartitionByRange(8, col("a"))
+    lake.createTable(spark, "skip", src, Seq("a"))
+    val before = lake.currentManifest("skip")
+    assert(before.files.size === 8)
+
+    // Delete two adjacent keys — only file(s) covering [100,101] rewrite.
+    val dels = Seq((100L, null: String, "D"), (101L, null: String, "D"))
+      .toDF("a", "b", "__op")
+    lake.applyChanges(spark, "skip", dels, version = 2)
+    val after = lake.currentManifest("skip")
+    val carried = after.files.map(_.path).toSet
+      .intersect(before.files.map(_.path).toSet)
+    assert(carried.size >= 6,
+      s"expected >=6 of 8 files carried over, got ${carried.size}")
+    assert(lake.read(spark, "skip").count() === 998)
+  }
+
+  test("snapshot + time travel") {
+    val lake = freshLake()
+    lake.createTable(spark, "tt", rTable(1 -> "a", 2 -> "b"), Seq("a"))
+    val snapV = lake.createSnapshot("tt")
+    lake.applyChanges(spark, "tt",
+      Seq((1, null: String, "D")).toDF("a", "b", "__op"), version = 2)
+    assert(lake.read(spark, "tt").count() === 1)
+    assert(lake.readVersion(spark, "tt", snapV).count() === 2)
+  }
+
+  test("listTables exposes commit/flush frontiers like the reference") {
+    val lake = freshLake()
+    lake.createTable(spark, "lt1", rTable(1 -> "a"), Seq("a"))
+    lake.createTable(spark, "lt2", rTable(2 -> "b"), Seq("a"), initialVersion = 7)
+    val rows = lake.listTables(spark).orderBy("table").collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("main.lt1", "main.lt2"))
+    assert(rows.map(r => r.getLong(1) -> r.getLong(2)).toSeq ===
+      Seq(1L -> 1L, 7L -> 7L))
+    assert(lake.listTables(spark).columns.toSeq ===
+      Seq("table", "commit_lsn", "flush_lsn", "iceberg_warehouse_location"))
+  }
+
+  test("loadFiles appends parquet / csv / json into the mirror") {
+    val lake = freshLake()
+    lake.createTable(spark, "lf", rTable(1 -> "a"), Seq("a"))
+    val pq = tmpDir("lf-pq")
+    rTable(2 -> "b").write.mode("overwrite").parquet(pq)
+    lake.loadFiles(spark, "lf", Seq(pq))
+    val csv = tmpDir("lf-csv")
+    rTable(3 -> "c").write.mode("overwrite").option("header", "true").csv(csv)
+    lake.loadFiles(spark, "lf", Seq(csv), format = "csv")
+    val js = tmpDir("lf-json")
+    rTable(4 -> "d").write.mode("overwrite").json(js)
+    lake.loadFiles(spark, "lf", Seq(js), format = "json")
+    val got = lake.read(spark, "lf").orderBy("a").as[(Int, String)].collect()
+    assert(got.toSeq === Seq(1 -> "a", 2 -> "b", 3 -> "c", 4 -> "d"))
+  }
+
+  test("optimizeTable full restores clustering; data packs small files") {
+    val lake = freshLake()
+    val src = spark.range(0, 500)
+      .select(col("id").as("a"), lit("x").as("b"))
+      .repartition(10) // deliberately fragmented, overlapping ranges
+    lake.createTable(spark, "opt", src, Seq("a"))
+    assert(lake.currentManifest("opt").files.size === 10)
+
+    lake.optimizeTable(spark, "opt", mode = "data")
+    val packed = lake.currentManifest("opt")
+    assert(packed.files.size < 10)
+    assert(lake.read(spark, "opt").count() === 500)
+
+    lake.optimizeTable(spark, "opt", mode = "full",
+      targetFileBytes = 4L * 1024)
+    val full = lake.currentManifest("opt")
+    // full mode range-clusters: per-file ranges must be disjoint
+    val ranges = full.files.flatMap(f =>
+      for { lo <- f.minKey; hi <- f.maxKey } yield (lo, hi)).sorted
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+    assert(lake.read(spark, "opt").count() === 500)
+  }
+
+  test("dropTable removes the table") {
+    val lake = freshLake()
+    lake.createTable(spark, "gone", rTable(1 -> "a"), Seq("a"))
+    lake.dropTable("gone")
+    assertThrows[NoSuchElementException] { lake.read(spark, "gone") }
+    assert(lake.listTables(spark).count() === 0)
+  }
+
+  test("identifier parsing follows the reference's lexical rules") {
+    assert(Identifier.parse("Foo") === Identifier("main", "foo"))
+    assert(Identifier.parse("s.T") === Identifier("s", "t"))
+    assert(Identifier.parse("\"Mixed Case\"") === Identifier("main", "Mixed Case"))
+    assert(Identifier.parse("\"a\"\"b\"") === Identifier("main", "a\"b"))
+    assert(Identifier.parse("sch.\"T$x\"") === Identifier("sch", "T$x"))
+    assertThrows[IllegalArgumentException] { Identifier.parse("1bad") }
+    assertThrows[IllegalArgumentException] { Identifier.parse("a.b.c") }
+  }
+}

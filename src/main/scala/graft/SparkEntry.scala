@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{LakeQueries, RelationalQueries}
+import graft.ops.{LakeQueries, PipelineQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,10 +19,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ LakeQueries.queries
+    RelationalQueries.queries ++ LakeQueries.queries ++
+      PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql ++ LakeQueries.oracleSql
+    RelationalQueries.oracleSql ++ LakeQueries.oracleSql ++
+      PipelineQueries.oracleSql
 }

@@ -1,0 +1,443 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+/** LLM-training-data pipeline operators over `documents` / `embeddings`
+  * (the extension surface BASELINE.json's north star asks for): exact and
+  * near dedup (MinHash-LSH, SimHash, n-gram Jaccard), text analysis
+  * (language id, quality scoring, token counting, fingerprinting), and
+  * ANN similarity search (brute-force + IVF).
+  *
+  * Every query here is oracle-checked: the hashing is explicit integer
+  * polynomial arithmetic and every float reduction is a deterministic
+  * left fold, so DuckDB reproduces results bit-for-bit (see
+  * [[graft.functions.TextFunctions]] / [[graft.functions.VectorFunctions]]).
+  *
+  * Scale shapes: per-doc signature computation is embarrassingly parallel
+  * (no shuffle); LSH candidate generation shuffles once on band key —
+  * at 100 TB that's the point of LSH: candidates ∝ true duplicates, not
+  * n². The IVF index shuffles once on cluster id; probing touches only
+  * probe-many clusters.
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  // SQL fragment builders (DuckDB dialect) -----------------------------------
+
+  /** DuckDB: polynomial rolling hash of string expression `v` — same fold
+    * as TextFunctions.polyHashStr. */
+  private def sqlHash(v: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($v)+1), " +
+      s"i -> CAST(ascii(substr($v, i, 1)) AS BIGINT))), (a,c) -> (a*31+c) % $P)"
+
+  /** DuckDB: distinct 3-word shingles of string_split(text,' '). */
+  private val sqlShingles: String =
+    "list_distinct(list_transform(range(1, greatest(len(w)-1, 1)), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
+
+  /** DuckDB: left-fold double sum of a list expression. */
+  private def sqlFoldSum(v: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $v), (a,x) -> a+x)"
+
+  /** DuckDB: dot product of two FLOAT[] as double left fold. */
+  private def sqlDot(a: String, b: String): String =
+    sqlFoldSum(s"list_transform(range(1, 65), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
+
+  private val aList = MinhashA.mkString("[", ", ", "]")
+  private val bList = MinhashB.mkString("[", ", ", "]")
+
+  // ===========================================================================
+  // Text analysis
+  // ===========================================================================
+
+  private val stopwords = Seq("the", "a", "and", "is", "of", "to")
+
+  /** Token counting + quality scoring: whitespace tokens, BPE-ish regex
+    * tokens, stopword/punctuation ratios, and a composite quality score. */
+  val textStats: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val toks = TF.tokens(col("text"))
+    val nt = size(toks).cast("double")
+    val nb = size(regexp_extract_all(col("text"),
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast("bigint")
+    val stop = TF.countIn(toks, stopwords).cast("double")
+    val punct = size(regexp_extract_all(col("text"),
+      lit("[^A-Za-z0-9 ]"), lit(0))).cast("double")
+    val len = length(col("text")).cast("double")
+    d.select(col("doc_id"),
+      size(toks).cast("bigint").as("n_ws_tokens"),
+      nb.as("n_bpe_tokens"),
+      (stop / nt).as("stop_ratio"),
+      (punct / len).as("punct_ratio"),
+      ((len - nt + 1) / nt).as("avg_tok_len"),
+      (least(lit(1.0), nt / 100.0) * 0.5 + (stop / nt) * 0.3 +
+        (lit(1.0) - punct / len) * 0.2).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  val textStatsSql: String = {
+    val stops = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+       |SELECT doc_id,
+       |  len(w) AS n_ws_tokens,
+       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
+       |  CAST(len(list_filter(w, x -> x IN $stops)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS stop_ratio,
+       |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+       |  (CAST(length(text) AS DOUBLE) - CAST(len(w) AS DOUBLE) + 1) / CAST(len(w) AS DOUBLE) AS avg_tok_len,
+       |  least(CAST(1.0 AS DOUBLE), CAST(len(w) AS DOUBLE) / 100.0) * 0.5
+       |    + (CAST(len(list_filter(w, x -> x IN $stops)) AS DOUBLE) / CAST(len(w) AS DOUBLE)) * 0.3
+       |    + (CAST(1.0 AS DOUBLE) - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 0.2
+       |    AS quality_score
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  /** Language identification by marker-word scoring (n-gram-heuristic
+    * class). Deterministic argmax with a fixed tie-break chain. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "is", "of"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "est", "les"),
+    "es" -> Seq("el", "los", "y", "es", "dos"))
+
+  val textLangId: Q = (s, dir) => {
+    val toks = TF.tokens(col("text"))
+    val scored = docs(s, dir).select(col("doc_id") +: col("lang").as("labeled") +:
+      langMarkers.map { case (l, ws) =>
+        TF.countIn(toks, ws).cast("bigint").as(s"s_$l") }: _*)
+    val Seq(en, de, fr, es) = langMarkers.map(m => col(s"s_${m._1}"))
+    scored.select(col("doc_id"), col("labeled"),
+      en, de, fr, es,
+      when(en >= de && en >= fr && en >= es && en > 0, "en")
+        .when(de >= fr && de >= es && de > 0, "de")
+        .when(fr >= es && fr > 0, "fr")
+        .when(es > 0, "es")
+        .otherwise("unknown").as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  val textLangIdSql: String = {
+    def cnt(ws: Seq[String]) =
+      s"len(list_filter(w, x -> x IN ${ws.map(w => s"'$w'").mkString("(", ", ", ")")}))"
+    val Seq(en, de, fr, es) = langMarkers.map(m => cnt(m._2))
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+       |SELECT doc_id, lang AS labeled,
+       |  $en AS s_en, $de AS s_de, $fr AS s_fr, $es AS s_es,
+       |  CASE WHEN $en >= $de AND $en >= $fr AND $en >= $es AND $en > 0 THEN 'en'
+       |       WHEN $de >= $fr AND $de >= $es AND $de > 0 THEN 'de'
+       |       WHEN $fr >= $es AND $fr > 0 THEN 'fr'
+       |       WHEN $es > 0 THEN 'es'
+       |       ELSE 'unknown' END AS pred_lang
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprinting: full-text rolling hash + min-sampled shingle
+    * fingerprint (winnowing-style representative). */
+  val textFingerprint: Q = (s, dir) => {
+    val hs = TF.shingleHashes(col("text"), 3)
+    docs(s, dir).select(col("doc_id"),
+      TF.polyHashStr(col("text")).as("doc_hash"),
+      coalesce(array_min(hs), lit(-1L)).as("min_shingle_hash"),
+      size(array_distinct(TF.wordShingles(TF.tokens(col("text")), 3)))
+        .cast("bigint").as("n_shingles"))
+      .orderBy("doc_id")
+  }
+
+  val textFingerprintSql: String =
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+       |s AS (SELECT doc_id, text, $sqlShingles AS sh FROM t)
+       |SELECT doc_id,
+       |  ${sqlHash("text")} AS doc_hash,
+       |  coalesce(list_min(list_transform(sh, x -> ${sqlHash("x")})), -1) AS min_shingle_hash,
+       |  len(sh) AS n_shingles
+       |FROM s ORDER BY doc_id""".stripMargin
+
+  // ===========================================================================
+  // Deduplication
+  // ===========================================================================
+
+  /** Exact dedup by content hash (md5 — identical in both engines):
+    * canonical keeper + duplicate count per distinct content. */
+  val dedupExact: Q = (s, dir) =>
+    docs(s, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count("*").as("copies"))
+      .orderBy("content_hash")
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+      |  count(*) AS copies
+      |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin
+
+  /** N-gram Jaccard near-dup detection: candidate pairs bucketed by a
+    * 40-char prefix, verified with exact 3-word-shingle Jaccard ≥ 0.5.
+    * (The prefix bucket plays the blocking role; MinHash-LSH below is the
+    * content-robust blocking that survives prefix edits.) */
+  val dedupJaccard: Q = (s, dir) => {
+    val d = docs(s, dir).select(col("doc_id"),
+      substring(col("text"), 1, 40).as("pfx"),
+      array_distinct(TF.wordShingles(TF.tokens(col("text")), 3)).as("sh"))
+    val a = d.as("a"); val b = d.as("b")
+    a.join(b, col("a.pfx") === col("b.pfx") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        TF.jaccard(col("a.sh"), col("b.sh")).as("jacc"))
+      .filter(col("jacc") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupJaccardSql: String =
+    s"""WITH t AS (SELECT doc_id, substr(text, 1, 40) AS pfx,
+       |  string_split(text, ' ') AS w FROM documents),
+       |s AS (SELECT doc_id, pfx, $sqlShingles AS sh FROM t)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jacc
+       |FROM s a JOIN s b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** MinHash + LSH near-dup pipeline: shingle → 16-slot signature → 4
+    * band keys → band-bucket self-join for candidates → exact-Jaccard
+    * verification ≥ 0.5. One shuffle (band key); candidates ∝ duplicates. */
+  val dedupMinhash: Q = (s, dir) => {
+    val sig = docs(s, dir).select(col("doc_id"),
+      array_distinct(TF.wordShingles(TF.tokens(col("text")), 3)).as("sh"),
+      TF.minhashSignature(TF.shingleHashes(col("text"), 3)).as("sig"))
+    val banded = sig.select(col("doc_id"), col("sh"),
+      posexplode(TF.bandKeys(col("sig"))).as(Seq("band", "key")))
+    val a = banded.as("a"); val b = banded.as("b")
+    val cands = a.join(b, col("a.band") === col("b.band") &&
+        col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .distinct()
+    cands.select(col("doc_a"), col("doc_b"),
+        TF.jaccard(col("sha"), col("shb")).as("jacc"))
+      .filter(col("jacc") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupMinhashSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+       |hs AS (SELECT doc_id, sh,
+       |  list_transform(sh, x -> ${sqlHash("x")}) AS h FROM s),
+       |sig AS (SELECT doc_id, sh,
+       |  list_transform(range(0, $NumHashes), p ->
+       |    coalesce(list_min(list_transform(h,
+       |      v -> ($aList[CAST(p AS INT)+1] * v + $bList[CAST(p AS INT)+1]) % $P)), $P)) AS sig
+       |  FROM hs),
+       |bands AS (SELECT doc_id, sh, b,
+       |  CAST(sig[4*CAST(b AS INT)+1] AS VARCHAR) || ':' ||
+       |  CAST(sig[4*CAST(b AS INT)+2] AS VARCHAR) || ':' ||
+       |  CAST(sig[4*CAST(b AS INT)+3] AS VARCHAR) || ':' ||
+       |  CAST(sig[4*CAST(b AS INT)+4] AS VARCHAR) AS key
+       |  FROM sig, unnest(range(0, $Bands)) AS u(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.sh AS sha, b.sh AS shb
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(sha, shb)) AS DOUBLE)
+       |    / (len(sha) + len(shb) - len(list_intersect(sha, shb))) AS jacc
+       |FROM cand
+       |WHERE CAST(len(list_intersect(sha, shb)) AS DOUBLE)
+       |    / (len(sha) + len(shb) - len(list_intersect(sha, shb))) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** SimHash near-dup: 32-bit signature from token hashes; candidates
+    * share one 16-bit half (1-band-intact trick), verified by Hamming
+    * distance ≤ 6. */
+  val dedupSimhash: Q = (s, dir) => {
+    val d = docs(s, dir).select(col("doc_id"),
+      TF.simhash(transform(TF.tokens(col("text")),
+        t => TF.polyHashStr(t))).as("sh"))
+      .withColumn("hi", shiftright(col("sh"), 16))
+      .withColumn("lo", col("sh") % 65536)
+    // An OR of the two half-matches would plan as a nested-loop join; two
+    // hash equi-joins + distinct is the shape that scales (each bucket
+    // join shuffles on its 16-bit key).
+    def half(key: String) = {
+      val a = d.as("a"); val b = d.as("b")
+      a.join(b, col(s"a.$key") === col(s"b.$key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("bigint")
+            .as("hamming"))
+    }
+    half("hi").unionAll(half("lo")).distinct()
+      .filter(col("hamming") <= 6).orderBy("doc_a", "doc_b")
+  }
+
+  val dedupSimhashSql: String = {
+    val tokHash = sqlHash("x")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |hs AS (SELECT doc_id, list_transform(w, x -> $tokHash) AS h FROM t),
+       |sh AS (SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 32)), (acc, j) ->
+       |    acc + CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), h),
+       |      (sm, v) -> sm + CASE WHEN (v >> CAST(j AS INT)) % 2 = 1
+       |                          THEN 1 ELSE -1 END) > 0
+       |      THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS sh
+       |  FROM hs),
+       |k AS (SELECT doc_id, sh, sh >> 16 AS hi, sh % 65536 AS lo FROM sh)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(xor(a.sh, b.sh)) AS hamming
+       |FROM k a JOIN k b
+       |  ON (a.hi = b.hi OR a.lo = b.lo) AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 6
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ===========================================================================
+  // Similarity search (ANN over embeddings)
+  // ===========================================================================
+
+  /** Brute-force cosine top-k: exact baseline. Queries (vec_id < 8)
+    * broadcast against all vectors; per-pair left-fold cosine; top-5 per
+    * query with deterministic tie-break. */
+  val embedTopK: Q = (s, dir) => {
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        VF.cosine(col("qv"), col("embedding")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 5)
+      .select("qid", "rank", "vec_id", "cos")
+      .orderBy("qid", "rank")
+  }
+
+  val embedTopKSql: String = {
+    val dotQE = sqlDot("q.embedding", "e.embedding")
+    val nQ = sqlDot("q.embedding", "q.embedding")
+    val nE = sqlDot("e.embedding", "e.embedding")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 8),
+       |scored AS (SELECT q.qid, e.vec_id,
+       |    $dotQE / (sqrt($nQ) * sqrt($nE)) AS cos
+       |  FROM embeddings e JOIN q ON e.vec_id <> q.qid),
+       |ranked AS (SELECT qid, vec_id, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, vec_id, cos FROM ranked WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+  }
+
+  /** IVF-style ANN (the scale path): centroids = every 50th vector
+    * (deterministic stand-in for k-means — at scale you'd train on a
+    * sample); every vector is assigned to its nearest centroid (one
+    * shuffle, builds the index); queries probe the 2 nearest clusters
+    * only. Output format matches [[embedTopK]] for recall comparison. */
+  val embedIvf: Q = (s, dir) => {
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    // index build: nearest centroid per vector
+    val assignW = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid"))
+    val assigned = e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        VF.cosine(col("embedding"), col("cv")).as("ccos"))
+      .withColumn("arn", row_number().over(assignW))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid").as("cluster"))
+    // query probing: 2 nearest centroids per query
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val probeW = Window.partitionBy("qid").orderBy(col("pcos").desc, col("cid"))
+    val probes = q.join(broadcast(cents), lit(true))
+      .select(col("qid"), col("qv"), col("cid"),
+        VF.cosine(col("qv"), col("cv")).as("pcos"))
+      .withColumn("prn", row_number().over(probeW))
+      .filter(col("prn") <= 2)
+      .select(col("qid"), col("qv"), col("cid").as("cluster"))
+    // search only probed clusters
+    val scored = assigned.join(probes, Seq("cluster"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        VF.cosine(col("qv"), col("embedding")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 5)
+      .select("qid", "rank", "vec_id", "cos")
+      .orderBy("qid", "rank")
+  }
+
+  val embedIvfSql: String = {
+    val dotVC = sqlDot("e.embedding", "c.cv")
+    val nV = sqlDot("e.embedding", "e.embedding")
+    val nC = sqlDot("c.cv", "c.cv")
+    val dotQC = sqlDot("q.qv", "c.cv")
+    val nQ = sqlDot("q.qv", "q.qv")
+    val dotQE = sqlDot("a.embedding", "p.qv")
+    val nA = sqlDot("a.embedding", "a.embedding")
+    val nQ2 = sqlDot("p.qv", "p.qv")
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |           WHERE vec_id % 50 = 0),
+       |assigned AS (SELECT vec_id, embedding, cluster FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid AS cluster,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $dotVC / (sqrt($nV) * sqrt($nC)) DESC, c.cid) AS arn
+       |    FROM embeddings e CROSS JOIN c) WHERE arn = 1),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+       |probes AS (SELECT qid, qv, cluster FROM (
+       |    SELECT q.qid, q.qv, c.cid AS cluster,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY $dotQC / (sqrt($nQ) * sqrt($nC)) DESC, c.cid) AS prn
+       |    FROM q CROSS JOIN c) WHERE prn <= 2),
+       |scored AS (SELECT p.qid, a.vec_id,
+       |    $dotQE / (sqrt($nQ2) * sqrt($nA)) AS cos
+       |  FROM assigned a JOIN probes p ON a.cluster = p.cluster
+       |  WHERE a.vec_id <> p.qid),
+       |ranked AS (SELECT qid, vec_id, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, vec_id, cos FROM ranked WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+  }
+
+  // ===========================================================================
+  // registry
+  // ===========================================================================
+
+  val queries: Map[String, Q] = Map(
+    "q_text_stats" -> textStats,
+    "q_text_langid" -> textLangId,
+    "q_text_fingerprint" -> textFingerprint,
+    "q_dedup_exact" -> dedupExact,
+    "q_dedup_jaccard" -> dedupJaccard,
+    "q_dedup_minhash" -> dedupMinhash,
+    "q_dedup_simhash" -> dedupSimhash,
+    "q_embed_topk" -> embedTopK,
+    "q_embed_ivf" -> embedIvf,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_text_stats" -> textStatsSql,
+    "q_text_langid" -> textLangIdSql,
+    "q_text_fingerprint" -> textFingerprintSql,
+    "q_dedup_exact" -> dedupExactSql,
+    "q_dedup_jaccard" -> dedupJaccardSql,
+    "q_dedup_minhash" -> dedupMinhashSql,
+    "q_dedup_simhash" -> dedupSimhashSql,
+    "q_embed_topk" -> embedTopKSql,
+    "q_embed_ivf" -> embedIvfSql,
+  )
+}

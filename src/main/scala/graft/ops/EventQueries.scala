@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-stream analytics over the `events` table (the reference's
+  * `trades` time-series class, README.md:67-92, plus the event-time
+  * extensions SURVEY.md §2.8 notes the reference lacks). The same
+  * DataFrame code runs batch here and incremental under Structured
+  * Streaming (see [[graft.streaming.CdcStream]]).
+  */
+object EventQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  /** Tumbling 1-hour windows per event type: the watermarked streaming
+    * aggregation shape, expressed over the batch table. Partial aggregates
+    * combine map-side; one shuffle of (hour × type) groups. */
+  val tumbling: Q = (s, dir) =>
+    ev(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count("*").as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("hour", "event_type")
+
+  val tumblingSql: String =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  /** Gap-based sessionization (30-minute inactivity): lag → gap flag →
+    * running sum as session id → per-session rollup. Two window passes
+    * over the same (user_id, ts) partitioning — one shuffle total, which
+    * is the shape that scales (sessionizing 100 TB shuffles each user's
+    * events once). */
+  val sessionize: Q = (s, dir) => {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val flagged = ev(s, dir).select(col("user_id"), col("ts"), col("event_id"),
+        col("value"),
+        // ts is TIMESTAMP_NTZ (no direct long cast); session TZ is pinned
+        // UTC so the via-timestamp epoch matches DuckDB's epoch(ts).
+        when(col("ts").cast("timestamp").cast("long") -
+          lag(col("ts"), 1).over(byUser).cast("timestamp").cast("long") > 1800, 1L)
+          .otherwise(0L).as("new_session"))
+    flagged
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count("*").as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val sessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN epoch(ts) - epoch(lag(ts, 1) OVER w) > 1800
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** JSON property extraction feeding an aggregation (the props column is
+    * the PG json class, SURVEY.md §1.3). */
+  val jsonAgg: Q = (s, dir) =>
+    ev(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .groupBy("event_type")
+      .agg(count("*").as("n"), min("k").as("min_k"), max("k").as("max_k"),
+        sum("k").as("sum_k"))
+      .orderBy("event_type")
+
+  val jsonAggSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Approximate distinct users (HLL sketch) — Spark-side only: sketch
+    * internals are engine-specific, so this takes the rows-only check.
+    * At 100 TB this replaces the exact countDistinct expand. */
+  val approxDistinct: Q = (s, dir) =>
+    ev(s, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count("*").as("n"))
+      .orderBy("event_type")
+
+  val queries: Map[String, Q] = Map(
+    "q_events_tumbling" -> tumbling,
+    "q_events_sessionize" -> sessionize,
+    "q_events_json_agg" -> jsonAgg,
+    "q_events_approx_distinct" -> approxDistinct,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_events_tumbling" -> tumblingSql,
+    "q_events_sessionize" -> sessionizeSql,
+    "q_events_json_agg" -> jsonAggSql,
+  )
+}

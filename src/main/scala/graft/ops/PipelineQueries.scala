@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions._
+import graft.functions.expressions.{HashExpressions => HE, SetVectorExpressions => SVE}
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
@@ -147,12 +148,11 @@ object PipelineQueries {
   /** Document fingerprinting: full-text rolling hash + min-sampled shingle
     * fingerprint (winnowing-style representative). */
   val textFingerprint: Q = (s, dir) => {
-    val hs = TF.shingleHashes(col("text"), 3)
+    val hs = HE.shingle_hashes(col("text"), 3)
     docs(s, dir).select(col("doc_id"),
-      TF.polyHashStr(col("text")).as("doc_hash"),
+      HE.poly_hash(col("text")).as("doc_hash"),
       coalesce(array_min(hs), lit(-1L)).as("min_shingle_hash"),
-      size(array_distinct(TF.wordShingles(TF.tokens(col("text")), 3)))
-        .cast("bigint").as("n_shingles"))
+      size(hs).cast("bigint").as("n_shingles"))
       .orderBy("doc_id")
   }
 
@@ -189,12 +189,12 @@ object PipelineQueries {
   val dedupJaccard: Q = (s, dir) => {
     val d = docs(s, dir).select(col("doc_id"),
       substring(col("text"), 1, 40).as("pfx"),
-      array_distinct(TF.wordShingles(TF.tokens(col("text")), 3)).as("sh"))
+      SVE.word_shingles(col("text"), 3).as("sh"))
     val a = d.as("a"); val b = d.as("b")
     a.join(b, col("a.pfx") === col("b.pfx") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        TF.jaccard(col("a.sh"), col("b.sh")).as("jacc"))
+        SVE.jaccard_sim(col("a.sh"), col("b.sh")).as("jacc"))
       .filter(col("jacc") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }
@@ -216,8 +216,8 @@ object PipelineQueries {
     * verification ≥ 0.5. One shuffle (band key); candidates ∝ duplicates. */
   val dedupMinhash: Q = (s, dir) => {
     val sig = docs(s, dir).select(col("doc_id"),
-      array_distinct(TF.wordShingles(TF.tokens(col("text")), 3)).as("sh"),
-      TF.minhashSignature(TF.shingleHashes(col("text"), 3)).as("sig"))
+      SVE.word_shingles(col("text"), 3).as("sh"),
+      HE.minhash_signature(HE.shingle_hashes(col("text"), 3)).as("sig"))
     val banded = sig.select(col("doc_id"), col("sh"),
       posexplode(TF.bandKeys(col("sig"))).as(Seq("band", "key")))
     val a = banded.as("a"); val b = banded.as("b")
@@ -227,7 +227,7 @@ object PipelineQueries {
         col("a.sh").as("sha"), col("b.sh").as("shb"))
       .distinct()
     cands.select(col("doc_a"), col("doc_b"),
-        TF.jaccard(col("sha"), col("shb")).as("jacc"))
+        SVE.jaccard_sim(col("sha"), col("shb")).as("jacc"))
       .filter(col("jacc") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }
@@ -265,8 +265,7 @@ object PipelineQueries {
     * distance ≤ 6. */
   val dedupSimhash: Q = (s, dir) => {
     val d = docs(s, dir).select(col("doc_id"),
-      TF.simhash(transform(TF.tokens(col("text")),
-        t => TF.polyHashStr(t))).as("sh"))
+      HE.simhash(HE.poly_hash_array(TF.tokens(col("text")))).as("sh"))
       .withColumn("hi", shiftright(col("sh"), 16))
       .withColumn("lo", col("sh") % 65536)
     // An OR of the two half-matches would plan as a nested-loop join; two
@@ -317,7 +316,7 @@ object PipelineQueries {
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        VF.cosine(col("qv"), col("embedding")).as("cos"))
+        SVE.cosine_sim(col("qv"), col("embedding")).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= 5)
@@ -354,7 +353,7 @@ object PipelineQueries {
       .orderBy(col("ccos").desc, col("cid"))
     val assigned = e.join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("embedding"), col("cid"),
-        VF.cosine(col("embedding"), col("cv")).as("ccos"))
+        SVE.cosine_sim(col("embedding"), col("cv")).as("ccos"))
       .withColumn("arn", row_number().over(assignW))
       .filter(col("arn") === 1)
       .select(col("vec_id"), col("embedding"), col("cid").as("cluster"))
@@ -364,7 +363,7 @@ object PipelineQueries {
     val probeW = Window.partitionBy("qid").orderBy(col("pcos").desc, col("cid"))
     val probes = q.join(broadcast(cents), lit(true))
       .select(col("qid"), col("qv"), col("cid"),
-        VF.cosine(col("qv"), col("cv")).as("pcos"))
+        SVE.cosine_sim(col("qv"), col("cv")).as("pcos"))
       .withColumn("prn", row_number().over(probeW))
       .filter(col("prn") <= 2)
       .select(col("qid"), col("qv"), col("cid").as("cluster"))
@@ -372,7 +371,7 @@ object PipelineQueries {
     val scored = assigned.join(probes, Seq("cluster"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        VF.cosine(col("qv"), col("embedding")).as("cos"))
+        SVE.cosine_sim(col("qv"), col("embedding")).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= 5)

@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.functions.expressions.{SetVectorExpressions => SVE}
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+/** The set/vector codegen kernels must be value-identical (bit-for-bit
+  * for doubles) to the Column-lambda formulations the oracle mirrors. */
+class SetVectorExpressionsSpec extends SparkSuite {
+
+  private def d = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+  private def e = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("word_shingles == array_distinct(transform) incl. order") {
+    val bad = d.select(
+        SVE.word_shingles(col("text"), 3).as("fast"),
+        array_distinct(TF.wordShingles(TF.tokens(col("text")), 3)).as("slow"))
+      .filter(not(col("fast") === col("slow"))).count()
+    assert(bad === 0)
+  }
+
+  test("jaccard_sim == two-pass array_intersect formulation (bitwise)") {
+    val pairs = d.limit(60).select(col("doc_id").as("ida"),
+        SVE.word_shingles(col("text"), 3).as("a"))
+      .crossJoin(d.limit(60).select(col("doc_id").as("idb"),
+        SVE.word_shingles(col("text"), 3).as("b")))
+      .filter(col("ida") < col("idb"))
+    val bad = pairs.select(
+        SVE.jaccard_sim(col("a"), col("b")).as("fast"),
+        TF.jaccard(col("a"), col("b")).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(bad === 0)
+  }
+
+  test("cosine_sim == fold formulation (bitwise) on all vector pairs vs q0") {
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val bad = e.crossJoin(broadcast(q)).select(
+        SVE.cosine_sim(col("qv"), col("embedding")).as("fast"),
+        VF.cosine(col("qv"), col("embedding")).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(bad === 0)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.lake.Mooncake
+
+/** Streaming CDC: change rows arriving through a Structured Streaming
+  * source converge the mirror, with the batch id advancing the version
+  * frontier (read-your-writes across the stream). */
+class CdcStreamSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("memory-stream change feed converges the mirror batch by batch") {
+    implicit val sc = spark.sqlContext
+    val lake = new Mooncake(tmpDir("cdc-stream"))
+    lake.createTable(spark, "s",
+      Seq((1, "a"), (2, "b")).toDF("a", "b"), Seq("a"))
+
+    val input = MemoryStream[(Int, String, String, Long)]
+    val changes = input.toDF().toDF("a", "b", "__op", "__seq")
+    val ckpt = tmpDir("cdc-ckpt")
+
+    // batch 0: insert 3, update 1
+    input.addData((3, "c", "I", 1L), (1, "a2", "U", 2L))
+    val q1 = CdcStream.attach(lake, "s", changes, ckpt)
+    q1.awaitTermination()
+
+    val afterB0 = lake.read(spark, "s", atLeastVersion = Some(2))
+      .orderBy("a").as[(Int, String)].collect().toSeq
+    assert(afterB0 === Seq(1 -> "a2", 2 -> "b", 3 -> "c"))
+
+    // batch 1 (new AvailableNow run, same checkpoint): delete 2
+    input.addData((2, null, "D", 3L))
+    val q2 = CdcStream.attach(lake, "s", changes, ckpt)
+    q2.awaitTermination()
+
+    val afterB1 = lake.read(spark, "s", atLeastVersion = Some(3))
+      .orderBy("a").as[(Int, String)].collect().toSeq
+    assert(afterB1 === Seq(1 -> "a2", 3 -> "c"))
+    // Versions are monotone, not contiguous (LSN semantics): re-attach
+    // rebases at commitVersion=2, checkpoint resumes at batchId=1 → 4.
+    assert(lake.currentManifest("s").flushVersion === 4L)
+  }
+
+  test("event-time tumbling window with watermark over the events table") {
+    // The reference has no event-time windows (WAL order is total,
+    // SURVEY.md §2.8 last row); this is the Spark-native extension:
+    // watermarked tumbling-window aggregation over a streamed change feed.
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val agg = input.toDF().toDF("ts", "user_id", "value")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(sum("value").as("total"))
+
+    input.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 1L, 2.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:40:00"), 1L, 3.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 11:05:00"), 1L, 7.0))
+    val q = agg.writeStream.format("memory").queryName("win")
+      .outputMode("complete").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.sql(
+      "SELECT user_id, total FROM win ORDER BY window.start")
+      .as[(Long, Double)].collect().toSeq
+    assert(got === Seq(1L -> 5.0, 1L -> 7.0))
+  }
+}

@@ -869,6 +869,121 @@ object RelationalQueries {
       |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin
 
   // ===========================================================================
+  // additional §2 coverage
+  // ===========================================================================
+
+  /** IN / NOT IN subqueries through the SQL path (decorrelated by
+    * Catalyst into semi/anti joins — see q_join_semi/anti for the
+    * DataFrame spelling). */
+  val inSubquery: Q = (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+        |                      WHERE n_regionkey IN (0, 1, 2))
+        |  AND s_suppkey NOT IN (SELECT l_suppkey FROM lineitem
+        |                        WHERE l_quantity > 49.5 AND l_extendedprice > 95000)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  val inSubquerySql: String =
+    """SELECT s_suppkey, s_name FROM supplier
+      |WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+      |                      WHERE n_regionkey IN (0, 1, 2))
+      |  AND s_suppkey NOT IN (SELECT l_suppkey FROM lineitem
+      |                        WHERE l_quantity > 49.5 AND l_extendedprice > 95000)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** INTERSECT ALL / EXCEPT ALL (multiset semantics). */
+  val intersectAll: Q = (s, dir) =>
+    t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      .intersectAll(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+      .orderBy("nk")
+
+  val intersectAllSql: String =
+    """SELECT c_nationkey AS nk FROM customer
+      |INTERSECT ALL SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin
+
+  val exceptAll: Q = (s, dir) =>
+    t(s, dir, "orders").filter(col("o_custkey") <= 5)
+      .select(col("o_custkey").as("ck"))
+      .exceptAll(t(s, dir, "orders").filter(col("o_custkey") <= 3)
+        .select(col("o_custkey").as("ck")))
+      .orderBy("ck")
+
+  val exceptAllSql: String =
+    """SELECT o_custkey AS ck FROM orders WHERE o_custkey <= 5
+      |EXCEPT ALL
+      |SELECT o_custkey AS ck FROM orders WHERE o_custkey <= 3
+      |ORDER BY ck""".stripMargin
+
+  /** Ordered string aggregation (PG string_agg ORDER BY — used internally
+    * by the reference's schema copier, src/functions.rs:205-213). Sorted
+    * collect makes the concatenation order deterministic in both engines. */
+  val stringAgg: Q = (s, dir) =>
+    t(s, dir, "nation")
+      .groupBy("n_regionkey")
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+        .as("nations"))
+      .orderBy("n_regionkey")
+
+  val stringAggSql: String =
+    """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
+  /** Exact interpolated percentiles. Spark `percentile` and DuckDB
+    * `quantile_cont` both interpolate linearly; values here sit on exact
+    * doubles (qty integers, 2-decimal prices at even row counts) so the
+    * interpolation reproduces. */
+  val percentile: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
+        expr("percentile(l_extendedprice, 0.75)").as("p75_price"))
+      .orderBy("l_returnflag")
+
+  val percentileSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS median_qty,
+      |  quantile_cont(l_extendedprice, 0.25) AS p25_price,
+      |  quantile_cont(l_extendedprice, 0.75) AS p75_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Typed Dataset aggregation: Encoder + groupByKey + a custom
+    * Aggregator (the §2.10 UDAF surface) — the compile-time-checked
+    * spelling of q1's shape. Quantities are summed as exact integer
+    * cents so the oracle reproduces. */
+  val typedAgg: Q = (s, dir) => {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.expressions.Aggregator
+    import s.implicits._
+    val sumCents = new Aggregator[(String, java.math.BigDecimal), Long, Long] {
+      def zero: Long = 0L
+      def reduce(b: Long, a: (String, java.math.BigDecimal)): Long =
+        b + a._2.movePointRight(2).longValueExact()
+      def merge(x: Long, y: Long): Long = x + y
+      def finish(r: Long): Long = r
+      def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+      def outputEncoder: Encoder[Long] = Encoders.scalaLong
+    }.toColumn
+    val ds = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        dec(col("l_quantity")).as("qty"))
+      .as[(String, java.math.BigDecimal)]
+    ds.groupByKey(_._1)
+      .agg(sumCents.name("qty_cents"))
+      .toDF("flag", "qty_cents")
+      .orderBy("flag")
+  }
+
+  val typedAggSql: String =
+    """SELECT l_returnflag AS flag,
+      |  sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS qty_cents
+      |FROM lineitem GROUP BY l_returnflag ORDER BY flag""".stripMargin
+
+  // ===========================================================================
   // registry
   // ===========================================================================
 
@@ -918,6 +1033,12 @@ object RelationalQueries {
     "q_scalar_array" -> scalarArray,
     "q_scalar_array_ops" -> scalarArrayOps,
     "q_scalar_json" -> scalarJson,
+    "q_in_subquery" -> inSubquery,
+    "q_intersect_all" -> intersectAll,
+    "q_except_all" -> exceptAll,
+    "q_string_agg" -> stringAgg,
+    "q_percentile" -> percentile,
+    "q_typed_agg" -> typedAgg,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -966,5 +1087,11 @@ object RelationalQueries {
     "q_scalar_array" -> scalarArraySql,
     "q_scalar_array_ops" -> scalarArrayOpsSql,
     "q_scalar_json" -> scalarJsonSql,
+    "q_in_subquery" -> inSubquerySql,
+    "q_intersect_all" -> intersectAllSql,
+    "q_except_all" -> exceptAllSql,
+    "q_string_agg" -> stringAggSql,
+    "q_percentile" -> percentileSql,
+    "q_typed_agg" -> typedAggSql,
   )
 }

@@ -23,6 +23,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.graft.cacheInputs", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

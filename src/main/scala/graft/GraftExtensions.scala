@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.expressions._
+
+/** SparkSessionExtensions entry point: registers the graft expression
+  * library as SQL functions, so `spark.sql("SELECT graft_minhash(...)")`
+  * works next to the Column API. Enable with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "4.1.0", "", "scala_udf")
+
+  private def unary(name: String, usage: String, f: Expression => Expression)
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) =
+    (FunctionIdentifier(name), info(name, usage), exprs => f(exprs.head))
+
+  def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(unary("graft_poly_hash",
+      "polynomial rolling hash of a string mod 1e9+7", PolyHashString))
+    e.injectFunction(unary("graft_shingle_hashes",
+      "hashes of distinct 3-word shingles", ShingleHashes(_, 3)))
+    e.injectFunction(unary("graft_minhash",
+      "16-slot MinHash signature of a hash array", MinHashSignature))
+    e.injectFunction(unary("graft_simhash",
+      "32-bit SimHash of a hash array", SimHash))
+    e.injectFunction((FunctionIdentifier("graft_jaccard"),
+      info("graft_jaccard", "jaccard similarity of two distinct arrays"),
+      exprs => JaccardSim(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "cosine similarity of two float vectors"),
+      exprs => CosineSim(exprs(0), exprs(1))))
+  }
+}

@@ -313,17 +313,18 @@ object RelationalQueries {
       |ORDER BY o_orderkey""".stripMargin
 
   /** AS-OF join (DuckDB ASOF JOIN; SURVEY §2.4 last row): for each order,
-    * the latest event of the same user at-or-before the order date.
-    * Expressed as a range join + max() aggregation, which Catalyst executes
-    * as a shuffled join + partial agg; the output (the matched timestamp)
-    * is tie-insensitive. At scale this becomes a sort-merge within user_id
-    * partitions. */
+    * the latest event of the same user at-or-before the order date —
+    * through the [[AsofJoin]] operator (union + last-over-window: one
+    * shuffle of |orders|+|events|, no pair materialization). */
   val joinAsof: Q = (s, dir) => {
-    val o = t(s, dir, "orders")
-    val e = t(s, dir, "events").select("user_id", "ts")
-    o.join(e, o("o_custkey") === e("user_id") && e("ts") <= o("o_orderdate"), "left")
-      .groupBy(col("o_orderkey"))
-      .agg(max(col("ts")).as("asof_ts"))
+    AsofJoin.backward(
+        left = t(s, dir, "orders"),
+        right = t(s, dir, "events"),
+        by = ("o_custkey", "user_id"),
+        on = ("o_orderdate", "ts"),
+        rightPayload = Seq("ts"),
+        tieBreak = Seq("event_id"))
+      .select("o_orderkey", "asof_ts")
       .orderBy("o_orderkey")
   }
 

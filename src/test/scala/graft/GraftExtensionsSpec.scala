@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extensions entry point makes the expression library reachable from
+  * pure SQL. Extensions bind at session build time, and getOrCreate
+  * reuses any existing default session — so this spec swaps the default
+  * out and back rather than stopping the suite-shared context. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("graft_* functions usable from SQL via SparkSessionExtensions") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val spark = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val row = spark.sql(
+        """SELECT graft_poly_hash('abc') AS h,
+          |  graft_minhash(graft_shingle_hashes('a b c d e')) AS sig,
+          |  graft_simhash(array(1L, 2L, 3L)) AS sh,
+          |  graft_jaccard(array('a','b'), array('b','c')) AS j,
+          |  graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c
+          |""".stripMargin).head()
+      var acc = 0L
+      "abc".foreach(ch => acc = (acc * 31 + ch) % 1000000007L)
+      assert(row.getLong(0) === acc)
+      assert(row.getSeq[Long](1).length === 16)
+      assert(row.getDouble(3) === 1.0 / 3.0)
+      assert(row.getDouble(4) === 1.0)
+    } finally {
+      // restore the suite-shared session; never stop the shared context
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}

@@ -64,12 +64,82 @@ object LakeQueries {
       .orderBy("table")
   }
 
+  /** File load path (≈ mooncake.load_files, parquet + csv formats): the
+    * mirror backfills from part of nation, the rest arrives as external
+    * files, and the gated read must equal the whole source table. */
+  val loadFiles: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-load-q").toString
+    val lake = new Mooncake(s"$tmp/wh")
+    val n = Tables.load(s, dir, "nation")
+    lake.createTable(s, "nation_mirror", n.filter(col("n_nationkey") < 15),
+      Seq("n_nationkey"))
+    n.filter(col("n_nationkey") >= 15 && col("n_nationkey") < 20)
+      .write.parquet(s"$tmp/pq")
+    n.filter(col("n_nationkey") >= 20)
+      .write.option("header", "true").csv(s"$tmp/csv")
+    lake.loadFiles(s, "nation_mirror", Seq(s"$tmp/pq"))
+    lake.loadFiles(s, "nation_mirror", Seq(s"$tmp/csv"), format = "csv")
+    lake.read(s, "nation_mirror", atLeastVersion = Some(3))
+      .orderBy("n_nationkey")
+  }
+
+  val loadFilesSql: String =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+
+  /** Compaction (≈ mooncake.optimize_table): fragment the mirror via many
+    * small CDC-free writes, optimize in both modes, prove the read is
+    * unchanged and file count dropped. */
+  val optimizeScan: Q = (s, dir) => {
+    val lake = new Mooncake(
+      java.nio.file.Files.createTempDirectory("graft-opt-q").toString)
+    val c = Tables.load(s, dir, "customer")
+    lake.createTable(s, "cust_mirror", c.repartition(16), Seq("c_custkey"))
+    val before = lake.currentManifest("cust_mirror").files.size
+    lake.optimizeTable(s, "cust_mirror", mode = "data")
+    lake.optimizeTable(s, "cust_mirror", mode = "full")
+    val after = lake.currentManifest("cust_mirror").files.size
+    require(after < before, s"compaction did not reduce files: $before -> $after")
+    lake.read(s, "cust_mirror")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  val optimizeScanSql: String =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Snapshot + time travel (≈ mooncake.create_snapshot): delete rows
+    * after snapshotting, then read the snapshot version — it must still
+    * equal the original source. */
+  val snapshotTravel: Q = (s, dir) => {
+    val lake = new Mooncake(
+      java.nio.file.Files.createTempDirectory("graft-snap-q").toString)
+    val r = Tables.load(s, dir, "region")
+    lake.createTable(s, "region_mirror", r, Seq("r_regionkey"))
+    val snapV = lake.createSnapshot("region_mirror")
+    lake.applyChanges(s, "region_mirror",
+      r.filter(col("r_regionkey") < 3).withColumn("__op", lit("D")),
+      version = 2)
+    require(lake.read(s, "region_mirror").count() < r.count(),
+      "deletes must be visible at the head version")
+    lake.readVersion(s, "region_mirror", snapV).orderBy("r_regionkey")
+  }
+
+  val snapshotTravelSql: String =
+    "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+
   val queries: Map[String, Q] = Map(
     "q_cdc_apply" -> cdcApply,
     "q_mooncake_list_tables" -> listTables,
+    "q_load_files" -> loadFiles,
+    "q_optimize_scan" -> optimizeScan,
+    "q_snapshot_travel" -> snapshotTravel,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_cdc_apply" -> cdcApplySql,
+    "q_load_files" -> loadFilesSql,
+    "q_optimize_scan" -> optimizeScanSql,
+    "q_snapshot_travel" -> snapshotTravelSql,
   )
 }

@@ -873,6 +873,51 @@ object RelationalQueries {
   // additional §2 coverage
   // ===========================================================================
 
+  /** RANGE-framed window aggregate (§2.6: RANGE BETWEEN): count of orders
+    * within a 10k price band below each order, per status. Exact-double
+    * range bounds; count output avoids float accumulation entirely. */
+  val windowRange: Q = (s, dir) => {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"))
+      .rangeBetween(-10000L, Window.currentRow)
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 2000)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        count(lit(1)).over(w).as("n_in_band"))
+      .orderBy("o_orderkey")
+  }
+
+  val windowRangeSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |  count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+      |    RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_in_band
+      |FROM orders WHERE o_orderkey <= 2000
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Skew-safe two-stage (salted) aggregation: pre-aggregate on
+    * (key, salt), then merge per key. Same result as the direct group-by
+    * — which is exactly what the oracle asserts — but at 100 TB a hot
+    * l_returnflag value spreads over 8 salt buckets instead of one
+    * reducer. (AQE skew handling covers joins; salting is the pattern for
+    * skewed aggregation keys.) */
+  val saltedAgg: Q = (s, dir) => {
+    val salted = t(s, dir, "lineitem")
+      .withColumn("__salt", pmod(col("l_orderkey"), lit(8)))
+      .groupBy("l_returnflag", "__salt")
+      .agg(sum(dec(col("l_quantity"))).as("partial_qty"),
+        count("*").as("partial_n"))
+    salted.groupBy("l_returnflag")
+      .agg(sum(col("partial_qty")).cast("double").as("sum_qty"),
+        sum(col("partial_n")).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  val saltedAggSql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** IN / NOT IN subqueries through the SQL path (decorrelated by
     * Catalyst into semi/anti joins — see q_join_semi/anti for the
     * DataFrame spelling). */
@@ -1040,6 +1085,8 @@ object RelationalQueries {
     "q_string_agg" -> stringAgg,
     "q_percentile" -> percentile,
     "q_typed_agg" -> typedAgg,
+    "q_window_range" -> windowRange,
+    "q_salted_agg" -> saltedAgg,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1094,5 +1141,7 @@ object RelationalQueries {
     "q_string_agg" -> stringAggSql,
     "q_percentile" -> percentileSql,
     "q_typed_agg" -> typedAggSql,
+    "q_window_range" -> windowRangeSql,
+    "q_salted_agg" -> saltedAggSql,
   )
 }

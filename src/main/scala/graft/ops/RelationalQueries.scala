@@ -1029,6 +1029,145 @@ object RelationalQueries {
       |  sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS qty_cents
       |FROM lineitem GROUP BY l_returnflag ORDER BY flag""".stripMargin
 
+  /** Struct (PG composite type) construction + field access (§1.3). */
+  val scalarStruct: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .filter(col("c_custkey") <= 50)
+      .select(col("c_custkey"),
+        struct(col("c_name").as("name"), col("c_acctbal").as("bal"))
+          .as("info"))
+      .select(col("c_custkey"),
+        col("info.name").as("name"),
+        col("info.bal").as("bal"))
+      .orderBy("c_custkey")
+
+  val scalarStructSql: String =
+    """SELECT c_custkey,
+      |  struct_extract(struct_pack(name := c_name, bal := c_acctbal), 'name') AS name,
+      |  struct_extract(struct_pack(name := c_name, bal := c_acctbal), 'bal') AS bal
+      |FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey""".stripMargin
+
+  /** Map (PG hstore class) construction + lookup (§1.3). */
+  val scalarMap: Q = (s, dir) =>
+    t(s, dir, "nation")
+      .select(col("n_nationkey"),
+        map(lit("name"), col("n_name"),
+          lit("region"), col("n_regionkey").cast("string")).as("m"))
+      .select(col("n_nationkey"),
+        element_at(col("m"), "name").as("name"),
+        element_at(col("m"), "region").as("region"),
+        element_at(col("m"), "missing").as("missing"))
+      .orderBy("n_nationkey")
+
+  val scalarMapSql: String =
+    """SELECT n_nationkey,
+      |  m['name'][1] AS name, m['region'][1] AS region,
+      |  m['missing'][1] AS missing
+      |FROM (SELECT n_nationkey,
+      |        map(['name','region'], [n_name, CAST(n_regionkey AS VARCHAR)]) AS m
+      |      FROM nation)
+      |ORDER BY n_nationkey""".stripMargin
+
+  /** Month-interval arithmetic (end-of-month clamping must agree). */
+  val scalarInterval: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 500)
+      .select(col("o_orderkey"),
+        (col("o_orderdate") + expr("INTERVAL 2 MONTHS")).as("plus_2mo"),
+        (col("o_orderdate") - expr("INTERVAL 45 DAYS")).as("minus_45d"),
+        (col("o_orderdate") + expr("INTERVAL 1 YEAR")).as("plus_1y"))
+      .orderBy("o_orderkey")
+
+  val scalarIntervalSql: String =
+    """SELECT o_orderkey,
+      |  o_orderdate + INTERVAL 2 MONTH AS plus_2mo,
+      |  o_orderdate - INTERVAL 45 DAY AS minus_45d,
+      |  o_orderdate + INTERVAL 1 YEAR AS plus_1y
+      |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin
+
+  /** Null semantics: aggregates skip nulls, count(*) does not; null
+    * comparison/coalesce behavior (fixtures are null-free, so nulls are
+    * derived with nullif). */
+  val nullSemantics: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .select(col("o_orderstatus"),
+        nullif(col("o_totalprice"), col("o_totalprice") * lit(0) + 1013.7)
+          .as("price_n"))
+      .groupBy("o_orderstatus")
+      .agg(count("*").as("n_rows"),
+        count(col("price_n")).as("n_nonnull"),
+        min(col("price_n")).as("min_price"))
+      .orderBy("o_orderstatus")
+
+  val nullSemanticsSql: String =
+    """SELECT o_orderstatus, count(*) AS n_rows,
+      |  count(price_n) AS n_nonnull, min(price_n) AS min_price
+      |FROM (SELECT o_orderstatus,
+      |        nullif(o_totalprice, o_totalprice * 0 + 1013.7) AS price_n
+      |      FROM orders)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** TPC-H Q3 shape: shipping-priority top 10 — join, filtered agg,
+    * top-k (TakeOrderedAndProject after a partial agg). */
+  val q3Shipping: Q = (s, dir) => {
+    val cutoff = lit("1998-06-15").cast("timestamp")
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+    val li = t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3ShippingSql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-15'
+      |  AND l_shipdate > TIMESTAMP '1998-06-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q18 shape: large-volume customers — aggregate subquery feeding
+    * a semi-filter, then join + re-aggregate. */
+  val q18Volume: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val bigOrders = li.groupBy("l_orderkey")
+      .agg(sum(dec(col("l_quantity"))).as("qty"))
+      .filter(col("qty") > 150)
+      .select("l_orderkey")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    o.join(bigOrders, o("o_orderkey") === bigOrders("l_orderkey"), "left_semi")
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(li, o("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  val q18VolumeSql: String =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
   // ===========================================================================
   // registry
   // ===========================================================================
@@ -1087,6 +1226,12 @@ object RelationalQueries {
     "q_typed_agg" -> typedAgg,
     "q_window_range" -> windowRange,
     "q_salted_agg" -> saltedAgg,
+    "q_scalar_struct" -> scalarStruct,
+    "q_scalar_map" -> scalarMap,
+    "q_scalar_interval" -> scalarInterval,
+    "q_null_semantics" -> nullSemantics,
+    "q3_shipping" -> q3Shipping,
+    "q18_volume" -> q18Volume,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1143,5 +1288,11 @@ object RelationalQueries {
     "q_typed_agg" -> typedAggSql,
     "q_window_range" -> windowRangeSql,
     "q_salted_agg" -> saltedAggSql,
+    "q_scalar_struct" -> scalarStructSql,
+    "q_scalar_map" -> scalarMapSql,
+    "q_scalar_interval" -> scalarIntervalSql,
+    "q_null_semantics" -> nullSemanticsSql,
+    "q3_shipping" -> q3ShippingSql,
+    "q18_volume" -> q18VolumeSql,
   )
 }

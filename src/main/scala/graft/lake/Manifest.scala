@@ -66,13 +66,20 @@ object Manifest {
     n.stripPrefix("v").stripSuffix(".json").toLong
   }
 
+  /** Run `f` over a directory stream, always closing it (an unclosed
+    * Files.list leaks a file handle per call — fatal in a long-lived
+    * maintenance service). */
+  private[lake] def withListing[A](dir: Path)(f: Iterator[Path] => A): A = {
+    val stream = Files.list(dir)
+    try f(stream.iterator().asScala) finally stream.close()
+  }
+
   /** Latest committed manifest, or None for an empty/new table dir. */
   def latest(tableDir: String): Option[Manifest] = {
     val dir = manifestDir(tableDir)
     if (!Files.isDirectory(dir)) return None
-    val versions = Files.list(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.matches("v\\d+\\.json"))
-      .toSeq
+    val versions = withListing(dir)(_.filter(
+      p => p.getFileName.toString.matches("v\\d+\\.json")).toSeq)
     if (versions.isEmpty) None
     else {
       val newest = versions.maxBy(versionOf)

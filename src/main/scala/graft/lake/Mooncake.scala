@@ -65,8 +65,10 @@ class Mooncake(val warehouse: String) {
   def dropTable(name: String): Unit = {
     val dir = Paths.get(tableDir(name))
     if (Files.exists(dir)) {
-      Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+      val walk = Files.walk(dir)
+      try walk.sorted(Comparator.reverseOrder[Path]())
         .iterator().asScala.foreach(Files.delete)
+      finally walk.close()
     }
   }
 
@@ -76,10 +78,10 @@ class Mooncake(val warehouse: String) {
     val root = Paths.get(warehouse)
     val rows =
       if (!Files.isDirectory(root)) Seq.empty
-      else Files.list(root).iterator().asScala
-        .flatMap(p => Manifest.latest(p.toString).map(m =>
+      else Manifest.withListing(root)(_.flatMap(p =>
+        Manifest.latest(p.toString).map(m =>
           (m.table, m.commitVersion, m.flushVersion, p.toString)))
-        .toSeq.sortBy(_._1)
+        .toSeq).sortBy(_._1)
     import spark.implicits._
     rows.toDF("table", "commit_lsn", "flush_lsn", "iceberg_warehouse_location")
   }
@@ -271,8 +273,8 @@ class Mooncake(val warehouse: String) {
       else df.sortWithinPartitions(pk.map(col): _*)
     toWrite.write.mode("errorifexists").parquet(out.toString)
 
-    val written = Files.list(out).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    val written = Manifest.withListing(out)(_.filter(
+      _.getFileName.toString.endsWith(".parquet")).toSeq).sortBy(_.toString)
     val stats: Map[String, (Long, Option[Long], Option[Long])] =
       if (written.isEmpty) Map.empty
       else {

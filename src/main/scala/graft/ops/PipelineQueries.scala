@@ -278,9 +278,12 @@ object PipelineQueries {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("bigint")
             .as("hamming"))
+        // filter BEFORE the distinct: hamming > 6 pairs are the vast
+        // majority and would otherwise dominate the dedup shuffle
+        .filter(col("hamming") <= 6)
     }
     half("hi").unionAll(half("lo")).distinct()
-      .filter(col("hamming") <= 6).orderBy("doc_a", "doc_b")
+      .orderBy("doc_a", "doc_b")
   }
 
   val dedupSimhashSql: String = {

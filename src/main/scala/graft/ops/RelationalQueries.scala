@@ -780,12 +780,12 @@ object RelationalQueries {
 
   val scalarMathSql: String =
     """SELECT l_orderkey, l_linenumber,
-      |  floor(l_extendedprice) AS price_floor,
-      |  ceil(l_extendedprice) AS price_ceil,
+      |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+      |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
       |  abs(l_quantity - 25) AS qty_dev,
       |  sqrt(l_quantity) AS qty_sqrt,
       |  l_partkey % 7 AS pk_mod,
-      |  sign(l_discount - 0.05) AS disc_sign
+      |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
       |FROM lineitem WHERE l_orderkey <= 200
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
@@ -1026,7 +1026,8 @@ object RelationalQueries {
 
   val typedAggSql: String =
     """SELECT l_returnflag AS flag,
-      |  sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS qty_cents
+      |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |       AS BIGINT) AS qty_cents
       |FROM lineitem GROUP BY l_returnflag ORDER BY flag""".stripMargin
 
   /** Struct (PG composite type) construction + field access (§1.3). */

@@ -159,9 +159,14 @@ class Mooncake(val warehouse: String) {
       else monotonically_increasing_id()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(pk.map(col): _*).orderBy(seqCol.desc)
+    // A CDC batch is small relative to the table; pin it once — it feeds
+    // three consumers (key bounds, the broadcast key set, the insert
+    // images) and recomputing the dedup window per consumer triples the
+    // batch-side work.
     val lastOps = changes
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn", "__seq")
+      .persist()
 
     val affectedKeys = lastOps.select(pk.map(col): _*).distinct()
     val inserts = lastOps.filter(col("__op") =!= "D")
@@ -184,7 +189,8 @@ class Mooncake(val warehouse: String) {
         .join(broadcast(affectedKeys), pk, "left_anti"))
     val newRows = survivors.map(_.unionByName(inserts)).getOrElse(inserts)
 
-    writeVersion(spark, name, newRows, pk, version, carryOver = untouched)
+    try writeVersion(spark, name, newRows, pk, version, carryOver = untouched)
+    finally lastOps.unpersist(blocking = false)
   }
 
   // -------------------------------------------------------------------------
@@ -261,8 +267,45 @@ class Mooncake(val warehouse: String) {
   // -------------------------------------------------------------------------
 
   /** Write `df` as the data files of manifest `version` (plus carried-over
-    * files) and commit atomically. Per-file min/max of the leading pk is
-    * collected with a single column-pruned pass over the new files. */
+    * files) and commit atomically. Per-file min/max of the leading pk comes
+    * from the parquet FOOTERS — metadata-only, no second data scan (the
+    * same way Iceberg collects file stats at commit time). */
+  /** Row count + min/max of `key` for one parquet file, from the footer
+    * metadata alone. Lossy by design: a non-integer or stats-less key
+    * yields (rows, None, None), which file skipping treats as
+    * "may contain anything" — always safe. */
+  private def footerStats(p: Path,
+      key: Option[String]): (Long, Option[Long], Option[Long]) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri),
+      new org.apache.hadoop.conf.Configuration())
+    val reader = ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      def asLong(v: Any): Option[Long] = v match {
+        case l: java.lang.Long => Some(l.longValue)
+        case i: java.lang.Integer => Some(i.longValue)
+        case _ => None
+      }
+      val bounds = key.flatMap { k =>
+        val stats = blocks.flatMap(_.getColumns.asScala
+          .filter(_.getPath.toDotString == k).map(_.getStatistics))
+        if (stats.isEmpty ||
+            stats.exists(s => s == null || !s.hasNonNullValue)) None
+        else {
+          val los = stats.map(s => asLong(s.genericGetMin))
+          val his = stats.map(s => asLong(s.genericGetMax))
+          if (los.contains(None) || his.contains(None)) None
+          else Some((los.flatten.min, his.flatten.max))
+        }
+      }
+      (rows, bounds.map(_._1), bounds.map(_._2))
+    } finally reader.close()
+  }
+
   private def writeVersion(spark: SparkSession, name: String, df: DataFrame,
       pk: Seq[String], version: Long, carryOver: Seq[DataFile],
       alreadyPartitioned: Boolean = false): Manifest = {
@@ -275,31 +318,8 @@ class Mooncake(val warehouse: String) {
 
     val written = Manifest.withListing(out)(_.filter(
       _.getFileName.toString.endsWith(".parquet")).toSeq).sortBy(_.toString)
-    val stats: Map[String, (Long, Option[Long], Option[Long])] =
-      if (written.isEmpty) Map.empty
-      else {
-        val statDf = spark.read.parquet(out.toString)
-        val keyed = pk.headOption match {
-          case Some(k) =>
-            statDf.groupBy(input_file_name().as("__f"))
-              .agg(count(lit(1)).as("__n"),
-                min(col(k)).cast("long").as("__lo"),
-                max(col(k)).cast("long").as("__hi"))
-          case None =>
-            statDf.groupBy(input_file_name().as("__f"))
-              .agg(count(lit(1)).as("__n"),
-                lit(null).cast("long").as("__lo"),
-                lit(null).cast("long").as("__hi"))
-        }
-        keyed.collect().map { r =>
-          val fname = r.getString(0).stripPrefix("file://")
-          (fname, (r.getLong(1),
-            if (r.isNullAt(2)) None else Some(r.getLong(2)),
-            if (r.isNullAt(3)) None else Some(r.getLong(3))))
-        }.toMap
-      }
     val newFiles = written.map { p =>
-      val (rows, lo, hi) = stats.getOrElse(p.toString, (0L, None, None))
+      val (rows, lo, hi) = footerStats(p, pk.headOption)
       DataFile(p.toString, rows, Files.size(p), lo, hi)
     }.filter(_.rows > 0)
 

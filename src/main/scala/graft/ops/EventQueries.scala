@@ -60,7 +60,6 @@ object EventQueries {
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
-      .orderBy("user_id", "session_id")
   }
 
   val sessionizeSql: String =
@@ -78,8 +77,7 @@ object EventQueries {
       |SELECT user_id, session_id, count(*) AS n_events,
       |  min(ts) AS session_start, max(ts) AS session_end,
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
-      |FROM sess GROUP BY user_id, session_id
-      |ORDER BY user_id, session_id""".stripMargin
+      |FROM sess GROUP BY user_id, session_id""".stripMargin
 
   /** JSON property extraction feeding an aggregation (the props column is
     * the PG json class, SURVEY.md §1.3). */

@@ -38,7 +38,6 @@ object LakeQueries {
 
     lake.read(s, "orders_mirror", atLeastVersion = Some(2))
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-      .orderBy("o_orderkey")
   }
 
   val cdcApplySql: String =
@@ -46,8 +45,7 @@ object LakeQueries {
       |  CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1
       |       ELSE o_totalprice END AS o_totalprice
       |FROM orders
-      |WHERE o_orderkey % 100 <> 0
-      |ORDER BY o_orderkey""".stripMargin
+      |WHERE o_orderkey % 100 <> 0""".stripMargin
 
   /** The management surface: create two mirrors, snapshot one, list them —
     * checks the list_tables column contract (rows-only; the catalog is

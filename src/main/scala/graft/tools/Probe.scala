@@ -1,0 +1,137 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{TextFunctions => TF}
+import graft.functions.expressions.{HashExpressions => HE}
+
+/** Ad-hoc perf probe (dev tool, not part of the library surface):
+  * times labelled sub-pipelines of the slow bench queries so
+  * optimization targets measurements, not guesses.
+  *
+  * Usage: sbt "runMain graft.tools.Probe /root/testdata/sf0.1 [probe...]"
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val only = args.drop(1).toSet
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.graft.cacheInputs", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Tables.names.foreach(n => Tables.load(spark, dir, n).count())
+
+    def time(label: String)(f: => Any): Unit =
+      if (only.isEmpty || only.exists(label.startsWith)) {
+        val t0 = System.nanoTime()
+        val r = f
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"PROBE $label%-40s $sec%8.3f s  ($r)")
+      }
+
+    def noop(df: DataFrame): Long = {
+      df.write.format("noop").mode("overwrite").save(); -1L
+    }
+
+    val docs = Tables.load(spark, dir, "documents")
+
+    // --- simhash decomposition -------------------------------------------
+    val sh = docs.select(col("doc_id"),
+      HE.simhash(HE.poly_hash_array(TF.tokens(col("text")))).as("sh"))
+    time("simhash.signatures")(noop(sh))
+    time("simhash.distinct_sh")(sh.select("sh").distinct().count())
+    time("simhash.distinct_hi")(
+      sh.select(shiftright(col("sh"), 16).as("hi")).distinct().count())
+    time("simhash.bucket_top")(
+      sh.groupBy(shiftright(col("sh"), 16).as("hi")).count()
+        .orderBy(desc("count")).limit(3).collect().mkString(","))
+
+    val groups = sh.groupBy("sh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .withColumn("hi", shiftright(col("sh"), 16))
+      .withColumn("lo", col("sh") % 65536)
+    time("simhash.groups")(groups.count())
+    def halfJoin(key: String) = {
+      val a = groups.as("a"); val b = groups.as("b")
+      a.join(b, col(s"a.$key") === col(s"b.$key") && col("a.sh") < col("b.sh"))
+        .select(col("a.sh").as("sha"), col("b.sh").as("shb"),
+          col("a.ids").as("ida"), col("b.ids").as("idb"),
+          bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("bigint")
+            .as("hamming"))
+        .filter(col("hamming") <= 6)
+    }
+    time("simhash.sig_pairs")(
+      halfJoin("hi").unionAll(halfJoin("lo")).dropDuplicates("sha", "shb").count())
+    val crossSig = halfJoin("hi").unionAll(halfJoin("lo"))
+      .dropDuplicates("sha", "shb")
+      .select(explode(col("ida")).as("da"), col("idb"), col("hamming"))
+      .select(col("da"), explode(col("idb")).as("db"), col("hamming"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    time("simhash.cross_rows")(crossSig.count())
+    val withinSig = groups.filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", lit(0L))
+    time("simhash.within_rows")(withinSig.count())
+    time("simhash.total_nosort")(noop(crossSig.unionAll(withinSig)))
+    time("simhash.total_sorted")(
+      noop(crossSig.unionAll(withinSig).orderBy("doc_a", "doc_b")))
+
+    // --- filter_like decomposition ---------------------------------------
+    val part = Tables.load(spark, dir, "part")
+    time("like.count_only")(part.filter(col("p_name").like("%ol%") ||
+      col("p_type").ilike("standard%") ||
+      col("p_brand").rlike("^Brand#[12]")).count())
+    time("like.full_query")(noop(part.filter(col("p_name").like("%ol%") ||
+      col("p_type").ilike("standard%") ||
+      col("p_brand").rlike("^Brand#[12]"))
+      .select("p_partkey", "p_name", "p_type", "p_brand")
+      .orderBy("p_partkey")))
+
+    // --- percentile variants ---------------------------------------------
+    val li = Tables.load(spark, dir, "lineitem")
+    time("pct.three_aggs")(noop(li.groupBy("l_returnflag").agg(
+      expr("percentile(l_quantity, 0.5)").as("median_qty"),
+      expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
+      expr("percentile(l_extendedprice, 0.75)").as("p75_price"))))
+    time("pct.two_aggs_array")(noop(li.groupBy("l_returnflag").agg(
+      expr("percentile(l_quantity, 0.5)").as("median_qty"),
+      expr("percentile(l_extendedprice, array(0.25, 0.75))").as("ps"))))
+
+    // --- window_rank / join_star / sessionize raw ------------------------
+    time("misc.window_rank_scan")(li.count())
+
+    // --- cdc_apply phases -------------------------------------------------
+    {
+      import graft.lake.Mooncake
+      val lake = new Mooncake(
+        java.nio.file.Files.createTempDirectory("graft-probe-cdc").toString)
+      val o = Tables.load(spark, dir, "orders")
+      time("cdc.create_table")(
+        lake.createTable(spark, "om", o, Seq("o_orderkey")).files.size)
+      val deletes = o.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("__op", lit("D"))
+      val updates = o.filter(col("o_orderkey") % 97 === 0 &&
+          col("o_orderkey") % 100 =!= 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1)
+        .withColumn("__op", lit("U"))
+      val changes = deletes.unionByName(updates)
+      time("cdc.changes_count")(changes.count())
+      time("cdc.apply")(
+        lake.applyChanges(spark, "om", changes, version = 2).files.size)
+      time("cdc.read_noop")(noop(
+        lake.read(spark, "om", atLeastVersion = Some(2))
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")))
+    }
+    spark.stop()
+  }
+}

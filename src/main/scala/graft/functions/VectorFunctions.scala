@@ -30,4 +30,56 @@ object VectorFunctions {
   /** Cosine similarity: dot / (sqrt(|a|²) * sqrt(|b|²)). */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+
+  // --------------------------------------------------------------------------
+  // Random-hyperplane LSH (the 100 TB candidate-generation path for
+  // cosine near-dup / ANN: bucket on band keys, verify with [[cosine]])
+  // --------------------------------------------------------------------------
+
+  /** ±1 hyperplane weights, seeded through a murmur-style finalizer per
+    * (plane, dim) — an arithmetic progression here would correlate the
+    * planes the same way affine MinHash multipliers correlate
+    * permutations (see TextFunctions scaladoc / the round-1 lesson). */
+  private def mix64(seed: Long): Long = {
+    var x = seed
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33; x
+  }
+
+  /** 4 bands × 8 bits: at bit-agreement p the candidate probability is
+    * 1-(1-p^8)^4 — ≈0.95 for cos 0.97 pairs, ≈0.03 for centered
+    * background (cos ≈ 0). Few wide bands, not many narrow ones: narrow
+    * bands admit most of the background (2-bit bands pass 90% of random
+    * pairs). Raw fixture vectors share a bias component (background cos
+    * ≈ 0.3), so center before hashing — standard practice, demonstrated
+    * in EmbedLshSpec. */
+  val NumPlanes = 32
+  val PlaneBands = 4
+  val PlaneRows: Int = NumPlanes / PlaneBands // 8 bits per band
+
+  private[graft] def planeWeights(dims: Int): IndexedSeq[IndexedSeq[Double]] =
+    (0 until NumPlanes).map(p =>
+      (0 until dims).map(i =>
+        if ((mix64(p.toLong * 7919L + i) & 1L) == 0L) -1.0 else 1.0))
+
+  /** Sign bits of the vector against each hyperplane, packed to a long. */
+  def hyperplaneSig(v: Column, dims: Int): Column = {
+    val planes = planeWeights(dims)
+    (0 until NumPlanes).map { p =>
+      val w = array(planes(p).map(lit): _*)
+      val proj = aggregate(
+        zip_with(v, w, (x, wi) => x.cast("double") * wi),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0.0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Band keys for bucketing: PlaneBands keys of PlaneRows bits each,
+    * tagged with the band index so different bands never collide. */
+  def bandKeys(sig: Column): Column =
+    array((0 until PlaneBands).map { b =>
+      lit(b.toLong << 40) +
+        (shiftright(sig, b * PlaneRows) % (1L << PlaneRows))
+    }: _*)
 }

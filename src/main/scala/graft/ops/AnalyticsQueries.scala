@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Analytics operators beyond the round-1 inventory: PIVOT / UNPIVOT
+  * (the PG crosstab / DuckDB PIVOT class), recursive CTEs (WITH RECURSIVE
+  * — PG and DuckDB both ship it; Spark 4 plans it as UnionLoop),
+  * per-group top-k (the QUALIFY class), and deterministic hash sampling
+  * (the scalable stand-in for TABLESAMPLE — the reference's mirror has no
+  * sample scans at all, `/root/reference/src/table.rs:541-573`, so
+  * repeatable sampling must be an ordinary pushed-down predicate).
+  */
+object AnalyticsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** PIVOT: order counts per priority, statuses fanned out to columns.
+    * Values are enumerated explicitly — at scale an un-enumerated pivot
+    * forces an extra distinct-values job before the real aggregation.
+    * Spark leaves never-matched cells NULL where a SQL FILTER count gives
+    * 0, so the cells are coalesced. */
+  val pivotStatus: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("o_orderpriority")
+
+  val pivotStatusSql: String =
+    """SELECT o_orderpriority,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+      |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** UNPIVOT (melt): wide customer metrics to (metric, value) rows —
+    * a per-row generator, no shuffle. */
+  val unpivotCustomer: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .filter(col("c_custkey") <= 100)
+      .select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("acctbal"),
+        col("c_nationkey").cast("double").as("nationkey"))
+      .unpivot(Array(col("c_custkey")),
+        Array(col("acctbal"), col("nationkey")), "metric", "value")
+      .orderBy("c_custkey", "metric")
+
+  val unpivotCustomerSql: String =
+    """SELECT c_custkey, 'acctbal' AS metric, CAST(c_acctbal AS DOUBLE) AS value
+      |FROM customer WHERE c_custkey <= 100
+      |UNION ALL
+      |SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value
+      |FROM customer WHERE c_custkey <= 100
+      |ORDER BY c_custkey, metric""".stripMargin
+
+  /** WITH RECURSIVE: follow each order key through its key DIV 10 chain
+    * down to 0 (a fixed-depth hierarchy walk — the transitive-closure
+    * class). Spark 4 executes this as an iterated UnionLoop; each
+    * iteration is a distributed step, not a driver loop. */
+  val recursiveCte: Q = (s, dir) => {
+    t(s, dir, "orders").filter(col("o_orderkey") <= 300)
+      .select("o_orderkey").createOrReplaceTempView("rcte_orders")
+    s.sql(
+      """WITH RECURSIVE chain(start, node, depth) AS (
+        |  SELECT o_orderkey, CAST(o_orderkey AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM rcte_orders
+        |  UNION ALL
+        |  SELECT start, node DIV 10, depth + 1 FROM chain WHERE node > 0)
+        |SELECT start, max(depth) AS depth_to_zero,
+        |  CAST(sum(node) AS BIGINT) AS path_sum
+        |FROM chain GROUP BY start ORDER BY start""".stripMargin)
+  }
+
+  val recursiveCteSql: String =
+    """WITH RECURSIVE chain(start, node, depth) AS (
+      |  SELECT o_orderkey, CAST(o_orderkey AS BIGINT), CAST(0 AS BIGINT)
+      |  FROM orders WHERE o_orderkey <= 300
+      |  UNION ALL
+      |  SELECT start, node // 10, depth + 1 FROM chain WHERE node > 0)
+      |SELECT start, CAST(max(depth) AS BIGINT) AS depth_to_zero,
+      |  CAST(sum(node) AS BIGINT) AS path_sum
+      |FROM chain GROUP BY start ORDER BY start""".stripMargin
+
+  /** Per-group top-k (the QUALIFY class): 3 biggest orders per status.
+    * One shuffle on the group key; rank + filter, no global sort of the
+    * input. */
+  val topkPerGroup: Q = (s, dir) => {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_orderstatus", "rn")
+  }
+
+  val topkPerGroupSql: String =
+    """SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |  row_number() OVER (PARTITION BY o_orderstatus
+      |                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |FROM orders
+      |QUALIFY rn <= 3
+      |ORDER BY o_orderstatus, rn""".stripMargin
+
+  /** Deterministic ~5% hash sample: affine hash of the key mod 100.
+    * Repeatable across runs and engines (unlike rand()-based TABLESAMPLE),
+    * prunes at the scan (plain pushed predicate), and co-samples any
+    * table sharing the key — the property training-data pipelines need
+    * when sampling joined fact tables. */
+  val sampleHash: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(((col("l_orderkey") * 2654435761L + 97531L) % 1000000007L)
+        % 100 < 5)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+  val sampleHashSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE ((l_orderkey * 2654435761 + 97531) % 1000000007) % 100 < 5""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_pivot" -> pivotStatus,
+    "q_unpivot" -> unpivotCustomer,
+    "q_recursive_cte" -> recursiveCte,
+    "q_topk_per_group" -> topkPerGroup,
+    "q_sample_hash" -> sampleHash,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_pivot" -> pivotStatusSql,
+    "q_unpivot" -> unpivotCustomerSql,
+    "q_recursive_cte" -> recursiveCteSql,
+    "q_topk_per_group" -> topkPerGroupSql,
+    "q_sample_hash" -> sampleHashSql,
+  )
+}

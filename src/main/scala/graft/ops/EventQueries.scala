@@ -97,6 +97,32 @@ object EventQueries {
       |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Hopping (sliding) 1-hour windows every 30 minutes: each event lands
+    * in exactly 2 windows. Spark's built-in window() generator does the
+    * fan-out before the shuffle, so the cost is 2x rows into the same
+    * single aggregation shuffle — the standard streaming window shape run
+    * in batch. The oracle reproduces the window assignment by epoch
+    * arithmetic. */
+  val sliding: Q = (s, dir) =>
+    ev(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count("*").as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("wstart"), col("window.end").as("wend"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  val slidingSql: String =
+    """WITH fanned AS (
+      |  SELECT make_timestamp(
+      |           (CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - off)
+      |           * 1000000) AS wstart,
+      |         event_type, value
+      |  FROM events, unnest([CAST(0 AS BIGINT), CAST(1800 AS BIGINT)]) AS t(off))
+      |SELECT wstart, wstart + INTERVAL 1 HOUR AS wend, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM fanned GROUP BY wstart, event_type""".stripMargin
+
   /** Approximate distinct users (HLL sketch) — Spark-side only: sketch
     * internals are engine-specific, so this takes the rows-only check.
     * At 100 TB this replaces the exact countDistinct expand. */
@@ -109,6 +135,7 @@ object EventQueries {
 
   val queries: Map[String, Q] = Map(
     "q_events_tumbling" -> tumbling,
+    "q_events_sliding" -> sliding,
     "q_events_sessionize" -> sessionize,
     "q_events_json_agg" -> jsonAgg,
     "q_events_approx_distinct" -> approxDistinct,
@@ -116,6 +143,7 @@ object EventQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_events_tumbling" -> tumblingSql,
+    "q_events_sliding" -> slidingSql,
     "q_events_sessionize" -> sessionizeSql,
     "q_events_json_agg" -> jsonAggSql,
   )

@@ -324,6 +324,38 @@ object PipelineQueries {
        |WHERE bit_count(xor(a.sh, b.sh)) <= 6""".stripMargin
   }
 
+  /** Embedding-cosine near-dup pairs (the semantic-dedup class): all
+    * vector pairs with cosine >= 0.45. Norms are computed once per vector
+    * (not per pair); the pair generation is a broadcast self-join here —
+    * the exact baseline the oracle can check. The 100 TB path replaces the
+    * all-pairs stage with random-hyperplane LSH bucketing + in-bucket
+    * verification (measured for recall in EmbedLshSpec); verification
+    * reuses exactly this cosine. */
+  val dedupEmbed: Q = (s, dir) => {
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"),
+      sqrt(VF.normSq(col("embedding"))).as("nrm"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (VF.dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= 0.45)
+  }
+
+  val dedupEmbedSql: String = {
+    val dotSelf = sqlDot("embedding", "embedding")
+    val dotAB = sqlDot("a.embedding", "b.embedding")
+    s"""WITH n AS (SELECT vec_id, embedding, sqrt($dotSelf) AS nrm
+       |           FROM embeddings)
+       |SELECT * FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    $dotAB / (a.nrm * b.nrm) AS cos
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+       |WHERE cos >= 0.45""".stripMargin
+  }
+
   // ===========================================================================
   // Similarity search (ANN over embeddings)
   // ===========================================================================
@@ -445,6 +477,7 @@ object PipelineQueries {
     "q_dedup_jaccard" -> dedupJaccard,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_simhash" -> dedupSimhash,
+    "q_dedup_embed" -> dedupEmbed,
     "q_embed_topk" -> embedTopK,
     "q_embed_ivf" -> embedIvf,
   )
@@ -457,6 +490,7 @@ object PipelineQueries {
     "q_dedup_jaccard" -> dedupJaccardSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_simhash" -> dedupSimhashSql,
+    "q_dedup_embed" -> dedupEmbedSql,
     "q_embed_topk" -> embedTopKSql,
     "q_embed_ivf" -> embedIvfSql,
   )

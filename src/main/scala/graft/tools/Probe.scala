@@ -110,6 +110,27 @@ object Probe {
     // --- window_rank / join_star / sessionize raw ------------------------
     time("misc.window_rank_scan")(li.count())
 
+    // --- recursive CTE support check --------------------------------------
+    time("rcte.basic")(
+      try spark.sql(
+        """WITH RECURSIVE t(n) AS (
+          |  SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 10)
+          |SELECT sum(n) FROM t""".stripMargin).collect().mkString
+      catch { case e: Throwable => s"UNSUPPORTED: ${e.getMessage.take(120)}" })
+
+    // --- embedding cosine distribution -----------------------------------
+    {
+      import graft.functions.expressions.{SetVectorExpressions => SVE}
+      val e = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val a = e.as("a"); val b = e.as("b")
+      val pairs = a.join(b, col("a.vec_id") < col("b.vec_id"))
+        .select(SVE.cosine_sim(col("a.embedding"), col("b.embedding")).as("cos"))
+      time("embed.cos_hist")(pairs
+        .groupBy(floor(col("cos") * 20).as("bucket")).count()
+        .orderBy(desc("bucket")).limit(8).collect().mkString(" "))
+    }
+
     // --- cdc_apply phases -------------------------------------------------
     {
       import graft.lake.Mooncake

@@ -29,5 +29,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ LakeQueries.oracleSql ++
       PipelineQueries.oracleSql ++ EventQueries.oracleSql ++
-      AnalyticsQueries.oracleSql
+      AnalyticsQueries.oracleSql ++ Multimodal.oracleSql
 }

@@ -48,8 +48,10 @@ object LakeQueries {
       |WHERE o_orderkey % 100 <> 0""".stripMargin
 
   /** The management surface: create two mirrors, snapshot one, list them —
-    * checks the list_tables column contract (rows-only; the catalog is
-    * ours, DuckDB has no equivalent to compare against). */
+    * checks the list_tables column contract. The oracle is a golden VALUES
+    * list (the catalog is ours; its deterministic contents are the
+    * expected output, exactly how the reference's pg_regress goldens pin
+    * `mooncake.list_tables()` behavior). */
   val listTables: Q = (s, dir) => {
     val lake = new Mooncake(
       java.nio.file.Files.createTempDirectory("graft-list-q").toString)
@@ -61,6 +63,14 @@ object LakeQueries {
     lake.listTables(s).select("table", "commit_lsn", "flush_lsn")
       .orderBy("table")
   }
+
+  val listTablesSql: String =
+    """SELECT "table", CAST(commit_lsn AS BIGINT) AS commit_lsn,
+      |  CAST(flush_lsn AS BIGINT) AS flush_lsn
+      |FROM (VALUES ('main.nation_mirror', 1, 1),
+      |             ('main.region_mirror', 1, 1))
+      |  AS t("table", commit_lsn, flush_lsn)
+      |ORDER BY "table"""".stripMargin
 
   /** File load path (≈ mooncake.load_files, parquet + csv formats): the
     * mirror backfills from part of nation, the rest arrives as external
@@ -136,6 +146,7 @@ object LakeQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_cdc_apply" -> cdcApplySql,
+    "q_mooncake_list_tables" -> listTablesSql,
     "q_load_files" -> loadFilesSql,
     "q_optimize_scan" -> optimizeScanSql,
     "q_snapshot_travel" -> snapshotTravelSql,

@@ -118,9 +118,12 @@ object Multimodal {
       .select("doc_id", "media_type", "frame", "width", "height")
   }
 
-  /** Rows-only pipeline query: fabricate → decode → per-type feature
-    * rollup (sketch internals make no sense to oracle-check; the driver
-    * checks rows > 0). */
+  /** Pipeline query: fabricate → decode → per-type feature rollup.
+    * Oracle-checked: the asset header fields derive from doc_id and the
+    * stub checksum is a polynomial fold over the (ASCII) text bytes, so
+    * DuckDB reproduces every aggregate from the documents table — the
+    * whole binary round-trip (header encode → binary column → partition
+    * decode) must be lossless for the hashes to agree. */
   val features: (SparkSession, String) => DataFrame = (s, dir) => {
     val decoded = decodeFeatures(assetsFromDocuments(s, dir)).toDF()
     decoded.groupBy("media_type")
@@ -131,7 +134,29 @@ object Multimodal {
       .orderBy("media_type")
   }
 
+  val featuresSql: String =
+    """WITH a AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio'
+      |         ELSE 'video' END AS media_type,
+      |    16 + length(text) AS payload_bytes,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(range(1, length(text) + 1),
+      |          i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+      |      (h, c) -> (h * 31 + c) % 1000000007) AS checksum,
+      |    CAST(doc_id % 640 + 16 AS INTEGER) AS width
+      |  FROM documents)
+      |SELECT media_type, count(*) AS n_assets,
+      |  CAST(sum(payload_bytes) AS BIGINT) AS total_bytes,
+      |  min(checksum) AS min_checksum,
+      |  max(width) AS max_width
+      |FROM a GROUP BY media_type ORDER BY media_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> features,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_multimodal_features" -> featuresSql,
   )
 }

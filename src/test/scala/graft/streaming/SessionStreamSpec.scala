@@ -1,0 +1,62 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSuite
+import graft.streaming.SessionStream.Event
+
+/** flatMapGroupsWithState sessionization: closed sessions emitted on gap
+  * proof, the final open session flushed by event-time timeout when the
+  * watermark passes. */
+class SessionStreamSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def t(minute: Long): Timestamp =
+    Timestamp.valueOf(java.time.LocalDateTime.of(2026, 1, 1, 0, 0)
+      .plusMinutes(minute))
+
+  test("streaming sessions match gap semantics across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = SessionStream.sessionize(
+      input.toDS().withWatermark("ts", "1 second").as[Event],
+      gapSeconds = 30 * 60)
+
+    val q = sessions.writeStream
+      .format("memory").queryName("sess_out")
+      .outputMode("append")
+      .start()
+    try {
+      // batch 1: user 1 two events 10 min apart (one session), user 2 one.
+      input.addData(Event(1, t(0), 1.0), Event(1, t(10), 2.0),
+        Event(2, t(5), 5.0))
+      q.processAllAvailable()
+      // batch 2: user 1 event 2h later — proves the first session closed
+      // (emitted in-batch) AND advances the watermark past user 2's
+      // end + gap, so the catch-up batch flushes user 2 by timeout.
+      input.addData(Event(1, t(130), 3.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() === 2,
+        "gap-proven + watermark-timed-out sessions expected: " +
+          spark.table("sess_out").collect().mkString("; "))
+
+      // sentinel batches: advance the watermark far past end+gap so
+      // event-time timeouts flush the remaining open sessions (watermark
+      // takes effect the batch after the max event time is observed).
+      input.addData(Event(99, t(60 * 24), 0.0))
+      q.processAllAvailable()
+      input.addData(Event(99, t(60 * 24 + 1), 0.0))
+      q.processAllAvailable()
+
+      val got = spark.table("sess_out")
+        .as[SessionStream.Session].collect()
+        .map(s => (s.user_id, s.session_start, s.n_events, s.session_value))
+        .toSet
+      assert(got.contains((1L, t(0), 2L, 3.0)), s"user1 first session: $got")
+      assert(got.contains((1L, t(130), 1L, 3.0)), s"user1 second session: $got")
+      assert(got.contains((2L, t(5), 1L, 5.0)), s"user2 session: $got")
+    } finally q.stop()
+  }
+}

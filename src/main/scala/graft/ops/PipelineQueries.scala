@@ -332,15 +332,16 @@ object PipelineQueries {
     * verification (measured for recall in EmbedLshSpec); verification
     * reuses exactly this cosine. */
   val dedupEmbed: Q = (s, dir) => {
-    val e = embs(s, dir).select(col("vec_id"), col("embedding"),
-      sqrt(VF.normSq(col("embedding"))).as("nrm"))
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-      col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-      col("nrm").as("nb"))
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
     a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        (VF.dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+        // codegen kernel: one fused pass for dot + both norms per pair
+        // (the zip_with/aggregate spelling allocates an array per pair —
+        // 20x slower on the all-pairs stage); float op order matches the
+        // oracle's dot/(sqrt(na)*sqrt(nb)) exactly.
+        SVE.cosine_sim(col("ea"), col("eb")).as("cos"))
       .filter(col("cos") >= 0.45)
   }
 

@@ -52,13 +52,28 @@ class Mooncake(val warehouse: String) {
   /** Create a mirror of `source` (schema copied column-for-column, as the
     * reference copies from pg_attribute — `src/functions.rs:204-221`) and
     * run the initial backfill. `pk` is the replica-identity key CDC
-    * batches address rows by. */
+    * batches address rows by.
+    *
+    * A backfill larger than one target file is range-clustered on the
+    * leading pk before writing: every data file then owns a tight,
+    * non-overlapping key range, so CDC file skipping prunes from day one
+    * and the write parallelizes across the cluster instead of following
+    * the source's partitioning. Small sources keep their partitioning —
+    * range-shuffling 5 rows into N files is pure overhead. */
   def createTable(spark: SparkSession, name: String, source: DataFrame,
-      pk: Seq[String], initialVersion: Long = 1L): Manifest = {
+      pk: Seq[String], initialVersion: Long = 1L,
+      targetFileBytes: Long = 128L * 1024 * 1024): Manifest = {
     val dir = tableDir(name)
     if (Manifest.latest(dir).isDefined)
       throw new IllegalStateException(s"mooncake table '$name' already exists")
-    writeVersion(spark, name, source, pk, version = initialVersion,
+    // Optimizer stats, not an execution: parquet footer / cache sizes.
+    val bytes = source.queryExecution.optimizedPlan.stats.sizeInBytes
+    val backfill =
+      if (pk.nonEmpty && bytes > targetFileBytes) {
+        val n = (bytes / targetFileBytes).toInt.min(10000) + 1
+        source.repartitionByRange(n, pk.map(col): _*)
+      } else source
+    writeVersion(spark, name, backfill, pk, version = initialVersion,
       carryOver = Seq.empty)
   }
 

@@ -113,6 +113,33 @@ object AnalyticsQueries {
       |QUALIFY rn <= 3
       |ORDER BY o_orderstatus, rn""".stripMargin
 
+  /** LATERAL join (correlated table subquery): each customer's 2 largest
+    * orders. Catalyst decorrelates this into a ranked window over one
+    * shuffle of the right side — same physical shape as
+    * [[topkPerGroup]], but exercising the LATERAL SQL surface (DuckDB
+    * and PG both ship it). */
+  val joinLateral: Q = (s, dir) => {
+    t(s, dir, "customer").createOrReplaceTempView("lat_customer")
+    t(s, dir, "orders").createOrReplaceTempView("lat_orders")
+    s.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM lat_customer c JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM lat_orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c.c_custkey <= 500
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+  }
+
+  val joinLateralSql: String =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c JOIN LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t ON true
+      |WHERE c.c_custkey <= 500
+      |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin
+
   /** Deterministic ~5% hash sample: affine hash of the key mod 100.
     * Repeatable across runs and engines (unlike rand()-based TABLESAMPLE),
     * prunes at the scan (plain pushed predicate), and co-samples any
@@ -134,6 +161,7 @@ object AnalyticsQueries {
     "q_unpivot" -> unpivotCustomer,
     "q_recursive_cte" -> recursiveCte,
     "q_topk_per_group" -> topkPerGroup,
+    "q_join_lateral" -> joinLateral,
     "q_sample_hash" -> sampleHash,
   )
 
@@ -142,6 +170,7 @@ object AnalyticsQueries {
     "q_unpivot" -> unpivotCustomerSql,
     "q_recursive_cte" -> recursiveCteSql,
     "q_topk_per_group" -> topkPerGroupSql,
+    "q_join_lateral" -> joinLateralSql,
     "q_sample_hash" -> sampleHashSql,
   )
 }

@@ -110,6 +110,20 @@ object Probe {
     // --- window_rank / join_star / sessionize raw ------------------------
     time("misc.window_rank_scan")(li.count())
 
+    // --- lateral join support check ---------------------------------------
+    time("lateral.basic")(
+      try {
+        Tables.load(spark, dir, "customer").createOrReplaceTempView("c_v")
+        Tables.load(spark, dir, "orders").createOrReplaceTempView("o_v")
+        spark.sql(
+          """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+            |FROM c_v c JOIN LATERAL (
+            |  SELECT o_orderkey, o_totalprice FROM o_v
+            |  WHERE o_custkey = c.c_custkey
+            |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+            |WHERE c.c_custkey <= 20""".stripMargin).count()
+      } catch { case e: Throwable => s"UNSUPPORTED: ${e.getMessage.take(160)}" })
+
     // --- recursive CTE support check --------------------------------------
     time("rcte.basic")(
       try spark.sql(

@@ -103,6 +103,25 @@ class MooncakeSpec extends SparkSuite {
     assert(lake.read(spark, "skip").count() === 998)
   }
 
+  test("large backfill range-clusters itself: disjoint per-file key ranges") {
+    val lake = freshLake()
+    // Single-partition source, tiny target size → createTable must
+    // range-cluster on the pk by itself (at real scale: 128 MB files).
+    val src = spark.range(0, 5000)
+      .select(col("id").as("a"), concat(lit("v"), col("id")).as("b"))
+      .coalesce(1)
+    lake.createTable(spark, "clus", src, Seq("a"), targetFileBytes = 16 * 1024)
+    val files = lake.currentManifest("clus").files
+    assert(files.size > 1, s"expected a clustered multi-file backfill")
+    val ranges = files.map(f => (f.minKey.get, f.maxKey.get)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"file key ranges overlap: $ranges")
+      case _ =>
+    }
+    assert(lake.read(spark, "clus").count() === 5000)
+  }
+
   test("snapshot + time travel") {
     val lake = freshLake()
     lake.createTable(spark, "tt", rTable(1 -> "a", 2 -> "b"), Seq("a"))

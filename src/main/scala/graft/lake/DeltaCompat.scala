@@ -1,0 +1,176 @@
+package graft.lake
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Minimal Delta Lake log interop — the reference reads Delta tables and
+  * writes them (`/root/reference/CHANGELOG.md:25,27`); this container has
+  * no Delta jars, but the Delta transaction log is just newline-delimited
+  * JSON actions over parquet files, and Spark's own `StructType.json` IS
+  * Delta's `schemaString` format. So the interop layer speaks the
+  * protocol directly:
+  *
+  *   - `read` replays `_delta_log/%020d.json` in version order
+  *     (add/remove actions → live file set, latest metaData → schema)
+  *     and scans the surviving parquet with the declared schema.
+  *   - `write` produces a log any Delta reader at protocol (1,2) accepts:
+  *     parquet part files at the table root + a commit of add actions
+  *     (plus protocol/metaData on the first commit, remove actions on
+  *     overwrite).
+  *
+  * Scope: protocol (1,2) — no checkpoints, deletion vectors, or column
+  * mapping; `read` refuses tables that require them rather than
+  * mis-reading (`_last_checkpoint` present, or higher minReaderVersion).
+  * At 100 TB the log replay is manifest-sized work, exactly like the
+  * mooncake manifest; the data scan is the same pruned parquet scan.
+  */
+object DeltaCompat {
+
+  private val mapper = new ObjectMapper()
+
+  private def logDir(table: String): Path = Paths.get(table, "_delta_log")
+
+  private def versionFile(table: String, v: Long): Path =
+    logDir(table).resolve(f"$v%020d.json")
+
+  /** All committed versions, ascending. */
+  def versions(table: String): Seq[Long] = {
+    val dir = logDir(table)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    Manifest.withListing(dir)(_.map(_.getFileName.toString)
+      .filter(_.matches("\\d{20}\\.json"))
+      .map(_.stripSuffix(".json").toLong).toSeq).sorted
+  }
+
+  private case class LogState(schemaJson: Option[String],
+      files: Map[String, Long]) // path -> size
+
+  private def replay(table: String, upTo: Option[Long]): LogState = {
+    val checkpoint = logDir(table).resolve("_last_checkpoint")
+    if (Files.exists(checkpoint))
+      throw new UnsupportedOperationException(
+        s"$table uses Delta checkpoints — out of this reader's protocol scope")
+    val vs = versions(table)
+    if (vs.isEmpty)
+      throw new NoSuchElementException(s"no Delta log at $table")
+    var state = LogState(None, Map.empty)
+    for (v <- vs if upTo.forall(v <= _)) {
+      val lines = Files.readAllLines(versionFile(table, v)).asScala
+      for (line <- lines if line.trim.nonEmpty) {
+        val node = mapper.readTree(line)
+        if (node.has("protocol")) {
+          val mrv = node.get("protocol").path("minReaderVersion").asInt(1)
+          if (mrv > 1) throw new UnsupportedOperationException(
+            s"$table requires Delta reader version $mrv — only 1 supported")
+        }
+        if (node.has("metaData"))
+          state = state.copy(schemaJson =
+            Some(node.get("metaData").get("schemaString").asText()))
+        if (node.has("add")) {
+          val a = node.get("add")
+          state = state.copy(files = state.files +
+            (a.get("path").asText() -> a.path("size").asLong(0)))
+        }
+        if (node.has("remove"))
+          state = state.copy(files =
+            state.files - node.get("remove").get("path").asText())
+      }
+    }
+    state
+  }
+
+  /** Read the table head (or an explicit version — time travel). */
+  def read(spark: SparkSession, table: String,
+      version: Option[Long] = None): DataFrame = {
+    val state = replay(table, version)
+    val schema = DataType.fromJson(state.schemaJson.getOrElse(
+      throw new IllegalStateException(s"$table has no metaData action")))
+      .asInstanceOf[StructType]
+    val paths = state.files.keys.map(p => Paths.get(table, p).toString).toSeq
+    if (paths.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(paths.sorted: _*)
+  }
+
+  /** Append (or overwrite) `df` as one Delta commit. Returns the new
+    * version. */
+  def write(df: DataFrame, table: String,
+      mode: String = "append"): Long = {
+    require(mode == "append" || mode == "overwrite", s"mode $mode")
+    val root = Paths.get(table)
+    Files.createDirectories(root)
+    val prior = versions(table)
+    val version = prior.lastOption.map(_ + 1).getOrElse(0L)
+
+    // Write part files via Spark into a temp dir, then move them to the
+    // table root under fresh UUID names (Delta layout).
+    val tmp = Files.createTempDirectory(root, ".stage")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val parts = Manifest.withListing(tmp)(_.filter(
+      _.getFileName.toString.endsWith(".parquet")).toSeq).sortBy(_.toString)
+    val added = parts.zipWithIndex.map { case (p, i) =>
+      val name = f"part-$i%05d-${UUID.randomUUID()}-c000.snappy.parquet"
+      val target = root.resolve(name)
+      Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+      name -> Files.size(target)
+    }
+    val walk = Files.walk(tmp)
+    try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+      .iterator().asScala.foreach(Files.delete)
+    finally walk.close()
+
+    val now = System.currentTimeMillis()
+    val actions = Seq.newBuilder[ObjectNode]
+    if (version == 0L) {
+      val protocol = mapper.createObjectNode()
+      protocol.putObject("protocol")
+        .put("minReaderVersion", 1).put("minWriterVersion", 2)
+      actions += protocol
+      val meta = mapper.createObjectNode()
+      val m = meta.putObject("metaData")
+      m.put("id", UUID.randomUUID().toString)
+      m.putObject("format").put("provider", "parquet")
+        .putObject("options")
+      m.put("schemaString", df.schema.json)
+      m.putArray("partitionColumns")
+      m.putObject("configuration")
+      m.put("createdTime", now)
+      actions += meta
+    }
+    if (mode == "overwrite" && version > 0L) {
+      replay(table, None).files.keys.toSeq.sorted.foreach { p =>
+        val rm = mapper.createObjectNode()
+        rm.putObject("remove").put("path", p)
+          .put("deletionTimestamp", now).put("dataChange", true)
+        actions += rm
+      }
+    }
+    added.foreach { case (name, size) =>
+      val add = mapper.createObjectNode()
+      add.putObject("add").put("path", name).put("size", size)
+        .put("modificationTime", now).put("dataChange", true)
+        .putObject("partitionValues")
+      actions += add
+    }
+
+    Files.createDirectories(logDir(table))
+    val target = versionFile(table, version)
+    if (Files.exists(target))
+      throw new IllegalStateException(
+        s"Delta version $version already exists (concurrent writer?)")
+    val tmpLog = Files.createTempFile(logDir(table), ".tmp", ".json")
+    Files.write(tmpLog, actions.result().map(mapper.writeValueAsString)
+      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmpLog, target, StandardCopyOption.ATOMIC_MOVE)
+    version
+  }
+}

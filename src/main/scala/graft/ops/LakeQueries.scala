@@ -136,7 +136,23 @@ object LakeQueries {
   val snapshotTravelSql: String =
     "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
 
+  /** Delta interop (≈ the reference's Delta read/write,
+    * CHANGELOG.md:25,27): two append commits through our Delta-log
+    * writer, read back by log replay — must equal the source table. */
+  val deltaRoundtrip: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-delta-q").toString
+    val sup = Tables.load(s, dir, "supplier")
+    graft.lake.DeltaCompat.write(sup.filter(col("s_suppkey") % 2 === 0), tmp)
+    graft.lake.DeltaCompat.write(sup.filter(col("s_suppkey") % 2 =!= 0), tmp)
+    graft.lake.DeltaCompat.read(s, tmp)
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+  }
+
+  val deltaRoundtripSql: String =
+    "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"
+
   val queries: Map[String, Q] = Map(
+    "q_delta_roundtrip" -> deltaRoundtrip,
     "q_cdc_apply" -> cdcApply,
     "q_mooncake_list_tables" -> listTables,
     "q_load_files" -> loadFiles,
@@ -145,6 +161,7 @@ object LakeQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_delta_roundtrip" -> deltaRoundtripSql,
     "q_cdc_apply" -> cdcApplySql,
     "q_mooncake_list_tables" -> listTablesSql,
     "q_load_files" -> loadFilesSql,

@@ -36,6 +36,10 @@ class StaleSnapshotException(msg: String) extends RuntimeException(msg)
   */
 class Mooncake(val warehouse: String) {
 
+  /** Default data-file size target (the createTable / optimizeTable
+    * parameters override it per call). */
+  private val targetFileBytes = 128L * 1024 * 1024
+
   private def tableDir(name: String): String =
     Paths.get(warehouse, Identifier.parse(name).fileName).toString
 
@@ -204,7 +208,18 @@ class Mooncake(val warehouse: String) {
         .join(broadcast(affectedKeys), pk, "left_anti"))
     val newRows = survivors.map(_.unionByName(inserts)).getOrElse(inserts)
 
-    try writeVersion(spark, name, newRows, pk, version, carryOver = untouched)
+    // Re-cluster the rewritten region: output file count is sized by the
+    // touched bytes (exact, from the manifest — no optimizer guessing),
+    // so a CDC apply neither explodes into one file per batch partition
+    // nor loses the tight per-file key ranges skipping depends on.
+    val rewriteBytes = touched.map(_.bytes).sum
+    val nFiles = (rewriteBytes / targetFileBytes).toInt + 1
+    val clustered =
+      if (pk.isEmpty) newRows
+      else newRows.repartitionByRange(nFiles, pk.map(col): _*)
+
+    try writeVersion(spark, name, clustered, pk, version,
+      carryOver = untouched)
     finally lastOps.unpersist(blocking = false)
   }
 

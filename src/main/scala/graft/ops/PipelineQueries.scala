@@ -165,6 +165,36 @@ object PipelineQueries {
        |  len(sh) AS n_shingles
        |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Within-document repetition ratio (the Gopher-style quality rule:
+    * high duplicate-n-gram fraction = boilerplate/spam). Total 3-grams is
+    * pure arithmetic (n_tokens - 2); only the distinct side materializes
+    * shingles — per-row, no shuffle. */
+  val textRepetition: Q = (s, dir) => {
+    val toks = TF.tokens(col("text"))
+    val total = greatest(size(toks) - 2, lit(0)).cast("bigint")
+    val dist = size(SVE.word_shingles(col("text"), 3)).cast("bigint")
+    docs(s, dir).select(col("doc_id"),
+      total.as("n_3grams"),
+      dist.as("n_distinct_3grams"),
+      when(total > 0,
+        lit(1.0) - dist.cast("double") / total.cast("double"))
+        .otherwise(lit(0.0)).as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val textRepetitionSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |s AS (SELECT doc_id,
+       |        greatest(len(w) - 2, 0) AS n3,
+       |        len($sqlShingles) AS d3
+       |      FROM t)
+       |SELECT doc_id, CAST(n3 AS BIGINT) AS n_3grams,
+       |  CAST(d3 AS BIGINT) AS n_distinct_3grams,
+       |  CASE WHEN n3 > 0
+       |       THEN CAST(1 AS DOUBLE) - CAST(d3 AS DOUBLE) / CAST(n3 AS DOUBLE)
+       |       ELSE CAST(0 AS DOUBLE) END AS rep_ratio
+       |FROM s ORDER BY doc_id""".stripMargin
+
   // ===========================================================================
   // Deduplication
   // ===========================================================================
@@ -474,6 +504,7 @@ object PipelineQueries {
     "q_text_stats" -> textStats,
     "q_text_langid" -> textLangId,
     "q_text_fingerprint" -> textFingerprint,
+    "q_text_repetition" -> textRepetition,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_jaccard" -> dedupJaccard,
     "q_dedup_minhash" -> dedupMinhash,
@@ -487,6 +518,7 @@ object PipelineQueries {
     "q_text_stats" -> textStatsSql,
     "q_text_langid" -> textLangIdSql,
     "q_text_fingerprint" -> textFingerprintSql,
+    "q_text_repetition" -> textRepetitionSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_jaccard" -> dedupJaccardSql,
     "q_dedup_minhash" -> dedupMinhashSql,

@@ -381,6 +381,40 @@ case class Identifier(schema: String, table: String) {
   def fileName: String = s"$schema.$table".replaceAll("[^A-Za-z0-9._-]", "_")
 }
 
+/** Percent-encoding for warehouse/URI path segments — the reference
+  * encodes non-unreserved bytes when building S3-style URIs
+  * (`/root/reference/src/functions.rs:165-196`); same contract here:
+  * RFC 3986 unreserved characters pass through, everything else becomes
+  * %XX (uppercase hex) over the UTF-8 bytes. */
+object PathCodec {
+  private def unreserved(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+      (c >= '0' && c <= '9') || c == '-' || c == '.' || c == '_' || c == '~'
+
+  def percentEncode(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.getBytes("UTF-8").foreach { b =>
+      val c = (b & 0xff).toChar
+      if (unreserved(c)) sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
+
+  def percentDecode(s: String): String = {
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        i += 3
+      } else { out.write(c.toInt); i += 1 }
+    }
+    new String(out.toByteArray, "UTF-8")
+  }
+}
+
 object Identifier {
   private val Unquoted = "([A-Za-z_][A-Za-z0-9_$]*)"
   private val Quoted = "\"((?:[^\"]|\"\")+)\""

@@ -203,4 +203,12 @@ class MooncakeSpec extends SparkSuite {
     assertThrows[IllegalArgumentException] { Identifier.parse("1bad") }
     assertThrows[IllegalArgumentException] { Identifier.parse("a.b.c") }
   }
+
+  test("percent-encoding matches the reference's URI-safety contract") {
+    assert(PathCodec.percentEncode("plain-name_0.~") === "plain-name_0.~")
+    assert(PathCodec.percentEncode("a b/c%d") === "a%20b%2Fc%25d")
+    assert(PathCodec.percentEncode("naïve") === "na%C3%AFve")
+    val tricky = "s3://bucket/päth with %/odd?&="
+    assert(PathCodec.percentDecode(PathCodec.percentEncode(tricky)) === tricky)
+  }
 }

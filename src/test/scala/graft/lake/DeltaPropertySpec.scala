@@ -1,0 +1,55 @@
+package graft.lake
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.SparkSuite
+
+/** Property: for ANY sequence of append/overwrite commits, reading the
+  * Delta log equals an in-memory replay of the same batches — and every
+  * intermediate version stays readable (time travel is total). */
+class DeltaPropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private case class Commit(overwrite: Boolean, rows: List[(Long, String)])
+
+  private val genCommit: Gen[Commit] = for {
+    ow <- Gen.prob(0.3)
+    n <- Gen.chooseNum(1, 5)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.choose(0L, 50L)
+      v <- Gen.alphaStr.map(_.take(3))
+    } yield (k, v))
+  } yield Commit(ow, rows)
+
+  private def replay(commits: List[Commit]): List[(Long, String)] =
+    commits.foldLeft(List.empty[(Long, String)]) { (st, c) =>
+      if (c.overwrite) c.rows else st ++ c.rows
+    }
+
+  test("delta log read == replay for random append/overwrite sequences") {
+    var i = 0
+    val prop = Prop.forAll(Gen.chooseNum(1, 4).flatMap(n =>
+      Gen.listOfN(n, genCommit))) { commits =>
+      i += 1
+      val dir = tmpDir(s"delta-prop-$i")
+      commits.zipWithIndex.foreach { case (c, idx) =>
+        val v = DeltaCompat.write(c.rows.toDF("k", "v"), dir,
+          mode = if (c.overwrite) "overwrite" else "append")
+        assert(v == idx.toLong)
+      }
+      val got = DeltaCompat.read(spark, dir)
+        .as[(Long, String)].collect().sorted.toList
+      val want = replay(commits).sorted
+      // Every intermediate version also reads back as its own replay.
+      val travelOk = commits.indices.forall { upTo =>
+        DeltaCompat.read(spark, dir, Some(upTo.toLong))
+          .as[(Long, String)].collect().sorted.toList ==
+          replay(commits.take(upTo + 1)).sorted
+      }
+      got == want && travelOk
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(result.passed, s"property failed: ${result.status}")
+  }
+}

@@ -191,16 +191,24 @@ class Mooncake(val warehouse: String) {
     val inserts = lastOps.filter(col("__op") =!= "D")
       .select(dataCols.map(col).toIndexedSeq: _*)
 
-    // File skipping on the leading pk column.
-    val keyBounds = affectedKeys
-      .agg(min(col(pk.head)).cast("long"), max(col(pk.head)).cast("long"))
-      .head()
-    val (loKey, hiKey) = (Option(keyBounds.get(0)).map(_.asInstanceOf[Long]),
-      Option(keyBounds.get(1)).map(_.asInstanceOf[Long]))
-    val (touched, untouched) = m.files.partition { f =>
-      (for { lo <- loKey; hi <- hiKey; fLo <- f.minKey; fHi <- f.maxKey }
-        yield fLo <= hi && fHi >= lo).getOrElse(true)
-    }
+    // File skipping on the leading pk column. The key-bounds job is only
+    // worth running when skipping can actually prune: more than one data
+    // file, at least one of them carrying stats.
+    val skippable = m.files.size > 1 && m.files.exists(_.minKey.isDefined)
+    val (touched, untouched) =
+      if (!skippable) (m.files, Seq.empty[DataFile])
+      else {
+        val keyBounds = affectedKeys
+          .agg(min(col(pk.head)).cast("long"), max(col(pk.head)).cast("long"))
+          .head()
+        val (loKey, hiKey) =
+          (Option(keyBounds.get(0)).map(_.asInstanceOf[Long]),
+            Option(keyBounds.get(1)).map(_.asInstanceOf[Long]))
+        m.files.partition { f =>
+          (for { lo <- loKey; hi <- hiKey; fLo <- f.minKey; fHi <- f.maxKey }
+            yield fLo <= hi && fHi >= lo).getOrElse(true)
+        }
+      }
 
     val survivors =
       if (touched.isEmpty) None

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Watermarked stream-stream interval join: orders match the user's
+  * events from the preceding 30 minutes. Both sides carry watermarks +
+  * the join carries an event-time range, so Spark can bound the buffered
+  * state — the property that keeps a stream-stream join alive at
+  * 100 TB/day (an unconstrained join would buffer both streams
+  * forever). */
+class StreamStreamJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def t(minute: Long): Timestamp =
+    Timestamp.valueOf(java.time.LocalDateTime.of(2026, 1, 1, 0, 0)
+      .plusMinutes(minute))
+
+  test("interval join matches only events within the time bound") {
+    implicit val sc = spark.sqlContext
+    val events = MemoryStream[(Long, Timestamp, String)]
+    val orders = MemoryStream[(Long, Timestamp, Long)]
+
+    val e = events.toDF().toDF("user_id", "ets", "etype")
+      .withWatermark("ets", "1 minute")
+    val o = orders.toDF().toDF("o_user", "ots", "o_id")
+      .withWatermark("ots", "1 minute")
+
+    val joined = o.join(e,
+      expr("""user_id = o_user AND
+              ets BETWEEN ots - INTERVAL 30 MINUTES AND ots"""))
+      .select(col("o_id"), col("user_id"), col("etype"))
+
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      events.addData((1L, t(0), "view"), (1L, t(20), "cart"),
+        (2L, t(5), "view"))
+      orders.addData((1L, t(25), 100L), (2L, t(50), 200L))
+      q.processAllAvailable()
+
+      val got = spark.table("ssj_out")
+        .as[(Long, Long, String)].collect().toSet
+      // order 100 (user 1 @ 0:25): events at 0:00 and 0:20 are in
+      // [-30m, 0]; order 200 (user 2 @ 0:50): the 0:05 view is older
+      // than 30 minutes — no match.
+      assert(got === Set((100L, 1L, "view"), (100L, 1L, "cart")), s"$got")
+    } finally q.stop()
+  }
+}

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.expressions.{AggExpressions => AE}
 
 /** The relational operator inventory of SURVEY.md §2.2–2.7, one named query
   * per operator family, each paired with DuckDB oracle SQL in
@@ -966,10 +967,14 @@ object RelationalQueries {
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        expr("percentile(l_quantity, 0.5)").as("median_qty"),
-        // One shared sort/state for both price percentiles (2.4x faster
-        // than two independent percentile aggregates on the same column).
-        expr("percentile(l_extendedprice, array(0.25, 0.75))").as("ps"))
+        // ExactPercentiles (TypedImperativeAggregate, flat double-array
+        // state) is value-identical to the built-in percentile but skips
+        // its boxed value->count hashmap; one shared state serves both
+        // price percentiles.
+        element_at(AE.exact_percentiles(col("l_quantity"), Seq(0.5)), 1)
+          .as("median_qty"),
+        AE.exact_percentiles(col("l_extendedprice"), Seq(0.25, 0.75))
+          .as("ps"))
       .select(col("l_returnflag"), col("median_qty"),
         element_at(col("ps"), 1).as("p25_price"),
         element_at(col("ps"), 2).as("p75_price"))

@@ -38,5 +38,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_cosine"),
       info("graft_cosine", "cosine similarity of two float vectors"),
       exprs => CosineSim(exprs(0), exprs(1))))
+    e.injectFunction(unary("graft_word_shingles",
+      "distinct 3-word shingles of a string", WordShingles(_, 3)))
+    e.injectFunction((FunctionIdentifier("graft_percentiles"),
+      info("graft_percentiles",
+        "exact interpolated percentiles of a double column " +
+          "(array literal of percentages)"),
+      exprs => ExactPercentiles(exprs.head,
+        exprs.tail.map(_.eval().asInstanceOf[Double]))
+        .toAggregateExpression()))
   }
 }

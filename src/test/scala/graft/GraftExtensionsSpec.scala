@@ -27,7 +27,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  graft_minhash(graft_shingle_hashes('a b c d e')) AS sig,
           |  graft_simhash(array(1L, 2L, 3L)) AS sh,
           |  graft_jaccard(array('a','b'), array('b','c')) AS j,
-          |  graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c
+          |  graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c,
+          |  graft_word_shingles('a b c d') AS ws
           |""".stripMargin).head()
       var acc = 0L
       "abc".foreach(ch => acc = (acc * 31 + ch) % 1000000007L)
@@ -35,6 +36,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(row.getSeq[Long](1).length === 16)
       assert(row.getDouble(3) === 1.0 / 3.0)
       assert(row.getDouble(4) === 1.0)
+      assert(row.getSeq[String](5) === Seq("a b c", "b c d"))
+      val pct = spark.sql(
+        """SELECT graft_percentiles(v, 0.5D, 0.25D) AS p
+          |FROM VALUES (1.0D), (2.0D), (3.0D), (4.0D) AS t(v)""".stripMargin)
+        .head().getSeq[Double](0)
+      assert(pct === Seq(2.5, 1.75))
     } finally {
       // restore the suite-shared session; never stop the shared context
       SparkSession.clearActiveSession()

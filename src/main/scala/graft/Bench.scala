@@ -25,6 +25,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.graft.cacheInputs", "true")
+      // shuffle/spill scratch on the fastest local volume (tmpfs here,
+      // local SSD on a real executor) — the root fs is 9p
+      .config("spark.local.dir", Scratch.dir("spark-local"))
+      // v2 committer: task outputs move to the destination at task
+      // commit, skipping the job-commit rename fan-out — fewer
+      // metadata round-trips per write job
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -224,6 +224,10 @@ class Mooncake(val warehouse: String) {
     val nFiles = (rewriteBytes / targetFileBytes).toInt + 1
     val clustered =
       if (pk.isEmpty) newRows
+      // single file: plain shuffle — range partitioning would add a
+      // sampling pass over the anti-join for bounds it doesn't need;
+      // the write-side in-partition sort already clusters the file
+      else if (nFiles == 1) newRows.repartition(1)
       else newRows.repartitionByRange(nFiles, pk.map(col): _*)
 
     try writeVersion(spark, name, clustered, pk, version,

@@ -23,7 +23,7 @@ object LakeQueries {
     * requires a genuine key. */
   val cdcApply: Q = (s, dir) => {
     val lake = new Mooncake(
-      java.nio.file.Files.createTempDirectory("graft-cdc-q").toString)
+      graft.Scratch.dir("graft-cdc-q"))
     val o = Tables.load(s, dir, "orders")
     lake.createTable(s, "orders_mirror", o, Seq("o_orderkey"))
 
@@ -54,7 +54,7 @@ object LakeQueries {
     * `mooncake.list_tables()` behavior). */
   val listTables: Q = (s, dir) => {
     val lake = new Mooncake(
-      java.nio.file.Files.createTempDirectory("graft-list-q").toString)
+      graft.Scratch.dir("graft-list-q"))
     lake.createTable(s, "nation_mirror", Tables.load(s, dir, "nation"),
       Seq("n_nationkey"))
     lake.createTable(s, "region_mirror", Tables.load(s, dir, "region"),
@@ -76,7 +76,7 @@ object LakeQueries {
     * mirror backfills from part of nation, the rest arrives as external
     * files, and the gated read must equal the whole source table. */
   val loadFiles: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-load-q").toString
+    val tmp = graft.Scratch.dir("graft-load-q")
     val lake = new Mooncake(s"$tmp/wh")
     val n = Tables.load(s, dir, "nation")
     lake.createTable(s, "nation_mirror", n.filter(col("n_nationkey") < 15),
@@ -99,7 +99,7 @@ object LakeQueries {
     * unchanged and file count dropped. */
   val optimizeScan: Q = (s, dir) => {
     val lake = new Mooncake(
-      java.nio.file.Files.createTempDirectory("graft-opt-q").toString)
+      graft.Scratch.dir("graft-opt-q"))
     val c = Tables.load(s, dir, "customer")
     lake.createTable(s, "cust_mirror", c.repartition(16), Seq("c_custkey"))
     val before = lake.currentManifest("cust_mirror").files.size
@@ -121,7 +121,7 @@ object LakeQueries {
     * equal the original source. */
   val snapshotTravel: Q = (s, dir) => {
     val lake = new Mooncake(
-      java.nio.file.Files.createTempDirectory("graft-snap-q").toString)
+      graft.Scratch.dir("graft-snap-q"))
     val r = Tables.load(s, dir, "region")
     lake.createTable(s, "region_mirror", r, Seq("r_regionkey"))
     val snapV = lake.createSnapshot("region_mirror")
@@ -140,7 +140,7 @@ object LakeQueries {
     * CHANGELOG.md:25,27): two append commits through our Delta-log
     * writer, read back by log replay — must equal the source table. */
   val deltaRoundtrip: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-delta-q").toString
+    val tmp = graft.Scratch.dir("graft-delta-q")
     val sup = Tables.load(s, dir, "supplier")
     graft.lake.DeltaCompat.write(sup.filter(col("s_suppkey") % 2 === 0), tmp)
     graft.lake.DeltaCompat.write(sup.filter(col("s_suppkey") % 2 =!= 0), tmp)

@@ -876,6 +876,29 @@ object RelationalQueries {
       |FROM orders WHERE o_orderkey <= 2000
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Relative-rank analytics: percent_rank = (rank-1)/(n-1) and
+    * cume_dist = peers≤/n — one double division each, identical op in
+    * both engines, over a unique total order. */
+  val windowPercent: Q = (s, dir) => {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 2000)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("o_orderkey")
+  }
+
+  val windowPercentSql: String =
+    """SELECT o_orderkey, o_orderstatus,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd
+      |FROM orders WHERE o_orderkey <= 2000
+      |WINDOW w AS (PARTITION BY o_orderstatus
+      |             ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Skew-safe two-stage (salted) aggregation: pre-aggregate on
     * (key, salt), then merge per key. Same result as the direct group-by
     * — which is exactly what the oracle asserts — but at 100 TB a hot
@@ -1216,6 +1239,7 @@ object RelationalQueries {
     "q_percentile" -> percentile,
     "q_typed_agg" -> typedAgg,
     "q_window_range" -> windowRange,
+    "q_window_percent" -> windowPercent,
     "q_salted_agg" -> saltedAgg,
     "q_scalar_struct" -> scalarStruct,
     "q_scalar_map" -> scalarMap,
@@ -1278,6 +1302,7 @@ object RelationalQueries {
     "q_percentile" -> percentileSql,
     "q_typed_agg" -> typedAggSql,
     "q_window_range" -> windowRangeSql,
+    "q_window_percent" -> windowPercentSql,
     "q_salted_agg" -> saltedAggSql,
     "q_scalar_struct" -> scalarStructSql,
     "q_scalar_map" -> scalarMapSql,

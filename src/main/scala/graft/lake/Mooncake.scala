@@ -124,6 +124,31 @@ class Mooncake(val warehouse: String) {
     readFiles(spark, m, m.files)
   }
 
+  /** Key-range scan with manifest-level file skipping — the reference's
+    * "no indexes; point lookups become columnar scans + file skipping"
+    * contract (`/root/reference/src/table.rs:172-199` + CHANGELOG.md:26).
+    * Files whose [minKey, maxKey] cannot intersect [lo, hi] are never
+    * opened; the residual predicate still applies row-level (and pushes
+    * into the parquet row-group stats). On a range-clustered mirror a
+    * point lookup touches one file regardless of table size. */
+  def readRange(spark: SparkSession, name: String, lo: Long, hi: Long,
+      atLeastVersion: Option[Long] = None): DataFrame = {
+    val m = require_(Manifest.latest(tableDir(name)), name)
+    atLeastVersion.foreach { v =>
+      if (m.flushVersion < v)
+        throw new StaleSnapshotException(
+          s"table '$name': reader requires version >= $v but flushVersion " +
+            s"is ${m.flushVersion}")
+    }
+    val key = m.pkColumns.headOption.getOrElse(
+      throw new IllegalStateException(s"table '$name' has no key to range-scan"))
+    val files = m.files.filter(f =>
+      (for (fLo <- f.minKey; fHi <- f.maxKey) yield fLo <= hi && fHi >= lo)
+        .getOrElse(true))
+    readFiles(spark, m, files)
+      .filter(col(key).cast("long") >= lo && col(key).cast("long") <= hi)
+  }
+
   /** Time travel: scan an explicit manifest version. */
   def readVersion(spark: SparkSession, name: String, version: Long): DataFrame = {
     val p = Paths.get(tableDir(name), "manifest", f"v$version%016d.json")

@@ -122,6 +122,22 @@ class MooncakeSpec extends SparkSuite {
     assert(lake.read(spark, "clus").count() === 5000)
   }
 
+  test("readRange opens only files whose key range intersects") {
+    val lake = freshLake()
+    val src = spark.range(0, 1000)
+      .select(col("id").as("a"), concat(lit("v"), col("id")).as("b"))
+      .repartitionByRange(8, col("a"))
+    lake.createTable(spark, "pt", src, Seq("a"))
+    assert(lake.currentManifest("pt").files.size === 8)
+
+    val scan = lake.readRange(spark, "pt", 250, 260)
+    val rows = scan.collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq === (250L to 260L))
+    // Only the file(s) covering [250, 260] participate (125-row files).
+    val filesScanned = scan.select(input_file_name()).distinct().count()
+    assert(filesScanned <= 2, s"expected <=2 files scanned, got $filesScanned")
+  }
+
   test("snapshot + time travel") {
     val lake = freshLake()
     lake.createTable(spark, "tt", rTable(1 -> "a", 2 -> "b"), Seq("a"))

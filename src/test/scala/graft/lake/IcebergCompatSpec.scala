@@ -1,0 +1,111 @@
+package graft.lake
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+
+import org.apache.avro.{Schema, SchemaBuilder}
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** IcebergCompat reads the real table layout: JSON metadata → Avro
+  * manifest list → Avro manifests → parquet. The table here is
+  * fabricated with the stock Avro writer using the spec's field names,
+  * including a DELETED (status=2) entry that must be skipped and a
+  * second snapshot for time travel. */
+class IcebergCompatSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val manifestEntrySchema: Schema = SchemaBuilder
+    .record("manifest_entry").fields()
+    .requiredInt("status")
+    .name("data_file").`type`(SchemaBuilder.record("data_file").fields()
+      .requiredString("file_path")
+      .requiredString("file_format")
+      .requiredLong("record_count")
+      .endRecord()).noDefault()
+    .endRecord()
+
+  private val manifestFileSchema: Schema = SchemaBuilder
+    .record("manifest_file").fields()
+    .requiredString("manifest_path")
+    .endRecord()
+
+  private def writeAvro(path: String, schema: Schema,
+      rows: Seq[GenericRecord]): Unit = {
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new File(path))
+    try rows.foreach(w.append) finally w.close()
+  }
+
+  private def entry(status: Int, file: String, n: Long): GenericRecord = {
+    val df = new GenericData.Record(
+      manifestEntrySchema.getField("data_file").schema())
+    df.put("file_path", file)
+    df.put("file_format", "PARQUET")
+    df.put("record_count", n)
+    val e = new GenericData.Record(manifestEntrySchema)
+    e.put("status", status)
+    e.put("data_file", df)
+    e
+  }
+
+  test("reads current + past snapshots of a fabricated Iceberg table") {
+    val dir = tmpDir("iceberg-compat")
+    Files.createDirectories(Paths.get(dir, "metadata"))
+    Files.createDirectories(Paths.get(dir, "data"))
+
+    // Two parquet data files + one that snapshot 2 marks deleted.
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$dir/data/f1")
+    Seq((3L, "c")).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$dir/data/f2")
+    def partOf(d: String): String =
+      Manifest.withListing(Paths.get(d))(_.filter(
+        _.getFileName.toString.endsWith(".parquet")).toSeq).head.toString
+    val (f1, f2) = (partOf(s"$dir/data/f1"), partOf(s"$dir/data/f2"))
+
+    // Snapshot 1: both files live. Snapshot 2: f2 deleted.
+    writeAvro(s"$dir/metadata/m1.avro", manifestEntrySchema,
+      Seq(entry(1, f1, 2), entry(1, f2, 1)))
+    writeAvro(s"$dir/metadata/m2.avro", manifestEntrySchema,
+      Seq(entry(0, f1, 2), entry(2, f2, 1)))
+    def mlist(name: String, manifest: String): Unit = {
+      val r = new GenericData.Record(manifestFileSchema)
+      r.put("manifest_path", manifest)
+      writeAvro(s"$dir/metadata/$name", manifestFileSchema, Seq(r))
+    }
+    mlist("ml1.avro", s"$dir/metadata/m1.avro")
+    mlist("ml2.avro", s"$dir/metadata/m2.avro")
+
+    val metadata = s"""{
+      |  "format-version": 2,
+      |  "current-snapshot-id": 200,
+      |  "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+      |    {"id": 1, "name": "k", "required": true, "type": "long"},
+      |    {"id": 2, "name": "v", "required": false, "type": "string"}]}],
+      |  "current-schema-id": 0,
+      |  "snapshots": [
+      |    {"snapshot-id": 100, "manifest-list": "$dir/metadata/ml1.avro"},
+      |    {"snapshot-id": 200, "manifest-list": "$dir/metadata/ml2.avro"}]
+      |}""".stripMargin
+    Files.write(Paths.get(dir, "metadata", "v2.metadata.json"),
+      metadata.getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "metadata", "version-hint.text"),
+      "2".getBytes("UTF-8"))
+
+    val head = IcebergCompat.read(spark, dir)
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(head === Seq(1L -> "a", 2L -> "b"), "snapshot 2 drops f2")
+
+    val past = IcebergCompat.read(spark, dir, snapshotId = Some(100L))
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(past === Seq(1L -> "a", 2L -> "b", 3L -> "c"))
+
+    assert(IcebergCompat.read(spark, dir).schema.fieldNames.toSeq
+      === Seq("k", "v"))
+  }
+}

@@ -1,13 +1,16 @@
 package graft.lake
 
 import java.io.File
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
 
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import org.apache.avro.file.DataFileReader
-import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.{Schema, SchemaBuilder}
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader,
+  GenericDatumWriter, GenericRecord}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types._
 
@@ -128,5 +131,145 @@ object IcebergCompat {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(dataFiles.sorted.distinct: _*)
+  }
+
+  // --------------------------------------------------------------------------
+  // write path (append / overwrite, one snapshot per commit)
+  // --------------------------------------------------------------------------
+
+  private val manifestEntrySchema: Schema = SchemaBuilder
+    .record("manifest_entry").fields()
+    .requiredInt("status")
+    .name("data_file").`type`(SchemaBuilder.record("data_file").fields()
+      .requiredString("file_path")
+      .requiredString("file_format")
+      .requiredLong("record_count")
+      .endRecord()).noDefault()
+    .endRecord()
+
+  private val manifestFileSchema: Schema = SchemaBuilder
+    .record("manifest_file").fields()
+    .requiredString("manifest_path")
+    .endRecord()
+
+  private def writeAvro(path: Path, schema: Schema,
+      rows: Seq[GenericRecord]): Unit = {
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new File(path.toString))
+    try rows.foreach(w.append) finally w.close()
+  }
+
+  private def toIcebergType(t: DataType): String = t match {
+    case BooleanType => "boolean"
+    case IntegerType => "int"
+    case LongType => "long"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case StringType => "string"
+    case BinaryType => "binary"
+    case DateType => "date"
+    case TimestampNTZType => "timestamp"
+    case TimestampType => "timestamptz"
+    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    case other => throw new UnsupportedOperationException(
+      s"Spark type $other out of this writer's Iceberg scope")
+  }
+
+  /** Append (or overwrite) `df` as one Iceberg snapshot; returns the new
+    * snapshot id. Produces the same layout [[read]] consumes: parquet
+    * under data/, one Avro manifest of ADDED files per commit, a
+    * manifest list per snapshot (prior manifests carried on append),
+    * versioned metadata JSON + version-hint. */
+  def write(df: DataFrame, tableDir: String, mode: String = "append"): Long = {
+    require(mode == "append" || mode == "overwrite", s"mode $mode")
+    val metaDir = Paths.get(tableDir, "metadata")
+    Files.createDirectories(metaDir)
+    Files.createDirectories(Paths.get(tableDir, "data"))
+
+    val (prevVersion, prevSnapshots, prevManifests) =
+      if (Files.exists(metaDir.resolve("version-hint.text"))) {
+        val meta = currentMetadata(tableDir)
+        val v = new String(Files.readAllBytes(
+          metaDir.resolve("version-hint.text")), "UTF-8").trim.toLong
+        val snaps = meta.get("snapshots").elements().asScala.toSeq
+          .map(s => (s.get("snapshot-id").asLong(),
+            s.get("manifest-list").asText()))
+        val currentId = meta.path("current-snapshot-id").asLong(-1)
+        val currentList = snaps.find(_._1 == currentId).map(_._2)
+        val manifests = currentList.toSeq.flatMap(ml =>
+          avroRecords(localPath(ml)).map(_.get("manifest_path").toString))
+        (v, snaps, manifests)
+      } else (0L, Seq.empty[(Long, String)], Seq.empty[String])
+
+    val version = prevVersion + 1
+    val snapshotId = version * 100
+
+    // Data files via Spark into a staging dir, moved under data/.
+    val stage = Files.createTempDirectory(Paths.get(tableDir), ".stage")
+    df.write.mode("overwrite").parquet(stage.toString)
+    val parts = Manifest.withListing(stage)(_.filter(
+      _.getFileName.toString.endsWith(".parquet")).toSeq).sortBy(_.toString)
+    val moved = parts.zipWithIndex.map { case (p, i) =>
+      val target = Paths.get(tableDir, "data",
+        f"$snapshotId%d-$i%05d-${UUID.randomUUID()}.parquet")
+      Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+      target.toString
+    }
+    val walk = Files.walk(stage)
+    try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+      .iterator().asScala.foreach(Files.delete)
+    finally walk.close()
+
+    val entries = moved.map { p =>
+      val d = new GenericData.Record(
+        manifestEntrySchema.getField("data_file").schema())
+      d.put("file_path", p)
+      d.put("file_format", "PARQUET")
+      d.put("record_count", 0L)
+      val e = new GenericData.Record(manifestEntrySchema)
+      e.put("status", 1) // ADDED
+      e.put("data_file", d)
+      e: GenericRecord
+    }
+    val manifestPath = metaDir.resolve(f"m-$snapshotId%d.avro")
+    writeAvro(manifestPath, manifestEntrySchema, entries)
+
+    val listManifests =
+      (if (mode == "append") prevManifests else Seq.empty) :+
+        manifestPath.toString
+    val listPath = metaDir.resolve(f"ml-$snapshotId%d.avro")
+    writeAvro(listPath, manifestFileSchema, listManifests.map { m =>
+      val r = new GenericData.Record(manifestFileSchema)
+      r.put("manifest_path", m)
+      r: GenericRecord
+    })
+
+    val fields = df.schema.fields.zipWithIndex.map { case (f, i) =>
+      s"""{"id": ${i + 1}, "name": "${f.name}", """ +
+        s""""required": ${!f.nullable}, "type": "${toIcebergType(f.dataType)}"}"""
+    }.mkString(", ")
+    val snapshotsJson = (prevSnapshots :+
+      (snapshotId, listPath.toString)).map { case (id, ml) =>
+      s"""{"snapshot-id": $id, "manifest-list": "$ml"}"""
+    }.mkString(", ")
+    val metadata =
+      s"""{
+         |  "format-version": 2,
+         |  "current-snapshot-id": $snapshotId,
+         |  "schemas": [{"schema-id": 0, "type": "struct",
+         |               "fields": [$fields]}],
+         |  "current-schema-id": 0,
+         |  "snapshots": [$snapshotsJson]
+         |}""".stripMargin
+    val tmp = Files.createTempFile(metaDir, ".tmp-meta", ".json")
+    Files.write(tmp, metadata.getBytes("UTF-8"))
+    Files.move(tmp, metaDir.resolve(s"v$version.metadata.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+    val tmpHint = Files.createTempFile(metaDir, ".tmp-hint", ".txt")
+    Files.write(tmpHint, version.toString.getBytes("UTF-8"))
+    Files.move(tmpHint, metaDir.resolve("version-hint.text"),
+      StandardCopyOption.ATOMIC_MOVE)
+    snapshotId
   }
 }

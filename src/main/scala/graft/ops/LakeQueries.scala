@@ -151,7 +151,24 @@ object LakeQueries {
   val deltaRoundtripSql: String =
     "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"
 
+  /** Iceberg interop (≈ the reference's Iceberg surface — it stores
+    * mirrors as Iceberg and reads existing Iceberg tables,
+    * README.md:13 / CHANGELOG.md:25): two append snapshots through our
+    * Iceberg writer, read back by metadata/manifest replay. */
+  val icebergRoundtrip: Q = (s, dir) => {
+    val tmp = graft.Scratch.dir("graft-iceberg-q")
+    val p = Tables.load(s, dir, "part")
+      .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+    graft.lake.IcebergCompat.write(p.filter(col("p_partkey") % 2 === 0), tmp)
+    graft.lake.IcebergCompat.write(p.filter(col("p_partkey") % 2 =!= 0), tmp)
+    graft.lake.IcebergCompat.read(s, tmp)
+  }
+
+  val icebergRoundtripSql: String =
+    "SELECT p_partkey, p_name, p_brand, p_retailprice FROM part"
+
   val queries: Map[String, Q] = Map(
+    "q_iceberg_roundtrip" -> icebergRoundtrip,
     "q_delta_roundtrip" -> deltaRoundtrip,
     "q_cdc_apply" -> cdcApply,
     "q_mooncake_list_tables" -> listTables,
@@ -161,6 +178,7 @@ object LakeQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_iceberg_roundtrip" -> icebergRoundtripSql,
     "q_delta_roundtrip" -> deltaRoundtripSql,
     "q_cdc_apply" -> cdcApplySql,
     "q_mooncake_list_tables" -> listTablesSql,

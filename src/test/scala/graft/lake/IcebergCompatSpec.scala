@@ -108,4 +108,20 @@ class IcebergCompatSpec extends SparkSuite {
     assert(IcebergCompat.read(spark, dir).schema.fieldNames.toSeq
       === Seq("k", "v"))
   }
+
+  test("writer round-trip: append snapshots accumulate, overwrite resets") {
+    val dir = tmpDir("iceberg-write")
+    val s1 = IcebergCompat.write(Seq((1L, "a")).toDF("k", "v"), dir)
+    val s2 = IcebergCompat.write(Seq((2L, "b")).toDF("k", "v"), dir)
+    assert(s1 !== s2)
+    assert(IcebergCompat.read(spark, dir).as[(Long, String)]
+      .collect().sorted.toSeq === Seq(1L -> "a", 2L -> "b"))
+    // time travel to the first snapshot
+    assert(IcebergCompat.read(spark, dir, Some(s1)).as[(Long, String)]
+      .collect().toSeq === Seq(1L -> "a"))
+    IcebergCompat.write(Seq((9L, "z")).toDF("k", "v"), dir,
+      mode = "overwrite")
+    assert(IcebergCompat.read(spark, dir).as[(Long, String)]
+      .collect().toSeq === Seq(9L -> "z"))
+  }
 }

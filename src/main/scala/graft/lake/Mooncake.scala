@@ -275,6 +275,15 @@ class Mooncake(val warehouse: String) {
     m.version
   }
 
+  /** Export the mirror's current snapshot as an Iceberg table — the
+    * reference's mirrors ARE Iceberg (`iceberg_warehouse_location`,
+    * `src/functions.rs:89,98`); here the versioned JSON manifest is the
+    * primary format and this materializes the interop copy any Iceberg
+    * reader can scan. Returns the Iceberg snapshot id. */
+  def exportIceberg(spark: SparkSession, name: String,
+      destDir: String): Long =
+    IcebergCompat.write(read(spark, name), destDir, mode = "overwrite")
+
   /** Bulk-append external files (≈ `mooncake.load_files`,
     * `src/functions.rs:118-130`; formats per CHANGELOG.md:24). Columns are
     * aligned by name and cast to the table schema. */

@@ -124,4 +124,14 @@ class IcebergCompatSpec extends SparkSuite {
     assert(IcebergCompat.read(spark, dir).as[(Long, String)]
       .collect().toSeq === Seq(9L -> "z"))
   }
+
+  test("mirror exports its snapshot as an Iceberg table") {
+    val lake = new Mooncake(tmpDir("iceberg-export-wh"))
+    lake.createTable(spark, "m",
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"))
+    val dest = tmpDir("iceberg-export")
+    lake.exportIceberg(spark, "m", dest)
+    assert(IcebergCompat.read(spark, dest).as[(Long, String)]
+      .collect().sorted.toSeq === Seq(1L -> "a", 2L -> "b"))
+  }
 }

@@ -210,6 +210,27 @@ class MooncakeSpec extends SparkSuite {
     assert(lake.listTables(spark).count() === 0)
   }
 
+  test("invalid transitions are refused: duplicate create, stale version, torn commit") {
+    val lake = freshLake()
+    lake.createTable(spark, "g", rTable(1 -> "a"), Seq("a"))
+    assertThrows[IllegalStateException] {
+      lake.createTable(spark, "g", rTable(2 -> "b"), Seq("a"))
+    }
+    lake.applyChanges(spark, "g",
+      Seq((2, "b", "I")).toDF("a", "b", "__op"), version = 2)
+    // non-monotone batch version (checkpoint-replay class) is rejected
+    assertThrows[IllegalArgumentException] {
+      lake.applyChanges(spark, "g",
+        Seq((3, "c", "I")).toDF("a", "b", "__op"), version = 2)
+    }
+    // a concurrent writer landing the same manifest version must fail
+    val m = lake.currentManifest("g")
+    assertThrows[IllegalStateException] {
+      Manifest.commit(
+        java.nio.file.Paths.get(lake.warehouse, "main.g").toString, m)
+    }
+  }
+
   test("identifier parsing follows the reference's lexical rules") {
     assert(Identifier.parse("Foo") === Identifier("main", "foo"))
     assert(Identifier.parse("s.T") === Identifier("s", "t"))

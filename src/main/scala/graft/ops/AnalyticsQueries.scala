@@ -113,6 +113,26 @@ object AnalyticsQueries {
       |QUALIFY rn <= 3
       |ORDER BY o_orderstatus, rn""".stripMargin
 
+  /** DISTINCT ON (the Postgres idiom the reference's users write): one
+    * row per customer — their single largest order. Spark expresses it
+    * as rank-1 over the same ordering; DuckDB ships DISTINCT ON
+    * natively. Same one-shuffle shape as [[topkPerGroup]]. */
+  val distinctOn: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .filter(col("o_custkey") <= 300)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy("o_custkey")
+  }
+
+  val distinctOnSql: String =
+    """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+      |FROM orders WHERE o_custkey <= 300
+      |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
   /** LATERAL join (correlated table subquery): each customer's 2 largest
     * orders. Catalyst decorrelates this into a ranked window over one
     * shuffle of the right side — same physical shape as
@@ -162,6 +182,7 @@ object AnalyticsQueries {
     "q_recursive_cte" -> recursiveCte,
     "q_topk_per_group" -> topkPerGroup,
     "q_join_lateral" -> joinLateral,
+    "q_distinct_on" -> distinctOn,
     "q_sample_hash" -> sampleHash,
   )
 
@@ -171,6 +192,7 @@ object AnalyticsQueries {
     "q_recursive_cte" -> recursiveCteSql,
     "q_topk_per_group" -> topkPerGroupSql,
     "q_join_lateral" -> joinLateralSql,
+    "q_distinct_on" -> distinctOnSql,
     "q_sample_hash" -> sampleHashSql,
   )
 }

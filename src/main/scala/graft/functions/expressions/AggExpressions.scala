@@ -4,12 +4,16 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.{Add, AttributeReference,
+  Cast, CreateNamedStruct, Divide, Expression, If, IsNull, Literal, Multiply,
+  UnscaledValue}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  DeclarativeAggregate, TypedImperativeAggregate}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType,
+  DoubleType, LongType, StructField, StructType}
 
 /** Growable flat double buffer — the aggregation state of
   * [[ExactPercentiles]]. Primitive array, no boxing. */
@@ -107,10 +111,69 @@ case class ExactPercentiles(
     copy(child = c)
 }
 
+/** Single-pass exact moments (n, Σx, Σx²) of a decimal column as a
+  * DeclarativeAggregate — pure Catalyst expressions, so the whole
+  * update/merge path lives inside whole-stage codegen'd HashAggregate
+  * (no imperative buffer at all; the third aggregate API next to
+  * `Aggregator` and `TypedImperativeAggregate`).
+  *
+  * State is long "cents": `UnscaledValue` of the decimal input, so sums
+  * are exact integers and the final doubles are correctly-rounded
+  * divisions by 10^scale — bit-identical to
+  * `CAST(sum(decimal) AS DOUBLE)` in both engines. Bounds: Σ|x|·10^s
+  * and Σx²·10^2s must stay under 2^53 (exactness) — fine for
+  * quantity-like columns at any n this engine meets; money columns at
+  * extreme n would move s2 to a decimal buffer. */
+case class DecimalMoments(child: Expression)
+  extends DeclarativeAggregate with UnaryLike[Expression] {
+
+  private def scaleOf: Int = child.dataType.asInstanceOf[DecimalType].scale
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("s1", DoubleType, nullable = false),
+    StructField("s2", DoubleType, nullable = false)))
+  override def nullable: Boolean = false
+
+  private lazy val n = AttributeReference("n", LongType, nullable = false)()
+  private lazy val c1 = AttributeReference("c1", LongType, nullable = false)()
+  private lazy val c2 = AttributeReference("c2", LongType, nullable = false)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(n, c1, c2)
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(0L), Literal(0L), Literal(0L))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val cents = UnscaledValue(child)
+    Seq(
+      If(IsNull(child), n, Add(n, Literal(1L))),
+      If(IsNull(child), c1, Add(c1, cents)),
+      If(IsNull(child), c2, Add(c2, Multiply(cents, cents))))
+  }
+
+  override lazy val mergeExpressions: Seq[Expression] = Seq(
+    Add(n.left, n.right), Add(c1.left, c1.right), Add(c2.left, c2.right))
+
+  override lazy val evaluateExpression: Expression = CreateNamedStruct(Seq(
+    Literal("n"), n,
+    Literal("s1"),
+    Divide(Cast(c1, DoubleType), Literal(math.pow(10, scaleOf))),
+    Literal("s2"),
+    Divide(Cast(c2, DoubleType), Literal(math.pow(10, 2 * scaleOf)))))
+
+  override protected def withNewChildInternal(c: Expression): DecimalMoments =
+    copy(child = c)
+}
+
 object AggExpressions {
   import ColumnBridge.{column, expression => expr}
 
   /** Array of exact interpolated percentiles of a double column. */
   def exact_percentiles(c: Column, ps: Seq[Double]): Column =
     column(ExactPercentiles(expr(c), ps).toAggregateExpression())
+
+  /** Struct(n, s1, s2) of exact single-pass moments of a decimal column. */
+  def decimal_moments(c: Column): Column =
+    column(DecimalMoments(expr(c)).toAggregateExpression())
 }

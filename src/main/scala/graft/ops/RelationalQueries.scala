@@ -411,21 +411,20 @@ object RelationalQueries {
       |FROM orders GROUP BY o_orderstatus, o_orderpriority
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
 
-  /** Sample variance derived from exact decimal sums (Σx, Σx², n) — both
-    * engines then run the identical double formula, so the result
-    * reproduces where a native stddev (order-dependent accumulation) would
-    * not. This is also the map-side-combinable formulation you want at
-    * 100 TB: two decimal sums + a count, no second pass. */
+  /** Sample variance derived from exact single-pass moments (n, Σx, Σx²)
+    * — both engines then run the identical double formula, so the result
+    * reproduces where a native stddev (order-dependent accumulation)
+    * would not. DecimalMoments is a DeclarativeAggregate (pure Catalyst
+    * expressions over an exact long-cents buffer), so the whole state
+    * machine codegens inside the hash aggregate — the
+    * map-side-combinable one-pass formulation you want at 100 TB. */
   val aggVariance: Q = (s, dir) =>
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(
-        sum(dec(col("l_quantity"))).cast("double").as("s1"),
-        sum(dec(col("l_quantity")) * dec(col("l_quantity"))).cast("double").as("s2"),
-        count("*").as("n"))
-      .select(col("l_returnflag"), col("n"),
-        ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
-          .as("var_qty"))
+      .agg(AE.decimal_moments(dec(col("l_quantity"))).as("m"))
+      .select(col("l_returnflag"), col("m.n").as("n"),
+        ((col("m.s2") - col("m.s1") * col("m.s1") / col("m.n"))
+          / (col("m.n") - 1)).as("var_qty"))
       .orderBy("l_returnflag")
 
   val aggVarianceSql: String =

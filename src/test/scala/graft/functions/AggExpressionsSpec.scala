@@ -30,6 +30,26 @@ class AggExpressionsSpec extends SparkSuite {
     }
   }
 
+  test("decimal_moments == separate decimal sums bitwise") {
+    val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+    val dec = col("l_quantity").cast("decimal(18,2)")
+    val got = li.groupBy("l_returnflag")
+      .agg(AE.decimal_moments(dec).as("m"),
+        sum(dec).cast("double").as("s1"),
+        sum(dec * dec).cast("double").as("s2"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val m = r.getStruct(1)
+      assert(m.getLong(0) === r.getLong(4), "n")
+      assert(java.lang.Double.doubleToLongBits(m.getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), "s1")
+      assert(java.lang.Double.doubleToLongBits(m.getDouble(2)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), "s2")
+    }
+  }
+
   test("empty and single-value groups") {
     import spark.implicits._
     val df = Seq(("a", 5.0)).toDF("g", "v")

@@ -170,11 +170,13 @@ object AnalyticsQueries {
       .filter(((col("l_orderkey") * 2654435761L + 97531L) % 1000000007L)
         % 100 < 5)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
 
   val sampleHashSql: String =
     """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
       |FROM lineitem
-      |WHERE ((l_orderkey * 2654435761 + 97531) % 1000000007) % 100 < 5""".stripMargin
+      |WHERE ((l_orderkey * 2654435761 + 97531) % 1000000007) % 100 < 5
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q_pivot" -> pivotStatus,

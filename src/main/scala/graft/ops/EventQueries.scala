@@ -60,6 +60,7 @@ object EventQueries {
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+      .orderBy("user_id", "session_id")
   }
 
   val sessionizeSql: String =
@@ -77,7 +78,8 @@ object EventQueries {
       |SELECT user_id, session_id, count(*) AS n_events,
       |  min(ts) AS session_start, max(ts) AS session_end,
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
-      |FROM sess GROUP BY user_id, session_id""".stripMargin
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
 
   /** JSON property extraction feeding an aggregation (the props column is
     * the PG json class, SURVEY.md §1.3). */
@@ -110,6 +112,7 @@ object EventQueries {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("window.start").as("wstart"), col("window.end").as("wend"),
         col("event_type"), col("n"), col("sum_value"))
+      .orderBy("wstart", "event_type")
 
   val slidingSql: String =
     """WITH fanned AS (
@@ -121,7 +124,8 @@ object EventQueries {
       |SELECT wstart, wstart + INTERVAL 1 HOUR AS wend, event_type,
       |  count(*) AS n,
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-      |FROM fanned GROUP BY wstart, event_type""".stripMargin
+      |FROM fanned GROUP BY wstart, event_type
+      |ORDER BY wstart, event_type""".stripMargin
 
   /** Approximate distinct users (HLL sketch) — Spark-side only: sketch
     * internals are engine-specific, so this takes the rows-only check.

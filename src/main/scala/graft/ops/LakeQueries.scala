@@ -38,6 +38,7 @@ object LakeQueries {
 
     lake.read(s, "orders_mirror", atLeastVersion = Some(2))
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
   }
 
   val cdcApplySql: String =
@@ -45,7 +46,8 @@ object LakeQueries {
       |  CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1
       |       ELSE o_totalprice END AS o_totalprice
       |FROM orders
-      |WHERE o_orderkey % 100 <> 0""".stripMargin
+      |WHERE o_orderkey % 100 <> 0
+      |ORDER BY o_orderkey""".stripMargin
 
   /** The management surface: create two mirrors, snapshot one, list them —
     * checks the list_tables column contract. The oracle is a golden VALUES
@@ -146,10 +148,12 @@ object LakeQueries {
     graft.lake.DeltaCompat.write(sup.filter(col("s_suppkey") % 2 =!= 0), tmp)
     graft.lake.DeltaCompat.read(s, tmp)
       .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .orderBy("s_suppkey")
   }
 
   val deltaRoundtripSql: String =
-    "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+      |ORDER BY s_suppkey""".stripMargin
 
   /** Iceberg interop (≈ the reference's Iceberg surface — it stores
     * mirrors as Iceberg and reads existing Iceberg tables,
@@ -161,11 +165,12 @@ object LakeQueries {
       .select("p_partkey", "p_name", "p_brand", "p_retailprice")
     graft.lake.IcebergCompat.write(p.filter(col("p_partkey") % 2 === 0), tmp)
     graft.lake.IcebergCompat.write(p.filter(col("p_partkey") % 2 =!= 0), tmp)
-    graft.lake.IcebergCompat.read(s, tmp)
+    graft.lake.IcebergCompat.read(s, tmp).orderBy("p_partkey")
   }
 
   val icebergRoundtripSql: String =
-    "SELECT p_partkey, p_name, p_brand, p_retailprice FROM part"
+    """SELECT p_partkey, p_name, p_brand, p_retailprice FROM part
+      |ORDER BY p_partkey""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q_iceberg_roundtrip" -> icebergRoundtrip,

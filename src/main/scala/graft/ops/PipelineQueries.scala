@@ -332,7 +332,11 @@ object PipelineQueries {
       .select(col("doc_a"), explode(col("ids")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", lit(0L))
-    crossSig.unionAll(withinSig)
+    // The trailing sort exists for deterministic output order; its range
+    // sampling re-executes the pair pipeline once, which is still the
+    // cheapest deterministic variant (single-partition and persist-first
+    // sorts both measured slower on the 2.4M-pair sf0.1 output).
+    crossSig.unionAll(withinSig).orderBy("doc_a", "doc_b")
   }
 
   val dedupSimhashSql: String = {
@@ -351,7 +355,8 @@ object PipelineQueries {
        |  bit_count(xor(a.sh, b.sh)) AS hamming
        |FROM k a JOIN k b
        |  ON (a.hi = b.hi OR a.lo = b.lo) AND a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.sh, b.sh)) <= 6""".stripMargin
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 6
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   /** Embedding-cosine near-dup pairs (the semantic-dedup class): all
@@ -373,6 +378,9 @@ object PipelineQueries {
         // oracle's dot/(sqrt(na)*sqrt(nb)) exactly.
         SVE.cosine_sim(col("ea"), col("eb")).as("cos"))
       .filter(col("cos") >= 0.45)
+      // single-pass deterministic order (orderBy's range sampling would
+      // re-run the all-pairs cosine stage once more — see dedupSimhash)
+      .repartition(1).sortWithinPartitions("vec_a", "vec_b")
   }
 
   val dedupEmbedSql: String = {
@@ -384,7 +392,8 @@ object PipelineQueries {
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |    $dotAB / (a.nrm * b.nrm) AS cos
        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
-       |WHERE cos >= 0.45""".stripMargin
+       |WHERE cos >= 0.45
+       |ORDER BY vec_a, vec_b""".stripMargin
   }
 
   // ===========================================================================

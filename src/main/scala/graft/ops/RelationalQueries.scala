@@ -44,10 +44,11 @@ object RelationalQueries {
   val scanProject: Q = (s, dir) =>
     t(s, dir, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
 
   val scanProjectSql: String =
     """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-      |FROM lineitem""".stripMargin
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   /** generate_series equivalent (partitioned_table.sql:5 seeds rows this
     * way): spark.range is a parallel, partitioned source — no driver loop. */
@@ -70,11 +71,13 @@ object RelationalQueries {
       .filter(col("l_quantity") < 10 && col("l_extendedprice") > 20000 &&
         col("l_linestatus") === "F")
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
 
   val filterCompareSql: String =
     """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
       |FROM lineitem
-      |WHERE l_quantity < 10 AND l_extendedprice > 20000 AND l_linestatus = 'F'""".stripMargin
+      |WHERE l_quantity < 10 AND l_extendedprice > 20000 AND l_linestatus = 'F'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   /** Boolean connectives OR/AND/NOT, IN, BETWEEN, IS NOT NULL
     * (partitioned_table.sql:9 exercises the OR class). */
@@ -85,12 +88,14 @@ object RelationalQueries {
         !(col("o_orderpriority") === "5-LOW") &&
         col("o_custkey").isNotNull)
       .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      .orderBy("o_orderkey")
 
   val filterBoolSql: String =
     """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
       |FROM orders
       |WHERE (o_orderstatus IN ('F','P') OR o_totalprice BETWEEN 1000 AND 5000)
-      |  AND NOT (o_orderpriority = '5-LOW') AND o_custkey IS NOT NULL""".stripMargin
+      |  AND NOT (o_orderpriority = '5-LOW') AND o_custkey IS NOT NULL
+      |ORDER BY o_orderkey""".stripMargin
 
   /** LIKE / ILIKE / regex predicates. */
   val filterLike: Q = (s, dir) =>
@@ -135,11 +140,13 @@ object RelationalQueries {
     o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
         col("c_mktsegment"), col("o_totalprice"))
+      .orderBy("o_orderkey")
   }
 
   val joinInnerSql: String =
     """SELECT o_orderkey, c_custkey, c_name, c_mktsegment, o_totalprice
-      |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin
 
   /** Left outer join — customers that never ordered keep NULL order cols.
     * NULLS FIRST is pinned on both sides (Spark asc default = nulls first,
@@ -149,12 +156,14 @@ object RelationalQueries {
     val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
     c.join(o, c("c_custkey") === o("o_custkey"), "left")
       .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
   }
 
   val joinLeftSql: String =
     """SELECT c_custkey, o_orderkey, o_totalprice
       |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
-      |  ON c_custkey = o_custkey""".stripMargin
+      |  ON c_custkey = o_custkey
+      |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin
 
   /** Right outer join (mirror of left). */
   val joinRight: Q = (s, dir) => {
@@ -162,12 +171,14 @@ object RelationalQueries {
     val c = t(s, dir, "customer")
     o.join(c, o("o_custkey") === c("c_custkey"), "right")
       .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
   }
 
   val joinRightSql: String =
     """SELECT c_custkey, o_orderkey, o_totalprice
       |FROM (SELECT * FROM orders WHERE o_totalprice > 300000) o
-      |RIGHT JOIN customer ON o_custkey = c_custkey""".stripMargin
+      |RIGHT JOIN customer ON o_custkey = c_custkey
+      |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin
 
   /** Full outer join of two disjoint-ish aggregates (nation sides of
     * customer vs supplier). Full outer cannot broadcast — it shuffles both
@@ -315,12 +326,14 @@ object RelationalQueries {
         rightPayload = Seq("ts"),
         tieBreak = Seq("event_id"))
       .select("o_orderkey", "asof_ts")
+      .orderBy("o_orderkey")
   }
 
   val joinAsofSql: String =
     """SELECT o_orderkey, e.ts AS asof_ts
       |FROM orders o ASOF LEFT JOIN events e
-      |  ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate""".stripMargin
+      |  ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+      |ORDER BY o_orderkey""".stripMargin
 
   // ===========================================================================
   // §2.5 aggregation
@@ -537,6 +550,7 @@ object RelationalQueries {
         ntile(4).over(wUnique).as("quartile"),
         rank().over(wTies).as("rk"),
         dense_rank().over(wTies).as("drk"))
+      .orderBy("o_orderkey")
   }
 
   val windowRankSql: String =
@@ -548,7 +562,8 @@ object RelationalQueries {
       |FROM orders
       |WINDOW w1 AS (PARTITION BY o_orderstatus
       |              ORDER BY o_totalprice DESC, o_orderkey),
-      |       w2 AS (PARTITION BY o_orderstatus ORDER BY o_orderdate)""".stripMargin
+      |       w2 AS (PARTITION BY o_orderstatus ORDER BY o_orderdate)
+      |ORDER BY o_orderkey""".stripMargin
 
   /** lag / lead / first_value / last_value over a unique per-supplier
     * ordering. */
@@ -562,6 +577,7 @@ object RelationalQueries {
         lag(col("l_extendedprice"), 1).over(w).as("prev_price"),
         lead(col("l_extendedprice"), 1).over(w).as("next_price"),
         first(col("l_extendedprice")).over(w).as("first_price"))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
   }
 
   val windowLagLeadSql: String =
@@ -571,7 +587,8 @@ object RelationalQueries {
       |  first_value(l_extendedprice) OVER w AS first_price
       |FROM lineitem WHERE l_suppkey <= 5
       |WINDOW w AS (PARTITION BY l_suppkey
-      |             ORDER BY l_shipdate, l_orderkey, l_linenumber)""".stripMargin
+      |             ORDER BY l_shipdate, l_orderkey, l_linenumber)
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
 
   /** Framed aggregate: running decimal sum ROWS UNBOUNDED PRECEDING. */
   val windowFrame: Q = (s, dir) => {
@@ -637,12 +654,14 @@ object RelationalQueries {
       .select(col("o_orderkey"), col("o_totalprice"))
       .unionAll(o.filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey"), col("o_totalprice")))
+      .orderBy("o_orderkey", "o_totalprice")
   }
 
   val unionAllSql: String =
     """SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000
       |UNION ALL
-      |SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin
+      |SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+      |ORDER BY o_orderkey, o_totalprice""".stripMargin
 
   /** UNION (distinct). */
   val unionDistinct: Q = (s, dir) =>

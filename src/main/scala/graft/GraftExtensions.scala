@@ -42,10 +42,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "distinct 3-word shingles of a string", WordShingles(_, 3)))
     e.injectFunction((FunctionIdentifier("graft_percentiles"),
       info("graft_percentiles",
-        "exact interpolated percentiles of a double column " +
-          "(array literal of percentages)"),
+        "exact interpolated percentiles of a numeric column " +
+          "(varargs foldable percentage scalars in [0, 1])"),
       exprs => ExactPercentiles(exprs.head,
-        exprs.tail.map(_.eval().asInstanceOf[Double]))
-        .toAggregateExpression()))
+        exprs.tail.map(percentage)).toAggregateExpression()))
+  }
+
+  /** Evaluate a foldable percentage argument numerically — SQL parses an
+    * unsuffixed literal like `0.5` as DECIMAL(1,1), not DOUBLE. */
+  private def percentage(e: Expression): Double = e.eval() match {
+    case d: java.lang.Double => d
+    case f: java.lang.Float => f.toDouble
+    case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+    case n: java.lang.Number => n.doubleValue
+    case other => throw new IllegalArgumentException(
+      s"graft_percentiles: percentage must be a numeric literal, got $other")
   }
 }

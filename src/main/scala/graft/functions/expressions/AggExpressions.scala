@@ -5,8 +5,8 @@ import java.nio.ByteBuffer
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Add, AttributeReference,
-  Cast, CreateNamedStruct, Divide, Expression, If, IsNull, Literal, Multiply,
-  UnscaledValue}
+  Cast, CreateNamedStruct, Divide, Expression, If, ImplicitCastInputTypes,
+  IsNull, Literal, Multiply, UnscaledValue}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   DeclarativeAggregate, TypedImperativeAggregate}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -52,8 +52,12 @@ case class ExactPercentiles(
     percentages: Seq[Double],
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[DoubleBuffer] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[DoubleBuffer] with ImplicitCastInputTypes
+  with UnaryLike[Expression] {
 
+  // Numeric inputs are implicitly cast to double by the analyzer;
+  // non-numeric inputs fail analysis instead of CCEing at runtime.
+  override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(DoubleType)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = true
 

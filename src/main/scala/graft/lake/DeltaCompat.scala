@@ -71,17 +71,30 @@ object DeltaCompat {
           if (mrv > 1) throw new UnsupportedOperationException(
             s"$table requires Delta reader version $mrv — only 1 supported")
         }
-        if (node.has("metaData"))
-          state = state.copy(schemaJson =
-            Some(node.get("metaData").get("schemaString").asText()))
+        if (node.has("metaData")) {
+          val md = node.get("metaData")
+          // Partition-column values live only in add.partitionValues, not
+          // in the parquet data files — scanning them with the full
+          // schema would return NULL partition columns. Refuse rather
+          // than mis-read (same discipline as checkpoints above).
+          val partCols = md.path("partitionColumns")
+          if (partCols.isArray && partCols.size() > 0)
+            throw new UnsupportedOperationException(
+              s"$table is partitioned (${partCols.size()} partition " +
+                "columns) — out of this reader's protocol scope")
+          state = state.copy(schemaJson = Some(md.get("schemaString").asText()))
+        }
+        // Per the Delta spec, add/remove paths are percent-encoded
+        // relative paths — decode before resolving against the root.
         if (node.has("add")) {
           val a = node.get("add")
           state = state.copy(files = state.files +
-            (a.get("path").asText() -> a.path("size").asLong(0)))
+            (PathCodec.percentDecode(a.get("path").asText()) ->
+              a.path("size").asLong(0)))
         }
         if (node.has("remove"))
-          state = state.copy(files =
-            state.files - node.get("remove").get("path").asText())
+          state = state.copy(files = state.files -
+            PathCodec.percentDecode(node.get("remove").get("path").asText()))
       }
     }
     state

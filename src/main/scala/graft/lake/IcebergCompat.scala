@@ -137,27 +137,91 @@ object IcebergCompat {
   // write path (append / overwrite, one snapshot per commit)
   // --------------------------------------------------------------------------
 
-  private val manifestEntrySchema: Schema = SchemaBuilder
-    .record("manifest_entry").fields()
-    .requiredInt("status")
-    .name("data_file").`type`(SchemaBuilder.record("data_file").fields()
+  /** Attach Iceberg `field-id` props (numeric, as the spec's Avro schema
+    * mapping requires) to every field of a record schema. */
+  private def withFieldIds(schema: Schema, ids: Map[String, Int]): Schema = {
+    schema.getFields.asScala.foreach(f =>
+      ids.get(f.name).foreach(id => f.addProp("field-id", id: Integer)))
+    schema
+  }
+
+  /** manifest_entry per spec v2: status + inheritance-eligible ids written
+    * explicitly + the required data_file struct (content, path, format,
+    * partition, record_count, file_size_in_bytes). The `partition` field
+    * is the empty struct `r102` — this writer only emits unpartitioned
+    * data (the reader refuses partitioned tables likewise). */
+  private val manifestEntrySchema: Schema = {
+    val dataFile = withFieldIds(SchemaBuilder.record("data_file").fields()
+      .requiredInt("content")
       .requiredString("file_path")
       .requiredString("file_format")
+      .name("partition").`type`(
+        SchemaBuilder.record("r102").fields().endRecord()).noDefault()
       .requiredLong("record_count")
-      .endRecord()).noDefault()
-    .endRecord()
+      .requiredLong("file_size_in_bytes")
+      .endRecord(),
+      Map("content" -> 134, "file_path" -> 100, "file_format" -> 101,
+        "partition" -> 102, "record_count" -> 103,
+        "file_size_in_bytes" -> 104))
+    withFieldIds(SchemaBuilder.record("manifest_entry").fields()
+      .requiredInt("status")
+      .requiredLong("snapshot_id")
+      .requiredLong("sequence_number")
+      .requiredLong("file_sequence_number")
+      .name("data_file").`type`(dataFile).noDefault()
+      .endRecord(),
+      Map("status" -> 0, "snapshot_id" -> 1, "sequence_number" -> 3,
+        "file_sequence_number" -> 4, "data_file" -> 2))
+  }
 
-  private val manifestFileSchema: Schema = SchemaBuilder
+  /** manifest_file per spec v2 (manifest-list entry): path, length,
+    * spec id, content, sequence numbers, added snapshot, file and row
+    * counts — everything a real reader resolves before opening the
+    * manifest. */
+  private val manifestFileSchema: Schema = withFieldIds(SchemaBuilder
     .record("manifest_file").fields()
     .requiredString("manifest_path")
-    .endRecord()
+    .requiredLong("manifest_length")
+    .requiredInt("partition_spec_id")
+    .requiredInt("content")
+    .requiredLong("sequence_number")
+    .requiredLong("min_sequence_number")
+    .requiredLong("added_snapshot_id")
+    .requiredInt("added_files_count")
+    .requiredInt("existing_files_count")
+    .requiredInt("deleted_files_count")
+    .requiredLong("added_rows_count")
+    .requiredLong("existing_rows_count")
+    .requiredLong("deleted_rows_count")
+    .endRecord(),
+    Map("manifest_path" -> 500, "manifest_length" -> 501,
+      "partition_spec_id" -> 502, "content" -> 517,
+      "sequence_number" -> 515, "min_sequence_number" -> 516,
+      "added_snapshot_id" -> 503, "added_files_count" -> 504,
+      "existing_files_count" -> 505, "deleted_files_count" -> 506,
+      "added_rows_count" -> 512, "existing_rows_count" -> 513,
+      "deleted_rows_count" -> 514))
 
   private def writeAvro(path: Path, schema: Schema,
-      rows: Seq[GenericRecord]): Unit = {
+      rows: Seq[GenericRecord], meta: Map[String, String] = Map.empty): Unit = {
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](schema))
+    meta.foreach { case (k, v) => w.setMeta(k, v) }
     w.create(schema, new File(path.toString))
     try rows.foreach(w.append) finally w.close()
+  }
+
+  /** Row count from the parquet footer — metadata-only, no data scan
+    * (how real Iceberg collects commit stats). */
+  private def parquetRowCount(p: Path): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri),
+      new org.apache.hadoop.conf.Configuration())
+    val reader = ParquetFileReader.open(in)
+    try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    finally reader.close()
   }
 
   private def toIcebergType(t: DataType): String = t match {
@@ -177,33 +241,43 @@ object IcebergCompat {
   }
 
   /** Append (or overwrite) `df` as one Iceberg snapshot; returns the new
-    * snapshot id. Produces the same layout [[read]] consumes: parquet
-    * under data/, one Avro manifest of ADDED files per commit, a
-    * manifest list per snapshot (prior manifests carried on append),
-    * versioned metadata JSON + version-hint. */
+    * snapshot id. Produces a spec-complete v2 layout — parquet under
+    * data/, one Avro manifest of ADDED files per commit (real record
+    * counts and byte sizes from the parquet footers, field-id'd Avro
+    * schema, schema/spec key-value metadata), a manifest list per
+    * snapshot carrying lengths, sequence numbers and file/row counts
+    * (prior manifests carried on append), and versioned metadata JSON
+    * with location / table-uuid / last-column-id / partition-specs /
+    * sort-orders / snapshot summaries + version-hint. */
   def write(df: DataFrame, tableDir: String, mode: String = "append"): Long = {
     require(mode == "append" || mode == "overwrite", s"mode $mode")
     val metaDir = Paths.get(tableDir, "metadata")
     Files.createDirectories(metaDir)
     Files.createDirectories(Paths.get(tableDir, "data"))
 
-    val (prevVersion, prevSnapshots, prevManifests) =
-      if (Files.exists(metaDir.resolve("version-hint.text"))) {
-        val meta = currentMetadata(tableDir)
-        val v = new String(Files.readAllBytes(
-          metaDir.resolve("version-hint.text")), "UTF-8").trim.toLong
-        val snaps = meta.get("snapshots").elements().asScala.toSeq
-          .map(s => (s.get("snapshot-id").asLong(),
-            s.get("manifest-list").asText()))
-        val currentId = meta.path("current-snapshot-id").asLong(-1)
-        val currentList = snaps.find(_._1 == currentId).map(_._2)
-        val manifests = currentList.toSeq.flatMap(ml =>
-          avroRecords(localPath(ml)).map(_.get("manifest_path").toString))
-        (v, snaps, manifests)
-      } else (0L, Seq.empty[(Long, String)], Seq.empty[String])
+    val prior =
+      if (Files.exists(metaDir.resolve("version-hint.text")))
+        Some(currentMetadata(tableDir))
+      else None
+    val prevVersion = prior.map(_ => new String(Files.readAllBytes(
+      metaDir.resolve("version-hint.text")), "UTF-8").trim.toLong)
+      .getOrElse(0L)
+    val tableUuid = prior.flatMap(m => Option(m.get("table-uuid"))
+      .map(_.asText())).getOrElse(UUID.randomUUID().toString)
+    val lastSeq = prior.map(_.path("last-sequence-number").asLong(0L))
+      .getOrElse(0L)
+    val prevSnapshotNodes = prior.toSeq.flatMap(
+      _.path("snapshots").elements().asScala.toSeq)
+    val parentId = prior.map(_.path("current-snapshot-id").asLong(-1L))
+      .getOrElse(-1L)
+    val prevManifestRecords: Seq[GenericRecord] =
+      prevSnapshotNodes.find(_.path("snapshot-id").asLong(-2) == parentId)
+        .map(_.get("manifest-list").asText())
+        .toSeq.flatMap(ml => avroRecords(localPath(ml)))
 
     val version = prevVersion + 1
     val snapshotId = version * 100
+    val sequenceNumber = lastSeq + 1
 
     // Data files via Spark into a staging dir, moved under data/.
     val stage = Files.createTempDirectory(Paths.get(tableDir), ".stage")
@@ -221,49 +295,133 @@ object IcebergCompat {
       .iterator().asScala.foreach(Files.delete)
     finally walk.close()
 
-    val entries = moved.map { p =>
-      val d = new GenericData.Record(
-        manifestEntrySchema.getField("data_file").schema())
+    // Iceberg schema JSON (shared by the metadata file and the manifest
+    // Avro's key-value metadata).
+    val schemaNode = mapper.createObjectNode()
+    schemaNode.put("type", "struct")
+    schemaNode.put("schema-id", 0)
+    val fieldsArr = schemaNode.putArray("fields")
+    df.schema.fields.zipWithIndex.foreach { case (f, i) =>
+      val fn = fieldsArr.addObject()
+      fn.put("id", i + 1)
+      fn.put("name", f.name)
+      fn.put("required", !f.nullable)
+      fn.put("type", toIcebergType(f.dataType))
+    }
+    val schemaJson = mapper.writeValueAsString(schemaNode)
+
+    val dataFileSchema = manifestEntrySchema.getField("data_file").schema()
+    val entriesWithRows = moved.map { p =>
+      val path = Paths.get(p)
+      val rows = parquetRowCount(path)
+      val d = new GenericData.Record(dataFileSchema)
+      d.put("content", 0) // DATA
       d.put("file_path", p)
       d.put("file_format", "PARQUET")
-      d.put("record_count", 0L)
+      d.put("partition",
+        new GenericData.Record(dataFileSchema.getField("partition").schema()))
+      d.put("record_count", rows)
+      d.put("file_size_in_bytes", Files.size(path))
       val e = new GenericData.Record(manifestEntrySchema)
       e.put("status", 1) // ADDED
+      e.put("snapshot_id", snapshotId)
+      e.put("sequence_number", sequenceNumber)
+      e.put("file_sequence_number", sequenceNumber)
       e.put("data_file", d)
-      e: GenericRecord
+      (e: GenericRecord, rows)
     }
     val manifestPath = metaDir.resolve(f"m-$snapshotId%d.avro")
-    writeAvro(manifestPath, manifestEntrySchema, entries)
+    writeAvro(manifestPath, manifestEntrySchema, entriesWithRows.map(_._1),
+      Map("schema" -> schemaJson, "partition-spec" -> "[]",
+        "partition-spec-id" -> "0", "format-version" -> "2",
+        "content" -> "data"))
 
-    val listManifests =
-      (if (mode == "append") prevManifests else Seq.empty) :+
-        manifestPath.toString
-    val listPath = metaDir.resolve(f"ml-$snapshotId%d.avro")
-    writeAvro(listPath, manifestFileSchema, listManifests.map { m =>
+    // Carry prior manifest-list entries on append; entries written by a
+    // pre-upgrade layout get their length recomputed and neutral counts.
+    def carry(r: GenericRecord): GenericRecord = {
+      def num(f: String, d: Long): Long =
+        if (r.getSchema.getField(f) == null) d
+        else r.get(f) match {
+          case l: java.lang.Long => l.longValue
+          case i: java.lang.Integer => i.longValue
+          case _ => d
+        }
+      val mPath = r.get("manifest_path").toString
+      val n = new GenericData.Record(manifestFileSchema)
+      n.put("manifest_path", mPath)
+      n.put("manifest_length",
+        num("manifest_length", Files.size(Paths.get(localPath(mPath)))))
+      n.put("partition_spec_id", num("partition_spec_id", 0L).toInt)
+      n.put("content", num("content", 0L).toInt)
+      n.put("sequence_number", num("sequence_number", 0L))
+      n.put("min_sequence_number", num("min_sequence_number", 0L))
+      n.put("added_snapshot_id", num("added_snapshot_id", parentId))
+      n.put("added_files_count", num("added_files_count", 0L).toInt)
+      n.put("existing_files_count", num("existing_files_count", 0L).toInt)
+      n.put("deleted_files_count", num("deleted_files_count", 0L).toInt)
+      n.put("added_rows_count", num("added_rows_count", 0L))
+      n.put("existing_rows_count", num("existing_rows_count", 0L))
+      n.put("deleted_rows_count", num("deleted_rows_count", 0L))
+      n
+    }
+    val newListEntry = {
       val r = new GenericData.Record(manifestFileSchema)
-      r.put("manifest_path", m)
+      r.put("manifest_path", manifestPath.toString)
+      r.put("manifest_length", Files.size(manifestPath))
+      r.put("partition_spec_id", 0)
+      r.put("content", 0) // data manifests
+      r.put("sequence_number", sequenceNumber)
+      r.put("min_sequence_number", sequenceNumber)
+      r.put("added_snapshot_id", snapshotId)
+      r.put("added_files_count", entriesWithRows.size)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", entriesWithRows.map(_._2).sum)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
       r: GenericRecord
-    })
+    }
+    val listPath = metaDir.resolve(f"ml-$snapshotId%d.avro")
+    val listRecords =
+      (if (mode == "append") prevManifestRecords.map(carry)
+       else Seq.empty) :+ newListEntry
+    writeAvro(listPath, manifestFileSchema, listRecords,
+      Map("format-version" -> "2"))
 
-    val fields = df.schema.fields.zipWithIndex.map { case (f, i) =>
-      s"""{"id": ${i + 1}, "name": "${f.name}", """ +
-        s""""required": ${!f.nullable}, "type": "${toIcebergType(f.dataType)}"}"""
-    }.mkString(", ")
-    val snapshotsJson = (prevSnapshots :+
-      (snapshotId, listPath.toString)).map { case (id, ml) =>
-      s"""{"snapshot-id": $id, "manifest-list": "$ml"}"""
-    }.mkString(", ")
-    val metadata =
-      s"""{
-         |  "format-version": 2,
-         |  "current-snapshot-id": $snapshotId,
-         |  "schemas": [{"schema-id": 0, "type": "struct",
-         |               "fields": [$fields]}],
-         |  "current-schema-id": 0,
-         |  "snapshots": [$snapshotsJson]
-         |}""".stripMargin
+    val now = System.currentTimeMillis()
+    val root = mapper.createObjectNode()
+    root.put("format-version", 2)
+    root.put("table-uuid", tableUuid)
+    root.put("location", Paths.get(tableDir).toAbsolutePath.toString)
+    root.put("last-sequence-number", sequenceNumber)
+    root.put("last-updated-ms", now)
+    root.put("last-column-id", df.schema.length)
+    root.put("current-schema-id", 0)
+    root.putArray("schemas").add(schemaNode)
+    root.put("default-spec-id", 0)
+    val spec0 = root.putArray("partition-specs").addObject()
+    spec0.put("spec-id", 0)
+    spec0.putArray("fields")
+    root.put("last-partition-id", 999)
+    root.put("default-sort-order-id", 0)
+    val order0 = root.putArray("sort-orders").addObject()
+    order0.put("order-id", 0)
+    order0.putArray("fields")
+    root.put("current-snapshot-id", snapshotId)
+    val snaps = root.putArray("snapshots")
+    prevSnapshotNodes.foreach(snaps.add)
+    val sn = snaps.addObject()
+    sn.put("snapshot-id", snapshotId)
+    if (parentId >= 0) sn.put("parent-snapshot-id", parentId)
+    sn.put("sequence-number", sequenceNumber)
+    sn.put("timestamp-ms", now)
+    sn.put("manifest-list", listPath.toString)
+    sn.put("schema-id", 0)
+    sn.putObject("summary").put("operation", mode)
+
     val tmp = Files.createTempFile(metaDir, ".tmp-meta", ".json")
-    Files.write(tmp, metadata.getBytes("UTF-8"))
+    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(root).getBytes("UTF-8"))
     Files.move(tmp, metaDir.resolve(s"v$version.metadata.json"),
       StandardCopyOption.ATOMIC_MOVE)
     val tmpHint = Files.createTempFile(metaDir, ".tmp-hint", ".txt")

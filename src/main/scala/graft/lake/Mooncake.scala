@@ -71,10 +71,15 @@ class Mooncake(val warehouse: String) {
     if (Manifest.latest(dir).isDefined)
       throw new IllegalStateException(s"mooncake table '$name' already exists")
     // Optimizer stats, not an execution: parquet footer / cache sizes.
+    // Stats-less plans (RDD-backed, JDBC) report the defaultSizeInBytes
+    // sentinel (Long.MaxValue, possibly multiplied up the plan) — that
+    // means "unknown", not "huge": keep the source partitioning rather
+    // than range-shuffling into a guessed file count.
     val bytes = source.queryExecution.optimizedPlan.stats.sizeInBytes
+    val sizeKnown = bytes < BigInt(Long.MaxValue)
     val backfill =
-      if (pk.nonEmpty && bytes > targetFileBytes) {
-        val n = (bytes / targetFileBytes).toInt.min(10000) + 1
+      if (pk.nonEmpty && sizeKnown && bytes > targetFileBytes) {
+        val n = ((bytes / targetFileBytes) min BigInt(10000)).toInt + 1
         source.repartitionByRange(n, pk.map(col): _*)
       } else source
     writeVersion(spark, name, backfill, pk, version = initialVersion,
@@ -149,13 +154,40 @@ class Mooncake(val warehouse: String) {
       .filter(col(key).cast("long") >= lo && col(key).cast("long") <= hi)
   }
 
-  /** Time travel: scan an explicit manifest version. */
-  def readVersion(spark: SparkSession, name: String, version: Long): DataFrame = {
+  private def manifestAt(name: String, version: Long): Manifest = {
     val p = Paths.get(tableDir(name), "manifest", f"v$version%016d.json")
     if (!Files.exists(p))
       throw new NoSuchElementException(s"table '$name' has no version $version")
-    val m = Manifest.fromJson(new String(Files.readAllBytes(p), "UTF-8"))
+    Manifest.fromJson(new String(Files.readAllBytes(p), "UTF-8"))
+  }
+
+  /** Time travel: scan an explicit manifest version. */
+  def readVersion(spark: SparkSession, name: String, version: Long): DataFrame = {
+    val m = manifestAt(name, version)
     readFiles(spark, m, m.files)
+  }
+
+  /** Changed rows between two committed versions — the `table_changes` /
+    * Delta-CDF class: rows present only at `toVersion` tagged 'insert',
+    * rows present only at `fromVersion` tagged 'delete'; an UPDATE shows
+    * as its delete+insert pair, exactly how the CDC stream carries it
+    * (SURVEY.md §3.2). Files shared by both manifests are pruned from the
+    * diff BEFORE any row is read — copy-on-write means their rows are
+    * byte-identical on both sides and would only cancel out in the
+    * exceptAll. At 100 TB a small CDC delta therefore diffs only the
+    * rewritten files, not the table. */
+  def tableChanges(spark: SparkSession, name: String, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    val mFrom = manifestAt(name, fromVersion)
+    val mTo = manifestAt(name, toVersion)
+    val shared = mFrom.files.map(_.path).toSet
+      .intersect(mTo.files.map(_.path).toSet)
+    val before = readFiles(spark, mFrom,
+      mFrom.files.filterNot(f => shared(f.path)))
+    val after = readFiles(spark, mTo,
+      mTo.files.filterNot(f => shared(f.path)))
+    after.exceptAll(before).withColumn("_change", lit("insert"))
+      .unionByName(before.exceptAll(after).withColumn("_change", lit("delete")))
   }
 
   private def readFiles(spark: SparkSession, m: Manifest,

@@ -11,4 +11,9 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `AbstractDataType` (the `inputTypes` element type of
+    * `ExpectsInputTypes`) is `private[sql]`; this public alias lets graft
+    * expressions declare input types for analysis-time checking. */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }

@@ -37,11 +37,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(row.getDouble(3) === 1.0 / 3.0)
       assert(row.getDouble(4) === 1.0)
       assert(row.getSeq[String](5) === Seq("a b c", "b c d"))
+      // Unsuffixed percentage literals parse as DECIMAL(1,1) — must be
+      // converted numerically, not cast-crashed (ADVICE r2).
       val pct = spark.sql(
-        """SELECT graft_percentiles(v, 0.5D, 0.25D) AS p
+        """SELECT graft_percentiles(v, 0.5, 0.25) AS p
           |FROM VALUES (1.0D), (2.0D), (3.0D), (4.0D) AS t(v)""".stripMargin)
         .head().getSeq[Double](0)
       assert(pct === Seq(2.5, 1.75))
+      // Integer input column: implicitly cast to double by the analyzer.
+      val intPct = spark.sql(
+        """SELECT graft_percentiles(v, 0.5) AS p
+          |FROM VALUES (1), (2), (3) AS t(v)""".stripMargin)
+        .head().getSeq[Double](0)
+      assert(intPct === Seq(2.0))
+      // Non-numeric input fails at analysis, not with a runtime CCE.
+      val err = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(
+          """SELECT graft_percentiles(v, 0.5)
+            |FROM VALUES (array(1)), (array(2)) AS t(v)""".stripMargin)
+          .collect()
+      }
+      assert(err.getMessage.toLowerCase.contains("type"))
     } finally {
       // restore the suite-shared session; never stop the shared context
       SparkSession.clearActiveSession()

@@ -54,4 +54,48 @@ class DeltaCompatSpec extends SparkSuite {
       DeltaCompat.read(spark, dir)
     }
   }
+
+  test("partitioned tables are refused, not read with NULL partition cols") {
+    // Delta keeps partition-column values in add.partitionValues only —
+    // scanning the parquet with the full schema would yield NULLs.
+    val dir = tmpDir("delta-part")
+    val log = Paths.get(dir, "_delta_log")
+    Files.createDirectories(log)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("k", "long").add("p", "string")
+    val commit =
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" + "\n" +
+        s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":${
+          com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+            .writeValueAsString(schema.json)
+        },"partitionColumns":["p"],"configuration":{},"createdTime":0}}""" + "\n"
+    Files.write(log.resolve(f"${0L}%020d.json"), commit.getBytes)
+    val err = intercept[UnsupportedOperationException] {
+      DeltaCompat.read(spark, dir)
+    }
+    assert(err.getMessage.contains("partition"))
+  }
+
+  test("add/remove paths are percent-decoded per the Delta spec") {
+    val dir = tmpDir("delta-enc")
+    DeltaCompat.write(Seq((1L, "a")).toDF("k", "v"), dir)
+    // A second commit adds a file whose on-disk name contains a space,
+    // referenced by its percent-encoded log path.
+    val existing = Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+    val spaced = Paths.get(dir, "part with space.parquet")
+    Files.copy(existing, spaced)
+    val add =
+      s"""{"add":{"path":"part%20with%20space.parquet","size":${
+        Files.size(spaced)},"modificationTime":0,"dataChange":true,"partitionValues":{}}}""" + "\n"
+    Files.write(Paths.get(dir, "_delta_log", f"${1L}%020d.json"),
+      add.getBytes)
+    assert(DeltaCompat.read(spark, dir).count() === 2)
+    // And a remove with the encoded path drops it again.
+    val rm =
+      """{"remove":{"path":"part%20with%20space.parquet","deletionTimestamp":0,"dataChange":true}}""" + "\n"
+    Files.write(Paths.get(dir, "_delta_log", f"${2L}%020d.json"),
+      rm.getBytes)
+    assert(DeltaCompat.read(spark, dir).count() === 1)
+  }
 }

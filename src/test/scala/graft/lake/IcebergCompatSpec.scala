@@ -125,6 +125,63 @@ class IcebergCompatSpec extends SparkSuite {
       .collect().toSeq === Seq(9L -> "z"))
   }
 
+  test("writer emits the spec-required v2 fields (ADVICE r2)") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.GenericDatumReader
+    val dir = tmpDir("iceberg-spec")
+    val sid = IcebergCompat.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
+
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val metaFile = Paths.get(dir, "metadata", "v1.metadata.json")
+    val meta = mapper.readTree(new String(Files.readAllBytes(metaFile), "UTF-8"))
+    for (f <- Seq("table-uuid", "location", "last-sequence-number",
+        "last-updated-ms", "last-column-id", "schemas", "partition-specs",
+        "default-spec-id", "last-partition-id", "sort-orders",
+        "default-sort-order-id"))
+      assert(meta.has(f), s"metadata missing required field $f")
+    assert(meta.get("last-column-id").asInt() === 2)
+    val snap = meta.get("snapshots").get(0)
+    for (f <- Seq("sequence-number", "timestamp-ms", "summary", "schema-id"))
+      assert(snap.has(f), s"snapshot missing required field $f")
+    assert(snap.get("summary").get("operation").asText() === "append")
+
+    def open(path: String) = new DataFileReader[GenericRecord](
+      new File(path), new GenericDatumReader[GenericRecord]())
+    val listReader = open(snap.get("manifest-list").asText())
+    val listMeta = listReader.getMetaString("format-version")
+    val mf = try listReader.iterator().asScala.toList
+      finally listReader.close()
+    assert(listMeta === "2")
+    assert(mf.size === 1)
+    val m = mf.head
+    assert(m.get("manifest_length").asInstanceOf[Long] ===
+      Files.size(Paths.get(m.get("manifest_path").toString)))
+    assert(m.get("added_snapshot_id").asInstanceOf[Long] === sid)
+    assert(m.get("partition_spec_id").asInstanceOf[Int] === 0)
+    assert(m.get("added_rows_count").asInstanceOf[Long] === 2L)
+    assert(m.get("sequence_number").asInstanceOf[Long] === 1L)
+
+    // Avro field-ids per the spec's schema mapping.
+    val pathField = m.getSchema.getField("manifest_path")
+    assert(pathField.getObjectProp("field-id") === (500: Integer))
+
+    val manReader = open(m.get("manifest_path").toString)
+    val manSchemaMeta = manReader.getMetaString("schema")
+    val entries = try manReader.iterator().asScala.toList
+      finally manReader.close()
+    assert(mapper.readTree(manSchemaMeta).get("fields").size() === 2)
+    val d = entries.head.get("data_file").asInstanceOf[GenericRecord]
+    assert(d.get("file_size_in_bytes").asInstanceOf[Long] > 0L)
+    assert(entries.map(_.get("data_file").asInstanceOf[GenericRecord]
+      .get("record_count").asInstanceOf[Long]).sum === 2L)
+    assert(d.get("content").asInstanceOf[Int] === 0)
+    assert(d.get("partition") !== null)
+    assert(d.getSchema.getField("file_path")
+      .getObjectProp("field-id") === (100: Integer))
+    assert(entries.head.get("snapshot_id").asInstanceOf[Long] === sid)
+  }
+
   test("mirror exports its snapshot as an Iceberg table") {
     val lake = new Mooncake(tmpDir("iceberg-export-wh"))
     lake.createTable(spark, "m",

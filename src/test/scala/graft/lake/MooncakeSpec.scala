@@ -122,6 +122,27 @@ class MooncakeSpec extends SparkSuite {
     assert(lake.read(spark, "clus").count() === 5000)
   }
 
+  test("createTable from a stats-less source keeps its partitioning") {
+    val lake = freshLake()
+    // RDD-backed plans report the defaultSizeInBytes sentinel
+    // (Long.MaxValue) — "unknown", not "huge". Pre-fix this truncated to
+    // a negative file count and repartitionByRange(0, ...) threw.
+    val rdd = spark.sparkContext.parallelize(
+      (1 to 100).map(i => org.apache.spark.sql.Row(i.toLong, s"v$i")), 4)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.StringType)))
+    val src = spark.createDataFrame(rdd, schema)
+    val bytes = src.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(bytes >= BigInt(Long.MaxValue),
+      s"precondition: expected the sentinel size, got $bytes")
+    lake.createTable(spark, "nostats", src, Seq("a"),
+      targetFileBytes = 16 * 1024)
+    assert(lake.read(spark, "nostats").count() === 100)
+  }
+
   test("readRange opens only files whose key range intersects") {
     val lake = freshLake()
     val src = spark.range(0, 1000)

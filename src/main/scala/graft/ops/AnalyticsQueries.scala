@@ -178,6 +178,150 @@ object AnalyticsQueries {
       |WHERE ((l_orderkey * 2654435761 + 97531) % 1000000007) % 100 < 5
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Boolean + bitwise aggregates (PG bool_and/bool_or/bit_and/bit_or/
+    * bit_xor surface). All partial-aggregable: map-side combine, one
+    * shuffle of 3 tiny groups. */
+  val aggBoolBit: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        bool_and(col("l_quantity") > 0).as("all_pos_qty"),
+        bool_or(col("l_discount") > 0.05).as("any_big_disc"),
+        bit_and(col("l_linenumber").cast("bigint")).as("ln_and"),
+        bit_or(col("l_linenumber").cast("bigint")).as("ln_or"),
+        bit_xor(col("l_orderkey")).as("ok_xor"))
+      .orderBy("l_returnflag")
+
+  val aggBoolBitSql: String =
+    """SELECT l_returnflag,
+      |  bool_and(l_quantity > 0) AS all_pos_qty,
+      |  bool_or(l_discount > 0.05) AS any_big_disc,
+      |  CAST(bit_and(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS ln_and,
+      |  CAST(bit_or(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS ln_or,
+      |  CAST(bit_xor(l_orderkey) AS BIGINT) AS ok_xor
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Exact correlation / covariance / regression slope, derived from
+    * single-pass DECIMAL sums (n, Σx, Σy, Σxy, Σx², Σy²) and finished in
+    * identically-structured double arithmetic — bit-exact against the
+    * oracle where native corr/covar (order-dependent double accumulation)
+    * is not. Same partial-agg shape as any sum. */
+  val aggCorr: Q = (s, dir) => {
+    val x = col("l_extendedprice").cast("decimal(18,2)")
+    val y = col("l_quantity").cast("decimal(18,2)")
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        ((d("sxy") - d("sx") * d("sy") / nD) / nD).as("covar_pop"),
+        ((d("sxy") - d("sx") * d("sy") / nD) / (nD - 1.0)).as("covar_samp"),
+        ((nD * d("sxy") - d("sx") * d("sy")) /
+          (sqrt(nD * d("sxx") - d("sx") * d("sx")) *
+            sqrt(nD * d("syy") - d("sy") * d("sy")))).as("corr_xy"),
+        ((nD * d("sxy") - d("sx") * d("sy")) /
+          (nD * d("sxx") - d("sx") * d("sx"))).as("regr_slope"))
+      .orderBy("l_returnflag")
+  }
+
+  val aggCorrSql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sx,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sy,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxy,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxx,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS covar_pop,
+      |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS covar_samp,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_xy,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS regr_slope
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
+  /** Equi-width histogram (the width_bucket class) via integer bucket
+    * arithmetic — a pushed-down scan + one tiny-group aggregation. */
+  val aggHistogram: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .select(floor(col("o_totalprice") / 25000.0).cast("bigint").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  val aggHistogramSql: String =
+    """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+      |  count(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** GROUPING SETS with GROUPING() markers — how consumers distinguish
+    * "NULL because super-aggregate" from data NULLs. */
+  val aggGroupingId: Q = (s, dir) => {
+    t(s, dir, "orders").createOrReplaceTempView("gid_orders")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |  count(*) AS n
+        |FROM gid_orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+        |  o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
+  val aggGroupingIdSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+      |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+      |  count(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+      |  o_orderpriority NULLS FIRST""".stripMargin
+
+  /** nth_value over an explicit full-partition frame (the remaining
+    * analytic window function family member). */
+  val windowNth: Q = (s, dir) => {
+    val w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 2000)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"),
+        last(col("o_totalprice")).over(w).as("last_price"))
+      .orderBy("o_orderkey")
+  }
+
+  val windowNthSql: String =
+    """SELECT o_orderkey, o_orderstatus,
+      |  nth_value(o_totalprice, 2) OVER w AS second_price,
+      |  last_value(o_totalprice) OVER w AS last_price
+      |FROM orders WHERE o_orderkey <= 2000
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Ordered array_agg per group (PG array_agg / DuckDB list) — sorted
+    * for determinism, so map-side partials merge commutatively. */
+  val aggArray: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .filter(col("o_custkey") <= 200)
+      .groupBy("o_custkey")
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
+        count(lit(1)).as("n"))
+      .orderBy("o_custkey")
+
+  val aggArraySql: String =
+    """SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys,
+      |  count(*) AS n
+      |FROM orders WHERE o_custkey <= 200
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_pivot" -> pivotStatus,
     "q_unpivot" -> unpivotCustomer,
@@ -186,6 +330,12 @@ object AnalyticsQueries {
     "q_join_lateral" -> joinLateral,
     "q_distinct_on" -> distinctOn,
     "q_sample_hash" -> sampleHash,
+    "q_agg_bool_bit" -> aggBoolBit,
+    "q_agg_corr" -> aggCorr,
+    "q_agg_histogram" -> aggHistogram,
+    "q_agg_grouping_id" -> aggGroupingId,
+    "q_window_nth" -> windowNth,
+    "q_agg_array" -> aggArray,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -196,5 +346,11 @@ object AnalyticsQueries {
     "q_join_lateral" -> joinLateralSql,
     "q_distinct_on" -> distinctOnSql,
     "q_sample_hash" -> sampleHashSql,
+    "q_agg_bool_bit" -> aggBoolBitSql,
+    "q_agg_corr" -> aggCorrSql,
+    "q_agg_histogram" -> aggHistogramSql,
+    "q_agg_grouping_id" -> aggGroupingIdSql,
+    "q_window_nth" -> windowNthSql,
+    "q_agg_array" -> aggArraySql,
   )
 }

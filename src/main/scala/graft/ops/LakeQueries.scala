@@ -172,7 +172,88 @@ object LakeQueries {
     """SELECT p_partkey, p_name, p_brand, p_retailprice FROM part
       |ORDER BY p_partkey""".stripMargin
 
+  /** Snapshot diff (the table_changes / Delta-CDF class): mirror orders,
+    * apply the same CDC batch as [[cdcApply]], then ask the lake what
+    * changed between v1 and v2. Deletes surface as 'delete', updates as
+    * their delete+insert pair. Only files rewritten by the CDC batch are
+    * read — the manifest prunes carried-over files before any scan. */
+  val snapshotDiff: Q = (s, dir) => {
+    val lake = new Mooncake(graft.Scratch.dir("graft-diff-q"))
+    val o = Tables.load(s, dir, "orders")
+    lake.createTable(s, "orders_mirror", o, Seq("o_orderkey"))
+    val deletes = o.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("__op", lit("D"))
+    val updates = o.filter(col("o_orderkey") % 97 === 0 &&
+        col("o_orderkey") % 100 =!= 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1)
+      .withColumn("__op", lit("U"))
+    lake.applyChanges(s, "orders_mirror", deletes.unionByName(updates),
+      version = 2)
+    lake.tableChanges(s, "orders_mirror", fromVersion = 1, toVersion = 2)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "_change")
+      .orderBy("_change", "o_orderkey")
+  }
+
+  val snapshotDiffSql: String =
+    """WITH v1 AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |    o_orderdate, o_orderpriority FROM orders),
+      |v2 AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1
+      |         ELSE o_totalprice END AS o_totalprice,
+      |    o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 100 <> 0),
+      |diff AS (
+      |  SELECT *, 'insert' AS _change FROM (
+      |    SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1)
+      |  UNION ALL
+      |  SELECT *, 'delete' AS _change FROM (
+      |    SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2))
+      |SELECT o_orderkey, o_custkey, o_totalprice, _change
+      |FROM diff ORDER BY _change, o_orderkey""".stripMargin
+
+  /** SCD2 history (see [[Scd2]]): fold three versions of each order row
+    * into validity intervals — the queryable-history companion of the
+    * converged CDC mirror. */
+  val scd2History: Q = (s, dir) => {
+    val o = Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") <= 2000)
+      .select("o_orderkey", "o_totalprice")
+    val v1 = o.withColumn("version", lit(1L))
+    val v2 = o.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1)
+      .withColumn("version", lit(2L))
+    val v3 = o.filter(col("o_orderkey") % 11 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 2)
+      .withColumn("version", lit(3L))
+    Scd2.history(v1.unionByName(v2).unionByName(v3),
+      Seq("o_orderkey"), "version")
+      .orderBy("o_orderkey", "version")
+  }
+
+  val scd2HistorySql: String =
+    """WITH src AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 2000),
+      |hist AS (
+      |  SELECT o_orderkey, o_totalprice, CAST(1 AS BIGINT) AS version FROM src
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice + 1, CAST(2 AS BIGINT) FROM src
+      |  WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice + 2, CAST(3 AS BIGINT) FROM src
+      |  WHERE o_orderkey % 11 = 0)
+      |SELECT o_orderkey, o_totalprice, version,
+      |  version AS valid_from,
+      |  lead(version) OVER w - 1 AS valid_to,
+      |  lead(version) OVER w IS NULL AS is_current
+      |FROM hist
+      |WINDOW w AS (PARTITION BY o_orderkey ORDER BY version)
+      |ORDER BY o_orderkey, version""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_snapshot_diff" -> snapshotDiff,
+    "q_scd2_history" -> scd2History,
     "q_iceberg_roundtrip" -> icebergRoundtrip,
     "q_delta_roundtrip" -> deltaRoundtrip,
     "q_cdc_apply" -> cdcApply,
@@ -183,6 +264,8 @@ object LakeQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_snapshot_diff" -> snapshotDiffSql,
+    "q_scd2_history" -> scd2HistorySql,
     "q_iceberg_roundtrip" -> icebergRoundtripSql,
     "q_delta_roundtrip" -> deltaRoundtripSql,
     "q_cdc_apply" -> cdcApplySql,

@@ -505,11 +505,31 @@ object PipelineQueries {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  /** Corpus vocabulary top-k: explode whitespace tokens, count, rank.
+    * The canonical giant-shuffle text op — at 100 TB the explode is
+    * map-local, the count partial-aggregates map-side (combine before
+    * shuffle), and only (token, count) pairs move; the final top-k is a
+    * TakeOrderedAndProject, never a full sort of the vocabulary. */
+  val textVocab: Q = (s, dir) =>
+    docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(40)
+
+  val textVocabSql: String =
+    """SELECT token, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |WHERE length(token) > 0
+      |GROUP BY token ORDER BY n DESC, token LIMIT 40""".stripMargin
+
   // ===========================================================================
   // registry
   // ===========================================================================
 
   val queries: Map[String, Q] = Map(
+    "q_text_vocab" -> textVocab,
     "q_text_stats" -> textStats,
     "q_text_langid" -> textLangId,
     "q_text_fingerprint" -> textFingerprint,
@@ -524,6 +544,7 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_vocab" -> textVocabSql,
     "q_text_stats" -> textStatsSql,
     "q_text_langid" -> textLangIdSql,
     "q_text_fingerprint" -> textFingerprintSql,

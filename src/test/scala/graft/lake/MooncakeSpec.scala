@@ -103,6 +103,35 @@ class MooncakeSpec extends SparkSuite {
     assert(lake.read(spark, "skip").count() === 998)
   }
 
+  test("tableChanges diffs versions and prunes carried-over files") {
+    val lake = freshLake()
+    val src = spark.range(0, 1000)
+      .select(col("id").as("a"), concat(lit("v"), col("id")).as("b"))
+      .repartitionByRange(8, col("a"))
+    lake.createTable(spark, "cdf", src, Seq("a"))
+    val dels = Seq((100L, null: String, "D"), (101L, null: String, "D"))
+      .toDF("a", "b", "__op")
+    val upds = Seq((102L, "updated", "U")).toDF("a", "b", "__op")
+    lake.applyChanges(spark, "cdf", dels.unionByName(upds), version = 2)
+
+    val diff = lake.tableChanges(spark, "cdf", 1, 2)
+    val rows = diff.select("a", "b", "_change")
+      .as[(Long, String, String)].collect().toSet
+    // deletes surface once; the update as its delete+insert pair
+    assert(rows === Set(
+      (100L, "v100", "delete"), (101L, "v101", "delete"),
+      (102L, "v102", "delete"), (102L, "updated", "insert")))
+
+    // Manifest-level pruning: carried-over files are never opened —
+    // the diff's scan set is only the rewritten + replaced files.
+    val opened = diff.inputFiles.toSet
+    val carried = lake.currentManifest("cdf").files.map(_.path).toSet
+      .intersect(lake.readVersion(spark, "cdf", 1).inputFiles.toSet)
+    assert(opened.intersect(carried).isEmpty,
+      s"diff must not open carried-over files")
+    assert(opened.size <= 4, s"expected <=4 files opened, got ${opened.size}")
+  }
+
   test("large backfill range-clusters itself: disjoint per-file key ranges") {
     val lake = freshLake()
     // Single-partition source, tiny target size → createTable must

@@ -29,6 +29,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * Scope: protocol (1,2) — no checkpoints, deletion vectors, or column
   * mapping; `read` refuses tables that require them rather than
   * mis-reading (`_last_checkpoint` present, or higher minReaderVersion).
+  * Partitioned tables are supported on the read side: partition values
+  * are taken from `add.partitionValues` (never parsed from paths) and
+  * attached as typed literal columns per file group.
   * At 100 TB the log replay is manifest-sized work, exactly like the
   * mooncake manifest; the data scan is the same pruned parquet scan.
   */
@@ -50,8 +53,11 @@ object DeltaCompat {
       .map(_.stripSuffix(".json").toLong).toSeq).sorted
   }
 
+  private case class AddFile(partitionValues: Map[String, Option[String]])
+
   private case class LogState(schemaJson: Option[String],
-      files: Map[String, Long]) // path -> size
+      partitionColumns: Seq[String],
+      files: Map[String, AddFile]) // decoded path -> add info
 
   private def replay(table: String, upTo: Option[Long]): LogState = {
     val checkpoint = logDir(table).resolve("_last_checkpoint")
@@ -61,7 +67,7 @@ object DeltaCompat {
     val vs = versions(table)
     if (vs.isEmpty)
       throw new NoSuchElementException(s"no Delta log at $table")
-    var state = LogState(None, Map.empty)
+    var state = LogState(None, Seq.empty, Map.empty)
     for (v <- vs if upTo.forall(v <= _)) {
       val lines = Files.readAllLines(versionFile(table, v)).asScala
       for (line <- lines if line.trim.nonEmpty) {
@@ -73,24 +79,21 @@ object DeltaCompat {
         }
         if (node.has("metaData")) {
           val md = node.get("metaData")
-          // Partition-column values live only in add.partitionValues, not
-          // in the parquet data files — scanning them with the full
-          // schema would return NULL partition columns. Refuse rather
-          // than mis-read (same discipline as checkpoints above).
-          val partCols = md.path("partitionColumns")
-          if (partCols.isArray && partCols.size() > 0)
-            throw new UnsupportedOperationException(
-              s"$table is partitioned (${partCols.size()} partition " +
-                "columns) — out of this reader's protocol scope")
-          state = state.copy(schemaJson = Some(md.get("schemaString").asText()))
+          state = state.copy(
+            schemaJson = Some(md.get("schemaString").asText()),
+            partitionColumns = md.path("partitionColumns").elements()
+              .asScala.map(_.asText()).toSeq)
         }
         // Per the Delta spec, add/remove paths are percent-encoded
         // relative paths — decode before resolving against the root.
         if (node.has("add")) {
           val a = node.get("add")
+          val pv = a.path("partitionValues").properties().asScala
+            .map(e => e.getKey ->
+              (if (e.getValue.isNull) None else Some(e.getValue.asText())))
+            .toMap
           state = state.copy(files = state.files +
-            (PathCodec.percentDecode(a.get("path").asText()) ->
-              a.path("size").asLong(0)))
+            (PathCodec.percentDecode(a.get("path").asText()) -> AddFile(pv)))
         }
         if (node.has("remove"))
           state = state.copy(files = state.files -
@@ -100,18 +103,49 @@ object DeltaCompat {
     state
   }
 
-  /** Read the table head (or an explicit version — time travel). */
+  /** Read the table head (or an explicit version — time travel).
+    *
+    * Partition-column values live only in `add.partitionValues` (the
+    * parquet data files do not contain them), so partitioned tables are
+    * read as: group the live files by partition tuple, scan each group
+    * with the data-column schema, attach the partition values as typed
+    * literal columns, and union in the declared column order. The
+    * grouping count is the table's live-partition count — manifest-sized
+    * driver work, same as the log replay itself. */
   def read(spark: SparkSession, table: String,
       version: Option[Long] = None): DataFrame = {
     val state = replay(table, version)
     val schema = DataType.fromJson(state.schemaJson.getOrElse(
       throw new IllegalStateException(s"$table has no metaData action")))
       .asInstanceOf[StructType]
-    val paths = state.files.keys.map(p => Paths.get(table, p).toString).toSeq
-    if (paths.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(paths.sorted: _*)
+    def emptyDf = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    if (state.partitionColumns.isEmpty) {
+      val paths = state.files.keys.map(p => Paths.get(table, p).toString).toSeq
+      if (paths.isEmpty) emptyDf
+      else spark.read.schema(schema).parquet(paths.sorted: _*)
+    } else {
+      import org.apache.spark.sql.functions.{col, lit}
+      val partCols = state.partitionColumns
+      val dataSchema = StructType(
+        schema.filterNot(f => partCols.contains(f.name)))
+      val partType = schema.fields.map(f => f.name -> f.dataType).toMap
+      val groups = state.files.toSeq
+        .groupBy { case (_, add) => partCols.map(add.partitionValues.get) }
+        .toSeq.sortBy(_._1.toString)
+      val parts = groups.map { case (_, files) =>
+        val pv = files.head._2.partitionValues
+        val paths = files.map(f => Paths.get(table, f._1).toString).sorted
+        val base = spark.read.schema(dataSchema).parquet(paths: _*)
+        val withParts = partCols.foldLeft(base) { (df, c) =>
+          val v = pv.getOrElse(c, None)
+          df.withColumn(c,
+            v.map(lit(_)).getOrElse(lit(null)).cast(partType(c)))
+        }
+        withParts.select(schema.fieldNames.map(col).toSeq: _*)
+      }
+      if (parts.isEmpty) emptyDf else parts.reduce(_ unionByName _)
+    }
   }
 
   /** Append (or overwrite) `df` as one Delta commit. Returns the new

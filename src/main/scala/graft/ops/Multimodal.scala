@@ -152,11 +152,48 @@ object Multimodal {
       |  max(width) AS max_width
       |FROM a GROUP BY media_type ORDER BY media_type""".stripMargin
 
+  /** Pipeline query: decode → resize(256) → sample every 5th frame →
+    * per-type rollup. Oracle-checked end to end: header fields and the
+    * resize/sampling arithmetic all derive from doc_id with identical
+    * IEEE double expression structure on both sides, so the oracle pins
+    * the transform semantics, not just the plumbing. */
+  val framePipeline: (SparkSession, String) => DataFrame = (s, dir) => {
+    val decoded = decodeFeatures(assetsFromDocuments(s, dir))
+    sampleFrames(resize(decoded, 256), 5)
+      .groupBy("media_type")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum("frame").cast("bigint").as("frame_sum"),
+        max("width").as("max_resized_w"))
+      .orderBy("media_type")
+  }
+
+  val framePipelineSql: String =
+    """WITH a AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio'
+      |         ELSE 'video' END AS media_type,
+      |    CAST(doc_id % 640 + 16 AS INTEGER) AS width,
+      |    CAST(doc_id % 480 + 16 AS INTEGER) AS height,
+      |    CAST(doc_id % 30 + 1 AS INTEGER) AS n_frames
+      |  FROM documents),
+      |r AS (SELECT media_type, n_frames,
+      |    GREATEST(1, CAST(floor(width * least(1.0,
+      |      256.0 / greatest(width, height))) AS INTEGER)) AS width
+      |  FROM a),
+      |f AS (SELECT media_type, width,
+      |    unnest(range(0, n_frames, 5)) AS frame FROM r)
+      |SELECT media_type, count(*) AS n_sampled,
+      |  CAST(sum(frame) AS BIGINT) AS frame_sum,
+      |  max(width) AS max_resized_w
+      |FROM f GROUP BY media_type ORDER BY media_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> features,
+    "q_multimodal_frames" -> framePipeline,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_multimodal_features" -> featuresSql,
+    "q_multimodal_frames" -> framePipelineSql,
   )
 }

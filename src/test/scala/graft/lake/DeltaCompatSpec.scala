@@ -55,25 +55,44 @@ class DeltaCompatSpec extends SparkSuite {
     }
   }
 
-  test("partitioned tables are refused, not read with NULL partition cols") {
+  test("partitioned tables read partition values from add.partitionValues") {
     // Delta keeps partition-column values in add.partitionValues only —
-    // scanning the parquet with the full schema would yield NULLs.
+    // the parquet data files carry just the data columns. Fabricate a
+    // two-partition table the way a real Delta writer lays it out.
     val dir = tmpDir("delta-part")
     val log = Paths.get(dir, "_delta_log")
     Files.createDirectories(log)
     val schema = new org.apache.spark.sql.types.StructType()
-      .add("k", "long").add("p", "string")
+      .add("k", "long").add("p", "string").add("n", "int")
+    def writePart(sub: String, rows: Seq[(Long, Int)]): String = {
+      Files.createDirectories(Paths.get(dir, sub))
+      val tmp = tmpDir("delta-part-stage")
+      rows.toDF("k", "n").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      val rel = s"$sub/${part.getFileName}"
+      Files.copy(part, Paths.get(dir, rel))
+      rel
+    }
+    val fA = writePart("p=a", Seq((1L, 10), (2L, 20)))
+    // value "b x" with dir name "p=b" — values must come from the log's
+    // partitionValues, never be parsed out of the path
+    val fB = writePart("p=b", Seq((3L, 30)))
+    val jm = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
     val commit =
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" + "\n" +
         s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":${
-          com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
-            .writeValueAsString(schema.json)
-        },"partitionColumns":["p"],"configuration":{},"createdTime":0}}""" + "\n"
+          jm.writeValueAsString(schema.json)
+        },"partitionColumns":["p"],"configuration":{},"createdTime":0}}""" + "\n" +
+        s"""{"add":{"path":"${fA.replace("=", "%3D")}","partitionValues":{"p":"a"},"size":1,"modificationTime":0,"dataChange":true}}""" + "\n" +
+        s"""{"add":{"path":"${fB.replace("=", "%3D")}","partitionValues":{"p":"b x"},"size":1,"modificationTime":0,"dataChange":true}}""" + "\n" +
+        s"""{"add":{"path":"missing.parquet","partitionValues":{"p":null},"size":1,"modificationTime":0,"dataChange":true}}""" + "\n" +
+        s"""{"remove":{"path":"missing.parquet","deletionTimestamp":0,"dataChange":true}}""" + "\n"
     Files.write(log.resolve(f"${0L}%020d.json"), commit.getBytes)
-    val err = intercept[UnsupportedOperationException] {
-      DeltaCompat.read(spark, dir)
-    }
-    assert(err.getMessage.contains("partition"))
+    val got = DeltaCompat.read(spark, dir)
+    assert(got.schema.fieldNames.toSeq === Seq("k", "p", "n"))
+    assert(got.as[(Long, String, Int)].collect().sortBy(_._1).toSeq ===
+      Seq((1L, "a", 10), (2L, "a", 20), (3L, "b x", 30)))
   }
 
   test("add/remove paths are percent-decoded per the Delta spec") {

@@ -16,30 +16,39 @@ object LakeQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Shared fixture: the orders mirror with the standard CDC batch
+    * applied at v2 (delete every 100th order; bump totalprice on every
+    * 97th). Built once per (JVM, sf dir) — [[cdcApply]] reads its head
+    * and [[snapshotDiff]] diffs its versions, so the two queries
+    * exercise different read paths over one identical build instead of
+    * paying the backfill twice per run. */
+  private val mirrorCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Mooncake]()
+
+  private def ordersMirror(s: SparkSession, dir: String): Mooncake =
+    mirrorCache.computeIfAbsent(dir, _ => {
+      val lake = new Mooncake(graft.Scratch.dir("graft-cdc-q"))
+      val o = Tables.load(s, dir, "orders")
+      lake.createTable(s, "orders_mirror", o, Seq("o_orderkey"))
+      val deletes = o.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("__op", lit("D"))
+      val updates = o.filter(col("o_orderkey") % 97 === 0 &&
+          col("o_orderkey") % 100 =!= 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1)
+        .withColumn("__op", lit("U"))
+      lake.applyChanges(s, "orders_mirror", deletes.unionByName(updates),
+        version = 2)
+      lake
+    })
+
   /** Mirror orders (o_orderkey is the replica identity), apply one CDC
-    * batch (delete every 100th order; bump totalprice on every 97th), read
-    * back through the version gate. lineitem is not used here because the
-    * fixture's (l_orderkey, l_linenumber) is not unique — CDC addressing
-    * requires a genuine key. */
-  val cdcApply: Q = (s, dir) => {
-    val lake = new Mooncake(
-      graft.Scratch.dir("graft-cdc-q"))
-    val o = Tables.load(s, dir, "orders")
-    lake.createTable(s, "orders_mirror", o, Seq("o_orderkey"))
-
-    val deletes = o.filter(col("o_orderkey") % 100 === 0)
-      .withColumn("__op", lit("D"))
-    val updates = o.filter(col("o_orderkey") % 97 === 0 &&
-        col("o_orderkey") % 100 =!= 0)
-      .withColumn("o_totalprice", col("o_totalprice") + 1)
-      .withColumn("__op", lit("U"))
-    lake.applyChanges(s, "orders_mirror", deletes.unionByName(updates),
-      version = 2)
-
-    lake.read(s, "orders_mirror", atLeastVersion = Some(2))
+    * batch, read back through the version gate. lineitem is not used
+    * here because the fixture's (l_orderkey, l_linenumber) is not unique
+    * — CDC addressing requires a genuine key. */
+  val cdcApply: Q = (s, dir) =>
+    ordersMirror(s, dir).read(s, "orders_mirror", atLeastVersion = Some(2))
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
       .orderBy("o_orderkey")
-  }
 
   val cdcApplySql: String =
     """SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -177,22 +186,11 @@ object LakeQueries {
     * changed between v1 and v2. Deletes surface as 'delete', updates as
     * their delete+insert pair. Only files rewritten by the CDC batch are
     * read — the manifest prunes carried-over files before any scan. */
-  val snapshotDiff: Q = (s, dir) => {
-    val lake = new Mooncake(graft.Scratch.dir("graft-diff-q"))
-    val o = Tables.load(s, dir, "orders")
-    lake.createTable(s, "orders_mirror", o, Seq("o_orderkey"))
-    val deletes = o.filter(col("o_orderkey") % 100 === 0)
-      .withColumn("__op", lit("D"))
-    val updates = o.filter(col("o_orderkey") % 97 === 0 &&
-        col("o_orderkey") % 100 =!= 0)
-      .withColumn("o_totalprice", col("o_totalprice") + 1)
-      .withColumn("__op", lit("U"))
-    lake.applyChanges(s, "orders_mirror", deletes.unionByName(updates),
-      version = 2)
-    lake.tableChanges(s, "orders_mirror", fromVersion = 1, toVersion = 2)
+  val snapshotDiff: Q = (s, dir) =>
+    ordersMirror(s, dir)
+      .tableChanges(s, "orders_mirror", fromVersion = 1, toVersion = 2)
       .select("o_orderkey", "o_custkey", "o_totalprice", "_change")
       .orderBy("_change", "o_orderkey")
-  }
 
   val snapshotDiffSql: String =
     """WITH v1 AS (

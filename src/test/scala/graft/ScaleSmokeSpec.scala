@@ -33,4 +33,32 @@ class ScaleSmokeSpec extends SparkSuite {
       .filter(col("rn") <= 2)
     assert(top.count() === 2000)
   }
+
+  test("50M-row diff and token-histogram shapes stay distributed") {
+    val n = 50L * 1000 * 1000
+    val base = spark.range(0, n, 1, 32)
+      .select(col("id"), (col("id") % 1000000).as("payload"))
+
+    // snapshot-diff shape: exceptAll both ways between two versions that
+    // differ in 1000 rows — a full-width shuffle each way, no driver set
+    val changed = base.withColumn("payload",
+      when(col("id") % 50000 === 0, col("payload") + 1)
+        .otherwise(col("payload")))
+    val diff = changed.exceptAll(base).unionAll(base.exceptAll(changed))
+    assert(diff.count() === 2000)
+
+    // vocabulary shape: explode 4 tokens/row -> partial-agg count ->
+    // top-k via TakeOrderedAndProject (never a full sort of the vocab)
+    val vocab = spark.range(0, n / 10, 1, 32)
+      .select(explode(array(
+        (col("id") % 101).cast("string"),
+        (col("id") % 103).cast("string"),
+        (col("id") % 107).cast("string"),
+        lit("the"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token")).limit(5)
+    val topTok = vocab.collect()
+    assert(topTok.head.getString(0) === "the")
+    assert(topTok.head.getLong(1) === n / 10)
+  }
 }

@@ -257,6 +257,21 @@ object RelationalQueries {
       |  ON c_acctbal >= s_acctbal - 50 AND c_acctbal <= s_acctbal + 50
       |ORDER BY s_suppkey, c_custkey""".stripMargin
 
+  /** The same interval join through [[RangeJoin.binned]] — a hash
+    * equi-join on fixed-width bins plus residual filter, the shape that
+    * replaces the broadcast-nested-loop plan at scale. Same oracle as
+    * [[joinRange]]: two implementations, one semantic. */
+  val joinRangeBinned: Q = (s, dir) => {
+    val su = t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_acctbal"),
+        (col("s_acctbal") - 50).as("bal_lo"),
+        (col("s_acctbal") + 50).as("bal_hi"))
+    val c = t(s, dir, "customer").select("c_custkey", "c_acctbal")
+    RangeJoin.binned(c, "c_acctbal", su, "bal_lo", "bal_hi", binWidth = 100.0)
+      .select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+      .orderBy("s_suppkey", "c_custkey")
+  }
+
   /** 5-way star join (TPC-H Q5 shape): lineitem ⋈ orders ⋈ customer ⋈
     * nation ⋈ region, revenue per nation. Dim tables broadcast; only the
     * fact-side orders⋈lineitem join shuffles. Revenue goes through decimal
@@ -1219,6 +1234,7 @@ object RelationalQueries {
     "q_join_anti" -> joinAnti,
     "q_join_cross" -> joinCross,
     "q_join_range" -> joinRange,
+    "q_join_range_binned" -> joinRangeBinned,
     "q_join_star" -> joinStar,
     "q_corr_subquery" -> corrSubquery,
     "q_join_asof" -> joinAsof,
@@ -1282,6 +1298,7 @@ object RelationalQueries {
     "q_join_anti" -> joinAntiSql,
     "q_join_cross" -> joinCrossSql,
     "q_join_range" -> joinRangeSql,
+    "q_join_range_binned" -> joinRangeSql,
     "q_join_star" -> joinStarSql,
     "q_corr_subquery" -> corrSubquerySql,
     "q_join_asof" -> joinAsofSql,

@@ -322,7 +322,32 @@ object AnalyticsQueries {
       |FROM orders WHERE o_custkey <= 200
       |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  /** arg_max / arg_min (max_by/min_by): which order carries each
+    * priority's extreme price. The sort value is price scaled to an
+    * exact integer-valued double plus the unique key — deterministic
+    * under price ties, bit-identical in both engines (both factors stay
+    * under 2^53). */
+  val aggArgmax: Q = (s, dir) => {
+    val rank = col("o_totalprice") * 10000000.0 + col("o_orderkey")
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(max_by(col("o_orderkey"), rank).as("max_price_order"),
+        min_by(col("o_orderkey"), rank).as("min_price_order"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  val aggArgmaxSql: String =
+    """SELECT o_orderpriority,
+      |  arg_max(o_orderkey, o_totalprice * 10000000.0 + o_orderkey)
+      |    AS max_price_order,
+      |  arg_min(o_orderkey, o_totalprice * 10000000.0 + o_orderkey)
+      |    AS min_price_order,
+      |  max(o_totalprice) AS max_price
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_agg_argmax" -> aggArgmax,
     "q_pivot" -> pivotStatus,
     "q_unpivot" -> unpivotCustomer,
     "q_recursive_cte" -> recursiveCte,
@@ -339,6 +364,7 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_agg_argmax" -> aggArgmaxSql,
     "q_pivot" -> pivotStatusSql,
     "q_unpivot" -> unpivotCustomerSql,
     "q_recursive_cte" -> recursiveCteSql,

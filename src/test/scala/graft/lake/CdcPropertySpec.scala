@@ -60,4 +60,44 @@ class CdcPropertySpec extends SparkSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
     assert(result.passed, result.status.toString)
   }
+
+  test("tableChanges(v, v+1) is exactly the delta between version states") {
+    var i = 0
+    val prop = Prop.forAll(genBatches) { batches =>
+      i += 1
+      val lake = new Mooncake(tmpDir("cdc-diff-prop"))
+      val name = s"d$i"
+      lake.createTable(spark, name,
+        Seq((0, "init")).toDF("a", "b"), Seq("a"))
+      var version = 1L
+      batches.foreach { ops =>
+        version += 1
+        val rows = ops.zipWithIndex.map {
+          case (Ins(k, v), seq) => (k, v, "I", seq.toLong)
+          case (Upd(k, v), seq) => (k, v, "U", seq.toLong)
+          case (Del(k), seq) => (k, null: String, "D", seq.toLong)
+        }
+        lake.applyChanges(spark, name,
+          rows.toDF("a", "b", "__op", "__seq"), version)
+      }
+      (1L until version).forall { v =>
+        val before = lake.readVersion(spark, name, v)
+          .as[(Int, String)].collect().toSet
+        val after = lake.readVersion(spark, name, v + 1)
+          .as[(Int, String)].collect().toSet
+        val diff = lake.tableChanges(spark, name, v, v + 1)
+          .as[(Int, String, String)].collect()
+        val ins = diff.filter(_._3 == "insert").map(r => (r._1, r._2)).toSet
+        val del = diff.filter(_._3 == "delete").map(r => (r._1, r._2)).toSet
+        // pk is unique per state, so set algebra is exact here:
+        // applying the diff to the old state must give the new state,
+        // and the diff must not fabricate rows absent from either side
+        (before -- del ++ ins) == after &&
+          del.subsetOf(before) && ins.subsetOf(after)
+      }
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(result.passed, result.status.toString)
+  }
 }

@@ -22,7 +22,19 @@ case class DataFile(
     rows: Long,
     bytes: Long,
     minKey: Option[Long],
-    maxKey: Option[Long])
+    maxKey: Option[Long],
+    colMin: Option[Map[String, Long]] = None,
+    colMax: Option[Map[String, Long]] = None) {
+
+  /** Footer-derived [lo, hi] of an integer column in this file, when
+    * known. Absent (older manifests, non-integer or stats-less columns)
+    * means "may contain anything" — callers must keep the file. */
+  def rangeOf(column: String): Option[(Long, Long)] =
+    for {
+      lo <- colMin.flatMap(_.get(column))
+      hi <- colMax.flatMap(_.get(column))
+    } yield (lo, hi)
+}
 
 /** Versioned table manifest — our stand-in for an Iceberg snapshot
   * (reference keeps the same two frontiers per table:

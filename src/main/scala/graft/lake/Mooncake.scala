@@ -139,19 +139,37 @@ class Mooncake(val warehouse: String) {
   def readRange(spark: SparkSession, name: String, lo: Long, hi: Long,
       atLeastVersion: Option[Long] = None): DataFrame = {
     val m = require_(Manifest.latest(tableDir(name)), name)
+    val key = m.pkColumns.headOption.getOrElse(
+      throw new IllegalStateException(s"table '$name' has no key to range-scan"))
+    readRangeOn(spark, name, key, lo, hi, atLeastVersion)
+  }
+
+  /** Key-range scan on ANY integer column with manifest-level file
+    * skipping — the manifest carries footer min/max for every integer
+    * column, so pruning is not limited to the leading pk. On a
+    * z-ordered mirror (`optimizeTable("zorder:a,b")`) BOTH clustering
+    * dimensions prune: a range on either column opens ~sqrt of the
+    * files a linear clustering would. Columns the manifest has no stats
+    * for degrade to a full scan with a pushed-down predicate — never a
+    * wrong answer. */
+  def readRangeOn(spark: SparkSession, name: String, column: String,
+      lo: Long, hi: Long, atLeastVersion: Option[Long] = None): DataFrame = {
+    val m = require_(Manifest.latest(tableDir(name)), name)
     atLeastVersion.foreach { v =>
       if (m.flushVersion < v)
         throw new StaleSnapshotException(
           s"table '$name': reader requires version >= $v but flushVersion " +
             s"is ${m.flushVersion}")
     }
-    val key = m.pkColumns.headOption.getOrElse(
-      throw new IllegalStateException(s"table '$name' has no key to range-scan"))
-    val files = m.files.filter(f =>
-      (for (fLo <- f.minKey; fHi <- f.maxKey) yield fLo <= hi && fHi >= lo)
-        .getOrElse(true))
+    val leading = m.pkColumns.headOption.contains(column)
+    val files = m.files.filter { f =>
+      val range = f.rangeOf(column).orElse(
+        if (leading) for (a <- f.minKey; b <- f.maxKey) yield (a, b)
+        else None)
+      range.forall { case (fLo, fHi) => fLo <= hi && fHi >= lo }
+    }
     readFiles(spark, m, files)
-      .filter(col(key).cast("long") >= lo && col(key).cast("long") <= hi)
+      .filter(col(column).cast("long") >= lo && col(column).cast("long") <= hi)
   }
 
   private def manifestAt(name: String, version: Long): Manifest = {
@@ -365,10 +383,41 @@ class Mooncake(val warehouse: String) {
           writeVersion(spark, name, packed, m.pkColumns, m.version + 1,
             carryOver = big, alreadyPartitioned = true)
         }
+      case z if z.startsWith("zorder:") =>
+        // Z-order re-clustering on two non-negative integer columns:
+        // interleave their bits and range-partition + sort on the z
+        // value, so every file owns a rectangle of the (c1, c2) space —
+        // range scans on EITHER column then prune to ~sqrt(files) via
+        // the per-column footer stats, where linear clustering prunes
+        // only its one leading dimension.
+        val cols = z.stripPrefix("zorder:").split(",").map(_.trim)
+          .filter(_.nonEmpty)
+        require(cols.length == 2,
+          s"zorder mode takes exactly two columns, got '$z'")
+        val totalBytes = m.files.map(_.bytes).sum
+        val nFiles = math.max(1, (totalBytes / targetFileBytes).toInt)
+        val zv = zValue(col(cols(0)).cast("long"), col(cols(1)).cast("long"))
+        val clustered = readFiles(spark, m, m.files)
+          .withColumn("__z", zv)
+          .repartitionByRange(nFiles, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+        writeVersion(spark, name, clustered, m.pkColumns, m.version + 1,
+          carryOver = Seq.empty, alreadyPartitioned = true)
       case other =>
         throw new IllegalArgumentException(s"unknown optimize mode '$other'")
     }
   }
+
+  /** Bit-interleaved z-value of two non-negative integer columns (21
+    * bits each → 42-bit z). Pure codegen'd bit arithmetic — no UDF. */
+  private def zValue(a: Column, b: Column, bits: Int = 21): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)),
+          2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }
 
   // -------------------------------------------------------------------------
   // write path
@@ -378,12 +427,14 @@ class Mooncake(val warehouse: String) {
     * files) and commit atomically. Per-file min/max of the leading pk comes
     * from the parquet FOOTERS — metadata-only, no second data scan (the
     * same way Iceberg collects file stats at commit time). */
-  /** Row count + min/max of `key` for one parquet file, from the footer
-    * metadata alone. Lossy by design: a non-integer or stats-less key
-    * yields (rows, None, None), which file skipping treats as
+  /** Row count + min/max of EVERY integer-typed column for one parquet
+    * file, from the footer metadata alone (the footer already carries
+    * per-column stats, so multi-column skipping costs nothing extra at
+    * commit time). Lossy by design: a non-integer or stats-less column
+    * is simply absent from the maps, which file skipping treats as
     * "may contain anything" — always safe. */
-  private def footerStats(p: Path,
-      key: Option[String]): (Long, Option[Long], Option[Long]) = {
+  private def footerStats(p: Path)
+      : (Long, Map[String, Long], Map[String, Long]) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val in = HadoopInputFile.fromPath(
@@ -398,19 +449,22 @@ class Mooncake(val warehouse: String) {
         case i: java.lang.Integer => Some(i.longValue)
         case _ => None
       }
-      val bounds = key.flatMap { k =>
-        val stats = blocks.flatMap(_.getColumns.asScala
-          .filter(_.getPath.toDotString == k).map(_.getStatistics))
-        if (stats.isEmpty ||
-            stats.exists(s => s == null || !s.hasNonNullValue)) None
-        else {
-          val los = stats.map(s => asLong(s.genericGetMin))
-          val his = stats.map(s => asLong(s.genericGetMax))
-          if (los.contains(None) || his.contains(None)) None
-          else Some((los.flatten.min, his.flatten.max))
+      val mins = Map.newBuilder[String, Long]
+      val maxs = Map.newBuilder[String, Long]
+      blocks.flatMap(_.getColumns.asScala)
+        .groupBy(_.getPath.toDotString)
+        .foreach { case (name, chunks) =>
+          val stats = chunks.map(_.getStatistics)
+          if (stats.forall(s => s != null && s.hasNonNullValue)) {
+            val los = stats.map(s => asLong(s.genericGetMin))
+            val his = stats.map(s => asLong(s.genericGetMax))
+            if (!los.contains(None) && !his.contains(None)) {
+              mins += name -> los.flatten.min
+              maxs += name -> his.flatten.max
+            }
+          }
         }
-      }
-      (rows, bounds.map(_._1), bounds.map(_._2))
+      (rows, mins.result(), maxs.result())
     } finally reader.close()
   }
 
@@ -427,8 +481,12 @@ class Mooncake(val warehouse: String) {
     val written = Manifest.withListing(out)(_.filter(
       _.getFileName.toString.endsWith(".parquet")).toSeq).sortBy(_.toString)
     val newFiles = written.map { p =>
-      val (rows, lo, hi) = footerStats(p, pk.headOption)
-      DataFile(p.toString, rows, Files.size(p), lo, hi)
+      val (rows, mins, maxs) = footerStats(p)
+      val lead = pk.headOption
+      DataFile(p.toString, rows, Files.size(p),
+        lead.flatMap(mins.get), lead.flatMap(maxs.get),
+        colMin = if (mins.isEmpty) None else Some(mins),
+        colMax = if (maxs.isEmpty) None else Some(maxs))
     }.filter(_.rows > 0)
 
     val manifest = Manifest(

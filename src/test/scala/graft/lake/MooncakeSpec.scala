@@ -151,6 +151,49 @@ class MooncakeSpec extends SparkSuite {
     assert(lake.read(spark, "clus").count() === 5000)
   }
 
+  test("zorder compaction gives two-dimensional file skipping") {
+    val lake = freshLake()
+    val n = 4096L
+    // b is decorrelated from a: linear clustering on a makes every file
+    // span nearly the whole b range
+    val src = spark.range(0, n)
+      .select(col("id").as("a"),
+        ((col("id") * 2654435761L) % n).as("b"),
+        concat(lit("payload_"), col("id")).as("p"))
+      .coalesce(1)
+    lake.createTable(spark, "z", src, Seq("a"), targetFileBytes = 8 * 1024)
+    val nFilesLinear = lake.currentManifest("z").files.size
+    assert(nFilesLinear >= 8, s"want a multi-file table, got $nFilesLinear")
+
+    // Linear clustering: a b-range scan prunes (almost) nothing.
+    val bLo = 0L; val bHi = n / 16 - 1
+    val linearOpened =
+      lake.readRangeOn(spark, "z", "b", bLo, bHi).inputFiles.length
+    assert(linearOpened >= nFilesLinear - 1,
+      s"expected ~no pruning on b pre-zorder: $linearOpened/$nFilesLinear")
+
+    lake.optimizeTable(spark, "z", mode = "zorder:a,b",
+      targetFileBytes = 8 * 1024)
+    val zFiles = lake.currentManifest("z").files.size
+    assert(zFiles >= 8, s"zorder rewrite must keep multiple files: $zFiles")
+
+    // Z-order: BOTH dimensions prune.
+    val zOpenedB =
+      lake.readRangeOn(spark, "z", "b", bLo, bHi).inputFiles.length
+    val zOpenedA =
+      lake.readRangeOn(spark, "z", "a", 0, n / 16 - 1).inputFiles.length
+    assert(zOpenedB <= zFiles / 2,
+      s"b-range must prune on a z-ordered table: $zOpenedB/$zFiles")
+    assert(zOpenedA <= zFiles / 2,
+      s"a-range must still prune on a z-ordered table: $zOpenedA/$zFiles")
+
+    // and the answers stay exact
+    val gotB = lake.readRangeOn(spark, "z", "b", bLo, bHi).count()
+    val wantB = src.filter(col("b").between(bLo, bHi)).count()
+    assert(gotB === wantB)
+    assert(lake.read(spark, "z").count() === n)
+  }
+
   test("createTable from a stats-less source keeps its partitioning") {
     val lake = freshLake()
     // RDD-backed plans report the defaultSizeInBytes sentinel

@@ -884,6 +884,31 @@ object RelationalQueries {
       |  json_extract_string(props, '$.missing') AS k_missing
       |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin
 
+  /** The same JSON surface through Spark 4's native VariantType
+    * (SURVEY §1.3's json/jsonb mapping): parse once into a binary
+    * variant, then typed path extraction — at scale this beats
+    * per-access string re-parsing, and try_variant_get makes absent
+    * paths NULL instead of errors. */
+  val scalarVariant: Q = (s, dir) =>
+    t(s, dir, "events")
+      .filter(col("event_id") < 200)
+      .select(col("event_id"),
+        try_variant_get(parse_json(col("props")), "$.k", "bigint")
+          .as("k_int"),
+        try_variant_get(parse_json(col("props")), "$.missing", "string")
+          .as("k_missing"),
+        coalesce(is_variant_null(try_variant_get(parse_json(col("props")),
+          "$.missing", "variant")), lit(false))
+          .as("missing_is_json_null"))
+      .orderBy("event_id")
+
+  val scalarVariantSql: String =
+    """SELECT event_id,
+      |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_int,
+      |  json_extract_string(props, '$.missing') AS k_missing,
+      |  false AS missing_is_json_null
+      |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin
+
   // ===========================================================================
   // additional §2 coverage
   // ===========================================================================
@@ -1235,6 +1260,7 @@ object RelationalQueries {
     "q_join_cross" -> joinCross,
     "q_join_range" -> joinRange,
     "q_join_range_binned" -> joinRangeBinned,
+    "q_scalar_variant" -> scalarVariant,
     "q_join_star" -> joinStar,
     "q_corr_subquery" -> corrSubquery,
     "q_join_asof" -> joinAsof,
@@ -1299,6 +1325,7 @@ object RelationalQueries {
     "q_join_cross" -> joinCrossSql,
     "q_join_range" -> joinRangeSql,
     "q_join_range_binned" -> joinRangeSql,
+    "q_scalar_variant" -> scalarVariantSql,
     "q_join_star" -> joinStarSql,
     "q_corr_subquery" -> corrSubquerySql,
     "q_join_asof" -> joinAsofSql,

@@ -144,7 +144,14 @@ object DeltaCompat {
         }
         withParts.select(schema.fieldNames.map(col).toSeq: _*)
       }
-      if (parts.isEmpty) emptyDf else parts.reduce(_ unionByName _)
+      // balanced union: O(log P) plan depth instead of a P-deep
+      // left-leaning tree whose analysis cost is quadratic in the
+      // live-partition count
+      def unionAll(dfs: Seq[DataFrame]): DataFrame =
+        if (dfs.lengthCompare(1) == 0) dfs.head
+        else unionAll(dfs.grouped(2)
+          .map(g => g.reduce(_ unionByName _)).toSeq)
+      if (parts.isEmpty) emptyDf else unionAll(parts)
     }
   }
 
@@ -194,9 +201,14 @@ object DeltaCompat {
       actions += meta
     }
     if (mode == "overwrite" && version > 0L) {
+      // replay keys are DECODED paths; the log stores percent-encoded
+      // paths (per segment — '/' separators stay) so the next replay's
+      // decode round-trips exactly.
+      def encodePath(p: String): String =
+        p.split("/", -1).map(PathCodec.percentEncode).mkString("/")
       replay(table, None).files.keys.toSeq.sorted.foreach { p =>
         val rm = mapper.createObjectNode()
-        rm.putObject("remove").put("path", p)
+        rm.putObject("remove").put("path", encodePath(p))
           .put("deletionTimestamp", now).put("dataChange", true)
         actions += rm
       }

@@ -339,7 +339,10 @@ object IcebergCompat {
     // Carry prior manifest-list entries on append; entries written by a
     // pre-upgrade layout get their length recomputed and neutral counts.
     def carry(r: GenericRecord): GenericRecord = {
-      def num(f: String, d: Long): Long =
+      // default is by-name: current-layout entries always carry the
+      // field, so fallbacks (a filesystem stat per manifest) only run
+      // for pre-upgrade tables
+      def num(f: String, d: => Long): Long =
         if (r.getSchema.getField(f) == null) d
         else r.get(f) match {
           case l: java.lang.Long => l.longValue

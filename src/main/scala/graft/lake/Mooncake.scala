@@ -72,11 +72,14 @@ class Mooncake(val warehouse: String) {
       throw new IllegalStateException(s"mooncake table '$name' already exists")
     // Optimizer stats, not an execution: parquet footer / cache sizes.
     // Stats-less plans (RDD-backed, JDBC) report the defaultSizeInBytes
-    // sentinel (Long.MaxValue, possibly multiplied up the plan) — that
-    // means "unknown", not "huge": keep the source partitioning rather
-    // than range-shuffling into a guessed file count.
+    // sentinel (Long.MaxValue) — and projections SCALE that sentinel by
+    // column-width ratios, so a sentinel-derived estimate can land well
+    // below Long.MaxValue. Anything implausible (>= ~920 TB for a
+    // single backfill) is treated as "unknown", not "huge": keep the
+    // source partitioning rather than range-shuffle into a guessed
+    // file count.
     val bytes = source.queryExecution.optimizedPlan.stats.sizeInBytes
-    val sizeKnown = bytes < BigInt(Long.MaxValue)
+    val sizeKnown = bytes < BigInt(Long.MaxValue) / 10000
     val backfill =
       if (pk.nonEmpty && sizeKnown && bytes > targetFileBytes) {
         val n = ((bytes / targetFileBytes) min BigInt(10000)).toInt + 1
@@ -409,15 +412,21 @@ class Mooncake(val warehouse: String) {
     }
   }
 
-  /** Bit-interleaved z-value of two non-negative integer columns (21
-    * bits each → 42-bit z). Pure codegen'd bit arithmetic — no UDF. */
-  private def zValue(a: Column, b: Column, bits: Int = 21): Column =
+  /** Bit-interleaved z-value of two integer columns (31 bits each →
+    * 62-bit z, covering the full positive int range; negatives clamp to
+    * 0 — clustering quality only, never correctness, since pruning
+    * reads the real footer stats). Pure codegen'd bit arithmetic — no
+    * UDF. */
+  private def zValue(a: Column, b: Column, bits: Int = 31): Column = {
+    val ac = greatest(a, lit(0L))
+    val bc = greatest(b, lit(0L))
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       acc
-        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)),
+        .bitwiseOR(shiftleft(shiftright(ac, i).bitwiseAND(lit(1L)),
           2 * i + 1))
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(bc, i).bitwiseAND(lit(1L)), 2 * i))
     }
+  }
 
   // -------------------------------------------------------------------------
   // write path
@@ -449,13 +458,25 @@ class Mooncake(val warehouse: String) {
         case i: java.lang.Integer => Some(i.longValue)
         case _ => None
       }
+      // Only PLAIN integer columns: decimals and timestamps are also
+      // INT32/INT64 at the physical layer but their footer stats are
+      // unscaled/micros — pruning with them against logical filter
+      // values would silently drop matching rows.
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      def plainInt(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+          : Boolean = c.getPrimitiveType.getLogicalTypeAnnotation match {
+        case null => true
+        case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation => true
+        case _ => false
+      }
       val mins = Map.newBuilder[String, Long]
       val maxs = Map.newBuilder[String, Long]
       blocks.flatMap(_.getColumns.asScala)
         .groupBy(_.getPath.toDotString)
         .foreach { case (name, chunks) =>
           val stats = chunks.map(_.getStatistics)
-          if (stats.forall(s => s != null && s.hasNonNullValue)) {
+          if (chunks.forall(plainInt) &&
+              stats.forall(s => s != null && s.hasNonNullValue)) {
             val los = stats.map(s => asLong(s.genericGetMin))
             val his = stats.map(s => asLong(s.genericGetMax))
             if (!los.contains(None) && !his.contains(None)) {

@@ -323,12 +323,14 @@ object AnalyticsQueries {
       |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
   /** arg_max / arg_min (max_by/min_by): which order carries each
-    * priority's extreme price. The sort value is price scaled to an
-    * exact integer-valued double plus the unique key — deterministic
-    * under price ties, bit-identical in both engines (both factors stay
-    * under 2^53). */
+    * priority's extreme price. The sort value is exact BIGINT
+    * arithmetic: price in integer cents times 10^9 plus the unique key
+    * — the cents shift dominates any key (keys < 10^9 even at sf100),
+    * so the key term ONLY breaks exact-price ties, deterministically
+    * and identically in both engines. */
   val aggArgmax: Q = (s, dir) => {
-    val rank = col("o_totalprice") * 10000000.0 + col("o_orderkey")
+    val rank = round(col("o_totalprice") * 100).cast("bigint") *
+      1000000000L + col("o_orderkey")
     t(s, dir, "orders")
       .groupBy("o_orderpriority")
       .agg(max_by(col("o_orderkey"), rank).as("max_price_order"),
@@ -339,10 +341,10 @@ object AnalyticsQueries {
 
   val aggArgmaxSql: String =
     """SELECT o_orderpriority,
-      |  arg_max(o_orderkey, o_totalprice * 10000000.0 + o_orderkey)
-      |    AS max_price_order,
-      |  arg_min(o_orderkey, o_totalprice * 10000000.0 + o_orderkey)
-      |    AS min_price_order,
+      |  arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+      |    * 1000000000 + o_orderkey) AS max_price_order,
+      |  arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+      |    * 1000000000 + o_orderkey) AS min_price_order,
       |  max(o_totalprice) AS max_price
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 

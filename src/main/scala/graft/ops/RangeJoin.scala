@@ -31,9 +31,15 @@ object RangeJoin {
       build: DataFrame, loCol: String, hiCol: String,
       binWidth: Double): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive: $binWidth")
-    val binned = build.withColumn("__bin", explode(sequence(
-      floor(col(loCol) / binWidth).cast("long"),
-      floor(col(hiCol) / binWidth).cast("long"))))
+    // drop inverted intervals BEFORE exploding: sequence(start, stop)
+    // silently steps -1 when start > stop, so one malformed lo > hi row
+    // would fan out into ~span/width junk bins instead of matching
+    // nothing
+    val binned = build
+      .where(col(loCol) <= col(hiCol))
+      .withColumn("__bin", explode(sequence(
+        floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
     probe
       .withColumn("__bin", floor(col(probeCol) / binWidth).cast("long"))
       .join(binned, Seq("__bin"))

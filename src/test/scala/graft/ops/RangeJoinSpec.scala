@@ -19,7 +19,8 @@ class RangeJoinSpec extends SparkSuite {
       (2L, -10.0, 10.0),   // straddles zero
       (3L, 0.0, 0.0),      // degenerate point interval on a boundary
       (4L, 25.0, 400.0),   // wide interval
-      (5L, 390.0, 395.0)   // interval with no probe hit
+      (5L, 390.0, 395.0),  // interval with no probe hit
+      (6L, 1e9, -1e9)      // inverted interval: matches nothing, no fan-out
     ).toDF("bid", "lo", "hi")
 
     val got = RangeJoin.binned(probe, "v", build, "lo", "hi", binWidth = 40.0)

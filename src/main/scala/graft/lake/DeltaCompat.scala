@@ -164,6 +164,16 @@ object DeltaCompat {
     Files.createDirectories(root)
     val prior = versions(table)
     val version = prior.lastOption.map(_ + 1).getOrElse(0L)
+    // This writer emits add actions with empty partitionValues — writing
+    // into a PARTITIONED table would silently null its partition columns
+    // on every read (ours and real Delta readers alike). Refuse, per the
+    // file's refuse-over-misread contract.
+    val priorState = if (version > 0L) Some(replay(table, None)) else None
+    priorState.map(_.partitionColumns).filter(_.nonEmpty).foreach { pc =>
+      throw new UnsupportedOperationException(
+        s"$table is partitioned (${pc.mkString(", ")}) — this " +
+          "writer only writes unpartitioned tables")
+    }
 
     // Write part files via Spark into a temp dir, then move them to the
     // table root under fresh UUID names (Delta layout).
@@ -206,7 +216,8 @@ object DeltaCompat {
       // decode round-trips exactly.
       def encodePath(p: String): String =
         p.split("/", -1).map(PathCodec.percentEncode).mkString("/")
-      replay(table, None).files.keys.toSeq.sorted.foreach { p =>
+      priorState.map(_.files.keys.toSeq).getOrElse(Seq.empty)
+        .sorted.foreach { p =>
         val rm = mapper.createObjectNode()
         rm.putObject("remove").put("path", encodePath(p))
           .put("deletionTimestamp", now).put("dataChange", true)

@@ -213,16 +213,8 @@ object IcebergCompat {
 
   /** Row count from the parquet footer — metadata-only, no data scan
     * (how real Iceberg collects commit stats). */
-  private def parquetRowCount(p: Path): Long = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    val in = HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(p.toUri),
-      new org.apache.hadoop.conf.Configuration())
-    val reader = ParquetFileReader.open(in)
-    try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-    finally reader.close()
-  }
+  private def parquetRowCount(p: Path): Long =
+    Manifest.withFooter(p)(_.getBlocks.asScala.map(_.getRowCount).sum)
 
   private def toIcebergType(t: DataType): String = t match {
     case BooleanType => "boolean"
@@ -255,10 +247,31 @@ object IcebergCompat {
     Files.createDirectories(metaDir)
     Files.createDirectories(Paths.get(tableDir, "data"))
 
-    val prior =
-      if (Files.exists(metaDir.resolve("version-hint.text")))
-        Some(currentMetadata(tableDir))
-      else None
+    // A table with metadata but no version-hint is an EXTERNAL layout
+    // (our writer always emits the hint): its metadata file names don't
+    // follow our vN scheme, so continuing would silently rename over the
+    // current metadata and orphan every existing file. Refuse.
+    val hasHint = Files.exists(metaDir.resolve("version-hint.text"))
+    if (!hasHint && Manifest.withListing(metaDir)(_.exists(
+        _.getFileName.toString.endsWith(".metadata.json"))))
+      throw new UnsupportedOperationException(
+        s"$tableDir has Iceberg metadata but no version-hint.text — " +
+          "refusing to write into an externally-managed table")
+    val prior = if (hasHint) Some(currentMetadata(tableDir)) else None
+    // No schema evolution: carried snapshots/manifests were written
+    // under the prior schema, and this metadata keeps exactly one
+    // schema entry — a drifted append/overwrite would misread them.
+    prior.map(toStructType).foreach { prev =>
+      val now = StructType(df.schema.fields.map(f =>
+        StructField(f.name, f.dataType, f.nullable)))
+      val was = StructType(prev.fields.map(f =>
+        StructField(f.name, f.dataType, f.nullable)))
+      if (now != was)
+        throw new UnsupportedOperationException(
+          s"schema mismatch writing $tableDir: table has ${was.toDDL}, " +
+            s"DataFrame has ${now.toDDL} — schema evolution is out of " +
+            "this writer's scope")
+    }
     val prevVersion = prior.map(_ => new String(Files.readAllBytes(
       metaDir.resolve("version-hint.text")), "UTF-8").trim.toLong)
       .getOrElse(0L)

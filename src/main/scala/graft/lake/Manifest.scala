@@ -86,6 +86,20 @@ object Manifest {
     try f(stream.iterator().asScala) finally stream.close()
   }
 
+  /** Run `f` over a parquet file's footer metadata, always closing the
+    * reader — the shared open/close boilerplate behind commit-time file
+    * statistics (Mooncake) and Iceberg record counts. */
+  private[lake] def withFooter[A](p: Path)(
+      f: org.apache.parquet.hadoop.metadata.ParquetMetadata => A): A = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri),
+      new org.apache.hadoop.conf.Configuration())
+    val reader = ParquetFileReader.open(in)
+    try f(reader.getFooter) finally reader.close()
+  }
+
   /** Latest committed manifest, or None for an empty/new table dir. */
   def latest(tableDir: String): Option[Manifest] = {
     val dir = manifestDir(tableDir)

@@ -144,7 +144,7 @@ class Mooncake(val warehouse: String) {
     val m = require_(Manifest.latest(tableDir(name)), name)
     val key = m.pkColumns.headOption.getOrElse(
       throw new IllegalStateException(s"table '$name' has no key to range-scan"))
-    readRangeOn(spark, name, key, lo, hi, atLeastVersion)
+    rangeOnManifest(spark, name, m, key, lo, hi, atLeastVersion)
   }
 
   /** Key-range scan on ANY integer column with manifest-level file
@@ -156,8 +156,14 @@ class Mooncake(val warehouse: String) {
     * for degrade to a full scan with a pushed-down predicate — never a
     * wrong answer. */
   def readRangeOn(spark: SparkSession, name: String, column: String,
-      lo: Long, hi: Long, atLeastVersion: Option[Long] = None): DataFrame = {
-    val m = require_(Manifest.latest(tableDir(name)), name)
+      lo: Long, hi: Long, atLeastVersion: Option[Long] = None): DataFrame =
+    rangeOnManifest(spark, name,
+      require_(Manifest.latest(tableDir(name)), name),
+      column, lo, hi, atLeastVersion)
+
+  private def rangeOnManifest(spark: SparkSession, name: String, m: Manifest,
+      column: String, lo: Long, hi: Long,
+      atLeastVersion: Option[Long]): DataFrame = {
     atLeastVersion.foreach { v =>
       if (m.flushVersion < v)
         throw new StaleSnapshotException(
@@ -201,6 +207,11 @@ class Mooncake(val warehouse: String) {
       toVersion: Long): DataFrame = {
     val mFrom = manifestAt(name, fromVersion)
     val mTo = manifestAt(name, toVersion)
+    if (org.apache.spark.sql.types.StructType.fromDDL(mTo.schemaDdl)
+        .fieldNames.contains("_change"))
+      throw new IllegalArgumentException(
+        s"table '$name' has a '_change' column — it would collide with " +
+          "the change-type tag this diff appends")
     val shared = mFrom.files.map(_.path).toSet
       .intersect(mTo.files.map(_.path).toSet)
     val before = readFiles(spark, mFrom,
@@ -443,15 +454,9 @@ class Mooncake(val warehouse: String) {
     * is simply absent from the maps, which file skipping treats as
     * "may contain anything" — always safe. */
   private def footerStats(p: Path)
-      : (Long, Map[String, Long], Map[String, Long]) = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    val in = HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(p.toUri),
-      new org.apache.hadoop.conf.Configuration())
-    val reader = ParquetFileReader.open(in)
-    try {
-      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      : (Long, Map[String, Long], Map[String, Long]) =
+    Manifest.withFooter(p) { footer =>
+      val blocks = footer.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
       def asLong(v: Any): Option[Long] = v match {
         case l: java.lang.Long => Some(l.longValue)
@@ -486,8 +491,7 @@ class Mooncake(val warehouse: String) {
           }
         }
       (rows, mins.result(), maxs.result())
-    } finally reader.close()
-  }
+    }
 
   private def writeVersion(spark: SparkSession, name: String, df: DataFrame,
       pk: Seq[String], version: Long, carryOver: Seq[DataFile],
@@ -560,14 +564,27 @@ object PathCodec {
 
   def percentDecode(s: String): String = {
     val out = new java.io.ByteArrayOutputStream(s.length)
+    val lit = new StringBuilder
+    // literal runs are flushed as UTF-8 BYTES (a char-at-a-time write
+    // would truncate non-ASCII and split surrogate pairs); a '%' not
+    // followed by two hex digits passes through as a literal instead of
+    // crashing on third-party paths like "100%x.parquet"
+    def flush(): Unit = if (lit.nonEmpty) {
+      out.write(lit.toString.getBytes("UTF-8")); lit.clear()
+    }
+    def hex(c: Char): Boolean =
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
+      if (c == '%' && i + 2 < s.length &&
+          hex(s.charAt(i + 1)) && hex(s.charAt(i + 2))) {
+        flush()
         out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
         i += 3
-      } else { out.write(c.toInt); i += 1 }
+      } else { lit.append(c); i += 1 }
     }
+    flush()
     new String(out.toByteArray, "UTF-8")
   }
 }

@@ -93,6 +93,12 @@ class DeltaCompatSpec extends SparkSuite {
     assert(got.schema.fieldNames.toSeq === Seq("k", "p", "n"))
     assert(got.as[(Long, String, Int)].collect().sortBy(_._1).toSeq ===
       Seq((1L, "a", 10), (2L, "a", 20), (3L, "b x", 30)))
+
+    // the writer would emit empty partitionValues — appending here would
+    // silently null partition columns, so it must refuse
+    intercept[UnsupportedOperationException] {
+      DeltaCompat.write(Seq((9L, "c", 90)).toDF("k", "p", "n"), dir)
+    }
   }
 
   test("add/remove paths are percent-decoded per the Delta spec") {

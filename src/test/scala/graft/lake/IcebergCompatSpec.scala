@@ -125,6 +125,26 @@ class IcebergCompatSpec extends SparkSuite {
       .collect().toSeq === Seq(9L -> "z"))
   }
 
+  test("writer refuses hint-less external tables and schema drift") {
+    // External layout (metadata but no version-hint): a write would
+    // rename over the live metadata and orphan every file — refuse.
+    val ext = tmpDir("iceberg-ext")
+    Files.createDirectories(Paths.get(ext, "metadata"))
+    Files.write(Paths.get(ext, "metadata", "00000-abc.metadata.json"),
+      "{}".getBytes)
+    intercept[UnsupportedOperationException] {
+      IcebergCompat.write(Seq((1L, "a")).toDF("k", "v"), ext)
+    }
+    // Schema drift on an existing table: carried snapshots were written
+    // under the old schema and the metadata keeps one schema — refuse.
+    val dir = tmpDir("iceberg-drift")
+    IcebergCompat.write(Seq((1L, "a")).toDF("k", "v"), dir)
+    intercept[UnsupportedOperationException] {
+      IcebergCompat.write(Seq((2L, "b")).toDF("k", "x"), dir)
+    }
+    assert(IcebergCompat.read(spark, dir).count() === 1)
+  }
+
   test("writer emits the spec-required v2 fields (ADVICE r2)") {
     import scala.jdk.CollectionConverters._
     import org.apache.avro.file.DataFileReader

@@ -365,5 +365,23 @@ class MooncakeSpec extends SparkSuite {
     assert(PathCodec.percentEncode("naïve") === "na%C3%AFve")
     val tricky = "s3://bucket/päth with %/odd?&="
     assert(PathCodec.percentDecode(PathCodec.percentEncode(tricky)) === tricky)
+    // third-party inputs: literal (unencoded) non-ASCII must pass
+    // through as UTF-8, and '%' not followed by hex is a literal, not
+    // a crash
+    assert(PathCodec.percentDecode("café.parquet") === "café.parquet")
+    assert(PathCodec.percentDecode("日本.parquet") === "日本.parquet")
+    assert(PathCodec.percentDecode("100%x.parquet") === "100%x.parquet")
+    assert(PathCodec.percentDecode("trail%4") === "trail%4")
+  }
+
+  test("tableChanges refuses a table whose schema already has _change") {
+    val lake = freshLake()
+    lake.createTable(spark, "cc",
+      Seq((1, "x")).toDF("a", "_change"), Seq("a"))
+    lake.applyChanges(spark, "cc",
+      Seq((2, "y", "I")).toDF("a", "_change", "__op"), version = 2)
+    intercept[IllegalArgumentException] {
+      lake.tableChanges(spark, "cc", 1, 2)
+    }
   }
 }

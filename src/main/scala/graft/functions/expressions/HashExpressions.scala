@@ -53,25 +53,15 @@ object HashOps {
   }
 
   /** Hashes of the DISTINCT k-word shingles of a single-space-tokenized
-    * text (token/shingle construction matches wordShingles + split). */
+    * text — DELEGATES shingle construction to
+    * [[SetVectorOps.wordShingles]] so LSH candidate generation (this)
+    * and Jaccard verification (that) can never drift apart. */
   def shingleHashes(text: UTF8String, k: Int): ArrayData = {
-    val toks = text.toString.split(" ", -1)
-    if (toks.length < k) return new GenericArrayData(Array.empty[Long])
-    val seen = new java.util.LinkedHashSet[String]()
+    val shingles = SetVectorOps.wordShingles(text, k)
+    val n = shingles.numElements()
+    val out = new Array[Long](n)
     var i = 0
-    while (i + k <= toks.length) {
-      val sb = new java.lang.StringBuilder(toks(i))
-      var j = 1
-      while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
-      seen.add(sb.toString)
-      i += 1
-    }
-    val out = new Array[Long](seen.size)
-    val it = seen.iterator()
-    var p = 0
-    while (it.hasNext) {
-      out(p) = polyHash(UTF8String.fromString(it.next())); p += 1
-    }
+    while (i < n) { out(i) = polyHash(shingles.getUTF8String(i)); i += 1 }
     new GenericArrayData(out)
   }
 

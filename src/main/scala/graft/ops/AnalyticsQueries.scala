@@ -167,15 +167,20 @@ object AnalyticsQueries {
     * when sampling joined fact tables. */
   val sampleHash: Q = (s, dir) =>
     t(s, dir, "lineitem")
-      .filter(((col("l_orderkey") * 2654435761L + 97531L) % 1000000007L)
-        % 100 < 5)
+      // key is reduced mod P BEFORE the multiply: (P-1)*2654435761 stays
+      // under 2^63, where a raw huge-SF orderkey times the constant
+      // would overflow (an ANSI ArithmeticException at exactly the
+      // scale this sample exists for)
+      .filter(((col("l_orderkey") % 1000000007L) * 2654435761L + 97531L)
+        % 1000000007L % 100 < 5)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
       .orderBy("l_orderkey", "l_linenumber")
 
   val sampleHashSql: String =
     """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
       |FROM lineitem
-      |WHERE ((l_orderkey * 2654435761 + 97531) % 1000000007) % 100 < 5
+      |WHERE (((l_orderkey % 1000000007) * 2654435761 + 97531)
+      |  % 1000000007) % 100 < 5
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   /** Boolean + bitwise aggregates (PG bool_and/bool_or/bit_and/bit_or/

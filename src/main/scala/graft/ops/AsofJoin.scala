@@ -39,19 +39,27 @@ object AsofJoin {
     // Interleaved layout: __key, __ts, __side (right sorts before left at
     // equal ts so a same-instant right row is visible to the left row),
     // right payload (null on left rows), left row (null on right rows).
+    //
+    // The payload is carried as ONE struct, not per-column: last(...,
+    // ignoreNulls) over individual columns would skip a right row whose
+    // payload VALUE is genuinely NULL (reaching back to an older row),
+    // and with several payload columns could stitch fields from
+    // different right rows. The struct is null only on left rows, so
+    // ignoreNulls means exactly "skip interleaved left rows".
+    import org.apache.spark.sql.types.StructType
+    val payloadType = StructType(rightPayload.map(c => right.schema(c)))
     val lTagged = left.select(
       col(lKey).as("__key") +: col(lTs).as("__ts") +: lit(1).as("__side") +:
-        (rightPayload.map(c => lit(null).cast(
-          right.schema(c).dataType).as(s"__r_$c")) ++
-          tieBreak.map(c => lit(null).cast(
+        (lit(null).cast(payloadType).as("__rrow") +:
+          (tieBreak.map(c => lit(null).cast(
             right.schema(c).dataType).as(s"__tb_$c")) ++
-          leftCols.map(c => col(c).as(s"__l_$c"))): _*)
+            leftCols.map(c => col(c).as(s"__l_$c")))): _*)
     val rTagged = right.select(
       col(rKey).as("__key") +: col(rTs).as("__ts") +: lit(0).as("__side") +:
-        (rightPayload.map(c => col(c).as(s"__r_$c")) ++
-          tieBreak.map(c => col(c).as(s"__tb_$c")) ++
-          leftCols.map(c => lit(null).cast(
-            left.schema(c).dataType).as(s"__l_$c"))): _*)
+        (struct(rightPayload.map(c => col(c).as(c)): _*).as("__rrow") +:
+          (tieBreak.map(c => col(c).as(s"__tb_$c")) ++
+            leftCols.map(c => lit(null).cast(
+              left.schema(c).dataType).as(s"__l_$c")))): _*)
 
     val w = Window.partitionBy("__key")
       .orderBy(col("__ts").asc +: col("__side").asc +:
@@ -59,11 +67,11 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = lTagged.unionByName(rTagged)
-      .select(col("*") +: rightPayload.map(c =>
-        last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"__asof_$c")): _*)
+      .select(col("*"),
+        last(col("__rrow"), ignoreNulls = true).over(w).as("__asof"))
 
     carried.filter(col("__side") === 1)
       .select(leftCols.map(c => col(s"__l_$c").as(c)) ++
-        rightPayload.map(c => col(s"__asof_$c").as(s"asof_$c")): _*)
+        rightPayload.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 }

@@ -248,8 +248,13 @@ object PipelineQueries {
     val sig = docs(s, dir).select(col("doc_id"),
       SVE.word_shingles(col("text"), 3).as("sh"),
       HE.minhash_signature(HE.shingle_hashes(col("text"), 3)).as("sig"))
-    val banded = sig.select(col("doc_id"), col("sh"),
-      posexplode(TF.bandKeys(col("sig"))).as(Seq("band", "key")))
+    // Shingle-less docs (< 3 tokens) all share the all-P sentinel
+    // signature: banding them would emit C(m,2) candidate pairs with
+    // NaN Jaccard (0/0 passes >= 0.5 — NaN sorts high). They have no
+    // shingles, so they can never be near-dups; drop them up front.
+    val banded = sig.filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"),
+        posexplode(TF.bandKeys(col("sig"))).as(Seq("band", "key")))
     val a = banded.as("a"); val b = banded.as("b")
     val cands = a.join(b, col("a.band") === col("b.band") &&
         col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
@@ -266,7 +271,8 @@ object PipelineQueries {
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
        |hs AS (SELECT doc_id, sh,
-       |  list_transform(sh, x -> ${sqlHash("x")}) AS h FROM s),
+       |  list_transform(sh, x -> ${sqlHash("x")}) AS h FROM s
+       |  WHERE len(sh) > 0),
        |sig AS (SELECT doc_id, sh,
        |  list_transform(range(0, $NumHashes), p ->
        |    coalesce(list_min(list_transform(h,

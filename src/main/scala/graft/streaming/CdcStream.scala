@@ -26,11 +26,30 @@ import graft.lake.Mooncake
 object CdcStream {
 
   /** Start applying `changes` to `table`. Returns the running query;
-    * caller owns its lifecycle. */
+    * caller owns its lifecycle.
+    *
+    * The version base is recorded ONCE per checkpoint (a `graft-base`
+    * file beside the stream's own state): re-reading the manifest on
+    * every attach would move the base past already-applied batches, so
+    * a post-crash replay would compute a fresh version and re-apply
+    * instead of hitting the `version > current` skip — the frontier
+    * would advance spuriously and tableChanges would report a phantom
+    * batch. With the pinned base, a replayed batch id maps to its
+    * original version and is skipped. */
   def attach(lake: Mooncake, table: String, changes: DataFrame,
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val base = lake.currentManifest(table).commitVersion
+    val baseFile = java.nio.file.Paths.get(checkpointDir, "graft-base")
+    val base =
+      if (java.nio.file.Files.exists(baseFile))
+        new String(java.nio.file.Files.readAllBytes(baseFile),
+          "UTF-8").trim.toLong
+      else {
+        val b = lake.currentManifest(table).commitVersion
+        java.nio.file.Files.createDirectories(baseFile.getParent)
+        java.nio.file.Files.write(baseFile, b.toString.getBytes("UTF-8"))
+        b
+      }
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

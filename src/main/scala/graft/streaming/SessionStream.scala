@@ -64,20 +64,28 @@ object SessionStream extends Serializable {
             // Events within a micro-batch arrive unordered; a session
             // operator must sort its in-batch slice (cheap: one user's
             // slice of one trigger), exactly like the batch window sort.
+            // The carried open session joins the merge as an ordinary
+            // interval, IN START ORDER: a late (above-watermark) event
+            // that predates it must form or extend an EARLIER session,
+            // not be absorbed into the open one — the naive
+            // `t - end <= gap` guard is trivially true for any t in the
+            // past and silently corrupted session starts.
             val sorted = batch.toSeq.sortBy(e => (us(e.ts), e.value))
+              .map(e => OpenSession(us(e.ts), us(e.ts), 1L, e.value))
+            val items = (state.getOption.toSeq ++ sorted).sortBy(_.startUs)
             val closed = Seq.newBuilder[Session]
-            var open = state.getOption
-            for (e <- sorted) {
-              val t = us(e.ts)
+            var open: Option[OpenSession] = None
+            for (it <- items) {
               open match {
-                case Some(s) if t - s.endUs <= gapUs =>
-                  open = Some(OpenSession(s.startUs, math.max(s.endUs, t),
-                    s.n + 1, s.value + e.value))
+                case Some(s) if it.startUs - s.endUs <= gapUs =>
+                  open = Some(OpenSession(s.startUs,
+                    math.max(s.endUs, it.endUs),
+                    s.n + it.n, s.value + it.value))
                 case Some(s) =>
                   closed += close(userId, s)
-                  open = Some(OpenSession(t, t, 1L, e.value))
+                  open = Some(it)
                 case None =>
-                  open = Some(OpenSession(t, t, 1L, e.value))
+                  open = Some(it)
               }
             }
             open.foreach { s =>

@@ -43,4 +43,20 @@ class AsofJoinSpec extends SparkSuite {
       .select("asof_v").as[String].head()
     assert(got === "b")
   }
+
+  test("a matched right row with NULL payload stays NULL (no reach-back)") {
+    // the latest right row wins even when its payload VALUE is null —
+    // per-column last(ignoreNulls) would have reached back to the older
+    // row and stitched v from one row with w from another
+    val r = Seq(
+      (1L, ts("2024-01-01 00:00:00"), Some(5.0), Some("old")),
+      (1L, ts("2024-01-01 00:01:00"), None, Some("new")))
+      .toDF("k", "rts", "v", "w")
+    val l = Seq((1L, ts("2024-01-01 00:02:00"), "x")).toDF("k", "lts", "id")
+    val got = AsofJoin.backward(l, r, ("k", "k"), ("lts", "rts"),
+        rightPayload = Seq("v", "w"), tieBreak = Seq("rts"))
+      .select("asof_v", "asof_w")
+      .as[(Option[Double], Option[String])].head()
+    assert(got === (None, Some("new")))
+  }
 }

@@ -39,9 +39,11 @@ class CdcStreamSpec extends SparkSuite {
     val afterB1 = lake.read(spark, "s", atLeastVersion = Some(3))
       .orderBy("a").as[(Int, String)].collect().toSeq
     assert(afterB1 === Seq(1 -> "a2", 3 -> "c"))
-    // Versions are monotone, not contiguous (LSN semantics): re-attach
-    // rebases at commitVersion=2, checkpoint resumes at batchId=1 → 4.
-    assert(lake.currentManifest("s").flushVersion === 4L)
+    // The base is pinned once per checkpoint (graft-base), so batch N
+    // always maps to version base+N+1: re-attach does NOT rebase, and a
+    // replayed batch id recomputes its ORIGINAL version and is skipped
+    // by the monotonicity guard instead of re-applied at a fresh one.
+    assert(lake.currentManifest("s").flushVersion === 3L)
   }
 
   test("event-time tumbling window with watermark over the events table") {

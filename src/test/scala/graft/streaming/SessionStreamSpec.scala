@@ -59,4 +59,45 @@ class SessionStreamSpec extends SparkSuite {
       assert(got.contains((2L, t(5), 1L, 5.0)), s"user2 session: $got")
     } finally q.stop()
   }
+
+  test("late above-watermark events form earlier sessions, not corrupt open ones") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = SessionStream.sessionize(
+      input.toDS().withWatermark("ts", "10 hours").as[Event],
+      gapSeconds = 30 * 60)
+    val q = sessions.writeStream
+      .format("memory").queryName("late_sess_out")
+      .outputMode("append")
+      .start()
+    try {
+      // open session at minute 300
+      input.addData(Event(1, t(300), 1.0))
+      q.processAllAvailable()
+      // LATE event at minute 0 (inside the 10h watermark): more than a
+      // gap before the open session — must close as its OWN session,
+      // not merge into (and corrupt) the minute-300 one
+      input.addData(Event(1, t(0), 7.0))
+      q.processAllAvailable()
+      // late event at minute 290: within the gap BEFORE the open
+      // session — must merge and lower its start
+      input.addData(Event(1, t(290), 2.0))
+      q.processAllAvailable()
+      // flush by timeout
+      input.addData(Event(99, t(60 * 48), 0.0))
+      q.processAllAvailable()
+      input.addData(Event(99, t(60 * 48 + 1), 0.0))
+      q.processAllAvailable()
+
+      val got = spark.table("late_sess_out")
+        .as[SessionStream.Session].collect()
+        .filter(_.user_id == 1L)
+        .map(s => (s.session_start, s.n_events, s.session_value))
+        .toSet
+      assert(got.contains((t(0), 1L, 7.0)),
+        s"late standalone session expected: $got")
+      assert(got.contains((t(290), 2L, 3.0)),
+        s"merged session with lowered start expected: $got")
+    } finally q.stop()
+  }
 }

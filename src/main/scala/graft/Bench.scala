@@ -62,7 +62,12 @@ object Bench {
     val qs = results.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failed queries record -1 and are excluded from total — surface
+    // them explicitly so a crash-inducing regression can never read as
+    // a faster benchmark
+    val failed = results.collect { case (k, v) if v < 0 => s""""$k"""" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -19,9 +19,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "4.1.0", "", "scala_udf")
 
+  /** Extra args must not be silently dropped and zero args must not
+    * surface as a bare head-of-empty-list error. */
+  private def checkArity(name: String, n: Int, exprs: Seq[Expression]): Unit =
+    if (exprs.length != n) throw new IllegalArgumentException(
+      s"$name expects $n argument(s), got ${exprs.length}")
+
   private def unary(name: String, usage: String, f: Expression => Expression)
       : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) =
-    (FunctionIdentifier(name), info(name, usage), exprs => f(exprs.head))
+    (FunctionIdentifier(name), info(name, usage),
+      exprs => { checkArity(name, 1, exprs); f(exprs.head) })
 
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(unary("graft_poly_hash",
@@ -34,18 +41,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "32-bit SimHash of a hash array", SimHash))
     e.injectFunction((FunctionIdentifier("graft_jaccard"),
       info("graft_jaccard", "jaccard similarity of two distinct arrays"),
-      exprs => JaccardSim(exprs(0), exprs(1))))
+      exprs => { checkArity("graft_jaccard", 2, exprs)
+        JaccardSim(exprs(0), exprs(1)) }))
     e.injectFunction((FunctionIdentifier("graft_cosine"),
       info("graft_cosine", "cosine similarity of two float vectors"),
-      exprs => CosineSim(exprs(0), exprs(1))))
+      exprs => { checkArity("graft_cosine", 2, exprs)
+        CosineSim(exprs(0), exprs(1)) }))
     e.injectFunction(unary("graft_word_shingles",
       "distinct 3-word shingles of a string", WordShingles(_, 3)))
     e.injectFunction((FunctionIdentifier("graft_percentiles"),
       info("graft_percentiles",
         "exact interpolated percentiles of a numeric column " +
           "(varargs foldable percentage scalars in [0, 1])"),
-      exprs => ExactPercentiles(exprs.head,
-        exprs.tail.map(percentage)).toAggregateExpression()))
+      exprs => {
+        if (exprs.length < 2) throw new IllegalArgumentException(
+          "graft_percentiles expects a column plus at least one " +
+            s"percentage, got ${exprs.length} argument(s)")
+        ExactPercentiles(exprs.head,
+          exprs.tail.map(percentage)).toAggregateExpression()
+      }))
   }
 
   /** Evaluate a foldable percentage argument numerically — SQL parses an

@@ -20,7 +20,26 @@ object Scratch {
     Files.createDirectories(root.resolve("graft-scratch"))
   }
 
-  /** Fresh scratch directory with the given prefix. */
-  def dir(prefix: String): String =
-    Files.createTempDirectory(base, prefix).toString
+  // tmpfs is RAM: scratch this JVM created is deleted at exit (only our
+  // own dirs — the shared graft-scratch root may host other processes).
+  private val created = scala.collection.mutable.ArrayBuffer[Path]()
+  private lazy val hook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      created.synchronized(created.toList).foreach { d =>
+        try {
+          val walk = Files.walk(d)
+          try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+          finally walk.close()
+        } catch { case _: Throwable => () }
+      }))
+
+  /** Fresh scratch directory with the given prefix; removed at JVM
+    * exit. */
+  def dir(prefix: String): String = {
+    hook
+    val d = Files.createTempDirectory(base, prefix)
+    created.synchronized(created += d)
+    d.toString
+  }
 }

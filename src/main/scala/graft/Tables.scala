@@ -16,8 +16,12 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  private val cache =
-    scala.collection.concurrent.TrieMap[(String, String, String), DataFrame]()
+  // Weak session keys: a stopped session's cached DataFrames must not
+  // pin the whole SparkContext graph in a long-lived JVM, and identity
+  // hash collisions across sessions must not hand out DataFrames bound
+  // to a dead context.
+  private val cache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
 
   /** When `spark.graft.cacheInputs=true` (set by Bench), fixture tables
     * are loaded once per session and kept in the in-memory columnar
@@ -26,7 +30,15 @@ object Tables {
     * same parquet. Off by default so Verify measures cold plans. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (spark.conf.getOption("spark.graft.cacheInputs").contains("true")) {
-      cache.getOrElseUpdate((System.identityHashCode(spark).toString, dir, name), {
+      val perSession = cache.synchronized {
+        var m = cache.get(spark)
+        if (m == null) {
+          m = scala.collection.concurrent.TrieMap.empty
+          cache.put(spark, m)
+        }
+        m
+      }
+      perSession.getOrElseUpdate((dir, name), {
         val df = doLoad(spark, dir, name)
         df.cache()
         df
@@ -41,10 +53,10 @@ object Tables {
       // comparisons agree. timestamp_ntz matches DuckDB's naive TIMESTAMP.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.functions.{expr, timestamp_micros}
+      // withColumn replaces ts in place, preserving column order
       raw.withColumn("ts",
         timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-        .select(raw.columns.map(col).toIndexedSeq: _*)
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -5,6 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println(
+        "usage: graft.Verify <sfDir> <outDir> [queryName ...]")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir) = args.take(2)
     // Optional extra args: run only these queries (dev iteration).
     val only = args.drop(2).toSet
@@ -16,10 +21,24 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def deleteRec(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => Files.delete(f))
+        finally walk.close()
+      }
+    // A previous round's output must never survive into this one: a
+    // query that fails before writing would otherwise leave STALE
+    // parquet under its name and the oracle compare would pass on
+    // obsolete results. Full runs wipe outDir; filtered runs pre-delete
+    // exactly the selected query dirs.
+    if (only.isEmpty) deleteRec(Paths.get(outDir))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+      deleteRec(Paths.get(outDir, name))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

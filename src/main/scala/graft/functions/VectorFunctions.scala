@@ -58,8 +58,8 @@ object VectorFunctions {
   val PlaneBands = 4
   val PlaneRows: Int = NumPlanes / PlaneBands // 8 bits per band
 
-  private[graft] def planeWeights(dims: Int): IndexedSeq[IndexedSeq[Double]] =
-    (0 until NumPlanes).map(p =>
+  private[graft] def planeWeights(dims: Int, planes: Int = NumPlanes): IndexedSeq[IndexedSeq[Double]] =
+    (0 until planes).map(p =>
       (0 until dims).map(i =>
         if ((mix64(p.toLong * 7919L + i) & 1L) == 0L) -1.0 else 1.0))
 
@@ -82,4 +82,30 @@ object VectorFunctions {
       lit(b.toLong << 40) +
         (shiftright(sig, b * PlaneRows) % (1L << PlaneRows))
     }: _*)
+
+  /** Wider family for oracle-grade recall on ~0.9-cosine near-dups:
+    * 16 bands × 8 planes = 128 hyperplanes. Per-pair miss probability at
+    * bit-agreement p is (1-p^8)^16 — ≈8e-4 at cos 0.93 (p≈0.88), while
+    * random pairs (p≈0.5-0.6) pass a band at ≤1.6% → candidate fraction
+    * stays single-digit-%. Keys are built straight from the projections
+    * (no 128-bit packing) and band-tagged so one equi-join column covers
+    * all bands. At 100 TB the 128 64-dim folds per row belong in one
+    * fused codegen kernel; at 64 dims the HOF fold is already columnar
+    * and shuffle-free. */
+  val WideBands = 16
+  val WideRows = 8
+  val WideNumPlanes: Int = WideBands * WideRows
+
+  def wideBandKeys(v: Column, dims: Int): Column = {
+    val planes = planeWeights(dims, WideNumPlanes)
+    array((0 until WideBands).map { b =>
+      (0 until WideRows).map { j =>
+        val w = array(planes(b * WideRows + j).map(lit): _*)
+        val proj = aggregate(
+          zip_with(v, w, (x, wi) => x.cast("double") * wi),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj > 0.0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _) + lit(b.toLong << 50)
+    }: _*)
+  }
 }

@@ -73,6 +73,25 @@ object SetVectorOps {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Same fused left-fold cosine over double vectors (the planted-dup
+    * LSH fixture carries doubles end-to-end — no float round-trip). */
+  def cosineD(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
 }
 
 case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
@@ -110,6 +129,18 @@ case class CosineSim(left: Expression, right: Expression)
     copy(l, r)
 }
 
+case class CosineSimD(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SetVectorOps.cosineD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.expressions.SetVectorOps.cosineD($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(l, r)
+}
+
 object SetVectorExpressions {
   import ColumnBridge.{column, expression => expr}
 
@@ -118,4 +149,6 @@ object SetVectorExpressions {
     column(JaccardSim(expr(a), expr(b)))
   def cosine_sim(a: Column, b: Column): Column =
     column(CosineSim(expr(a), expr(b)))
+  def cosine_sim_d(a: Column, b: Column): Column =
+    column(CosineSimD(expr(a), expr(b)))
 }

@@ -312,17 +312,24 @@ object AnalyticsQueries {
       |ORDER BY o_orderkey""".stripMargin
 
   /** Ordered array_agg per group (PG array_agg / DuckDB list) — sorted
-    * for determinism, so map-side partials merge commutatively. */
+    * for determinism, so map-side partials merge commutatively. The
+    * compared column is a canonical CSV encoding of the sorted array:
+    * the driver's pandas hash cannot sort raw array cells, and a
+    * delimiter-joined string carries the identical semantic (element
+    * set AND order) through the hash check on both engines. */
   val aggArray: Q = (s, dir) =>
     t(s, dir, "orders")
       .filter(col("o_custkey") <= 200)
       .groupBy("o_custkey")
-      .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
+      .agg(
+        array_join(sort_array(collect_list(col("o_orderkey")))
+          .cast("array<string>"), ",").as("order_keys"),
         count(lit(1)).as("n"))
       .orderBy("o_custkey")
 
   val aggArraySql: String =
-    """SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys,
+    """SELECT o_custkey,
+      |  array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
       |  count(*) AS n
       |FROM orders WHERE o_custkey <= 200
       |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin

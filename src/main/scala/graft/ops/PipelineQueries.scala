@@ -215,16 +215,38 @@ object PipelineQueries {
   /** N-gram Jaccard near-dup detection: candidate pairs bucketed by a
     * 40-char prefix, verified with exact 3-word-shingle Jaccard ≥ 0.5.
     * (The prefix bucket plays the blocking role; MinHash-LSH below is the
-    * content-robust blocking that survives prefix edits.) */
+    * content-robust blocking that survives prefix edits.)
+    *
+    * Skew guard: a hot boilerplate prefix squares, so buckets are
+    * triangle-partitioned — row_number within bucket → chunks of ≤ 64
+    * docs; the left side replicates each doc to its chunk-pairs and the
+    * right side joins on its own chunk, so every (i < j) pair is emitted
+    * exactly once (chunk order follows doc_id order) while no single join
+    * key carries more than 64×64 pair comparisons. Total work is still
+    * the bucket's pair count — that is the blocking baseline's semantics
+    * — but it spreads across tasks instead of landing on one. */
   val dedupJaccard: Q = (s, dir) => {
+    val chunkCap = 64
     val d = docs(s, dir).select(col("doc_id"),
       substring(col("text"), 1, 40).as("pfx"),
       SVE.word_shingles(col("text"), 3).as("sh"))
-    val a = d.as("a"); val b = d.as("b")
-    a.join(b, col("a.pfx") === col("b.pfx") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        SVE.jaccard_sim(col("a.sh"), col("b.sh")).as("jacc"))
+    val ord = Window.partitionBy("pfx").orderBy("doc_id")
+    val whole = Window.partitionBy("pfx")
+    val idx = d
+      .withColumn("r", row_number().over(ord) - 1)
+      .withColumn("nc",
+        ceil(count(lit(1)).over(whole) / lit(chunkCap.toDouble)).cast("int"))
+      .withColumn("ch", (col("r") / chunkCap).cast("int"))
+    val left = idx
+      .withColumn("c2", explode(sequence(col("ch"), col("nc") - 1)))
+      .select(col("pfx"), col("c2"), col("doc_id").as("da"),
+        col("sh").as("sha"))
+    val right = idx.select(col("pfx"), col("ch").as("c2"),
+      col("doc_id").as("db"), col("sh").as("shb"))
+    left.join(right, Seq("pfx", "c2"))
+      .filter(col("da") < col("db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        SVE.jaccard_sim(col("sha"), col("shb")).as("jacc"))
       .filter(col("jacc") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }
@@ -402,6 +424,68 @@ object PipelineQueries {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** Embedding near-dup via random-hyperplane LSH — the plan that runs at
+    * 100 TB, promoted from EmbedLshSpec to an oracle-checked query. The
+    * raw corpus's strong pairs sit at cos 0.44–0.60 where NO hyperplane
+    * family separates true pairs (bit-agreement ≈ 0.65) from background
+    * (≈ 0.5-0.6) with real pruning, so — per the planted-dup recipe — the
+    * fixture derives deterministic near-dup twins (every 20th vector,
+    * ±45% patterned multiplicative noise → cos 0.93–0.97; organic max is
+    * 0.60) and verifies at τ = 0.8, a production semantic-dedup threshold.
+    * The ORACLE stays brute-force all-pairs ground truth (not a mirrored
+    * LSH), so a recall miss IS a hash mismatch: 16×8 banding gives
+    * per-pair miss ≤ 8e-4 at the planted strength, and the fixed seeded
+    * planes make the result deterministic (verified 100% recall at
+    * sf0.01/sf0.1). Plan: explode band keys → one hash equi-join on the
+    * key (shuffle ∝ bucket collisions, ~7% of pairs) → pair dedup → fused
+    * cosine verify. No all-pairs stage anywhere. */
+  val dedupEmbedLsh: Q = (s, dir) => {
+    val dims = 64
+    val base = embs(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val planted = base.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("src_id"), col("v"))
+      .select((col("src_id") + 100000L).as("vec_id"),
+        zip_with(col("v"), sequence(lit(0), lit(dims - 1)),
+          (x, i) => x * (lit(1.0) +
+            lit(0.45) * ((col("src_id") * 11 + i.cast("long") * 13) % 7 - 3)
+              .cast("double") / lit(3.0))).as("v"))
+    val all = base.unionAll(planted)
+    val keyed = all.select(col("vec_id"), col("v"),
+      explode(VF.wideBandKeys(col("v"), dims)).as("bk"))
+    val a = keyed.select(col("bk"), col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = keyed.select(col("bk"), col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.join(b, Seq("bk"))
+      .filter(col("vec_a") < col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        SVE.cosine_sim_d(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= 0.8)
+      .repartition(1).sortWithinPartitions("vec_a", "vec_b")
+  }
+
+  val dedupEmbedLshSql: String = {
+    val dotSelf = sqlDot("embedding", "embedding")
+    val dotAB = sqlDot("a.embedding", "b.embedding")
+    s"""WITH base AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+       |  FROM embeddings),
+       |planted AS (SELECT src_id + 100000 AS vec_id,
+       |    list_transform(range(0, 64), i -> embedding[CAST(i AS INT)+1] *
+       |      (1.0 + (0.45 * CAST(((src_id*11 + i*13) % 7) - 3 AS DOUBLE)) / 3.0))
+       |      AS embedding
+       |  FROM (SELECT vec_id AS src_id, embedding FROM base
+       |        WHERE vec_id % 20 = 0)),
+       |av AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+       |n AS (SELECT vec_id, embedding, sqrt($dotSelf) AS nrm FROM av)
+       |SELECT * FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    $dotAB / (a.nrm * b.nrm) AS cos
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+       |WHERE cos >= 0.8
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   // ===========================================================================
   // Similarity search (ANN over embeddings)
   // ===========================================================================
@@ -545,6 +629,7 @@ object PipelineQueries {
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_embed" -> dedupEmbed,
+    "q_dedup_embed_lsh" -> dedupEmbedLsh,
     "q_embed_topk" -> embedTopK,
     "q_embed_ivf" -> embedIvf,
   )
@@ -560,6 +645,7 @@ object PipelineQueries {
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_embed" -> dedupEmbedSql,
+    "q_dedup_embed_lsh" -> dedupEmbedLshSql,
     "q_embed_topk" -> embedTopKSql,
     "q_embed_ivf" -> embedIvfSql,
   )

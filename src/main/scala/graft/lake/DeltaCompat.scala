@@ -26,12 +26,18 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     (plus protocol/metaData on the first commit, remove actions on
   *     overwrite).
   *
-  * Scope: protocol (1,2) — no checkpoints, deletion vectors, or column
-  * mapping; `read` refuses tables that require them rather than
-  * mis-reading (`_last_checkpoint` present, or higher minReaderVersion).
-  * Partitioned tables are supported on the read side: partition values
-  * are taken from `add.partitionValues` (never parsed from paths) and
-  * attached as typed literal columns per file group.
+  * Scope: protocol (1,2) — no deletion vectors or column mapping;
+  * `read` refuses tables that require them (higher minReaderVersion)
+  * rather than mis-reading. Checkpoints ARE supported: replay starts
+  * from the `_last_checkpoint`-named parquet checkpoint (single or
+  * multi-part) and applies only newer JSON commits — real-world Delta
+  * tables checkpoint every 10 commits and vacuum old JSON, so a
+  * JSON-only reader cannot read any table older than a day.
+  * Partitioned tables are supported on both sides: reads take partition
+  * values from `add.partitionValues` (never parsed from paths) and
+  * attach them as typed literal columns per file group; writes stage
+  * with Spark's hive layout and emit the partition tuple of every file
+  * into its add action.
   * At 100 TB the log replay is manifest-sized work, exactly like the
   * mooncake manifest; the data scan is the same pruned parquet scan.
   */
@@ -59,16 +65,89 @@ object DeltaCompat {
       partitionColumns: Seq[String],
       files: Map[String, AddFile]) // decoded path -> add info
 
-  private def replay(table: String, upTo: Option[Long]): LogState = {
-    val checkpoint = logDir(table).resolve("_last_checkpoint")
-    if (Files.exists(checkpoint))
-      throw new UnsupportedOperationException(
-        s"$table uses Delta checkpoints — out of this reader's protocol scope")
-    val vs = versions(table)
-    if (vs.isEmpty)
-      throw new NoSuchElementException(s"no Delta log at $table")
+  /** `_last_checkpoint` content: the checkpoint version and (for
+    * multi-part checkpoints) the part count. */
+  private def lastCheckpoint(table: String): Option[(Long, Int)] = {
+    val f = logDir(table).resolve("_last_checkpoint")
+    if (!Files.exists(f)) None
+    else {
+      val node = mapper.readTree(Files.readString(f))
+      Some((node.get("version").asLong(), node.path("parts").asInt(1)))
+    }
+  }
+
+  private def checkpointFiles(table: String, v: Long, parts: Int): Seq[Path] =
+    if (parts <= 1) Seq(logDir(table).resolve(f"$v%020d.checkpoint.parquet"))
+    else (1 to parts).map(p => logDir(table)
+      .resolve(f"$v%020d.checkpoint.$p%010d.$parts%010d.parquet"))
+
+  /** Load replay state from a parquet checkpoint: one row per action,
+    * exactly one of the protocol/metaData/add/remove structs non-null.
+    * Checkpoint rows are manifest metadata — collected driver-side like
+    * the JSON replay; the data files they point at never move. */
+  private def checkpointState(spark: SparkSession, table: String,
+      v: Long, parts: Int): LogState = {
+    val paths = checkpointFiles(table, v, parts)
+    paths.filterNot(Files.exists(_)).foreach(p =>
+      throw new IllegalStateException(
+        s"$table: _last_checkpoint names missing file $p"))
+    val df = spark.read.parquet(paths.map(_.toString): _*)
+    val names = df.schema.fieldNames.toSet
     var state = LogState(None, Seq.empty, Map.empty)
-    for (v <- vs if upTo.forall(v <= _)) {
+    if (names.contains("protocol")) {
+      val mrv = df.select("protocol.minReaderVersion")
+        .where(df.col("protocol").isNotNull).collect()
+        .headOption.map(_.getInt(0)).getOrElse(1)
+      if (mrv > 1) throw new UnsupportedOperationException(
+        s"$table requires Delta reader version $mrv — only 1 supported")
+    }
+    if (names.contains("metaData")) {
+      df.select("metaData.schemaString", "metaData.partitionColumns")
+        .where(df.col("metaData").isNotNull).collect().headOption
+        .foreach { r =>
+          state = state.copy(schemaJson = Option(r.getString(0)),
+            partitionColumns =
+              Option(r.getSeq[String](1)).getOrElse(Seq.empty))
+        }
+    }
+    if (names.contains("add")) {
+      // A checkpoint's add set IS the live file set at its version
+      // (remove rows are only vacuum tombstones — not applied to
+      // liveness). Map values may be null for null partitions.
+      df.select("add.path", "add.partitionValues")
+        .where(df.col("add").isNotNull).collect().foreach { r =>
+          val pv =
+            if (r.isNullAt(1)) Map.empty[String, Option[String]]
+            else r.getMap[String, String](1).toMap
+              .map { case (k, value) => k -> Option(value) }
+          state = state.copy(files = state.files +
+            (PathCodec.percentDecode(r.getString(0)) -> AddFile(pv)))
+        }
+    }
+    state
+  }
+
+  private def replay(spark: SparkSession, table: String,
+      upTo: Option[Long]): LogState = {
+    // Start from the checkpoint when one exists and the requested
+    // version is not older than it; JSON commits before the checkpoint
+    // may already be vacuumed, so time travel behind it only works if
+    // they still exist (the version-file read throws otherwise).
+    val cp = lastCheckpoint(table).filter { case (v, _) =>
+      upTo.forall(v <= _)
+    }
+    val vs = versions(table)
+    if (vs.isEmpty && cp.isEmpty)
+      throw new NoSuchElementException(s"no Delta log at $table")
+    if (cp.isEmpty && lastCheckpoint(table).nonEmpty && vs.headOption != Some(0L))
+      throw new UnsupportedOperationException(
+        s"$table: time travel to v$upTo predates the checkpoint and " +
+          "the early JSON commits are vacuumed")
+    var state = cp.map { case (v, parts) =>
+      checkpointState(spark, table, v, parts)
+    }.getOrElse(LogState(None, Seq.empty, Map.empty))
+    val after = cp.map(_._1).getOrElse(-1L)
+    for (v <- vs if v > after && upTo.forall(v <= _)) {
       val lines = Files.readAllLines(versionFile(table, v)).asScala
       for (line <- lines if line.trim.nonEmpty) {
         val node = mapper.readTree(line)
@@ -114,7 +193,7 @@ object DeltaCompat {
     * driver work, same as the log replay itself. */
   def read(spark: SparkSession, table: String,
       version: Option[Long] = None): DataFrame = {
-    val state = replay(table, version)
+    val state = replay(spark, table, version)
     val schema = DataType.fromJson(state.schemaJson.getOrElse(
       throw new IllegalStateException(s"$table has no metaData action")))
       .asInstanceOf[StructType]
@@ -155,37 +234,76 @@ object DeltaCompat {
     }
   }
 
-  /** Append (or overwrite) `df` as one Delta commit. Returns the new
-    * version. */
+  // replay keys are DECODED paths; the log stores percent-encoded
+  // paths (per segment — '/' separators stay) so the next replay's
+  // decode round-trips exactly.
+  private def encodePath(p: String): String =
+    p.split("/", -1).map(PathCodec.percentEncode).mkString("/")
+
+  /** Spark's hive-layout staging escapes partition values in dir names
+    * with the same %XX scheme as the Delta path codec, and spells null
+    * as the hive default sentinel. */
+  private val HiveNullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  private def parseHiveSegment(seg: String): (String, Option[String]) = {
+    val eq = seg.indexOf('=')
+    require(eq > 0, s"not a partition dir segment: $seg")
+    val v = seg.substring(eq + 1)
+    (PathCodec.percentDecode(seg.substring(0, eq)),
+      if (v == HiveNullPartition) None else Some(PathCodec.percentDecode(v)))
+  }
+
+  /** Append (or overwrite) `df` as one Delta commit. `partitionBy`
+    * hive-partitions the table (identity partitioning — the only kind
+    * Delta has); an existing table's partitioning is inherited and a
+    * conflicting spec is refused. Returns the new version. */
   def write(df: DataFrame, table: String,
-      mode: String = "append"): Long = {
+      mode: String = "append", partitionBy: Seq[String] = Seq.empty): Long = {
     require(mode == "append" || mode == "overwrite", s"mode $mode")
     val root = Paths.get(table)
     Files.createDirectories(root)
-    val prior = versions(table)
-    val version = prior.lastOption.map(_ + 1).getOrElse(0L)
-    // This writer emits add actions with empty partitionValues — writing
-    // into a PARTITIONED table would silently null its partition columns
-    // on every read (ours and real Delta readers alike). Refuse, per the
-    // file's refuse-over-misread contract.
-    val priorState = if (version > 0L) Some(replay(table, None)) else None
-    priorState.map(_.partitionColumns).filter(_.nonEmpty).foreach { pc =>
-      throw new UnsupportedOperationException(
-        s"$table is partitioned (${pc.mkString(", ")}) — this " +
-          "writer only writes unpartitioned tables")
+    // JSON commits at or before a checkpoint may be vacuumed — the next
+    // version is one past the max of surviving JSON and the checkpoint.
+    val version = (versions(table) ++ lastCheckpoint(table).map(_._1))
+      .maxOption.map(_ + 1).getOrElse(0L)
+    val priorState =
+      if (version > 0L) Some(replay(df.sparkSession, table, None)) else None
+    val partCols = priorState.map(_.partitionColumns) match {
+      case Some(existing) =>
+        require(partitionBy.isEmpty || partitionBy == existing,
+          s"$table is partitioned by (${existing.mkString(", ")}) — " +
+            s"cannot write with (${partitionBy.mkString(", ")})")
+        existing
+      case None => partitionBy
     }
+    require(partCols.forall(df.columns.contains),
+      s"partition columns (${partCols.mkString(", ")}) missing from input")
 
-    // Write part files via Spark into a temp dir, then move them to the
-    // table root under fresh UUID names (Delta layout).
+    // Stage part files via Spark (hive layout when partitioned), then
+    // move them under the table root keeping their partition dirs.
     val tmp = Files.createTempDirectory(root, ".stage")
-    df.write.mode("overwrite").parquet(tmp.toString)
-    val parts = Manifest.withListing(tmp)(_.filter(
-      _.getFileName.toString.endsWith(".parquet")).toSeq).sortBy(_.toString)
+    val stage = df.write.mode("overwrite")
+    (if (partCols.nonEmpty) stage.partitionBy(partCols: _*) else stage)
+      .parquet(tmp.toString)
+    val parts = {
+      val walk = Files.walk(tmp)
+      try walk.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.toString)
+      finally walk.close()
+    }
+    // (relative decoded path, size, partition tuple) per moved file
     val added = parts.zipWithIndex.map { case (p, i) =>
+      val rel = tmp.relativize(p)
+      val dirSegs = (0 until rel.getNameCount - 1)
+        .map(rel.getName(_).toString)
+      val pv = dirSegs.map(parseHiveSegment)
       val name = f"part-$i%05d-${UUID.randomUUID()}-c000.snappy.parquet"
-      val target = root.resolve(name)
+      val targetDir = dirSegs.foldLeft(root)(_ resolve _)
+      Files.createDirectories(targetDir)
+      val target = targetDir.resolve(name)
       Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
-      name -> Files.size(target)
+      ((dirSegs :+ name).mkString("/"), Files.size(target), pv)
     }
     val walk = Files.walk(tmp)
     try walk.sorted(java.util.Comparator.reverseOrder[Path]())
@@ -205,17 +323,13 @@ object DeltaCompat {
       m.putObject("format").put("provider", "parquet")
         .putObject("options")
       m.put("schemaString", df.schema.json)
-      m.putArray("partitionColumns")
+      val pcArr = m.putArray("partitionColumns")
+      partCols.foreach(pcArr.add)
       m.putObject("configuration")
       m.put("createdTime", now)
       actions += meta
     }
     if (mode == "overwrite" && version > 0L) {
-      // replay keys are DECODED paths; the log stores percent-encoded
-      // paths (per segment — '/' separators stay) so the next replay's
-      // decode round-trips exactly.
-      def encodePath(p: String): String =
-        p.split("/", -1).map(PathCodec.percentEncode).mkString("/")
       priorState.map(_.files.keys.toSeq).getOrElse(Seq.empty)
         .sorted.foreach { p =>
         val rm = mapper.createObjectNode()
@@ -224,11 +338,15 @@ object DeltaCompat {
         actions += rm
       }
     }
-    added.foreach { case (name, size) =>
+    added.foreach { case (relPath, size, pv) =>
       val add = mapper.createObjectNode()
-      add.putObject("add").put("path", name).put("size", size)
+      val a = add.putObject("add").put("path", encodePath(relPath))
+        .put("size", size)
         .put("modificationTime", now).put("dataChange", true)
-        .putObject("partitionValues")
+      val pvNode = a.putObject("partitionValues")
+      pv.foreach { case (k, v) =>
+        v.fold[Unit](pvNode.putNull(k))(pvNode.put(k, _))
+      }
       actions += add
     }
 
@@ -241,6 +359,85 @@ object DeltaCompat {
     Files.write(tmpLog, actions.result().map(mapper.writeValueAsString)
       .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmpLog, target, StandardCopyOption.ATOMIC_MOVE)
+    version
+  }
+
+  /** Write a parquet checkpoint of the table head and point
+    * `_last_checkpoint` at it — what a Delta writer does every 10
+    * commits so readers replay O(1) JSON files instead of the whole
+    * history (and old JSON can be vacuumed). One row per action:
+    * protocol, metaData, and one add per live file. Returns the
+    * checkpointed version. */
+  def checkpoint(spark: SparkSession, table: String): Long = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val vs = versions(table)
+    val cpPrior = lastCheckpoint(table).map(_._1)
+    val version = (vs ++ cpPrior).maxOption.getOrElse(
+      throw new NoSuchElementException(s"no Delta log at $table"))
+    val state = replay(spark, table, None)
+    val schemaJson = state.schemaJson.getOrElse(
+      throw new IllegalStateException(s"$table has no metaData action"))
+
+    val protocolT = StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))
+    val formatT = StructType(Seq(
+      StructField("provider", StringType),
+      StructField("options", MapType(StringType, StringType))))
+    val metaT = StructType(Seq(
+      StructField("id", StringType),
+      StructField("format", formatT),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
+      StructField("createdTime", LongType)))
+    val addT = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues",
+        MapType(StringType, StringType, valueContainsNull = true)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType)))
+    val rowT = StructType(Seq(
+      StructField("protocol", protocolT),
+      StructField("metaData", metaT),
+      StructField("add", addT)))
+
+    val now = System.currentTimeMillis()
+    val rows = Seq(
+      Row(Row(1, 2), null, null),
+      Row(null, Row(UUID.randomUUID().toString,
+        Row("parquet", Map.empty[String, String]), schemaJson,
+        state.partitionColumns, Map.empty[String, String], now), null)) ++
+      state.files.toSeq.sortBy(_._1).map { case (path, add) =>
+        val size =
+          try Files.size(Paths.get(table, path)) catch { case _: Exception => 0L }
+        Row(null, null, Row(encodePath(path),
+          add.partitionValues.map { case (k, v) => k -> v.orNull },
+          size, now, true))
+      }
+    // One checkpoint file: the action list is manifest-sized. (Readers
+    // handle multi-part checkpoints; writing them only matters once the
+    // manifest itself outgrows one parquet file.)
+    val tmp = Files.createTempDirectory(Paths.get(table), ".ckpt")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), rowT)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val part = Manifest.withListing(tmp)(_.find(
+      _.getFileName.toString.endsWith(".parquet")).get)
+    val target = logDir(table).resolve(f"$version%020d.checkpoint.parquet")
+    Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+    val walk = Files.walk(tmp)
+    try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+      .iterator().asScala.foreach(Files.delete)
+    finally walk.close()
+    val lcTmp = Files.createTempFile(logDir(table), ".tmp", ".json")
+    Files.write(lcTmp,
+      s"""{"version":$version,"size":${rows.size}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    Files.move(lcTmp, logDir(table).resolve("_last_checkpoint"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     version
   }
 }

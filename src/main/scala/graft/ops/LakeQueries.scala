@@ -164,6 +164,27 @@ object LakeQueries {
     """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
       |ORDER BY s_suppkey""".stripMargin
 
+  /** Partitioned Delta + checkpoint in one round-trip: hive-partitioned
+    * write (partition values carried in add.partitionValues, not in the
+    * data files), an unpartitioned-looking append that inherits the
+    * spec, a parquet checkpoint, then a read that replays FROM the
+    * checkpoint — the layout and log shape every real-world Delta table
+    * has after its first 10 commits. */
+  val deltaPartRoundtrip: Q = (s, dir) => {
+    val tmp = graft.Scratch.dir("graft-delta-part-q")
+    val o = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    graft.lake.DeltaCompat.write(o.filter(col("o_orderkey") % 2 === 0),
+      tmp, partitionBy = Seq("o_orderstatus"))
+    graft.lake.DeltaCompat.write(o.filter(col("o_orderkey") % 2 =!= 0), tmp)
+    graft.lake.DeltaCompat.checkpoint(s, tmp)
+    graft.lake.DeltaCompat.read(s, tmp).orderBy("o_orderkey")
+  }
+
+  val deltaPartRoundtripSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** Iceberg interop (≈ the reference's Iceberg surface — it stores
     * mirrors as Iceberg and reads existing Iceberg tables,
     * README.md:13 / CHANGELOG.md:25): two append snapshots through our
@@ -254,6 +275,7 @@ object LakeQueries {
     "q_scd2_history" -> scd2History,
     "q_iceberg_roundtrip" -> icebergRoundtrip,
     "q_delta_roundtrip" -> deltaRoundtrip,
+    "q_delta_part_roundtrip" -> deltaPartRoundtrip,
     "q_cdc_apply" -> cdcApply,
     "q_mooncake_list_tables" -> listTables,
     "q_load_files" -> loadFiles,
@@ -266,6 +288,7 @@ object LakeQueries {
     "q_scd2_history" -> scd2HistorySql,
     "q_iceberg_roundtrip" -> icebergRoundtripSql,
     "q_delta_roundtrip" -> deltaRoundtripSql,
+    "q_delta_part_roundtrip" -> deltaPartRoundtripSql,
     "q_cdc_apply" -> cdcApplySql,
     "q_mooncake_list_tables" -> listTablesSql,
     "q_load_files" -> loadFilesSql,

@@ -45,14 +45,93 @@ class DeltaCompatSpec extends SparkSuite {
     assert(DeltaCompat.versions(dir) === Seq(0L, 1L, 2L))
   }
 
-  test("checkpointed or newer-protocol tables are refused, not mis-read") {
+  test("corrupt checkpoints and newer protocols are refused, not mis-read") {
     val dir = tmpDir("delta-refuse")
     DeltaCompat.write(Seq((1L, "a")).toDF("k", "v"), dir)
+    // _last_checkpoint naming a file that does not exist is corruption,
+    // not something to skip over silently.
     Files.write(Paths.get(dir, "_delta_log", "_last_checkpoint"),
       "{\"version\":0}".getBytes)
+    intercept[IllegalStateException] {
+      DeltaCompat.read(spark, dir)
+    }
+    Files.delete(Paths.get(dir, "_delta_log", "_last_checkpoint"))
+    // Reader version 2+ (column mapping / deletion vectors) is refused.
+    Files.write(Paths.get(dir, "_delta_log", f"${1L}%020d.json"),
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""".getBytes)
     intercept[UnsupportedOperationException] {
       DeltaCompat.read(spark, dir)
     }
+  }
+
+  test("checkpoint + vacuumed JSON: replay starts from the checkpoint") {
+    val dir = tmpDir("delta-ckpt")
+    // 12 commits — a real Delta writer would checkpoint at 10.
+    for (i <- 0 until 12)
+      DeltaCompat.write(Seq((i.toLong, s"v$i")).toDF("k", "v"), dir)
+    val cv = DeltaCompat.checkpoint(spark, dir)
+    assert(cv === 11L)
+    assert(Files.exists(
+      Paths.get(dir, "_delta_log", f"$cv%020d.checkpoint.parquet")))
+
+    // Reads go through the checkpoint (plus zero newer commits).
+    val viaCkpt = DeltaCompat.read(spark, dir).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(viaCkpt === (0 until 12).map(i => i.toLong -> s"v$i"))
+
+    // Vacuum the JSON the checkpoint covers — reads must still work.
+    for (i <- 0 until 12)
+      Files.delete(Paths.get(dir, "_delta_log", f"$i%020d.json"))
+    assert(DeltaCompat.read(spark, dir).count() === 12)
+
+    // New commits continue past the checkpoint version...
+    val v12 = DeltaCompat.write(Seq((99L, "x")).toDF("k", "v"), dir)
+    assert(v12 === 12L)
+    assert(DeltaCompat.read(spark, dir).count() === 13)
+    // ...and overwrite drops checkpoint-tracked files too.
+    DeltaCompat.write(Seq((100L, "y")).toDF("k", "v"), dir,
+      mode = "overwrite")
+    assert(DeltaCompat.read(spark, dir).as[(Long, String)].collect().toSeq
+      === Seq(100L -> "y"))
+
+    // Time travel behind the checkpoint needs the vacuumed JSON: refuse.
+    intercept[UnsupportedOperationException] {
+      DeltaCompat.read(spark, dir, version = Some(3L))
+    }
+  }
+
+  test("partitioned write round-trips, with nulls and special chars") {
+    val dir = tmpDir("delta-pwrite")
+    val df = Seq((1L, Some("a"), 10), (2L, Some("a"), 20),
+      (3L, Some("b x"), 30), (4L, None, 40))
+      .toDF("k", "p", "n")
+    DeltaCompat.write(df, dir, partitionBy = Seq("p"))
+    // partition values live in the log, not the data files
+    val dataFile = Files.walk(Paths.get(dir)).iterator().asScala
+      .find(p => p.getFileName.toString.endsWith(".parquet") &&
+        !p.toString.contains("_delta_log")).get
+    assert(!spark.read.parquet(dataFile.toString)
+      .schema.fieldNames.contains("p"))
+    val back = DeltaCompat.read(spark, dir)
+      .as[(Long, Option[String], Int)].collect().sortBy(_._1).toSeq
+    assert(back === Seq((1L, Some("a"), 10), (2L, Some("a"), 20),
+      (3L, Some("b x"), 30), (4L, None, 40)))
+
+    // appends inherit the partitioning; conflicting specs are refused
+    DeltaCompat.write(Seq((5L, Some("c"), 50)).toDF("k", "p", "n"), dir)
+    assert(DeltaCompat.read(spark, dir).count() === 5)
+    intercept[IllegalArgumentException] {
+      DeltaCompat.write(df, dir, partitionBy = Seq("n"))
+    }
+
+    // checkpoints carry partitionValues through
+    DeltaCompat.checkpoint(spark, dir)
+    for (v <- DeltaCompat.versions(dir))
+      Files.delete(Paths.get(dir, "_delta_log", f"$v%020d.json"))
+    val afterCkpt = DeltaCompat.read(spark, dir)
+      .as[(Long, Option[String], Int)].collect().sortBy(_._1).toSeq
+    assert(afterCkpt.map(_._2) ===
+      Seq(Some("a"), Some("a"), Some("b x"), None, Some("c")))
   }
 
   test("partitioned tables read partition values from add.partitionValues") {
@@ -94,11 +173,12 @@ class DeltaCompatSpec extends SparkSuite {
     assert(got.as[(Long, String, Int)].collect().sortBy(_._1).toSeq ===
       Seq((1L, "a", 10), (2L, "a", 20), (3L, "b x", 30)))
 
-    // the writer would emit empty partitionValues — appending here would
-    // silently null partition columns, so it must refuse
-    intercept[UnsupportedOperationException] {
-      DeltaCompat.write(Seq((9L, "c", 90)).toDF("k", "p", "n"), dir)
-    }
+    // appends inherit the table's partitioning and emit real
+    // partitionValues — the appended row reads back with its partition
+    DeltaCompat.write(Seq((9L, "c", 90)).toDF("k", "p", "n"), dir)
+    assert(DeltaCompat.read(spark, dir).as[(Long, String, Int)]
+      .collect().sortBy(_._1).toSeq ===
+      Seq((1L, "a", 10), (2L, "a", 20), (3L, "b x", 30), (9L, "c", 90)))
   }
 
   test("add/remove paths are percent-decoded per the Delta spec") {

@@ -240,19 +240,6 @@ object DeltaCompat {
   private def encodePath(p: String): String =
     p.split("/", -1).map(PathCodec.percentEncode).mkString("/")
 
-  /** Spark's hive-layout staging escapes partition values in dir names
-    * with the same %XX scheme as the Delta path codec, and spells null
-    * as the hive default sentinel. */
-  private val HiveNullPartition = "__HIVE_DEFAULT_PARTITION__"
-
-  private def parseHiveSegment(seg: String): (String, Option[String]) = {
-    val eq = seg.indexOf('=')
-    require(eq > 0, s"not a partition dir segment: $seg")
-    val v = seg.substring(eq + 1)
-    (PathCodec.percentDecode(seg.substring(0, eq)),
-      if (v == HiveNullPartition) None else Some(PathCodec.percentDecode(v)))
-  }
-
   /** Append (or overwrite) `df` as one Delta commit. `partitionBy`
     * hive-partitions the table (identity partitioning — the only kind
     * Delta has); an existing table's partitioning is inherited and a
@@ -297,7 +284,7 @@ object DeltaCompat {
       val rel = tmp.relativize(p)
       val dirSegs = (0 until rel.getNameCount - 1)
         .map(rel.getName(_).toString)
-      val pv = dirSegs.map(parseHiveSegment)
+      val pv = dirSegs.map(PathCodec.parseHiveSegment)
       val name = f"part-$i%05d-${UUID.randomUUID()}-c000.snappy.parquet"
       val targetDir = dirSegs.foldLeft(root)(_ resolve _)
       Files.createDirectories(targetDir)

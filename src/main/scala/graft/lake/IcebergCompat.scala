@@ -100,37 +100,163 @@ object IcebergCompat {
     }.toSeq)
   }
 
-  /** Scan the current (or an explicit) snapshot of an Iceberg table. */
+  /** The table's default partition spec: (name, sourceFieldName) per
+    * identity field. Non-identity transforms and multiple specs are out
+    * of scope — refused, never mis-read. */
+  private def identitySpecFields(meta: JsonNode): Seq[String] = {
+    if (!meta.has("partition-specs")) return Seq.empty
+    val specs = meta.get("partition-specs").elements().asScala.toSeq
+    if (specs.size > 1) throw new UnsupportedOperationException(
+      "multiple Iceberg partition specs (spec evolution) out of scope")
+    specs.headOption.toSeq
+      .flatMap(_.path("fields").elements().asScala.toSeq)
+      .map { f =>
+        val transform = f.path("transform").asText("identity")
+        if (transform != "identity") throw new UnsupportedOperationException(
+          s"Iceberg partition transform '$transform' out of scope")
+        f.get("name").asText()
+      }
+  }
+
+  /** Unwrap an Avro partition-struct value to a plain JVM value. */
+  private def avroValue(v: AnyRef): Any = v match {
+    case null => null
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case other => other
+  }
+
+  /** `_metadata.file_path` is a URI; manifest entries may carry either a
+    * URI or a plain path. Normalize both sides to a plain local path
+    * before the delete anti-join. */
+  private def normPathCol(c: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.functions.regexp_replace
+    regexp_replace(c, "^file:(//)?", "")
+  }
+
+  /** Scan the current (or an explicit) snapshot of an Iceberg table.
+    *
+    * Identity-partition columns are reconstructed from each file's
+    * `partition` tuple in the manifest (the spec says readers take them
+    * from metadata; data files written by hive-layout writers do not
+    * contain them at all) — grouped per tuple, attached as typed
+    * literals, never parsed from paths. V2 position-delete files are
+    * applied as a left-anti join on (file_path, pos) against the scan's
+    * `_metadata` columns — the Spark-native merge-on-read shape: the
+    * delete set shuffles at delete-row granularity, the data scan stays
+    * a plain pruned parquet scan. Equality deletes are refused. */
   def read(spark: SparkSession, tableDir: String,
       snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
     val meta = currentMetadata(tableDir)
     val schema = toStructType(meta)
+    val partCols = identitySpecFields(meta)
     val wantId = snapshotId.getOrElse(meta.path("current-snapshot-id").asLong(-1))
     val snapshot = meta.get("snapshots").elements().asScala
       .find(_.path("snapshot-id").asLong(-2) == wantId)
       .getOrElse(throw new NoSuchElementException(
         s"snapshot $wantId not found in $tableDir"))
-    val manifests = avroRecords(localPath(
+    val listRecords = avroRecords(localPath(
       snapshot.get("manifest-list").asText()))
-      .map(_.get("manifest_path").toString)
-    val dataFiles = manifests.flatMap { m =>
-      avroRecords(localPath(m)).flatMap { rec =>
-        val status = rec.get("status").asInstanceOf[Int]
-        if (status == 2) None // DELETED
-        else {
-          val df = rec.get("data_file").asInstanceOf[GenericRecord]
-          val fmt = df.get("file_format").toString
-          if (!fmt.equalsIgnoreCase("parquet"))
-            throw new UnsupportedOperationException(
-              s"Iceberg data file format $fmt out of scope")
-          Some(localPath(df.get("file_path").toString))
+    // content 0 = data manifests, 1 = delete manifests (absent field on
+    // pre-v2 lists means data)
+    def listContent(r: GenericRecord): Int =
+      if (r.getSchema.getField("content") == null) 0
+      else r.get("content") match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long => l.intValue
+        case _ => 0
+      }
+    val (deleteManifests, dataManifests) =
+      listRecords.partition(listContent(_) == 1)
+
+    // data files with their identity-partition tuple
+    val dataFiles: Seq[(String, Seq[Any])] =
+      dataManifests.map(_.get("manifest_path").toString).flatMap { m =>
+        avroRecords(localPath(m)).flatMap { rec =>
+          val status = rec.get("status").asInstanceOf[Int]
+          if (status == 2) None // DELETED
+          else {
+            val df = rec.get("data_file").asInstanceOf[GenericRecord]
+            val fmt = df.get("file_format").toString
+            if (!fmt.equalsIgnoreCase("parquet"))
+              throw new UnsupportedOperationException(
+                s"Iceberg data file format $fmt out of scope")
+            val pr = // fabricated/minimal manifests may omit the struct
+              if (df.getSchema.getField("partition") == null) null
+              else df.get("partition").asInstanceOf[GenericRecord]
+            val tuple = partCols.map { c =>
+              if (pr == null || pr.getSchema.getField(c) == null) null
+              else avroValue(pr.get(c))
+            }
+            Some(localPath(df.get("file_path").toString) -> tuple)
+          }
         }
       }
+
+    // position-delete files (content 1); equality deletes (2) refused
+    val deleteFiles: Seq[String] =
+      deleteManifests.map(_.get("manifest_path").toString).flatMap { m =>
+        avroRecords(localPath(m)).flatMap { rec =>
+          val status = rec.get("status").asInstanceOf[Int]
+          if (status == 2) None
+          else {
+            val df = rec.get("data_file").asInstanceOf[GenericRecord]
+            val content =
+              if (df.getSchema.getField("content") == null) 0
+              else df.get("content") match {
+                case i: java.lang.Integer => i.intValue
+                case _ => 0
+              }
+            if (content == 2) throw new UnsupportedOperationException(
+              "Iceberg equality deletes out of this reader's scope")
+            if (content != 1) None
+            else Some(localPath(df.get("file_path").toString))
+          }
+        }
+      }
+
+    def emptyDf = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    if (dataFiles.isEmpty) return emptyDf
+
+    val dataSchema = StructType(
+      schema.filterNot(f => partCols.contains(f.name)))
+    val fieldType = schema.fields.map(f => f.name -> f.dataType).toMap
+    val needPos = deleteFiles.nonEmpty
+    val scanGroup = { (files: Seq[String], tuple: Seq[Any]) =>
+      val raw = spark.read.schema(dataSchema)
+        .parquet(files.sorted.distinct: _*)
+      val base = // (file, pos) only materialize when deletes exist
+        if (needPos) raw
+          .withColumn("__file", normPathCol(col("_metadata.file_path")))
+          .withColumn("__pos", col("_metadata.row_index"))
+        else raw
+      val outCols = schema.fieldNames.toSeq ++
+        (if (needPos) Seq("__file", "__pos") else Seq.empty)
+      partCols.zip(tuple).foldLeft(base) { case (df, (c, v)) =>
+        df.withColumn(c,
+          (if (v == null) lit(null) else lit(v)).cast(fieldType(c)))
+      }.select(outCols.map(col): _*)
     }
-    if (dataFiles.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(dataFiles.sorted.distinct: _*)
+    val groups = dataFiles.groupBy(_._2).toSeq.sortBy(_._1.toString)
+    val parts = groups.map { case (tuple, fs) =>
+      scanGroup(fs.map(_._1), tuple)
+    }
+    def unionAll(dfs: Seq[DataFrame]): DataFrame =
+      if (dfs.lengthCompare(1) == 0) dfs.head
+      else unionAll(dfs.grouped(2).map(g => g.reduce(_ unionByName _)).toSeq)
+    val scanned = unionAll(parts)
+    if (!needPos) scanned
+    else {
+      // Position deletes name data files explicitly and file names are
+      // never reused, so path-match application is exact without the
+      // sequence-number dance (which only exists to scope rewrites).
+      val dels = spark.read.parquet(deleteFiles.sorted.distinct: _*)
+        .select(normPathCol(col("file_path")).as("__file"),
+          col("pos").cast("long").as("__pos"))
+      scanned.join(dels, Seq("__file", "__pos"), "left_anti")
+        .drop("__file", "__pos")
+    }
   }
 
   // --------------------------------------------------------------------------
@@ -145,18 +271,45 @@ object IcebergCompat {
     schema
   }
 
+  /** Avro type for an identity-partition value in the `r102` struct. */
+  private def partitionAvroType(t: DataType): Schema = t match {
+    case StringType => Schema.create(Schema.Type.STRING)
+    case IntegerType => Schema.create(Schema.Type.INT)
+    case LongType => Schema.create(Schema.Type.LONG)
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case FloatType => Schema.create(Schema.Type.FLOAT)
+    case DoubleType => Schema.create(Schema.Type.DOUBLE)
+    case other => throw new UnsupportedOperationException(
+      s"Spark type $other out of scope as an Iceberg partition column")
+  }
+
+  /** The `r102` partition struct: one optional field per identity
+    * partition column, field-ids 1000+ per the spec's partition-field
+    * numbering. Empty for unpartitioned tables. */
+  private def mkPartitionStruct(partFields: Seq[StructField]): Schema = {
+    var b = SchemaBuilder.record("r102").fields()
+    partFields.foreach { f =>
+      b = b.name(f.name)
+        .`type`(Schema.createUnion(Schema.create(Schema.Type.NULL),
+          partitionAvroType(f.dataType)))
+        .withDefault(null)
+    }
+    withFieldIds(b.endRecord(),
+      partFields.zipWithIndex.map { case (f, i) => f.name -> (1000 + i) }
+        .toMap)
+  }
+
   /** manifest_entry per spec v2: status + inheritance-eligible ids written
     * explicitly + the required data_file struct (content, path, format,
-    * partition, record_count, file_size_in_bytes). The `partition` field
-    * is the empty struct `r102` — this writer only emits unpartitioned
-    * data (the reader refuses partitioned tables likewise). */
-  private val manifestEntrySchema: Schema = {
+    * partition, record_count, file_size_in_bytes). The `partition`
+    * struct carries the file's identity-partition tuple (empty struct
+    * for unpartitioned tables and global delete files). */
+  private def mkManifestEntrySchema(partFields: Seq[StructField]): Schema = {
     val dataFile = withFieldIds(SchemaBuilder.record("data_file").fields()
       .requiredInt("content")
       .requiredString("file_path")
       .requiredString("file_format")
-      .name("partition").`type`(
-        SchemaBuilder.record("r102").fields().endRecord()).noDefault()
+      .name("partition").`type`(mkPartitionStruct(partFields)).noDefault()
       .requiredLong("record_count")
       .requiredLong("file_size_in_bytes")
       .endRecord(),
@@ -216,6 +369,40 @@ object IcebergCompat {
   private def parquetRowCount(p: Path): Long =
     Manifest.withFooter(p)(_.getBlocks.asScala.map(_.getRowCount).sum)
 
+  /** Carry a prior manifest-list entry (data or delete) into a new
+    * list; entries written by a pre-upgrade layout get their length
+    * recomputed and neutral counts. */
+  private def carryManifest(r: GenericRecord,
+      parentId: Long): GenericRecord = {
+    // default is by-name: current-layout entries always carry the
+    // field, so fallbacks (a filesystem stat per manifest) only run
+    // for pre-upgrade tables
+    def num(f: String, d: => Long): Long =
+      if (r.getSchema.getField(f) == null) d
+      else r.get(f) match {
+        case l: java.lang.Long => l.longValue
+        case i: java.lang.Integer => i.longValue
+        case _ => d
+      }
+    val mPath = r.get("manifest_path").toString
+    val n = new GenericData.Record(manifestFileSchema)
+    n.put("manifest_path", mPath)
+    n.put("manifest_length",
+      num("manifest_length", Files.size(Paths.get(localPath(mPath)))))
+    n.put("partition_spec_id", num("partition_spec_id", 0L).toInt)
+    n.put("content", num("content", 0L).toInt)
+    n.put("sequence_number", num("sequence_number", 0L))
+    n.put("min_sequence_number", num("min_sequence_number", 0L))
+    n.put("added_snapshot_id", num("added_snapshot_id", parentId))
+    n.put("added_files_count", num("added_files_count", 0L).toInt)
+    n.put("existing_files_count", num("existing_files_count", 0L).toInt)
+    n.put("deleted_files_count", num("deleted_files_count", 0L).toInt)
+    n.put("added_rows_count", num("added_rows_count", 0L))
+    n.put("existing_rows_count", num("existing_rows_count", 0L))
+    n.put("deleted_rows_count", num("deleted_rows_count", 0L))
+    n
+  }
+
   private def toIcebergType(t: DataType): String = t match {
     case BooleanType => "boolean"
     case IntegerType => "int"
@@ -240,8 +427,16 @@ object IcebergCompat {
     * snapshot carrying lengths, sequence numbers and file/row counts
     * (prior manifests carried on append), and versioned metadata JSON
     * with location / table-uuid / last-column-id / partition-specs /
-    * sort-orders / snapshot summaries + version-hint. */
-  def write(df: DataFrame, tableDir: String, mode: String = "append"): Long = {
+    * sort-orders / snapshot summaries + version-hint.
+    *
+    * `partitionBy` identity-partitions the table: files stage in hive
+    * layout, each file's partition tuple lands typed in its manifest
+    * `partition` struct, and the metadata declares the identity spec —
+    * readers (ours and real Iceberg alike) reconstruct the columns from
+    * that metadata. An existing table's spec is inherited; a
+    * conflicting spec is refused. */
+  def write(df: DataFrame, tableDir: String, mode: String = "append",
+      partitionBy: Seq[String] = Seq.empty): Long = {
     require(mode == "append" || mode == "overwrite", s"mode $mode")
     val metaDir = Paths.get(tableDir, "metadata")
     Files.createDirectories(metaDir)
@@ -292,16 +487,65 @@ object IcebergCompat {
     val snapshotId = version * 100
     val sequenceNumber = lastSeq + 1
 
-    // Data files via Spark into a staging dir, moved under data/.
+    // Partitioning: inherit an existing table's identity spec; refuse a
+    // conflicting explicit spec.
+    val partCols = prior.map(identitySpecFields) match {
+      case Some(existing) => // spec evolution (incl. adding one) refused
+        require(partitionBy.isEmpty || partitionBy == existing,
+          s"$tableDir is partitioned by (${existing.mkString(", ")}) — " +
+            s"cannot write with (${partitionBy.mkString(", ")})")
+        existing
+      case None => partitionBy
+    }
+    require(partCols.forall(df.columns.contains),
+      s"partition columns (${partCols.mkString(", ")}) missing from input")
+    val partFields = partCols.map(c => df.schema(c))
+
+    def hiveToTyped(v: Option[String], t: DataType): Any = v match {
+      case None => null
+      case Some(s) => t match {
+        case StringType => s
+        case IntegerType => s.toInt
+        case LongType => s.toLong
+        case BooleanType => s.toBoolean
+        case FloatType => s.toFloat
+        case DoubleType => s.toDouble
+        case other => throw new UnsupportedOperationException(
+          s"Spark type $other out of scope as an Iceberg partition column")
+      }
+    }
+
+    // Data files via Spark into a staging dir (hive layout when
+    // partitioned — one job regardless of partition count), moved under
+    // data/ keeping partition dirs; the typed tuple comes from the
+    // staged segment names and lands in the manifest.
     val stage = Files.createTempDirectory(Paths.get(tableDir), ".stage")
-    df.write.mode("overwrite").parquet(stage.toString)
-    val parts = Manifest.withListing(stage)(_.filter(
-      _.getFileName.toString.endsWith(".parquet")).toSeq).sortBy(_.toString)
-    val moved = parts.zipWithIndex.map { case (p, i) =>
-      val target = Paths.get(tableDir, "data",
-        f"$snapshotId%d-$i%05d-${UUID.randomUUID()}.parquet")
-      Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
-      target.toString
+    val stageW = df.write.mode("overwrite")
+    (if (partCols.nonEmpty) stageW.partitionBy(partCols: _*) else stageW)
+      .parquet(stage.toString)
+    val parts = {
+      val walk0 = Files.walk(stage)
+      try walk0.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.toString)
+      finally walk0.close()
+    }
+    // (absolute path, identity-partition tuple) per moved file
+    val moved: Seq[(String, Seq[Any])] = parts.zipWithIndex.map {
+      case (p, i) =>
+        val rel = stage.relativize(p)
+        val dirSegs = (0 until rel.getNameCount - 1)
+          .map(rel.getName(_).toString)
+        val byCol = dirSegs.map(PathCodec.parseHiveSegment).toMap
+        val tuple = partFields.map(f =>
+          hiveToTyped(byCol.getOrElse(f.name, None), f.dataType))
+        val targetDir = dirSegs.foldLeft(Paths.get(tableDir, "data"))(
+          _ resolve _)
+        Files.createDirectories(targetDir)
+        val target = targetDir.resolve(
+          f"$snapshotId%d-$i%05d-${UUID.randomUUID()}.parquet")
+        Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+        (target.toString, tuple)
     }
     val walk = Files.walk(stage)
     try walk.sorted(java.util.Comparator.reverseOrder[Path]())
@@ -323,19 +567,34 @@ object IcebergCompat {
     }
     val schemaJson = mapper.writeValueAsString(schemaNode)
 
-    val dataFileSchema = manifestEntrySchema.getField("data_file").schema()
-    val entriesWithRows = moved.map { p =>
+    // identity partition spec JSON — shared by the manifest key-value
+    // metadata and the table metadata's partition-specs entry
+    val specFieldsArr = mapper.createArrayNode()
+    partCols.zipWithIndex.foreach { case (c, i) =>
+      val f = specFieldsArr.addObject()
+      f.put("name", c)
+      f.put("transform", "identity")
+      f.put("source-id", df.schema.fieldIndex(c) + 1)
+      f.put("field-id", 1000 + i)
+    }
+    val specFieldsJson = mapper.writeValueAsString(specFieldsArr)
+
+    val entrySchema = mkManifestEntrySchema(partFields)
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val partStructSchema = dataFileSchema.getField("partition").schema()
+    val entriesWithRows = moved.map { case (p, tuple) =>
       val path = Paths.get(p)
       val rows = parquetRowCount(path)
       val d = new GenericData.Record(dataFileSchema)
       d.put("content", 0) // DATA
       d.put("file_path", p)
       d.put("file_format", "PARQUET")
-      d.put("partition",
-        new GenericData.Record(dataFileSchema.getField("partition").schema()))
+      val pr = new GenericData.Record(partStructSchema)
+      partCols.zip(tuple).foreach { case (c, v) => pr.put(c, v) }
+      d.put("partition", pr)
       d.put("record_count", rows)
       d.put("file_size_in_bytes", Files.size(path))
-      val e = new GenericData.Record(manifestEntrySchema)
+      val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", snapshotId)
       e.put("sequence_number", sequenceNumber)
@@ -344,42 +603,12 @@ object IcebergCompat {
       (e: GenericRecord, rows)
     }
     val manifestPath = metaDir.resolve(f"m-$snapshotId%d.avro")
-    writeAvro(manifestPath, manifestEntrySchema, entriesWithRows.map(_._1),
-      Map("schema" -> schemaJson, "partition-spec" -> "[]",
+    writeAvro(manifestPath, entrySchema, entriesWithRows.map(_._1),
+      Map("schema" -> schemaJson, "partition-spec" -> specFieldsJson,
         "partition-spec-id" -> "0", "format-version" -> "2",
         "content" -> "data"))
 
-    // Carry prior manifest-list entries on append; entries written by a
-    // pre-upgrade layout get their length recomputed and neutral counts.
-    def carry(r: GenericRecord): GenericRecord = {
-      // default is by-name: current-layout entries always carry the
-      // field, so fallbacks (a filesystem stat per manifest) only run
-      // for pre-upgrade tables
-      def num(f: String, d: => Long): Long =
-        if (r.getSchema.getField(f) == null) d
-        else r.get(f) match {
-          case l: java.lang.Long => l.longValue
-          case i: java.lang.Integer => i.longValue
-          case _ => d
-        }
-      val mPath = r.get("manifest_path").toString
-      val n = new GenericData.Record(manifestFileSchema)
-      n.put("manifest_path", mPath)
-      n.put("manifest_length",
-        num("manifest_length", Files.size(Paths.get(localPath(mPath)))))
-      n.put("partition_spec_id", num("partition_spec_id", 0L).toInt)
-      n.put("content", num("content", 0L).toInt)
-      n.put("sequence_number", num("sequence_number", 0L))
-      n.put("min_sequence_number", num("min_sequence_number", 0L))
-      n.put("added_snapshot_id", num("added_snapshot_id", parentId))
-      n.put("added_files_count", num("added_files_count", 0L).toInt)
-      n.put("existing_files_count", num("existing_files_count", 0L).toInt)
-      n.put("deleted_files_count", num("deleted_files_count", 0L).toInt)
-      n.put("added_rows_count", num("added_rows_count", 0L))
-      n.put("existing_rows_count", num("existing_rows_count", 0L))
-      n.put("deleted_rows_count", num("deleted_rows_count", 0L))
-      n
-    }
+    def carry(r: GenericRecord): GenericRecord = carryManifest(r, parentId)
     val newListEntry = {
       val r = new GenericData.Record(manifestFileSchema)
       r.put("manifest_path", manifestPath.toString)
@@ -404,6 +633,20 @@ object IcebergCompat {
     writeAvro(listPath, manifestFileSchema, listRecords,
       Map("format-version" -> "2"))
 
+    commitMetadataJson(metaDir, tableDir, version, tableUuid,
+      sequenceNumber, df.schema.length, schemaNode, specFieldsArr,
+      999 + partCols.size, prevSnapshotNodes, snapshotId, parentId,
+      listPath, mode)
+    snapshotId
+  }
+
+  /** Versioned metadata JSON + version-hint for one new snapshot. */
+  private def commitMetadataJson(metaDir: Path, tableDir: String,
+      version: Long, tableUuid: String, sequenceNumber: Long,
+      lastColumnId: Int, schemaNode: JsonNode, specFieldsArr: JsonNode,
+      lastPartitionId: Int, prevSnapshotNodes: Seq[JsonNode],
+      snapshotId: Long, parentId: Long, listPath: Path,
+      operation: String): Unit = {
     val now = System.currentTimeMillis()
     val root = mapper.createObjectNode()
     root.put("format-version", 2)
@@ -411,14 +654,14 @@ object IcebergCompat {
     root.put("location", Paths.get(tableDir).toAbsolutePath.toString)
     root.put("last-sequence-number", sequenceNumber)
     root.put("last-updated-ms", now)
-    root.put("last-column-id", df.schema.length)
+    root.put("last-column-id", lastColumnId)
     root.put("current-schema-id", 0)
     root.putArray("schemas").add(schemaNode)
     root.put("default-spec-id", 0)
     val spec0 = root.putArray("partition-specs").addObject()
     spec0.put("spec-id", 0)
-    spec0.putArray("fields")
-    root.put("last-partition-id", 999)
+    spec0.set[JsonNode]("fields", specFieldsArr)
+    root.put("last-partition-id", lastPartitionId)
     root.put("default-sort-order-id", 0)
     val order0 = root.putArray("sort-orders").addObject()
     order0.put("order-id", 0)
@@ -433,7 +676,7 @@ object IcebergCompat {
     sn.put("timestamp-ms", now)
     sn.put("manifest-list", listPath.toString)
     sn.put("schema-id", 0)
-    sn.putObject("summary").put("operation", mode)
+    sn.putObject("summary").put("operation", operation)
 
     val tmp = Files.createTempFile(metaDir, ".tmp-meta", ".json")
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter()
@@ -444,6 +687,120 @@ object IcebergCompat {
     Files.write(tmpHint, version.toString.getBytes("UTF-8"))
     Files.move(tmpHint, metaDir.resolve("version-hint.text"),
       StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Commit one snapshot of v2 POSITION DELETES — rows addressed as
+    * (data file path, row position), exactly what a CDC mirror appends
+    * between compactions. Produces a parquet delete file under data/,
+    * a delete-content manifest, and a manifest list that carries every
+    * prior manifest (data and delete) plus the new one; readers apply
+    * the deletes as an anti-join (see [[read]]). Returns the snapshot
+    * id. */
+  def writePositionDeletes(spark: SparkSession, tableDir: String,
+      deletes: Seq[(String, Long)]): Long = {
+    import org.apache.spark.sql.Row
+    val metaDir = Paths.get(tableDir, "metadata")
+    val prior = currentMetadata(tableDir)
+    val prevVersion = new String(Files.readAllBytes(
+      metaDir.resolve("version-hint.text")), "UTF-8").trim.toLong
+    val tableUuid = Option(prior.get("table-uuid")).map(_.asText())
+      .getOrElse(UUID.randomUUID().toString)
+    val lastSeq = prior.path("last-sequence-number").asLong(0L)
+    val prevSnapshotNodes = prior.path("snapshots").elements().asScala.toSeq
+    val parentId = prior.path("current-snapshot-id").asLong(-1L)
+    val prevManifestRecords: Seq[GenericRecord] =
+      prevSnapshotNodes.find(_.path("snapshot-id").asLong(-2) == parentId)
+        .map(_.get("manifest-list").asText())
+        .toSeq.flatMap(ml => avroRecords(localPath(ml)))
+
+    val version = prevVersion + 1
+    val snapshotId = version * 100
+    val sequenceNumber = lastSeq + 1
+
+    // The delete parquet: (file_path, pos), written via Spark like any
+    // data file. One file — a delete batch is change-sized, not
+    // table-sized.
+    val delSchema = StructType(Seq(
+      StructField("file_path", StringType, nullable = false),
+      StructField("pos", LongType, nullable = false)))
+    val stage = Files.createTempDirectory(Paths.get(tableDir), ".stage")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          deletes.map { case (p, pos) => Row(p, pos) }, 1), delSchema)
+      .write.mode("overwrite").parquet(stage.toString)
+    val part = Manifest.withListing(stage)(_.find(
+      _.getFileName.toString.endsWith(".parquet")).get)
+    Files.createDirectories(Paths.get(tableDir, "data"))
+    val target = Paths.get(tableDir, "data",
+      f"$snapshotId%d-delete-${UUID.randomUUID()}.parquet")
+    Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
+    val walk = Files.walk(stage)
+    try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+      .iterator().asScala.foreach(Files.delete)
+    finally walk.close()
+
+    // Delete manifest: one POSITION_DELETES (content=1) file entry with
+    // an empty partition struct (global scope).
+    val entrySchema = mkManifestEntrySchema(Seq.empty)
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val d = new GenericData.Record(dataFileSchema)
+    d.put("content", 1) // POSITION_DELETES
+    d.put("file_path", target.toString)
+    d.put("file_format", "PARQUET")
+    d.put("partition",
+      new GenericData.Record(dataFileSchema.getField("partition").schema()))
+    d.put("record_count", deletes.size.toLong)
+    d.put("file_size_in_bytes", Files.size(target))
+    val e = new GenericData.Record(entrySchema)
+    e.put("status", 1) // ADDED
+    e.put("snapshot_id", snapshotId)
+    e.put("sequence_number", sequenceNumber)
+    e.put("file_sequence_number", sequenceNumber)
+    e.put("data_file", d)
+    val schemaNode = prior.has("schemas") match {
+      case true =>
+        val id = prior.path("current-schema-id").asInt(0)
+        prior.get("schemas").elements().asScala
+          .find(_.path("schema-id").asInt(-1) == id)
+          .getOrElse(prior.get("schemas").get(0))
+      case false => prior.get("schema")
+    }
+    val specFieldsArr = prior.path("partition-specs").elements().asScala
+      .toSeq.headOption.map(_.path("fields"))
+      .getOrElse(mapper.createArrayNode())
+    val manifestPath = metaDir.resolve(f"m-$snapshotId%d-deletes.avro")
+    writeAvro(manifestPath, entrySchema, Seq(e),
+      Map("schema" -> mapper.writeValueAsString(schemaNode),
+        "partition-spec" -> mapper.writeValueAsString(specFieldsArr),
+        "partition-spec-id" -> "0", "format-version" -> "2",
+        "content" -> "deletes"))
+
+    val newListEntry = {
+      val r = new GenericData.Record(manifestFileSchema)
+      r.put("manifest_path", manifestPath.toString)
+      r.put("manifest_length", Files.size(manifestPath))
+      r.put("partition_spec_id", 0)
+      r.put("content", 1) // delete manifest
+      r.put("sequence_number", sequenceNumber)
+      r.put("min_sequence_number", sequenceNumber)
+      r.put("added_snapshot_id", snapshotId)
+      r.put("added_files_count", 1)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", deletes.size.toLong)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      r: GenericRecord
+    }
+    val listPath = metaDir.resolve(f"ml-$snapshotId%d.avro")
+    writeAvro(listPath, manifestFileSchema,
+      prevManifestRecords.map(carryManifest(_, parentId)) :+ newListEntry,
+      Map("format-version" -> "2"))
+
+    commitMetadataJson(metaDir, tableDir, version, tableUuid,
+      sequenceNumber, prior.path("last-column-id").asInt(0), schemaNode,
+      specFieldsArr, prior.path("last-partition-id").asInt(999),
+      prevSnapshotNodes, snapshotId, parentId, listPath, "delete")
     snapshotId
   }
 }

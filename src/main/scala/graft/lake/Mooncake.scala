@@ -587,6 +587,21 @@ object PathCodec {
     flush()
     new String(out.toByteArray, "UTF-8")
   }
+
+  /** Spark's hive-layout staging escapes partition values in dir names
+    * with the same %XX scheme as this codec, and spells null as the
+    * hive default sentinel — shared by the Delta and Iceberg writers. */
+  val HiveNullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Parse a `col=value` partition dir segment to (column, value);
+    * None = the hive null sentinel. */
+  def parseHiveSegment(seg: String): (String, Option[String]) = {
+    val eq = seg.indexOf('=')
+    require(eq > 0, s"not a partition dir segment: $seg")
+    val v = seg.substring(eq + 1)
+    (percentDecode(seg.substring(0, eq)),
+      if (v == HiveNullPartition) None else Some(percentDecode(v)))
+  }
 }
 
 object Identifier {

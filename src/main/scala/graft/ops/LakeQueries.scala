@@ -202,6 +202,46 @@ object LakeQueries {
     """SELECT p_partkey, p_name, p_brand, p_retailprice FROM part
       |ORDER BY p_partkey""".stripMargin
 
+  /** Identity-partitioned Iceberg: partitioned write (typed tuples in
+    * the manifests, hive-staged data without the partition columns), an
+    * append inheriting the spec, and a read that reconstructs the
+    * partition columns from manifest metadata — never from paths. */
+  val icebergPartRoundtrip: Q = (s, dir) => {
+    val tmp = graft.Scratch.dir("graft-iceberg-part-q")
+    val p = Tables.load(s, dir, "part")
+      .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+    graft.lake.IcebergCompat.write(p.filter(col("p_partkey") % 2 === 0),
+      tmp, partitionBy = Seq("p_brand"))
+    graft.lake.IcebergCompat.write(p.filter(col("p_partkey") % 2 =!= 0), tmp)
+    graft.lake.IcebergCompat.read(s, tmp).orderBy("p_partkey")
+  }
+
+  val icebergPartRoundtripSql: String = icebergRoundtripSql
+
+  /** Iceberg v2 merge-on-read: position-delete files (what a moonlink
+    * CDC mirror accumulates between compactions) applied during scan as
+    * a (file, pos) anti-join. The delete list is collected driver-side
+    * only to WRITE the fixture — change-sized, like any CDC batch. */
+  val icebergPosDelete: Q = (s, dir) => {
+    val tmp = graft.Scratch.dir("graft-iceberg-del-q")
+    val sup = Tables.load(s, dir, "supplier")
+      .select("s_suppkey", "s_name", "s_acctbal")
+    graft.lake.IcebergCompat.write(sup, tmp)
+    val dels = s.read.parquet(s"$tmp/data")
+      .select(col("s_suppkey"),
+        regexp_replace(col("_metadata.file_path"), "^file:(//)?", "")
+          .as("f"),
+        col("_metadata.row_index").as("p"))
+      .filter(col("s_suppkey") % 10 === 0)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    graft.lake.IcebergCompat.writePositionDeletes(s, tmp, dels)
+    graft.lake.IcebergCompat.read(s, tmp).orderBy("s_suppkey")
+  }
+
+  val icebergPosDeleteSql: String =
+    """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+      |WHERE s_suppkey % 10 <> 0 ORDER BY s_suppkey""".stripMargin
+
   /** Snapshot diff (the table_changes / Delta-CDF class): mirror orders,
     * apply the same CDC batch as [[cdcApply]], then ask the lake what
     * changed between v1 and v2. Deletes surface as 'delete', updates as
@@ -274,6 +314,8 @@ object LakeQueries {
     "q_snapshot_diff" -> snapshotDiff,
     "q_scd2_history" -> scd2History,
     "q_iceberg_roundtrip" -> icebergRoundtrip,
+    "q_iceberg_part_roundtrip" -> icebergPartRoundtrip,
+    "q_iceberg_pos_delete" -> icebergPosDelete,
     "q_delta_roundtrip" -> deltaRoundtrip,
     "q_delta_part_roundtrip" -> deltaPartRoundtrip,
     "q_cdc_apply" -> cdcApply,
@@ -287,6 +329,8 @@ object LakeQueries {
     "q_snapshot_diff" -> snapshotDiffSql,
     "q_scd2_history" -> scd2HistorySql,
     "q_iceberg_roundtrip" -> icebergRoundtripSql,
+    "q_iceberg_part_roundtrip" -> icebergPartRoundtripSql,
+    "q_iceberg_pos_delete" -> icebergPosDeleteSql,
     "q_delta_roundtrip" -> deltaRoundtripSql,
     "q_delta_part_roundtrip" -> deltaPartRoundtripSql,
     "q_cdc_apply" -> cdcApplySql,

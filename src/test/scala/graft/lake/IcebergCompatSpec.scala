@@ -202,6 +202,76 @@ class IcebergCompatSpec extends SparkSuite {
     assert(entries.head.get("snapshot_id").asInstanceOf[Long] === sid)
   }
 
+  test("identity-partitioned write: typed tuples in manifests, reconstruction on read") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmpDir("iceberg-part")
+    val df = Seq((1L, Some("A"), 7, "x"), (2L, Some("B c"), 7, "y"),
+      (3L, Some("A"), 8, "z"), (4L, None, 9, "w"))
+      .toDF("k", "p", "i", "v")
+    IcebergCompat.write(df, dir, partitionBy = Seq("p", "i"))
+    // appends inherit the spec; a conflicting spec is refused
+    IcebergCompat.write(
+      Seq((5L, Some("D"), 10, "q")).toDF("k", "p", "i", "v"), dir)
+    intercept[IllegalArgumentException] {
+      IcebergCompat.write(df, dir, partitionBy = Seq("v"))
+    }
+
+    val back = IcebergCompat.read(spark, dir)
+      .as[(Long, Option[String], Int, String)].collect().sortBy(_._1).toSeq
+    assert(back === Seq((1L, Some("A"), 7, "x"), (2L, Some("B c"), 7, "y"),
+      (3L, Some("A"), 8, "z"), (4L, None, 9, "w"), (5L, Some("D"), 10, "q")))
+
+    // data files do NOT contain partition columns (hive staging strips
+    // them) — the read reconstructs from manifest partition tuples
+    val dataFile = Files.walk(Paths.get(dir, "data")).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val raw = spark.read.parquet(dataFile.toString).schema.fieldNames.toSet
+    assert(!raw.contains("p") && !raw.contains("i"))
+
+    // metadata declares the identity spec
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(new String(Files.readAllBytes(
+      Paths.get(dir, "metadata", "v2.metadata.json")), "UTF-8"))
+    val fields = meta.get("partition-specs").get(0).get("fields")
+    assert(fields.size() === 2)
+    assert(fields.get(0).get("transform").asText() === "identity")
+    assert(fields.get(0).get("field-id").asInt() === 1000)
+    assert(meta.get("last-partition-id").asInt() === 1001)
+  }
+
+  test("v2 position deletes apply via (file, pos) anti-join; time travel sees past") {
+    val dir = tmpDir("iceberg-posdel")
+    IcebergCompat.write(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").coalesce(1), dir)
+    val s2 = IcebergCompat.write(
+      Seq((4L, "d"), (5L, "e")).toDF("k", "v").coalesce(1), dir)
+
+    // physical (file, pos) of the rows to delete, via the same metadata
+    // columns the reader uses
+    val rows = spark.read.parquet(s"$dir/data")
+      .select(col("k"),
+        regexp_replace(col("_metadata.file_path"), "^file:(//)?", "").as("f"),
+        col("_metadata.row_index").as("p"))
+      .collect()
+    val dels = rows.filter(r => Set(2L, 5L)(r.getLong(0)))
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(dels.size === 2)
+    IcebergCompat.writePositionDeletes(spark, dir, dels)
+
+    assert(IcebergCompat.read(spark, dir).as[(Long, String)]
+      .collect().sorted.toSeq === Seq(1L -> "a", 3L -> "c", 4L -> "d"))
+    // the pre-delete snapshot still sees all five rows
+    assert(IcebergCompat.read(spark, dir, Some(s2)).count() === 5)
+    // a later append carries the delete manifest forward
+    IcebergCompat.write(Seq((6L, "f")).toDF("k", "v"), dir)
+    assert(IcebergCompat.read(spark, dir).as[(Long, String)]
+      .collect().sorted.toSeq ===
+      Seq(1L -> "a", 3L -> "c", 4L -> "d", 6L -> "f"))
+    // equality deletes are refused, not skipped: fabricate content=2
+    // by rewriting the delete file's manifest is out of scope here —
+    // the reader-side guard is unit-visible in read()'s content match.
+  }
+
   test("mirror exports its snapshot as an Iceberg table") {
     val lake = new Mooncake(tmpDir("iceberg-export-wh"))
     lake.createTable(spark, "m",

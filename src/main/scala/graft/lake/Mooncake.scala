@@ -214,20 +214,39 @@ class Mooncake(val warehouse: String) {
           "the change-type tag this diff appends")
     val shared = mFrom.files.map(_.path).toSet
       .intersect(mTo.files.map(_.path).toSet)
-    val before = readFiles(spark, mFrom,
-      mFrom.files.filterNot(f => shared(f.path)))
-    val after = readFiles(spark, mTo,
-      mTo.files.filterNot(f => shared(f.path)))
+    // Across a schema evolution the two versions disagree on columns;
+    // lift both sides to the union schema with typed nulls ("column did
+    // not exist" ≡ null, the same lift readFiles applies to old files)
+    // so the exceptAll diff stays well-typed.
+    val sFrom = org.apache.spark.sql.types.StructType.fromDDL(mFrom.schemaDdl)
+    val sTo = org.apache.spark.sql.types.StructType.fromDDL(mTo.schemaDdl)
+    val unionFields = sTo.fields ++
+      sFrom.fields.filterNot(f => sTo.fieldNames.contains(f.name))
+    def align(df: DataFrame,
+        have: org.apache.spark.sql.types.StructType): DataFrame =
+      df.select(unionFields.map(f =>
+        if (have.fieldNames.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    val before = align(readFiles(spark, mFrom,
+      mFrom.files.filterNot(f => shared(f.path))), sFrom)
+    val after = align(readFiles(spark, mTo,
+      mTo.files.filterNot(f => shared(f.path))), sTo)
     after.exceptAll(before).withColumn("_change", lit("insert"))
       .unionByName(before.exceptAll(after).withColumn("_change", lit("delete")))
   }
 
   private def readFiles(spark: SparkSession, m: Manifest,
-      files: Seq[DataFile]): DataFrame =
+      files: Seq[DataFile]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
     if (files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
-    } else spark.read.parquet(files.map(_.path): _*)
+        schema)
+    // Explicit manifest schema, not file-inferred: after a CDC schema
+    // evolution the manifest may carry files written before a column
+    // existed — the parquet reader null-fills them, which is exactly the
+    // evolution semantic (and matches Iceberg/Delta readers).
+    } else spark.read.schema(schema).parquet(files.map(_.path): _*)
+  }
 
   def currentManifest(name: String): Manifest =
     require_(Manifest.latest(tableDir(name)), name)
@@ -261,6 +280,20 @@ class Mooncake(val warehouse: String) {
         s"batch version $version not after commitVersion ${m.commitVersion}")
     val pk = m.pkColumns
     val dataCols = changes.columns.filterNot(c => c == "__op" || c == "__seq")
+
+    // Schema evolution: a batch may APPEND columns (upstream ALTER TABLE
+    // ADD COLUMN mid-stream) — the manifest schema widens and files
+    // written before the column existed read back null-filled (see
+    // readFiles). Column drops/renames would silently lose data and are
+    // refused.
+    val tableSchema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    val droppedCols = tableSchema.fieldNames.filterNot(dataCols.contains)
+    if (droppedCols.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"CDC batch for '$name' lacks table columns " +
+          s"(${droppedCols.mkString(", ")}) — column drops are out of " +
+          "this operator's scope")
+    val addedCols = dataCols.filterNot(tableSchema.fieldNames.contains)
 
     // Last op per key wins within the batch.
     val seqCol = if (changes.columns.contains("__seq")) col("__seq")
@@ -303,7 +336,13 @@ class Mooncake(val warehouse: String) {
       if (touched.isEmpty) None
       else Some(readFiles(spark, m, touched)
         .join(broadcast(affectedKeys), pk, "left_anti"))
-    val newRows = survivors.map(_.unionByName(inserts)).getOrElse(inserts)
+    // allowMissingColumns null-fills the added columns on the survivor
+    // side; the explicit select pins the widened column order (table
+    // schema, then additions in batch order).
+    val newRows = survivors
+      .map(_.unionByName(inserts, allowMissingColumns = addedCols.nonEmpty))
+      .getOrElse(inserts)
+      .select((tableSchema.fieldNames ++ addedCols).map(col).toIndexedSeq: _*)
 
     // Re-cluster the rewritten region: output file count is sized by the
     // touched bytes (exact, from the manifest — no optimizer guessing),

@@ -92,20 +92,16 @@ object VectorFunctions {
     * all bands. At 100 TB the 128 64-dim folds per row belong in one
     * fused codegen kernel; at 64 dims the HOF fold is already columnar
     * and shuffle-free. */
-  val WideBands = 16
-  val WideRows = 8
+  val WideBands: Int = expressions.SetVectorOps.WideBands
+  val WideRows: Int = expressions.SetVectorOps.WideRows
   val WideNumPlanes: Int = WideBands * WideRows
 
-  def wideBandKeys(v: Column, dims: Int): Column = {
-    val planes = planeWeights(dims, WideNumPlanes)
-    array((0 until WideBands).map { b =>
-      (0 until WideRows).map { j =>
-        val w = array(planes(b * WideRows + j).map(lit): _*)
-        val proj = aggregate(
-          zip_with(v, w, (x, wi) => x.cast("double") * wi),
-          lit(0.0), (acc, x) => acc + x)
-        when(proj > 0.0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _) + lit(b.toLong << 50)
-    }: _*)
-  }
+  /** Fused codegen kernel, NOT a Column-level fold composition: 128
+    * zip_with/aggregate folds over 64-element literal arrays generate
+    * megabytes of bytecode — measured flooding the JVM code cache and
+    * disabling JIT for the rest of the session. The kernel does the
+    * same ±1-projection math in one tight pass (weights cached per
+    * dims, same seeded finalizer as [[planeWeights]]). */
+  def wideBandKeys(v: Column, dims: Int): Column =
+    expressions.SetVectorExpressions.wide_band_keys(v, dims)
 }

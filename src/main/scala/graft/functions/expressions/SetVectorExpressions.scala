@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen kernels for set similarity and vector similarity — value-
@@ -74,6 +74,56 @@ object SetVectorOps {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Band keys for the wide random-hyperplane LSH family (16 bands × 8
+    * planes — see VectorFunctions.wideBandKeys): all 128 projections in
+    * one fused pass per row. A Column-level spelling of the same math
+    * (128 zip_with/aggregate folds over 64 literal arrays) generates
+    * megabytes of bytecode per plan — enough to flood the JVM code
+    * cache and disable JIT for every later query in the session; this
+    * kernel is a few hundred bytes. Weights are ±1 from the same
+    * seeded finalizer, cached per dimension count. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+
+  private def mix64(seed: Long): Long = {
+    var x = seed
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33; x
+  }
+
+  val WideBands = 16
+  val WideRows = 8
+
+  private def planes(dims: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent(dims, d =>
+      Array.tabulate(WideBands * WideRows, d)((p, i) =>
+        if ((mix64(p.toLong * 7919L + i) & 1L) == 0L) -1.0 else 1.0))
+
+  def wideBandKeys(v: ArrayData, dims: Int): ArrayData = {
+    val w = planes(dims)
+    val x = new Array[Double](dims)
+    var i = 0
+    while (i < dims) { x(i) = v.getDouble(i); i += 1 }
+    val keys = new Array[Any](WideBands)
+    var b = 0
+    while (b < WideBands) {
+      var key = b.toLong << 50
+      var j = 0
+      while (j < WideRows) {
+        val wp = w(b * WideRows + j)
+        var proj = 0.0
+        var k = 0
+        while (k < dims) { proj += x(k) * wp(k); k += 1 }
+        if (proj > 0.0) key += 1L << j
+        j += 1
+      }
+      keys(b) = key
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
   /** Same fused left-fold cosine over double vectors (the planted-dup
     * LSH fixture carries doubles end-to-end — no float round-trip). */
   def cosineD(a: ArrayData, b: ArrayData): Double = {
@@ -129,6 +179,18 @@ case class CosineSim(left: Expression, right: Expression)
     copy(l, r)
 }
 
+case class WideBandKeys(child: Expression, dims: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override protected def nullSafeEval(v: Any): Any =
+    SetVectorOps.wideBandKeys(v.asInstanceOf[ArrayData], dims)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expressions.SetVectorOps.wideBandKeys($c, $dims)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class CosineSimD(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -151,4 +213,6 @@ object SetVectorExpressions {
     column(CosineSim(expr(a), expr(b)))
   def cosine_sim_d(a: Column, b: Column): Column =
     column(CosineSimD(expr(a), expr(b)))
+  def wide_band_keys(v: Column, dims: Int): Column =
+    column(WideBandKeys(expr(v), dims))
 }

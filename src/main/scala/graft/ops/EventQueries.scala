@@ -127,15 +127,31 @@ object EventQueries {
       |FROM fanned GROUP BY wstart, event_type
       |ORDER BY wstart, event_type""".stripMargin
 
-  /** Approximate distinct users (HLL sketch) — Spark-side only: sketch
-    * internals are engine-specific, so this takes the rows-only check.
-    * At 100 TB this replaces the exact countDistinct expand. */
+  /** Approximate distinct users (HLL sketch). Sketch estimates are
+    * engine-specific, so the ESTIMATE can never hash-match an oracle —
+    * but the ACCURACY CONTRACT can: the compared output carries the
+    * exact count plus a boolean asserting the HLL estimate landed
+    * within 5% (2.5× the requested 2% rsd), and the oracle expects that
+    * boolean TRUE for every group. A sketch regression now flips a
+    * hash-checked cell instead of hiding behind a rows-only check. At
+    * 100 TB the sketch replaces the exact countDistinct expand; the
+    * exact count here is the verification harness, not the plan. */
   val approxDistinct: Q = (s, dir) =>
     ev(s, dir)
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx"),
+        countDistinct(col("user_id")).as("exact_users"),
         count("*").as("n"))
+      .select(col("event_type"), col("exact_users"), col("n"),
+        (abs(col("approx") - col("exact_users")).cast("double") /
+          col("exact_users").cast("double") <= 0.05)
+          .as("approx_within_bound"))
       .orderBy("event_type")
+
+  val approxDistinctSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+      |  count(*) AS n, TRUE AS approx_within_bound
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q_events_tumbling" -> tumbling,
@@ -150,5 +166,6 @@ object EventQueries {
     "q_events_sliding" -> slidingSql,
     "q_events_sessionize" -> sessionizeSql,
     "q_events_json_agg" -> jsonAggSql,
+    "q_events_approx_distinct" -> approxDistinctSql,
   )
 }

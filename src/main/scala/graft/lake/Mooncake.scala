@@ -89,15 +89,8 @@ class Mooncake(val warehouse: String) {
       carryOver = Seq.empty)
   }
 
-  def dropTable(name: String): Unit = {
-    val dir = Paths.get(tableDir(name))
-    if (Files.exists(dir)) {
-      val walk = Files.walk(dir)
-      try walk.sorted(Comparator.reverseOrder[Path]())
-        .iterator().asScala.foreach(Files.delete)
-      finally walk.close()
-    }
-  }
+  def dropTable(name: String): Unit =
+    LakeFs.deleteRec(Paths.get(tableDir(name)))
 
   /** Same four columns as `mooncake.list_tables()`
     * (`/root/reference/src/functions.rs:84-116`). */

@@ -219,12 +219,15 @@ object PipelineQueries {
     *
     * Skew guard: a hot boilerplate prefix squares, so buckets are
     * triangle-partitioned — row_number within bucket → chunks of ≤ 64
-    * docs; the left side replicates each doc to its chunk-pairs and the
-    * right side joins on its own chunk, so every (i < j) pair is emitted
-    * exactly once (chunk order follows doc_id order) while no single join
-    * key carries more than 64×64 pair comparisons. Total work is still
-    * the bucket's pair count — that is the blocking baseline's semantics
-    * — but it spreads across tasks instead of landing on one. */
+    * docs; the join key is the CHUNK PAIR (pfx, c1, c2): the left side
+    * replicates each doc to the pairs it leads (its chunk × every
+    * later-or-equal chunk), the right side to the pairs it trails, so
+    * every (i < j) doc pair is emitted exactly once (chunk order
+    * follows doc_id order) and no single join key ever carries more
+    * than 64×64 comparisons — a 10k-doc hot bucket becomes ~12k
+    * uniformly-sized keys instead of one quadratic task. Total work is
+    * still the bucket's pair count — that is the blocking baseline's
+    * semantics — but it spreads across the cluster. */
   val dedupJaccard: Q = (s, dir) => {
     val chunkCap = 64
     val d = docs(s, dir).select(col("doc_id"),
@@ -239,11 +242,13 @@ object PipelineQueries {
       .withColumn("ch", (col("r") / chunkCap).cast("int"))
     val left = idx
       .withColumn("c2", explode(sequence(col("ch"), col("nc") - 1)))
-      .select(col("pfx"), col("c2"), col("doc_id").as("da"),
-        col("sh").as("sha"))
-    val right = idx.select(col("pfx"), col("ch").as("c2"),
-      col("doc_id").as("db"), col("sh").as("shb"))
-    left.join(right, Seq("pfx", "c2"))
+      .select(col("pfx"), col("ch").as("c1"), col("c2"),
+        col("doc_id").as("da"), col("sh").as("sha"))
+    val right = idx
+      .withColumn("c1", explode(sequence(lit(0), col("ch"))))
+      .select(col("pfx"), col("c1"), col("ch").as("c2"),
+        col("doc_id").as("db"), col("sh").as("shb"))
+    left.join(right, Seq("pfx", "c1", "c2"))
       .filter(col("da") < col("db"))
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         SVE.jaccard_sim(col("sha"), col("shb")).as("jacc"))

@@ -58,6 +58,44 @@ object LakeQueries {
       |WHERE o_orderkey % 100 <> 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Manifest file skipping under oracle check (the reference's "no
+    * indexes — point lookups are scans + file skipping" contract): a
+    * key-range read over the CDC'd mirror must equal the plain filtered
+    * query, while the manifest prunes every file whose pk range cannot
+    * intersect. Reuses the shared orders mirror — no extra build. */
+  val mirrorRange: Q = (s, dir) =>
+    ordersMirror(s, dir)
+      .readRange(s, "orders_mirror", 1000L, 2000L, atLeastVersion = Some(2))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  val mirrorRangeSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1
+      |       ELSE o_totalprice END AS o_totalprice
+      |FROM orders
+      |WHERE o_orderkey % 100 <> 0 AND o_orderkey BETWEEN 1000 AND 2000
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Z-order compaction under oracle check: re-cluster the mirror on
+    * interleaved (c_custkey, c_nationkey) bits, then range-scan the
+    * SECOND dimension — correctness must be unchanged while the
+    * clustering lets the manifest prune on a non-leading column. */
+  val zorderScan: Q = (s, dir) => {
+    val lake = new Mooncake(graft.Scratch.dir("graft-zorder-q"))
+    val c = Tables.load(s, dir, "customer")
+    lake.createTable(s, "cust_z", c.repartition(8), Seq("c_custkey"))
+    lake.optimizeTable(s, "cust_z", mode = "zorder:c_custkey,c_nationkey",
+      targetFileBytes = 64L * 1024)
+    lake.readRangeOn(s, "cust_z", "c_nationkey", 5L, 9L)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  val zorderScanSql: String =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+      |WHERE c_nationkey BETWEEN 5 AND 9 ORDER BY c_custkey""".stripMargin
+
   /** The management surface: create two mirrors, snapshot one, list them —
     * checks the list_tables column contract. The oracle is a golden VALUES
     * list (the catalog is ours; its deterministic contents are the
@@ -325,6 +363,8 @@ object LakeQueries {
     "q_delta_roundtrip" -> deltaRoundtrip,
     "q_delta_part_roundtrip" -> deltaPartRoundtrip,
     "q_cdc_apply" -> cdcApply,
+    "q_mirror_range" -> mirrorRange,
+    "q_zorder_scan" -> zorderScan,
     "q_mooncake_list_tables" -> listTables,
     "q_load_files" -> loadFiles,
     "q_optimize_scan" -> optimizeScan,
@@ -340,6 +380,8 @@ object LakeQueries {
     "q_delta_roundtrip" -> deltaRoundtripSql,
     "q_delta_part_roundtrip" -> deltaPartRoundtripSql,
     "q_cdc_apply" -> cdcApplySql,
+    "q_mirror_range" -> mirrorRangeSql,
+    "q_zorder_scan" -> zorderScanSql,
     "q_mooncake_list_tables" -> listTablesSql,
     "q_load_files" -> loadFilesSql,
     "q_optimize_scan" -> optimizeScanSql,

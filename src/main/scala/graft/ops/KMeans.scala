@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.expressions.{SetVectorExpressions => SVE}
+
+/** Distributed Lloyd's k-means over an embedding column — the trained
+  * centroid source for IVF ANN (`PipelineQueries.embedIvf` uses a
+  * deterministic every-Nth stand-in so its DuckDB oracle can mirror the
+  * math; this is the production path that replaces it at scale).
+  *
+  * Execution shape per iteration (the part that must survive 100 TB):
+  *   1. centroids broadcast (k×d doubles — model state, driver-sized);
+  *   2. assignment = one narrow pass, no shuffle (argmax over k fused
+  *      cosine kernels per row);
+  *   3. new centroids = posexplode to (cluster, dim, value) then a
+  *      partial+final avg — ONE shuffle of k×d groups per iteration;
+  *      the collect pulls k×d doubles, never rows.
+  * This is the same driver-as-parameter-server shape Spark MLlib's
+  * KMeans uses (treeAggregate to the driver each iteration).
+  *
+  * Determinism: init picks every (n/k)-th vector by id order and ties
+  * break on the lowest cluster id, so a rerun on the same data yields
+  * the same model — required for the recall tests to be stable.
+  */
+object KMeans {
+
+  /** Train on `vecs` (columns: vec_id long, embedding array<double|float>)
+    * and return the centroids as (clusterId, vector). */
+  def fit(vecs: DataFrame, k: Int, iters: Int = 5): Seq[(Int, Array[Double])] = {
+    val spark = vecs.sparkSession
+    val e = vecs.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val n = e.count()
+    require(n >= k, s"k=$k exceeds vector count $n")
+    val step = math.max(1L, n / k)
+    var cents: Seq[(Int, Array[Double])] = e
+      .withColumn("rn", row_number().over(Window.orderBy("vec_id")) - 1)
+      .filter(col("rn") % step === 0).orderBy("rn").limit(k)
+      .select("v").collect()
+      .map(_.getSeq[Double](0).toArray).zipWithIndex
+      .map { case (v, i) => (i, v) }.toIndexedSeq
+
+    for (_ <- 0 until iters) {
+      // argmax by (cos desc, cid asc) without a shuffle: array_max over
+      // (cos, -cid) structs — struct ordering is lexicographic
+      val best = array_max(array(cents.map { case (cid, cv) =>
+        struct(SVE.cosine_sim_d(col("v"), array(cv.map(lit): _*)).as("cos"),
+          lit(-cid).as("negCid"))
+      }: _*))
+      val assigned = e.withColumn("cluster", -best.getField("negCid"))
+      val updated = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim").agg(avg("x").as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          val d = rows.map(r => r.getInt(1) -> r.getDouble(2)).sortBy(_._1)
+          (cid, d.map(_._2).toArray)
+        }
+      // a cluster that captured no vectors keeps its previous centroid
+      // instead of silently shrinking k
+      cents = cents.map { case (cid, old) =>
+        (cid, updated.getOrElse(cid, old))
+      }
+    }
+    cents
+  }
+
+  /** Assign each vector to its nearest centroid (same tie-break as
+    * training): adds a `cluster` int column. */
+  def assign(vecs: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame = {
+    val e = vecs.withColumn("v", col("embedding").cast("array<double>"))
+    val best = array_max(array(cents.map { case (cid, cv) =>
+      struct(SVE.cosine_sim_d(col("v"), array(cv.map(lit): _*)).as("cos"),
+        lit(-cid).as("negCid"))
+    }: _*))
+    e.withColumn("cluster", -best.getField("negCid")).drop("v")
+  }
+}

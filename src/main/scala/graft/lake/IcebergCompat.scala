@@ -83,22 +83,29 @@ object IcebergCompat {
       s"Iceberg type '$other' out of this reader's scope")
   }
 
-  private def toStructType(meta: JsonNode): StructType = {
-    val schema =
-      if (meta.has("schemas")) {
-        val id = meta.path("current-schema-id").asInt(0)
-        meta.get("schemas").elements().asScala
-          .find(_.path("schema-id").asInt(-1) == id)
-          .getOrElse(meta.get("schemas").get(0))
-      } else meta.get("schema")
-    StructType(schema.get("fields").elements().asScala.map { f =>
-      val t = f.get("type")
-      if (!t.isTextual) throw new UnsupportedOperationException(
-        "nested Iceberg types out of this reader's scope")
-      StructField(f.get("name").asText(), toSparkType(t.asText()),
-        nullable = !f.path("required").asBoolean(false))
-    }.toSeq)
-  }
+  private def currentSchemaNode(meta: JsonNode): JsonNode =
+    if (meta.has("schemas")) {
+      val id = meta.path("current-schema-id").asInt(0)
+      meta.get("schemas").elements().asScala
+        .find(_.path("schema-id").asInt(-1) == id)
+        .getOrElse(meta.get("schemas").get(0))
+    } else meta.get("schema")
+
+  private def toStructType(meta: JsonNode): StructType =
+    StructType(currentSchemaNode(meta).get("fields").elements().asScala
+      .map { f =>
+        val t = f.get("type")
+        if (!t.isTextual) throw new UnsupportedOperationException(
+          "nested Iceberg types out of this reader's scope")
+        StructField(f.get("name").asText(), toSparkType(t.asText()),
+          nullable = !f.path("required").asBoolean(false))
+      }.toSeq)
+
+  /** Iceberg schema field id → column name (equality_ids reference
+    * fields by id, which for evolved schemas is NOT the position). */
+  private def fieldIdToName(meta: JsonNode): Map[Int, String] =
+    currentSchemaNode(meta).get("fields").elements().asScala
+      .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
 
   /** The table's default partition spec: (name, sourceFieldName) per
     * identity field. Non-identity transforms and multiple specs are out
@@ -139,11 +146,20 @@ object IcebergCompat {
     * `partition` tuple in the manifest (the spec says readers take them
     * from metadata; data files written by hive-layout writers do not
     * contain them at all) — grouped per tuple, attached as typed
-    * literals, never parsed from paths. V2 position-delete files are
-    * applied as a left-anti join on (file_path, pos) against the scan's
-    * `_metadata` columns — the Spark-native merge-on-read shape: the
-    * delete set shuffles at delete-row granularity, the data scan stays
-    * a plain pruned parquet scan. Equality deletes are refused. */
+    * literals, never parsed from paths.
+    *
+    * V2 merge-on-read, both delete shapes, as anti-joins (the
+    * Spark-native application — delete sets shuffle at delete-row
+    * granularity, the data scan stays a plain pruned parquet scan):
+    *   - POSITION deletes (content=1): left-anti on (file_path, pos)
+    *     against the scan's `_metadata` columns; path-match is exact
+    *     because file names are never reused.
+    *   - EQUALITY deletes (content=2, what CDC writers emit): left-anti
+    *     on the equality columns (null-safe, per spec) with the
+    *     sequence rule — a delete applies only to rows whose data file
+    *     has a STRICTLY OLDER data sequence number, so a re-insert of
+    *     the same key in a later snapshot survives. Per-entry sequence
+    *     numbers inherit from the manifest-list entry when absent. */
   def read(spark: SparkSession, tableDir: String,
       snapshotId: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
@@ -169,9 +185,23 @@ object IcebergCompat {
     val (deleteManifests, dataManifests) =
       listRecords.partition(listContent(_) == 1)
 
-    // data files with their identity-partition tuple
-    val dataFiles: Seq[(String, Seq[Any])] =
-      dataManifests.map(_.get("manifest_path").toString).flatMap { m =>
+    def numField(r: GenericRecord, f: String): Option[Long] =
+      if (r.getSchema.getField(f) == null) None
+      else r.get(f) match {
+        case l: java.lang.Long => Some(l.longValue)
+        case i: java.lang.Integer => Some(i.longValue)
+        case _ => None // null = inherit
+      }
+    // data sequence number: explicit on the entry, else inherited from
+    // the manifest-list entry (the spec's sequence-number inheritance)
+    def seqOf(rec: GenericRecord, listRec: GenericRecord): Long =
+      numField(rec, "sequence_number")
+        .orElse(numField(listRec, "sequence_number")).getOrElse(0L)
+
+    // data files with their identity-partition tuple + data sequence
+    val dataFiles: Seq[(String, Seq[Any], Long)] =
+      dataManifests.flatMap { listRec =>
+        val m = listRec.get("manifest_path").toString
         avroRecords(localPath(m)).flatMap { rec =>
           val status = rec.get("status").asInstanceOf[Int]
           if (status == 2) None // DELETED
@@ -188,32 +218,55 @@ object IcebergCompat {
               if (pr == null || pr.getSchema.getField(c) == null) null
               else avroValue(pr.get(c))
             }
-            Some(localPath(df.get("file_path").toString) -> tuple)
+            Some((localPath(df.get("file_path").toString), tuple,
+              seqOf(rec, listRec)))
           }
         }
       }
 
-    // position-delete files (content 1); equality deletes (2) refused
-    val deleteFiles: Seq[String] =
-      deleteManifests.map(_.get("manifest_path").toString).flatMap { m =>
-        avroRecords(localPath(m)).flatMap { rec =>
-          val status = rec.get("status").asInstanceOf[Int]
-          if (status == 2) None
-          else {
-            val df = rec.get("data_file").asInstanceOf[GenericRecord]
-            val content =
-              if (df.getSchema.getField("content") == null) 0
-              else df.get("content") match {
-                case i: java.lang.Integer => i.intValue
-                case _ => 0
+    // delete files: positional (content 1) and equality (content 2)
+    val idToName = fieldIdToName(meta)
+    case class EqDelete(path: String, seq: Long, cols: Seq[String])
+    val posFiles = Seq.newBuilder[String]
+    val eqFiles = Seq.newBuilder[EqDelete]
+    deleteManifests.foreach { listRec =>
+      val m = listRec.get("manifest_path").toString
+      avroRecords(localPath(m)).foreach { rec =>
+        val status = rec.get("status").asInstanceOf[Int]
+        if (status != 2) {
+          val df = rec.get("data_file").asInstanceOf[GenericRecord]
+          val content =
+            if (df.getSchema.getField("content") == null) 0
+            else df.get("content") match {
+              case i: java.lang.Integer => i.intValue
+              case _ => 0
+            }
+          if (content == 1)
+            posFiles += localPath(df.get("file_path").toString)
+          else if (content == 2) {
+            val ids =
+              if (df.getSchema.getField("equality_ids") == null) null
+              else df.get("equality_ids")
+            val cols = ids match {
+              case l: java.util.List[_] => l.asScala.toSeq.map {
+                case i: java.lang.Integer => idToName.getOrElse(i.intValue,
+                  throw new UnsupportedOperationException(
+                    s"equality delete references unknown field id $i"))
+                case other => throw new UnsupportedOperationException(
+                  s"malformed equality_ids entry $other")
               }
-            if (content == 2) throw new UnsupportedOperationException(
-              "Iceberg equality deletes out of this reader's scope")
-            if (content != 1) None
-            else Some(localPath(df.get("file_path").toString))
+              case _ => throw new UnsupportedOperationException(
+                "equality delete file without equality_ids — cannot " +
+                  "apply safely, refusing")
+            }
+            eqFiles += EqDelete(localPath(df.get("file_path").toString),
+              seqOf(rec, listRec), cols)
           }
         }
       }
+    }
+    val deleteFiles = posFiles.result()
+    val eqDeletes = eqFiles.result()
 
     def emptyDf = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -234,37 +287,65 @@ object IcebergCompat {
           "reader's scope (epoch/unscaled encodings)")
     }
     val needPos = deleteFiles.nonEmpty
-    val scanGroup = { (files: Seq[String], tuple: Seq[Any]) =>
+    val needEq = eqDeletes.nonEmpty
+    val scanGroup = { (files: Seq[String], tuple: Seq[Any], seq: Long) =>
       val raw = spark.read.schema(dataSchema)
         .parquet(files.sorted.distinct: _*)
-      val base = // (file, pos) only materialize when deletes exist
+      val base = // metadata columns only materialize when deletes exist
         if (needPos) raw
           .withColumn("__file", normPathCol(col("_metadata.file_path")))
           .withColumn("__pos", col("_metadata.row_index"))
         else raw
+      val withSeq = if (needEq) base.withColumn("__dseq", lit(seq)) else base
       val outCols = schema.fieldNames.toSeq ++
-        (if (needPos) Seq("__file", "__pos") else Seq.empty)
-      partCols.zip(tuple).foldLeft(base) { case (df, (c, v)) =>
+        (if (needPos) Seq("__file", "__pos") else Seq.empty) ++
+        (if (needEq) Seq("__dseq") else Seq.empty)
+      partCols.zip(tuple).foldLeft(withSeq) { case (df, (c, v)) =>
         df.withColumn(c,
           (if (v == null) lit(null) else lit(v)).cast(fieldType(c)))
       }.select(outCols.map(col): _*)
     }
-    val groups = dataFiles.groupBy(_._2).toSeq.sortBy(_._1.toString)
-    val parts = groups.map { case (tuple, fs) =>
-      scanGroup(fs.map(_._1), tuple)
+    // group by partition tuple — and by data sequence when equality
+    // deletes apply (the sequence scopes them per file)
+    val groups = dataFiles
+      .groupBy(f => (f._2, if (needEq) f._3 else 0L))
+      .toSeq.sortBy(_._1.toString)
+    val parts = groups.map { case ((tuple, seq), fs) =>
+      scanGroup(fs.map(_._1), tuple, seq)
     }
     val scanned = LakeFs.unionAll(parts)
-    if (!needPos) scanned
-    else {
-      // Position deletes name data files explicitly and file names are
-      // never reused, so path-match application is exact without the
-      // sequence-number dance (which only exists to scope rewrites).
-      val dels = spark.read.parquet(deleteFiles.sorted.distinct: _*)
-        .select(normPathCol(col("file_path")).as("__file"),
-          col("pos").cast("long").as("__pos"))
-      scanned.join(dels, Seq("__file", "__pos"), "left_anti")
-        .drop("__file", "__pos")
-    }
+    val afterPos =
+      if (!needPos) scanned
+      else {
+        // Position deletes name data files explicitly and file names
+        // are never reused, so path-match application is exact without
+        // the sequence-number dance.
+        val dels = spark.read.parquet(deleteFiles.sorted.distinct: _*)
+          .select(normPathCol(col("file_path")).as("__file"),
+            col("pos").cast("long").as("__pos"))
+        scanned.join(dels, Seq("__file", "__pos"), "left_anti")
+          .drop("__file", "__pos")
+      }
+    val afterEq =
+      if (!needEq) afterPos
+      else {
+        // one anti-join per distinct equality-column set (usually just
+        // the key set); null-safe match per spec, scoped to strictly
+        // older data sequences
+        eqDeletes.groupBy(_.cols).toSeq.sortBy(_._1.mkString(","))
+          .foldLeft(afterPos) { case (acc, (cols, group)) =>
+            val delDf = LakeFs.unionAll(group.map(d =>
+              spark.read.parquet(d.path)
+                .select(cols.map(c =>
+                  col(c).cast(fieldType(c)).as(s"__d_$c")) :+
+                  lit(d.seq).as("__eqseq"): _*)))
+            val cond = cols.map(c => acc(c) <=> delDf(s"__d_$c"))
+              .reduce(_ && _) && delDf("__eqseq") > acc("__dseq")
+            acc.join(delDf, cond, "left_anti")
+          }
+          .drop("__dseq")
+      }
+    afterEq
   }
 
   // --------------------------------------------------------------------------
@@ -320,10 +401,14 @@ object IcebergCompat {
       .name("partition").`type`(mkPartitionStruct(partFields)).noDefault()
       .requiredLong("record_count")
       .requiredLong("file_size_in_bytes")
+      .name("equality_ids").`type`(Schema.createUnion(
+        Schema.create(Schema.Type.NULL),
+        Schema.createArray(Schema.create(Schema.Type.INT))))
+      .withDefault(null)
       .endRecord(),
       Map("content" -> 134, "file_path" -> 100, "file_format" -> 101,
         "partition" -> 102, "record_count" -> 103,
-        "file_size_in_bytes" -> 104))
+        "file_size_in_bytes" -> 104, "equality_ids" -> 135))
     withFieldIds(SchemaBuilder.record("manifest_entry").fields()
       .requiredInt("status")
       .requiredLong("snapshot_id")
@@ -698,6 +783,41 @@ object IcebergCompat {
   def writePositionDeletes(spark: SparkSession, tableDir: String,
       deletes: Seq[(String, Long)]): Long = {
     import org.apache.spark.sql.Row
+    val delSchema = StructType(Seq(
+      StructField("file_path", StringType, nullable = false),
+      StructField("pos", LongType, nullable = false)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        deletes.map { case (p, pos) => Row(p, pos) }, 1), delSchema)
+    commitDeleteSnapshot(spark, tableDir, df, content = 1,
+      equalityIds = Seq.empty)
+  }
+
+  /** Commit one snapshot of v2 EQUALITY DELETES — "delete every row
+    * matching these key tuples that existed before this snapshot", the
+    * shape streaming CDC writers (Flink, moonlink-style ingestion) emit
+    * for updates/deletes without knowing row positions. `rows` carries
+    * exactly the equality columns; the sequence rule on the read side
+    * scopes the delete to strictly-older data files, so a later
+    * re-insert of the same key survives. Returns the snapshot id. */
+  def writeEqualityDeletes(spark: SparkSession, tableDir: String,
+      rows: DataFrame, equalityCols: Seq[String]): Long = {
+    require(equalityCols.nonEmpty, "equalityCols must be non-empty")
+    val meta = currentMetadata(tableDir)
+    val idByName = fieldIdToName(meta).map(_.swap)
+    val ids = equalityCols.map(c => idByName.getOrElse(c,
+      throw new IllegalArgumentException(
+        s"$tableDir has no column '$c' to equality-delete on")))
+    commitDeleteSnapshot(spark, tableDir,
+      rows.select(equalityCols.map(org.apache.spark.sql.functions.col): _*),
+      content = 2, equalityIds = ids)
+  }
+
+  /** Shared delete-snapshot commit: stage `deleteDf` as one parquet
+    * delete file, emit its delete-content manifest and a manifest list
+    * carrying every prior manifest, and commit the metadata. */
+  private def commitDeleteSnapshot(spark: SparkSession, tableDir: String,
+      deleteDf: DataFrame, content: Int, equalityIds: Seq[Int]): Long = {
     val metaDir = Paths.get(tableDir, "metadata")
     val prior = currentMetadata(tableDir)
     // This writer emits one GLOBAL delete file with an empty partition
@@ -710,7 +830,7 @@ object IcebergCompat {
     if (spec.nonEmpty)
       throw new UnsupportedOperationException(
         s"$tableDir is identity-partitioned (${spec.mkString(", ")}) — " +
-          "this writer only emits global position deletes for " +
+          "this writer only emits global delete files for " +
           "unpartitioned tables")
     val prevVersion = new String(Files.readAllBytes(
       metaDir.resolve("version-hint.text")), "UTF-8").trim.toLong
@@ -728,50 +848,39 @@ object IcebergCompat {
     val snapshotId = version * 100
     val sequenceNumber = lastSeq + 1
 
-    // The delete parquet: (file_path, pos), written via Spark like any
-    // data file. One file — a delete batch is change-sized, not
-    // table-sized.
-    val delSchema = StructType(Seq(
-      StructField("file_path", StringType, nullable = false),
-      StructField("pos", LongType, nullable = false)))
+    // The delete parquet, written via Spark like any data file. One
+    // file — a delete batch is change-sized, not table-sized.
     val stage = Files.createTempDirectory(Paths.get(tableDir), ".stage")
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          deletes.map { case (p, pos) => Row(p, pos) }, 1), delSchema)
-      .write.mode("overwrite").parquet(stage.toString)
+    deleteDf.coalesce(1).write.mode("overwrite").parquet(stage.toString)
     val part = LakeFs.parquetFilesUnder(stage).head
     Files.createDirectories(Paths.get(tableDir, "data"))
     val target = Paths.get(tableDir, "data",
       f"$snapshotId%d-delete-${UUID.randomUUID()}.parquet")
     Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
     LakeFs.deleteRec(stage)
+    val nRows = parquetRowCount(target)
 
-    // Delete manifest: one POSITION_DELETES (content=1) file entry with
-    // an empty partition struct (global scope).
+    // Delete manifest: one delete-file entry (content 1 = positional,
+    // 2 = equality) with an empty partition struct (global scope).
     val entrySchema = mkManifestEntrySchema(Seq.empty)
     val dataFileSchema = entrySchema.getField("data_file").schema()
     val d = new GenericData.Record(dataFileSchema)
-    d.put("content", 1) // POSITION_DELETES
+    d.put("content", content)
     d.put("file_path", target.toString)
     d.put("file_format", "PARQUET")
     d.put("partition",
       new GenericData.Record(dataFileSchema.getField("partition").schema()))
-    d.put("record_count", deletes.size.toLong)
+    d.put("record_count", nRows)
     d.put("file_size_in_bytes", Files.size(target))
+    if (equalityIds.nonEmpty)
+      d.put("equality_ids", equalityIds.map(Int.box).asJava)
     val e = new GenericData.Record(entrySchema)
     e.put("status", 1) // ADDED
     e.put("snapshot_id", snapshotId)
     e.put("sequence_number", sequenceNumber)
     e.put("file_sequence_number", sequenceNumber)
     e.put("data_file", d)
-    val schemaNode = prior.has("schemas") match {
-      case true =>
-        val id = prior.path("current-schema-id").asInt(0)
-        prior.get("schemas").elements().asScala
-          .find(_.path("schema-id").asInt(-1) == id)
-          .getOrElse(prior.get("schemas").get(0))
-      case false => prior.get("schema")
-    }
+    val schemaNode = currentSchemaNode(prior)
     val specFieldsArr = prior.path("partition-specs").elements().asScala
       .toSeq.headOption.map(_.path("fields"))
       .getOrElse(mapper.createArrayNode())
@@ -794,7 +903,7 @@ object IcebergCompat {
       r.put("added_files_count", 1)
       r.put("existing_files_count", 0)
       r.put("deleted_files_count", 0)
-      r.put("added_rows_count", deletes.size.toLong)
+      r.put("added_rows_count", nRows)
       r.put("existing_rows_count", 0L)
       r.put("deleted_rows_count", 0L)
       r: GenericRecord

@@ -286,6 +286,33 @@ object LakeQueries {
     """SELECT s_suppkey, s_name, s_acctbal FROM supplier
       |WHERE s_suppkey % 10 <> 0 ORDER BY s_suppkey""".stripMargin
 
+  /** Iceberg v2 equality deletes — the full CDC-mirror merge-on-read
+    * story: delete every 7th supplier BY KEY (no positions known, the
+    * streaming-writer shape), then re-insert half of them with updated
+    * values in a LATER snapshot; the sequence rule must let the
+    * re-inserts survive the older delete. */
+  val icebergEqDelete: Q = (s, dir) => {
+    val tmp = graft.Scratch.dir("graft-iceberg-eqdel-q")
+    val sup = Tables.load(s, dir, "supplier")
+      .select("s_suppkey", "s_name", "s_acctbal")
+    graft.lake.IcebergCompat.write(sup, tmp)
+    graft.lake.IcebergCompat.writeEqualityDeletes(s, tmp,
+      sup.filter(col("s_suppkey") % 7 === 0).select("s_suppkey"),
+      Seq("s_suppkey"))
+    graft.lake.IcebergCompat.write(
+      sup.filter(col("s_suppkey") % 14 === 0)
+        .withColumn("s_acctbal", col("s_acctbal") + 1), tmp)
+    graft.lake.IcebergCompat.read(s, tmp).orderBy("s_suppkey")
+  }
+
+  val icebergEqDeleteSql: String =
+    """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+      |WHERE s_suppkey % 7 <> 0
+      |UNION ALL
+      |SELECT s_suppkey, s_name, s_acctbal + 1 AS s_acctbal FROM supplier
+      |WHERE s_suppkey % 14 = 0
+      |ORDER BY s_suppkey""".stripMargin
+
   /** Snapshot diff (the table_changes / Delta-CDF class): mirror orders,
     * apply the same CDC batch as [[cdcApply]], then ask the lake what
     * changed between v1 and v2. Deletes surface as 'delete', updates as
@@ -360,6 +387,7 @@ object LakeQueries {
     "q_iceberg_roundtrip" -> icebergRoundtrip,
     "q_iceberg_part_roundtrip" -> icebergPartRoundtrip,
     "q_iceberg_pos_delete" -> icebergPosDelete,
+    "q_iceberg_eq_delete" -> icebergEqDelete,
     "q_delta_roundtrip" -> deltaRoundtrip,
     "q_delta_part_roundtrip" -> deltaPartRoundtrip,
     "q_cdc_apply" -> cdcApply,
@@ -377,6 +405,7 @@ object LakeQueries {
     "q_iceberg_roundtrip" -> icebergRoundtripSql,
     "q_iceberg_part_roundtrip" -> icebergPartRoundtripSql,
     "q_iceberg_pos_delete" -> icebergPosDeleteSql,
+    "q_iceberg_eq_delete" -> icebergEqDeleteSql,
     "q_delta_roundtrip" -> deltaRoundtripSql,
     "q_delta_part_roundtrip" -> deltaPartRoundtripSql,
     "q_cdc_apply" -> cdcApplySql,

@@ -272,6 +272,50 @@ class IcebergCompatSpec extends SparkSuite {
     // the reader-side guard is unit-visible in read()'s content match.
   }
 
+  test("v2 equality deletes: null-safe key match, strictly-older-sequence scope") {
+    val dir = tmpDir("iceberg-eqdel")
+    IcebergCompat.write(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), dir)
+    // delete k=2 and k=3 by key — the CDC-writer shape
+    IcebergCompat.writeEqualityDeletes(spark, dir,
+      Seq(Tuple1(2L), Tuple1(3L)).toDF("k"), Seq("k"))
+    assert(IcebergCompat.read(spark, dir).as[(Long, String)]
+      .collect().toSeq === Seq(1L -> "a"))
+
+    // sequence rule: re-inserting k=2 in a LATER snapshot survives the
+    // older delete (its data sequence is newer)
+    IcebergCompat.write(Seq((2L, "b2")).toDF("k", "v"), dir)
+    assert(IcebergCompat.read(spark, dir).as[(Long, String)]
+      .collect().sorted.toSeq === Seq(1L -> "a", 2L -> "b2"))
+
+    // a second equality delete hits both old and re-inserted rows it
+    // postdates; unknown columns are refused
+    IcebergCompat.writeEqualityDeletes(spark, dir,
+      Seq(Tuple1(2L)).toDF("k"), Seq("k"))
+    assert(IcebergCompat.read(spark, dir).as[(Long, String)]
+      .collect().toSeq === Seq(1L -> "a"))
+    intercept[IllegalArgumentException] {
+      IcebergCompat.writeEqualityDeletes(spark, dir,
+        Seq(Tuple1(1L)).toDF("zzz"), Seq("zzz"))
+    }
+
+    // mixed with position deletes in the same table: drop 1L by position
+    import scala.jdk.CollectionConverters._
+    val dataFiles = Files.walk(Paths.get(dir, "data")).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.contains("-delete-"))
+      .map(_.toString).toSeq
+    val pos = spark.read.parquet(dataFiles: _*)
+      .select(col("k"),
+        regexp_replace(col("_metadata.file_path"), "^file:(//)?", "").as("f"),
+        col("_metadata.row_index").as("p"))
+      .where(col("k") === 1L)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(pos.nonEmpty)
+    IcebergCompat.writePositionDeletes(spark, dir, pos)
+    assert(IcebergCompat.read(spark, dir).count() === 0)
+  }
+
   test("mirror exports its snapshot as an Iceberg table") {
     val lake = new Mooncake(tmpDir("iceberg-export-wh"))
     lake.createTable(spark, "m",

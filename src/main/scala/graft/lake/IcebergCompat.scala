@@ -25,10 +25,14 @@ import org.apache.spark.sql.types._
   *   manifest list (Avro) → manifests (Avro) → live parquet files,
   *
   * maps the Iceberg primitive schema to Spark types, and scans with the
-  * declared schema. Scope: primitive columns, unpartitioned or
-  * identity-partitioned data, no deletion vectors / equality deletes —
-  * out-of-scope tables are refused, not mis-read (same discipline as
-  * [[DeltaCompat]]). Snapshot selection enables time travel by id.
+  * declared schema. Scope: primitive columns; unpartitioned or
+  * identity-partitioned data; v2 merge-on-read with position-delete
+  * files AND global equality-delete files (sequence-scoped). Out of
+  * scope and refused, never mis-read (same discipline as
+  * [[DeltaCompat]]): non-identity transforms, spec evolution,
+  * partition-scoped equality deletes, entries without resolvable
+  * sequence numbers when deletes depend on them. Snapshot selection
+  * enables time travel by id.
   */
 object IcebergCompat {
 
@@ -162,7 +166,7 @@ object IcebergCompat {
     *     numbers inherit from the manifest-list entry when absent. */
   def read(spark: SparkSession, tableDir: String,
       snapshotId: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
     val meta = currentMetadata(tableDir)
     val schema = toStructType(meta)
     val partCols = identitySpecFields(meta)
@@ -192,14 +196,20 @@ object IcebergCompat {
         case i: java.lang.Integer => Some(i.longValue)
         case _ => None // null = inherit
       }
-    // data sequence number: explicit on the entry, else inherited from
-    // the manifest-list entry (the spec's sequence-number inheritance)
-    def seqOf(rec: GenericRecord, listRec: GenericRecord): Long =
-      numField(rec, "sequence_number")
-        .orElse(numField(listRec, "sequence_number")).getOrElse(0L)
+    // Data sequence number: explicit on the entry, else inherited from
+    // the manifest-list entry — and per the spec inheritance applies
+    // ONLY to ADDED (status=1) entries; an EXISTING entry with a null
+    // sequence number is malformed and would mis-scope equality deletes
+    // (old data stamped with a new sequence silently survives its
+    // deletes), so it resolves to None and is refused if sequence
+    // numbers end up mattering.
+    def seqOf(rec: GenericRecord, listRec: GenericRecord,
+        status: Int): Option[Long] =
+      numField(rec, "sequence_number").orElse(
+        if (status == 1) numField(listRec, "sequence_number") else None)
 
     // data files with their identity-partition tuple + data sequence
-    val dataFiles: Seq[(String, Seq[Any], Long)] =
+    val dataFiles: Seq[(String, Seq[Any], Option[Long])] =
       dataManifests.flatMap { listRec =>
         val m = listRec.get("manifest_path").toString
         avroRecords(localPath(m)).flatMap { rec =>
@@ -219,7 +229,7 @@ object IcebergCompat {
               else avroValue(pr.get(c))
             }
             Some((localPath(df.get("file_path").toString), tuple,
-              seqOf(rec, listRec)))
+              seqOf(rec, listRec, status)))
           }
         }
       }
@@ -259,8 +269,26 @@ object IcebergCompat {
                 "equality delete file without equality_ids — cannot " +
                   "apply safely, refusing")
             }
+            // PARTITION-SCOPED equality deletes (non-null partition
+            // tuple) apply only within their partition; this reader
+            // applies equality deletes globally, which would over-
+            // delete — refuse, per the refuse-over-misread discipline
+            // (our own writer only emits global deletes).
+            val pr =
+              if (df.getSchema.getField("partition") == null) null
+              else df.get("partition").asInstanceOf[GenericRecord]
+            val scoped = pr != null && pr.getSchema.getFields.asScala
+              .exists(f => pr.get(f.name) != null)
+            if (scoped) throw new UnsupportedOperationException(
+              "partition-scoped Iceberg equality deletes out of this " +
+                "reader's scope (only global delete files apply safely)")
+            val seq = seqOf(rec, listRec,
+              rec.get("status").asInstanceOf[Int]).getOrElse(
+              throw new UnsupportedOperationException(
+                "equality delete entry without a resolvable sequence " +
+                  "number — cannot scope it, refusing"))
             eqFiles += EqDelete(localPath(df.get("file_path").toString),
-              seqOf(rec, listRec), cols)
+              seq, cols)
           }
         }
       }
@@ -288,34 +316,46 @@ object IcebergCompat {
     }
     val needPos = deleteFiles.nonEmpty
     val needEq = eqDeletes.nonEmpty
-    val scanGroup = { (files: Seq[String], tuple: Seq[Any], seq: Long) =>
+    val needMeta = needPos || needEq
+    val scanGroup = { (files: Seq[String], tuple: Seq[Any]) =>
       val raw = spark.read.schema(dataSchema)
         .parquet(files.sorted.distinct: _*)
       val base = // metadata columns only materialize when deletes exist
-        if (needPos) raw
+        if (needMeta) raw
           .withColumn("__file", normPathCol(col("_metadata.file_path")))
           .withColumn("__pos", col("_metadata.row_index"))
         else raw
-      val withSeq = if (needEq) base.withColumn("__dseq", lit(seq)) else base
       val outCols = schema.fieldNames.toSeq ++
-        (if (needPos) Seq("__file", "__pos") else Seq.empty) ++
-        (if (needEq) Seq("__dseq") else Seq.empty)
-      partCols.zip(tuple).foldLeft(withSeq) { case (df, (c, v)) =>
+        (if (needMeta) Seq("__file", "__pos") else Seq.empty)
+      partCols.zip(tuple).foldLeft(base) { case (df, (c, v)) =>
         df.withColumn(c,
           (if (v == null) lit(null) else lit(v)).cast(fieldType(c)))
       }.select(outCols.map(col): _*)
     }
-    // group by partition tuple — and by data sequence when equality
-    // deletes apply (the sequence scopes them per file)
-    val groups = dataFiles
-      .groupBy(f => (f._2, if (needEq) f._3 else 0L))
-      .toSeq.sortBy(_._1.toString)
-    val parts = groups.map { case ((tuple, seq), fs) =>
-      scanGroup(fs.map(_._1), tuple, seq)
+    // one scan per partition tuple — per-file sequence numbers attach
+    // afterwards through a broadcast (file → seq) lookup, so a long CDC
+    // history does NOT grow the plan by one union branch per snapshot
+    val groups = dataFiles.groupBy(_._2).toSeq.sortBy(_._1.toString)
+    val parts = groups.map { case (tuple, fs) =>
+      scanGroup(fs.map(_._1), tuple)
     }
     val scanned = LakeFs.unionAll(parts)
+    import spark.implicits._
+    val withSeq =
+      if (!needEq) scanned
+      else {
+        val unresolved = dataFiles.filter(_._3.isEmpty)
+        if (unresolved.nonEmpty) throw new UnsupportedOperationException(
+          s"${unresolved.size} data file(s) without a resolvable data " +
+            "sequence number but equality deletes present — cannot " +
+            "scope the deletes, refusing (e.g. " +
+            unresolved.head._1 + ")")
+        val lookup = dataFiles.map { case (p, _, s) => (p, s.get) }
+          .toDF("__file", "__dseq")
+        scanned.join(broadcast(lookup), Seq("__file"))
+      }
     val afterPos =
-      if (!needPos) scanned
+      if (!needPos) withSeq
       else {
         // Position deletes name data files explicitly and file names
         // are never reused, so path-match application is exact without
@@ -323,29 +363,33 @@ object IcebergCompat {
         val dels = spark.read.parquet(deleteFiles.sorted.distinct: _*)
           .select(normPathCol(col("file_path")).as("__file"),
             col("pos").cast("long").as("__pos"))
-        scanned.join(dels, Seq("__file", "__pos"), "left_anti")
-          .drop("__file", "__pos")
+        withSeq.join(dels, Seq("__file", "__pos"), "left_anti")
       }
     val afterEq =
       if (!needEq) afterPos
       else {
         // one anti-join per distinct equality-column set (usually just
-        // the key set); null-safe match per spec, scoped to strictly
-        // older data sequences
+        // the key set), each set's delete files read in ONE multi-path
+        // scan with the per-file sequence joined from a broadcast
+        // lookup; null-safe match per spec, scoped to strictly older
+        // data sequences
         eqDeletes.groupBy(_.cols).toSeq.sortBy(_._1.mkString(","))
           .foldLeft(afterPos) { case (acc, (cols, group)) =>
-            val delDf = LakeFs.unionAll(group.map(d =>
-              spark.read.parquet(d.path)
-                .select(cols.map(c =>
-                  col(c).cast(fieldType(c)).as(s"__d_$c")) :+
-                  lit(d.seq).as("__eqseq"): _*)))
+            val seqLookup = group.map(d => (d.path, d.seq))
+              .toDF("__dfile", "__eqseq")
+            val delDf = spark.read
+              .parquet(group.map(_.path).distinct.sorted: _*)
+              .withColumn("__dfile", normPathCol(col("_metadata.file_path")))
+              .select(cols.map(c =>
+                col(c).cast(fieldType(c)).as(s"__d_$c")) :+
+                col("__dfile"): _*)
+              .join(broadcast(seqLookup), Seq("__dfile")).drop("__dfile")
             val cond = cols.map(c => acc(c) <=> delDf(s"__d_$c"))
               .reduce(_ && _) && delDf("__eqseq") > acc("__dseq")
             acc.join(delDf, cond, "left_anti")
           }
-          .drop("__dseq")
       }
-    afterEq
+    afterEq.drop("__file", "__pos", "__dseq")
   }
 
   // --------------------------------------------------------------------------

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.expressions.{SetVectorExpressions => SVE}
@@ -30,15 +29,25 @@ object KMeans {
   /** Train on `vecs` (columns: vec_id long, embedding array<double|float>)
     * and return the centroids as (clusterId, vector). */
   def fit(vecs: DataFrame, k: Int, iters: Int = 5): Seq[(Int, Array[Double])] = {
-    val spark = vecs.sparkSession
+    // iters+1 full passes read this — cache once (MLlib does the same)
     val e = vecs.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
+      .persist()
+    try fitCached(e, k, iters)
+    finally e.unpersist(blocking = false)
+  }
+
+  private def fitCached(e: DataFrame, k: Int,
+      iters: Int): Seq[(Int, Array[Double])] = {
     val n = e.count()
     require(n >= k, s"k=$k exceeds vector count $n")
-    val step = math.max(1L, n / k)
+    // Deterministic spread init WITHOUT a global row_number window
+    // (which would funnel all n rows through one task): take the k
+    // lowest id-hashes — a TakeOrdered (per-partition top-k + driver
+    // merge), effectively a deterministic uniform sample.
     var cents: Seq[(Int, Array[Double])] = e
-      .withColumn("rn", row_number().over(Window.orderBy("vec_id")) - 1)
-      .filter(col("rn") % step === 0).orderBy("rn").limit(k)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+      .orderBy("vec_id")
       .select("v").collect()
       .map(_.getSeq[Double](0).toArray).zipWithIndex
       .map { case (v, i) => (i, v) }.toIndexedSeq

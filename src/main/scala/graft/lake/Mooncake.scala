@@ -380,6 +380,13 @@ class Mooncake(val warehouse: String) {
       destDir: String): Long =
     IcebergCompat.write(read(spark, name), destDir, mode = "overwrite")
 
+  /** Export the mirror's current snapshot as a Delta table (same
+    * interop role as [[exportIceberg]] for Delta-speaking consumers).
+    * Returns the Delta version. */
+  def exportDelta(spark: SparkSession, name: String,
+      destDir: String): Long =
+    DeltaCompat.write(read(spark, name), destDir, mode = "overwrite")
+
   /** Bulk-append external files (≈ `mooncake.load_files`,
     * `src/functions.rs:118-130`; formats per CHANGELOG.md:24). Columns are
     * aligned by name and cast to the table schema. */

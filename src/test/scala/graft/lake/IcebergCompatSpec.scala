@@ -324,5 +324,10 @@ class IcebergCompatSpec extends SparkSuite {
     lake.exportIceberg(spark, "m", dest)
     assert(IcebergCompat.read(spark, dest).as[(Long, String)]
       .collect().sorted.toSeq === Seq(1L -> "a", 2L -> "b"))
+    // and the Delta twin of the same interop role
+    val destD = tmpDir("delta-export")
+    lake.exportDelta(spark, "m", destD)
+    assert(DeltaCompat.read(spark, destD).as[(Long, String)]
+      .collect().sorted.toSeq === Seq(1L -> "a", 2L -> "b"))
   }
 }

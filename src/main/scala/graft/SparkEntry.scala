@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{AnalyticsQueries, EventQueries, LakeQueries, Multimodal,
-  PipelineQueries, RelationalQueries}
+import graft.ops.{AnalyticsQueries, CurationQueries, EventQueries, LakeQueries,
+  Multimodal, PipelineQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,12 +22,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ LakeQueries.queries ++
       PipelineQueries.queries ++ EventQueries.queries ++
-      AnalyticsQueries.queries ++ Multimodal.queries
+      AnalyticsQueries.queries ++ Multimodal.queries ++
+      CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ LakeQueries.oracleSql ++
       PipelineQueries.oracleSql ++ EventQueries.oracleSql ++
-      AnalyticsQueries.oracleSql ++ Multimodal.oracleSql
+      AnalyticsQueries.oracleSql ++ Multimodal.oracleSql ++
+      CurationQueries.oracleSql
 }

@@ -1,0 +1,203 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.expressions.{SetVectorExpressions => SVE}
+
+/** Corpus-curation operators a training-data pipeline runs after the
+  * per-document analyses in [[PipelineQueries]]: dedup-cluster closure,
+  * mixture-balancing stratified sampling, PII redaction, and train/eval
+  * decontamination. All oracle-checked — sampling keep-decisions and
+  * redaction regexes are deterministic integer/RE2-compatible constructs
+  * DuckDB reproduces exactly.
+  */
+object CurationQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // ===========================================================================
+  // Dedup clusters: connected components over MinHash near-dup pairs
+  // ===========================================================================
+
+  /** Near-dup clusters: transitive closure of the MinHash-LSH pair set
+    * ([[PipelineQueries.minhashPairs]]) via [[ConnectedComponents]];
+    * each doc in a cluster is labeled with the cluster's min doc_id
+    * (the canonical survivor) and the cluster size. At 100 TB this is
+    * the step that turns "A~B and B~C" into one kept document instead
+    * of two — pair-level dedup alone under-deletes. The label loop
+    * shuffles O(pairs) rows per hop; near-dup clusters are
+    * LSH-band-connected near-cliques, so it converges in 2-3 hops. */
+  val dedupClusters: Q = (s, dir) => {
+    val edges = PipelineQueries.minhashPairs(s, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    ConnectedComponents.label(edges)
+      .select(col("id").as("doc_id"), col("comp").as("rep"),
+        count(lit(1)).over(Window.partitionBy("comp")).as("csize"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: same pair set (embedded verbatim as a CTE), closed by a
+    * recursive reachability CTE; comp = min reachable id. */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM (${PipelineQueries.minhashPairsSql})
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |), reach AS (
+       |  SELECT src AS id, dst AS r FROM edges
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+       |), labels AS (
+       |  SELECT id AS doc_id, least(id, min(r)) AS rep FROM reach GROUP BY id
+       |)
+       |SELECT doc_id, rep, count(*) OVER (PARTITION BY rep) AS csize
+       |FROM labels ORDER BY doc_id""".stripMargin
+
+  // ===========================================================================
+  // Stratified sampling: per-language corpus cap (mixture balancing)
+  // ===========================================================================
+
+  /** Deterministic stratified sample capping every language at ~100
+    * docs: per-lang keep rate = min(1, 100/count), applied by an LCG
+    * hash of doc_id against the rate in permille. The rate table is a
+    * handful of rows — broadcast — so the corpus pass is shuffle-free:
+    * count-aggregate (map-side combined) + broadcast-join + filter.
+    * This is mixture balancing for training-set composition; the same
+    * shape serves any per-stratum quota (source, quality bucket). */
+  val sampleStratified: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val rates = d.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      .select(col("lang"),
+        floor(least(lit(1.0), lit(100.0) / col("cnt").cast("double")) * 1000)
+          .cast("bigint").as("permille"))
+    d.join(broadcast(rates), "lang")
+      .filter((col("doc_id") * 1103515245L + 12345L) % 1000 < col("permille"))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  val sampleStratifiedSql: String =
+    """WITH r AS (
+      |  SELECT lang,
+      |    CAST(floor(least(CAST(1.0 AS DOUBLE), 100.0 / CAST(count(*) AS DOUBLE))
+      |      * 1000) AS BIGINT) AS permille
+      |  FROM documents GROUP BY lang)
+      |SELECT d.doc_id, d.lang
+      |FROM documents d JOIN r ON d.lang = r.lang
+      |WHERE (d.doc_id * 1103515245 + 12345) % 1000 < r.permille
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ===========================================================================
+  // PII redaction
+  // ===========================================================================
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII redaction: replace emails and IPv4 addresses with placeholder
+    * tokens, reporting per-doc match counts and the hash of the scrubbed
+    * text. The synthetic corpus carries no PII, so the fixture is
+    * enriched deterministically (doc_id-derived email / IP appended on
+    * both engine and oracle side) — the operator under test is the
+    * regex scrub itself. Patterns are RE2-compatible (no backrefs or
+    * lookaround) so Java and DuckDB match identically. Per-row, no
+    * shuffle; regexes run inside whole-stage codegen. */
+  val textRedact: Q = (s, dir) => {
+    val enriched = concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact u"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), (col("doc_id") % 100).cast("string"))).otherwise(lit("")))
+    docs(s, dir)
+      .select(col("doc_id"), enriched.as("t"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(emailRe), lit(0)))
+          .cast("bigint").as("n_email"),
+        size(regexp_extract_all(col("t"), lit(ipRe), lit(0)))
+          .cast("bigint").as("n_ip"),
+        md5(regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"),
+          ipRe, "<IP>")).as("red_hash"))
+      .orderBy("doc_id")
+  }
+
+  val textRedactSql: String = {
+    val enriched =
+      "text || CASE WHEN doc_id % 7 = 0 THEN ' contact u' || " +
+        "CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END" +
+        " || CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' || " +
+        "CAST(doc_id % 256 AS VARCHAR) || '.' || " +
+        "CAST(doc_id % 100 AS VARCHAR) ELSE '' END"
+    s"""WITH e AS (SELECT doc_id, $enriched AS t FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(t, '$emailRe')) AS n_email,
+       |  len(regexp_extract_all(t, '$ipRe')) AS n_ip,
+       |  md5(regexp_replace(regexp_replace(t, '$emailRe', '<EMAIL>', 'g'),
+       |    '$ipRe', '<IP>', 'g')) AS red_hash
+       |FROM e ORDER BY doc_id""".stripMargin
+  }
+
+  // ===========================================================================
+  // Train/eval decontamination: shared-n-gram overlap
+  // ===========================================================================
+
+  /** Decontamination scan: training docs sharing >= 2 distinct 3-word
+    * shingles with any eval-set doc (eval set = doc_id % 100 = 0, the
+    * stand-in for a benchmark suite). Eval shingles are a tiny set —
+    * broadcast — so the corpus side is one map-local explode + broadcast
+    * hash join + partial-aggregated count: the 100 TB corpus is never
+    * shuffled. This is the standard n-gram-overlap contamination check
+    * run before training on scraped data. */
+  val contamination: Q = (s, dir) => {
+    val sh = docs(s, dir)
+      .select(col("doc_id"), explode(SVE.word_shingles(col("text"), 3)).as("g"))
+    val ev = sh.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("eval_doc"), col("g"))
+    val train = sh.filter(col("doc_id") % 100 =!= 0)
+      .select(col("doc_id").as("train_doc"), col("g"))
+    train.join(broadcast(ev), "g")
+      .groupBy("train_doc", "eval_doc")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy("train_doc", "eval_doc")
+  }
+
+  val contaminationSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |s AS (SELECT doc_id, ${PipelineQueries.sqlShingles} AS sh FROM t),
+       |x AS (SELECT doc_id, unnest(sh) AS g FROM s),
+       |e AS (SELECT doc_id AS eval_doc, g FROM x WHERE doc_id % 100 = 0),
+       |tr AS (SELECT doc_id AS train_doc, g FROM x WHERE doc_id % 100 <> 0)
+       |SELECT train_doc, eval_doc, count(*) AS n_shared
+       |FROM tr JOIN e USING (g)
+       |GROUP BY train_doc, eval_doc
+       |HAVING count(*) >= 2
+       |ORDER BY train_doc, eval_doc""".stripMargin
+
+  // ===========================================================================
+  // registry
+  // ===========================================================================
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_clusters" -> dedupClusters,
+    "q_sample_stratified" -> sampleStratified,
+    "q_text_redact" -> textRedact,
+    "q_contamination" -> contamination,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_clusters" -> dedupClustersSql,
+    "q_sample_stratified" -> sampleStratifiedSql,
+    "q_text_redact" -> textRedactSql,
+    "q_contamination" -> contaminationSql,
+  )
+}

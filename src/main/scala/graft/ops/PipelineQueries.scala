@@ -45,7 +45,7 @@ object PipelineQueries {
       s"i -> CAST(ascii(substr($v, i, 1)) AS BIGINT))), (a,c) -> (a*31+c) % $P)"
 
   /** DuckDB: distinct 3-word shingles of string_split(text,' '). */
-  private val sqlShingles: String =
+  private[ops] val sqlShingles: String =
     "list_distinct(list_transform(range(1, greatest(len(w)-1, 1)), " +
       "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
 
@@ -271,7 +271,10 @@ object PipelineQueries {
   /** MinHash + LSH near-dup pipeline: shingle → 16-slot signature → 4
     * band keys → band-bucket self-join for candidates → exact-Jaccard
     * verification ≥ 0.5. One shuffle (band key); candidates ∝ duplicates. */
-  val dedupMinhash: Q = (s, dir) => {
+  /** MinHash-LSH near-dup pair set (no output ordering) — shared by
+    * [[dedupMinhash]] and the connected-components clustering in
+    * [[CurationQueries]]. */
+  private[ops] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val sig = docs(s, dir).select(col("doc_id"),
       SVE.word_shingles(col("text"), 3).as("sh"),
       HE.minhash_signature(HE.shingle_hashes(col("text"), 3)).as("sig"))
@@ -291,10 +294,14 @@ object PipelineQueries {
     cands.select(col("doc_a"), col("doc_b"),
         SVE.jaccard_sim(col("sha"), col("shb")).as("jacc"))
       .filter(col("jacc") >= 0.5)
-      .orderBy("doc_a", "doc_b")
   }
 
-  val dedupMinhashSql: String =
+  val dedupMinhash: Q = (s, dir) =>
+    minhashPairs(s, dir).orderBy("doc_a", "doc_b")
+
+  /** DuckDB mirror of [[minhashPairs]] (no ORDER BY — embeddable as a
+    * CTE body, see [[CurationQueries.dedupClustersSql]]). */
+  private[ops] val minhashPairsSql: String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
        |hs AS (SELECT doc_id, sh,
@@ -320,8 +327,10 @@ object PipelineQueries {
        |    / (len(sha) + len(shb) - len(list_intersect(sha, shb))) AS jacc
        |FROM cand
        |WHERE CAST(len(list_intersect(sha, shb)) AS DOUBLE)
-       |    / (len(sha) + len(shb) - len(list_intersect(sha, shb))) >= 0.5
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |    / (len(sha) + len(shb) - len(list_intersect(sha, shb))) >= 0.5""".stripMargin
+
+  val dedupMinhashSql: String =
+    minhashPairsSql + "\nORDER BY doc_a, doc_b"
 
   /** SimHash near-dup: 32-bit signature from token hashes; candidates
     * share one 16-bit half (1-band-intact trick), verified by Hamming

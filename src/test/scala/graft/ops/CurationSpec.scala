@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class CurationSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("connected components: chain + separate clique get min-id labels") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3) plus triangle 10-11-12
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
+    val got = ConnectedComponents.label(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("connected components: bridge doc merges two cliques") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (3L, 4L), (2L, 3L)).toDF("src", "dst")
+    val got = ConnectedComponents.label(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(1L))
+  }
+
+  test("dedup clusters: reps are cluster minima, csize consistent") {
+    val r = CurationQueries.dedupClusters(spark, sf)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.nonEmpty, "fixture should contain near-dup clusters")
+    val byRep = r.groupBy(_._2)
+    byRep.foreach { case (rep, members) =>
+      assert(members.map(_._1).min == rep, s"rep $rep is not cluster min")
+      assert(members.forall(_._3 == members.length), s"csize wrong for $rep")
+      assert(members.length >= 2, "clusters come from pairs: size >= 2")
+    }
+  }
+
+  test("stratified sample caps every language near the quota") {
+    val d = graft.Tables.load(spark, sf, "documents")
+    val total = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = CurationQueries.sampleStratified(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    total.foreach { case (lang, n) =>
+      val k = kept.getOrElse(lang, 0L)
+      if (n <= 100) assert(k == n, s"$lang under quota must keep all")
+      // LCG-hash thinning is approximate: allow 2x slack on the cap
+      else assert(k <= 200, s"$lang kept $k of $n, cap ~100")
+    }
+  }
+
+  test("redaction scrubs every enriched email/ip and counts them") {
+    val r = CurationQueries.textRedact(spark, sf)
+    val bad = r.filter(
+      (col("doc_id") % 7 === 0 && col("n_email") < 1) ||
+        (col("doc_id") % 11 === 0 && col("n_ip") < 1)).count()
+    assert(bad == 0, "every enriched doc must report a redaction")
+    // spot-check an actual replacement
+    val row = r.filter(col("doc_id") === 0).collect().head
+    assert(row.getLong(1) >= 1 && row.getLong(2) >= 1)
+  }
+
+  test("contamination pairs share at least two shingles and exclude eval-eval") {
+    val r = CurationQueries.contamination(spark, sf).collect()
+    assert(r.forall(_.getLong(2) >= 2))
+    assert(r.forall(row => row.getLong(0) % 100 != 0))
+    assert(r.forall(row => row.getLong(1) % 100 == 0))
+  }
+}

@@ -29,30 +29,39 @@ object ConnectedComponents {
     * isolated vertices are the caller's no-op case.
     */
   def label(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // No distinct: duplicate edges only duplicate offers, and min() is
+    // idempotent — one shuffle saved (pair emitters already dedupe).
     val sym = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
       .cache()
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .cache()
+    // The DataFrame actually pinned in the block cache this iteration
+    // (labels is a projection of it after the first hop).
+    var pinned = labels
+    val compType = labels.schema("comp").dataType
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      // Each vertex offers its current component to every neighbour;
-      // a vertex keeps the min of its own label and all offers.
+      // Each vertex offers its current component to every neighbour; a
+      // vertex keeps the min of its own label and all offers. The old
+      // label rides along as `own` (non-null exactly on the vertex's
+      // own row), so convergence detection (comp < own anywhere) comes
+      // out of the SAME single-shuffle aggregate — no per-iteration
+      // join, no second exchange.
       val offers = sym
         .join(labels.withColumnRenamed("id", "__dst"), col("dst") === col("__dst"))
-        .select(col("src").as("id"), col("comp"))
-      val next = labels.unionAll(offers)
-        .groupBy("id").agg(min("comp").as("comp"))
+        .select(col("src").as("id"), col("comp"),
+          lit(null).cast(compType).as("own"))
+      val next = labels.select(col("id"), col("comp"), col("comp").as("own"))
+        .unionAll(offers)
+        .groupBy("id").agg(min("comp").as("comp"), max("own").as("own"))
         .cache()
-      changed = next.as("n")
-        .join(labels.as("o"), "id")
-        .filter(col("n.comp") =!= col("o.comp"))
-        .count()
-      labels.unpersist(blocking = false)
-      labels = next
+      changed = next.filter(col("comp") < col("own")).count()
+      pinned.unpersist(blocking = false)
+      pinned = next
+      labels = next.select("id", "comp")
       iter += 1
     }
     sym.unpersist(blocking = false)

@@ -43,9 +43,11 @@ object CurationQueries {
   }
 
   /** Oracle: same pair set (embedded verbatim as a CTE), closed by a
-    * recursive reachability CTE; comp = min reachable id. */
+    * recursive reachability CTE; comp = min reachable id. MATERIALIZED
+    * keeps DuckDB from evaluating the minhash pipeline once per CTE
+    * reference (3x cheaper, identical rows). */
   val dedupClustersSql: String =
-    s"""WITH RECURSIVE pairs AS (
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (
        |  SELECT doc_a, doc_b FROM (${PipelineQueries.minhashPairsSql})
        |), edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs

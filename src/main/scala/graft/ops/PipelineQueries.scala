@@ -274,7 +274,7 @@ object PipelineQueries {
   /** MinHash-LSH near-dup pair set (no output ordering) — shared by
     * [[dedupMinhash]] and the connected-components clustering in
     * [[CurationQueries]]. */
-  private[ops] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val sig = docs(s, dir).select(col("doc_id"),
       SVE.word_shingles(col("text"), 3).as("sh"),
       HE.minhash_signature(HE.shingle_hashes(col("text"), 3)).as("sig"))

@@ -167,6 +167,20 @@ object Probe {
         lake.read(spark, "om", atLeastVersion = Some(2))
           .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")))
     }
+    // --- dedup_clusters phases --------------------------------------------
+    {
+      import graft.ops.{ConnectedComponents, PipelineQueries}
+      import org.apache.spark.sql.expressions.Window
+      val pairs = PipelineQueries.minhashPairs(spark, dir)
+      time("cc.pairs")(pairs.count())
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      var labels: DataFrame = null
+      time("cc.label_loop")({ labels = ConnectedComponents.label(edges); -1L })
+      time("cc.final_window")(noop(labels
+        .select(col("id").as("doc_id"), col("comp").as("rep"),
+          count(lit(1)).over(Window.partitionBy("comp")).as("csize"))
+        .orderBy("doc_id")))
+    }
     spark.stop()
   }
 }

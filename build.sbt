@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g: the 115-query bench caches every input table plus lake-mirror
+  // fixtures in one JVM; at 8g the block cache and G1 fight (measured:
+  // ~6% slower total, multi-second per-query GC spikes). The host has
+  // 128 GiB; a real executor would size storage memory the same way.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -186,6 +186,44 @@ object CurationQueries {
        |ORDER BY train_doc, eval_doc""".stripMargin
 
   // ===========================================================================
+  // Sequence packing: token-budget batches for training
+  // ===========================================================================
+
+  /** Sequence packing: assign docs to fixed-token-budget packs (budget
+    * 2000 whitespace tokens) by greedy running-total fill, longest
+    * first, independently per `source` stratum. A doc whose arrival
+    * crosses a budget multiple starts the next pack (document
+    * atomicity; packs may overflow by at most one doc — the standard
+    * streaming-pack relaxation). Packing per-stratum is the 100 TB
+    * shape: each stratum is one window partition, so the corpus packs
+    * with a single hash shuffle and no global sort; pack ids are
+    * (source, pack_no) pairs, never a corpus-wide sequence. */
+  val packSequences: Q = (s, dir) => {
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_tok").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tok"))
+      .withColumn("pack_no",
+        floor((sum(col("n_tok")).over(w) - col("n_tok")) / 2000))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("pack_no"))
+      .orderBy("doc_id")
+  }
+
+  val packSequencesSql: String =
+    """SELECT doc_id, source, n_tok,
+      |  CAST(floor((cum - n_tok) / 2000.0) AS BIGINT) AS pack_no
+      |FROM (
+      |  SELECT doc_id, source, n_tok,
+      |    sum(n_tok) OVER (PARTITION BY source
+      |      ORDER BY n_tok DESC, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM (SELECT doc_id, source,
+      |          len(string_split(text, ' ')) AS n_tok FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  // ===========================================================================
   // registry
   // ===========================================================================
 
@@ -194,6 +232,7 @@ object CurationQueries {
     "q_sample_stratified" -> sampleStratified,
     "q_text_redact" -> textRedact,
     "q_contamination" -> contamination,
+    "q_pack_sequences" -> packSequences,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -201,5 +240,6 @@ object CurationQueries {
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_text_redact" -> textRedactSql,
     "q_contamination" -> contaminationSql,
+    "q_pack_sequences" -> packSequencesSql,
   )
 }

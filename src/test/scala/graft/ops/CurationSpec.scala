@@ -65,6 +65,18 @@ class CurationSpec extends SparkSuite {
     assert(row.getLong(1) >= 1 && row.getLong(2) >= 1)
   }
 
+  test("sequence packing: packs fill to budget, overflow bounded by one doc") {
+    val rows = CurationQueries.packSequences(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getLong(2)))
+    val packs = rows.groupBy(t => (t._1, t._2))
+      .map { case (_, m) => m.map(_._3).sum }
+    // every doc fits somewhere, and no pack exceeds budget + one max doc
+    val maxDoc = rows.map(_._3).max
+    assert(packs.forall(_ <= 2000 + maxDoc), "pack overflow beyond one doc")
+    // non-final packs are at least half full (greedy longest-first)
+    assert(packs.count(_ >= 1000) >= packs.size / 2)
+  }
+
   test("contamination pairs share at least two shingles and exclude eval-eval") {
     val r = CurationQueries.contamination(spark, sf).collect()
     assert(r.forall(_.getLong(2) >= 2))

@@ -52,7 +52,11 @@ case class Manifest(
     flushVersion: Long,
     schemaDdl: String,
     pkColumns: Seq[String],
-    files: Seq[DataFile])
+    files: Seq[DataFile],
+    /** Columns the table's data files carry parquet bloom filters for
+      * (set at create, preserved by CDC/compaction rewrites). Absent on
+      * older manifests — readers treat that as "no blooms". */
+    bloomColumns: Option[Seq[String]] = None)
 
 object Manifest {
   private val mapper: ObjectMapper = {
@@ -98,6 +102,35 @@ object Manifest {
       new org.apache.hadoop.conf.Configuration())
     val reader = ParquetFileReader.open(in)
     try f(reader.getFooter) finally reader.close()
+  }
+
+  /** Probe a parquet file's bloom filter for an integer point value:
+    * true iff some row group MIGHT contain it (missing blooms or a
+    * non-integer physical type degrade to true — never wrong, just
+    * unpruned). One footer + bitset read, no data pages touched. */
+  private[lake] def bloomMightContain(p: Path, column: String,
+      value: Long): Boolean = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri),
+      new org.apache.hadoop.conf.Configuration())
+    val reader = ParquetFileReader.open(in)
+    try {
+      reader.getFooter.getBlocks.asScala.exists { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == column)
+          .forall { cc =>
+            val bf = reader.getBloomFilterDataReader(b).readBloomFilter(cc)
+            if (bf == null) true
+            else cc.getPrimitiveType.getPrimitiveTypeName match {
+              case PrimitiveTypeName.INT64 => bf.findHash(bf.hash(value))
+              case PrimitiveTypeName.INT32 => bf.findHash(bf.hash(value.toInt))
+              case _ => true
+            }
+          }
+      }
+    } finally reader.close()
   }
 
   /** Latest committed manifest, or None for an empty/new table dir. */

@@ -66,7 +66,8 @@ class Mooncake(val warehouse: String) {
     * range-shuffling 5 rows into N files is pure overhead. */
   def createTable(spark: SparkSession, name: String, source: DataFrame,
       pk: Seq[String], initialVersion: Long = 1L,
-      targetFileBytes: Long = 128L * 1024 * 1024): Manifest = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      bloomColumns: Seq[String] = Seq.empty): Manifest = {
     val dir = tableDir(name)
     if (Manifest.latest(dir).isDefined)
       throw new IllegalStateException(s"mooncake table '$name' already exists")
@@ -86,7 +87,7 @@ class Mooncake(val warehouse: String) {
         source.repartitionByRange(n, pk.map(col): _*)
       } else source
     writeVersion(spark, name, backfill, pk, version = initialVersion,
-      carryOver = Seq.empty)
+      carryOver = Seq.empty, bloomColumns = bloomColumns)
   }
 
   def dropTable(name: String): Unit =
@@ -172,6 +173,51 @@ class Mooncake(val warehouse: String) {
     }
     readFiles(spark, m, files)
       .filter(col(column).cast("long") >= lo && col(column).cast("long") <= hi)
+  }
+
+  /** Point lookup on an integer column, with two pruning tiers before
+    * any data page is read:
+    *   1. manifest min/max (free — already in the manifest JSON);
+    *   2. parquet bloom-filter probe on the survivors, when the table
+    *      declares blooms for the column (`createTable(bloomColumns=)`).
+    * Tier 2 is what makes point lookups on a NON-clustered column cheap:
+    * on a pk-range-clustered mirror every file's secondary-column range
+    * overlaps every other's, so min/max keeps everything — the bloom
+    * keeps only files that actually contain the value (false positives
+    * only, never false negatives, so correctness never depends on it:
+    * the row filter still applies). Probing reads footer + bitset only.
+    * A handful of survivors probe on the driver; larger sets fan out to
+    * the executors — at 100 TB the probe is a metadata job over file
+    * paths, never a data scan. */
+  def readPoint(spark: SparkSession, name: String, column: String,
+      value: Long, atLeastVersion: Option[Long] = None): DataFrame = {
+    val m = require_(Manifest.latest(tableDir(name)), name)
+    atLeastVersion.foreach { v =>
+      if (m.flushVersion < v)
+        throw new StaleSnapshotException(
+          s"table '$name': reader requires version >= $v but flushVersion " +
+            s"is ${m.flushVersion}")
+    }
+    val leading = m.pkColumns.headOption.contains(column)
+    val ranged = m.files.filter { f =>
+      val range = f.rangeOf(column).orElse(
+        if (leading) for (a <- f.minKey; b <- f.maxKey) yield (a, b)
+        else None)
+      range.forall { case (lo, hi) => lo <= value && value <= hi }
+    }
+    val kept =
+      if (!m.bloomColumns.exists(_.contains(column))) ranged
+      else if (ranged.lengthCompare(32) <= 0)
+        ranged.filter(f =>
+          Manifest.bloomMightContain(Paths.get(f.path), column, value))
+      else {
+        val paths = spark.sparkContext
+          .parallelize(ranged.map(_.path), math.max(1, ranged.size / 8))
+          .filter(p => Manifest.bloomMightContain(Paths.get(p), column, value))
+          .collect().toSet
+        ranged.filter(f => paths(f.path))
+      }
+    readFiles(spark, m, kept).filter(col(column).cast("long") === value)
   }
 
   private def manifestAt(name: String, version: Long): Manifest = {
@@ -352,7 +398,7 @@ class Mooncake(val warehouse: String) {
       else newRows.repartitionByRange(nFiles, pk.map(col): _*)
 
     try writeVersion(spark, name, clustered, pk, version,
-      carryOver = untouched)
+      carryOver = untouched, bloomColumns = m.bloomColumns.getOrElse(Nil))
     finally lastOps.unpersist(blocking = false)
   }
 
@@ -403,7 +449,7 @@ class Mooncake(val warehouse: String) {
     val aligned = raw.select(schema.fields.map(f =>
       col(f.name).cast(f.dataType)).toIndexedSeq: _*)
     writeVersion(spark, name, aligned, m.pkColumns, m.version + 1,
-      carryOver = m.files)
+      carryOver = m.files, bloomColumns = m.bloomColumns.getOrElse(Nil))
   }
 
   /** Explicit compaction (≈ `mooncake.optimize_table`,
@@ -426,7 +472,8 @@ class Mooncake(val warehouse: String) {
           case None => df.repartition(nFiles)
         }
         writeVersion(spark, name, clustered, m.pkColumns, m.version + 1,
-          carryOver = Seq.empty, alreadyPartitioned = true)
+          carryOver = Seq.empty, alreadyPartitioned = true,
+          bloomColumns = m.bloomColumns.getOrElse(Nil))
       case "data" =>
         val (small, big) = m.files.partition(_.bytes < targetFileBytes / 2)
         if (small.size <= 1) m // nothing to compact
@@ -434,7 +481,8 @@ class Mooncake(val warehouse: String) {
           val packed = readFiles(spark, m, small)
             .coalesce(math.max(1, (small.map(_.bytes).sum / targetFileBytes).toInt))
           writeVersion(spark, name, packed, m.pkColumns, m.version + 1,
-            carryOver = big, alreadyPartitioned = true)
+            carryOver = big, alreadyPartitioned = true,
+            bloomColumns = m.bloomColumns.getOrElse(Nil))
         }
       case z if z.startsWith("zorder:") =>
         // Z-order re-clustering on two non-negative integer columns:
@@ -456,7 +504,8 @@ class Mooncake(val warehouse: String) {
           .sortWithinPartitions("__z")
           .drop("__z")
         writeVersion(spark, name, clustered, m.pkColumns, m.version + 1,
-          carryOver = Seq.empty, alreadyPartitioned = true)
+          carryOver = Seq.empty, alreadyPartitioned = true,
+          bloomColumns = m.bloomColumns.getOrElse(Nil))
       case other =>
         throw new IllegalArgumentException(s"unknown optimize mode '$other'")
     }
@@ -534,13 +583,22 @@ class Mooncake(val warehouse: String) {
 
   private def writeVersion(spark: SparkSession, name: String, df: DataFrame,
       pk: Seq[String], version: Long, carryOver: Seq[DataFile],
-      alreadyPartitioned: Boolean = false): Manifest = {
+      alreadyPartitioned: Boolean = false,
+      bloomColumns: Seq[String] = Seq.empty): Manifest = {
     val dir = tableDir(name)
     val out = dataDir(name, version)
     val toWrite =
       if (alreadyPartitioned || pk.isEmpty) df
       else df.sortWithinPartitions(pk.map(col): _*)
-    toWrite.write.mode("errorifexists").parquet(out.toString)
+    // Parquet-native bloom filters on the declared columns: built by the
+    // writer per row group, stored after the data pages, probed at point-
+    // lookup time (readPoint) without touching data pages. Only columns
+    // the schema actually has — a stale declaration must not fail writes.
+    val writer = bloomColumns.filter(df.columns.contains)
+      .foldLeft(toWrite.write.mode("errorifexists")) { (w, c) =>
+        w.option(s"parquet.bloom.filter.enabled#$c", "true")
+      }
+    writer.parquet(out.toString)
 
     val written = Manifest.withListing(out)(_.filter(
       _.getFileName.toString.endsWith(".parquet")).toSeq).sortBy(_.toString)
@@ -560,7 +618,8 @@ class Mooncake(val warehouse: String) {
       flushVersion = version,
       schemaDdl = df.schema.toDDL,
       pkColumns = pk,
-      files = carryOver ++ newFiles)
+      files = carryOver ++ newFiles,
+      bloomColumns = if (bloomColumns.isEmpty) None else Some(bloomColumns))
     Manifest.commit(dir, manifest)
     manifest
   }

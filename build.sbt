@@ -23,12 +23,24 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-javaOptions ++= jdk17AddOpens ++ Seq(
+val commonJvmOpts = jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g: the 115-query bench caches every input table plus lake-mirror
-  // fixtures in one JVM; at 8g the block cache and G1 fight (measured:
-  // ~6% slower total, multi-second per-query GC spikes). The host has
-  // 128 GiB; a real executor would size storage memory the same way.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // The 115-query suite compiles ~300 unique whole-stage-codegen classes
+  // in one JVM. At the JDK-17 default (240 MB) the code cache fills
+  // mid-run and UseCodeCacheFlushing sweeps hot nmethods — whichever
+  // query runs next re-JITs from scratch and stalls for seconds (the
+  // roaming 10-20x outliers in BENCH_r04). 1 GB holds the whole suite
+  // with no sweep; SegmentedCodeCache keeps profiled/non-profiled tiers
+  // from evicting each other.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+SegmentedCodeCache",
 )
+// 24g for `run` (bench/verify cache every input table plus lake-mirror
+// fixtures; at 8g the block cache and G1 fight — measured ~6% slower with
+// multi-second GC spikes). Tests keep a conservative 8g so `sbt test`
+// works on ordinary dev machines; both respect SPARK_DRIVER_MEM.
+run / javaOptions := commonJvmOpts :+
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}"
+Test / javaOptions := commonJvmOpts :+
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"

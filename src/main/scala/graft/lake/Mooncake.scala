@@ -371,10 +371,22 @@ class Mooncake(val warehouse: String) {
         }
       }
 
+    // CDC batches are normally tiny next to the table, so the affected-key
+    // set broadcasts. But a bulk backfill replayed through this path can
+    // carry tens of millions of keys — broadcasting that OOMs the driver.
+    // Count is cheap (lastOps is pinned); past the limit fall back to a
+    // shuffled anti-join, which is the plan you'd want anyway once the
+    // batch is table-sized.
+    val broadcastKeyLimit = spark.conf.getOption(
+      "spark.graft.cdc.broadcastKeyLimit").map(_.toLong).getOrElse(4000000L)
+    val keySide =
+      if (touched.isEmpty || affectedKeys.count() <= broadcastKeyLimit)
+        broadcast(affectedKeys)
+      else affectedKeys
     val survivors =
       if (touched.isEmpty) None
       else Some(readFiles(spark, m, touched)
-        .join(broadcast(affectedKeys), pk, "left_anti"))
+        .join(keySide, pk, "left_anti"))
     // allowMissingColumns null-fills the added columns on the survivor
     // side; the explicit select pins the widened column order (table
     // schema, then additions in batch order).
@@ -708,12 +720,27 @@ object Identifier {
   private val Part = s"(?:$Unquoted|$Quoted)"
   private val Full = s"^$Part(?:\\.$Part)?$$".r
 
-  def parse(s: String): Identifier = s.trim match {
+  /** Schema a bare table name resolves against: the reference uses the
+    * session's `current_schema` (`src/functions.rs:150-152`), not a
+    * constant. The Spark analog is the active session's current database
+    * (`USE <db>`), with Spark's built-in "default" database mapped to
+    * this catalog's default schema name "main" (the reference's own
+    * catalog default) — so an untouched session resolves exactly as the
+    * reference does, and a session that switched schema is followed. */
+  private def currentSchema: String =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .flatMap(s => scala.util.Try(s.catalog.currentDatabase).toOption)
+      .filter(_ != "default")
+      .getOrElse("main")
+
+  def parse(s: String): Identifier = parse(s, currentSchema)
+
+  def parse(s: String, defaultSchema: String): Identifier = s.trim match {
     case Full(u1, q1, u2, q2) =>
       def norm(u: String, q: String): String =
         if (u != null) u.toLowerCase else q.replace("\"\"", "\"")
       val first = norm(u1, q1)
-      if (u2 == null && q2 == null) Identifier("main", first)
+      if (u2 == null && q2 == null) Identifier(defaultSchema, first)
       else Identifier(first, norm(u2, q2))
     case other =>
       throw new IllegalArgumentException(s"invalid table identifier: '$other'")

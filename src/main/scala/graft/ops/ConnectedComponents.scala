@@ -12,14 +12,17 @@ import org.apache.spark.sql.functions._
   * duplicates (A~B, B~C, A!~C) survive.
   *
   * Shape per iteration: one hash join (edges × labels, both partitioned
-  * by the join key) + one min-aggregate — two shuffles of O(|E|) rows,
-  * never O(n²). Iterations = graph diameter; near-dup graphs are
-  * near-cliques from LSH banding, so 2-4 iterations in practice (the
-  * alternating large-star/small-star variant of Kiveris et al. gives
-  * O(log d) worst-case, not needed at clique-like diameters). The
-  * driver-side loop holds only a changed-row COUNT per iteration —
-  * labels never leave the executors (same fixpoint discipline as
-  * [[KMeans.fit]]).
+  * by the join key) + one min-aggregate + one pointer-jump self-join —
+  * three shuffles of O(|E|) rows, never O(n²). The pointer jump
+  * (comp := comp[comp], Shiloach-Vishkin style label compression) makes
+  * the round count O(log diameter) instead of O(diameter): near-dup
+  * graphs are near-cliques from LSH banding (2-4 rounds), and even a
+  * pathological transitive chain of length 2^25 converges inside the
+  * default maxIter. If the loop still exits un-converged it THROWS —
+  * silently under-merged clusters are corrupt output, not a degraded
+  * mode. The driver-side loop holds only a changed-row COUNT per
+  * iteration — labels never leave the executors (same fixpoint
+  * discipline as [[KMeans.fit]]).
   */
 object ConnectedComponents {
 
@@ -34,12 +37,17 @@ object ConnectedComponents {
     val sym = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .cache()
+    // localCheckpoint (not cache) per iteration: the jump self-join
+    // references the hook result TWICE, so without lineage truncation the
+    // Catalyst tree doubles every round — plan ANALYSIS goes exponential
+    // long before execution does. Checkpointing pins the round's labels
+    // as a LogicalRDD, keeping plan size constant per round; the
+    // superseded checkpoint RDDs are released by the ContextCleaner once
+    // the loop drops its reference (no block-cache leak across calls —
+    // the old cache()d version leaked one pinned frame per call).
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
-      .cache()
-    // The DataFrame actually pinned in the block cache this iteration
-    // (labels is a projection of it after the first hop).
-    var pinned = labels
+      .localCheckpoint(true)
     val compType = labels.schema("comp").dataType
     var changed = 1L
     var iter = 0
@@ -54,16 +62,34 @@ object ConnectedComponents {
         .join(labels.withColumnRenamed("id", "__dst"), col("dst") === col("__dst"))
         .select(col("src").as("id"), col("comp"),
           lit(null).cast(compType).as("own"))
-      val next = labels.select(col("id"), col("comp"), col("comp").as("own"))
+      // Checkpointed: it feeds both sides of the jump self-join below, so
+      // both join inputs read one materialized pass of the hook stage.
+      val hooked = labels.select(col("id"), col("comp"), col("comp").as("own"))
         .unionAll(offers)
         .groupBy("id").agg(min("comp").as("comp"), max("own").as("own"))
-        .cache()
+        .localCheckpoint(true)
+      // Pointer jump: comp := comp[comp]. Every comp value is itself a
+      // vertex id, and labels only ever decrease, so comp[comp] <= comp
+      // and never drops below the component's true min — the jump is
+      // pure acceleration that makes rounds O(log diameter). Convergence
+      // is still judged on the one-hop step alone: a propagate fixpoint
+      // forces comp[u] == comp[v] across every edge, which IS global
+      // convergence, so exiting on changed==0 is sound.
+      val next = hooked
+        .join(hooked.select(col("id").as("__jid"), col("comp").as("__jcomp")),
+          col("comp") === col("__jid"))
+        .select(col("id"), col("__jcomp").as("comp"), col("own"))
+        .localCheckpoint(true)
       changed = next.filter(col("comp") < col("own")).count()
-      pinned.unpersist(blocking = false)
-      pinned = next
       labels = next.select("id", "comp")
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"ConnectedComponents.label did not converge in $maxIter iterations " +
+          s"($changed labels still changing) — component labels would be " +
+          "under-merged. Raise maxIter (rounds scale with log of the " +
+          "longest duplicate chain).")
     sym.unpersist(blocking = false)
     labels
   }

@@ -80,8 +80,14 @@ object CurationQueries {
       .select(col("lang"),
         floor(least(lit(1.0), lit(100.0) / col("cnt").cast("double")) * 1000)
           .cast("bigint").as("permille"))
+    // The LCG input is doc_id folded into [0, 1048573) first — spelled as
+    // ((x % p) + p) % p so Spark and DuckDB compute the identical
+    // non-negative residue. Multiplying raw doc_id would wrap silently in
+    // Spark but raise a BIGINT-overflow error in DuckDB for ids ≳ 8.4e9,
+    // and a negative product makes `% 1000` negative (always kept).
+    val folded = (col("doc_id") % 1048573L + 1048573L) % 1048573L
     d.join(broadcast(rates), "lang")
-      .filter((col("doc_id") * 1103515245L + 12345L) % 1000 < col("permille"))
+      .filter((folded * 1103515245L + 12345L) % 1000 < col("permille"))
       .select("doc_id", "lang")
       .orderBy("doc_id")
   }
@@ -94,7 +100,7 @@ object CurationQueries {
       |  FROM documents GROUP BY lang)
       |SELECT d.doc_id, d.lang
       |FROM documents d JOIN r ON d.lang = r.lang
-      |WHERE (d.doc_id * 1103515245 + 12345) % 1000 < r.permille
+      |WHERE (((d.doc_id % 1048573 + 1048573) % 1048573) * 1103515245 + 12345) % 1000 < r.permille
       |ORDER BY d.doc_id""".stripMargin
 
   // ===========================================================================

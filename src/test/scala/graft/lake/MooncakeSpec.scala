@@ -349,6 +349,26 @@ class MooncakeSpec extends SparkSuite {
     }
   }
 
+  test("applyChanges past the broadcast key limit falls back to shuffle") {
+    val lake = freshLake()
+    lake.createTable(spark, "bigbatch",
+      spark.range(0, 1000).select(col("id").as("a"),
+        concat(lit("v"), col("id")).as("b")), Seq("a"))
+    // Force the backfill-sized path: every batch exceeds the limit, so
+    // the survivor anti-join must shuffle instead of broadcasting — same
+    // rows out either way, no driver-side key collection.
+    spark.conf.set("spark.graft.cdc.broadcastKeyLimit", "10")
+    try {
+      val upd = spark.range(0, 500)
+        .select(col("id").as("a"), lit("upd").as("b"), lit("U").as("__op"))
+      lake.applyChanges(spark, "bigbatch", upd, version = 2)
+      val got = lake.read(spark, "bigbatch")
+      assert(got.count() === 1000)
+      assert(got.filter(col("b") === "upd").count() === 500)
+      assert(got.filter(col("a") < 500 && col("b") =!= "upd").count() === 0)
+    } finally spark.conf.unset("spark.graft.cdc.broadcastKeyLimit")
+  }
+
   test("identifier parsing follows the reference's lexical rules") {
     assert(Identifier.parse("Foo") === Identifier("main", "foo"))
     assert(Identifier.parse("s.T") === Identifier("s", "t"))
@@ -357,6 +377,20 @@ class MooncakeSpec extends SparkSuite {
     assert(Identifier.parse("sch.\"T$x\"") === Identifier("sch", "T$x"))
     assertThrows[IllegalArgumentException] { Identifier.parse("1bad") }
     assertThrows[IllegalArgumentException] { Identifier.parse("a.b.c") }
+  }
+
+  test("bare names resolve against the session's current schema") {
+    // reference: current_schema, not a constant (functions.rs:150-152).
+    // Spark's untouched "default" database maps to the catalog default
+    // "main" (asserted by the lexical cases above); a session that
+    // switched schema is followed.
+    spark.sql("CREATE DATABASE IF NOT EXISTS analytics")
+    spark.catalog.setCurrentDatabase("analytics")
+    try {
+      assert(Identifier.parse("Foo") === Identifier("analytics", "foo"))
+      assert(Identifier.parse("other.t") === Identifier("other", "t"))
+    } finally spark.catalog.setCurrentDatabase("default")
+    assert(Identifier.parse("Foo") === Identifier("main", "foo"))
   }
 
   test("percent-encoding matches the reference's URI-safety contract") {

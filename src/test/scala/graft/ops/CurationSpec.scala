@@ -27,6 +27,26 @@ class CurationSpec extends SparkSuite {
     assert(got.values.toSet == Set(1L))
   }
 
+  test("connected components: 100-node path converges (pointer jumping)") {
+    import spark.implicits._
+    // Diameter-99 chain: plain min-propagation needs 99 rounds; the
+    // pointer-jump accelerated loop must finish inside the default
+    // maxIter=25 (O(log d) rounds) with every node labelled 0.
+    val edges = (0L until 99L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = ConnectedComponents.label(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 100 && got.values.forall(_ == 0L))
+  }
+
+  test("connected components: non-convergence is loud, not silent") {
+    import spark.implicits._
+    val edges = (0L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    // maxIter=2 cannot close a 40-hop chain even with jumping
+    assertThrows[IllegalStateException] {
+      ConnectedComponents.label(edges, maxIter = 2).collect()
+    }
+  }
+
   test("dedup clusters: reps are cluster minima, csize consistent") {
     val r = CurationQueries.dedupClusters(spark, sf)
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))

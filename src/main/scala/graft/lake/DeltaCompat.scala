@@ -26,9 +26,15 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     (plus protocol/metaData on the first commit, remove actions on
   *     overwrite).
   *
-  * Scope: protocol (1,2) — no deletion vectors or column mapping;
-  * `read` refuses tables that require them (higher minReaderVersion)
-  * rather than mis-reading. Checkpoints ARE supported: replay starts
+  * Scope: reader versions 1-3. Deletion vectors (reader feature
+  * `deletionVectors`) are applied on read — each add's DV is the set of
+  * deleted row indexes of its file, matched against the scan's
+  * `_metadata.row_index` (never by rewriting files) — and written by
+  * [[delete]]. Column mapping (`columnMapping`, modes `name`/`id`) is
+  * handled by scanning with the physical schema and casting back to
+  * logical names; [[write]] can create `name`-mapped tables. Reader
+  * features beyond these two are refused rather than mis-read.
+  * Checkpoints ARE supported: replay starts
   * from the `_last_checkpoint`-named parquet checkpoint (single or
   * multi-part) and applies only newer JSON commits — real-world Delta
   * tables checkpoint every 10 commits and vacuum old JSON, so a
@@ -59,11 +65,32 @@ object DeltaCompat {
       .map(_.stripSuffix(".json").toLong).toSeq).sorted
   }
 
-  private case class AddFile(partitionValues: Map[String, Option[String]])
+  private case class AddFile(partitionValues: Map[String, Option[String]],
+      size: Long = 0L,
+      dv: Option[DeletionVectors.Descriptor] = None)
 
   private case class LogState(schemaJson: Option[String],
       partitionColumns: Seq[String],
-      files: Map[String, AddFile]) // decoded path -> add info
+      files: Map[String, AddFile], // decoded path -> add info
+      columnMappingMode: String = "none",
+      dvEnabled: Boolean = false)
+
+  /** Reader features this layer implements; anything else in a
+    * minReaderVersion-3 protocol action is refused loudly (the spec's
+    * required behavior for unknown reader features). */
+  private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping")
+
+  private def checkProtocol(table: String, mrv: Int,
+      readerFeatures: Set[String]): Unit = {
+    if (mrv == 3) {
+      val unknown = readerFeatures -- SupportedReaderFeatures
+      if (unknown.nonEmpty) throw new UnsupportedOperationException(
+        s"$table requires unsupported Delta reader features " +
+          unknown.toSeq.sorted.mkString("[", ", ", "]"))
+    } else if (mrv > 3) throw new UnsupportedOperationException(
+      s"$table requires Delta reader version $mrv — up to 3 supported")
+    // mrv 2 = column mapping capable; mode comes from table metadata
+  }
 
   /** `_last_checkpoint` content: the checkpoint version and (for
     * multi-part checkpoints) the part count. */
@@ -102,19 +129,34 @@ object DeltaCompat {
     var state = LogState(None, Seq.empty, Map.empty)
     for (r <- rows) {
       idx.get("protocol").filterNot(r.isNullAt).foreach { i =>
-        val mrv = Option(r.getStruct(i).getAs[Integer]("minReaderVersion"))
+        val p = r.getStruct(i)
+        val mrv = Option(p.getAs[Integer]("minReaderVersion"))
           .fold(1)(_.intValue)
-        if (mrv > 1) throw new UnsupportedOperationException(
-          s"$table requires Delta reader version $mrv — only 1 supported")
+        val feats =
+          if (!p.schema.fieldNames.contains("readerFeatures")) Set.empty[String]
+          else {
+            val fi = p.fieldIndex("readerFeatures")
+            if (p.isNullAt(fi)) Set.empty[String]
+            else p.getSeq[String](fi).toSet
+          }
+        checkProtocol(table, mrv, feats)
+        state = state.copy(dvEnabled =
+          state.dvEnabled || feats.contains("deletionVectors"))
       }
       idx.get("metaData").filterNot(r.isNullAt).foreach { i =>
         val md = r.getStruct(i)
         val pcIdx = md.fieldIndex("partitionColumns")
+        val confIdx = md.fieldIndex("configuration")
+        val conf =
+          if (md.isNullAt(confIdx)) Map.empty[String, String]
+          else md.getMap[String, String](confIdx).toMap
         state = state.copy(
           schemaJson = Option(md.getAs[String]("schemaString")),
           partitionColumns =
             if (md.isNullAt(pcIdx)) Seq.empty
-            else md.getSeq[String](pcIdx).toSeq)
+            else md.getSeq[String](pcIdx).toSeq,
+          columnMappingMode =
+            conf.getOrElse("delta.columnMapping.mode", "none"))
       }
       // A checkpoint's add set IS the live file set at its version
       // (remove rows are only vacuum tombstones — not applied to
@@ -126,8 +168,25 @@ object DeltaCompat {
           if (a.isNullAt(pvIdx)) Map.empty[String, Option[String]]
           else a.getMap[String, String](pvIdx).toMap
             .map { case (k, value) => k -> Option(value) }
+        val size = Option(a.getAs[java.lang.Long]("size")).fold(0L)(_.longValue)
+        val dv =
+          if (!a.schema.fieldNames.contains("deletionVector")) None
+          else {
+            val di = a.fieldIndex("deletionVector")
+            if (a.isNullAt(di)) None
+            else {
+              val d = a.getStruct(di)
+              Some(DeletionVectors.Descriptor(
+                d.getAs[String]("storageType"),
+                d.getAs[String]("pathOrInlineDv"),
+                Option(d.getAs[Integer]("offset")).map(_.intValue),
+                d.getAs[Integer]("sizeInBytes").intValue,
+                d.getAs[java.lang.Long]("cardinality").longValue))
+            }
+          }
         state = state.copy(files = state.files +
-          (PathCodec.percentDecode(a.getAs[String]("path")) -> AddFile(pv)))
+          (PathCodec.percentDecode(a.getAs[String]("path")) ->
+            AddFile(pv, size, dv)))
       }
     }
     state
@@ -165,19 +224,29 @@ object DeltaCompat {
     }.getOrElse(LogState(None, Seq.empty, Map.empty))
     for (v <- vs if v > after && upTo.forall(v <= _)) {
       val lines = Files.readAllLines(versionFile(table, v)).asScala
+      // One commit is a SET of actions: a DV update is remove+add of the
+      // SAME path in one commit, in either line order — so removes apply
+      // before adds within each commit, never interleaved by line.
+      val adds = Seq.newBuilder[(String, AddFile)]
+      val removes = Seq.newBuilder[String]
       for (line <- lines if line.trim.nonEmpty) {
         val node = mapper.readTree(line)
         if (node.has("protocol")) {
-          val mrv = node.get("protocol").path("minReaderVersion").asInt(1)
-          if (mrv > 1) throw new UnsupportedOperationException(
-            s"$table requires Delta reader version $mrv — only 1 supported")
+          val p = node.get("protocol")
+          val feats = p.path("readerFeatures").elements().asScala
+            .map(_.asText()).toSet
+          checkProtocol(table, p.path("minReaderVersion").asInt(1), feats)
+          state = state.copy(dvEnabled =
+            state.dvEnabled || feats.contains("deletionVectors"))
         }
         if (node.has("metaData")) {
           val md = node.get("metaData")
           state = state.copy(
             schemaJson = Some(md.get("schemaString").asText()),
             partitionColumns = md.path("partitionColumns").elements()
-              .asScala.map(_.asText()).toSeq)
+              .asScala.map(_.asText()).toSeq,
+            columnMappingMode = md.path("configuration")
+              .path("delta.columnMapping.mode").asText("none"))
         }
         // Per the Delta spec, add/remove paths are percent-encoded
         // relative paths — decode before resolving against the root.
@@ -187,16 +256,69 @@ object DeltaCompat {
             .map(e => e.getKey ->
               (if (e.getValue.isNull) None else Some(e.getValue.asText())))
             .toMap
-          state = state.copy(files = state.files +
-            (PathCodec.percentDecode(a.get("path").asText()) -> AddFile(pv)))
+          val dv =
+            if (!a.has("deletionVector") || a.get("deletionVector").isNull) None
+            else {
+              val d = a.get("deletionVector")
+              Some(DeletionVectors.Descriptor(
+                d.get("storageType").asText(),
+                d.get("pathOrInlineDv").asText(),
+                if (d.has("offset")) Some(d.get("offset").asInt()) else None,
+                d.get("sizeInBytes").asInt(),
+                d.get("cardinality").asLong()))
+            }
+          adds += (PathCodec.percentDecode(a.get("path").asText()) ->
+            AddFile(pv, a.path("size").asLong(0L), dv))
         }
         if (node.has("remove"))
-          state = state.copy(files = state.files -
-            PathCodec.percentDecode(node.get("remove").get("path").asText()))
+          removes += PathCodec.percentDecode(
+            node.get("remove").get("path").asText())
       }
+      state = state.copy(files =
+        (state.files -- removes.result()) ++ adds.result())
     }
     state
   }
+
+  // --- column mapping helpers (modes `name` and `id`: both store the
+  // physical column names in field metadata; physical-name scans read
+  // files from either mode, since writers emit stable physical names) ---
+
+  private def physicalFieldName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
+
+  private def physicalType(dt: DataType): DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        StructField(physicalFieldName(f), physicalType(f.dataType), f.nullable)))
+      case ArrayType(e, n) => ArrayType(physicalType(e), n)
+      case MapType(k, v, n) => MapType(physicalType(k), physicalType(v), n)
+      case other => other
+    }
+  }
+
+  /** Logical type stripped of mapping metadata — the cast-back target
+    * (casting a struct renames its fields positionally). */
+  private def cleanType(dt: DataType): DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        StructField(f.name, cleanType(f.dataType), f.nullable)))
+      case ArrayType(e, n) => ArrayType(cleanType(e), n)
+      case MapType(k, v, n) => MapType(cleanType(k), cleanType(v), n)
+      case other => other
+    }
+  }
+
+  /** `_metadata.file_path` is a URI; DV keys are filesystem paths. */
+  private[lake] def uriToPath(fp: String): String =
+    if (fp.startsWith("file:")) new java.net.URI(fp).getPath else fp
+
+  private def absPath(table: String, rel: String): String =
+    Paths.get(table, rel).toAbsolutePath.normalize.toString
 
   /** Read the table head (or an explicit version — time travel).
     *
@@ -208,39 +330,109 @@ object DeltaCompat {
     * grouping count is the table's live-partition count — manifest-sized
     * driver work, same as the log replay itself. */
   def read(spark: SparkSession, table: String,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None): DataFrame =
+    scan(spark, table, version, keepMeta = false)._1
+
+  /** Core scan. With `keepMeta`, the frame carries `__fp` (file path
+    * URI) and `__pos` (row index within the file) past the logical
+    * columns — the coordinates [[delete]] needs to build DVs.
+    *
+    * Deletion vectors apply as a scan-side filter: the per-file deleted
+    * index sets broadcast to executors, and each row's
+    * `_metadata.row_index` is binary-searched against its file's set.
+    * Rows are skipped at the scan, files are never rewritten — at 100 TB
+    * the cost is the broadcast of manifest-scale bitmap state, not IO. */
+  private def scan(spark: SparkSession, table: String,
+      version: Option[Long], keepMeta: Boolean): (DataFrame, LogState) = {
+    import org.apache.spark.sql.functions.{col, lit, udf}
     val state = replay(spark, table, version)
     val schema = DataType.fromJson(state.schemaJson.getOrElse(
       throw new IllegalStateException(s"$table has no metaData action")))
       .asInstanceOf[StructType]
-    def emptyDf = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    if (state.partitionColumns.isEmpty) {
-      val paths = state.files.keys.map(p => Paths.get(table, p).toString).toSeq
-      if (paths.isEmpty) emptyDf
-      else spark.read.schema(schema).parquet(paths.sorted: _*)
-    } else {
-      import org.apache.spark.sql.functions.{col, lit}
-      val partCols = state.partitionColumns
-      val dataSchema = StructType(
-        schema.filterNot(f => partCols.contains(f.name)))
-      val partType = schema.fields.map(f => f.name -> f.dataType).toMap
-      val groups = state.files.toSeq
-        .groupBy { case (_, add) => partCols.map(add.partitionValues.get) }
-        .toSeq.sortBy(_._1.toString)
-      val parts = groups.map { case (_, files) =>
-        val pv = files.head._2.partitionValues
-        val paths = files.map(f => Paths.get(table, f._1).toString).sorted
-        val base = spark.read.schema(dataSchema).parquet(paths: _*)
-        val withParts = partCols.foldLeft(base) { (df, c) =>
-          val v = pv.getOrElse(c, None)
-          df.withColumn(c,
-            v.map(lit(_)).getOrElse(lit(null)).cast(partType(c)))
+    val cmap = state.columnMappingMode != "none"
+    val root = Paths.get(table)
+    // DV content is manifest-scale metadata (bounded by deleted rows per
+    // live file) — loaded driver-side exactly like the log replay.
+    val dvMap: Map[String, Array[Long]] = state.files.toSeq.collect {
+      case (rel, add) if add.dv.isDefined =>
+        absPath(table, rel) -> DeletionVectors.read(root, add.dv.get)
+    }.toMap
+    val needMeta = keepMeta || dvMap.nonEmpty
+
+    // Scan a file group: physical-schema read, optional row coordinates,
+    // cast back to logical names.
+    def scanFiles(paths: Seq[String], dataSchema: StructType): DataFrame = {
+      val readSchema =
+        if (cmap) physicalType(dataSchema).asInstanceOf[StructType]
+        else dataSchema
+      val base = spark.read.schema(readSchema).parquet(paths: _*)
+      val withMeta =
+        if (needMeta) base
+          .withColumn("__fp", col("_metadata.file_path"))
+          .withColumn("__pos", col("_metadata.row_index"))
+        else base
+      if (!cmap) withMeta
+      else {
+        val metaCols = if (needMeta) Seq(col("__fp"), col("__pos")) else Nil
+        val renamed = dataSchema.fields.map { f =>
+          col(s"`${physicalFieldName(f)}`").cast(cleanType(f.dataType)).as(f.name)
         }
-        withParts.select(schema.fieldNames.map(col).toSeq: _*)
+        withMeta.select(renamed.toIndexedSeq ++ metaCols: _*)
       }
-      if (parts.isEmpty) emptyDf else LakeFs.unionAll(parts)
     }
+
+    def emptyDf = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      cleanType(schema).asInstanceOf[StructType])
+    val metaNames = if (needMeta) Seq("__fp", "__pos") else Nil
+
+    val assembled: DataFrame =
+      if (state.partitionColumns.isEmpty) {
+        val paths = state.files.keys.map(p => Paths.get(table, p).toString).toSeq
+        if (paths.isEmpty) emptyDf
+        else scanFiles(paths.sorted, schema)
+      } else {
+        val partCols = state.partitionColumns
+        // add.partitionValues is keyed by PHYSICAL partition-column names
+        // on column-mapped tables
+        val physByLogical = schema.fields
+          .map(f => f.name -> physicalFieldName(f)).toMap
+        val dataSchema = StructType(
+          schema.filterNot(f => partCols.contains(f.name)))
+        val partType = schema.fields.map(f => f.name -> f.dataType).toMap
+        val groups = state.files.toSeq
+          .groupBy { case (_, add) =>
+            partCols.map(c => add.partitionValues.get(physByLogical(c))) }
+          .toSeq.sortBy(_._1.toString)
+        val parts = groups.map { case (_, files) =>
+          val pv = files.head._2.partitionValues
+          val paths = files.map(f => Paths.get(table, f._1).toString).sorted
+          val base = scanFiles(paths, dataSchema)
+          val withParts = partCols.foldLeft(base) { (df, c) =>
+            val v = pv.getOrElse(physByLogical(c), None)
+            df.withColumn(c,
+              v.map(lit(_)).getOrElse(lit(null)).cast(cleanType(partType(c))))
+          }
+          withParts.select((schema.fieldNames.toSeq ++ metaNames).map(col): _*)
+        }
+        if (parts.isEmpty) emptyDf else LakeFs.unionAll(parts)
+      }
+
+    val dvFiltered =
+      if (dvMap.isEmpty) assembled
+      else {
+        val bc = spark.sparkContext.broadcast(dvMap)
+        val live = udf((fp: String, pos: Long) => {
+          val deleted = bc.value.getOrElse(uriToPath(fp), null)
+          deleted == null || java.util.Arrays.binarySearch(deleted, pos) < 0
+        })
+        assembled.filter(live(col("__fp"), col("__pos")))
+      }
+    val result =
+      if (keepMeta) dvFiltered
+      else if (needMeta) dvFiltered.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      else dvFiltered
+    (result, state)
   }
 
   // replay keys are DECODED paths; the log stores percent-encoded
@@ -252,10 +444,16 @@ object DeltaCompat {
   /** Append (or overwrite) `df` as one Delta commit. `partitionBy`
     * hive-partitions the table (identity partitioning — the only kind
     * Delta has); an existing table's partitioning is inherited and a
-    * conflicting spec is refused. Returns the new version. */
+    * conflicting spec is refused. `columnMapping = "name"` on table
+    * creation assigns every top-level column a field id and a
+    * `col-<uuid>` physical name (protocol (2,5)); appends to a mapped
+    * table inherit its physical names. Returns the new version. */
   def write(df: DataFrame, table: String,
-      mode: String = "append", partitionBy: Seq[String] = Seq.empty): Long = {
+      mode: String = "append", partitionBy: Seq[String] = Seq.empty,
+      columnMapping: String = "none"): Long = {
     require(mode == "append" || mode == "overwrite", s"mode $mode")
+    require(columnMapping == "none" || columnMapping == "name",
+      s"columnMapping $columnMapping (none|name)")
     val root = Paths.get(table)
     Files.createDirectories(root)
     // JSON commits at or before a checkpoint may be vacuumed — the next
@@ -275,11 +473,40 @@ object DeltaCompat {
     require(partCols.forall(df.columns.contains),
       s"partition columns (${partCols.mkString(", ")}) missing from input")
 
+    // Column mapping: the LOG keeps logical names (schemaString field
+    // names, partitionColumns); the FILES carry physical names (parquet
+    // columns, hive partition dirs → partitionValues keys).
+    val logSchema: StructType = priorState match {
+      case Some(st) => DataType.fromJson(st.schemaJson.getOrElse(
+          throw new IllegalStateException(s"$table has no metaData action")))
+        .asInstanceOf[StructType]
+      case None if columnMapping == "name" =>
+        StructType(df.schema.fields.zipWithIndex.map { case (f, i) =>
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong("delta.columnMapping.id", i + 1L)
+            .putString("delta.columnMapping.physicalName", s"col-${UUID.randomUUID()}")
+            .build())
+        })
+      case None => df.schema
+    }
+    val cmapActive = priorState.map(_.columnMappingMode != "none")
+      .getOrElse(columnMapping == "name")
+    val physByLogical = logSchema.fields
+      .map(f => f.name -> physicalFieldName(f)).toMap
+    val staged =
+      if (!cmapActive) df
+      else df.select(df.columns.map(c =>
+        df.col(c).as(physByLogical.getOrElse(c, c))).toIndexedSeq: _*)
+    val stagePartCols =
+      if (cmapActive) partCols.map(c => physByLogical.getOrElse(c, c))
+      else partCols
+
     // Stage part files via Spark (hive layout when partitioned), then
     // move them under the table root keeping their partition dirs.
     val tmp = Files.createTempDirectory(root, ".stage")
-    val stage = df.write.mode("overwrite")
-    (if (partCols.nonEmpty) stage.partitionBy(partCols: _*) else stage)
+    val stage = staged.write.mode("overwrite")
+    (if (stagePartCols.nonEmpty) stage.partitionBy(stagePartCols: _*) else stage)
       .parquet(tmp.toString)
     val parts = LakeFs.parquetFilesUnder(tmp)
     // (relative decoded path, size, partition tuple) per moved file
@@ -302,17 +529,23 @@ object DeltaCompat {
     if (version == 0L) {
       val protocol = mapper.createObjectNode()
       protocol.putObject("protocol")
-        .put("minReaderVersion", 1).put("minWriterVersion", 2)
+        .put("minReaderVersion", if (cmapActive) 2 else 1)
+        .put("minWriterVersion", if (cmapActive) 5 else 2)
       actions += protocol
       val meta = mapper.createObjectNode()
       val m = meta.putObject("metaData")
       m.put("id", UUID.randomUUID().toString)
       m.putObject("format").put("provider", "parquet")
         .putObject("options")
-      m.put("schemaString", df.schema.json)
+      m.put("schemaString", logSchema.json)
       val pcArr = m.putArray("partitionColumns")
       partCols.foreach(pcArr.add)
-      m.putObject("configuration")
+      val confNode = m.putObject("configuration")
+      if (cmapActive) {
+        confNode.put("delta.columnMapping.mode", "name")
+        confNode.put("delta.columnMapping.maxColumnId",
+          logSchema.fields.length.toLong)
+      }
       m.put("createdTime", now)
       actions += meta
     }
@@ -337,16 +570,95 @@ object DeltaCompat {
       actions += add
     }
 
+    commit(table, version, actions.result())
+    version
+  }
+
+  /** Atomically land one commit's action list as the next JSON log file. */
+  private def commit(table: String, version: Long,
+      actions: Seq[ObjectNode]): Unit = {
     Files.createDirectories(logDir(table))
     val target = versionFile(table, version)
     if (Files.exists(target))
       throw new IllegalStateException(
         s"Delta version $version already exists (concurrent writer?)")
     val tmpLog = Files.createTempFile(logDir(table), ".tmp", ".json")
-    Files.write(tmpLog, actions.result().map(mapper.writeValueAsString)
+    Files.write(tmpLog, actions.map(mapper.writeValueAsString)
       .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmpLog, target, StandardCopyOption.ATOMIC_MOVE)
-    version
+  }
+
+  /** Delete rows matching `condition` by WRITING DELETION VECTORS — the
+    * modern Delta delete: data files are untouched; the commit re-adds
+    * each affected file with a DV naming its dead row indexes (merged
+    * with any DV it already had), and upgrades the protocol to (3,7)
+    * with the `deletionVectors` feature on first use.
+    *
+    * The matched row coordinates come back to the driver: DV content is
+    * log metadata by definition (every reader must hold it), so a delete
+    * whose coordinates don't fit the driver is one that should compact/
+    * rewrite files instead — same honesty as the manifest itself.
+    * Returns the new version (or the current one if nothing matched). */
+  def delete(spark: SparkSession, table: String,
+      condition: org.apache.spark.sql.Column): Long = {
+    val (df, state) = scan(spark, table, None, keepMeta = true)
+    val matched = df.filter(condition)
+      .select("__fp", "__pos").collect()
+      .map(r => (uriToPath(r.getString(0)), r.getLong(1)))
+    val head = (versions(table) ++ lastCheckpoint(table).map(_._1)).max
+    if (matched.isEmpty) return head
+    val root = Paths.get(table)
+    val relByAbs = state.files.keys.map(rel => absPath(table, rel) -> rel).toMap
+    val affected = matched.groupBy(_._1).toSeq.map { case (abs, rows) =>
+      val rel = relByAbs.getOrElse(abs,
+        throw new IllegalStateException(s"$abs not in the live file set"))
+      val add = state.files(rel)
+      val existing = add.dv
+        .map(DeletionVectors.read(root, _)).getOrElse(Array.empty[Long])
+      (rel, add, (existing ++ rows.map(_._2)).distinct.sorted)
+    }.sortBy(_._1)
+    val descriptors = DeletionVectors.write(root, affected.map(_._3))
+
+    val now = System.currentTimeMillis()
+    val actions = Seq.newBuilder[ObjectNode]
+    if (!state.dvEnabled) {
+      val cmap = state.columnMappingMode != "none"
+      val node = mapper.createObjectNode()
+      val p = node.putObject("protocol")
+      p.put("minReaderVersion", 3).put("minWriterVersion", 7)
+      val rf = p.putArray("readerFeatures")
+      rf.add("deletionVectors")
+      if (cmap) rf.add("columnMapping")
+      val wf = p.putArray("writerFeatures")
+      // carry the legacy writer-v2 implications forward per the spec's
+      // protocol-upgrade rule
+      (Seq("deletionVectors", "appendOnly", "invariants") ++
+        (if (cmap) Seq("columnMapping") else Nil)).foreach(wf.add)
+      actions += node
+    }
+    affected.zip(descriptors).foreach { case ((rel, add, merged), d) =>
+      val rmNode = mapper.createObjectNode()
+      rmNode.putObject("remove").put("path", encodePath(rel))
+        .put("deletionTimestamp", now).put("dataChange", true)
+      actions += rmNode
+      val addNode = mapper.createObjectNode()
+      val a = addNode.putObject("add").put("path", encodePath(rel))
+        .put("size", add.size)
+        .put("modificationTime", now).put("dataChange", true)
+      val pvNode = a.putObject("partitionValues")
+      add.partitionValues.foreach { case (k, v) =>
+        v.fold[Unit](pvNode.putNull(k))(pvNode.put(k, _))
+      }
+      val dvNode = a.putObject("deletionVector")
+      dvNode.put("storageType", d.storageType)
+        .put("pathOrInlineDv", d.pathOrInlineDv)
+      d.offset.foreach(dvNode.put("offset", _))
+      dvNode.put("sizeInBytes", d.sizeInBytes)
+        .put("cardinality", merged.length.toLong)
+      actions += addNode
+    }
+    commit(table, head + 1, actions.result())
+    head + 1
   }
 
   /** Write a parquet checkpoint of the table head and point
@@ -368,7 +680,9 @@ object DeltaCompat {
 
     val protocolT = StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType)))
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))
     val formatT = StructType(Seq(
       StructField("provider", StringType),
       StructField("options", MapType(StringType, StringType))))
@@ -379,24 +693,41 @@ object DeltaCompat {
       StructField("partitionColumns", ArrayType(StringType)),
       StructField("configuration", MapType(StringType, StringType)),
       StructField("createdTime", LongType)))
+    val dvT = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", IntegerType),
+      StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
     val addT = StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues",
         MapType(StringType, StringType, valueContainsNull = true)),
       StructField("size", LongType),
       StructField("modificationTime", LongType),
-      StructField("dataChange", BooleanType)))
+      StructField("dataChange", BooleanType),
+      StructField("deletionVector", dvT)))
     val rowT = StructType(Seq(
       StructField("protocol", protocolT),
       StructField("metaData", metaT),
       StructField("add", addT)))
 
+    val cmap = state.columnMappingMode != "none"
+    val protoRow =
+      if (state.dvEnabled) {
+        val rf = Seq("deletionVectors") ++ (if (cmap) Seq("columnMapping") else Nil)
+        Row(3, 7, rf, rf ++ Seq("appendOnly", "invariants"))
+      } else if (cmap) Row(2, 5, null, null)
+      else Row(1, 2, null, null)
+    val conf =
+      if (cmap) Map("delta.columnMapping.mode" -> state.columnMappingMode)
+      else Map.empty[String, String]
     val now = System.currentTimeMillis()
     val rows = Seq(
-      Row(Row(1, 2), null, null),
+      Row(protoRow, null, null),
       Row(null, Row(UUID.randomUUID().toString,
         Row("parquet", Map.empty[String, String]), schemaJson,
-        state.partitionColumns, Map.empty[String, String], now), null)) ++
+        state.partitionColumns, conf, now), null)) ++
       state.files.toSeq.sortBy(_._1).map { case (path, add) =>
         // A live file that cannot be stat'ed means the table is already
         // corrupt — fail NOW, not after the JSON that could explain it
@@ -406,9 +737,11 @@ object DeltaCompat {
           throw new IllegalStateException(
             s"$table: live file $path missing on disk — refusing to " +
               "checkpoint a corrupt table")
+        val dvRow = add.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+          d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull
         Row(null, null, Row(encodePath(path),
           add.partitionValues.map { case (k, v) => k -> v.orNull },
-          Files.size(onDisk), now, true))
+          Files.size(onDisk), now, true, dvRow))
       }
     // One checkpoint file: the action list is manifest-sized. (Readers
     // handle multi-part checkpoints; writing them only matters once the

@@ -225,6 +225,46 @@ object LakeQueries {
     """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Deletion vectors (the reference reads modern Delta tables via its
+    * delta scanner, CHANGELOG.md:25; Databricks writes DVs by default):
+    * write the table as several files, DV-delete two predicate slices
+    * (the second merges bitmaps with the first), read back. Rows must
+    * vanish with the ORIGINAL data files still on disk — deletes are
+    * scan-side bitmap filters, never rewrites. Oracle: the table minus
+    * both slices. */
+  val deltaDvRoundtrip: Q = (s, dir) => {
+    val tmp = graft.Scratch.dir("graft-delta-dv-q")
+    val c = Tables.load(s, dir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    graft.lake.DeltaCompat.write(c.repartition(4), tmp)
+    graft.lake.DeltaCompat.delete(s, tmp, col("c_nationkey") < 5)
+    graft.lake.DeltaCompat.delete(s, tmp, col("c_custkey") % 10 === 0)
+    graft.lake.DeltaCompat.read(s, tmp).orderBy("c_custkey")
+  }
+
+  val deltaDvRoundtripSql: String =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+      |WHERE NOT (c_nationkey < 5) AND NOT (c_custkey % 10 = 0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Column mapping (reader v2 surface): create a name-mapped,
+    * hive-partitioned table — parquet columns and partition dirs carry
+    * `col-<uuid>` physical names, partitionValues are keyed physically —
+    * append to it (inheriting the mapping), read back logical. */
+  val deltaCmapRoundtrip: Q = (s, dir) => {
+    val tmp = graft.Scratch.dir("graft-delta-cmap-q")
+    val n = Tables.load(s, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    graft.lake.DeltaCompat.write(n.filter(col("n_nationkey") % 2 === 0),
+      tmp, partitionBy = Seq("n_regionkey"), columnMapping = "name")
+    graft.lake.DeltaCompat.write(n.filter(col("n_nationkey") % 2 =!= 0), tmp)
+    graft.lake.DeltaCompat.read(s, tmp).orderBy("n_nationkey")
+  }
+
+  val deltaCmapRoundtripSql: String =
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |ORDER BY n_nationkey""".stripMargin
+
   /** Iceberg interop (≈ the reference's Iceberg surface — it stores
     * mirrors as Iceberg and reads existing Iceberg tables,
     * README.md:13 / CHANGELOG.md:25): two append snapshots through our
@@ -390,6 +430,8 @@ object LakeQueries {
     "q_iceberg_eq_delete" -> icebergEqDelete,
     "q_delta_roundtrip" -> deltaRoundtrip,
     "q_delta_part_roundtrip" -> deltaPartRoundtrip,
+    "q_delta_dv_roundtrip" -> deltaDvRoundtrip,
+    "q_delta_cmap_roundtrip" -> deltaCmapRoundtrip,
     "q_cdc_apply" -> cdcApply,
     "q_mirror_range" -> mirrorRange,
     "q_zorder_scan" -> zorderScan,
@@ -408,6 +450,8 @@ object LakeQueries {
     "q_iceberg_eq_delete" -> icebergEqDeleteSql,
     "q_delta_roundtrip" -> deltaRoundtripSql,
     "q_delta_part_roundtrip" -> deltaPartRoundtripSql,
+    "q_delta_dv_roundtrip" -> deltaDvRoundtripSql,
+    "q_delta_cmap_roundtrip" -> deltaCmapRoundtripSql,
     "q_cdc_apply" -> cdcApplySql,
     "q_mirror_range" -> mirrorRangeSql,
     "q_zorder_scan" -> zorderScanSql,

@@ -56,12 +56,123 @@ class DeltaCompatSpec extends SparkSuite {
       DeltaCompat.read(spark, dir)
     }
     Files.delete(Paths.get(dir, "_delta_log", "_last_checkpoint"))
-    // Reader version 2+ (column mapping / deletion vectors) is refused.
+    // Reader version 2 (column mapping capable) is fine now; version 3
+    // with a feature we don't implement must refuse; so must version 4+.
     Files.write(Paths.get(dir, "_delta_log", f"${1L}%020d.json"),
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""".getBytes)
+    assert(DeltaCompat.read(spark, dir).count() === 1)
+    Files.write(Paths.get(dir, "_delta_log", f"${2L}%020d.json"),
+      ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""").getBytes)
     intercept[UnsupportedOperationException] {
       DeltaCompat.read(spark, dir)
     }
+    Files.write(Paths.get(dir, "_delta_log", f"${2L}%020d.json"),
+      """{"protocol":{"minReaderVersion":4,"minWriterVersion":7}}""".getBytes)
+    intercept[UnsupportedOperationException] {
+      DeltaCompat.read(spark, dir)
+    }
+  }
+
+  test("deletion vectors: delete marks rows dead without rewriting files") {
+    val dir = tmpDir("delta-dv")
+    import org.apache.spark.sql.functions.col
+    // several files so DVs target distinct row_index spaces per file
+    DeltaCompat.write(
+      spark.range(0, 100).selectExpr("id AS k", "CAST(id % 10 AS STRING) AS v")
+        .repartition(4), dir)
+    val dataFiles = Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+
+    val v1 = DeltaCompat.delete(spark, dir, col("k") % 10 === 3)
+    assert(v1 === 1L)
+    val after = DeltaCompat.read(spark, dir)
+    assert(after.count() === 90)
+    assert(after.filter(col("k") % 10 === 3).count() === 0)
+    // the data files were NOT rewritten — same paths still live
+    dataFiles.foreach(p => assert(Files.exists(p), s"$p rewritten"))
+    assert(Files.list(Paths.get(dir)).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("deletion_vector_")))
+
+    // second delete MERGES with the existing DVs
+    DeltaCompat.delete(spark, dir, col("k") < 25)
+    val twice = DeltaCompat.read(spark, dir)
+    assert(twice.count() === 100 - 10 - (25 - 3)) // 10 (%10==3) + 22 more
+    // time travel behind the deletes still sees everything
+    assert(DeltaCompat.read(spark, dir, version = Some(0L)).count() === 100)
+    // deleting nothing is a no-op commit-wise
+    val same = DeltaCompat.delete(spark, dir, col("k") === -1)
+    assert(same === 2L)
+
+    // DV state survives a checkpoint (descriptor round-trips via parquet)
+    DeltaCompat.checkpoint(spark, dir)
+    DeltaCompat.versions(dir).foreach(v =>
+      Files.delete(Paths.get(dir, "_delta_log", f"$v%020d.json")))
+    val fromCkpt = DeltaCompat.read(spark, dir)
+    assert(fromCkpt.count() === 68)
+    assert(fromCkpt.filter(col("k") < 25).count() === 0)
+  }
+
+  test("deletion vector binary format round-trips (Z85, roaring, CRC)") {
+    // Z85: spec test vector from the ZeroMQ RFC
+    assert(DeletionVectors.z85Encode(
+      Array(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7, 0x5b)
+        .map(_.toByte)) === "HelloWorld")
+    assert(DeletionVectors.z85Decode("HelloWorld").toSeq ===
+      Seq(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7, 0x5b).map(_.toByte))
+    // bitmap data round-trip incl. a >32-bit row index (bucket key 1)
+    val positions = Array(0L, 5L, 7L, 1L << 33, (1L << 33) + 2)
+    val data = DeletionVectors.serializeData(positions)
+    assert(DeletionVectors.deserializeData(data).toSeq === positions.sorted.toSeq)
+    // file IO: write two DVs into one file, read both back via descriptors
+    val root = Paths.get(tmpDir("dv-bin"))
+    val ds = DeletionVectors.write(root, Seq(Array(1L, 2L), Array(42L)))
+    assert(ds.map(_.cardinality) === Seq(2L, 1L))
+    assert(DeletionVectors.read(root, ds(0)).toSeq === Seq(1L, 2L))
+    assert(DeletionVectors.read(root, ds(1)).toSeq === Seq(42L))
+  }
+
+  test("column mapping: name-mode tables round-trip with physical names") {
+    val dir = tmpDir("delta-cmap")
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+      .toDF("id", "name", "score")
+    DeltaCompat.write(df, dir, columnMapping = "name")
+    // parquet files on disk carry col-<uuid> physical names, not logical
+    val part = Files.list(Paths.get(dir)).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val physical = spark.read.parquet(part.toString).columns
+    assert(physical.forall(_.startsWith("col-")), physical.mkString(","))
+    // ... but the read maps back to logical names and values
+    val back = DeltaCompat.read(spark, dir)
+    assert(back.columns.toSeq === Seq("id", "name", "score"))
+    assert(back.orderBy("id").as[(Long, String, Double)].collect().toSeq ===
+      Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)))
+    // appends inherit the existing physical mapping
+    DeltaCompat.write(Seq((4L, "d", 4.5)).toDF("id", "name", "score"), dir)
+    assert(DeltaCompat.read(spark, dir).count() === 4)
+    // and DV deletes compose with column mapping
+    DeltaCompat.delete(spark, dir, col("id") === 2L)
+    val afterDel = DeltaCompat.read(spark, dir).orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(afterDel.map(_._1) === Seq(1L, 3L, 4L))
+  }
+
+  test("column mapping: partitioned tables key partitionValues physically") {
+    val dir = tmpDir("delta-cmap-part")
+    val df = Seq((1L, "x", "p1"), (2L, "y", "p2"), (3L, "z", "p1"))
+      .toDF("id", "v", "part")
+    DeltaCompat.write(df, dir, partitionBy = Seq("part"), columnMapping = "name")
+    // partition dirs (and thus add.partitionValues keys) use the
+    // physical column name
+    val dirs = Files.list(Paths.get(dir)).iterator().asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString)
+      .filter(_.contains("=")).toSeq
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("col-")), dirs.mkString(","))
+    val back = DeltaCompat.read(spark, dir)
+    assert(back.columns.toSeq === Seq("id", "v", "part"))
+    assert(back.orderBy("id").as[(Long, String, String)].collect().toSeq ===
+      Seq((1L, "x", "p1"), (2L, "y", "p2"), (3L, "z", "p1")))
   }
 
   test("checkpoint + vacuumed JSON: replay starts from the checkpoint") {
@@ -195,9 +306,14 @@ class DeltaCompatSpec extends SparkSuite {
         },"partitionColumns":["p"],"configuration":{},"createdTime":0}}""" + "\n" +
         s"""{"add":{"path":"${fA.replace("=", "%3D")}","partitionValues":{"p":"a"},"size":1,"modificationTime":0,"dataChange":true}}""" + "\n" +
         s"""{"add":{"path":"${fB.replace("=", "%3D")}","partitionValues":{"p":"b x"},"size":1,"modificationTime":0,"dataChange":true}}""" + "\n" +
-        s"""{"add":{"path":"missing.parquet","partitionValues":{"p":null},"size":1,"modificationTime":0,"dataChange":true}}""" + "\n" +
-        s"""{"remove":{"path":"missing.parquet","deletionTimestamp":0,"dataChange":true}}""" + "\n"
+        s"""{"add":{"path":"missing.parquet","partitionValues":{"p":null},"size":1,"modificationTime":0,"dataChange":true}}""" + "\n"
     Files.write(log.resolve(f"${0L}%020d.json"), commit.getBytes)
+    // a LATER commit removes the dangling file (within one commit a
+    // remove+add of the same path means "replace the entry" — the DV
+    // update shape — so the add wins there; across commits remove wins)
+    Files.write(log.resolve(f"${1L}%020d.json"),
+      ("""{"remove":{"path":"missing.parquet","deletionTimestamp":0,""" +
+        """"dataChange":true}}""" + "\n").getBytes)
     val got = DeltaCompat.read(spark, dir)
     assert(got.schema.fieldNames.toSeq === Seq("k", "p", "n"))
     assert(got.as[(Long, String, Int)].collect().sortBy(_._1).toSeq ===

@@ -111,23 +111,38 @@ object IcebergCompat {
     currentSchemaNode(meta).get("fields").elements().asScala
       .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
 
-  /** The table's default partition spec: (name, sourceFieldName) per
-    * identity field. Non-identity transforms and multiple specs are out
-    * of scope — refused, never mis-read. */
-  private def identitySpecFields(meta: JsonNode): Seq[String] = {
-    if (!meta.has("partition-specs")) return Seq.empty
-    val specs = meta.get("partition-specs").elements().asScala.toSeq
-    if (specs.size > 1) throw new UnsupportedOperationException(
-      "multiple Iceberg partition specs (spec evolution) out of scope")
-    specs.headOption.toSeq
-      .flatMap(_.path("fields").elements().asScala.toSeq)
-      .map { f =>
-        val transform = f.path("transform").asText("identity")
-        if (transform != "identity") throw new UnsupportedOperationException(
-          s"Iceberg partition transform '$transform' out of scope")
-        f.get("name").asText()
-      }
+  private[lake] case class SpecField(name: String, transform: String,
+      sourceId: Int)
+
+  /** Every partition spec in the metadata, by spec-id — spec evolution
+    * keeps all historical specs and manifests reference theirs. */
+  private def partitionSpecs(meta: JsonNode): Map[Int, Seq[SpecField]] =
+    if (!meta.has("partition-specs")) Map.empty
+    else meta.get("partition-specs").elements().asScala.map { s =>
+      s.path("spec-id").asInt(0) ->
+        s.path("fields").elements().asScala.map(f =>
+          SpecField(f.get("name").asText(),
+            f.path("transform").asText("identity"),
+            f.path("source-id").asInt(-1))).toSeq
+    }.toMap
+
+  /** Default-spec fields as (sourceColumnName, transform), for write-side
+    * inheritance checks. */
+  private def defaultSpec(meta: JsonNode): Seq[(String, String)] = {
+    val byId = fieldIdToName(meta)
+    partitionSpecs(meta)
+      .getOrElse(meta.path("default-spec-id").asInt(0), Seq.empty)
+      .map(f => (byId.getOrElse(f.sourceId,
+        throw new UnsupportedOperationException(
+          s"partition spec references unknown source field id ${f.sourceId}")),
+        f.transform))
   }
+
+  /** Top-level column names physically present in a parquet file —
+    * footer-only, the shape probe for reconstruction-vs-direct scans. */
+  private def parquetColumns(p: Path): Set[String] =
+    Manifest.withFooter(p)(_.getFileMetaData.getSchema
+      .getFields.asScala.map(_.getName).toSet)
 
   /** Unwrap an Avro partition-struct value to a plain JVM value. */
   private def avroValue(v: AnyRef): Any = v match {
@@ -169,7 +184,7 @@ object IcebergCompat {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
     val meta = currentMetadata(tableDir)
     val schema = toStructType(meta)
-    val partCols = identitySpecFields(meta)
+    val specsById = partitionSpecs(meta)
     val wantId = snapshotId.getOrElse(meta.path("current-snapshot-id").asLong(-1))
     val snapshot = meta.get("snapshots").elements().asScala
       .find(_.path("snapshot-id").asLong(-2) == wantId)
@@ -208,10 +223,14 @@ object IcebergCompat {
       numField(rec, "sequence_number").orElse(
         if (status == 1) numField(listRec, "sequence_number") else None)
 
-    // data files with their identity-partition tuple + data sequence
-    val dataFiles: Seq[(String, Seq[Any], Option[Long])] =
+    // data files with their manifest partition values + data sequence +
+    // the spec their manifest was written under
+    case class DataFileInfo(path: String, partVals: Map[String, Any],
+        seq: Option[Long], specId: Int)
+    val dataFiles: Seq[DataFileInfo] =
       dataManifests.flatMap { listRec =>
         val m = listRec.get("manifest_path").toString
+        val specId = numField(listRec, "partition_spec_id").getOrElse(0L).toInt
         avroRecords(localPath(m)).flatMap { rec =>
           val status = rec.get("status").asInstanceOf[Int]
           if (status == 2) None // DELETED
@@ -224,12 +243,12 @@ object IcebergCompat {
             val pr = // fabricated/minimal manifests may omit the struct
               if (df.getSchema.getField("partition") == null) null
               else df.get("partition").asInstanceOf[GenericRecord]
-            val tuple = partCols.map { c =>
-              if (pr == null || pr.getSchema.getField(c) == null) null
-              else avroValue(pr.get(c))
-            }
-            Some((localPath(df.get("file_path").toString), tuple,
-              seqOf(rec, listRec, status)))
+            val pv =
+              if (pr == null) Map.empty[String, Any]
+              else pr.getSchema.getFields.asScala
+                .map(f => f.name -> avroValue(pr.get(f.name))).toMap
+            Some(DataFileInfo(localPath(df.get("file_path").toString), pv,
+              seqOf(rec, listRec, status), specId))
           }
         }
       }
@@ -300,24 +319,14 @@ object IcebergCompat {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     if (dataFiles.isEmpty) return emptyDf
 
-    val dataSchema = StructType(
-      schema.filterNot(f => partCols.contains(f.name)))
     val fieldType = schema.fields.map(f => f.name -> f.dataType).toMap
-    // Identity partition values come back from Avro as plain JVM
-    // scalars; date/timestamp/decimal are stored as epoch-int/micros/
-    // unscaled values whose lit().cast() would mis-read — refuse those
-    // source types like non-identity transforms are refused above.
-    partCols.map(fieldType).foreach {
-      case StringType | IntegerType | LongType | BooleanType |
-        FloatType | DoubleType => ()
-      case other => throw new UnsupportedOperationException(
-        s"Iceberg identity partition over $other out of this " +
-          "reader's scope (epoch/unscaled encodings)")
-    }
     val needPos = deleteFiles.nonEmpty
     val needEq = eqDeletes.nonEmpty
     val needMeta = needPos || needEq
-    val scanGroup = { (files: Seq[String], tuple: Seq[Any]) =>
+    def scanGroup(files: Seq[String], reconstructCols: Seq[String],
+        tuple: Seq[Any]): DataFrame = {
+      val dataSchema = StructType(
+        schema.filterNot(f => reconstructCols.contains(f.name)))
       val raw = spark.read.schema(dataSchema)
         .parquet(files.sorted.distinct: _*)
       val base = // metadata columns only materialize when deletes exist
@@ -327,30 +336,68 @@ object IcebergCompat {
         else raw
       val outCols = schema.fieldNames.toSeq ++
         (if (needMeta) Seq("__file", "__pos") else Seq.empty)
-      partCols.zip(tuple).foldLeft(base) { case (df, (c, v)) =>
+      reconstructCols.zip(tuple).foldLeft(base) { case (df, (c, v)) =>
         df.withColumn(c,
           (if (v == null) lit(null) else lit(v)).cast(fieldType(c)))
       }.select(outCols.map(col): _*)
     }
-    // one scan per partition tuple — per-file sequence numbers attach
-    // afterwards through a broadcast (file → seq) lookup, so a long CDC
-    // history does NOT grow the plan by one union branch per snapshot
-    val groups = dataFiles.groupBy(_._2).toSeq.sortBy(_._1.toString)
-    val parts = groups.map { case (tuple, fs) =>
-      scanGroup(fs.map(_._1), tuple)
-    }
+    // Shape decision PER SPEC (one footer probe each): Iceberg data
+    // files normally contain every column — identity values duplicated,
+    // derived transforms (bucket/truncate/days) being pruning metadata
+    // only — so those files scan directly with the full schema; that is
+    // what makes non-identity transforms and spec evolution readable
+    // with no per-transform code. Hive-style identity tables (files
+    // WITHOUT the partition columns) reconstruct them from each file's
+    // manifest partition tuple, grouped one scan per tuple; per-file
+    // sequence numbers attach afterwards through a broadcast
+    // (file → seq) lookup, so a long CDC history does NOT grow the plan
+    // by one union branch per snapshot.
+    val parts = dataFiles.groupBy(_.specId).toSeq.sortBy(_._1)
+      .flatMap { case (specId, fs) =>
+        val present = parquetColumns(Paths.get(fs.head.path))
+        val missing = schema.fieldNames.filterNot(present.contains).toSeq
+        if (missing.isEmpty) Seq(scanGroup(fs.map(_.path), Nil, Nil))
+        else {
+          val spec = specsById.getOrElse(specId,
+            throw new UnsupportedOperationException(
+              s"data files lack columns (${missing.mkString(", ")}) and " +
+                s"reference partition spec $specId absent from metadata — " +
+                "cannot reconstruct"))
+          val identityNames = spec.filter(_.transform == "identity").map(_.name)
+          val nonRecon = missing.filterNot(identityNames.contains)
+          if (nonRecon.nonEmpty) throw new UnsupportedOperationException(
+            s"data files lack columns (${nonRecon.mkString(", ")}) that " +
+              "are not identity partition fields — cannot reconstruct, " +
+              "refusing")
+          // Identity values come back from Avro as plain JVM scalars;
+          // date/timestamp/decimal are epoch-int/micros/unscaled
+          // encodings whose lit().cast() would mis-read — refuse.
+          identityNames.map(fieldType).foreach {
+            case StringType | IntegerType | LongType | BooleanType |
+              FloatType | DoubleType => ()
+            case other => throw new UnsupportedOperationException(
+              s"Iceberg identity partition over $other out of this " +
+                "reader's scope (epoch/unscaled encodings)")
+          }
+          fs.groupBy(f => identityNames.map(c => f.partVals.getOrElse(c, null)))
+            .toSeq.sortBy(_._1.toString)
+            .map { case (tuple, group) =>
+              scanGroup(group.map(_.path), identityNames, tuple)
+            }
+        }
+      }
     val scanned = LakeFs.unionAll(parts)
     import spark.implicits._
     val withSeq =
       if (!needEq) scanned
       else {
-        val unresolved = dataFiles.filter(_._3.isEmpty)
+        val unresolved = dataFiles.filter(_.seq.isEmpty)
         if (unresolved.nonEmpty) throw new UnsupportedOperationException(
           s"${unresolved.size} data file(s) without a resolvable data " +
             "sequence number but equality deletes present — cannot " +
             "scope the deletes, refusing (e.g. " +
-            unresolved.head._1 + ")")
-        val lookup = dataFiles.map { case (p, _, s) => (p, s.get) }
+            unresolved.head.path + ")")
+        val lookup = dataFiles.map(f => (f.path, f.seq.get))
           .toDF("__file", "__dseq")
         scanned.join(broadcast(lookup), Seq("__file"))
       }
@@ -416,20 +463,19 @@ object IcebergCompat {
       s"Spark type $other out of scope as an Iceberg partition column")
   }
 
-  /** The `r102` partition struct: one optional field per identity
-    * partition column, field-ids 1000+ per the spec's partition-field
-    * numbering. Empty for unpartitioned tables. */
-  private def mkPartitionStruct(partFields: Seq[StructField]): Schema = {
+  /** The `r102` partition struct: one optional field per partition
+    * field (identity or derived), with each field's spec-assigned
+    * partition-field id. Empty for unpartitioned tables. */
+  private def mkPartitionStruct(partFields: Seq[(StructField, Int)]): Schema = {
     var b = SchemaBuilder.record("r102").fields()
-    partFields.foreach { f =>
+    partFields.foreach { case (f, _) =>
       b = b.name(f.name)
         .`type`(Schema.createUnion(Schema.create(Schema.Type.NULL),
           partitionAvroType(f.dataType)))
         .withDefault(null)
     }
     withFieldIds(b.endRecord(),
-      partFields.zipWithIndex.map { case (f, i) => f.name -> (1000 + i) }
-        .toMap)
+      partFields.map { case (f, id) => f.name -> id }.toMap)
   }
 
   /** manifest_entry per spec v2: status + inheritance-eligible ids written
@@ -437,7 +483,7 @@ object IcebergCompat {
     * partition, record_count, file_size_in_bytes). The `partition`
     * struct carries the file's identity-partition tuple (empty struct
     * for unpartitioned tables and global delete files). */
-  private def mkManifestEntrySchema(partFields: Seq[StructField]): Schema = {
+  private def mkManifestEntrySchema(partFields: Seq[(StructField, Int)]): Schema = {
     val dataFile = withFieldIds(SchemaBuilder.record("data_file").fields()
       .requiredInt("content")
       .requiredString("file_path")
@@ -570,10 +616,18 @@ object IcebergCompat {
     * layout, each file's partition tuple lands typed in its manifest
     * `partition` struct, and the metadata declares the identity spec —
     * readers (ours and real Iceberg alike) reconstruct the columns from
-    * that metadata. An existing table's spec is inherited; a
-    * conflicting spec is refused. */
+    * that metadata. `transforms` adds derived partition fields
+    * ((sourceCol, "bucket[N]" | "truncate[W]") pairs, spec-exact
+    * murmur3 bucketing via [[IcebergTransforms]]); their source columns
+    * stay in the data files, the tuple holds the transformed value. An
+    * existing table's spec is inherited when none is given; a different
+    * spec is refused unless `evolveSpec` — then it records SPEC
+    * EVOLUTION (new spec-id, historical specs kept, old manifests still
+    * reference theirs). */
   def write(df: DataFrame, tableDir: String, mode: String = "append",
-      partitionBy: Seq[String] = Seq.empty): Long = {
+      partitionBy: Seq[String] = Seq.empty,
+      transforms: Seq[(String, String)] = Seq.empty,
+      evolveSpec: Boolean = false): Long = {
     require(mode == "append" || mode == "overwrite", s"mode $mode")
     val metaDir = Paths.get(tableDir, "metadata")
     Files.createDirectories(metaDir)
@@ -624,52 +678,82 @@ object IcebergCompat {
     val snapshotId = version * 100
     val sequenceNumber = lastSeq + 1
 
-    // Partitioning: inherit an existing table's identity spec; refuse a
-    // conflicting explicit spec.
-    val partCols = prior.map(identitySpecFields) match {
-      case Some(existing) => // spec evolution (incl. adding one) refused
-        require(partitionBy.isEmpty || partitionBy == existing,
-          s"$tableDir is partitioned by (${existing.mkString(", ")}) — " +
-            s"cannot write with (${partitionBy.mkString(", ")})")
-        existing
-      case None => partitionBy
+    // Partition spec: `partitionBy` = identity fields, `transforms` =
+    // derived fields ((sourceCol, "bucket[N]"|"truncate[W]") pairs). An
+    // existing table's spec is inherited when none is given; a DIFFERENT
+    // spec is SPEC EVOLUTION — recorded as a new spec-id alongside the
+    // historical ones (manifests keep referencing theirs).
+    val requested: Seq[(String, String)] =
+      partitionBy.map(_ -> "identity") ++ transforms
+    val priorDefaultSpec = prior.map(defaultSpec)
+    val specCols: Seq[(String, String)] = priorDefaultSpec match {
+      case Some(existing) if requested.isEmpty => existing
+      case Some(existing) if requested != existing && !evolveSpec =>
+        throw new IllegalArgumentException(
+          s"$tableDir is partitioned by ${existing.mkString("(", ", ", ")")}" +
+            s" — cannot write with ${requested.mkString("(", ", ", ")")}" +
+            " (pass evolveSpec = true to evolve the spec)")
+      case _ => requested
     }
-    require(partCols.forall(df.columns.contains),
-      s"partition columns (${partCols.mkString(", ")}) missing from input")
-    val partFields = partCols.map(c => df.schema(c))
+    val specChanged = priorDefaultSpec.exists(_ != specCols)
+    val priorSpecsNodes = prior.toSeq
+      .flatMap(_.path("partition-specs").elements().asScala.toSeq)
+    val priorMaxSpecId = priorSpecsNodes
+      .map(_.path("spec-id").asInt(0)).maxOption.getOrElse(-1)
+    val specId = if (specChanged) priorMaxSpecId + 1
+      else prior.map(_.path("default-spec-id").asInt(0)).getOrElse(0)
+    require(specCols.forall { case (c, _) => df.columns.contains(c) },
+      s"partition source columns (${specCols.map(_._1).mkString(", ")}) " +
+        "missing from input")
 
-    def hiveToTyped(v: Option[String], t: DataType): Any = v match {
-      case None => null
-      case Some(s) => t match {
-        case StringType => s
-        case IntegerType => s.toInt
-        case LongType => s.toLong
-        case BooleanType => s.toBoolean
-        case FloatType => s.toFloat
-        case DoubleType => s.toDouble
-        case other => throw new UnsupportedOperationException(
-          s"Spark type $other out of scope as an Iceberg partition column")
-      }
+    case class PartField(source: String, transform: String, name: String,
+        resultType: DataType)
+    val partFields = specCols.map { case (c, t) =>
+      PartField(c, t, IcebergTransforms.fieldName(t, c),
+        IcebergTransforms.resultType(t, df.schema(c).dataType))
     }
+    val basePartFieldId = prior
+      .map(_.path("last-partition-id").asInt(999)).getOrElse(999)
+    // Inherited unchanged spec keeps its field-ids; a new spec numbers
+    // past last-partition-id so ids stay unique across evolution.
+    val partFieldIds: Seq[Int] =
+      if (!specChanged && prior.nonEmpty)
+        priorSpecsNodes.find(_.path("spec-id").asInt(0) == specId)
+          .map(_.path("fields").elements().asScala
+            .map(_.path("field-id").asInt(1000)).toSeq)
+          .getOrElse(partFields.indices.map(1000 + _))
+      else partFields.indices.map(basePartFieldId + 1 + _)
 
-    // Data files via Spark into a staging dir (hive layout when
-    // partitioned — one job regardless of partition count), moved under
-    // data/ keeping partition dirs; the typed tuple comes from the
-    // staged segment names and lands in the manifest.
+    // Staging: identity fields hive-partition by the column itself
+    // (stripped from the files — readers reconstruct from the manifest
+    // tuple); derived fields partition by a __p__-prefixed computed
+    // column so the SOURCE columns stay in the data files (they are the
+    // only place a reader can get them — the tuple holds only the
+    // transformed value).
+    val derived = partFields.filter(_.transform != "identity")
+    val stagedDf = derived.foldLeft(df) { (acc, pf) =>
+      acc.withColumn(s"__p__${pf.name}",
+        IcebergTransforms.expr(pf.transform, pf.source,
+          df.schema(pf.source).dataType))
+    }
+    val stageCols = partFields.map(pf =>
+      if (pf.transform == "identity") pf.source else s"__p__${pf.name}")
     val stage = Files.createTempDirectory(Paths.get(tableDir), ".stage")
-    val stageW = df.write.mode("overwrite")
-    (if (partCols.nonEmpty) stageW.partitionBy(partCols: _*) else stageW)
+    val stageW = stagedDf.write.mode("overwrite")
+    (if (stageCols.nonEmpty) stageW.partitionBy(stageCols: _*) else stageW)
       .parquet(stage.toString)
     val parts = LakeFs.parquetFilesUnder(stage)
-    // (absolute path, identity-partition tuple) per moved file
+    // (absolute path, partition tuple) per moved file
     val moved: Seq[(String, Seq[Any])] = parts.zipWithIndex.map {
       case (p, i) =>
         val rel = stage.relativize(p)
         val dirSegs = (0 until rel.getNameCount - 1)
           .map(rel.getName(_).toString)
         val byCol = dirSegs.map(PathCodec.parseHiveSegment).toMap
-        val tuple = partFields.map(f =>
-          hiveToTyped(byCol.getOrElse(f.name, None), f.dataType))
+        val tuple = partFields.zip(stageCols).map { case (pf, sc) =>
+          IcebergTransforms.parseStaged(byCol.getOrElse(sc, None),
+            pf.resultType)
+        }
         val targetDir = dirSegs.foldLeft(Paths.get(tableDir, "data"))(
           _ resolve _)
         Files.createDirectories(targetDir)
@@ -695,19 +779,21 @@ object IcebergCompat {
     }
     val schemaJson = mapper.writeValueAsString(schemaNode)
 
-    // identity partition spec JSON — shared by the manifest key-value
-    // metadata and the table metadata's partition-specs entry
+    // partition spec JSON — shared by the manifest key-value metadata
+    // and the table metadata's partition-specs entry
     val specFieldsArr = mapper.createArrayNode()
-    partCols.zipWithIndex.foreach { case (c, i) =>
+    partFields.zip(partFieldIds).foreach { case (pf, id) =>
       val f = specFieldsArr.addObject()
-      f.put("name", c)
-      f.put("transform", "identity")
-      f.put("source-id", df.schema.fieldIndex(c) + 1)
-      f.put("field-id", 1000 + i)
+      f.put("name", pf.name)
+      f.put("transform", pf.transform)
+      f.put("source-id", df.schema.fieldIndex(pf.source) + 1)
+      f.put("field-id", id)
     }
     val specFieldsJson = mapper.writeValueAsString(specFieldsArr)
 
-    val entrySchema = mkManifestEntrySchema(partFields)
+    val entrySchema = mkManifestEntrySchema(
+      partFields.map(pf => StructField(pf.name, pf.resultType))
+        .zip(partFieldIds))
     val dataFileSchema = entrySchema.getField("data_file").schema()
     val partStructSchema = dataFileSchema.getField("partition").schema()
     val entriesWithRows = moved.map { case (p, tuple) =>
@@ -718,7 +804,7 @@ object IcebergCompat {
       d.put("file_path", p)
       d.put("file_format", "PARQUET")
       val pr = new GenericData.Record(partStructSchema)
-      partCols.zip(tuple).foreach { case (c, v) => pr.put(c, v) }
+      partFields.map(_.name).zip(tuple).foreach { case (c, v) => pr.put(c, v) }
       d.put("partition", pr)
       d.put("record_count", rows)
       d.put("file_size_in_bytes", Files.size(path))
@@ -733,7 +819,7 @@ object IcebergCompat {
     val manifestPath = metaDir.resolve(f"m-$snapshotId%d.avro")
     writeAvro(manifestPath, entrySchema, entriesWithRows.map(_._1),
       Map("schema" -> schemaJson, "partition-spec" -> specFieldsJson,
-        "partition-spec-id" -> "0", "format-version" -> "2",
+        "partition-spec-id" -> specId.toString, "format-version" -> "2",
         "content" -> "data"))
 
     def carry(r: GenericRecord): GenericRecord = carryManifest(r, parentId)
@@ -741,7 +827,7 @@ object IcebergCompat {
       val r = new GenericData.Record(manifestFileSchema)
       r.put("manifest_path", manifestPath.toString)
       r.put("manifest_length", Files.size(manifestPath))
-      r.put("partition_spec_id", 0)
+      r.put("partition_spec_id", specId)
       r.put("content", 0) // data manifests
       r.put("sequence_number", sequenceNumber)
       r.put("min_sequence_number", sequenceNumber)
@@ -761,18 +847,33 @@ object IcebergCompat {
     writeAvro(listPath, manifestFileSchema, listRecords,
       Map("format-version" -> "2"))
 
+    // complete partition-specs array: every historical spec verbatim,
+    // plus this commit's spec when it is new
+    val specsArr = mapper.createArrayNode()
+    priorSpecsNodes.foreach(specsArr.add)
+    if (specChanged || prior.isEmpty) {
+      val s = specsArr.addObject()
+      s.put("spec-id", specId)
+      s.set[JsonNode]("fields", specFieldsArr)
+    }
+    val lastPartitionId =
+      math.max(basePartFieldId, partFieldIds.maxOption.getOrElse(999))
     commitMetadataJson(metaDir, tableDir, version, tableUuid,
-      sequenceNumber, df.schema.length, schemaNode, specFieldsArr,
-      999 + partCols.size, prevSnapshotNodes, snapshotId, parentId,
+      sequenceNumber, df.schema.length, schemaNode, specsArr, specId,
+      lastPartitionId, prevSnapshotNodes, snapshotId, parentId,
       listPath, mode)
     snapshotId
   }
 
-  /** Versioned metadata JSON + version-hint for one new snapshot. */
+  /** Versioned metadata JSON + version-hint for one new snapshot.
+    * `specsArr` is the COMPLETE partition-specs array (historical specs
+    * included — spec evolution keeps them all). */
   private def commitMetadataJson(metaDir: Path, tableDir: String,
       version: Long, tableUuid: String, sequenceNumber: Long,
-      lastColumnId: Int, schemaNode: JsonNode, specFieldsArr: JsonNode,
-      lastPartitionId: Int, prevSnapshotNodes: Seq[JsonNode],
+      lastColumnId: Int, schemaNode: JsonNode,
+      specsArr: com.fasterxml.jackson.databind.node.ArrayNode,
+      defaultSpecId: Int, lastPartitionId: Int,
+      prevSnapshotNodes: Seq[JsonNode],
       snapshotId: Long, parentId: Long, listPath: Path,
       operation: String): Unit = {
     val now = System.currentTimeMillis()
@@ -785,10 +886,8 @@ object IcebergCompat {
     root.put("last-column-id", lastColumnId)
     root.put("current-schema-id", 0)
     root.putArray("schemas").add(schemaNode)
-    root.put("default-spec-id", 0)
-    val spec0 = root.putArray("partition-specs").addObject()
-    spec0.put("spec-id", 0)
-    spec0.set[JsonNode]("fields", specFieldsArr)
+    root.put("default-spec-id", defaultSpecId)
+    root.set[JsonNode]("partition-specs", specsArr)
     root.put("last-partition-id", lastPartitionId)
     root.put("default-sort-order-id", 0)
     val order0 = root.putArray("sort-orders").addObject()
@@ -870,10 +969,10 @@ object IcebergCompat {
     // — mis-scoping the deletes. Refuse rather than emit a manifest
     // other readers misinterpret; partition-scoped delete manifests are
     // the upgrade path.
-    val spec = identitySpecFields(prior)
+    val spec = defaultSpec(prior).map(_._1)
     if (spec.nonEmpty)
       throw new UnsupportedOperationException(
-        s"$tableDir is identity-partitioned (${spec.mkString(", ")}) — " +
+        s"$tableDir is partitioned (${spec.mkString(", ")}) — " +
           "this writer only emits global delete files for " +
           "unpartitioned tables")
     val prevVersion = new String(Files.readAllBytes(
@@ -957,9 +1056,19 @@ object IcebergCompat {
       prevManifestRecords.map(carryManifest(_, parentId)) :+ newListEntry,
       Map("format-version" -> "2"))
 
+    val specsArr = prior.path("partition-specs") match {
+      case a: com.fasterxml.jackson.databind.node.ArrayNode => a
+      case _ =>
+        val arr = mapper.createArrayNode()
+        val s = arr.addObject()
+        s.put("spec-id", 0)
+        s.set[JsonNode]("fields", specFieldsArr)
+        arr
+    }
     commitMetadataJson(metaDir, tableDir, version, tableUuid,
       sequenceNumber, prior.path("last-column-id").asInt(0), schemaNode,
-      specFieldsArr, prior.path("last-partition-id").asInt(999),
+      specsArr, prior.path("default-spec-id").asInt(0),
+      prior.path("last-partition-id").asInt(999),
       prevSnapshotNodes, snapshotId, parentId, listPath, "delete")
     snapshotId
   }

@@ -1,0 +1,147 @@
+package graft.lake
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{col, pmod, substring, udf}
+import org.apache.spark.sql.types._
+
+/** Iceberg partition transforms, straight from the table-format spec
+  * ("Partition Transforms" + Appendix B "32-bit Hash Requirements"):
+  *
+  *   - `identity` — the value itself;
+  *   - `bucket[N]` — `(murmur3_x86_32(canonical bytes) & MaxInt) % N`,
+  *     where int/long hash their 8 little-endian bytes (so int 34 and
+  *     long 34 bucket identically, as the spec requires), strings their
+  *     UTF-8 bytes;
+  *   - `truncate[W]` — `v - (((v % W) + W) % W)` for int/long (floors
+  *     toward -inf), leading-W-chars for strings.
+  *
+  * The hash is implemented here rather than borrowed because Spark's
+  * Murmur3_x86_32 variant diverges from the reference algorithm on
+  * non-4-byte-aligned tails — a silent bucket mismatch against real
+  * Iceberg writers. Spec test vectors pin it in IcebergCompatSpec.
+  */
+object IcebergTransforms {
+
+  /** Reference murmur3_x86_32 (public domain algorithm), seed 0. */
+  def murmur3(bytes: Array[Byte], seed: Int = 0): Int = {
+    val c1 = 0xcc9e2d51
+    val c2 = 0x1b873593
+    var h1 = seed
+    val nblocks = bytes.length / 4
+    var i = 0
+    while (i < nblocks) {
+      val o = 4 * i
+      var k1 = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+      k1 *= c1
+      k1 = Integer.rotateLeft(k1, 15)
+      k1 *= c2
+      h1 ^= k1
+      h1 = Integer.rotateLeft(h1, 13)
+      h1 = h1 * 5 + 0xe6546b64
+      i += 1
+    }
+    var k1 = 0
+    val tail = nblocks * 4
+    val rem = bytes.length & 3
+    if (rem == 3) k1 ^= (bytes(tail + 2) & 0xff) << 16
+    if (rem >= 2) k1 ^= (bytes(tail + 1) & 0xff) << 8
+    if (rem >= 1) {
+      k1 ^= bytes(tail) & 0xff
+      k1 *= c1
+      k1 = Integer.rotateLeft(k1, 15)
+      k1 *= c2
+      h1 ^= k1
+    }
+    h1 ^= bytes.length
+    h1 ^= h1 >>> 16
+    h1 *= 0x85ebca6b
+    h1 ^= h1 >>> 13
+    h1 *= 0xc2b2ae35
+    h1 ^= h1 >>> 16
+    h1
+  }
+
+  /** int/long hash: murmur3 of the value's 8 little-endian bytes. */
+  def hashLong(v: Long): Int = {
+    val b = new Array[Byte](8)
+    var i = 0
+    while (i < 8) { b(i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+    murmur3(b)
+  }
+
+  def hashString(s: String): Int =
+    murmur3(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  def bucketOf(v: Any, n: Int): Integer = v match {
+    case null => null
+    case i: Int => (hashLong(i.toLong) & Integer.MAX_VALUE) % n
+    case l: Long => (hashLong(l) & Integer.MAX_VALUE) % n
+    case s: String => (hashString(s) & Integer.MAX_VALUE) % n
+    case other => throw new UnsupportedOperationException(
+      s"Iceberg bucket over ${other.getClass.getSimpleName} out of scope")
+  }
+
+  private val BucketRe = """bucket\[(\d+)\]""".r
+  private val TruncateRe = """truncate\[(\d+)\]""".r
+
+  /** Result type of `transform` applied to a `source`-typed column. */
+  def resultType(transform: String, source: DataType): DataType =
+    transform match {
+      case "identity" => source
+      case BucketRe(_) => IntegerType
+      case TruncateRe(_) => source
+      case other => throw new UnsupportedOperationException(
+        s"Iceberg partition transform '$other' out of this writer's scope")
+    }
+
+  /** Spec field name convention for a derived partition field. */
+  def fieldName(transform: String, source: String): String = transform match {
+    case "identity" => source
+    case BucketRe(_) => s"${source}_bucket"
+    case TruncateRe(_) => s"${source}_trunc"
+    case other => throw new UnsupportedOperationException(
+      s"Iceberg partition transform '$other' out of this writer's scope")
+  }
+
+  /** Spark column computing the transform of `source` (used to stage
+    * hive-layout partition dirs; one expression, no extra pass). */
+  def expr(transform: String, source: String, sourceType: DataType): Column =
+    (transform, sourceType) match {
+      case ("identity", _) => col(source)
+      case (BucketRe(n), IntegerType | LongType) =>
+        val buckets = n.toInt
+        udf((v: java.lang.Long) =>
+          if (v == null) null
+          else Int.box((hashLong(v.longValue) & Integer.MAX_VALUE) % buckets))
+          .apply(col(source).cast(LongType))
+      case (BucketRe(n), StringType) =>
+        val buckets = n.toInt
+        udf((v: String) =>
+          if (v == null) null
+          else Int.box((hashString(v) & Integer.MAX_VALUE) % buckets))
+          .apply(col(source))
+      case (TruncateRe(w), IntegerType | LongType) =>
+        col(source) - pmod(col(source), org.apache.spark.sql.functions.lit(w.toInt))
+      case (TruncateRe(w), StringType) =>
+        substring(col(source), 1, w.toInt)
+      case (t, st) => throw new UnsupportedOperationException(
+        s"Iceberg transform '$t' over $st out of this writer's scope")
+    }
+
+  /** Parse a partition value staged as a hive dir segment back to the
+    * transform's result type. */
+  def parseStaged(v: Option[String], t: DataType): Any = v match {
+    case None => null
+    case Some(s) => t match {
+      case StringType => s
+      case IntegerType => s.toInt
+      case LongType => s.toLong
+      case BooleanType => s.toBoolean
+      case FloatType => s.toFloat
+      case DoubleType => s.toDouble
+      case other => throw new UnsupportedOperationException(
+        s"Spark type $other out of scope as an Iceberg partition value")
+    }
+  }
+}

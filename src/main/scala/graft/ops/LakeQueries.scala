@@ -282,6 +282,47 @@ object LakeQueries {
     """SELECT p_partkey, p_name, p_brand, p_retailprice FROM part
       |ORDER BY p_partkey""".stripMargin
 
+  /** Bucket + truncate partition transforms (spec-exact murmur3
+    * bucketing): write supplier bucket-partitioned on its key and
+    * truncate-partitioned on the name prefix, append inheriting the
+    * spec, read back. Source columns live in the data files (the tuple
+    * holds only transformed values), so the read is a direct full-schema
+    * scan — the layout real Iceberg writers produce. */
+  val icebergBucketRoundtrip: Q = (s, dir) => {
+    val tmp = graft.Scratch.dir("graft-iceberg-bucket-q")
+    val sup = Tables.load(s, dir, "supplier")
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    graft.lake.IcebergCompat.write(sup.filter(col("s_suppkey") % 2 === 0),
+      tmp, transforms = Seq("s_suppkey" -> "bucket[4]", "s_name" -> "truncate[12]"))
+    graft.lake.IcebergCompat.write(sup.filter(col("s_suppkey") % 2 =!= 0), tmp)
+    graft.lake.IcebergCompat.read(s, tmp).orderBy("s_suppkey")
+  }
+
+  val icebergBucketRoundtripSql: String =
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Partition-spec evolution: three snapshots under three different
+    * specs (unpartitioned → bucket → identity) — every historical spec
+    * stays in the metadata, each manifest resolves its own, and the
+    * read assembles all shapes (direct scans + identity reconstruction)
+    * into one table. */
+  val icebergEvolveRoundtrip: Q = (s, dir) => {
+    val tmp = graft.Scratch.dir("graft-iceberg-evolve-q")
+    val n = Tables.load(s, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    graft.lake.IcebergCompat.write(n.filter(col("n_nationkey") % 3 === 0), tmp)
+    graft.lake.IcebergCompat.write(n.filter(col("n_nationkey") % 3 === 1),
+      tmp, transforms = Seq("n_nationkey" -> "bucket[2]"), evolveSpec = true)
+    graft.lake.IcebergCompat.write(n.filter(col("n_nationkey") % 3 === 2),
+      tmp, partitionBy = Seq("n_regionkey"), evolveSpec = true)
+    graft.lake.IcebergCompat.read(s, tmp).orderBy("n_nationkey")
+  }
+
+  val icebergEvolveRoundtripSql: String =
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |ORDER BY n_nationkey""".stripMargin
+
   /** Identity-partitioned Iceberg: partitioned write (typed tuples in
     * the manifests, hive-staged data without the partition columns), an
     * append inheriting the spec, and a read that reconstructs the
@@ -426,6 +467,8 @@ object LakeQueries {
     "q_scd2_history" -> scd2History,
     "q_iceberg_roundtrip" -> icebergRoundtrip,
     "q_iceberg_part_roundtrip" -> icebergPartRoundtrip,
+    "q_iceberg_bucket_roundtrip" -> icebergBucketRoundtrip,
+    "q_iceberg_evolve_roundtrip" -> icebergEvolveRoundtrip,
     "q_iceberg_pos_delete" -> icebergPosDelete,
     "q_iceberg_eq_delete" -> icebergEqDelete,
     "q_delta_roundtrip" -> deltaRoundtrip,
@@ -446,6 +489,8 @@ object LakeQueries {
     "q_scd2_history" -> scd2HistorySql,
     "q_iceberg_roundtrip" -> icebergRoundtripSql,
     "q_iceberg_part_roundtrip" -> icebergPartRoundtripSql,
+    "q_iceberg_bucket_roundtrip" -> icebergBucketRoundtripSql,
+    "q_iceberg_evolve_roundtrip" -> icebergEvolveRoundtripSql,
     "q_iceberg_pos_delete" -> icebergPosDeleteSql,
     "q_iceberg_eq_delete" -> icebergEqDeleteSql,
     "q_delta_roundtrip" -> deltaRoundtripSql,

@@ -239,6 +239,78 @@ class IcebergCompatSpec extends SparkSuite {
     assert(meta.get("last-partition-id").asInt() === 1001)
   }
 
+  test("bucket/truncate transforms: spec-exact hashing, routing, round-trip") {
+    import scala.jdk.CollectionConverters._
+    // 32-bit hash test vectors from the Iceberg spec (Appendix B): int
+    // and long 34 hash identically; string hashes its UTF-8 bytes.
+    assert(IcebergTransforms.hashLong(34L) === 2017239379)
+    assert(IcebergTransforms.hashString("iceberg") === 1210000089)
+
+    val dir = tmpDir("iceberg-bucket")
+    val df = spark.range(0, 100)
+      .selectExpr("id AS k", "CAST(id AS STRING) AS s", "CAST(id % 7 AS INT) AS n")
+    IcebergCompat.write(df, dir,
+      transforms = Seq("k" -> "bucket[4]", "s" -> "truncate[2]"))
+    // content round-trips exactly
+    val back = IcebergCompat.read(spark, dir)
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    assert(back === (0L until 100L).map(i => (i, i.toString, (i % 7).toInt)))
+    // source columns STAY in the data files (the tuple only holds the
+    // transformed value — files are the only place to read the source)
+    val aFile = Files.walk(Paths.get(dir, "data")).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    assert(spark.read.parquet(aFile.toString).schema.fieldNames.toSet ===
+      Set("k", "s", "n"))
+    // every row landed in the file whose dir matches its spec bucket
+    val misrouted = Files.walk(Paths.get(dir, "data")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val bucketDir = p.getParent.getParent.getFileName.toString
+        val b = bucketDir.split("=")(1).toInt
+        spark.read.parquet(p.toString).select("k").as[Long].collect()
+          .count(k => (IcebergTransforms.hashLong(k) & Int.MaxValue) % 4 != b)
+      }.sum
+    assert(misrouted === 0L)
+    // metadata declares the transforms
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(new String(Files.readAllBytes(
+      Paths.get(dir, "metadata", "v1.metadata.json")), "UTF-8"))
+    val fields = meta.get("partition-specs").get(0).get("fields")
+    assert(fields.get(0).get("transform").asText() === "bucket[4]")
+    assert(fields.get(0).get("name").asText() === "k_bucket")
+    assert(fields.get(1).get("transform").asText() === "truncate[2]")
+  }
+
+  test("spec evolution: unpartitioned -> bucket -> identity reads as one table") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmpDir("iceberg-evolve")
+    def rows(a: Long, b: Long) = spark.range(a, b)
+      .selectExpr("id AS k", "CAST(id % 3 AS INT) AS c", "CAST(id AS STRING) AS v")
+    IcebergCompat.write(rows(0, 10), dir) // spec 0: unpartitioned
+    IcebergCompat.write(rows(10, 20), dir,
+      transforms = Seq("k" -> "bucket[2]"), evolveSpec = true) // spec 1
+    IcebergCompat.write(rows(20, 30), dir,
+      partitionBy = Seq("c"), evolveSpec = true) // spec 2: identity (hive)
+    val back = IcebergCompat.read(spark, dir)
+      .as[(Long, Int, String)].collect().sortBy(_._1).toSeq
+    assert(back === (0L until 30L).map(i => (i, (i % 3).toInt, i.toString)))
+    // all three specs live in the metadata; default is the newest
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(new String(Files.readAllBytes(
+      Paths.get(dir, "metadata", "v3.metadata.json")), "UTF-8"))
+    assert(meta.get("partition-specs").size() === 3)
+    assert(meta.get("default-spec-id").asInt() === 2)
+    // partition-field ids never collide across specs
+    val ids = meta.get("partition-specs").elements()
+      .asScala.flatMap(_.get("fields").elements().asScala)
+      .map(_.get("field-id").asInt()).toSeq
+    assert(ids.distinct.size === ids.size)
+    // without the explicit opt-in, a different spec still refuses
+    intercept[IllegalArgumentException] {
+      IcebergCompat.write(rows(30, 40), dir, partitionBy = Seq("v"))
+    }
+  }
+
   test("v2 position deletes apply via (file, pos) anti-join; time travel sees past") {
     val dir = tmpDir("iceberg-posdel")
     IcebergCompat.write(

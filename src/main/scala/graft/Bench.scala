@@ -60,14 +60,26 @@ object Bench {
     val suite = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
 
-    def runPass(): Seq[(String, Double)] = suite.map { case (name, fn) =>
+    // Each query is timed in two phases: BUILD (invoking the closure —
+    // for the lake round-trip queries this eagerly writes + commits the
+    // fixture table, for ordinary queries it only assembles a plan) and
+    // EXEC (materializing the returned frame through the noop sink — the
+    // read leg). The reported per-query time stays build+exec; queries
+    // with meaningful build cost surface it in "setup_sec" so a
+    // round-trip that pays writer cost is never compared 1:1 against a
+    // plain-SELECT oracle baseline.
+    def runPass(): Seq[(String, Double, Double)] = suite.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok =
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
-        } catch { case _: Throwable => false }
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -1.0)
+      val built =
+        try Some(fn(spark, sfDir)) catch { case _: Throwable => None }
+      val t1 = System.nanoTime()
+      val ok = built.exists { df =>
+        try { df.write.format("noop").mode("overwrite").save(); true }
+        catch { case _: Throwable => false }
+      }
+      val t2 = System.nanoTime()
+      (name, if (ok) (t2 - t0) / 1e9 else -1.0,
+        if (ok) (t1 - t0) / 1e9 else -1.0)
     }
 
     val allPasses = (1 to passes).map(_ => runPass())
@@ -87,6 +99,15 @@ object Bench {
           } =>
         s""""$name""""
     }.mkString("[", ",", "]")
+    // Setup (build-phase) seconds for queries whose closure does real
+    // work before the read — the lake round-trips' write+commit legs.
+    val setupSecs = suite.map(_._1).zipWithIndex.flatMap { case (name, i) =>
+      val builds = allPasses.map(_(i)._3)
+      if (builds.exists(_ < 0)) None
+      else Some(name -> builds.min).filter(_._2 > 0.05)
+    }
+    val setupJson = setupSecs.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
 
     val qs = results.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
@@ -96,7 +117,7 @@ object Bench {
     val passTotals = allPasses
       .map(p => p.map(_._2).filter(_ >= 0).sum)
       .map(t => f"$t%.3f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"passes":$passes,"pass_totals":$passTotals,"variance_flags":$varianceFlags,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"passes":$passes,"pass_totals":$passTotals,"variance_flags":$varianceFlags,"setup_sec":$setupJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -77,6 +77,30 @@ object LakeQueries {
       |WHERE o_orderkey % 100 <> 0 AND o_orderkey BETWEEN 1000 AND 2000
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Two-tier point lookup under oracle check: a leading-key lookup
+    * (manifest min/max prunes) unioned with a lookup on a NON-clustered
+    * bloom-declared column (min/max cannot prune — the parquet bloom
+    * filters decide which files open). Correctness never depends on
+    * pruning — the row filter always applies; MooncakeSpec asserts the
+    * pruning itself on a crafted layout. */
+  val pointLookup: Q = (s, dir) => {
+    val lake = new Mooncake(graft.Scratch.dir("graft-point-q"))
+    val c = Tables.load(s, dir, "customer")
+    lake.createTable(s, "cust_pt", c.repartition(8), Seq("c_custkey"),
+      bloomColumns = Seq("c_nationkey"))
+    lake.readPoint(s, "cust_pt", "c_custkey", 421L)
+      .unionAll(lake.readPoint(s, "cust_pt", "c_nationkey", 7L))
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      .orderBy("c_custkey", "c_nationkey")
+  }
+
+  val pointLookupSql: String =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM (
+      |  SELECT * FROM customer WHERE c_custkey = 421
+      |  UNION ALL
+      |  SELECT * FROM customer WHERE c_nationkey = 7) t
+      |ORDER BY c_custkey, c_nationkey""".stripMargin
+
   /** Z-order compaction under oracle check: re-cluster the mirror on
     * interleaved (c_custkey, c_nationkey) bits, then range-scan the
     * SECOND dimension — correctness must be unchanged while the
@@ -477,6 +501,7 @@ object LakeQueries {
     "q_delta_cmap_roundtrip" -> deltaCmapRoundtrip,
     "q_cdc_apply" -> cdcApply,
     "q_mirror_range" -> mirrorRange,
+    "q_point_lookup" -> pointLookup,
     "q_zorder_scan" -> zorderScan,
     "q_mooncake_list_tables" -> listTables,
     "q_load_files" -> loadFiles,
@@ -499,6 +524,7 @@ object LakeQueries {
     "q_delta_cmap_roundtrip" -> deltaCmapRoundtripSql,
     "q_cdc_apply" -> cdcApplySql,
     "q_mirror_range" -> mirrorRangeSql,
+    "q_point_lookup" -> pointLookupSql,
     "q_zorder_scan" -> zorderScanSql,
     "q_mooncake_list_tables" -> listTablesSql,
     "q_load_files" -> loadFilesSql,

@@ -349,6 +349,40 @@ class MooncakeSpec extends SparkSuite {
     }
   }
 
+  test("bloom filters prune point-lookup files on a non-clustered column") {
+    val lake = freshLake()
+    // b = (a * 7919) % 1000 is a bijection on 0..999: every file's
+    // [min,max] b-range spans ~[0,1000) (tier-1 min/max keeps ALL
+    // files), each probe value lives in exactly ONE file — only the
+    // bloom probe can tell which. If the writer option key, column
+    // path, or hash/physical-type wiring were wrong, every failure
+    // mode degrades to "keep the file" and kept.size stays 10.
+    val src = spark.range(0, 1000)
+      .select(col("id").as("a"), ((col("id") * 7919) % 1000).as("b"))
+    lake.createTable(spark, "pt", src.repartition(10), Seq("a"),
+      bloomColumns = Seq("b"))
+    val m = lake.currentManifest("pt")
+    assert(m.files.size === 10)
+    val probe = 777L
+    val actually = m.files.filter(f =>
+      spark.read.parquet(f.path).filter(col("b") === probe).count() > 0)
+      .map(_.path).toSet
+    assert(actually.size === 1)
+    val kept = m.files.filter(f => Manifest.bloomMightContain(
+      java.nio.file.Paths.get(f.path), "b", probe)).map(_.path).toSet
+    // no false negatives (correctness)...
+    assert(actually.subsetOf(kept))
+    // ...and real pruning (the feature's entire value): false positives
+    // only, far fewer than "all files"
+    assert(kept.size <= 3, s"bloom kept ${kept.size}/10 files — not pruning")
+    // the lookup itself matches the plain filter
+    val got = lake.readPoint(spark, "pt", "b", probe)
+      .as[(Long, Long)].collect().toSeq.sorted
+    val want = src.filter(col("b") === probe)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got === want && got.size === 1)
+  }
+
   test("applyChanges past the broadcast key limit falls back to shuffle") {
     val lake = freshLake()
     lake.createTable(spark, "bigbatch",

@@ -90,6 +90,53 @@ class Mooncake(val warehouse: String) {
       carryOver = Seq.empty, bloomColumns = bloomColumns)
   }
 
+  /** Mirror a REMOTE source by URI — the `src_uri` parity path: the
+    * reference's `create_table(dst, src, src_uri, ...)` opens a libpq
+    * connection to ANOTHER server and backfills the initial snapshot
+    * from there (`src/functions.rs:24-43`, loopback default
+    * `:165-177`). The Spark-native resolution goes through Spark's own
+    * connectors instead of libpq:
+    *
+    *   - `jdbc:...` URIs load via the built-in JDBC source (`table` in
+    *     `options` names the remote relation; driver jars come from the
+    *     deployment, exactly as libpq does for the reference) — the
+    *     backfill then PARALLELIZES with partitionColumn/numPartitions
+    *     options instead of a single COPY stream;
+    *   - anything else is a file location, format from `format` or the
+    *     path extension (parquet/csv/json).
+    *
+    * The loaded frame feeds the same [[createTable]] backfill:
+    * range-clustered on the pk, manifest-committed, CDC-ready. */
+  def createTableFromUri(spark: SparkSession, name: String, srcUri: String,
+      pk: Seq[String], format: String = "auto",
+      options: Map[String, String] = Map.empty,
+      bloomColumns: Seq[String] = Seq.empty): Manifest = {
+    val source =
+      if (srcUri.startsWith("jdbc:")) {
+        val table = options.getOrElse("table", options.getOrElse("dbtable",
+          throw new IllegalArgumentException(
+            s"jdbc source for '$name' needs options(\"table\") — the " +
+              "remote relation to mirror")))
+        spark.read.format("jdbc")
+          .options(options - "table").option("url", srcUri)
+          .option("dbtable", table).load()
+      } else {
+        val fmt =
+          if (format != "auto") format
+          else srcUri.replaceAll("/+$", "").split('.').last match {
+            case "csv" => "csv"
+            case "json" => "json"
+            case _ => "parquet"
+          }
+        val reader = spark.read.format(fmt).options(options)
+        (if (fmt == "csv") reader.option("header",
+          options.getOrElse("header", "true")).option("inferSchema",
+          options.getOrElse("inferSchema", "true"))
+        else reader).load(srcUri.stripPrefix("file:"))
+      }
+    createTable(spark, name, source, pk, bloomColumns = bloomColumns)
+  }
+
   def dropTable(name: String): Unit =
     LakeFs.deleteRec(Paths.get(tableDir(name)))
 

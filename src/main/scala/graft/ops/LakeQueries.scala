@@ -77,6 +77,21 @@ object LakeQueries {
       |WHERE o_orderkey % 100 <> 0 AND o_orderkey BETWEEN 1000 AND 2000
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Remote-source mirror (`src_uri` parity, functions.rs:24-43): the
+    * initial backfill loads through a URI — here the fixture's own
+    * parquet location standing in for the remote server — and commits
+    * through the same manifest path as an in-session createTable. */
+  val createFromUri: Q = (s, dir) => {
+    val lake = new Mooncake(graft.Scratch.dir("graft-uri-q"))
+    lake.createTableFromUri(s, "region_uri", s"file:$dir/region.parquet",
+      Seq("r_regionkey"))
+    lake.read(s, "region_uri").select("r_regionkey", "r_name")
+      .orderBy("r_regionkey")
+  }
+
+  val createFromUriSql: String =
+    "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+
   /** Two-tier point lookup under oracle check: a leading-key lookup
     * (manifest min/max prunes) unioned with a lookup on a NON-clustered
     * bloom-declared column (min/max cannot prune — the parquet bloom
@@ -502,6 +517,7 @@ object LakeQueries {
     "q_cdc_apply" -> cdcApply,
     "q_mirror_range" -> mirrorRange,
     "q_point_lookup" -> pointLookup,
+    "q_create_from_uri" -> createFromUri,
     "q_zorder_scan" -> zorderScan,
     "q_mooncake_list_tables" -> listTables,
     "q_load_files" -> loadFiles,
@@ -525,6 +541,7 @@ object LakeQueries {
     "q_cdc_apply" -> cdcApplySql,
     "q_mirror_range" -> mirrorRangeSql,
     "q_point_lookup" -> pointLookupSql,
+    "q_create_from_uri" -> createFromUriSql,
     "q_zorder_scan" -> zorderScanSql,
     "q_mooncake_list_tables" -> listTablesSql,
     "q_load_files" -> loadFilesSql,

@@ -349,6 +349,27 @@ class MooncakeSpec extends SparkSuite {
     }
   }
 
+  test("createTableFromUri mirrors a remote location (src_uri parity)") {
+    val lake = freshLake()
+    // file-URI source (the testable connector here; jdbc: goes through
+    // Spark's built-in JDBC source with deployment-provided drivers)
+    val src = tmpDir("uri-src")
+    rTable(1 -> "a", 2 -> "b", 3 -> "c").write.mode("overwrite").parquet(src)
+    lake.createTableFromUri(spark, "uri_mirror", s"file:$src", Seq("a"))
+    assert(lake.read(spark, "uri_mirror").orderBy("a")
+      .as[(Int, String)].collect().toSeq === Seq(1 -> "a", 2 -> "b", 3 -> "c"))
+    // csv by extension
+    val csvSrc = tmpDir("uri-csv") + "/t.csv"
+    rTable(4 -> "d").write.option("header", "true").mode("overwrite").csv(csvSrc)
+    lake.createTableFromUri(spark, "uri_csv", csvSrc, Seq("a"))
+    assert(lake.read(spark, "uri_csv").count() === 1)
+    // jdbc plumbing demands the remote relation name up front
+    assertThrows[IllegalArgumentException] {
+      lake.createTableFromUri(spark, "uri_jdbc",
+        "jdbc:postgresql://example/db", Seq("a"))
+    }
+  }
+
   test("bloom filters prune point-lookup files on a non-clustered column") {
     val lake = freshLake()
     // b = (a * 7919) % 1000 is a bijection on 0..999: every file's

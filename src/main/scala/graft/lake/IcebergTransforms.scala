@@ -84,13 +84,17 @@ object IcebergTransforms {
 
   private val BucketRe = """bucket\[(\d+)\]""".r
   private val TruncateRe = """truncate\[(\d+)\]""".r
+  private val TimeTransforms = Set("year", "month", "day", "hour")
 
-  /** Result type of `transform` applied to a `source`-typed column. */
+  /** Result type of `transform` applied to a `source`-typed column.
+    * Time transforms store epoch-relative ordinals (years/months/days/
+    * hours since 1970) as ints, per the spec. */
   def resultType(transform: String, source: DataType): DataType =
     transform match {
       case "identity" => source
       case BucketRe(_) => IntegerType
       case TruncateRe(_) => source
+      case t if TimeTransforms(t) => IntegerType
       case other => throw new UnsupportedOperationException(
         s"Iceberg partition transform '$other' out of this writer's scope")
     }
@@ -100,6 +104,7 @@ object IcebergTransforms {
     case "identity" => source
     case BucketRe(_) => s"${source}_bucket"
     case TruncateRe(_) => s"${source}_trunc"
+    case t if TimeTransforms(t) => s"${source}_$t"
     case other => throw new UnsupportedOperationException(
       s"Iceberg partition transform '$other' out of this writer's scope")
   }
@@ -125,6 +130,21 @@ object IcebergTransforms {
         col(source) - pmod(col(source), org.apache.spark.sql.functions.lit(w.toInt))
       case (TruncateRe(w), StringType) =>
         substring(col(source), 1, w.toInt)
+      // Time transforms: epoch-relative ordinals, computed on the DATE
+      // part (UTC session — matching Iceberg's UTC-normalized values).
+      case ("year", DateType | TimestampType | TimestampNTZType) =>
+        (org.apache.spark.sql.functions.year(col(source)) - 1970)
+          .cast(IntegerType)
+      case ("month", DateType | TimestampType | TimestampNTZType) =>
+        ((org.apache.spark.sql.functions.year(col(source)) - 1970) * 12 +
+          org.apache.spark.sql.functions.month(col(source)) - 1)
+          .cast(IntegerType)
+      case ("day", DateType | TimestampType | TimestampNTZType) =>
+        org.apache.spark.sql.functions.datediff(col(source),
+          org.apache.spark.sql.functions.lit("1970-01-01")).cast(IntegerType)
+      case ("hour", TimestampType | TimestampNTZType) =>
+        org.apache.spark.sql.functions.floor(
+          col(source).cast(LongType) / 3600L).cast(IntegerType)
       case (t, st) => throw new UnsupportedOperationException(
         s"Iceberg transform '$t' over $st out of this writer's scope")
     }

@@ -281,6 +281,30 @@ class IcebergCompatSpec extends SparkSuite {
     assert(fields.get(1).get("transform").asText() === "truncate[2]")
   }
 
+  test("time transforms partition by epoch ordinals (day/month/year/hour)") {
+    import scala.jdk.CollectionConverters._
+    // ordinal math per spec: values relative to 1970 epoch
+    val dir = tmpDir("iceberg-day")
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("1970-01-01")),
+      (2L, java.sql.Date.valueOf("1970-02-03")),
+      (3L, java.sql.Date.valueOf("2024-06-15"))).toDF("k", "d")
+    IcebergCompat.write(df, dir, transforms = Seq("d" -> "day"))
+    val back = IcebergCompat.read(spark, dir)
+      .as[(Long, java.sql.Date)].collect().sortBy(_._1).toSeq
+    assert(back.map(_._2.toString) === Seq("1970-01-01", "1970-02-03", "2024-06-15"))
+    // manifest tuple = days since epoch (0 for 1970-01-01, 33 for 02-03)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(new String(Files.readAllBytes(
+      Paths.get(dir, "metadata", "v1.metadata.json")), "UTF-8"))
+    val f0 = meta.get("partition-specs").get(0).get("fields").get(0)
+    assert(f0.get("transform").asText() === "day")
+    assert(f0.get("name").asText() === "d_day")
+    val dirs = Files.list(Paths.get(dir, "data")).iterator().asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSet
+    assert(dirs === Set("__p__d_day=0", "__p__d_day=33", "__p__d_day=19889"))
+  }
+
   test("spec evolution: unpartitioned -> bucket -> identity reads as one table") {
     import scala.jdk.CollectionConverters._
     val dir = tmpDir("iceberg-evolve")

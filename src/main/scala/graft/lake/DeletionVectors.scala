@@ -195,6 +195,60 @@ object DeletionVectors {
     deserializeData(data)
   }
 
+  // ---------------------------------------------------------------------
+  // Scan-side application: codegen'd row-liveness predicate
+  // ---------------------------------------------------------------------
+
+  /** Row-liveness kernel behind [[DvLive]]. Scans process one file's
+    * rows consecutively, so the (path → bitmap) resolution memoizes the
+    * last hit per thread — the per-row cost is one reference compare +
+    * one binary search, no string conversion. */
+  object DvOps {
+    private val last =
+      new ThreadLocal[(org.apache.spark.unsafe.types.UTF8String, Array[Long])]
+
+    def live(dvMap: Map[String, Array[Long]],
+        fp: org.apache.spark.unsafe.types.UTF8String, pos: Long): Boolean = {
+      val cached = last.get()
+      val deleted =
+        if (cached != null && cached._1.equals(fp)) cached._2
+        else {
+          val s = fp.toString
+          val path = if (s.startsWith("file:")) new java.net.URI(s).getPath else s
+          val arr = dvMap.getOrElse(path, null)
+          last.set((fp.clone(), arr))
+          arr
+        }
+      deleted == null || java.util.Arrays.binarySearch(deleted, pos) < 0
+    }
+  }
+
+  /** `live(file_path, row_index)` as a native codegen'd predicate — the
+    * DV bitmaps ride the expression into the stage's reference array
+    * (shipped via Spark's task-binary broadcast), so the scan filter
+    * stays inside whole-stage codegen instead of dropping to a UDF. */
+  case class DvLive(left: org.apache.spark.sql.catalyst.expressions.Expression,
+      right: org.apache.spark.sql.catalyst.expressions.Expression,
+      dvMap: Map[String, Array[Long]])
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    override def dataType: org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.BooleanType
+    override protected def nullSafeEval(fp: Any, pos: Any): Any =
+      DvOps.live(dvMap,
+        fp.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        pos.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val mapRef = ctx.addReferenceObj("dvMap", dvMap,
+        "scala.collection.immutable.Map")
+      defineCodeGen(ctx, ev, (fp, pos) =>
+        s"graft.lake.DeletionVectors.DvOps.live($mapRef, $fp, $pos)")
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression) = copy(left = l, right = r)
+  }
+
   /** Write one DV file holding a vector per entry (one commit's worth),
     * returning `u`-storage descriptors in input order. */
   def write(tableRoot: Path, vectors: Seq[Array[Long]]): Seq[Descriptor] = {

@@ -344,7 +344,7 @@ object DeltaCompat {
     * the cost is the broadcast of manifest-scale bitmap state, not IO. */
   private def scan(spark: SparkSession, table: String,
       version: Option[Long], keepMeta: Boolean): (DataFrame, LogState) = {
-    import org.apache.spark.sql.functions.{col, lit, udf}
+    import org.apache.spark.sql.functions.{col, lit}
     val state = replay(spark, table, version)
     val schema = DataType.fromJson(state.schemaJson.getOrElse(
       throw new IllegalStateException(s"$table has no metaData action")))
@@ -421,12 +421,14 @@ object DeltaCompat {
     val dvFiltered =
       if (dvMap.isEmpty) assembled
       else {
-        val bc = spark.sparkContext.broadcast(dvMap)
-        val live = udf((fp: String, pos: Long) => {
-          val deleted = bc.value.getOrElse(uriToPath(fp), null)
-          deleted == null || java.util.Arrays.binarySearch(deleted, pos) < 0
-        })
-        assembled.filter(live(col("__fp"), col("__pos")))
+        // codegen'd predicate — bitmaps ship in the stage's reference
+        // array (task-binary broadcast), per-row cost is one memoized
+        // lookup + binary search, and the scan stage stays whole-stage
+        // compiled (a UDF here would break codegen for the entire scan)
+        import org.apache.spark.sql.graft.ColumnBridge
+        assembled.filter(ColumnBridge.column(DeletionVectors.DvLive(
+          ColumnBridge.expression(col("__fp")),
+          ColumnBridge.expression(col("__pos")), dvMap)))
       }
     val result =
       if (keepMeta) dvFiltered

@@ -52,4 +52,54 @@ class DeltaPropertySpec extends SparkSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
     assert(result.passed, s"property failed: ${result.status}")
   }
+
+  /** Property: for ANY interleaving of appends and predicate deletes,
+    * reading the table equals the in-memory model (append = add rows,
+    * delete = drop matching LIVE rows). Exercises DV write, bitmap
+    * merge on repeated deletes of the same files, and the codegen'd
+    * scan-side application. */
+  test("delta DV deletes == model for random append/delete sequences") {
+    sealed trait Op
+    case class Append(rows: List[(Long, String)]) extends Op
+    case class Delete(mod: Long, rem: Long) extends Op
+
+    val genOp: Gen[Op] = Gen.frequency(
+      2 -> (for {
+        n <- Gen.chooseNum(2, 6)
+        rows <- Gen.listOfN(n, for {
+          k <- Gen.choose(0L, 60L)
+          v <- Gen.alphaStr.map(_.take(3))
+        } yield (k, v))
+      } yield Append(rows)),
+      3 -> (for {
+        mod <- Gen.choose(2L, 7L)
+        rem <- Gen.choose(0L, 6L)
+      } yield Delete(mod, rem.min(mod - 1))))
+
+    var i = 0
+    val prop = Prop.forAll(Gen.chooseNum(2, 5).flatMap(n =>
+      Gen.listOfN(n, genOp))) { ops0 =>
+      // start with an append so deletes have something to chew on
+      val ops = Append(List((1L, "a"), (2L, "b"), (3L, "c"))) :: ops0
+      i += 1
+      val dir = tmpDir(s"delta-dvprop-$i")
+      import org.apache.spark.sql.functions.col
+      val model = ops.foldLeft(List.empty[(Long, String)]) { (st, op) =>
+        op match {
+          case Append(rows) =>
+            DeltaCompat.write(rows.toDF("k", "v"), dir)
+            st ++ rows
+          case Delete(mod, rem) =>
+            DeltaCompat.delete(spark, dir, col("k") % mod === rem)
+            st.filterNot { case (k, _) => k % mod == rem }
+        }
+      }
+      val got = DeltaCompat.read(spark, dir)
+        .as[(Long, String)].collect().sorted.toList
+      got == model.sorted
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(result.passed, s"property failed: ${result.status}")
+  }
 }

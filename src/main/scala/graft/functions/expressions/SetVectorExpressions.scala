@@ -124,6 +124,39 @@ object SetVectorOps {
     new GenericArrayData(keys)
   }
 
+  /** L2 norm of a float vector — left-fold double accumulation, so the
+    * DuckDB list_reduce oracle reproduces it bit-exactly. */
+  def l2normF(a: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      acc += x * x
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  /** Symmetric int8 quantization of a float vector: scale to the unit
+    * sphere, then floor(x/norm * 127) per element — the storage-
+    * shrinking step before an ANN index ships to serving. Zero vectors
+    * quantize to zeros (no 0/0). floor (not round) keeps ties
+    * deterministic across engines. */
+  def quantize8(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val norm = l2normF(a)
+    val out = new Array[Int](n)
+    if (norm != 0.0) {
+      var i = 0
+      while (i < n) {
+        out(i) = math.floor(a.getFloat(i).toDouble / norm * 127.0).toInt
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
   /** Same fused left-fold cosine over double vectors (the planted-dup
     * LSH fixture carries doubles end-to-end — no float round-trip). */
   def cosineD(a: ArrayData, b: ArrayData): Double = {
@@ -191,6 +224,29 @@ case class WideBandKeys(child: Expression, dims: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+case class L2NormF(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+  override protected def nullSafeEval(v: Any): Any =
+    SetVectorOps.l2normF(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expressions.SetVectorOps.l2normF($c)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class Quantize8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override protected def nullSafeEval(v: Any): Any =
+    SetVectorOps.quantize8(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expressions.SetVectorOps.quantize8($c)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class CosineSimD(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -215,4 +271,6 @@ object SetVectorExpressions {
     column(CosineSimD(expr(a), expr(b)))
   def wide_band_keys(v: Column, dims: Int): Column =
     column(WideBandKeys(expr(v), dims))
+  def l2_norm(v: Column): Column = column(L2NormF(expr(v)))
+  def quantize8(v: Column): Column = column(Quantize8(expr(v)))
 }

@@ -230,6 +230,89 @@ object CurationQueries {
       |ORDER BY doc_id""".stripMargin
 
   // ===========================================================================
+  // Deterministic epoch shuffle, split assignment, embedding quantization
+  // ===========================================================================
+
+  /** Deterministic global shuffle — the per-epoch corpus reorder a
+    * training run does before sharding. The order key is a Lehmer-style
+    * LCG of doc_id (folded to 63-bit-safe range exactly like
+    * [[sampleStratified]]), so the permutation reproduces from the seed
+    * constants alone — no stored state, any worker can compute any
+    * shard's order. Spark executes the orderBy as a range-partitioned
+    * distributed sort (sampled bounds, no single reducer): the one
+    * shuffle a 100 TB epoch reorder actually needs. */
+  val shuffleEpoch: Q = (s, dir) => {
+    val folded = (col("doc_id") % 1048573L + 1048573L) % 1048573L
+    docs(s, dir)
+      .select(col("doc_id"),
+        ((folded * 48271L + 11L) % 1000003L).as("shuffle_key"), col("lang"))
+      .orderBy("shuffle_key", "doc_id")
+  }
+
+  val shuffleEpochSql: String =
+    """SELECT doc_id,
+      |  (((doc_id % 1048573 + 1048573) % 1048573) * 48271 + 11) % 1000003
+      |    AS shuffle_key,
+      |  lang
+      |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin
+
+  /** Train/val/test assignment by hash (90/5/5 permille bands of the
+    * folded LCG) — stable under corpus growth: a doc's split never
+    * depends on other rows, so appending data reassigns nothing. The
+    * compared output is the stratification summary — per (lang, split)
+    * doc counts and character mass — which is also what a pipeline
+    * monitors for mixture drift. */
+  val splitAssign: Q = (s, dir) => {
+    val folded = (col("doc_id") % 1048573L + 1048573L) % 1048573L
+    val pm = (folded * 1103515245L + 12345L) % 1000L
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        when(pm < 900, "train").when(pm < 950, "val")
+          .otherwise("test").as("split"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("lang", "split")
+  }
+
+  val splitAssignSql: String =
+    """SELECT lang, split, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM (
+      |  SELECT doc_id, lang, n_chars,
+      |    CASE WHEN pm < 900 THEN 'train' WHEN pm < 950 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM (SELECT *, (((doc_id % 1048573 + 1048573) % 1048573)
+      |          * 1103515245 + 12345) % 1000 AS pm FROM documents))
+      |GROUP BY lang, split ORDER BY lang, split""".stripMargin
+
+  /** Embedding post-processing for serving: L2 norm + symmetric int8
+    * quantization (floor(x/norm*127)) as fused single-pass codegen
+    * kernels — an interpreted higher-order-function spelling would
+    * re-evaluate a per-element expression tree, the same ~100x penalty
+    * the minhash kernels eliminated. Left-fold double accumulation
+    * keeps the DuckDB list_reduce oracle bit-exact; floor (not round)
+    * keeps quantization ties deterministic across engines. */
+  val embedQuantize: Q = (s, dir) => {
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), SVE.l2_norm(col("embedding")).as("l2_norm"),
+        SVE.quantize8(col("embedding")).as("q8"))
+      .orderBy("vec_id")
+  }
+
+  val embedQuantizeSql: String =
+    """SELECT vec_id,
+      |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |    (a, x) -> a + x)) AS l2_norm,
+      |  CASE WHEN l2_norm = 0 THEN list_transform(embedding, x -> 0)
+      |       ELSE list_transform(embedding,
+      |         x -> CAST(floor(CAST(x AS DOUBLE) / l2_norm * 127.0) AS INT))
+      |  END AS q8
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  // ===========================================================================
   // registry
   // ===========================================================================
 
@@ -239,6 +322,9 @@ object CurationQueries {
     "q_text_redact" -> textRedact,
     "q_contamination" -> contamination,
     "q_pack_sequences" -> packSequences,
+    "q_shuffle_epoch" -> shuffleEpoch,
+    "q_split_assign" -> splitAssign,
+    "q_embed_quantize" -> embedQuantize,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -247,5 +333,8 @@ object CurationQueries {
     "q_text_redact" -> textRedactSql,
     "q_contamination" -> contaminationSql,
     "q_pack_sequences" -> packSequencesSql,
+    "q_shuffle_epoch" -> shuffleEpochSql,
+    "q_split_assign" -> splitAssignSql,
+    "q_embed_quantize" -> embedQuantizeSql,
   )
 }

@@ -71,4 +71,30 @@ class SetVectorExpressionsSpec extends SparkSuite {
       assert(ks === expected(v))
     }
   }
+
+  test("l2_norm / quantize8: unit sphere, bounds, zero vector") {
+    import spark.implicits._
+    val vecs: Seq[Seq[Float]] = Seq(
+      Seq(3f, 4f),                       // norm 5 exactly
+      Seq(0f, 0f, 0f),                   // zero vector -> zero quant
+      Seq(-1f, 1f, 0.5f, -0.25f),
+      Seq.tabulate(64)(i => (math.sin(i * 31) * 2).toFloat))
+    val rows = spark.createDataset(vecs).toDF("v")
+      .select(SVE.l2_norm(col("v")).as("n"), SVE.quantize8(col("v")).as("q"),
+        col("v"))
+      .as[(Double, Seq[Int], Seq[Float])].collect()
+    assert(rows(0)._1 === 5.0)
+    assert(rows(0)._2 === Seq(math.floor(3.0 / 5 * 127).toInt,
+      math.floor(4.0 / 5 * 127).toInt))
+    assert(rows(1)._1 === 0.0 && rows(1)._2 === Seq(0, 0, 0))
+    // all quantized components in the int8 band, and each equals the
+    // scalar reference computation
+    rows.foreach { case (n, q, v) =>
+      assert(q.forall(x => x >= -128 && x <= 127))
+      if (n != 0.0)
+        q.zip(v).foreach { case (qi, vi) =>
+          assert(qi === math.floor(vi.toDouble / n * 127.0).toInt)
+        }
+    }
+  }
 }

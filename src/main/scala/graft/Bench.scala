@@ -61,13 +61,14 @@ object Bench {
       .filter { case (name, _) => only.isEmpty || only(name) }
 
     // Each query is timed in two phases: BUILD (invoking the closure —
-    // for the lake round-trip queries this eagerly writes + commits the
-    // fixture table, for ordinary queries it only assembles a plan) and
-    // EXEC (materializing the returned frame through the noop sink — the
-    // read leg). The reported per-query time stays build+exec; queries
-    // with meaningful build cost surface it in "setup_sec" so a
-    // round-trip that pays writer cost is never compared 1:1 against a
-    // plain-SELECT oracle baseline.
+    // lake round-trips eagerly write + commit their fixture table here,
+    // iterative operators like the dedup-cluster fixpoint materialize
+    // their loop state, ordinary queries only assemble a plan) and EXEC
+    // (materializing the returned frame through the noop sink — the
+    // read leg). The reported per-query time stays build+exec — the
+    // split never shrinks the total — but meaningful build cost
+    // surfaces in "setup_sec" so a round-trip that pays writer cost is
+    // never compared 1:1 against a plain-SELECT oracle baseline.
     def runPass(): Seq[(String, Double, Double)] = suite.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val built =

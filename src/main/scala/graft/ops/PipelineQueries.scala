@@ -420,9 +420,9 @@ object PipelineQueries {
         // oracle's dot/(sqrt(na)*sqrt(nb)) exactly.
         SVE.cosine_sim(col("ea"), col("eb")).as("cos"))
       .filter(col("cos") >= 0.45)
-      // single-pass deterministic order (orderBy's range sampling would
-      // re-run the all-pairs cosine stage once more — see dedupSimhash)
-      .repartition(1).sortWithinPartitions("vec_a", "vec_b")
+    // no ordering tail: the oracle compare canonicalizes row order, and
+    // a repartition(1) here would be a single-reducer funnel that must
+    // never leak into a production path
   }
 
   val dedupEmbedSql: String = {
@@ -475,7 +475,7 @@ object PipelineQueries {
       .select(col("vec_a"), col("vec_b"),
         SVE.cosine_sim_d(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= 0.8)
-      .repartition(1).sortWithinPartitions("vec_a", "vec_b")
+    // no ordering tail — see dedupEmbed
   }
 
   val dedupEmbedLshSql: String = {

@@ -201,22 +201,29 @@ object DeletionVectors {
 
   /** Row-liveness kernel behind [[DvLive]]. Scans process one file's
     * rows consecutively, so the (path → bitmap) resolution memoizes the
-    * last hit per thread — the per-row cost is one reference compare +
-    * one binary search, no string conversion. */
+    * last hit per thread — the per-row cost is two reference compares +
+    * one binary search, no string conversion.
+    *
+    * The memo keys on the DV MAP'S IDENTITY as well as the path:
+    * executor threads outlive queries, and the same file path carries a
+    * DIFFERENT bitmap after every new delete commit — a path-only memo
+    * would serve a stale generation's bitmap to a later snapshot's scan
+    * and silently under-delete. */
   object DvOps {
-    private val last =
-      new ThreadLocal[(org.apache.spark.unsafe.types.UTF8String, Array[Long])]
+    private val last = new ThreadLocal[
+      (AnyRef, org.apache.spark.unsafe.types.UTF8String, Array[Long])]
 
     def live(dvMap: Map[String, Array[Long]],
         fp: org.apache.spark.unsafe.types.UTF8String, pos: Long): Boolean = {
       val cached = last.get()
       val deleted =
-        if (cached != null && cached._1.equals(fp)) cached._2
+        if (cached != null && (cached._1 eq dvMap) && cached._2.equals(fp))
+          cached._3
         else {
           val s = fp.toString
           val path = if (s.startsWith("file:")) new java.net.URI(s).getPath else s
           val arr = dvMap.getOrElse(path, null)
-          last.set((fp.clone(), arr))
+          last.set((dvMap, fp.clone(), arr))
           arr
         }
       deleted == null || java.util.Arrays.binarySearch(deleted, pos) < 0

@@ -113,6 +113,46 @@ class DeltaCompatSpec extends SparkSuite {
     assert(fromCkpt.filter(col("k") < 25).count() === 0)
   }
 
+  test("foreign DV storage types: inline (i) and absolute-path (p)") {
+    // a table whose log was written by another engine: one data file,
+    // DV delivered inline in the descriptor / at an absolute path
+    val dir = tmpDir("delta-dv-foreign")
+    Seq.tabulate(10)(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val part = Files.list(Paths.get(dir)).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get.getFileName
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("k", "long").add("v", "string")
+    val jm = new com.fasterxml.jackson.databind.ObjectMapper()
+
+    // inline: delete rows 1,3,5 — data is Z85 of the serialized bitmap
+    val inlineData = DeletionVectors.serializeData(Array(1L, 3L, 5L))
+    val padded = inlineData ++ // Z85 needs 4n bytes; spec pads inline DVs
+      new Array[Byte]((4 - inlineData.length % 4) % 4)
+    val inline = DeletionVectors.z85Encode(padded)
+    def commit0(dvJson: String): String =
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""" + "\n" +
+        s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":${jm.writeValueAsString(schema.json)},"partitionColumns":[],"configuration":{},"createdTime":0}}""" + "\n" +
+        s"""{"add":{"path":"$part","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":$dvJson}}""" + "\n"
+    val log = Paths.get(dir, "_delta_log")
+    Files.createDirectories(log)
+    Files.write(log.resolve(f"${0L}%020d.json"), commit0(
+      s"""{"storageType":"i","pathOrInlineDv":"$inline","sizeInBytes":${padded.length},"cardinality":3}""").getBytes)
+    val gotInline = DeltaCompat.read(spark, dir).as[(Long, String)]
+      .collect().map(_._1).sorted.toSeq
+    assert(gotInline === Seq(0L, 2L, 4L, 6L, 7L, 8L, 9L))
+
+    // absolute path: delete rows 0..4 — DV blob in a file elsewhere
+    val dvDir = Paths.get(tmpDir("delta-dv-elsewhere"))
+    val d = DeletionVectors.write(dvDir, Seq(Array(0L, 1L, 2L, 3L, 4L))).head
+    val abs = d.filePath(dvDir).get
+    Files.write(log.resolve(f"${0L}%020d.json"), commit0(
+      s"""{"storageType":"p","pathOrInlineDv":"$abs","offset":${d.offset.get},"sizeInBytes":${d.sizeInBytes},"cardinality":5}""").getBytes)
+    val gotAbs = DeltaCompat.read(spark, dir).as[(Long, String)]
+      .collect().map(_._1).sorted.toSeq
+    assert(gotAbs === Seq(5L, 6L, 7L, 8L, 9L))
+  }
+
   test("deletion vector binary format round-trips (Z85, roaring, CRC)") {
     // Z85: spec test vector from the ZeroMQ RFC
     assert(DeletionVectors.z85Encode(

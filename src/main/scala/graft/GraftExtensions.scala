@@ -49,6 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSim(exprs(0), exprs(1)) }))
     e.injectFunction(unary("graft_word_shingles",
       "distinct 3-word shingles of a string", WordShingles(_, 3)))
+    e.injectFunction(unary("graft_l2norm",
+      "L2 norm of a float vector", L2NormF))
+    e.injectFunction(unary("graft_quantize8",
+      "symmetric int8 quantization of a float vector", Quantize8))
     e.injectFunction((FunctionIdentifier("graft_percentiles"),
       info("graft_percentiles",
         "exact interpolated percentiles of a numeric column " +

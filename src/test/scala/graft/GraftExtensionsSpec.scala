@@ -28,7 +28,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  graft_simhash(array(1L, 2L, 3L)) AS sh,
           |  graft_jaccard(array('a','b'), array('b','c')) AS j,
           |  graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c,
-          |  graft_word_shingles('a b c d') AS ws
+          |  graft_word_shingles('a b c d') AS ws,
+          |  graft_l2norm(array(3.0F, 4.0F)) AS n,
+          |  graft_quantize8(array(3.0F, 4.0F)) AS q
           |""".stripMargin).head()
       var acc = 0L
       "abc".foreach(ch => acc = (acc * 31 + ch) % 1000000007L)
@@ -37,6 +39,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(row.getDouble(3) === 1.0 / 3.0)
       assert(row.getDouble(4) === 1.0)
       assert(row.getSeq[String](5) === Seq("a b c", "b c d"))
+      assert(row.getDouble(6) === 5.0)
+      assert(row.getSeq[Int](7) === Seq(76, 101)) // floor(3/5*127), floor(4/5*127)
       // Unsuffixed percentage literals parse as DECIMAL(1,1) — must be
       // converted numerically, not cast-crashed (ADVICE r2).
       val pct = spark.sql(

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 /** Scale smoke: the core operator shapes on 50M rows (~80x the sf0.1
@@ -60,5 +62,45 @@ class ScaleSmokeSpec extends SparkSuite {
     val topTok = vocab.collect()
     assert(topTok.head.getString(0) === "the")
     assert(topTok.head.getLong(1) === n / 10)
+  }
+
+  test("connected components: 200k-node graph with a 4096-hop chain converges") {
+    import spark.implicits._
+    // 20k short chains of 10 nodes (the near-clique common case) plus
+    // one 4096-node chain (diameter the pointer jump must fold in
+    // ~log2(4096)=12 rounds — plain propagation would need 4096).
+    // Driver state stays a per-round count; labels live on executors.
+    val shortChains = spark.range(0, 200000, 1, 16)
+      .filter(col("id") % 10 =!= 9)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val longChain = spark.range(1000000, 1004095, 1, 4)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val labels = graft.ops.ConnectedComponents
+      .label(shortChains.unionAll(longChain))
+    val byComp = labels.groupBy("comp").count()
+    // 20k short components of size 10 + one long component of 4096
+    assert(byComp.filter(col("count") === 10).count() === 20000)
+    assert(byComp.filter(col("count") === 4096).count() === 1)
+    assert(labels.filter(col("id") === 1004095L)
+      .as[(Long, Long)].head()._2 === 1000000L)
+  }
+
+  test("deletion vectors: 5M-row table, 500k dead rows, scan-side filter") {
+    val dir = tmpDir("scale-dv")
+    val n = 5L * 1000 * 1000
+    graft.lake.DeltaCompat.write(
+      spark.range(0, n, 1, 16).select(col("id").as("k"),
+        (col("id") % 1000).as("v")), dir)
+    // delete every 10th row: the coordinates are CDC-scale driver work
+    // (bounded by DV cardinality, which the log must hold anyway); the
+    // APPLICATION is the part that must stay distributed — a broadcast
+    // bitmap probe per row inside the scan, no rewrite, no shuffle
+    graft.lake.DeltaCompat.delete(spark, dir, col("k") % 10 === 0)
+    val after = graft.lake.DeltaCompat.read(spark, dir)
+    assert(after.count() === n - n / 10)
+    assert(after.filter(col("k") % 10 === 0).count() === 0)
+    // and the original parts are untouched on disk (no rewrite)
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.count(_.getFileName.toString.endsWith(".parquet")) === 16)
   }
 }

@@ -170,7 +170,15 @@ object DeletionVectors {
     * handling). */
   def read(tableRoot: Path, d: Descriptor): Array[Long] = {
     val data = d.storageType match {
-      case "i" => z85Decode(d.pathOrInlineDv)
+      case "i" =>
+        // Writers zero-pad inline data to 4n bytes for Z85 and record
+        // sizeInBytes as the UNPADDED length — decode, then truncate.
+        val decoded = z85Decode(d.pathOrInlineDv)
+        require(decoded.length >= d.sizeInBytes &&
+          decoded.length - d.sizeInBytes < 4,
+          s"inline DV: ${decoded.length} decoded bytes vs descriptor " +
+            s"${d.sizeInBytes} (expected <4 bytes of Z85 padding)")
+        java.util.Arrays.copyOfRange(decoded, 0, d.sizeInBytes)
       case _ =>
         val p = d.filePath(tableRoot).get
         val all = Files.readAllBytes(p)
@@ -190,8 +198,6 @@ object DeletionVectors {
           s"$p: DV checksum mismatch")
         bytes
     }
-    require(data.length == d.sizeInBytes,
-      s"DV data ${data.length} bytes != descriptor ${d.sizeInBytes}")
     deserializeData(data)
   }
 
@@ -209,21 +215,34 @@ object DeletionVectors {
     * DIFFERENT bitmap after every new delete commit — a path-only memo
     * would serve a stale generation's bitmap to a later snapshot's scan
     * and silently under-delete. */
+  /** `_metadata.file_path` is a URI; DV-map keys are filesystem paths.
+    * The ONE conversion both the map-building side ([[DeltaCompat]])
+    * and the probing side ([[DvOps.live]]) must share — a drift between
+    * them makes every membership lookup miss and resurrects deleted
+    * rows. */
+  def uriToPath(fp: String): String =
+    if (fp.startsWith("file:")) new java.net.URI(fp).getPath else fp
+
   object DvOps {
+    // The dvMap is held WEAKLY: pooled executor threads outlive queries,
+    // and a strong ThreadLocal reference would pin every scanned table's
+    // bitmap state per thread for the life of the executor. The one
+    // strongly-held `arr` is a single file's index array, bounded and
+    // re-resolvable.
     private val last = new ThreadLocal[
-      (AnyRef, org.apache.spark.unsafe.types.UTF8String, Array[Long])]
+      (java.lang.ref.WeakReference[AnyRef],
+        org.apache.spark.unsafe.types.UTF8String, Array[Long])]
 
     def live(dvMap: Map[String, Array[Long]],
         fp: org.apache.spark.unsafe.types.UTF8String, pos: Long): Boolean = {
       val cached = last.get()
       val deleted =
-        if (cached != null && (cached._1 eq dvMap) && cached._2.equals(fp))
+        if (cached != null && (cached._1.get eq dvMap) && cached._2.equals(fp))
           cached._3
         else {
-          val s = fp.toString
-          val path = if (s.startsWith("file:")) new java.net.URI(s).getPath else s
-          val arr = dvMap.getOrElse(path, null)
-          last.set((dvMap, fp.clone(), arr))
+          val arr = dvMap.getOrElse(uriToPath(fp.toString), null)
+          last.set((new java.lang.ref.WeakReference[AnyRef](dvMap),
+            fp.clone(), arr))
           arr
         }
       deleted == null || java.util.Arrays.binarySearch(deleted, pos) < 0
@@ -266,7 +285,11 @@ object DeletionVectors {
     val encodedUuid = z85Encode(bb.array())
     val out = new java.io.ByteArrayOutputStream()
     out.write(FormatVersion.toInt)
-    val descriptors = vectors.map { positions =>
+    val descriptors = vectors.map { raw =>
+      // cardinality must be the BITMAP's cardinality — dedupe first so a
+      // caller passing repeated positions can't overstate it (readers
+      // that validate descriptors against the bitmap reject the table)
+      val positions = raw.distinct
       val data = serializeData(positions)
       val offset = out.size()
       val word = ByteBuffer.allocate(4)

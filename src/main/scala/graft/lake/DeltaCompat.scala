@@ -313,9 +313,10 @@ object DeltaCompat {
     }
   }
 
-  /** `_metadata.file_path` is a URI; DV keys are filesystem paths. */
+  /** `_metadata.file_path` is a URI; DV keys are filesystem paths —
+    * shared with the scan-side probe so both sides can never drift. */
   private[lake] def uriToPath(fp: String): String =
-    if (fp.startsWith("file:")) new java.net.URI(fp).getPath else fp
+    DeletionVectors.uriToPath(fp)
 
   private def absPath(table: String, rel: String): String =
     Paths.get(table, rel).toAbsolutePath.normalize.toString
@@ -604,6 +605,10 @@ object DeltaCompat {
   def delete(spark: SparkSession, table: String,
       condition: org.apache.spark.sql.Column): Long = {
     val (df, state) = scan(spark, table, None, keepMeta = true)
+    // empty live set: the scan frame has no __fp/__pos columns to select
+    // — and nothing to delete; report the current head as the no-op
+    if (state.files.isEmpty)
+      return (versions(table) ++ lastCheckpoint(table).map(_._1)).max
     val matched = df.filter(condition)
       .select("__fp", "__pos").collect()
       .map(r => (uriToPath(r.getString(0)), r.getLong(1)))

@@ -144,6 +144,28 @@ object IcebergCompat {
     Manifest.withFooter(p)(_.getFileMetaData.getSchema
       .getFields.asScala.map(_.getName).toSet)
 
+  /** First live data file of the current snapshot, if any — the write
+    * path's shape probe (one Avro read + one footer). */
+  private def firstLiveDataFile(meta: JsonNode): Option[String] = {
+    val current = meta.path("current-snapshot-id").asLong(-1)
+    meta.path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong(-2) == current)
+      .map(_.get("manifest-list").asText())
+      .toSeq.flatMap(ml => avroRecords(localPath(ml)))
+      .filter { r =>
+        r.getSchema.getField("content") == null || (r.get("content") match {
+          case i: java.lang.Integer => i.intValue == 0
+          case l: java.lang.Long => l.intValue == 0
+          case _ => true
+        })
+      }
+      .iterator
+      .flatMap(r => avroRecords(localPath(r.get("manifest_path").toString)))
+      .find(_.get("status").asInstanceOf[Int] != 2)
+      .map(rec => localPath(rec.get("data_file")
+        .asInstanceOf[GenericRecord].get("file_path").toString))
+  }
+
   /** Unwrap an Avro partition-struct value to a plain JVM value. */
   private def avroValue(v: AnyRef): Any = v match {
     case null => null
@@ -730,14 +752,31 @@ object IcebergCompat {
     // column so the SOURCE columns stay in the data files (they are the
     // only place a reader can get them — the tuple holds only the
     // transformed value).
-    val derived = partFields.filter(_.transform != "identity")
-    val stagedDf = derived.foldLeft(df) { (acc, pf) =>
-      acc.withColumn(s"__p__${pf.name}",
-        IcebergTransforms.expr(pf.transform, pf.source,
-          df.schema(pf.source).dataType))
+    //
+    // SHAPE CONTINUITY: if the table's EXISTING files contain the
+    // identity columns (the layout every real Iceberg writer produces —
+    // identity values are duplicated into the files), appended files
+    // must too. The reader decides reconstruct-vs-direct per spec from
+    // one footer probe, so mixing stripped and complete files under one
+    // spec would null-fill the stripped ones. One footer read per append
+    // buys that invariant.
+    val identityFields = partFields.filter(_.transform == "identity")
+    val keepIdentityInFiles = identityFields.nonEmpty && prior.exists { m =>
+      firstLiveDataFile(m).exists { p =>
+        val cols = parquetColumns(Paths.get(p))
+        identityFields.forall(f => cols.contains(f.source))
+      }
     }
+    val stagedDf = partFields
+      .filter(pf => pf.transform != "identity" || keepIdentityInFiles)
+      .foldLeft(df) { (acc, pf) =>
+        acc.withColumn(s"__p__${pf.name}",
+          IcebergTransforms.expr(pf.transform, pf.source,
+            df.schema(pf.source).dataType))
+      }
     val stageCols = partFields.map(pf =>
-      if (pf.transform == "identity") pf.source else s"__p__${pf.name}")
+      if (pf.transform == "identity" && !keepIdentityInFiles) pf.source
+      else s"__p__${pf.name}")
     val stage = Files.createTempDirectory(Paths.get(tableDir), ".stage")
     val stageW = stagedDf.write.mode("overwrite")
     (if (stageCols.nonEmpty) stageW.partitionBy(stageCols: _*) else stageW)

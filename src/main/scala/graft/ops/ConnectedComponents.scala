@@ -51,6 +51,7 @@ object ConnectedComponents {
     val compType = labels.schema("comp").dataType
     var changed = 1L
     var iter = 0
+    try {
     while (changed > 0 && iter < maxIter) {
       // Each vertex offers its current component to every neighbour; a
       // vertex keeps the min of its own label and all offers. The old
@@ -90,7 +91,7 @@ object ConnectedComponents {
           s"($changed labels still changing) — component labels would be " +
           "under-merged. Raise maxIter (rounds scale with log of the " +
           "longest duplicate chain).")
-    sym.unpersist(blocking = false)
+    } finally sym.unpersist(blocking = false) // incl. the throw path
     labels
   }
 }

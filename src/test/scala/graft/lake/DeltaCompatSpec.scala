@@ -125,9 +125,11 @@ class DeltaCompatSpec extends SparkSuite {
       .add("k", "long").add("v", "string")
     val jm = new com.fasterxml.jackson.databind.ObjectMapper()
 
-    // inline: delete rows 1,3,5 — data is Z85 of the serialized bitmap
+    // inline: delete rows 1,3,5 — data is Z85 of the serialized bitmap,
+    // zero-padded to 4n for encoding while sizeInBytes stays the UNPADDED
+    // length (what real writers record; the reader must truncate)
     val inlineData = DeletionVectors.serializeData(Array(1L, 3L, 5L))
-    val padded = inlineData ++ // Z85 needs 4n bytes; spec pads inline DVs
+    val padded = inlineData ++
       new Array[Byte]((4 - inlineData.length % 4) % 4)
     val inline = DeletionVectors.z85Encode(padded)
     def commit0(dvJson: String): String =
@@ -137,7 +139,7 @@ class DeltaCompatSpec extends SparkSuite {
     val log = Paths.get(dir, "_delta_log")
     Files.createDirectories(log)
     Files.write(log.resolve(f"${0L}%020d.json"), commit0(
-      s"""{"storageType":"i","pathOrInlineDv":"$inline","sizeInBytes":${padded.length},"cardinality":3}""").getBytes)
+      s"""{"storageType":"i","pathOrInlineDv":"$inline","sizeInBytes":${inlineData.length},"cardinality":3}""").getBytes)
     val gotInline = DeltaCompat.read(spark, dir).as[(Long, String)]
       .collect().map(_._1).sorted.toSeq
     assert(gotInline === Seq(0L, 2L, 4L, 6L, 7L, 8L, 9L))

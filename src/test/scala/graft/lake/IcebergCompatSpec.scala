@@ -335,6 +335,43 @@ class IcebergCompatSpec extends SparkSuite {
     }
   }
 
+  test("identity appends match the table's existing file shape per spec") {
+    import scala.jdk.CollectionConverters._
+    // A table whose files CONTAIN all columns (every real Iceberg writer's
+    // layout): evolving to / appending under an identity spec must keep
+    // writing complete files — the reader's one-footer-per-spec shape
+    // probe assumes a single shape per spec, so a stripped append into a
+    // complete-file spec would be silently null-filled on read.
+    val dir = tmpDir("iceberg-shape")
+    def rows(a: Long, b: Long) = spark.range(a, b)
+      .selectExpr("id AS k", "CAST(id % 3 AS INT) AS c", "CAST(id AS STRING) AS v")
+    IcebergCompat.write(rows(0, 10), dir) // spec 0: unpartitioned, complete
+    IcebergCompat.write(rows(10, 20), dir,
+      partitionBy = Seq("c"), evolveSpec = true) // spec 1: identity on c
+    IcebergCompat.write(rows(20, 30), dir) // inherits spec 1
+    // every data file written under the identity spec still contains c
+    val stripped = Files.walk(Paths.get(dir, "data")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .filterNot(p => spark.read.parquet(p.toString)
+        .schema.fieldNames.contains("c")).toSeq
+    assert(stripped.isEmpty, s"stripped files under a complete-file table: $stripped")
+    // and the table reads back whole, identity values intact
+    val back = IcebergCompat.read(spark, dir)
+      .as[(Long, Int, String)].collect().sortBy(_._1).toSeq
+    assert(back === (0L until 30L).map(i => (i, (i % 3).toInt, i.toString)))
+    // our own hive-style tables stay hive-style: fresh identity table
+    // appends keep stripping (reconstruction path unchanged)
+    val dir2 = tmpDir("iceberg-shape2")
+    IcebergCompat.write(rows(0, 10), dir2, partitionBy = Seq("c"))
+    IcebergCompat.write(rows(10, 20), dir2)
+    val complete2 = Files.walk(Paths.get(dir2, "data")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .filter(p => spark.read.parquet(p.toString)
+        .schema.fieldNames.contains("c")).toSeq
+    assert(complete2.isEmpty)
+    assert(IcebergCompat.read(spark, dir2).count() === 20)
+  }
+
   test("v2 position deletes apply via (file, pos) anti-join; time travel sees past") {
     val dir = tmpDir("iceberg-posdel")
     IcebergCompat.write(

@@ -334,6 +334,25 @@ object DeltaCompat {
       version: Option[Long] = None): DataFrame =
     scan(spark, table, version, keepMeta = false)._1
 
+  /** Timestamp time travel (`TIMESTAMP AS OF`): the newest version
+    * committed at or before `timestampMs`, commit time being the log
+    * file's modification time — the same source real Delta falls back
+    * to when commitInfo carries no timestamp. Vacuumed history refuses
+    * through the same contiguity check as version travel. */
+  def readAsOf(spark: SparkSession, table: String,
+      timestampMs: Long): DataFrame = {
+    val vs = versions(table)
+    if (vs.isEmpty)
+      throw new NoSuchElementException(s"no Delta log at $table")
+    val eligible = vs.filter(v =>
+      Files.getLastModifiedTime(versionFile(table, v)).toMillis <= timestampMs)
+    if (eligible.isEmpty)
+      throw new IllegalArgumentException(
+        s"$table: no commit at or before $timestampMs " +
+          s"(earliest surviving commit is v${vs.min})")
+    read(spark, table, Some(eligible.max))
+  }
+
   /** Core scan. With `keepMeta`, the frame carries `__fp` (file path
     * URI) and `__pos` (row index within the file) past the logical
     * columns — the coordinates [[delete]] needs to build DVs.
@@ -523,7 +542,12 @@ object DeltaCompat {
       Files.createDirectories(targetDir)
       val target = targetDir.resolve(name)
       Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
-      ((dirSegs :+ name).mkString("/"), Files.size(target), pv)
+      // numRecords from the footer (metadata-only) — real readers use
+      // add.stats to count rows without opening files, and DV-aware
+      // readers need it to answer count(*) on deleted tables
+      val rows = Manifest.withFooter(target)(
+        _.getBlocks.asScala.map(_.getRowCount).sum)
+      ((dirSegs :+ name).mkString("/"), Files.size(target), pv, rows)
     }
     LakeFs.deleteRec(tmp)
 
@@ -561,7 +585,7 @@ object DeltaCompat {
         actions += rm
       }
     }
-    added.foreach { case (relPath, size, pv) =>
+    added.foreach { case (relPath, size, pv, rows) =>
       val add = mapper.createObjectNode()
       val a = add.putObject("add").put("path", encodePath(relPath))
         .put("size", size)
@@ -570,6 +594,7 @@ object DeltaCompat {
       pv.foreach { case (k, v) =>
         v.fold[Unit](pvNode.putNull(k))(pvNode.put(k, _))
       }
+      a.put("stats", s"""{"numRecords":$rows}""")
       actions += add
     }
 

@@ -113,6 +113,28 @@ class DeltaCompatSpec extends SparkSuite {
     assert(fromCkpt.filter(col("k") < 25).count() === 0)
   }
 
+  test("timestamp time travel picks the newest commit at or before t") {
+    val dir = tmpDir("delta-asof")
+    DeltaCompat.write(Seq((1L, "a")).toDF("k", "v"), dir)
+    DeltaCompat.write(Seq((2L, "b")).toDF("k", "v"), dir)
+    // pin deterministic commit times a minute apart
+    val log = Paths.get(dir, "_delta_log")
+    val t0 = 1700000000000L
+    Files.setLastModifiedTime(log.resolve(f"${0L}%020d.json"),
+      java.nio.file.attribute.FileTime.fromMillis(t0))
+    Files.setLastModifiedTime(log.resolve(f"${1L}%020d.json"),
+      java.nio.file.attribute.FileTime.fromMillis(t0 + 60000))
+    assert(DeltaCompat.readAsOf(spark, dir, t0 + 1).count() === 1)
+    assert(DeltaCompat.readAsOf(spark, dir, t0 + 60000).count() === 2)
+    intercept[IllegalArgumentException] {
+      DeltaCompat.readAsOf(spark, dir, t0 - 1)
+    }
+    // add.stats carries numRecords (what real readers count rows from)
+    val line = Files.readAllLines(log.resolve(f"${1L}%020d.json"))
+      .asScala.mkString("\n")
+    assert(line.contains("\"stats\":\"{\\\"numRecords\\\":1}\""))
+  }
+
   test("foreign DV storage types: inline (i) and absolute-path (p)") {
     // a table whose log was written by another engine: one data file,
     // DV delivered inline in the descriptor / at an absolute path

@@ -461,6 +461,21 @@ object IcebergCompat {
     afterEq.drop("__file", "__pos", "__dseq")
   }
 
+  /** Timestamp time travel: the newest snapshot whose `timestamp-ms` is
+    * at or before `timestampMs` (what `FOR TIMESTAMP AS OF` resolves
+    * through the snapshot log). */
+  def readAsOf(spark: SparkSession, tableDir: String,
+      timestampMs: Long): DataFrame = {
+    val meta = currentMetadata(tableDir)
+    val eligible = meta.path("snapshots").elements().asScala.toSeq
+      .filter(_.path("timestamp-ms").asLong(Long.MaxValue) <= timestampMs)
+    if (eligible.isEmpty)
+      throw new IllegalArgumentException(
+        s"$tableDir: no snapshot at or before $timestampMs")
+    val chosen = eligible.maxBy(_.path("timestamp-ms").asLong(0))
+    read(spark, tableDir, Some(chosen.path("snapshot-id").asLong(-1)))
+  }
+
   // --------------------------------------------------------------------------
   // write path (append / overwrite, one snapshot per commit)
   // --------------------------------------------------------------------------
@@ -943,6 +958,23 @@ object IcebergCompat {
     sn.put("manifest-list", listPath.toString)
     sn.put("schema-id", 0)
     sn.putObject("summary").put("operation", operation)
+    // history surfaces real catalogs expect: snapshot-log (current
+    // branch's lineage — we never expire, so it is every snapshot) and
+    // metadata-log (the surviving prior metadata files)
+    val slog = root.putArray("snapshot-log")
+    (prevSnapshotNodes.map(s => (s.path("timestamp-ms").asLong(0),
+      s.path("snapshot-id").asLong(-1))) :+ (now, snapshotId))
+      .foreach { case (ts, id) =>
+        slog.addObject().put("timestamp-ms", ts).put("snapshot-id", id)
+      }
+    val mlog = root.putArray("metadata-log")
+    (1L until version).foreach { v =>
+      val f = metaDir.resolve(s"v$v.metadata.json")
+      if (Files.exists(f))
+        mlog.addObject()
+          .put("timestamp-ms", Files.getLastModifiedTime(f).toMillis)
+          .put("metadata-file", f.toString)
+    }
 
     val tmp = Files.createTempFile(metaDir, ".tmp-meta", ".json")
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter()

@@ -335,6 +335,30 @@ class IcebergCompatSpec extends SparkSuite {
     }
   }
 
+  test("snapshot-log, metadata-log, and timestamp time travel") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmpDir("iceberg-asof")
+    IcebergCompat.write(Seq((1L, "a")).toDF("k", "v"), dir)
+    Thread.sleep(15) // distinct timestamp-ms between snapshots
+    IcebergCompat.write(Seq((2L, "b")).toDF("k", "v"), dir)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(new String(Files.readAllBytes(
+      Paths.get(dir, "metadata", "v2.metadata.json")), "UTF-8"))
+    // history surfaces: both snapshots in snapshot-log, v1 in metadata-log
+    val slog = meta.get("snapshot-log").elements().asScala.toSeq
+    assert(slog.map(_.get("snapshot-id").asLong()) === Seq(100L, 200L))
+    assert(meta.get("metadata-log").get(0).get("metadata-file").asText()
+      .endsWith("v1.metadata.json"))
+    // timestamp travel via the recorded snapshot timestamps
+    val ts = slog.map(_.get("timestamp-ms").asLong())
+    assert(ts(0) < ts(1))
+    assert(IcebergCompat.readAsOf(spark, dir, ts(0)).count() === 1)
+    assert(IcebergCompat.readAsOf(spark, dir, ts(1) + 1).count() === 2)
+    intercept[IllegalArgumentException] {
+      IcebergCompat.readAsOf(spark, dir, ts(0) - 1)
+    }
+  }
+
   test("identity appends match the table's existing file shape per spec") {
     import scala.jdk.CollectionConverters._
     // A table whose files CONTAIN all columns (every real Iceberg writer's

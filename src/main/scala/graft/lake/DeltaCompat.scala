@@ -542,12 +542,8 @@ object DeltaCompat {
       Files.createDirectories(targetDir)
       val target = targetDir.resolve(name)
       Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
-      // numRecords from the footer (metadata-only) — real readers use
-      // add.stats to count rows without opening files, and DV-aware
-      // readers need it to answer count(*) on deleted tables
-      val rows = Manifest.withFooter(target)(
-        _.getBlocks.asScala.map(_.getRowCount).sum)
-      ((dirSegs :+ name).mkString("/"), Files.size(target), pv, rows)
+      ((dirSegs :+ name).mkString("/"), Files.size(target), pv,
+        fileStatsJson(target))
     }
     LakeFs.deleteRec(tmp)
 
@@ -585,7 +581,7 @@ object DeltaCompat {
         actions += rm
       }
     }
-    added.foreach { case (relPath, size, pv, rows) =>
+    added.foreach { case (relPath, size, pv, stats) =>
       val add = mapper.createObjectNode()
       val a = add.putObject("add").put("path", encodePath(relPath))
         .put("size", size)
@@ -594,12 +590,90 @@ object DeltaCompat {
       pv.foreach { case (k, v) =>
         v.fold[Unit](pvNode.putNull(k))(pvNode.put(k, _))
       }
-      a.put("stats", s"""{"numRecords":$rows}""")
+      a.put("stats", stats)
       actions += add
     }
 
     commit(table, version, actions.result())
     version
+  }
+
+  /** `add.stats` JSON for one staged parquet file, from its footer only:
+    * numRecords, per-column min/max, per-column nullCount — the pruning
+    * signal real Delta readers use for data skipping, and (numRecords)
+    * what DV-aware engines answer count(*) from. Stats are keyed by the
+    * FILE's column names, which on column-mapped tables are the physical
+    * names — exactly what the protocol wants. Columns whose parquet type
+    * carries a logical annotation we don't map (timestamps, decimals)
+    * and long strings are omitted — stats are per-column optional, and
+    * omitted is always safe where a wrong bound would corrupt pruning. */
+  private def fileStatsJson(p: Path): String = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    Manifest.withFooter(p) { footer =>
+      val blocks = footer.getBlocks.asScala
+      val stats = mapper.createObjectNode()
+      stats.put("numRecords", blocks.map(_.getRowCount).sum)
+      val minV = mapper.createObjectNode()
+      val maxV = mapper.createObjectNode()
+      val nullC = mapper.createObjectNode()
+      val byCol = blocks.flatMap(_.getColumns.asScala)
+        .groupBy(_.getPath.toDotString)
+      byCol.foreach { case (name, chunks) =>
+        if (name.indexOf('.') < 0) { // top-level leaves only
+          val nulls = chunks.map(c => Option(c.getStatistics)
+            .map(_.getNumNulls).getOrElse(-1L))
+          if (nulls.forall(_ >= 0)) nullC.put(name, nulls.sum)
+          val sts = chunks.map(_.getStatistics)
+            .filter(s => s != null && s.hasNonNullValue)
+          if (sts.nonEmpty && sts.size == chunks.size) {
+            val pt = chunks.head.getPrimitiveType
+            val logical = pt.getLogicalTypeAnnotation
+            (pt.getPrimitiveTypeName, logical) match {
+              case (INT32, null) =>
+                minV.put(name, sts.map(_.genericGetMin
+                  .asInstanceOf[Integer].intValue).min)
+                maxV.put(name, sts.map(_.genericGetMax
+                  .asInstanceOf[Integer].intValue).max)
+              case (INT64, null) =>
+                minV.put(name, sts.map(_.genericGetMin
+                  .asInstanceOf[java.lang.Long].longValue).min)
+                maxV.put(name, sts.map(_.genericGetMax
+                  .asInstanceOf[java.lang.Long].longValue).max)
+              case (FLOAT, null) =>
+                minV.put(name, sts.map(_.genericGetMin
+                  .asInstanceOf[java.lang.Float].floatValue).min)
+                maxV.put(name, sts.map(_.genericGetMax
+                  .asInstanceOf[java.lang.Float].floatValue).max)
+              case (DOUBLE, null) =>
+                minV.put(name, sts.map(_.genericGetMin
+                  .asInstanceOf[java.lang.Double].doubleValue).min)
+                maxV.put(name, sts.map(_.genericGetMax
+                  .asInstanceOf[java.lang.Double].doubleValue).max)
+              case (BOOLEAN, null) =>
+                minV.put(name, sts.map(_.genericGetMin
+                  .asInstanceOf[java.lang.Boolean].booleanValue).min)
+                maxV.put(name, sts.map(_.genericGetMax
+                  .asInstanceOf[java.lang.Boolean].booleanValue).max)
+              case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
+                val mins = sts.map(_.minAsString)
+                val maxs = sts.map(_.maxAsString)
+                // long strings omitted rather than truncated: a naive
+                // truncation of max would UNDER-bound it (corrupt skip)
+                if (maxs.map(_.length).max <= 64) {
+                  minV.put(name, mins.min)
+                  maxV.put(name, maxs.max)
+                }
+              case _ => () // unmapped logical types: omit
+            }
+          }
+        }
+      }
+      stats.set[com.fasterxml.jackson.databind.JsonNode]("minValues", minV)
+      stats.set[com.fasterxml.jackson.databind.JsonNode]("maxValues", maxV)
+      stats.set[com.fasterxml.jackson.databind.JsonNode]("nullCount", nullC)
+      mapper.writeValueAsString(stats)
+    }
   }
 
   /** Atomically land one commit's action list as the next JSON log file. */

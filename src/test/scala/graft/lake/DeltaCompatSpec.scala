@@ -129,10 +129,16 @@ class DeltaCompatSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       DeltaCompat.readAsOf(spark, dir, t0 - 1)
     }
-    // add.stats carries numRecords (what real readers count rows from)
+    // add.stats carries numRecords + per-column bounds (what real
+    // readers count rows and prune files from)
     val line = Files.readAllLines(log.resolve(f"${1L}%020d.json"))
       .asScala.mkString("\n")
-    assert(line.contains("\"stats\":\"{\\\"numRecords\\\":1}\""))
+    val jm = new com.fasterxml.jackson.databind.ObjectMapper()
+    val stats = jm.readTree(jm.readTree(line).get("add").get("stats").asText())
+    assert(stats.get("numRecords").asLong() === 1L)
+    assert(stats.get("minValues").get("k").asLong() === 2L)
+    assert(stats.get("maxValues").get("v").asText() === "b")
+    assert(stats.get("nullCount").get("k").asLong() === 0L)
   }
 
   test("foreign DV storage types: inline (i) and absolute-path (p)") {

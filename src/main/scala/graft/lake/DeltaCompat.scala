@@ -812,6 +812,7 @@ object DeltaCompat {
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
+      StructField("stats", StringType),
       StructField("deletionVector", dvT)))
     val rowT = StructType(Seq(
       StructField("protocol", protocolT),
@@ -845,9 +846,11 @@ object DeltaCompat {
               "checkpoint a corrupt table")
         val dvRow = add.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
           d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull
+        // recomputed from the footer: replay does not retain stats, and
+        // after old JSON is vacuumed the checkpoint is their only source
         Row(null, null, Row(encodePath(path),
           add.partitionValues.map { case (k, v) => k -> v.orNull },
-          Files.size(onDisk), now, true, dvRow))
+          Files.size(onDisk), now, true, fileStatsJson(onDisk), dvRow))
       }
     // One checkpoint file: the action list is manifest-sized. (Readers
     // handle multi-part checkpoints; writing them only matters once the

@@ -515,11 +515,25 @@ object IcebergCompat {
       partFields.map { case (f, id) => f.name -> id }.toMap)
   }
 
+  /** The spec's array-of-kv representation of a `map<int, binary>`
+    * bounds field (Avro maps require string keys): array of records
+    * (key, value) annotated logicalType=map, with the given field-ids. */
+  private def boundsMapSchema(name: String, keyId: Int, valueId: Int): Schema = {
+    val kv = withFieldIds(SchemaBuilder.record(s"k${keyId}_v$valueId").fields()
+      .requiredInt("key")
+      .requiredBytes("value")
+      .endRecord(), Map("key" -> keyId, "value" -> valueId))
+    val arr = Schema.createArray(kv)
+    arr.addProp("logicalType", "map")
+    arr
+  }
+
   /** manifest_entry per spec v2: status + inheritance-eligible ids written
     * explicitly + the required data_file struct (content, path, format,
-    * partition, record_count, file_size_in_bytes). The `partition`
-    * struct carries the file's identity-partition tuple (empty struct
-    * for unpartitioned tables and global delete files). */
+    * partition, record_count, file_size_in_bytes, per-column
+    * lower/upper bounds). The `partition` struct carries the file's
+    * identity-partition tuple (empty struct for unpartitioned tables
+    * and global delete files). */
   private def mkManifestEntrySchema(partFields: Seq[(StructField, Int)]): Schema = {
     val dataFile = withFieldIds(SchemaBuilder.record("data_file").fields()
       .requiredInt("content")
@@ -528,6 +542,12 @@ object IcebergCompat {
       .name("partition").`type`(mkPartitionStruct(partFields)).noDefault()
       .requiredLong("record_count")
       .requiredLong("file_size_in_bytes")
+      .name("lower_bounds").`type`(Schema.createUnion(
+        Schema.create(Schema.Type.NULL), boundsMapSchema("lower", 126, 127)))
+      .withDefault(null)
+      .name("upper_bounds").`type`(Schema.createUnion(
+        Schema.create(Schema.Type.NULL), boundsMapSchema("upper", 129, 130)))
+      .withDefault(null)
       .name("equality_ids").`type`(Schema.createUnion(
         Schema.create(Schema.Type.NULL),
         Schema.createArray(Schema.create(Schema.Type.INT))))
@@ -535,7 +555,8 @@ object IcebergCompat {
       .endRecord(),
       Map("content" -> 134, "file_path" -> 100, "file_format" -> 101,
         "partition" -> 102, "record_count" -> 103,
-        "file_size_in_bytes" -> 104, "equality_ids" -> 135))
+        "file_size_in_bytes" -> 104, "lower_bounds" -> 125,
+        "upper_bounds" -> 128, "equality_ids" -> 135))
     withFieldIds(SchemaBuilder.record("manifest_entry").fields()
       .requiredInt("status")
       .requiredLong("snapshot_id")
@@ -588,6 +609,72 @@ object IcebergCompat {
     * (how real Iceberg collects commit stats). */
   private def parquetRowCount(p: Path): Long =
     Manifest.withFooter(p)(_.getBlocks.asScala.map(_.getRowCount).sum)
+
+  /** Per-column (lower, upper) bound bytes from a parquet footer, in
+    * the spec's single-value binary encoding (little-endian numerics,
+    * raw UTF-8 strings, 1-byte booleans). Columns with unmapped logical
+    * types or long strings are omitted — bounds are per-column optional
+    * and a wrong bound corrupts every reader's pruning. */
+  private def parquetBounds(p: Path): Map[String, (Array[Byte], Array[Byte])] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    def le(n: Int)(f: ByteBuffer => Unit): Array[Byte] = {
+      val b = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+      f(b)
+      b.array()
+    }
+    Manifest.withFooter(p) { footer =>
+      footer.getBlocks.asScala.flatMap(_.getColumns.asScala)
+        .groupBy(_.getPath.toDotString)
+        .flatMap { case (name, chunks) =>
+          if (name.indexOf('.') >= 0) None
+          else {
+            val sts = chunks.map(_.getStatistics)
+              .filter(s => s != null && s.hasNonNullValue)
+            if (sts.size != chunks.size) None
+            else {
+              val pt = chunks.head.getPrimitiveType
+              (pt.getPrimitiveTypeName, pt.getLogicalTypeAnnotation) match {
+                case (INT32, null) =>
+                  val (lo, hi) = (
+                    sts.map(_.genericGetMin.asInstanceOf[Integer].intValue).min,
+                    sts.map(_.genericGetMax.asInstanceOf[Integer].intValue).max)
+                  Some(name -> (le(4)(_.putInt(lo)), le(4)(_.putInt(hi))))
+                case (INT64, null) =>
+                  val (lo, hi) = (
+                    sts.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min,
+                    sts.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max)
+                  Some(name -> (le(8)(_.putLong(lo)), le(8)(_.putLong(hi))))
+                case (FLOAT, null) =>
+                  val (lo, hi) = (
+                    sts.map(_.genericGetMin.asInstanceOf[java.lang.Float].floatValue).min,
+                    sts.map(_.genericGetMax.asInstanceOf[java.lang.Float].floatValue).max)
+                  Some(name -> (le(4)(_.putFloat(lo)), le(4)(_.putFloat(hi))))
+                case (DOUBLE, null) =>
+                  val (lo, hi) = (
+                    sts.map(_.genericGetMin.asInstanceOf[java.lang.Double].doubleValue).min,
+                    sts.map(_.genericGetMax.asInstanceOf[java.lang.Double].doubleValue).max)
+                  Some(name -> (le(8)(_.putDouble(lo)), le(8)(_.putDouble(hi))))
+                case (BOOLEAN, null) =>
+                  val lo = sts.map(_.genericGetMin.asInstanceOf[java.lang.Boolean].booleanValue).min
+                  val hi = sts.map(_.genericGetMax.asInstanceOf[java.lang.Boolean].booleanValue).max
+                  Some(name -> (Array[Byte](if (lo) 1 else 0),
+                    Array[Byte](if (hi) 1 else 0)))
+                case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
+                  val mins = sts.map(_.minAsString)
+                  val maxs = sts.map(_.maxAsString)
+                  if (maxs.map(_.length).max > 64) None
+                  else Some(name -> (
+                    mins.min.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                    maxs.max.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+                case _ => None
+              }
+            }
+          }
+        }.toMap
+    }
+  }
 
   /** Carry a prior manifest-list entry (data or delete) into a new
     * list; entries written by a pre-upgrade layout get their length
@@ -850,9 +937,30 @@ object IcebergCompat {
         .zip(partFieldIds))
     val dataFileSchema = entrySchema.getField("data_file").schema()
     val partStructSchema = dataFileSchema.getField("partition").schema()
+    // schema field ids (position+1, matching the schema JSON below) for
+    // the per-column bound maps
+    val fieldIdByName = df.schema.fieldNames.zipWithIndex
+      .map { case (n, i) => n -> (i + 1) }.toMap
+    def boundsArray(fieldName: String,
+        pick: ((Array[Byte], Array[Byte])) => Array[Byte],
+        bounds: Map[String, (Array[Byte], Array[Byte])]): AnyRef = {
+      val arrSchema = dataFileSchema.getField(fieldName).schema().getTypes.get(1)
+      val kvSchema = arrSchema.getElementType
+      val entries = bounds.toSeq
+        .flatMap { case (col, b) => fieldIdByName.get(col).map(id => (id, pick(b))) }
+        .sortBy(_._1)
+        .map { case (id, bytes) =>
+          val r = new GenericData.Record(kvSchema)
+          r.put("key", id)
+          r.put("value", java.nio.ByteBuffer.wrap(bytes))
+          r: AnyRef
+        }
+      new GenericData.Array[AnyRef](arrSchema, entries.asJava)
+    }
     val entriesWithRows = moved.map { case (p, tuple) =>
       val path = Paths.get(p)
       val rows = parquetRowCount(path)
+      val bounds = parquetBounds(path)
       val d = new GenericData.Record(dataFileSchema)
       d.put("content", 0) // DATA
       d.put("file_path", p)
@@ -862,6 +970,8 @@ object IcebergCompat {
       d.put("partition", pr)
       d.put("record_count", rows)
       d.put("file_size_in_bytes", Files.size(path))
+      d.put("lower_bounds", boundsArray("lower_bounds", _._1, bounds))
+      d.put("upper_bounds", boundsArray("upper_bounds", _._2, bounds))
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", snapshotId)

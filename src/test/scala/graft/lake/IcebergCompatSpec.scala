@@ -335,6 +335,38 @@ class IcebergCompatSpec extends SparkSuite {
     }
   }
 
+  test("manifests carry per-column lower/upper bounds (spec binary encoding)") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmpDir("iceberg-bounds")
+    IcebergCompat.write(Seq((5L, "apple", 1.5), (42L, "zebra", -2.5))
+      .toDF("k", "s", "x").coalesce(1), dir)
+    val manifest = Files.list(Paths.get(dir, "metadata")).iterator().asScala
+      .find(_.getFileName.toString.startsWith("m-")).get
+    val reader = new org.apache.avro.file.DataFileReader[GenericRecord](
+      new File(manifest.toString),
+      new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+    val entry = try reader.iterator().asScala.next() finally reader.close()
+    val dataFile = entry.get("data_file").asInstanceOf[GenericRecord]
+    def boundMap(field: String): Map[Int, Array[Byte]] =
+      dataFile.get(field).asInstanceOf[java.util.List[_]].asScala.map { r =>
+        val rec = r.asInstanceOf[GenericRecord]
+        val bb = rec.get("value").asInstanceOf[java.nio.ByteBuffer]
+        val bytes = new Array[Byte](bb.remaining()); bb.duplicate().get(bytes)
+        rec.get("key").asInstanceOf[Int] -> bytes
+      }.toMap
+    val lower = boundMap("lower_bounds")
+    val upper = boundMap("upper_bounds")
+    def leLong(b: Array[Byte]) =
+      java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    def leDouble(b: Array[Byte]) =
+      java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).getDouble
+    // field ids: k=1, s=2, x=3 (schema position + 1)
+    assert(leLong(lower(1)) === 5L && leLong(upper(1)) === 42L)
+    assert(new String(lower(2), "UTF-8") === "apple")
+    assert(new String(upper(2), "UTF-8") === "zebra")
+    assert(leDouble(lower(3)) === -2.5 && leDouble(upper(3)) === 1.5)
+  }
+
   test("snapshot-log, metadata-log, and timestamp time travel") {
     import scala.jdk.CollectionConverters._
     val dir = tmpDir("iceberg-asof")

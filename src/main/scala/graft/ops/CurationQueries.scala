@@ -312,6 +312,47 @@ object CurationQueries {
       |  END AS q8
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  /** Fixed-window chunking with overlap — how documents longer than a
+    * context window become training samples (window 64 tokens, stride
+    * 48 → 16-token overlap carrying context across boundaries). Pure
+    * per-row explode: no shuffle at all until a downstream op needs
+    * one, so the corpus chunks map-locally at any scale. The compared
+    * output hashes every chunk's text, so token-slicing drift between
+    * engines cannot hide. */
+  val chunkWindows: Q = (s, dir) => {
+    val winSize = 64
+    val strideN = 48
+    val toks = split(col("text"), " ")
+    val nChunks = greatest(lit(1),
+      ceil((size(toks).cast("double") - winSize) / strideN + 1).cast("int"))
+    docs(s, dir)
+      .select(col("doc_id"), toks.as("w"), nChunks.as("nc"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("nc") - 1),
+          i => array_join(slice(col("w"), i * strideN + 1, lit(winSize)), " "))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        graft.functions.expressions.HashExpressions.poly_hash(col("col"))
+          .as("chunk_hash"),
+        size(split(col("col"), " ")).cast("bigint").as("n_tok"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val chunkWindowsSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+      |    greatest(1, CAST(ceil((len(string_split(text, ' ')) - 64) / 48.0 + 1)
+      |      AS INT)) AS nc
+      |  FROM documents),
+      |c AS (SELECT doc_id, i AS chunk_idx,
+      |    array_to_string(w[(i*48+1):(i*48+64)], ' ') AS chunk
+      |  FROM t, unnest(range(0, nc)) AS u(i))
+      |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(1, length(chunk)+1),
+      |      i -> CAST(unicode(chunk[CAST(i AS INT)]) AS BIGINT))),
+      |    (a, x) -> (a * 31 + x) % 1000000007) AS chunk_hash,
+      |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tok
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ===========================================================================
   // registry
   // ===========================================================================
@@ -325,6 +366,7 @@ object CurationQueries {
     "q_shuffle_epoch" -> shuffleEpoch,
     "q_split_assign" -> splitAssign,
     "q_embed_quantize" -> embedQuantize,
+    "q_chunk_windows" -> chunkWindows,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -336,5 +378,6 @@ object CurationQueries {
     "q_shuffle_epoch" -> shuffleEpochSql,
     "q_split_assign" -> splitAssignSql,
     "q_embed_quantize" -> embedQuantizeSql,
+    "q_chunk_windows" -> chunkWindowsSql,
   )
 }

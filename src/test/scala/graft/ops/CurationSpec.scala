@@ -97,6 +97,28 @@ class CurationSpec extends SparkSuite {
     assert(packs.count(_ >= 1000) >= packs.size / 2)
   }
 
+  test("chunk windows: full coverage, bounded size, stride overlap") {
+    val d = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = CurationQueries.chunkWindows(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(3)))
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val n = d(doc)
+      // chunk count matches the stride formula; every chunk <= window
+      val want = math.max(1, math.ceil((n - 64).toDouble / 48 + 1).toInt)
+      assert(cs.length === want, s"doc $doc with $n tokens")
+      assert(cs.forall(_._3 <= 64))
+      // chunks except the last are full windows; indexes are dense
+      assert(cs.map(_._2).sorted.toSeq === (0 until want))
+      if (want > 1)
+        assert(cs.filter(_._2 < want - 1).forall(_._3 == 64L))
+      // stride coverage: total distinct tokens covered = n
+      val lastStart = (want - 1) * 48
+      assert(lastStart < n && lastStart + cs.maxBy(_._2)._3 == n)
+    }
+  }
+
   test("contamination pairs share at least two shingles and exclude eval-eval") {
     val r = CurationQueries.contamination(spark, sf).collect()
     assert(r.forall(_.getLong(2) >= 2))

@@ -364,8 +364,15 @@ object DeltaCompat {
     * the cost is the broadcast of manifest-scale bitmap state, not IO. */
   private def scan(spark: SparkSession, table: String,
       version: Option[Long], keepMeta: Boolean): (DataFrame, LogState) = {
-    import org.apache.spark.sql.functions.{col, lit}
     val state = replay(spark, table, version)
+    (assemble(spark, table, state, keepMeta), state)
+  }
+
+  /** Assemble the scan frame for an explicit state — [[scan]] for a
+    * replayed version, [[purge]] for the DV-carrying file subset. */
+  private def assemble(spark: SparkSession, table: String,
+      state: LogState, keepMeta: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
     val schema = DataType.fromJson(state.schemaJson.getOrElse(
       throw new IllegalStateException(s"$table has no metaData action")))
       .asInstanceOf[StructType]
@@ -450,11 +457,9 @@ object DeltaCompat {
           ColumnBridge.expression(col("__fp")),
           ColumnBridge.expression(col("__pos")), dvMap)))
       }
-    val result =
-      if (keepMeta) dvFiltered
-      else if (needMeta) dvFiltered.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-      else dvFiltered
-    (result, state)
+    if (keepMeta) dvFiltered
+    else if (needMeta) dvFiltered.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    else dvFiltered
   }
 
   // replay keys are DECODED paths; the log stores percent-encoded
@@ -469,11 +474,16 @@ object DeltaCompat {
     * conflicting spec is refused. `columnMapping = "name"` on table
     * creation assigns every top-level column a field id and a
     * `col-<uuid>` physical name (protocol (2,5)); appends to a mapped
-    * table inherit its physical names. Returns the new version. */
+    * table inherit its physical names. `replacing` names live files the
+    * same commit removes (the purge/rewrite shape). Returns the new
+    * version. */
   def write(df: DataFrame, table: String,
       mode: String = "append", partitionBy: Seq[String] = Seq.empty,
-      columnMapping: String = "none"): Long = {
+      columnMapping: String = "none",
+      replacing: Seq[String] = Seq.empty): Long = {
     require(mode == "append" || mode == "overwrite", s"mode $mode")
+    require(replacing.isEmpty || mode == "append",
+      "replacing composes with append commits only")
     require(columnMapping == "none" || columnMapping == "name",
       s"columnMapping $columnMapping (none|name)")
     val root = Paths.get(table)
@@ -572,14 +582,15 @@ object DeltaCompat {
       m.put("createdTime", now)
       actions += meta
     }
-    if (mode == "overwrite" && version > 0L) {
-      priorState.map(_.files.keys.toSeq).getOrElse(Seq.empty)
-        .sorted.foreach { p =>
-        val rm = mapper.createObjectNode()
-        rm.putObject("remove").put("path", encodePath(p))
-          .put("deletionTimestamp", now).put("dataChange", true)
-        actions += rm
-      }
+    val removePaths =
+      if (mode == "overwrite" && version > 0L)
+        priorState.map(_.files.keys.toSeq).getOrElse(Seq.empty)
+      else replacing
+    removePaths.sorted.foreach { p =>
+      val rm = mapper.createObjectNode()
+      rm.putObject("remove").put("path", encodePath(p))
+        .put("deletionTimestamp", now).put("dataChange", true)
+      actions += rm
     }
     added.foreach { case (relPath, size, pv, stats) =>
       val add = mapper.createObjectNode()
@@ -596,6 +607,27 @@ object DeltaCompat {
 
     commit(table, version, actions.result())
     version
+  }
+
+  /** REORG ... APPLY (PURGE): rewrite ONLY the files carrying deletion
+    * vectors, materializing their live rows into clean files; files
+    * without DVs carry over untouched. delete() keeps deletes bitmap-
+    * cheap; purge is the explicit compaction once the dead fraction
+    * makes scanning wasteful — the same economics as the mirror's
+    * optimizeTable. Old versions still time-travel (their DV files are
+    * never deleted). Returns the new version (the current head when
+    * nothing carries a DV). */
+  def purge(spark: SparkSession, table: String): Long = {
+    val state = replay(spark, table, None)
+    val dvPaths = state.files.collect {
+      case (p, a) if a.dv.isDefined => p
+    }.toSeq.sorted
+    if (dvPaths.isEmpty)
+      return (versions(table) ++ lastCheckpoint(table).map(_._1)).max
+    val subset = state.copy(files = state.files.filter {
+      case (_, a) => a.dv.isDefined })
+    val live = assemble(spark, table, subset, keepMeta = false)
+    write(live, table, replacing = dvPaths)
   }
 
   /** `add.stats` JSON for one staged parquet file, from its footer only:

@@ -286,6 +286,24 @@ object LakeQueries {
       |WHERE NOT (c_nationkey < 5) AND NOT (c_custkey % 10 = 0)
       |ORDER BY c_custkey""".stripMargin
 
+  /** The DV lifecycle end to end: bitmap deletes accumulate, PURGE
+    * rewrites only the DV-carrying files into clean ones (others carry
+    * over), and the post-purge read — now a plain scan with no bitmap
+    * filters at all — must still equal the oracle. */
+  val deltaPurgeRoundtrip: Q = (s, dir) => {
+    val tmp = graft.Scratch.dir("graft-delta-purge-q")
+    val n = Tables.load(s, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    graft.lake.DeltaCompat.write(n.repartition(3), tmp)
+    graft.lake.DeltaCompat.delete(s, tmp, col("n_regionkey") === 2)
+    graft.lake.DeltaCompat.purge(s, tmp)
+    graft.lake.DeltaCompat.read(s, tmp).orderBy("n_nationkey")
+  }
+
+  val deltaPurgeRoundtripSql: String =
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |WHERE n_regionkey <> 2 ORDER BY n_nationkey""".stripMargin
+
   /** Column mapping (reader v2 surface): create a name-mapped,
     * hive-partitioned table — parquet columns and partition dirs carry
     * `col-<uuid>` physical names, partitionValues are keyed physically —
@@ -514,6 +532,7 @@ object LakeQueries {
     "q_delta_part_roundtrip" -> deltaPartRoundtrip,
     "q_delta_dv_roundtrip" -> deltaDvRoundtrip,
     "q_delta_cmap_roundtrip" -> deltaCmapRoundtrip,
+    "q_delta_purge_roundtrip" -> deltaPurgeRoundtrip,
     "q_cdc_apply" -> cdcApply,
     "q_mirror_range" -> mirrorRange,
     "q_point_lookup" -> pointLookup,
@@ -538,6 +557,7 @@ object LakeQueries {
     "q_delta_part_roundtrip" -> deltaPartRoundtripSql,
     "q_delta_dv_roundtrip" -> deltaDvRoundtripSql,
     "q_delta_cmap_roundtrip" -> deltaCmapRoundtripSql,
+    "q_delta_purge_roundtrip" -> deltaPurgeRoundtripSql,
     "q_cdc_apply" -> cdcApplySql,
     "q_mirror_range" -> mirrorRangeSql,
     "q_point_lookup" -> pointLookupSql,

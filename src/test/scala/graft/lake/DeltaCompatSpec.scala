@@ -183,6 +183,36 @@ class DeltaCompatSpec extends SparkSuite {
     assert(gotAbs === Seq(5L, 6L, 7L, 8L, 9L))
   }
 
+  test("purge rewrites only DV-carrying files; clean files carry over") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("delta-purge")
+    // two separate commits -> two files; only the first gets a DV
+    DeltaCompat.write(spark.range(0, 100)
+      .selectExpr("id AS k", "CAST(id AS STRING) AS v").coalesce(1), dir)
+    DeltaCompat.write(spark.range(100, 200)
+      .selectExpr("id AS k", "CAST(id AS STRING) AS v").coalesce(1), dir)
+    DeltaCompat.delete(spark, dir, col("k") < 50) // DV on file 1 only
+    val preFiles = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet")).toSet
+
+    val v = DeltaCompat.purge(spark, dir)
+    val after = DeltaCompat.read(spark, dir)
+    assert(after.count() === 150)
+    assert(after.filter(col("k") < 50).count() === 0)
+    // the untouched file survives; the DV'd one was replaced by a new one
+    val postFiles = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet")).toSet
+    assert(preFiles.intersect(postFiles).size === preFiles.size) // data files never deleted
+    // the live set now has no DVs: a fresh delete+read round still works
+    // and pre-purge versions still time-travel through their DVs
+    assert(DeltaCompat.read(spark, dir, version = Some(2L)).count() === 150)
+    assert(DeltaCompat.read(spark, dir, version = Some(1L)).count() === 200)
+    // purge with nothing to do is a no-op returning the head
+    assert(DeltaCompat.purge(spark, dir) === v)
+  }
+
   test("deletion vector binary format round-trips (Z85, roaring, CRC)") {
     // Z85: spec test vector from the ZeroMQ RFC
     assert(DeletionVectors.z85Encode(

@@ -476,6 +476,24 @@ object IcebergCompat {
     read(spark, tableDir, Some(chosen.path("snapshot-id").asLong(-1)))
   }
 
+  /** Fold merge-on-read state back into clean data files: read the
+    * current snapshot (position + equality deletes applied), write it
+    * as one replace snapshot under the same spec. The Iceberg analog of
+    * rewrite_data_files + rewrite_position_delete_files — after a long
+    * CDC run the scan stops paying per-query delete anti-joins. Prior
+    * snapshots still time-travel (their manifests and delete files
+    * remain). Returns the new snapshot id. */
+  def compact(spark: SparkSession, tableDir: String): Long = {
+    // Scans and delete anti-joins relax NOT NULL; the replace snapshot
+    // must keep the declared schema, so rebuild the frame against it
+    // (an RDD-backed re-assertion — compact is a whole-table rewrite
+    // anyway, one extra serde pass is noise next to the parquet IO).
+    val declared = toStructType(currentMetadata(tableDir))
+    val live = read(spark, tableDir)
+    write(spark.createDataFrame(live.rdd, declared), tableDir,
+      mode = "overwrite")
+  }
+
   // --------------------------------------------------------------------------
   // write path (append / overwrite, one snapshot per commit)
   // --------------------------------------------------------------------------

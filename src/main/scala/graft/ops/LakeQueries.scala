@@ -451,6 +451,27 @@ object LakeQueries {
       |WHERE s_suppkey % 14 = 0
       |ORDER BY s_suppkey""".stripMargin
 
+  /** Iceberg maintenance end to end: equality deletes + a later
+    * re-insert (merge-on-read state), then COMPACT — the read after it
+    * is a plain scan with no delete anti-joins, and must still match
+    * the merge-on-read oracle. */
+  val icebergCompact: Q = (s, dir) => {
+    val tmp = graft.Scratch.dir("graft-iceberg-compact-q")
+    val sup = Tables.load(s, dir, "supplier")
+      .select("s_suppkey", "s_name", "s_acctbal")
+    graft.lake.IcebergCompat.write(sup, tmp)
+    graft.lake.IcebergCompat.writeEqualityDeletes(s, tmp,
+      sup.filter(col("s_suppkey") % 7 === 0).select("s_suppkey"),
+      Seq("s_suppkey"))
+    graft.lake.IcebergCompat.write(
+      sup.filter(col("s_suppkey") % 14 === 0)
+        .withColumn("s_acctbal", col("s_acctbal") + 1), tmp)
+    graft.lake.IcebergCompat.compact(s, tmp)
+    graft.lake.IcebergCompat.read(s, tmp).orderBy("s_suppkey")
+  }
+
+  val icebergCompactSql: String = icebergEqDeleteSql
+
   /** Snapshot diff (the table_changes / Delta-CDF class): mirror orders,
     * apply the same CDC batch as [[cdcApply]], then ask the lake what
     * changed between v1 and v2. Deletes surface as 'delete', updates as
@@ -528,6 +549,7 @@ object LakeQueries {
     "q_iceberg_evolve_roundtrip" -> icebergEvolveRoundtrip,
     "q_iceberg_pos_delete" -> icebergPosDelete,
     "q_iceberg_eq_delete" -> icebergEqDelete,
+    "q_iceberg_compact" -> icebergCompact,
     "q_delta_roundtrip" -> deltaRoundtrip,
     "q_delta_part_roundtrip" -> deltaPartRoundtrip,
     "q_delta_dv_roundtrip" -> deltaDvRoundtrip,
@@ -553,6 +575,7 @@ object LakeQueries {
     "q_iceberg_evolve_roundtrip" -> icebergEvolveRoundtripSql,
     "q_iceberg_pos_delete" -> icebergPosDeleteSql,
     "q_iceberg_eq_delete" -> icebergEqDeleteSql,
+    "q_iceberg_compact" -> icebergCompactSql,
     "q_delta_roundtrip" -> deltaRoundtripSql,
     "q_delta_part_roundtrip" -> deltaPartRoundtripSql,
     "q_delta_dv_roundtrip" -> deltaDvRoundtripSql,

@@ -505,6 +505,38 @@ class IcebergCompatSpec extends SparkSuite {
     assert(IcebergCompat.read(spark, dir).count() === 0)
   }
 
+  test("compact folds merge-on-read deletes into clean files") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmpDir("iceberg-compact")
+    val sup = Seq.tabulate(30)(i => (i.toLong, s"n$i", i * 1.5))
+      .toDF("k", "n", "b")
+    IcebergCompat.write(sup.coalesce(1), dir)
+    IcebergCompat.writeEqualityDeletes(spark, dir,
+      sup.filter(col("k") % 3 === 0).select("k"), Seq("k"))
+    assert(IcebergCompat.read(spark, dir).count() === 20)
+
+    val snap = IcebergCompat.compact(spark, dir)
+    val after = IcebergCompat.read(spark, dir)
+    assert(after.count() === 20)
+    assert(after.filter(col("k") % 3 === 0).count() === 0)
+    // the compacted snapshot's manifest list has no delete manifests
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(new String(Files.readAllBytes(
+      Paths.get(dir, "metadata", "v3.metadata.json")), "UTF-8"))
+    val ml = meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == snap).get
+      .get("manifest-list").asText()
+    val reader = new org.apache.avro.file.DataFileReader[GenericRecord](
+      new File(ml.stripPrefix("file:")),
+      new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+    val entries = try reader.iterator().asScala.toList finally reader.close()
+    assert(entries.forall(r => r.get("content").asInstanceOf[Int] == 0))
+    // pre-compact snapshots still time-travel through their deletes
+    val snaps = meta.get("snapshots").elements().asScala
+      .map(_.get("snapshot-id").asLong()).toSeq
+    assert(IcebergCompat.read(spark, dir, Some(snaps.head)).count() === 30)
+  }
+
   test("mirror exports its snapshot as an Iceberg table") {
     val lake = new Mooncake(tmpDir("iceberg-export-wh"))
     lake.createTable(spark, "m",

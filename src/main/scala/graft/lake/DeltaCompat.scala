@@ -630,6 +630,64 @@ object DeltaCompat {
     write(live, table, replacing = dvPaths)
   }
 
+  /** VACUUM: physically delete data files whose LAST log action is a
+    * remove older than `retentionMs` (the spec's tombstone-retention
+    * contract — a re-added path is live again and never eligible).
+    * Files the head still references are always kept; DV files are left
+    * in place (they are bitmap-sized and may be shared by commits that
+    * remain time-travelable). After a vacuum, time travel behind the
+    * retention window fails on missing files — exactly Delta's
+    * documented behavior, which is why the default retention is 7 days.
+    * Returns the deleted relative paths. */
+  def vacuum(table: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+    val cutoff = System.currentTimeMillis() - retentionMs
+    // last action per path across the surviving log (checkpoint adds
+    // count as live — a checkpoint IS the compacted head of its prefix)
+    val lastAction = scala.collection.mutable.Map[String, (Long, Long)]()
+    // path -> (version, removeTimestamp or -1 for add)
+    lastCheckpoint(table).foreach { case (v, parts) =>
+      // checkpoint state paths: live at that version
+      // (read lazily via the JSON below for the common no-checkpoint
+      // case; here just mark them as added at version v)
+      checkpointLivePaths(table, v, parts)
+        .foreach(p => lastAction(p) = (v, -1L))
+    }
+    for (v <- versions(table)) {
+      val lines = Files.readAllLines(versionFile(table, v)).asScala
+      for (line <- lines if line.trim.nonEmpty) {
+        val node = mapper.readTree(line)
+        if (node.has("add"))
+          lastAction(PathCodec.percentDecode(
+            node.get("add").get("path").asText())) = (v, -1L)
+        if (node.has("remove")) {
+          val rm = node.get("remove")
+          lastAction(PathCodec.percentDecode(rm.get("path").asText())) =
+            (v, rm.path("deletionTimestamp").asLong(0L))
+        }
+      }
+    }
+    val deletable = lastAction.collect {
+      case (p, (_, ts)) if ts >= 0 && ts < cutoff => p
+    }.toSeq.sorted
+    deletable.filter { rel =>
+      val f = Paths.get(table, rel)
+      Files.deleteIfExists(f)
+    }
+  }
+
+  /** Paths the checkpoint declares live (add rows only). */
+  private def checkpointLivePaths(table: String, v: Long,
+      parts: Int): Seq[String] = {
+    val spark = SparkSession.active
+    val paths = checkpointFiles(table, v, parts).filter(Files.exists(_))
+    if (paths.isEmpty) return Seq.empty
+    val df = spark.read.parquet(paths.map(_.toString): _*)
+    if (!df.schema.fieldNames.contains("add")) return Seq.empty
+    df.select("add.path").collect().flatMap(r => Option(r.getString(0)))
+      .map(PathCodec.percentDecode).toSeq
+  }
+
   /** `add.stats` JSON for one staged parquet file, from its footer only:
     * numRecords, per-column min/max, per-column nullCount — the pruning
     * signal real Delta readers use for data skipping, and (numRecords)

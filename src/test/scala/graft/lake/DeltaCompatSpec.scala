@@ -183,6 +183,27 @@ class DeltaCompatSpec extends SparkSuite {
     assert(gotAbs === Seq(5L, 6L, 7L, 8L, 9L))
   }
 
+  test("vacuum deletes tombstoned files past retention, keeps the head") {
+    val dir = tmpDir("delta-vacuum")
+    DeltaCompat.write(Seq((1L, "a")).toDF("k", "v"), dir)
+    DeltaCompat.write(Seq((2L, "b")).toDF("k", "v"), dir, mode = "overwrite")
+    // within retention: nothing is eligible
+    assert(DeltaCompat.vacuum(dir).isEmpty)
+    assert(DeltaCompat.read(spark, dir, version = Some(0L)).count() === 1)
+    // retention 0: the overwritten file goes; the head stays intact
+    val gone = DeltaCompat.vacuum(dir, retentionMs = 0L)
+    assert(gone.size === 1)
+    assert(DeltaCompat.read(spark, dir).as[(Long, String)]
+      .collect().toSeq === Seq(2L -> "b"))
+    // time travel behind the vacuum now fails on the missing file —
+    // Delta's documented retention trade-off
+    intercept[Exception] {
+      DeltaCompat.read(spark, dir, version = Some(0L)).collect()
+    }
+    // idempotent
+    assert(DeltaCompat.vacuum(dir, retentionMs = 0L).isEmpty)
+  }
+
   test("purge rewrites only DV-carrying files; clean files carry over") {
     import org.apache.spark.sql.functions.col
     val dir = tmpDir("delta-purge")

@@ -217,36 +217,41 @@ object DeletionVectors {
     * and silently under-delete. */
   /** `_metadata.file_path` is a URI; DV-map keys are filesystem paths.
     * The ONE conversion both the map-building side ([[DeltaCompat]])
-    * and the probing side ([[DvOps.live]]) must share — a drift between
+    * and the probing side ([[live]]) must share — a drift between
     * them makes every membership lookup miss and resurrects deleted
     * rows. */
   def uriToPath(fp: String): String =
     if (fp.startsWith("file:")) new java.net.URI(fp).getPath else fp
 
-  object DvOps {
-    // The dvMap is held WEAKLY: pooled executor threads outlive queries,
-    // and a strong ThreadLocal reference would pin every scanned table's
-    // bitmap state per thread for the life of the executor. The one
-    // strongly-held `arr` is a single file's index array, bounded and
-    // re-resolvable.
-    private val last = new ThreadLocal[
-      (java.lang.ref.WeakReference[AnyRef],
-        org.apache.spark.unsafe.types.UTF8String, Array[Long])]
+  // The dvMap is held WEAKLY: pooled executor threads outlive queries,
+  // and a strong ThreadLocal reference would pin every scanned table's
+  // bitmap state per thread for the life of the executor. The one
+  // strongly-held `arr` is a single file's index array, bounded and
+  // re-resolvable.
+  private val last = new ThreadLocal[
+    (java.lang.ref.WeakReference[AnyRef],
+      org.apache.spark.unsafe.types.UTF8String, Array[Long])]
 
-    def live(dvMap: Map[String, Array[Long]],
-        fp: org.apache.spark.unsafe.types.UTF8String, pos: Long): Boolean = {
-      val cached = last.get()
-      val deleted =
-        if (cached != null && (cached._1.get eq dvMap) && cached._2.equals(fp))
-          cached._3
-        else {
-          val arr = dvMap.getOrElse(uriToPath(fp.toString), null)
-          last.set((new java.lang.ref.WeakReference[AnyRef](dvMap),
-            fp.clone(), arr))
-          arr
-        }
-      deleted == null || java.util.Arrays.binarySearch(deleted, pos) < 0
-    }
+  /** Row-liveness probe. Lives DIRECTLY on the top-level object (not a
+    * nested one): scalac emits a Java static forwarder
+    * `DeletionVectors.live` only for top-level-object methods, and the
+    * generated Java below can only resolve static members — a nested
+    * `DvOps.live` compiled fine in Scala but made Janino reject every
+    * generated stage, silently demoting all DV scans to interpreted
+    * fallback. */
+  def live(dvMap: Map[String, Array[Long]],
+      fp: org.apache.spark.unsafe.types.UTF8String, pos: Long): Boolean = {
+    val cached = last.get()
+    val deleted =
+      if (cached != null && (cached._1.get eq dvMap) && cached._2.equals(fp))
+        cached._3
+      else {
+        val arr = dvMap.getOrElse(uriToPath(fp.toString), null)
+        last.set((new java.lang.ref.WeakReference[AnyRef](dvMap),
+          fp.clone(), arr))
+        arr
+      }
+    deleted == null || java.util.Arrays.binarySearch(deleted, pos) < 0
   }
 
   /** `live(file_path, row_index)` as a native codegen'd predicate — the
@@ -262,14 +267,14 @@ object DeletionVectors {
     override def dataType: org.apache.spark.sql.types.DataType =
       org.apache.spark.sql.types.BooleanType
     override protected def nullSafeEval(fp: Any, pos: Any): Any =
-      DvOps.live(dvMap,
+      DeletionVectors.live(dvMap,
         fp.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
         pos.asInstanceOf[Long])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val mapRef = ctx.addReferenceObj("dvMap", dvMap,
         "scala.collection.immutable.Map")
       defineCodeGen(ctx, ev, (fp, pos) =>
-        s"graft.lake.DeletionVectors.DvOps.live($mapRef, $fp, $pos)")
+        s"graft.lake.DeletionVectors.live($mapRef, $fp, $pos)")
     }
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression) = copy(left = l, right = r)

@@ -655,17 +655,28 @@ object DeltaCompat {
     }
     for (v <- versions(table)) {
       val lines = Files.readAllLines(versionFile(table, v)).asScala
+      // A commit is a SET of actions: removes apply before adds within
+      // each commit regardless of line order (same semantics as
+      // replay()). A DV update is remove+add of the SAME path in one
+      // commit — if the remove's line happens to come after the add's,
+      // taking the last LINE would tombstone a file the head still
+      // references and vacuum would destroy live data. So: collect per
+      // commit, then let an add of a path win over a remove of it.
+      val adds = Seq.newBuilder[String]
+      val removes = Seq.newBuilder[(String, Long)]
       for (line <- lines if line.trim.nonEmpty) {
         val node = mapper.readTree(line)
         if (node.has("add"))
-          lastAction(PathCodec.percentDecode(
-            node.get("add").get("path").asText())) = (v, -1L)
+          adds += PathCodec.percentDecode(
+            node.get("add").get("path").asText())
         if (node.has("remove")) {
           val rm = node.get("remove")
-          lastAction(PathCodec.percentDecode(rm.get("path").asText())) =
-            (v, rm.path("deletionTimestamp").asLong(0L))
+          removes += (PathCodec.percentDecode(rm.get("path").asText()) ->
+            rm.path("deletionTimestamp").asLong(0L))
         }
       }
+      removes.result().foreach { case (p, ts) => lastAction(p) = (v, ts) }
+      adds.result().foreach(p => lastAction(p) = (v, -1L))
     }
     val deletable = lastAction.collect {
       case (p, (_, ts)) if ts >= 0 && ts < cutoff => p
@@ -696,14 +707,20 @@ object DeltaCompat {
     * names — exactly what the protocol wants. Columns whose parquet type
     * carries a logical annotation we don't map (timestamps, decimals)
     * and long strings are omitted — stats are per-column optional, and
-    * omitted is always safe where a wrong bound would corrupt pruning. */
-  private def fileStatsJson(p: Path): String = {
+    * omitted is always safe where a wrong bound would corrupt pruning.
+    *
+    * `tight = Some(false)` marks the bounds as covering rows a deletion
+    * vector has since killed (the protocol's tightBounds flag — required
+    * false once a DV is attached, since footer min/max still span the
+    * deleted rows); absent means the default, true. */
+  private def fileStatsJson(p: Path, tight: Option[Boolean] = None): String = {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     Manifest.withFooter(p) { footer =>
       val blocks = footer.getBlocks.asScala
       val stats = mapper.createObjectNode()
       stats.put("numRecords", blocks.map(_.getRowCount).sum)
+      tight.foreach(stats.put("tightBounds", _))
       val minV = mapper.createObjectNode()
       val maxV = mapper.createObjectNode()
       val nullC = mapper.createObjectNode()
@@ -789,7 +806,11 @@ object DeltaCompat {
     * The matched row coordinates come back to the driver: DV content is
     * log metadata by definition (every reader must hold it), so a delete
     * whose coordinates don't fit the driver is one that should compact/
-    * rewrite files instead — same honesty as the manifest itself.
+    * rewrite files instead — and that is ENFORCED, not just documented:
+    * the match count is taken first (a distributed count, no collect)
+    * and a delete above `spark.graft.delta.dvMaxDeleteRows` (default
+    * 10M coordinates ≈ a few hundred MB of driver arrays) refuses loudly
+    * with rewrite advice instead of silently OOMing the driver.
     * Returns the new version (or the current one if nothing matched). */
   def delete(spark: SparkSession, table: String,
       condition: org.apache.spark.sql.Column): Long = {
@@ -798,11 +819,21 @@ object DeltaCompat {
     // — and nothing to delete; report the current head as the no-op
     if (state.files.isEmpty)
       return (versions(table) ++ lastCheckpoint(table).map(_._1)).max
-    val matched = df.filter(condition)
-      .select("__fp", "__pos").collect()
-      .map(r => (uriToPath(r.getString(0)), r.getLong(1)))
     val head = (versions(table) ++ lastCheckpoint(table).map(_._1)).max
-    if (matched.isEmpty) return head
+    val matchedDf = df.filter(condition).select("__fp", "__pos")
+    val maxRows = spark.conf.getOption("spark.graft.delta.dvMaxDeleteRows")
+      .map(_.toLong).getOrElse(10000000L)
+    val matchedCount = matchedDf.count()
+    if (matchedCount == 0) return head
+    if (matchedCount > maxRows)
+      throw new UnsupportedOperationException(
+        s"$table: delete matched $matchedCount rows, over " +
+          s"spark.graft.delta.dvMaxDeleteRows=$maxRows. DV coordinates " +
+          "are log metadata every reader must hold — a delete this " +
+          "large should rewrite files instead: write() the filtered " +
+          "table (or purge() after raising the limit deliberately).")
+    val matched = matchedDf.collect()
+      .map(r => (uriToPath(r.getString(0)), r.getLong(1)))
     val root = Paths.get(table)
     val relByAbs = state.files.keys.map(rel => absPath(table, rel) -> rel).toMap
     val affected = matched.groupBy(_._1).toSeq.map { case (abs, rows) =>
@@ -845,6 +876,11 @@ object DeltaCompat {
       add.partitionValues.foreach { case (k, v) =>
         v.fold[Unit](pvNode.putNull(k))(pvNode.put(k, _))
       }
+      // The protocol requires stats.numRecords on adds carrying a
+      // deletionVector (readers compute the logical row count as
+      // numRecords - cardinality), and tightBounds:false because the
+      // footer min/max still cover the DV'd rows.
+      a.put("stats", fileStatsJson(Paths.get(table, rel), tight = Some(false)))
       val dvNode = a.putObject("deletionVector")
       dvNode.put("storageType", d.storageType)
         .put("pathOrInlineDv", d.pathOrInlineDv)
@@ -940,7 +976,9 @@ object DeltaCompat {
         // after old JSON is vacuumed the checkpoint is their only source
         Row(null, null, Row(encodePath(path),
           add.partitionValues.map { case (k, v) => k -> v.orNull },
-          Files.size(onDisk), now, true, fileStatsJson(onDisk), dvRow))
+          Files.size(onDisk), now, true,
+          fileStatsJson(onDisk,
+            tight = if (add.dv.isDefined) Some(false) else None), dvRow))
       }
     // One checkpoint file: the action list is manifest-sized. (Readers
     // handle multi-part checkpoints; writing them only matters once the

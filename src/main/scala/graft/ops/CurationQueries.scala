@@ -293,11 +293,15 @@ object CurationQueries {
     * re-evaluate a per-element expression tree, the same ~100x penalty
     * the minhash kernels eliminated. Left-fold double accumulation
     * keeps the DuckDB list_reduce oracle bit-exact; floor (not round)
-    * keeps quantization ties deterministic across engines. */
+    * keeps quantization ties deterministic across engines. The q8
+    * vector is emitted stringified (array_join) — compared outputs
+    * never carry raw array columns, per the harness convention
+    * established by q_agg_array: the driver's comparator sorts rows
+    * via pandas, which cannot hash raw arrays. */
   val embedQuantize: Q = (s, dir) => {
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), SVE.l2_norm(col("embedding")).as("l2_norm"),
-        SVE.quantize8(col("embedding")).as("q8"))
+        array_join(SVE.quantize8(col("embedding")), ",").as("q8"))
       .orderBy("vec_id")
   }
 
@@ -306,10 +310,11 @@ object CurationQueries {
       |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
       |    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
       |    (a, x) -> a + x)) AS l2_norm,
-      |  CASE WHEN l2_norm = 0 THEN list_transform(embedding, x -> 0)
-      |       ELSE list_transform(embedding,
-      |         x -> CAST(floor(CAST(x AS DOUBLE) / l2_norm * 127.0) AS INT))
-      |  END AS q8
+      |  array_to_string(
+      |    CASE WHEN l2_norm = 0 THEN list_transform(embedding, x -> 0)
+      |         ELSE list_transform(embedding,
+      |           x -> CAST(floor(CAST(x AS DOUBLE) / l2_norm * 127.0) AS INT))
+      |    END, ',') AS q8
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
   /** Fixed-window chunking with overlap — how documents longer than a

@@ -448,6 +448,79 @@ class DeltaCompatSpec extends SparkSuite {
       Seq((1L, "a", 10), (2L, "a", 20), (3L, "b x", 30), (9L, "c", 90)))
   }
 
+  test("vacuum treats a commit as a set: same-commit add wins over remove") {
+    // A DV-style update is remove+add of the SAME path in ONE commit, in
+    // either line order. A vacuum that keyed on the last LINE would see
+    // add-then-remove as "tombstoned" and destroy a file the head still
+    // references — permanent data loss on a spec-conformant table.
+    val dir = tmpDir("delta-vacuum-setsem")
+    DeltaCompat.write(Seq((1L, "a")).toDF("k", "v"), dir)
+    val part = Files.list(Paths.get(dir)).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val rel = part.getFileName.toString
+    // foreign commit: add line FIRST, remove line SECOND, same path,
+    // ancient deletionTimestamp — the adversarial line order
+    val commit =
+      s"""{"add":{"path":"$rel","partitionValues":{},"size":${
+        Files.size(part)},"modificationTime":0,"dataChange":true}}""" + "\n" +
+        s"""{"remove":{"path":"$rel","deletionTimestamp":0,"dataChange":true}}""" + "\n"
+    Files.write(Paths.get(dir, "_delta_log", f"${1L}%020d.json"),
+      commit.getBytes)
+    // replay agrees the file is live...
+    assert(DeltaCompat.read(spark, dir).count() === 1)
+    // ...so vacuum at retention 0 must NOT delete it
+    assert(DeltaCompat.vacuum(dir, retentionMs = 0L).isEmpty)
+    assert(Files.exists(part))
+    assert(DeltaCompat.read(spark, dir).as[(Long, String)]
+      .collect().toSeq === Seq(1L -> "a"))
+  }
+
+  test("delete refuses past dvMaxDeleteRows instead of collecting unbounded") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("delta-dv-guard")
+    DeltaCompat.write(spark.range(0, 100)
+      .selectExpr("id AS k", "CAST(id AS STRING) AS v"), dir)
+    spark.conf.set("spark.graft.delta.dvMaxDeleteRows", "5")
+    try {
+      val e = intercept[UnsupportedOperationException] {
+        DeltaCompat.delete(spark, dir, col("k") < 50)
+      }
+      assert(e.getMessage.contains("dvMaxDeleteRows"))
+      assert(e.getMessage.contains("rewrite"))
+      // nothing was committed by the refused delete
+      assert(DeltaCompat.versions(dir) === Seq(0L))
+      // under the limit still works
+      assert(DeltaCompat.delete(spark, dir, col("k") < 5) === 1L)
+      assert(DeltaCompat.read(spark, dir).count() === 95)
+    } finally spark.conf.unset("spark.graft.delta.dvMaxDeleteRows")
+  }
+
+  test("DV re-adds carry stats.numRecords with tightBounds:false") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("delta-dv-stats")
+    DeltaCompat.write(spark.range(0, 100)
+      .selectExpr("id AS k", "CAST(id AS STRING) AS v").coalesce(1), dir)
+    DeltaCompat.delete(spark, dir, col("k") < 10)
+    val jm = new com.fasterxml.jackson.databind.ObjectMapper()
+    val addLine = Files.readAllLines(
+        Paths.get(dir, "_delta_log", f"${1L}%020d.json")).asScala
+      .map(jm.readTree).find(_.has("add")).get.get("add")
+    assert(addLine.has("deletionVector"))
+    val stats = jm.readTree(addLine.get("stats").asText())
+    // physical row count (readers subtract DV cardinality for logical)
+    assert(stats.get("numRecords").asLong() === 100L)
+    assert(stats.get("tightBounds").asBoolean() === false)
+    // checkpoints keep the loose-bounds marker for DV'd files
+    DeltaCompat.checkpoint(spark, dir)
+    val cp = spark.read.parquet(
+      Paths.get(dir, "_delta_log", f"${1L}%020d.checkpoint.parquet").toString)
+    val cpStats = cp.where(cp.col("add").isNotNull)
+      .select("add.stats").collect().map(_.getString(0)).map(jm.readTree)
+    assert(cpStats.length === 1)
+    assert(cpStats.head.get("numRecords").asLong() === 100L)
+    assert(cpStats.head.get("tightBounds").asBoolean() === false)
+  }
+
   test("add/remove paths are percent-decoded per the Delta spec") {
     val dir = tmpDir("delta-enc")
     DeltaCompat.write(Seq((1L, "a")).toDF("k", "v"), dir)

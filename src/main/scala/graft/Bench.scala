@@ -119,6 +119,10 @@ object Bench {
       .map(p => p.map(_._2).filter(_ >= 0).sum)
       .map(t => f"$t%.3f").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"passes":$passes,"pass_totals":$passTotals,"variance_flags":$varianceFlags,"setup_sec":$setupJson,"sf":"$sfDir"}""")
+    // The driver keeps only the TAIL of stdout; the big line above leads
+    // with "value" and can lose it to truncation. Reprint the headline
+    // numbers last so the total always survives.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"pass_totals":$passTotals,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

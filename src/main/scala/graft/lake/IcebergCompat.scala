@@ -494,6 +494,131 @@ object IcebergCompat {
       mode = "overwrite")
   }
 
+  /** Expire snapshots older than `olderThanMs` — the Iceberg
+    * maintenance lifecycle's other half (compact folds merge-on-read
+    * state; expire bounds history). A long-lived CDC mirror otherwise
+    * accumulates snapshots, manifest lists and overwritten data files
+    * without bound. Mirrors `expire_snapshots` semantics:
+    *
+    *   - the CURRENT snapshot is never expired, regardless of age;
+    *   - files (data, delete, manifest, manifest-list) are physically
+    *     deleted only when NO retained snapshot can reach them — a
+    *     data manifest carried across many snapshots survives until
+    *     the last carrier goes;
+    *   - a new metadata version is committed with the retained
+    *     snapshots only, so time travel behind the cutoff now refuses
+    *     (snapshot not found) instead of reading missing files.
+    *
+    * Reachability is judged conservatively: ANY file_path mentioned by
+    * a retained snapshot's manifests (any entry status) is kept.
+    * Returns the physically deleted paths. */
+  def expireSnapshots(tableDir: String, olderThanMs: Long): Seq[String] = {
+    val metaDir = Paths.get(tableDir, "metadata")
+    val meta = currentMetadata(tableDir)
+    val currentId = meta.path("current-snapshot-id").asLong(-1)
+    val snaps = meta.path("snapshots").elements().asScala.toSeq
+    val (expired, retained) = snaps.partition(s =>
+      s.path("snapshot-id").asLong(-2) != currentId &&
+        s.path("timestamp-ms").asLong(Long.MaxValue) < olderThanMs)
+    if (expired.isEmpty) return Seq.empty
+
+    // (manifest lists, manifests, data/delete files) reachable from a
+    // snapshot set — driver-side Avro walks, manifest-sized like every
+    // other metadata operation here.
+    def reachable(ss: Seq[JsonNode]): (Set[String], Set[String], Set[String]) = {
+      val lists = scala.collection.mutable.Set[String]()
+      val manifests = scala.collection.mutable.Set[String]()
+      val files = scala.collection.mutable.Set[String]()
+      ss.foreach { s =>
+        val ml = localPath(s.get("manifest-list").asText())
+        lists += ml
+        avroRecords(ml).foreach { r =>
+          val m = localPath(r.get("manifest_path").toString)
+          if (manifests.add(m))
+            avroRecords(m).foreach { e =>
+              val df = e.get("data_file").asInstanceOf[GenericRecord]
+              files += localPath(df.get("file_path").toString)
+            }
+        }
+      }
+      (lists.toSet, manifests.toSet, files.toSet)
+    }
+    val (keepLists, keepManifests, keepFiles) = reachable(retained)
+    val (expLists, expManifests, expFiles) = reachable(expired)
+    val deletable = ((expLists -- keepLists) ++
+      (expManifests -- keepManifests) ++ (expFiles -- keepFiles)).toSeq.sorted
+
+    // Commit the shrunk history as a new metadata version FIRST — a
+    // crash between the commit and the physical deletes leaves only
+    // unreferenced garbage (removable by removeOrphanFiles), never a
+    // metadata file naming deleted data.
+    val keepIds = retained.map(_.path("snapshot-id").asLong(-1)).toSet
+    val root = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    val newSnaps = mapper.createArrayNode()
+    retained.foreach(newSnaps.add)
+    root.set[JsonNode]("snapshots", newSnaps)
+    val newLog = mapper.createArrayNode()
+    meta.path("snapshot-log").elements().asScala
+      .filter(e => keepIds.contains(e.path("snapshot-id").asLong(-2)))
+      .foreach(newLog.add)
+    root.set[JsonNode]("snapshot-log", newLog)
+    root.put("last-updated-ms", System.currentTimeMillis())
+    val prevVersion = new String(Files.readAllBytes(
+      metaDir.resolve("version-hint.text")), "UTF-8").trim.toLong
+    val version = prevVersion + 1
+    val tmp = Files.createTempFile(metaDir, ".tmp-meta", ".json")
+    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(root).getBytes("UTF-8"))
+    Files.move(tmp, metaDir.resolve(s"v$version.metadata.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+    val tmpHint = Files.createTempFile(metaDir, ".tmp-hint", ".txt")
+    Files.write(tmpHint, version.toString.getBytes("UTF-8"))
+    Files.move(tmpHint, metaDir.resolve("version-hint.text"),
+      StandardCopyOption.ATOMIC_MOVE)
+
+    deletable.filter(p => Files.deleteIfExists(Paths.get(p)))
+  }
+
+  /** Delete files under `data/` and `metadata/` that NO snapshot in the
+    * current metadata reaches — crash-leftover staging output, files
+    * orphaned by an interrupted [[expireSnapshots]]. Metadata JSON and
+    * the version hint are never touched (they are the history real
+    * catalogs roll back through). Returns the deleted paths. */
+  def removeOrphanFiles(tableDir: String): Seq[String] = {
+    val meta = currentMetadata(tableDir)
+    val snaps = meta.path("snapshots").elements().asScala.toSeq
+    val live = scala.collection.mutable.Set[String]()
+    def norm(p: String): String =
+      Paths.get(p).toAbsolutePath.normalize.toString
+    snaps.foreach { s =>
+      val ml = localPath(s.get("manifest-list").asText())
+      live += norm(ml)
+      avroRecords(ml).foreach { r =>
+        val m = localPath(r.get("manifest_path").toString)
+        if (live.add(norm(m)))
+          avroRecords(m).foreach { e =>
+            val df = e.get("data_file").asInstanceOf[GenericRecord]
+            live += norm(localPath(df.get("file_path").toString))
+          }
+      }
+    }
+    val candidates = Seq(Paths.get(tableDir, "data"),
+        Paths.get(tableDir, "metadata"))
+      .filter(Files.isDirectory(_))
+      .flatMap { d => // recursive: partitioned data nests hive-style dirs
+        val stream = Files.walk(d)
+        try stream.iterator().asScala.filter(p =>
+          Files.isRegularFile(p) && {
+            val n = p.getFileName.toString
+            n.endsWith(".parquet") || n.endsWith(".avro")
+          }).toList
+        finally stream.close()
+      }
+    candidates.map(_.toAbsolutePath.normalize.toString)
+      .filterNot(live.contains).sorted
+      .filter(p => Files.deleteIfExists(Paths.get(p)))
+  }
+
   // --------------------------------------------------------------------------
   // write path (append / overwrite, one snapshot per commit)
   // --------------------------------------------------------------------------

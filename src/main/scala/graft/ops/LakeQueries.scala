@@ -472,6 +472,34 @@ object LakeQueries {
 
   val icebergCompactSql: String = icebergEqDeleteSql
 
+  /** The full Iceberg maintenance lifecycle: merge-on-read state
+    * (equality deletes + re-insert), COMPACT folds it into clean files,
+    * then EXPIRE drops every pre-compaction snapshot and physically
+    * deletes the files only they referenced — the unbounded-history
+    * problem a long-lived CDC mirror otherwise has. The read after
+    * expiry must still match the merge-on-read oracle (expiry never
+    * touches the head), while time travel behind the cutoff refuses. */
+  val icebergExpire: Q = (s, dir) => {
+    val tmp = graft.Scratch.dir("graft-iceberg-expire-q")
+    val sup = Tables.load(s, dir, "supplier")
+      .select("s_suppkey", "s_name", "s_acctbal")
+    graft.lake.IcebergCompat.write(sup, tmp)
+    graft.lake.IcebergCompat.writeEqualityDeletes(s, tmp,
+      sup.filter(col("s_suppkey") % 7 === 0).select("s_suppkey"),
+      Seq("s_suppkey"))
+    graft.lake.IcebergCompat.write(
+      sup.filter(col("s_suppkey") % 14 === 0)
+        .withColumn("s_acctbal", col("s_acctbal") + 1), tmp)
+    graft.lake.IcebergCompat.compact(s, tmp)
+    // cutoff after every commit above: only the head survives
+    val dropped = graft.lake.IcebergCompat.expireSnapshots(
+      tmp, System.currentTimeMillis() + 3600000L)
+    require(dropped.nonEmpty, "expire must physically delete something")
+    graft.lake.IcebergCompat.read(s, tmp).orderBy("s_suppkey")
+  }
+
+  val icebergExpireSql: String = icebergEqDeleteSql
+
   /** Snapshot diff (the table_changes / Delta-CDF class): mirror orders,
     * apply the same CDC batch as [[cdcApply]], then ask the lake what
     * changed between v1 and v2. Deletes surface as 'delete', updates as
@@ -550,6 +578,7 @@ object LakeQueries {
     "q_iceberg_pos_delete" -> icebergPosDelete,
     "q_iceberg_eq_delete" -> icebergEqDelete,
     "q_iceberg_compact" -> icebergCompact,
+    "q_iceberg_expire" -> icebergExpire,
     "q_delta_roundtrip" -> deltaRoundtrip,
     "q_delta_part_roundtrip" -> deltaPartRoundtrip,
     "q_delta_dv_roundtrip" -> deltaDvRoundtrip,
@@ -576,6 +605,7 @@ object LakeQueries {
     "q_iceberg_pos_delete" -> icebergPosDeleteSql,
     "q_iceberg_eq_delete" -> icebergEqDeleteSql,
     "q_iceberg_compact" -> icebergCompactSql,
+    "q_iceberg_expire" -> icebergExpireSql,
     "q_delta_roundtrip" -> deltaRoundtripSql,
     "q_delta_part_roundtrip" -> deltaPartRoundtripSql,
     "q_delta_dv_roundtrip" -> deltaDvRoundtripSql,

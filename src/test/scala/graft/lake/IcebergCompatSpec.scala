@@ -537,6 +537,78 @@ class IcebergCompatSpec extends SparkSuite {
     assert(IcebergCompat.read(spark, dir, Some(snaps.head)).count() === 30)
   }
 
+  test("expireSnapshots drops old history, deletes only unreachable files") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmpDir("iceberg-expire")
+    val df0 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    IcebergCompat.write(df0.coalesce(1), dir)
+    // overwrite: the v1 data file becomes reachable ONLY via snapshot 1
+    IcebergCompat.write(Seq((3L, "c")).toDF("k", "v").coalesce(1), dir,
+      mode = "overwrite")
+    IcebergCompat.write(Seq((4L, "d")).toDF("k", "v").coalesce(1), dir)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def snapshots(): Seq[Long] = {
+      val hint = new String(Files.readAllBytes(
+        Paths.get(dir, "metadata", "version-hint.text")), "UTF-8").trim
+      mapper.readTree(new String(Files.readAllBytes(
+          Paths.get(dir, "metadata", s"v$hint.metadata.json")), "UTF-8"))
+        .get("snapshots").elements().asScala
+        .map(_.get("snapshot-id").asLong()).toSeq
+    }
+    val before = snapshots()
+    assert(before.size === 3)
+    val dataFiles = Files.list(Paths.get(dir, "data")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+    assert(dataFiles.size === 3)
+
+    // nothing older than epoch 0: no-op, no new metadata version
+    assert(IcebergCompat.expireSnapshots(dir, 0L).isEmpty)
+    assert(snapshots() === before)
+
+    val deleted = IcebergCompat.expireSnapshots(
+      dir, System.currentTimeMillis() + 3600000L)
+    // snapshot-1's data file was dropped by the overwrite → physically
+    // deleted; the appended + overwriting snapshots' files survive via
+    // the head's carried manifests
+    assert(deleted.exists(_.endsWith(".parquet")))
+    assert(deleted.exists(_.contains("ml-"))) // expired manifest lists
+    // only the current snapshot remains; the head reads unchanged
+    assert(snapshots() === Seq(before.last))
+    assert(IcebergCompat.read(spark, dir).as[(Long, String)]
+      .collect().sorted.toSeq === Seq(3L -> "c", 4L -> "d"))
+    // time travel behind the cutoff refuses
+    intercept[NoSuchElementException] {
+      IcebergCompat.read(spark, dir, Some(before.head))
+    }
+    intercept[IllegalArgumentException] {
+      IcebergCompat.readAsOf(spark, dir, 1L)
+    }
+    // idempotent
+    assert(IcebergCompat.expireSnapshots(
+      dir, System.currentTimeMillis() + 3600000L).isEmpty)
+    // appends continue normally after expiry
+    IcebergCompat.write(Seq((5L, "e")).toDF("k", "v").coalesce(1), dir)
+    assert(IcebergCompat.read(spark, dir).count() === 3)
+  }
+
+  test("removeOrphanFiles sweeps unreferenced staging leftovers only") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmpDir("iceberg-orphan")
+    IcebergCompat.write(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), dir)
+    // a crash-leftover: parquet in data/ no manifest references
+    val orphan = Paths.get(dir, "data", "orphan-leftover.parquet")
+    val real = Files.list(Paths.get(dir, "data")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq.head
+    Files.copy(real, orphan)
+    val swept = IcebergCompat.removeOrphanFiles(dir)
+    assert(swept === Seq(orphan.toAbsolutePath.normalize.toString))
+    assert(!Files.exists(orphan) && Files.exists(real))
+    assert(IcebergCompat.read(spark, dir).count() === 2)
+    // clean table: nothing to sweep
+    assert(IcebergCompat.removeOrphanFiles(dir).isEmpty)
+  }
+
   test("mirror exports its snapshot as an Iceberg table") {
     val lake = new Mooncake(tmpDir("iceberg-export-wh"))
     lake.createTable(spark, "m",

@@ -277,11 +277,14 @@ object IcebergCompat {
 
     // delete files: positional (content 1) and equality (content 2)
     val idToName = fieldIdToName(meta)
-    case class EqDelete(path: String, seq: Long, cols: Seq[String])
+    case class EqDelete(path: String, seq: Long, cols: Seq[String],
+        scope: Option[(Int, Map[String, Any])])
     val posFiles = Seq.newBuilder[String]
     val eqFiles = Seq.newBuilder[EqDelete]
     deleteManifests.foreach { listRec =>
       val m = listRec.get("manifest_path").toString
+      val delSpecId = numField(listRec, "partition_spec_id")
+        .getOrElse(0L).toInt
       avroRecords(localPath(m)).foreach { rec =>
         val status = rec.get("status").asInstanceOf[Int]
         if (status != 2) {
@@ -310,26 +313,27 @@ object IcebergCompat {
                 "equality delete file without equality_ids — cannot " +
                   "apply safely, refusing")
             }
-            // PARTITION-SCOPED equality deletes (non-null partition
-            // tuple) apply only within their partition; this reader
-            // applies equality deletes globally, which would over-
-            // delete — refuse, per the refuse-over-misread discipline
-            // (our own writer only emits global deletes).
+            // Scope, per spec: an equality delete stored with a
+            // PARTITIONED spec (its partition struct has fields)
+            // applies only within that partition; one stored under an
+            // unpartitioned spec (empty struct) applies globally —
+            // exactly what streaming CDC writers (Flink) emit per
+            // partition. The tuple is matched against data files of
+            // the same spec at file granularity below.
             val pr =
               if (df.getSchema.getField("partition") == null) null
               else df.get("partition").asInstanceOf[GenericRecord]
-            val scoped = pr != null && pr.getSchema.getFields.asScala
-              .exists(f => pr.get(f.name) != null)
-            if (scoped) throw new UnsupportedOperationException(
-              "partition-scoped Iceberg equality deletes out of this " +
-                "reader's scope (only global delete files apply safely)")
+            val scope =
+              if (pr == null || pr.getSchema.getFields.isEmpty) None
+              else Some((delSpecId, pr.getSchema.getFields.asScala
+                .map(f => f.name -> avroValue(pr.get(f.name))).toMap))
             val seq = seqOf(rec, listRec,
               rec.get("status").asInstanceOf[Int]).getOrElse(
               throw new UnsupportedOperationException(
                 "equality delete entry without a resolvable sequence " +
                   "number — cannot scope it, refusing"))
             eqFiles += EqDelete(localPath(df.get("file_path").toString),
-              seq, cols)
+              seq, cols, scope)
           }
         }
       }
@@ -437,25 +441,44 @@ object IcebergCompat {
     val afterEq =
       if (!needEq) afterPos
       else {
-        // one anti-join per distinct equality-column set (usually just
-        // the key set), each set's delete files read in ONE multi-path
-        // scan with the per-file sequence joined from a broadcast
-        // lookup; null-safe match per spec, scoped to strictly older
-        // data sequences
-        eqDeletes.groupBy(_.cols).toSeq.sortBy(_._1.mkString(","))
-          .foldLeft(afterPos) { case (acc, (cols, group)) =>
-            val seqLookup = group.map(d => (d.path, d.seq))
-              .toDF("__dfile", "__eqseq")
-            val delDf = spark.read
-              .parquet(group.map(_.path).distinct.sorted: _*)
-              .withColumn("__dfile", normPathCol(col("_metadata.file_path")))
-              .select(cols.map(c =>
-                col(c).cast(fieldType(c)).as(s"__d_$c")) :+
-                col("__dfile"): _*)
-              .join(broadcast(seqLookup), Seq("__dfile")).drop("__dfile")
-            val cond = cols.map(c => acc(c) <=> delDf(s"__d_$c"))
-              .reduce(_ && _) && delDf("__eqseq") > acc("__dseq")
-            acc.join(delDf, cond, "left_anti")
+        // one anti-join per distinct (equality-column set, partition
+        // scope), each group's delete files read in ONE multi-path scan
+        // with the per-file sequence joined from a broadcast lookup;
+        // null-safe match per spec, scoped to strictly older data
+        // sequences. A PARTITION-SCOPED group additionally restricts
+        // the match to rows of data files whose manifest partition
+        // tuple equals the delete's tuple under the same spec — file
+        // granularity, resolved driver-side from the manifests we
+        // already hold, applied as an InSet on the row's __file (O(1)
+        // hash probe per row in codegen, manifest-sized set).
+        eqDeletes.groupBy(d => (d.cols, d.scope)).toSeq
+          .sortBy { case ((cols, scope), _) =>
+            (cols.mkString(","), scope.toString) }
+          .foldLeft(afterPos) { case (acc, ((cols, scope), group)) =>
+            val scopePaths = scope.map { case (sid, tuple) =>
+              dataFiles.filter(f => f.specId == sid &&
+                tuple.forall { case (k, v) =>
+                  val fv = f.partVals.getOrElse(k, null)
+                  if (v == null) fv == null else v == fv
+                }).map(_.path)
+            }
+            if (scopePaths.exists(_.isEmpty)) acc // nothing in scope
+            else {
+              val seqLookup = group.map(d => (d.path, d.seq))
+                .toDF("__dfile", "__eqseq")
+              val delDf = spark.read
+                .parquet(group.map(_.path).distinct.sorted: _*)
+                .withColumn("__dfile", normPathCol(col("_metadata.file_path")))
+                .select(cols.map(c =>
+                  col(c).cast(fieldType(c)).as(s"__d_$c")) :+
+                  col("__dfile"): _*)
+                .join(broadcast(seqLookup), Seq("__dfile")).drop("__dfile")
+              val cond = cols.map(c => acc(c) <=> delDf(s"__d_$c"))
+                .reduce(_ && _) && delDf("__eqseq") > acc("__dseq") &&
+                scopePaths.fold(lit(true))(ps =>
+                  acc("__file").isInCollection(ps))
+              acc.join(delDf, cond, "left_anti")
+            }
           }
       }
     afterEq.drop("__file", "__pos", "__dseq")
@@ -1266,9 +1289,17 @@ object IcebergCompat {
     * for updates/deletes without knowing row positions. `rows` carries
     * exactly the equality columns; the sequence rule on the read side
     * scopes the delete to strictly-older data files, so a later
-    * re-insert of the same key survives. Returns the snapshot id. */
+    * re-insert of the same key survives.
+    *
+    * `scope` partition-scopes the delete (the shape per-partition
+    * streaming writers emit): a non-empty map binding every identity
+    * partition field of the table's default spec to a value writes the
+    * delete file WITH that partition tuple, and readers (ours and real
+    * engines) apply it only to data files of that partition. Returns
+    * the snapshot id. */
   def writeEqualityDeletes(spark: SparkSession, tableDir: String,
-      rows: DataFrame, equalityCols: Seq[String]): Long = {
+      rows: DataFrame, equalityCols: Seq[String],
+      scope: Map[String, Any] = Map.empty): Long = {
     require(equalityCols.nonEmpty, "equalityCols must be non-empty")
     val meta = currentMetadata(tableDir)
     val idByName = fieldIdToName(meta).map(_.swap)
@@ -1277,28 +1308,44 @@ object IcebergCompat {
         s"$tableDir has no column '$c' to equality-delete on")))
     commitDeleteSnapshot(spark, tableDir,
       rows.select(equalityCols.map(org.apache.spark.sql.functions.col): _*),
-      content = 2, equalityIds = ids)
+      content = 2, equalityIds = ids, scope = scope)
   }
 
   /** Shared delete-snapshot commit: stage `deleteDf` as one parquet
     * delete file, emit its delete-content manifest and a manifest list
     * carrying every prior manifest, and commit the metadata. */
   private def commitDeleteSnapshot(spark: SparkSession, tableDir: String,
-      deleteDf: DataFrame, content: Int, equalityIds: Seq[Int]): Long = {
+      deleteDf: DataFrame, content: Int, equalityIds: Seq[Int],
+      scope: Map[String, Any] = Map.empty): Long = {
     val metaDir = Paths.get(tableDir, "metadata")
     val prior = currentMetadata(tableDir)
-    // This writer emits one GLOBAL delete file with an empty partition
-    // struct. Under a non-empty identity spec, real Iceberg readers
-    // resolve the struct by spec-id and would see null partition values
-    // — mis-scoping the deletes. Refuse rather than emit a manifest
-    // other readers misinterpret; partition-scoped delete manifests are
-    // the upgrade path.
-    val spec = defaultSpec(prior).map(_._1)
-    if (spec.nonEmpty)
+    // An UNSCOPED delete on a partitioned table would emit an empty
+    // partition struct under a non-empty spec — real readers resolve
+    // the struct by spec-id and would see null partition values,
+    // mis-scoping the deletes. Refuse rather than emit a manifest other
+    // readers misinterpret; a partition-scoped delete (scope binding
+    // every identity spec field) is the supported shape.
+    val specPairs = defaultSpec(prior)
+    if (specPairs.nonEmpty && scope.isEmpty)
       throw new UnsupportedOperationException(
-        s"$tableDir is partitioned (${spec.mkString(", ")}) — " +
-          "this writer only emits global delete files for " +
+        s"$tableDir is partitioned (${specPairs.map(_._1).mkString(", ")})" +
+          " — pass a partition scope, or use global deletes only on " +
           "unpartitioned tables")
+    if (scope.nonEmpty) {
+      if (specPairs.isEmpty)
+        throw new IllegalArgumentException(
+          s"$tableDir is unpartitioned — a partition scope is meaningless")
+      val nonIdentity = specPairs.filter(_._2 != "identity")
+      if (nonIdentity.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"partition-scoped deletes under non-identity transforms " +
+            s"(${nonIdentity.map(p => s"${p._2}(${p._1})").mkString(", ")})" +
+            " out of this writer's scope")
+      require(scope.keySet == specPairs.map(_._1).toSet,
+        s"scope must bind exactly the spec fields " +
+          s"(${specPairs.map(_._1).mkString(", ")}), " +
+          s"got (${scope.keys.mkString(", ")})")
+    }
     val prevVersion = new String(Files.readAllBytes(
       metaDir.resolve("version-hint.text")), "UTF-8").trim.toLong
     val tableUuid = Option(prior.get("table-uuid")).map(_.asText())
@@ -1328,15 +1375,34 @@ object IcebergCompat {
     val nRows = parquetRowCount(target)
 
     // Delete manifest: one delete-file entry (content 1 = positional,
-    // 2 = equality) with an empty partition struct (global scope).
-    val entrySchema = mkManifestEntrySchema(Seq.empty)
+    // 2 = equality). Global scope = empty partition struct under the
+    // unpartitioned spec; partition scope = the default spec's struct
+    // with the scope tuple filled in, field-ids from the spec.
+    val defaultSpecId = prior.path("default-spec-id").asInt(0)
+    val specFieldsArr = prior.path("partition-specs").elements().asScala
+      .find(_.path("spec-id").asInt(0) == defaultSpecId)
+      .map(_.path("fields"))
+      .getOrElse(mapper.createArrayNode(): JsonNode)
+    val partFields: Seq[(StructField, Int)] =
+      if (scope.isEmpty) Seq.empty
+      else {
+        val tableSchema = toStructType(prior)
+        specFieldsArr.elements().asScala.toSeq.map(f =>
+          (tableSchema(f.get("name").asText()),
+            f.path("field-id").asInt(1000)))
+      }
+    val entrySchema = mkManifestEntrySchema(partFields)
     val dataFileSchema = entrySchema.getField("data_file").schema()
     val d = new GenericData.Record(dataFileSchema)
     d.put("content", content)
     d.put("file_path", target.toString)
     d.put("file_format", "PARQUET")
-    d.put("partition",
-      new GenericData.Record(dataFileSchema.getField("partition").schema()))
+    val partRecord =
+      new GenericData.Record(dataFileSchema.getField("partition").schema())
+    partFields.foreach { case (f, _) =>
+      partRecord.put(f.name, scope(f.name).asInstanceOf[AnyRef])
+    }
+    d.put("partition", partRecord)
     d.put("record_count", nRows)
     d.put("file_size_in_bytes", Files.size(target))
     if (equalityIds.nonEmpty)
@@ -1348,21 +1414,18 @@ object IcebergCompat {
     e.put("file_sequence_number", sequenceNumber)
     e.put("data_file", d)
     val schemaNode = currentSchemaNode(prior)
-    val specFieldsArr = prior.path("partition-specs").elements().asScala
-      .toSeq.headOption.map(_.path("fields"))
-      .getOrElse(mapper.createArrayNode())
     val manifestPath = metaDir.resolve(f"m-$snapshotId%d-deletes.avro")
     writeAvro(manifestPath, entrySchema, Seq(e),
       Map("schema" -> mapper.writeValueAsString(schemaNode),
         "partition-spec" -> mapper.writeValueAsString(specFieldsArr),
-        "partition-spec-id" -> "0", "format-version" -> "2",
-        "content" -> "deletes"))
+        "partition-spec-id" -> defaultSpecId.toString,
+        "format-version" -> "2", "content" -> "deletes"))
 
     val newListEntry = {
       val r = new GenericData.Record(manifestFileSchema)
       r.put("manifest_path", manifestPath.toString)
       r.put("manifest_length", Files.size(manifestPath))
-      r.put("partition_spec_id", 0)
+      r.put("partition_spec_id", defaultSpecId)
       r.put("content", 1) // delete manifest
       r.put("sequence_number", sequenceNumber)
       r.put("min_sequence_number", sequenceNumber)

@@ -451,6 +451,30 @@ object LakeQueries {
       |WHERE s_suppkey % 14 = 0
       |ORDER BY s_suppkey""".stripMargin
 
+  /** PARTITION-SCOPED equality deletes — the shape per-partition
+    * streaming CDC writers (Flink) emit: the delete file is stored
+    * with a partition tuple and applies ONLY to data files of that
+    * partition. The fixture deletes every 10th customer key scoped to
+    * the BUILDING segment; a reader that mis-applied the delete
+    * globally would also drop those keys from the other four segments
+    * and hash-mismatch the oracle. */
+  val icebergEqScoped: Q = (s, dir) => {
+    val tmp = graft.Scratch.dir("graft-iceberg-eqscope-q")
+    val cust = Tables.load(s, dir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    graft.lake.IcebergCompat.write(cust, tmp,
+      partitionBy = Seq("c_mktsegment"))
+    graft.lake.IcebergCompat.writeEqualityDeletes(s, tmp,
+      cust.filter(col("c_custkey") % 10 === 0).select("c_custkey"),
+      Seq("c_custkey"), scope = Map("c_mktsegment" -> "BUILDING"))
+    graft.lake.IcebergCompat.read(s, tmp).orderBy("c_custkey")
+  }
+
+  val icebergEqScopedSql: String =
+    """SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+      |WHERE NOT (c_custkey % 10 = 0 AND c_mktsegment = 'BUILDING')
+      |ORDER BY c_custkey""".stripMargin
+
   /** Iceberg maintenance end to end: equality deletes + a later
     * re-insert (merge-on-read state), then COMPACT — the read after it
     * is a plain scan with no delete anti-joins, and must still match
@@ -577,6 +601,7 @@ object LakeQueries {
     "q_iceberg_evolve_roundtrip" -> icebergEvolveRoundtrip,
     "q_iceberg_pos_delete" -> icebergPosDelete,
     "q_iceberg_eq_delete" -> icebergEqDelete,
+    "q_iceberg_eq_scoped" -> icebergEqScoped,
     "q_iceberg_compact" -> icebergCompact,
     "q_iceberg_expire" -> icebergExpire,
     "q_delta_roundtrip" -> deltaRoundtrip,
@@ -604,6 +629,7 @@ object LakeQueries {
     "q_iceberg_evolve_roundtrip" -> icebergEvolveRoundtripSql,
     "q_iceberg_pos_delete" -> icebergPosDeleteSql,
     "q_iceberg_eq_delete" -> icebergEqDeleteSql,
+    "q_iceberg_eq_scoped" -> icebergEqScopedSql,
     "q_iceberg_compact" -> icebergCompactSql,
     "q_iceberg_expire" -> icebergExpireSql,
     "q_delta_roundtrip" -> deltaRoundtripSql,

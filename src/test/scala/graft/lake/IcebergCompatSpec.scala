@@ -505,6 +505,50 @@ class IcebergCompatSpec extends SparkSuite {
     assert(IcebergCompat.read(spark, dir).count() === 0)
   }
 
+  test("partition-scoped equality deletes apply only in their partition") {
+    val dir = tmpDir("iceberg-eqscope")
+    // same key values exist in BOTH partitions — the scope must protect
+    // partition "b" from a delete aimed at partition "a"
+    val rows = Seq((1L, "a", 10), (2L, "a", 20), (3L, "a", 30),
+      (1L, "b", 11), (2L, "b", 21), (3L, "b", 31)).toDF("k", "p", "n")
+    IcebergCompat.write(rows, dir, partitionBy = Seq("p"))
+    IcebergCompat.writeEqualityDeletes(spark, dir,
+      Seq(1L, 2L).toDF("k"), Seq("k"), scope = Map("p" -> "a"))
+    val after = IcebergCompat.read(spark, dir)
+      .as[(Long, String, Int)].collect().sortBy(r => (r._2, r._1)).toSeq
+    // k=1,2 gone from partition a only; partition b intact
+    assert(after === Seq((3L, "a", 30),
+      (1L, "b", 11), (2L, "b", 21), (3L, "b", 31)))
+
+    // a re-insert into the scoped partition survives the older delete
+    // (sequence rule composes with the scope)
+    IcebergCompat.write(Seq((1L, "a", 100)).toDF("k", "p", "n"), dir)
+    assert(IcebergCompat.read(spark, dir).count() === 5)
+
+    // a scope against a partition value with NO data files is a no-op
+    IcebergCompat.writeEqualityDeletes(spark, dir,
+      Seq(3L).toDF("k"), Seq("k"), scope = Map("p" -> "zzz"))
+    assert(IcebergCompat.read(spark, dir).count() === 5)
+
+    // writer contract: unscoped delete on a partitioned table still
+    // refuses; scope on an unpartitioned table refuses; partial scope
+    // refuses
+    intercept[UnsupportedOperationException] {
+      IcebergCompat.writeEqualityDeletes(spark, dir,
+        Seq(3L).toDF("k"), Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      IcebergCompat.writeEqualityDeletes(spark, dir,
+        Seq(3L).toDF("k"), Seq("k"), scope = Map("q" -> "a"))
+    }
+    val flat = tmpDir("iceberg-eqscope-flat")
+    IcebergCompat.write(Seq((1L, "x")).toDF("k", "v"), flat)
+    intercept[IllegalArgumentException] {
+      IcebergCompat.writeEqualityDeletes(spark, flat,
+        Seq(1L).toDF("k"), Seq("k"), scope = Map("v" -> "x"))
+    }
+  }
+
   test("compact folds merge-on-read deletes into clean files") {
     import scala.jdk.CollectionConverters._
     val dir = tmpDir("iceberg-compact")

@@ -1,8 +1,12 @@
 package graft.lake
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{col, pmod, substring, udf}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.{col, pmod, substring}
+import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Iceberg partition transforms, straight from the table-format spec
   * ("Partition Transforms" + Appendix B "32-bit Hash Requirements"):
@@ -82,6 +86,37 @@ object IcebergTransforms {
       s"Iceberg bucket over ${other.getClass.getSimpleName} out of scope")
   }
 
+  // Static-forwarder call targets for generated code (a top-level
+  // object's methods compile to Java statics; nested ones do not).
+  def bucketLong(v: Long, n: Int): Int =
+    (hashLong(v) & Integer.MAX_VALUE) % n
+  def bucketUtf8(s: UTF8String, n: Int): Int =
+    (murmur3(s.getBytes) & Integer.MAX_VALUE) % n
+
+  /** `bucket[N]` as a native codegen'd expression — the write path
+    * stages every row through this, and a Scala UDF there would box
+    * each value, break the stage's whole-stage codegen span, and
+    * serialize a closure per task for what is four integer multiplies.
+    * Accepts LongType (ints are cast by the caller — the spec hashes
+    * int and long identically) and StringType (murmur3 of the UTF-8
+    * bytes, taken straight off the UTF8String — no String round-trip). */
+  case class IcebergBucket(child: Expression, buckets: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = child.nullable
+    private val isString = child.dataType == StringType
+    override protected def nullSafeEval(v: Any): Any =
+      if (isString) bucketUtf8(v.asInstanceOf[UTF8String], buckets)
+      else bucketLong(v.asInstanceOf[Long], buckets)
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val fn = if (isString) "bucketUtf8" else "bucketLong"
+      defineCodeGen(ctx, ev, c =>
+        s"graft.lake.IcebergTransforms.$fn($c, $buckets)")
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   private val BucketRe = """bucket\[(\d+)\]""".r
   private val TruncateRe = """truncate\[(\d+)\]""".r
   private val TimeTransforms = Set("year", "month", "day", "hour")
@@ -109,45 +144,59 @@ object IcebergTransforms {
       s"Iceberg partition transform '$other' out of this writer's scope")
   }
 
+  /** The UTC calendar date of a TimestampType column, independent of
+    * the session timezone: epoch seconds → UTC day ordinal (tz-free
+    * arithmetic) → DateType (tz-free calendar). The spec defines time
+    * transforms over UTC; year()/month() applied to TimestampType
+    * directly would decompose in the SESSION zone and a non-UTC caller
+    * would write partition tuples real engines disagree with. */
+  private def utcDate(c: Column): Column = {
+    val F = org.apache.spark.sql.functions
+    F.date_add(F.lit(java.sql.Date.valueOf("1970-01-01")),
+      F.floor(c.cast(LongType).cast(DoubleType) / 86400d).cast(IntegerType))
+  }
+
   /** Spark column computing the transform of `source` (used to stage
     * hive-layout partition dirs; one expression, no extra pass). */
-  def expr(transform: String, source: String, sourceType: DataType): Column =
+  def expr(transform: String, source: String, sourceType: DataType): Column = {
+    val F = org.apache.spark.sql.functions
     (transform, sourceType) match {
       case ("identity", _) => col(source)
       case (BucketRe(n), IntegerType | LongType) =>
-        val buckets = n.toInt
-        udf((v: java.lang.Long) =>
-          if (v == null) null
-          else Int.box((hashLong(v.longValue) & Integer.MAX_VALUE) % buckets))
-          .apply(col(source).cast(LongType))
+        ColumnBridge.column(IcebergBucket(
+          ColumnBridge.expression(col(source).cast(LongType)), n.toInt))
       case (BucketRe(n), StringType) =>
-        val buckets = n.toInt
-        udf((v: String) =>
-          if (v == null) null
-          else Int.box((hashString(v) & Integer.MAX_VALUE) % buckets))
-          .apply(col(source))
+        ColumnBridge.column(IcebergBucket(
+          ColumnBridge.expression(col(source)), n.toInt))
       case (TruncateRe(w), IntegerType | LongType) =>
-        col(source) - pmod(col(source), org.apache.spark.sql.functions.lit(w.toInt))
+        col(source) - pmod(col(source), F.lit(w.toInt))
       case (TruncateRe(w), StringType) =>
         substring(col(source), 1, w.toInt)
-      // Time transforms: epoch-relative ordinals, computed on the DATE
-      // part (UTC session — matching Iceberg's UTC-normalized values).
-      case ("year", DateType | TimestampType | TimestampNTZType) =>
-        (org.apache.spark.sql.functions.year(col(source)) - 1970)
+      // Time transforms: epoch-relative ordinals per the spec, always
+      // decomposed in UTC. DateType and TimestampNTZType are tz-free
+      // already; TimestampType goes through utcDate so a non-UTC
+      // session cannot skew the tuple.
+      case ("year", DateType | TimestampNTZType) =>
+        (F.year(col(source)) - 1970).cast(IntegerType)
+      case ("year", TimestampType) =>
+        (F.year(utcDate(col(source))) - 1970).cast(IntegerType)
+      case ("month", DateType | TimestampNTZType) =>
+        ((F.year(col(source)) - 1970) * 12 + F.month(col(source)) - 1)
           .cast(IntegerType)
-      case ("month", DateType | TimestampType | TimestampNTZType) =>
-        ((org.apache.spark.sql.functions.year(col(source)) - 1970) * 12 +
-          org.apache.spark.sql.functions.month(col(source)) - 1)
+      case ("month", TimestampType) =>
+        val d = utcDate(col(source))
+        ((F.year(d) - 1970) * 12 + F.month(d) - 1).cast(IntegerType)
+      case ("day", DateType | TimestampNTZType) =>
+        F.datediff(col(source), F.lit("1970-01-01")).cast(IntegerType)
+      case ("day", TimestampType) =>
+        F.floor(col(source).cast(LongType).cast(DoubleType) / 86400d)
           .cast(IntegerType)
-      case ("day", DateType | TimestampType | TimestampNTZType) =>
-        org.apache.spark.sql.functions.datediff(col(source),
-          org.apache.spark.sql.functions.lit("1970-01-01")).cast(IntegerType)
       case ("hour", TimestampType | TimestampNTZType) =>
-        org.apache.spark.sql.functions.floor(
-          col(source).cast(LongType) / 3600L).cast(IntegerType)
+        F.floor(col(source).cast(LongType) / 3600L).cast(IntegerType)
       case (t, st) => throw new UnsupportedOperationException(
         s"Iceberg transform '$t' over $st out of this writer's scope")
     }
+  }
 
   /** Parse a partition value staged as a hive dir segment back to the
     * transform's result type. */

@@ -305,6 +305,34 @@ class IcebergCompatSpec extends SparkSuite {
     assert(dirs === Set("__p__d_day=0", "__p__d_day=33", "__p__d_day=19889"))
   }
 
+  test("timestamp time transforms decompose in UTC, not the session zone") {
+    // 1970-01-01T01:30:00Z — in any zone west of UTC the LOCAL calendar
+    // says 1969-12-31, so a session-zone year()/month()/day() would
+    // produce -1 / -1 / -1 where the spec demands the UTC ordinals
+    // 0 / 0 / 0 (and hour 1).
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      val df = Seq(Tuple1(new java.sql.Timestamp(5400L * 1000))).toDF("ts")
+      val got = df.select(
+          IcebergTransforms.expr("year", "ts", org.apache.spark.sql.types.TimestampType).as("y"),
+          IcebergTransforms.expr("month", "ts", org.apache.spark.sql.types.TimestampType).as("m"),
+          IcebergTransforms.expr("day", "ts", org.apache.spark.sql.types.TimestampType).as("d"),
+          IcebergTransforms.expr("hour", "ts", org.apache.spark.sql.types.TimestampType).as("h"))
+        .as[(Int, Int, Int, Int)].collect().head
+      assert(got === ((0, 0, 0, 1)))
+      // and a pre-epoch instant floors toward -inf in every transform
+      val neg = Seq(Tuple1(new java.sql.Timestamp(-5400L * 1000))).toDF("ts")
+      val gotNeg = neg.select(
+          IcebergTransforms.expr("year", "ts", org.apache.spark.sql.types.TimestampType).as("y"),
+          IcebergTransforms.expr("month", "ts", org.apache.spark.sql.types.TimestampType).as("m"),
+          IcebergTransforms.expr("day", "ts", org.apache.spark.sql.types.TimestampType).as("d"),
+          IcebergTransforms.expr("hour", "ts", org.apache.spark.sql.types.TimestampType).as("h"))
+        .as[(Int, Int, Int, Int)].collect().head
+      assert(gotNeg === ((-1, -1, -1, -2)))
+    } finally spark.conf.set("spark.sql.session.timeZone", tz)
+  }
+
   test("spec evolution: unpartitioned -> bucket -> identity reads as one table") {
     import scala.jdk.CollectionConverters._
     val dir = tmpDir("iceberg-evolve")

@@ -13,11 +13,15 @@ import graft.Tables
   * rows keeps one JVM object stream per partition, no per-row closure
   * dispatch).
   *
-  * The Spark-side plumbing (schema, encoders, partition batching,
-  * signature) is real and tested; the codec itself is a clearly-marked
-  * STUB — this container has no image/audio libraries, so `decodeStub`
-  * parses our synthetic 16-byte header + checksums the body where a real
-  * implementation would call a decoder.
+  * IMAGE assets are REAL PNGs, encoded and decoded with `javax.imageio`
+  * (in-JDK, no external codec): the fixture paints deterministic
+  * doc_id-derived pixels, the decode stage runs the actual PNG codec,
+  * and features/checksums are computed from the DECODED PIXELS — so the
+  * oracle (which reproduces the pixel formula arithmetically) proves a
+  * lossless encode→binary column→decode round-trip, not just plumbing.
+  * Audio/video payloads remain a synthetic 16-byte header + body (the
+  * container has no audio/video codecs; the JDK has no Ogg/H.264), with
+  * the same batched decode shape a real codec would slot into.
   *
   * Scale: payloads stay columnar (Parquet binary) until the decode stage;
   * decode is per-partition with no shuffle; feature vectors come back as
@@ -41,8 +45,38 @@ object Multimodal {
 
   private val MagicV1 = 0x47524654 // "GRFT"
 
+  /** Deterministic grayscale value of pixel (x, y) of doc `id`'s image —
+    * the formula the DuckDB oracle reproduces arithmetically. */
+  @inline private def pixel(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x * 7 + y * 13) % 256).toInt
+
+  /** Encode doc `id`'s deterministic image as a real PNG. Dimensions
+    * stay tiny (≤16×14) — the point is a genuine codec round-trip per
+    * row, not IO volume. */
+  private def encodePng(id: Long): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file cache per call
+    val w = (id % 13 + 4).toInt
+    val h = (id % 11 + 4).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = pixel(id, x, y)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Fabricate deterministic binary assets from the documents fixture:
-    * 16-byte header (magic, width, height, n_frames — all derived from
+    * image docs (doc_id % 3 == 0) become real PNGs; audio/video docs a
+    * 16-byte header (magic, width, height, n_frames — derived from
     * doc_id) followed by the UTF-8 text as the fake media body. */
   def assetsFromDocuments(spark: SparkSession, dir: String): Dataset[Asset] = {
     import spark.implicits._
@@ -53,45 +87,71 @@ object Multimodal {
           .otherwise("video").as("media_type"))
       .as[(Long, String, String)]
       .map { case (id, text, mt) =>
-        val body = text.getBytes("UTF-8")
-        val buf = ByteBuffer.allocate(16 + body.length)
-          .order(ByteOrder.LITTLE_ENDIAN)
-        buf.putInt(MagicV1)
-        buf.putInt((id % 640 + 16).toInt)  // width
-        buf.putInt((id % 480 + 16).toInt)  // height
-        buf.putInt((id % 30 + 1).toInt)    // n_frames
-        buf.put(body)
-        Asset(id, mt, buf.array())
+        if (mt == "image") Asset(id, mt, encodePng(id))
+        else {
+          val body = text.getBytes("UTF-8")
+          val buf = ByteBuffer.allocate(16 + body.length)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          buf.putInt(MagicV1)
+          buf.putInt((id % 640 + 16).toInt)  // width
+          buf.putInt((id % 480 + 16).toInt)  // height
+          buf.putInt((id % 30 + 1).toInt)    // n_frames
+          buf.put(body)
+          Asset(id, mt, buf.array())
+        }
       }
   }
 
-  /** Per-partition batch decode. STUB: a real implementation would hand
-    * `payload` to an image/audio codec here; this one validates the
-    * header and derives deterministic fake features (byte histogram → 8
-    * floats) so the full pipeline — binary scan → batch decode → feature
-    * column → ANN — is exercised end-to-end. */
+  /** Per-partition batch decode. Images run the REAL `javax.imageio`
+    * PNG decoder — dimensions come from the decoded raster and the
+    * checksum/histogram fold over decoded pixel values, so any codec
+    * drift breaks the oracle hash. Audio/video parse the synthetic
+    * header and fold over body bytes (the slot a real audio codec would
+    * fill). */
   def decodeFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { a =>
-        val buf = ByteBuffer.wrap(a.payload).order(ByteOrder.LITTLE_ENDIAN)
-        val magic = buf.getInt()
-        require(magic == MagicV1, s"bad asset header for doc ${a.doc_id}")
-        val (w, h, nf) = (buf.getInt(), buf.getInt(), buf.getInt())
-        // STUB decode: byte-value histogram over the body, 8 buckets,
-        // normalized — stands in for codec output + feature extraction.
-        val hist = new Array[Float](8)
-        var checksum = 0L
-        var i = 16
-        while (i < a.payload.length) {
-          val b = a.payload(i) & 0xff
-          hist(b % 8) += 1f
-          checksum = (checksum * 31 + b) % 1000000007L
-          i += 1
+        if (a.media_type == "image") {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(a.payload))
+          require(img != null, s"PNG decode failed for doc ${a.doc_id}")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val hist = new Array[Float](8)
+          var checksum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val g = img.getRGB(x, y) & 0xff
+              hist(g % 8) += 1f
+              checksum = (checksum * 31 + g) % 1000000007L
+              x += 1
+            }
+            y += 1
+          }
+          AssetFeatures(a.doc_id, a.media_type, w, h, 1,
+            a.payload.length.toLong, checksum,
+            hist.map(_ / (w * h).toFloat))
+        } else {
+          val buf = ByteBuffer.wrap(a.payload).order(ByteOrder.LITTLE_ENDIAN)
+          val magic = buf.getInt()
+          require(magic == MagicV1, s"bad asset header for doc ${a.doc_id}")
+          val (w, h, nf) = (buf.getInt(), buf.getInt(), buf.getInt())
+          val hist = new Array[Float](8)
+          var checksum = 0L
+          var i = 16
+          while (i < a.payload.length) {
+            val b = a.payload(i) & 0xff
+            hist(b % 8) += 1f
+            checksum = (checksum * 31 + b) % 1000000007L
+            i += 1
+          }
+          val n = math.max(1, a.payload.length - 16).toFloat
+          AssetFeatures(a.doc_id, a.media_type, w, h, nf,
+            a.payload.length.toLong, checksum, hist.map(_ / n))
         }
-        val n = math.max(1, a.payload.length - 16).toFloat
-        AssetFeatures(a.doc_id, a.media_type, w, h, nf,
-          a.payload.length.toLong, checksum, hist.map(_ / n))
       }
     }
   }
@@ -119,16 +179,18 @@ object Multimodal {
   }
 
   /** Pipeline query: fabricate → decode → per-type feature rollup.
-    * Oracle-checked: the asset header fields derive from doc_id and the
-    * stub checksum is a polynomial fold over the (ASCII) text bytes, so
-    * DuckDB reproduces every aggregate from the documents table — the
-    * whole binary round-trip (header encode → binary column → partition
-    * decode) must be lossless for the hashes to agree. */
+    * Oracle-checked: image checksums fold over REAL-PNG-decoded pixels
+    * whose values DuckDB reproduces arithmetically (so the codec
+    * round-trip must be lossless for the hashes to agree); audio/video
+    * checksums fold over the synthetic body bytes. The compared size
+    * metric is decoded pixel count (width × height) — PNG byte length
+    * is codec-internal and deliberately NOT part of the contract. */
   val features: (SparkSession, String) => DataFrame = (s, dir) => {
     val decoded = decodeFeatures(assetsFromDocuments(s, dir)).toDF()
     decoded.groupBy("media_type")
       .agg(count("*").as("n_assets"),
-        sum("payload_bytes").as("total_bytes"),
+        sum(col("width").cast("long") * col("height")).cast("bigint")
+          .as("total_px"),
         min("checksum").as("min_checksum"),
         max("width").as("max_width"))
       .orderBy("media_type")
@@ -139,15 +201,26 @@ object Multimodal {
       |    CASE WHEN doc_id % 3 = 0 THEN 'image'
       |         WHEN doc_id % 3 = 1 THEN 'audio'
       |         ELSE 'video' END AS media_type,
-      |    16 + length(text) AS payload_bytes,
-      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |        list_transform(range(1, length(text) + 1),
-      |          i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
-      |      (h, c) -> (h * 31 + c) % 1000000007) AS checksum,
-      |    CAST(doc_id % 640 + 16 AS INTEGER) AS width
+      |    CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 13 + 4 AS INTEGER)
+      |         ELSE CAST(doc_id % 640 + 16 AS INTEGER) END AS width,
+      |    CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 11 + 4 AS INTEGER)
+      |         ELSE CAST(doc_id % 480 + 16 AS INTEGER) END AS height,
+      |    CASE WHEN doc_id % 3 = 0 THEN
+      |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(
+      |            range(0, (doc_id % 13 + 4) * (doc_id % 11 + 4)),
+      |            i -> (doc_id * 31 + (i % (doc_id % 13 + 4)) * 7
+      |                  + (i // (doc_id % 13 + 4)) * 13) % 256)),
+      |        (h, c) -> (h * 31 + c) % 1000000007)
+      |    ELSE
+      |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(range(1, length(text) + 1),
+      |            i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+      |        (h, c) -> (h * 31 + c) % 1000000007)
+      |    END AS checksum
       |  FROM documents)
       |SELECT media_type, count(*) AS n_assets,
-      |  CAST(sum(payload_bytes) AS BIGINT) AS total_bytes,
+      |  CAST(sum(CAST(width AS BIGINT) * height) AS BIGINT) AS total_px,
       |  min(checksum) AS min_checksum,
       |  max(width) AS max_width
       |FROM a GROUP BY media_type ORDER BY media_type""".stripMargin
@@ -172,9 +245,12 @@ object Multimodal {
       |    CASE WHEN doc_id % 3 = 0 THEN 'image'
       |         WHEN doc_id % 3 = 1 THEN 'audio'
       |         ELSE 'video' END AS media_type,
-      |    CAST(doc_id % 640 + 16 AS INTEGER) AS width,
-      |    CAST(doc_id % 480 + 16 AS INTEGER) AS height,
-      |    CAST(doc_id % 30 + 1 AS INTEGER) AS n_frames
+      |    CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 13 + 4 AS INTEGER)
+      |         ELSE CAST(doc_id % 640 + 16 AS INTEGER) END AS width,
+      |    CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 11 + 4 AS INTEGER)
+      |         ELSE CAST(doc_id % 480 + 16 AS INTEGER) END AS height,
+      |    CASE WHEN doc_id % 3 = 0 THEN 1
+      |         ELSE CAST(doc_id % 30 + 1 AS INTEGER) END AS n_frames
       |  FROM documents),
       |r AS (SELECT media_type, n_frames,
       |    GREATEST(1, CAST(floor(width * least(1.0,

@@ -24,7 +24,14 @@ class MultimodalSpec extends SparkSuite {
     val rows = f.collect()
     assert(rows.length === 500)
     rows.foreach { r =>
-      assert(r.width >= 16 && r.height >= 16 && r.n_frames >= 1)
+      if (r.media_type == "image") {
+        // real PNG decode: dimensions come from the decoded raster
+        assert(r.width === (r.doc_id % 13 + 4).toInt)
+        assert(r.height === (r.doc_id % 11 + 4).toInt)
+        assert(r.n_frames === 1)
+      } else {
+        assert(r.width >= 16 && r.height >= 16 && r.n_frames >= 1)
+      }
       assert(r.feature.length === 8)
       assert(math.abs(r.feature.sum - 1.0f) < 1e-3f) // histogram normalized
     }
@@ -33,6 +40,26 @@ class MultimodalSpec extends SparkSuite {
       Multimodal.assetsFromDocuments(spark, sf))
       .select("doc_id", "checksum").as[(Long, Long)].collect().toMap
     rows.foreach(r => assert(again(r.doc_id) === r.checksum))
+  }
+
+  test("image payloads are genuine PNGs and the codec round-trip is lossless") {
+    val assets = Multimodal.assetsFromDocuments(spark, sf)
+      .filter(_.media_type == "image").collect()
+    assert(assets.nonEmpty)
+    // PNG magic on every image payload — these are real files any
+    // external tool could open
+    val magic = Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte)
+    assets.foreach(a =>
+      assert(a.payload.take(4).sameElements(magic), s"doc ${a.doc_id}"))
+    // decoded pixels equal the deterministic formula — proves an actual
+    // ImageIO decode (not header parsing) produced the values
+    val a0 = assets.minBy(_.doc_id)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(a0.payload))
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val expected = ((a0.doc_id * 31 + x * 7 + y * 13) % 256).toInt
+      assert((img.getRGB(x, y) & 0xff) === expected, s"pixel ($x,$y)")
+    }
   }
 
   test("resize caps dimensions, frame sampling strides video frames") {

@@ -181,6 +181,127 @@ object IcebergCompat {
     regexp_replace(c, "^file:(//)?", "")
   }
 
+  // --- manifest-bounds file skipping -----------------------------------
+
+  /** Decode one spec single-value-binary bound (little-endian numerics,
+    * raw UTF-8 strings, 1-byte booleans). Unknown type/width → None —
+    * an undecodable bound must never prune. */
+  private def decodeBound(b: Array[Byte], t: DataType): Option[Any] = {
+    def bb = java.nio.ByteBuffer.wrap(b)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    t match {
+      case IntegerType if b.length == 4 => Some(bb.getInt)
+      case LongType if b.length == 8 => Some(bb.getLong)
+      case FloatType if b.length == 4 => Some(bb.getFloat)
+      case DoubleType if b.length == 8 => Some(bb.getDouble)
+      case BooleanType if b.length == 1 => Some(b(0) != 0)
+      case StringType =>
+        Some(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+      case _ => None
+    }
+  }
+
+  /** The (field-id → bytes) bounds array of a manifest data_file record
+    * as (columnName → decoded value). Absent field / foreign shape →
+    * empty (never prune on what we cannot read). */
+  private def boundsOf(df: GenericRecord, field: String,
+      idToName: Map[Int, String],
+      types: Map[String, DataType]): Map[String, Any] =
+    if (df.getSchema.getField(field) == null) Map.empty
+    else df.get(field) match {
+      case arr: java.util.Collection[_] => arr.asScala.flatMap {
+        case r: GenericRecord =>
+          val id = r.get("key") match {
+            case i: java.lang.Integer => i.intValue
+            case l: java.lang.Long => l.intValue
+            case _ => -1
+          }
+          for {
+            name <- idToName.get(id)
+            t <- types.get(name)
+            bytes <- r.get("value") match {
+              case bb: java.nio.ByteBuffer =>
+                val d = new Array[Byte](bb.remaining())
+                bb.duplicate().get(d)
+                Some(d)
+              case ba: Array[Byte] => Some(ba)
+              case _ => None
+            }
+            v <- decodeBound(bytes, t)
+          } yield name -> v
+        case _ => None
+      }.toMap
+      case _ => Map.empty
+    }
+
+  /** Total-order compare where a comparison is defined; None (→ keep the
+    * file) across types we don't order. */
+  private def cmpBound(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      Some(java.lang.Double.compare(x.doubleValue, y.doubleValue))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: java.lang.Boolean, y: java.lang.Boolean) =>
+      Some(x.compareTo(y))
+    case _ => None
+  }
+
+  /** Split a pushed predicate into the (column, op, literal) range
+    * conjuncts usable for file skipping — the same simple-comparison
+    * subset a DSv2 source advertises as pushed filters. The Column is
+    * ANALYZED against an empty frame of the table schema first (Spark 4
+    * Columns are ColumnNode trees, not catalyst expressions, until
+    * analysis), so extraction sees resolved AttributeReference/Literal
+    * nodes. Conjuncts that don't fit (functions, OR trees, casts) prune
+    * nothing; the full predicate is re-applied to the rows regardless. */
+  private def pruneConjuncts(spark: SparkSession, schema: StructType,
+      c: org.apache.spark.sql.Column): Seq[(String, String, Any)] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.catalyst.plans.logical
+    val analyzed = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .filter(c).queryExecution.analyzed
+    val conds = analyzed.collect { case f: logical.Filter => f.condition }
+    def split(e: ce.Expression): Seq[ce.Expression] = e match {
+      case ce.And(l, r) => split(l) ++ split(r)
+      case o => Seq(o)
+    }
+    def name(e: ce.Expression): Option[String] = e match {
+      case a: ce.AttributeReference => Some(a.name)
+      case _ => None
+    }
+    // the analyzer wraps literals in type-promotion Casts; anything
+    // foldable (no attributes) evaluates to its constant
+    def lit(e: ce.Expression): Option[Any] =
+      if (!e.foldable) None
+      else Option(e.eval(null)).map {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case o => o
+      }
+    def flip(op: String): String = op match {
+      case ">" => "<"
+      case ">=" => "<="
+      case "<" => ">"
+      case "<=" => ">="
+      case o => o
+    }
+    def bin(l: ce.Expression, r: ce.Expression, op: String) =
+      (name(l), lit(r)) match {
+        case (Some(n), Some(v)) => Some((n, op, v))
+        case _ => (name(r), lit(l)) match {
+          case (Some(n), Some(v)) => Some((n, flip(op), v))
+          case _ => None
+        }
+      }
+    conds.flatMap(split).flatMap {
+      case ce.EqualTo(l, r) => bin(l, r, "=")
+      case ce.GreaterThan(l, r) => bin(l, r, ">")
+      case ce.GreaterThanOrEqual(l, r) => bin(l, r, ">=")
+      case ce.LessThan(l, r) => bin(l, r, "<")
+      case ce.LessThanOrEqual(l, r) => bin(l, r, "<=")
+      case _ => None
+    }
+  }
+
   /** Scan the current (or an explicit) snapshot of an Iceberg table.
     *
     * Identity-partition columns are reconstructed from each file's
@@ -202,10 +323,13 @@ object IcebergCompat {
     *     the same key in a later snapshot survives. Per-entry sequence
     *     numbers inherit from the manifest-list entry when absent. */
   def read(spark: SparkSession, tableDir: String,
-      snapshotId: Option[Long] = None): DataFrame = {
+      snapshotId: Option[Long] = None,
+      prune: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
     val meta = currentMetadata(tableDir)
     val schema = toStructType(meta)
+    val fieldType = schema.fields.map(f => f.name -> f.dataType).toMap
+    val idToName = fieldIdToName(meta)
     val specsById = partitionSpecs(meta)
     val wantId = snapshotId.getOrElse(meta.path("current-snapshot-id").asLong(-1))
     val snapshot = meta.get("snapshots").elements().asScala
@@ -246,10 +370,11 @@ object IcebergCompat {
         if (status == 1) numField(listRec, "sequence_number") else None)
 
     // data files with their manifest partition values + data sequence +
-    // the spec their manifest was written under
+    // the spec their manifest was written under + decoded column bounds
     case class DataFileInfo(path: String, partVals: Map[String, Any],
-        seq: Option[Long], specId: Int)
-    val dataFiles: Seq[DataFileInfo] =
+        seq: Option[Long], specId: Int, lower: Map[String, Any],
+        upper: Map[String, Any])
+    val allDataFiles: Seq[DataFileInfo] =
       dataManifests.flatMap { listRec =>
         val m = listRec.get("manifest_path").toString
         val specId = numField(listRec, "partition_spec_id").getOrElse(0L).toInt
@@ -270,13 +395,45 @@ object IcebergCompat {
               else pr.getSchema.getFields.asScala
                 .map(f => f.name -> avroValue(pr.get(f.name))).toMap
             Some(DataFileInfo(localPath(df.get("file_path").toString), pv,
-              seqOf(rec, listRec, status), specId))
+              seqOf(rec, listRec, status), specId,
+              boundsOf(df, "lower_bounds", idToName, fieldType),
+              boundsOf(df, "upper_bounds", idToName, fieldType)))
           }
         }
       }
+    // FILE SKIPPING on the pushed predicate: per-column lower/upper
+    // bounds from the manifests (the r5 writer emits them; real engines'
+    // manifests carry them too), with an identity partition value
+    // standing in as an exact [v, v] bound when column bounds are
+    // absent. A file is kept unless a conjunct PROVABLY excludes it —
+    // undecodable bounds, unknown columns, foreign ops all keep.
+    // Manifest-sized driver work that can cut a 100 TB scan to the
+    // matching files before any parquet footer is opened.
+    val dataFiles: Seq[DataFileInfo] = prune match {
+      case None => allDataFiles
+      case Some(p) =>
+        val cs = pruneConjuncts(spark, schema, p)
+        if (cs.isEmpty) allDataFiles
+        else allDataFiles.filter { f =>
+          cs.forall { case (n, op, v) =>
+            val lo = f.lower.get(n).orElse(
+              Option(f.partVals.getOrElse(n, null)))
+            val hi = f.upper.get(n).orElse(
+              Option(f.partVals.getOrElse(n, null)))
+            op match {
+              case "=" => lo.flatMap(cmpBound(_, v)).forall(_ <= 0) &&
+                hi.flatMap(cmpBound(_, v)).forall(_ >= 0)
+              case ">" => hi.flatMap(cmpBound(_, v)).forall(_ > 0)
+              case ">=" => hi.flatMap(cmpBound(_, v)).forall(_ >= 0)
+              case "<" => lo.flatMap(cmpBound(_, v)).forall(_ < 0)
+              case "<=" => lo.flatMap(cmpBound(_, v)).forall(_ <= 0)
+              case _ => true
+            }
+          }
+        }
+    }
 
     // delete files: positional (content 1) and equality (content 2)
-    val idToName = fieldIdToName(meta)
     case class EqDelete(path: String, seq: Long, cols: Seq[String],
         scope: Option[(Int, Map[String, Any])])
     val posFiles = Seq.newBuilder[String]
@@ -345,7 +502,6 @@ object IcebergCompat {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     if (dataFiles.isEmpty) return emptyDf
 
-    val fieldType = schema.fields.map(f => f.name -> f.dataType).toMap
     val needPos = deleteFiles.nonEmpty
     val needEq = eqDeletes.nonEmpty
     val needMeta = needPos || needEq
@@ -481,7 +637,10 @@ object IcebergCompat {
             }
           }
       }
-    afterEq.drop("__file", "__pos", "__dseq")
+    val result = afterEq.drop("__file", "__pos", "__dseq")
+    // File skipping is best-effort; the FULL predicate re-applies to the
+    // surviving rows, so prune can never change results — only IO.
+    prune.fold(result)(result.filter)
   }
 
   /** Timestamp time travel: the newest snapshot whose `timestamp-ms` is

@@ -681,6 +681,47 @@ class IcebergCompatSpec extends SparkSuite {
     assert(IcebergCompat.removeOrphanFiles(dir).isEmpty)
   }
 
+  test("manifest bounds prune files before the scan; results unchanged") {
+    val dir = tmpDir("iceberg-prune")
+    // two commits with disjoint key ranges -> two files with disjoint
+    // manifest bounds
+    IcebergCompat.write(spark.range(0, 100)
+      .selectExpr("id AS k", "CAST(id AS STRING) AS v").coalesce(1), dir)
+    IcebergCompat.write(spark.range(100, 200)
+      .selectExpr("id AS k", "CAST(id AS STRING) AS v").coalesce(1), dir)
+    val unpruned = IcebergCompat.read(spark, dir)
+    assert(unpruned.inputFiles.length === 2)
+
+    val pruned = IcebergCompat.read(spark, dir, prune = Some(col("k") >= 150))
+    assert(pruned.inputFiles.length === 1, "bounds must skip the low file")
+    assert(pruned.as[(Long, String)].collect().map(_._1).sorted.toSeq ===
+      (150L until 200L))
+    // flipped literal side, equality, and string bounds all prune
+    assert(IcebergCompat.read(spark, dir,
+      prune = Some(lit(50L) > col("k"))).inputFiles.length === 1)
+    assert(IcebergCompat.read(spark, dir,
+      prune = Some(col("k") === 7L)).inputFiles.length === 1)
+    // rows are STILL filtered even when both files survive pruning
+    val both = IcebergCompat.read(spark, dir,
+      prune = Some(col("k") % 2 === 0))
+    assert(both.inputFiles.length === 2)
+    assert(both.count() === 100)
+    // a conjunct excluding everything opens zero files
+    assert(IcebergCompat.read(spark, dir,
+      prune = Some(col("k") > 999L)).inputFiles.isEmpty)
+
+    // identity partition values stand in as exact bounds: pruning works
+    // on the partition column of a hive-stripped table too
+    val pdir = tmpDir("iceberg-prune-part")
+    IcebergCompat.write(Seq((1L, "a", 10), (2L, "a", 20), (3L, "b", 30))
+      .toDF("k", "p", "n"), pdir, partitionBy = Seq("p"))
+    val pAll = IcebergCompat.read(spark, pdir)
+    val pOne = IcebergCompat.read(spark, pdir, prune = Some(col("p") === "b"))
+    assert(pOne.inputFiles.length < pAll.inputFiles.length)
+    assert(pOne.as[(Long, String, Int)].collect().toSeq ===
+      Seq((3L, "b", 30)))
+  }
+
   test("mirror exports its snapshot as an Iceberg table") {
     val lake = new Mooncake(tmpDir("iceberg-export-wh"))
     lake.createTable(spark, "m",

@@ -120,9 +120,9 @@ object Bench {
       .map(t => f"$t%.3f").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"passes":$passes,"pass_totals":$passTotals,"variance_flags":$varianceFlags,"setup_sec":$setupJson,"sf":"$sfDir"}""")
     // The driver keeps only the TAIL of stdout; the big line above leads
-    // with "value" and can lose it to truncation. Reprint the headline
-    // numbers last so the total always survives.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"pass_totals":$passTotals,"sf":"$sfDir"}""")
+    // with "value" and can lose it to truncation. Reprint everything the
+    // driver reads (metric/value/queries) last so it always survives.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"pass_totals":$passTotals,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

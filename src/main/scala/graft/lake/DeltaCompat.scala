@@ -821,19 +821,23 @@ object DeltaCompat {
       return (versions(table) ++ lastCheckpoint(table).map(_._1)).max
     val head = (versions(table) ++ lastCheckpoint(table).map(_._1)).max
     val matchedDf = df.filter(condition).select("__fp", "__pos")
-    val maxRows = spark.conf.getOption("spark.graft.delta.dvMaxDeleteRows")
-      .map(_.toLong).getOrElse(10000000L)
-    val matchedCount = matchedDf.count()
-    if (matchedCount == 0) return head
-    if (matchedCount > maxRows)
+    val maxRows = math.min(Int.MaxValue - 1L,
+      spark.conf.getOption("spark.graft.delta.dvMaxDeleteRows")
+        .map(_.toLong).getOrElse(10000000L)).toInt
+    // ONE scan: take(limit + 1) bounds driver memory by the configured
+    // limit AND detects overflow, without a separate count() pass over
+    // the matched set (the filter is the expensive leg of every delete).
+    val taken = matchedDf.take(maxRows + 1)
+    if (taken.isEmpty) return head
+    if (taken.length > maxRows)
       throw new UnsupportedOperationException(
-        s"$table: delete matched $matchedCount rows, over " +
-          s"spark.graft.delta.dvMaxDeleteRows=$maxRows. DV coordinates " +
-          "are log metadata every reader must hold — a delete this " +
-          "large should rewrite files instead: write() the filtered " +
-          "table (or purge() after raising the limit deliberately).")
-    val matched = matchedDf.collect()
-      .map(r => (uriToPath(r.getString(0)), r.getLong(1)))
+        s"$table: delete matched over " +
+          s"spark.graft.delta.dvMaxDeleteRows=$maxRows rows. DV " +
+          "coordinates are log metadata every reader must hold — a " +
+          "delete this large should rewrite files instead: write() the " +
+          "filtered table (or purge() after raising the limit " +
+          "deliberately).")
+    val matched = taken.map(r => (uriToPath(r.getString(0)), r.getLong(1)))
     val root = Paths.get(table)
     val relByAbs = state.files.keys.map(rel => absPath(table, rel) -> rel).toMap
     val affected = matched.groupBy(_._1).toSeq.map { case (abs, rows) =>

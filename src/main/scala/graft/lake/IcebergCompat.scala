@@ -235,14 +235,32 @@ object IcebergCompat {
     }
 
   /** Total-order compare where a comparison is defined; None (→ keep the
-    * file) across types we don't order. */
-  private def cmpBound(a: Any, b: Any): Option[Int] = (a, b) match {
-    case (x: java.lang.Number, y: java.lang.Number) =>
-      Some(java.lang.Double.compare(x.doubleValue, y.doubleValue))
-    case (x: String, y: String) => Some(x.compareTo(y))
-    case (x: java.lang.Boolean, y: java.lang.Boolean) =>
-      Some(x.compareTo(y))
-    case _ => None
+    * file) across types we don't order. Integral pairs compare as longs
+    * (a double round-trip collapses values ≥ 2^53 and strict-inequality
+    * pruning would then drop files whose rows match); strings compare
+    * as unsigned UTF-8 bytes — the order parquet stats, Iceberg bounds,
+    * and Spark's UTF8String all use (Java's UTF-16 compareTo disagrees
+    * on supplementary characters). */
+  private def cmpBound(a: Any, b: Any): Option[Int] = {
+    def integral(v: Any): Boolean = v match {
+      case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+        _: java.lang.Long => true
+      case _ => false
+    }
+    (a, b) match {
+      case (x: java.lang.Number, y: java.lang.Number)
+          if integral(x) && integral(y) =>
+        Some(java.lang.Long.compare(x.longValue, y.longValue))
+      case (x: java.lang.Number, y: java.lang.Number) =>
+        Some(java.lang.Double.compare(x.doubleValue, y.doubleValue))
+      case (x: String, y: String) =>
+        import java.nio.charset.StandardCharsets.UTF_8
+        Some(java.util.Arrays.compareUnsigned(
+          x.getBytes(UTF_8), y.getBytes(UTF_8)))
+      case (x: java.lang.Boolean, y: java.lang.Boolean) =>
+        Some(x.compareTo(y))
+      case _ => None
+    }
   }
 
   /** Split a pushed predicate into the (column, op, literal) range
@@ -394,10 +412,15 @@ object IcebergCompat {
               if (pr == null) Map.empty[String, Any]
               else pr.getSchema.getFields.asScala
                 .map(f => f.name -> avroValue(pr.get(f.name))).toMap
+            // bounds decode only when a prune predicate will consult
+            // them — the common unpruned read keeps the manifest walk
+            // allocation-free
             Some(DataFileInfo(localPath(df.get("file_path").toString), pv,
               seqOf(rec, listRec, status), specId,
-              boundsOf(df, "lower_bounds", idToName, fieldType),
-              boundsOf(df, "upper_bounds", idToName, fieldType)))
+              if (prune.isEmpty) Map.empty
+              else boundsOf(df, "lower_bounds", idToName, fieldType),
+              if (prune.isEmpty) Map.empty
+              else boundsOf(df, "upper_bounds", idToName, fieldType)))
           }
         }
       }
@@ -704,31 +727,8 @@ object IcebergCompat {
         s.path("timestamp-ms").asLong(Long.MaxValue) < olderThanMs)
     if (expired.isEmpty) return Seq.empty
 
-    // (manifest lists, manifests, data/delete files) reachable from a
-    // snapshot set — driver-side Avro walks, manifest-sized like every
-    // other metadata operation here.
-    def reachable(ss: Seq[JsonNode]): (Set[String], Set[String], Set[String]) = {
-      val lists = scala.collection.mutable.Set[String]()
-      val manifests = scala.collection.mutable.Set[String]()
-      val files = scala.collection.mutable.Set[String]()
-      ss.foreach { s =>
-        val ml = localPath(s.get("manifest-list").asText())
-        lists += ml
-        avroRecords(ml).foreach { r =>
-          val m = localPath(r.get("manifest_path").toString)
-          if (manifests.add(m))
-            avroRecords(m).foreach { e =>
-              val df = e.get("data_file").asInstanceOf[GenericRecord]
-              files += localPath(df.get("file_path").toString)
-            }
-        }
-      }
-      (lists.toSet, manifests.toSet, files.toSet)
-    }
-    val (keepLists, keepManifests, keepFiles) = reachable(retained)
-    val (expLists, expManifests, expFiles) = reachable(expired)
-    val deletable = ((expLists -- keepLists) ++
-      (expManifests -- keepManifests) ++ (expFiles -- keepFiles)).toSeq.sorted
+    val deletable =
+      (reachablePaths(expired) -- reachablePaths(retained)).toSeq.sorted
 
     // Commit the shrunk history as a new metadata version FIRST — a
     // crash between the commit and the physical deletes leaves only
@@ -761,29 +761,48 @@ object IcebergCompat {
     deletable.filter(p => Files.deleteIfExists(Paths.get(p)))
   }
 
-  /** Delete files under `data/` and `metadata/` that NO snapshot in the
-    * current metadata reaches — crash-leftover staging output, files
-    * orphaned by an interrupted [[expireSnapshots]]. Metadata JSON and
-    * the version hint are never touched (they are the history real
-    * catalogs roll back through). Returns the deleted paths. */
-  def removeOrphanFiles(tableDir: String): Seq[String] = {
-    val meta = currentMetadata(tableDir)
-    val snaps = meta.path("snapshots").elements().asScala.toSeq
-    val live = scala.collection.mutable.Set[String]()
+  /** Every path (manifest lists, manifests, data/delete files)
+    * reachable from `snapshots` — the one shared reachability walk
+    * behind [[expireSnapshots]] and [[removeOrphanFiles]], so their
+    * keep/delete decisions can never drift. Paths come back normalized
+    * absolute; ANY entry status counts (a DELETED entry's file may
+    * still be read through an older snapshot). Driver-side Avro walks,
+    * manifest-sized like every other metadata operation here. */
+  private def reachablePaths(snapshots: Seq[JsonNode]): Set[String] = {
     def norm(p: String): String =
       Paths.get(p).toAbsolutePath.normalize.toString
-    snaps.foreach { s =>
+    val seen = scala.collection.mutable.Set[String]()
+    snapshots.foreach { s =>
       val ml = localPath(s.get("manifest-list").asText())
-      live += norm(ml)
+      seen += norm(ml)
       avroRecords(ml).foreach { r =>
         val m = localPath(r.get("manifest_path").toString)
-        if (live.add(norm(m)))
+        if (seen.add(norm(m)))
           avroRecords(m).foreach { e =>
             val df = e.get("data_file").asInstanceOf[GenericRecord]
-            live += norm(localPath(df.get("file_path").toString))
+            seen += norm(localPath(df.get("file_path").toString))
           }
       }
     }
+    seen.toSet
+  }
+
+  /** Delete files under `data/` and `metadata/` that NO snapshot in the
+    * current metadata reaches — crash-leftover staging output, files
+    * orphaned by an interrupted [[expireSnapshots]]. Only files older
+    * than `graceMs` are touched (default 3 days, the same guard real
+    * Iceberg's remove_orphan_files defaults to): an in-flight write()
+    * moves parquet into data/ BEFORE committing its manifest, and a
+    * concurrent sweep without the grace window would delete files a
+    * commit is about to reference. Metadata JSON and the version hint
+    * are never touched (they are the history real catalogs roll back
+    * through). Returns the deleted paths. */
+  def removeOrphanFiles(tableDir: String,
+      graceMs: Long = 3L * 24 * 3600 * 1000): Seq[String] = {
+    val meta = currentMetadata(tableDir)
+    val cutoff = System.currentTimeMillis() - graceMs
+    val live = reachablePaths(
+      meta.path("snapshots").elements().asScala.toSeq)
     val candidates = Seq(Paths.get(tableDir, "data"),
         Paths.get(tableDir, "metadata"))
       .filter(Files.isDirectory(_))
@@ -793,7 +812,7 @@ object IcebergCompat {
           Files.isRegularFile(p) && {
             val n = p.getFileName.toString
             n.endsWith(".parquet") || n.endsWith(".avro")
-          }).toList
+          } && Files.getLastModifiedTime(p).toMillis < cutoff).toList
         finally stream.close()
       }
     candidates.map(_.toAbsolutePath.normalize.toString)

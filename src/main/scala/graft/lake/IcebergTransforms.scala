@@ -104,7 +104,10 @@ object IcebergTransforms {
       extends UnaryExpression {
     override def dataType: DataType = IntegerType
     override def nullable: Boolean = child.nullable
-    private val isString = child.dataType == StringType
+    // MUST be a def: the analyzer copies this node via
+    // withNewChildInternal while the child is still unresolved, and an
+    // eager val would call dataType on an unresolved attribute and throw
+    private def isString = child.dataType == StringType
     override protected def nullSafeEval(v: Any): Any =
       if (isString) bucketUtf8(v.asInstanceOf[UTF8String], buckets)
       else bucketLong(v.asInstanceOf[Long], buckets)

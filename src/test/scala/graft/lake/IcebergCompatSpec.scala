@@ -251,6 +251,23 @@ class IcebergCompatSpec extends SparkSuite {
       .selectExpr("id AS k", "CAST(id AS STRING) AS s", "CAST(id % 7 AS INT) AS n")
     IcebergCompat.write(df, dir,
       transforms = Seq("k" -> "bucket[4]", "s" -> "truncate[2]"))
+
+    // STRING bucketing through the full write path (regression: the
+    // codegen bucket expression must not touch child.dataType while the
+    // analyzer still holds an unresolved attribute)
+    val sdir = tmpDir("iceberg-bucket-str")
+    IcebergCompat.write(df, sdir, transforms = Seq("s" -> "bucket[4]"))
+    val sback = IcebergCompat.read(spark, sdir)
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    assert(sback === (0L until 100L).map(i => (i, i.toString, (i % 7).toInt)))
+    // routing matches the spec hash
+    val sDirs = Files.list(Paths.get(sdir, "data")).iterator().asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSet
+    assert(sDirs.nonEmpty && sDirs.forall(_.startsWith("__p__s_bucket=")))
+    val expectBuckets = (0L until 100L)
+      .map(i => (IcebergTransforms.hashString(i.toString) &
+        Integer.MAX_VALUE) % 4).toSet
+    assert(sDirs.map(_.stripPrefix("__p__s_bucket=").toInt) === expectBuckets)
     // content round-trips exactly
     val back = IcebergCompat.read(spark, dir)
       .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
@@ -673,12 +690,16 @@ class IcebergCompatSpec extends SparkSuite {
     val real = Files.list(Paths.get(dir, "data")).iterator().asScala
       .filter(_.toString.endsWith(".parquet")).toSeq.head
     Files.copy(real, orphan)
-    val swept = IcebergCompat.removeOrphanFiles(dir)
+    // default grace window spares young files — an in-flight write()'s
+    // staged-but-uncommitted parquet must survive a concurrent sweep
+    assert(IcebergCompat.removeOrphanFiles(dir).isEmpty)
+    assert(Files.exists(orphan))
+    val swept = IcebergCompat.removeOrphanFiles(dir, graceMs = 0L)
     assert(swept === Seq(orphan.toAbsolutePath.normalize.toString))
     assert(!Files.exists(orphan) && Files.exists(real))
     assert(IcebergCompat.read(spark, dir).count() === 2)
     // clean table: nothing to sweep
-    assert(IcebergCompat.removeOrphanFiles(dir).isEmpty)
+    assert(IcebergCompat.removeOrphanFiles(dir, graceMs = 0L).isEmpty)
   }
 
   test("manifest bounds prune files before the scan; results unchanged") {

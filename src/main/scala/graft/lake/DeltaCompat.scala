@@ -67,7 +67,8 @@ object DeltaCompat {
 
   private case class AddFile(partitionValues: Map[String, Option[String]],
       size: Long = 0L,
-      dv: Option[DeletionVectors.Descriptor] = None)
+      dv: Option[DeletionVectors.Descriptor] = None,
+      stats: Option[String] = None) // raw add.stats JSON, parsed on prune
 
   private case class LogState(schemaJson: Option[String],
       partitionColumns: Seq[String],
@@ -184,9 +185,12 @@ object DeltaCompat {
                 d.getAs[java.lang.Long]("cardinality").longValue))
             }
           }
+        val stats =
+          if (!a.schema.fieldNames.contains("stats")) None
+          else Option(a.getAs[String]("stats")).filter(_.nonEmpty)
         state = state.copy(files = state.files +
           (PathCodec.percentDecode(a.getAs[String]("path")) ->
-            AddFile(pv, size, dv)))
+            AddFile(pv, size, dv, stats)))
       }
     }
     state
@@ -268,7 +272,8 @@ object DeltaCompat {
                 d.get("cardinality").asLong()))
             }
           adds += (PathCodec.percentDecode(a.get("path").asText()) ->
-            AddFile(pv, a.path("size").asLong(0L), dv))
+            AddFile(pv, a.path("size").asLong(0L), dv,
+              Option(a.path("stats").asText(null)).filter(_.nonEmpty)))
         }
         if (node.has("remove"))
           removes += PathCodec.percentDecode(
@@ -331,8 +336,9 @@ object DeltaCompat {
     * grouping count is the table's live-partition count — manifest-sized
     * driver work, same as the log replay itself. */
   def read(spark: SparkSession, table: String,
-      version: Option[Long] = None): DataFrame =
-    scan(spark, table, version, keepMeta = false)._1
+      version: Option[Long] = None,
+      prune: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    scan(spark, table, version, keepMeta = false, prune = prune)._1
 
   /** Timestamp time travel (`TIMESTAMP AS OF`): the newest version
     * committed at or before `timestampMs`, commit time being the log
@@ -363,24 +369,71 @@ object DeltaCompat {
     * Rows are skipped at the scan, files are never rewritten — at 100 TB
     * the cost is the broadcast of manifest-scale bitmap state, not IO. */
   private def scan(spark: SparkSession, table: String,
-      version: Option[Long], keepMeta: Boolean): (DataFrame, LogState) = {
+      version: Option[Long], keepMeta: Boolean,
+      prune: Option[org.apache.spark.sql.Column] = None)
+      : (DataFrame, LogState) = {
     val state = replay(spark, table, version)
-    (assemble(spark, table, state, keepMeta), state)
+    (assemble(spark, table, state, keepMeta, prune), state)
   }
 
   /** Assemble the scan frame for an explicit state — [[scan]] for a
-    * replayed version, [[purge]] for the DV-carrying file subset. */
+    * replayed version, [[purge]] for the DV-carrying file subset.
+    *
+    * With `prune`, files whose `add.stats` bounds (or partition values
+    * — exact [v,v] bounds) provably exclude every range conjunct of the
+    * predicate are skipped before the parquet scan, and the full
+    * predicate is re-applied to surviving rows — data skipping from the
+    * log alone, the same manifest-sized driver work real Delta readers
+    * do. Loose bounds (tightBounds:false on DV'd files) still bound a
+    * SUPERSET of the live rows, so they can only under-prune, never
+    * drop a match. */
   private def assemble(spark: SparkSession, table: String,
-      state: LogState, keepMeta: Boolean): DataFrame = {
+      state: LogState, keepMeta: Boolean,
+      prune: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val schema = DataType.fromJson(state.schemaJson.getOrElse(
       throw new IllegalStateException(s"$table has no metaData action")))
       .asInstanceOf[StructType]
     val cmap = state.columnMappingMode != "none"
     val root = Paths.get(table)
+    val prunedState = prune match {
+      case None => state
+      case Some(p) =>
+        val cs = BoundsPruning.conjuncts(
+          spark, cleanType(schema).asInstanceOf[StructType], p)
+        if (cs.isEmpty) state
+        else {
+          // stats keys and partitionValues keys are PHYSICAL names on
+          // column-mapped tables
+          val physByLogical = schema.fields
+            .map(f => f.name -> physicalFieldName(f)).toMap
+          val typeByLogical = schema.fields
+            .map(f => f.name -> cleanType(f.dataType)).toMap
+          state.copy(files = state.files.filter { case (_, add) =>
+            lazy val statsNode = add.stats.map(mapper.readTree)
+            cs.forall { case (n, op, v) =>
+              val phys = physByLogical.getOrElse(n, n)
+              val t = typeByLogical.getOrElse(n,
+                org.apache.spark.sql.types.NullType)
+              val pvBound = add.partitionValues.get(phys).flatten
+                .flatMap(BoundsPruning.partitionBound(_, t))
+              val lo = statsNode
+                .flatMap(s => BoundsPruning.jsonBound(
+                  s.path("minValues").path(phys), t))
+                .orElse(pvBound)
+              val hi = statsNode
+                .flatMap(s => BoundsPruning.jsonBound(
+                  s.path("maxValues").path(phys), t))
+                .orElse(pvBound)
+              BoundsPruning.keeps(lo, hi, op, v)
+            }
+          })
+        }
+    }
+
     // DV content is manifest-scale metadata (bounded by deleted rows per
     // live file) — loaded driver-side exactly like the log replay.
-    val dvMap: Map[String, Array[Long]] = state.files.toSeq.collect {
+    val dvMap: Map[String, Array[Long]] = prunedState.files.toSeq.collect {
       case (rel, add) if add.dv.isDefined =>
         absPath(table, rel) -> DeletionVectors.read(root, add.dv.get)
     }.toMap
@@ -415,7 +468,8 @@ object DeltaCompat {
 
     val assembled: DataFrame =
       if (state.partitionColumns.isEmpty) {
-        val paths = state.files.keys.map(p => Paths.get(table, p).toString).toSeq
+        val paths = prunedState.files.keys
+          .map(p => Paths.get(table, p).toString).toSeq
         if (paths.isEmpty) emptyDf
         else scanFiles(paths.sorted, schema)
       } else {
@@ -427,7 +481,7 @@ object DeltaCompat {
         val dataSchema = StructType(
           schema.filterNot(f => partCols.contains(f.name)))
         val partType = schema.fields.map(f => f.name -> f.dataType).toMap
-        val groups = state.files.toSeq
+        val groups = prunedState.files.toSeq
           .groupBy { case (_, add) =>
             partCols.map(c => add.partitionValues.get(physByLogical(c))) }
           .toSeq.sortBy(_._1.toString)
@@ -457,9 +511,14 @@ object DeltaCompat {
           ColumnBridge.expression(col("__fp")),
           ColumnBridge.expression(col("__pos")), dvMap)))
       }
-    if (keepMeta) dvFiltered
-    else if (needMeta) dvFiltered.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    else dvFiltered
+    val shaped =
+      if (keepMeta) dvFiltered
+      else if (needMeta)
+        dvFiltered.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      else dvFiltered
+    // file skipping is best-effort; the FULL predicate re-applies to
+    // the surviving rows, so prune can never change results — only IO
+    prune.fold(shaped)(shaped.filter)
   }
 
   // replay keys are DECODED paths; the log stores percent-encoded

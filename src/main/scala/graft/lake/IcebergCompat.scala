@@ -234,91 +234,8 @@ object IcebergCompat {
       case _ => Map.empty
     }
 
-  /** Total-order compare where a comparison is defined; None (→ keep the
-    * file) across types we don't order. Integral pairs compare as longs
-    * (a double round-trip collapses values ≥ 2^53 and strict-inequality
-    * pruning would then drop files whose rows match); strings compare
-    * as unsigned UTF-8 bytes — the order parquet stats, Iceberg bounds,
-    * and Spark's UTF8String all use (Java's UTF-16 compareTo disagrees
-    * on supplementary characters). */
-  private def cmpBound(a: Any, b: Any): Option[Int] = {
-    def integral(v: Any): Boolean = v match {
-      case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
-        _: java.lang.Long => true
-      case _ => false
-    }
-    (a, b) match {
-      case (x: java.lang.Number, y: java.lang.Number)
-          if integral(x) && integral(y) =>
-        Some(java.lang.Long.compare(x.longValue, y.longValue))
-      case (x: java.lang.Number, y: java.lang.Number) =>
-        Some(java.lang.Double.compare(x.doubleValue, y.doubleValue))
-      case (x: String, y: String) =>
-        import java.nio.charset.StandardCharsets.UTF_8
-        Some(java.util.Arrays.compareUnsigned(
-          x.getBytes(UTF_8), y.getBytes(UTF_8)))
-      case (x: java.lang.Boolean, y: java.lang.Boolean) =>
-        Some(x.compareTo(y))
-      case _ => None
-    }
-  }
-
-  /** Split a pushed predicate into the (column, op, literal) range
-    * conjuncts usable for file skipping — the same simple-comparison
-    * subset a DSv2 source advertises as pushed filters. The Column is
-    * ANALYZED against an empty frame of the table schema first (Spark 4
-    * Columns are ColumnNode trees, not catalyst expressions, until
-    * analysis), so extraction sees resolved AttributeReference/Literal
-    * nodes. Conjuncts that don't fit (functions, OR trees, casts) prune
-    * nothing; the full predicate is re-applied to the rows regardless. */
-  private def pruneConjuncts(spark: SparkSession, schema: StructType,
-      c: org.apache.spark.sql.Column): Seq[(String, String, Any)] = {
-    import org.apache.spark.sql.catalyst.{expressions => ce}
-    import org.apache.spark.sql.catalyst.plans.logical
-    val analyzed = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      .filter(c).queryExecution.analyzed
-    val conds = analyzed.collect { case f: logical.Filter => f.condition }
-    def split(e: ce.Expression): Seq[ce.Expression] = e match {
-      case ce.And(l, r) => split(l) ++ split(r)
-      case o => Seq(o)
-    }
-    def name(e: ce.Expression): Option[String] = e match {
-      case a: ce.AttributeReference => Some(a.name)
-      case _ => None
-    }
-    // the analyzer wraps literals in type-promotion Casts; anything
-    // foldable (no attributes) evaluates to its constant
-    def lit(e: ce.Expression): Option[Any] =
-      if (!e.foldable) None
-      else Option(e.eval(null)).map {
-        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
-        case o => o
-      }
-    def flip(op: String): String = op match {
-      case ">" => "<"
-      case ">=" => "<="
-      case "<" => ">"
-      case "<=" => ">="
-      case o => o
-    }
-    def bin(l: ce.Expression, r: ce.Expression, op: String) =
-      (name(l), lit(r)) match {
-        case (Some(n), Some(v)) => Some((n, op, v))
-        case _ => (name(r), lit(l)) match {
-          case (Some(n), Some(v)) => Some((n, flip(op), v))
-          case _ => None
-        }
-      }
-    conds.flatMap(split).flatMap {
-      case ce.EqualTo(l, r) => bin(l, r, "=")
-      case ce.GreaterThan(l, r) => bin(l, r, ">")
-      case ce.GreaterThanOrEqual(l, r) => bin(l, r, ">=")
-      case ce.LessThan(l, r) => bin(l, r, "<")
-      case ce.LessThanOrEqual(l, r) => bin(l, r, "<=")
-      case _ => None
-    }
-  }
+  // range-conjunct extraction + bound comparison live in
+  // [[BoundsPruning]], shared with DeltaCompat's stats-based skipping
 
   /** Scan the current (or an explicit) snapshot of an Iceberg table.
     *
@@ -435,7 +352,7 @@ object IcebergCompat {
     val dataFiles: Seq[DataFileInfo] = prune match {
       case None => allDataFiles
       case Some(p) =>
-        val cs = pruneConjuncts(spark, schema, p)
+        val cs = BoundsPruning.conjuncts(spark, schema, p)
         if (cs.isEmpty) allDataFiles
         else allDataFiles.filter { f =>
           cs.forall { case (n, op, v) =>
@@ -443,15 +360,7 @@ object IcebergCompat {
               Option(f.partVals.getOrElse(n, null)))
             val hi = f.upper.get(n).orElse(
               Option(f.partVals.getOrElse(n, null)))
-            op match {
-              case "=" => lo.flatMap(cmpBound(_, v)).forall(_ <= 0) &&
-                hi.flatMap(cmpBound(_, v)).forall(_ >= 0)
-              case ">" => hi.flatMap(cmpBound(_, v)).forall(_ > 0)
-              case ">=" => hi.flatMap(cmpBound(_, v)).forall(_ >= 0)
-              case "<" => lo.flatMap(cmpBound(_, v)).forall(_ < 0)
-              case "<=" => lo.flatMap(cmpBound(_, v)).forall(_ <= 0)
-              case _ => true
-            }
+            BoundsPruning.keeps(lo, hi, op, v)
           }
         }
     }

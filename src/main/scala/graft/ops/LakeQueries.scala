@@ -451,6 +451,58 @@ object LakeQueries {
       |WHERE s_suppkey % 14 = 0
       |ORDER BY s_suppkey""".stripMargin
 
+  /** Log-only data skipping, both formats: the reader is handed a
+    * predicate and must open ONLY the files whose stats/bounds (or
+    * partition values) can hold a match — at 100 TB this is the
+    * difference between a full-table walk and touching the matching
+    * files. The fixture writes two key-disjoint commits plus a
+    * partition split, reads with a pushed conjunction, and requires
+    * (in-query, loudly) that pruning actually skipped files; the
+    * result must still match the plain WHERE oracle exactly. */
+  val deltaPruneScan: Q = (s, dir) => {
+    val tmp = graft.Scratch.dir("graft-delta-prune-q")
+    val ord = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val split = 7500L
+    graft.lake.DeltaCompat.write(
+      ord.filter(col("o_orderkey") < split).coalesce(1), tmp)
+    graft.lake.DeltaCompat.write(
+      ord.filter(col("o_orderkey") >= split).coalesce(1), tmp)
+    val all = graft.lake.DeltaCompat.read(s, tmp)
+    val pruned = graft.lake.DeltaCompat.read(s, tmp,
+      prune = Some(col("o_orderkey") < split && col("o_totalprice") > 100000))
+    require(pruned.inputFiles.length < all.inputFiles.length,
+      "stats pruning must skip the high-key file")
+    pruned.orderBy("o_orderkey")
+  }
+
+  val deltaPruneScanSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders WHERE o_orderkey < 7500 AND o_totalprice > 100000
+      |ORDER BY o_orderkey""".stripMargin
+
+  val icebergPruneScan: Q = (s, dir) => {
+    val tmp = graft.Scratch.dir("graft-iceberg-prune-q")
+    val ord = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val split = 7500L
+    graft.lake.IcebergCompat.write(
+      ord.filter(col("o_orderkey") < split).coalesce(1), tmp)
+    graft.lake.IcebergCompat.write(
+      ord.filter(col("o_orderkey") >= split).coalesce(1), tmp)
+    val all = graft.lake.IcebergCompat.read(s, tmp)
+    val pruned = graft.lake.IcebergCompat.read(s, tmp,
+      prune = Some(col("o_orderkey") >= split && col("o_totalprice") > 100000))
+    require(pruned.inputFiles.length < all.inputFiles.length,
+      "manifest-bounds pruning must skip the low-key file")
+    pruned.orderBy("o_orderkey")
+  }
+
+  val icebergPruneScanSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders WHERE o_orderkey >= 7500 AND o_totalprice > 100000
+      |ORDER BY o_orderkey""".stripMargin
+
   /** PARTITION-SCOPED equality deletes — the shape per-partition
     * streaming CDC writers (Flink) emit: the delete file is stored
     * with a partition tuple and applies ONLY to data files of that
@@ -604,6 +656,8 @@ object LakeQueries {
     "q_iceberg_eq_scoped" -> icebergEqScoped,
     "q_iceberg_compact" -> icebergCompact,
     "q_iceberg_expire" -> icebergExpire,
+    "q_iceberg_prune_scan" -> icebergPruneScan,
+    "q_delta_prune_scan" -> deltaPruneScan,
     "q_delta_roundtrip" -> deltaRoundtrip,
     "q_delta_part_roundtrip" -> deltaPartRoundtrip,
     "q_delta_dv_roundtrip" -> deltaDvRoundtrip,
@@ -632,6 +686,8 @@ object LakeQueries {
     "q_iceberg_eq_scoped" -> icebergEqScopedSql,
     "q_iceberg_compact" -> icebergCompactSql,
     "q_iceberg_expire" -> icebergExpireSql,
+    "q_iceberg_prune_scan" -> icebergPruneScanSql,
+    "q_delta_prune_scan" -> deltaPruneScanSql,
     "q_delta_roundtrip" -> deltaRoundtripSql,
     "q_delta_part_roundtrip" -> deltaPartRoundtripSql,
     "q_delta_dv_roundtrip" -> deltaDvRoundtripSql,

@@ -521,6 +521,59 @@ class DeltaCompatSpec extends SparkSuite {
     assert(cpStats.head.get("tightBounds").asBoolean() === false)
   }
 
+  test("add.stats bounds prune files before the scan; results unchanged") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = tmpDir("delta-prune")
+    // two commits with disjoint key ranges -> two files with disjoint
+    // add.stats bounds in the log
+    DeltaCompat.write(spark.range(0, 100)
+      .selectExpr("id AS k", "CAST(id AS STRING) AS v").coalesce(1), dir)
+    DeltaCompat.write(spark.range(100, 200)
+      .selectExpr("id AS k", "CAST(id AS STRING) AS v").coalesce(1), dir)
+    assert(DeltaCompat.read(spark, dir).inputFiles.length === 2)
+
+    val pruned = DeltaCompat.read(spark, dir, prune = Some(col("k") >= 150))
+    assert(pruned.inputFiles.length === 1, "stats must skip the low file")
+    assert(pruned.as[(Long, String)].collect().map(_._1).sorted.toSeq ===
+      (150L until 200L))
+    assert(DeltaCompat.read(spark, dir,
+      prune = Some(lit(50L) > col("k"))).inputFiles.length === 1)
+    // rows still filtered when both files survive
+    val both = DeltaCompat.read(spark, dir, prune = Some(col("k") % 2 === 0))
+    assert(both.inputFiles.length === 2 && both.count() === 100)
+    // conjunct excluding everything opens zero files
+    assert(DeltaCompat.read(spark, dir,
+      prune = Some(col("k") > 999L)).inputFiles.isEmpty)
+
+    // partition values act as exact bounds (no column stats needed)
+    val pdir = tmpDir("delta-prune-part")
+    DeltaCompat.write(Seq((1L, "a", 10), (2L, "a", 20), (3L, "b", 30))
+      .toDF("k", "p", "n"), pdir, partitionBy = Seq("p"))
+    val pAll = DeltaCompat.read(spark, pdir)
+    val pOne = DeltaCompat.read(spark, pdir, prune = Some(col("p") === "b"))
+    assert(pOne.inputFiles.length < pAll.inputFiles.length)
+    assert(pOne.as[(Long, String, Int)].collect().toSeq ===
+      Seq((3L, "b", 30)))
+
+    // column mapping: stats are keyed by PHYSICAL names — pruning must
+    // translate the logical predicate
+    val cdir = tmpDir("delta-prune-cmap")
+    DeltaCompat.write(spark.range(0, 50)
+      .selectExpr("id AS k", "CAST(id AS STRING) AS v").coalesce(1), cdir,
+      columnMapping = "name")
+    DeltaCompat.write(spark.range(50, 100)
+      .selectExpr("id AS k", "CAST(id AS STRING) AS v").coalesce(1), cdir)
+    val cPruned = DeltaCompat.read(spark, cdir, prune = Some(col("k") < 10))
+    assert(cPruned.inputFiles.length === 1)
+    assert(cPruned.count() === 10)
+
+    // DV'd files keep pruning safely: loose bounds cover a superset
+    DeltaCompat.delete(spark, dir, col("k") >= 190)
+    val afterDv = DeltaCompat.read(spark, dir, prune = Some(col("k") >= 150))
+    assert(afterDv.inputFiles.length === 1)
+    assert(afterDv.count() === 40) // 150..189
+  }
+
   test("add/remove paths are percent-decoded per the Delta spec") {
     val dir = tmpDir("delta-enc")
     DeltaCompat.write(Seq((1L, "a")).toDF("k", "v"), dir)

@@ -463,44 +463,42 @@ object LakeQueries {
     val tmp = graft.Scratch.dir("graft-delta-prune-q")
     val ord = Tables.load(s, dir, "orders")
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-    val split = 7500L
-    graft.lake.DeltaCompat.write(
-      ord.filter(col("o_orderkey") < split).coalesce(1), tmp)
-    graft.lake.DeltaCompat.write(
-      ord.filter(col("o_orderkey") >= split).coalesce(1), tmp)
+    // one commit per status: three files with disjoint [v,v] string
+    // bounds at every scale factor
+    Seq("F", "O", "P").foreach(st => graft.lake.DeltaCompat.write(
+      ord.filter(col("o_orderstatus") === st).coalesce(1), tmp))
     val all = graft.lake.DeltaCompat.read(s, tmp)
     val pruned = graft.lake.DeltaCompat.read(s, tmp,
-      prune = Some(col("o_orderkey") < split && col("o_totalprice") > 100000))
+      prune = Some(col("o_orderstatus") === "O" &&
+        col("o_totalprice") > 100000))
     require(pruned.inputFiles.length < all.inputFiles.length,
-      "stats pruning must skip the high-key file")
+      "stats pruning must skip the F/P files")
     pruned.orderBy("o_orderkey")
   }
 
   val deltaPruneScanSql: String =
     """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-      |FROM orders WHERE o_orderkey < 7500 AND o_totalprice > 100000
+      |FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 100000
       |ORDER BY o_orderkey""".stripMargin
 
   val icebergPruneScan: Q = (s, dir) => {
     val tmp = graft.Scratch.dir("graft-iceberg-prune-q")
     val ord = Tables.load(s, dir, "orders")
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-    val split = 7500L
-    graft.lake.IcebergCompat.write(
-      ord.filter(col("o_orderkey") < split).coalesce(1), tmp)
-    graft.lake.IcebergCompat.write(
-      ord.filter(col("o_orderkey") >= split).coalesce(1), tmp)
+    Seq("F", "O", "P").foreach(st => graft.lake.IcebergCompat.write(
+      ord.filter(col("o_orderstatus") === st).coalesce(1), tmp))
     val all = graft.lake.IcebergCompat.read(s, tmp)
     val pruned = graft.lake.IcebergCompat.read(s, tmp,
-      prune = Some(col("o_orderkey") >= split && col("o_totalprice") > 100000))
+      prune = Some(col("o_orderstatus") === "F" &&
+        col("o_totalprice") > 100000))
     require(pruned.inputFiles.length < all.inputFiles.length,
-      "manifest-bounds pruning must skip the low-key file")
+      "manifest-bounds pruning must skip the O/P files")
     pruned.orderBy("o_orderkey")
   }
 
   val icebergPruneScanSql: String =
     """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-      |FROM orders WHERE o_orderkey >= 7500 AND o_totalprice > 100000
+      |FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000
       |ORDER BY o_orderkey""".stripMargin
 
   /** PARTITION-SCOPED equality deletes — the shape per-partition

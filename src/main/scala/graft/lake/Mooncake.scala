@@ -160,9 +160,19 @@ class Mooncake(val warehouse: String) {
 
   /** Scan the current snapshot. `atLeastVersion` is the reader's
     * read-your-writes demand: if the flushed frontier hasn't covered it
-    * yet the scan must not proceed on stale files. */
+    * yet the scan must not proceed on stale files.
+    *
+    * `prune` generalizes [[readRange]]/[[readRangeOn]]/[[readPoint]]'s
+    * manifest file skipping to an arbitrary predicate: its range
+    * conjuncts are tested against each file's per-column footer min/max
+    * from the manifest (leading-pk conjuncts fall back to the pk range)
+    * and files that provably cannot match are never opened. The full
+    * predicate still applies row-level — pruning only cuts IO. The
+    * specialized readers remain for callers that know their shape (the
+    * point reader adds the bloom tier this general path does not). */
   def read(spark: SparkSession, name: String,
-      atLeastVersion: Option[Long] = None): DataFrame = {
+      atLeastVersion: Option[Long] = None,
+      prune: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val m = require_(Manifest.latest(tableDir(name)), name)
     atLeastVersion.foreach { v =>
       if (m.flushVersion < v)
@@ -170,7 +180,27 @@ class Mooncake(val warehouse: String) {
           s"table '$name': reader requires version >= $v but flushVersion " +
             s"is ${m.flushVersion}")
     }
-    readFiles(spark, m, m.files)
+    val files = prune match {
+      case None => m.files
+      case Some(p) =>
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+        val cs = BoundsPruning.conjuncts(spark, schema, p)
+        if (cs.isEmpty) m.files
+        else m.files.filter { f =>
+          cs.forall { case (n, op, v) =>
+            val leading = m.pkColumns.headOption.contains(n)
+            val range = f.rangeOf(n).orElse(
+              if (leading) for (a <- f.minKey; b <- f.maxKey) yield (a, b)
+              else None)
+            range.forall { case (lo, hi) =>
+              BoundsPruning.keeps(Some(Long.box(lo)), Some(Long.box(hi)),
+                op, v)
+            }
+          }
+        }
+    }
+    val base = readFiles(spark, m, files)
+    prune.fold(base)(base.filter)
   }
 
   /** Key-range scan with manifest-level file skipping — the reference's

@@ -256,6 +256,35 @@ class MooncakeSpec extends SparkSuite {
     assert(filesScanned <= 2, s"expected <=2 files scanned, got $filesScanned")
   }
 
+  test("read(prune) skips files on any stat'd column; results unchanged") {
+    val lake = freshLake()
+    val src = spark.range(0, 1000)
+      .select(col("id").as("a"), (col("id") * 3).as("c"),
+        concat(lit("v"), col("id")).as("b"))
+      .repartitionByRange(8, col("a"))
+    lake.createTable(spark, "gp", src, Seq("a"))
+    assert(lake.currentManifest("gp").files.size === 8)
+
+    // leading-pk conjunct prunes through the pk range
+    val byPk = lake.read(spark, "gp", prune = Some(col("a") >= 900))
+    assert(byPk.select(input_file_name()).distinct().count() <= 2)
+    assert(byPk.count() === 100)
+    // NON-pk integer column prunes through the per-column footer stats
+    // (c = 3a is range-clustered along with a)
+    val byC = lake.read(spark, "gp", prune = Some(col("c") < 150))
+    assert(byC.select(input_file_name()).distinct().count() <= 2)
+    assert(byC.as[(Long, Long, String)].collect().map(_._1).sorted.toSeq
+      === (0L until 50L))
+    // string conjuncts have no manifest stats: full scan, exact rows
+    val byB = lake.read(spark, "gp", prune = Some(col("b") === "v7"))
+    assert(byB.count() === 1)
+    // conjunction: both prunable conjuncts must agree to keep a file
+    val none = lake.read(spark, "gp",
+      prune = Some(col("a") >= 900 && col("c") < 150))
+    assert(none.count() === 0)
+    assert(none.select(input_file_name()).distinct().count() === 0)
+  }
+
   test("snapshot + time travel") {
     val lake = freshLake()
     lake.createTable(spark, "tt", rTable(1 -> "a", 2 -> "b"), Seq("a"))

@@ -74,7 +74,11 @@ object DeltaCompat {
       partitionColumns: Seq[String],
       files: Map[String, AddFile], // decoded path -> add info
       columnMappingMode: String = "none",
-      dvEnabled: Boolean = false)
+      dvEnabled: Boolean = false,
+      config: Map[String, String] = Map.empty) {
+    def cdfEnabled: Boolean =
+      config.get("delta.enableChangeDataFeed").contains("true")
+  }
 
   /** Reader features this layer implements; anything else in a
     * minReaderVersion-3 protocol action is refused loudly (the spec's
@@ -157,7 +161,8 @@ object DeltaCompat {
             if (md.isNullAt(pcIdx)) Seq.empty
             else md.getSeq[String](pcIdx).toSeq,
           columnMappingMode =
-            conf.getOrElse("delta.columnMapping.mode", "none"))
+            conf.getOrElse("delta.columnMapping.mode", "none"),
+          config = conf)
       }
       // A checkpoint's add set IS the live file set at its version
       // (remove rows are only vacuum tombstones — not applied to
@@ -245,12 +250,15 @@ object DeltaCompat {
         }
         if (node.has("metaData")) {
           val md = node.get("metaData")
+          val conf = md.path("configuration").properties().asScala
+            .map(e => e.getKey -> e.getValue.asText()).toMap
           state = state.copy(
             schemaJson = Some(md.get("schemaString").asText()),
             partitionColumns = md.path("partitionColumns").elements()
               .asScala.map(_.asText()).toSeq,
-            columnMappingMode = md.path("configuration")
-              .path("delta.columnMapping.mode").asText("none"))
+            columnMappingMode =
+              conf.getOrElse("delta.columnMapping.mode", "none"),
+            config = conf)
         }
         // Per the Delta spec, add/remove paths are percent-encoded
         // relative paths — decode before resolving against the root.
@@ -527,6 +535,34 @@ object DeltaCompat {
   private def encodePath(p: String): String =
     p.split("/", -1).map(PathCodec.percentEncode).mkString("/")
 
+  /** Stage `df` as parquet under `root` (hive layout when `partCols`
+    * nonEmpty) and move every part file under `root/<subdir>/` keeping
+    * its partition dirs. Returns (relative decoded path — including
+    * `subdir` — , size, partition tuple) per file. */
+  private def stageFiles(df: DataFrame, root: Path, partCols: Seq[String],
+      subdir: Seq[String] = Seq.empty)
+      : Seq[(String, Long, Seq[(String, Option[String])])] = {
+    val tmp = Files.createTempDirectory(root, ".stage")
+    val stage = df.write.mode("overwrite")
+    (if (partCols.nonEmpty) stage.partitionBy(partCols: _*) else stage)
+      .parquet(tmp.toString)
+    val parts = LakeFs.parquetFilesUnder(tmp)
+    val out = parts.zipWithIndex.map { case (p, i) =>
+      val rel = tmp.relativize(p)
+      val dirSegs = (0 until rel.getNameCount - 1)
+        .map(rel.getName(_).toString)
+      val pv = dirSegs.map(PathCodec.parseHiveSegment)
+      val name = f"part-$i%05d-${UUID.randomUUID()}-c000.snappy.parquet"
+      val targetDir = (subdir ++ dirSegs).foldLeft(root)(_ resolve _)
+      Files.createDirectories(targetDir)
+      val target = targetDir.resolve(name)
+      Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+      (((subdir ++ dirSegs) :+ name).mkString("/"), Files.size(target), pv)
+    }
+    LakeFs.deleteRec(tmp)
+    out
+  }
+
   /** Append (or overwrite) `df` as one Delta commit. `partitionBy`
     * hive-partitions the table (identity partitioning — the only kind
     * Delta has); an existing table's partitioning is inherited and a
@@ -534,12 +570,26 @@ object DeltaCompat {
     * creation assigns every top-level column a field id and a
     * `col-<uuid>` physical name (protocol (2,5)); appends to a mapped
     * table inherit its physical names. `replacing` names live files the
-    * same commit removes (the purge/rewrite shape). Returns the new
-    * version. */
+    * same commit removes (the purge/rewrite shape). `properties` lands
+    * in the table's `configuration` on creation (v0 only) — set
+    * `delta.enableChangeDataFeed=true` there to turn on CDF. Returns
+    * the new version. */
   def write(df: DataFrame, table: String,
       mode: String = "append", partitionBy: Seq[String] = Seq.empty,
       columnMapping: String = "none",
-      replacing: Seq[String] = Seq.empty): Long = {
+      replacing: Seq[String] = Seq.empty,
+      properties: Map[String, String] = Map.empty): Long =
+    writeImpl(df, table, mode, partitionBy, columnMapping, replacing,
+      properties, changeData = None, operation = None)
+
+  private[lake] def writeImpl(df: DataFrame, table: String,
+      mode: String, partitionBy: Seq[String],
+      columnMapping: String,
+      replacing: Seq[String],
+      properties: Map[String, String],
+      changeData: Option[DataFrame],
+      operation: Option[String],
+      dataChange: Boolean = true): Long = {
     require(mode == "append" || mode == "overwrite", s"mode $mode")
     require(replacing.isEmpty || mode == "append",
       "replacing composes with append commits only")
@@ -595,34 +645,21 @@ object DeltaCompat {
 
     // Stage part files via Spark (hive layout when partitioned), then
     // move them under the table root keeping their partition dirs.
-    val tmp = Files.createTempDirectory(root, ".stage")
-    val stage = staged.write.mode("overwrite")
-    (if (stagePartCols.nonEmpty) stage.partitionBy(stagePartCols: _*) else stage)
-      .parquet(tmp.toString)
-    val parts = LakeFs.parquetFilesUnder(tmp)
-    // (relative decoded path, size, partition tuple) per moved file
-    val added = parts.zipWithIndex.map { case (p, i) =>
-      val rel = tmp.relativize(p)
-      val dirSegs = (0 until rel.getNameCount - 1)
-        .map(rel.getName(_).toString)
-      val pv = dirSegs.map(PathCodec.parseHiveSegment)
-      val name = f"part-$i%05d-${UUID.randomUUID()}-c000.snappy.parquet"
-      val targetDir = dirSegs.foldLeft(root)(_ resolve _)
-      Files.createDirectories(targetDir)
-      val target = targetDir.resolve(name)
-      Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
-      ((dirSegs :+ name).mkString("/"), Files.size(target), pv,
-        fileStatsJson(target))
-    }
-    LakeFs.deleteRec(tmp)
+    val added = stageFiles(staged, root, stagePartCols)
+      .map { case (rel, size, pv) =>
+        (rel, size, pv, fileStatsJson(root.resolve(rel)))
+      }
 
+    val cdfActive = priorState.map(_.cdfEnabled).getOrElse(
+      properties.get("delta.enableChangeDataFeed").contains("true"))
     val now = System.currentTimeMillis()
     val actions = Seq.newBuilder[ObjectNode]
     if (version == 0L) {
       val protocol = mapper.createObjectNode()
       protocol.putObject("protocol")
         .put("minReaderVersion", if (cmapActive) 2 else 1)
-        .put("minWriterVersion", if (cmapActive) 5 else 2)
+        .put("minWriterVersion",
+          if (cmapActive) 5 else if (cdfActive) 4 else 2)
       actions += protocol
       val meta = mapper.createObjectNode()
       val m = meta.putObject("metaData")
@@ -638,8 +675,32 @@ object DeltaCompat {
         confNode.put("delta.columnMapping.maxColumnId",
           logSchema.fields.length.toLong)
       }
+      properties.foreach { case (k, v) => confNode.put(k, v) }
       m.put("createdTime", now)
       actions += meta
+    }
+    // CHANGE DATA FEED: the commit's row-level changes land as parquet
+    // under _change_data/ with `cdc` actions (dataChange=false — CDF
+    // readers use them INSTEAD of the add/remove reconstruction). The
+    // frame carries the table columns plus `_change_type`; files are
+    // partitioned like the data so their actions carry the same
+    // partitionValues shape.
+    changeData.filter(_ => cdfActive).foreach { cdf =>
+      val stagedCdc =
+        if (!cmapActive) cdf
+        else cdf.select(cdf.columns.map(c =>
+          cdf.col(c).as(physByLogical.getOrElse(c, c))).toIndexedSeq: _*)
+      stageFiles(stagedCdc, root, stagePartCols, Seq("_change_data"))
+        .foreach { case (rel, size, pv) =>
+          val n = mapper.createObjectNode()
+          val c = n.putObject("cdc").put("path", encodePath(rel))
+            .put("size", size).put("dataChange", false)
+          val pvNode = c.putObject("partitionValues")
+          pv.foreach { case (k, v) =>
+            v.fold[Unit](pvNode.putNull(k))(pvNode.put(k, _))
+          }
+          actions += n
+        }
     }
     val removePaths =
       if (mode == "overwrite" && version > 0L)
@@ -648,14 +709,14 @@ object DeltaCompat {
     removePaths.sorted.foreach { p =>
       val rm = mapper.createObjectNode()
       rm.putObject("remove").put("path", encodePath(p))
-        .put("deletionTimestamp", now).put("dataChange", true)
+        .put("deletionTimestamp", now).put("dataChange", dataChange)
       actions += rm
     }
     added.foreach { case (relPath, size, pv, stats) =>
       val add = mapper.createObjectNode()
       val a = add.putObject("add").put("path", encodePath(relPath))
         .put("size", size)
-        .put("modificationTime", now).put("dataChange", true)
+        .put("modificationTime", now).put("dataChange", dataChange)
       val pvNode = a.putObject("partitionValues")
       pv.foreach { case (k, v) =>
         v.fold[Unit](pvNode.putNull(k))(pvNode.put(k, _))
@@ -664,7 +725,8 @@ object DeltaCompat {
       actions += add
     }
 
-    commit(table, version, actions.result())
+    commit(table, version, actions.result(), operation.getOrElse(
+      if (mode == "overwrite") "OVERWRITE" else "WRITE"))
     version
   }
 
@@ -686,7 +748,11 @@ object DeltaCompat {
     val subset = state.copy(files = state.files.filter {
       case (_, a) => a.dv.isDefined })
     val live = assemble(spark, table, subset, keepMeta = false)
-    write(live, table, replacing = dvPaths)
+    // dataChange=false: a purge moves no logical rows, and a CDF reader
+    // must not re-derive its rewrites as inserts
+    writeImpl(live, table, "append", Seq.empty, "none", dvPaths,
+      Map.empty, changeData = None, operation = Some("PURGE"),
+      dataChange = false)
   }
 
   /** VACUUM: physically delete data files whose LAST log action is a
@@ -842,16 +908,23 @@ object DeltaCompat {
     }
   }
 
-  /** Atomically land one commit's action list as the next JSON log file. */
+  /** Atomically land one commit's action list as the next JSON log
+    * file, led by a `commitInfo` action naming the operation — what
+    * DESCRIBE HISTORY reads back. */
   private def commit(table: String, version: Long,
-      actions: Seq[ObjectNode]): Unit = {
+      actions: Seq[ObjectNode], operation: String): Unit = {
     Files.createDirectories(logDir(table))
     val target = versionFile(table, version)
     if (Files.exists(target))
       throw new IllegalStateException(
         s"Delta version $version already exists (concurrent writer?)")
+    val info = mapper.createObjectNode()
+    info.putObject("commitInfo")
+      .put("timestamp", System.currentTimeMillis())
+      .put("operation", operation)
+      .put("engineInfo", "graft-deltacompat")
     val tmpLog = Files.createTempFile(logDir(table), ".tmp", ".json")
-    Files.write(tmpLog, actions.map(mapper.writeValueAsString)
+    Files.write(tmpLog, (info +: actions).map(mapper.writeValueAsString)
       .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmpLog, target, StandardCopyOption.ATOMIC_MOVE)
   }
@@ -923,8 +996,40 @@ object DeltaCompat {
       // carry the legacy writer-v2 implications forward per the spec's
       // protocol-upgrade rule
       (Seq("deletionVectors", "appendOnly", "invariants") ++
-        (if (cmap) Seq("columnMapping") else Nil)).foreach(wf.add)
+        (if (cmap) Seq("columnMapping") else Nil) ++
+        (if (state.cdfEnabled) Seq("changeDataFeed") else Nil)).foreach(wf.add)
       actions += node
+    }
+    // CDF: the deleted rows themselves land under _change_data, so a
+    // change reader never has to diff deletion vectors. One extra pass
+    // over the matched predicate — deletes are not the hot path.
+    if (state.cdfEnabled) {
+      import org.apache.spark.sql.functions.{col, lit}
+      val schema = DataType.fromJson(state.schemaJson.getOrElse(
+        throw new IllegalStateException(s"$table has no metaData action")))
+        .asInstanceOf[StructType]
+      val physByLogical = schema.fields
+        .map(f => f.name -> physicalFieldName(f)).toMap
+      val cdf = df.filter(condition)
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        .withColumn("_change_type", lit("delete"))
+      val stagedCdc =
+        if (state.columnMappingMode == "none") cdf
+        else cdf.select(cdf.columns.map(c =>
+          cdf.col(c).as(physByLogical.getOrElse(c, c))).toIndexedSeq: _*)
+      val stagePartCols = state.partitionColumns
+        .map(c => physByLogical.getOrElse(c, c))
+      stageFiles(stagedCdc, root, stagePartCols, Seq("_change_data"))
+        .foreach { case (rel, size, pv) =>
+          val n = mapper.createObjectNode()
+          val c = n.putObject("cdc").put("path", encodePath(rel))
+            .put("size", size).put("dataChange", false)
+          val pvNode = c.putObject("partitionValues")
+          pv.foreach { case (k, v) =>
+            v.fold[Unit](pvNode.putNull(k))(pvNode.put(k, _))
+          }
+          actions += n
+        }
     }
     affected.zip(descriptors).foreach { case ((rel, add, merged), d) =>
       val rmNode = mapper.createObjectNode()
@@ -952,8 +1057,252 @@ object DeltaCompat {
         .put("cardinality", merged.length.toLong)
       actions += addNode
     }
-    commit(table, head + 1, actions.result())
+    commit(table, head + 1, actions.result(), "DELETE")
     head + 1
+  }
+
+  /** MERGE INTO `table` USING `source` ON the `keys` equi-condition —
+    * the upsert primitive (commitInfo operation "MERGE"). Semantics:
+    *
+    *   - a matched target row UPDATEs to its source row's values for
+    *     every table column (update-all), or is DELETED when
+    *     `deleteWhen` evaluates true on that source row;
+    *   - an unmatched source row INSERTs (unless its `deleteWhen`
+    *     fires — a delete for an absent key is a no-op, the CDC
+    *     convention);
+    *   - unmatched target rows are untouched.
+    *
+    * Only data files containing at least one matched row are rewritten
+    * (file-level merge-on-write): the key join finds the touched file
+    * set via `_metadata.file_path`, survivors + updated rows + inserts
+    * stage as new files, and ONE commit removes the touched files and
+    * adds the new ones. At 100 TB the cost is the key join (broadcast
+    * when the source is small — Catalyst's call) plus a rewrite
+    * proportional to the TOUCHED files, never the table.
+    *
+    * Duplicate `keys` tuples in `source` are refused (the spec's
+    * multiple-source-matches error — the merge result would be
+    * nondeterministic). `source` must carry every table column; extra
+    * columns may feed `deleteWhen` and are never written. On a
+    * CDF-enabled table the commit carries the full change set
+    * (update_preimage/update_postimage/delete/insert). Returns the new
+    * version (the current head when the merge is a no-op). */
+  def merge(spark: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String],
+      deleteWhen: Option[org.apache.spark.sql.Column] = None): Long = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val (df, state) = scan(spark, table, None, keepMeta = true)
+    val head = (versions(table) ++ lastCheckpoint(table).map(_._1)).max
+    val schema = DataType.fromJson(state.schemaJson.getOrElse(
+      throw new IllegalStateException(s"$table has no metaData action")))
+      .asInstanceOf[StructType]
+    val tableCols = schema.fieldNames.toSeq
+    require(keys.nonEmpty && keys.forall(tableCols.contains),
+      s"merge keys (${keys.mkString(", ")}) must be table columns")
+    val missingCols = tableCols.filterNot(source.columns.contains)
+    require(missingCols.isEmpty,
+      s"merge source is missing table columns (${missingCols.mkString(", ")})")
+    if (source.groupBy(keys.map(source.col): _*).count()
+        .filter(col("count") > 1).take(1).nonEmpty)
+      throw new IllegalArgumentException(
+        s"merge source has duplicate (${keys.mkString(", ")}) tuples — " +
+          "a target row would match more than one source row")
+    val typeByName = schema.fields
+      .map(f => f.name -> cleanType(f.dataType)).toMap
+    // source columns renamed __s_* so the join frame never collides
+    // with target names; the delete flag evaluates over the RAW source
+    // frame (it may reference extra, non-table columns)
+    val srcPrep = source.select(tableCols.map(c =>
+      source.col(c).cast(typeByName(c)).as(s"__s_$c")) ++ Seq(
+      deleteWhen.getOrElse(lit(false)).cast("boolean").as("__s_del"),
+      lit(true).as("__s_m")): _*)
+    def inserts(target: DataFrame): DataFrame = srcPrep
+      .join(target,
+        keys.map(c => target(c) === srcPrep(s"__s_$c")).reduce(_ && _),
+        "left_anti")
+      .filter(!col("__s_del"))
+      .select(tableCols.map(c => col(s"__s_$c").as(c)): _*)
+    def withType(d: DataFrame, t: String): DataFrame =
+      d.withColumn("_change_type", lit(t))
+    if (state.files.isEmpty) {
+      val ins = srcPrep.filter(!col("__s_del"))
+        .select(tableCols.map(c => col(s"__s_$c").as(c)): _*)
+      if (ins.isEmpty) return head
+      return writeImpl(ins, table, "append", Seq.empty, "none", Seq.empty,
+        Map.empty, Some(withType(ins, "insert")), Some("MERGE"))
+    }
+    val joinCond = keys.map(c => df(c) === srcPrep(s"__s_$c")).reduce(_ && _)
+    val joined = df.join(srcPrep, joinCond, "left_outer")
+    // the touched FILE set — manifest-sized driver state, like the log
+    val touchedUris = joined.filter(col("__s_m").isNotNull)
+      .select("__fp").distinct().collect().map(_.getString(0)).sorted
+    val relByAbs = state.files.keys
+      .map(rel => absPath(table, rel) -> rel).toMap
+    val touchedRel = touchedUris.map(u => relByAbs.getOrElse(uriToPath(u),
+      throw new IllegalStateException(s"$u not in the live file set"))).sorted
+    val insertRows = inserts(df)
+    if (touchedRel.isEmpty) {
+      if (insertRows.isEmpty) return head
+      return writeImpl(insertRows, table, "append", Seq.empty, "none",
+        Seq.empty, Map.empty,
+        Some(withType(insertRows, "insert")), Some("MERGE"))
+    }
+    val inTouched = joined.filter(col("__fp").isInCollection(touchedUris))
+    val survivors = inTouched
+      .filter(col("__s_m").isNull || !col("__s_del"))
+      .select(tableCols.map(c =>
+        when(col("__s_m").isNotNull, col(s"__s_$c"))
+          .otherwise(df(c)).as(c)): _*)
+    val newData = survivors.union(insertRows)
+    val changes =
+      if (!state.cdfEnabled) None
+      else {
+        val matched = inTouched.filter(col("__s_m").isNotNull)
+        val updated = matched.filter(!col("__s_del"))
+        Some(LakeFs.unionAll(Seq(
+          withType(updated.select(tableCols.map(c => df(c).as(c)): _*),
+            "update_preimage"),
+          withType(updated.select(tableCols.map(c =>
+            col(s"__s_$c").as(c)): _*), "update_postimage"),
+          withType(matched.filter(col("__s_del"))
+            .select(tableCols.map(c => df(c).as(c)): _*), "delete"),
+          withType(insertRows, "insert"))))
+      }
+    writeImpl(newData, table, "append", Seq.empty, "none",
+      touchedRel.toSeq, Map.empty, changes, Some("MERGE"))
+  }
+
+  /** CHANGE DATA FEED read: the row-level changes committed in
+    * versions `fromVersion..toVersion` (inclusive; default the head),
+    * as the table columns plus `_change_type` (insert /
+    * update_preimage / update_postimage / delete) and
+    * `_commit_version`. Per the spec, a commit carrying `cdc` actions
+    * is read from its _change_data files EXCLUSIVELY; a commit without
+    * them derives inserts from its dataChange adds (a plain append). A
+    * commit that removed data without change files (a non-CDF writer's
+    * overwrite) refuses loudly rather than fabricating changes;
+    * dataChange=false commits (purge, checkpointing) contribute
+    * nothing. Requires `delta.enableChangeDataFeed=true`. */
+  def readChanges(spark: SparkSession, table: String, fromVersion: Long,
+      toVersion: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val state = replay(spark, table, None)
+    if (!state.cdfEnabled)
+      throw new UnsupportedOperationException(
+        s"$table: delta.enableChangeDataFeed is not set — no change feed")
+    val vs = versions(table)
+    if (fromVersion < vs.min)
+      throw new UnsupportedOperationException(
+        s"$table: change feed from v$fromVersion unavailable — earliest " +
+          s"surviving commit is v${vs.min} (older JSON vacuumed)")
+    val to = toVersion.getOrElse(vs.max)
+    val schemaM = DataType.fromJson(state.schemaJson.getOrElse(
+      throw new IllegalStateException(s"$table has no metaData action")))
+      .asInstanceOf[StructType]
+    val partCols = state.partitionColumns
+    val physByLogical = schemaM.fields
+      .map(f => f.name -> physicalFieldName(f)).toMap
+    val partTypeOf = schemaM.fields.map(f => f.name -> f.dataType).toMap
+    val dataFieldsM = schemaM.fields.filterNot(f => partCols.contains(f.name))
+
+    // one scan per (commit, partition tuple, kind) group; each group's
+    // rows come back as logical columns + _change_type + version
+    def readGroup(paths: Seq[String], pv: Map[String, Option[String]],
+        hasTypeCol: Boolean, version: Long): DataFrame = {
+      val readSchema = StructType(dataFieldsM.map(f =>
+        StructField(physicalFieldName(f), physicalType(f.dataType))).toSeq ++
+        (if (hasTypeCol) Seq(StructField("_change_type", StringType))
+         else Nil))
+      val base = spark.read.schema(readSchema)
+        .parquet(paths.sorted: _*)
+      val dataCols = dataFieldsM.toSeq.map(f =>
+        col(s"`${physicalFieldName(f)}`")
+          .cast(cleanType(f.dataType)).as(f.name))
+      val typeCol =
+        if (hasTypeCol) col("_change_type")
+        else lit("insert").as("_change_type")
+      val typed = base.select(dataCols :+ typeCol: _*)
+      val withParts = partCols.foldLeft(typed) { (d, c) =>
+        val v = pv.getOrElse(physByLogical(c), None)
+        d.withColumn(c, v.map(lit(_)).getOrElse(lit(null))
+          .cast(cleanType(partTypeOf(c))))
+      }
+      withParts.select(schemaM.fieldNames.map(col).toIndexedSeq :+
+        col("_change_type"): _*)
+        .withColumn("_commit_version", lit(version))
+    }
+
+    val frames = for (v <- vs if v >= fromVersion && v <= to) yield {
+      val lines = Files.readAllLines(versionFile(table, v)).asScala
+      val cdc = Seq.newBuilder[(String, Map[String, Option[String]])]
+      val addsDc = Seq.newBuilder[(String, Map[String, Option[String]])]
+      var removesDc = false
+      for (line <- lines if line.trim.nonEmpty) {
+        val node = mapper.readTree(line)
+        def pvOf(a: com.fasterxml.jackson.databind.JsonNode) =
+          a.path("partitionValues").properties().asScala
+            .map(e => e.getKey ->
+              (if (e.getValue.isNull) None else Some(e.getValue.asText())))
+            .toMap
+        if (node.has("cdc")) {
+          val a = node.get("cdc")
+          cdc += (PathCodec.percentDecode(a.get("path").asText()) -> pvOf(a))
+        }
+        if (node.has("add")) {
+          val a = node.get("add")
+          if (a.path("dataChange").asBoolean(true))
+            addsDc += (PathCodec.percentDecode(a.get("path").asText()) ->
+              pvOf(a))
+        }
+        if (node.has("remove") &&
+            node.get("remove").path("dataChange").asBoolean(true))
+          removesDc = true
+      }
+      val cdcFiles = cdc.result()
+      if (cdcFiles.nonEmpty)
+        cdcFiles.groupBy(_._2).toSeq.sortBy(_._1.toString).map {
+          case (pv, fs) =>
+            readGroup(fs.map(f => absPath(table, f._1)), pv,
+              hasTypeCol = true, v)
+        }
+      else if (removesDc)
+        throw new UnsupportedOperationException(
+          s"$table: commit v$v removed data without change files " +
+            "(written before CDF was enabled, or by a non-CDF writer) — " +
+            "its changes cannot be reconstructed")
+      else
+        addsDc.result().groupBy(_._2).toSeq.sortBy(_._1.toString).map {
+          case (pv, fs) =>
+            readGroup(fs.map(f => absPath(table, f._1)), pv,
+              hasTypeCol = false, v)
+        }
+    }
+    val flat = frames.flatten
+    if (flat.nonEmpty) LakeFs.unionAll(flat)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(cleanType(schemaM).asInstanceOf[StructType].fields.toSeq ++
+        Seq(StructField("_change_type", StringType),
+          StructField("_commit_version",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** DESCRIBE HISTORY: one row per surviving commit — (version,
+    * timestamp, operation, engine_info) from each commit's commitInfo
+    * action; commits written without one (foreign writers) carry
+    * nulls. Driver-side log walk, manifest-sized. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    versions(table).map { v =>
+      val lines = Files.readAllLines(versionFile(table, v)).asScala
+      val info = lines.filter(_.trim.nonEmpty).map(mapper.readTree)
+        .find(_.has("commitInfo")).map(_.get("commitInfo"))
+      (v,
+        info.map(_.path("timestamp").asLong()),
+        info.map(_.path("operation").asText()),
+        info.map(_.path("engineInfo").asText(null)).flatMap(Option(_)))
+    }.toDF("version", "timestamp", "operation", "engine_info")
   }
 
   /** Write a parquet checkpoint of the table head and point
@@ -1012,12 +1361,15 @@ object DeltaCompat {
     val protoRow =
       if (state.dvEnabled) {
         val rf = Seq("deletionVectors") ++ (if (cmap) Seq("columnMapping") else Nil)
-        Row(3, 7, rf, rf ++ Seq("appendOnly", "invariants"))
+        Row(3, 7, rf, rf ++ Seq("appendOnly", "invariants") ++
+          (if (state.cdfEnabled) Seq("changeDataFeed") else Nil))
       } else if (cmap) Row(2, 5, null, null)
+      else if (state.cdfEnabled) Row(1, 4, null, null)
       else Row(1, 2, null, null)
-    val conf =
-      if (cmap) Map("delta.columnMapping.mode" -> state.columnMappingMode)
-      else Map.empty[String, String]
+    // the FULL configuration survives the checkpoint — dropping a key
+    // (CDF, mapping mode) would silently change table behavior once the
+    // pre-checkpoint JSON is vacuumed
+    val conf = state.config
     val now = System.currentTimeMillis()
     val rows = Seq(
       Row(protoRow, null, null),

@@ -144,6 +144,14 @@ object IcebergCompat {
     Manifest.withFooter(p)(_.getFileMetaData.getSchema
       .getFields.asScala.map(_.getName).toSet)
 
+  /** Top-level parquet columns with their field-id annotations (the
+    * spec's projection handles; absent on files written before the
+    * writer annotated them). Footer-only. */
+  private def parquetFields(p: Path): Seq[(String, Option[Int])] =
+    Manifest.withFooter(p)(_.getFileMetaData.getSchema
+      .getFields.asScala.map(t =>
+        t.getName -> Option(t.getId).map(_.intValue)).toSeq)
+
   /** First live data file of the current snapshot, if any — the write
     * path's shape probe (one Avro read + one footer). */
   private def firstLiveDataFile(meta: JsonNode): Option[String] = {
@@ -1287,7 +1295,9 @@ object IcebergCompat {
     * included — spec evolution keeps them all). */
   private def commitMetadataJson(metaDir: Path, tableDir: String,
       version: Long, tableUuid: String, sequenceNumber: Long,
-      lastColumnId: Int, schemaNode: JsonNode,
+      lastColumnId: Int,
+      schemasArr: com.fasterxml.jackson.databind.node.ArrayNode,
+      currentSchemaId: Int,
       specsArr: com.fasterxml.jackson.databind.node.ArrayNode,
       defaultSpecId: Int, lastPartitionId: Int,
       prevSnapshotNodes: Seq[JsonNode],
@@ -1301,8 +1311,8 @@ object IcebergCompat {
     root.put("last-sequence-number", sequenceNumber)
     root.put("last-updated-ms", now)
     root.put("last-column-id", lastColumnId)
-    root.put("current-schema-id", 0)
-    root.putArray("schemas").add(schemaNode)
+    root.put("current-schema-id", currentSchemaId)
+    root.set[JsonNode]("schemas", schemasArr)
     root.put("default-spec-id", defaultSpecId)
     root.set[JsonNode]("partition-specs", specsArr)
     root.put("last-partition-id", lastPartitionId)

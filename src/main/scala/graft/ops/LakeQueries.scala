@@ -642,7 +642,114 @@ object LakeQueries {
       |WINDOW w AS (PARTITION BY o_orderkey ORDER BY version)
       |ORDER BY o_orderkey, version""".stripMargin
 
+  /** MERGE INTO over the Delta log — the upsert primitive: one commit
+    * deletes every 100th order, bumps every 97th's price, and inserts
+    * shifted copies of every 50th, rewriting ONLY the files that hold a
+    * matched key. The oracle replays the same three clauses in SQL. */
+  val deltaMerge: Q = (s, dir) => {
+    val tmp = graft.Scratch.dir("graft-delta-merge-q")
+    val ord = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    graft.lake.DeltaCompat.write(ord, tmp)
+    val dels = ord.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("__op", lit("D"))
+    val ups = ord.filter(col("o_orderkey") % 97 === 0 &&
+        col("o_orderkey") % 100 =!= 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1)
+      .withColumn("__op", lit("U"))
+    val ins = ord.filter(col("o_orderkey") % 50 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
+      .withColumn("o_totalprice", col("o_totalprice") + 5)
+      .withColumn("__op", lit("I"))
+    graft.lake.DeltaCompat.merge(s, tmp,
+      dels.unionByName(ups).unionByName(ins), Seq("o_orderkey"),
+      deleteWhen = Some(col("__op") === "D"))
+    graft.lake.DeltaCompat.read(s, tmp).orderBy("o_orderkey")
+  }
+
+  val deltaMergeSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1
+      |       ELSE o_totalprice END AS o_totalprice
+      |FROM orders WHERE o_orderkey % 100 <> 0
+      |UNION ALL
+      |SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+      |  o_orderstatus, o_totalprice + 5 AS o_totalprice
+      |FROM orders WHERE o_orderkey % 50 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** CHANGE DATA FEED end-to-end: a CDF-enabled table takes an initial
+    * load and one merge (update/delete/insert mix); the feed read
+    * returns every row-level change with its `_change_type` and commit
+    * version — the oracle reconstructs the exact expected feed. */
+  val deltaCdf: Q = (s, dir) => {
+    val tmp = graft.Scratch.dir("graft-delta-cdf-q")
+    val n = Tables.load(s, dir, "nation")
+    graft.lake.DeltaCompat.write(n, tmp,
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    val dels = n.filter(col("n_nationkey") % 7 === 0)
+      .withColumn("__op", lit("D"))
+    val ups = n.filter(col("n_nationkey") % 5 === 0 &&
+        col("n_nationkey") % 7 =!= 0)
+      .withColumn("n_regionkey", col("n_regionkey") + 1)
+      .withColumn("__op", lit("U"))
+    val ins = n.filter(col("n_nationkey") % 3 === 0)
+      .withColumn("n_nationkey", col("n_nationkey") + 100)
+      .withColumn("__op", lit("I"))
+    graft.lake.DeltaCompat.merge(s, tmp,
+      dels.unionByName(ups).unionByName(ins), Seq("n_nationkey"),
+      deleteWhen = Some(col("__op") === "D"))
+    graft.lake.DeltaCompat.readChanges(s, tmp, 0L)
+      .orderBy("_commit_version", "_change_type", "n_nationkey")
+  }
+
+  val deltaCdfSql: String =
+    """SELECT n_nationkey, n_name, n_regionkey,
+      |  'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version
+      |FROM nation
+      |UNION ALL
+      |SELECT n_nationkey, n_name, n_regionkey, 'delete', 1 FROM nation
+      |WHERE n_nationkey % 7 = 0
+      |UNION ALL
+      |SELECT n_nationkey, n_name, n_regionkey, 'update_preimage', 1
+      |FROM nation WHERE n_nationkey % 5 = 0 AND n_nationkey % 7 <> 0
+      |UNION ALL
+      |SELECT n_nationkey, n_name, n_regionkey + 1 AS n_regionkey,
+      |  'update_postimage', 1
+      |FROM nation WHERE n_nationkey % 5 = 0 AND n_nationkey % 7 <> 0
+      |UNION ALL
+      |SELECT n_nationkey + 100 AS n_nationkey, n_name, n_regionkey,
+      |  'insert', 1
+      |FROM nation WHERE n_nationkey % 3 = 0
+      |ORDER BY _commit_version, _change_type, n_nationkey""".stripMargin
+
+  /** DESCRIBE HISTORY from commitInfo: the operation chain of a
+    * create → append → merge → DV delete → purge lifecycle, pinned by a
+    * golden VALUES oracle (the catalog's deterministic contents ARE the
+    * expected output, exactly like q_mooncake_list_tables). */
+  val deltaHistory: Q = (s, dir) => {
+    val tmp = graft.Scratch.dir("graft-delta-hist-q")
+    val r = Tables.load(s, dir, "region")
+    graft.lake.DeltaCompat.write(r, tmp)
+    graft.lake.DeltaCompat.write(
+      r.withColumn("r_regionkey", col("r_regionkey") + 10), tmp)
+    graft.lake.DeltaCompat.merge(s, tmp, r, Seq("r_regionkey"))
+    graft.lake.DeltaCompat.delete(s, tmp, col("r_regionkey") >= 10)
+    graft.lake.DeltaCompat.purge(s, tmp)
+    graft.lake.DeltaCompat.history(s, tmp)
+      .select("version", "operation").orderBy("version")
+  }
+
+  val deltaHistorySql: String =
+    """SELECT CAST(version AS BIGINT) AS version, operation FROM (VALUES
+      |  (0, 'WRITE'), (1, 'WRITE'), (2, 'MERGE'), (3, 'DELETE'),
+      |  (4, 'PURGE')) AS t(version, operation)
+      |ORDER BY version""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_delta_merge" -> deltaMerge,
+    "q_delta_cdf" -> deltaCdf,
+    "q_delta_history" -> deltaHistory,
     "q_snapshot_diff" -> snapshotDiff,
     "q_scd2_history" -> scd2History,
     "q_iceberg_roundtrip" -> icebergRoundtrip,
@@ -673,6 +780,9 @@ object LakeQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_delta_merge" -> deltaMergeSql,
+    "q_delta_cdf" -> deltaCdfSql,
+    "q_delta_history" -> deltaHistorySql,
     "q_snapshot_diff" -> snapshotDiffSql,
     "q_scd2_history" -> scd2HistorySql,
     "q_iceberg_roundtrip" -> icebergRoundtripSql,

@@ -1,0 +1,191 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Delta MERGE (file-level merge-on-write) and the change data feed:
+  * upsert/delete/insert semantics, touched-file-only rewrites, cdc
+  * files under _change_data, readChanges across commit kinds, and the
+  * DESCRIBE HISTORY surface from commitInfo. */
+class DeltaMergeCdfSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def readSorted(dir: String): Seq[(Long, String)] =
+    DeltaCompat.read(spark, dir).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+
+  test("merge updates matched, inserts unmatched, deletes flagged") {
+    val dir = tmpDir("delta-merge")
+    DeltaCompat.write(
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v"), dir)
+    // update 2, delete 3, insert 9; delete of absent key 77 is a no-op
+    val src = Seq((2L, "B", "U"), (3L, "-", "D"), (9L, "i", "I"),
+      (77L, "-", "D")).toDF("k", "v", "op")
+    val v = DeltaCompat.merge(spark, dir, src, Seq("k"),
+      deleteWhen = Some(col("op") === "D"))
+    assert(v === 1L)
+    assert(readSorted(dir) ===
+      Seq(1L -> "a", 2L -> "B", 4L -> "d", 9L -> "i"))
+    // time travel still sees the pre-merge state
+    assert(DeltaCompat.read(spark, dir, version = Some(0L))
+      .count() === 4L)
+  }
+
+  test("merge rewrites only the touched files") {
+    val dir = tmpDir("delta-merge-files")
+    // two files with disjoint key ranges: one write per file
+    DeltaCompat.write(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), dir)
+    DeltaCompat.write(
+      Seq((10L, "x"), (11L, "y")).toDF("k", "v").coalesce(1), dir)
+    val before = DeltaCompat.read(spark, dir).inputFiles.toSet
+    assert(before.size === 2)
+    DeltaCompat.merge(spark, dir,
+      Seq((10L, "X")).toDF("k", "v"), Seq("k"))
+    val after = DeltaCompat.read(spark, dir).inputFiles.toSet
+    // the file holding keys 1-2 survives untouched; the 10-11 file is
+    // replaced by a rewrite
+    assert(after.intersect(before).size === 1)
+    assert(readSorted(dir) ===
+      Seq(1L -> "a", 2L -> "b", 10L -> "X", 11L -> "y"))
+  }
+
+  test("merge refuses duplicate source keys") {
+    val dir = tmpDir("delta-merge-dup")
+    DeltaCompat.write(Seq((1L, "a")).toDF("k", "v"), dir)
+    intercept[IllegalArgumentException] {
+      DeltaCompat.merge(spark, dir,
+        Seq((1L, "x"), (1L, "y")).toDF("k", "v"), Seq("k"))
+    }
+  }
+
+  test("merge into an empty-file-set table inserts") {
+    val dir = tmpDir("delta-merge-empty")
+    DeltaCompat.write(Seq((1L, "a")).toDF("k", "v"), dir)
+    DeltaCompat.delete(spark, dir, lit(true))
+    DeltaCompat.purge(spark, dir)
+    val vac = DeltaCompat.merge(spark, dir,
+      Seq((5L, "e")).toDF("k", "v"), Seq("k"))
+    assert(readSorted(dir) === Seq(5L -> "e"))
+    assert(vac === DeltaCompat.versions(dir).max)
+  }
+
+  test("merge on a partitioned table keeps partition values right") {
+    val dir = tmpDir("delta-merge-part")
+    DeltaCompat.write(
+      Seq((1L, "p1", "a"), (2L, "p1", "b"), (3L, "p2", "c"))
+        .toDF("k", "p", "v"),
+      dir, partitionBy = Seq("p"))
+    // move key 2 to partition p2 and update its value
+    DeltaCompat.merge(spark, dir,
+      Seq((2L, "p2", "B"), (7L, "p3", "g")).toDF("k", "p", "v"), Seq("k"))
+    val rows = DeltaCompat.read(spark, dir).as[(Long, String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(rows === Seq((1L, "p1", "a"), (2L, "p2", "B"),
+      (3L, "p2", "c"), (7L, "p3", "g")))
+  }
+
+  test("change data feed: appends, merge, delete, purge") {
+    val dir = tmpDir("delta-cdf")
+    DeltaCompat.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir,
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaCompat.write(Seq((3L, "c")).toDF("k", "v"), dir)
+    DeltaCompat.merge(spark, dir,
+      Seq((2L, "B", false), (4L, "d", false), (1L, "-", true))
+        .toDF("k", "v", "del"),
+      Seq("k"), deleteWhen = Some(col("del")))
+    DeltaCompat.delete(spark, dir, col("k") === 3L)
+    DeltaCompat.purge(spark, dir) // dataChange=false — silent in the feed
+
+    val ch = DeltaCompat.readChanges(spark, dir, 0L)
+      .as[(Long, String, String, Long)].collect().toSeq
+      .sortBy(t => (t._4, t._3, t._1))
+    // the delete preimage carries the TARGET row's values (1,"a") —
+    // never the source's placeholder
+    assert(ch === Seq(
+      (1L, "a", "insert", 0L), (2L, "b", "insert", 0L),
+      (3L, "c", "insert", 1L),
+      (1L, "a", "delete", 2L), (4L, "d", "insert", 2L),
+      (2L, "B", "update_postimage", 2L), (2L, "b", "update_preimage", 2L),
+      (3L, "c", "delete", 3L)))
+    // range reads slice by commit
+    assert(DeltaCompat.readChanges(spark, dir, 2L, Some(2L)).count() === 4L)
+    // cdc parquet landed under _change_data/
+    assert(Files.list(Paths.get(dir, "_change_data")).iterator().asScala
+      .nonEmpty)
+    // the final state is consistent with replaying the feed
+    assert(readSorted(dir) === Seq(2L -> "B", 4L -> "d"))
+  }
+
+  test("change feed refuses non-CDF tables and reconstructable gaps") {
+    val dir = tmpDir("delta-cdf-refuse")
+    DeltaCompat.write(Seq((1L, "a")).toDF("k", "v"), dir)
+    intercept[UnsupportedOperationException] {
+      DeltaCompat.readChanges(spark, dir, 0L)
+    }
+    // enable CDF late via a foreign metaData commit: the overwrite at
+    // v1 removed data with no cdc files, so its changes must refuse
+    val dir2 = tmpDir("delta-cdf-gap")
+    DeltaCompat.write(Seq((1L, "a")).toDF("k", "v"), dir2,
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaCompat.write(Seq((2L, "b")).toDF("k", "v"), dir2,
+      mode = "overwrite")
+    intercept[UnsupportedOperationException] {
+      DeltaCompat.readChanges(spark, dir2, 0L).collect()
+    }
+    // but a range past the overwrite still reads
+    DeltaCompat.write(Seq((3L, "c")).toDF("k", "v"), dir2)
+    assert(DeltaCompat.readChanges(spark, dir2, 2L)
+      .select("_change_type").as[String].collect().toSeq === Seq("insert"))
+  }
+
+  test("cdf on a column-mapped partitioned table round-trips") {
+    val dir = tmpDir("delta-cdf-cmap")
+    DeltaCompat.write(
+      Seq((1L, "p1", "a"), (2L, "p2", "b")).toDF("k", "p", "v"), dir,
+      partitionBy = Seq("p"), columnMapping = "name",
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaCompat.merge(spark, dir,
+      Seq((1L, "p1", "A")).toDF("k", "p", "v"), Seq("k"))
+    val ch = DeltaCompat.readChanges(spark, dir, 1L)
+      .as[(Long, String, String, String, Long)].collect().toSeq.sorted
+    assert(ch === Seq((1L, "p1", "A", "update_postimage", 1L),
+      (1L, "p1", "a", "update_preimage", 1L)))
+  }
+
+  test("history reads commitInfo operations in order") {
+    val dir = tmpDir("delta-history")
+    DeltaCompat.write(Seq((1L, "a")).toDF("k", "v"), dir)
+    DeltaCompat.write(Seq((2L, "b")).toDF("k", "v"), dir)
+    DeltaCompat.merge(spark, dir, Seq((1L, "A")).toDF("k", "v"), Seq("k"))
+    DeltaCompat.delete(spark, dir, col("k") === 2L)
+    DeltaCompat.purge(spark, dir)
+    val h = DeltaCompat.history(spark, dir)
+      .select("version", "operation").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(h === Seq(0L -> "WRITE", 1L -> "WRITE", 2L -> "MERGE",
+      3L -> "DELETE", 4L -> "PURGE"))
+    // timestamps are present and nondecreasing
+    val ts = DeltaCompat.history(spark, dir)
+      .select("timestamp").as[Long].collect().toSeq
+    assert(ts === ts.sorted)
+  }
+
+  test("checkpoint preserves the CDF flag and feed reads continue") {
+    val dir = tmpDir("delta-cdf-ckpt")
+    DeltaCompat.write(Seq((1L, "a")).toDF("k", "v"), dir,
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaCompat.checkpoint(spark, dir)
+    DeltaCompat.write(Seq((2L, "b")).toDF("k", "v"), dir)
+    // feed from v1 works off the checkpointed config
+    assert(DeltaCompat.readChanges(spark, dir, 1L).count() === 1L)
+    val log1 = Files.readAllLines(
+      Paths.get(dir, "_delta_log", f"${1L}%020d.json")).asScala.mkString
+    assert(log1.contains("commitInfo"))
+  }
+}

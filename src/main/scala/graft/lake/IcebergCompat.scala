@@ -445,10 +445,16 @@ object IcebergCompat {
     val needPos = deleteFiles.nonEmpty
     val needEq = eqDeletes.nonEmpty
     val needMeta = needPos || needEq
-    def scanGroup(files: Seq[String], reconstructCols: Seq[String],
-        tuple: Seq[Any]): DataFrame = {
-      val dataSchema = StructType(
-        schema.filterNot(f => reconstructCols.contains(f.name)))
+    // One scan of a file group sharing a projection: `fileNameOf` maps
+    // each current column to the column name CARRYING it in these files
+    // (identical pre-evolution; the historical name after a rename);
+    // columns absent from the map come from `fill` (identity partition
+    // tuples) or null-fill (columns added after the files were written).
+    def scanGroup(files: Seq[String], fileNameOf: Map[String, String],
+        fill: Seq[(String, Any)]): DataFrame = {
+      val dataSchema = StructType(schema.fields.toSeq
+        .filter(f => fileNameOf.contains(f.name))
+        .map(f => StructField(fileNameOf(f.name), f.dataType, f.nullable)))
       val raw = spark.read.schema(dataSchema)
         .parquet(files.sorted.distinct: _*)
       val base = // metadata columns only materialize when deletes exist
@@ -456,12 +462,60 @@ object IcebergCompat {
           .withColumn("__file", normPathCol(col("_metadata.file_path")))
           .withColumn("__pos", col("_metadata.row_index"))
         else raw
-      val outCols = schema.fieldNames.toSeq ++
-        (if (needMeta) Seq("__file", "__pos") else Seq.empty)
-      reconstructCols.zip(tuple).foldLeft(base) { case (df, (c, v)) =>
-        df.withColumn(c,
-          (if (v == null) lit(null) else lit(v)).cast(fieldType(c)))
-      }.select(outCols.map(col): _*)
+      val fillMap = fill.toMap
+      val outCols = schema.fields.toSeq.map { f =>
+        fileNameOf.get(f.name) match {
+          case Some(fn) if fn == f.name => col(s"`$fn`")
+          case Some(fn) => col(s"`$fn`").as(f.name)
+          case None =>
+            val v = fillMap.getOrElse(f.name, null)
+            (if (v == null) lit(null) else lit(v))
+              .cast(fieldType(f.name)).as(f.name)
+        }
+      } ++ (if (needMeta) Seq(col("__file"), col("__pos")) else Nil)
+      base.select(outCols: _*)
+    }
+    val idByName = idToName.map(_.swap)
+    val schemasCount = meta.path("schemas").size()
+    // Missing columns: identity partition fields reconstruct from the
+    // manifest tuple (resolved to CURRENT names by source id —
+    // rename-proof); on an EVOLVED table any other absence is a column
+    // added after the files were written and null-fills per spec; on a
+    // single-schema table it is corruption and refuses.
+    def reconstructGroups(fs: Seq[DataFileInfo], specId: Int,
+        fileNameOf: Map[String, String],
+        missing: Seq[String]): Seq[DataFrame] = {
+      val spec = specsById.getOrElse(specId,
+        throw new UnsupportedOperationException(
+          s"data files lack columns (${missing.mkString(", ")}) and " +
+            s"reference partition spec $specId absent from metadata — " +
+            "cannot reconstruct"))
+      val identityPairs = spec.filter(_.transform == "identity")
+        .flatMap(sf => idToName.get(sf.sourceId).map(out => sf.name -> out))
+      val reconPairs = identityPairs.filter(p => missing.contains(p._2))
+      val nonRecon = missing.filterNot(reconPairs.map(_._2).toSet)
+      if (nonRecon.nonEmpty && schemasCount <= 1)
+        throw new UnsupportedOperationException(
+          s"data files lack columns (${nonRecon.mkString(", ")}) that " +
+            "are not identity partition fields — cannot reconstruct, " +
+            "refusing")
+      // Identity values come back from Avro as plain JVM scalars;
+      // date/timestamp/decimal are epoch-int/micros/unscaled
+      // encodings whose lit().cast() would mis-read — refuse.
+      reconPairs.map(p => fieldType(p._2)).foreach {
+        case StringType | IntegerType | LongType | BooleanType |
+          FloatType | DoubleType => ()
+        case other => throw new UnsupportedOperationException(
+          s"Iceberg identity partition over $other out of this " +
+            "reader's scope (epoch/unscaled encodings)")
+      }
+      fs.groupBy(f => reconPairs.map { case (specName, _) =>
+          f.partVals.getOrElse(specName, null) })
+        .toSeq.sortBy(_._1.toString)
+        .map { case (tuple, group) =>
+          scanGroup(group.map(_.path), fileNameOf,
+            reconPairs.map(_._2).zip(tuple))
+        }
     }
     // Shape decision PER SPEC (one footer probe each): Iceberg data
     // files normally contain every column — identity values duplicated,
@@ -474,39 +528,62 @@ object IcebergCompat {
     // sequence numbers attach afterwards through a broadcast
     // (file → seq) lookup, so a long CDC history does NOT grow the plan
     // by one union branch per snapshot.
-    val parts = dataFiles.groupBy(_.specId).toSeq.sortBy(_._1)
-      .flatMap { case (specId, fs) =>
-        val present = parquetColumns(Paths.get(fs.head.path))
-        val missing = schema.fieldNames.filterNot(present.contains).toSeq
-        if (missing.isEmpty) Seq(scanGroup(fs.map(_.path), Nil, Nil))
-        else {
-          val spec = specsById.getOrElse(specId,
-            throw new UnsupportedOperationException(
-              s"data files lack columns (${missing.mkString(", ")}) and " +
-                s"reference partition spec $specId absent from metadata — " +
-                "cannot reconstruct"))
-          val identityNames = spec.filter(_.transform == "identity").map(_.name)
-          val nonRecon = missing.filterNot(identityNames.contains)
-          if (nonRecon.nonEmpty) throw new UnsupportedOperationException(
-            s"data files lack columns (${nonRecon.mkString(", ")}) that " +
-              "are not identity partition fields — cannot reconstruct, " +
-              "refusing")
-          // Identity values come back from Avro as plain JVM scalars;
-          // date/timestamp/decimal are epoch-int/micros/unscaled
-          // encodings whose lit().cast() would mis-read — refuse.
-          identityNames.map(fieldType).foreach {
-            case StringType | IntegerType | LongType | BooleanType |
-              FloatType | DoubleType => ()
-            case other => throw new UnsupportedOperationException(
-              s"Iceberg identity partition over $other out of this " +
-                "reader's scope (epoch/unscaled encodings)")
+    //
+    // An EVOLVED table (more than one schema in the metadata) resolves
+    // every file by FIELD ID instead — parquet footer annotations, with
+    // a name-mapping fallback over historical schema names for files
+    // written before annotation — grouping files by (spec, resolution)
+    // so each distinct projection scans once. That is one footer probe
+    // per file at plan time: the cost evolution brings; real engines
+    // pay the same probes, distributed.
+    val parts: Seq[DataFrame] =
+      if (schemasCount <= 1)
+        dataFiles.groupBy(_.specId).toSeq.sortBy(_._1)
+          .flatMap { case (specId, fs) =>
+            val present = parquetColumns(Paths.get(fs.head.path))
+            val fileNameOf = schema.fieldNames.filter(present.contains)
+              .map(n => n -> n).toMap
+            val missing = schema.fieldNames
+              .filterNot(present.contains).toSeq
+            if (missing.isEmpty)
+              Seq(scanGroup(fs.map(_.path), fileNameOf, Nil))
+            else reconstructGroups(fs, specId, fileNameOf, missing)
           }
-          fs.groupBy(f => identityNames.map(c => f.partVals.getOrElse(c, null)))
-            .toSeq.sortBy(_._1.toString)
-            .map { case (tuple, group) =>
-              scanGroup(group.map(_.path), identityNames, tuple)
-            }
+      else {
+        val histNames: Map[Int, Seq[String]] = {
+          val nodes = meta.path("schemas").elements().asScala.toSeq.reverse
+          nodes.flatMap(_.path("fields").elements().asScala
+            .map(f => f.get("id").asInt() -> f.get("name").asText()))
+            .groupBy(_._1)
+            .map { case (id, ns) => id -> ns.map(_._2).distinct }
         }
+        def resolve(path: String): Seq[Option[String]] = {
+          val info = parquetFields(Paths.get(path))
+          val byId = info.collect { case (n, Some(id)) => id -> n }.toMap
+          if (byId.nonEmpty)
+            schema.fields.toSeq.map(f => byId.get(idByName(f.name)))
+          else {
+            val fileNames = info.map(_._1).toSet
+            val claimed = scala.collection.mutable.Set[String]()
+            schema.fields.toSeq.map { f =>
+              val cand = histNames.getOrElse(idByName(f.name), Seq(f.name))
+                .find(n => fileNames.contains(n) && !claimed(n))
+              cand.foreach(claimed += _)
+              cand
+            }
+          }
+        }
+        dataFiles.groupBy(f => (f.specId, resolve(f.path))).toSeq
+          .sortBy(_._1.toString)
+          .flatMap { case ((specId, sig), fs) =>
+            val fileNameOf = schema.fields.toSeq.zip(sig)
+              .collect { case (f, Some(n)) => f.name -> n }.toMap
+            val missing = schema.fields.toSeq.zip(sig)
+              .collect { case (f, None) => f.name }
+            if (missing.isEmpty)
+              Seq(scanGroup(fs.map(_.path), fileNameOf, Nil))
+            else reconstructGroups(fs, specId, fileNameOf, missing)
+          }
       }
     val scanned = LakeFs.unionAll(parts)
     import spark.implicits._
@@ -1033,15 +1110,19 @@ object IcebergCompat {
     // under the prior schema, and this metadata keeps exactly one
     // schema entry — a drifted append/overwrite would misread them.
     prior.map(toStructType).foreach { prev =>
-      val now = StructType(df.schema.fields.map(f =>
-        StructField(f.name, f.dataType, f.nullable)))
-      val was = StructType(prev.fields.map(f =>
-        StructField(f.name, f.dataType, f.nullable)))
-      if (now != was)
+      // names and types must match positionally; nullability may only
+      // NARROW (a never-null input into an optional column is safe —
+      // the frame an evolveSchema add produces is exactly that)
+      val ok = df.schema.fields.length == prev.fields.length &&
+        df.schema.fields.zip(prev.fields).forall { case (now, was) =>
+          now.name == was.name && now.dataType == was.dataType &&
+            (was.nullable || !now.nullable)
+        }
+      if (!ok)
         throw new UnsupportedOperationException(
-          s"schema mismatch writing $tableDir: table has ${was.toDDL}, " +
-            s"DataFrame has ${now.toDDL} — schema evolution is out of " +
-            "this writer's scope")
+          s"schema mismatch writing $tableDir: table has " +
+            s"${prev.toDDL}, DataFrame has ${df.schema.toDDL} — use " +
+            "evolveSchema for column changes")
     }
     val prevVersion = prior.map(_ => new String(Files.readAllBytes(
       metaDir.resolve("version-hint.text")), "UTF-8").trim.toLong)
@@ -1109,6 +1190,32 @@ object IcebergCompat {
           .getOrElse(partFields.indices.map(1000 + _))
       else partFields.indices.map(basePartFieldId + 1 + _)
 
+    // Iceberg schema JSON (shared by the metadata file and the manifest
+    // Avro's key-value metadata). An existing table's CURRENT schema is
+    // reused verbatim — after evolveSchema its field ids are NOT
+    // positional, and every id-keyed surface below (parquet
+    // annotations, bounds maps, spec source-ids) must agree with it.
+    val schemaNode: JsonNode = prior.map(currentSchemaNode).getOrElse {
+      val node = mapper.createObjectNode()
+      node.put("type", "struct")
+      node.put("schema-id", 0)
+      val fieldsArr = node.putArray("fields")
+      df.schema.fields.zipWithIndex.foreach { case (f, i) =>
+        val fn = fieldsArr.addObject()
+        fn.put("id", i + 1)
+        fn.put("name", f.name)
+        fn.put("required", !f.nullable)
+        fn.put("type", toIcebergType(f.dataType))
+      }
+      node
+    }
+    val currentSchemaId = schemaNode.path("schema-id").asInt(0)
+    val idByName: Map[String, Int] = schemaNode.get("fields").elements()
+      .asScala.map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+    val lastColumnId = prior
+      .map(_.path("last-column-id").asInt(df.schema.length))
+      .getOrElse(df.schema.length)
+
     // Staging: identity fields hive-partition by the column itself
     // (stripped from the files — readers reconstruct from the manifest
     // tuple); derived fields partition by a __p__-prefixed computed
@@ -1140,8 +1247,21 @@ object IcebergCompat {
     val stageCols = partFields.map(pf =>
       if (pf.transform == "identity" && !keepIdentityInFiles) pf.source
       else s"__p__${pf.name}")
+    // Field-id annotations in the parquet footers (the spec requires
+    // them): Spark writes `parquet.field.id` from field metadata, and
+    // both our reader and real engines then project by id — the
+    // mechanism that makes renamed columns resolve in old files.
+    df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val annotated = stagedDf.select(stagedDf.columns.toIndexedSeq.map { c =>
+      idByName.get(c) match {
+        case Some(id) => stagedDf.col(c).as(c,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", id.toLong).build())
+        case None => stagedDf.col(c) // __p__ staging columns
+      }
+    }: _*)
     val stage = Files.createTempDirectory(Paths.get(tableDir), ".stage")
-    val stageW = stagedDf.write.mode("overwrite")
+    val stageW = annotated.write.mode("overwrite")
     (if (stageCols.nonEmpty) stageW.partitionBy(stageCols: _*) else stageW)
       .parquet(stage.toString)
     val parts = LakeFs.parquetFilesUnder(stage)
@@ -1166,19 +1286,6 @@ object IcebergCompat {
     }
     LakeFs.deleteRec(stage)
 
-    // Iceberg schema JSON (shared by the metadata file and the manifest
-    // Avro's key-value metadata).
-    val schemaNode = mapper.createObjectNode()
-    schemaNode.put("type", "struct")
-    schemaNode.put("schema-id", 0)
-    val fieldsArr = schemaNode.putArray("fields")
-    df.schema.fields.zipWithIndex.foreach { case (f, i) =>
-      val fn = fieldsArr.addObject()
-      fn.put("id", i + 1)
-      fn.put("name", f.name)
-      fn.put("required", !f.nullable)
-      fn.put("type", toIcebergType(f.dataType))
-    }
     val schemaJson = mapper.writeValueAsString(schemaNode)
 
     // partition spec JSON — shared by the manifest key-value metadata
@@ -1188,7 +1295,7 @@ object IcebergCompat {
       val f = specFieldsArr.addObject()
       f.put("name", pf.name)
       f.put("transform", pf.transform)
-      f.put("source-id", df.schema.fieldIndex(pf.source) + 1)
+      f.put("source-id", idByName(pf.source))
       f.put("field-id", id)
     }
     val specFieldsJson = mapper.writeValueAsString(specFieldsArr)
@@ -1198,10 +1305,9 @@ object IcebergCompat {
         .zip(partFieldIds))
     val dataFileSchema = entrySchema.getField("data_file").schema()
     val partStructSchema = dataFileSchema.getField("partition").schema()
-    // schema field ids (position+1, matching the schema JSON below) for
-    // the per-column bound maps
-    val fieldIdByName = df.schema.fieldNames.zipWithIndex
-      .map { case (n, i) => n -> (i + 1) }.toMap
+    // schema field ids (from the table's current schema — NOT positional
+    // after evolution) for the per-column bound maps
+    val fieldIdByName = idByName
     def boundsArray(fieldName: String,
         pick: ((Array[Byte], Array[Byte])) => Array[Byte],
         bounds: Map[String, (Array[Byte], Array[Byte])]): AnyRef = {
@@ -1283,11 +1389,208 @@ object IcebergCompat {
     }
     val lastPartitionId =
       math.max(basePartFieldId, partFieldIds.maxOption.getOrElse(999))
+    // every historical schema carries over — older manifests/files were
+    // written under them and evolution resolution walks their names
+    val schemasArr = mapper.createArrayNode()
+    prior.map(_.path("schemas")) match {
+      case Some(a: com.fasterxml.jackson.databind.node.ArrayNode) =>
+        a.elements().asScala.foreach(schemasArr.add)
+      case _ => schemasArr.add(schemaNode)
+    }
     commitMetadataJson(metaDir, tableDir, version, tableUuid,
-      sequenceNumber, df.schema.length, schemaNode, specsArr, specId,
-      lastPartitionId, prevSnapshotNodes, snapshotId, parentId,
-      listPath, mode)
+      sequenceNumber, lastColumnId, schemasArr, currentSchemaId,
+      specsArr, specId, lastPartitionId, prevSnapshotNodes, snapshotId,
+      parentId, listPath, mode)
     snapshotId
+  }
+
+  /** Metadata inspection tables — the `table$snapshots` / `$manifests`
+    * / `$files` / `$partitions` surfaces real engines expose for
+    * debugging and maintenance planning. Driver-side metadata walks
+    * (manifest-sized, no data IO) returned as DataFrames so they
+    * compose with queries. `files`/`partitions` describe the CURRENT
+    * snapshot; partition values render as strings (the inspection
+    * convention — the typed values live in the scan path). */
+  def inspect(spark: SparkSession, tableDir: String,
+      kind: String): DataFrame = {
+    import spark.implicits._
+    val meta = currentMetadata(tableDir)
+    def listRecords: Seq[GenericRecord] = {
+      val currentId = meta.path("current-snapshot-id").asLong(-1)
+      meta.path("snapshots").elements().asScala
+        .find(_.path("snapshot-id").asLong(-2) == currentId)
+        .map(_.get("manifest-list").asText())
+        .toSeq.flatMap(ml => avroRecords(localPath(ml)))
+    }
+    def num(r: GenericRecord, f: String): Long =
+      if (r.getSchema.getField(f) == null) 0L
+      else r.get(f) match {
+        case l: java.lang.Long => l.longValue
+        case i: java.lang.Integer => i.longValue
+        case _ => 0L
+      }
+    def dataEntries: Seq[(GenericRecord, Int)] = listRecords
+      .filter(r => num(r, "content") == 0L)
+      .flatMap { lr =>
+        val specId = num(lr, "partition_spec_id").toInt
+        avroRecords(localPath(lr.get("manifest_path").toString))
+          .filter(_.get("status").asInstanceOf[Int] != 2)
+          .map(e => (e.get("data_file").asInstanceOf[GenericRecord], specId))
+      }
+    def partStr(df: GenericRecord): Seq[(String, String)] =
+      if (df.getSchema.getField("partition") == null) Seq.empty
+      else df.get("partition") match {
+        case pr: GenericRecord => pr.getSchema.getFields.asScala.toSeq
+          .map(f => f.name ->
+            Option(avroValue(pr.get(f.name))).map(_.toString).orNull)
+        case _ => Seq.empty
+      }
+    kind match {
+      case "snapshots" =>
+        meta.path("snapshots").elements().asScala.toSeq.map { s =>
+          (s.path("snapshot-id").asLong(-1),
+            if (s.has("parent-snapshot-id"))
+              Some(s.path("parent-snapshot-id").asLong(-1)) else None,
+            s.path("sequence-number").asLong(0),
+            s.path("timestamp-ms").asLong(0),
+            s.path("summary").path("operation").asText(""),
+            s.path("manifest-list").asText(""))
+        }.toDF("snapshot_id", "parent_id", "sequence_number",
+          "committed_at_ms", "operation", "manifest_list")
+      case "manifests" =>
+        listRecords.map { r =>
+          (r.get("manifest_path").toString, num(r, "manifest_length"),
+            num(r, "partition_spec_id").toInt, num(r, "content").toInt,
+            num(r, "added_snapshot_id"),
+            num(r, "added_files_count"), num(r, "existing_files_count"),
+            num(r, "deleted_files_count"))
+        }.toDF("path", "length", "partition_spec_id", "content",
+          "added_snapshot_id", "added_files_count",
+          "existing_files_count", "deleted_files_count")
+      case "files" =>
+        dataEntries.map { case (df, specId) =>
+          (localPath(df.get("file_path").toString), specId,
+            num(df, "record_count"), num(df, "file_size_in_bytes"),
+            partStr(df).map { case (k, v) => s"$k=$v" }.mkString("/"))
+        }.toDF("file_path", "spec_id", "record_count",
+          "file_size_in_bytes", "partition")
+      case "partitions" =>
+        val specPairs = defaultSpec(meta).map(_._1)
+        val rows = dataEntries.map { case (df, _) =>
+          val pv = partStr(df).toMap
+          (specPairs.map(pv.getOrElse(_, null)),
+            num(df, "record_count"))
+        }.groupBy(_._1).toSeq.sortBy(_._1.toString).map {
+          case (tuple, group) =>
+            org.apache.spark.sql.Row.fromSeq(tuple ++
+              Seq(group.map(_._2).sum, group.size.toLong))
+        }
+        val schema = StructType(specPairs.map(n =>
+          StructField(n, StringType)) ++ Seq(
+          StructField("record_count", LongType, nullable = false),
+          StructField("file_count", LongType, nullable = false)))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), schema)
+      case other => throw new IllegalArgumentException(
+        s"unknown inspection table '$other' " +
+          "(snapshots|manifests|files|partitions)")
+    }
+  }
+
+  /** SCHEMA EVOLUTION — the spec's metadata-only column changes:
+    * rename (field id kept — data files resolve through it), add
+    * (fresh id past last-column-id, always optional: old files carry
+    * no values and null-fill), drop (field removed from the current
+    * schema; old files' column is simply no longer projected). Commits
+    * a new metadata version with the evolved schema appended to
+    * `schemas` and `current-schema-id` moved — no snapshot, no data
+    * IO. Readers resolve every file by field id (parquet annotations,
+    * with a name-mapping fallback over historical schema names for
+    * files written before annotation). Partition source columns can be
+    * renamed (specs reference ids) but not dropped. Returns the new
+    * metadata version. */
+  def evolveSchema(tableDir: String,
+      renames: Map[String, String] = Map.empty,
+      adds: Seq[StructField] = Seq.empty,
+      drops: Seq[String] = Seq.empty): Long = {
+    require(renames.nonEmpty || adds.nonEmpty || drops.nonEmpty,
+      "nothing to evolve")
+    val metaDir = Paths.get(tableDir, "metadata")
+    val meta = currentMetadata(tableDir)
+    val cur = currentSchemaNode(meta)
+    val curFields = cur.get("fields").elements().asScala.toSeq
+    val names = curFields.map(_.get("name").asText())
+    (renames.keys ++ drops).foreach(n => require(names.contains(n),
+      s"$tableDir has no column '$n'"))
+    require((renames.keySet & drops.toSet).isEmpty,
+      "rename and drop of the same column")
+    val newNames = names.filterNot(drops.contains)
+      .map(n => renames.getOrElse(n, n)) ++ adds.map(_.name)
+    require(newNames.distinct == newNames,
+      s"evolved schema has duplicate columns " +
+        s"(${newNames.diff(newNames.distinct).mkString(", ")})")
+    // a partition spec's source column may be renamed (ids are stable)
+    // but never dropped — its manifests' tuples would be unreadable
+    val specSourceIds = meta.path("partition-specs").elements().asScala
+      .flatMap(_.path("fields").elements().asScala)
+      .map(_.path("source-id").asInt(-1)).toSet
+    val dropIds = curFields.filter(f => drops.contains(f.get("name").asText()))
+      .map(_.get("id").asInt()).toSet
+    val clash = dropIds & specSourceIds
+    require(clash.isEmpty,
+      s"cannot drop partition source field id(s) ${clash.mkString(", ")}")
+
+    var lastCol = meta.path("last-column-id").asInt(
+      curFields.map(_.get("id").asInt()).maxOption.getOrElse(0))
+    val newSchemaId = meta.path("schemas").elements().asScala
+      .map(_.path("schema-id").asInt(0)).maxOption.getOrElse(0) + 1
+    val newSchema = mapper.createObjectNode()
+    newSchema.put("type", "struct")
+    newSchema.put("schema-id", newSchemaId)
+    val arr = newSchema.putArray("fields")
+    curFields.foreach { f =>
+      val n = f.get("name").asText()
+      if (!drops.contains(n)) {
+        val c = f.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+        c.put("name", renames.getOrElse(n, n))
+        arr.add(c)
+      }
+    }
+    adds.foreach { sf =>
+      lastCol += 1
+      val c = arr.addObject()
+      c.put("id", lastCol)
+      c.put("name", sf.name)
+      c.put("required", false) // spec: added columns are optional
+      c.put("type", toIcebergType(sf.dataType))
+    }
+    val root = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    val schemasArr = root.path("schemas") match {
+      case a: com.fasterxml.jackson.databind.node.ArrayNode => a
+      case _ =>
+        val a = mapper.createArrayNode()
+        Option(root.get("schema")).foreach(a.add)
+        root.remove("schema")
+        root.set[JsonNode]("schemas", a)
+        a
+    }
+    schemasArr.add(newSchema)
+    root.put("current-schema-id", newSchemaId)
+    root.put("last-column-id", lastCol)
+    root.put("last-updated-ms", System.currentTimeMillis())
+    val prevVersion = new String(Files.readAllBytes(
+      metaDir.resolve("version-hint.text")), "UTF-8").trim.toLong
+    val version = prevVersion + 1
+    val tmp = Files.createTempFile(metaDir, ".tmp-meta", ".json")
+    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(root).getBytes("UTF-8"))
+    Files.move(tmp, metaDir.resolve(s"v$version.metadata.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+    val tmpHint = Files.createTempFile(metaDir, ".tmp-hint", ".txt")
+    Files.write(tmpHint, version.toString.getBytes("UTF-8"))
+    Files.move(tmpHint, metaDir.resolve("version-hint.text"),
+      StandardCopyOption.ATOMIC_MOVE)
+    version
   }
 
   /** Versioned metadata JSON + version-hint for one new snapshot.
@@ -1549,8 +1852,19 @@ object IcebergCompat {
         s.set[JsonNode]("fields", specFieldsArr)
         arr
     }
+    val schemasArr = prior.path("schemas") match {
+      case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+        val copy = mapper.createArrayNode()
+        a.elements().asScala.foreach(copy.add)
+        copy
+      case _ =>
+        val copy = mapper.createArrayNode()
+        copy.add(schemaNode)
+        copy
+    }
     commitMetadataJson(metaDir, tableDir, version, tableUuid,
-      sequenceNumber, prior.path("last-column-id").asInt(0), schemaNode,
+      sequenceNumber, prior.path("last-column-id").asInt(0), schemasArr,
+      schemaNode.path("schema-id").asInt(0),
       specsArr, prior.path("default-spec-id").asInt(0),
       prior.path("last-partition-id").asInt(999),
       prevSnapshotNodes, snapshotId, parentId, listPath, "delete")

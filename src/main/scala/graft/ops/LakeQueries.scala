@@ -746,7 +746,83 @@ object LakeQueries {
       |  (4, 'PURGE')) AS t(version, operation)
       |ORDER BY version""".stripMargin
 
+  /** Iceberg SCHEMA evolution end-to-end: rename a column + add one
+    * (metadata-only), append under the evolved schema, read the mixed
+    * file set — old files resolve the renamed column by FIELD ID and
+    * null-fill the added one; new files carry both. The oracle builds
+    * the same two-generation union in SQL. */
+  val icebergSchemaEvolve: Q = (s, dir) => {
+    val tmp = graft.Scratch.dir("graft-iceberg-schevo-q")
+    val sup = Tables.load(s, dir, "supplier")
+      .select("s_suppkey", "s_name", "s_acctbal")
+    graft.lake.IcebergCompat.write(
+      sup.filter(col("s_suppkey") % 2 === 0), tmp)
+    graft.lake.IcebergCompat.evolveSchema(tmp,
+      renames = Map("s_name" -> "supplier_name"),
+      adds = Seq(org.apache.spark.sql.types.StructField("s_rating",
+        org.apache.spark.sql.types.LongType)))
+    graft.lake.IcebergCompat.write(
+      sup.filter(col("s_suppkey") % 2 =!= 0)
+        .withColumnRenamed("s_name", "supplier_name")
+        .withColumn("s_rating", col("s_suppkey") % 5), tmp)
+    graft.lake.IcebergCompat.read(s, tmp).orderBy("s_suppkey")
+  }
+
+  val icebergSchemaEvolveSql: String =
+    """SELECT s_suppkey, s_name AS supplier_name, s_acctbal,
+      |  CAST(NULL AS BIGINT) AS s_rating
+      |FROM supplier WHERE s_suppkey % 2 = 0
+      |UNION ALL
+      |SELECT s_suppkey, s_name AS supplier_name, s_acctbal,
+      |  s_suppkey % 5 AS s_rating
+      |FROM supplier WHERE s_suppkey % 2 <> 0
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Inspection tables ($partitions): per-partition record counts read
+    * from the MANIFESTS ONLY (no data IO) must equal the source
+    * group-by — the maintenance-planning surface real engines expose. */
+  val icebergPartitionsMeta: Q = (s, dir) => {
+    val tmp = graft.Scratch.dir("graft-iceberg-meta-q")
+    val cust = Tables.load(s, dir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    graft.lake.IcebergCompat.write(cust, tmp,
+      partitionBy = Seq("c_mktsegment"))
+    graft.lake.IcebergCompat.inspect(s, tmp, "partitions")
+      .select("c_mktsegment", "record_count").orderBy("c_mktsegment")
+  }
+
+  val icebergPartitionsMetaSql: String =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS record_count
+      |FROM customer GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Inspection tables ($snapshots): the operation chain of a
+    * write → append → equality-delete → compact lifecycle, pinned by a
+    * golden VALUES oracle. */
+  val icebergSnapshotsMeta: Q = (s, dir) => {
+    val tmp = graft.Scratch.dir("graft-iceberg-snapmeta-q")
+    val n = Tables.load(s, dir, "nation")
+    graft.lake.IcebergCompat.write(n, tmp)
+    graft.lake.IcebergCompat.write(
+      n.filter(col("n_nationkey") >= 20), tmp)
+    graft.lake.IcebergCompat.writeEqualityDeletes(s, tmp,
+      n.filter(col("n_nationkey") % 3 === 0).select("n_nationkey"),
+      Seq("n_nationkey"))
+    graft.lake.IcebergCompat.compact(s, tmp)
+    graft.lake.IcebergCompat.inspect(s, tmp, "snapshots")
+      .select("sequence_number", "operation").orderBy("sequence_number")
+  }
+
+  val icebergSnapshotsMetaSql: String =
+    """SELECT CAST(sequence_number AS BIGINT) AS sequence_number, operation
+      |FROM (VALUES (1, 'append'), (2, 'append'), (3, 'delete'),
+      |  (4, 'overwrite')) AS t(sequence_number, operation)
+      |ORDER BY sequence_number""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_iceberg_partitions_meta" -> icebergPartitionsMeta,
+    "q_iceberg_snapshots_meta" -> icebergSnapshotsMeta,
+    "q_iceberg_schema_evolve" -> icebergSchemaEvolve,
     "q_delta_merge" -> deltaMerge,
     "q_delta_cdf" -> deltaCdf,
     "q_delta_history" -> deltaHistory,
@@ -780,6 +856,9 @@ object LakeQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_iceberg_partitions_meta" -> icebergPartitionsMetaSql,
+    "q_iceberg_snapshots_meta" -> icebergSnapshotsMetaSql,
+    "q_iceberg_schema_evolve" -> icebergSchemaEvolveSql,
     "q_delta_merge" -> deltaMergeSql,
     "q_delta_cdf" -> deltaCdfSql,
     "q_delta_history" -> deltaHistorySql,

@@ -131,8 +131,9 @@ class DeltaCompatSpec extends SparkSuite {
     }
     // add.stats carries numRecords + per-column bounds (what real
     // readers count rows and prune files from)
+    // commits lead with commitInfo — pick the add action's line
     val line = Files.readAllLines(log.resolve(f"${1L}%020d.json"))
-      .asScala.mkString("\n")
+      .asScala.find(_.contains("\"add\"")).get
     val jm = new com.fasterxml.jackson.databind.ObjectMapper()
     val stats = jm.readTree(jm.readTree(line).get("add").get("stats").asText())
     assert(stats.get("numRecords").asLong() === 1L)

@@ -743,6 +743,32 @@ class IcebergCompatSpec extends SparkSuite {
       Seq((3L, "b", 30)))
   }
 
+  test("inspection tables describe the current snapshot's layout") {
+    import spark.implicits._
+    val dir = tmpDir("iceberg-inspect")
+    IcebergCompat.write(
+      Seq((1L, "p1", "a"), (2L, "p1", "b"), (3L, "p2", "c"))
+        .toDF("k", "p", "v").repartition(1), dir,
+      partitionBy = Seq("p"))
+    IcebergCompat.write(
+      Seq((4L, "p2", "d")).toDF("k", "p", "v"), dir)
+    val files = IcebergCompat.inspect(spark, dir, "files")
+    assert(files.count() === 3) // two p-partitions + one appended file
+    assert(files.select("record_count").as[Long].collect().sum === 4L)
+    assert(files.filter($"partition" === "p=p1")
+      .select("record_count").as[Long].collect().toSeq === Seq(2L))
+    val manifests = IcebergCompat.inspect(spark, dir, "manifests")
+    assert(manifests.count() === 2) // one data manifest per commit
+    assert(manifests.select("content").as[Int].collect().toSet === Set(0))
+    val snaps = IcebergCompat.inspect(spark, dir, "snapshots")
+      .orderBy("sequence_number")
+      .select("operation").as[String].collect().toSeq
+    assert(snaps === Seq("append", "append"))
+    intercept[IllegalArgumentException] {
+      IcebergCompat.inspect(spark, dir, "nope")
+    }
+  }
+
   test("mirror exports its snapshot as an Iceberg table") {
     val lake = new Mooncake(tmpDir("iceberg-export-wh"))
     lake.createTable(spark, "m",

@@ -609,6 +609,88 @@ object PipelineQueries {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  /** Cluster-balanced selection (SemDeDup-class curation): assign every
+    * embedding to its nearest deterministic centroid, keep only the K
+    * most-central vectors per cluster — the "one representative per
+    * semantic neighborhood" downsampling a corpus pass uses to cut
+    * near-redundant mass before training. One broadcast (k×d
+    * centroids), one shuffle on cluster id; the per-cluster cut is a
+    * window, never a global sort — the same shape at 100 TB. */
+  val clusterSample: Q = (s, dir) => {
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val assignW = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid"))
+    val assigned = e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("cid"),
+        SVE.cosine_sim(col("embedding"), col("cv")).as("ccos"))
+      .withColumn("arn", row_number().over(assignW))
+      .filter(col("arn") === 1)
+    val keepW = Window.partitionBy("cluster")
+      .orderBy(col("ccos").desc, col("vec_id"))
+    assigned.select(col("cid").as("cluster"), col("vec_id"), col("ccos"))
+      .withColumn("rank", row_number().over(keepW).cast("bigint"))
+      .filter(col("rank") <= 3)
+      .orderBy("cluster", "rank")
+  }
+
+  val clusterSampleSql: String = {
+    val dotVC = sqlDot("e.embedding", "c.cv")
+    val nV = sqlDot("e.embedding", "e.embedding")
+    val nC = sqlDot("c.cv", "c.cv")
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |           WHERE vec_id % 50 = 0),
+       |assigned AS (SELECT vec_id, cluster, ccos FROM (
+       |    SELECT e.vec_id, c.cid AS cluster,
+       |      $dotVC / (sqrt($nV) * sqrt($nC)) AS ccos,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $dotVC / (sqrt($nV) * sqrt($nC)) DESC, c.cid) AS arn
+       |    FROM embeddings e CROSS JOIN c) WHERE arn = 1)
+       |SELECT cluster, vec_id, ccos, rank FROM (
+       |  SELECT cluster, vec_id, ccos,
+       |    row_number() OVER (PARTITION BY cluster
+       |      ORDER BY ccos DESC, vec_id) AS rank
+       |  FROM assigned)
+       |WHERE rank <= 3 ORDER BY cluster, rank""".stripMargin
+  }
+
+  /** Distinctive-term extraction (tf·idf-class) in INTEGER arithmetic —
+    * score = tf * 1e6 DIV df — so the oracle is bit-exact with no
+    * float-log parity risk. Tokens shuffle once (map-side combined
+    * counts); document frequency is a vocabulary-sized aggregate
+    * joined back; the per-doc cut is a window. */
+  val textTfidf: Q = (s, dir) => {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 2)
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token"))
+    tf.join(dfreq, "token")
+      .withColumn("score", expr("tf * 1000000 DIV df"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "token", "score")
+      .orderBy("doc_id", "rank")
+  }
+
+  val textTfidfSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |    unnest(string_split(text, ' ')) AS token FROM documents),
+      |t AS (SELECT doc_id, token, count(*) AS tf FROM toks
+      |  WHERE length(token) > 2 GROUP BY doc_id, token),
+      |d AS (SELECT token, count(*) AS df FROM t GROUP BY token),
+      |sc AS (SELECT t.doc_id, t.token,
+      |    (t.tf * 1000000) // d.df AS score
+      |  FROM t JOIN d USING (token)),
+      |r AS (SELECT doc_id, token, score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, token) AS rank FROM sc)
+      |SELECT doc_id, rank, token, score FROM r WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   /** Corpus vocabulary top-k: explode whitespace tokens, count, rank.
     * The canonical giant-shuffle text op — at 100 TB the explode is
     * map-local, the count partial-aggregates map-side (combine before
@@ -646,9 +728,13 @@ object PipelineQueries {
     "q_dedup_embed_lsh" -> dedupEmbedLsh,
     "q_embed_topk" -> embedTopK,
     "q_embed_ivf" -> embedIvf,
+    "q_cluster_sample" -> clusterSample,
+    "q_text_tfidf" -> textTfidf,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_cluster_sample" -> clusterSampleSql,
+    "q_text_tfidf" -> textTfidfSql,
     "q_text_vocab" -> textVocabSql,
     "q_text_stats" -> textStatsSql,
     "q_text_langid" -> textLangIdSql,

@@ -563,6 +563,31 @@ object DeltaCompat {
     out
   }
 
+  /** Stage `cdf` (table columns + `_change_type`) under _change_data/
+    * and append one `cdc` action per staged file — the ONE place the
+    * cdc action shape lives, shared by every writer that records
+    * change data so the sites can never drift. Columns re-map to
+    * physical names on mapped tables; files partition like the data
+    * (`stagePartCols` are physical names). */
+  private def emitCdc(cdf: DataFrame, root: Path,
+      physByLogical: Map[String, String], stagePartCols: Seq[String],
+      actions: scala.collection.mutable.Builder[ObjectNode, Seq[ObjectNode]])
+      : Unit = {
+    val staged = cdf.select(cdf.columns.map(c =>
+      cdf.col(c).as(physByLogical.getOrElse(c, c))).toIndexedSeq: _*)
+    stageFiles(staged, root, stagePartCols, Seq("_change_data"))
+      .foreach { case (rel, size, pv) =>
+        val n = mapper.createObjectNode()
+        val c = n.putObject("cdc").put("path", encodePath(rel))
+          .put("size", size).put("dataChange", false)
+        val pvNode = c.putObject("partitionValues")
+        pv.foreach { case (k, v) =>
+          v.fold[Unit](pvNode.putNull(k))(pvNode.put(k, _))
+        }
+        actions += n
+      }
+  }
+
   /** Append (or overwrite) `df` as one Delta commit. `partitionBy`
     * hive-partitions the table (identity partitioning — the only kind
     * Delta has); an existing table's partitioning is inherited and a
@@ -682,26 +707,11 @@ object DeltaCompat {
     // CHANGE DATA FEED: the commit's row-level changes land as parquet
     // under _change_data/ with `cdc` actions (dataChange=false — CDF
     // readers use them INSTEAD of the add/remove reconstruction). The
-    // frame carries the table columns plus `_change_type`; files are
-    // partitioned like the data so their actions carry the same
-    // partitionValues shape.
-    changeData.filter(_ => cdfActive).foreach { cdf =>
-      val stagedCdc =
-        if (!cmapActive) cdf
-        else cdf.select(cdf.columns.map(c =>
-          cdf.col(c).as(physByLogical.getOrElse(c, c))).toIndexedSeq: _*)
-      stageFiles(stagedCdc, root, stagePartCols, Seq("_change_data"))
-        .foreach { case (rel, size, pv) =>
-          val n = mapper.createObjectNode()
-          val c = n.putObject("cdc").put("path", encodePath(rel))
-            .put("size", size).put("dataChange", false)
-          val pvNode = c.putObject("partitionValues")
-          pv.foreach { case (k, v) =>
-            v.fold[Unit](pvNode.putNull(k))(pvNode.put(k, _))
-          }
-          actions += n
-        }
-    }
+    // frame carries the table columns plus `_change_type`.
+    changeData.filter(_ => cdfActive).foreach(cdf =>
+      emitCdc(cdf, root,
+        if (cmapActive) physByLogical else Map.empty,
+        stagePartCols, actions))
     val removePaths =
       if (mode == "overwrite" && version > 0L)
         priorState.map(_.files.keys.toSeq).getOrElse(Seq.empty)
@@ -1013,23 +1023,10 @@ object DeltaCompat {
       val cdf = df.filter(condition)
         .select(schema.fieldNames.map(col).toIndexedSeq: _*)
         .withColumn("_change_type", lit("delete"))
-      val stagedCdc =
-        if (state.columnMappingMode == "none") cdf
-        else cdf.select(cdf.columns.map(c =>
-          cdf.col(c).as(physByLogical.getOrElse(c, c))).toIndexedSeq: _*)
-      val stagePartCols = state.partitionColumns
-        .map(c => physByLogical.getOrElse(c, c))
-      stageFiles(stagedCdc, root, stagePartCols, Seq("_change_data"))
-        .foreach { case (rel, size, pv) =>
-          val n = mapper.createObjectNode()
-          val c = n.putObject("cdc").put("path", encodePath(rel))
-            .put("size", size).put("dataChange", false)
-          val pvNode = c.putObject("partitionValues")
-          pv.foreach { case (k, v) =>
-            v.fold[Unit](pvNode.putNull(k))(pvNode.put(k, _))
-          }
-          actions += n
-        }
+      emitCdc(cdf, root,
+        if (state.columnMappingMode == "none") Map.empty else physByLogical,
+        state.partitionColumns.map(c => physByLogical.getOrElse(c, c)),
+        actions)
     }
     affected.zip(descriptors).foreach { case ((rel, add, merged), d) =>
       val rmNode = mapper.createObjectNode()
@@ -1090,7 +1087,7 @@ object DeltaCompat {
   def merge(spark: SparkSession, table: String, source: DataFrame,
       keys: Seq[String],
       deleteWhen: Option[org.apache.spark.sql.Column] = None): Long = {
-    import org.apache.spark.sql.functions.{col, lit, when}
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, when}
     val (df, state) = scan(spark, table, None, keepMeta = true)
     val head = (versions(table) ++ lastCheckpoint(table).map(_._1)).max
     val schema = DataType.fromJson(state.schemaJson.getOrElse(
@@ -1102,8 +1099,9 @@ object DeltaCompat {
     val missingCols = tableCols.filterNot(source.columns.contains)
     require(missingCols.isEmpty,
       s"merge source is missing table columns (${missingCols.mkString(", ")})")
-    if (source.groupBy(keys.map(source.col): _*).count()
-        .filter(col("count") > 1).take(1).nonEmpty)
+    if (source.groupBy(keys.map(source.col): _*)
+        .agg(count(lit(1)).as("__cnt"))
+        .filter(col("__cnt") > 1).take(1).nonEmpty)
       throw new IllegalArgumentException(
         s"merge source has duplicate (${keys.mkString(", ")}) tuples — " +
           "a target row would match more than one source row")
@@ -1111,17 +1109,13 @@ object DeltaCompat {
       .map(f => f.name -> cleanType(f.dataType)).toMap
     // source columns renamed __s_* so the join frame never collides
     // with target names; the delete flag evaluates over the RAW source
-    // frame (it may reference extra, non-table columns)
+    // frame (it may reference extra, non-table columns) and a NULL
+    // verdict means false — never a silent delete
     val srcPrep = source.select(tableCols.map(c =>
       source.col(c).cast(typeByName(c)).as(s"__s_$c")) ++ Seq(
-      deleteWhen.getOrElse(lit(false)).cast("boolean").as("__s_del"),
+      coalesce(deleteWhen.getOrElse(lit(false)).cast("boolean"), lit(false))
+        .as("__s_del"),
       lit(true).as("__s_m")): _*)
-    def inserts(target: DataFrame): DataFrame = srcPrep
-      .join(target,
-        keys.map(c => target(c) === srcPrep(s"__s_$c")).reduce(_ && _),
-        "left_anti")
-      .filter(!col("__s_del"))
-      .select(tableCols.map(c => col(s"__s_$c").as(c)): _*)
     def withType(d: DataFrame, t: String): DataFrame =
       d.withColumn("_change_type", lit(t))
     if (state.files.isEmpty) {
@@ -1131,45 +1125,59 @@ object DeltaCompat {
       return writeImpl(ins, table, "append", Seq.empty, "none", Seq.empty,
         Map.empty, Some(withType(ins, "insert")), Some("MERGE"))
     }
+    // ONE full-outer key join feeds every leg (touched files, survivors,
+    // inserts, change set) — persisted, so the scan+join runs once, not
+    // once per leg. Source-only rows have a null __fp; __m marks the
+    // target side the same way __s_m marks the source side, because on
+    // an all-null-column target row __fp alone could not distinguish.
     val joinCond = keys.map(c => df(c) === srcPrep(s"__s_$c")).reduce(_ && _)
-    val joined = df.join(srcPrep, joinCond, "left_outer")
-    // the touched FILE set — manifest-sized driver state, like the log
-    val touchedUris = joined.filter(col("__s_m").isNotNull)
-      .select("__fp").distinct().collect().map(_.getString(0)).sorted
-    val relByAbs = state.files.keys
-      .map(rel => absPath(table, rel) -> rel).toMap
-    val touchedRel = touchedUris.map(u => relByAbs.getOrElse(uriToPath(u),
-      throw new IllegalStateException(s"$u not in the live file set"))).sorted
-    val insertRows = inserts(df)
-    if (touchedRel.isEmpty) {
-      if (insertRows.isEmpty) return head
-      return writeImpl(insertRows, table, "append", Seq.empty, "none",
-        Seq.empty, Map.empty,
-        Some(withType(insertRows, "insert")), Some("MERGE"))
-    }
-    val inTouched = joined.filter(col("__fp").isInCollection(touchedUris))
-    val survivors = inTouched
-      .filter(col("__s_m").isNull || !col("__s_del"))
-      .select(tableCols.map(c =>
-        when(col("__s_m").isNotNull, col(s"__s_$c"))
-          .otherwise(df(c)).as(c)): _*)
-    val newData = survivors.union(insertRows)
-    val changes =
-      if (!state.cdfEnabled) None
-      else {
-        val matched = inTouched.filter(col("__s_m").isNotNull)
-        val updated = matched.filter(!col("__s_del"))
-        Some(LakeFs.unionAll(Seq(
-          withType(updated.select(tableCols.map(c => df(c).as(c)): _*),
-            "update_preimage"),
-          withType(updated.select(tableCols.map(c =>
-            col(s"__s_$c").as(c)): _*), "update_postimage"),
-          withType(matched.filter(col("__s_del"))
-            .select(tableCols.map(c => df(c).as(c)): _*), "delete"),
-          withType(insertRows, "insert"))))
+    val joined = df.withColumn("__m", lit(true))
+      .join(srcPrep, joinCond, "full_outer")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the touched FILE set — manifest-sized driver state, like the log
+      val touchedUris = joined
+        .filter(col("__m").isNotNull && col("__s_m").isNotNull)
+        .select("__fp").distinct().collect().map(_.getString(0)).sorted
+      val relByAbs = state.files.keys
+        .map(rel => absPath(table, rel) -> rel).toMap
+      val touchedRel = touchedUris.map(u => relByAbs.getOrElse(uriToPath(u),
+        throw new IllegalStateException(s"$u not in the live file set")))
+        .sorted
+      val insertRows = joined
+        .filter(col("__m").isNull && !col("__s_del"))
+        .select(tableCols.map(c => col(s"__s_$c").as(c)): _*)
+      if (touchedRel.isEmpty) {
+        if (insertRows.isEmpty) return head
+        return writeImpl(insertRows, table, "append", Seq.empty, "none",
+          Seq.empty, Map.empty,
+          Some(withType(insertRows, "insert")), Some("MERGE"))
       }
-    writeImpl(newData, table, "append", Seq.empty, "none",
-      touchedRel.toSeq, Map.empty, changes, Some("MERGE"))
+      val inTouched = joined.filter(col("__m").isNotNull &&
+        col("__fp").isInCollection(touchedUris))
+      val survivors = inTouched
+        .filter(col("__s_m").isNull || !col("__s_del"))
+        .select(tableCols.map(c =>
+          when(col("__s_m").isNotNull, col(s"__s_$c"))
+            .otherwise(df(c)).as(c)): _*)
+      val newData = survivors.union(insertRows)
+      val changes =
+        if (!state.cdfEnabled) None
+        else {
+          val matched = inTouched.filter(col("__s_m").isNotNull)
+          val updated = matched.filter(!col("__s_del"))
+          Some(LakeFs.unionAll(Seq(
+            withType(updated.select(tableCols.map(c => df(c).as(c)): _*),
+              "update_preimage"),
+            withType(updated.select(tableCols.map(c =>
+              col(s"__s_$c").as(c)): _*), "update_postimage"),
+            withType(matched.filter(col("__s_del"))
+              .select(tableCols.map(c => df(c).as(c)): _*), "delete"),
+            withType(insertRows, "insert"))))
+        }
+      writeImpl(newData, table, "append", Seq.empty, "none",
+        touchedRel.toSeq, Map.empty, changes, Some("MERGE"))
+    } finally joined.unpersist()
   }
 
   /** CHANGE DATA FEED read: the row-level changes committed in

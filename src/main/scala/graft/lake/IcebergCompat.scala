@@ -1174,8 +1174,21 @@ object IcebergCompat {
 
     case class PartField(source: String, transform: String, name: String,
         resultType: DataType)
-    val partFields = specCols.map { case (c, t) =>
-      PartField(c, t, IcebergTransforms.fieldName(t, c),
+    // An INHERITED spec keeps its RECORDED field names: after a source
+    // column rename, the spec node (and every existing manifest's
+    // partition struct) still carries the original field name, and a
+    // freshly derived name would write manifests whose tuples the
+    // reader (keyed by spec name) can never find.
+    val inheritedNames: Option[Seq[String]] =
+      if (!specChanged && prior.nonEmpty)
+        priorSpecsNodes.find(_.path("spec-id").asInt(0) == specId)
+          .map(_.path("fields").elements().asScala
+            .map(_.path("name").asText()).toSeq)
+      else None
+    val partFields = specCols.zipWithIndex.map { case ((c, t), i) =>
+      PartField(c, t,
+        inheritedNames.flatMap(_.lift(i))
+          .getOrElse(IcebergTransforms.fieldName(t, c)),
         IcebergTransforms.resultType(t, df.schema(c).dataType))
     }
     val basePartFieldId = prior
@@ -1250,8 +1263,9 @@ object IcebergCompat {
     // Field-id annotations in the parquet footers (the spec requires
     // them): Spark writes `parquet.field.id` from field metadata, and
     // both our reader and real engines then project by id — the
-    // mechanism that makes renamed columns resolve in old files.
-    df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    // mechanism that makes renamed columns resolve in old files. The
+    // session flag is restored after staging (a library must not leak
+    // config into the caller's session).
     val annotated = stagedDf.select(stagedDf.columns.toIndexedSeq.map { c =>
       idByName.get(c) match {
         case Some(id) => stagedDf.col(c).as(c,
@@ -1261,9 +1275,17 @@ object IcebergCompat {
       }
     }: _*)
     val stage = Files.createTempDirectory(Paths.get(tableDir), ".stage")
-    val stageW = annotated.write.mode("overwrite")
-    (if (stageCols.nonEmpty) stageW.partitionBy(stageCols: _*) else stageW)
-      .parquet(stage.toString)
+    val fieldIdKey = "spark.sql.parquet.fieldId.write.enabled"
+    val prevFieldIdConf = df.sparkSession.conf.getOption(fieldIdKey)
+    df.sparkSession.conf.set(fieldIdKey, "true")
+    try {
+      val stageW = annotated.write.mode("overwrite")
+      (if (stageCols.nonEmpty) stageW.partitionBy(stageCols: _*) else stageW)
+        .parquet(stage.toString)
+    } finally prevFieldIdConf match {
+      case Some(v) => df.sparkSession.conf.set(fieldIdKey, v)
+      case None => df.sparkSession.conf.unset(fieldIdKey)
+    }
     val parts = LakeFs.parquetFilesUnder(stage)
     // (absolute path, partition tuple) per moved file
     val moved: Seq[(String, Seq[Any])] = parts.zipWithIndex.map {
@@ -1475,17 +1497,25 @@ object IcebergCompat {
         }.toDF("file_path", "spec_id", "record_count",
           "file_size_in_bytes", "partition")
       case "partitions" =>
-        val specPairs = defaultSpec(meta).map(_._1)
+        // keyed by the default spec's FIELD names — what the manifest
+        // partition structs carry (bucket/truncate fields included);
+        // source-column names would miss every derived transform
+        val specNames = meta.path("partition-specs").elements().asScala
+          .find(_.path("spec-id").asInt(0) ==
+            meta.path("default-spec-id").asInt(0))
+          .map(_.path("fields").elements().asScala
+            .map(_.path("name").asText()).toSeq)
+          .getOrElse(Seq.empty)
         val rows = dataEntries.map { case (df, _) =>
           val pv = partStr(df).toMap
-          (specPairs.map(pv.getOrElse(_, null)),
+          (specNames.map(pv.getOrElse(_, null)),
             num(df, "record_count"))
         }.groupBy(_._1).toSeq.sortBy(_._1.toString).map {
           case (tuple, group) =>
             org.apache.spark.sql.Row.fromSeq(tuple ++
               Seq(group.map(_._2).sum, group.size.toLong))
         }
-        val schema = StructType(specPairs.map(n =>
+        val schema = StructType(specNames.map(n =>
           StructField(n, StringType)) ++ Seq(
           StructField("record_count", LongType, nullable = false),
           StructField("file_count", LongType, nullable = false)))
@@ -1632,7 +1662,7 @@ object IcebergCompat {
     sn.put("sequence-number", sequenceNumber)
     sn.put("timestamp-ms", now)
     sn.put("manifest-list", listPath.toString)
-    sn.put("schema-id", 0)
+    sn.put("schema-id", currentSchemaId)
     sn.putObject("summary").put("operation", operation)
     // history surfaces real catalogs expect: snapshot-log (current
     // branch's lineage — we never expire, so it is every snapshot) and

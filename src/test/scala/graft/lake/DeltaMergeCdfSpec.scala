@@ -55,6 +55,18 @@ class DeltaMergeCdfSpec extends SparkSuite {
       Seq(1L -> "a", 2L -> "b", 10L -> "X", 11L -> "y"))
   }
 
+  test("a NULL deleteWhen verdict means false, never a silent delete") {
+    val dir = tmpDir("delta-merge-nullif")
+    DeltaCompat.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
+    // op is NULL for key 1 (matched) and key 9 (unmatched): neither may
+    // be deleted/dropped — NULL is not true
+    val src = Seq((1L, "A", null), (2L, "-", "D"), (9L, "i", null))
+      .toDF("k", "v", "op")
+    DeltaCompat.merge(spark, dir, src, Seq("k"),
+      deleteWhen = Some(col("op") === "D"))
+    assert(readSorted(dir) === Seq(1L -> "A", 9L -> "i"))
+  }
+
   test("merge refuses duplicate source keys") {
     val dir = tmpDir("delta-merge-dup")
     DeltaCompat.write(Seq((1L, "a")).toDF("k", "v"), dir)

@@ -767,6 +767,17 @@ class IcebergCompatSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       IcebergCompat.inspect(spark, dir, "nope")
     }
+    // derived transforms: $partitions keys by the spec FIELD name
+    // (k_bucket), never the source column
+    val bdir = tmpDir("iceberg-inspect-bucket")
+    IcebergCompat.write(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), bdir,
+      transforms = Seq(("k", "bucket[4]")))
+    val parts = IcebergCompat.inspect(spark, bdir, "partitions")
+    assert(parts.columns.toSeq ===
+      Seq("k_bucket", "record_count", "file_count"))
+    assert(parts.select("record_count").as[Long].collect().sum === 3L)
+    assert(parts.filter($"k_bucket".isNull).count() === 0)
   }
 
   test("mirror exports its snapshot as an Iceberg table") {

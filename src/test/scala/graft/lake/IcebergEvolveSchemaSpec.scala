@@ -90,6 +90,27 @@ class IcebergEvolveSchemaSpec extends SparkSuite {
       Seq("k", "part", "v"))
   }
 
+  test("appending after a partition-source rename keeps tuples readable") {
+    val dir = tmpDir("iceberg-rename-append")
+    IcebergCompat.write(
+      Seq((1L, "p1", "a"), (2L, "p2", "b")).toDF("k", "p", "v"), dir,
+      partitionBy = Seq("p"))
+    IcebergCompat.evolveSchema(dir, renames = Map("p" -> "part"))
+    // the inherited spec still records field name "p"; the append's
+    // manifests must use it so readers keyed by spec name find the tuple
+    IcebergCompat.write(Seq((3L, "p3", "c")).toDF("k", "part", "v"), dir)
+    val rows = IcebergCompat.read(spark, dir)
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(rows === Seq((1L, "p1", "a"), (2L, "p2", "b"), (3L, "p3", "c")))
+    // the appended snapshot records the evolved schema id, not 0
+    val meta = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+      .build().readTree(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, "metadata", "v3.metadata.json")))
+    val last = meta.get("snapshots").elements().asScala.toSeq.last
+    assert(last.path("schema-id").asInt(-1) ===
+      meta.path("current-schema-id").asInt(-2))
+  }
+
   test("historical-name fallback reads files without field ids") {
     val dir = tmpDir("iceberg-legacy")
     IcebergCompat.write(Seq((1L, "a")).toDF("k", "v"), dir)

@@ -75,7 +75,8 @@ object DeltaCompat {
       files: Map[String, AddFile], // decoded path -> add info
       columnMappingMode: String = "none",
       dvEnabled: Boolean = false,
-      config: Map[String, String] = Map.empty) {
+      config: Map[String, String] = Map.empty,
+      metaId: Option[String] = None) {
     def cdfEnabled: Boolean =
       config.get("delta.enableChangeDataFeed").contains("true")
   }
@@ -162,7 +163,8 @@ object DeltaCompat {
             else md.getSeq[String](pcIdx).toSeq,
           columnMappingMode =
             conf.getOrElse("delta.columnMapping.mode", "none"),
-          config = conf)
+          config = conf,
+          metaId = Option(md.getAs[String]("id")))
       }
       // A checkpoint's add set IS the live file set at its version
       // (remove rows are only vacuum tombstones — not applied to
@@ -258,7 +260,8 @@ object DeltaCompat {
               .asScala.map(_.asText()).toSeq,
             columnMappingMode =
               conf.getOrElse("delta.columnMapping.mode", "none"),
-            config = conf)
+            config = conf,
+            metaId = Option(md.path("id").asText(null)))
         }
         // Per the Delta spec, add/remove paths are percent-encoded
         // relative paths — decode before resolving against the root.
@@ -1296,6 +1299,83 @@ object DeltaCompat {
             org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
+  /** SCHEMA EVOLUTION — a metaData-only commit (ALTER TABLE class):
+    * `adds` append optional columns — old files null-fill at scan, and
+    * on mapped tables each new column gets a fresh id + physical name;
+    * `renames` / `drops` change only the LOGICAL schema and REQUIRE
+    * column mapping (the protocol's rule — without mapping, parquet
+    * columns are addressed by logical name and every old file would
+    * detach from a renamed column). Partition columns rename with the
+    * table but can never drop. No data IO. Returns the new version. */
+  def evolveSchema(spark: SparkSession, table: String,
+      adds: Seq[org.apache.spark.sql.types.StructField] = Seq.empty,
+      renames: Map[String, String] = Map.empty,
+      drops: Seq[String] = Seq.empty): Long = {
+    require(adds.nonEmpty || renames.nonEmpty || drops.nonEmpty,
+      "nothing to evolve")
+    val state = replay(spark, table, None)
+    val head = (versions(table) ++ lastCheckpoint(table).map(_._1)).max
+    val schema = DataType.fromJson(state.schemaJson.getOrElse(
+      throw new IllegalStateException(s"$table has no metaData action")))
+      .asInstanceOf[StructType]
+    val cmap = state.columnMappingMode != "none"
+    if ((renames.nonEmpty || drops.nonEmpty) && !cmap)
+      throw new UnsupportedOperationException(
+        s"$table: rename/drop require column mapping — create the " +
+          "table with columnMapping = \"name\"")
+    val names = schema.fieldNames.toSeq
+    (renames.keys ++ drops).foreach(n => require(names.contains(n),
+      s"$table has no column '$n'"))
+    require((renames.keySet & drops.toSet).isEmpty,
+      "rename and drop of the same column")
+    require(!state.partitionColumns.exists(drops.contains),
+      "cannot drop a partition column")
+    val maxId = math.max(
+      state.config.get("delta.columnMapping.maxColumnId")
+        .map(_.toLong).getOrElse(0L),
+      schema.fields.flatMap(f =>
+        if (f.metadata.contains("delta.columnMapping.id"))
+          Some(f.metadata.getLong("delta.columnMapping.id"))
+        else None).maxOption.getOrElse(0L))
+    var nextId = maxId
+    val kept = schema.fields.toSeq.filterNot(f => drops.contains(f.name))
+      .map(f => renames.get(f.name).fold(f)(nn => f.copy(name = nn)))
+    val added = adds.map { sf =>
+      if (!cmap) sf.copy(nullable = true)
+      else {
+        nextId += 1
+        sf.copy(nullable = true,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(sf.metadata)
+            .putLong("delta.columnMapping.id", nextId)
+            .putString("delta.columnMapping.physicalName",
+              s"col-${UUID.randomUUID()}")
+            .build())
+      }
+    }
+    val newSchema = StructType(kept ++ added)
+    val newNames = newSchema.fieldNames.toSeq
+    require(newNames.distinct == newNames,
+      s"evolved schema has duplicate columns " +
+        s"(${newNames.diff(newNames.distinct).mkString(", ")})")
+    val newConf =
+      if (cmap)
+        state.config + ("delta.columnMapping.maxColumnId" -> nextId.toString)
+      else state.config
+    val meta = mapper.createObjectNode()
+    val m = meta.putObject("metaData")
+    m.put("id", state.metaId.getOrElse(UUID.randomUUID().toString))
+    m.putObject("format").put("provider", "parquet").putObject("options")
+    m.put("schemaString", newSchema.json)
+    val pcArr = m.putArray("partitionColumns")
+    state.partitionColumns.map(c => renames.getOrElse(c, c))
+      .foreach(pcArr.add)
+    val confNode = m.putObject("configuration")
+    newConf.foreach { case (k, v) => confNode.put(k, v) }
+    commit(table, head + 1, Seq(meta), "ALTER TABLE")
+    head + 1
+  }
+
   /** DESCRIBE HISTORY: one row per surviving commit — (version,
     * timestamp, operation, engine_info) from each commit's commitInfo
     * action; commits written without one (foreign writers) carry
@@ -1381,7 +1461,9 @@ object DeltaCompat {
     val now = System.currentTimeMillis()
     val rows = Seq(
       Row(protoRow, null, null),
-      Row(null, Row(UUID.randomUUID().toString,
+      // the table id is STABLE — re-minting one per checkpoint would
+      // make readers see a different table identity after vacuum
+      Row(null, Row(state.metaId.getOrElse(UUID.randomUUID().toString),
         Row("parquet", Map.empty[String, String]), schemaJson,
         state.partitionColumns, conf, now), null)) ++
       state.files.toSeq.sortBy(_._1).map { case (path, add) =>

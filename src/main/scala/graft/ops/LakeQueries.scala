@@ -819,7 +819,41 @@ object LakeQueries {
       |  (4, 'overwrite')) AS t(sequence_number, operation)
       |ORDER BY sequence_number""".stripMargin
 
+  /** Delta schema evolution end-to-end on a column-mapped table:
+    * rename + add (metaData-only commits), append under the evolved
+    * schema, read the mixed file set — old files resolve the renamed
+    * column by PHYSICAL name and null-fill the added one. Same
+    * two-generation union oracle as the Iceberg twin. */
+  val deltaSchemaEvolve: Q = (s, dir) => {
+    val tmp = graft.Scratch.dir("graft-delta-schevo-q")
+    val sup = Tables.load(s, dir, "supplier")
+      .select("s_suppkey", "s_name", "s_acctbal")
+    graft.lake.DeltaCompat.write(
+      sup.filter(col("s_suppkey") % 2 === 0), tmp,
+      columnMapping = "name")
+    graft.lake.DeltaCompat.evolveSchema(s, tmp,
+      renames = Map("s_name" -> "supplier_name"),
+      adds = Seq(org.apache.spark.sql.types.StructField("s_rating",
+        org.apache.spark.sql.types.LongType)))
+    graft.lake.DeltaCompat.write(
+      sup.filter(col("s_suppkey") % 2 =!= 0)
+        .withColumnRenamed("s_name", "supplier_name")
+        .withColumn("s_rating", col("s_suppkey") % 5), tmp)
+    graft.lake.DeltaCompat.read(s, tmp).orderBy("s_suppkey")
+  }
+
+  val deltaSchemaEvolveSql: String =
+    """SELECT s_suppkey, s_name AS supplier_name, s_acctbal,
+      |  CAST(NULL AS BIGINT) AS s_rating
+      |FROM supplier WHERE s_suppkey % 2 = 0
+      |UNION ALL
+      |SELECT s_suppkey, s_name AS supplier_name, s_acctbal,
+      |  s_suppkey % 5 AS s_rating
+      |FROM supplier WHERE s_suppkey % 2 <> 0
+      |ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_delta_schema_evolve" -> deltaSchemaEvolve,
     "q_iceberg_partitions_meta" -> icebergPartitionsMeta,
     "q_iceberg_snapshots_meta" -> icebergSnapshotsMeta,
     "q_iceberg_schema_evolve" -> icebergSchemaEvolve,
@@ -856,6 +890,7 @@ object LakeQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_delta_schema_evolve" -> deltaSchemaEvolveSql,
     "q_iceberg_partitions_meta" -> icebergPartitionsMetaSql,
     "q_iceberg_snapshots_meta" -> icebergSnapshotsMetaSql,
     "q_iceberg_schema_evolve" -> icebergSchemaEvolveSql,

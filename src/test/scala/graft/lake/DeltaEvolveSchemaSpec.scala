@@ -1,0 +1,87 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+
+/** Delta schema evolution: metaData-only add/rename/drop commits —
+  * adds null-fill in old files on any table; renames/drops require
+  * column mapping and leave the physical files untouched. */
+class DeltaEvolveSchemaSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("added columns null-fill in old files; appends carry values") {
+    val dir = tmpDir("delta-evolve-add")
+    DeltaCompat.write(Seq((1L, "a")).toDF("k", "v"), dir)
+    DeltaCompat.evolveSchema(spark, dir,
+      adds = Seq(StructField("score", DoubleType)))
+    assert(DeltaCompat.read(spark, dir)
+      .as[(Long, String, Option[Double])].collect().toSeq ===
+      Seq((1L, "a", None)))
+    DeltaCompat.write(Seq((2L, "b", 0.5)).toDF("k", "v", "score"), dir)
+    assert(DeltaCompat.read(spark, dir)
+      .as[(Long, String, Option[Double])].collect().sortBy(_._1).toSeq ===
+      Seq((1L, "a", None), (2L, "b", Some(0.5))))
+  }
+
+  test("rename/drop require column mapping; mapped tables resolve") {
+    val dir = tmpDir("delta-evolve-nomap")
+    DeltaCompat.write(Seq((1L, "a")).toDF("k", "v"), dir)
+    intercept[UnsupportedOperationException] {
+      DeltaCompat.evolveSchema(spark, dir, renames = Map("v" -> "val"))
+    }
+    val mdir = tmpDir("delta-evolve-map")
+    DeltaCompat.write(Seq((1L, "a", 9L)).toDF("k", "v", "x"), mdir,
+      columnMapping = "name")
+    DeltaCompat.evolveSchema(spark, mdir,
+      renames = Map("v" -> "val"), drops = Seq("x"))
+    assert(DeltaCompat.read(spark, mdir).columns.toSeq === Seq("k", "val"))
+    assert(DeltaCompat.read(spark, mdir).as[(Long, String)]
+      .collect().toSeq === Seq(1L -> "a"))
+    // appends under the evolved schema keep working; old + new read
+    DeltaCompat.write(Seq((2L, "b")).toDF("k", "val"), mdir)
+    assert(DeltaCompat.read(spark, mdir).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq === Seq(1L -> "a", 2L -> "b"))
+  }
+
+  test("adds on a mapped table get fresh ids past maxColumnId") {
+    val dir = tmpDir("delta-evolve-map-add")
+    DeltaCompat.write(Seq((1L, "a")).toDF("k", "v"), dir,
+      columnMapping = "name")
+    DeltaCompat.evolveSchema(spark, dir,
+      adds = Seq(StructField("w", StringType)))
+    DeltaCompat.write(Seq((2L, "b", "w2")).toDF("k", "v", "w"), dir)
+    assert(DeltaCompat.read(spark, dir)
+      .as[(Long, String, Option[String])].collect().sortBy(_._1).toSeq ===
+      Seq((1L, "a", None), (2L, "b", Some("w2"))))
+    // maxColumnId advanced to cover the new field
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir, "_delta_log",
+        f"${1L}%020d.json")).toString
+    assert(lines.contains("\"delta.columnMapping.maxColumnId\":\"3\""))
+  }
+
+  test("evolution survives a checkpoint and shows in history") {
+    val dir = tmpDir("delta-evolve-ckpt")
+    DeltaCompat.write(Seq((1L, "a")).toDF("k", "v"), dir)
+    DeltaCompat.evolveSchema(spark, dir,
+      adds = Seq(StructField("n", LongType)))
+    DeltaCompat.checkpoint(spark, dir)
+    DeltaCompat.write(Seq((2L, "b", 7L)).toDF("k", "v", "n"), dir)
+    assert(DeltaCompat.read(spark, dir)
+      .as[(Long, String, Option[Long])].collect().sortBy(_._1).toSeq ===
+      Seq((1L, "a", None), (2L, "b", Some(7L))))
+    val ops = DeltaCompat.history(spark, dir)
+      .select("version", "operation").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(ops.take(2) === Seq(0L -> "WRITE", 1L -> "ALTER TABLE"))
+    // partition columns can never drop
+    val pdir = tmpDir("delta-evolve-part")
+    DeltaCompat.write(Seq((1L, "p1", "a")).toDF("k", "p", "v"), pdir,
+      partitionBy = Seq("p"), columnMapping = "name")
+    intercept[IllegalArgumentException] {
+      DeltaCompat.evolveSchema(spark, pdir, drops = Seq("p"))
+    }
+  }
+}

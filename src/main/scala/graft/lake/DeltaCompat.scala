@@ -768,6 +768,36 @@ object DeltaCompat {
       dataChange = false)
   }
 
+  /** OPTIMIZE (bin-packing compaction): rewrite live files smaller
+    * than `smallFileBytes` into consolidated ones — the small-file
+    * debt a CDC-fed table accumulates. One commit removes the small
+    * files and adds their replacements; partitioned tables re-stage
+    * through the hive layout so files never cross partitions;
+    * dataChange=false (no logical rows move — time travel keeps every
+    * prior version and the change feed stays silent). Files carrying
+    * deletion vectors rewrite clean as a side effect (their DVs are
+    * applied during the scan), same as purge. Returns the new version
+    * (the current head when fewer than two files qualify). */
+  def optimize(spark: SparkSession, table: String,
+      smallFileBytes: Long = 32L * 1024 * 1024,
+      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val state = replay(spark, table, None)
+    val head = (versions(table) ++ lastCheckpoint(table).map(_._1)).max
+    val smallMap = state.files.filter { case (_, a) =>
+      a.size < smallFileBytes }
+    val small = smallMap.keys.toSeq.sorted
+    if (small.size < 2) return head
+    val subset = state.copy(files = smallMap)
+    val totalBytes = smallMap.valuesIterator.map(_.size).sum
+    val nOut = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val live = assemble(spark, table, subset, keepMeta = false)
+      .coalesce(nOut)
+    writeImpl(live, table, "append", Seq.empty, "none", small,
+      Map.empty, changeData = None, operation = Some("OPTIMIZE"),
+      dataChange = false)
+  }
+
   /** VACUUM: physically delete data files whose LAST log action is a
     * remove older than `retentionMs` (the spec's tombstone-retention
     * contract — a re-added path is live again and never eligible).

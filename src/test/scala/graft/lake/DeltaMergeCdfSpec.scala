@@ -188,6 +188,32 @@ class DeltaMergeCdfSpec extends SparkSuite {
     assert(ts === ts.sorted)
   }
 
+  test("optimize consolidates small files; the change feed stays silent") {
+    val dir = tmpDir("delta-optimize")
+    (0 until 4).foreach { i =>
+      DeltaCompat.write(
+        Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1), dir,
+        properties =
+          if (i == 0) Map("delta.enableChangeDataFeed" -> "true")
+          else Map.empty)
+    }
+    val before = DeltaCompat.read(spark, dir).inputFiles.length
+    assert(before === 4)
+    val v = DeltaCompat.optimize(spark, dir)
+    assert(DeltaCompat.read(spark, dir).inputFiles.length === 1)
+    assert(readSorted(dir) ===
+      Seq(0L -> "v0", 1L -> "v1", 2L -> "v2", 3L -> "v3"))
+    // time travel still sees the fragmented layout
+    assert(DeltaCompat.read(spark, dir, version = Some(v - 1))
+      .inputFiles.length === 4)
+    // the feed has exactly the four inserts — OPTIMIZE is dataChange=false
+    assert(DeltaCompat.readChanges(spark, dir, 0L).count() === 4L)
+    assert(DeltaCompat.history(spark, dir)
+      .select("operation").as[String].collect().last === "OPTIMIZE")
+    // already-consolidated: no-op returns the head
+    assert(DeltaCompat.optimize(spark, dir) === v)
+  }
+
   test("checkpoint preserves the CDF flag and feed reads continue") {
     val dir = tmpDir("delta-cdf-ckpt")
     DeltaCompat.write(Seq((1L, "a")).toDF("k", "v"), dir,

@@ -76,7 +76,8 @@ object DeltaCompat {
       columnMappingMode: String = "none",
       dvEnabled: Boolean = false,
       config: Map[String, String] = Map.empty,
-      metaId: Option[String] = None) {
+      metaId: Option[String] = None,
+      txns: Map[String, Long] = Map.empty) { // appId -> last version
     def cdfEnabled: Boolean =
       config.get("delta.enableChangeDataFeed").contains("true")
   }
@@ -126,7 +127,8 @@ object DeltaCompat {
         s"$table: _last_checkpoint names missing file $p"))
     val df = spark.read.parquet(paths.map(_.toString): _*)
     val names = df.schema.fieldNames.toSet
-    val cols = Seq("protocol", "metaData", "add").filter(names.contains)
+    val cols = Seq("protocol", "metaData", "add", "txn")
+      .filter(names.contains)
     // ONE collect over the action columns: a checkpointed read is the
     // per-query hot path, and every extra Spark action here is a full
     // job-scheduling round trip for manifest-sized data.
@@ -198,6 +200,13 @@ object DeltaCompat {
         state = state.copy(files = state.files +
           (PathCodec.percentDecode(a.getAs[String]("path")) ->
             AddFile(pv, size, dv, stats)))
+      }
+      idx.get("txn").filterNot(r.isNullAt).foreach { i =>
+        val t = r.getStruct(i)
+        val v = Option(t.getAs[java.lang.Long]("version"))
+          .fold(0L)(_.longValue)
+        state = state.copy(txns = state.txns +
+          (t.getAs[String]("appId") -> v))
       }
     }
     state
@@ -289,6 +298,12 @@ object DeltaCompat {
         if (node.has("remove"))
           removes += PathCodec.percentDecode(
             node.get("remove").get("path").asText())
+        // SetTransaction: streaming writers' idempotency watermark
+        if (node.has("txn")) {
+          val t = node.get("txn")
+          state = state.copy(txns = state.txns +
+            (t.get("appId").asText() -> t.path("version").asLong(0L)))
+        }
       }
       state = state.copy(files =
         (state.files -- removes.result()) ++ adds.result())
@@ -617,7 +632,8 @@ object DeltaCompat {
       properties: Map[String, String],
       changeData: Option[DataFrame],
       operation: Option[String],
-      dataChange: Boolean = true): Long = {
+      dataChange: Boolean = true,
+      txn: Option[(String, Long)] = None): Long = {
     require(mode == "append" || mode == "overwrite", s"mode $mode")
     require(replacing.isEmpty || mode == "append",
       "replacing composes with append commits only")
@@ -738,10 +754,24 @@ object DeltaCompat {
       actions += add
     }
 
+    // SetTransaction: the streaming idempotency watermark — landed in
+    // the SAME commit as the data, so a crash can never record the
+    // batch without its rows (or vice versa)
+    txn.foreach { case (appId, v) =>
+      val t = mapper.createObjectNode()
+      t.putObject("txn").put("appId", appId).put("version", v)
+      actions += t
+    }
     commit(table, version, actions.result(), operation.getOrElse(
       if (mode == "overwrite") "OVERWRITE" else "WRITE"))
     version
   }
+
+  /** The last `txn` (SetTransaction) version committed for `appId` —
+    * what a streaming writer consults to skip replayed batches. */
+  def lastTransactionVersion(spark: SparkSession, table: String,
+      appId: String): Option[Long] =
+    replay(spark, table, None).txns.get(appId)
 
   /** REORG ... APPLY (PURGE): rewrite ONLY the files carrying deletion
     * vectors, materializing their live rows into clean files; files
@@ -1119,7 +1149,8 @@ object DeltaCompat {
     * version (the current head when the merge is a no-op). */
   def merge(spark: SparkSession, table: String, source: DataFrame,
       keys: Seq[String],
-      deleteWhen: Option[org.apache.spark.sql.Column] = None): Long = {
+      deleteWhen: Option[org.apache.spark.sql.Column] = None,
+      txn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, count, lit, when}
     val (df, state) = scan(spark, table, None, keepMeta = true)
     val head = (versions(table) ++ lastCheckpoint(table).map(_._1)).max
@@ -1156,7 +1187,8 @@ object DeltaCompat {
         .select(tableCols.map(c => col(s"__s_$c").as(c)): _*)
       if (ins.isEmpty) return head
       return writeImpl(ins, table, "append", Seq.empty, "none", Seq.empty,
-        Map.empty, Some(withType(ins, "insert")), Some("MERGE"))
+        Map.empty, Some(withType(ins, "insert")), Some("MERGE"),
+        txn = txn)
     }
     // ONE full-outer key join feeds every leg (touched files, survivors,
     // inserts, change set) — persisted, so the scan+join runs once, not
@@ -1184,7 +1216,8 @@ object DeltaCompat {
         if (insertRows.isEmpty) return head
         return writeImpl(insertRows, table, "append", Seq.empty, "none",
           Seq.empty, Map.empty,
-          Some(withType(insertRows, "insert")), Some("MERGE"))
+          Some(withType(insertRows, "insert")), Some("MERGE"),
+          txn = txn)
       }
       val inTouched = joined.filter(col("__m").isNotNull &&
         col("__fp").isInCollection(touchedUris))
@@ -1209,7 +1242,7 @@ object DeltaCompat {
             withType(insertRows, "insert"))))
         }
       writeImpl(newData, table, "append", Seq.empty, "none",
-        touchedRel.toSeq, Map.empty, changes, Some("MERGE"))
+        touchedRel.toSeq, Map.empty, changes, Some("MERGE"), txn = txn)
     } finally joined.unpersist()
   }
 
@@ -1470,10 +1503,14 @@ object DeltaCompat {
       StructField("dataChange", BooleanType),
       StructField("stats", StringType),
       StructField("deletionVector", dvT)))
+    val txnT = StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType)))
     val rowT = StructType(Seq(
       StructField("protocol", protocolT),
       StructField("metaData", metaT),
-      StructField("add", addT)))
+      StructField("add", addT),
+      StructField("txn", txnT)))
 
     val cmap = state.columnMappingMode != "none"
     val protoRow =
@@ -1490,12 +1527,18 @@ object DeltaCompat {
     val conf = state.config
     val now = System.currentTimeMillis()
     val rows = Seq(
-      Row(protoRow, null, null),
+      Row(protoRow, null, null, null),
       // the table id is STABLE — re-minting one per checkpoint would
       // make readers see a different table identity after vacuum
       Row(null, Row(state.metaId.getOrElse(UUID.randomUUID().toString),
         Row("parquet", Map.empty[String, String]), schemaJson,
-        state.partitionColumns, conf, now), null)) ++
+        state.partitionColumns, conf, now), null, null)) ++
+      // streaming writers' txn watermarks survive the checkpoint (the
+      // spec keeps SetTransaction state live) — dropping them would
+      // break exactly-once resume after old JSON is vacuumed
+      state.txns.toSeq.sorted.map { case (appId, v) =>
+        Row(null, null, null, Row(appId, v))
+      } ++
       state.files.toSeq.sortBy(_._1).map { case (path, add) =>
         // A live file that cannot be stat'ed means the table is already
         // corrupt — fail NOW, not after the JSON that could explain it
@@ -1513,7 +1556,8 @@ object DeltaCompat {
           add.partitionValues.map { case (k, v) => k -> v.orNull },
           Files.size(onDisk), now, true,
           fileStatsJson(onDisk,
-            tight = if (add.dv.isDefined) Some(false) else None), dvRow))
+            tight = if (add.dv.isDefined) Some(false) else None), dvRow),
+          null)
       }
     // One checkpoint file: the action list is manifest-sized. (Readers
     // handle multi-part checkpoints; writing them only matters once the

@@ -1089,7 +1089,8 @@ object IcebergCompat {
   def write(df: DataFrame, tableDir: String, mode: String = "append",
       partitionBy: Seq[String] = Seq.empty,
       transforms: Seq[(String, String)] = Seq.empty,
-      evolveSpec: Boolean = false): Long = {
+      evolveSpec: Boolean = false,
+      summary: Map[String, String] = Map.empty): Long = {
     require(mode == "append" || mode == "overwrite", s"mode $mode")
     val metaDir = Paths.get(tableDir, "metadata")
     Files.createDirectories(metaDir)
@@ -1422,8 +1423,19 @@ object IcebergCompat {
     commitMetadataJson(metaDir, tableDir, version, tableUuid,
       sequenceNumber, lastColumnId, schemasArr, currentSchemaId,
       specsArr, specId, lastPartitionId, prevSnapshotNodes, snapshotId,
-      parentId, listPath, mode)
+      parentId, listPath, mode, summary)
     snapshotId
+  }
+
+  /** The last value recorded for summary property `key` across the
+    * retained snapshot history (newest snapshot wins) — how streaming
+    * writers (Flink-style) read back their per-checkpoint watermark. */
+  def lastSummaryProperty(tableDir: String, key: String): Option[String] = {
+    val meta = currentMetadata(tableDir)
+    meta.path("snapshots").elements().asScala.toSeq
+      .sortBy(_.path("sequence-number").asLong(0L))
+      .flatMap(s => Option(s.path("summary").path(key).asText(null)))
+      .lastOption
   }
 
   /** Metadata inspection tables — the `table$snapshots` / `$manifests`
@@ -1635,7 +1647,8 @@ object IcebergCompat {
       defaultSpecId: Int, lastPartitionId: Int,
       prevSnapshotNodes: Seq[JsonNode],
       snapshotId: Long, parentId: Long, listPath: Path,
-      operation: String): Unit = {
+      operation: String,
+      summaryProps: Map[String, String] = Map.empty): Unit = {
     val now = System.currentTimeMillis()
     val root = mapper.createObjectNode()
     root.put("format-version", 2)
@@ -1663,7 +1676,9 @@ object IcebergCompat {
     sn.put("timestamp-ms", now)
     sn.put("manifest-list", listPath.toString)
     sn.put("schema-id", currentSchemaId)
-    sn.putObject("summary").put("operation", operation)
+    val summaryNode = sn.putObject("summary")
+    summaryNode.put("operation", operation)
+    summaryProps.foreach { case (k, v) => summaryNode.put(k, v) }
     // history surfaces real catalogs expect: snapshot-log (current
     // branch's lineage — we never expire, so it is every snapshot) and
     // metadata-log (the surviving prior metadata files)

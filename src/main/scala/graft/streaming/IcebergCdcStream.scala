@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.lake.IcebergCompat
+
+/** Continuous upsert maintenance for an ICEBERG v2 table — the shape
+  * streaming CDC writers (Flink, moonlink-style ingestion) emit: per
+  * micro-batch, one EQUALITY-DELETE snapshot tombstones the old
+  * versions of every updated/deleted key, then one append snapshot
+  * lands the new rows. The sequence-number rule does the merge at read
+  * time: the append outsequences the delete, so updates survive their
+  * own tombstone while older copies die.
+  *
+  * Idempotency across crash replays uses Iceberg's own convention: the
+  * append snapshot's SUMMARY carries the per-checkpoint watermark
+  * (`graft.watermark.<appId>` = batch id — the same mechanism as
+  * Flink's `flink.max-committed-checkpoint-id`), so a replayed batch
+  * at or below the recorded watermark is skipped. A crash BETWEEN the
+  * delete and append snapshots replays the whole batch: the repeated
+  * equality delete is semantically idempotent (same keys, older
+  * sequences only) and the append then lands once — the table
+  * converges. */
+object IcebergCdcStream {
+
+  /** Start applying `changes` (table columns + `__op` in {I, U, D}) to
+    * the Iceberg table at `tableDir`. `keys` are the replica identity
+    * (the equality-delete columns). Returns the running query; caller
+    * owns its lifecycle. */
+  def attach(tableDir: String, changes: DataFrame, keys: Seq[String],
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val idFile = java.nio.file.Paths.get(checkpointDir, "graft-appid")
+    val appId =
+      if (java.nio.file.Files.exists(idFile))
+        new String(java.nio.file.Files.readAllBytes(idFile),
+          "UTF-8").trim
+      else {
+        val id = java.util.UUID.randomUUID().toString
+        java.nio.file.Files.createDirectories(idFile.getParent)
+        java.nio.file.Files.write(idFile, id.getBytes("UTF-8"))
+        id
+      }
+    val watermarkKey = s"graft.watermark.$appId"
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val exists = java.nio.file.Files.exists(java.nio.file.Paths
+          .get(tableDir, "metadata", "version-hint.text"))
+        val applied =
+          if (exists)
+            IcebergCompat.lastSummaryProperty(tableDir, watermarkKey)
+              .map(_.toLong)
+          else None
+        if (applied.forall(_ < batchId)) {
+          // tombstone old versions of every changed key FIRST (a fresh
+          // table has nothing to tombstone)
+          val delKeys = batch.filter(col("__op").isin("U", "D"))
+            .select(keys.map(col): _*)
+          if (exists && delKeys.take(1).nonEmpty)
+            IcebergCompat.writeEqualityDeletes(
+              batch.sparkSession, tableDir, delKeys, keys)
+          // then land the new rows; the watermark rides the append
+          // snapshot's summary — the batch's LAST commit, so a crash
+          // can never record the batch before its rows are in
+          IcebergCompat.write(batch.filter(col("__op") =!= "D")
+              .drop("__op"), tableDir,
+            summary = Map(watermarkKey -> batchId.toString))
+        } // else: checkpoint replay of a committed batch — skip
+        ()
+      }
+      .start()
+  }
+}

@@ -621,9 +621,10 @@ object DeltaCompat {
       mode: String = "append", partitionBy: Seq[String] = Seq.empty,
       columnMapping: String = "none",
       replacing: Seq[String] = Seq.empty,
-      properties: Map[String, String] = Map.empty): Long =
+      properties: Map[String, String] = Map.empty,
+      txn: Option[(String, Long)] = None): Long =
     writeImpl(df, table, mode, partitionBy, columnMapping, replacing,
-      properties, changeData = None, operation = None)
+      properties, changeData = None, operation = None, txn = txn)
 
   private[lake] def writeImpl(df: DataFrame, table: String,
       mode: String, partitionBy: Seq[String],
@@ -773,6 +774,20 @@ object DeltaCompat {
       appId: String): Option[Long] =
     replay(spark, table, None).txns.get(appId)
 
+  /** A commit carrying ONLY a SetTransaction — what a no-op streaming
+    * batch lands so its watermark still advances (real Delta sinks do
+    * the same for empty batches). */
+  private def txnOnlyCommit(table: String, head: Long,
+      txn: Option[(String, Long)], operation: String): Long =
+    txn match {
+      case None => head
+      case Some((appId, v)) =>
+        val t = mapper.createObjectNode()
+        t.putObject("txn").put("appId", appId).put("version", v)
+        commit(table, head + 1, Seq(t), operation)
+        head + 1
+    }
+
   /** REORG ... APPLY (PURGE): rewrite ONLY the files carrying deletion
     * vectors, materializing their live rows into clean files; files
     * without DVs carry over untouched. delete() keeps deletes bitmap-
@@ -813,8 +828,16 @@ object DeltaCompat {
       targetFileBytes: Long = 128L * 1024 * 1024): Long = {
     val state = replay(spark, table, None)
     val head = (versions(table) ++ lastCheckpoint(table).map(_._1)).max
-    val smallMap = state.files.filter { case (_, a) =>
-      a.size < smallFileBytes }
+    // bin-packing is PER PARTITION (files never merge across hive
+    // dirs): a partition must hold at least two qualifying files to be
+    // worth rewriting — else a steady-state table with one small file
+    // per partition would be rewritten in full on every call and never
+    // converge
+    val smallMap = state.files
+      .filter { case (_, a) => a.size < smallFileBytes }
+      .groupBy(_._2.partitionValues)
+      .filter(_._2.size >= 2)
+      .flatMap(_._2)
     val small = smallMap.keys.toSeq.sorted
     if (small.size < 2) return head
     val subset = state.copy(files = smallMap)
@@ -1154,6 +1177,11 @@ object DeltaCompat {
     import org.apache.spark.sql.functions.{coalesce, col, count, lit, when}
     val (df, state) = scan(spark, table, None, keepMeta = true)
     val head = (versions(table) ++ lastCheckpoint(table).map(_._1)).max
+    // idempotency in ONE replay: a merge carrying a txn at or below the
+    // recorded watermark is a checkpoint replay — skip without a commit
+    txn.foreach { case (appId, v) =>
+      if (state.txns.get(appId).exists(_ >= v)) return head
+    }
     val schema = DataType.fromJson(state.schemaJson.getOrElse(
       throw new IllegalStateException(s"$table has no metaData action")))
       .asInstanceOf[StructType]
@@ -1185,7 +1213,7 @@ object DeltaCompat {
     if (state.files.isEmpty) {
       val ins = srcPrep.filter(!col("__s_del"))
         .select(tableCols.map(c => col(s"__s_$c").as(c)): _*)
-      if (ins.isEmpty) return head
+      if (ins.isEmpty) return txnOnlyCommit(table, head, txn, "MERGE")
       return writeImpl(ins, table, "append", Seq.empty, "none", Seq.empty,
         Map.empty, Some(withType(ins, "insert")), Some("MERGE"),
         txn = txn)
@@ -1213,7 +1241,8 @@ object DeltaCompat {
         .filter(col("__m").isNull && !col("__s_del"))
         .select(tableCols.map(c => col(s"__s_$c").as(c)): _*)
       if (touchedRel.isEmpty) {
-        if (insertRows.isEmpty) return head
+        if (insertRows.isEmpty)
+          return txnOnlyCommit(table, head, txn, "MERGE")
         return writeImpl(insertRows, table, "append", Seq.empty, "none",
           Seq.empty, Map.empty,
           Some(withType(insertRows, "insert")), Some("MERGE"),

@@ -733,6 +733,29 @@ object IcebergCompat {
     val newSnaps = mapper.createArrayNode()
     retained.foreach(newSnaps.add)
     root.set[JsonNode]("snapshots", newSnaps)
+    // Streaming watermarks (graft.watermark.<appId>, see
+    // IcebergCdcStream) must SURVIVE expiry: if the snapshot carrying
+    // the newest value for a key expires, a committed batch would look
+    // unapplied after maintenance and replay — duplicating rows. Stamp
+    // the retained head with the newest value of every watermark key
+    // (they are monotone, so the global max is always correct there).
+    val latestWm = scala.collection.mutable.Map[String, String]()
+    snaps.sortBy(_.path("sequence-number").asLong(0L)).foreach { s =>
+      s.path("summary").properties().asScala.foreach { e =>
+        if (e.getKey.startsWith("graft.watermark."))
+          latestWm(e.getKey) = e.getValue.asText()
+      }
+    }
+    if (latestWm.nonEmpty)
+      newSnaps.elements().asScala
+        .find(_.path("snapshot-id").asLong(-2) == currentId)
+        .foreach { head =>
+          head.path("summary") match {
+            case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+              latestWm.foreach { case (k, v) => o.put(k, v) }
+            case _ => ()
+          }
+        }
     val newLog = mapper.createArrayNode()
     meta.path("snapshot-log").elements().asScala
       .filter(e => keepIds.contains(e.path("snapshot-id").asLong(-2)))

@@ -886,7 +886,11 @@ object LakeQueries {
       (0 until 6).foreach(i => graft.lake.DeltaCompat.write(
         c.filter(col("c_custkey") % 6 === i).coalesce(1), t))
       val before = graft.lake.DeltaCompat.read(s, t).inputFiles.length
-      graft.lake.DeltaCompat.optimize(s, t)
+      // explicit thresholds keep the fixture's geometry SCALE-
+      // INDEPENDENT (the prune-scan lesson): at any sf the six
+      // fragments qualify and bin-pack into one file
+      graft.lake.DeltaCompat.optimize(s, t,
+        smallFileBytes = Long.MaxValue, targetFileBytes = Long.MaxValue)
       val after = graft.lake.DeltaCompat.read(s, t).inputFiles.length
       require(after < before,
         s"optimize did not reduce files: $before -> $after")

@@ -14,46 +14,42 @@ import graft.lake.DeltaCompat
   * speak both, `/root/reference/CHANGELOG.md:25,27`).
   *
   * Exactly-once across crashes comes from the Delta spec's OWN
-  * mechanism, not a side file: every merge commit carries a `txn`
+  * mechanism, not a side file: every batch commit carries a `txn`
   * (SetTransaction) action `(appId, batchId)` in the SAME atomic
-  * commit as the data, and a replayed batch (Structured Streaming
-  * re-delivers the last uncommitted batch after restart) is skipped
-  * when its id is at or below the recorded watermark — the identical
-  * contract real Delta streaming sinks implement, so a foreign Delta
-  * reader sees the same idempotency state we do. */
+  * commit as its data — a no-op batch commits a txn-only action so the
+  * watermark still advances — and merge() itself skips any batch at or
+  * below the recorded watermark in the single log replay it already
+  * performs (no second replay per batch). A foreign Delta reader sees
+  * the same idempotency state we do. */
 object DeltaCdcStream {
 
   /** Start merging `changes` into the Delta table at `tableDir`.
-    * `keys` are the replica identity. The app id is pinned per
-    * checkpoint (a `graft-appid` file beside the stream state): a
-    * restarted query keeps its identity, a fresh checkpoint gets a
-    * fresh one. Returns the running query; caller owns its
+    * `keys` are the replica identity. A missing table bootstraps from
+    * the first batch's inserts. The app id is pinned per checkpoint
+    * ([[CheckpointAppId]]). Returns the running query; caller owns its
     * lifecycle. */
   def attach(tableDir: String, changes: DataFrame, keys: Seq[String],
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val idFile = java.nio.file.Paths.get(checkpointDir, "graft-appid")
-    val appId =
-      if (java.nio.file.Files.exists(idFile))
-        new String(java.nio.file.Files.readAllBytes(idFile),
-          "UTF-8").trim
-      else {
-        val id = java.util.UUID.randomUUID().toString
-        java.nio.file.Files.createDirectories(idFile.getParent)
-        java.nio.file.Files.write(idFile, id.getBytes("UTF-8"))
-        id
-      }
+    val appId = CheckpointAppId.loadOrCreate(checkpointDir)
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val applied = DeltaCompat
-          .lastTransactionVersion(batch.sparkSession, tableDir, appId)
-        if (applied.forall(_ < batchId)) {
+        val exists = DeltaCompat.versions(tableDir).nonEmpty ||
+          java.nio.file.Files.exists(java.nio.file.Paths
+            .get(tableDir, "_delta_log", "_last_checkpoint"))
+        if (!exists) {
+          // bootstrap: the first batch's inserts create the table (a
+          // delete against nothing is a no-op, the CDC convention)
+          DeltaCompat.write(batch.filter(col("__op") =!= "D")
+              .drop("__op"), tableDir,
+            txn = Some(appId -> batchId))
+        } else {
           DeltaCompat.merge(batch.sparkSession, tableDir, batch, keys,
             deleteWhen = Some(col("__op") === "D"),
             txn = Some(appId -> batchId))
-        } // else: checkpoint replay of a committed batch — skip
+        }
         ()
       }
       .start()

@@ -32,17 +32,7 @@ object IcebergCdcStream {
   def attach(tableDir: String, changes: DataFrame, keys: Seq[String],
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val idFile = java.nio.file.Paths.get(checkpointDir, "graft-appid")
-    val appId =
-      if (java.nio.file.Files.exists(idFile))
-        new String(java.nio.file.Files.readAllBytes(idFile),
-          "UTF-8").trim
-      else {
-        val id = java.util.UUID.randomUUID().toString
-        java.nio.file.Files.createDirectories(idFile.getParent)
-        java.nio.file.Files.write(idFile, id.getBytes("UTF-8"))
-        id
-      }
+    val appId = CheckpointAppId.loadOrCreate(checkpointDir)
     val watermarkKey = s"graft.watermark.$appId"
     changes.writeStream
       .option("checkpointLocation", checkpointDir)

@@ -214,6 +214,45 @@ class DeltaMergeCdfSpec extends SparkSuite {
     assert(DeltaCompat.optimize(spark, dir) === v)
   }
 
+  test("optimize bin-packs per partition and converges in steady state") {
+    val dir = tmpDir("delta-opt-part")
+    // p1 gets ONE small file, p2 gets TWO
+    DeltaCompat.write(Seq((1L, "p1", "a")).toDF("k", "p", "v")
+      .coalesce(1), dir, partitionBy = Seq("p"))
+    DeltaCompat.write(Seq((2L, "p2", "b")).toDF("k", "p", "v")
+      .coalesce(1), dir)
+    DeltaCompat.write(Seq((3L, "p2", "c")).toDF("k", "p", "v")
+      .coalesce(1), dir)
+    assert(DeltaCompat.read(spark, dir).inputFiles.length === 3)
+    val v = DeltaCompat.optimize(spark, dir)
+    // p2 consolidated; p1's lone file untouched
+    assert(DeltaCompat.read(spark, dir).inputFiles.length === 2)
+    // steady state: every partition has one file — optimize is a no-op,
+    // not an endless full rewrite
+    assert(DeltaCompat.optimize(spark, dir) === v)
+    assert(DeltaCompat.read(spark, dir).as[(Long, String, String)]
+      .collect().sortBy(_._1).toSeq ===
+      Seq((1L, "p1", "a"), (2L, "p2", "b"), (3L, "p2", "c")))
+  }
+
+  test("a no-op merge with a txn still advances the watermark") {
+    val dir = tmpDir("delta-merge-noop-txn")
+    DeltaCompat.write(Seq((1L, "a")).toDF("k", "v"), dir)
+    // deletes of absent keys: nothing matches, nothing inserts
+    val v = DeltaCompat.merge(spark, dir,
+      Seq((9L, "x")).toDF("k", "v"), Seq("k"),
+      deleteWhen = Some(lit(true)), txn = Some("app" -> 3L))
+    assert(v === 1L)
+    assert(DeltaCompat.lastTransactionVersion(spark, dir, "app") ===
+      Some(3L))
+    assert(readSorted(dir) === Seq(1L -> "a"))
+    // and a replayed batch at the watermark skips without a commit
+    assert(DeltaCompat.merge(spark, dir,
+      Seq((2L, "b")).toDF("k", "v"), Seq("k"),
+      txn = Some("app" -> 3L)) === v)
+    assert(readSorted(dir) === Seq(1L -> "a"))
+  }
+
   test("checkpoint preserves the CDF flag and feed reads continue") {
     val dir = tmpDir("delta-cdf-ckpt")
     DeltaCompat.write(Seq((1L, "a")).toDF("k", "v"), dir,

@@ -50,6 +50,23 @@ class DeltaCdcStreamSpec extends SparkSuite {
     assert(!replayed)
   }
 
+  test("a missing table bootstraps from the first batch") {
+    implicit val sc = spark.sqlContext
+    val dir = tmpDir("delta-cdc-bootstrap") + "/fresh"
+    val input = MemoryStream[(Long, String, String)]
+    val changes = input.toDF().toDF("k", "v", "__op")
+    val ckpt = tmpDir("delta-cdc-bootstrap-ckpt")
+    input.addData((1L, "a", "I"), (9L, "x", "D"))
+    DeltaCdcStream.attach(dir, changes, Seq("k"), ckpt)
+      .awaitTermination()
+    assert(readSorted(dir) === Seq(1L -> "a"))
+    // subsequent batches merge normally
+    input.addData((1L, "a2", "U"))
+    DeltaCdcStream.attach(dir, changes, Seq("k"), ckpt)
+      .awaitTermination()
+    assert(readSorted(dir) === Seq(1L -> "a2"))
+  }
+
   test("txn watermarks survive a checkpointed, vacuumed log") {
     implicit val sc = spark.sqlContext
     val dir = tmpDir("delta-cdc-txn-ckpt")

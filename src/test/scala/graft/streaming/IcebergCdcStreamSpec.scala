@@ -52,6 +52,21 @@ class IcebergCdcStreamSpec extends SparkSuite {
       s"graft.watermark.$appId") === Some("2"))
   }
 
+  test("expireSnapshots carries the watermark onto the retained head") {
+    val dir = tmpDir("iceberg-wm-expire")
+    IcebergCompat.write(Seq((1L, "a")).toDF("k", "v"), dir,
+      summary = Map("graft.watermark.app-x" -> "5"))
+    IcebergCompat.write(Seq((2L, "b")).toDF("k", "v"), dir)
+    assert(IcebergCompat.lastSummaryProperty(dir,
+      "graft.watermark.app-x") === Some("5"))
+    // expire everything but the head (the watermark-carrying snapshot)
+    val dropped = IcebergCompat.expireSnapshots(dir,
+      System.currentTimeMillis() + 60000)
+    assert(dropped.nonEmpty)
+    assert(IcebergCompat.lastSummaryProperty(dir,
+      "graft.watermark.app-x") === Some("5"))
+  }
+
   test("a delete-only batch still advances the watermark") {
     implicit val sc = spark.sqlContext
     val dir = tmpDir("iceberg-cdc-delonly")

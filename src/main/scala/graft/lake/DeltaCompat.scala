@@ -821,13 +821,44 @@ object DeltaCompat {
     * dataChange=false (no logical rows move — time travel keeps every
     * prior version and the change feed stays silent). Files carrying
     * deletion vectors rewrite clean as a side effect (their DVs are
-    * applied during the scan), same as purge. Returns the new version
-    * (the current head when fewer than two files qualify). */
+    * applied during the scan), same as purge.
+    *
+    * `zorderBy` (exactly two non-negative integer columns) switches to
+    * OPTIMIZE ZORDER: ALL live files rewrite, range-partitioned +
+    * sorted on the bit-interleaved z-value, so every file owns a
+    * rectangle of the (a, b) space — `read(prune)` over `add.stats`
+    * then skips on EITHER dimension, where linear clustering prunes
+    * only its leading one (the same economics as the mirror's
+    * `optimizeTable("zorder:a,b")`).
+    *
+    * Returns the new version (the current head when nothing
+    * qualifies). */
   def optimize(spark: SparkSession, table: String,
       smallFileBytes: Long = 32L * 1024 * 1024,
-      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      zorderBy: Seq[String] = Seq.empty): Long = {
+    import org.apache.spark.sql.functions.col
     val state = replay(spark, table, None)
     val head = (versions(table) ++ lastCheckpoint(table).map(_._1)).max
+    if (zorderBy.nonEmpty) {
+      require(zorderBy.length == 2,
+        s"zorderBy takes exactly two columns, got (${zorderBy.mkString(", ")})")
+      val all = state.files.keys.toSeq.sorted
+      if (all.isEmpty) return head
+      val totalBytes = state.files.valuesIterator.map(_.size).sum
+      val nOut: Int = math.max(1L,
+        (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val zv = Mooncake.zValue(col(zorderBy(0)).cast("long"),
+        col(zorderBy(1)).cast("long"))
+      val clustered = assemble(spark, table, state, keepMeta = false)
+        .withColumn("__z", zv)
+        .repartitionByRange(nOut, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+      return writeImpl(clustered, table, "append", Seq.empty, "none",
+        all, Map.empty, changeData = None,
+        operation = Some("OPTIMIZE ZORDER"), dataChange = false)
+    }
     // bin-packing is PER PARTITION (files never merge across hive
     // dirs): a partition must hold at least two qualifying files to be
     // worth rewriting — else a steady-state table with one small file

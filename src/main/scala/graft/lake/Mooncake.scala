@@ -600,21 +600,7 @@ class Mooncake(val warehouse: String) {
     }
   }
 
-  /** Bit-interleaved z-value of two integer columns (31 bits each →
-    * 62-bit z, covering the full positive int range; negatives clamp to
-    * 0 — clustering quality only, never correctness, since pruning
-    * reads the real footer stats). Pure codegen'd bit arithmetic — no
-    * UDF. */
-  private def zValue(a: Column, b: Column, bits: Int = 31): Column = {
-    val ac = greatest(a, lit(0L))
-    val bc = greatest(b, lit(0L))
-    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftright(ac, i).bitwiseAND(lit(1L)),
-          2 * i + 1))
-        .bitwiseOR(shiftleft(shiftright(bc, i).bitwiseAND(lit(1L)), 2 * i))
-    }
-  }
+  private def zValue(a: Column, b: Column): Column = Mooncake.zValue(a, b)
 
   // -------------------------------------------------------------------------
   // write path
@@ -718,6 +704,23 @@ object Mooncake {
   /** Default warehouse under the working dir (overridable per instance). */
   def apply(warehouse: String = "target/mooncake-warehouse"): Mooncake =
     new Mooncake(warehouse)
+
+  /** Bit-interleaved z-value of two integer columns (31 bits each →
+    * 62-bit z, covering the full positive int range; negatives clamp to
+    * 0 — clustering quality only, never correctness, since pruning
+    * reads the real footer stats). Pure codegen'd bit arithmetic — no
+    * UDF. Shared by the mirror's zorder compaction and Delta's
+    * OPTIMIZE ZORDER. */
+  private[lake] def zValue(a: Column, b: Column, bits: Int = 31): Column = {
+    val ac = greatest(a, lit(0L))
+    val bc = greatest(b, lit(0L))
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(ac, i).bitwiseAND(lit(1L)),
+          2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(bc, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+  }
 }
 
 /** Schema-qualified identifier parsing, same lexical rules the reference

@@ -902,7 +902,33 @@ object LakeQueries {
     """SELECT c_custkey, c_name, c_acctbal FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  /** Delta OPTIMIZE ZORDER under oracle check: re-cluster on
+    * interleaved (c_custkey, c_nationkey) bits, then prune-scan the
+    * SECOND dimension over `add.stats` — correctness must equal the
+    * plain WHERE at every scale. The pruning itself (files skipped on
+    * a non-leading column) is asserted in DeltaMergeCdfSpec on a
+    * crafted 64x64 layout — the fixture here is too small at sf0.001
+    * for a skip guarantee (the q_zorder_scan convention). */
+  val deltaZorder: Q = (s, dir) => {
+    val tmp = cachedFixture("graft-delta-zorder-q", dir) { t =>
+      val c = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      graft.lake.DeltaCompat.write(c.repartition(8), t)
+      graft.lake.DeltaCompat.optimize(s, t,
+        targetFileBytes = 64L * 1024,
+        zorderBy = Seq("c_custkey", "c_nationkey"))
+    }
+    graft.lake.DeltaCompat.read(s, tmp,
+      prune = Some(col("c_nationkey") >= 5 && col("c_nationkey") <= 9))
+      .orderBy("c_custkey")
+  }
+
+  val deltaZorderSql: String =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+      |WHERE c_nationkey BETWEEN 5 AND 9 ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_delta_zorder" -> deltaZorder,
     "q_delta_optimize" -> deltaOptimize,
     "q_delta_schema_evolve" -> deltaSchemaEvolve,
     "q_iceberg_partitions_meta" -> icebergPartitionsMeta,
@@ -941,6 +967,7 @@ object LakeQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_delta_zorder" -> deltaZorderSql,
     "q_delta_optimize" -> deltaOptimizeSql,
     "q_delta_schema_evolve" -> deltaSchemaEvolveSql,
     "q_iceberg_partitions_meta" -> icebergPartitionsMetaSql,

@@ -235,6 +235,27 @@ class DeltaMergeCdfSpec extends SparkSuite {
       Seq((1L, "p1", "a"), (2L, "p2", "b"), (3L, "p2", "c")))
   }
 
+  test("optimize zorder re-clusters so both dimensions prune") {
+    val dir = tmpDir("delta-zorder")
+    val rows = for (a <- 0L until 64L; b <- 0L until 64L)
+      yield (a, b, s"r$a-$b")
+    DeltaCompat.write(rows.toDF("a", "b", "v").repartition(4), dir)
+    val v = DeltaCompat.optimize(spark, dir,
+      targetFileBytes = 4L * 1024, zorderBy = Seq("a", "b"))
+    val all = DeltaCompat.read(spark, dir)
+    assert(all.inputFiles.length > 2)
+    // a range on the SECOND dimension prunes via add.stats
+    val pruned = DeltaCompat.read(spark, dir,
+      prune = Some(col("b") < 8))
+    assert(pruned.inputFiles.length < all.inputFiles.length)
+    assert(pruned.count() === 64L * 8)
+    assert(all.count() === 64L * 64)
+    // history labels it; the feed would stay silent (dataChange=false)
+    assert(DeltaCompat.history(spark, dir)
+      .select("operation").as[String].collect().last === "OPTIMIZE ZORDER")
+    assert(v === DeltaCompat.versions(dir).max)
+  }
+
   test("a no-op merge with a txn still advances the watermark") {
     val dir = tmpDir("delta-merge-noop-txn")
     DeltaCompat.write(Seq((1L, "a")).toDF("k", "v"), dir)

@@ -843,18 +843,35 @@ object DeltaCompat {
     if (zorderBy.nonEmpty) {
       require(zorderBy.length == 2,
         s"zorderBy takes exactly two columns, got (${zorderBy.mkString(", ")})")
+      // existence + integer-type check UP FRONT: a silent cast of a
+      // string column to null would rewrite the whole table with the
+      // clustering degenerated to one dimension
+      val schema = DataType.fromJson(state.schemaJson.getOrElse(
+        throw new IllegalStateException(s"$table has no metaData action")))
+        .asInstanceOf[StructType]
+      zorderBy.foreach { c =>
+        val f = schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"$table has no column '$c' to z-order on"))
+        f.dataType match {
+          case org.apache.spark.sql.types.IntegerType |
+            org.apache.spark.sql.types.LongType |
+            org.apache.spark.sql.types.ShortType |
+            org.apache.spark.sql.types.ByteType => ()
+          case other => throw new IllegalArgumentException(
+            s"z-order needs integer columns; '$c' is $other")
+        }
+      }
       val all = state.files.keys.toSeq.sorted
       if (all.isEmpty) return head
       val totalBytes = state.files.valuesIterator.map(_.size).sum
-      val nOut: Int = math.max(1L,
-        (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-      val zv = Mooncake.zValue(col(zorderBy(0)).cast("long"),
-        col(zorderBy(1)).cast("long"))
-      val clustered = assemble(spark, table, state, keepMeta = false)
-        .withColumn("__z", zv)
-        .repartitionByRange(nOut, col("__z"))
-        .sortWithinPartitions("__z")
-        .drop("__z")
+      val nOut = Mooncake.fileBudget(totalBytes, targetFileBytes)
+      // partition columns lead the range keys so hive re-splitting
+      // keeps z-order intact WITHIN every partition's files
+      val clustered = Mooncake.zCluster(
+        assemble(spark, table, state, keepMeta = false),
+        zorderBy(0), zorderBy(1), nOut,
+        prefixCols = state.partitionColumns)
       return writeImpl(clustered, table, "append", Seq.empty, "none",
         all, Map.empty, changeData = None,
         operation = Some("OPTIMIZE ZORDER"), dataChange = false)
@@ -873,8 +890,7 @@ object DeltaCompat {
     if (small.size < 2) return head
     val subset = state.copy(files = smallMap)
     val totalBytes = smallMap.valuesIterator.map(_.size).sum
-    val nOut = math.max(1L,
-      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val nOut = Mooncake.fileBudget(totalBytes, targetFileBytes)
     val live = assemble(spark, table, subset, keepMeta = false)
       .coalesce(nOut)
     writeImpl(live, table, "append", Seq.empty, "none", small,

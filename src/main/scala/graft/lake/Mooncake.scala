@@ -585,13 +585,9 @@ class Mooncake(val warehouse: String) {
         require(cols.length == 2,
           s"zorder mode takes exactly two columns, got '$z'")
         val totalBytes = m.files.map(_.bytes).sum
-        val nFiles = math.max(1, (totalBytes / targetFileBytes).toInt)
-        val zv = zValue(col(cols(0)).cast("long"), col(cols(1)).cast("long"))
-        val clustered = readFiles(spark, m, m.files)
-          .withColumn("__z", zv)
-          .repartitionByRange(nFiles, col("__z"))
-          .sortWithinPartitions("__z")
-          .drop("__z")
+        val nFiles = Mooncake.fileBudget(totalBytes, targetFileBytes)
+        val clustered = Mooncake.zCluster(
+          readFiles(spark, m, m.files), cols(0), cols(1), nFiles)
         writeVersion(spark, name, clustered, m.pkColumns, m.version + 1,
           carryOver = Seq.empty, alreadyPartitioned = true,
           bloomColumns = m.bloomColumns.getOrElse(Nil))
@@ -600,7 +596,6 @@ class Mooncake(val warehouse: String) {
     }
   }
 
-  private def zValue(a: Column, b: Column): Column = Mooncake.zValue(a, b)
 
   // -------------------------------------------------------------------------
   // write path
@@ -721,6 +716,31 @@ object Mooncake {
         .bitwiseOR(shiftleft(shiftright(bc, i).bitwiseAND(lit(1L)), 2 * i))
     }
   }
+
+  /** The ONE z-clustering recipe both the mirror's zorder compaction
+    * and Delta's OPTIMIZE ZORDER use (so the two can never drift):
+    * range-partition + sort on (`prefixCols`..., z) and drop the
+    * helper column. `prefixCols` (hive partition columns) keep each
+    * partition's rows contiguous, so z-order holds WITHIN every
+    * partition's files after the writer re-splits by dir. */
+  private[lake] def zCluster(df: org.apache.spark.sql.DataFrame,
+      a: String, b: String, nOut: Int,
+      prefixCols: Seq[String] = Seq.empty): org.apache.spark.sql.DataFrame = {
+    val keys = prefixCols.map(col) :+ col("__z")
+    df.withColumn("__z", zValue(col(a).cast("long"), col(b).cast("long")))
+      .repartitionByRange(nOut, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .drop("__z")
+  }
+
+  /** Output-file budget for a rewrite of `totalBytes`: ceil division,
+    * clamped to [1, 1e6] so a tiny target on a huge table can never
+    * overflow Int or ask for an absurd partition count. */
+  private[lake] def fileBudget(totalBytes: Long, targetBytes: Long): Int =
+    if (targetBytes <= 0 || targetBytes >= totalBytes) 1
+    else math.min(1000000L,
+      totalBytes / targetBytes +
+        (if (totalBytes % targetBytes == 0) 0L else 1L)).toInt
 }
 
 /** Schema-qualified identifier parsing, same lexical rules the reference

@@ -240,8 +240,13 @@ class DeltaMergeCdfSpec extends SparkSuite {
     val rows = for (a <- 0L until 64L; b <- 0L until 64L)
       yield (a, b, s"r$a-$b")
     DeltaCompat.write(rows.toDF("a", "b", "v").repartition(4), dir)
+    // target derived from the ACTUAL staged bytes (geometry must not
+    // hinge on compression defaults): ~8 output z-slices at any codec
+    val total = DeltaCompat.read(spark, dir).inputFiles
+      .map(f => new java.io.File(new java.net.URI(f)).length).sum
     val v = DeltaCompat.optimize(spark, dir,
-      targetFileBytes = 4L * 1024, zorderBy = Seq("a", "b"))
+      targetFileBytes = math.max(1L, total / 8),
+      zorderBy = Seq("a", "b"))
     val all = DeltaCompat.read(spark, dir)
     assert(all.inputFiles.length > 2)
     // a range on the SECOND dimension prunes via add.stats
@@ -254,6 +259,29 @@ class DeltaMergeCdfSpec extends SparkSuite {
     assert(DeltaCompat.history(spark, dir)
       .select("operation").as[String].collect().last === "OPTIMIZE ZORDER")
     assert(v === DeltaCompat.versions(dir).max)
+    // misuse refuses up front — no silent one-dimension rewrite
+    intercept[IllegalArgumentException] {
+      DeltaCompat.optimize(spark, dir, zorderBy = Seq("v", "a"))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaCompat.optimize(spark, dir, zorderBy = Seq("nope", "a"))
+    }
+  }
+
+  test("optimize zorder keeps hive partitions intact") {
+    val dir = tmpDir("delta-zorder-part")
+    val rows = for (a <- 0L until 32L; b <- 0L until 8L)
+      yield (a, b, if (a % 2 == 0) "p1" else "p2")
+    DeltaCompat.write(rows.toDF("a", "b", "p").repartition(4), dir,
+      partitionBy = Seq("p"))
+    val before = DeltaCompat.read(spark, dir).inputFiles.length
+    DeltaCompat.optimize(spark, dir, zorderBy = Seq("a", "b"))
+    val after = DeltaCompat.read(spark, dir)
+    // one z-slice, two partitions -> two files (never nOut x P)
+    assert(after.inputFiles.length <= before)
+    assert(after.inputFiles.length === 2)
+    assert(after.count() === 32L * 8)
+    assert(after.filter(col("p") === "p1").count() === 16L * 8)
   }
 
   test("a no-op merge with a txn still advances the watermark") {

@@ -102,4 +102,48 @@ class DeltaPropertySpec extends SparkSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
     assert(result.passed, s"property failed: ${result.status}")
   }
+
+  /** Property: for ANY sequence of merge batches (distinct keys per
+    * batch, each row upsert-or-delete), the table equals the obvious
+    * key→value map replay. Exercises touched-file discovery, the
+    * full-outer join legs, file-level rewrite, delete flags, and
+    * no-op batches — the upsert semantics end to end. */
+  test("delta merge == keyed-map replay for random upsert/delete batches") {
+    case class Batch(rows: List[(Long, String, Boolean)]) // (k, v, del)
+
+    val genBatch: Gen[Batch] = for {
+      n <- Gen.chooseNum(1, 6)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(0L, 30L)
+        v <- Gen.alphaStr.map(_.take(3))
+        del <- Gen.prob(0.3)
+      } yield (k, v, del))
+    } yield Batch(rows.distinctBy(_._1)) // duplicate source keys refused
+
+    var i = 0
+    val prop = Prop.forAll(Gen.chooseNum(1, 4).flatMap(n =>
+      Gen.listOfN(n, genBatch))) { batches =>
+      i += 1
+      val dir = tmpDir(s"delta-mergeprop-$i")
+      import org.apache.spark.sql.functions.col
+      DeltaCompat.write(
+        List((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), dir)
+      val model = batches.foldLeft(
+        scala.collection.immutable.Map(1L -> "a", 2L -> "b", 3L -> "c")) {
+        (st, b) =>
+          DeltaCompat.merge(spark, dir,
+            b.rows.toDF("k", "v", "del"), Seq("k"),
+            deleteWhen = Some(col("del")))
+          b.rows.foldLeft(st) { case (m, (k, v, del)) =>
+            if (del) m - k else m + (k -> v)
+          }
+      }
+      val got = DeltaCompat.read(spark, dir)
+        .as[(Long, String)].collect().sorted.toList
+      got == model.toList.sorted
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(result.passed, s"property failed: ${result.status}")
+  }
 }

@@ -682,15 +682,47 @@ object IcebergCompat {
     * CDC run the scan stops paying per-query delete anti-joins. Prior
     * snapshots still time-travel (their manifests and delete files
     * remain). Returns the new snapshot id. */
-  def compact(spark: SparkSession, tableDir: String): Long = {
+  def compact(spark: SparkSession, tableDir: String,
+      zorderBy: Seq[String] = Seq.empty,
+      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
     // Scans and delete anti-joins relax NOT NULL; the replace snapshot
     // must keep the declared schema, so rebuild the frame against it
     // (an RDD-backed re-assertion — compact is a whole-table rewrite
     // anyway, one extra serde pass is noise next to the parquet IO).
-    val declared = toStructType(currentMetadata(tableDir))
+    val meta = currentMetadata(tableDir)
+    val declared = toStructType(meta)
     val live = read(spark, tableDir)
-    write(spark.createDataFrame(live.rdd, declared), tableDir,
-      mode = "overwrite")
+    val asserted = spark.createDataFrame(live.rdd, declared)
+    // `zorderBy` (two integer columns) re-clusters the rewrite on the
+    // interleaved z-value — the SAME recipe as the mirror's zorder
+    // compaction and Delta's OPTIMIZE ZORDER (Mooncake.zCluster) — so
+    // `read(prune)` over the manifest bounds skips on EITHER dimension.
+    val clustered =
+      if (zorderBy.isEmpty) asserted
+      else {
+        require(zorderBy.length == 2,
+          s"zorderBy takes exactly two columns, got " +
+            s"(${zorderBy.mkString(", ")})")
+        zorderBy.foreach { c =>
+          val f = declared.fields.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(
+              s"$tableDir has no column '$c' to z-order on"))
+          f.dataType match {
+            case IntegerType | LongType | ShortType | ByteType => ()
+            case other => throw new IllegalArgumentException(
+              s"z-order needs integer columns; '$c' is $other")
+          }
+        }
+        val identityCols = defaultSpec(meta)
+          .filter(_._2 == "identity").map(_._1)
+        val totalBytes = LakeFs
+          .parquetFilesUnder(Paths.get(tableDir, "data"))
+          .map(Files.size(_)).sum
+        val nOut = Mooncake.fileBudget(totalBytes, targetFileBytes)
+        Mooncake.zCluster(asserted, zorderBy(0), zorderBy(1), nOut,
+          prefixCols = identityCols)
+      }
+    write(clustered, tableDir, mode = "overwrite")
   }
 
   /** Expire snapshots older than `olderThanMs` — the Iceberg

@@ -743,6 +743,30 @@ class IcebergCompatSpec extends SparkSuite {
       Seq((3L, "b", 30)))
   }
 
+  test("compact with zorderBy re-clusters so both dimensions prune") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("iceberg-zorder")
+    val rows = for (a <- 0L until 64L; b <- 0L until 64L)
+      yield (a, b, s"r$a-$b")
+    IcebergCompat.write(rows.toDF("a", "b", "v").repartition(4), dir)
+    val total = IcebergCompat.read(spark, dir).inputFiles
+      .map(f => new java.io.File(new java.net.URI(f)).length).sum
+    IcebergCompat.compact(spark, dir, zorderBy = Seq("a", "b"),
+      targetFileBytes = math.max(1L, total / 8))
+    val all = IcebergCompat.read(spark, dir)
+    assert(all.inputFiles.length > 2)
+    assert(all.count() === 64L * 64)
+    // manifest bounds prune on the SECOND dimension
+    val pruned = IcebergCompat.read(spark, dir,
+      prune = Some(col("b") < 8))
+    assert(pruned.inputFiles.length < all.inputFiles.length)
+    assert(pruned.count() === 64L * 8)
+    intercept[IllegalArgumentException] {
+      IcebergCompat.compact(spark, dir, zorderBy = Seq("v", "a"))
+    }
+  }
+
   test("inspection tables describe the current snapshot's layout") {
     import spark.implicits._
     val dir = tmpDir("iceberg-inspect")

@@ -841,27 +841,15 @@ object DeltaCompat {
     val state = replay(spark, table, None)
     val head = (versions(table) ++ lastCheckpoint(table).map(_._1)).max
     if (zorderBy.nonEmpty) {
-      require(zorderBy.length == 2,
-        s"zorderBy takes exactly two columns, got (${zorderBy.mkString(", ")})")
-      // existence + integer-type check UP FRONT: a silent cast of a
-      // string column to null would rewrite the whole table with the
-      // clustering degenerated to one dimension
+      // existence + integer-type check UP FRONT (shared with the other
+      // z-clustering callers): a silent cast of a string column to null
+      // would rewrite the whole table with the clustering degenerated
+      // to one dimension
       val schema = DataType.fromJson(state.schemaJson.getOrElse(
         throw new IllegalStateException(s"$table has no metaData action")))
         .asInstanceOf[StructType]
-      zorderBy.foreach { c =>
-        val f = schema.fields.find(_.name == c).getOrElse(
-          throw new IllegalArgumentException(
-            s"$table has no column '$c' to z-order on"))
-        f.dataType match {
-          case org.apache.spark.sql.types.IntegerType |
-            org.apache.spark.sql.types.LongType |
-            org.apache.spark.sql.types.ShortType |
-            org.apache.spark.sql.types.ByteType => ()
-          case other => throw new IllegalArgumentException(
-            s"z-order needs integer columns; '$c' is $other")
-        }
-      }
+      Mooncake.validateZorderColumns(
+        cleanType(schema).asInstanceOf[StructType], zorderBy, table)
       val all = state.files.keys.toSeq.sorted
       if (all.isEmpty) return head
       val totalBytes = state.files.valuesIterator.map(_.size).sum

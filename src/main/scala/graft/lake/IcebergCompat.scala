@@ -693,36 +693,59 @@ object IcebergCompat {
     val declared = toStructType(meta)
     val live = read(spark, tableDir)
     val asserted = spark.createDataFrame(live.rdd, declared)
+    // The file budget sizes from the LIVE snapshot's data entries —
+    // data/ also holds dead files of time-travelable prior snapshots
+    // and delete parquet, and sizing from the directory would inflate
+    // the budget a little more after every compaction.
+    val nOut = Mooncake.fileBudget(liveDataBytes(meta), targetFileBytes)
     // `zorderBy` (two integer columns) re-clusters the rewrite on the
     // interleaved z-value — the SAME recipe as the mirror's zorder
     // compaction and Delta's OPTIMIZE ZORDER (Mooncake.zCluster) — so
     // `read(prune)` over the manifest bounds skips on EITHER dimension.
     val clustered =
-      if (zorderBy.isEmpty) asserted
+      if (zorderBy.isEmpty) asserted.coalesce(nOut)
       else {
-        require(zorderBy.length == 2,
-          s"zorderBy takes exactly two columns, got " +
-            s"(${zorderBy.mkString(", ")})")
-        zorderBy.foreach { c =>
-          val f = declared.fields.find(_.name == c).getOrElse(
-            throw new IllegalArgumentException(
-              s"$tableDir has no column '$c' to z-order on"))
-          f.dataType match {
-            case IntegerType | LongType | ShortType | ByteType => ()
-            case other => throw new IllegalArgumentException(
-              s"z-order needs integer columns; '$c' is $other")
-          }
-        }
-        val identityCols = defaultSpec(meta)
-          .filter(_._2 == "identity").map(_._1)
-        val totalBytes = LakeFs
-          .parquetFilesUnder(Paths.get(tableDir, "data"))
-          .map(Files.size(_)).sum
-        val nOut = Mooncake.fileBudget(totalBytes, targetFileBytes)
+        Mooncake.validateZorderColumns(declared, zorderBy, tableDir)
+        val spec = defaultSpec(meta)
+        val nonIdentity = spec.filter(_._2 != "identity")
+        if (nonIdentity.nonEmpty)
+          throw new UnsupportedOperationException(
+            s"z-order compact under non-identity transforms " +
+              s"(${nonIdentity.map(p => s"${p._2}(${p._1})").mkString(", ")})" +
+              " out of this writer's scope — the staged bucket/truncate" +
+              " dirs would fragment every z-slice")
         Mooncake.zCluster(asserted, zorderBy(0), zorderBy(1), nOut,
-          prefixCols = identityCols)
+          prefixCols = spec.map(_._1))
       }
     write(clustered, tableDir, mode = "overwrite")
+  }
+
+  /** Total bytes of the CURRENT snapshot's live data files, from the
+    * manifests alone (the budget input for [[compact]]). */
+  private def liveDataBytes(meta: JsonNode): Long = {
+    val currentId = meta.path("current-snapshot-id").asLong(-1)
+    meta.path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong(-2) == currentId)
+      .map(_.get("manifest-list").asText()).toSeq
+      .flatMap(ml => avroRecords(localPath(ml)))
+      .filter { r =>
+        r.getSchema.getField("content") == null || (r.get("content") match {
+          case i: java.lang.Integer => i.intValue == 0
+          case l: java.lang.Long => l.intValue == 0
+          case _ => true
+        })
+      }
+      .flatMap(r => avroRecords(localPath(r.get("manifest_path").toString)))
+      .filter(_.get("status").asInstanceOf[Int] != 2)
+      .map { e =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        if (df.getSchema.getField("file_size_in_bytes") == null) 0L
+        else df.get("file_size_in_bytes") match {
+          case l: java.lang.Long => l.longValue
+          case i: java.lang.Integer => i.longValue
+          case _ => 0L
+        }
+      }.sum
   }
 
   /** Expire snapshots older than `olderThanMs` — the Iceberg

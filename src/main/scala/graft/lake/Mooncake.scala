@@ -581,13 +581,12 @@ class Mooncake(val warehouse: String) {
         // the per-column footer stats, where linear clustering prunes
         // only its one leading dimension.
         val cols = z.stripPrefix("zorder:").split(",").map(_.trim)
-          .filter(_.nonEmpty)
-        require(cols.length == 2,
-          s"zorder mode takes exactly two columns, got '$z'")
+          .filter(_.nonEmpty).toSeq
+        val frame = readFiles(spark, m, m.files)
+        Mooncake.validateZorderColumns(frame.schema, cols, name)
         val totalBytes = m.files.map(_.bytes).sum
         val nFiles = Mooncake.fileBudget(totalBytes, targetFileBytes)
-        val clustered = Mooncake.zCluster(
-          readFiles(spark, m, m.files), cols(0), cols(1), nFiles)
+        val clustered = Mooncake.zCluster(frame, cols(0), cols(1), nFiles)
         writeVersion(spark, name, clustered, m.pkColumns, m.version + 1,
           carryOver = Seq.empty, alreadyPartitioned = true,
           bloomColumns = m.bloomColumns.getOrElse(Nil))
@@ -731,6 +730,29 @@ object Mooncake {
       .repartitionByRange(nOut, keys: _*)
       .sortWithinPartitions(keys: _*)
       .drop("__z")
+  }
+
+  /** The ONE z-order column check (arity, existence, integer type) for
+    * every z-clustering caller — a string column would silently cast
+    * to null and degenerate the clustering to one dimension. */
+  private[lake] def validateZorderColumns(
+      schema: org.apache.spark.sql.types.StructType,
+      cols: Seq[String], context: String): Unit = {
+    require(cols.length == 2,
+      s"zorderBy takes exactly two columns, got (${cols.mkString(", ")})")
+    cols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"$context has no column '$c' to z-order on"))
+      f.dataType match {
+        case org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.LongType |
+          org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.ByteType => ()
+        case other => throw new IllegalArgumentException(
+          s"z-order needs integer columns; '$c' is $other")
+      }
+    }
   }
 
   /** Output-file budget for a rewrite of `totalBytes`: ceil division,

@@ -92,10 +92,13 @@ object Bench {
     }
     // Flag >3x run-to-run variance on anything that ever took >0.5s —
     // the signature of a JIT/code-cache stall sweeping a victim query.
+    // Compared on the EXEC leg (total minus build): build-once fixtures
+    // are legitimately slow on pass 1 only, and flagging them would
+    // bury a real stall in designed-in noise.
     val varianceFlags = results.map(_._1).zipWithIndex.collect {
       case (name, i)
           if allPasses.forall(_(i)._2 >= 0) && {
-            val ts = allPasses.map(_(i)._2)
+            val ts = allPasses.map(p => p(i)._2 - math.max(p(i)._3, 0.0))
             ts.max > 0.5 && ts.max / math.max(ts.min, 1e-9) > 3.0
           } =>
         s""""$name""""

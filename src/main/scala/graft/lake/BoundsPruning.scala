@@ -119,14 +119,17 @@ private[lake] object BoundsPruning {
   /** Parse a JSON stats value (Delta add.stats minValues/maxValues) to
     * a comparable JVM value per the column's Spark type. Types whose
     * JSON encoding we don't map (dates, timestamps, decimals) → None —
-    * never prune on a guess. */
+    * never prune on a guess. Float/double are deliberately unmapped:
+    * stats writers exclude NaN from min/max (JSON cannot even encode
+    * it) while Spark orders NaN greater than every value, and Delta
+    * stats carry no NaN count to prove absence — so an fp bound can
+    * never PROVABLY exclude a file. */
   def jsonBound(node: com.fasterxml.jackson.databind.JsonNode,
       t: DataType): Option[Any] =
     if (node == null || node.isNull) None
     else t match {
       case ByteType | ShortType | IntegerType | LongType
           if node.isIntegralNumber => Some(node.asLong())
-      case FloatType | DoubleType if node.isNumber => Some(node.asDouble())
       case StringType if node.isTextual => Some(node.asText())
       case BooleanType if node.isBoolean => Some(node.asBoolean())
       case _ => None

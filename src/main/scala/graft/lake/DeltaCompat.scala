@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession, functions}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Minimal Delta Lake log interop — the reference reads Delta tables and
@@ -1087,29 +1087,38 @@ object DeltaCompat {
     val maxRows = math.min(Int.MaxValue - 1L,
       spark.conf.getOption("spark.graft.delta.dvMaxDeleteRows")
         .map(_.toLong).getOrElse(10000000L)).toInt
-    // ONE scan: take(limit + 1) bounds driver memory by the configured
-    // limit AND detects overflow, without a separate count() pass over
-    // the matched set (the filter is the expensive leg of every delete).
-    val taken = matchedDf.take(maxRows + 1)
-    if (taken.isEmpty) return head
-    if (taken.length > maxRows)
+    // The guard must not itself OOM: a take(limit+1) of raw (path, pos)
+    // Rows repeats the full path string per row — multi-GB of driver
+    // heap at the default 10M limit. Instead the limit check is a
+    // PER-FILE COUNT aggregate (≤ live-file-count rows, manifest-sized,
+    // nothing row-sized reaches the driver), and positions are pulled
+    // only after the total passes — grouped per file, so each path
+    // string crosses once and the payload is ~maxRows boxed longs.
+    val perFile = matchedDf.groupBy("__fp")
+      .agg(functions.count(functions.lit(1)).as("__n")).collect()
+    if (perFile.isEmpty) return head
+    val total = perFile.map(_.getLong(1)).sum
+    if (total > maxRows)
       throw new UnsupportedOperationException(
-        s"$table: delete matched over " +
-          s"spark.graft.delta.dvMaxDeleteRows=$maxRows rows. DV " +
+        s"$table: delete matched $total rows, over " +
+          s"spark.graft.delta.dvMaxDeleteRows=$maxRows. DV " +
           "coordinates are log metadata every reader must hold — a " +
           "delete this large should rewrite files instead: write() the " +
           "filtered table (or purge() after raising the limit " +
           "deliberately).")
-    val matched = taken.map(r => (uriToPath(r.getString(0)), r.getLong(1)))
+    val matched: Seq[(String, Seq[Long])] = matchedDf.groupBy("__fp")
+      .agg(functions.collect_list("__pos").as("__ps")).collect().toSeq
+      .map(r => (uriToPath(r.getString(0)),
+        r.getSeq[Long](1)))
     val root = Paths.get(table)
     val relByAbs = state.files.keys.map(rel => absPath(table, rel) -> rel).toMap
-    val affected = matched.groupBy(_._1).toSeq.map { case (abs, rows) =>
+    val affected = matched.map { case (abs, rows) =>
       val rel = relByAbs.getOrElse(abs,
         throw new IllegalStateException(s"$abs not in the live file set"))
       val add = state.files(rel)
       val existing = add.dv
         .map(DeletionVectors.read(root, _)).getOrElse(Array.empty[Long])
-      (rel, add, (existing ++ rows.map(_._2)).distinct.sorted)
+      (rel, add, (existing ++ rows).distinct.sorted)
     }.sortBy(_._1)
     val descriptors = DeletionVectors.write(root, affected.map(_._3))
 

@@ -242,6 +242,30 @@ object IcebergCompat {
       case _ => Map.empty
     }
 
+  /** The (field-id → long) counts array of a manifest data_file record
+    * (value_counts / nan_value_counts shape) as (columnName → count).
+    * Absent field / foreign shape → empty (unknown, never prune). */
+  private def countsOf(df: GenericRecord, field: String,
+      idToName: Map[Int, String]): Map[String, Long] =
+    if (df.getSchema.getField(field) == null) Map.empty
+    else df.get(field) match {
+      case arr: java.util.Collection[_] => arr.asScala.flatMap {
+        case r: GenericRecord =>
+          val id = r.get("key") match {
+            case i: java.lang.Integer => i.intValue
+            case l: java.lang.Long => l.intValue
+            case _ => -1
+          }
+          r.get("value") match {
+            case n: java.lang.Number =>
+              idToName.get(id).map(_ -> n.longValue)
+            case _ => None
+          }
+        case _ => None
+      }.toMap
+      case _ => Map.empty
+    }
+
   // range-conjunct extraction + bound comparison live in
   // [[BoundsPruning]], shared with DeltaCompat's stats-based skipping
 
@@ -339,13 +363,30 @@ object IcebergCompat {
                 .map(f => f.name -> avroValue(pr.get(f.name))).toMap
             // bounds decode only when a prune predicate will consult
             // them — the common unpruned read keeps the manifest walk
-            // allocation-free
+            // allocation-free. Float/double bounds EXCLUDE NaN per
+            // spec, while Spark orders NaN greater than everything —
+            // so a file with rows [1.0, NaN] and upper bound 1.0 DOES
+            // hold rows matching `x > 5`. An fp bound may prune only
+            // when nan_value_counts proves the file NaN-free; absent
+            // or nonzero count → drop the bound (keep the file).
+            def fpSafe(m: Map[String, Any]): Map[String, Any] =
+              if (m.isEmpty) m
+              else {
+                lazy val nan = countsOf(df, "nan_value_counts", idToName)
+                m.filter { case (n, _) =>
+                  fieldType.get(n) match {
+                    case Some(FloatType) | Some(DoubleType) =>
+                      nan.get(n).contains(0L)
+                    case _ => true
+                  }
+                }
+              }
             Some(DataFileInfo(localPath(df.get("file_path").toString), pv,
               seqOf(rec, listRec, status), specId,
               if (prune.isEmpty) Map.empty
-              else boundsOf(df, "lower_bounds", idToName, fieldType),
+              else fpSafe(boundsOf(df, "lower_bounds", idToName, fieldType)),
               if (prune.isEmpty) Map.empty
-              else boundsOf(df, "upper_bounds", idToName, fieldType)))
+              else fpSafe(boundsOf(df, "upper_bounds", idToName, fieldType))))
           }
         }
       }
@@ -550,12 +591,20 @@ object IcebergCompat {
             else reconstructGroups(fs, specId, fileNameOf, missing)
           }
       else {
-        val histNames: Map[Int, Seq[String]] = {
+        // Every historical (id → name) schema version, newest first.
+        // The name-mapping fallback for UNANNOTATED files resolves all
+        // fields JOINTLY against one version — per-field greedy
+        // matching silently swap-binds under swapped or chained
+        // renames (A→B plus B→A leaves both names present and both
+        // bindings plausible field-by-field; only whole-version
+        // consistency can tell them apart).
+        val schemaVersions: Seq[Map[Int, String]] = {
           val nodes = meta.path("schemas").elements().asScala.toSeq.reverse
-          nodes.flatMap(_.path("fields").elements().asScala
-            .map(f => f.get("id").asInt() -> f.get("name").asText()))
-            .groupBy(_._1)
-            .map { case (id, ns) => id -> ns.map(_._2).distinct }
+          val vs = nodes.map(_.path("fields").elements().asScala
+            .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap)
+            .filter(_.nonEmpty)
+          if (vs.nonEmpty) vs
+          else Seq(schema.fields.map(f => idByName(f.name) -> f.name).toMap)
         }
         def resolve(path: String): Seq[Option[String]] = {
           val info = parquetFields(Paths.get(path))
@@ -564,13 +613,22 @@ object IcebergCompat {
             schema.fields.toSeq.map(f => byId.get(idByName(f.name)))
           else {
             val fileNames = info.map(_._1).toSet
-            val claimed = scala.collection.mutable.Set[String]()
-            schema.fields.toSeq.map { f =>
-              val cand = histNames.getOrElse(idByName(f.name), Seq(f.name))
-                .find(n => fileNames.contains(n) && !claimed(n))
-              cand.foreach(claimed += _)
-              cand
-            }
+            // candidate signature per schema version: current field →
+            // that version's name for its id, if present in the file
+            val sigs = schemaVersions.map(v =>
+              schema.fields.toSeq.map(f =>
+                v.get(idByName(f.name)).filter(fileNames.contains)))
+            val best = sigs.map(_.count(_.isDefined)).max
+            val winners = sigs.filter(_.count(_.isDefined) == best).distinct
+            if (best == 0) schema.fields.toSeq.map(_ => None)
+            else if (winners.size > 1)
+              throw new UnsupportedOperationException(
+                s"$path has no field-id annotations and its column names " +
+                  s"(${fileNames.mkString(", ")}) resolve ambiguously " +
+                  "against multiple historical schema versions (e.g. " +
+                  "swapped renames) — cannot bind columns safely; " +
+                  "rewrite the file with field ids")
+            else winners.head
           }
         }
         dataFiles.groupBy(f => (f.specId, resolve(f.path))).toSeq
@@ -944,6 +1002,18 @@ object IcebergCompat {
     arr
   }
 
+  /** Same array-of-kv map shape with LONG values — the spec's
+    * `map<int, long>` counts fields (value_counts, nan_value_counts). */
+  private def countsMapSchema(keyId: Int, valueId: Int): Schema = {
+    val kv = withFieldIds(SchemaBuilder.record(s"k${keyId}_v$valueId").fields()
+      .requiredInt("key")
+      .requiredLong("value")
+      .endRecord(), Map("key" -> keyId, "value" -> valueId))
+    val arr = Schema.createArray(kv)
+    arr.addProp("logicalType", "map")
+    arr
+  }
+
   /** manifest_entry per spec v2: status + inheritance-eligible ids written
     * explicitly + the required data_file struct (content, path, format,
     * partition, record_count, file_size_in_bytes, per-column
@@ -964,6 +1034,9 @@ object IcebergCompat {
       .name("upper_bounds").`type`(Schema.createUnion(
         Schema.create(Schema.Type.NULL), boundsMapSchema("upper", 129, 130)))
       .withDefault(null)
+      .name("nan_value_counts").`type`(Schema.createUnion(
+        Schema.create(Schema.Type.NULL), countsMapSchema(138, 139)))
+      .withDefault(null)
       .name("equality_ids").`type`(Schema.createUnion(
         Schema.create(Schema.Type.NULL),
         Schema.createArray(Schema.create(Schema.Type.INT))))
@@ -972,7 +1045,8 @@ object IcebergCompat {
       Map("content" -> 134, "file_path" -> 100, "file_format" -> 101,
         "partition" -> 102, "record_count" -> 103,
         "file_size_in_bytes" -> 104, "lower_bounds" -> 125,
-        "upper_bounds" -> 128, "equality_ids" -> 135))
+        "upper_bounds" -> 128, "nan_value_counts" -> 137,
+        "equality_ids" -> 135))
     withFieldIds(SchemaBuilder.record("manifest_entry").fields()
       .requiredInt("status")
       .requiredLong("snapshot_id")
@@ -1066,12 +1140,17 @@ object IcebergCompat {
                   val (lo, hi) = (
                     sts.map(_.genericGetMin.asInstanceOf[java.lang.Float].floatValue).min,
                     sts.map(_.genericGetMax.asInstanceOf[java.lang.Float].floatValue).max)
-                  Some(name -> (le(4)(_.putFloat(lo)), le(4)(_.putFloat(hi))))
+                  // NaN-poisoned stats (a writer that folded NaN into
+                  // min/max) must not become spec bounds, which EXCLUDE
+                  // NaN — drop rather than mislead readers
+                  if (lo.isNaN || hi.isNaN) None
+                  else Some(name -> (le(4)(_.putFloat(lo)), le(4)(_.putFloat(hi))))
                 case (DOUBLE, null) =>
                   val (lo, hi) = (
                     sts.map(_.genericGetMin.asInstanceOf[java.lang.Double].doubleValue).min,
                     sts.map(_.genericGetMax.asInstanceOf[java.lang.Double].doubleValue).max)
-                  Some(name -> (le(8)(_.putDouble(lo)), le(8)(_.putDouble(hi))))
+                  if (lo.isNaN || hi.isNaN) None
+                  else Some(name -> (le(8)(_.putDouble(lo)), le(8)(_.putDouble(hi))))
                 case (BOOLEAN, null) =>
                   val lo = sts.map(_.genericGetMin.asInstanceOf[java.lang.Boolean].booleanValue).min
                   val hi = sts.map(_.genericGetMax.asInstanceOf[java.lang.Boolean].booleanValue).max
@@ -1342,9 +1421,7 @@ object IcebergCompat {
     // Field-id annotations in the parquet footers (the spec requires
     // them): Spark writes `parquet.field.id` from field metadata, and
     // both our reader and real engines then project by id — the
-    // mechanism that makes renamed columns resolve in old files. The
-    // session flag is restored after staging (a library must not leak
-    // config into the caller's session).
+    // mechanism that makes renamed columns resolve in old files.
     val annotated = stagedDf.select(stagedDf.columns.toIndexedSeq.map { c =>
       idByName.get(c) match {
         case Some(id) => stagedDf.col(c).as(c,
@@ -1354,17 +1431,16 @@ object IcebergCompat {
       }
     }: _*)
     val stage = Files.createTempDirectory(Paths.get(tableDir), ".stage")
-    val fieldIdKey = "spark.sql.parquet.fieldId.write.enabled"
-    val prevFieldIdConf = df.sparkSession.conf.getOption(fieldIdKey)
-    df.sparkSession.conf.set(fieldIdKey, "true")
-    try {
-      val stageW = annotated.write.mode("overwrite")
-      (if (stageCols.nonEmpty) stageW.partitionBy(stageCols: _*) else stageW)
-        .parquet(stage.toString)
-    } finally prevFieldIdConf match {
-      case Some(v) => df.sparkSession.conf.set(fieldIdKey, v)
-      case None => df.sparkSession.conf.unset(fieldIdKey)
-    }
+    // The flag must hold for THIS write only. The writer option is
+    // ignored (prepareWrite re-reads the session conf — verified
+    // empirically), and flipping the caller's session conf leaks state
+    // into concurrent jobs and races restores — so the staging frame is
+    // rebound to a CLONED session carrying the override.
+    val isolated = org.apache.spark.sql.graft.ColumnBridge.withSessionConf(
+      annotated, "spark.sql.parquet.fieldId.write.enabled" -> "true")
+    val stageW = isolated.write.mode("overwrite")
+    (if (stageCols.nonEmpty) stageW.partitionBy(stageCols: _*) else stageW)
+      .parquet(stage.toString)
     val parts = LakeFs.parquetFilesUnder(stage)
     // (absolute path, partition tuple) per moved file
     val moved: Seq[(String, Seq[Any])] = parts.zipWithIndex.map {
@@ -1440,6 +1516,28 @@ object IcebergCompat {
       d.put("file_size_in_bytes", Files.size(path))
       d.put("lower_bounds", boundsArray("lower_bounds", _._1, bounds))
       d.put("upper_bounds", boundsArray("upper_bounds", _._2, bounds))
+      // Per spec, float/double bounds EXCLUDE NaN, so readers (ours at
+      // read():fpSafe, real engines alike) may only prune on them when
+      // the file provably holds no NaN. parquet-mr drops fp footer
+      // stats once a NaN is folded in (and parquetBounds re-checks), so
+      // a surviving fp bound proves NaN-absence → count 0.
+      val nanZero = bounds.keys.filter(c =>
+        df.schema.fields.exists(f => f.name == c &&
+          (f.dataType == FloatType || f.dataType == DoubleType))).toSeq
+      if (nanZero.nonEmpty) {
+        val arrSchema = dataFileSchema.getField("nan_value_counts")
+          .schema().getTypes.get(1)
+        val kvSchema = arrSchema.getElementType
+        val entries = nanZero.flatMap(c => fieldIdByName.get(c))
+          .sorted.map { id =>
+            val r = new GenericData.Record(kvSchema)
+            r.put("key", id)
+            r.put("value", 0L)
+            r: AnyRef
+          }
+        d.put("nan_value_counts",
+          new GenericData.Array[AnyRef](arrSchema, entries.asJava))
+      }
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", snapshotId)
@@ -1868,6 +1966,37 @@ object IcebergCompat {
         s"scope must bind exactly the spec fields " +
           s"(${specPairs.map(_._1).mkString(", ")}), " +
           s"got (${scope.keys.mkString(", ")})")
+      // A PARTITION-SCOPED delete only reaches data files laid out
+      // under the DEFAULT spec — readers (ours and real engines) match
+      // the delete's tuple against files of the same spec-id. After
+      // spec evolution, live files under an older spec can hold
+      // matching keys the scoped tombstone would silently miss,
+      // resurfacing rows. Refuse over misread: compact() (rewrites
+      // under the default spec) first.
+      val defaultSpecId = prior.path("default-spec-id").asInt(0)
+      def intField(r: GenericRecord, f: String): Int =
+        if (r.getSchema.getField(f) == null) 0
+        else r.get(f) match {
+          case i: java.lang.Integer => i.intValue
+          case l: java.lang.Long => l.intValue
+          case _ => 0
+        }
+      val headId = prior.path("current-snapshot-id").asLong(-1L)
+      val staleLive = prior.path("snapshots").elements().asScala.toSeq
+        .find(_.path("snapshot-id").asLong(-2) == headId)
+        .map(_.get("manifest-list").asText())
+        .toSeq.flatMap(ml => avroRecords(localPath(ml)))
+        .filter(r => intField(r, "content") == 0 &&
+          intField(r, "partition_spec_id") != defaultSpecId)
+        .flatMap(r => avroRecords(localPath(r.get("manifest_path").toString)))
+        .filter(_.get("status").asInstanceOf[Int] != 2) // live entries
+      if (staleLive.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"$tableDir holds ${staleLive.size} live data file(s) under a " +
+            s"partition spec other than the default ($defaultSpecId); a " +
+            "partition-scoped delete cannot reach them and matching rows " +
+            "would silently survive. compact() the table (rewrites under " +
+            "the current spec) before partition-scoped deletes.")
     }
     val prevVersion = new String(Files.readAllBytes(
       metaDir.resolve("version-hint.text")), "UTF-8").trim.toLong

@@ -12,6 +12,21 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The same frame bound to a CLONED session whose SQLConf holds the
+    * given overrides — a library write path can require a conf value
+    * without mutating (or racing restores of) the caller's session.
+    * cloneSession/Dataset.ofRows are private[sql], hence bridged here. */
+  def withSessionConf(df: org.apache.spark.sql.DataFrame,
+      confs: (String, String)*): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.classic
+    val cloned = df.sparkSession.asInstanceOf[classic.SparkSession]
+      .cloneSession()
+    confs.foreach { case (k, v) => cloned.conf.set(k, v) }
+    classic.Dataset.ofRows(cloned,
+      df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.logical)
+  }
+
   /** `AbstractDataType` (the `inputTypes` element type of
     * `ExpectsInputTypes`) is `private[sql]`; this public alias lets graft
     * expressions declare input types for analysis-time checking. */

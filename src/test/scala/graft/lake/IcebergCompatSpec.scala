@@ -3,6 +3,8 @@ package graft.lake
 import java.io.File
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.avro.{Schema, SchemaBuilder}
 import org.apache.avro.file.DataFileWriter
 import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
@@ -802,6 +804,173 @@ class IcebergCompatSpec extends SparkSuite {
       Seq("k_bucket", "record_count", "file_count"))
     assert(parts.select("record_count").as[Long].collect().sum === 3L)
     assert(parts.filter($"k_bucket".isNull).count() === 0)
+  }
+
+  test("fp bounds prune only when nan_value_counts proves NaN-absence") {
+    // Own writer: clean double files carry nan_value_counts=0, so fp
+    // conjuncts prune; a NaN-holding file loses its fp bounds entirely
+    // (parquet-mr drops poisoned stats) and is always kept.
+    val dir = tmpDir("iceberg-nan-own")
+    IcebergCompat.write(spark.range(0, 50)
+      .selectExpr("id AS k", "CAST(id AS DOUBLE) AS d").coalesce(1), dir)
+    IcebergCompat.write(spark.range(100, 150)
+      .selectExpr("id AS k", "CAST(id AS DOUBLE) AS d").coalesce(1), dir)
+    assert(IcebergCompat.read(spark, dir,
+      prune = Some(col("d") >= 120.0)).inputFiles.length === 1)
+    // the manifests really carry the counts (not just absent-field keep)
+    val metaDir = Paths.get(dir, "metadata")
+    val manifests = Files.list(metaDir).iterator().asScala
+      .filter(_.getFileName.toString.matches("m-\\d+\\.avro")).toSeq
+    def readAvro(p: java.nio.file.Path): Seq[GenericRecord] = {
+      val rd = new org.apache.avro.file.DataFileReader[GenericRecord](
+        p.toFile,
+        new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+      try {
+        val b = Seq.newBuilder[GenericRecord]
+        while (rd.hasNext) b += rd.next()
+        b.result()
+      } finally rd.close()
+    }
+    val nanFields = manifests.flatMap(m =>
+      readAvro(m).map(_.get("data_file")
+        .asInstanceOf[GenericRecord].get("nan_value_counts")))
+    assert(nanFields.nonEmpty && nanFields.forall(_ != null),
+      "own manifests must stamp nan_value_counts for fp columns")
+
+    val nanDir = tmpDir("iceberg-nan-poison")
+    IcebergCompat.write(Seq((1L, 1.0), (2L, 2.0), (3L, Double.NaN))
+      .toDF("k", "d").coalesce(1), nanDir)
+    // Spark orders NaN above every value, so d > 1e9 matches the NaN
+    // row — the file must survive pruning and the row must come back
+    val hit = IcebergCompat.read(spark, nanDir,
+      prune = Some(col("d") > 1e9))
+    assert(hit.inputFiles.length === 1)
+    assert(hit.select("k").as[Long].collect().toSeq === Seq(3L))
+  }
+
+  test("foreign fp bounds without nan_value_counts never prune") {
+    // Fabricated foreign manifest: spec-compliant bounds that EXCLUDE
+    // NaN, with no nan_value_counts — pruning on them would wrongly
+    // drop the NaN row. A second clean file carries counts=0 and may
+    // prune.
+    val dir = tmpDir("iceberg-nan-foreign")
+    Files.createDirectories(Paths.get(dir, "metadata"))
+    Files.createDirectories(Paths.get(dir, "data"))
+    Seq((1L, 1.0), (2L, 2.0), (3L, Double.NaN)).toDF("k", "d")
+      .coalesce(1).write.parquet(s"$dir/data/f1")
+    Seq((10L, 10.0), (11L, 11.0)).toDF("k", "d")
+      .coalesce(1).write.parquet(s"$dir/data/f2")
+    def partOf(d: String): String =
+      Manifest.withListing(Paths.get(d))(_.filter(
+        _.getFileName.toString.endsWith(".parquet")).toSeq).head.toString
+    val (f1, f2) = (partOf(s"$dir/data/f1"), partOf(s"$dir/data/f2"))
+
+    def le8(v: Double): Array[Byte] = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(v).array()
+    def le8l(v: Long): Array[Byte] = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+    val boundsKv = SchemaBuilder.record("bkv").fields()
+      .requiredInt("key").requiredBytes("value").endRecord()
+    val countsKv = SchemaBuilder.record("ckv").fields()
+      .requiredInt("key").requiredLong("value").endRecord()
+    def opt(s: Schema): Schema =
+      Schema.createUnion(Schema.create(Schema.Type.NULL), s)
+    val entrySchema = SchemaBuilder.record("manifest_entry").fields()
+      .requiredInt("status")
+      .name("data_file").`type`(SchemaBuilder.record("data_file").fields()
+        .requiredString("file_path")
+        .requiredString("file_format")
+        .requiredLong("record_count")
+        .name("lower_bounds").`type`(opt(Schema.createArray(boundsKv)))
+        .withDefault(null)
+        .name("upper_bounds").`type`(opt(Schema.createArray(boundsKv)))
+        .withDefault(null)
+        .name("nan_value_counts").`type`(opt(Schema.createArray(countsKv)))
+        .withDefault(null)
+        .endRecord()).noDefault()
+      .endRecord()
+    val dfSchema = entrySchema.getField("data_file").schema()
+    def kv(schema: Schema, id: Int, v: AnyRef): GenericRecord = {
+      val r = new GenericData.Record(schema)
+      r.put("key", id)
+      r.put("value", v)
+      r
+    }
+    def bArr(field: String, kBound: Long, dBound: Double): AnyRef = {
+      val s = dfSchema.getField(field).schema().getTypes.get(1)
+      new GenericData.Array[AnyRef](s, java.util.List.of[AnyRef](
+        kv(boundsKv, 1, java.nio.ByteBuffer.wrap(le8l(kBound))),
+        kv(boundsKv, 2, java.nio.ByteBuffer.wrap(le8(dBound)))))
+    }
+    def entryOf(file: String, n: Long, kLo: Long, kHi: Long,
+        lo: Double, hi: Double, nanZero: Boolean): GenericRecord = {
+      val d = new GenericData.Record(dfSchema)
+      d.put("file_path", file)
+      d.put("file_format", "PARQUET")
+      d.put("record_count", n)
+      d.put("lower_bounds", bArr("lower_bounds", kLo, lo))
+      d.put("upper_bounds", bArr("upper_bounds", kHi, hi))
+      if (nanZero) {
+        val s = dfSchema.getField("nan_value_counts").schema().getTypes.get(1)
+        d.put("nan_value_counts", new GenericData.Array[AnyRef](s,
+          java.util.List.of[AnyRef](kv(countsKv, 2, 0L: java.lang.Long))))
+      }
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      e.put("data_file", d)
+      e
+    }
+    // f1: bounds [1.0, 2.0] per spec (NaN excluded), counts ABSENT
+    // f2: bounds [10.0, 11.0], nan_value_counts = 0
+    writeAvro(s"$dir/metadata/m1.avro", entrySchema, Seq(
+      entryOf(f1, 3, 1L, 3L, 1.0, 2.0, nanZero = false),
+      entryOf(f2, 2, 10L, 11L, 10.0, 11.0, nanZero = true)))
+    val r = new GenericData.Record(manifestFileSchema)
+    r.put("manifest_path", s"$dir/metadata/m1.avro")
+    writeAvro(s"$dir/metadata/ml1.avro", manifestFileSchema, Seq(r))
+    val metadata = s"""{
+      |  "format-version": 2,
+      |  "current-snapshot-id": 100,
+      |  "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+      |    {"id": 1, "name": "k", "required": true, "type": "long"},
+      |    {"id": 2, "name": "d", "required": false, "type": "double"}]}],
+      |  "current-schema-id": 0,
+      |  "snapshots": [
+      |    {"snapshot-id": 100, "manifest-list": "$dir/metadata/ml1.avro"}]
+      |}""".stripMargin
+    Files.write(Paths.get(dir, "metadata", "v1.metadata.json"),
+      metadata.getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "metadata", "version-hint.text"),
+      "1".getBytes("UTF-8"))
+
+    // d > 20: f2 provably excluded (clean bounds), f1 MUST survive —
+    // its NaN row matches the predicate despite upper bound 2.0
+    val got = IcebergCompat.read(spark, dir, prune = Some(col("d") > 20.0))
+    assert(got.inputFiles.length === 1, "only the NaN-unknown file stays")
+    assert(got.select("k").as[Long].collect().toSeq === Seq(3L))
+    // integral bounds keep pruning as before on the same table
+    assert(IcebergCompat.read(spark, dir,
+      prune = Some(col("k") >= 10L)).inputFiles.length === 1)
+  }
+
+  test("partition-scoped equality deletes refuse live older-spec files") {
+    val dir = tmpDir("iceberg-eqscope-evolve")
+    IcebergCompat.write(Seq((1L, "a", 10)).toDF("k", "p", "n"), dir)
+    IcebergCompat.write(Seq((2L, "b", 20)).toDF("k", "p", "n"), dir,
+      partitionBy = Seq("p"), evolveSpec = true)
+    // k=1 lives in an unpartitioned (spec 0) file the scoped tombstone
+    // cannot reach — committing would silently resurface it
+    val ex = intercept[UnsupportedOperationException] {
+      IcebergCompat.writeEqualityDeletes(spark, dir,
+        Seq(1L).toDF("k"), Seq("k"), scope = Map("p" -> "a"))
+    }
+    assert(ex.getMessage.contains("partition spec other than the default"))
+    // compact rewrites everything under the default spec; then it lands
+    IcebergCompat.compact(spark, dir)
+    IcebergCompat.writeEqualityDeletes(spark, dir,
+      Seq(1L).toDF("k"), Seq("k"), scope = Map("p" -> "a"))
+    assert(IcebergCompat.read(spark, dir)
+      .select("k").as[Long].collect().toSeq === Seq(2L))
   }
 
   test("mirror exports its snapshot as an Iceberg table") {

@@ -135,6 +135,35 @@ class IcebergEvolveSchemaSpec extends SparkSuite {
     assert(got === Seq(1L -> "a"))
   }
 
+  test("swapped renames refuse the ambiguous name fallback") {
+    // a↔b swap via a temp name: a file WITHOUT field ids then has both
+    // names present and two historical schema versions that bind them
+    // OPPOSITELY — per-field greedy matching would silently swap the
+    // columns; joint resolution must refuse instead
+    val dir = tmpDir("iceberg-swap")
+    IcebergCompat.write(Seq(("x1", "y1")).toDF("a", "b"), dir)
+    // strip field ids from the data file (pre-annotation writer shape)
+    val p = dataFiles(dir).head
+    val rows = spark.read.parquet(p.toString)
+    val clean = spark.createDataFrame(rows.collectAsList(),
+      StructType(rows.schema.fields.map(f =>
+        StructField(f.name, f.dataType, f.nullable))))
+    val tmp = Files.createTempDirectory(Paths.get(dir), ".rw")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+    try clean.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    finally spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val part = Files.walk(tmp).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    Files.move(part, p, StandardCopyOption.REPLACE_EXISTING)
+    IcebergCompat.evolveSchema(dir, renames = Map("a" -> "tswap"))
+    IcebergCompat.evolveSchema(dir, renames = Map("b" -> "a"))
+    IcebergCompat.evolveSchema(dir, renames = Map("tswap" -> "b"))
+    val ex = intercept[UnsupportedOperationException] {
+      IcebergCompat.read(spark, dir).collect()
+    }
+    assert(ex.getMessage.contains("ambiguously"))
+  }
+
   test("evolution misuse refuses loudly") {
     val dir = tmpDir("iceberg-evolve-refuse")
     IcebergCompat.write(

@@ -56,7 +56,11 @@ case class Manifest(
     /** Columns the table's data files carry parquet bloom filters for
       * (set at create, preserved by CDC/compaction rewrites). Absent on
       * older manifests — readers treat that as "no blooms". */
-    bloomColumns: Option[Seq[String]] = None)
+    bloomColumns: Option[Seq[String]] = None,
+    /** Wall-clock commit time, stamped by [[Manifest.commit]] — what SQL
+      * `TIMESTAMP AS OF` resolves against. Absent on older manifests;
+      * readers fall back to the manifest file's mtime. */
+    commitMs: Option[Long] = None)
 
 object Manifest {
   private val mapper: ObjectMapper = {
@@ -146,6 +150,24 @@ object Manifest {
     }
   }
 
+  /** All committed manifest versions with their commit wall-clock time
+    * (manifest `commitMs`, file-mtime fallback for pre-stamp manifests),
+    * ascending — the `TIMESTAMP AS OF` resolution walk. Parses each
+    * manifest once: manifest-count × JSON-size driver work, the same
+    * order as the snapshot-log walk real lake readers pay. */
+  def versionsWithTime(tableDir: String): Seq[(Long, Long)] = {
+    val dir = manifestDir(tableDir)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    withListing(dir)(_.filter(
+      p => p.getFileName.toString.matches("v\\d+\\.json")).toSeq)
+      .map { p =>
+        val m = fromJson(new String(Files.readAllBytes(p),
+          StandardCharsets.UTF_8))
+        (versionOf(p), m.commitMs.getOrElse(
+          Files.getLastModifiedTime(p).toMillis))
+      }.sortBy(_._1)
+  }
+
   /** Atomic commit: write to a temp file, then rename into place. Rename
     * is atomic on a POSIX filesystem, so readers see either the previous
     * complete manifest or the new one, never a torn write (SURVEY.md §7
@@ -159,7 +181,8 @@ object Manifest {
         s"manifest version ${m.version} already exists for ${m.table} " +
           "(concurrent writer?)")
     val tmp = Files.createTempFile(dir, ".tmp-manifest", ".json")
-    Files.write(tmp, toJson(m).getBytes(StandardCharsets.UTF_8))
+    val stamped = m.copy(commitMs = Some(System.currentTimeMillis()))
+    Files.write(tmp, toJson(stamped).getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
   }
 }

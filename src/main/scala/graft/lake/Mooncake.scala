@@ -140,6 +140,15 @@ class Mooncake(val warehouse: String) {
   def dropTable(name: String): Unit =
     LakeFs.deleteRec(Paths.get(tableDir(name)))
 
+  /** Names of every table in the warehouse (driver-side walk of the
+    * manifest dirs) — the SQL catalog's SHOW TABLES backing. */
+  def tableNames: Seq[String] = {
+    val root = Paths.get(warehouse)
+    if (!Files.isDirectory(root)) Seq.empty
+    else Manifest.withListing(root)(_.flatMap(p =>
+      Manifest.latest(p.toString).map(_.table)).toSeq).sorted
+  }
+
   /** Same four columns as `mooncake.list_tables()`
     * (`/root/reference/src/functions.rs:84-116`). */
   def listTables(spark: SparkSession): DataFrame = {
@@ -184,20 +193,7 @@ class Mooncake(val warehouse: String) {
       case None => m.files
       case Some(p) =>
         val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
-        val cs = BoundsPruning.conjuncts(spark, schema, p)
-        if (cs.isEmpty) m.files
-        else m.files.filter { f =>
-          cs.forall { case (n, op, v) =>
-            val leading = m.pkColumns.headOption.contains(n)
-            val range = f.rangeOf(n).orElse(
-              if (leading) for (a <- f.minKey; b <- f.maxKey) yield (a, b)
-              else None)
-            range.forall { case (lo, hi) =>
-              BoundsPruning.keeps(Some(Long.box(lo)), Some(Long.box(hi)),
-                op, v)
-            }
-          }
-        }
+        Mooncake.pruneFiles(m, BoundsPruning.conjuncts(spark, schema, p))
     }
     val base = readFiles(spark, m, files)
     prune.fold(base)(base.filter)
@@ -297,7 +293,7 @@ class Mooncake(val warehouse: String) {
     readFiles(spark, m, kept).filter(col(column).cast("long") === value)
   }
 
-  private def manifestAt(name: String, version: Long): Manifest = {
+  private[lake] def manifestAt(name: String, version: Long): Manifest = {
     val p = Paths.get(tableDir(name), "manifest", f"v$version%016d.json")
     if (!Files.exists(p))
       throw new NoSuchElementException(s"table '$name' has no version $version")
@@ -308,6 +304,17 @@ class Mooncake(val warehouse: String) {
   def readVersion(spark: SparkSession, name: String, version: Long): DataFrame = {
     val m = manifestAt(name, version)
     readFiles(spark, m, m.files)
+  }
+
+  /** The newest manifest committed at or before `timestampMs` — what SQL
+    * `TIMESTAMP AS OF` resolves through ([[MooncakeCatalog]]). */
+  private[lake] def manifestAsOf(name: String, timestampMs: Long): Manifest = {
+    val eligible = Manifest.versionsWithTime(tableDir(name))
+      .filter(_._2 <= timestampMs)
+    if (eligible.isEmpty)
+      throw new NoSuchElementException(
+        s"table '$name' has no version committed at or before $timestampMs")
+    manifestAt(name, eligible.last._1)
   }
 
   /** Changed rows between two committed versions — the `table_changes` /
@@ -698,6 +705,27 @@ object Mooncake {
   /** Default warehouse under the working dir (overridable per instance). */
   def apply(warehouse: String = "target/mooncake-warehouse"): Mooncake =
     new Mooncake(warehouse)
+
+  /** Manifest file skipping on extracted range conjuncts — one
+    * implementation behind [[Mooncake.read]]'s Column prune and the SQL
+    * catalog's pushed-filter prune ([[MooncakeCatalog]]), so the two
+    * entry points can never drift. Leading-pk conjuncts fall back to the
+    * file's pk range; columns without stats keep the file. */
+  private[lake] def pruneFiles(m: Manifest,
+      cs: Seq[(String, String, Any)]): Seq[DataFile] =
+    if (cs.isEmpty) m.files
+    else m.files.filter { f =>
+      cs.forall { case (n, op, v) =>
+        val leading = m.pkColumns.headOption.contains(n)
+        val range = f.rangeOf(n).orElse(
+          if (leading) for (a <- f.minKey; b <- f.maxKey) yield (a, b)
+          else None)
+        range.forall { case (lo, hi) =>
+          BoundsPruning.keeps(Some(Long.box(lo)), Some(Long.box(hi)),
+            op, v)
+        }
+      }
+    }
 
   /** Bit-interleaved z-value of two integer columns (31 bits each →
     * 62-bit z, covering the full positive int range; negatives clamp to

@@ -1,0 +1,218 @@
+package graft.lake
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog.{Identifier => CatIdent, _}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSourceV2 catalog that makes mirror tables SQL-NAMED — the
+  * reference's entire daily UX is `SELECT * FROM c` against a mirror
+  * (`/root/reference/tests/pg_regress/sql/sanity.sql:6`; the AM
+  * registration at `/root/reference/src/table.rs:62-74` exists only to
+  * make the bare name resolve). Registered per session:
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.mooncake",
+  *   "graft.lake.MooncakeCatalog")
+  * spark.conf.set("spark.sql.catalog.mooncake.warehouse", "/wh")
+  * spark.sql("SELECT * FROM mooncake.main.t WHERE k > 5")   // pruned
+  * spark.sql("SELECT * FROM mooncake.main.t VERSION AS OF 1")
+  * spark.sql("SELECT * FROM mooncake.main.t TIMESTAMP AS OF '...'")
+  * }}}
+  *
+  * Reads resolve through the SAME manifest machinery as the API
+  * ([[Mooncake.read]]/[[Mooncake.readVersion]]): the scan builder takes
+  * Spark's pushed data filters, prunes manifest files through
+  * [[Mooncake.pruneFiles]] (range conjuncts vs per-file footer stats),
+  * and hands the surviving file list to Spark's OWN vectorized
+  * [[ParquetScan]] — whole-stage codegen, row-group stats pushdown and
+  * column pruning all come from the stock parquet path; this catalog
+  * adds only name resolution, time travel, and manifest file skipping.
+  * At 100 TB the skipping happens on driver-side manifest metadata
+  * before a single footer is opened.
+  *
+  * Mutation stays CDC-only (the table-AM contract): CREATE/ALTER/RENAME
+  * via SQL refuse loudly; DROP TABLE maps to [[Mooncake.dropTable]].
+  */
+class MooncakeCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var lake: Mooncake = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val wh = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"spark.sql.catalog.$name.warehouse must point at the mooncake " +
+          "warehouse directory"))
+    lake = new Mooncake(wh)
+  }
+
+  override def name(): String = catalogName
+
+  /** `mooncake.t` → bare name (Identifier.parse applies the session's
+    * current-schema rule, same as the API); `mooncake.s.t` → qualified. */
+  private def mirrorName(ident: CatIdent): String = ident.namespace match {
+    case Array() => ident.name
+    case Array(schema) => s"$schema.${ident.name}"
+    case parts => throw new NoSuchTableException(
+      (parts :+ ident.name).toSeq)
+  }
+
+  private def load(ident: CatIdent)(m: String => Manifest): Table =
+    try MooncakeTable(mirrorName(ident), m(mirrorName(ident)))
+    catch {
+      case _: NoSuchElementException =>
+        throw new NoSuchTableException(
+          (ident.namespace :+ ident.name).toSeq)
+    }
+
+  override def loadTable(ident: CatIdent): Table =
+    load(ident)(lake.currentManifest)
+
+  /** `VERSION AS OF <v>` — an explicit manifest version. */
+  override def loadTable(ident: CatIdent, version: String): Table = {
+    val v = version.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"mooncake versions are numeric manifest versions, got '$version'"))
+    load(ident)(lake.manifestAt(_, v))
+  }
+
+  /** `TIMESTAMP AS OF <t>` — Spark passes MICROseconds since epoch. */
+  override def loadTable(ident: CatIdent, timestampMicros: Long): Table =
+    load(ident)(lake.manifestAsOf(_, timestampMicros / 1000L))
+
+  override def tableExists(ident: CatIdent): Boolean =
+    try { lake.currentManifest(mirrorName(ident)); true }
+    catch { case _: Exception => false }
+
+  override def listTables(namespace: Array[String]): Array[CatIdent] =
+    lake.tableNames
+      .map(Identifier.parse(_))
+      .filter(id => namespace.isEmpty || namespace.sameElements(
+        Array(id.schema)))
+      .map(id => CatIdent.of(Array(id.schema), id.table))
+      .toArray
+
+  override def dropTable(ident: CatIdent): Boolean =
+    if (!tableExists(ident)) false
+    else { lake.dropTable(mirrorName(ident)); true }
+
+  // Mirrors are read-only; mutation flows through CDC apply
+  // (`/root/reference/src/table.rs` mirror contract). Refuse, pointing
+  // at the API that owns the write path.
+  override def createTable(ident: CatIdent, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "mooncake mirrors are created from a source snapshot " +
+        "(Mooncake.createTable / createTableFromUri), not by SQL DDL — " +
+        "the mirror is read-only; mutation arrives via CDC")
+
+  override def alterTable(ident: CatIdent, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "mooncake mirrors evolve through CDC schema evolution, not ALTER")
+
+  override def renameTable(from: CatIdent, to: CatIdent): Unit =
+    throw new UnsupportedOperationException(
+      "mooncake mirrors cannot be renamed — the name is the replication " +
+        "binding")
+}
+
+/** One resolved mirror snapshot: schema from the manifest DDL, scans
+  * via [[MooncakeScanBuilder]]. The manifest is pinned at resolution
+  * time, so a concurrent CDC commit never tears a running query. */
+private[lake] case class MooncakeTable(mirror: String, m: Manifest)
+    extends Table with SupportsRead {
+
+  override def name(): String = mirror
+
+  override def schema(): StructType = StructType.fromDDL(m.schemaDdl)
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def properties(): util.Map[String, String] =
+    Map(
+      "commit_lsn" -> m.commitVersion.toString,
+      "flush_lsn" -> m.flushVersion.toString,
+      "version" -> m.version.toString,
+      "files" -> m.files.size.toString).asJava
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new MooncakeScanBuilder(SparkSession.active, m, options)
+}
+
+/** Scan builder wiring Spark's filter/column pushdown into manifest
+  * file skipping, then delegating the physical read to the stock
+  * vectorized [[ParquetScan]].
+  *
+  * - `pushFilters` keeps EVERY filter as post-scan residual (Spark
+  *   re-applies row-level, so skipping can only cut IO, never change
+  *   results) while recording the conjuncts for two pruning tiers:
+  *   manifest file skipping here, row-group stats inside ParquetScan.
+  * - `pruneColumns` narrows the read schema — the scan reads only the
+  *   projected columns (`ReadSchema` in explain).
+  */
+private[lake] class MooncakeScanBuilder(spark: SparkSession, m: Manifest,
+    options: CaseInsensitiveStringMap) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private val fullSchema = StructType.fromDDL(m.schemaDdl)
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters // all residual — pruning is IO-only, rows re-filter
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** The v1 Filter tree's simple range conjuncts, in the (column, op,
+    * value) shape [[Mooncake.pruneFiles]] consumes — the same subset
+    * [[BoundsPruning.conjuncts]] extracts from a Column prune. */
+  private def conjuncts(fs: Seq[Filter]): Seq[(String, String, Any)] =
+    fs.flatMap {
+      case sources.EqualTo(a, v) => Seq((a, "=", v))
+      case sources.GreaterThan(a, v) => Seq((a, ">", v))
+      case sources.GreaterThanOrEqual(a, v) => Seq((a, ">=", v))
+      case sources.LessThan(a, v) => Seq((a, "<", v))
+      case sources.LessThanOrEqual(a, v) => Seq((a, "<=", v))
+      case sources.And(l, r) => conjuncts(Seq(l, r))
+      case _ => Nil
+    }
+
+  override def build(): Scan = {
+    val kept = Mooncake.pruneFiles(m, conjuncts(pushed.toSeq))
+    val index = new InMemoryFileIndex(spark,
+      kept.map(f => new HPath(f.path)),
+      Map.empty[String, String], Some(fullSchema))
+    ParquetScan(
+      sparkSession = spark,
+      hadoopConf = spark.sparkContext.hadoopConfiguration,
+      fileIndex = index,
+      dataSchema = fullSchema,
+      readDataSchema = required,
+      readPartitionSchema = StructType(Nil),
+      pushedFilters = pushed,
+      options = options)
+  }
+}

@@ -517,6 +517,86 @@ object LakeQueries {
       |FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Files the DSv2 scan will open (Dataset.inputFiles does not
+    * traverse BatchScanExec) — read off the built FileScan's index. */
+  private def dsv2ScannedFiles(df: DataFrame): Int =
+    df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+            f.fileIndex.inputFiles.length
+          case _ => 0
+        }
+    }.sum
+
+  /** ONE warehouse for every SQL-catalog query, registered as the
+    * session's `mooncake` catalog. Spark instantiates a catalog ONCE
+    * per session and caches it — a second query pointing the same
+    * catalog name at a different warehouse would silently keep the
+    * first binding — so all SQL-named fixtures build into this dir. */
+  private def sqlWarehouse(s: SparkSession, dir: String): String = {
+    val wh = cachedFixture("graft-sqlcat-wh", dir) { tmp =>
+      val lake = new Mooncake(tmp)
+      val o = Tables.load(s, dir, "orders")
+      lake.createTable(s, "orders_sql",
+        o.repartitionByRange(4, col("o_orderkey")), Seq("o_orderkey"))
+      lake.createTable(s, "orders_tt", o, Seq("o_orderkey"))
+      lake.applyChanges(s, "orders_tt",
+        o.filter(col("o_orderkey") % 100 === 0).withColumn("__op", lit("D")),
+        version = 2)
+    }
+    s.conf.set("spark.sql.catalog.mooncake", "graft.lake.MooncakeCatalog")
+    s.conf.set("spark.sql.catalog.mooncake.warehouse", wh)
+    wh
+  }
+
+  /** The reference's entire daily UX is SQL against a NAMED mirror
+    * (`tests/pg_regress/sql/sanity.sql:6` `SELECT * FROM c`) — here the
+    * DataSourceV2 catalog resolves `mooncake.main.<t>`, pushes the WHERE
+    * into manifest file skipping (required in-query: the range-clustered
+    * backfill gives disjoint pk ranges, so the BETWEEN must open a
+    * strict subset of files), and the rows still match the plain oracle. */
+  val sqlCatalogScan: Q = (s, dir) => {
+    sqlWarehouse(s, dir)
+    val q = s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM mooncake.main.orders_sql
+        |WHERE o_orderkey BETWEEN 1000 AND 2000
+        |ORDER BY o_orderkey""".stripMargin)
+    val total = s.sql("SELECT * FROM mooncake.main.orders_sql")
+    require(dsv2ScannedFiles(q) < dsv2ScannedFiles(total),
+      "SQL catalog scan must prune manifest files on the pushed BETWEEN")
+    q
+  }
+
+  val sqlCatalogScanSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_orderkey BETWEEN 1000 AND 2000
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** SQL time travel on a named mirror: `VERSION AS OF 1` sees the
+    * pre-CDC backfill while the head sees the applied batch — both in
+    * ONE pure-SQL statement, tagged and counted. */
+  val sqlTimeTravel: Q = (s, dir) => {
+    sqlWarehouse(s, dir)
+    s.sql(
+      """SELECT 'v1' AS snap, count(*) AS n, sum(o_orderkey) AS key_sum
+        |FROM mooncake.main.orders_tt VERSION AS OF 1
+        |UNION ALL
+        |SELECT 'head' AS snap, count(*) AS n, sum(o_orderkey) AS key_sum
+        |FROM mooncake.main.orders_tt
+        |ORDER BY snap""".stripMargin)
+  }
+
+  val sqlTimeTravelSql: String =
+    """SELECT 'v1' AS snap, count(*) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum FROM orders
+      |UNION ALL
+      |SELECT 'head' AS snap, count(*) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum FROM orders
+      |WHERE o_orderkey % 100 <> 0
+      |ORDER BY snap""".stripMargin
+
   /** PARTITION-SCOPED equality deletes — the shape per-partition
     * streaming CDC writers (Flink) emit: the delete file is stored
     * with a partition tuple and applies ONLY to data files of that
@@ -950,6 +1030,8 @@ object LakeQueries {
     "q_iceberg_expire" -> icebergExpire,
     "q_iceberg_prune_scan" -> icebergPruneScan,
     "q_delta_prune_scan" -> deltaPruneScan,
+    "q_sql_catalog_scan" -> sqlCatalogScan,
+    "q_sql_time_travel" -> sqlTimeTravel,
     "q_delta_roundtrip" -> deltaRoundtrip,
     "q_delta_part_roundtrip" -> deltaPartRoundtrip,
     "q_delta_dv_roundtrip" -> deltaDvRoundtrip,
@@ -989,6 +1071,8 @@ object LakeQueries {
     "q_iceberg_expire" -> icebergExpireSql,
     "q_iceberg_prune_scan" -> icebergPruneScanSql,
     "q_delta_prune_scan" -> deltaPruneScanSql,
+    "q_sql_catalog_scan" -> sqlCatalogScanSql,
+    "q_sql_time_travel" -> sqlTimeTravelSql,
     "q_delta_roundtrip" -> deltaRoundtripSql,
     "q_delta_part_roundtrip" -> deltaPartRoundtripSql,
     "q_delta_dv_roundtrip" -> deltaDvRoundtripSql,

@@ -1,0 +1,131 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** SQL-named mirrors through the DataSourceV2 catalog: bare and
+  * qualified resolution, manifest file skipping driven by pushed
+  * filters, VERSION/TIMESTAMP AS OF time travel, SHOW/DROP, and the
+  * read-only DDL contract. One warehouse per suite — Spark instantiates
+  * a catalog ONCE per session, so all tests share its tables. */
+class MooncakeCatalogSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val wh = tmpDir("mooncake-catalog-wh")
+  private lazy val lake: Mooncake = {
+    spark.conf.set("spark.sql.catalog.mooncake",
+      "graft.lake.MooncakeCatalog")
+    spark.conf.set("spark.sql.catalog.mooncake.warehouse", wh)
+    new Mooncake(wh)
+  }
+
+  test("bare and qualified names resolve; rows match the API read") {
+    lake.createTable(spark, "cat_t",
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"))
+    val bare = spark.sql("SELECT k, v FROM mooncake.cat_t ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(bare === Seq(1L -> "a", 2L -> "b"))
+    val qualified = spark.sql(
+      "SELECT k, v FROM mooncake.main.cat_t ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(qualified === bare)
+    // projection reaches the scan: only `v` in ReadSchema
+    val plan = spark.sql("SELECT v FROM mooncake.cat_t")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema") && !plan.contains("struct<k:"),
+      s"projection must prune columns at the scan:\n$plan")
+  }
+
+  /** Files the DSv2 scan will actually open (Dataset.inputFiles does
+    * not traverse BatchScanExec) — read off the built FileScan's index. */
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+            f.fileIndex.inputFiles.length
+          case _ => 0
+        }
+    }.sum
+
+  test("pushed filters skip manifest files before any footer opens") {
+    // two files with disjoint pk ranges (range-clustered backfill shape)
+    val df = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS n")
+      .repartitionByRange(2, col("k"))
+    lake.createTable(spark, "cat_prune", df, Seq("k"),
+      targetFileBytes = 1L) // force the range-clustered path
+    val all = spark.sql("SELECT * FROM mooncake.cat_prune")
+    val pruned = spark.sql(
+      "SELECT * FROM mooncake.cat_prune WHERE k >= 900")
+    assert(scannedFiles(all) > 1)
+    assert(scannedFiles(pruned) < scannedFiles(all),
+      "manifest bounds must skip files the pushed filter excludes")
+    assert(pruned.count() === 100)
+    // row-level residual still applies when nothing prunes
+    assert(spark.sql(
+      "SELECT * FROM mooncake.cat_prune WHERE k % 2 = 0").count() === 500)
+    // the filter is ALSO pushed into the parquet scan (row-group tier)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(k,900)"), s"plan:\n$plan")
+  }
+
+  test("VERSION AS OF and TIMESTAMP AS OF travel the manifest history") {
+    lake.createTable(spark, "cat_tt",
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "n"), Seq("k"))
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(20) // commitMs granularity
+    lake.applyChanges(spark, "cat_tt",
+      Seq((2L, 99L, "U")).toDF("k", "n", "__op"), version = 2)
+    assert(spark.sql("SELECT n FROM mooncake.cat_tt WHERE k = 2")
+      .as[Long].collect().toSeq === Seq(99L))
+    assert(spark.sql(
+      "SELECT n FROM mooncake.cat_tt VERSION AS OF 1 WHERE k = 2")
+      .as[Long].collect().toSeq === Seq(20L))
+    // timestamp between v1 and v2 resolves to v1 (Spark passes micros;
+    // the literal is interpreted in the session zone, so format there)
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    val ts = fmt.format(new java.util.Date(betweenMs))
+    assert(spark.sql(
+      s"SELECT n FROM mooncake.cat_tt TIMESTAMP AS OF '$ts' WHERE k = 2")
+      .as[Long].collect().toSeq === Seq(20L))
+    // before the table existed → loud error
+    val early = fmt.format(new java.util.Date(betweenMs - 86400000L))
+    intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM mooncake.cat_tt TIMESTAMP AS OF '$early'").collect()
+    }
+  }
+
+  test("SHOW TABLES lists mirrors; DROP works; DDL mutation refuses") {
+    lake.createTable(spark, "cat_ddl",
+      Seq((1L, "x")).toDF("k", "v"), Seq("k"))
+    val shown = spark.sql("SHOW TABLES IN mooncake.main")
+      .select("tableName").as[String].collect().toSet
+    assert(shown.contains("cat_ddl"))
+    intercept[UnsupportedOperationException] {
+      spark.sql("CREATE TABLE mooncake.main.nope (k BIGINT) USING parquet")
+    }
+    intercept[UnsupportedOperationException] {
+      spark.sql("ALTER TABLE mooncake.main.cat_ddl ADD COLUMN z INT")
+    }
+    spark.sql("DROP TABLE mooncake.main.cat_ddl")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM mooncake.main.cat_ddl").collect()
+    }
+  }
+
+  test("resolution pins the manifest: a concurrent commit never tears") {
+    lake.createTable(spark, "cat_pin",
+      Seq((1L, 1L)).toDF("k", "n"), Seq("k"))
+    val df = spark.sql("SELECT k, n FROM mooncake.cat_pin")
+    lake.applyChanges(spark, "cat_pin",
+      Seq((1L, 2L, "U")).toDF("k", "n", "__op"), version = 2)
+    // the already-resolved frame still reads version-1 files
+    assert(df.as[(Long, Long)].collect().toSeq === Seq(1L -> 1L))
+    // a fresh resolution sees the commit
+    assert(spark.sql("SELECT n FROM mooncake.cat_pin")
+      .as[Long].collect().toSeq === Seq(2L))
+  }
+}

@@ -24,15 +24,32 @@ case class DataFile(
     minKey: Option[Long],
     maxKey: Option[Long],
     colMin: Option[Map[String, Long]] = None,
-    colMax: Option[Map[String, Long]] = None) {
+    colMax: Option[Map[String, Long]] = None,
+    /** String-column bounds (unsigned-UTF-8 order, the order parquet
+      * stats and Spark's UTF8String share). Long values are stored
+      * TRUNCATED: the min as a plain prefix (a prefix never exceeds the
+      * true min), the max with its last kept code point incremented (a
+      * strict upper bound for every string under the original prefix) —
+      * so a 1 KB document column costs 64 code points of manifest, not
+      * its full text. Absent on older manifests / stat-less columns. */
+    colMinStr: Option[Map[String, String]] = None,
+    colMaxStr: Option[Map[String, String]] = None) {
 
-  /** Footer-derived [lo, hi] of an integer column in this file, when
-    * known. Absent (older manifests, non-integer or stats-less columns)
-    * means "may contain anything" — callers must keep the file. */
+  /** Footer-derived [lo, hi] of an integer (or date — epoch-day) column
+    * in this file, when known. Absent (older manifests, stats-less
+    * columns) means "may contain anything" — callers must keep the
+    * file. */
   def rangeOf(column: String): Option[(Long, Long)] =
     for {
       lo <- colMin.flatMap(_.get(column))
       hi <- colMax.flatMap(_.get(column))
+    } yield (lo, hi)
+
+  /** Footer-derived [lo, hi] of a string column, when known. */
+  def strRangeOf(column: String): Option[(String, String)] =
+    for {
+      lo <- colMinStr.flatMap(_.get(column))
+      hi <- colMaxStr.flatMap(_.get(column))
     } yield (lo, hi)
 }
 

@@ -611,14 +611,22 @@ class Mooncake(val warehouse: String) {
     * files) and commit atomically. Per-file min/max of the leading pk comes
     * from the parquet FOOTERS — metadata-only, no second data scan (the
     * same way Iceberg collects file stats at commit time). */
-  /** Row count + min/max of EVERY integer-typed column for one parquet
-    * file, from the footer metadata alone (the footer already carries
-    * per-column stats, so multi-column skipping costs nothing extra at
-    * commit time). Lossy by design: a non-integer or stats-less column
-    * is simply absent from the maps, which file skipping treats as
-    * "may contain anything" — always safe. */
+  /** Row count + min/max of EVERY integer-, date- and string-typed
+    * column for one parquet file, from the footer metadata alone (the
+    * footer already carries per-column stats, so multi-column skipping
+    * costs nothing extra at commit time). Lossy by design: a stats-less
+    * or unmapped column is simply absent from the maps, which file
+    * skipping treats as "may contain anything" — always safe.
+    *
+    *  - DATE (INT32/date annotation) stats are epoch days — the same
+    *    integer a resolved date literal evaluates to, so they share the
+    *    integer maps and the integer compare.
+    *  - STRING stats store truncated per [[Mooncake.truncLower]]/
+    *    [[Mooncake.truncUpper]] so a long text column costs bounded
+    *    manifest bytes. */
   private def footerStats(p: Path)
-      : (Long, Map[String, Long], Map[String, Long]) =
+      : (Long, Map[String, Long], Map[String, Long],
+        Map[String, String], Map[String, String]) =
     Manifest.withFooter(p) { footer =>
       val blocks = footer.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
@@ -627,34 +635,65 @@ class Mooncake(val warehouse: String) {
         case i: java.lang.Integer => Some(i.longValue)
         case _ => None
       }
-      // Only PLAIN integer columns: decimals and timestamps are also
-      // INT32/INT64 at the physical layer but their footer stats are
-      // unscaled/micros — pruning with them against logical filter
-      // values would silently drop matching rows.
+      // Integer tier: only PLAIN ints and DATE. Decimals and timestamps
+      // are also INT32/INT64 at the physical layer but their footer
+      // stats are unscaled/micros — pruning with them against logical
+      // filter values would silently drop matching rows.
       import org.apache.parquet.schema.LogicalTypeAnnotation
-      def plainInt(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+      def intLike(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
           : Boolean = c.getPrimitiveType.getLogicalTypeAnnotation match {
         case null => true
         case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation => true
+        case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => true
+        case _ => false
+      }
+      def stringLike(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+          : Boolean = c.getPrimitiveType.getLogicalTypeAnnotation match {
+        case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => true
         case _ => false
       }
       val mins = Map.newBuilder[String, Long]
       val maxs = Map.newBuilder[String, Long]
+      val sMins = Map.newBuilder[String, String]
+      val sMaxs = Map.newBuilder[String, String]
       blocks.flatMap(_.getColumns.asScala)
         .groupBy(_.getPath.toDotString)
         .foreach { case (name, chunks) =>
           val stats = chunks.map(_.getStatistics)
-          if (chunks.forall(plainInt) &&
-              stats.forall(s => s != null && s.hasNonNullValue)) {
+          val statted = stats.forall(s => s != null && s.hasNonNullValue)
+          if (chunks.forall(intLike) && statted) {
             val los = stats.map(s => asLong(s.genericGetMin))
             val his = stats.map(s => asLong(s.genericGetMax))
             if (!los.contains(None) && !his.contains(None)) {
               mins += name -> los.flatten.min
               maxs += name -> his.flatten.max
             }
+          } else if (chunks.forall(stringLike) && statted) {
+            def str(v: Any): Option[String] = v match {
+              case b: org.apache.parquet.io.api.Binary =>
+                Some(b.toStringUsingUTF8)
+              case _ => None
+            }
+            val los = stats.map(s => str(s.genericGetMin))
+            val his = stats.map(s => str(s.genericGetMax))
+            if (!los.contains(None) && !his.contains(None)) {
+              import java.nio.charset.StandardCharsets.UTF_8
+              def byteMin(a: String, b: String) =
+                if (java.util.Arrays.compareUnsigned(
+                  a.getBytes(UTF_8), b.getBytes(UTF_8)) <= 0) a else b
+              def byteMax(a: String, b: String) =
+                if (java.util.Arrays.compareUnsigned(
+                  a.getBytes(UTF_8), b.getBytes(UTF_8)) >= 0) a else b
+              val lo = los.flatten.reduce(byteMin)
+              val hi = his.flatten.reduce(byteMax)
+              Mooncake.truncUpper(hi).foreach { u =>
+                sMins += name -> Mooncake.truncLower(lo)
+                sMaxs += name -> u
+              }
+            }
           }
         }
-      (rows, mins.result(), maxs.result())
+      (rows, mins.result(), maxs.result(), sMins.result(), sMaxs.result())
     }
 
   private def writeVersion(spark: SparkSession, name: String, df: DataFrame,
@@ -679,12 +718,14 @@ class Mooncake(val warehouse: String) {
     val written = Manifest.withListing(out)(_.filter(
       _.getFileName.toString.endsWith(".parquet")).toSeq).sortBy(_.toString)
     val newFiles = written.map { p =>
-      val (rows, mins, maxs) = footerStats(p)
+      val (rows, mins, maxs, sMins, sMaxs) = footerStats(p)
       val lead = pk.headOption
       DataFile(p.toString, rows, Files.size(p),
         lead.flatMap(mins.get), lead.flatMap(maxs.get),
         colMin = if (mins.isEmpty) None else Some(mins),
-        colMax = if (maxs.isEmpty) None else Some(maxs))
+        colMax = if (maxs.isEmpty) None else Some(maxs),
+        colMinStr = if (sMins.isEmpty) None else Some(sMins),
+        colMaxStr = if (sMaxs.isEmpty) None else Some(sMaxs))
     }.filter(_.rows > 0)
 
     val manifest = Manifest(
@@ -709,21 +750,59 @@ object Mooncake {
   /** Manifest file skipping on extracted range conjuncts — one
     * implementation behind [[Mooncake.read]]'s Column prune and the SQL
     * catalog's pushed-filter prune ([[MooncakeCatalog]]), so the two
-    * entry points can never drift. Leading-pk conjuncts fall back to the
-    * file's pk range; columns without stats keep the file. */
+    * entry points can never drift. Integer and date conjuncts test the
+    * integer stats (dates are epoch days on both sides), string
+    * conjuncts the truncated string stats; leading-pk conjuncts fall
+    * back to the file's pk range; columns without stats keep the file
+    * (type-mismatched pairs fall out of [[BoundsPruning.cmp]] as
+    * incomparable → keep). */
   private[lake] def pruneFiles(m: Manifest,
       cs: Seq[(String, String, Any)]): Seq[DataFile] =
     if (cs.isEmpty) m.files
     else m.files.filter { f =>
       cs.forall { case (n, op, v) =>
         val leading = m.pkColumns.headOption.contains(n)
-        val range = f.rangeOf(n).orElse(
-          if (leading) for (a <- f.minKey; b <- f.maxKey) yield (a, b)
-          else None)
+        val range: Option[(Any, Any)] = f.rangeOf(n)
+          .orElse(
+            if (leading) for (a <- f.minKey; b <- f.maxKey) yield (a, b)
+            else None)
+          .map(t => (Long.box(t._1): Any, Long.box(t._2): Any))
+          .orElse(f.strRangeOf(n).map(t => (t._1: Any, t._2: Any)))
         range.forall { case (lo, hi) =>
-          BoundsPruning.keeps(Some(Long.box(lo)), Some(Long.box(hi)),
-            op, v)
+          BoundsPruning.keeps(Some(lo), Some(hi), op, v)
         }
+      }
+    }
+
+  /** Code-point budget for string bounds kept in the manifest. */
+  private val MaxStrBound = 64
+
+  /** Manifest-safe LOWER bound of a string column min: a plain prefix —
+    * in unsigned-UTF-8 order a prefix never exceeds the original. */
+  private[lake] def truncLower(s: String): String =
+    if (s.codePointCount(0, s.length) <= MaxStrBound) s
+    else s.substring(0, s.offsetByCodePoints(0, MaxStrBound))
+
+  /** Manifest-safe UPPER bound of a string column max: the full string
+    * when short; otherwise the kept prefix with its LAST code point
+    * incremented (UTF-8 encoding is order-preserving and prefix-free
+    * across distinct code points, so the result strictly exceeds every
+    * string under the original prefix). Surrogate-range and overflow
+    * code points step over / carry left; an all-0x10FFFF prefix cannot
+    * be bounded → None, and the column simply doesn't prune. */
+  private[lake] def truncUpper(s: String): Option[String] =
+    if (s.codePointCount(0, s.length) <= MaxStrBound) Some(s)
+    else {
+      val cps = s.codePoints().limit(MaxStrBound).toArray
+      var i = cps.length - 1
+      while (i >= 0 && cps(i) >= 0x10FFFF) i -= 1
+      if (i < 0) None
+      else {
+        val bumped = cps(i) + 1 match {
+          case c if c >= 0xD800 && c <= 0xDFFF => 0xE000 // skip surrogates
+          case c => c
+        }
+        Some(new String(cps.take(i) :+ bumped, 0, i + 1))
       }
     }
 

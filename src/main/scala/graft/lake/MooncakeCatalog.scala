@@ -188,17 +188,25 @@ private[lake] class MooncakeScanBuilder(spark: SparkSession, m: Manifest,
 
   /** The v1 Filter tree's simple range conjuncts, in the (column, op,
     * value) shape [[Mooncake.pruneFiles]] consumes — the same subset
-    * [[BoundsPruning.conjuncts]] extracts from a Column prune. */
-  private def conjuncts(fs: Seq[Filter]): Seq[(String, String, Any)] =
+    * [[BoundsPruning.conjuncts]] extracts from a Column prune. v1
+    * filters carry EXTERNAL literal types; dates normalize to the epoch
+    * days the manifest's integer stats store. */
+  private def conjuncts(fs: Seq[Filter]): Seq[(String, String, Any)] = {
+    def norm(v: Any): Any = v match {
+      case d: java.sql.Date => d.toLocalDate.toEpochDay
+      case d: java.time.LocalDate => d.toEpochDay
+      case other => other
+    }
     fs.flatMap {
-      case sources.EqualTo(a, v) => Seq((a, "=", v))
-      case sources.GreaterThan(a, v) => Seq((a, ">", v))
-      case sources.GreaterThanOrEqual(a, v) => Seq((a, ">=", v))
-      case sources.LessThan(a, v) => Seq((a, "<", v))
-      case sources.LessThanOrEqual(a, v) => Seq((a, "<=", v))
+      case sources.EqualTo(a, v) => Seq((a, "=", norm(v)))
+      case sources.GreaterThan(a, v) => Seq((a, ">", norm(v)))
+      case sources.GreaterThanOrEqual(a, v) => Seq((a, ">=", norm(v)))
+      case sources.LessThan(a, v) => Seq((a, "<", norm(v)))
+      case sources.LessThanOrEqual(a, v) => Seq((a, "<=", norm(v)))
       case sources.And(l, r) => conjuncts(Seq(l, r))
       case _ => Nil
     }
+  }
 
   override def build(): Scan = {
     val kept = Mooncake.pruneFiles(m, conjuncts(pushed.toSeq))

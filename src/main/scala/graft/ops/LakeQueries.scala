@@ -517,6 +517,36 @@ object LakeQueries {
       |FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Manifest STRING/DATE bounds on the mirror (the r6 pruning kept
+    * integer stats only): a status-clustered mirror — three files with
+    * disjoint single-status string bounds — must open a strict subset
+    * of files for a string-equality prune, while a date conjunct rides
+    * the same prune as epoch days. Required in-query; rows must still
+    * match the plain WHERE oracle. */
+  val mirrorPruneString: Q = (s, dir) => {
+    val wh = cachedFixture("graft-strprune-q", dir) { tmp =>
+      val lake = new Mooncake(tmp)
+      val ord = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+        .repartitionByRange(3, col("o_orderstatus"))
+      lake.createTable(s, "orders_str", ord, Seq("o_orderkey"))
+    }
+    val lake = new Mooncake(wh)
+    val all = lake.read(s, "orders_str")
+    val pruned = lake.read(s, "orders_str",
+      prune = Some(col("o_orderstatus") === "O" &&
+        col("o_orderdate") >= lit(java.sql.Date.valueOf("1993-01-01"))))
+    require(pruned.inputFiles.length < all.inputFiles.length,
+      "string bounds must skip the F/P files")
+    pruned.select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val mirrorPruneStringSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |WHERE o_orderstatus = 'O' AND o_orderdate >= DATE '1993-01-01'
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Files the DSv2 scan will open (Dataset.inputFiles does not
     * traverse BatchScanExec) — read off the built FileScan's index. */
   private def dsv2ScannedFiles(df: DataFrame): Int =
@@ -1032,6 +1062,7 @@ object LakeQueries {
     "q_delta_prune_scan" -> deltaPruneScan,
     "q_sql_catalog_scan" -> sqlCatalogScan,
     "q_sql_time_travel" -> sqlTimeTravel,
+    "q_mirror_prune_string" -> mirrorPruneString,
     "q_delta_roundtrip" -> deltaRoundtrip,
     "q_delta_part_roundtrip" -> deltaPartRoundtrip,
     "q_delta_dv_roundtrip" -> deltaDvRoundtrip,
@@ -1073,6 +1104,7 @@ object LakeQueries {
     "q_delta_prune_scan" -> deltaPruneScanSql,
     "q_sql_catalog_scan" -> sqlCatalogScanSql,
     "q_sql_time_travel" -> sqlTimeTravelSql,
+    "q_mirror_prune_string" -> mirrorPruneStringSql,
     "q_delta_roundtrip" -> deltaRoundtripSql,
     "q_delta_part_roundtrip" -> deltaPartRoundtripSql,
     "q_delta_dv_roundtrip" -> deltaDvRoundtripSql,

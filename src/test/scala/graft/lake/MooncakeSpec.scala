@@ -492,6 +492,92 @@ class MooncakeSpec extends SparkSuite {
     assert(PathCodec.percentDecode("trail%4") === "trail%4")
   }
 
+  test("string and date manifest bounds prune files (API and SQL)") {
+    val lake = new Mooncake(tmpDir("mooncake-strprune"))
+    // three single-status files with disjoint string bounds AND
+    // disjoint date ranges
+    val rows = Seq(
+      (1L, "A", java.sql.Date.valueOf("2020-01-05"), 10.0),
+      (2L, "A", java.sql.Date.valueOf("2020-01-06"), 11.0),
+      (3L, "M", java.sql.Date.valueOf("2021-06-01"), 12.0),
+      (4L, "M", java.sql.Date.valueOf("2021-06-02"), 13.0),
+      (5L, "Z", java.sql.Date.valueOf("2022-12-01"), 14.0),
+      (6L, "Z", java.sql.Date.valueOf("2022-12-02"), 15.0))
+      .toDF("k", "st", "d", "v")
+      .repartitionByRange(3, col("st"))
+    lake.createTable(spark, "strp", rows, Seq("k"))
+    val all = lake.read(spark, "strp")
+    assert(all.inputFiles.length === 3)
+    // string equality opens ONE file
+    val st = lake.read(spark, "strp", prune = Some(col("st") === "M"))
+    assert(st.inputFiles.length === 1)
+    assert(st.select("k").as[Long].collect().sorted.toSeq === Seq(3L, 4L))
+    // string range
+    assert(lake.read(spark, "strp",
+      prune = Some(col("st") > "N")).inputFiles.length === 1)
+    // date range prunes via epoch-day integer stats
+    val dt = lake.read(spark, "strp",
+      prune = Some(col("d") >= lit(java.sql.Date.valueOf("2021-01-01"))))
+    assert(dt.inputFiles.length === 2)
+    assert(dt.count() === 4)
+
+    // and the SQL catalog shares the same pruning (pushed v1 filters,
+    // external date literals normalized to epoch days)
+    spark.conf.set("spark.sql.catalog.strcat", "graft.lake.MooncakeCatalog")
+    spark.conf.set("spark.sql.catalog.strcat.warehouse", lake.warehouse)
+    def scanned(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan match {
+            case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+              f.fileIndex.inputFiles.length
+            case _ => 0
+          }
+      }.sum
+    val sqlSt = spark.sql("SELECT k FROM strcat.main.strp WHERE st = 'M'")
+    assert(scanned(sqlSt) === 1)
+    assert(sqlSt.as[Long].collect().sorted.toSeq === Seq(3L, 4L))
+    val sqlDt = spark.sql(
+      "SELECT k FROM strcat.main.strp WHERE d >= DATE '2021-01-01'")
+    assert(scanned(sqlDt) === 2)
+    assert(sqlDt.collect().length === 4)
+  }
+
+  test("string bound truncation keeps bounds valid on long values") {
+    // short strings pass through exact
+    assert(Mooncake.truncLower("abc") === "abc")
+    assert(Mooncake.truncUpper("abc") === Some("abc"))
+    // long ASCII: lower is a 64-cp prefix, upper increments the last
+    val long = "a" * 100
+    val lo = Mooncake.truncLower(long)
+    assert(lo === "a" * 64 && lo <= long)
+    val Some(hi) = Mooncake.truncUpper(long)
+    assert(hi === "a" * 63 + "b")
+    assert(hi.length === 64 && hi.compareTo(long) > 0)
+    // multi-byte code points truncate on cp boundaries and still bound
+    val uni = "é" * 100
+    val Some(uhi) = Mooncake.truncUpper(uni)
+    import java.nio.charset.StandardCharsets.UTF_8
+    assert(java.util.Arrays.compareUnsigned(
+      uhi.getBytes(UTF_8), uni.getBytes(UTF_8)) > 0)
+    val ulo = Mooncake.truncLower(uni)
+    assert(ulo.codePointCount(0, ulo.length) === 64)
+    // surrogate range is skipped when incrementing
+    val nearSurr = ("x" * 63) + "퟿" + "tail-making-it-long" + ("y" * 60)
+    val Some(shi) = Mooncake.truncUpper(nearSurr)
+    assert(shi.codePointAt(shi.offsetByCodePoints(0, 63)) === 0xE000)
+    // un-boundable: 64 max code points
+    val maxStr = new String(Array.fill(65)(0x10FFFF), 0, 65)
+    assert(Mooncake.truncUpper(maxStr) === None)
+    // a file whose string column cannot be bounded still reads fine —
+    // it simply never prunes
+    val lake = new Mooncake(tmpDir("mooncake-unbounded"))
+    lake.createTable(spark, "ub",
+      Seq((1L, maxStr + "suffix"), (2L, "plain")).toDF("k", "s"), Seq("k"))
+    assert(lake.read(spark, "ub",
+      prune = Some(col("s") === "nope")).count() === 0)
+  }
+
   test("tableChanges refuses a table whose schema already has _change") {
     val lake = freshLake()
     lake.createTable(spark, "cc",

@@ -858,7 +858,7 @@ object DeltaCompat {
       // keeps z-order intact WITHIN every partition's files
       val clustered = Mooncake.zCluster(
         assemble(spark, table, state, keepMeta = false),
-        zorderBy(0), zorderBy(1), nOut,
+        zorderBy, nOut,
         prefixCols = state.partitionColumns)
       return writeImpl(clustered, table, "append", Seq.empty, "none",
         all, Map.empty, changeData = None,

@@ -756,7 +756,7 @@ object IcebergCompat {
     // and delete parquet, and sizing from the directory would inflate
     // the budget a little more after every compaction.
     val nOut = Mooncake.fileBudget(liveDataBytes(meta), targetFileBytes)
-    // `zorderBy` (two integer columns) re-clusters the rewrite on the
+    // `zorderBy` (2-4 integer columns) re-clusters the rewrite on the
     // interleaved z-value — the SAME recipe as the mirror's zorder
     // compaction and Delta's OPTIMIZE ZORDER (Mooncake.zCluster) — so
     // `read(prune)` over the manifest bounds skips on EITHER dimension.
@@ -772,7 +772,7 @@ object IcebergCompat {
               s"(${nonIdentity.map(p => s"${p._2}(${p._1})").mkString(", ")})" +
               " out of this writer's scope — the staged bucket/truncate" +
               " dirs would fragment every z-slice")
-        Mooncake.zCluster(asserted, zorderBy(0), zorderBy(1), nOut,
+        Mooncake.zCluster(asserted, zorderBy, nOut,
           prefixCols = spec.map(_._1))
       }
     write(clustered, tableDir, mode = "overwrite")

@@ -581,19 +581,19 @@ class Mooncake(val warehouse: String) {
             bloomColumns = m.bloomColumns.getOrElse(Nil))
         }
       case z if z.startsWith("zorder:") =>
-        // Z-order re-clustering on two non-negative integer columns:
+        // Z-order re-clustering on 2-4 non-negative integer columns:
         // interleave their bits and range-partition + sort on the z
-        // value, so every file owns a rectangle of the (c1, c2) space —
-        // range scans on EITHER column then prune to ~sqrt(files) via
-        // the per-column footer stats, where linear clustering prunes
-        // only its one leading dimension.
+        // value, so every file owns a hyper-rectangle of the column
+        // space — range scans on ANY dimension then prune to
+        // ~files^((k-1)/k) via the per-column footer stats, where
+        // linear clustering prunes only its one leading dimension.
         val cols = z.stripPrefix("zorder:").split(",").map(_.trim)
           .filter(_.nonEmpty).toSeq
         val frame = readFiles(spark, m, m.files)
         Mooncake.validateZorderColumns(frame.schema, cols, name)
         val totalBytes = m.files.map(_.bytes).sum
         val nFiles = Mooncake.fileBudget(totalBytes, targetFileBytes)
-        val clustered = Mooncake.zCluster(frame, cols(0), cols(1), nFiles)
+        val clustered = Mooncake.zCluster(frame, cols, nFiles)
         writeVersion(spark, name, clustered, m.pkColumns, m.version + 1,
           carryOver = Seq.empty, alreadyPartitioned = true,
           bloomColumns = m.bloomColumns.getOrElse(Nil))
@@ -806,34 +806,43 @@ object Mooncake {
       }
     }
 
-  /** Bit-interleaved z-value of two integer columns (31 bits each →
-    * 62-bit z, covering the full positive int range; negatives clamp to
-    * 0 — clustering quality only, never correctness, since pruning
-    * reads the real footer stats). Pure codegen'd bit arithmetic — no
-    * UDF. Shared by the mirror's zorder compaction and Delta's
-    * OPTIMIZE ZORDER. */
-  private[lake] def zValue(a: Column, b: Column, bits: Int = 31): Column = {
-    val ac = greatest(a, lit(0L))
-    val bc = greatest(b, lit(0L))
+  /** Bit-interleaved z-value of k integer columns (2 ≤ k ≤ 4). Each
+    * column contributes `62 / k` bits (k=2 → 31, k=3 → 20, k=4 → 15)
+    * so the interleave always fits one positive long; values past the
+    * per-column budget SATURATE at the top bucket (dropping high bits
+    * instead would wrap far-apart values onto the same z-prefix) and
+    * negatives clamp to 0 — clustering quality only, never
+    * correctness, since pruning reads the real footer stats. Pure
+    * codegen'd bit arithmetic — no UDF. Shared by the mirror's zorder
+    * compaction, Delta's OPTIMIZE ZORDER and Iceberg's compact. */
+  private[lake] def zValue(cols: Seq[Column]): Column = {
+    val k = cols.length
+    require(k >= 2 && k <= 4, s"z-order interleave takes 2-4 columns, got $k")
+    val bits = 62 / k
+    val cap = (1L << bits) - 1
+    val clamped = cols.map(c => least(greatest(c, lit(0L)), lit(cap)))
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftright(ac, i).bitwiseAND(lit(1L)),
-          2 * i + 1))
-        .bitwiseOR(shiftleft(shiftright(bc, i).bitwiseAND(lit(1L)), 2 * i))
+      clamped.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+        // column j's bit i lands at position i*k + (k-1-j): round-robin
+        // interleave, first column most significant within each round
+        // (k=2 reproduces the historical (2i+1, 2i) layout exactly)
+        a.bitwiseOR(shiftleft(shiftright(c, i).bitwiseAND(lit(1L)),
+          i * k + (k - 1 - j)))
+      }
     }
   }
 
-  /** The ONE z-clustering recipe both the mirror's zorder compaction
-    * and Delta's OPTIMIZE ZORDER use (so the two can never drift):
-    * range-partition + sort on (`prefixCols`..., z) and drop the
-    * helper column. `prefixCols` (hive partition columns) keep each
-    * partition's rows contiguous, so z-order holds WITHIN every
-    * partition's files after the writer re-splits by dir. */
+  /** The ONE z-clustering recipe the mirror's zorder compaction,
+    * Delta's OPTIMIZE ZORDER and Iceberg's compact use (so the three
+    * can never drift): range-partition + sort on (`prefixCols`..., z)
+    * and drop the helper column. `prefixCols` (hive partition columns)
+    * keep each partition's rows contiguous, so z-order holds WITHIN
+    * every partition's files after the writer re-splits by dir. */
   private[lake] def zCluster(df: org.apache.spark.sql.DataFrame,
-      a: String, b: String, nOut: Int,
+      zCols: Seq[String], nOut: Int,
       prefixCols: Seq[String] = Seq.empty): org.apache.spark.sql.DataFrame = {
     val keys = prefixCols.map(col) :+ col("__z")
-    df.withColumn("__z", zValue(col(a).cast("long"), col(b).cast("long")))
+    df.withColumn("__z", zValue(zCols.map(c => col(c).cast("long"))))
       .repartitionByRange(nOut, keys: _*)
       .sortWithinPartitions(keys: _*)
       .drop("__z")
@@ -845,8 +854,10 @@ object Mooncake {
   private[lake] def validateZorderColumns(
       schema: org.apache.spark.sql.types.StructType,
       cols: Seq[String], context: String): Unit = {
-    require(cols.length == 2,
-      s"zorderBy takes exactly two columns, got (${cols.mkString(", ")})")
+    require(cols.length >= 2 && cols.length <= 4,
+      s"zorderBy takes 2-4 columns, got (${cols.mkString(", ")})")
+    require(cols.distinct.length == cols.length,
+      s"zorderBy columns must be distinct, got (${cols.mkString(", ")})")
     cols.foreach { c =>
       val f = schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(

@@ -151,6 +151,30 @@ object LakeQueries {
     """SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
       |WHERE c_nationkey BETWEEN 5 AND 9 ORDER BY c_custkey""".stripMargin
 
+  /** THREE-dimension z-order under oracle check: lineitem re-clustered
+    * on interleaved (l_partkey, l_suppkey, l_orderkey) bits, then
+    * range-scanned on the MIDDLE dimension — correctness unchanged;
+    * the third-dimension file skipping itself is asserted on a crafted
+    * layout in MooncakeSpec (tiny sf fixtures land in 1-2 files, so an
+    * in-query skip require would be scale-dependent). */
+  val zorder3Scan: Q = (s, dir) => {
+    val wh = cachedFixture("graft-zorder3-q", dir) { tmp =>
+      val lake = new Mooncake(tmp)
+      val l = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+      lake.createTable(s, "line_z3", l.repartition(8), Seq("l_orderkey"))
+      lake.optimizeTable(s, "line_z3",
+        mode = "zorder:l_partkey,l_suppkey,l_orderkey",
+        targetFileBytes = 256L * 1024)
+    }
+    new Mooncake(wh).readRangeOn(s, "line_z3", "l_suppkey", 10L, 20L)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+  }
+
+  val zorder3ScanSql: String =
+    """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity FROM lineitem
+      |WHERE l_suppkey BETWEEN 10 AND 20""".stripMargin
+
   /** The management surface: create two mirrors, snapshot one, list them —
     * checks the list_tables column contract. The oracle is a golden VALUES
     * list (the catalog is ours; its deterministic contents are the
@@ -1063,6 +1087,7 @@ object LakeQueries {
     "q_sql_catalog_scan" -> sqlCatalogScan,
     "q_sql_time_travel" -> sqlTimeTravel,
     "q_mirror_prune_string" -> mirrorPruneString,
+    "q_zorder3_scan" -> zorder3Scan,
     "q_delta_roundtrip" -> deltaRoundtrip,
     "q_delta_part_roundtrip" -> deltaPartRoundtrip,
     "q_delta_dv_roundtrip" -> deltaDvRoundtrip,
@@ -1105,6 +1130,7 @@ object LakeQueries {
     "q_sql_catalog_scan" -> sqlCatalogScanSql,
     "q_sql_time_travel" -> sqlTimeTravelSql,
     "q_mirror_prune_string" -> mirrorPruneStringSql,
+    "q_zorder3_scan" -> zorder3ScanSql,
     "q_delta_roundtrip" -> deltaRoundtripSql,
     "q_delta_part_roundtrip" -> deltaPartRoundtripSql,
     "q_delta_dv_roundtrip" -> deltaDvRoundtripSql,

@@ -197,6 +197,49 @@ class MooncakeSpec extends SparkSuite {
     assert(lake.read(spark, "z").count() === n)
   }
 
+  test("3-column zorder prunes on the third dimension too") {
+    val lake = freshLake()
+    val n = 4096L
+    // b and c are decorrelated from a (and each other): linear
+    // clustering on a makes every file span nearly the full b and c
+    // ranges, so pre-zorder a c-range scan opens ~everything
+    val src = spark.range(0, n)
+      .select(col("id").as("a"),
+        ((col("id") * 2654435761L) % n).as("b"),
+        ((col("id") * 40503L + 7L) % n).as("c"),
+        concat(lit("payload_"), col("id")).as("p"))
+      .coalesce(1)
+    lake.createTable(spark, "z3", src, Seq("a"),
+      targetFileBytes = 8 * 1024)
+    val nLinear = lake.currentManifest("z3").files.size
+    assert(nLinear >= 6, s"want a multi-file table, got $nLinear")
+    val lo = 0L; val hi = n / 16 - 1
+    val linearOpened =
+      lake.readRangeOn(spark, "z3", "c", lo, hi).inputFiles.length
+    assert(linearOpened >= nLinear - 1,
+      s"expected ~no pruning on c pre-zorder: $linearOpened/$nLinear")
+
+    lake.optimizeTable(spark, "z3", mode = "zorder:a,b,c",
+      targetFileBytes = 8 * 1024)
+    val zFiles = lake.currentManifest("z3").files.size
+    assert(zFiles >= 6, s"zorder rewrite must keep multiple files: $zFiles")
+    // ALL THREE dimensions prune after the 3-way interleave
+    for (d <- Seq("a", "b", "c")) {
+      val opened =
+        lake.readRangeOn(spark, "z3", d, lo, hi).inputFiles.length
+      assert(opened <= zFiles * 3 / 4,
+        s"$d-range must prune on the 3-d z-ordered table: $opened/$zFiles")
+    }
+    // and the answers stay exact
+    assert(lake.readRangeOn(spark, "z3", "c", lo, hi).count() ===
+      src.filter(col("c").between(lo, hi)).count())
+    assert(lake.read(spark, "z3").count() === n)
+    // arity guard: 5 columns refuse
+    intercept[IllegalArgumentException] {
+      lake.optimizeTable(spark, "z3", mode = "zorder:a,b,c,a,b")
+    }
+  }
+
   test("non-plain-int columns get no manifest stats and never misprune") {
     val lake = freshLake()
     // decimal + timestamp are INT64 at the parquet physical layer with

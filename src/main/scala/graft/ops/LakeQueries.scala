@@ -541,6 +541,40 @@ object LakeQueries {
       |FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000
       |ORDER BY o_orderkey""".stripMargin
 
+  /** LIVE remote tailing end-to-end (the moonlink analog, rows-checked
+    * against the full-table oracle): a mirror backfills from the first
+    * chunk of a growing "remote" location, the poll-by-watermark tailer
+    * spools what arrives after, and the standard CdcStream applies the
+    * batches — the converged mirror must equal the remote's final
+    * state exactly. */
+  val cdcRemote: Q = (s, dir) => {
+    val tmp = cachedFixture("graft-remote-q", dir) { t =>
+      val remoteDir = s"$t/remote"
+      val lake = new Mooncake(s"$t/wh")
+      val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      // the remote starts with the low-key chunk; the mirror backfills it
+      o.filter(col("o_orderkey") <= 3000).write.parquet(remoteDir)
+      lake.createTable(s, "orders_remote",
+        s.read.parquet(remoteDir), Seq("o_orderkey"))
+      val tailer = new graft.streaming.RemoteCdcTailer(
+        ss => ss.read.parquet(remoteDir), "o_orderkey", s"$t/spool")
+      tailer.drain(s) // re-upserts the backfill, idempotently
+      // the remote grows; the watermark (o_orderkey) stays monotone
+      o.filter(col("o_orderkey") > 3000)
+        .write.mode("append").parquet(remoteDir)
+      tailer.drain(s)
+      graft.streaming.CdcStream.attach(lake, "orders_remote",
+        tailer.changes(s), s"$t/ckpt").awaitTermination()
+    }
+    new Mooncake(s"$tmp/wh").read(s, "orders_remote")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+  }
+
+  val cdcRemoteSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders""".stripMargin
+
   /** Manifest STRING/DATE bounds on the mirror (the r6 pruning kept
     * integer stats only): a status-clustered mirror — three files with
     * disjoint single-status string bounds — must open a strict subset
@@ -1088,6 +1122,7 @@ object LakeQueries {
     "q_sql_time_travel" -> sqlTimeTravel,
     "q_mirror_prune_string" -> mirrorPruneString,
     "q_zorder3_scan" -> zorder3Scan,
+    "q_cdc_remote" -> cdcRemote,
     "q_delta_roundtrip" -> deltaRoundtrip,
     "q_delta_part_roundtrip" -> deltaPartRoundtrip,
     "q_delta_dv_roundtrip" -> deltaDvRoundtrip,
@@ -1131,6 +1166,7 @@ object LakeQueries {
     "q_sql_time_travel" -> sqlTimeTravelSql,
     "q_mirror_prune_string" -> mirrorPruneStringSql,
     "q_zorder3_scan" -> zorder3ScanSql,
+    "q_cdc_remote" -> cdcRemoteSql,
     "q_delta_roundtrip" -> deltaRoundtripSql,
     "q_delta_part_roundtrip" -> deltaPartRoundtripSql,
     "q_delta_dv_roundtrip" -> deltaDvRoundtripSql,

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, max}
+
+/** LIVE remote CDC tailing — the moonlink analog
+  * (`/root/reference/src/functions.rs:34-42` starts replication against
+  * a remote server; loopback default `:165-177`). Without a WAL wire
+  * protocol, the Spark-native restatement is poll-by-watermark: the
+  * remote relation (JDBC table, growing parquet/csv location — anything
+  * `SparkSession => DataFrame` can load) carries a MONOTONE watermark
+  * column (commit LSN, version, strictly-increasing id); each poll
+  * reads only rows PAST the persisted frontier (the predicate pushes
+  * down to the remote scan — a JDBC source ships it in the WHERE, so a
+  * poll never rescans the remote table) and spools them as one parquet
+  * change batch. The spool directory is then a STANDARD Structured
+  * Streaming file source: [[changes]] hands it to [[CdcStream.attach]],
+  * which applies each micro-batch exactly-once into the mirror.
+  *
+  * Delivery contract: batch-then-frontier ordering makes a crash
+  * between the two re-poll the same delta → AT-LEAST-ONCE into the
+  * spool, converging because batches apply as keyed upserts/deletes
+  * (rows without `__op` are stamped upserts). The watermark must be
+  * strictly monotone and complete-at-read (all rows ≤ the observed max
+  * are durably visible) — the same contract every incremental
+  * poll-based replicator assumes.
+  *
+  * Restart safety is two-layer: this frontier file resumes POLLING
+  * past spooled data, and the attached stream's own checkpoint resumes
+  * APPLICATION past committed batches — killing and re-attaching
+  * either side never double-applies (RemoteCdcSpec drives the full
+  * crash-restart cycle).
+  */
+class RemoteCdcTailer(remote: SparkSession => DataFrame,
+    watermarkCol: String, spoolDir: String) {
+
+  private val batchesDir = Paths.get(spoolDir, "batches")
+  private val frontierFile = Paths.get(spoolDir, "frontier")
+  Files.createDirectories(batchesDir)
+
+  /** Highest watermark already spooled; new polls read strictly past it. */
+  def frontier: Option[Long] =
+    if (!Files.exists(frontierFile)) None
+    else Some(new String(Files.readAllBytes(frontierFile), "UTF-8")
+      .trim.toLong)
+
+  private def writeFrontier(v: Long): Unit = {
+    val tmp = Files.createTempFile(frontierFile.getParent, ".tmp", ".txt")
+    Files.write(tmp, v.toString.getBytes("UTF-8"))
+    Files.move(tmp, frontierFile, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** One poll: spool every remote row past the frontier as one change
+    * batch, advance the frontier to the batch's max watermark. Returns
+    * the number of rows spooled (0 = remote quiet; nothing written). */
+  def pollOnce(spark: SparkSession): Long = {
+    val src = remote(spark)
+    require(src.columns.contains(watermarkCol),
+      s"remote source has no watermark column '$watermarkCol'")
+    val delta = frontier.fold(src)(f =>
+      src.filter(col(watermarkCol).cast("long") > f))
+    // max-watermark probe first: the common quiet poll touches only the
+    // remote's pushed-down aggregate, never writes
+    val hi = delta.agg(max(col(watermarkCol).cast("long"))).head().get(0)
+    if (hi == null) 0L
+    else {
+      val stamped =
+        if (delta.columns.contains("__op")) delta
+        else delta.withColumn("__op", lit("U"))
+      val n = stamped.count()
+      stamped.write.mode("append").parquet(batchesDir.toString)
+      writeFrontier(hi.asInstanceOf[Long])
+      n
+    }
+  }
+
+  /** Poll until the remote goes quiet for `quietPolls` consecutive
+    * rounds (test/batch drain) or `maxPolls` is hit. Returns total rows
+    * spooled. A production deployment calls [[pollOnce]] on its own
+    * schedule instead. */
+  def drain(spark: SparkSession, maxPolls: Int = 100,
+      quietPolls: Int = 1): Long = {
+    var total = 0L
+    var quiet = 0
+    var polls = 0
+    while (quiet < quietPolls && polls < maxPolls) {
+      val n = pollOnce(spark)
+      total += n
+      quiet = if (n == 0) quiet + 1 else 0
+      polls += 1
+    }
+    total
+  }
+
+  /** The spooled change feed as a standard file-source stream — hand
+    * this to [[CdcStream.attach]]. Schema comes from the remote
+    * relation (plus the stamped `__op`), so the stream starts before
+    * any batch exists. */
+  def changes(spark: SparkSession): DataFrame = {
+    val base = remote(spark)
+    val schema =
+      if (base.columns.contains("__op")) base.schema
+      else base.withColumn("__op", lit("U")).schema
+    spark.readStream.schema(schema).parquet(batchesDir.toString)
+  }
+}

@@ -332,6 +332,55 @@ object PipelineQueries {
   val dedupMinhashSql: String =
     minhashPairsSql + "\nORDER BY doc_a, doc_b"
 
+  /** INCREMENTAL dedup under oracle check: the corpus (doc_id % 5 ≠ 0)
+    * is indexed ONCE as a mooncake band-index mirror; the incoming
+    * batch (doc_id % 5 = 0) probes it — broadcast band join, inline
+    * Jaccard, zero corpus re-hashing ([[IncrementalDedup]]). The oracle
+    * recomputes the same corpus×batch near-dup pairs from scratch. */
+  private val incIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.lake.Mooncake]()
+
+  val dedupIncremental: Q = (s, dir) => {
+    val lake = incIdxCache.computeIfAbsent(dir, _ => {
+      val l = new graft.lake.Mooncake(graft.Scratch.dir("graft-incdedup-q"))
+      IncrementalDedup.createIndex(s, l, "band_idx",
+        docs(s, dir).filter(col("doc_id") % 5 =!= 0))
+      l
+    })
+    IncrementalDedup.dupPairs(s, lake, "band_idx",
+      docs(s, dir).filter(col("doc_id") % 5 === 0))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+       |hs AS (SELECT doc_id, sh,
+       |  list_transform(sh, x -> ${sqlHash("x")}) AS h FROM s
+       |  WHERE len(sh) > 0),
+       |sig AS (SELECT doc_id, sh,
+       |  list_transform(range(0, $NumHashes), p ->
+       |    coalesce(list_min(list_transform(h,
+       |      v -> ($aList[CAST(p AS INT)+1] * v + $bList[CAST(p AS INT)+1]) % $P)), $P)) AS sig
+       |  FROM hs),
+       |bands AS (SELECT doc_id, sh, b,
+       |  CAST(sig[4*CAST(b AS INT)+1] AS VARCHAR) || ':' ||
+       |  CAST(sig[4*CAST(b AS INT)+2] AS VARCHAR) || ':' ||
+       |  CAST(sig[4*CAST(b AS INT)+3] AS VARCHAR) || ':' ||
+       |  CAST(sig[4*CAST(b AS INT)+4] AS VARCHAR) AS key
+       |  FROM sig, unnest(range(0, $Bands)) AS u(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.sh AS sha, b.sh AS shb
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key
+       |  WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(sha, shb)) AS DOUBLE)
+       |    / (len(sha) + len(shb) - len(list_intersect(sha, shb))) AS jacc
+       |FROM cand
+       |WHERE CAST(len(list_intersect(sha, shb)) AS DOUBLE)
+       |    / (len(sha) + len(shb) - len(list_intersect(sha, shb))) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** SimHash near-dup: 32-bit signature from token hashes; candidates
     * share one 16-bit half (1-band-intact trick), verified by Hamming
     * distance ≤ 6. */
@@ -723,6 +772,7 @@ object PipelineQueries {
     "q_dedup_exact" -> dedupExact,
     "q_dedup_jaccard" -> dedupJaccard,
     "q_dedup_minhash" -> dedupMinhash,
+    "q_dedup_incremental" -> dedupIncremental,
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_embed" -> dedupEmbed,
     "q_dedup_embed_lsh" -> dedupEmbedLsh,
@@ -743,6 +793,7 @@ object PipelineQueries {
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_jaccard" -> dedupJaccardSql,
     "q_dedup_minhash" -> dedupMinhashSql,
+    "q_dedup_incremental" -> dedupIncrementalSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_embed" -> dedupEmbedSql,
     "q_dedup_embed_lsh" -> dedupEmbedLshSql,

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.lake.Mooncake
+import graft.streaming.CdcStream
+
+/** Incremental corpus dedup: the MinHash band index lives as a mooncake
+  * mirror; incoming batches probe it (broadcast band join, no corpus
+  * rescan) and then append THROUGH the standard CDC stream — so a later
+  * batch deduplicates against everything earlier batches added. */
+class IncrementalDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while rain falls softly " +
+      "on the quiet village roofs tonight"
+
+  test("streamed batches grow the index; later batches dedup against them") {
+    val lake = new Mooncake(tmpDir("incdedup-wh"))
+    val corpus = Seq(
+      1L -> base,
+      2L -> "completely different text about distributed query engines and columnar storage formats")
+      .toDF("doc_id", "text")
+    IncrementalDedup.createIndex(spark, lake, "idx", corpus)
+
+    // batch 1: doc 10 is a one-word edit of doc 1 — found against the
+    // initial corpus
+    val b1 = Seq(10L -> base.replace("dog", "cat")).toDF("doc_id", "text")
+    val d1 = IncrementalDedup.dupPairs(spark, lake, "idx", b1)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(d1 === Set(1L -> 10L))
+
+    // batch 1 flows into the index THROUGH the CDC stream: the change
+    // feed is the banded transform of the incoming docs, applied by the
+    // same attach/apply machinery as any mirror
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val changes = IncrementalDedup.bandIndex(
+      input.toDF().toDF("doc_id", "text")).withColumn("__op", lit("I"))
+    val ckpt = tmpDir("incdedup-ckpt")
+    input.addData(10L -> base.replace("dog", "cat"))
+    CdcStream.attach(lake, "idx", changes, ckpt).awaitTermination()
+    assert(lake.read(spark, "idx").select("doc_id").distinct().count() === 3)
+
+    // batch 2: doc 20 edits DOC 10's LAST word (not in the initial
+    // corpus; a tail edit flips exactly one shingle, so the LSH bands
+    // deterministically collide) — only a live index finds it
+    val b2 = Seq(20L -> base.replace("dog", "cat")
+        .replace("tonight", "today"))
+      .toDF("doc_id", "text")
+    val d2 = IncrementalDedup.dupPairs(spark, lake, "idx", b2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(d2.contains(10L -> 20L),
+      s"batch 2 must dedup against the streamed batch 1 doc, got $d2")
+
+    // a second stream batch through the SAME checkpoint appends doc 20
+    input.addData(20L -> base.replace("dog", "cat")
+      .replace("tonight", "today"))
+    CdcStream.attach(lake, "idx", changes, ckpt).awaitTermination()
+    // the index now holds 4 docs × 4 band rows
+    assert(lake.read(spark, "idx").select("doc_id").distinct().count() === 4)
+
+    // unrelated text: no pairs, and the probe broadcast the batch side
+    val clean = Seq(30L -> "entirely novel words nobody wrote before in this tiny corpus today")
+      .toDF("doc_id", "text")
+    assert(IncrementalDedup.dupPairs(spark, lake, "idx", clean).count() === 0)
+    val plan = IncrementalDedup.dupPairs(spark, lake, "idx", b2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"batch side must broadcast — the corpus index never shuffles:\n$plan")
+  }
+}

@@ -111,9 +111,37 @@ object DeltaCompat {
   }
 
   private def checkpointFiles(table: String, v: Long, parts: Int): Seq[Path] =
-    if (parts <= 1) Seq(logDir(table).resolve(f"$v%020d.checkpoint.parquet"))
+    if (parts <= 1) {
+      val classic = logDir(table).resolve(f"$v%020d.checkpoint.parquet")
+      if (Files.exists(classic)) Seq(classic)
+      else {
+        // V2 checkpoints are UUID-named: n.checkpoint.<uuid>.parquet
+        // (the newer writers' default once the v2Checkpoint feature is
+        // on). _last_checkpoint carries only the version — resolve by
+        // listing. Several UUID files for one version are equivalent
+        // per spec; take the lexicographically last deterministically.
+        val re = (f"$v%020d" +
+          "\\.checkpoint\\.[0-9a-fA-F-]{36}\\.parquet").r
+        val named = Manifest.withListing(logDir(table))(_.filter(p =>
+          re.pattern.matcher(p.getFileName.toString).matches()).toSeq)
+          .sortBy(_.getFileName.toString)
+        if (named.nonEmpty) Seq(named.last) else Seq(classic)
+      }
+    }
     else (1 to parts).map(p => logDir(table)
       .resolve(f"$v%020d.checkpoint.$p%010d.$parts%010d.parquet"))
+
+  /** Sidecar files a V2 checkpoint references ({"sidecar":{...}} rows):
+    * resolved under `_delta_log/_sidecars/`, where the spec places
+    * them. Empty for classic checkpoints (no sidecar column). */
+  private def sidecarFiles(table: String,
+      df: DataFrame): Seq[Path] =
+    if (!df.schema.fieldNames.contains("sidecar")) Seq.empty
+    else df.filter(functions.col("sidecar").isNotNull)
+      .select("sidecar.path").collect()
+      .flatMap(r => Option(r.getString(0))).toSeq
+      .map(p => logDir(table).resolve("_sidecars")
+        .resolve(PathCodec.percentDecode(p)))
 
   /** Load replay state from a parquet checkpoint: one row per action,
     * exactly one of the protocol/metaData/add/remove structs non-null.
@@ -172,34 +200,7 @@ object DeltaCompat {
       // (remove rows are only vacuum tombstones — not applied to
       // liveness). Map values may be null for null partitions.
       idx.get("add").filterNot(r.isNullAt).foreach { i =>
-        val a = r.getStruct(i)
-        val pvIdx = a.fieldIndex("partitionValues")
-        val pv =
-          if (a.isNullAt(pvIdx)) Map.empty[String, Option[String]]
-          else a.getMap[String, String](pvIdx).toMap
-            .map { case (k, value) => k -> Option(value) }
-        val size = Option(a.getAs[java.lang.Long]("size")).fold(0L)(_.longValue)
-        val dv =
-          if (!a.schema.fieldNames.contains("deletionVector")) None
-          else {
-            val di = a.fieldIndex("deletionVector")
-            if (a.isNullAt(di)) None
-            else {
-              val d = a.getStruct(di)
-              Some(DeletionVectors.Descriptor(
-                d.getAs[String]("storageType"),
-                d.getAs[String]("pathOrInlineDv"),
-                Option(d.getAs[Integer]("offset")).map(_.intValue),
-                d.getAs[Integer]("sizeInBytes").intValue,
-                d.getAs[java.lang.Long]("cardinality").longValue))
-            }
-          }
-        val stats =
-          if (!a.schema.fieldNames.contains("stats")) None
-          else Option(a.getAs[String]("stats")).filter(_.nonEmpty)
-        state = state.copy(files = state.files +
-          (PathCodec.percentDecode(a.getAs[String]("path")) ->
-            AddFile(pv, size, dv, stats)))
+        state = state.copy(files = state.files + parseAdd(r.getStruct(i)))
       }
       idx.get("txn").filterNot(r.isNullAt).foreach { i =>
         val t = r.getStruct(i)
@@ -209,7 +210,53 @@ object DeltaCompat {
           (t.getAs[String]("appId") -> v))
       }
     }
+    // V2 checkpoints move file actions into SIDECAR parquet files; the
+    // main UUID-named file then carries only protocol/metaData/txn plus
+    // the sidecar pointers (handled above as absent/null add columns).
+    val sidecars = sidecarFiles(table, df)
+    sidecars.filterNot(Files.exists(_)).foreach(p =>
+      throw new IllegalStateException(
+        s"$table: v2 checkpoint names missing sidecar file $p"))
+    if (sidecars.nonEmpty) {
+      val sdf = spark.read.parquet(sidecars.map(_.toString): _*)
+      if (sdf.schema.fieldNames.contains("add"))
+        sdf.select("add").filter(functions.col("add").isNotNull)
+          .collect()
+          .foreach(r => state =
+            state.copy(files = state.files + parseAdd(r.getStruct(0))))
+    }
     state
+  }
+
+  /** One checkpoint `add` struct row → (decoded path, AddFile). Shared
+    * by the classic in-file adds and V2 sidecar adds. */
+  private def parseAdd(a: org.apache.spark.sql.Row): (String, AddFile) = {
+    val pvIdx = a.fieldIndex("partitionValues")
+    val pv =
+      if (a.isNullAt(pvIdx)) Map.empty[String, Option[String]]
+      else a.getMap[String, String](pvIdx).toMap
+        .map { case (k, value) => k -> Option(value) }
+    val size = Option(a.getAs[java.lang.Long]("size")).fold(0L)(_.longValue)
+    val dv =
+      if (!a.schema.fieldNames.contains("deletionVector")) None
+      else {
+        val di = a.fieldIndex("deletionVector")
+        if (a.isNullAt(di)) None
+        else {
+          val d = a.getStruct(di)
+          Some(DeletionVectors.Descriptor(
+            d.getAs[String]("storageType"),
+            d.getAs[String]("pathOrInlineDv"),
+            Option(d.getAs[Integer]("offset")).map(_.intValue),
+            d.getAs[Integer]("sizeInBytes").intValue,
+            d.getAs[java.lang.Long]("cardinality").longValue))
+        }
+      }
+    val stats =
+      if (!a.schema.fieldNames.contains("stats")) None
+      else Option(a.getAs[String]("stats")).filter(_.nonEmpty)
+    PathCodec.percentDecode(a.getAs[String]("path")) ->
+      AddFile(pv, size, dv, stats)
   }
 
   private def replay(spark: SparkSession, table: String,
@@ -943,16 +990,27 @@ object DeltaCompat {
     }
   }
 
-  /** Paths the checkpoint declares live (add rows only). */
+  /** Paths the checkpoint declares live (add rows, V2 sidecars
+    * included — vacuum must never sweep files a sidecar still names). */
   private def checkpointLivePaths(table: String, v: Long,
       parts: Int): Seq[String] = {
     val spark = SparkSession.active
     val paths = checkpointFiles(table, v, parts).filter(Files.exists(_))
     if (paths.isEmpty) return Seq.empty
     val df = spark.read.parquet(paths.map(_.toString): _*)
-    if (!df.schema.fieldNames.contains("add")) return Seq.empty
-    df.select("add.path").collect().flatMap(r => Option(r.getString(0)))
-      .map(PathCodec.percentDecode).toSeq
+    val own =
+      if (!df.schema.fieldNames.contains("add")) Seq.empty[String]
+      else df.select("add.path").collect()
+        .flatMap(r => Option(r.getString(0))).toSeq
+    val fromSidecars = sidecarFiles(table, df).filter(Files.exists(_)) match {
+      case Seq() => Seq.empty[String]
+      case sc =>
+        val sdf = spark.read.parquet(sc.map(_.toString): _*)
+        if (!sdf.schema.fieldNames.contains("add")) Seq.empty[String]
+        else sdf.select("add.path").collect()
+          .flatMap(r => Option(r.getString(0))).toSeq
+    }
+    (own ++ fromSidecars).map(PathCodec.percentDecode)
   }
 
   /** `add.stats` JSON for one staged parquet file, from its footer only:

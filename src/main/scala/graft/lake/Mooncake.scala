@@ -68,6 +68,7 @@ class Mooncake(val warehouse: String) {
       pk: Seq[String], initialVersion: Long = 1L,
       targetFileBytes: Long = 128L * 1024 * 1024,
       bloomColumns: Seq[String] = Seq.empty): Manifest = {
+    ResourceCaps.enforce(spark)
     val dir = tableDir(name)
     if (Manifest.latest(dir).isDefined)
       throw new IllegalStateException(s"mooncake table '$name' already exists")
@@ -182,6 +183,7 @@ class Mooncake(val warehouse: String) {
   def read(spark: SparkSession, name: String,
       atLeastVersion: Option[Long] = None,
       prune: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    ResourceCaps.enforce(spark)
     val m = require_(Manifest.latest(tableDir(name)), name)
     atLeastVersion.foreach { v =>
       if (m.flushVersion < v)
@@ -396,6 +398,7 @@ class Mooncake(val warehouse: String) {
     */
   def applyChanges(spark: SparkSession, name: String, changes: DataFrame,
       version: Long): Manifest = {
+    ResourceCaps.enforce(spark)
     val dir = tableDir(name)
     val m = require_(Manifest.latest(dir), name)
     if (version <= m.commitVersion)
@@ -557,6 +560,7 @@ class Mooncake(val warehouse: String) {
     *     cost proportional to fragmentation, not table size). */
   def optimizeTable(spark: SparkSession, name: String, mode: String = "data",
       targetFileBytes: Long = 128L * 1024 * 1024): Manifest = {
+    ResourceCaps.enforce(spark)
     val m = currentManifest(name)
     mode match {
       case "full" =>

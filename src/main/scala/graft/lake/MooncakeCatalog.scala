@@ -153,8 +153,11 @@ private[lake] case class MooncakeTable(mirror: String, m: Manifest)
       "files" -> m.files.size.toString).asJava
 
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder =
-    new MooncakeScanBuilder(SparkSession.active, m, options)
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    val s = SparkSession.active
+    ResourceCaps.enforce(s)
+    new MooncakeScanBuilder(s, m, options)
+  }
 }
 
 /** Scan builder wiring Spark's filter/column pushdown into manifest

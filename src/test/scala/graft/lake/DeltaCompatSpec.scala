@@ -597,4 +597,68 @@ class DeltaCompatSpec extends SparkSuite {
       rm.getBytes)
     assert(DeltaCompat.read(spark, dir).count() === 1)
   }
+
+  test("v2 (uuid + sidecar) checkpoints read like classic ones") {
+    import org.apache.spark.sql.functions.{col, struct, lit}
+    val dir = tmpDir("delta-v2cp")
+    DeltaCompat.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
+    DeltaCompat.write(Seq((3L, "c")).toDF("k", "v"), dir)
+    val cv = DeltaCompat.checkpoint(spark, dir)
+    val log = Paths.get(dir, "_delta_log")
+    val classic = log.resolve(f"$cv%020d.checkpoint.parquet")
+    val cp = spark.read.parquet(classic.toString)
+
+    // Hand-convert to the V2 layout a newer writer emits: file actions
+    // move into a sidecar parquet under _sidecars/, the main file
+    // becomes UUID-named and carries non-file actions + the
+    // checkpointMetadata and sidecar pointers.
+    val sidecarsDir = Files.createDirectories(log.resolve("_sidecars"))
+    val sidecarName = "11111111-2222-3333-4444-555555555555.parquet"
+    val stage = Files.createTempDirectory(log, ".v2stage")
+    cp.filter(col("add").isNotNull).select("add")
+      .coalesce(1).write.mode("overwrite").parquet(s"$stage/sidecar")
+    val sidecarPart = Files.list(Paths.get(s"$stage/sidecar")).iterator()
+      .asScala.find(_.toString.endsWith(".parquet")).get
+    Files.move(sidecarPart, sidecarsDir.resolve(sidecarName))
+
+    val nonFile = cp.filter(col("add").isNull).drop("add")
+    val pointers = Seq(sidecarName).toDF("__p").select(
+      struct(col("__p").as("path"),
+        lit(Files.size(sidecarsDir.resolve(sidecarName))).as("sizeInBytes"),
+        lit(1L).as("modificationTime")).as("sidecar"))
+    val cpMeta = Seq(cv).toDF("__v").select(
+      struct(col("__v").as("version")).as("checkpointMetadata"))
+    nonFile
+      .unionByName(pointers, allowMissingColumns = true)
+      .unionByName(cpMeta, allowMissingColumns = true)
+      .coalesce(1).write.mode("overwrite").parquet(s"$stage/main")
+    val mainPart = Files.list(Paths.get(s"$stage/main")).iterator()
+      .asScala.find(_.toString.endsWith(".parquet")).get
+    Files.move(mainPart, log.resolve(
+      f"$cv%020d.checkpoint.aaaabbbb-cccc-dddd-eeee-ffff00001111.parquet"))
+    LakeFs.deleteRec(stage)
+    // the classic file and pre-checkpoint JSON are gone (vacuumed) —
+    // the V2 file is the ONLY way to reconstruct state
+    Files.delete(classic)
+    Manifest.withListing(log)(_.filter(p =>
+      p.getFileName.toString.matches("\\d{20}\\.json") &&
+        p.getFileName.toString.stripSuffix(".json").toLong <= cv).toSeq)
+      .foreach(Files.delete)
+
+    val rows = DeltaCompat.read(spark, dir).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(rows === Seq(1L -> "a", 2L -> "b", 3L -> "c"))
+
+    // appends after the v2 checkpoint replay on top of it
+    DeltaCompat.write(Seq((4L, "d")).toDF("k", "v"), dir)
+    assert(DeltaCompat.read(spark, dir).count() === 4)
+
+    // a missing sidecar refuses loudly instead of silently dropping files
+    Files.move(sidecarsDir.resolve(sidecarName),
+      sidecarsDir.resolve("gone.parquet"))
+    val ex = intercept[IllegalStateException] {
+      DeltaCompat.read(spark, dir, version = Some(cv)).collect()
+    }
+    assert(ex.getMessage.contains("sidecar"))
+  }
 }

@@ -31,6 +31,15 @@ object RelationalQueries {
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Engine-agnostic decimal→double: THROUGH A STRING. Both engines
+    * round string→double correctly; DuckDB's direct decimal→double is
+    * hugeint→double then ÷10^scale — two roundings that can land one
+    * ulp off the correctly-rounded value once the unscaled value passes
+    * 2^53 (first seen on sf1 whole-table sums). Oracle mirror:
+    * `CAST(CAST(x AS VARCHAR) AS DOUBLE)`. */
+  private[ops] def decToDouble(c: Column): Column =
+    c.cast("string").cast("double")
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -357,35 +366,47 @@ object RelationalQueries {
   /** Flagship TPC-H Q1 shape (README.md:91 filtered-agg class). All money
     * math in decimal; averages derived from exact sums with a final double
     * division (identical IEEE op in both engines). Spark plans this as
-    * partial (map-side) + final hash aggregate — one shuffle of 6 groups. */
+    * partial (map-side) + final hash aggregate — one shuffle of 6 groups.
+    *
+    * Two sf1-magnitude parity rules (found when whole-table sums crossed
+    * 2^53 unscaled):
+    *   - decimal→double goes THROUGH A STRING on both sides (string→
+    *     double is correctly rounded in both engines; DuckDB's direct
+    *     decimal→double is hugeint→double then ÷10^s — two roundings
+    *     that can differ from the correctly-rounded cast by one ulp);
+    *   - the triple product parenthesizes with an explicit
+    *     DECIMAL(18,4) midpoint, because DuckDB's (18,2)×(18,2)×(18,2)
+    *     chain overflows its 38-digit width and silently degrades the
+    *     whole SUM to double accumulation. */
   val q1Agg: Q = (s, dir) =>
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-          .cast("double").as("sum_disc_price"),
-        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
-            * (lit(1) + dec(col("l_tax"))))
-          .cast("double").as("sum_charge"),
-        (sum(dec(col("l_quantity"))).cast("double") / count("*")).as("avg_qty"),
-        (sum(dec(col("l_extendedprice"))).cast("double") / count("*")).as("avg_price"),
+        decToDouble(sum(dec(col("l_quantity")))).as("sum_qty"),
+        decToDouble(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        decToDouble(sum(dec(col("l_extendedprice"))
+          * (lit(1) - dec(col("l_discount"))))).as("sum_disc_price"),
+        decToDouble(sum((dec(col("l_extendedprice"))
+            * (lit(1) - dec(col("l_discount")))).cast("decimal(18,4)")
+            * (lit(1) + dec(col("l_tax"))))).as("sum_charge"),
+        (decToDouble(sum(dec(col("l_quantity")))) / count("*")).as("avg_qty"),
+        (decToDouble(sum(dec(col("l_extendedprice")))) / count("*"))
+          .as("avg_price"),
         count("*").as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
   val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-      |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-      |           * (1 - CAST(l_discount AS DECIMAL(18,2)))
-      |           * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+      |           * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'

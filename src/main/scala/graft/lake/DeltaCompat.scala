@@ -870,7 +870,7 @@ object DeltaCompat {
     * deletion vectors rewrite clean as a side effect (their DVs are
     * applied during the scan), same as purge.
     *
-    * `zorderBy` (exactly two non-negative integer columns) switches to
+    * `zorderBy` (2-4 non-negative integer columns) switches to
     * OPTIMIZE ZORDER: ALL live files rewrite, range-partitioned +
     * sorted on the bit-interleaved z-value, so every file owns a
     * rectangle of the (a, b) space — `read(prune)` over `add.stats`

@@ -49,6 +49,18 @@ class Mooncake(val warehouse: String) {
   private def require_(m: Option[Manifest], name: String): Manifest =
     m.getOrElse(throw new NoSuchElementException(s"no mooncake table '$name'"))
 
+  /** Integer view of a column for range/point predicates and CDC key
+    * bounds: DATE columns compare as epoch days (matching their
+    * manifest stats — a plain cast("long") on a date is an
+    * AnalysisException), integrals cast directly. */
+  private def longView(df: DataFrame, column: String): Column =
+    df.schema(column).dataType match {
+      case org.apache.spark.sql.types.DateType =>
+        datediff(col(column), lit(java.sql.Date.valueOf("1970-01-01")))
+          .cast("long")
+      case _ => col(column).cast("long")
+    }
+
   // -------------------------------------------------------------------------
   // create / drop / list
   // -------------------------------------------------------------------------
@@ -210,6 +222,7 @@ class Mooncake(val warehouse: String) {
     * point lookup touches one file regardless of table size. */
   def readRange(spark: SparkSession, name: String, lo: Long, hi: Long,
       atLeastVersion: Option[Long] = None): DataFrame = {
+    ResourceCaps.enforce(spark)
     val m = require_(Manifest.latest(tableDir(name)), name)
     val key = m.pkColumns.headOption.getOrElse(
       throw new IllegalStateException(s"table '$name' has no key to range-scan"))
@@ -233,6 +246,7 @@ class Mooncake(val warehouse: String) {
   private def rangeOnManifest(spark: SparkSession, name: String, m: Manifest,
       column: String, lo: Long, hi: Long,
       atLeastVersion: Option[Long]): DataFrame = {
+    ResourceCaps.enforce(spark)
     atLeastVersion.foreach { v =>
       if (m.flushVersion < v)
         throw new StaleSnapshotException(
@@ -246,8 +260,8 @@ class Mooncake(val warehouse: String) {
         else None)
       range.forall { case (fLo, fHi) => fLo <= hi && fHi >= lo }
     }
-    readFiles(spark, m, files)
-      .filter(col(column).cast("long") >= lo && col(column).cast("long") <= hi)
+    val base = readFiles(spark, m, files)
+    base.filter(longView(base, column) >= lo && longView(base, column) <= hi)
   }
 
   /** Point lookup on an integer column, with two pruning tiers before
@@ -266,6 +280,7 @@ class Mooncake(val warehouse: String) {
     * paths, never a data scan. */
   def readPoint(spark: SparkSession, name: String, column: String,
       value: Long, atLeastVersion: Option[Long] = None): DataFrame = {
+    ResourceCaps.enforce(spark)
     val m = require_(Manifest.latest(tableDir(name)), name)
     atLeastVersion.foreach { v =>
       if (m.flushVersion < v)
@@ -292,7 +307,8 @@ class Mooncake(val warehouse: String) {
           .collect().toSet
         ranged.filter(f => paths(f.path))
       }
-    readFiles(spark, m, kept).filter(col(column).cast("long") === value)
+    val base = readFiles(spark, m, kept)
+    base.filter(longView(base, column) === value)
   }
 
   private[lake] def manifestAt(name: String, version: Long): Manifest = {
@@ -304,6 +320,7 @@ class Mooncake(val warehouse: String) {
 
   /** Time travel: scan an explicit manifest version. */
   def readVersion(spark: SparkSession, name: String, version: Long): DataFrame = {
+    ResourceCaps.enforce(spark)
     val m = manifestAt(name, version)
     readFiles(spark, m, m.files)
   }
@@ -330,6 +347,7 @@ class Mooncake(val warehouse: String) {
     * rewritten files, not the table. */
   def tableChanges(spark: SparkSession, name: String, fromVersion: Long,
       toVersion: Long): DataFrame = {
+    ResourceCaps.enforce(spark)
     val mFrom = manifestAt(name, fromVersion)
     val mTo = manifestAt(name, toVersion)
     if (org.apache.spark.sql.types.StructType.fromDDL(mTo.schemaDdl)
@@ -447,7 +465,8 @@ class Mooncake(val warehouse: String) {
       if (!skippable) (m.files, Seq.empty[DataFile])
       else {
         val keyBounds = affectedKeys
-          .agg(min(col(pk.head)).cast("long"), max(col(pk.head)).cast("long"))
+          .agg(min(longView(affectedKeys, pk.head)),
+            max(longView(affectedKeys, pk.head)))
           .head()
         val (loKey, hiKey) =
           (Option(keyBounds.get(0)).map(_.asInstanceOf[Long]),

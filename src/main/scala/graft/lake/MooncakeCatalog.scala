@@ -64,17 +64,44 @@ class MooncakeCatalog extends TableCatalog {
   override def name(): String = catalogName
 
   /** `mooncake.t` → bare name (Identifier.parse applies the session's
-    * current-schema rule, same as the API); `mooncake.s.t` → qualified. */
+    * current-schema rule, same as the API); `mooncake.s.t` → qualified.
+    * Parts arrive ALREADY RESOLVED from Spark's SQL parser, so each is
+    * re-quoted before the lexical parse — feeding them raw would
+    * lowercase a mixed-case name a second time (and a dotted name would
+    * mis-split), making quoted-name mirrors unreachable. */
+  private def quoted(part: String): String =
+    "\"" + part.replace("\"", "\"\"") + "\""
+
   private def mirrorName(ident: CatIdent): String = ident.namespace match {
-    case Array() => ident.name
-    case Array(schema) => s"$schema.${ident.name}"
+    case Array() => quoted(ident.name)
+    case Array(schema) => s"${quoted(schema)}.${quoted(ident.name)}"
     case parts => throw new NoSuchTableException(
       (parts :+ ident.name).toSeq)
   }
 
+  private def exists(name: String): Boolean =
+    try { lake.currentManifest(name); true }
+    catch { case _: NoSuchElementException => false }
+
+  /** As-typed (quoted-exact) name when that mirror exists, else the
+    * LOWERCASED form — the reference's unquoted-identifier folding:
+    * unquoted SQL stays case-insensitive while quoted mixed-case
+    * mirrors still resolve exactly. */
+  private def resolve(ident: CatIdent): String = {
+    val exact = mirrorName(ident)
+    if (exists(exact)) exact
+    else {
+      val folded = mirrorName(CatIdent.of(
+        ident.namespace.map(_.toLowerCase), ident.name.toLowerCase))
+      if (exists(folded)) folded else exact
+    }
+  }
+
   private def load(ident: CatIdent)(m: String => Manifest): Table =
-    try MooncakeTable(mirrorName(ident), m(mirrorName(ident)))
-    catch {
+    try {
+      val name = resolve(ident)
+      MooncakeTable(name, m(name))
+    } catch {
       case _: NoSuchElementException =>
         throw new NoSuchTableException(
           (ident.namespace :+ ident.name).toSeq)
@@ -96,20 +123,28 @@ class MooncakeCatalog extends TableCatalog {
     load(ident)(lake.manifestAsOf(_, timestampMicros / 1000L))
 
   override def tableExists(ident: CatIdent): Boolean =
-    try { lake.currentManifest(mirrorName(ident)); true }
+    try exists(resolve(ident))
     catch { case _: Exception => false }
 
+  /** Stored table names are `schema.table` with a single-segment schema
+    * ([[Identifier.qualified]]) — split at the FIRST dot rather than
+    * re-running the lexical parser, which would re-lowercase (or crash
+    * on) names that needed quoting at creation. */
   override def listTables(namespace: Array[String]): Array[CatIdent] =
     lake.tableNames
-      .map(Identifier.parse(_))
-      .filter(id => namespace.isEmpty || namespace.sameElements(
-        Array(id.schema)))
-      .map(id => CatIdent.of(Array(id.schema), id.table))
+      .map { q =>
+        val dot = q.indexOf('.')
+        if (dot < 0) ("main", q) else (q.take(dot), q.drop(dot + 1))
+      }
+      .filter { case (schema, _) =>
+        namespace.isEmpty || namespace.sameElements(Array(schema))
+      }
+      .map { case (schema, table) => CatIdent.of(Array(schema), table) }
       .toArray
 
   override def dropTable(ident: CatIdent): Boolean =
     if (!tableExists(ident)) false
-    else { lake.dropTable(mirrorName(ident)); true }
+    else { lake.dropTable(resolve(ident)); true }
 
   // Mirrors are read-only; mutation flows through CDC apply
   // (`/root/reference/src/table.rs` mirror contract). Refuse, pointing
@@ -130,6 +165,21 @@ class MooncakeCatalog extends TableCatalog {
     throw new UnsupportedOperationException(
       "mooncake mirrors cannot be renamed — the name is the replication " +
         "binding")
+}
+
+object MooncakeCatalog {
+  /** Files a DSv2 scan will open (`Dataset.inputFiles` does not
+    * traverse BatchScanExec) — read off the built FileScan's index.
+    * Shared by the prune-asserting oracle queries and specs. */
+  def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+            f.fileIndex.inputFiles.length
+          case _ => 0
+        }
+    }.sum
 }
 
 /** One resolved mirror snapshot: schema from the manifest DDL, scans

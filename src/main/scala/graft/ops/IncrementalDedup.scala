@@ -66,7 +66,11 @@ object IncrementalDedup {
       .filter(col("doc_id") =!= col("doc_b"))
       .select(col("doc_id").as("doc_a"), col("doc_b"),
         col("sh").as("sha"), col("shb"))
-      .distinct()
+      // dedupe band collisions on the ID PAIR alone — sha/shb are
+      // functionally determined by the ids, and a full distinct() would
+      // shuffle and compare the (xBands-duplicated) shingle arrays as
+      // grouping keys for no semantic gain
+      .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"),
         SVE.jaccard_sim(col("sha"), col("shb")).as("jacc"))
       .filter(col("jacc") >= 0.5)

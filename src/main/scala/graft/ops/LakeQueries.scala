@@ -605,17 +605,8 @@ object LakeQueries {
       |WHERE o_orderstatus = 'O' AND o_orderdate >= DATE '1993-01-01'
       |ORDER BY o_orderkey""".stripMargin
 
-  /** Files the DSv2 scan will open (Dataset.inputFiles does not
-    * traverse BatchScanExec) — read off the built FileScan's index. */
   private def dsv2ScannedFiles(df: DataFrame): Int =
-    df.queryExecution.sparkPlan.collect {
-      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-        b.scan match {
-          case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
-            f.fileIndex.inputFiles.length
-          case _ => 0
-        }
-    }.sum
+    graft.lake.MooncakeCatalog.scannedFiles(df)
 
   /** ONE warehouse for every SQL-catalog query, registered as the
     * session's `mooncake` catalog. Spark instantiates a catalog ONCE

@@ -3,7 +3,7 @@ package graft.streaming
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, max}
+import org.apache.spark.sql.functions.{col, count, lit, max}
 
 /** LIVE remote CDC tailing — the moonlink analog
   * (`/root/reference/src/functions.rs:34-42` starts replication against
@@ -54,25 +54,36 @@ class RemoteCdcTailer(remote: SparkSession => DataFrame,
 
   /** One poll: spool every remote row past the frontier as one change
     * batch, advance the frontier to the batch's max watermark. Returns
-    * the number of rows spooled (0 = remote quiet; nothing written). */
+    * the number of rows spooled (0 = remote quiet; nothing written).
+    *
+    * The delta is pinned for the poll's duration, so the remote is read
+    * ONCE per non-quiet poll (the probe materializes the cache, the
+    * spool write drains it) and the returned count, the frontier and
+    * the written batch all describe the SAME snapshot — without the
+    * pin, rows arriving between actions would tear them apart. A quiet
+    * poll costs only the pushed-down max/count aggregate. */
   def pollOnce(spark: SparkSession): Long = {
     val src = remote(spark)
     require(src.columns.contains(watermarkCol),
       s"remote source has no watermark column '$watermarkCol'")
     val delta = frontier.fold(src)(f =>
       src.filter(col(watermarkCol).cast("long") > f))
-    // max-watermark probe first: the common quiet poll touches only the
-    // remote's pushed-down aggregate, never writes
-    val hi = delta.agg(max(col(watermarkCol).cast("long"))).head().get(0)
-    if (hi == null) 0L
-    else {
-      val stamped =
-        if (delta.columns.contains("__op")) delta
-        else delta.withColumn("__op", lit("U"))
-      val n = stamped.count()
-      stamped.write.mode("append").parquet(batchesDir.toString)
-      writeFrontier(hi.asInstanceOf[Long])
-      n
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val probe = delta.agg(max(col(watermarkCol).cast("long")),
+        count(lit(1))).head()
+      if (probe.isNullAt(0)) 0L
+      else {
+        val stamped =
+          if (delta.columns.contains("__op")) delta
+          else delta.withColumn("__op", lit("U"))
+        stamped.write.mode("append").parquet(batchesDir.toString)
+        writeFrontier(probe.getLong(0))
+        probe.getLong(1)
+      }
+    } finally {
+      delta.unpersist()
+      ()
     }
   }
 

@@ -37,17 +37,8 @@ class MooncakeCatalogSpec extends SparkSuite {
       s"projection must prune columns at the scan:\n$plan")
   }
 
-  /** Files the DSv2 scan will actually open (Dataset.inputFiles does
-    * not traverse BatchScanExec) — read off the built FileScan's index. */
   private def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
-    df.queryExecution.sparkPlan.collect {
-      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-        b.scan match {
-          case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
-            f.fileIndex.inputFiles.length
-          case _ => 0
-        }
-    }.sum
+    MooncakeCatalog.scannedFiles(df)
 
   test("pushed filters skip manifest files before any footer opens") {
     // two files with disjoint pk ranges (range-clustered backfill shape)
@@ -114,6 +105,22 @@ class MooncakeCatalogSpec extends SparkSuite {
     intercept[Exception] {
       spark.sql("SELECT * FROM mooncake.main.cat_ddl").collect()
     }
+  }
+
+  test("quoted mixed-case mirrors resolve exactly; unquoted SQL folds") {
+    lake.createTable(spark, "\"CatMixed\"",
+      Seq((1L, "m")).toDF("k", "v"), Seq("k"))
+    // quoted (backticked) SQL reaches the mixed-case mirror as typed
+    assert(spark.sql("SELECT v FROM mooncake.main.`CatMixed`")
+      .as[String].collect().toSeq === Seq("m"))
+    // SHOW TABLES lists the stored name verbatim, and it round-trips
+    val shown = spark.sql("SHOW TABLES IN mooncake.main")
+      .select("tableName").as[String].collect().toSet
+    assert(shown.contains("CatMixed"))
+    // unquoted identifiers still fold case-insensitively (the
+    // reference's lexical rule): CAT_T resolves the lowercase mirror
+    assert(spark.sql("SELECT count(*) FROM mooncake.main.CAT_T")
+      .as[Long].collect().head === 2L)
   }
 
   test("resolution pins the manifest: a concurrent commit never tears") {

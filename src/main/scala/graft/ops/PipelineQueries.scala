@@ -496,10 +496,11 @@ object PipelineQueries {
     * ±45% patterned multiplicative noise → cos 0.93–0.97; organic max is
     * 0.60) and verifies at τ = 0.8, a production semantic-dedup threshold.
     * The ORACLE stays brute-force all-pairs ground truth (not a mirrored
-    * LSH), so a recall miss IS a hash mismatch: 16×8 banding gives
-    * per-pair miss ≤ 8e-4 at the planted strength, and the fixed seeded
+    * LSH), so a recall miss IS a hash mismatch: 32×8 banding gives
+    * per-pair miss ≈6e-7 at the planted strength, and the fixed seeded
     * planes make the result deterministic (verified 100% recall at
-    * sf0.01/sf0.1). Plan: explode band keys → one hash equi-join on the
+    * sf0.01/sf0.1 AND sf1's ~15k-pair population — 16 bands was enough
+    * below sf1 but statistically certain to miss at 100×). Plan: explode band keys → one hash equi-join on the
     * key (shuffle ∝ bucket collisions, ~7% of pairs) → pair dedup → fused
     * cosine verify. No all-pairs stage anywhere. */
   val dedupEmbedLsh: Q = (s, dir) => {

@@ -1,0 +1,311 @@
+package graft.lake
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One aggregate of a materialized view definition.
+  *
+  * `fn` ∈ count | sum | avg | min | max; `col` is ignored for count
+  * (row count); `as` names the output column [[Mview.read]] exposes.
+  */
+case class MvAgg(fn: String, col: String, as: String)
+
+/** Persisted MV definition + maintenance frontier: `baseVersion` is the
+  * base-mirror manifest version the state currently reflects. */
+case class MviewDef(base: String, groupCols: Seq[String], aggs: Seq[MvAgg],
+    baseVersion: Long)
+
+/** What one [[Mview.refresh]] did — lets callers (and the spec) assert
+  * the cost model: `recomputedGroups` is the number of groups whose
+  * min/max had to be re-derived from the base table; everything else was
+  * maintained purely from the change delta. */
+case class MvRefreshStats(fromVersion: Long, toVersion: Long,
+    affectedGroups: Long, recomputedGroups: Long)
+
+/** Incrementally-maintained materialized views over mooncake mirrors —
+  * the layer a reference user builds with a follow-up `CREATE MATERIALIZED
+  * VIEW` on the columnstore mirror and re-runs by hand; here maintenance
+  * is algebraic and incremental, driven by the mirror's own version diff
+  * ([[Mooncake.tableChanges]]), so a refresh costs O(change batch), not
+  * O(table).
+  *
+  * Maintenance algebra (the classic IVM split):
+  *   - count/sum/avg are ADDITIVE: the signed per-group delta (inserts
+  *     minus deletes, nulls skipped) folds into the stored state with no
+  *     base access at all;
+  *   - min/max are additive on INSERT (fold with least/greatest) but not
+  *     on delete: a group is "dirty" only when a deleted value ties the
+  *     stored extremum, and ONLY those groups re-aggregate from the base
+  *     (a column-pruned scan filtered by a broadcast semi-join on the
+  *     dirty keys). A refresh with no extremum deletions never touches
+  *     the base table.
+  *
+  * State is itself a mooncake mirror keyed by the group columns, so MV
+  * updates ride the standard CDC apply: only files holding an affected
+  * group key rewrite, and the MV is time-travelable like any mirror.
+  *
+  * Scale: the change delta and per-group fold are batch-sized; the state
+  * join streams the MV once per refresh against the broadcast delta. At
+  * 100 TB the MV (group cardinality) is orders of magnitude smaller than
+  * the base, and the only base access is the dirty-group re-aggregation,
+  * proportional to extremum churn, not table size.
+  */
+class Mview(val lake: Mooncake) {
+
+  private val mapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+
+  private def defPath(name: String) =
+    Paths.get(lake.warehouse, Identifier.parse(name).fileName + ".mv.json")
+
+  private def saveDef(name: String, d: MviewDef): Unit = {
+    Files.createDirectories(defPath(name).getParent)
+    Files.write(defPath(name),
+      mapper.writeValueAsString(d).getBytes(StandardCharsets.UTF_8))
+  }
+
+  def definition(name: String): MviewDef = {
+    val p = defPath(name)
+    if (!Files.exists(p))
+      throw new NoSuchElementException(s"materialized view '$name' not found")
+    mapper.readValue(new String(Files.readAllBytes(p), StandardCharsets.UTF_8),
+      classOf[MviewDef])
+  }
+
+  // -- state schema ---------------------------------------------------------
+
+  /** Sum state is pinned to a type that cannot overflow under folding:
+    * decimals widen to precision 38 (same scale), floats to double,
+    * integrals to long. */
+  private def sumStateType(dt: DataType): DataType = dt match {
+    case d: DecimalType => DecimalType(38, d.scale)
+    case FloatType | DoubleType => DoubleType
+    case _ => LongType
+  }
+
+  private def sumCols(aggs: Seq[MvAgg]): Seq[String] =
+    aggs.filter(a => a.fn == "sum" || a.fn == "avg").map(_.col).distinct
+  private def minCols(aggs: Seq[MvAgg]): Seq[String] =
+    aggs.filter(_.fn == "min").map(_.col).distinct
+  private def maxCols(aggs: Seq[MvAgg]): Seq[String] =
+    aggs.filter(_.fn == "max").map(_.col).distinct
+
+  /** Full-state aggregation over base rows — used by create() and by the
+    * dirty-group re-aggregation (both must agree exactly). */
+  private def stateAgg(rows: DataFrame, groupCols: Seq[String],
+      aggs: Seq[MvAgg]): DataFrame = {
+    val exprs =
+      Seq(count(lit(1)).as("__cnt")) ++
+      sumCols(aggs).flatMap { c =>
+        val t = sumStateType(rows.schema(c).dataType)
+        Seq(
+          coalesce(sum(col(c).cast(t)), lit(0).cast(t)).cast(t)
+            .as(s"__sum_$c"),
+          count(col(c)).as(s"__nn_$c"))
+      } ++
+      minCols(aggs).map(c => min(col(c)).as(s"__min_$c")) ++
+      maxCols(aggs).map(c => max(col(c)).as(s"__max_$c"))
+    rows.groupBy(groupCols.map(col): _*).agg(exprs.head, exprs.tail: _*)
+  }
+
+  // -- API ------------------------------------------------------------------
+
+  /** Define + fully compute the view (one shuffle on the group key), and
+    * record the base version the state reflects. */
+  def create(spark: SparkSession, name: String, base: String,
+      groupCols: Seq[String], aggs: Seq[MvAgg]): Manifest = {
+    require(groupCols.nonEmpty, "materialized views require group columns")
+    val bad = aggs.map(_.fn).filterNot(
+      Set("count", "sum", "avg", "min", "max"))
+    require(bad.isEmpty, s"unsupported aggregate fn(s): ${bad.mkString(",")}")
+    val baseM = lake.currentManifest(base)
+    val state = stateAgg(lake.read(spark, base), groupCols, aggs)
+    val m = lake.createTable(spark, name, state, pk = groupCols)
+    saveDef(name, MviewDef(base, groupCols, aggs, baseM.version))
+    m
+  }
+
+  /** User-facing read: the state table with aggregate columns named as
+    * defined (avg derived as sum/non-null-count; empty-input sums and
+    * extrema surface as SQL NULL). */
+  def read(spark: SparkSession, name: String,
+      atLeastVersion: Option[Long] = None): DataFrame = {
+    val d = definition(name)
+    val st = lake.read(spark, name, atLeastVersion)
+    val outs = d.groupCols.map(col) ++ d.aggs.map { a =>
+      (a.fn match {
+        case "count" => col("__cnt")
+        case "sum" => when(col(s"__nn_${a.col}") === 0, lit(null))
+          .otherwise(col(s"__sum_${a.col}"))
+          .cast(st.schema(s"__sum_${a.col}").dataType)
+        case "avg" => when(col(s"__nn_${a.col}") === 0, lit(null))
+          .otherwise(col(s"__sum_${a.col}").cast(DoubleType) /
+            col(s"__nn_${a.col}"))
+        case "min" => col(s"__min_${a.col}")
+        case "max" => col(s"__max_${a.col}")
+      }).as(a.as)
+    }
+    st.select(outs: _*)
+  }
+
+  /** Catch the view up to the base mirror's current version. No-op (and
+    * no new MV version) when the base hasn't moved. */
+  def refresh(spark: SparkSession, name: String): MvRefreshStats = {
+    val d = definition(name)
+    val baseM = lake.currentManifest(d.base)
+    if (baseM.version == d.baseVersion)
+      return MvRefreshStats(d.baseVersion, d.baseVersion, 0L, 0L)
+    val mvM = lake.currentManifest(name)
+    val stateSchema = StructType.fromDDL(mvM.schemaDdl)
+    val groupCols = d.groupCols
+    val sums = sumCols(d.aggs)
+    val mins = minCols(d.aggs)
+    val maxs = maxCols(d.aggs)
+    def sumT(c: String): DataType = stateSchema(s"__sum_$c").dataType
+
+    val delta = lake.tableChanges(spark, d.base, d.baseVersion, baseM.version)
+    val ins = col("_change") === "insert"
+    val del = col("_change") === "delete"
+
+    // Per-group signed fold of the change batch — batch-sized.
+    val deltaExprs =
+      Seq((count(when(ins, 1)) - count(when(del, 1))).as("__d_cnt")) ++
+      sums.flatMap { c =>
+        val t = sumT(c)
+        Seq(
+          (coalesce(sum(when(ins, col(c)).cast(t)), lit(0).cast(t)) -
+            coalesce(sum(when(del, col(c)).cast(t)), lit(0).cast(t)))
+            .cast(t).as(s"__d_sum_$c"),
+          (count(when(ins && col(c).isNotNull, 1)) -
+            count(when(del && col(c).isNotNull, 1))).as(s"__d_nn_$c"))
+      } ++
+      mins.flatMap(c => Seq(min(when(ins, col(c))).as(s"__imin_$c"),
+        min(when(del, col(c))).as(s"__dmin_$c"))) ++
+      maxs.flatMap(c => Seq(max(when(ins, col(c))).as(s"__imax_$c"),
+        max(when(del, col(c))).as(s"__dmax_$c")))
+    // Affected-group keys renamed __k_* so the state join is unambiguous.
+    val perGroup = groupCols.foldLeft(
+      delta.groupBy(groupCols.map(col): _*)
+        .agg(deltaExprs.head, deltaExprs.tail: _*))(
+      (df, c) => df.withColumnRenamed(c, s"__k_$c")).persist()
+
+    val state = lake.read(spark, name)
+    val keyEq = groupCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
+
+    // One MV scan, probing the broadcast delta: only affected groups
+    // survive. Unaffected state rows are never rewritten.
+    val existing = state.join(broadcast(perGroup), keyEq, "inner").persist()
+    // Groups with no prior state (first rows ever seen for the key).
+    val existingKeys = existing.select(
+      groupCols.map(c => col(s"__k_$c").as(s"__e_$c")): _*)
+    val fresh = perGroup.join(broadcast(existingKeys),
+      groupCols.map(c => col(s"__k_$c") <=> col(s"__e_$c")).reduce(_ && _),
+      "left_anti")
+      .filter(col("__d_cnt") > 0)
+
+    def foldExisting(df: DataFrame): DataFrame = {
+      var out = df
+        .withColumn("__cnt2", col("__cnt") + col("__d_cnt"))
+      for (c <- sums) {
+        val t = sumT(c)
+        out = out
+          .withColumn(s"__sum2_$c",
+            (coalesce(col(s"__sum_$c"), lit(0).cast(t)) + col(s"__d_sum_$c"))
+              .cast(t))
+          .withColumn(s"__nn2_$c", col(s"__nn_$c") + col(s"__d_nn_$c"))
+      }
+      // A deleted value tying the stored extremum may have been its last
+      // carrier — those groups re-aggregate; inserts fold in place.
+      for (c <- mins) out = out
+        .withColumn(s"__dirty_min_$c", col(s"__dmin_$c").isNotNull &&
+          col(s"__min_$c").isNotNull && col(s"__dmin_$c") <= col(s"__min_$c"))
+        .withColumn(s"__min2_$c", least(col(s"__min_$c"), col(s"__imin_$c")))
+      for (c <- maxs) out = out
+        .withColumn(s"__dirty_max_$c", col(s"__dmax_$c").isNotNull &&
+          col(s"__max_$c").isNotNull && col(s"__dmax_$c") >= col(s"__max_$c"))
+        .withColumn(s"__max2_$c",
+          greatest(col(s"__max_$c"), col(s"__imax_$c")))
+      val dirtyFlags = mins.map(c => col(s"__dirty_min_$c")) ++
+        maxs.map(c => col(s"__dirty_max_$c"))
+      out.withColumn("__dirty",
+        dirtyFlags.reduceOption(_ || _).getOrElse(lit(false)))
+    }
+    val folded = foldExisting(existing)
+
+    def stateColsOf(prefix2: Boolean): Seq[Column] = {
+      def pick(base: String, two: String) =
+        if (prefix2) col(two) else col(base)
+      Seq(pick("__cnt", "__cnt2").cast(LongType).as("__cnt")) ++
+        sums.flatMap(c => Seq(
+          pick(s"__sum_$c", s"__sum2_$c").cast(sumT(c)).as(s"__sum_$c"),
+          pick(s"__nn_$c", s"__nn2_$c").cast(LongType).as(s"__nn_$c"))) ++
+        mins.map(c => pick(s"__min_$c", s"__min2_$c")
+          .cast(stateSchema(s"__min_$c").dataType).as(s"__min_$c")) ++
+        maxs.map(c => pick(s"__max_$c", s"__max2_$c")
+          .cast(stateSchema(s"__max_$c").dataType).as(s"__max_$c"))
+    }
+    val keyOut = groupCols.map(col)
+
+    // Vanished groups (all rows deleted) → D; folded survivors that kept
+    // clean extrema → U in place.
+    val deletions = folded.filter(col("__cnt2") <= 0)
+      .select(keyOut ++ stateColsOf(prefix2 = false): _*)
+      .withColumn("__op", lit("D"))
+    val cleanUpdates = folded.filter(col("__cnt2") > 0 && !col("__dirty"))
+      .select(keyOut ++ stateColsOf(prefix2 = true): _*)
+      .withColumn("__op", lit("U"))
+
+    // Dirty groups re-aggregate from the base's CURRENT version — the
+    // only base access in a refresh, filtered by a broadcast semi-join
+    // on the dirty keys (column-pruned scan, batch-proportional work).
+    val dirtyKeys = folded.filter(col("__cnt2") > 0 && col("__dirty"))
+      .select(groupCols.map(c => col(c).as(s"__k_$c")): _*).persist()
+    val nDirty = dirtyKeys.count()
+    val recomputed =
+      if (nDirty == 0) None
+      else {
+        val baseRows = lake.read(spark, d.base)
+          .join(broadcast(dirtyKeys), keyEq, "left_semi")
+        Some(stateAgg(baseRows, groupCols, d.aggs)
+          .select(keyOut ++ stateColsOf(prefix2 = false): _*)
+          .withColumn("__op", lit("U")))
+      }
+
+    val freshRows = {
+      var out = fresh
+      for (c <- sums) out = out
+        .withColumn(s"__sum_$c", col(s"__d_sum_$c").cast(sumT(c)))
+        .withColumn(s"__nn_$c", col(s"__d_nn_$c").cast(LongType))
+      for (c <- mins) out = out.withColumn(s"__min_$c", col(s"__imin_$c")
+        .cast(stateSchema(s"__min_$c").dataType))
+      for (c <- maxs) out = out.withColumn(s"__max_$c", col(s"__imax_$c")
+        .cast(stateSchema(s"__max_$c").dataType))
+      out.withColumn("__cnt", col("__d_cnt").cast(LongType))
+        .select(groupCols.map(c => col(s"__k_$c").as(c)) ++
+          stateColsOf(prefix2 = false): _*)
+        .withColumn("__op", lit("U"))
+    }
+
+    val ops = Seq(Some(deletions), Some(cleanUpdates), recomputed,
+      Some(freshRows)).flatten.reduce(_ unionByName _)
+    val affected = perGroup.count()
+    if (affected > 0)
+      lake.applyChanges(spark, name, ops, version = mvM.commitVersion + 1)
+    saveDef(name, d.copy(baseVersion = baseM.version))
+    perGroup.unpersist()
+    existing.unpersist()
+    dirtyKeys.unpersist()
+    MvRefreshStats(d.baseVersion, baseM.version, affected, nDirty)
+  }
+}

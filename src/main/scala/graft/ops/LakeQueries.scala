@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.lake.Mooncake
+import graft.lake.{Mooncake, MvAgg, Mview}
+import graft.ops.RelationalQueries.decToDouble
 
 /** Oracle-checked queries that drive the lake core (SURVEY.md §2.8–2.9)
   * end-to-end: mirror creation, a CDC batch (deletes + updates), and the
@@ -174,6 +175,75 @@ object LakeQueries {
   val zorder3ScanSql: String =
     """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity FROM lineitem
       |WHERE l_suppkey BETWEEN 10 AND 20""".stripMargin
+
+  /** Incrementally-maintained materialized view under oracle check: an
+    * orders-by-customer aggregate MV is created at v1, then two CDC
+    * batches land on the base mirror and each is folded in by
+    * [[graft.lake.Mview.refresh]] — additive deltas in place, extremum
+    * deletions re-aggregating ONLY the dirty groups. The oracle
+    * recomputes the final grouped state from scratch in SQL, so any
+    * drift the incremental algebra accumulates across refreshes is a
+    * hash mismatch. */
+  val mvIncremental: Q = (s, dir) => {
+    val wh = cachedFixture("graft-mv-q", dir) { tmp =>
+      val lake = new Mooncake(tmp)
+      // The fixture's price is a double; the mirror pins it to decimal so
+      // the MV's sum state is EXACT (matching the oracle's DECIMAL cast)
+      // instead of order-dependent float addition.
+      val o = Tables.load(s, dir, "orders")
+        .withColumn("o_totalprice", col("o_totalprice").cast("decimal(18,2)"))
+      lake.createTable(s, "orders_mv_base", o, Seq("o_orderkey"))
+      val mv = new Mview(lake)
+      mv.create(s, "orders_by_cust", "orders_mv_base", Seq("o_custkey"), Seq(
+        MvAgg("count", "*", "n_orders"),
+        MvAgg("sum", "o_totalprice", "sum_price"),
+        MvAgg("min", "o_totalprice", "min_price"),
+        MvAgg("max", "o_totalprice", "max_price")))
+      // v2: the standard CDC batch (delete every 100th, +1 every 97th).
+      val d2 = o.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("__op", lit("D"))
+      val u2 = o.filter(col("o_orderkey") % 97 === 0 &&
+          col("o_orderkey") % 100 =!= 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1)
+        .withColumn("__op", lit("U"))
+      lake.applyChanges(s, "orders_mv_base", d2.unionByName(u2), version = 2)
+      mv.refresh(s, "orders_by_cust")
+      // v3, derived from the POST-v2 state: delete every 61st surviving
+      // order, +10 every 89th — moves extrema, so the dirty-group
+      // re-aggregation path runs under the oracle too.
+      val cur = lake.read(s, "orders_mv_base")
+      val d3 = cur.filter(col("o_orderkey") % 61 === 0)
+        .withColumn("__op", lit("D"))
+      val u3 = cur.filter(col("o_orderkey") % 89 === 0 &&
+          col("o_orderkey") % 61 =!= 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 10)
+        .withColumn("__op", lit("U"))
+      lake.applyChanges(s, "orders_mv_base", d3.unionByName(u3), version = 3)
+      mv.refresh(s, "orders_by_cust")
+    }
+    new Mview(new Mooncake(wh)).read(s, "orders_by_cust")
+      .select(col("o_custkey"), col("n_orders"),
+        decToDouble(col("sum_price")).as("sum_price"),
+        decToDouble(col("min_price")).as("min_price"),
+        decToDouble(col("max_price")).as("max_price"))
+      .orderBy("o_custkey")
+  }
+
+  val mvIncrementalSql: String =
+    """WITH final AS (
+      |  SELECT o_custkey,
+      |    CAST(o_totalprice AS DECIMAL(18,2))
+      |      + (CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN o_orderkey % 89 = 0 AND o_orderkey % 61 <> 0
+      |              THEN 10 ELSE 0 END) AS price
+      |  FROM orders
+      |  WHERE o_orderkey % 100 <> 0 AND o_orderkey % 61 <> 0
+      |)
+      |SELECT o_custkey, count(*) AS n_orders,
+      |  CAST(CAST(sum(price) AS VARCHAR) AS DOUBLE) AS sum_price,
+      |  CAST(CAST(min(price) AS VARCHAR) AS DOUBLE) AS min_price,
+      |  CAST(CAST(max(price) AS VARCHAR) AS DOUBLE) AS max_price
+      |FROM final GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
   /** The management surface: create two mirrors, snapshot one, list them —
     * checks the list_tables column contract. The oracle is a golden VALUES
@@ -1119,6 +1189,7 @@ object LakeQueries {
     "q_delta_dv_roundtrip" -> deltaDvRoundtrip,
     "q_delta_cmap_roundtrip" -> deltaCmapRoundtrip,
     "q_delta_purge_roundtrip" -> deltaPurgeRoundtrip,
+    "q_mv_incremental" -> mvIncremental,
     "q_cdc_apply" -> cdcApply,
     "q_mirror_range" -> mirrorRange,
     "q_point_lookup" -> pointLookup,
@@ -1163,6 +1234,7 @@ object LakeQueries {
     "q_delta_dv_roundtrip" -> deltaDvRoundtripSql,
     "q_delta_cmap_roundtrip" -> deltaCmapRoundtripSql,
     "q_delta_purge_roundtrip" -> deltaPurgeRoundtripSql,
+    "q_mv_incremental" -> mvIncrementalSql,
     "q_cdc_apply" -> cdcApplySql,
     "q_mirror_range" -> mirrorRangeSql,
     "q_point_lookup" -> pointLookupSql,

@@ -1,0 +1,136 @@
+package graft.lake
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Incremental materialized-view maintenance: after every refresh the MV
+  * must equal a from-scratch aggregation of the base mirror's current
+  * state, while the refresh stats prove the cost model (no base
+  * re-aggregation unless a stored extremum was deleted). */
+class MviewSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def mkLake() = new Mooncake(tmpDir("mview-spec"))
+
+  private val aggs = Seq(
+    MvAgg("count", "*", "n"),
+    MvAgg("sum", "v", "sum_v"),
+    MvAgg("avg", "v", "avg_v"),
+    MvAgg("min", "v", "min_v"),
+    MvAgg("max", "v", "max_v"))
+
+  /** From-scratch oracle with the same null semantics the view promises. */
+  private def recompute(base: DataFrame): DataFrame =
+    base.groupBy("g").agg(
+      count(lit(1)).as("n"),
+      sum("v").cast("decimal(38,2)").as("sum_v"),
+      (sum(col("v")).cast("double") / count(col("v"))).as("avg_v"),
+      min("v").as("min_v"),
+      max("v").as("max_v"))
+
+  private def assertMatches(mv: Mview, name: String, base: DataFrame): Unit = {
+    val got = mv.read(spark, name)
+      .select($"g", $"n", $"sum_v".cast("decimal(38,2)"), $"avg_v",
+        $"min_v", $"max_v")
+      .orderBy("g").collect().toSeq
+    val want = recompute(base).orderBy("g").collect().toSeq
+    assert(got == want)
+  }
+
+  private def rows(tuples: (Int, Long, Option[java.math.BigDecimal])*) =
+    tuples.toDF("id", "g", "v")
+      .select($"id", $"g", $"v".cast("decimal(12,2)"))
+
+  private def d(s: String): Option[java.math.BigDecimal] =
+    Some(new java.math.BigDecimal(s))
+
+  test("additive batches fold without touching the base") {
+    val lake = mkLake()
+    val mv = new Mview(lake)
+    val v1 = rows((1, 1L, d("10.00")), (2, 1L, d("20.00")),
+      (3, 2L, d("5.50")), (4, 2L, None))
+    lake.createTable(spark, "t", v1, Seq("id"))
+    mv.create(spark, "t_mv", "t", Seq("g"), aggs)
+    assertMatches(mv, "t_mv", lake.read(spark, "t"))
+
+    // Inserts only — including a brand-new group and a null value.
+    val batch = Seq((5, 1L, d("30.00")), (6, 3L, d("7.25")), (7, 3L, None))
+      .toDF("id", "g", "v")
+      .select($"id", $"g", $"v".cast("decimal(12,2)"))
+      .withColumn("__op", lit("I"))
+    lake.applyChanges(spark, "t", batch, version = 2)
+    val st = mv.refresh(spark, "t_mv")
+    assert(st.recomputedGroups == 0, "insert-only refresh must not re-aggregate")
+    assert(st.affectedGroups == 2)
+    assertMatches(mv, "t_mv", lake.read(spark, "t"))
+  }
+
+  test("deleting a stored extremum re-aggregates only that group") {
+    val lake = mkLake()
+    val mv = new Mview(lake)
+    val v1 = rows((1, 1L, d("10.00")), (2, 1L, d("20.00")),
+      (3, 2L, d("5.50")), (4, 2L, d("6.50")))
+    lake.createTable(spark, "t", v1, Seq("id"))
+    mv.create(spark, "t_mv", "t", Seq("g"), aggs)
+
+    // Delete group 1's max-carrier; group 2 gets a plain insert.
+    val batch = Seq(
+      (2, 1L, d("20.00"), "D"),
+      (5, 2L, d("1.00"), "I"))
+      .toDF("id", "g", "v", "__op")
+      .select($"id", $"g", $"v".cast("decimal(12,2)"), $"__op")
+    lake.applyChanges(spark, "t", batch, version = 2)
+    val st = mv.refresh(spark, "t_mv")
+    assert(st.recomputedGroups == 1)
+    assertMatches(mv, "t_mv", lake.read(spark, "t"))
+  }
+
+  test("update moves an extremum; group vanishes when all rows delete") {
+    val lake = mkLake()
+    val mv = new Mview(lake)
+    val v1 = rows((1, 1L, d("10.00")), (2, 1L, d("20.00")),
+      (3, 2L, d("5.50")))
+    lake.createTable(spark, "t", v1, Seq("id"))
+    mv.create(spark, "t_mv", "t", Seq("g"), aggs)
+
+    // U carries the new image (CDC semantics); old 20.00 max is gone.
+    val b2 = Seq((2, 1L, d("2.00"), "U"), (3, 2L, d("5.50"), "D"))
+      .toDF("id", "g", "v", "__op")
+      .select($"id", $"g", $"v".cast("decimal(12,2)"), $"__op")
+    lake.applyChanges(spark, "t", b2, version = 2)
+    mv.refresh(spark, "t_mv")
+    assertMatches(mv, "t_mv", lake.read(spark, "t"))
+    assert(mv.read(spark, "t_mv").filter($"g" === 2).isEmpty,
+      "fully-deleted group must leave the view")
+
+    // Idempotence: base unchanged → no-op, no new MV version.
+    val before = lake.currentManifest("t_mv").version
+    val st = mv.refresh(spark, "t_mv")
+    assert(st.affectedGroups == 0 && st.fromVersion == st.toVersion)
+    assert(lake.currentManifest("t_mv").version == before)
+  }
+
+  test("multi-version catch-up nets intermediate churn") {
+    val lake = mkLake()
+    val mv = new Mview(lake)
+    lake.createTable(spark, "t",
+      rows((1, 1L, d("10.00")), (2, 2L, d("20.00"))), Seq("id"))
+    mv.create(spark, "t_mv", "t", Seq("g"), aggs)
+
+    def b(tuples: (Int, Long, Option[java.math.BigDecimal], String)*) =
+      tuples.toDF("id", "g", "v", "__op")
+        .select($"id", $"g", $"v".cast("decimal(12,2)"), $"__op")
+    // Three base versions before one refresh: insert → update → delete of
+    // the same key nets to nothing; a second key survives mutated.
+    lake.applyChanges(spark, "t", b((9, 1L, d("99.00"), "I"),
+      (10, 2L, d("1.00"), "I")), version = 2)
+    lake.applyChanges(spark, "t", b((9, 1L, d("98.00"), "U")), version = 3)
+    lake.applyChanges(spark, "t", b((9, 1L, d("98.00"), "D"),
+      (10, 2L, d("2.00"), "U")), version = 4)
+    mv.refresh(spark, "t_mv")
+    assertMatches(mv, "t_mv", lake.read(spark, "t"))
+  }
+}

@@ -311,6 +311,49 @@ class Mooncake(val warehouse: String) {
     base.filter(longView(base, column) === value)
   }
 
+  /** Runtime semi-join file pruning — the "runtime filter" a warehouse
+    * applies when a selective dimension drives a fact scan: the join-key
+    * domain is derived from the (already filtered) build side AT RUN
+    * TIME and only fact files whose per-file bounds can intersect it are
+    * opened. Returns a SUPERSET of the semi-join — key [min, max] bounds
+    * (plus the exact key set when small) are pushed as the scan
+    * predicate; the caller's subsequent join enforces exactness, so
+    * pruning can only cut IO, never change rows.
+    *
+    * The build side is collected only up to `maxInSet` distinct keys —
+    * the same bounded-collect contract as Spark's own runtime bloom
+    * filter (a selective build side is broadcast-sized by definition).
+    * Above the cap, the key set is NOT pushed; the [min, max] range
+    * alone still prunes clustered fact layouts, and one tiny
+    * aggregation job is all the build side pays either way. */
+  def readForKeys(spark: SparkSession, name: String, column: String,
+      keys: DataFrame, atLeastVersion: Option[Long] = None,
+      maxInSet: Int = 10000): DataFrame = {
+    ResourceCaps.enforce(spark)
+    val kcol =
+      if (keys.columns.contains(column)) column
+      else {
+        require(keys.columns.length == 1,
+          s"key frame must be single-column or carry '$column' " +
+            s"(has: ${keys.columns.mkString(", ")})")
+        keys.columns.head
+      }
+    // Bounded collect: maxInSet+1 tells "small enough to push the exact
+    // set" apart from "range-only" without counting the whole side.
+    val sample = keys.select(col(kcol)).na.drop().distinct()
+      .limit(maxInSet + 1).collect().map(_.get(0))
+    if (sample.isEmpty)
+      return read(spark, name, atLeastVersion).filter(lit(false))
+    val b = keys.select(col(kcol)).na.drop()
+      .agg(min(col(kcol)).as("lo"), max(col(kcol)).as("hi")).head()
+    val range = col(column) >= lit(b.get(0)) && col(column) <= lit(b.get(1))
+    val pred =
+      if (sample.length <= maxInSet)
+        range && col(column).isin(sample.toIndexedSeq: _*)
+      else range
+    read(spark, name, atLeastVersion, prune = Some(pred))
+  }
+
   private[lake] def manifestAt(name: String, version: Long): Manifest = {
     val p = Paths.get(tableDir(name), "manifest", f"v$version%016d.json")
     if (!Files.exists(p))

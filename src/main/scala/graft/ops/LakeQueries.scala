@@ -675,6 +675,43 @@ object LakeQueries {
       |WHERE o_orderstatus = 'O' AND o_orderdate >= DATE '1993-01-01'
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Runtime join-key pruning under oracle check: a custkey-clustered
+    * fact mirror is scanned through [[Mooncake.readForKeys]] with the
+    * key domain of a FILTERED dimension (the filter names c_name, so
+    * the custkey domain only exists at run time) — files outside the
+    * dim's key range never open, and the exact key set rides the scan
+    * as a pushed parquet filter. The join after the pruned scan must
+    * equal the plain SQL join. The dim probes 15 keys: selective at
+    * every fixture scale, so the in-query skip require is not
+    * scale-dependent (the fixture pins 8 clustered files). */
+  val runtimePrune: Q = (s, dir) => {
+    val wh = cachedFixture("graft-rtjoin-q", dir) { tmp =>
+      val lake = new Mooncake(tmp)
+      val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartitionByRange(8, col("o_custkey"))
+      lake.createTable(s, "orders_bycust", o, Seq("o_orderkey"))
+    }
+    val lake = new Mooncake(wh)
+    val c = Tables.load(s, dir, "customer")
+      .filter(col("c_name") <= "Customer#000000015")
+      .select("c_custkey", "c_name")
+    val facts = lake.readForKeys(s, "orders_bycust", "o_custkey",
+      c.select("c_custkey"))
+    require(facts.inputFiles.length <
+        lake.read(s, "orders_bycust").inputFiles.length,
+      "runtime key bounds must skip fact files outside the dim key domain")
+    facts.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val runtimePruneSql: String =
+    """SELECT o_orderkey, o_custkey, c_name, o_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_name <= 'Customer#000000015'
+      |ORDER BY o_orderkey""".stripMargin
+
   private def dsv2ScannedFiles(df: DataFrame): Int =
     graft.lake.MooncakeCatalog.scannedFiles(df)
 
@@ -1190,6 +1227,7 @@ object LakeQueries {
     "q_delta_cmap_roundtrip" -> deltaCmapRoundtrip,
     "q_delta_purge_roundtrip" -> deltaPurgeRoundtrip,
     "q_mv_incremental" -> mvIncremental,
+    "q_runtime_prune" -> runtimePrune,
     "q_cdc_apply" -> cdcApply,
     "q_mirror_range" -> mirrorRange,
     "q_point_lookup" -> pointLookup,
@@ -1235,6 +1273,7 @@ object LakeQueries {
     "q_delta_cmap_roundtrip" -> deltaCmapRoundtripSql,
     "q_delta_purge_roundtrip" -> deltaPurgeRoundtripSql,
     "q_mv_incremental" -> mvIncrementalSql,
+    "q_runtime_prune" -> runtimePruneSql,
     "q_cdc_apply" -> cdcApplySql,
     "q_mirror_range" -> mirrorRangeSql,
     "q_point_lookup" -> pointLookupSql,

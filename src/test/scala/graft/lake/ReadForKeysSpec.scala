@@ -1,0 +1,74 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Runtime semi-join pruning on a crafted layout: four files with
+  * disjoint key ranges, so expected file-open counts are exact. */
+class ReadForKeysSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def mkTable(): Mooncake = {
+    val lake = new Mooncake(tmpDir("readforkeys"))
+    // ids 1..100 → four range-clustered files of 25 keys each.
+    val df = (1 to 100).map(i => (i.toLong, i.toLong * 10, s"name-$i%03d"))
+      .toDF("id", "ck", "nm")
+      .repartitionByRange(4, col("ck"))
+    lake.createTable(spark, "t", df, Seq("id"))
+    assert(lake.read(spark, "t").inputFiles.length == 4)
+    lake
+  }
+
+  test("a compact key set opens only its file") {
+    val lake = mkTable()
+    val keys = Seq(50L, 70L).toDF("ck")
+    val got = lake.readForKeys(spark, "t", "ck", keys)
+    assert(got.inputFiles.length == 1)
+    assert(got.select("id").as[Long].collect().sorted.toSeq == Seq(5L, 7L))
+  }
+
+  test("keys spanning two ranges open two files; set is pushed exactly") {
+    val lake = mkTable()
+    val keys = Seq(50L, 400L).toDF("ck")
+    val got = lake.readForKeys(spark, "t", "ck", keys)
+    assert(got.inputFiles.length == 2)
+    // The in-between file (ranks 26..50) is inside [50, 400] bounds but
+    // holds neither key — the pushed IN set filters its rows out.
+    assert(got.select("id").as[Long].collect().sorted.toSeq == Seq(5L, 40L))
+  }
+
+  test("above maxInSet the range alone prunes (superset, no key set)") {
+    val lake = mkTable()
+    val keys = Seq(50L, 60L, 400L).toDF("ck")
+    val got = lake.readForKeys(spark, "t", "ck", keys, maxInSet = 2)
+    assert(got.inputFiles.length == 2)
+    // Range-only: every row of both surviving files inside [50, 400].
+    assert(got.count() == 36)
+  }
+
+  test("empty and all-null key frames return no rows") {
+    val lake = mkTable()
+    assert(lake.readForKeys(spark, "t", "ck",
+      Seq.empty[Long].toDF("ck")).isEmpty)
+    assert(lake.readForKeys(spark, "t", "ck",
+      Seq[Option[Long]](None, None).toDF("ck")).isEmpty)
+  }
+
+  test("string keys prune through string bounds") {
+    val lake = new Mooncake(tmpDir("readforkeys-str"))
+    val df = (1 to 90).map(i => (i.toLong, f"k$i%03d")).toDF("id", "sk")
+      .repartitionByRange(3, col("sk"))
+    lake.createTable(spark, "ts", df, Seq("id"))
+    val got = lake.readForKeys(spark, "ts", "sk", Seq("k005", "k010").toDF("sk"))
+    assert(got.inputFiles.length == 1)
+    assert(got.count() == 2)
+  }
+
+  test("a differently-named single-column key frame binds positionally") {
+    val lake = mkTable()
+    val got = lake.readForKeys(spark, "t", "ck", Seq(50L).toDF("other"))
+    assert(got.select("id").as[Long].collect().toSeq == Seq(5L))
+  }
+}

@@ -595,8 +595,9 @@ class Mooncake(val warehouse: String) {
     DeltaCompat.write(read(spark, name), destDir, mode = "overwrite")
 
   /** Bulk-append external files (≈ `mooncake.load_files`,
-    * `src/functions.rs:118-130`; formats per CHANGELOG.md:24). Columns are
-    * aligned by name and cast to the table schema. */
+    * `src/functions.rs:118-130`; formats per CHANGELOG.md:24, plus ORC —
+    * Spark-native, common in Hive-era lakes). Columns are aligned by
+    * name and cast to the table schema. */
   def loadFiles(spark: SparkSession, name: String, files: Seq[String],
       format: String = "parquet"): Manifest = {
     val m = currentManifest(name)
@@ -605,6 +606,7 @@ class Mooncake(val warehouse: String) {
       case "parquet" => spark.read.parquet(files: _*)
       case "csv" => spark.read.option("header", "true").schema(schema).csv(files: _*)
       case "json" => spark.read.schema(schema).json(files: _*)
+      case "orc" => spark.read.orc(files: _*)
       case other => throw new IllegalArgumentException(s"format $other")
     }
     val aligned = raw.select(schema.fields.map(f =>

@@ -281,11 +281,13 @@ object LakeQueries {
       Seq("n_nationkey"))
     n.filter(col("n_nationkey") >= 15 && col("n_nationkey") < 20)
       .write.parquet(s"$tmp/pq")
-    n.filter(col("n_nationkey") >= 20)
+    n.filter(col("n_nationkey") >= 20 && col("n_nationkey") < 22)
       .write.option("header", "true").csv(s"$tmp/csv")
+    n.filter(col("n_nationkey") >= 22).write.orc(s"$tmp/orc")
     lake.loadFiles(s, "nation_mirror", Seq(s"$tmp/pq"))
     lake.loadFiles(s, "nation_mirror", Seq(s"$tmp/csv"), format = "csv")
-    lake.read(s, "nation_mirror", atLeastVersion = Some(3))
+    lake.loadFiles(s, "nation_mirror", Seq(s"$tmp/orc"), format = "orc")
+    lake.read(s, "nation_mirror", atLeastVersion = Some(4))
       .orderBy("n_nationkey")
   }
 

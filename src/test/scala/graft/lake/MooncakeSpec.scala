@@ -350,7 +350,7 @@ class MooncakeSpec extends SparkSuite {
       Seq("table", "commit_lsn", "flush_lsn", "iceberg_warehouse_location"))
   }
 
-  test("loadFiles appends parquet / csv / json into the mirror") {
+  test("loadFiles appends parquet / csv / json / orc into the mirror") {
     val lake = freshLake()
     lake.createTable(spark, "lf", rTable(1 -> "a"), Seq("a"))
     val pq = tmpDir("lf-pq")
@@ -362,8 +362,11 @@ class MooncakeSpec extends SparkSuite {
     val js = tmpDir("lf-json")
     rTable(4 -> "d").write.mode("overwrite").json(js)
     lake.loadFiles(spark, "lf", Seq(js), format = "json")
+    val orc = tmpDir("lf-orc")
+    rTable(5 -> "e").write.mode("overwrite").orc(orc)
+    lake.loadFiles(spark, "lf", Seq(orc), format = "orc")
     val got = lake.read(spark, "lf").orderBy("a").as[(Int, String)].collect()
-    assert(got.toSeq === Seq(1 -> "a", 2 -> "b", 3 -> "c", 4 -> "d"))
+    assert(got.toSeq === Seq(1 -> "a", 2 -> "b", 3 -> "c", 4 -> "d", 5 -> "e"))
   }
 
   test("optimizeTable full restores clustering; data packs small files") {

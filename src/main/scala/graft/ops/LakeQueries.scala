@@ -647,6 +647,45 @@ object LakeQueries {
     """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
       |FROM orders""".stripMargin
 
+  /** Following a FOREIGN Delta table under oracle check: a CDF-enabled
+    * Delta table seeds a mirror, then a delete commit and a merge
+    * commit land on the DELTA side only; the follower polls the tx log,
+    * spools the change feed as CDC batches, and the standard stream
+    * applies them — the converged mirror must equal the plain SQL
+    * restatement of both commits. */
+  val deltaFollow: Q = (s, dir) => {
+    val tmp = cachedFixture("graft-dfollow-q", dir) { tmp =>
+      val delta = s"$tmp/delta"
+      val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      graft.lake.DeltaCompat.write(o, delta,
+        properties = Map("delta.enableChangeDataFeed" -> "true"))
+      val lake = new Mooncake(s"$tmp/wh")
+      val follower = new graft.streaming.DeltaFollower(delta, s"$tmp/spool")
+      follower.seed(s, lake, "orders_follow", Seq("o_orderkey"))
+      graft.lake.DeltaCompat.delete(s, delta, col("o_orderkey") % 100 === 0)
+      graft.lake.DeltaCompat.merge(s, delta,
+        o.filter(col("o_orderkey") % 97 === 0 &&
+            col("o_orderkey") % 100 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1),
+        Seq("o_orderkey"))
+      follower.drain(s)
+      graft.streaming.CdcStream.attach(lake, "orders_follow",
+        follower.changes(s), s"$tmp/ckpt").awaitTermination()
+    }
+    new Mooncake(s"$tmp/wh").read(s, "orders_follow")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val deltaFollowSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1
+      |       ELSE o_totalprice END AS o_totalprice
+      |FROM orders
+      |WHERE o_orderkey % 100 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Manifest STRING/DATE bounds on the mirror (the r6 pruning kept
     * integer stats only): a status-clustered mirror — three files with
     * disjoint single-status string bounds — must open a strict subset
@@ -1230,6 +1269,7 @@ object LakeQueries {
     "q_delta_purge_roundtrip" -> deltaPurgeRoundtrip,
     "q_mv_incremental" -> mvIncremental,
     "q_runtime_prune" -> runtimePrune,
+    "q_delta_follow" -> deltaFollow,
     "q_cdc_apply" -> cdcApply,
     "q_mirror_range" -> mirrorRange,
     "q_point_lookup" -> pointLookup,
@@ -1276,6 +1316,7 @@ object LakeQueries {
     "q_delta_purge_roundtrip" -> deltaPurgeRoundtripSql,
     "q_mv_incremental" -> mvIncrementalSql,
     "q_runtime_prune" -> runtimePruneSql,
+    "q_delta_follow" -> deltaFollowSql,
     "q_cdc_apply" -> cdcApplySql,
     "q_mirror_range" -> mirrorRangeSql,
     "q_point_lookup" -> pointLookupSql,

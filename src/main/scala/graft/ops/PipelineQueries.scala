@@ -659,6 +659,65 @@ object PipelineQueries {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  /** Product-quantization ANN (the IVF-PQ memory-scale path): codebooks
+    * train on a deterministic sample, the corpus compresses to m=8
+    * one-byte codes (32× smaller than the float vectors), ADC generates
+    * a scale-proportional candidate shortlist from the CODE INDEX
+    * alone, and exact cosine re-ranks the shortlist. The oracle is the
+    * in-band accuracy contract (the HLL pattern): the compared output
+    * asserts per-query recall@10 ≥ 0.7 against the exact top-10
+    * computed in the same query — DuckDB expects every flag TRUE, so a
+    * quantization regression is a hash mismatch. */
+  val embedPq: Q = (s, dir) => {
+    val e0 = embs(s, dir).select(col("vec_id"), col("embedding"))
+    val n = e0.count()
+    val shortlist = math.max(200L, n / 5)
+    // Normalize so ADC's L2 ranking agrees with the cosine ground truth.
+    val nrm = SVE.l2_norm(col("embedding"))
+    val e = e0
+      .withColumn("vn", transform(col("embedding"), x => x.cast("double") / nrm))
+      .select("vec_id", "vn")
+    val model = ProductQuantization.train(e, "vn", m = 8, ksub = 32)
+    val enc = ProductQuantization.encode(e, "vn", model)
+      .select("vec_id", "codes")
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("vn").as("qv"))
+    // Candidate generation touches ONLY (vec_id, codes) — the 32×-
+    // smaller index — plus the broadcast queries.
+    val wS = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+    val short = enc.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("vec_id"),
+        ProductQuantization.adc(col("qv"), col("codes"), model).as("adist"))
+      .withColumn("srn", row_number().over(wS))
+      .filter(col("srn") <= shortlist)
+      .select("qid", "qv", "vec_id")
+    // Exact re-rank: only shortlist ids fetch their full vectors back.
+    val wR = Window.partitionBy("qid")
+      .orderBy(col("rcos").desc, col("vec_id"))
+    val pq10 = short.join(e, Seq("vec_id"))
+      .withColumn("rcos", SVE.cosine_sim_d(col("qv"), col("vn")))
+      .withColumn("rrn", row_number().over(wR))
+      .filter(col("rrn") <= 10)
+      .select("qid", "vec_id")
+    // In-band exact ground truth for the recall contract.
+    val wE = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    val exact10 = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos", SVE.cosine_sim_d(col("vn"), col("qv")))
+      .withColumn("ern", row_number().over(wE))
+      .filter(col("ern") <= 10)
+      .select("qid", "vec_id")
+    val hits = pq10.join(exact10, Seq("qid", "vec_id"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    q.select("qid").join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        (coalesce(col("n_hits"), lit(0L)) >= 7).as("recall_ok"))
+      .orderBy("qid")
+  }
+
+  val embedPqSql: String =
+    """SELECT vec_id AS qid, TRUE AS recall_ok FROM embeddings
+      |WHERE vec_id < 8 ORDER BY qid""".stripMargin
+
   /** Cluster-balanced selection (SemDeDup-class curation): assign every
     * embedding to its nearest deterministic centroid, keep only the K
     * most-central vectors per cluster — the "one representative per
@@ -779,6 +838,7 @@ object PipelineQueries {
     "q_dedup_embed_lsh" -> dedupEmbedLsh,
     "q_embed_topk" -> embedTopK,
     "q_embed_ivf" -> embedIvf,
+    "q_embed_pq" -> embedPq,
     "q_cluster_sample" -> clusterSample,
     "q_text_tfidf" -> textTfidf,
   )
@@ -800,5 +860,6 @@ object PipelineQueries {
     "q_dedup_embed_lsh" -> dedupEmbedLshSql,
     "q_embed_topk" -> embedTopKSql,
     "q_embed_ivf" -> embedIvfSql,
+    "q_embed_pq" -> embedPqSql,
   )
 }

@@ -291,7 +291,8 @@ object IcebergCompat {
     *     numbers inherit from the manifest-list entry when absent. */
   def read(spark: SparkSession, tableDir: String,
       snapshotId: Option[Long] = None,
-      prune: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      prune: Option[org.apache.spark.sql.Column] = None,
+      fileFilter: Option[Set[String]] = None): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
     val meta = currentMetadata(tableDir)
     val schema = toStructType(meta)
@@ -398,12 +399,20 @@ object IcebergCompat {
     // undecodable bounds, unknown columns, foreign ops all keep.
     // Manifest-sized driver work that can cut a 100 TB scan to the
     // matching files before any parquet footer is opened.
-    val dataFiles: Seq[DataFileInfo] = prune match {
+    // Optional hard restriction to a caller-supplied file set (localPath
+    // form) — [[readChanges]] uses it to diff two snapshots touching only
+    // the files that differ between them. Orthogonal to prune: filter
+    // first, bounds-prune what survives.
+    val scopedDataFiles = fileFilter match {
       case None => allDataFiles
+      case Some(keep) => allDataFiles.filter(f => keep.contains(f.path))
+    }
+    val dataFiles: Seq[DataFileInfo] = prune match {
+      case None => scopedDataFiles
       case Some(p) =>
         val cs = BoundsPruning.conjuncts(spark, schema, p)
-        if (cs.isEmpty) allDataFiles
-        else allDataFiles.filter { f =>
+        if (cs.isEmpty) scopedDataFiles
+        else scopedDataFiles.filter { f =>
           cs.forall { case (n, op, v) =>
             val lo = f.lower.get(n).orElse(
               Option(f.partVals.getOrElse(n, null)))
@@ -731,6 +740,157 @@ object IcebergCompat {
         s"$tableDir: no snapshot at or before $timestampMs")
     val chosen = eligible.maxBy(_.path("timestamp-ms").asLong(0))
     read(spark, tableDir, Some(chosen.path("snapshot-id").asLong(-1)))
+  }
+
+  /** The table's current snapshot id (-1 when the table has no
+    * snapshot yet) — the follower's poll probe: one metadata-JSON read,
+    * no manifest IO. */
+  def currentSnapshotId(tableDir: String): Long =
+    currentMetadata(tableDir).path("current-snapshot-id").asLong(-1)
+
+  /** Live data-file paths of a snapshot (default current) — the
+    * `files` metadata-table analog: localPath-normalized, driver-side
+    * manifest walk only, no parquet IO. Empty for an empty table. */
+  def liveDataFiles(tableDir: String,
+      snapshotId: Option[Long] = None): Seq[String] = {
+    val meta = currentMetadata(tableDir)
+    val id = snapshotId.getOrElse(meta.path("current-snapshot-id").asLong(-1))
+    if (id < 0) Seq.empty else snapshotFiles(meta, id).data.toSeq.sorted
+  }
+
+  /** Live file sets of one snapshot, from a light manifest walk (no
+    * parquet IO): data file paths, position-delete file paths,
+    * equality-delete file paths — all localPath-normalized. */
+  private case class SnapshotFiles(data: Set[String], posDeletes: Set[String],
+      eqDeletes: Set[String])
+
+  private def snapshotFiles(meta: JsonNode, snapshotId: Long): SnapshotFiles = {
+    val snapshot = meta.get("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong(-2) == snapshotId)
+      .getOrElse(throw new NoSuchElementException(
+        s"snapshot $snapshotId not found"))
+    val listRecords = avroRecords(localPath(
+      snapshot.get("manifest-list").asText()))
+    val data = Set.newBuilder[String]
+    val pos = Set.newBuilder[String]
+    val eq = Set.newBuilder[String]
+    listRecords.foreach { listRec =>
+      avroRecords(localPath(listRec.get("manifest_path").toString))
+        .foreach { rec =>
+          if (rec.get("status").asInstanceOf[Int] != 2) { // not DELETED
+            val df = rec.get("data_file").asInstanceOf[GenericRecord]
+            val content =
+              if (df.getSchema.getField("content") == null) 0
+              else df.get("content") match {
+                case i: java.lang.Integer => i.intValue
+                case l: java.lang.Long => l.intValue
+                case _ => 0
+              }
+            val p = localPath(df.get("file_path").toString)
+            content match {
+              case 0 => data += p
+              case 1 => pos += p
+              case 2 => eq += p
+              case _ => ()
+            }
+          }
+        }
+    }
+    SnapshotFiles(data.result(), pos.result(), eq.result())
+  }
+
+  /** CDC over the snapshot log — the Iceberg analog of
+    * [[DeltaCompat.readChanges]], computed writer-agnostically: for each
+    * snapshot past `fromSnapshotId` (exclusive; -1 = from the first
+    * snapshot) up to `toSnapshotId` (default current), the row-level
+    * delta vs its parent as `_change_type` insert/delete rows, tagged
+    * with `_snapshot_id` and the monotone `_sequence_number` commit
+    * order. An update surfaces as delete(old)+insert(new) in the same
+    * snapshot.
+    *
+    * Scale: the diff is `exceptAll` over both snapshots RESTRICTED to
+    * the files that can differ — data files added or removed by the
+    * snapshot, data files named by changed position-delete files (read
+    * from the delete files themselves: delete-volume IO), and, for
+    * equality-delete commits only, the conservative both-sides-live
+    * set (an equality delete may hit any strictly-older file; partition
+    * scoping still bounds it on the read side). Rows in files on
+    * neither list are bitwise identical on both sides and never read.
+    * A pure compaction (rewrite, same rows) nets ZERO change rows at
+    * the cost of reading the rewritten files once on each side. */
+  def readChanges(spark: SparkSession, tableDir: String,
+      fromSnapshotId: Long,
+      toSnapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val meta = currentMetadata(tableDir)
+    val byId = meta.path("snapshots").elements().asScala
+      .map(s => s.path("snapshot-id").asLong(-1) -> s).toMap
+    val toId = toSnapshotId.getOrElse(
+      meta.path("current-snapshot-id").asLong(-1))
+    val schema = toStructType(meta)
+    def tagged(df: DataFrame, change: String, snapId: Long,
+        seq: Long): DataFrame =
+      df.withColumn("_change_type", lit(change))
+        .withColumn("_snapshot_id", lit(snapId))
+        .withColumn("_sequence_number", lit(seq))
+    def emptyChanges = tagged(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      "insert", -1L, -1L).limit(0)
+    if (toId == fromSnapshotId || toId < 0) return emptyChanges
+    // walk the parent chain down from toId until fromSnapshotId
+    var chain = List.empty[JsonNode]
+    var cur = Option(toId)
+    while (cur.exists(_ != fromSnapshotId)) {
+      val node = byId.getOrElse(cur.get,
+        throw new IllegalStateException(
+          s"$tableDir: snapshot ${cur.get} missing from the log — " +
+            s"cannot trace lineage back to $fromSnapshotId (expired?)"))
+      chain ::= node
+      cur =
+        if (node.has("parent-snapshot-id"))
+          Some(node.path("parent-snapshot-id").asLong(-1))
+        else if (fromSnapshotId < 0) None // reached the first snapshot
+        else throw new IllegalStateException(
+          s"$tableDir: snapshot $fromSnapshotId is not an ancestor of " +
+            s"$toId")
+    }
+    val parts = chain.map { snap =>
+      val snapId = snap.path("snapshot-id").asLong(-1)
+      val seq = snap.path("sequence-number").asLong(0)
+      val parentId =
+        if (snap.has("parent-snapshot-id"))
+          Some(snap.path("parent-snapshot-id").asLong(-1))
+        else None
+      val sf = snapshotFiles(meta, snapId)
+      val pf = parentId.map(snapshotFiles(meta, _))
+        .getOrElse(SnapshotFiles(Set.empty, Set.empty, Set.empty))
+      val dataChanged = (sf.data diff pf.data) union (pf.data diff sf.data)
+      val posChanged = (sf.posDeletes diff pf.posDeletes) union
+        (pf.posDeletes diff sf.posDeletes)
+      val eqChanged = sf.eqDeletes != pf.eqDeletes
+      val posTargets =
+        if (posChanged.isEmpty) Set.empty[String]
+        else // paths named inside the changed delete files: small reads
+          spark.read.parquet(posChanged.toSeq.sorted: _*)
+            .select("file_path").distinct().collect()
+            .map(r => localPath(r.getString(0))).toSet
+      val affected = dataChanged ++
+        posTargets.intersect(sf.data union pf.data) ++
+        (if (eqChanged) sf.data intersect pf.data else Set.empty)
+      if (affected.isEmpty) emptyChanges
+      else {
+        val newSide = read(spark, tableDir, Some(snapId),
+          fileFilter = Some(affected))
+        val oldSide = parentId match {
+          case Some(p) => read(spark, tableDir, Some(p),
+            fileFilter = Some(affected))
+          case None => newSide.limit(0)
+        }
+        tagged(newSide.exceptAll(oldSide), "insert", snapId, seq)
+          .unionAll(tagged(oldSide.exceptAll(newSide), "delete", snapId, seq))
+      }
+    }
+    parts.reduceOption(_ unionAll _).getOrElse(emptyChanges)
   }
 
   /** Fold merge-on-read state back into clean data files: read the

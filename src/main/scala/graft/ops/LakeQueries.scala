@@ -686,6 +686,42 @@ object LakeQueries {
       |WHERE o_orderkey % 100 <> 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Follow a foreign ICEBERG table (the [[deltaFollow]] twin, through
+    * the writer-agnostic snapshot diff): seed a mirror from the current
+    * snapshot, then an equality-delete commit plus an upsert expressed
+    * the way streaming Iceberg writers emit it — equality-delete the
+    * keys, append the new images — land through IcebergFollower →
+    * CdcStream. Same oracle as the Delta twin: the mirror must equal
+    * the mutated table. */
+  val icebergFollow: Q = (s, dir) => {
+    val tmp = cachedFixture("graft-ifollow-q", dir) { tmp =>
+      val ice = s"$tmp/iceberg"
+      val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      graft.lake.IcebergCompat.write(o, ice)
+      val lake = new Mooncake(s"$tmp/wh")
+      val follower = new graft.streaming.IcebergFollower(ice, s"$tmp/spool")
+      follower.seed(s, lake, "orders_ifollow", Seq("o_orderkey"))
+      graft.lake.IcebergCompat.writeEqualityDeletes(s, ice,
+        o.filter(col("o_orderkey") % 100 === 0).select("o_orderkey"),
+        Seq("o_orderkey"))
+      val upd = o.filter(col("o_orderkey") % 97 === 0 &&
+          col("o_orderkey") % 100 =!= 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1)
+      graft.lake.IcebergCompat.writeEqualityDeletes(s, ice,
+        upd.select("o_orderkey"), Seq("o_orderkey"))
+      graft.lake.IcebergCompat.write(upd, ice, mode = "append")
+      follower.drain(s)
+      graft.streaming.CdcStream.attach(lake, "orders_ifollow",
+        follower.changes(s), s"$tmp/ckpt").awaitTermination()
+    }
+    new Mooncake(s"$tmp/wh").read(s, "orders_ifollow")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val icebergFollowSql: String = deltaFollowSql
+
   /** Manifest STRING/DATE bounds on the mirror (the r6 pruning kept
     * integer stats only): a status-clustered mirror — three files with
     * disjoint single-status string bounds — must open a strict subset
@@ -1270,6 +1306,7 @@ object LakeQueries {
     "q_mv_incremental" -> mvIncremental,
     "q_runtime_prune" -> runtimePrune,
     "q_delta_follow" -> deltaFollow,
+    "q_iceberg_follow" -> icebergFollow,
     "q_cdc_apply" -> cdcApply,
     "q_mirror_range" -> mirrorRange,
     "q_point_lookup" -> pointLookup,
@@ -1317,6 +1354,7 @@ object LakeQueries {
     "q_mv_incremental" -> mvIncrementalSql,
     "q_runtime_prune" -> runtimePruneSql,
     "q_delta_follow" -> deltaFollowSql,
+    "q_iceberg_follow" -> icebergFollowSql,
     "q_cdc_apply" -> cdcApplySql,
     "q_mirror_range" -> mirrorRangeSql,
     "q_point_lookup" -> pointLookupSql,

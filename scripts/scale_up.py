@@ -8,7 +8,9 @@ table with every key column shifted per copy, so uniqueness and
 referential joins (orders.o_custkey -> customer, lineitem.l_* -> their
 dims) hold at the larger scale. Dimension tables with fixed cardinality
 (region, nation) copy once. Schemas are preserved exactly via pyarrow
-(including events' timestamp[ns], which Spark cannot write), so both
+(whatever timestamp unit the driver shipped — fixtures have carried
+events.ts as both timestamp[ns] and timestamp[us] across generations;
+pyarrow preserves the source unit verbatim either way), so both
 the Spark engine and the DuckDB oracle read identical shapes at every
 scale. Text/embedding payloads repeat verbatim — exact duplicates
 across copies are realistic corpus content and exercise the dedup

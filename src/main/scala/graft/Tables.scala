@@ -47,16 +47,25 @@ object Tables {
 
   private def doLoad(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; read the raw int64 nanos and truncate to micros —
-      // exactly what DuckDB (micro-precision timestamps) does, so oracle
-      // comparisons agree. timestamp_ntz matches DuckDB's naive TIMESTAMP.
+      // Fixture generators have shipped events.ts under two physical
+      // types: parquet TIMESTAMP(NANOS) — which Spark's vectorized reader
+      // rejects, so nanosAsLong surfaces it as int64 nanos — and plain
+      // TIMESTAMP(MICROS). Branch on the LOADED type and normalize both
+      // to micros timestamp_ntz (DuckDB's naive micro-precision
+      // TIMESTAMP), so oracle comparisons agree either way and a
+      // driver-side fixture regeneration can't break the loader again.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      import org.apache.spark.sql.functions.{expr, timestamp_micros}
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.LongType
       // withColumn replaces ts in place, preserving column order
-      raw.withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      raw.schema("ts").dataType match {
+        case LongType => // nanos-as-int64: truncate to micros
+          raw.withColumn("ts",
+            timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        case _ => // already a timestamp type: just align the flavor
+          raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

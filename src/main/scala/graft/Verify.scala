@@ -35,6 +35,11 @@ object Verify {
     // exactly the selected query dirs.
     if (only.isEmpty) deleteRec(Paths.get(outDir))
     new java.io.File(outDir).mkdirs()
+    // Every registry entry must be accounted for in the output: a query
+    // that throws is recorded in _errors.json rather than silently
+    // omitted (round 7 shipped "143/143 pass" with 11 broken queries
+    // because failures only went to stderr).
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -42,7 +47,9 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: $msg")
+        errors(name) = msg
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -60,6 +67,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v.take(2000))}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    // Exit 0 even with errors: the driver must still run the DuckDB
+    // compare on the queries that DID succeed; _errors.json makes the
+    // rest visible instead of vanished.
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} quer${
+        if (errors.size == 1) "y" else "ies"} FAILED: ${
+        errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -758,11 +758,24 @@ object IcebergCompat {
     if (id < 0) Seq.empty else snapshotFiles(meta, id).data.toSeq.sorted
   }
 
+  /** One live manifest entry from the light walk: localPath-normalized
+    * file path, data sequence number (spec inheritance rule applied),
+    * the spec id of its manifest, and its partition values. */
+  private case class ManifestEntry(path: String, seq: Option[Long],
+      specId: Int, partVals: Map[String, Any])
+
   /** Live file sets of one snapshot, from a light manifest walk (no
-    * parquet IO): data file paths, position-delete file paths,
-    * equality-delete file paths — all localPath-normalized. */
-  private case class SnapshotFiles(data: Set[String], posDeletes: Set[String],
-      eqDeletes: Set[String])
+    * parquet IO): data entries, position-delete file paths,
+    * equality-delete entries — all localPath-normalized. */
+  private case class SnapshotFiles(dataEntries: Seq[ManifestEntry],
+      posDeletes: Set[String], eqEntries: Seq[ManifestEntry]) {
+    lazy val data: Set[String] = dataEntries.map(_.path).toSet
+    lazy val eqDeletes: Set[String] = eqEntries.map(_.path).toSet
+  }
+  private object SnapshotFiles {
+    val empty: SnapshotFiles =
+      SnapshotFiles(Seq.empty, Set.empty, Seq.empty)
+  }
 
   private def snapshotFiles(meta: JsonNode, snapshotId: Long): SnapshotFiles = {
     val snapshot = meta.get("snapshots").elements().asScala
@@ -771,13 +784,22 @@ object IcebergCompat {
         s"snapshot $snapshotId not found"))
     val listRecords = avroRecords(localPath(
       snapshot.get("manifest-list").asText()))
-    val data = Set.newBuilder[String]
+    def numOf(r: GenericRecord, f: String): Option[Long] =
+      if (r.getSchema.getField(f) == null) None
+      else r.get(f) match {
+        case l: java.lang.Long => Some(l.longValue)
+        case i: java.lang.Integer => Some(i.longValue)
+        case _ => None // null = inherit
+      }
+    val data = Seq.newBuilder[ManifestEntry]
     val pos = Set.newBuilder[String]
-    val eq = Set.newBuilder[String]
+    val eq = Seq.newBuilder[ManifestEntry]
     listRecords.foreach { listRec =>
+      val specId = numOf(listRec, "partition_spec_id").getOrElse(0L).toInt
       avroRecords(localPath(listRec.get("manifest_path").toString))
         .foreach { rec =>
-          if (rec.get("status").asInstanceOf[Int] != 2) { // not DELETED
+          val status = rec.get("status").asInstanceOf[Int]
+          if (status != 2) { // not DELETED
             val df = rec.get("data_file").asInstanceOf[GenericRecord]
             val content =
               if (df.getSchema.getField("content") == null) 0
@@ -787,10 +809,36 @@ object IcebergCompat {
                 case _ => 0
               }
             val p = localPath(df.get("file_path").toString)
+            // spec inheritance: explicit sequence on the entry, else the
+            // manifest-list entry's — for ADDED (status=1) entries only
+            val seq = numOf(rec, "sequence_number").orElse(
+              if (status == 1) numOf(listRec, "sequence_number") else None)
+            def partVals: Map[String, Any] =
+              if (df.getSchema.getField("partition") == null)
+                Map.empty[String, Any]
+              else df.get("partition") match {
+                case pr: GenericRecord => pr.getSchema.getFields.asScala
+                  .map(f => f.name -> avroValue(pr.get(f.name))).toMap
+                case _ => Map.empty[String, Any]
+              }
+            // Data-file formats are enforced on the read path; DELETE
+            // entries are only ever consumed as parquet (readChanges'
+            // posTargets scan), so refuse foreign formats here with the
+            // same explicit out-of-scope error instead of an opaque
+            // parquet footer failure later.
+            def fmt = df.get("file_format").toString
             content match {
-              case 0 => data += p
-              case 1 => pos += p
-              case 2 => eq += p
+              case 0 => data += ManifestEntry(p, seq, specId, partVals)
+              case 1 =>
+                if (!fmt.equalsIgnoreCase("parquet"))
+                  throw new UnsupportedOperationException(
+                    s"Iceberg position-delete file format $fmt out of scope")
+                pos += p
+              case 2 =>
+                if (!fmt.equalsIgnoreCase("parquet"))
+                  throw new UnsupportedOperationException(
+                    s"Iceberg equality-delete file format $fmt out of scope")
+                eq += ManifestEntry(p, seq, specId, partVals)
               case _ => ()
             }
           }
@@ -812,9 +860,10 @@ object IcebergCompat {
     * the files that can differ — data files added or removed by the
     * snapshot, data files named by changed position-delete files (read
     * from the delete files themselves: delete-volume IO), and, for
-    * equality-delete commits only, the conservative both-sides-live
-    * set (an equality delete may hit any strictly-older file; partition
-    * scoping still bounds it on the read side). Rows in files on
+    * equality-delete commits only, the both-sides-live files each
+    * changed delete can actually reach under the spec's sequence rule
+    * (data sequence strictly below the delete's) and partition scope.
+    * Rows in files on
     * neither list are bitwise identical on both sides and never read.
     * A pure compaction (rewrite, same rows) nets ZERO change rows at
     * the cost of reading the rewritten files once on each side. */
@@ -823,6 +872,16 @@ object IcebergCompat {
       toSnapshotId: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val meta = currentMetadata(tableDir)
+    // Commit ordering (_sequence_number, and the follower's __seq built
+    // on it) is only defined when the log carries monotone sequence
+    // numbers — a format-v1 table has none, and asLong's silent 0 would
+    // let an older snapshot's insert outrank a newer one's delete under
+    // applyChanges' last-op-per-key rule, resurrecting deleted rows.
+    if (meta.path("format-version").asInt(1) < 2)
+      throw new UnsupportedOperationException(
+        s"$tableDir: CDC over a format-version 1 Iceberg table is out " +
+          "of scope — v1 snapshots carry no sequence numbers, so " +
+          "row-level commit ordering is undefined")
     val byId = meta.path("snapshots").elements().asScala
       .map(s => s.path("snapshot-id").asLong(-1) -> s).toMap
     val toId = toSnapshotId.getOrElse(
@@ -854,29 +913,71 @@ object IcebergCompat {
           s"$tableDir: snapshot $fromSnapshotId is not an ancestor of " +
             s"$toId")
     }
+    // Adjacent chain elements share a side (snapshot N is snapshot
+    // N+1's parent) — memoize the manifest walks so a poll spanning N
+    // snapshots does N+1 walks, not 2N.
+    val walked = scala.collection.mutable.Map.empty[Long, SnapshotFiles]
+    def filesOf(id: Long): SnapshotFiles =
+      walked.getOrElseUpdate(id, snapshotFiles(meta, id))
     val parts = chain.map { snap =>
       val snapId = snap.path("snapshot-id").asLong(-1)
+      if (!snap.has("sequence-number"))
+        throw new UnsupportedOperationException(
+          s"$tableDir: snapshot $snapId carries no sequence-number — " +
+            "row-level commit ordering is undefined for CDC")
       val seq = snap.path("sequence-number").asLong(0)
       val parentId =
         if (snap.has("parent-snapshot-id"))
           Some(snap.path("parent-snapshot-id").asLong(-1))
         else None
-      val sf = snapshotFiles(meta, snapId)
-      val pf = parentId.map(snapshotFiles(meta, _))
-        .getOrElse(SnapshotFiles(Set.empty, Set.empty, Set.empty))
+      val sf = filesOf(snapId)
+      val pf = parentId.map(filesOf).getOrElse(SnapshotFiles.empty)
       val dataChanged = (sf.data diff pf.data) union (pf.data diff sf.data)
       val posChanged = (sf.posDeletes diff pf.posDeletes) union
         (pf.posDeletes diff sf.posDeletes)
-      val eqChanged = sf.eqDeletes != pf.eqDeletes
       val posTargets =
         if (posChanged.isEmpty) Set.empty[String]
         else // paths named inside the changed delete files: small reads
           spark.read.parquet(posChanged.toSeq.sorted: _*)
             .select("file_path").distinct().collect()
             .map(r => localPath(r.getString(0))).toSet
+      // An equality delete with data sequence S reaches only data files
+      // with data sequence < S — and, when its manifest is partition-
+      // scoped, only files of the same partition under the same spec.
+      // Both-sides-live files outside every changed delete's reach are
+      // bitwise identical on both sides and never read — so a streaming
+      // upsert writer's per-commit equality deletes cost change-volume
+      // reads, not two near-full-table reads per commit. Unknown
+      // sequence or cross-spec partitions degrade conservatively
+      // (treated as reachable).
+      val eqChangedEntries = {
+        val sfEq = sf.eqEntries.map(e => e.path -> e).toMap
+        val pfEq = pf.eqEntries.map(e => e.path -> e).toMap
+        ((sfEq.keySet diff pfEq.keySet).toSeq.map(sfEq) ++
+          (pfEq.keySet diff sfEq.keySet).toSeq.map(pfEq))
+      }
+      val eqAffected: Set[String] =
+        if (eqChangedEntries.isEmpty) Set.empty
+        else sf.dataEntries.filter(d => pf.data.contains(d.path))
+          .filter { d =>
+            eqChangedEntries.exists { del =>
+              val seqReaches = (d.seq, del.seq) match {
+                case (Some(ds), Some(es)) => ds < es
+                case _ => true
+              }
+              val partReaches =
+                del.partVals.isEmpty || del.specId != d.specId ||
+                  del.partVals.forall { case (k, v) =>
+                    d.partVals.get(k) match {
+                      case Some(dv) => if (v == null) dv == null else v == dv
+                      case None => true
+                    }
+                  }
+              seqReaches && partReaches
+            }
+          }.map(_.path).toSet
       val affected = dataChanged ++
-        posTargets.intersect(sf.data union pf.data) ++
-        (if (eqChanged) sf.data intersect pf.data else Set.empty)
+        posTargets.intersect(sf.data union pf.data) ++ eqAffected
       if (affected.isEmpty) emptyChanges
       else {
         val newSide = read(spark, tableDir, Some(snapId),

@@ -111,6 +111,64 @@ class IcebergCompatSpec extends SparkSuite {
       === Seq("k", "v"))
   }
 
+  test("non-parquet delete files are refused explicitly at the manifest walk") {
+    // An Avro position/equality-delete file is legal per spec but out of
+    // this reader's scope — the walk must say so instead of failing with
+    // an opaque parquet footer error when the delete file is read.
+    val dir = tmpDir("iceberg-avro-del")
+    Files.createDirectories(Paths.get(dir, "metadata"))
+    Files.createDirectories(Paths.get(dir, "data"))
+    Seq((1L, "a")).toDF("k", "v").coalesce(1).write.parquet(s"$dir/data/f1")
+    val f1 = Manifest.withListing(Paths.get(s"$dir/data/f1"))(_.filter(
+      _.getFileName.toString.endsWith(".parquet")).toSeq).head.toString
+    val entryWithContent: Schema = SchemaBuilder
+      .record("manifest_entry2").fields()
+      .requiredInt("status")
+      .name("data_file").`type`(SchemaBuilder.record("data_file2").fields()
+        .requiredInt("content")
+        .requiredString("file_path")
+        .requiredString("file_format")
+        .requiredLong("record_count")
+        .endRecord()).noDefault()
+      .endRecord()
+    def e2(content: Int, file: String, fmt: String): GenericRecord = {
+      val df = new GenericData.Record(
+        entryWithContent.getField("data_file").schema())
+      df.put("content", content)
+      df.put("file_path", file)
+      df.put("file_format", fmt)
+      df.put("record_count", 1L)
+      val e = new GenericData.Record(entryWithContent)
+      e.put("status", 1)
+      e.put("data_file", df)
+      e
+    }
+    writeAvro(s"$dir/metadata/m1.avro", entryWithContent,
+      Seq(e2(0, f1, "PARQUET"), e2(2, s"$dir/data/del.avro", "AVRO")))
+    val r = new GenericData.Record(manifestFileSchema)
+    r.put("manifest_path", s"$dir/metadata/m1.avro")
+    writeAvro(s"$dir/metadata/ml1.avro", manifestFileSchema, Seq(r))
+    val metadata = s"""{
+      |  "format-version": 2,
+      |  "current-snapshot-id": 100,
+      |  "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+      |    {"id": 1, "name": "k", "required": true, "type": "long"},
+      |    {"id": 2, "name": "v", "required": false, "type": "string"}]}],
+      |  "current-schema-id": 0,
+      |  "snapshots": [
+      |    {"snapshot-id": 100, "sequence-number": 1,
+      |     "manifest-list": "$dir/metadata/ml1.avro"}]
+      |}""".stripMargin
+    Files.write(Paths.get(dir, "metadata", "v2.metadata.json"),
+      metadata.getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "metadata", "version-hint.text"),
+      "2".getBytes("UTF-8"))
+    val e = intercept[UnsupportedOperationException] {
+      IcebergCompat.liveDataFiles(dir)
+    }
+    assert(e.getMessage.contains("equality-delete file format AVRO"))
+  }
+
   test("writer round-trip: append snapshots accumulate, overwrite resets") {
     val dir = tmpDir("iceberg-write")
     val s1 = IcebergCompat.write(Seq((1L, "a")).toDF("k", "v"), dir)

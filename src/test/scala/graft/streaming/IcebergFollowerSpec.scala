@@ -93,6 +93,32 @@ class IcebergFollowerSpec extends SparkSuite {
       Some(IcebergCompat.currentSnapshotId(ice)))
   }
 
+  test("readChanges refuses a format-version 1 table (no sequence numbers)") {
+    val ice = tmpDir("if-v1-ice")
+    IcebergCompat.write(Seq((1L, "a")).toDF("k", "v"), ice)
+    IcebergCompat.write(Seq((2L, "b")).toDF("k", "v"), ice)
+    // Rewrite every metadata json to claim format-version 1: v1
+    // snapshots carry no sequence numbers, so CDC commit ordering is
+    // undefined and readChanges must refuse rather than default seq=0
+    // (which would let an older insert outrank a newer delete).
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val metaDir = Paths.get(ice, "metadata")
+    Files.list(metaDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".metadata.json"))
+      .foreach { p =>
+        val txt = new String(Files.readAllBytes(p), "UTF-8")
+          .replaceAll("\"format-version\"\\s*:\\s*2", "\"format-version\" : 1")
+        Files.write(p, txt.getBytes("UTF-8"))
+      }
+    val e = intercept[UnsupportedOperationException] {
+      IcebergCompat.readChanges(spark, ice, -1L).count()
+    }
+    assert(e.getMessage.contains("format-version 1"))
+    // plain reads of the same table still work — only CDC is refused
+    assert(iceRows(ice) === Seq(1L -> "a", 2L -> "b"))
+  }
+
   test("readChanges refuses a broken lineage and -1 means from-genesis") {
     val ice = tmpDir("if-rc-ice")
     IcebergCompat.write(Seq((1L, "a")).toDF("k", "v"), ice)

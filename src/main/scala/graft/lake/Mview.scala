@@ -18,9 +18,13 @@ import org.apache.spark.sql.types._
 case class MvAgg(fn: String, col: String, as: String)
 
 /** Persisted MV definition + maintenance frontier: `baseVersion` is the
-  * base-mirror manifest version the state currently reflects. */
+  * base-mirror manifest version the state currently reflects; `where` is
+  * an optional SQL row predicate over the base's columns (the view's
+  * WHERE clause), applied identically to the backfill, the change delta,
+  * and the dirty-group re-aggregation — the maintenance algebra is
+  * unchanged because filtering commutes with the signed-delta fold. */
 case class MviewDef(base: String, groupCols: Seq[String], aggs: Seq[MvAgg],
-    baseVersion: Long)
+    baseVersion: Long, where: Option[String] = None)
 
 /** What one [[Mview.refresh]] did — lets callers (and the spec) assert
   * the cost model: `recomputedGroups` is the number of groups whose
@@ -121,18 +125,28 @@ class Mview(val lake: Mooncake) {
 
   // -- API ------------------------------------------------------------------
 
+  /** Rows of `df` the view sees: the optional WHERE predicate applied
+    * (NULL predicate rows drop, exactly like SQL WHERE). Used by the
+    * backfill, the delta fold, and the dirty re-aggregation — all three
+    * MUST agree or the incremental state drifts from the definition. */
+  private def viewRows(df: DataFrame, where: Option[String]): DataFrame =
+    where.fold(df)(w => df.filter(expr(w)))
+
   /** Define + fully compute the view (one shuffle on the group key), and
-    * record the base version the state reflects. */
+    * record the base version the state reflects. `where` is an optional
+    * SQL row predicate — the view's WHERE clause. */
   def create(spark: SparkSession, name: String, base: String,
-      groupCols: Seq[String], aggs: Seq[MvAgg]): Manifest = {
+      groupCols: Seq[String], aggs: Seq[MvAgg],
+      where: Option[String] = None): Manifest = {
     require(groupCols.nonEmpty, "materialized views require group columns")
     val bad = aggs.map(_.fn).filterNot(
       Set("count", "sum", "avg", "min", "max"))
     require(bad.isEmpty, s"unsupported aggregate fn(s): ${bad.mkString(",")}")
     val baseM = lake.currentManifest(base)
-    val state = stateAgg(lake.read(spark, base), groupCols, aggs)
+    val state = stateAgg(viewRows(lake.read(spark, base), where),
+      groupCols, aggs)
     val m = lake.createTable(spark, name, state, pk = groupCols)
-    saveDef(name, MviewDef(base, groupCols, aggs, baseM.version))
+    saveDef(name, MviewDef(base, groupCols, aggs, baseM.version, where))
     m
   }
 
@@ -174,7 +188,11 @@ class Mview(val lake: Mooncake) {
     val maxs = maxCols(d.aggs)
     def sumT(c: String): DataType = stateSchema(s"__sum_$c").dataType
 
-    val delta = lake.tableChanges(spark, d.base, d.baseVersion, baseM.version)
+    // The WHERE filter applies to each change image independently, so a
+    // row UPDATE crossing the predicate boundary degrades correctly: its
+    // delete image and insert image are filtered on their own values.
+    val delta = viewRows(
+      lake.tableChanges(spark, d.base, d.baseVersion, baseM.version), d.where)
     val ins = col("_change") === "insert"
     val del = col("_change") === "delete"
 
@@ -275,7 +293,7 @@ class Mview(val lake: Mooncake) {
     val recomputed =
       if (nDirty == 0) None
       else {
-        val baseRows = lake.read(spark, d.base)
+        val baseRows = viewRows(lake.read(spark, d.base), d.where)
           .join(broadcast(dirtyKeys), keyEq, "left_semi")
         Some(stateAgg(baseRows, groupCols, d.aggs)
           .select(keyOut ++ stateColsOf(prefix2 = false): _*)

@@ -229,6 +229,67 @@ object LakeQueries {
       .orderBy("o_custkey")
   }
 
+  /** FILTERED materialized view under oracle check: same base-mirror CDC
+    * history as [[mvIncremental]], but the view carries a WHERE predicate
+    * on the aggregated column itself — so the +1/+10 price updates move
+    * rows ACROSS the predicate boundary and the per-image delta filter
+    * (delete image and insert image each judged on their own values) is
+    * what keeps the state consistent. The oracle recomputes the filtered
+    * grouped state from scratch. */
+  val mvFiltered: Q = (s, dir) => {
+    val wh = cachedFixture("graft-mvf-q", dir) { tmp =>
+      val lake = new Mooncake(tmp)
+      val o = Tables.load(s, dir, "orders")
+        .withColumn("o_totalprice", col("o_totalprice").cast("decimal(18,2)"))
+      lake.createTable(s, "orders_mvf_base", o, Seq("o_orderkey"))
+      val mv = new Mview(lake)
+      mv.create(s, "big_orders_by_cust", "orders_mvf_base", Seq("o_custkey"),
+        Seq(
+          MvAgg("count", "*", "n_orders"),
+          MvAgg("sum", "o_totalprice", "sum_price"),
+          MvAgg("max", "o_totalprice", "max_price")),
+        where = Some("o_totalprice > 100000"))
+      val d2 = o.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("__op", lit("D"))
+      val u2 = o.filter(col("o_orderkey") % 97 === 0 &&
+          col("o_orderkey") % 100 =!= 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1)
+        .withColumn("__op", lit("U"))
+      lake.applyChanges(s, "orders_mvf_base", d2.unionByName(u2), version = 2)
+      mv.refresh(s, "big_orders_by_cust")
+      val cur = lake.read(s, "orders_mvf_base")
+      val d3 = cur.filter(col("o_orderkey") % 61 === 0)
+        .withColumn("__op", lit("D"))
+      val u3 = cur.filter(col("o_orderkey") % 89 === 0 &&
+          col("o_orderkey") % 61 =!= 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 10)
+        .withColumn("__op", lit("U"))
+      lake.applyChanges(s, "orders_mvf_base", d3.unionByName(u3), version = 3)
+      mv.refresh(s, "big_orders_by_cust")
+    }
+    new Mview(new Mooncake(wh)).read(s, "big_orders_by_cust")
+      .select(col("o_custkey"), col("n_orders"),
+        decToDouble(col("sum_price")).as("sum_price"),
+        decToDouble(col("max_price")).as("max_price"))
+      .orderBy("o_custkey")
+  }
+
+  val mvFilteredSql: String =
+    """WITH final AS (
+      |  SELECT o_custkey,
+      |    CAST(o_totalprice AS DECIMAL(18,2))
+      |      + (CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN o_orderkey % 89 = 0 AND o_orderkey % 61 <> 0
+      |              THEN 10 ELSE 0 END) AS price
+      |  FROM orders
+      |  WHERE o_orderkey % 100 <> 0 AND o_orderkey % 61 <> 0
+      |)
+      |SELECT o_custkey, count(*) AS n_orders,
+      |  CAST(CAST(sum(price) AS VARCHAR) AS DOUBLE) AS sum_price,
+      |  CAST(CAST(max(price) AS VARCHAR) AS DOUBLE) AS max_price
+      |FROM final WHERE price > 100000
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   val mvIncrementalSql: String =
     """WITH final AS (
       |  SELECT o_custkey,
@@ -1304,6 +1365,7 @@ object LakeQueries {
     "q_delta_cmap_roundtrip" -> deltaCmapRoundtrip,
     "q_delta_purge_roundtrip" -> deltaPurgeRoundtrip,
     "q_mv_incremental" -> mvIncremental,
+    "q_mv_filtered" -> mvFiltered,
     "q_runtime_prune" -> runtimePrune,
     "q_delta_follow" -> deltaFollow,
     "q_iceberg_follow" -> icebergFollow,
@@ -1352,6 +1414,7 @@ object LakeQueries {
     "q_delta_cmap_roundtrip" -> deltaCmapRoundtripSql,
     "q_delta_purge_roundtrip" -> deltaPurgeRoundtripSql,
     "q_mv_incremental" -> mvIncrementalSql,
+    "q_mv_filtered" -> mvFilteredSql,
     "q_runtime_prune" -> runtimePruneSql,
     "q_delta_follow" -> deltaFollowSql,
     "q_iceberg_follow" -> icebergFollowSql,

@@ -113,6 +113,64 @@ class MviewSpec extends SparkSuite {
     assert(lake.currentManifest("t_mv").version == before)
   }
 
+  test("filtered MV: per-image predicate, boundary crossings, no-base-touch") {
+    val lake = mkLake()
+    val mv = new Mview(lake)
+    val v1 = rows((1, 1L, d("10.00")), (2, 1L, d("20.00")),
+      (3, 2L, d("3.00")), (4, 2L, d("30.00")))
+    lake.createTable(spark, "t", v1, Seq("id"))
+    // Only rows with v >= 5 exist for the view.
+    mv.create(spark, "t_mv", "t", Seq("g"), aggs, where = Some("v >= 5"))
+    def recomputeF(base: DataFrame) = recompute(base.filter($"v" >= 5))
+    def assertF(): Unit = {
+      val got = mv.read(spark, "t_mv")
+        .select($"g", $"n", $"sum_v".cast("decimal(38,2)"), $"avg_v",
+          $"min_v", $"max_v")
+        .orderBy("g").collect().toSeq
+      val want = recomputeF(lake.read(spark, "t")).orderBy("g")
+        .collect().toSeq
+      assert(got == want)
+    }
+    assertF()
+
+    def b(tuples: (Int, Long, Option[java.math.BigDecimal], String)*) =
+      tuples.toDF("id", "g", "v", "__op")
+        .select($"id", $"g", $"v".cast("decimal(12,2)"), $"__op")
+
+    // A change entirely OUTSIDE the predicate must be a no-op refresh:
+    // no affected groups, no new MV version.
+    lake.applyChanges(spark, "t", b((3, 2L, d("4.00"), "U")), version = 2)
+    val mvVer = lake.currentManifest("t_mv").version
+    val st0 = mv.refresh(spark, "t_mv")
+    assert(st0.affectedGroups == 0 && st0.recomputedGroups == 0)
+    assert(lake.currentManifest("t_mv").version == mvVer,
+      "out-of-predicate churn must not version the view")
+    assertF()
+
+    // Boundary crossings both ways: id=3 enters the view (4→6), id=2
+    // leaves it (20→2). The exit deletes group 1's stored max carrier →
+    // exactly one dirty group re-aggregates; group 2 sees only an
+    // in-predicate insert image (its delete image 4.00 is filtered).
+    lake.applyChanges(spark, "t",
+      b((3, 2L, d("6.00"), "U"), (2, 1L, d("2.00"), "U")), version = 3)
+    val st1 = mv.refresh(spark, "t_mv")
+    assert(st1.recomputedGroups == 1, "only the exit-dirty group recomputes")
+    assertF()
+    assert(mv.read(spark, "t_mv").filter($"g" === 1).select("n")
+      .as[Long].head() == 1L, "group 1 keeps only its in-predicate row")
+
+    // Non-extremum in-predicate delete: group 2 holds {6.00, 30.00};
+    // dropping 6.00 is min-tying... use an insert first to make a clean
+    // middle value, then delete it — no extremum touched, no recompute.
+    lake.applyChanges(spark, "t", b((5, 2L, d("8.00"), "I")), version = 4)
+    assert(mv.refresh(spark, "t_mv").recomputedGroups == 0)
+    lake.applyChanges(spark, "t", b((5, 2L, d("8.00"), "D")), version = 5)
+    val st2 = mv.refresh(spark, "t_mv")
+    assert(st2.recomputedGroups == 0,
+      "non-extremum delete inside the predicate must not touch the base")
+    assertF()
+  }
+
   test("multi-version catch-up nets intermediate churn") {
     val lake = mkLake()
     val mv = new Mview(lake)

@@ -85,7 +85,8 @@ object DeltaCompat {
   /** Reader features this layer implements; anything else in a
     * minReaderVersion-3 protocol action is refused loudly (the spec's
     * required behavior for unknown reader features). */
-  private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping")
+  private val SupportedReaderFeatures =
+    Set("deletionVectors", "columnMapping", "v2Checkpoint")
 
   private def checkProtocol(table: String, mrv: Int,
       readerFeatures: Set[String]): Unit = {
@@ -1592,8 +1593,18 @@ object DeltaCompat {
     * commits so readers replay O(1) JSON files instead of the whole
     * history (and old JSON can be vacuumed). One row per action:
     * protocol, metaData, and one add per live file. Returns the
-    * checkpointed version. */
-  def checkpoint(spark: SparkSession, table: String): Long = {
+    * checkpointed version.
+    *
+    * `v2 = true` writes the V2-spec shape instead of classic: a
+    * UUID-named `n.checkpoint.<uuid>.parquet` holding protocol /
+    * metaData / txn / checkpointMetadata plus `sidecar` pointers, with
+    * the add actions in a sidecar parquet under `_delta_log/_sidecars/`
+    * — and a protocol carrying the `v2Checkpoint` table feature, so a
+    * newer engine following one of our long-history exports resumes
+    * from the checkpoint instead of re-replaying vacuumable JSON.
+    * Classic stays the default (readable by every Delta reader). */
+  def checkpoint(spark: SparkSession, table: String,
+      v2: Boolean = false): Long = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val vs = versions(table)
@@ -1645,7 +1656,15 @@ object DeltaCompat {
 
     val cmap = state.columnMappingMode != "none"
     val protoRow =
-      if (state.dvEnabled) {
+      if (v2) {
+        // The v2Checkpoint table feature requires the feature-vector
+        // protocol (3/7); carry every feature the table actually uses.
+        val rf = Seq("v2Checkpoint") ++
+          (if (state.dvEnabled) Seq("deletionVectors") else Nil) ++
+          (if (cmap) Seq("columnMapping") else Nil)
+        Row(3, 7, rf, rf ++ Seq("appendOnly", "invariants") ++
+          (if (state.cdfEnabled) Seq("changeDataFeed") else Nil))
+      } else if (state.dvEnabled) {
         val rf = Seq("deletionVectors") ++ (if (cmap) Seq("columnMapping") else Nil)
         Row(3, 7, rf, rf ++ Seq("appendOnly", "invariants") ++
           (if (state.cdfEnabled) Seq("changeDataFeed") else Nil))
@@ -1657,54 +1676,97 @@ object DeltaCompat {
     // pre-checkpoint JSON is vacuumed
     val conf = state.config
     val now = System.currentTimeMillis()
-    val rows = Seq(
-      Row(protoRow, null, null, null),
-      // the table id is STABLE — re-minting one per checkpoint would
-      // make readers see a different table identity after vacuum
-      Row(null, Row(state.metaId.getOrElse(UUID.randomUUID().toString),
-        Row("parquet", Map.empty[String, String]), schemaJson,
-        state.partitionColumns, conf, now), null, null)) ++
-      // streaming writers' txn watermarks survive the checkpoint (the
-      // spec keeps SetTransaction state live) — dropping them would
-      // break exactly-once resume after old JSON is vacuumed
-      state.txns.toSeq.sorted.map { case (appId, v) =>
-        Row(null, null, null, Row(appId, v))
-      } ++
-      state.files.toSeq.sortBy(_._1).map { case (path, add) =>
-        // A live file that cannot be stat'ed means the table is already
-        // corrupt — fail NOW, not after the JSON that could explain it
-        // has been vacuumed and the checkpoint is the only truth.
-        val onDisk = Paths.get(table, path)
-        if (!Files.exists(onDisk))
-          throw new IllegalStateException(
-            s"$table: live file $path missing on disk — refusing to " +
-              "checkpoint a corrupt table")
-        val dvRow = add.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
-          d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull
-        // recomputed from the footer: replay does not retain stats, and
-        // after old JSON is vacuumed the checkpoint is their only source
-        Row(null, null, Row(encodePath(path),
-          add.partitionValues.map { case (k, v) => k -> v.orNull },
-          Files.size(onDisk), now, true,
-          fileStatsJson(onDisk,
-            tight = if (add.dv.isDefined) Some(false) else None), dvRow),
-          null)
-      }
-    // One checkpoint file: the action list is manifest-sized. (Readers
+    // the table id is STABLE — re-minting one per checkpoint would
+    // make readers see a different table identity after vacuum
+    val metaRow = Row(state.metaId.getOrElse(UUID.randomUUID().toString),
+      Row("parquet", Map.empty[String, String]), schemaJson,
+      state.partitionColumns, conf, now)
+    // streaming writers' txn watermarks survive the checkpoint (the
+    // spec keeps SetTransaction state live) — dropping them would
+    // break exactly-once resume after old JSON is vacuumed
+    val txnRows = state.txns.toSeq.sorted.map { case (appId, v) =>
+      Row(appId, v)
+    }
+    val addRows = state.files.toSeq.sortBy(_._1).map { case (path, add) =>
+      // A live file that cannot be stat'ed means the table is already
+      // corrupt — fail NOW, not after the JSON that could explain it
+      // has been vacuumed and the checkpoint is the only truth.
+      val onDisk = Paths.get(table, path)
+      if (!Files.exists(onDisk))
+        throw new IllegalStateException(
+          s"$table: live file $path missing on disk — refusing to " +
+            "checkpoint a corrupt table")
+      val dvRow = add.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+        d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull
+      // recomputed from the footer: replay does not retain stats, and
+      // after old JSON is vacuumed the checkpoint is their only source
+      Row(encodePath(path),
+        add.partitionValues.map { case (k, v) => k -> v.orNull },
+        Files.size(onDisk), now, true,
+        fileStatsJson(onDisk,
+          tight = if (add.dv.isDefined) Some(false) else None), dvRow)
+    }
+    // One file per role: the action list is manifest-sized. (Readers
     // handle multi-part checkpoints; writing them only matters once the
     // manifest itself outgrows one parquet file.)
-    val tmp = Files.createTempDirectory(Paths.get(table), ".ckpt")
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), rowT)
-      .write.mode("overwrite").parquet(tmp.toString)
-    val part = Manifest.withListing(tmp)(_.find(
-      _.getFileName.toString.endsWith(".parquet")).get)
-    val target = logDir(table).resolve(f"$version%020d.checkpoint.parquet")
-    Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
-    LakeFs.deleteRec(tmp)
+    def writeOneParquet(rows: Seq[Row], schema: StructType,
+        target: Path): Unit = {
+      val tmp = Files.createTempDirectory(Paths.get(table), ".ckpt")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), schema)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = Manifest.withListing(tmp)(_.find(
+        _.getFileName.toString.endsWith(".parquet")).get)
+      Files.createDirectories(target.getParent)
+      Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+      LakeFs.deleteRec(tmp)
+    }
+    val nActions =
+      if (v2) {
+        // Sidecar carries the file actions; the UUID-named main file
+        // carries everything else plus checkpointMetadata + the pointer.
+        val sidecarName = s"${UUID.randomUUID()}.parquet"
+        val sidecarPath = logDir(table).resolve("_sidecars")
+          .resolve(sidecarName)
+        val sidecarT = StructType(Seq(StructField("add", addT)))
+        writeOneParquet(addRows.map(Row(_)), sidecarT, sidecarPath)
+        val cpMetaT = StructType(Seq(
+          StructField("version", LongType),
+          StructField("tags", MapType(StringType, StringType))))
+        val sidecarPtrT = StructType(Seq(
+          StructField("path", StringType),
+          StructField("sizeInBytes", LongType),
+          StructField("modificationTime", LongType),
+          StructField("tags", MapType(StringType, StringType))))
+        val rowT2 = StructType(Seq(
+          StructField("protocol", protocolT),
+          StructField("metaData", metaT),
+          StructField("txn", txnT),
+          StructField("checkpointMetadata", cpMetaT),
+          StructField("sidecar", sidecarPtrT)))
+        val mainRows =
+          Seq(Row(protoRow, null, null, null, null),
+            Row(null, metaRow, null, null, null)) ++
+          txnRows.map(t => Row(null, null, t, null, null)) ++
+          Seq(Row(null, null, null, Row(version, null), null),
+            Row(null, null, null, null,
+              Row(sidecarName, Files.size(sidecarPath), now, null)))
+        writeOneParquet(mainRows, rowT2, logDir(table)
+          .resolve(f"$version%020d.checkpoint.${UUID.randomUUID()}.parquet"))
+        mainRows.size + addRows.size
+      } else {
+        val rows =
+          Seq(Row(protoRow, null, null, null),
+            Row(null, metaRow, null, null)) ++
+          txnRows.map(t => Row(null, null, null, t)) ++
+          addRows.map(a => Row(null, null, a, null))
+        writeOneParquet(rows, rowT,
+          logDir(table).resolve(f"$version%020d.checkpoint.parquet"))
+        rows.size
+      }
     val lcTmp = Files.createTempFile(logDir(table), ".tmp", ".json")
     Files.write(lcTmp,
-      s"""{"version":$version,"size":${rows.size}}"""
+      s"""{"version":$version,"size":$nActions}"""
         .getBytes(StandardCharsets.UTF_8))
     Files.move(lcTmp, logDir(table).resolve("_last_checkpoint"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)

@@ -63,7 +63,7 @@ class DeltaCompatSpec extends SparkSuite {
     assert(DeltaCompat.read(spark, dir).count() === 1)
     Files.write(Paths.get(dir, "_delta_log", f"${2L}%020d.json"),
       ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""").getBytes)
+        """"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}""").getBytes)
     intercept[UnsupportedOperationException] {
       DeltaCompat.read(spark, dir)
     }
@@ -331,6 +331,52 @@ class DeltaCompatSpec extends SparkSuite {
     intercept[UnsupportedOperationException] {
       DeltaCompat.read(spark, dir, version = Some(3L))
     }
+  }
+
+  test("v2 checkpoint write: spec shape, sidecar adds, vacuumed-JSON read-back") {
+    val dir = tmpDir("delta-ckpt-v2")
+    for (i <- 0 until 5)
+      DeltaCompat.write(Seq((i.toLong, s"v$i")).toDF("k", "v"), dir)
+    val cv = DeltaCompat.checkpoint(spark, dir, v2 = true)
+    assert(cv === 4L)
+    val log = Paths.get(dir, "_delta_log")
+    // Spec shape: a UUID-named main file, NO classic file, sidecars dir.
+    assert(!Files.exists(log.resolve(f"$cv%020d.checkpoint.parquet")))
+    val re = (f"$cv%020d" + "\\.checkpoint\\.[0-9a-fA-F-]{36}\\.parquet").r
+    val mains = Files.list(log).iterator().asScala
+      .filter(p => re.pattern.matcher(p.getFileName.toString).matches())
+      .toSeq
+    assert(mains.size === 1)
+    val main = spark.read.parquet(mains.head.toString)
+    // Main file: protocol with the v2Checkpoint feature, one
+    // checkpointMetadata row at the checkpoint version, sidecar
+    // pointer(s), and NO inline add actions.
+    assert(!main.schema.fieldNames.contains("add"))
+    assert(main.select("checkpointMetadata.version")
+      .na.drop().as[Long].collect().toSeq === Seq(cv))
+    val feats = main.select("protocol.readerFeatures").na.drop()
+      .as[Seq[String]].collect().flatten
+    assert(feats.contains("v2Checkpoint"))
+    val sidecarNames = main.select("sidecar.path").na.drop()
+      .as[String].collect().toSeq
+    assert(sidecarNames.nonEmpty)
+    sidecarNames.foreach(n =>
+      assert(Files.exists(log.resolve("_sidecars").resolve(n))))
+    // The sidecar holds exactly the live add actions.
+    val adds = spark.read.parquet(
+      log.resolve("_sidecars").resolve(sidecarNames.head).toString)
+    assert(adds.select("add.path").na.drop().count() === 5)
+
+    // Vacuum every JSON the checkpoint covers: reads must come back
+    // through the v2 path (main → sidecar), identical rows.
+    for (i <- 0 until 5)
+      Files.delete(log.resolve(f"$i%020d.json"))
+    assert(DeltaCompat.read(spark, dir).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq ===
+      (0 until 5).map(i => i.toLong -> s"v$i"))
+    // And the table keeps working past the checkpoint.
+    DeltaCompat.write(Seq((99L, "x")).toDF("k", "v"), dir)
+    assert(DeltaCompat.read(spark, dir).count() === 6)
   }
 
   test("multi-part checkpoints read all parts") {

@@ -24,7 +24,8 @@ class StaleSnapshotException(msg: String) extends RuntimeException(msg)
   *   - `create_snapshot` (`:9-22`) → [[createSnapshot]]
   *   - `list_tables`   (`:84-116`) → [[listTables]] (same 4 columns)
   *   - `load_files`    (`:118-130`)→ [[loadFiles]] (parquet/csv/json)
-  *   - `optimize_table`(`:132-144`)→ [[optimizeTable]] (full/data modes)
+  *   - `optimize_table`(`:132-144`)→ [[optimizeTable]] (full / data /
+  *     zorder:cols / index[:cols] modes)
   *   - drop trigger    (`:45-82`)  → [[dropTable]]
   *
   * Scale design: copy-on-write with manifest-level file skipping. Every
@@ -621,7 +622,13 @@ class Mooncake(val warehouse: String) {
     *     tight per-file key ranges, maximizing future file skipping;
     *   - "data": bin-pack only files smaller than the target size,
     *     leaving well-sized files untouched (the 100 TB-friendly mode —
-    *     cost proportional to fragmentation, not table size). */
+    *     cost proportional to fragmentation, not table size);
+    *   - "zorder:c1,c2[,c3,c4]": re-cluster on the interleaved z-value
+    *     so range scans prune on any listed dimension;
+    *   - "index" / "index:c1,c2": rebuild parquet bloom filters and
+    *     footer stats, optionally rotating the declared bloom columns
+    *     (blooms are baked into data files, so rotation needs the
+    *     rewrite). */
   def optimizeTable(spark: SparkSession, name: String, mode: String = "data",
       targetFileBytes: Long = 128L * 1024 * 1024): Manifest = {
     ResourceCaps.enforce(spark)
@@ -665,6 +672,34 @@ class Mooncake(val warehouse: String) {
         writeVersion(spark, name, clustered, m.pkColumns, m.version + 1,
           carryOver = Seq.empty, alreadyPartitioned = true,
           bloomColumns = m.bloomColumns.getOrElse(Nil))
+      case idx if idx == "index" || idx.startsWith("index:") =>
+        // Index maintenance — the reference's remaining optimize-mode
+        // class (`src/functions.rs:132-144`): rebuild the parquet bloom
+        // filters and refresh footer stats. "index" rebuilds under the
+        // currently-declared bloom columns; "index:c1,c2" ROTATES the
+        // declaration first — the one operation a bare rewrite can't
+        // express, since blooms are baked into data files at write
+        // time. The rewrite keeps the file count and re-clusters by pk
+        // range (same recipe as "full"), so pk locality and per-file
+        // stats stay tight after the rebuild.
+        val newBlooms =
+          if (idx == "index") m.bloomColumns.getOrElse(Nil)
+          else idx.stripPrefix("index:").split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+        val missing = newBlooms.filterNot(schema.fieldNames.contains)
+        if (missing.nonEmpty)
+          throw new IllegalArgumentException(
+            s"$name: bloom column(s) ${missing.mkString(", ")} not in schema")
+        val nFiles = math.max(1, m.files.size)
+        val df = readFiles(spark, m, m.files)
+        val rebuilt = m.pkColumns.headOption match {
+          case Some(k) => df.repartitionByRange(nFiles, col(k))
+          case None => df.repartition(nFiles)
+        }
+        writeVersion(spark, name, rebuilt, m.pkColumns, m.version + 1,
+          carryOver = Seq.empty, alreadyPartitioned = true,
+          bloomColumns = newBlooms)
       case other =>
         throw new IllegalArgumentException(s"unknown optimize mode '$other'")
     }

@@ -479,6 +479,43 @@ class MooncakeSpec extends SparkSuite {
     assert(got === want && got.size === 1)
   }
 
+  test("optimize index mode rotates bloom columns and rebuilds the probes") {
+    val lake = freshLake()
+    // Same bijection trick as the bloom-prune test: both b and c span
+    // every file's min/max range, so only a bloom can prune.
+    val src = spark.range(0, 1000)
+      .select(col("id").as("a"), ((col("id") * 7919) % 1000).as("b"),
+        ((col("id") * 6271) % 1000).as("c"))
+    lake.createTable(spark, "idx", src.repartition(10), Seq("a"),
+      bloomColumns = Seq("b"))
+    // c has no bloom yet: every file keeps (might-contain everywhere).
+    val m0 = lake.currentManifest("idx")
+    assert(m0.files.count(f => Manifest.bloomMightContain(
+      java.nio.file.Paths.get(f.path), "c", 777L)) === m0.files.size)
+
+    // Rotate the declaration b -> c and rebuild.
+    val m1 = lake.optimizeTable(spark, "idx", mode = "index:c")
+    assert(m1.bloomColumns === Some(Seq("c")))
+    val keptC = m1.files.filter(f => Manifest.bloomMightContain(
+      java.nio.file.Paths.get(f.path), "c", 777L))
+    assert(keptC.size <= 3, s"rotated bloom kept ${keptC.size} files")
+    // the point lookup stays correct through the rotation
+    val got = lake.readPoint(spark, "idx", "c", 777L)
+      .select("a", "c").as[(Long, Long)].collect().toSeq
+    assert(got === src.filter(col("c") === 777L)
+      .select("a", "c").as[(Long, Long)].collect().toSeq)
+
+    // Bare "index" rebuilds under the current declaration (still c),
+    // and rows survive both rewrites untouched.
+    val m2 = lake.optimizeTable(spark, "idx", mode = "index")
+    assert(m2.bloomColumns === Some(Seq("c")))
+    assert(lake.read(spark, "idx").count() === 1000)
+    // unknown bloom columns are refused before any rewrite
+    assertThrows[IllegalArgumentException] {
+      lake.optimizeTable(spark, "idx", mode = "index:nope")
+    }
+  }
+
   test("applyChanges past the broadcast key limit falls back to shuffle") {
     val lake = freshLake()
     lake.createTable(spark, "bigbatch",

@@ -442,6 +442,16 @@ object IcebergCompat {
               case i: java.lang.Integer => i.intValue
               case _ => 0
             }
+          // Delete files are consumed as parquet below — an Avro/ORC
+          // delete file (legal per spec) must be refused here, not as
+          // an opaque parquet footer error at read time.
+          val fmt =
+            if (df.getSchema.getField("file_format") == null) "PARQUET"
+            else String.valueOf(df.get("file_format"))
+          if (content != 0 && !fmt.equalsIgnoreCase("parquet"))
+            throw new UnsupportedOperationException(
+              s"Iceberg ${if (content == 1) "position" else "equality"}" +
+                s"-delete file format $fmt out of scope")
           if (content == 1)
             posFiles += localPath(df.get("file_path").toString)
           else if (content == 2) {
@@ -826,7 +836,9 @@ object IcebergCompat {
             // posTargets scan), so refuse foreign formats here with the
             // same explicit out-of-scope error instead of an opaque
             // parquet footer failure later.
-            def fmt = df.get("file_format").toString
+            def fmt =
+              if (df.getSchema.getField("file_format") == null) "PARQUET"
+              else String.valueOf(df.get("file_format"))
             content match {
               case 0 => data += ManifestEntry(p, seq, specId, partVals)
               case 1 =>

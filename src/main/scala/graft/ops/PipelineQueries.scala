@@ -550,6 +550,93 @@ object PipelineQueries {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): cluster the
+    * embedding space, then dedup only WITHIN each cluster — pairwise
+    * cost drops from N² to Σk·nk², embarrassingly parallel per cluster,
+    * which is the published recipe for deduplicating web-scale corpora
+    * semantically (near-dup LSH catches lexical twins; this catches
+    * same-meaning rewrites that share no shingles). Deterministic
+    * stand-ins keep the oracle exact: centroids = every 50th base
+    * vector (as in [[embedIvf]] — at scale you'd k-means a sample) and
+    * the same planted twins as [[dedupEmbedLsh]] (organic cos tops out
+    * at 0.60; twins land 0.93-0.97, τ = 0.8). Drop rule: a vector is
+    * dropped iff a lower-id vector in ITS cluster is τ-close — the
+    * deterministic exemplar policy. A twin assigned to a different
+    * cluster than its source survives; that recall/cost trade IS
+    * SemDeDup's design point, and the oracle mirrors the whole
+    * pipeline so the trade is pinned, not fuzzed. */
+  val dedupSemantic: Q = (s, dir) => {
+    val dims = 64
+    val base = embs(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val planted = base.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("src_id"), col("v"))
+      .select((col("src_id") + 100000L).as("vec_id"),
+        zip_with(col("v"), sequence(lit(0), lit(dims - 1)),
+          (x, i) => x * (lit(1.0) +
+            lit(0.45) * ((col("src_id") * 11 + i.cast("long") * 13) % 7 - 3)
+              .cast("double") / lit(3.0))).as("v"))
+    val all = base.unionAll(planted)
+    val cents = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // index build: nearest centroid per vector (broadcast centroids,
+    // fused cosine kernel, one window per vector for the argmax)
+    val assignW = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid"))
+    val assigned = all.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("v"), col("cid"),
+        SVE.cosine_sim_d(col("v"), col("cv")).as("ccos"))
+      .withColumn("arn", row_number().over(assignW))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("cid").as("cluster"))
+    // within-cluster pairwise: equi-join on the cluster key — shuffle
+    // is cluster-sized, never all-pairs
+    val a = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
+      col("v").as("va"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("vec_b"),
+      col("v").as("vb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(SVE.cosine_sim_d(col("va"), col("vb")) >= 0.8)
+      .select(col("vec_b").as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster"))
+    // no ordering tail — see dedupEmbed
+  }
+
+  val dedupSemanticSql: String = {
+    val dotVC = sqlDot("e.embedding", "c.cv")
+    val nV = sqlDot("e.embedding", "e.embedding")
+    val nC = sqlDot("c.cv", "c.cv")
+    val dotSelf = sqlDot("embedding", "embedding")
+    val dotAB = sqlDot("a.embedding", "b.embedding")
+    s"""WITH base AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+       |  FROM embeddings),
+       |planted AS (SELECT src_id + 100000 AS vec_id,
+       |    list_transform(range(0, 64), i -> embedding[CAST(i AS INT)+1] *
+       |      (1.0 + (0.45 * CAST(((src_id*11 + i*13) % 7) - 3 AS DOUBLE)) / 3.0))
+       |      AS embedding
+       |  FROM (SELECT vec_id AS src_id, embedding FROM base
+       |        WHERE vec_id % 20 = 0)),
+       |av AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+       |c AS (SELECT vec_id AS cid, embedding AS cv FROM base
+       |      WHERE vec_id % 50 = 0),
+       |assigned AS (SELECT vec_id, embedding, cluster FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid AS cluster,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $dotVC / (sqrt($nV) * sqrt($nC)) DESC, c.cid) AS arn
+       |    FROM av e CROSS JOIN c) WHERE arn = 1),
+       |n AS (SELECT vec_id, embedding, cluster, sqrt($dotSelf) AS nrm
+       |      FROM assigned),
+       |dropped AS (SELECT DISTINCT b.vec_id
+       |  FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE $dotAB / (a.nrm * b.nrm) >= 0.8)
+       |SELECT vec_id, cluster FROM assigned
+       |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   // ===========================================================================
   // Similarity search (ANN over embeddings)
   // ===========================================================================
@@ -836,6 +923,7 @@ object PipelineQueries {
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_embed" -> dedupEmbed,
     "q_dedup_embed_lsh" -> dedupEmbedLsh,
+    "q_dedup_semantic" -> dedupSemantic,
     "q_embed_topk" -> embedTopK,
     "q_embed_ivf" -> embedIvf,
     "q_embed_pq" -> embedPq,
@@ -858,6 +946,7 @@ object PipelineQueries {
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_embed" -> dedupEmbedSql,
     "q_dedup_embed_lsh" -> dedupEmbedLshSql,
+    "q_dedup_semantic" -> dedupSemanticSql,
     "q_embed_topk" -> embedTopKSql,
     "q_embed_ivf" -> embedIvfSql,
     "q_embed_pq" -> embedPqSql,

@@ -459,7 +459,12 @@ object PipelineQueries {
     * reuses exactly this cosine. */
   val dedupEmbed: Q = (s, dir) => {
     val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    // The streamed side inherits the source's partitioning — a corpus
+    // that fits one parquet file would run the O(n²) pair stage on ONE
+    // task. Spread it across the cluster first; the broadcast side's
+    // width is what actually bounds this baseline.
+    val a = e.repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
     a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
@@ -583,7 +588,9 @@ object PipelineQueries {
     // fused cosine kernel, one window per vector for the argmax)
     val assignW = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("cid"))
-    val assigned = all.join(broadcast(cents), lit(true))
+    // spread the corpus before the n×k cross join — see dedupEmbed
+    val assigned = all.repartition(s.sparkContext.defaultParallelism)
+      .join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("v"), col("cid"),
         SVE.cosine_sim_d(col("v"), col("cv")).as("ccos"))
       .withColumn("arn", row_number().over(assignW))
@@ -682,10 +689,12 @@ object PipelineQueries {
     val e = embs(s, dir).select(col("vec_id"), col("embedding"))
     val cents = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    // index build: nearest centroid per vector
+    // index build: nearest centroid per vector (spread the corpus
+    // before the n×k cross join — see dedupEmbed)
     val assignW = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("cid"))
-    val assigned = e.join(broadcast(cents), lit(true))
+    val assigned = e.repartition(s.sparkContext.defaultParallelism)
+      .join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("embedding"), col("cid"),
         SVE.cosine_sim(col("embedding"), col("cv")).as("ccos"))
       .withColumn("arn", row_number().over(assignW))
@@ -818,7 +827,9 @@ object PipelineQueries {
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     val assignW = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("cid"))
-    val assigned = e.join(broadcast(cents), lit(true))
+    // spread the corpus before the n×k cross join — see dedupEmbed
+    val assigned = e.repartition(s.sparkContext.defaultParallelism)
+      .join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("cid"),
         SVE.cosine_sim(col("embedding"), col("cv")).as("ccos"))
       .withColumn("arn", row_number().over(assignW))

@@ -917,6 +917,145 @@ object PipelineQueries {
       |WHERE length(token) > 0
       |GROUP BY token ORDER BY n DESC, token LIMIT 40""".stripMargin
 
+  /** Exact substring-overlap dedup (the suffix-array family of
+    * "train/test overlap" dedup: find documents sharing a verbatim
+    * ≥9-token span). Spark shape: each doc emits hashes of its DISTINCT
+    * 8-token sliding windows (map-local, codegen'd), pairs form by ONE
+    * equi-join on the 64-bit window hash — never doc×doc. Windows seen
+    * in more than 16 documents are boilerplate: dropped before the pair
+    * join (that filter is also what bounds the join fan-out at 100 TB —
+    * candidate pairs stay ∝ true duplication, and hot boilerplate keys
+    * can never quadratically explode a reducer). Two shared distinct
+    * windows ⇒ an overlapping span of ≥ 9 tokens (or two 8-token spans)
+    * — the same evidence bar the suffix-array method uses. */
+  val dedupSubstring: Q = (s, dir) => {
+    // shingle_hashes is distinct-within-doc already, so (doc_id, h) needs
+    // no extra distinct shuffle (an intra-doc hash collision would keep a
+    // duplicate — the oracle hashes the same way, so both engines agree).
+    val win = docs(s, dir)
+      .select(col("doc_id"), explode(HE.shingle_hashes(col("text"), 8)).as("h"))
+    val shared = win.groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd").between(2, 16))
+      .select("h")
+    val w2 = win.join(shared, Seq("h"))
+    w2.alias("a")
+      .join(w2.alias("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_windows"))
+      .filter(col("n_windows") >= 2)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupSubstringSql: String = {
+    val w8 = "list_transform(range(1, len(w)-6), i -> " +
+      (0 until 8).map(j => s"w[i+$j]").mkString(" || ' ' || ") + ")"
+    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w
+       |    FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(w) >= 8 THEN $w8 ELSE [] END)) AS s FROM t),
+       |win AS (SELECT doc_id, ${sqlHash("s")} AS h FROM sh),
+       |f AS (SELECT h FROM win GROUP BY h
+       |  HAVING count(*) BETWEEN 2 AND 16),
+       |w2 AS (SELECT win.doc_id, win.h FROM win JOIN f USING (h))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  count(*) AS n_windows
+       |FROM w2 a JOIN w2 b ON a.h = b.h AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** DSIR-class importance resampling: score each document by how much
+    * more target-like (here: lang='en') than corpus-average its hashed
+    * token features are. Feature buckets are poly-hash mod 64; each
+    * bucket's importance weight is the smoothed target/source frequency
+    * ratio in INTEGER micro-units — floor(1e6·(ct+1)(Ts+B) / (cs+1)(Tt+B))
+    * — so the oracle is bit-exact with no float-log parity risk (the
+    * int64 products stay < 2^53 through sf1, the one double multiply and
+    * divide are IEEE-exact-rounded in both engines). Scale shape: the
+    * bucket table is B=64 rows (one map-side-combined shuffle), broadcast
+    * back over the token stream; the doc-level sum is integer, so it
+    * partial-aggregates map-side. */
+  val sampleImportance: Q = (s, dir) => {
+    val B = 64
+    val tok = docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(TF.tokens(col("text"))).as("tk"))
+      .select(col("doc_id"), col("lang"),
+        pmod(HE.poly_hash(col("tk")), lit(B.toLong)).as("b"))
+    val st = tok.groupBy("b").agg(
+      count(lit(1)).as("cs"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+    val tot = st.agg(sum("cs").as("ts"), sum("ct").as("tt"))
+    val wts = st.crossJoin(broadcast(tot))
+      .select(col("b"),
+        floor(lit(1000000.0) * ((col("ct") + 1) * (col("ts") + B))
+          / ((col("cs") + 1) * (col("tt") + B))).as("w"))
+    tok.join(broadcast(wts), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum("w").as("imp_sum"), count(lit(1)).as("n_tok"))
+      .select(col("doc_id"), col("imp_sum"), col("n_tok"),
+        (col("imp_sum").cast("double") / col("n_tok") >= 1000000.0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val sampleImportanceSql: String =
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS w
+       |    FROM documents),
+       |tok AS (SELECT doc_id, lang, unnest(w) AS tk FROM t),
+       |bk AS (SELECT doc_id, lang, ${sqlHash("tk")} % 64 AS b FROM tok),
+       |st AS (SELECT b, count(*) AS cs,
+       |    count(*) FILTER (WHERE lang = 'en') AS ct FROM bk GROUP BY b),
+       |tot AS (SELECT count(*) AS ts,
+       |    count(*) FILTER (WHERE lang = 'en') AS tt FROM bk),
+       |wts AS (SELECT b, CAST(floor(1000000.0 * ((ct+1)*(ts+64))
+       |    / ((cs+1)*(tt+64))) AS BIGINT) AS w FROM st, tot),
+       |doc AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS imp_sum,
+       |    count(*) AS n_tok FROM bk JOIN wts USING (b) GROUP BY doc_id)
+       |SELECT doc_id, imp_sum, n_tok,
+       |  CAST(imp_sum AS DOUBLE)/n_tok >= 1000000.0 AS keep
+       |FROM doc ORDER BY doc_id""".stripMargin
+
+  /** Unigram-LM fluency filter (the CCNet perplexity-filtering class).
+    * Per-token surprisal is quantized to INTEGER micro-units of inverse
+    * probability — w = (1e6·T) DIV c — monotone per token in true
+    * unigram surprisal and bit-exact in the oracle (same integer-DIV
+    * trick as tf·idf above; no transcendental parity risk). A document's
+    * mean quantized surprisal separates rare-token outlier docs (the
+    * "junk" tail a perplexity filter drops) from fluent ones. Scale
+    * shape: the LM is the vocabulary count table (map-side-combined
+    * shuffle, vocab-sized), broadcast back over tokens; doc sums are
+    * integer partial aggregates. */
+  val textPerplexity: Q = (s, dir) => {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tk"))
+    val counts = tok.groupBy("tk").agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum("c").as("tn"))
+    val wts = counts.crossJoin(broadcast(tot))
+      .select(col("tk"), expr("1000000 * tn DIV c").as("w"))
+    tok.join(broadcast(wts), Seq("tk"))
+      .groupBy("doc_id")
+      .agg(sum("w").as("sur_sum"), count(lit(1)).as("n_tok"))
+      .select(col("doc_id"), col("sur_sum"), col("n_tok"),
+        (col("sur_sum").cast("double") / col("n_tok")).as("avg_surprisal"),
+        (col("sur_sum").cast("double") / col("n_tok") <= 31000000.0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val textPerplexitySql: String =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS w
+      |    FROM documents),
+      |tok AS (SELECT doc_id, unnest(w) AS tk FROM t),
+      |c AS (SELECT tk, count(*) AS c FROM tok GROUP BY tk),
+      |tot AS (SELECT count(*) AS tn FROM tok),
+      |wts AS (SELECT tk, (1000000 * tn) // c AS w FROM c, tot),
+      |doc AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS sur_sum,
+      |    count(*) AS n_tok FROM tok JOIN wts USING (tk) GROUP BY doc_id)
+      |SELECT doc_id, sur_sum, n_tok,
+      |  CAST(sur_sum AS DOUBLE)/n_tok AS avg_surprisal,
+      |  CAST(sur_sum AS DOUBLE)/n_tok <= 31000000.0 AS keep
+      |FROM doc ORDER BY doc_id""".stripMargin
+
   // ===========================================================================
   // registry
   // ===========================================================================
@@ -940,6 +1079,9 @@ object PipelineQueries {
     "q_embed_pq" -> embedPq,
     "q_cluster_sample" -> clusterSample,
     "q_text_tfidf" -> textTfidf,
+    "q_dedup_substring" -> dedupSubstring,
+    "q_sample_importance" -> sampleImportance,
+    "q_text_perplexity" -> textPerplexity,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -961,5 +1103,8 @@ object PipelineQueries {
     "q_embed_topk" -> embedTopKSql,
     "q_embed_ivf" -> embedIvfSql,
     "q_embed_pq" -> embedPqSql,
+    "q_dedup_substring" -> dedupSubstringSql,
+    "q_sample_importance" -> sampleImportanceSql,
+    "q_text_perplexity" -> textPerplexitySql,
   )
 }

@@ -86,4 +86,68 @@ class PipelineSpec extends SparkSuite {
     val recall = exact.intersect(ivf).size.toDouble / exact.size
     assert(recall >= 0.3, s"IVF recall $recall too low (probe=2)")
   }
+
+  test("substring dedup: hash-join pairs equal string-window ground truth") {
+    // Ground truth on the actual fixture, computed the way the hash path
+    // MUST behave: join docs on the literal 8-token window STRING (no
+    // hashes anywhere), same 2..16-doc boilerplate band, >= 2 windows.
+    val win = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        explode(array_distinct(TF.wordShingles(TF.tokens(col("text")), 8)))
+          .as("s"))
+    val keep = win.groupBy("s").count()
+      .filter(col("count").between(2, 16)).select("s")
+    val w2 = win.join(keep, Seq("s"))
+    val truth = w2.as("a")
+      .join(w2.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id"), col("b.doc_id")).count()
+      .filter(col("count") >= 2)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "fixture should contain verbatim-overlap twins")
+
+    val got = PipelineQueries.dedupSubstring(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got === truth,
+      s"hash-window pairs diverge: extra=${got.diff(truth)} missing=${truth.diff(got)}")
+  }
+
+  test("importance resampling: kept docs are target-like, flag matches score") {
+    val r = PipelineQueries.sampleImportance(spark, sf)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(r.nonEmpty)
+    // keep flag is exactly the >= 1e6 mean-importance rule
+    r.foreach { case (id, sum, n, keep) =>
+      assert(keep === (sum.toDouble / n >= 1e6), s"doc $id flag/score mismatch") }
+    // directionality: the target class (lang=en) must score higher on
+    // average than the rest — the whole point of the estimator
+    val lang = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    val (en, rest) = r.partition(x => lang(x._1) == "en")
+    def mean(xs: Array[(Long, Long, Long, Boolean)]) =
+      xs.map(x => x._2.toDouble / x._3).sum / xs.length
+    assert(mean(en) > mean(rest),
+      f"en mean ${mean(en)}%.0f not above non-en ${mean(rest)}%.0f")
+  }
+
+  test("perplexity filter: rare-token docs surface in the high-surprisal tail") {
+    val r = PipelineQueries.textPerplexity(spark, sf)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (id, sum, n, avg, keep) =>
+      assert(math.abs(avg - sum.toDouble / n) < 1e-9)
+      assert(keep === (avg <= 31e6), s"doc $id flag/threshold mismatch") }
+    // The doc holding the corpus's rarest token must score above median.
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tk"))
+    val rarest = toks.groupBy("tk").count()
+      .orderBy(col("count"), col("tk")).as[(String, Long)].head()._1
+    val holder = toks.filter(col("tk") === rarest)
+      .select("doc_id").as[Long].head()
+    val byDoc = r.map(x => x._1 -> x._4).toMap
+    val median = r.map(_._4).sorted.apply(r.length / 2)
+    assert(byDoc(holder) > median,
+      s"doc $holder holds rarest token '$rarest' but scores at/below median")
+  }
 }

@@ -414,6 +414,23 @@ object DeltaCompat {
       prune: Option[org.apache.spark.sql.Column] = None): DataFrame =
     scan(spark, table, version, keepMeta = false, prune = prune)._1
 
+  /** Runtime semi-join file pruning on a FOREIGN Delta table: before a
+    * fact-side scan that will be joined on `column`, push the build
+    * side's [min, max] (plus the exact key set when ≤ maxInSet distinct
+    * keys) into add.stats file skipping — a selective dimension filter
+    * prunes fact files from the log alone, before any footer opens. The
+    * predicate is a superset contract (see [[RuntimeFilter]]); the
+    * caller's join enforces exactness, so this only cuts IO. */
+  def readForKeys(spark: SparkSession, table: String, column: String,
+      keys: DataFrame, version: Option[Long] = None,
+      maxInSet: Int = 10000): DataFrame =
+    RuntimeFilter.keyPredicate(keys, column, maxInSet) match {
+      case None =>
+        read(spark, table, version)
+          .filter(org.apache.spark.sql.functions.lit(false))
+      case Some(pred) => read(spark, table, version, prune = Some(pred))
+    }
+
   /** Timestamp time travel (`TIMESTAMP AS OF`): the newest version
     * committed at or before `timestampMs`, commit time being the log
     * file's modification time — the same source real Delta falls back

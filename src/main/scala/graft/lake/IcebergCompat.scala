@@ -737,6 +737,23 @@ object IcebergCompat {
     prune.fold(result)(result.filter)
   }
 
+  /** Runtime semi-join file pruning on a FOREIGN Iceberg table: push the
+    * build side's [min, max] (plus the exact key set when ≤ maxInSet
+    * distinct keys) into manifest-bounds file skipping before a
+    * fact-side scan joined on `column` — a selective dimension filter
+    * prunes fact files from metadata alone, before any footer opens.
+    * Superset contract (see [[RuntimeFilter]]); the caller's join
+    * enforces exactness, so this only cuts IO. */
+  def readForKeys(spark: SparkSession, tableDir: String, column: String,
+      keys: DataFrame, snapshotId: Option[Long] = None,
+      maxInSet: Int = 10000): DataFrame =
+    RuntimeFilter.keyPredicate(keys, column, maxInSet) match {
+      case None =>
+        read(spark, tableDir, snapshotId)
+          .filter(org.apache.spark.sql.functions.lit(false))
+      case Some(pred) => read(spark, tableDir, snapshotId, prune = Some(pred))
+    }
+
   /** Timestamp time travel: the newest snapshot whose `timestamp-ms` is
     * at or before `timestampMs` (what `FOR TIMESTAMP AS OF` resolves
     * through the snapshot log). */

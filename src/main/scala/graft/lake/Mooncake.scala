@@ -331,28 +331,10 @@ class Mooncake(val warehouse: String) {
       keys: DataFrame, atLeastVersion: Option[Long] = None,
       maxInSet: Int = 10000): DataFrame = {
     ResourceCaps.enforce(spark)
-    val kcol =
-      if (keys.columns.contains(column)) column
-      else {
-        require(keys.columns.length == 1,
-          s"key frame must be single-column or carry '$column' " +
-            s"(has: ${keys.columns.mkString(", ")})")
-        keys.columns.head
-      }
-    // Bounded collect: maxInSet+1 tells "small enough to push the exact
-    // set" apart from "range-only" without counting the whole side.
-    val sample = keys.select(col(kcol)).na.drop().distinct()
-      .limit(maxInSet + 1).collect().map(_.get(0))
-    if (sample.isEmpty)
-      return read(spark, name, atLeastVersion).filter(lit(false))
-    val b = keys.select(col(kcol)).na.drop()
-      .agg(min(col(kcol)).as("lo"), max(col(kcol)).as("hi")).head()
-    val range = col(column) >= lit(b.get(0)) && col(column) <= lit(b.get(1))
-    val pred =
-      if (sample.length <= maxInSet)
-        range && col(column).isin(sample.toIndexedSeq: _*)
-      else range
-    read(spark, name, atLeastVersion, prune = Some(pred))
+    RuntimeFilter.keyPredicate(keys, column, maxInSet) match {
+      case None => read(spark, name, atLeastVersion).filter(lit(false))
+      case Some(pred) => read(spark, name, atLeastVersion, prune = Some(pred))
+    }
   }
 
   private[lake] def manifestAt(name: String, version: Long): Manifest = {

@@ -674,6 +674,71 @@ object LakeQueries {
       |FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Write orders as disjoint o_custkey range chunks (one commit each, so
+    * every file carries a disjoint custkey range in its stats) — the
+    * clustered fact layout runtime pruning is designed for. */
+  private def custkeyChunks(s: SparkSession, dir: String)(
+      write: DataFrame => Unit): Unit = {
+    val ord = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val b = ord.agg(min("o_custkey").as("lo"), max("o_custkey").as("hi")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val step = (hi - lo) / 4 + 1
+    (0 until 4).foreach { i =>
+      write(ord.filter(col("o_custkey") >= lo + i * step &&
+        col("o_custkey") < lo + (i + 1) * step).coalesce(1))
+    }
+  }
+
+  /** Runtime semi-join file pruning against a FOREIGN Delta fact table:
+    * the dimension side's key bounds reach add.stats file skipping
+    * before any parquet footer opens (`DeltaCompat.readForKeys`), and
+    * the query REQUIRES files were skipped. Same superset contract as
+    * the mirror's q_runtime_prune — the join enforces exactness. */
+  val deltaRuntimePrune: Q = (s, dir) => {
+    val tmp = cachedFixture("graft-delta-rtprune-q", dir) { t =>
+      custkeyChunks(s, dir)(chunk => graft.lake.DeltaCompat.write(chunk, t))
+    }
+    val c = Tables.load(s, dir, "customer")
+      .filter(col("c_name") <= "Customer#000000015")
+      .select("c_custkey", "c_name")
+    val facts = graft.lake.DeltaCompat.readForKeys(
+      s, tmp, "o_custkey", c.select("c_custkey"))
+    require(facts.inputFiles.length <
+        graft.lake.DeltaCompat.read(s, tmp).inputFiles.length,
+      "runtime key bounds must skip delta files outside the dim key domain")
+    facts.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val deltaRuntimePruneSql: String =
+    """SELECT o_orderkey, o_custkey, c_name, o_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_name <= 'Customer#000000015'
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Iceberg twin: the dim key bounds prune via manifest lower/upper
+    * bounds — metadata-only, no footer IO for excluded files. */
+  val icebergRuntimePrune: Q = (s, dir) => {
+    val tmp = cachedFixture("graft-iceberg-rtprune-q", dir) { t =>
+      custkeyChunks(s, dir)(chunk => graft.lake.IcebergCompat.write(chunk, t))
+    }
+    val c = Tables.load(s, dir, "customer")
+      .filter(col("c_name") <= "Customer#000000015")
+      .select("c_custkey", "c_name")
+    val facts = graft.lake.IcebergCompat.readForKeys(
+      s, tmp, "o_custkey", c.select("c_custkey"))
+    require(facts.inputFiles.length <
+        graft.lake.IcebergCompat.read(s, tmp).inputFiles.length,
+      "runtime key bounds must skip iceberg files outside the dim key domain")
+    facts.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val icebergRuntimePruneSql: String = deltaRuntimePruneSql
+
   /** LIVE remote tailing end-to-end (the moonlink analog, rows-checked
     * against the full-table oracle): a mirror backfills from the first
     * chunk of a growing "remote" location, the poll-by-watermark tailer
@@ -1367,6 +1432,8 @@ object LakeQueries {
     "q_mv_incremental" -> mvIncremental,
     "q_mv_filtered" -> mvFiltered,
     "q_runtime_prune" -> runtimePrune,
+    "q_delta_runtime_prune" -> deltaRuntimePrune,
+    "q_iceberg_runtime_prune" -> icebergRuntimePrune,
     "q_delta_follow" -> deltaFollow,
     "q_iceberg_follow" -> icebergFollow,
     "q_cdc_apply" -> cdcApply,
@@ -1416,6 +1483,8 @@ object LakeQueries {
     "q_mv_incremental" -> mvIncrementalSql,
     "q_mv_filtered" -> mvFilteredSql,
     "q_runtime_prune" -> runtimePruneSql,
+    "q_delta_runtime_prune" -> deltaRuntimePruneSql,
+    "q_iceberg_runtime_prune" -> icebergRuntimePruneSql,
     "q_delta_follow" -> deltaFollowSql,
     "q_iceberg_follow" -> icebergFollowSql,
     "q_cdc_apply" -> cdcApplySql,

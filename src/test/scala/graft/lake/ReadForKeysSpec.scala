@@ -71,4 +71,49 @@ class ReadForKeysSpec extends SparkSuite {
     val got = lake.readForKeys(spark, "t", "ck", Seq(50L).toDF("other"))
     assert(got.select("id").as[Long].collect().toSeq == Seq(5L))
   }
+
+  // Foreign-lake twins: the same superset contract pushed into add.stats
+  // (Delta) / manifest-bounds (Iceberg) file skipping. Four single-file
+  // commits with disjoint key ranges make expected open counts exact.
+  private def chunks: Seq[org.apache.spark.sql.DataFrame] =
+    (0 until 4).map(c => (1 to 25)
+      .map(i => (c * 25L + i, (c * 25L + i) * 10, s"n$c-$i"))
+      .toDF("id", "ck", "nm").coalesce(1))
+
+  test("delta readForKeys prunes files from the log alone") {
+    val dir = tmpDir("delta-rfk")
+    chunks.foreach(DeltaCompat.write(_, dir))
+    assert(DeltaCompat.read(spark, dir).inputFiles.length == 4)
+    // chunk 1 holds ck 260..500 — both keys land in that one file
+    val got = DeltaCompat.readForKeys(spark, dir, "ck",
+      Seq(300L, 400L).toDF("ck"))
+    assert(got.inputFiles.length == 1)
+    assert(got.select("id").as[Long].collect().sorted.toSeq == Seq(30L, 40L))
+    // empty build side: no rows, and no files opened either
+    val none = DeltaCompat.readForKeys(spark, dir, "ck",
+      Seq.empty[Long].toDF("ck"))
+    assert(none.isEmpty)
+    // above the cap: the range-only superset [300, 900] skips chunk 0
+    val ranged = DeltaCompat.readForKeys(spark, dir, "ck",
+      Seq(300L, 400L, 900L).toDF("ck"), maxInSet = 2)
+    assert(ranged.inputFiles.length == 3)
+    assert(ranged.count() == 61)
+  }
+
+  test("iceberg readForKeys prunes files from manifest bounds alone") {
+    val dir = tmpDir("iceberg-rfk")
+    chunks.foreach(IcebergCompat.write(_, dir))
+    assert(IcebergCompat.read(spark, dir).inputFiles.length == 4)
+    val got = IcebergCompat.readForKeys(spark, dir, "ck",
+      Seq(300L, 400L).toDF("ck"))
+    assert(got.inputFiles.length == 1)
+    assert(got.select("id").as[Long].collect().sorted.toSeq == Seq(30L, 40L))
+    val none = IcebergCompat.readForKeys(spark, dir, "ck",
+      Seq.empty[Long].toDF("ck"))
+    assert(none.isEmpty)
+    val ranged = IcebergCompat.readForKeys(spark, dir, "ck",
+      Seq(300L, 400L, 900L).toDF("ck"), maxInSet = 2)
+    assert(ranged.inputFiles.length == 3)
+    assert(ranged.count() == 61)
+  }
 }

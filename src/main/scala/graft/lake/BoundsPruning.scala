@@ -69,6 +69,22 @@ private[lake] object BoundsPruning {
       case ce.GreaterThanOrEqual(l, r) => bin(l, r, ">=")
       case ce.LessThan(l, r) => bin(l, r, "<")
       case ce.LessThanOrEqual(l, r) => bin(l, r, "<=")
+      // IN over a literal list (what a runtime key filter pushes): a
+      // file survives iff SOME value can fall inside its bounds — a
+      // scattered-but-selective key set then skips every file whose
+      // range holds no key at all, which the [min, max] conjuncts
+      // alone can never prove. Null literals are dropped (a null can
+      // prove no match); an all-null/empty list emits nothing.
+      case ce.In(a, vs) if vs.forall(_.foldable) =>
+        name(a).map(n => (n, "in", vs.flatMap(lit))).filter(_._3.nonEmpty)
+      case ce.InSet(a, vs) =>
+        name(a).map { n =>
+          val conv = vs.toSeq.filter(_ != null).map {
+            case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+            case o => o
+          }
+          (n, "in", conv)
+        }.filter(_._3.nonEmpty)
       case _ => None
     }
   }
@@ -113,6 +129,14 @@ private[lake] object BoundsPruning {
       case ">=" => hi.flatMap(cmp(_, v)).forall(_ >= 0)
       case "<" => lo.flatMap(cmp(_, v)).forall(_ < 0)
       case "<=" => lo.flatMap(cmp(_, v)).forall(_ <= 0)
+      case "in" => v match {
+        // survives iff some value can sit inside [lo, hi]; a value the
+        // bounds type can't compare keeps the file (never prune a guess)
+        case vs: Seq[_] => vs.exists(x =>
+          lo.flatMap(cmp(_, x)).forall(_ <= 0) &&
+            hi.flatMap(cmp(_, x)).forall(_ >= 0))
+        case _ => true
+      }
       case _ => true
     }
 

@@ -100,6 +100,29 @@ class ReadForKeysSpec extends SparkSuite {
     assert(ranged.count() == 61)
   }
 
+  test("the pushed IN set skips in-range files holding no key") {
+    // keys 50 and 770: the [50, 770] range overlaps all four files, but
+    // only file 0 (ck 10..250) and file 3 (ck 760..1000) can hold a key
+    // — IN-list file skipping must close the two middle files the range
+    // conjuncts alone keep open.
+    val lake = mkTable()
+    val got = lake.readForKeys(spark, "t", "ck", Seq(50L, 770L).toDF("ck"))
+    assert(got.inputFiles.length == 2)
+    assert(got.select("id").as[Long].collect().sorted.toSeq == Seq(5L, 77L))
+
+    val dir = tmpDir("delta-inset")
+    chunks.foreach(DeltaCompat.write(_, dir))
+    val d = DeltaCompat.readForKeys(spark, dir, "ck", Seq(50L, 770L).toDF("ck"))
+    assert(d.inputFiles.length == 2)
+    assert(d.select("id").as[Long].collect().sorted.toSeq == Seq(5L, 77L))
+
+    val idir = tmpDir("iceberg-inset")
+    chunks.foreach(IcebergCompat.write(_, idir))
+    val i = IcebergCompat.readForKeys(spark, idir, "ck", Seq(50L, 770L).toDF("ck"))
+    assert(i.inputFiles.length == 2)
+    assert(i.select("id").as[Long].collect().sorted.toSeq == Seq(5L, 77L))
+  }
+
   test("iceberg readForKeys prunes files from manifest bounds alone") {
     val dir = tmpDir("iceberg-rfk")
     chunks.foreach(IcebergCompat.write(_, dir))

@@ -1016,6 +1016,37 @@ object PipelineQueries {
        |  CAST(imp_sum AS DOUBLE)/n_tok >= 1000000.0 AS keep
        |FROM doc ORDER BY doc_id""".stripMargin
 
+  /** PERSISTED IVF index under oracle check ([[VectorIndex]]): the
+    * index builds ONCE as two mirror tables (centroids + cluster-range-
+    * clustered postings) over the corpus MINUS a held-out batch, the
+    * batch then APPENDS incrementally (assigned against the persisted
+    * centroids — no retrain, no corpus rescan), and the probe scans only
+    * the probed clusters' posting files (manifest bounds + pushed IN
+    * list). Build ∪ append assign identically to a one-shot assignment,
+    * so the oracle is [[embedIvfSql]]'s full-pipeline math verbatim —
+    * any drift between the persisted path and the declarative IVF query
+    * is a hash mismatch. */
+  private val vecIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.lake.Mooncake]()
+
+  val embedIndex: Q = (s, dir) => {
+    val lake = vecIdxCache.computeIfAbsent(dir, _ => {
+      val l = new graft.lake.Mooncake(graft.Scratch.dir("graft-vecidx-q"))
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val cents = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      VectorIndex.build(s, l, "ivf",
+        e.filter(col("vec_id") % 97 =!= 0), cents)
+      VectorIndex.append(s, l, "ivf",
+        e.filter(col("vec_id") % 97 === 0), version = 2)
+      l
+    })
+    val q = embs(s, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    VectorIndex.probe(s, lake, "ivf", q, k = 5, nprobe = 2)
+      .orderBy("qid", "rank")
+  }
+
   /** Unigram-LM fluency filter (the CCNet perplexity-filtering class).
     * Per-token surprisal is quantized to INTEGER micro-units of inverse
     * probability — w = (1e6·T) DIV c — monotone per token in true
@@ -1082,6 +1113,7 @@ object PipelineQueries {
     "q_dedup_substring" -> dedupSubstring,
     "q_sample_importance" -> sampleImportance,
     "q_text_perplexity" -> textPerplexity,
+    "q_embed_index" -> embedIndex,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1106,5 +1138,8 @@ object PipelineQueries {
     "q_dedup_substring" -> dedupSubstringSql,
     "q_sample_importance" -> sampleImportanceSql,
     "q_text_perplexity" -> textPerplexitySql,
+    // the persisted-index probe must reproduce the declarative IVF
+    // pipeline bit-for-bit — same oracle by construction
+    "q_embed_index" -> embedIvfSql,
   )
 }

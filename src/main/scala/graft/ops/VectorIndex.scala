@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.expressions.{SetVectorExpressions => SVE}
+import graft.lake.Mooncake
+
+/** Persisted IVF vector index over an embedding corpus, stored as
+  * mooncake mirror tables — build ONCE, probe many, append
+  * incrementally. `PipelineQueries.embedIvf` demonstrates the IVF math
+  * in a single query (rebuild-per-query); this is the index-maintenance
+  * story a serving pipeline needs at 100 TB:
+  *
+  *   - `<name>_centroids` — the model (k rows, driver-sized);
+  *   - `<name>_postings` — (cluster, vec_id, embedding), range-clustered
+  *     on cluster id, so every data file owns a tight cluster range and
+  *     a probe's cluster key set prunes files via the manifest's
+  *     integer bounds + the pushed IN list ([[graft.lake.RuntimeFilter]]
+  *     contract through `readForKeys`): probing 2 of 1000 clusters
+  *     opens ~2/1000 of the files, independent of corpus size.
+  *
+  * Appends assign against the EXISTING centroids (broadcast, fused
+  * cosine kernel, shuffle-free) and land as one CDC insert batch —
+  * O(batch), never an index rebuild. Centroids come from the caller:
+  * [[KMeans.fit]] in production, any deterministic source where a
+  * bit-exact oracle is needed (the `q_embed_index` pattern).
+  *
+  * Assignment/probe tie-break is everywhere (cos desc, cid asc) — the
+  * same rule as embedIvf/KMeans, so all three agree on cluster
+  * boundaries.
+  */
+object VectorIndex {
+
+  private def centroidsTable(name: String) = s"${name}_centroids"
+  private def postingsTable(name: String) = s"${name}_postings"
+
+  /** Nearest-centroid assignment (broadcast centroids, one window per
+    * vector for the deterministic argmax). `vecs`: (vec_id, embedding);
+    * `cents`: (cid, cv). Vector/centroid arrays must share element type
+    * (float with float, double with double). */
+  private def assignTo(s: SparkSession, vecs: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    // spread the corpus before the n×k cross join (a single-file corpus
+    // would otherwise serialize the kernel on one task)
+    vecs.repartition(s.sparkContext.defaultParallelism)
+      .join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        SVE.cosine_sim(col("embedding"), col("cv")).as("ccos"))
+      .withColumn("arn", row_number().over(w))
+      .filter(col("arn") === 1)
+      .select(col("cid").as("cluster"), col("vec_id"), col("embedding"))
+  }
+
+  /** Build the index: persist centroids and cluster-range-clustered
+    * postings as mirror tables. `targetFiles` sizes the posting layout
+    * (at scale, pick corpus-bytes / 128 MB). */
+  def build(s: SparkSession, lake: Mooncake, name: String,
+      vecs: DataFrame, cents: DataFrame, targetFiles: Int = 8): Unit = {
+    lake.createTable(s, centroidsTable(name),
+      cents.select(col("cid").cast("long").as("cid"), col("cv")),
+      pk = Seq("cid"))
+    val postings = assignTo(s, vecs, cents)
+      .repartitionByRange(targetFiles, col("cluster"), col("vec_id"))
+    lake.createTable(s, postingsTable(name), postings,
+      pk = Seq("cluster", "vec_id"))
+    ()
+  }
+
+  /** Append a batch: assign against the PERSISTED centroids (no
+    * retrain, no corpus rescan) and commit one CDC insert batch. */
+  def append(s: SparkSession, lake: Mooncake, name: String,
+      batch: DataFrame, version: Long): Unit = {
+    val cents = lake.read(s, centroidsTable(name))
+      .select(col("cid"), col("cv"))
+    lake.applyChanges(s, postingsTable(name),
+      assignTo(s, batch, cents).withColumn("__op", lit("I")), version)
+    ()
+  }
+
+  /** Probe: per query (qid, qv), rank the `nprobe` nearest clusters,
+    * scan ONLY their postings (file skipping via the pushed cluster key
+    * set), exact-cosine the candidates, return the top `k` per query as
+    * (qid, rank, vec_id, cos). Queries are broadcast-sized by
+    * assumption (a serving batch, not a corpus). */
+  def probe(s: SparkSession, lake: Mooncake, name: String,
+      queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val cents = lake.read(s, centroidsTable(name))
+      .select(col("cid"), col("cv"))
+    val pw = Window.partitionBy("qid").orderBy(col("pcos").desc, col("cid"))
+    val probes = queries.join(broadcast(cents), lit(true))
+      .select(col("qid"), col("qv"), col("cid"),
+        SVE.cosine_sim(col("qv"), col("cv")).as("pcos"))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= nprobe)
+      .select(col("qid"), col("qv"), col("cid").as("cluster"))
+    val cands = lake.readForKeys(s, postingsTable(name), "cluster",
+      probes.select("cluster"))
+    val scored = cands.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        SVE.cosine_sim(col("qv"), col("embedding")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "cos")
+  }
+}

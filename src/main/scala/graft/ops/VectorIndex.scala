@@ -80,6 +80,33 @@ object VectorIndex {
     ()
   }
 
+  /** Continuous index maintenance: attach a STREAMING frame of (vec_id,
+    * embedding) rows; each micro-batch assigns against the persisted
+    * centroids and lands as one CDC insert, the batch id advancing the
+    * postings version frontier. Same pinned-base idempotency contract
+    * as [[graft.streaming.CdcStream.attach]] — a post-crash replayed
+    * batch recomputes its original version and is skipped, never
+    * double-appended. */
+  def attachStream(lake: Mooncake, name: String, vectors: DataFrame,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val base = graft.streaming.CdcStream.pinnedBase(
+      lake, postingsTable(name), checkpointDir)
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val version = base + batchId + 1
+        val current = lake.currentManifest(postingsTable(name)).commitVersion
+        if (version > current)
+          append(batch.sparkSession, lake, name, batch, version)
+        ()
+      }
+      .start()
+  }
+
   /** Probe: per query (qid, qv), rank the `nprobe` nearest clusters,
     * scan ONLY their postings (file skipping via the pushed cluster key
     * set), exact-cosine the candidates, return the top `k` per query as

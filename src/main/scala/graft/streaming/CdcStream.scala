@@ -36,20 +36,27 @@ object CdcStream {
     * would advance spuriously and tableChanges would report a phantom
     * batch. With the pinned base, a replayed batch id maps to its
     * original version and is skipped. */
+  /** The version base pinned once per checkpoint (see [[attach]] doc) —
+    * shared with every foreachBatch-applying stream over a mirror
+    * (e.g. [[graft.ops.VectorIndex.attachStream]]). */
+  private[graft] def pinnedBase(lake: Mooncake, table: String,
+      checkpointDir: String): Long = {
+    val baseFile = java.nio.file.Paths.get(checkpointDir, "graft-base")
+    if (java.nio.file.Files.exists(baseFile))
+      new String(java.nio.file.Files.readAllBytes(baseFile),
+        "UTF-8").trim.toLong
+    else {
+      val b = lake.currentManifest(table).commitVersion
+      java.nio.file.Files.createDirectories(baseFile.getParent)
+      java.nio.file.Files.write(baseFile, b.toString.getBytes("UTF-8"))
+      b
+    }
+  }
+
   def attach(lake: Mooncake, table: String, changes: DataFrame,
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val baseFile = java.nio.file.Paths.get(checkpointDir, "graft-base")
-    val base =
-      if (java.nio.file.Files.exists(baseFile))
-        new String(java.nio.file.Files.readAllBytes(baseFile),
-          "UTF-8").trim.toLong
-      else {
-        val b = lake.currentManifest(table).commitVersion
-        java.nio.file.Files.createDirectories(baseFile.getParent)
-        java.nio.file.Files.write(baseFile, b.toString.getBytes("UTF-8"))
-        b
-      }
+    val base = pinnedBase(lake, table, checkpointDir)
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

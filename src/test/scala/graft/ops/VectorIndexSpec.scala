@@ -74,4 +74,28 @@ class VectorIndexSpec extends SparkSuite {
       .select("vec_id").as[Long].head()
     assert(top === 500L, s"appended near-centroid vector not top-1 (got $top)")
   }
+
+  test("streaming maintenance: micro-batches append, replays are skipped") {
+    implicit val sc = spark.sqlContext
+    val dir = tmpDir("vecidx-stream")
+    val lake = new Mooncake(dir)
+    VectorIndex.build(spark, lake, "ivf", corpus, cents, targetFiles = 4)
+
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val vecs = input.toDF().toDF("vec_id", "embedding")
+    val ckpt = tmpDir("vecidx-ckpt")
+
+    input.addData((600L, vec(0, 1).toSeq), (601L, vec(3, 2).toSeq))
+    VectorIndex.attachStream(lake, "ivf", vecs, ckpt).awaitTermination()
+    // second AvailableNow run on the same checkpoint: only new data lands
+    input.addData((602L, vec(2, 4).toSeq))
+    VectorIndex.attachStream(lake, "ivf", vecs, ckpt).awaitTermination()
+
+    val placed = lake.read(spark, "ivf_postings")
+      .filter(col("vec_id") >= 600L)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(placed === Map(600L -> 0L, 601L -> 3L, 602L -> 2L))
+    assert(lake.read(spark, "ivf_postings").count() === 83)
+  }
 }

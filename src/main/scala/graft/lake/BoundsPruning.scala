@@ -17,6 +17,19 @@ import org.apache.spark.sql.types._
   * pruning can only ever cut IO, never change results. */
 private[lake] object BoundsPruning {
 
+  /** An all-integral IN list pre-sorted at extraction, so the per-file
+    * probe is a binary search instead of a linear scan — a 10k-key
+    * runtime filter against a 100k-file manifest is 1.7M comparisons
+    * instead of 1e9. Produced by [[conjuncts]]; consumed by [[keeps]]. */
+  final case class SortedLongKeys(sorted: Array[Long]) {
+    /** Any key within [lo, hi]? */
+    def anyIn(lo: Long, hi: Long): Boolean = {
+      val i = java.util.Arrays.binarySearch(sorted, lo)
+      val from = if (i >= 0) i else -(i + 1)
+      from < sorted.length && sorted(from) <= hi
+    }
+  }
+
   /** Split a pushed predicate into (column, op, literal) range
     * conjuncts — the same simple-comparison subset a DSv2 source
     * advertises as pushed filters. The Column is ANALYZED against an
@@ -76,18 +89,36 @@ private[lake] object BoundsPruning {
       // alone can never prove. Null literals are dropped (a null can
       // prove no match); an all-null/empty list emits nothing.
       case ce.In(a, vs) if vs.forall(_.foldable) =>
-        name(a).map(n => (n, "in", vs.flatMap(lit))).filter(_._3.nonEmpty)
+        name(a).map(n => (n, "in", packKeys(vs.flatMap(lit))))
+          .filter(_._3 != Nil)
       case ce.InSet(a, vs) =>
         name(a).map { n =>
           val conv = vs.toSeq.filter(_ != null).map {
             case u: org.apache.spark.unsafe.types.UTF8String => u.toString
             case o => o
           }
-          (n, "in", conv)
-        }.filter(_._3.nonEmpty)
+          (n, "in", packKeys(conv))
+        }.filter(_._3 != Nil)
       case _ => None
     }
   }
+
+  private def isIntegral(v: Any): Boolean = v match {
+    case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+      _: java.lang.Long => true
+    case _ => false
+  }
+
+  /** Pack an IN list for [[keeps]]: all-integral lists pre-sort into a
+    * binary-searchable [[SortedLongKeys]]; mixed/string lists stay a
+    * Seq (linear probe); empty lists collapse to Nil (caller drops the
+    * conjunct — no values can prove nothing). */
+  private def packKeys(vs: Seq[Any]): Any =
+    if (vs.isEmpty) Nil
+    else if (vs.forall(isIntegral))
+      SortedLongKeys(
+        vs.map(_.asInstanceOf[java.lang.Number].longValue).toArray.sorted)
+    else vs
 
   /** Total-order compare where a comparison is defined; None (→ keep
     * the file) across types we don't order. Integral pairs compare as
@@ -130,6 +161,25 @@ private[lake] object BoundsPruning {
       case "<" => lo.flatMap(cmp(_, v)).forall(_ < 0)
       case "<=" => lo.flatMap(cmp(_, v)).forall(_ <= 0)
       case "in" => v match {
+        // integral fast path: one binary search per file; non-integral
+        // bounds (or a missing side) degrade conservatively
+        case ks: SortedLongKeys =>
+          val l = lo match {
+            case None => Some(Long.MinValue)
+            case Some(b) if isIntegral(b) =>
+              Some(b.asInstanceOf[java.lang.Number].longValue)
+            case _ => None // incomparable bound type → keep
+          }
+          val h = hi match {
+            case None => Some(Long.MaxValue)
+            case Some(b) if isIntegral(b) =>
+              Some(b.asInstanceOf[java.lang.Number].longValue)
+            case _ => None
+          }
+          (l, h) match {
+            case (Some(a), Some(b)) => ks.anyIn(a, b)
+            case _ => true
+          }
         // survives iff some value can sit inside [lo, hi]; a value the
         // bounds type can't compare keeps the file (never prune a guess)
         case vs: Seq[_] => vs.exists(x =>

@@ -49,8 +49,13 @@ class BoundsPruningPropertySpec extends AnyFunSuite {
     } yield (math.min(a, b), math.max(a, b), x, others, shuffledPos)
     run(Prop.forAll(gen) { case (lo, hi, x, others, pos) =>
       val (pre, post) = others.splitAt(pos)
-      val vs: Seq[Any] = (pre ++ (x :: post)).map(Long.box)
-      BoundsPruning.keeps(Some(Long.box(lo)), Some(Long.box(hi)), "in", vs)
+      val all = pre ++ (x :: post)
+      val vs: Seq[Any] = all.map(Long.box)
+      // both representations: the generic linear probe and the
+      // extraction-time binary-searchable pack
+      BoundsPruning.keeps(Some(Long.box(lo)), Some(Long.box(hi)), "in", vs) &&
+        BoundsPruning.keeps(Some(Long.box(lo)), Some(Long.box(hi)), "in",
+          BoundsPruning.SortedLongKeys(all.toArray.sorted))
     }, "long IN lists")
 
     // and the complement: a list with NO value in bounds must skip
@@ -62,7 +67,9 @@ class BoundsPruningPropertySpec extends AnyFunSuite {
     } yield (lo, hi, vs)
     run(Prop.forAll(genMiss) { case (lo, hi, vs) =>
       !BoundsPruning.keeps(Some(Long.box(lo)), Some(Long.box(hi)), "in",
-        vs.map(Long.box): Seq[Any])
+        vs.map(Long.box): Seq[Any]) &&
+        !BoundsPruning.keeps(Some(Long.box(lo)), Some(Long.box(hi)), "in",
+          BoundsPruning.SortedLongKeys(vs.toArray.sorted))
     }, "long IN misses")
   }
 

@@ -1,11 +1,12 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen kernels for set similarity and vector similarity — value-
@@ -266,6 +267,86 @@ case class CosineSimD(left: Expression, right: Expression)
     copy(l, r)
 }
 
+/** Shuffle-free nearest-centroid assignment: argmax over the broadcast
+  * centroid model, fused into ONE kernel per row. Returns
+  * struct(cluster long, cos double) where `cluster` is the cid of the
+  * winning centroid under the canonical (cos desc, cid asc) tie-break —
+  * the exact ordering the row_number()-window formulation produced, so
+  * swapping the window for this expression leaves every assignment (and
+  * thus every oracle hash) unchanged.
+  *
+  * Why an expression and not k literal struct columns (the
+  * [[graft.ops.KMeans]] r8 shape): at k = 1000 × d = 512 a literal
+  * array-of-structs plan is ~500k expression nodes — enough to blow the
+  * 64 KB JIT method limit and fall out of codegen; this node is O(1)
+  * plan size at any k, the matrix riding along as a reference object.
+  * At 100 TB the win is structural: the n×k cross-join + window
+  * alternative re-shuffles k× corpus bytes; this is a narrow map.
+  *
+  * Per-pair math is bit-identical to [[SetVectorOps.cosineF]] /
+  * [[SetVectorOps.cosineD]] (left-fold double accumulation; the float
+  * path widens each element exactly, and the collected centroid doubles
+  * ARE the exact widenings). Comparison uses java.lang.Double.compare,
+  * matching Spark's SQL double ordering (NaN greatest, -0.0 < 0.0).
+  * Element type (float vs double vector) is taken from the child's
+  * array type, as the two cosine kernels require matched inputs. */
+case class NearestCentroid(child: Expression, cids: Seq[Long],
+    cents: Seq[Seq[Double]]) extends UnaryExpression {
+  require(cids.nonEmpty, "nearest_centroid needs at least one centroid")
+  require(cids.length == cents.length,
+    s"cid count ${cids.length} != centroid count ${cents.length}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster", LongType, nullable = false),
+    StructField("cos", DoubleType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+
+  private lazy val floatIn: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val cidArr: Array[Long] = cids.toArray
+  @transient private lazy val centArr: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+
+  def compute(v: ArrayData): InternalRow = {
+    val n = v.numElements()
+    val x = new Array[Double](n)
+    var i = 0
+    if (floatIn) while (i < n) { x(i) = v.getFloat(i).toDouble; i += 1 }
+    else while (i < n) { x(i) = v.getDouble(i); i += 1 }
+    var nx = 0.0
+    i = 0
+    while (i < n) { nx += x(i) * x(i); i += 1 }
+    var bestCid = 0L
+    var bestCos = 0.0
+    var first = true
+    var c = 0
+    while (c < centArr.length) {
+      val cv = centArr(c)
+      var dot = 0.0
+      var nc = 0.0
+      i = 0
+      while (i < n) { dot += x(i) * cv(i); nc += cv(i) * cv(i); i += 1 }
+      val cos = dot / (math.sqrt(nx) * math.sqrt(nc))
+      val cmp = java.lang.Double.compare(cos, bestCos)
+      if (first || cmp > 0 || (cmp == 0 && cidArr(c) < bestCid)) {
+        bestCos = cos; bestCid = cidArr(c); first = false
+      }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](bestCid, bestCos))
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroid", this)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object SetVectorExpressions {
   import ColumnBridge.{column, expression => expr}
 
@@ -280,4 +361,10 @@ object SetVectorExpressions {
     column(WideBandKeys(expr(v), dims))
   def l2_norm(v: Column): Column = column(L2NormF(expr(v)))
   def quantize8(v: Column): Column = column(Quantize8(expr(v)))
+
+  /** struct(cluster, cos) of the nearest centroid — see
+    * [[NearestCentroid]]. `cents` is the collected driver-sized model. */
+  def nearest_centroid(v: Column, cents: Seq[(Long, Array[Double])]): Column =
+    column(NearestCentroid(expr(v), cents.map(_._1),
+      cents.map(_._2.toIndexedSeq)))
 }

@@ -53,13 +53,13 @@ object KMeans {
       .map { case (v, i) => (i, v) }.toIndexedSeq
 
     for (_ <- 0 until iters) {
-      // argmax by (cos desc, cid asc) without a shuffle: array_max over
-      // (cos, -cid) structs — struct ordering is lexicographic
-      val best = array_max(array(cents.map { case (cid, cv) =>
-        struct(SVE.cosine_sim_d(col("v"), array(cv.map(lit): _*)).as("cos"),
-          lit(-cid).as("negCid"))
-      }: _*))
-      val assigned = e.withColumn("cluster", -best.getField("negCid"))
+      // argmax by (cos desc, cid asc) without a shuffle: one fused
+      // kernel over the driver-held model (NearestCentroid — O(1) plan
+      // size at any k, vs k×d literal nodes that fall out of codegen)
+      val assigned = e.withColumn("cluster",
+        SVE.nearest_centroid(col("v"),
+          cents.map { case (cid, cv) => (cid.toLong, cv) })
+          .getField("cluster").cast("int"))
       val updated = assigned
         .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cluster", "dim").agg(avg("x").as("m"))
@@ -80,12 +80,11 @@ object KMeans {
 
   /** Assign each vector to its nearest centroid (same tie-break as
     * training): adds a `cluster` int column. */
-  def assign(vecs: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame = {
-    val e = vecs.withColumn("v", col("embedding").cast("array<double>"))
-    val best = array_max(array(cents.map { case (cid, cv) =>
-      struct(SVE.cosine_sim_d(col("v"), array(cv.map(lit): _*)).as("cos"),
-        lit(-cid).as("negCid"))
-    }: _*))
-    e.withColumn("cluster", -best.getField("negCid")).drop("v")
-  }
+  def assign(vecs: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame =
+    vecs.withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("cluster",
+        SVE.nearest_centroid(col("v"),
+          cents.map { case (cid, cv) => (cid.toLong, cv) })
+          .getField("cluster").cast("int"))
+      .drop("v")
 }

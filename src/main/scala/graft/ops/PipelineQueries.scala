@@ -584,18 +584,14 @@ object PipelineQueries {
     val all = base.unionAll(planted)
     val cents = base.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    // index build: nearest centroid per vector (broadcast centroids,
-    // fused cosine kernel, one window per vector for the argmax)
-    val assignW = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("cid"))
-    // spread the corpus before the n×k cross join — see dedupEmbed
-    val assigned = all.repartition(s.sparkContext.defaultParallelism)
-      .join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("v"), col("cid"),
-        SVE.cosine_sim_d(col("v"), col("cv")).as("ccos"))
-      .withColumn("arn", row_number().over(assignW))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("cid").as("cluster"))
+    // index build: nearest centroid per vector — driver-sized model,
+    // fused argmax kernel, NO exchange between scan and assignment
+    // (same bits and tie-break as the window formulation; see
+    // NearestCentroid)
+    val model = CentroidModel.collect(cents)
+    val assigned = all.select(col("vec_id"), col("v"),
+      SVE.nearest_centroid(col("v"), model)
+        .getField("cluster").as("cluster"))
     // within-cluster pairwise: equi-join on the cluster key — shuffle
     // is cluster-sized, never all-pairs
     val a = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
@@ -825,18 +821,17 @@ object PipelineQueries {
     val e = embs(s, dir).select(col("vec_id"), col("embedding"))
     val cents = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    val assignW = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("cid"))
-    // spread the corpus before the n×k cross join — see dedupEmbed
-    val assigned = e.repartition(s.sparkContext.defaultParallelism)
-      .join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("cid"),
-        SVE.cosine_sim(col("embedding"), col("cv")).as("ccos"))
-      .withColumn("arn", row_number().over(assignW))
-      .filter(col("arn") === 1)
+    // driver-sized model + fused argmax — no exchange between the
+    // corpus scan and the assignment (see NearestCentroid); the ONLY
+    // shuffle left is the per-cluster window cut below
+    val model = CentroidModel.collect(cents)
+    val assigned = e
+      .withColumn("nc", SVE.nearest_centroid(col("embedding"), model))
+      .select(col("nc.cluster").as("cluster"), col("vec_id"),
+        col("nc.cos").as("ccos"))
     val keepW = Window.partitionBy("cluster")
       .orderBy(col("ccos").desc, col("vec_id"))
-    assigned.select(col("cid").as("cluster"), col("vec_id"), col("ccos"))
+    assigned
       .withColumn("rank", row_number().over(keepW).cast("bigint"))
       .filter(col("rank") <= 3)
       .orderBy("cluster", "rank")

@@ -36,22 +36,17 @@ object VectorIndex {
   private def centroidsTable(name: String) = s"${name}_centroids"
   private def postingsTable(name: String) = s"${name}_postings"
 
-  /** Nearest-centroid assignment (broadcast centroids, one window per
-    * vector for the deterministic argmax). `vecs`: (vec_id, embedding);
-    * `cents`: (cid, cv). Vector/centroid arrays must share element type
-    * (float with float, double with double). */
-  private def assignTo(s: SparkSession, vecs: DataFrame,
-      cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
-    // spread the corpus before the n×k cross join (a single-file corpus
-    // would otherwise serialize the kernel on one task)
-    vecs.repartition(s.sparkContext.defaultParallelism)
-      .join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        SVE.cosine_sim(col("embedding"), col("cv")).as("ccos"))
-      .withColumn("arn", row_number().over(w))
-      .filter(col("arn") === 1)
-      .select(col("cid").as("cluster"), col("vec_id"), col("embedding"))
+  /** Nearest-centroid assignment: collect the driver-sized model and
+    * fuse the argmax into one per-row kernel — a narrow map with NO
+    * exchange between the corpus scan and the assignment (the r8
+    * cross-join + window shape re-shuffled k× corpus bytes). `vecs`:
+    * (vec_id, embedding); `cents`: (cid, cv). Same (cos desc, cid asc)
+    * tie-break, bit-identical cosines ([[CentroidModel]]). */
+  private def assignTo(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val model = CentroidModel.collect(cents)
+    val nc = SVE.nearest_centroid(col("embedding"), model)
+    vecs.select(nc.getField("cluster").as("cluster"),
+      col("vec_id"), col("embedding"))
   }
 
   /** Build the index: persist centroids and cluster-range-clustered
@@ -62,7 +57,7 @@ object VectorIndex {
     lake.createTable(s, centroidsTable(name),
       cents.select(col("cid").cast("long").as("cid"), col("cv")),
       pk = Seq("cid"))
-    val postings = assignTo(s, vecs, cents)
+    val postings = assignTo(vecs, cents)
       .repartitionByRange(targetFiles, col("cluster"), col("vec_id"))
     lake.createTable(s, postingsTable(name), postings,
       pk = Seq("cluster", "vec_id"))
@@ -76,7 +71,7 @@ object VectorIndex {
     val cents = lake.read(s, centroidsTable(name))
       .select(col("cid"), col("cv"))
     lake.applyChanges(s, postingsTable(name),
-      assignTo(s, batch, cents).withColumn("__op", lit("I")), version)
+      assignTo(batch, cents).withColumn("__op", lit("I")), version)
     ()
   }
 

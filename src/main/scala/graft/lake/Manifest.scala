@@ -77,7 +77,14 @@ case class Manifest(
     /** Wall-clock commit time, stamped by [[Manifest.commit]] — what SQL
       * `TIMESTAMP AS OF` resolves against. Absent on older manifests;
       * readers fall back to the manifest file's mtime. */
-    commitMs: Option[Long] = None)
+    commitMs: Option[Long] = None,
+    /** Physical LAYOUT columns: when set, backfills, CDC rewrites and
+      * compaction range-cluster data files on these instead of the pk,
+      * so file skipping can serve a probe key that is not the replica
+      * identity (e.g. the dedup band index: pk (doc_id, band) for CDC
+      * addressing, layout (band, key) for probe pruning). Absent means
+      * "cluster by pk" — the historical behavior. */
+    clusterColumns: Option[Seq[String]] = None)
 
 object Manifest {
   private val mapper: ObjectMapper = {

@@ -80,7 +80,8 @@ class Mooncake(val warehouse: String) {
   def createTable(spark: SparkSession, name: String, source: DataFrame,
       pk: Seq[String], initialVersion: Long = 1L,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      bloomColumns: Seq[String] = Seq.empty): Manifest = {
+      bloomColumns: Seq[String] = Seq.empty,
+      clusterBy: Seq[String] = Seq.empty): Manifest = {
     ResourceCaps.enforce(spark)
     val dir = tableDir(name)
     if (Manifest.latest(dir).isDefined)
@@ -95,13 +96,15 @@ class Mooncake(val warehouse: String) {
     // file count.
     val bytes = source.queryExecution.optimizedPlan.stats.sizeInBytes
     val sizeKnown = bytes < BigInt(Long.MaxValue) / 10000
+    val ccols = if (clusterBy.nonEmpty) clusterBy else pk
     val backfill =
-      if (pk.nonEmpty && sizeKnown && bytes > targetFileBytes) {
+      if (ccols.nonEmpty && sizeKnown && bytes > targetFileBytes) {
         val n = ((bytes / targetFileBytes) min BigInt(10000)).toInt + 1
-        source.repartitionByRange(n, pk.map(col): _*)
+        source.repartitionByRange(n, ccols.map(col): _*)
       } else source
     writeVersion(spark, name, backfill, pk, version = initialVersion,
-      carryOver = Seq.empty, bloomColumns = bloomColumns)
+      carryOver = Seq.empty, bloomColumns = bloomColumns,
+      clusterColumns = if (clusterBy.nonEmpty) Some(clusterBy) else None)
   }
 
   /** Mirror a REMOTE source by URI — the `src_uri` parity path: the
@@ -533,16 +536,18 @@ class Mooncake(val warehouse: String) {
     // nor loses the tight per-file key ranges skipping depends on.
     val rewriteBytes = touched.map(_.bytes).sum
     val nFiles = (rewriteBytes / targetFileBytes).toInt + 1
+    val ccols = m.clusterColumns.getOrElse(pk)
     val clustered =
-      if (pk.isEmpty) newRows
+      if (ccols.isEmpty) newRows
       // single file: plain shuffle — range partitioning would add a
       // sampling pass over the anti-join for bounds it doesn't need;
       // the write-side in-partition sort already clusters the file
       else if (nFiles == 1) newRows.repartition(1)
-      else newRows.repartitionByRange(nFiles, pk.map(col): _*)
+      else newRows.repartitionByRange(nFiles, ccols.map(col): _*)
 
     try writeVersion(spark, name, clustered, pk, version,
-      carryOver = untouched, bloomColumns = m.bloomColumns.getOrElse(Nil))
+      carryOver = untouched, bloomColumns = m.bloomColumns.getOrElse(Nil),
+      clusterColumns = m.clusterColumns)
     finally lastOps.unpersist(blocking = false)
   }
 
@@ -595,7 +600,8 @@ class Mooncake(val warehouse: String) {
     val aligned = raw.select(schema.fields.map(f =>
       col(f.name).cast(f.dataType)).toIndexedSeq: _*)
     writeVersion(spark, name, aligned, m.pkColumns, m.version + 1,
-      carryOver = m.files, bloomColumns = m.bloomColumns.getOrElse(Nil))
+      carryOver = m.files, bloomColumns = m.bloomColumns.getOrElse(Nil),
+      clusterColumns = m.clusterColumns)
   }
 
   /** Explicit compaction (≈ `mooncake.optimize_table`,
@@ -620,13 +626,14 @@ class Mooncake(val warehouse: String) {
         val totalBytes = m.files.map(_.bytes).sum
         val nFiles = math.max(1, (totalBytes / targetFileBytes).toInt)
         val df = readFiles(spark, m, m.files)
-        val clustered = m.pkColumns.headOption match {
-          case Some(k) => df.repartitionByRange(nFiles, col(k))
-          case None => df.repartition(nFiles)
-        }
+        val ccols = m.clusterColumns.getOrElse(m.pkColumns)
+        val clustered =
+          if (ccols.nonEmpty) df.repartitionByRange(nFiles, ccols.map(col): _*)
+          else df.repartition(nFiles)
         writeVersion(spark, name, clustered, m.pkColumns, m.version + 1,
           carryOver = Seq.empty, alreadyPartitioned = true,
-          bloomColumns = m.bloomColumns.getOrElse(Nil))
+          bloomColumns = m.bloomColumns.getOrElse(Nil),
+          clusterColumns = m.clusterColumns)
       case "data" =>
         val (small, big) = m.files.partition(_.bytes < targetFileBytes / 2)
         if (small.size <= 1) m // nothing to compact
@@ -635,7 +642,8 @@ class Mooncake(val warehouse: String) {
             .coalesce(math.max(1, (small.map(_.bytes).sum / targetFileBytes).toInt))
           writeVersion(spark, name, packed, m.pkColumns, m.version + 1,
             carryOver = big, alreadyPartitioned = true,
-            bloomColumns = m.bloomColumns.getOrElse(Nil))
+            bloomColumns = m.bloomColumns.getOrElse(Nil),
+            clusterColumns = m.clusterColumns)
         }
       case z if z.startsWith("zorder:") =>
         // Z-order re-clustering on 2-4 non-negative integer columns:
@@ -653,7 +661,8 @@ class Mooncake(val warehouse: String) {
         val clustered = Mooncake.zCluster(frame, cols, nFiles)
         writeVersion(spark, name, clustered, m.pkColumns, m.version + 1,
           carryOver = Seq.empty, alreadyPartitioned = true,
-          bloomColumns = m.bloomColumns.getOrElse(Nil))
+          bloomColumns = m.bloomColumns.getOrElse(Nil),
+          clusterColumns = m.clusterColumns)
       case idx if idx == "index" || idx.startsWith("index:") =>
         // Index maintenance — the reference's remaining optimize-mode
         // class (`src/functions.rs:132-144`): rebuild the parquet bloom
@@ -675,13 +684,15 @@ class Mooncake(val warehouse: String) {
             s"$name: bloom column(s) ${missing.mkString(", ")} not in schema")
         val nFiles = math.max(1, m.files.size)
         val df = readFiles(spark, m, m.files)
-        val rebuilt = m.pkColumns.headOption match {
-          case Some(k) => df.repartitionByRange(nFiles, col(k))
-          case None => df.repartition(nFiles)
-        }
+        val idxCcols = m.clusterColumns.getOrElse(m.pkColumns)
+        val rebuilt =
+          if (idxCcols.nonEmpty)
+            df.repartitionByRange(nFiles, idxCcols.map(col): _*)
+          else df.repartition(nFiles)
         writeVersion(spark, name, rebuilt, m.pkColumns, m.version + 1,
           carryOver = Seq.empty, alreadyPartitioned = true,
-          bloomColumns = newBlooms)
+          bloomColumns = newBlooms,
+          clusterColumns = m.clusterColumns)
       case other =>
         throw new IllegalArgumentException(s"unknown optimize mode '$other'")
     }
@@ -784,12 +795,14 @@ class Mooncake(val warehouse: String) {
   private def writeVersion(spark: SparkSession, name: String, df: DataFrame,
       pk: Seq[String], version: Long, carryOver: Seq[DataFile],
       alreadyPartitioned: Boolean = false,
-      bloomColumns: Seq[String] = Seq.empty): Manifest = {
+      bloomColumns: Seq[String] = Seq.empty,
+      clusterColumns: Option[Seq[String]] = None): Manifest = {
     val dir = tableDir(name)
     val out = dataDir(name, version)
+    val sortCols = clusterColumns.getOrElse(pk)
     val toWrite =
-      if (alreadyPartitioned || pk.isEmpty) df
-      else df.sortWithinPartitions(pk.map(col): _*)
+      if (alreadyPartitioned || sortCols.isEmpty) df
+      else df.sortWithinPartitions(sortCols.map(col): _*)
     // Parquet-native bloom filters on the declared columns: built by the
     // writer per row group, stored after the data pages, probed at point-
     // lookup time (readPoint) without touching data pages. Only columns
@@ -821,7 +834,8 @@ class Mooncake(val warehouse: String) {
       schemaDdl = df.schema.toDDL,
       pkColumns = pk,
       files = carryOver ++ newFiles,
-      bloomColumns = if (bloomColumns.isEmpty) None else Some(bloomColumns))
+      bloomColumns = if (bloomColumns.isEmpty) None else Some(bloomColumns),
+      clusterColumns = clusterColumns)
     Manifest.commit(dir, manifest)
     manifest
   }

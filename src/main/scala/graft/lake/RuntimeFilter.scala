@@ -21,7 +21,20 @@ object RuntimeFilter {
   /** Superset predicate over fact column `column` derived from the build
     * side, or None when the build side is empty (the caller should
     * return an empty scan without touching any file). `keys` may carry
-    * the fact column's name or be any single-column frame. */
+    * the fact column's name or be any single-column frame.
+    *
+    * ONE Spark action when the build side is small (≤ `maxInSet`
+    * distinct keys — the common case): the collected set IS the
+    * predicate, complete by construction. Only an over-cap build side
+    * pays a second [min, max] aggregation — and because that second
+    * action re-evaluates `keys`, the range-only path additionally
+    * requires the build-side frame to be DETERMINISTIC (no sample()/
+    * unordered limit upstream): a nondeterministic frame could yield
+    * keys at join time outside the bounds the first action saw, and
+    * since read() re-applies the predicate as a row filter, matching
+    * fact rows would be silently dropped. The in-set path has no such
+    * exposure — the same single collect feeds both the filter and any
+    * later join. */
   def keyPredicate(keys: DataFrame, column: String,
       maxInSet: Int = 10000): Option[Column] = {
     val kcol =
@@ -35,15 +48,12 @@ object RuntimeFilter {
     val sample = keys.select(col(kcol)).na.drop().distinct()
       .limit(maxInSet + 1).collect().map(_.get(0))
     if (sample.isEmpty) None
+    else if (sample.length <= maxInSet)
+      Some(col(column).isin(sample.toIndexedSeq: _*))
     else {
       val b = keys.select(col(kcol)).na.drop()
         .agg(min(col(kcol)).as("lo"), max(col(kcol)).as("hi")).head()
-      val range =
-        col(column) >= lit(b.get(0)) && col(column) <= lit(b.get(1))
-      Some(
-        if (sample.length <= maxInSet)
-          range && col(column).isin(sample.toIndexedSeq: _*)
-        else range)
+      Some(col(column) >= lit(b.get(0)) && col(column) <= lit(b.get(1)))
     }
   }
 }

@@ -18,8 +18,16 @@ import graft.functions.{TextFunctions => TF}
   *   1. band the batch (per-row hashing, no shuffle),
   *   2. equi-join batch bands against the index on (band, key) — the
   *      batch side broadcasts, so the corpus index streams through ONE
-  *      scan with NO shuffle (and mooncake manifest stats can skip
-  *      index files whose key ranges cannot match),
+  *      scan with NO shuffle. The scan is SUBLINEAR in the index: the
+  *      index files are range-clustered on the band-prefixed key (the
+  *      manifest's `clusterColumns` layout — pk stays (doc_id, band)
+  *      for CDC addressing), and the batch's keys push through
+  *      [[graft.lake.Mooncake.readForKeys]], so each file's truncated
+  *      string bounds on `key` skip every file whose key range holds no
+  *      batch key. At 100 TB a batch opens at most (batch keys) files
+  *      — independent of corpus size (probe key sets larger than
+  *      readForKeys' `maxInSet` degrade to range-only bounds, so split
+  *      giant batches or raise the cap),
   *   3. verify candidates with exact Jaccard INLINE — the shingles ride
   *      the matched index rows, so no second corpus pass fetches them.
   *
@@ -34,6 +42,13 @@ import graft.functions.{TextFunctions => TF}
 object IncrementalDedup {
 
   /** Band-index rows for a set of documents: (doc_id, band, key, sh).
+    * `key` is the BAND-PREFIXED LSH key — fixed-width "%02d:" band then
+    * the minhash-row concat — so key equality is (band, key) equality
+    * in one column AND the key's string order is (band asc, key asc):
+    * range-clustering on it gives files whose key bounds never straddle
+    * a band, which is what lets a probe's key set prune files (a bare
+    * LSH key is uniform WITHIN each band, so without the prefix every
+    * file's key range spans the whole space and nothing can skip).
     * Shingle-less docs (< 3 tokens) can never be near-dups — dropped,
     * same as the batch-global pipeline. */
   def bandIndex(docs: DataFrame): DataFrame =
@@ -43,26 +58,36 @@ object IncrementalDedup {
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"),
         posexplode(TF.bandKeys(col("sig"))).as(Seq("band", "key")))
-      .select(col("doc_id"), col("band"), col("key"), col("sh"))
+      .select(col("doc_id"), col("band"),
+        format_string("%02d:%s", col("band"), col("key")).as("key"),
+        col("sh"))
 
   /** Materialize the index mirror from the initial corpus. The pk
-    * (doc_id, band) is the CDC replica identity; the range-clustered
-    * backfill gives doc_id-bounded files, so later maintenance touches
-    * only the affected ranges. */
+    * (doc_id, band) is the CDC replica identity (insert-only batches of
+    * new doc_ids stay pure appends under its leading-key skipping); the
+    * PHYSICAL layout range-clusters on the band-prefixed key so the
+    * probe's keys prune files — the two roles deliberately differ. */
   def createIndex(s: SparkSession, lake: graft.lake.Mooncake,
-      name: String, corpus: DataFrame): Unit =
-    lake.createTable(s, name, bandIndex(corpus), Seq("doc_id", "band"))
+      name: String, corpus: DataFrame,
+      targetFileBytes: Long = 128L * 1024 * 1024): Unit =
+    lake.createTable(s, name, bandIndex(corpus), Seq("doc_id", "band"),
+      targetFileBytes = targetFileBytes, clusterBy = Seq("key"))
 
   /** Near-dup pairs of `batch` docs against the INDEXED corpus:
     * (doc_a = corpus doc, doc_b = batch doc, jacc). The batch bands
     * broadcast; the index streams through one pruned scan. */
   def dupPairs(s: SparkSession, lake: graft.lake.Mooncake,
       name: String, batch: DataFrame): DataFrame = {
-    val idx = lake.read(s, name)
-    val probe = broadcast(bandIndex(batch)
-      .select(col("band"), col("key"),
-        col("doc_id").as("doc_b"), col("sh").as("shb")))
-    idx.join(probe, Seq("band", "key"))
+    val batchBands = bandIndex(batch)
+    // the batch's band keys prune the index scan to the files whose
+    // (band, key)-clustered ranges intersect them — one bounded collect
+    // of the (broadcast-sized by contract) batch keys, then a manifest
+    // file-skip + pushed IN row filter; the equi-join below re-checks
+    // exact equality, so the superset predicate can only cut IO
+    val idx = lake.readForKeys(s, name, "key", batchBands.select("key"))
+    val probe = broadcast(batchBands
+      .select(col("key"), col("doc_id").as("doc_b"), col("sh").as("shb")))
+    idx.join(probe, Seq("key"))
       .filter(col("doc_id") =!= col("doc_b"))
       .select(col("doc_id").as("doc_a"), col("doc_b"),
         col("sh").as("sha"), col("shb"))
@@ -77,7 +102,12 @@ object IncrementalDedup {
   }
 
   /** Append a batch's band rows to the index as one CDC insert batch —
-    * the persisted corpus state advances without any rescan. */
+    * the persisted corpus state advances without any rescan. The apply
+    * path re-clusters multi-file rewrites on the manifest's (band, key)
+    * layout; a small batch lands as ONE (band, key)-sorted file that
+    * every probe opens until `optimize_table` folds it into the
+    * clustered layout — batch-sized, so the probe stays sublinear in
+    * the CORPUS either way. */
   def appendBatch(s: SparkSession, lake: graft.lake.Mooncake,
       name: String, batch: DataFrame, version: Long): Unit = {
     lake.applyChanges(s, name,

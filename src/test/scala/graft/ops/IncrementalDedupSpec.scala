@@ -72,4 +72,44 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"batch side must broadcast — the corpus index never shuffles:\n$plan")
   }
+
+  test("probe is sublinear: a multi-file index opens only matching-key files") {
+    val lake = new Mooncake(tmpDir("incdedup-prune"))
+    // 60 docs of distinct vocabulary → 240 band rows whose keys spread
+    // across the (band, key)-clustered layout; tiny target file size
+    // forces a multi-file index so skip counts are observable.
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima")
+    val corpus = (0 until 60).map { i =>
+      val w = (0 until 12).map(j => words((i * 5 + j * 7) % 12) + i)
+      (i.toLong, w.mkString(" "))
+    }.toDF("doc_id", "text")
+    IncrementalDedup.createIndex(spark, lake, "pidx", corpus,
+      targetFileBytes = 512)
+    val total = lake.read(spark, "pidx").inputFiles.length
+    assert(total >= 4, s"layout must be multi-file, got $total")
+
+    // one batch doc: a tail edit of corpus doc 7 — its band keys hit a
+    // handful of (band, key) ranges, so the probe must SKIP most files
+    val d7 = corpus.filter(col("doc_id") === 7L)
+      .select("text").as[String].head()
+    val batch = Seq(700L -> (d7.split(" ").init.mkString(" ") + " zulu"))
+      .toDF("doc_id", "text")
+    val pairs = IncrementalDedup.dupPairs(spark, lake, "pidx", batch)
+    val opened = pairs.inputFiles.count(_.contains("pidx"))
+    assert(opened < total,
+      s"probe opened all $total index files — no file skipping")
+    assert(pairs.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      === Set(7L -> 700L))
+
+    // the same probe against a deliberately UNclustered index (pk-only
+    // layout) cannot skip — the clustering is what buys the pruning
+    lake.createTable(spark, "flat", IncrementalDedup.bandIndex(corpus),
+      Seq("doc_id", "band"), targetFileBytes = 512)
+    val flatTotal = lake.read(spark, "flat").inputFiles.length
+    val flatOpened = IncrementalDedup.dupPairs(spark, lake, "flat", batch)
+      .inputFiles.count(_.contains("flat"))
+    assert(flatOpened === flatTotal,
+      "doc_id-clustered layout unexpectedly skipped key-probe files")
+  }
 }

@@ -122,10 +122,13 @@ object Bench {
       .map(p => p.map(_._2).filter(_ >= 0).sum)
       .map(t => f"$t%.3f").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"passes":$passes,"pass_totals":$passTotals,"variance_flags":$varianceFlags,"setup_sec":$setupJson,"sf":"$sfDir"}""")
-    // The driver keeps only the TAIL of stdout; the big line above leads
-    // with "value" and can lose it to truncation. Reprint everything the
-    // driver reads (metric/value/queries) last so it always survives.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"pass_totals":$passTotals,"sf":"$sfDir"}""")
+    // The driver keeps only the TAIL of stdout, so any line carrying the
+    // 162-entry queries dict can lose its leading "value" field to
+    // truncation (every BENCH_r*.json through r8 parsed as null for
+    // exactly this reason). The LAST line is therefore compact — no
+    // per-query dict, just the fields the driver parses — and the full
+    // line above stays for humans and the plan-audit tooling.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"pass_totals":$passTotals,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

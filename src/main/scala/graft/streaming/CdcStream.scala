@@ -53,9 +53,21 @@ object CdcStream {
     }
   }
 
+  /** `maintain` names materialized views over `table` (same lake) to
+    * refresh after every applied micro-batch — the reference's
+    * real-time-freshness pitch extended to derived state: the mirror
+    * AND its MVs advance together, no manual refresh loop.
+    *
+    * Restart safety needs no extra machinery: [[graft.lake.Mview
+    * .refresh]] is driven by the MV definition's own recorded base
+    * version (it diffs base versions, not batch ids), so a replayed
+    * batch — skipped by the version gate — leads to a no-op refresh,
+    * and a crash BETWEEN apply and refresh heals on the next batch,
+    * whose refresh folds the multi-version diff in one pass. */
   def attach(lake: Mooncake, table: String, changes: DataFrame,
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      maintain: Seq[String] = Nil): StreamingQuery = {
     val base = pinnedBase(lake, table, checkpointDir)
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -66,6 +78,10 @@ object CdcStream {
         if (version > current) {
           lake.applyChanges(batch.sparkSession, table, batch, version)
         } // else: checkpoint replay of an already-committed batch — skip
+        if (maintain.nonEmpty) {
+          val mv = new graft.lake.Mview(lake)
+          maintain.foreach(mv.refresh(batch.sparkSession, _))
+        }
         ()
       }
       .start()

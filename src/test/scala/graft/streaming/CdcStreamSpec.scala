@@ -97,4 +97,51 @@ class CdcStreamSpec extends SparkSuite {
       .as[(Long, Double)].collect().toSeq
     assert(got === Seq(1L -> 5.0, 1L -> 7.0))
   }
+
+  test("maintain: MVs refresh with every micro-batch, restart + replay safe") {
+    implicit val sc = spark.sqlContext
+    val lake = new Mooncake(tmpDir("cdc-mv"))
+    lake.createTable(spark, "t",
+      Seq((1, 1L, 10), (2, 1L, 50), (3, 2L, 7)).toDF("a", "g", "v"),
+      Seq("a"))
+    val mv = new graft.lake.Mview(lake)
+    mv.create(spark, "t_by_g", "t", Seq("g"), Seq(
+      graft.lake.MvAgg("count", "*", "n"),
+      graft.lake.MvAgg("sum", "v", "sum_v"),
+      graft.lake.MvAgg("min", "v", "min_v"),
+      graft.lake.MvAgg("max", "v", "max_v")))
+
+    val input = MemoryStream[(Int, Long, Int, String, Long)]
+    val changes = input.toDF().toDF("a", "g", "v", "__op", "__seq")
+    val ckpt = tmpDir("cdc-mv-ckpt")
+
+    def recompute() = lake.read(spark, "t").groupBy("g").agg(
+        count(lit(1)).as("n"), sum("v").as("sum_v"),
+        min("v").as("min_v"), max("v").as("max_v"))
+      .orderBy("g").as[(Long, Long, Long, Int, Int)].collect().toSeq
+    def mvRows() = mv.read(spark, "t_by_g")
+      .select(col("g"), col("n"), col("sum_v"), col("min_v"), col("max_v"))
+      .orderBy("g").as[(Long, Long, Long, Int, Int)].collect().toSeq
+
+    // batch 0: insert into g=2, and move the g=1 max carrier DOWN — the
+    // update's delete image ties the stored max, forcing the dirty-group
+    // re-aggregation inside the stream's own refresh
+    input.addData((4, 2L, 9, "I", 1L), (2, 1L, 20, "U", 2L))
+    CdcStream.attach(lake, "t", changes, ckpt, maintain = Seq("t_by_g"))
+      .awaitTermination()
+    assert(mvRows() === recompute())
+
+    // restart: second AvailableNow run on the SAME checkpoint; batch 1
+    // deletes the g=2 min carrier (dirty min path)
+    input.addData((3, 2L, 7, "D", 3L))
+    CdcStream.attach(lake, "t", changes, ckpt, maintain = Seq("t_by_g"))
+      .awaitTermination()
+    assert(mvRows() === recompute())
+
+    // replayed-batch / crash-between-apply-and-refresh analog: refresh
+    // is frontier-driven, so running it again changes nothing
+    val again = mv.refresh(spark, "t_by_g")
+    assert(again.affectedGroups === 0L)
+    assert(mvRows() === recompute())
+  }
 }

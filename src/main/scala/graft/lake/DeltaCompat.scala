@@ -674,10 +674,12 @@ object DeltaCompat {
   /** Append (or overwrite) `df` as one Delta commit. `partitionBy`
     * hive-partitions the table (identity partitioning — the only kind
     * Delta has); an existing table's partitioning is inherited and a
-    * conflicting spec is refused. `columnMapping = "name"` on table
-    * creation assigns every top-level column a field id and a
-    * `col-<uuid>` physical name (protocol (2,5)); appends to a mapped
-    * table inherit its physical names. `replacing` names live files the
+    * conflicting spec is refused. `columnMapping = "name"` or `"id"` on
+    * table creation assigns every top-level column a field id and a
+    * `col-<uuid>` physical name (protocol (2,5)) — id mode additionally
+    * relies on the parquet field ids the staged files carry; appends to
+    * a mapped table inherit its physical names and ids. `replacing`
+    * names live files the
     * same commit removes (the purge/rewrite shape). `properties` lands
     * in the table's `configuration` on creation (v0 only) — set
     * `delta.enableChangeDataFeed=true` there to turn on CDF. Returns
@@ -703,8 +705,8 @@ object DeltaCompat {
     require(mode == "append" || mode == "overwrite", s"mode $mode")
     require(replacing.isEmpty || mode == "append",
       "replacing composes with append commits only")
-    require(columnMapping == "none" || columnMapping == "name",
-      s"columnMapping $columnMapping (none|name)")
+    require(Set("none", "name", "id").contains(columnMapping),
+      s"columnMapping $columnMapping (none|name|id)")
     val root = Paths.get(table)
     Files.createDirectories(root)
     // JSON commits at or before a checkpoint may be vacuumed — the next
@@ -731,7 +733,10 @@ object DeltaCompat {
       case Some(st) => DataType.fromJson(st.schemaJson.getOrElse(
           throw new IllegalStateException(s"$table has no metaData action")))
         .asInstanceOf[StructType]
-      case None if columnMapping == "name" =>
+      case None if columnMapping != "none" =>
+        // Both mapping modes store a field id AND a physical name per
+        // the protocol; they differ only in how READERS resolve parquet
+        // columns (name → by physical name, id → by parquet field id).
         StructType(df.schema.fields.zipWithIndex.map { case (f, i) =>
           f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
             .withMetadata(f.metadata)
@@ -741,14 +746,29 @@ object DeltaCompat {
         })
       case None => df.schema
     }
-    val cmapActive = priorState.map(_.columnMappingMode != "none")
-      .getOrElse(columnMapping == "name")
+    val cmapMode = priorState.map(_.columnMappingMode).getOrElse(columnMapping)
+    val cmapActive = cmapMode != "none"
     val physByLogical = logSchema.fields
       .map(f => f.name -> physicalFieldName(f)).toMap
+    // Field ids ride the staged columns as parquet.field.id metadata, so
+    // Spark's writer stamps them into the files (fieldId.write is on by
+    // default) — REQUIRED for id-mode readers, harmless extra metadata
+    // under name mode.
+    val idByLogical = logSchema.fields.flatMap(f =>
+      if (f.metadata.contains("delta.columnMapping.id"))
+        Some(f.name -> f.metadata.getLong("delta.columnMapping.id"))
+      else None).toMap
     val staged =
       if (!cmapActive) df
-      else df.select(df.columns.map(c =>
-        df.col(c).as(physByLogical.getOrElse(c, c))).toIndexedSeq: _*)
+      else df.select(df.columns.map { c =>
+        val phys = physByLogical.getOrElse(c, c)
+        idByLogical.get(c) match {
+          case Some(id) => df.col(c).as(phys,
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong("parquet.field.id", id).build())
+          case None => df.col(c).as(phys)
+        }
+      }.toIndexedSeq: _*)
     val stagePartCols =
       if (cmapActive) partCols.map(c => physByLogical.getOrElse(c, c))
       else partCols
@@ -781,7 +801,7 @@ object DeltaCompat {
       partCols.foreach(pcArr.add)
       val confNode = m.putObject("configuration")
       if (cmapActive) {
-        confNode.put("delta.columnMapping.mode", "name")
+        confNode.put("delta.columnMapping.mode", cmapMode)
         confNode.put("delta.columnMapping.maxColumnId",
           logSchema.fields.length.toLong)
       }
@@ -1534,7 +1554,7 @@ object DeltaCompat {
     if ((renames.nonEmpty || drops.nonEmpty) && !cmap)
       throw new UnsupportedOperationException(
         s"$table: rename/drop require column mapping — create the " +
-          "table with columnMapping = \"name\"")
+          "table with columnMapping = \"name\" or \"id\"")
     val names = schema.fieldNames.toSeq
     (renames.keys ++ drops).foreach(n => require(names.contains(n),
       s"$table has no column '$n'"))

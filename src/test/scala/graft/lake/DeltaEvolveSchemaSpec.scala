@@ -62,6 +62,47 @@ class DeltaEvolveSchemaSpec extends SparkSuite {
     assert(lines.contains("\"delta.columnMapping.maxColumnId\":\"3\""))
   }
 
+  test("id-mode creation round-trips; files carry field ids; rename/drop evolve") {
+    val dir = tmpDir("delta-idmode")
+    DeltaCompat.write(Seq((1L, "a", 10L), (2L, "b", 20L))
+      .toDF("k", "v", "x"), dir, columnMapping = "id")
+
+    // log: mode id, schema fields carry ids + physical names
+    val log = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir, "_delta_log", f"${0L}%020d.json")).toString
+    assert(log.contains("\"delta.columnMapping.mode\":\"id\""))
+    assert(log.contains("delta.columnMapping.id"))
+    assert(log.contains("delta.columnMapping.physicalName"))
+
+    // parquet files: every column stamped with its field id (what an
+    // id-mode reader resolves by)
+    val pq = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => p.toString.endsWith(".parquet") &&
+        !p.toString.contains("_delta_log"))
+      .findFirst().get()
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      new org.apache.hadoop.conf.Configuration(),
+      new org.apache.hadoop.fs.Path(pq.toString))
+    val ids = scala.jdk.CollectionConverters
+      .ListHasAsScala(footer.getFileMetaData.getSchema.getFields).asScala
+      .map(f => Option(f.getId).map(_.intValue))
+    assert(ids.forall(_.isDefined), s"parquet fields missing ids: $ids")
+    assert(ids.flatten.sorted == Seq(1, 2, 3))
+
+    // foreign-table read path resolves logical names
+    assert(DeltaCompat.read(spark, dir).as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq === Seq((1L, "a", 10L), (2L, "b", 20L)))
+
+    // rename + drop evolve, then append under the evolved schema
+    DeltaCompat.evolveSchema(spark, dir,
+      renames = Map("v" -> "val"), drops = Seq("x"))
+    assert(DeltaCompat.read(spark, dir).columns.toSeq === Seq("k", "val"))
+    DeltaCompat.write(Seq((3L, "c")).toDF("k", "val"), dir)
+    assert(DeltaCompat.read(spark, dir).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq ===
+      Seq(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
   test("evolution survives a checkpoint and shows in history") {
     val dir = tmpDir("delta-evolve-ckpt")
     DeltaCompat.write(Seq((1L, "a")).toDF("k", "v"), dir)

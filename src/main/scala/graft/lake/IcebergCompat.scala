@@ -903,14 +903,16 @@ object IcebergCompat {
     val meta = currentMetadata(tableDir)
     // Commit ordering (_sequence_number, and the follower's __seq built
     // on it) is only defined when the log carries monotone sequence
-    // numbers — a format-v1 table has none, and asLong's silent 0 would
-    // let an older snapshot's insert outrank a newer one's delete under
-    // applyChanges' last-op-per-key rule, resurrecting deleted rows.
-    if (meta.path("format-version").asInt(1) < 2)
-      throw new UnsupportedOperationException(
-        s"$tableDir: CDC over a format-version 1 Iceberg table is out " +
-          "of scope — v1 snapshots carry no sequence numbers, so " +
-          "row-level commit ordering is undefined")
+    // numbers. A format-v1 table has none — asLong's silent 0 would let
+    // an older snapshot's insert outrank a newer one's delete under
+    // applyChanges' last-op-per-key rule, resurrecting deleted rows —
+    // so v1 is followed ONLY while the walked range is INSERT-ONLY
+    // (no delete files, no data-file removals), with the snapshot's
+    // strictly-increasing timestamp standing in for the sequence; the
+    // moment a delete appears (or timestamps stop increasing) the
+    // follow refuses loudly rather than guessing an order. That is the
+    // case a user tailing an old append-only v1 warehouse table needs.
+    val fmtV1 = meta.path("format-version").asInt(1) < 2
     val byId = meta.path("snapshots").elements().asScala
       .map(s => s.path("snapshot-id").asLong(-1) -> s).toMap
     val toId = toSnapshotId.getOrElse(
@@ -948,19 +950,38 @@ object IcebergCompat {
     val walked = scala.collection.mutable.Map.empty[Long, SnapshotFiles]
     def filesOf(id: Long): SnapshotFiles =
       walked.getOrElseUpdate(id, snapshotFiles(meta, id))
+    // v1 guard: chain is oldest-first; timestamps must strictly
+    // increase so the synthesized ordering is total across polls.
+    if (fmtV1) {
+      val ts = chain.map(_.path("timestamp-ms").asLong(0))
+      if (ts.zip(ts.drop(1)).exists { case (a, b) => b <= a })
+        throw new UnsupportedOperationException(
+          s"$tableDir: format-v1 follow needs strictly increasing " +
+            "snapshot timestamps to stand in for sequence numbers — " +
+            "this range's are not")
+    }
     val parts = chain.map { snap =>
       val snapId = snap.path("snapshot-id").asLong(-1)
-      if (!snap.has("sequence-number"))
+      if (!fmtV1 && !snap.has("sequence-number"))
         throw new UnsupportedOperationException(
           s"$tableDir: snapshot $snapId carries no sequence-number — " +
             "row-level commit ordering is undefined for CDC")
-      val seq = snap.path("sequence-number").asLong(0)
+      val seq =
+        if (fmtV1) snap.path("timestamp-ms").asLong(0)
+        else snap.path("sequence-number").asLong(0)
       val parentId =
         if (snap.has("parent-snapshot-id"))
           Some(snap.path("parent-snapshot-id").asLong(-1))
         else None
       val sf = filesOf(snapId)
       val pf = parentId.map(filesOf).getOrElse(SnapshotFiles.empty)
+      if (fmtV1 && (sf.posDeletes.nonEmpty || sf.eqEntries.nonEmpty ||
+          (pf.data diff sf.data).nonEmpty))
+        throw new UnsupportedOperationException(
+          s"$tableDir: snapshot $snapId removes data files or carries " +
+            "delete files — a format-v1 table can only be followed " +
+            "while insert-only (v1 snapshots have no sequence numbers, " +
+            "so delete ordering is undefined)")
       val dataChanged = (sf.data diff pf.data) union (pf.data diff sf.data)
       val posChanged = (sf.posDeletes diff pf.posDeletes) union
         (pf.posDeletes diff sf.posDeletes)

@@ -93,30 +93,72 @@ class IcebergFollowerSpec extends SparkSuite {
       Some(IcebergCompat.currentSnapshotId(ice)))
   }
 
-  test("readChanges refuses a format-version 1 table (no sequence numbers)") {
-    val ice = tmpDir("if-v1-ice")
-    IcebergCompat.write(Seq((1L, "a")).toDF("k", "v"), ice)
-    IcebergCompat.write(Seq((2L, "b")).toDF("k", "v"), ice)
-    // Rewrite every metadata json to claim format-version 1: v1
-    // snapshots carry no sequence numbers, so CDC commit ordering is
-    // undefined and readChanges must refuse rather than default seq=0
-    // (which would let an older insert outrank a newer delete).
+  /** Rewrite a (v2-written) table's metadata to a fabricated format-v1
+    * log: format-version 1, NO sequence numbers, and snapshot
+    * timestamps set to `tsOf(index)` in snapshot-list order. */
+  private def fabricateV1(ice: String, tsOf: Int => Long): Unit = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val metaDir = Paths.get(ice, "metadata")
     Files.list(metaDir).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".metadata.json"))
       .foreach { p =>
-        val txt = new String(Files.readAllBytes(p), "UTF-8")
-          .replaceAll("\"format-version\"\\s*:\\s*2", "\"format-version\" : 1")
-        Files.write(p, txt.getBytes("UTF-8"))
+        val root = mapper.readTree(Files.readAllBytes(p))
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        root.put("format-version", 1)
+        root.path("snapshots").elements().asScala.zipWithIndex.foreach {
+          case (s, i) =>
+            val o = s.asInstanceOf[
+              com.fasterxml.jackson.databind.node.ObjectNode]
+            o.remove("sequence-number")
+            o.put("timestamp-ms", tsOf(i))
+        }
+        Files.write(p, mapper.writeValueAsBytes(root))
       }
+  }
+
+  test("format-v1: an insert-only chain follows; deletes refuse loudly") {
+    val ice = tmpDir("if-v1-ice")
+    IcebergCompat.write(Seq((1L, "a")).toDF("k", "v"), ice)
+    val s1 = IcebergCompat.currentSnapshotId(ice)
+    IcebergCompat.write(Seq((2L, "b")).toDF("k", "v"), ice)
+    IcebergCompat.write(Seq((3L, "c")).toDF("k", "v"), ice)
+    fabricateV1(ice, i => 1000L * (i + 1))
+
+    // insert-only v1 follow works: changes past s1 are the two appends,
+    // ordered by the synthesized timestamp sequence
+    val ch = IcebergCompat.readChanges(spark, ice, s1)
+      .select(col("k"), col("v"), col("_change_type"),
+        col("_sequence_number"))
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(ch === Seq((2L, "b", "insert", 2000L),
+      (3L, "c", "insert", 3000L)))
+    // plain reads agree
+    assert(iceRows(ice) === Seq(1L -> "a", 2L -> "b", 3L -> "c"))
+
+    // a chain whose snapshots REMOVE data files (compaction/delete)
+    // refuses: v1 has no sequence numbers to order deletes by
+    val dice = tmpDir("if-v1-del-ice")
+    IcebergCompat.write(Seq((1L, "a")).toDF("k", "v"), dice)
+    IcebergCompat.write(Seq((2L, "b")).toDF("k", "v"), dice)
+    IcebergCompat.compact(spark, dice)
+    fabricateV1(dice, i => 1000L * (i + 1))
     val e = intercept[UnsupportedOperationException] {
-      IcebergCompat.readChanges(spark, ice, -1L).count()
+      IcebergCompat.readChanges(spark, dice, -1L).count()
     }
-    assert(e.getMessage.contains("format-version 1"))
-    // plain reads of the same table still work — only CDC is refused
-    assert(iceRows(ice) === Seq(1L -> "a", 2L -> "b"))
+    assert(e.getMessage.contains("insert-only"))
+
+    // non-increasing timestamps: the synthesized order would be
+    // ambiguous — refuse rather than guess
+    val tice = tmpDir("if-v1-ts-ice")
+    IcebergCompat.write(Seq((1L, "a")).toDF("k", "v"), tice)
+    IcebergCompat.write(Seq((2L, "b")).toDF("k", "v"), tice)
+    fabricateV1(tice, _ => 5000L)
+    val e2 = intercept[UnsupportedOperationException] {
+      IcebergCompat.readChanges(spark, tice, -1L).count()
+    }
+    assert(e2.getMessage.contains("strictly increasing"))
   }
 
   test("readChanges refuses a broken lineage and -1 means from-genesis") {

@@ -157,6 +157,20 @@ class Mooncake(val warehouse: String) {
   def dropTable(name: String): Unit =
     LakeFs.deleteRec(Paths.get(tableDir(name)))
 
+  /** Engine reset — the analog of the reference's "command to reset
+    * DuckDB" (`/root/reference/CHANGELOG.md:13`): drop every piece of
+    * SESSION-scoped engine state so the next read re-derives everything
+    * from the on-disk manifests. Concretely: uncache all cached/
+    * persisted relations (a long-lived session's pinned frames can
+    * otherwise serve pre-CDC data forever) and invalidate Spark's
+    * file-status/listing caches under this warehouse (stale listings
+    * could name compacted-away files). Durable state — manifests, data
+    * files, snapshots — is untouched. */
+  def reset(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.catalog.refreshByPath(warehouse)
+  }
+
   /** Names of every table in the warehouse (driver-side walk of the
     * manifest dirs) — the SQL catalog's SHOW TABLES backing. */
   def tableNames: Seq[String] = {

@@ -964,10 +964,12 @@ object PipelineQueries {
     * more target-like (here: lang='en') than corpus-average its hashed
     * token features are. Feature buckets are poly-hash mod 64; each
     * bucket's importance weight is the smoothed target/source frequency
-    * ratio in INTEGER micro-units — floor(1e6·(ct+1)(Ts+B) / (cs+1)(Tt+B))
-    * — so the oracle is bit-exact with no float-log parity risk (the
-    * int64 products stay < 2^53 through sf1, the one double multiply and
-    * divide are IEEE-exact-rounded in both engines). Scale shape: the
+    * ratio in INTEGER micro-units — ⌊1e6·(ct+1)(Ts+B) / (cs+1)(Tt+B)⌋
+    * computed as EXACT integral division (decimal(38,0) `div` on the
+    * Spark side, HUGEINT `//` in the oracle) — bit-exact at any corpus
+    * size: products overflow neither int64 nor double's 2^53 window
+    * until ~1e36, far past 100 TB token counts. No float-log parity
+    * risk anywhere in the weight. Scale shape: the
     * bucket table is B=64 rows (one map-side-combined shuffle), broadcast
     * back over the token stream; the doc-level sum is integer, so it
     * partial-aggregates map-side. */
@@ -983,9 +985,12 @@ object PipelineQueries {
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
     val tot = st.agg(sum("cs").as("ts"), sum("ct").as("tt"))
     val wts = st.crossJoin(broadcast(tot))
-      .select(col("b"),
-        floor(lit(1000000.0) * ((col("ct") + 1) * (col("ts") + B))
-          / ((col("cs") + 1) * (col("tt") + B))).as("w"))
+      .withColumn("num", lit(1000000L).cast("decimal(38,0)") *
+        (col("ct") + 1).cast("decimal(38,0)") *
+        (col("ts") + B).cast("decimal(38,0)"))
+      .withColumn("den", (col("cs") + 1).cast("decimal(38,0)") *
+        (col("tt") + B).cast("decimal(38,0)"))
+      .selectExpr("b", "num div den AS w")
     tok.join(broadcast(wts), Seq("b"))
       .groupBy("doc_id")
       .agg(sum("w").as("imp_sum"), count(lit(1)).as("n_tok"))
@@ -1003,8 +1008,8 @@ object PipelineQueries {
        |    count(*) FILTER (WHERE lang = 'en') AS ct FROM bk GROUP BY b),
        |tot AS (SELECT count(*) AS ts,
        |    count(*) FILTER (WHERE lang = 'en') AS tt FROM bk),
-       |wts AS (SELECT b, CAST(floor(1000000.0 * ((ct+1)*(ts+64))
-       |    / ((cs+1)*(tt+64))) AS BIGINT) AS w FROM st, tot),
+       |wts AS (SELECT b, CAST((1000000::HUGEINT * (ct+1) * (ts+64))
+       |    // ((cs+1)::HUGEINT * (tt+64)) AS BIGINT) AS w FROM st, tot),
        |doc AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS imp_sum,
        |    count(*) AS n_tok FROM bk JOIN wts USING (b) GROUP BY doc_id)
        |SELECT doc_id, imp_sum, n_tok,

@@ -686,4 +686,20 @@ class MooncakeSpec extends SparkSuite {
       lake.tableChanges(spark, "cc", 1, 2)
     }
   }
+
+  test("reset drops cached session state; post-reset reads are fresh") {
+    val lake = new Mooncake(tmpDir("reset-wh"))
+    lake.createTable(spark, "r", Seq((1, "a")).toDF("a", "b"), Seq("a"))
+    // a long-lived session pins a frame; the mirror then moves on
+    val pinned = lake.read(spark, "r").cache()
+    assert(pinned.count() === 1)
+    lake.applyChanges(spark, "r",
+      Seq((2, "b", "I")).toDF("a", "b", "__op"), version = 2)
+    lake.reset(spark)
+    // every cached relation is gone and a fresh read sees the new version
+    assert(spark.sharedState.cacheManager.isEmpty)
+    assert(lake.read(spark, "r").count() === 2)
+    // durable state untouched: version history still travels
+    assert(lake.readVersion(spark, "r", 1).count() === 1)
+  }
 }

@@ -687,6 +687,38 @@ class MooncakeSpec extends SparkSuite {
     }
   }
 
+  test("clusterColumns layout survives CDC apply and compaction") {
+    val lake = new Mooncake(tmpDir("ccols-wh"))
+    // pk is id (replica identity); LAYOUT clusters on ck — the probe key
+    val df = (1 to 400).map(i => (i.toLong, (i % 20).toLong, s"v$i"))
+      .toDF("id", "ck", "v")
+    lake.createTable(spark, "c", df, Seq("id"), targetFileBytes = 2048,
+      clusterBy = Seq("ck"))
+    assert(lake.currentManifest("c").clusterColumns === Some(Seq("ck")))
+    val total = lake.read(spark, "c").inputFiles.length
+    assert(total >= 3, s"layout must be multi-file, got $total")
+    // ck-clustered files prune on a ck key even though pk is id
+    val got = lake.readForKeys(spark, "c", "ck", Seq(5L).toDF("ck"))
+    assert(got.inputFiles.length < total)
+    assert(got.count() === 20)
+
+    // CDC apply: the layout column set rides the manifest through the
+    // rewrite; a full compaction re-clusters on it too
+    lake.applyChanges(spark, "c",
+      Seq((1L, 5L, "x", "U")).toDF("id", "ck", "v", "__op"), version = 2)
+    assert(lake.currentManifest("c").clusterColumns === Some(Seq("ck")))
+    lake.optimizeTable(spark, "c", "full", targetFileBytes = 2048)
+    val m = lake.currentManifest("c")
+    assert(m.clusterColumns === Some(Seq("ck")))
+    val total2 = lake.read(spark, "c").inputFiles.length
+    val got2 = lake.readForKeys(spark, "c", "ck", Seq(5L).toDF("ck"))
+    assert(total2 >= 3 && got2.inputFiles.length < total2,
+      s"post-compaction layout must still prune " +
+        s"(${got2.inputFiles.length} of $total2)")
+    // 20 original ck=5 rows plus id=1, whose update moved it into ck=5
+    assert(got2.count() === 21)
+  }
+
   test("reset drops cached session state; post-reset reads are fresh") {
     val lake = new Mooncake(tmpDir("reset-wh"))
     lake.createTable(spark, "r", Seq((1, "a")).toDF("a", "b"), Seq("a"))

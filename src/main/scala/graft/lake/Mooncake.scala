@@ -545,11 +545,21 @@ class Mooncake(val warehouse: String) {
       .select((tableSchema.fieldNames ++ addedCols).map(col).toIndexedSeq: _*)
 
     // Re-cluster the rewritten region: output file count is sized by the
-    // touched bytes (exact, from the manifest — no optimizer guessing),
-    // so a CDC apply neither explodes into one file per batch partition
-    // nor loses the tight per-file key ranges skipping depends on.
+    // touched bytes (exact, from the manifest — no optimizer guessing)
+    // PLUS the insert side's optimizer estimate when one is known — a
+    // bulk insert-only batch (backfill replay, initial corpus append)
+    // touches zero files, and sizing from touched bytes alone would
+    // funnel the whole batch through ONE task into ONE oversized file.
+    // A normal small CDC batch keeps its exact touched-bytes sizing
+    // (its insert estimate rounds to zero extra files).
     val rewriteBytes = touched.map(_.bytes).sum
-    val nFiles = (rewriteBytes / targetFileBytes).toInt + 1
+    val insertEst = inserts.queryExecution.optimizedPlan.stats.sizeInBytes
+    val insertBytes =
+      if (insertEst < BigInt(Long.MaxValue) / 10000) insertEst.toLong else 0L
+    val targetFB = spark.conf.getOption("spark.graft.targetFileBytes")
+      .map(_.toLong).getOrElse(targetFileBytes)
+    val nFiles =
+      (((rewriteBytes + insertBytes) / targetFB) min 10000L).toInt + 1
     val ccols = m.clusterColumns.getOrElse(pk)
     val clustered =
       if (ccols.isEmpty) newRows

@@ -719,6 +719,32 @@ class MooncakeSpec extends SparkSuite {
     assert(got2.count() === 21)
   }
 
+  test("bulk insert-only CDC batches split into size-targeted files") {
+    // A backfill-sized insert batch touches ZERO existing files; sizing
+    // the rewrite from touched bytes alone would funnel it through one
+    // task into one oversized file. The insert side's optimizer
+    // estimate must contribute to the file budget.
+    val lake = new Mooncake(tmpDir("bulk-wh"))
+    lake.createTable(spark, "b", Seq((0L, "seed")).toDF("id", "v"),
+      Seq("id"))
+    spark.conf.set("spark.graft.targetFileBytes", "4096")
+    try {
+      val bulk = (1 to 5000).map(i => (i.toLong, s"value-$i-${"x" * 20}", "I"))
+        .toDF("id", "v", "__op")
+      lake.applyChanges(spark, "b", bulk, version = 2)
+      val files = lake.currentManifest("b").files
+      assert(files.size > 2,
+        s"bulk insert landed in ${files.size} file(s) — not size-split")
+      // the split is pk-range-clustered: per-file key ranges are tight
+      val spans = files.flatMap(f =>
+        for (lo <- f.minKey; hi <- f.maxKey) yield (lo, hi)).sortBy(_._1)
+      assert(spans.size === files.size)
+      assert(spans.zip(spans.drop(1)).forall { case ((_, h), (l, _)) => h <= l },
+        s"file key ranges overlap: $spans")
+      assert(lake.read(spark, "b").count() === 5001)
+    } finally spark.conf.unset("spark.graft.targetFileBytes")
+  }
+
   test("reset drops cached session state; post-reset reads are fresh") {
     val lake = new Mooncake(tmpDir("reset-wh"))
     lake.createTable(spark, "r", Seq((1, "a")).toDF("a", "b"), Seq("a"))

@@ -502,10 +502,16 @@ class Mooncake(val warehouse: String) {
 
     // File skipping on the leading pk column. The key-bounds job is only
     // worth running when skipping can actually prune: more than one data
-    // file, at least one of them carrying stats.
+    // file, at least one of them carrying stats. An EMPTY batch (a
+    // stream tick with nothing surviving upstream filters) touches
+    // nothing — without this guard its null key bounds would
+    // conservatively match every file and rewrite the whole table to
+    // apply zero rows.
+    val batchEmpty = lastOps.isEmpty
     val skippable = m.files.size > 1 && m.files.exists(_.minKey.isDefined)
     val (touched, untouched) =
-      if (!skippable) (m.files, Seq.empty[DataFile])
+      if (batchEmpty) (Seq.empty[DataFile], m.files)
+      else if (!skippable) (m.files, Seq.empty[DataFile])
       else {
         val keyBounds = affectedKeys
           .agg(min(longView(affectedKeys, pk.head)),

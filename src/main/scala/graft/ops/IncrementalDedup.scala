@@ -77,14 +77,19 @@ object IncrementalDedup {
     * (doc_a = corpus doc, doc_b = batch doc, jacc). The batch bands
     * broadcast; the index streams through one pruned scan. */
   def dupPairs(s: SparkSession, lake: graft.lake.Mooncake,
-      name: String, batch: DataFrame): DataFrame = {
+      name: String, batch: DataFrame,
+      maxInSet: Int = 10000): DataFrame = {
     val batchBands = bandIndex(batch)
     // the batch's band keys prune the index scan to the files whose
-    // (band, key)-clustered ranges intersect them — one bounded collect
-    // of the (broadcast-sized by contract) batch keys, then a manifest
+    // key-clustered ranges intersect them — one bounded collect of the
+    // (broadcast-sized by contract) batch keys, then a manifest
     // file-skip + pushed IN row filter; the equi-join below re-checks
-    // exact equality, so the superset predicate can only cut IO
-    val idx = lake.readForKeys(s, name, "key", batchBands.select("key"))
+    // exact equality, so the superset predicate can only cut IO.
+    // `maxInSet` bounds the pushed key set (batch docs × bands keys);
+    // raise it for larger batches — past it the probe degrades to
+    // range-only bounds, which a band-prefixed layout barely prunes.
+    val idx = lake.readForKeys(s, name, "key", batchBands.select("key"),
+      maxInSet = maxInSet)
     val probe = broadcast(batchBands
       .select(col("key"), col("doc_id").as("doc_b"), col("sh").as("shb")))
     idx.join(probe, Seq("key"))
@@ -113,5 +118,65 @@ object IncrementalDedup {
     lake.applyChanges(s, name,
       bandIndex(batch).withColumn("__op", lit("I")), version)
     ()
+  }
+
+  /** The production ingest loop in one attachment: a STREAMING frame of
+    * (doc_id, text) documents; each micro-batch
+    *
+    *   1. probes the persisted index ([[dupPairs]] — sublinear scan),
+    *   2. drops batch docs that near-duplicate the corpus OR a
+    *      lower-id doc of the same batch (the deterministic exemplar
+    *      rule, so a replay converges to the same survivors),
+    *   3. appends only the SURVIVORS' band rows ([[appendBatch]]).
+    *
+    * Same pinned-base idempotency as [[graft.streaming.CdcStream
+    * .attach]]: a post-crash replayed batch recomputes its original
+    * version and is skipped, never double-appended. The batch is
+    * pinned for the probe + append double-use. */
+  def attachStream(lake: graft.lake.Mooncake, name: String,
+      docs: DataFrame, checkpointDir: String,
+      jaccardMin: Double = 0.5,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val base = graft.streaming.CdcStream.pinnedBase(
+      lake, name, checkpointDir)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val version = base + batchId + 1
+        val current = lake.currentManifest(name).commitVersion
+        if (version > current) {
+          val pinned = batch.persist()
+          try {
+            val vsCorpus = dupPairs(s, lake, name, pinned)
+              .filter(col("jacc") >= jaccardMin)
+              .select(col("doc_b").as("doc_id"))
+            // within-batch: lower-id exemplar survives
+            val bands = bandIndex(pinned)
+              .select(col("band"), col("key"), col("doc_id"), col("sh"))
+            val a = bands.select(col("key"),
+              col("doc_id").as("doc_a"), col("sh").as("sha"))
+            val b = bands.select(col("key"),
+              col("doc_id").as("doc_b"), col("sh").as("shb"))
+            val vsBatch = a.join(broadcast(b),
+                a("key") === b("key") && col("doc_a") < col("doc_b"))
+              .dropDuplicates("doc_a", "doc_b")
+              .filter(SVE.jaccard_sim(col("sha"), col("shb")) >= jaccardMin)
+              .select(col("doc_b").as("doc_id"))
+            val survivors = pinned.join(
+              vsCorpus.unionAll(vsBatch).distinct(),
+              Seq("doc_id"), "left_anti")
+            appendBatch(s, lake, name, survivors, version)
+          } finally {
+            pinned.unpersist(blocking = false)
+            ()
+          }
+        }
+        ()
+      }
+      .start()
   }
 }

@@ -73,6 +73,51 @@ class IncrementalDedupSpec extends SparkSuite {
       s"batch side must broadcast — the corpus index never shuffles:\n$plan")
   }
 
+  test("attachStream: dedup-filtered ingest, within-batch exemplar, restart-safe") {
+    implicit val sc = spark.sqlContext
+    val lake = new Mooncake(tmpDir("incdedup-stream-wh"))
+    val corpus = Seq(
+      1L -> base,
+      2L -> "completely different text about distributed query engines and columnar storage formats")
+      .toDF("doc_id", "text")
+    IncrementalDedup.createIndex(spark, lake, "sidx", corpus)
+
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val ckpt = tmpDir("incdedup-stream-ckpt")
+
+    // batch 0: doc 10 = near-dup of corpus doc 1 (dropped vs corpus);
+    // docs 20/21 = novel text + its twin (21 dropped vs 20, the
+    // lower-id within-batch exemplar); doc 30 = novel (kept)
+    val novel = "unique prose about streaming ingestion pipelines " +
+      "checking every incoming document against a persisted index today"
+    input.addData(
+      10L -> base.replace("dog", "cat"),
+      20L -> novel,
+      21L -> novel.replace("today", "tomorrow"),
+      30L -> "another entirely separate subject matter concerning parquet file layouts and manifests")
+    IncrementalDedup.attachStream(lake, "sidx", docs, ckpt)
+      .awaitTermination()
+    val afterB0 = lake.read(spark, "sidx").select("doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(afterB0 === Set(1L, 2L, 20L, 30L),
+      s"survivors wrong: $afterB0")
+
+    // restart on the same checkpoint: batch 1's doc 40 duplicates the
+    // STREAMED doc 20 — only a live index catches it; doc 50 is novel
+    input.addData(
+      40L -> novel.replace("prose", "text"),
+      50L -> "final completely fresh document mentioning nothing seen before anywhere")
+    IncrementalDedup.attachStream(lake, "sidx", docs, ckpt)
+      .awaitTermination()
+    val afterB1 = lake.read(spark, "sidx").select("doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(afterB1 === Set(1L, 2L, 20L, 30L, 50L),
+      s"batch-1 survivors wrong: $afterB1")
+    // version frontier advanced once per applied batch
+    assert(lake.currentManifest("sidx").commitVersion === 3L)
+  }
+
   test("probe is sublinear: a multi-file index opens only matching-key files") {
     val lake = new Mooncake(tmpDir("incdedup-prune"))
     // 60 docs of distinct vocabulary → 240 band rows whose keys spread

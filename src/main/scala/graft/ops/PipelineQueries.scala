@@ -685,18 +685,14 @@ object PipelineQueries {
     val e = embs(s, dir).select(col("vec_id"), col("embedding"))
     val cents = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    // index build: nearest centroid per vector (spread the corpus
-    // before the n×k cross join — see dedupEmbed)
-    val assignW = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("cid"))
-    val assigned = e.repartition(s.sparkContext.defaultParallelism)
-      .join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        SVE.cosine_sim(col("embedding"), col("cv")).as("ccos"))
-      .withColumn("arn", row_number().over(assignW))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid").as("cluster"))
-    // query probing: 2 nearest centroids per query
+    // index build: nearest centroid per vector — fused argmax over the
+    // driver-sized model, zero exchange (see NearestCentroid)
+    val model = CentroidModel.collect(cents)
+    val assigned = e.select(col("vec_id"), col("embedding"),
+      SVE.nearest_centroid(col("embedding"), model)
+        .getField("cluster").as("cluster"))
+    // query probing: 2 nearest centroids per query (queries are a
+    // broadcast-sized serving batch — the q×k window is intended)
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val probeW = Window.partitionBy("qid").orderBy(col("pcos").desc, col("cid"))

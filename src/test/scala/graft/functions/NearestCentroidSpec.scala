@@ -76,6 +76,29 @@ class NearestCentroidSpec extends SparkSuite {
     assert(r._2.isNaN)
   }
 
+  test("large k: 2000 centroids × 64 dims stays one codegen'd narrow map") {
+    // the r8 literal-array-of-structs spelling is ~2000×64 expression
+    // nodes at this k — past codegen limits; the kernel is O(1) plan
+    // size with the matrix riding as a reference object
+    val model = (0 until 2000).map(i =>
+      (i.toLong, Array.tabulate(64)(j => ((i * 31 + j) % 97 + 1) / 97.0)))
+    val df = spark.range(4000).select(col("id").as("vec_id"),
+      array((0 until 64).map(j =>
+        ((col("id") * 7 + j) % 89 + 1).cast("double") / lit(89.0)): _*)
+        .as("embedding"))
+    val assigned = df.select(col("vec_id"),
+      SVE.nearest_centroid(col("embedding"), model)
+        .getField("cluster").as("cluster"))
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+    // codegen'd stages render as "*(n)" in the simple plan string
+    assert(plan.contains("*(1) Project"), s"not codegen'd:\n${plan.take(200)}")
+    val cids = model.map(_._1).toSet
+    val got = assigned.as[(Long, Long)].collect()
+    assert(got.length === 4000)
+    assert(got.forall(r => cids(r._2)))
+  }
+
   test("assignment plans as a narrow map: no Exchange scan→assignment") {
     val cents = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))

@@ -78,8 +78,14 @@ object IncrementalDedup {
     * broadcast; the index streams through one pruned scan. */
   def dupPairs(s: SparkSession, lake: graft.lake.Mooncake,
       name: String, batch: DataFrame,
-      maxInSet: Int = 10000): DataFrame = {
-    val batchBands = bandIndex(batch)
+      maxInSet: Int = 10000): DataFrame =
+    dupPairsFromBands(s, lake, name, bandIndex(batch), maxInSet)
+
+  /** [[dupPairs]] over an ALREADY-banded batch — lets a caller that
+    * needs the bands anyway (the streaming loop) hash the batch once. */
+  private[ops] def dupPairsFromBands(s: SparkSession,
+      lake: graft.lake.Mooncake, name: String, batchBands: DataFrame,
+      maxInSet: Int = 10000, jaccMin: Double = 0.5): DataFrame = {
     // the batch's band keys prune the index scan to the files whose
     // key-clustered ranges intersect them — one bounded collect of the
     // (broadcast-sized by contract) batch keys, then a manifest
@@ -103,7 +109,7 @@ object IncrementalDedup {
       .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"),
         SVE.jaccard_sim(col("sha"), col("shb")).as("jacc"))
-      .filter(col("jacc") >= 0.5)
+      .filter(col("jacc") >= jaccMin)
   }
 
   /** Append a batch's band rows to the index as one CDC insert batch —
@@ -132,7 +138,10 @@ object IncrementalDedup {
     * Same pinned-base idempotency as [[graft.streaming.CdcStream
     * .attach]]: a post-crash replayed batch recomputes its original
     * version and is skipped, never double-appended. The batch is
-    * pinned for the probe + append double-use. */
+    * banded ONCE and the bands pinned — the probe, the within-batch
+    * pairing, and the append all reuse them (minhashing is the batch
+    * side's dominant cost; recomputing it per consumer would triple
+    * it). */
   def attachStream(lake: graft.lake.Mooncake, name: String,
       docs: DataFrame, checkpointDir: String,
       jaccardMin: Double = 0.5,
@@ -149,14 +158,12 @@ object IncrementalDedup {
         val version = base + batchId + 1
         val current = lake.currentManifest(name).commitVersion
         if (version > current) {
-          val pinned = batch.persist()
+          val bands = bandIndex(batch).persist()
           try {
-            val vsCorpus = dupPairs(s, lake, name, pinned)
-              .filter(col("jacc") >= jaccardMin)
+            val vsCorpus = dupPairsFromBands(s, lake, name, bands,
+                jaccMin = jaccardMin)
               .select(col("doc_b").as("doc_id"))
             // within-batch: lower-id exemplar survives
-            val bands = bandIndex(pinned)
-              .select(col("band"), col("key"), col("doc_id"), col("sh"))
             val a = bands.select(col("key"),
               col("doc_id").as("doc_a"), col("sh").as("sha"))
             val b = bands.select(col("key"),
@@ -166,12 +173,13 @@ object IncrementalDedup {
               .dropDuplicates("doc_a", "doc_b")
               .filter(SVE.jaccard_sim(col("sha"), col("shb")) >= jaccardMin)
               .select(col("doc_b").as("doc_id"))
-            val survivors = pinned.join(
-              vsCorpus.unionAll(vsBatch).distinct(),
+            val dropIds = vsCorpus.unionAll(vsBatch).distinct()
+            val survivorBands = bands.join(broadcast(dropIds),
               Seq("doc_id"), "left_anti")
-            appendBatch(s, lake, name, survivors, version)
+            lake.applyChanges(s, name,
+              survivorBands.withColumn("__op", lit("I")), version)
           } finally {
-            pinned.unpersist(blocking = false)
+            bands.unpersist(blocking = false)
             ()
           }
         }

@@ -333,17 +333,20 @@ class Mooncake(val warehouse: String) {
     * applies when a selective dimension drives a fact scan: the join-key
     * domain is derived from the (already filtered) build side AT RUN
     * TIME and only fact files whose per-file bounds can intersect it are
-    * opened. Returns a SUPERSET of the semi-join — key [min, max] bounds
-    * (plus the exact key set when small) are pushed as the scan
-    * predicate; the caller's subsequent join enforces exactness, so
-    * pruning can only cut IO, never change rows.
+    * opened. Returns a SUPERSET of the semi-join — the exact key set
+    * when the build side is small, its [min, max] bounds otherwise —
+    * pushed as the scan predicate; the caller's subsequent join
+    * enforces exactness, so pruning can only cut IO, never change
+    * rows. `keys` must be DETERMINISTIC (no sample()/unordered limit):
+    * the predicate comes from one evaluation and the caller's join
+    * re-evaluates the frame — see [[RuntimeFilter.keyPredicate]].
     *
     * The build side is collected only up to `maxInSet` distinct keys —
     * the same bounded-collect contract as Spark's own runtime bloom
-    * filter (a selective build side is broadcast-sized by definition).
-    * Above the cap, the key set is NOT pushed; the [min, max] range
-    * alone still prunes clustered fact layouts, and one tiny
-    * aggregation job is all the build side pays either way. */
+    * filter (a selective build side is broadcast-sized by definition);
+    * the common small case pays exactly ONE action. Above the cap, the
+    * key set is NOT pushed; a second [min, max] aggregation still
+    * prunes clustered fact layouts. */
   def readForKeys(spark: SparkSession, name: String, column: String,
       keys: DataFrame, atLeastVersion: Option[Long] = None,
       maxInSet: Int = 10000): DataFrame = {

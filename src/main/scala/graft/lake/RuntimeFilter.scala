@@ -25,16 +25,17 @@ object RuntimeFilter {
     *
     * ONE Spark action when the build side is small (≤ `maxInSet`
     * distinct keys — the common case): the collected set IS the
-    * predicate, complete by construction. Only an over-cap build side
-    * pays a second [min, max] aggregation — and because that second
-    * action re-evaluates `keys`, the range-only path additionally
-    * requires the build-side frame to be DETERMINISTIC (no sample()/
-    * unordered limit upstream): a nondeterministic frame could yield
-    * keys at join time outside the bounds the first action saw, and
-    * since read() re-applies the predicate as a row filter, matching
-    * fact rows would be silently dropped. The in-set path has no such
-    * exposure — the same single collect feeds both the filter and any
-    * later join. */
+    * predicate, complete by construction for THAT evaluation. Only an
+    * over-cap build side pays a second [min, max] aggregation.
+    *
+    * DETERMINISM REQUIREMENT (both paths): callers re-evaluate the
+    * `keys` frame afterwards — readForKeys callers join against it —
+    * and a NONDETERMINISTIC frame (sample(), unordered limit, rand())
+    * can produce keys on that later evaluation that the collected
+    * set/bounds never saw. Since read() re-applies the predicate as a
+    * row filter, matching fact rows would then be silently dropped.
+    * Pass only deterministic build sides; persist() a nondeterministic
+    * one first if you must. */
   def keyPredicate(keys: DataFrame, column: String,
       maxInSet: Int = 10000): Option[Column] = {
     val kcol =

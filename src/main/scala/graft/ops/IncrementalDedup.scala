@@ -86,6 +86,17 @@ object IncrementalDedup {
   private[ops] def dupPairsFromBands(s: SparkSession,
       lake: graft.lake.Mooncake, name: String, batchBands: DataFrame,
       maxInSet: Int = 10000, jaccMin: Double = 0.5): DataFrame = {
+    // Layout-format guard: the probe equi-joins on the BAND-PREFIXED
+    // key. An index persisted by the pre-prefix layout carries bare
+    // minhash keys under an identical schema — probing it would return
+    // zero pairs silently. The manifest's truncated string stats keep
+    // the first characters of the true min, so the "%02d:" prefix is
+    // checkable without opening a file.
+    val keyMin = lake.currentManifest(name).files
+      .flatMap(_.colMinStr.flatMap(_.get("key"))).headOption
+    require(keyMin.forall(_.matches("^\\d\\d:.*")),
+      s"band index '$name' predates the band-prefixed key layout " +
+        s"(key min ${keyMin.get.take(12)}…) — rebuild it with createIndex")
     // the batch's band keys prune the index scan to the files whose
     // key-clustered ranges intersect them — one bounded collect of the
     // (broadcast-sized by contract) batch keys, then a manifest
@@ -141,10 +152,13 @@ object IncrementalDedup {
     * banded ONCE and the bands pinned — the probe, the within-batch
     * pairing, and the append all reuse them (minhashing is the batch
     * side's dominant cost; recomputing it per consumer would triple
-    * it). */
+    * it). `maxInSet` caps the probe's pushed key set (docs × bands
+    * keys per micro-batch); raise it for large batches or the probe
+    * degrades to near-useless range-only pruning. */
   def attachStream(lake: graft.lake.Mooncake, name: String,
       docs: DataFrame, checkpointDir: String,
       jaccardMin: Double = 0.5,
+      maxInSet: Int = 10000,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -161,7 +175,7 @@ object IncrementalDedup {
           val bands = bandIndex(batch).persist()
           try {
             val vsCorpus = dupPairsFromBands(s, lake, name, bands,
-                jaccMin = jaccardMin)
+                maxInSet = maxInSet, jaccMin = jaccardMin)
               .select(col("doc_b").as("doc_id"))
             // within-batch: lower-id exemplar survives
             val a = bands.select(col("key"),

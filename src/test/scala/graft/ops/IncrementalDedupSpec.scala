@@ -156,5 +156,16 @@ class IncrementalDedupSpec extends SparkSuite {
       .inputFiles.count(_.contains("flat"))
     assert(flatOpened === flatTotal,
       "doc_id-clustered layout unexpectedly skipped key-probe files")
+
+    // an index persisted by the PRE-prefix layout (bare minhash keys)
+    // must refuse loudly — a silent zero-pair probe would let every
+    // duplicate through
+    val legacy = IncrementalDedup.bandIndex(corpus)
+      .withColumn("key", substring(col("key"), 4, Int.MaxValue))
+    lake.createTable(spark, "legacy", legacy, Seq("doc_id", "band"))
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.dupPairs(spark, lake, "legacy", batch).count()
+    }
+    assert(e.getMessage.contains("band-prefixed"))
   }
 }

@@ -170,6 +170,140 @@ case class DecimalMoments(child: Expression)
     copy(child = c)
 }
 
+/** Bounded sorted buffer of struct rows — the aggregation state of
+  * [[BoundedTopK]]: at most k rows, best-first. */
+final class TopKBuffer(val rows: scala.collection.mutable.ArrayBuffer[InternalRow])
+
+/** Per-group top-k as a BOUNDED-HEAP aggregate — the scale path beside
+  * the window/QUALIFY spelling: `row_number() OVER (PARTITION BY g
+  * ORDER BY …) <= k` shuffles EVERY row of every group and sorts each
+  * partition; this keeps at most k rows per group in each partial
+  * buffer, so the map side discards the losers before the exchange and
+  * the shuffle carries ≤ k·groups·tasks rows — at 100 TB the
+  * difference between moving the table and moving the answer.
+  *
+  * `child` is a struct whose FIRST `desc.length` fields are the sort
+  * key (per-field descending flags, window-identical null placement:
+  * asc → nulls first, desc → nulls last; give the key a unique
+  * tie-break field for determinism); the remaining fields are payload.
+  * Returns the k best rows as array<struct> best-first, so
+  * `posexplode` index + 1 IS the window's row_number. */
+case class BoundedTopK(
+    child: Expression,
+    k: Int,
+    desc: Seq[Boolean],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer]
+  with UnaryLike[Expression] {
+  require(k > 0, s"k must be positive, got $k")
+  require(desc.nonEmpty, "at least one sort field")
+
+  @transient private lazy val structType =
+    child.dataType.asInstanceOf[StructType]
+  @transient private lazy val fieldOrds: Array[Ordering[Any]] =
+    structType.fields.take(desc.length).map(f =>
+      org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(f.dataType)).toArray
+  @transient private lazy val ser =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(structType)
+
+  override def dataType: DataType = ArrayType(structType, containsNull = false)
+  override def nullable: Boolean = false
+
+  /** Window-ordering compare: negative = a ranks before b. */
+  private def cmp(a: InternalRow, b: InternalRow): Int = {
+    var i = 0
+    while (i < desc.length) {
+      val dt = structType.fields(i).dataType
+      val an = a.isNullAt(i)
+      val bn = b.isNullAt(i)
+      val c =
+        if (an && bn) 0
+        else if (an) { if (desc(i)) 1 else -1 } // asc: nulls first
+        else if (bn) { if (desc(i)) -1 else 1 } // desc: nulls last
+        else {
+          val base = fieldOrds(i).compare(a.get(i, dt), b.get(i, dt))
+          if (desc(i)) -base else base
+        }
+      if (c != 0) return c
+      i += 1
+    }
+    0
+  }
+
+  private def insert(buf: TopKBuffer, row: InternalRow): Unit = {
+    val rows = buf.rows
+    if (rows.length == k && cmp(row, rows.last) >= 0) return
+    // binary search: first index whose row ranks after `row` (stable —
+    // equal keys keep arrival order)
+    var lo = 0
+    var hi = rows.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (cmp(row, rows(mid)) < 0) hi = mid else lo = mid + 1
+    }
+    rows.insert(lo, row.copy())
+    if (rows.length > k) { rows.remove(rows.length - 1); () }
+  }
+
+  override def createAggregationBuffer(): TopKBuffer =
+    new TopKBuffer(scala.collection.mutable.ArrayBuffer.empty)
+
+  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, v.asInstanceOf[InternalRow])
+    buf
+  }
+
+  override def merge(buf: TopKBuffer, other: TopKBuffer): TopKBuffer = {
+    other.rows.foreach(insert(buf, _))
+    buf
+  }
+
+  override def eval(buf: TopKBuffer): Any =
+    new GenericArrayData(buf.rows.toArray[Any])
+
+  override def serialize(buf: TopKBuffer): Array[Byte] = {
+    val parts = buf.rows.map { r =>
+      val u = ser(r)
+      val bytes = new Array[Byte](u.getSizeInBytes)
+      u.writeToMemory(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
+      bytes
+    }
+    val bb = ByteBuffer.allocate(4 + parts.map(4 + _.length).sum)
+    bb.putInt(parts.length)
+    parts.foreach { p => bb.putInt(p.length); bb.put(p) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val rows = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val part = new Array[Byte](len)
+      bb.get(part)
+      val u = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(
+        structType.length)
+      u.pointTo(part, len)
+      rows += u
+      i += 1
+    }
+    new TopKBuffer(rows)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BoundedTopK =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BoundedTopK =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): BoundedTopK =
+    copy(child = c)
+}
+
 object AggExpressions {
   import ColumnBridge.{column, expression => expr}
 
@@ -180,4 +314,9 @@ object AggExpressions {
   /** Struct(n, s1, s2) of exact single-pass moments of a decimal column. */
   def decimal_moments(c: Column): Column =
     column(DecimalMoments(expr(c)).toAggregateExpression())
+
+  /** k best struct rows under per-field (desc?) ordering, best-first —
+    * the bounded-heap top-k ([[BoundedTopK]]). */
+  def bounded_top_k(c: Column, k: Int, desc: Seq[Boolean]): Column =
+    column(BoundedTopK(expr(c), k, desc).toAggregateExpression())
 }

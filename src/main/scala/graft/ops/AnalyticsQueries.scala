@@ -113,6 +113,29 @@ object AnalyticsQueries {
       |QUALIFY rn <= 3
       |ORDER BY o_orderstatus, rn""".stripMargin
 
+  /** [[topkPerGroup]]'s SCALE PATH — same semantic, same oracle, the
+    * plan a 100 TB fact table needs: the window/QUALIFY spelling
+    * shuffles EVERY row of every group and sorts each partition; the
+    * bounded-heap aggregate ([[graft.functions.expressions.BoundedTopK]])
+    * discards losers MAP-SIDE, so the exchange carries ≤ k rows per
+    * group per task and the final merge is k-row-per-buffer work. The
+    * posexplode index + 1 reproduces the window's row_number exactly
+    * (same (price desc, orderkey asc) ordering, unique tie-break). */
+  val topkPerGroupHeap: Q = (s, dir) => {
+    import graft.functions.expressions.{AggExpressions => AE}
+    t(s, dir, "orders")
+      .select(col("o_orderstatus"),
+        struct(col("o_totalprice"), col("o_orderkey")).as("r"))
+      .groupBy("o_orderstatus")
+      .agg(AE.bounded_top_k(col("r"), 3, Seq(true, false)).as("top"))
+      .select(col("o_orderstatus"), posexplode(col("top")).as(Seq("i", "r")))
+      .select(col("o_orderstatus"),
+        col("r.o_orderkey").as("o_orderkey"),
+        col("r.o_totalprice").as("o_totalprice"),
+        (col("i") + 1).cast("bigint").as("rn"))
+      .orderBy("o_orderstatus", "rn")
+  }
+
   /** DISTINCT ON (the Postgres idiom the reference's users write): one
     * row per customer — their single largest order. Spark expresses it
     * as rank-1 over the same ordering; DuckDB ships DISTINCT ON
@@ -368,6 +391,7 @@ object AnalyticsQueries {
     "q_unpivot" -> unpivotCustomer,
     "q_recursive_cte" -> recursiveCte,
     "q_topk_per_group" -> topkPerGroup,
+    "q_topk_heap" -> topkPerGroupHeap,
     "q_join_lateral" -> joinLateral,
     "q_distinct_on" -> distinctOn,
     "q_sample_hash" -> sampleHash,
@@ -385,6 +409,7 @@ object AnalyticsQueries {
     "q_unpivot" -> unpivotCustomerSql,
     "q_recursive_cte" -> recursiveCteSql,
     "q_topk_per_group" -> topkPerGroupSql,
+    "q_topk_heap" -> topkPerGroupSql,
     "q_join_lateral" -> joinLateralSql,
     "q_distinct_on" -> distinctOnSql,
     "q_sample_hash" -> sampleHashSql,

@@ -304,6 +304,147 @@ case class BoundedTopK(
     copy(child = c)
 }
 
+/** Misra–Gries counter state of [[FrequentItems]]: at most `m` (item →
+  * undercount) entries. */
+final class FreqBuffer(val counts: scala.collection.mutable.HashMap[Any, Long])
+
+/** Heavy hitters (frequent items) as a BOUNDED-STATE sketch aggregate —
+  * the Misra–Gries summary (merged per Agarwal et al.'s mergeable-
+  * summaries rule): at most `m` counters per buffer regardless of
+  * cardinality, merged by pairwise sum then subtracting the (m+1)-th
+  * largest count. The ORDER-INDEPENDENT guarantee the oracle contract
+  * rides on: every item with true count > N/(m+1) is present, and each
+  * reported estimate undercounts by at most N/(m+1). (Estimates
+  * themselves DO depend on partial-merge order — only the guarantee is
+  * deterministic, which is why the checked query compares booleans,
+  * not estimates; the HLL in-band pattern.)
+  *
+  * At 100 TB this replaces the exact token-count shuffle (vocabulary-
+  * cardinality state) with m counters per map task — the same
+  * bounded-vs-unbounded trade approx_count_distinct makes for
+  * count(DISTINCT). Returns array<struct<item, est>> sorted
+  * (est desc, item asc). */
+case class FrequentItems(
+    child: Expression,
+    m: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[FreqBuffer]
+  with UnaryLike[Expression] {
+  require(m > 0, s"capacity must be positive, got $m")
+
+  @transient private lazy val entryType = StructType(Seq(
+    StructField("item", child.dataType, nullable = false),
+    StructField("est", LongType, nullable = false)))
+  @transient private lazy val ser =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(entryType)
+  @transient private lazy val itemOrd: Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(child.dataType)
+
+  override def dataType: DataType = ArrayType(entryType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): FreqBuffer =
+    new FreqBuffer(scala.collection.mutable.HashMap.empty)
+
+  override def update(buf: FreqBuffer, input: InternalRow): FreqBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      // eval results may alias reused buffers — copy before keying
+      val key = v match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+        case o => o
+      }
+      val c = buf.counts
+      c.get(key) match {
+        case Some(n) => c.update(key, n + 1)
+        case None if c.size < m => c.update(key, 1L)
+        case None =>
+          // classic MG: a full summary meeting a new item decrements
+          // every counter by one (the new item's count cancels too)
+          val dead = c.iterator.collect {
+            case (k, 1L) => k
+          }.toList
+          c.mapValuesInPlace((_, n) => n - 1)
+          dead.foreach(c.remove)
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: FreqBuffer, other: FreqBuffer): FreqBuffer = {
+    val c = buf.counts
+    other.counts.foreach { case (k, n) =>
+      c.update(k, c.getOrElse(k, 0L) + n)
+    }
+    if (c.size > m) {
+      // subtract the (m+1)-th largest count from everything, drop ≤0 —
+      // the mergeable-summaries rule that preserves the N/(m+1) bound
+      val sorted = c.values.toArray
+      java.util.Arrays.sort(sorted)
+      val cut = sorted(sorted.length - m - 1)
+      val dead = c.iterator.collect {
+        case (k, n) if n <= cut => k
+      }.toList
+      c.mapValuesInPlace((_, n) => n - cut)
+      dead.foreach(c.remove)
+    }
+    buf
+  }
+
+  override def eval(buf: FreqBuffer): Any = {
+    val entries = buf.counts.toArray.sortWith { (a, b) =>
+      if (a._2 != b._2) a._2 > b._2 else itemOrd.compare(a._1, b._1) < 0
+    }
+    new GenericArrayData(entries.map { case (k, n) =>
+      InternalRow(k, n): Any
+    })
+  }
+
+  override def serialize(buf: FreqBuffer): Array[Byte] = {
+    val parts = buf.counts.toSeq.map { case (k, n) =>
+      val u = ser(InternalRow(k, n))
+      val bytes = new Array[Byte](u.getSizeInBytes)
+      u.writeToMemory(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
+      bytes
+    }
+    val bb = ByteBuffer.allocate(4 + parts.map(4 + _.length).sum)
+    bb.putInt(parts.length)
+    parts.foreach { p => bb.putInt(p.length); bb.put(p) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): FreqBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val counts = scala.collection.mutable.HashMap.empty[Any, Long]
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val part = new Array[Byte](len)
+      bb.get(part)
+      val u = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(2)
+      u.pointTo(part, len)
+      val key = u.get(0, child.dataType) match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+        case o => o
+      }
+      counts.update(key, u.getLong(1))
+      i += 1
+    }
+    new FreqBuffer(counts)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): FrequentItems =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FrequentItems =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): FrequentItems =
+    copy(child = c)
+}
+
 object AggExpressions {
   import ColumnBridge.{column, expression => expr}
 
@@ -319,4 +460,9 @@ object AggExpressions {
     * the bounded-heap top-k ([[BoundedTopK]]). */
   def bounded_top_k(c: Column, k: Int, desc: Seq[Boolean]): Column =
     column(BoundedTopK(expr(c), k, desc).toAggregateExpression())
+
+  /** Misra–Gries heavy hitters: array<struct<item, est>> with ≤ m
+    * entries ([[FrequentItems]]). */
+  def frequent_items(c: Column, m: Int): Column =
+    column(FrequentItems(expr(c), m).toAggregateExpression())
 }

@@ -1083,11 +1083,52 @@ object PipelineQueries {
       |  CAST(sur_sum AS DOUBLE)/n_tok <= 31000000.0 AS keep
       |FROM doc ORDER BY doc_id""".stripMargin
 
+  /** Heavy-hitter tokens via the bounded-state Misra–Gries sketch
+    * ([[graft.functions.expressions.FrequentItems]]) under its
+    * ORDER-INDEPENDENT guarantee contract (the HLL in-band pattern —
+    * sketch estimates vary with partial-merge order, so the compared
+    * output carries exact counts plus guarantee booleans, never the
+    * estimates): every token with exact count > N/(m+1) must be
+    * PRESENT in the sketch, undercounting by at most N/(m+1) (checked
+    * in exact integer arithmetic). m = 28 sits below the fixture's
+    * 31-token vocabulary, so the counters genuinely churn. At 100 TB
+    * the sketch replaces the vocabulary-cardinality exact count
+    * shuffle with m counters per map task; the exact side here is the
+    * verification harness, not the plan. */
+  val textHeavyHitters: Q = (s, dir) => {
+    import graft.functions.expressions.{AggExpressions => AE}
+    val M = 28
+    val tok = docs(s, dir).select(explode(TF.tokens(col("text"))).as("tk"))
+    val sk = tok.agg(AE.frequent_items(col("tk"), M).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item").as("tk"), col("e.est").as("est"))
+    val exact = tok.groupBy("tk").agg(count(lit(1)).as("cnt"))
+    val tot = exact.agg(sum("cnt").as("n"))
+    exact.crossJoin(broadcast(tot))
+      .filter(col("cnt") * (M + 1) > col("n"))
+      .join(broadcast(sk), Seq("tk"), "left")
+      .select(col("tk"), col("cnt"),
+        col("est").isNotNull.as("present"),
+        coalesce(col("est") <= col("cnt") &&
+          (col("cnt") - col("est")) * (M + 1) <= col("n"), lit(false))
+          .as("within_bound"))
+      .orderBy("tk")
+  }
+
+  val textHeavyHittersSql: String =
+    """WITH t AS (SELECT unnest(string_split(text,' ')) AS tk
+      |    FROM documents),
+      |c AS (SELECT tk, count(*) AS cnt FROM t GROUP BY tk),
+      |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
+      |SELECT tk, cnt, TRUE AS present, TRUE AS within_bound
+      |FROM c, n WHERE cnt * 29 > n ORDER BY tk""".stripMargin
+
   // ===========================================================================
   // registry
   // ===========================================================================
 
   val queries: Map[String, Q] = Map(
+    "q_text_heavy_hitters" -> textHeavyHitters,
     "q_text_vocab" -> textVocab,
     "q_text_stats" -> textStats,
     "q_text_langid" -> textLangId,
@@ -1134,6 +1175,7 @@ object PipelineQueries {
     "q_dedup_substring" -> dedupSubstringSql,
     "q_sample_importance" -> sampleImportanceSql,
     "q_text_perplexity" -> textPerplexitySql,
+    "q_text_heavy_hitters" -> textHeavyHittersSql,
     // the persisted-index probe must reproduce the declarative IVF
     // pipeline bit-for-bit — same oracle by construction
     "q_embed_index" -> embedIvfSql,

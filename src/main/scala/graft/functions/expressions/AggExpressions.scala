@@ -170,6 +170,43 @@ case class DecimalMoments(child: Expression)
     copy(child = c)
 }
 
+/** Length-prefixed UnsafeRow framing shared by the row-buffer
+  * aggregates ([[BoundedTopK]], [[FrequentItems]]): count, then
+  * per-row length + bytes. One implementation so a framing fix can
+  * never drift between the two. */
+private[expressions] object RowFraming {
+  def write(rows: Seq[InternalRow],
+      ser: org.apache.spark.sql.catalyst.expressions.UnsafeProjection)
+      : Array[Byte] = {
+    val parts = rows.map { r =>
+      val u = ser(r)
+      val bytes = new Array[Byte](u.getSizeInBytes)
+      u.writeToMemory(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
+      bytes
+    }
+    val bb = ByteBuffer.allocate(4 + parts.map(4 + _.length).sum)
+    bb.putInt(parts.length)
+    parts.foreach { p => bb.putInt(p.length); bb.put(p) }
+    bb.array()
+  }
+
+  /** Each returned row owns its byte array — safe to hold. */
+  def read(bytes: Array[Byte], numFields: Int): Seq[InternalRow] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    (0 until n).map { _ =>
+      val len = bb.getInt
+      val part = new Array[Byte](len)
+      bb.get(part)
+      val u = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(
+        numFields)
+      u.pointTo(part, len)
+      u
+    }
+  }
+}
+
 /** Bounded sorted buffer of struct rows — the aggregation state of
   * [[BoundedTopK]]: at most k rows, best-first. */
 final class TopKBuffer(val rows: scala.collection.mutable.ArrayBuffer[InternalRow])
@@ -187,7 +224,13 @@ final class TopKBuffer(val rows: scala.collection.mutable.ArrayBuffer[InternalRo
   * asc → nulls first, desc → nulls last; give the key a unique
   * tie-break field for determinism); the remaining fields are payload.
   * Returns the k best rows as array<struct> best-first, so
-  * `posexplode` index + 1 IS the window's row_number. */
+  * `posexplode` index + 1 IS the window's row_number.
+  *
+  * A NULL struct VALUE (a nullable struct column, not an inline
+  * `struct(...)`) is skipped — the unit being ranked is a row, and a
+  * null row has no fields to rank; null SORT FIELDS inside a non-null
+  * struct rank exactly like the window. Build the struct inline to
+  * stay row-for-row identical to the window spelling. */
 case class BoundedTopK(
     child: Expression,
     k: Int,
@@ -199,8 +242,13 @@ case class BoundedTopK(
   require(k > 0, s"k must be positive, got $k")
   require(desc.nonEmpty, "at least one sort field")
 
-  @transient private lazy val structType =
-    child.dataType.asInstanceOf[StructType]
+  @transient private lazy val structType = {
+    val st = child.dataType.asInstanceOf[StructType]
+    require(desc.length <= st.length,
+      s"bounded_top_k: ${desc.length} sort flags for a " +
+        s"${st.length}-field struct")
+    st
+  }
   @transient private lazy val fieldOrds: Array[Ordering[Any]] =
     structType.fields.take(desc.length).map(f =>
       org.apache.spark.sql.catalyst.util.TypeUtils
@@ -265,36 +313,12 @@ case class BoundedTopK(
   override def eval(buf: TopKBuffer): Any =
     new GenericArrayData(buf.rows.toArray[Any])
 
-  override def serialize(buf: TopKBuffer): Array[Byte] = {
-    val parts = buf.rows.map { r =>
-      val u = ser(r)
-      val bytes = new Array[Byte](u.getSizeInBytes)
-      u.writeToMemory(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
-      bytes
-    }
-    val bb = ByteBuffer.allocate(4 + parts.map(4 + _.length).sum)
-    bb.putInt(parts.length)
-    parts.foreach { p => bb.putInt(p.length); bb.put(p) }
-    bb.array()
-  }
+  override def serialize(buf: TopKBuffer): Array[Byte] =
+    RowFraming.write(buf.rows.toSeq, ser)
 
-  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val rows = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-    var i = 0
-    while (i < n) {
-      val len = bb.getInt
-      val part = new Array[Byte](len)
-      bb.get(part)
-      val u = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(
-        structType.length)
-      u.pointTo(part, len)
-      rows += u
-      i += 1
-    }
-    new TopKBuffer(rows)
-  }
+  override def deserialize(bytes: Array[Byte]): TopKBuffer =
+    new TopKBuffer(scala.collection.mutable.ArrayBuffer.from(
+      RowFraming.read(bytes, structType.length)))
 
   override def withNewMutableAggBufferOffset(o: Int): BoundedTopK =
     copy(mutableAggBufferOffset = o)
@@ -332,6 +356,32 @@ case class FrequentItems(
   extends TypedImperativeAggregate[FreqBuffer]
   with UnaryLike[Expression] {
   require(m > 0, s"capacity must be positive, got $m")
+
+  // The counters key a JVM HashMap on eval results, which needs VALUE
+  // equality: atomic types qualify (UTF8String included), but binary
+  // (Array[Byte] — reference equality, every occurrence a fresh key)
+  // and nested types do not — reject them at analysis, not silently
+  // mis-count at runtime.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            "frequent_items does not support binary items (no value " +
+              "equality) — hash or encode them first")
+      case dt
+          if dt == org.apache.spark.sql.types.StringType ||
+            dt == org.apache.spark.sql.types.BooleanType ||
+            dt == org.apache.spark.sql.types.DateType ||
+            dt == org.apache.spark.sql.types.TimestampType ||
+            dt == org.apache.spark.sql.types.TimestampNTZType ||
+            dt.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"frequent_items does not support $t items")
+    }
 
   @transient private lazy val entryType = StructType(Seq(
     StructField("item", child.dataType, nullable = false),
@@ -403,36 +453,18 @@ case class FrequentItems(
     })
   }
 
-  override def serialize(buf: FreqBuffer): Array[Byte] = {
-    val parts = buf.counts.toSeq.map { case (k, n) =>
-      val u = ser(InternalRow(k, n))
-      val bytes = new Array[Byte](u.getSizeInBytes)
-      u.writeToMemory(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
-      bytes
-    }
-    val bb = ByteBuffer.allocate(4 + parts.map(4 + _.length).sum)
-    bb.putInt(parts.length)
-    parts.foreach { p => bb.putInt(p.length); bb.put(p) }
-    bb.array()
-  }
+  override def serialize(buf: FreqBuffer): Array[Byte] =
+    RowFraming.write(
+      buf.counts.toSeq.map { case (k, n) => InternalRow(k, n) }, ser)
 
   override def deserialize(bytes: Array[Byte]): FreqBuffer = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt
     val counts = scala.collection.mutable.HashMap.empty[Any, Long]
-    var i = 0
-    while (i < n) {
-      val len = bb.getInt
-      val part = new Array[Byte](len)
-      bb.get(part)
-      val u = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(2)
-      u.pointTo(part, len)
+    RowFraming.read(bytes, 2).foreach { u =>
       val key = u.get(0, child.dataType) match {
         case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
         case o => o
       }
       counts.update(key, u.getLong(1))
-      i += 1
     }
     new FreqBuffer(counts)
   }

@@ -1102,6 +1102,10 @@ object PipelineQueries {
     val sk = tok.agg(AE.frequent_items(col("tk"), M).as("sk"))
       .select(explode(col("sk")).as("e"))
       .select(col("e.item").as("tk"), col("e.est").as("est"))
+    // `exact` feeds both the total and the heavy filter within ONE
+    // action, so its exchange is planned once (ReusedExchange); the
+    // sketch branch is the only second pass over the token stream —
+    // and the exact side exists solely as the verification harness
     val exact = tok.groupBy("tk").agg(count(lit(1)).as("cnt"))
     val tot = exact.agg(sum("cnt").as("n"))
     exact.crossJoin(broadcast(tot))

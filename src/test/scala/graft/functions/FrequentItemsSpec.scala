@@ -44,6 +44,14 @@ class FrequentItemsSpec extends SparkSuite {
     check(rows.toDF("v").repartition(16), "v", m = 3)
   }
 
+  test("binary items are rejected at analysis (no value equality)") {
+    val df = Seq(Array[Byte](1, 2)).toDF("b")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(AE.frequent_items(col("b"), 4)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("frequent_items"))
+  }
+
   test("string items round-trip buffers and serialization") {
     val rows = (0 until 30).flatMap(i =>
       Seq.fill(1500 / (i + 1))(s"token-$i"))

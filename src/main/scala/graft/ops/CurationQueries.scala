@@ -5,7 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.expressions.{SetVectorExpressions => SVE}
+import graft.functions.expressions.{BloomExpressions => BF,
+  HashExpressions => HE, SetVectorExpressions => SVE}
+import graft.functions.expressions.BloomRuntime
 
 /** Corpus-curation operators a training-data pipeline runs after the
   * per-document analyses in [[PipelineQueries]]: dedup-cluster closure,
@@ -191,6 +193,79 @@ object CurationQueries {
        |HAVING count(*) >= 2
        |ORDER BY train_doc, eval_doc""".stripMargin
 
+  /** Bloom-filter decontamination — the SCALE spelling of
+    * [[contamination]]. The n-gram join there shuffles the candidate
+    * set; here the eval-set shingle hashes fold into ONE fixed-size bit
+    * array ([[graft.functions.expressions.BloomBuild]] — state O(m)
+    * regardless of eval cardinality, merged by bitwise OR), sized from a
+    * pre-counted eval cardinality (16 bits/key, k=7 → ~7e-4 FP), and the
+    * corpus probes it as a narrow codegen'd per-row kernel
+    * ([[graft.functions.expressions.BloomCountContained]]): at 100 TB
+    * the DECISION leg never shuffles, never explodes, never joins — the
+    * only exchange is the source-level summary rows.
+    *
+    * Verified under the HLL/heavy-hitters in-band pattern: sketches
+    * can't hash-match an oracle, but their CONTRACT can. Output carries
+    * the exact per-source contamination counts (the harness leg — the
+    * same broadcast n-gram join as [[contamination]], which DuckDB
+    * reproduces) plus two booleans the oracle expects TRUE:
+    * `no_false_negative` (every doc's bloom evidence count >= its exact
+    * shared-shingle count — Bloom filters cannot miss, so a FALSE here
+    * is a broken filter) and `fp_within_bound` (total FP excess <=
+    * 16 + 1% of probes, ~14x the expected FP mass — a saturated or
+    * mis-sized filter flips it). */
+  val decontaminateBloom: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val isEval = col("doc_id") % 100 === 0
+    // Build side: eval-set shingle hashes -> sized Bloom filter. Both
+    // actions run on the (small by definition) eval side only.
+    val evHashes = d.filter(isEval)
+      .select(explode(HE.shingle_hashes(col("text"), 3)).as("h"))
+    val numBits = BloomRuntime.sizeBits(evHashes.count())
+    val bloom = evHashes.agg(BF.bloom_build(col("h"), numBits, 7).as("b"))
+      .head().getAs[Array[Byte]](0)
+    // Harness leg: exact shared-shingle counts via the broadcast join.
+    val evShingles = d.filter(isEval)
+      .select(explode(SVE.word_shingles(col("text"), 3)).as("g")).distinct()
+    val train = d.filter(!isEval)
+    val exactHits = train
+      .select(col("doc_id"), explode(SVE.word_shingles(col("text"), 3)).as("g"))
+      .join(broadcast(evShingles), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("exact_hits"))
+    // Decision leg: narrow map over the corpus — no explode, no join.
+    train
+      .select(col("doc_id"), col("source"),
+        BF.bloom_count_contained(HE.shingle_hashes(col("text"), 3), bloom, 7)
+          .cast("bigint").as("bloom_hits"),
+        size(HE.shingle_hashes(col("text"), 3)).cast("bigint").as("n_sh"))
+      .join(exactHits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("exact_hits"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("exact_hits") >= 2, 1)).as("n_flagged"),
+        (min(col("bloom_hits") - col("exact_hits")) >= 0)
+          .as("no_false_negative"),
+        ((sum(col("bloom_hits")) - sum(col("exact_hits")))
+          <= lit(16L) + expr("sum(n_sh) DIV 100")).as("fp_within_bound"))
+      .orderBy("source")
+  }
+
+  val decontaminateBloomSql: String =
+    s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+       |s AS (SELECT doc_id, source, ${PipelineQueries.sqlShingles} AS sh FROM t),
+       |x AS (SELECT doc_id, source, unnest(sh) AS g FROM s),
+       |ev AS (SELECT DISTINCT g FROM x WHERE doc_id % 100 = 0),
+       |hits AS (SELECT x.doc_id, count(*) AS h FROM x JOIN ev USING (g)
+       |         WHERE x.doc_id % 100 <> 0 GROUP BY x.doc_id),
+       |tr AS (SELECT s.doc_id, s.source, coalesce(h.h, 0) AS h
+       |       FROM s LEFT JOIN hits h ON s.doc_id = h.doc_id
+       |       WHERE s.doc_id % 100 <> 0)
+       |SELECT source, count(*) AS n_docs,
+       |  count(CASE WHEN h >= 2 THEN 1 END) AS n_flagged,
+       |  TRUE AS no_false_negative, TRUE AS fp_within_bound
+       |FROM tr GROUP BY source ORDER BY source""".stripMargin
+
   // ===========================================================================
   // Sequence packing: token-budget batches for training
   // ===========================================================================
@@ -367,6 +442,7 @@ object CurationQueries {
     "q_sample_stratified" -> sampleStratified,
     "q_text_redact" -> textRedact,
     "q_contamination" -> contamination,
+    "q_decontaminate_bloom" -> decontaminateBloom,
     "q_pack_sequences" -> packSequences,
     "q_shuffle_epoch" -> shuffleEpoch,
     "q_split_assign" -> splitAssign,
@@ -379,6 +455,7 @@ object CurationQueries {
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_text_redact" -> textRedactSql,
     "q_contamination" -> contaminationSql,
+    "q_decontaminate_bloom" -> decontaminateBloomSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_shuffle_epoch" -> shuffleEpochSql,
     "q_split_assign" -> splitAssignSql,

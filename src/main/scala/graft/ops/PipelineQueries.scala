@@ -889,6 +889,64 @@ object PipelineQueries {
       |SELECT doc_id, rank, token, score FROM r WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
+  /** BM25-class keyword retrieval: top-10 docs for a fixed 3-term query.
+    * Same Okapi shape — tf saturation (k1=1.2) and length normalization
+    * (b=0.75) — but in EXACT integral arithmetic (the [[textTfidf]] /
+    * DSIR precedent): the tf leg multiplies through by 10·L so the
+    * k1/b fractions become integers, and the log-idf is replaced by the
+    * scaled odds ratio (2(N−df)+1)/(2df+1) itself — same monotone
+    * ordering in df, zero float/transcendental parity risk. Products
+    * ride decimal(38,0)/HUGEINT (`div`/`//`), so no 2^53 or int64 bound.
+    *
+    * 100 TB shape: only tokens equal to a query term survive the
+    * map-side filter, so the one exchange carries candidate
+    * (doc, term, tf) rows — corpus-size-independent for selective
+    * terms; corpus stats (N, L) and per-term df are single-row /
+    * term-count-sized broadcasts; the final cut is TakeOrdered (heap
+    * per partition), never a global sort. */
+  val textBm25: Q = (s, dir) => {
+    val terms = Seq("spark", "vector", "merge")
+    val d = docs(s, dir).select(col("doc_id"),
+      split(col("text"), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).cast("bigint").as("dl"), col("w"))
+    val st = d.agg(count(lit(1)).cast("bigint").as("n"),
+      sum(col("dl")).as("l"))
+    val f = d.select(col("doc_id"), col("dl"), explode(col("w")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+    val dfx = f.groupBy("token")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    f.join(broadcast(dfx), "token").crossJoin(broadcast(st))
+      .withColumn("score_t", expr(
+        """(CAST(1000 AS DECIMAL(38,0))*(2*(n - df)+1) DIV (2*df+1)) *
+          |(CAST(22 AS DECIMAL(38,0))*tf*l*1000000 DIV
+          |  (CAST(10 AS DECIMAL(38,0))*tf*l + 3*l + 9*dl*n))""".stripMargin))
+      .groupBy("doc_id")
+      .agg(sum(col("score_t")).cast("bigint").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val textBm25Sql: String =
+    """WITH p AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM p),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |              CAST(sum(dl) AS BIGINT) AS l FROM d),
+      |x AS (SELECT doc_id, dl, unnest(w) AS token FROM d),
+      |f AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf FROM x
+      |      WHERE token IN ('spark', 'vector', 'merge')
+      |      GROUP BY doc_id, dl, token),
+      |dfx AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |        FROM f GROUP BY token),
+      |sc AS (SELECT f.doc_id,
+      |    (CAST(1000 AS HUGEINT)*(2*(st.n - dfx.df)+1) // (2*dfx.df+1)) *
+      |    (CAST(22 AS HUGEINT)*f.tf*st.l*1000000 //
+      |      (CAST(10 AS HUGEINT)*f.tf*st.l + 3*st.l + 9*f.dl*st.n)) AS score_t
+      |  FROM f JOIN dfx USING (token) CROSS JOIN st)
+      |SELECT doc_id, CAST(sum(score_t) AS BIGINT) AS score
+      |FROM sc GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
   /** Corpus vocabulary top-k: explode whitespace tokens, count, rank.
     * The canonical giant-shuffle text op — at 100 TB the explode is
     * map-local, the count partial-aggregates map-side (combine before
@@ -1151,6 +1209,7 @@ object PipelineQueries {
     "q_embed_pq" -> embedPq,
     "q_cluster_sample" -> clusterSample,
     "q_text_tfidf" -> textTfidf,
+    "q_text_bm25" -> textBm25,
     "q_dedup_substring" -> dedupSubstring,
     "q_sample_importance" -> sampleImportance,
     "q_text_perplexity" -> textPerplexity,
@@ -1160,6 +1219,7 @@ object PipelineQueries {
   val oracleSql: Map[String, String] = Map(
     "q_cluster_sample" -> clusterSampleSql,
     "q_text_tfidf" -> textTfidfSql,
+    "q_text_bm25" -> textBm25Sql,
     "q_text_vocab" -> textVocabSql,
     "q_text_stats" -> textStatsSql,
     "q_text_langid" -> textLangIdSql,

@@ -1089,6 +1089,68 @@ object RelationalQueries {
       |  quantile_cont(l_extendedprice, 0.75) AS p75_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Quantile SKETCH — the bounded-state scale twin of [[percentile]].
+    * [[ExactPercentiles]]' state is O(group rows); at 100 TB the plan is
+    * `approx_percentile` (Greenwald–Khanna class: mergeable, state
+    * bounded by the accuracy parameter, partial-aggregated map-side so
+    * the exchange moves sketches, never values). Sketch estimates are
+    * engine-specific and can never hash-match an oracle, so this is
+    * verified under the HLL/heavy-hitters in-band pattern: the compared
+    * output carries EXACT integer discrete quantiles (cents; smallest x
+    * with #rows<=x >= ceil(p*n), pure integer arithmetic both engines)
+    * plus a boolean asserting each sketch value's true rank lands within
+    * 1% of p*n — 10x the requested 0.1% guarantee. A sketch regression
+    * flips a hash-checked cell; the exact leg is the verification
+    * harness, not the plan. */
+  val quantileSketch: Q = (s, dir) => {
+    val v = t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
+      (col("l_extendedprice") * 100).cast("bigint").as("x"))
+    // Decision leg: one bounded-state sketch pass.
+    val sk = v.groupBy("g")
+      .agg(percentile_approx(col("x"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(1000)).as("sv"))
+      .select(col("g"), element_at(col("sv"), 1).as("s50"),
+        element_at(col("sv"), 2).as("s90"), element_at(col("sv"), 3).as("s99"))
+    // Harness leg: per-value counts -> cumulative ranks (x is distinct
+    // per row after the groupBy, so the default RANGE frame is exact).
+    val wc = Window.partitionBy("g").orderBy("x")
+    val wn = Window.partitionBy("g")
+    val wdf = v.groupBy("g", "x").agg(count(lit(1)).as("cnt"))
+      .select(col("g"), col("x"), sum("cnt").over(wc).as("cum"),
+        sum("cnt").over(wn).as("ntot"))
+    val exact = wdf.groupBy("g").agg(
+      max("ntot").as("n"),
+      expr("min(CASE WHEN cum >= (ntot+1) DIV 2 THEN x END)").as("p50"),
+      expr("min(CASE WHEN cum >= (9*ntot+9) DIV 10 THEN x END)").as("p90"),
+      expr("min(CASE WHEN cum >= (99*ntot+99) DIV 100 THEN x END)").as("p99"))
+    val ranks = wdf.join(broadcast(sk), "g").groupBy("g").agg(
+      coalesce(max(when(col("x") <= col("s50"), col("cum"))), lit(0L)).as("r50"),
+      coalesce(max(when(col("x") <= col("s90"), col("cum"))), lit(0L)).as("r90"),
+      coalesce(max(when(col("x") <= col("s99"), col("cum"))), lit(0L)).as("r99"),
+      max("ntot").as("nr"))
+    exact.join(ranks, "g")
+      .select(col("g").as("l_returnflag"), col("n"),
+        col("p50"), col("p90"), col("p99"),
+        (abs(lit(10000) * col("r50") - lit(5000) * col("nr")) <= lit(100) * col("nr") &&
+          abs(lit(10000) * col("r90") - lit(9000) * col("nr")) <= lit(100) * col("nr") &&
+          abs(lit(10000) * col("r99") - lit(9900) * col("nr")) <= lit(100) * col("nr"))
+          .as("sketch_within_bound"))
+      .orderBy("l_returnflag")
+  }
+
+  val quantileSketchSql: String =
+    """WITH v AS (SELECT l_returnflag AS g,
+      |            CAST(l_extendedprice*100 AS BIGINT) AS x FROM lineitem),
+      |c AS (SELECT g, x, count(*) AS cnt FROM v GROUP BY g, x),
+      |w AS (SELECT g, x, sum(cnt) OVER (PARTITION BY g ORDER BY x) AS cum,
+      |             sum(cnt) OVER (PARTITION BY g) AS ntot FROM c)
+      |SELECT g AS l_returnflag, CAST(max(ntot) AS BIGINT) AS n,
+      |  min(CASE WHEN cum >= (ntot+1)//2 THEN x END) AS p50,
+      |  min(CASE WHEN cum >= (9*ntot+9)//10 THEN x END) AS p90,
+      |  min(CASE WHEN cum >= (99*ntot+99)//100 THEN x END) AS p99,
+      |  TRUE AS sketch_within_bound
+      |FROM w GROUP BY g ORDER BY l_returnflag""".stripMargin
+
   /** Typed Dataset aggregation: Encoder + groupByKey + a custom
     * Aggregator (the §2.10 UDAF surface) — the compile-time-checked
     * spelling of q1's shape. Quantities are summed as exact integer
@@ -1318,6 +1380,7 @@ object RelationalQueries {
     "q_except_all" -> exceptAll,
     "q_string_agg" -> stringAgg,
     "q_percentile" -> percentile,
+    "q_quantile_sketch" -> quantileSketch,
     "q_typed_agg" -> typedAgg,
     "q_window_range" -> windowRange,
     "q_window_percent" -> windowPercent,
@@ -1383,6 +1446,7 @@ object RelationalQueries {
     "q_except_all" -> exceptAllSql,
     "q_string_agg" -> stringAggSql,
     "q_percentile" -> percentileSql,
+    "q_quantile_sketch" -> quantileSketchSql,
     "q_typed_agg" -> typedAggSql,
     "q_window_range" -> windowRangeSql,
     "q_window_percent" -> windowPercentSql,

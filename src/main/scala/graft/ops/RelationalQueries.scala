@@ -1118,22 +1118,24 @@ object RelationalQueries {
     val wdf = v.groupBy("g", "x").agg(count(lit(1)).as("cnt"))
       .select(col("g"), col("x"), sum("cnt").over(wc).as("cum"),
         sum("cnt").over(wn).as("ntot"))
-    val exact = wdf.groupBy("g").agg(
+    // One pass serves both the exact quantiles and the sketch ranks:
+    // the broadcast of sk widens each rank row with the three sketch
+    // values, so a single final aggregate closes the query (the r8
+    // spelling recomputed wdf twice — scan, groupBy and window sort
+    // each paid two times over).
+    wdf.join(broadcast(sk), "g").groupBy("g").agg(
       max("ntot").as("n"),
       expr("min(CASE WHEN cum >= (ntot+1) DIV 2 THEN x END)").as("p50"),
       expr("min(CASE WHEN cum >= (9*ntot+9) DIV 10 THEN x END)").as("p90"),
-      expr("min(CASE WHEN cum >= (99*ntot+99) DIV 100 THEN x END)").as("p99"))
-    val ranks = wdf.join(broadcast(sk), "g").groupBy("g").agg(
+      expr("min(CASE WHEN cum >= (99*ntot+99) DIV 100 THEN x END)").as("p99"),
       coalesce(max(when(col("x") <= col("s50"), col("cum"))), lit(0L)).as("r50"),
       coalesce(max(when(col("x") <= col("s90"), col("cum"))), lit(0L)).as("r90"),
-      coalesce(max(when(col("x") <= col("s99"), col("cum"))), lit(0L)).as("r99"),
-      max("ntot").as("nr"))
-    exact.join(ranks, "g")
+      coalesce(max(when(col("x") <= col("s99"), col("cum"))), lit(0L)).as("r99"))
       .select(col("g").as("l_returnflag"), col("n"),
         col("p50"), col("p90"), col("p99"),
-        (abs(lit(10000) * col("r50") - lit(5000) * col("nr")) <= lit(100) * col("nr") &&
-          abs(lit(10000) * col("r90") - lit(9000) * col("nr")) <= lit(100) * col("nr") &&
-          abs(lit(10000) * col("r99") - lit(9900) * col("nr")) <= lit(100) * col("nr"))
+        (abs(lit(10000) * col("r50") - lit(5000) * col("n")) <= lit(100) * col("n") &&
+          abs(lit(10000) * col("r90") - lit(9000) * col("n")) <= lit(100) * col("n") &&
+          abs(lit(10000) * col("r99") - lit(9900) * col("n")) <= lit(100) * col("n"))
           .as("sketch_within_bound"))
       .orderBy("l_returnflag")
   }

@@ -947,6 +947,67 @@ object PipelineQueries {
       |FROM sc GROUP BY doc_id
       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
+  /** Label-outlier detection over embeddings — the mislabeled-sample
+    * sweep a curated training set runs before fitting: flag vectors
+    * whose cosine to their own label's centroid falls below 0.5 (or
+    * points away from it). Everything is EXACT integer arithmetic so
+    * DuckDB reproduces bit-for-bit: components quantize to micro-units
+    * (floor of the same IEEE double product both engines), the
+    * unnormalized integer centroid is a per-label component SUM (order-
+    * independent), and the cosine threshold is the square-compare
+    * 4·dot² < |v|²·|c|² in decimal(38,0)/HUGEINT — no sqrt, no
+    * division anywhere. dot/|v|²/|c|² ride int64 (bounds hold through
+    * sf1's 20k-vector labels; past ~1e7 vectors/label the production
+    * path renormalizes the centroid by n first).
+    *
+    * 100 TB shape: the centroid rollup shuffles label×64 component
+    * rows (partial-aggregated map-side); the label-count-sized centroid
+    * table broadcasts back; the flag itself is a narrow fused
+    * zip_with/aggregate map over each row — the corpus is never
+    * shuffled and never pairs with itself. */
+  val embedOutliers: Q = (s, dir) => {
+    val e = embs(s, dir).select(col("vec_id"), col("label"), expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+      .as("m"))
+    val cents = e.select(col("label"), posexplode(col("m")).as(Seq("i", "v")))
+      .groupBy("label", "i").agg(sum("v").as("cv"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(i, cv))), s -> s.cv)")
+        .as("cvec"))
+    e.join(broadcast(cents), "label")
+      .select(col("vec_id"), col("label"),
+        expr("aggregate(zip_with(m, cvec, (x, y) -> x * y), CAST(0 AS BIGINT), (a, t) -> a + t)").as("dot"),
+        expr("aggregate(m, CAST(0 AS BIGINT), (a, x) -> a + x * x)").as("vv"),
+        expr("aggregate(cvec, CAST(0 AS BIGINT), (a, x) -> a + x * x)").as("cc"))
+      .withColumn("is_outlier", expr(
+        "dot <= 0 OR CAST(4 AS DECIMAL(38,0)) * dot * dot < CAST(vv AS DECIMAL(38,0)) * cc"))
+      .orderBy("vec_id")
+  }
+
+  val embedOutliersSql: String =
+    """WITH m AS (SELECT vec_id, label,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS mv
+      |  FROM embeddings),
+      |comp AS (SELECT label, i, CAST(sum(mv[i]) AS BIGINT) AS cv
+      |  FROM m, range(1, 65) r(i) GROUP BY label, i),
+      |cent AS (SELECT label, list(cv ORDER BY i) AS cvec FROM comp GROUP BY label),
+      |sc AS (SELECT vec_id, m.label,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, 65), i -> mv[i] * cvec[i])),
+      |      (a, x) -> a + x) AS dot,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, 65), i -> mv[i] * mv[i])),
+      |      (a, x) -> a + x) AS vv,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, 65), i -> cvec[i] * cvec[i])),
+      |      (a, x) -> a + x) AS cc
+      |  FROM m JOIN cent ON m.label = cent.label)
+      |SELECT vec_id, label, dot, vv, cc,
+      |  (dot <= 0 OR CAST(4 AS HUGEINT) * dot * dot < CAST(vv AS HUGEINT) * cc)
+      |    AS is_outlier
+      |FROM sc ORDER BY vec_id""".stripMargin
+
   /** Corpus vocabulary top-k: explode whitespace tokens, count, rank.
     * The canonical giant-shuffle text op — at 100 TB the explode is
     * map-local, the count partial-aggregates map-side (combine before
@@ -965,6 +1026,58 @@ object PipelineQueries {
       |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
       |WHERE length(token) > 0
       |GROUP BY token ORDER BY n DESC, token LIMIT 40""".stripMargin
+
+  /** BPE/WordPiece merge-candidate mining — the distributed counting
+    * step of tokenizer training. Every adjacent token pair is counted
+    * (map-local index-lambda transform, no shuffle until the pair
+    * rollup), then scored with the WordPiece merge criterion
+    * count(ab)/(count(a)·count(b)) in integer pico-units —
+    * (1e12·cp) DIV (ca·cb) as exact integral division
+    * (decimal(38,0)/HUGEINT), no float parity risk. Top-20 merges by
+    * score.
+    *
+    * 100 TB shape: pair emission is a per-row lambda inside codegen;
+    * both rollups partial-aggregate map-side (pair space ≪ corpus —
+    * vocab², and in practice Zipf-bounded); the unigram table is
+    * vocab-sized and broadcasts twice (left/right token); the final cut
+    * is TakeOrdered. One tokenizer-training iteration = one run of this
+    * query; re-running after applying the top merge is the classic BPE
+    * loop. */
+  val textBpePairs: Q = (s, dir) => {
+    val d = docs(s, dir).select(split(col("text"), " ").as("w"))
+    val pc = d.select(explode(expr(
+        "transform(slice(w, 1, size(w)-1), (x, i) -> concat(x, ' ', element_at(w, i+2)))"))
+        .as("p"))
+      .groupBy("p").agg(count(lit(1)).as("cp"))
+    val uc = d.select(explode(col("w")).as("tk"))
+      .groupBy("tk").agg(count(lit(1)).as("c"))
+    pc
+      .withColumn("ta", split(col("p"), " ")(0))
+      .withColumn("tb", split(col("p"), " ")(1))
+      .join(broadcast(uc.select(col("tk").as("ta"), col("c").as("ca"))), "ta")
+      .join(broadcast(uc.select(col("tk").as("tb"), col("c").as("cb"))), "tb")
+      .withColumn("score", expr(
+        "CAST(1000000000000 AS DECIMAL(38,0)) * cp DIV (ca * cb)").cast("bigint"))
+      .select(col("p").as("pair"), col("cp").as("n"), col("score"))
+      .orderBy(col("score").desc, col("pair"))
+      .limit(20)
+  }
+
+  val textBpePairsSql: String =
+    """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |pairs AS (SELECT unnest(list_transform(range(1, len(w)),
+      |    i -> w[i] || ' ' || w[i+1])) AS p FROM t),
+      |pc AS (SELECT p, CAST(count(*) AS BIGINT) AS cp FROM pairs GROUP BY p),
+      |toks AS (SELECT unnest(w) AS tk FROM t),
+      |uc AS (SELECT tk, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tk),
+      |sc AS (SELECT p, cp,
+      |    CAST(CAST(1000000000000 AS HUGEINT) * cp
+      |      // (a.c * b.c) AS BIGINT) AS score
+      |  FROM pc
+      |  JOIN uc a ON a.tk = string_split(p, ' ')[1]
+      |  JOIN uc b ON b.tk = string_split(p, ' ')[2])
+      |SELECT p AS pair, cp AS n, score FROM sc
+      |ORDER BY score DESC, pair LIMIT 20""".stripMargin
 
   /** Exact substring-overlap dedup (the suffix-array family of
     * "train/test overlap" dedup: find documents sharing a verbatim
@@ -1210,6 +1323,8 @@ object PipelineQueries {
     "q_cluster_sample" -> clusterSample,
     "q_text_tfidf" -> textTfidf,
     "q_text_bm25" -> textBm25,
+    "q_text_bpe_pairs" -> textBpePairs,
+    "q_embed_outliers" -> embedOutliers,
     "q_dedup_substring" -> dedupSubstring,
     "q_sample_importance" -> sampleImportance,
     "q_text_perplexity" -> textPerplexity,
@@ -1220,6 +1335,8 @@ object PipelineQueries {
     "q_cluster_sample" -> clusterSampleSql,
     "q_text_tfidf" -> textTfidfSql,
     "q_text_bm25" -> textBm25Sql,
+    "q_text_bpe_pairs" -> textBpePairsSql,
+    "q_embed_outliers" -> embedOutliersSql,
     "q_text_vocab" -> textVocabSql,
     "q_text_stats" -> textStatsSql,
     "q_text_langid" -> textLangIdSql,

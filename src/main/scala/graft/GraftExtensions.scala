@@ -53,6 +53,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "L2 norm of a float vector", L2NormF))
     e.injectFunction(unary("graft_quantize8",
       "symmetric int8 quantization of a float vector", Quantize8))
+    e.injectFunction((FunctionIdentifier("graft_bloom_build"),
+      info("graft_bloom_build",
+        "Bloom filter (binary) over a long-hash column: " +
+          "(hashes, numBits, numHashes) with foldable int sizing"),
+      exprs => { checkArity("graft_bloom_build", 3, exprs)
+        BloomBuild(exprs.head, intArg("graft_bloom_build", exprs(1)),
+          intArg("graft_bloom_build", exprs(2))).toAggregateExpression() }))
+    e.injectFunction((FunctionIdentifier("graft_bloom_contains"),
+      info("graft_bloom_contains",
+        "might-contain probe: (bloom binary, key long, foldable numHashes)"),
+      exprs => { checkArity("graft_bloom_contains", 3, exprs)
+        BloomMightContain(exprs(0), exprs(1),
+          intArg("graft_bloom_contains", exprs(2))) }))
+    e.injectFunction((FunctionIdentifier("graft_frequent_items"),
+      info("graft_frequent_items",
+        "Misra-Gries heavy hitters: (column, foldable capacity m)"),
+      exprs => { checkArity("graft_frequent_items", 2, exprs)
+        FrequentItems(exprs.head, intArg("graft_frequent_items", exprs(1)))
+          .toAggregateExpression() }))
     e.injectFunction((FunctionIdentifier("graft_percentiles"),
       info("graft_percentiles",
         "exact interpolated percentiles of a numeric column " +
@@ -65,6 +84,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           exprs.tail.map(percentage)).toAggregateExpression()
       }))
   }
+
+  /** Evaluate a foldable int argument (sizing parameters must be
+    * literals — they shape the aggregation buffer before any row). */
+  private def intArg(fn: String, e: Expression): Int =
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: sizing argument must be a literal, got $e")
+    else e.eval() match {
+      case i: java.lang.Integer => i
+      case l: java.lang.Long => math.toIntExact(l)
+      case other => throw new IllegalArgumentException(
+        s"$fn: sizing argument must be an integer literal, got $other")
+    }
 
   /** Evaluate a foldable percentage argument numerically — SQL parses an
     * unsuffixed literal like `0.5` as DECIMAL(1,1), not DOUBLE. */

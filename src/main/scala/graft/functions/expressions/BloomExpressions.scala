@@ -162,6 +162,27 @@ case class BloomCountContained(child: Expression, bloom: Array[Byte], numHashes:
     copy(child = c)
 }
 
+/** SQL-surface probe: both the filter and the key are child expressions
+  * (the filter side is typically a literal from a prior build query), so
+  * `graft_bloom_contains(bloom, key, k)` composes in plain SQL. */
+case class BloomMightContain(left: Expression, right: Expression, numHashes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[ColumnBridge.AbstractType] =
+    Seq(BinaryType, LongType)
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override protected def nullSafeEval(bloom: Any, key: Any): Any =
+    BloomRuntime.mightContain(bloom.asInstanceOf[Array[Byte]],
+      key.asInstanceOf[Long], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, k) =>
+      s"graft.functions.expressions.BloomRuntime.mightContain($b, $k, $numHashes)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : BloomMightContain = copy(left = l, right = r)
+}
+
 /** Column-level wrappers. */
 object BloomExpressions {
   import ColumnBridge.{column, expression => expr}
@@ -170,4 +191,6 @@ object BloomExpressions {
     column(BloomBuild(expr(c), numBits, numHashes).toAggregateExpression())
   def bloom_count_contained(c: Column, bloom: Array[Byte], numHashes: Int): Column =
     column(BloomCountContained(expr(c), bloom, numHashes))
+  def bloom_might_contain(bloom: Column, key: Column, numHashes: Int): Column =
+    column(BloomMightContain(expr(bloom), expr(key), numHashes))
 }

@@ -54,6 +54,29 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |FROM VALUES (1), (2), (3) AS t(v)""".stripMargin)
         .head().getSeq[Double](0)
       assert(intPct === Seq(2.0))
+      // Sketch aggregates + the bloom probe compose in pure SQL: build a
+      // filter in a scalar subquery, probe it, and run heavy hitters.
+      val bl = spark.sql(
+        """WITH keys AS (SELECT CAST(v AS BIGINT) AS k
+          |  FROM VALUES (1), (2), (3) AS t(v)),
+          |b AS (SELECT graft_bloom_build(k, 16384, 7) AS bloom FROM keys)
+          |SELECT graft_bloom_contains(b.bloom, CAST(p.v AS BIGINT), 7) AS hit
+          |FROM VALUES (1), (2), (3), (999), (1000) AS p(v), b
+          |ORDER BY p.v""".stripMargin).collect().map(_.getBoolean(0))
+      assert(bl.take(3).forall(identity), "bloom missed a member")
+      assert(!bl.drop(3).exists(identity), "16k-bit filter FP'd on 2 probes")
+      val hh = spark.sql(
+        """SELECT graft_frequent_items(v, 2) AS f
+          |FROM VALUES ('a'), ('a'), ('a'), ('b'), ('c') AS t(v)""".stripMargin)
+        .head().getSeq[org.apache.spark.sql.Row](0)
+      assert(hh.map(_.getString(0)).contains("a"))
+      // Sizing args must be literals — a column there is a loud error.
+      val sizeErr = intercept[Exception] {
+        spark.sql(
+          """SELECT graft_bloom_build(CAST(v AS BIGINT), v, 7)
+            |FROM VALUES (1) AS t(v)""".stripMargin).collect()
+      }
+      assert(sizeErr.getMessage.contains("literal"))
       // Non-numeric input fails at analysis, not with a runtime CCE.
       val err = intercept[org.apache.spark.sql.AnalysisException] {
         spark.sql(

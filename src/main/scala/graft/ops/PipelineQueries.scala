@@ -1027,6 +1027,66 @@ object PipelineQueries {
       |WHERE length(token) > 0
       |GROUP BY token ORDER BY n DESC, token LIMIT 40""".stripMargin
 
+  /** Containment dedup (Broder's CONTAINMENT, not resemblance): flag
+    * pairs where >=80% of the smaller document's distinct 8-token
+    * windows appear verbatim in the other — the quote-inclusion /
+    * wrapped-boilerplate case Jaccard misses (a short doc quoted whole
+    * inside a long one has tiny J = |A|/|B| but containment ~1). Score
+    * is integer micro-units — 1e6·shared DIV min(|A|,|B|) — exact both
+    * engines. 8-token windows, not 3-shingles, are the feature: the
+    * window space is vast, so document frequency is duplication-driven
+    * (chance co-occurrence ~0) and the boilerplate cap only trims true
+    * boilerplate — 3-shingles saturate on any finite vocabulary and
+    * would cap away the signal as the corpus grows.
+    *
+    * Scale shape (the [[dedupSubstring]] pattern): candidates come from
+    * ONE hash equi-join on window hashes, never doc×doc; windows
+    * appearing in >64 docs are boilerplate and broadcast-anti-joined
+    * away BEFORE the pair join, which is also the skew bound — a window
+    * contributes at most C(64,2) pairs, so candidate volume stays
+    * ∝ true duplication at any corpus size. */
+  val dedupContainment: Q = (s, dir) => {
+    val ex = docs(s, dir)
+      .select(col("doc_id"), HE.shingle_hashes(col("text"), 8).as("sh"))
+      .withColumn("n", size(col("sh")).cast("bigint"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("n"), explode(col("sh")).as("g"))
+    val boiler = ex.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 64).select("g")
+    val kept = ex.join(broadcast(boiler), Seq("g"), "left_anti")
+    kept.select(col("g"), col("doc_id").as("da"), col("n").as("na"))
+      .join(kept.select(col("g"), col("doc_id").as("db"), col("n").as("nb")), "g")
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db", "na", "nb")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("cont", expr("1000000 * shared DIV least(na, nb)"))
+      .filter(col("cont") >= 800000)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("shared"), col("cont"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupContainmentSql: String = {
+    val w8 = "list_transform(range(1, len(w)-6), i -> " +
+      (0 until 8).map(j => s"w[i+$j]").mkString(" || ' ' || ") + ")"
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(
+       |    CASE WHEN len(w) >= 8 THEN $w8 ELSE [] END) AS ws FROM t),
+       |e AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n, unnest(ws) AS s
+       |      FROM sh WHERE len(ws) > 0),
+       |h AS (SELECT doc_id, n, ${sqlHash("s")} AS g FROM e),
+       |boiler AS (SELECT g FROM h GROUP BY g HAVING count(*) > 64),
+       |kept AS (SELECT * FROM h WHERE g NOT IN (SELECT g FROM boiler)),
+       |p AS (SELECT a.doc_id AS da, b.doc_id AS db, a.n AS na, b.n AS nb,
+       |        CAST(count(*) AS BIGINT) AS shared
+       |      FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+       |      GROUP BY a.doc_id, b.doc_id, a.n, b.n)
+       |SELECT da AS doc_a, db AS doc_b, shared,
+       |  (1000000 * shared) // least(na, nb) AS cont
+       |FROM p WHERE (1000000 * shared) // least(na, nb) >= 800000
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** BPE/WordPiece merge-candidate mining — the distributed counting
     * step of tokenizer training. Every adjacent token pair is counted
     * (map-local index-lambda transform, no shuffle until the pair
@@ -1325,6 +1385,7 @@ object PipelineQueries {
     "q_text_bm25" -> textBm25,
     "q_text_bpe_pairs" -> textBpePairs,
     "q_embed_outliers" -> embedOutliers,
+    "q_dedup_containment" -> dedupContainment,
     "q_dedup_substring" -> dedupSubstring,
     "q_sample_importance" -> sampleImportance,
     "q_text_perplexity" -> textPerplexity,
@@ -1337,6 +1398,7 @@ object PipelineQueries {
     "q_text_bm25" -> textBm25Sql,
     "q_text_bpe_pairs" -> textBpePairsSql,
     "q_embed_outliers" -> embedOutliersSql,
+    "q_dedup_containment" -> dedupContainmentSql,
     "q_text_vocab" -> textVocabSql,
     "q_text_stats" -> textStatsSql,
     "q_text_langid" -> textLangIdSql,

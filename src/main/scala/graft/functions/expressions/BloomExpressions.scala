@@ -3,7 +3,7 @@ package graft.functions.expressions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes,
-  Expression, UnaryExpression}
+  Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -39,8 +39,9 @@ object BloomRuntime {
   private def h2Of(h1: Long): Long = (mix(h1) << 1) | 1L
 
   /** Set the k bits of `key` in a little-endian bit array (bit i lives
-    * in byte i>>>3, mask 1<<(i&7)). */
+    * in byte i>>>3, mask 1<<(i&7)). Zero-length filters are inert. */
   def setBits(bits: Array[Byte], key: Long, numHashes: Int): Unit = {
+    if (bits.length == 0) return
     val m = bits.length.toLong << 3
     val h1 = mix(key)
     val h2 = h2Of(h1)
@@ -55,8 +56,11 @@ object BloomRuntime {
   }
 
   /** True iff all k bits of `key` are set (i.e. key MIGHT be in the set;
-    * false is definite absence). */
+    * false is definite absence). A zero-length filter holds the empty
+    * set — the SQL probe accepts arbitrary binaries, so this must not
+    * divide by m = 0. */
   def mightContain(bits: Array[Byte], key: Long, numHashes: Int): Boolean = {
+    if (bits.length == 0) return false
     val m = bits.length.toLong << 3
     val h1 = mix(key)
     val h2 = h2Of(h1)
@@ -86,7 +90,13 @@ object BloomRuntime {
   }
 
   /** Smallest power of two >= 16n bits (>= 2^14) — sizes a filter for
-    * ~7e-4 FP rate at k=7, from a pre-counted build-side cardinality. */
+    * ~7e-4 FP rate at k=7, from a pre-counted build-side cardinality.
+    * Caps at 2^28 bits (32 MB — the broadcast budget); past ~16.7M
+    * build keys the FP rate degrades and the caller's in-band FP bound
+    * reports it. Keys should come from a WIDE (~60-bit) hash
+    * ([[HashOps.shingleHashesWide]]) — with 30-bit keys, key-space
+    * collisions alone would exceed the filter's own FP rate long before
+    * the cap. */
   def sizeBits(n: Long): Int = {
     var m = 1 << 14
     while (m.toLong < 16L * n && m < (1 << 28)) m <<= 1
@@ -104,10 +114,15 @@ case class BloomBuild(
     numHashes: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression]
+  with ImplicitCastInputTypes {
 
   require(numBits >= 64 && (numBits & 7) == 0, s"numBits must be a multiple of 8 >= 64: $numBits")
   require(numHashes >= 1 && numHashes <= 16, s"numHashes out of range: $numHashes")
+
+  // Narrower integrals implicit-cast to LONG at analysis; anything else
+  // is an analysis error, never a runtime ClassCastException.
+  override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(LongType)
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false

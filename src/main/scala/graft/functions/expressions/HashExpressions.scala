@@ -65,6 +65,39 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** Second independent poly-hash fold (base 131, prime 998244353) —
+    * combined with [[polyHash]] it widens the key space to ~2^60. */
+  val P2: Long = 998244353L
+  def polyHash2(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      acc = (acc * 131 + str.charAt(i)) % P2
+      i += 1
+    }
+    acc
+  }
+
+  /** WIDE (~60-bit) hashes of the distinct k-word shingles:
+    * polyHash(s)·P2 + polyHash2(s) — max (P−1)·P2 + P2−1 ≈ 1.0e18,
+    * exact in BIGINT on both engines (no wrap to mirror), and the
+    * birthday-collision floor that makes a 30-bit key space unusable
+    * for containment/bloom keys at corpus scale (~1e9 values saturate
+    * at ~1e5 distinct windows) moves past 1e9 distinct keys. */
+  def shingleHashesWide(text: UTF8String, k: Int): ArrayData = {
+    val shingles = SetVectorOps.wordShingles(text, k)
+    val n = shingles.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = shingles.getUTF8String(i)
+      out(i) = polyHash(s) * P2 + polyHash2(s)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 16-slot MinHash signature (empty input → all-P sentinel slots). */
   def minhashSig(hashes: ArrayData): ArrayData = {
     val n = hashes.numElements()
@@ -143,6 +176,17 @@ case class ShingleHashes(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Distinct k-word shingle WIDE (~60-bit) hashes → array<long>, codegen'd. */
+case class ShingleHashesWide(child: Expression, k: Int)
+    extends UnaryExpression with HashOpsCall {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    HashOps.shingleHashesWide(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$ops.shingleHashesWide($c, $k)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** MinHash signature of a hash array → array<long>, codegen'd. */
 case class MinHashSignature(child: Expression)
     extends UnaryExpression with HashOpsCall {
@@ -172,6 +216,8 @@ object HashExpressions {
   def poly_hash(c: Column): Column = column(PolyHashString(expr(c)))
   def poly_hash_array(c: Column): Column = column(PolyHashArray(expr(c)))
   def shingle_hashes(c: Column, k: Int): Column = column(ShingleHashes(expr(c), k))
+  def shingle_hashes_wide(c: Column, k: Int): Column =
+    column(ShingleHashesWide(expr(c), k))
   def minhash_signature(c: Column): Column = column(MinHashSignature(expr(c)))
   def simhash(c: Column): Column = column(SimHash(expr(c)))
 }

@@ -198,7 +198,9 @@ object CurationQueries {
     * set; here the eval-set shingle hashes fold into ONE fixed-size bit
     * array ([[graft.functions.expressions.BloomBuild]] — state O(m)
     * regardless of eval cardinality, merged by bitwise OR), sized from a
-    * pre-counted eval cardinality (16 bits/key, k=7 → ~7e-4 FP), and the
+    * pre-counted eval cardinality (16 bits/key, k=7 → ~7e-4 FP; keys
+    * are the WIDE ~60-bit shingle hashes, so key-space collisions stay
+    * below the filter's own FP rate at any eval size), and the
     * corpus probes it as a narrow codegen'd per-row kernel
     * ([[graft.functions.expressions.BloomCountContained]]): at 100 TB
     * the DECISION leg never shuffles, never explodes, never joins — the
@@ -220,7 +222,7 @@ object CurationQueries {
     // Build side: eval-set shingle hashes -> sized Bloom filter. Both
     // actions run on the (small by definition) eval side only.
     val evHashes = d.filter(isEval)
-      .select(explode(HE.shingle_hashes(col("text"), 3)).as("h"))
+      .select(explode(HE.shingle_hashes_wide(col("text"), 3)).as("h"))
     val numBits = BloomRuntime.sizeBits(evHashes.count())
     val bloom = evHashes.agg(BF.bloom_build(col("h"), numBits, 7).as("b"))
       .head().getAs[Array[Byte]](0)
@@ -235,9 +237,9 @@ object CurationQueries {
     // Decision leg: narrow map over the corpus — no explode, no join.
     train
       .select(col("doc_id"), col("source"),
-        BF.bloom_count_contained(HE.shingle_hashes(col("text"), 3), bloom, 7)
+        BF.bloom_count_contained(HE.shingle_hashes_wide(col("text"), 3), bloom, 7)
           .cast("bigint").as("bloom_hits"),
-        size(HE.shingle_hashes(col("text"), 3)).cast("bigint").as("n_sh"))
+        size(HE.shingle_hashes_wide(col("text"), 3)).cast("bigint").as("n_sh"))
       .join(exactHits, Seq("doc_id"), "left")
       .na.fill(0L, Seq("exact_hits"))
       .groupBy("source")

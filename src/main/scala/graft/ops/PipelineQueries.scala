@@ -44,6 +44,15 @@ object PipelineQueries {
       s"list_transform(range(1, length($v)+1), " +
       s"i -> CAST(ascii(substr($v, i, 1)) AS BIGINT))), (a,c) -> (a*31+c) % $P)"
 
+  /** DuckDB: WIDE ~60-bit hash — polyHash·998244353 + the independent
+    * base-131 fold (mirrors HashOps.shingleHashesWide). Max value
+    * ~1.0e18, exact in BIGINT. */
+  private def sqlHashWide(v: String): String =
+    s"(${sqlHash(v)} * 998244353 + " +
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($v)+1), " +
+      s"i -> CAST(ascii(substr($v, i, 1)) AS BIGINT))), (a,c) -> (a*131+c) % 998244353))"
+
   /** DuckDB: distinct 3-word shingles of string_split(text,' '). */
   private[ops] val sqlShingles: String =
     "list_distinct(list_transform(range(1, greatest(len(w)-1, 1)), " +
@@ -917,8 +926,12 @@ object PipelineQueries {
     val dfx = f.groupBy("token")
       .agg(countDistinct(col("doc_id")).as("df"))
     f.join(broadcast(dfx), "token").crossJoin(broadcast(st))
+      // Spark's DIV yields LONG whatever the operands, so each quotient
+      // is cast back to decimal BEFORE the product — the term score
+      // never rides int64 (DuckDB's HUGEINT // stays HUGEINT natively).
       .withColumn("score_t", expr(
-        """(CAST(1000 AS DECIMAL(38,0))*(2*(n - df)+1) DIV (2*df+1)) *
+        """CAST(CAST(1000 AS DECIMAL(38,0))*(2*(n - df)+1) DIV (2*df+1)
+          |     AS DECIMAL(38,0)) *
           |(CAST(22 AS DECIMAL(38,0))*tf*l*1000000 DIV
           |  (CAST(10 AS DECIMAL(38,0))*tf*l + 3*l + 9*dl*n))""".stripMargin))
       .groupBy("doc_id")
@@ -953,12 +966,15 @@ object PipelineQueries {
     * points away from it). Everything is EXACT integer arithmetic so
     * DuckDB reproduces bit-for-bit: components quantize to micro-units
     * (floor of the same IEEE double product both engines), the
-    * unnormalized integer centroid is a per-label component SUM (order-
-    * independent), and the cosine threshold is the square-compare
-    * 4·dot² < |v|²·|c|² in decimal(38,0)/HUGEINT — no sqrt, no
-    * division anywhere. dot/|v|²/|c|² ride int64 (bounds hold through
-    * sf1's 20k-vector labels; past ~1e7 vectors/label the production
-    * path renormalizes the centroid by n first).
+    * integer centroid is the FLOORED MEAN of each component — exact
+    * integral division of the (order-independent) component sum, offset
+    * by 2^21 per row so the numerator stays positive and floor ==
+    * truncate on both engines — and the cosine threshold is the
+    * square-compare 4·dot² < |v|²·|c|² in decimal(38,0)/HUGEINT — no
+    * sqrt, no float division anywhere. Because the centroid is a mean,
+    * its components are micro-unit-bounded like a vector's, so
+    * dot/|v|²/|c|² ride int64 at ANY vectors-per-label — a raw-sum
+    * centroid would overflow |c|² past ~5e4 correlated vectors.
     *
     * 100 TB shape: the centroid rollup shuffles label×64 component
     * rows (partial-aggregated map-side); the label-count-sized centroid
@@ -970,7 +986,11 @@ object PipelineQueries {
       "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
       .as("m"))
     val cents = e.select(col("label"), posexplode(col("m")).as(Seq("i", "v")))
-      .groupBy("label", "i").agg(sum("v").as("cv"))
+      .groupBy("label", "i")
+      // floored mean via a positive-numerator shift: components are
+      // > -2^21, so (v + 2^21) sums positive and DIV truncation is floor
+      // on both engines regardless of sign.
+      .agg(expr("sum(v + 2097152) DIV count(*) - 2097152").as("cv"))
       .groupBy("label")
       .agg(expr("transform(array_sort(collect_list(struct(i, cv))), s -> s.cv)")
         .as("cvec"))
@@ -989,7 +1009,8 @@ object PipelineQueries {
       |    list_transform(embedding,
       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS mv
       |  FROM embeddings),
-      |comp AS (SELECT label, i, CAST(sum(mv[i]) AS BIGINT) AS cv
+      |comp AS (SELECT label, i,
+      |    CAST(sum(mv[i] + 2097152) // count(*) - 2097152 AS BIGINT) AS cv
       |  FROM m, range(1, 65) r(i) GROUP BY label, i),
       |cent AS (SELECT label, list(cv ORDER BY i) AS cvec FROM comp GROUP BY label),
       |sc AS (SELECT vec_id, m.label,
@@ -1040,14 +1061,17 @@ object PipelineQueries {
     * would cap away the signal as the corpus grows.
     *
     * Scale shape (the [[dedupSubstring]] pattern): candidates come from
-    * ONE hash equi-join on window hashes, never doc×doc; windows
+    * ONE hash equi-join on WIDE (~60-bit) window hashes — the 30-bit
+    * poly-hash space would saturate at ~1e5 distinct windows and make
+    * df collision-driven; the wide key holds the birthday floor past
+    * 1e9 distinct windows — never doc×doc; windows
     * appearing in >64 docs are boilerplate and broadcast-anti-joined
     * away BEFORE the pair join, which is also the skew bound — a window
     * contributes at most C(64,2) pairs, so candidate volume stays
     * ∝ true duplication at any corpus size. */
   val dedupContainment: Q = (s, dir) => {
     val ex = docs(s, dir)
-      .select(col("doc_id"), HE.shingle_hashes(col("text"), 8).as("sh"))
+      .select(col("doc_id"), HE.shingle_hashes_wide(col("text"), 8).as("sh"))
       .withColumn("n", size(col("sh")).cast("bigint"))
       .filter(col("n") > 0)
       .select(col("doc_id"), col("n"), explode(col("sh")).as("g"))
@@ -1074,7 +1098,7 @@ object PipelineQueries {
        |    CASE WHEN len(w) >= 8 THEN $w8 ELSE [] END) AS ws FROM t),
        |e AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n, unnest(ws) AS s
        |      FROM sh WHERE len(ws) > 0),
-       |h AS (SELECT doc_id, n, ${sqlHash("s")} AS g FROM e),
+       |h AS (SELECT doc_id, n, ${sqlHashWide("s")} AS g FROM e),
        |boiler AS (SELECT g FROM h GROUP BY g HAVING count(*) > 64),
        |kept AS (SELECT * FROM h WHERE g NOT IN (SELECT g FROM boiler)),
        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, a.n AS na, b.n AS nb,
@@ -1117,7 +1141,8 @@ object PipelineQueries {
       .join(broadcast(uc.select(col("tk").as("ta"), col("c").as("ca"))), "ta")
       .join(broadcast(uc.select(col("tk").as("tb"), col("c").as("cb"))), "tb")
       .withColumn("score", expr(
-        "CAST(1000000000000 AS DECIMAL(38,0)) * cp DIV (ca * cb)").cast("bigint"))
+        "CAST(1000000000000 AS DECIMAL(38,0)) * cp DIV " +
+          "(CAST(ca AS DECIMAL(38,0)) * cb)").cast("bigint"))
       .select(col("p").as("pair"), col("cp").as("n"), col("score"))
       .orderBy(col("score").desc, col("pair"))
       .limit(20)
@@ -1132,7 +1157,7 @@ object PipelineQueries {
       |uc AS (SELECT tk, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tk),
       |sc AS (SELECT p, cp,
       |    CAST(CAST(1000000000000 AS HUGEINT) * cp
-      |      // (a.c * b.c) AS BIGINT) AS score
+      |      // (CAST(a.c AS HUGEINT) * b.c) AS BIGINT) AS score
       |  FROM pc
       |  JOIN uc a ON a.tk = string_split(p, ' ')[1]
       |  JOIN uc b ON b.tk = string_split(p, ' ')[2])

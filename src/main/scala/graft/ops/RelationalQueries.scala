@@ -1098,10 +1098,11 @@ object RelationalQueries {
     * verified under the HLL/heavy-hitters in-band pattern: the compared
     * output carries EXACT integer discrete quantiles (cents; smallest x
     * with #rows<=x >= ceil(p*n), pure integer arithmetic both engines)
-    * plus a boolean asserting each sketch value's true rank lands within
-    * 1% of p*n — 10x the requested 0.1% guarantee. A sketch regression
-    * flips a hash-checked cell; the exact leg is the verification
-    * harness, not the plan. */
+    * plus a boolean asserting each sketch value's rank INTERVAL
+    * (duplicates span [cum-cnt+1, cum]) intersects p*n ± (1%·n + one
+    * rank) — 10x the requested 0.1% guarantee, tie- and small-group-
+    * safe. A sketch regression flips a hash-checked cell; the exact leg
+    * is the verification harness, not the plan. */
   val quantileSketch: Q = (s, dir) => {
     val v = t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
       (col("l_extendedprice") * 100).cast("bigint").as("x"))
@@ -1116,13 +1117,24 @@ object RelationalQueries {
     val wc = Window.partitionBy("g").orderBy("x")
     val wn = Window.partitionBy("g")
     val wdf = v.groupBy("g", "x").agg(count(lit(1)).as("cnt"))
-      .select(col("g"), col("x"), sum("cnt").over(wc).as("cum"),
+      .select(col("g"), col("x"), col("cnt"), sum("cnt").over(wc).as("cum"),
         sum("cnt").over(wn).as("ntot"))
     // One pass serves both the exact quantiles and the sketch ranks:
     // the broadcast of sk widens each rank row with the three sketch
     // values, so a single final aggregate closes the query (the r8
     // spelling recomputed wdf twice — scan, groupBy and window sort
     // each paid two times over).
+    // A value with duplicates occupies a rank INTERVAL [cum-cnt+1, cum];
+    // the sketch is in-bound when that interval intersects the target
+    // window p·n ± (1%·n + one rank) — checking cum alone would flag a
+    // perfect sketch on heavy ties (all-equal group: cum = n for the
+    // true median), and a pure-relative bound flags perfect answers in
+    // groups smaller than 1/bound.
+    def within(lo: Column, hi: Column, bp: Int): Column = {
+      val slack = lit(100) * col("n") + 10000
+      (lit(10000) * lo <= lit(bp) * col("n") + slack) &&
+        (lit(10000) * hi >= lit(bp) * col("n") - slack)
+    }
     wdf.join(broadcast(sk), "g").groupBy("g").agg(
       max("ntot").as("n"),
       expr("min(CASE WHEN cum >= (ntot+1) DIV 2 THEN x END)").as("p50"),
@@ -1130,12 +1142,15 @@ object RelationalQueries {
       expr("min(CASE WHEN cum >= (99*ntot+99) DIV 100 THEN x END)").as("p99"),
       coalesce(max(when(col("x") <= col("s50"), col("cum"))), lit(0L)).as("r50"),
       coalesce(max(when(col("x") <= col("s90"), col("cum"))), lit(0L)).as("r90"),
-      coalesce(max(when(col("x") <= col("s99"), col("cum"))), lit(0L)).as("r99"))
+      coalesce(max(when(col("x") <= col("s99"), col("cum"))), lit(0L)).as("r99"),
+      coalesce(max(when(col("x") <= col("s50"), col("cum") - col("cnt") + 1)), lit(0L)).as("l50"),
+      coalesce(max(when(col("x") <= col("s90"), col("cum") - col("cnt") + 1)), lit(0L)).as("l90"),
+      coalesce(max(when(col("x") <= col("s99"), col("cum") - col("cnt") + 1)), lit(0L)).as("l99"))
       .select(col("g").as("l_returnflag"), col("n"),
         col("p50"), col("p90"), col("p99"),
-        (abs(lit(10000) * col("r50") - lit(5000) * col("n")) <= lit(100) * col("n") &&
-          abs(lit(10000) * col("r90") - lit(9000) * col("n")) <= lit(100) * col("n") &&
-          abs(lit(10000) * col("r99") - lit(9900) * col("n")) <= lit(100) * col("n"))
+        (within(col("l50"), col("r50"), 5000) &&
+          within(col("l90"), col("r90"), 9000) &&
+          within(col("l99"), col("r99"), 9900))
           .as("sketch_within_bound"))
       .orderBy("l_returnflag")
   }

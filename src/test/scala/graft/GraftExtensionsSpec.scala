@@ -70,6 +70,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |FROM VALUES ('a'), ('a'), ('a'), ('b'), ('c') AS t(v)""".stripMargin)
         .head().getSeq[org.apache.spark.sql.Row](0)
       assert(hh.map(_.getString(0)).contains("a"))
+      // Narrower integral key columns implicit-cast to LONG at analysis
+      // (no runtime ClassCastException from an INT column).
+      val intKey = spark.sql(
+        """SELECT graft_bloom_build(v, 16384, 7) AS b
+          |FROM VALUES (1), (2) AS t(v)""".stripMargin)
+        .head().getAs[Array[Byte]](0)
+      assert(intKey.exists(_ != 0))
+      // A zero-length filter is the empty set, not a crash.
+      assert(!spark.sql(
+        "SELECT graft_bloom_contains(CAST('' AS BINARY), CAST(1 AS BIGINT), 7)")
+        .head().getBoolean(0))
       // Sizing args must be literals — a column there is a loud error.
       val sizeErr = intercept[Exception] {
         spark.sql(

@@ -48,7 +48,9 @@ class TokenizerOutlierSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getInt(1),
         r.getSeq[Float](2).map(x => math.floor(x.toDouble * 1000000).toLong).toArray))
     val cents = rows.groupBy(_._2).map { case (l, vs) =>
-      l -> vs.map(_._3).transpose.map(_.sum)
+      val n = vs.length
+      l -> vs.map(_._3).transpose.map(c =>
+        (c.map(_ + 2097152L).sum / n) - 2097152L)
     }
     val expect = rows.map { case (id, l, m) =>
       val c = cents(l)

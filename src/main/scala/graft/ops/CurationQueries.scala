@@ -268,6 +268,79 @@ object CurationQueries {
        |  TRUE AS no_false_negative, TRUE AS fp_within_bound
        |FROM tr GROUP BY source ORDER BY source""".stripMargin
 
+  /** Mixture-weighted corpus allocation (the DoReMi / data-mixing
+    * class): spend a fixed sample budget (175 docs) across languages
+    * according to TARGET per-mille weights, not the corpus's natural
+    * proportions — integer quotas by the largest-remainder method
+    * (floor everyone, then +1 to the largest fractional remainders,
+    * ties by lang; clamped to availability), then take each language's
+    * quota of docs by deterministic LCG-hash rank.
+    *
+    * Scale shape: quotas derive from a language-count-sized frame
+    * (one partial-aggregated count), and selection is
+    * [[graft.functions.expressions.BoundedTopK]] per language — a
+    * bounded heap (<= budget rows per partial buffer) that discards
+    * losers MAP-SIDE, so the corpus is never globally sorted and never
+    * fully shuffled; the exchange moves one <=175-row heap per
+    * partition per language. The window row_number spelling the oracle
+    * uses would shuffle every row. */
+  val mixWeights: Q = (s, dir) => {
+    val budget = 175
+    val weights = Seq(("en", 505L), ("zh", 165L), ("es", 143L),
+      ("de", 117L), ("fr", 70L))
+    import s.implicits._
+    val d = docs(s, dir)
+    val w = weights.toDF("lang", "pm")
+    val avail = d.groupBy("lang").agg(count(lit(1)).as("cnt"))
+    val base = w
+      .withColumn("b", expr(s"($budget * pm) DIV 1000"))
+      .withColumn("rem", expr(s"$budget * pm - 1000 * (($budget * pm) DIV 1000)"))
+    val wleft = Window.orderBy(col("rem").desc, col("lang"))
+    val wall = Window.partitionBy()
+    val quota = base
+      .withColumn("leftover", lit(budget.toLong) - sum("b").over(wall))
+      .withColumn("q",
+        col("b") + when(row_number().over(wleft) <= col("leftover"), 1L)
+          .otherwise(0L))
+      .join(avail, "lang")
+      .select(col("lang"), least(col("q"), col("cnt")).as("quota"))
+    val folded = (col("doc_id") % 1048573L + 1048573L) % 1048573L
+    val picked = d
+      .select(col("lang"), col("doc_id"),
+        ((folded * 1103515245L + 12345L) % 1000000L).as("h"))
+      .groupBy("lang")
+      .agg(graft.functions.expressions.AggExpressions
+        .bounded_top_k(struct(col("h"), col("doc_id")), budget,
+          Seq(false, false)).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("lang"), (col("i") + 1).cast("bigint").as("rk"),
+        col("s.doc_id").as("doc_id"))
+    picked.join(broadcast(quota), "lang")
+      .filter(col("rk") <= col("quota"))
+      .select(col("lang"), col("doc_id"), col("rk"))
+      .orderBy("lang", "rk")
+  }
+
+  val mixWeightsSql: String =
+    """WITH w AS (SELECT * FROM (VALUES ('en', 505), ('zh', 165),
+      |    ('es', 143), ('de', 117), ('fr', 70)) AS w(lang, pm)),
+      |base AS (SELECT lang, (175 * pm) // 1000 AS b,
+      |    175 * pm - 1000 * ((175 * pm) // 1000) AS rem FROM w),
+      |alloc AS (SELECT lang,
+      |    b + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+      |          <= 175 - (SELECT sum(b) FROM base) THEN 1 ELSE 0 END AS q
+      |  FROM base),
+      |avail AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+      |quota AS (SELECT a.lang, least(a.q, v.cnt) AS quota
+      |  FROM alloc a JOIN avail v USING (lang)),
+      |r AS (SELECT lang, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY
+      |      ((doc_id % 1048573 + 1048573) % 1048573 * 1103515245 + 12345)
+      |        % 1000000, doc_id) AS BIGINT) AS rk
+      |  FROM documents)
+      |SELECT r.lang, r.doc_id, r.rk FROM r JOIN quota USING (lang)
+      |WHERE r.rk <= quota ORDER BY lang, rk""".stripMargin
+
   // ===========================================================================
   // Sequence packing: token-budget batches for training
   // ===========================================================================
@@ -445,6 +518,7 @@ object CurationQueries {
     "q_text_redact" -> textRedact,
     "q_contamination" -> contamination,
     "q_decontaminate_bloom" -> decontaminateBloom,
+    "q_mix_weights" -> mixWeights,
     "q_pack_sequences" -> packSequences,
     "q_shuffle_epoch" -> shuffleEpoch,
     "q_split_assign" -> splitAssign,
@@ -458,6 +532,7 @@ object CurationQueries {
     "q_text_redact" -> textRedactSql,
     "q_contamination" -> contaminationSql,
     "q_decontaminate_bloom" -> decontaminateBloomSql,
+    "q_mix_weights" -> mixWeightsSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_shuffle_epoch" -> shuffleEpochSql,
     "q_split_assign" -> splitAssignSql,

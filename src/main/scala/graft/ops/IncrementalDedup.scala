@@ -111,16 +111,16 @@ object IncrementalDedup {
       .select(col("key"), col("doc_id").as("doc_b"), col("sh").as("shb")))
     idx.join(probe, Seq("key"))
       .filter(col("doc_id") =!= col("doc_b"))
+      // score BEFORE deduping band collisions: jaccard is a fused
+      // codegen'd map and deterministic per id pair, so re-scoring a
+      // pair that matched in several bands costs arithmetic only, while
+      // deduping first would shuffle every candidate WITH both shingle
+      // arrays — this way the dedup exchange carries (doc_a, doc_b,
+      // jacc) and only for pairs already past the threshold
       .select(col("doc_id").as("doc_a"), col("doc_b"),
-        col("sh").as("sha"), col("shb"))
-      // dedupe band collisions on the ID PAIR alone — sha/shb are
-      // functionally determined by the ids, and a full distinct() would
-      // shuffle and compare the (xBands-duplicated) shingle arrays as
-      // grouping keys for no semantic gain
-      .dropDuplicates("doc_a", "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        SVE.jaccard_sim(col("sha"), col("shb")).as("jacc"))
+        SVE.jaccard_sim(col("sh"), col("shb")).as("jacc"))
       .filter(col("jacc") >= jaccMin)
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   /** Append a batch's band rows to the index as one CDC insert batch —
@@ -184,8 +184,8 @@ object IncrementalDedup {
               col("doc_id").as("doc_b"), col("sh").as("shb"))
             val vsBatch = a.join(broadcast(b),
                 a("key") === b("key") && col("doc_a") < col("doc_b"))
-              .dropDuplicates("doc_a", "doc_b")
               .filter(SVE.jaccard_sim(col("sha"), col("shb")) >= jaccardMin)
+              .dropDuplicates("doc_a", "doc_b")
               .select(col("doc_b").as("doc_id"))
             val dropIds = vsCorpus.unionAll(vsBatch).distinct()
             val survivorBands = bands.join(broadcast(dropIds),

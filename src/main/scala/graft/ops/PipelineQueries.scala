@@ -1083,11 +1083,16 @@ object PipelineQueries {
       .select(col("doc_id"), col("n"), explode(col("sh")).as("g"))
     val boiler = ex.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") > 64).select("g")
+    // alias(), not re-select: both join sides canonicalize to the SAME
+    // plan, so the shuffle over g is computed once and the second side
+    // is a ReusedExchange (re-selecting with renamed columns defeats
+    // that and pays the explode + anti-join twice).
     val kept = ex.join(broadcast(boiler), Seq("g"), "left_anti")
-    kept.select(col("g"), col("doc_id").as("da"), col("n").as("na"))
-      .join(kept.select(col("g"), col("doc_id").as("db"), col("n").as("nb")), "g")
-      .filter(col("da") < col("db"))
-      .groupBy("da", "db", "na", "nb")
+    kept.alias("a")
+      .join(kept.alias("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("shared"))
       .withColumn("cont", expr("1000000 * shared DIV least(na, nb)"))
       .filter(col("cont") >= 800000)

@@ -531,18 +531,20 @@ object PipelineQueries {
     val all = base.unionAll(planted)
     val keyed = all.select(col("vec_id"), col("v"),
       explode(VF.wideBandKeys(col("v"), dims)).as("bk"))
-    val a = keyed.select(col("bk"), col("vec_id").as("vec_a"), col("v").as("va"))
-    val b = keyed.select(col("bk"), col("vec_id").as("vec_b"), col("v").as("vb"))
     // Cosine + threshold run BEFORE the pair dedup: the verify kernel is
     // a fused codegen'd map, so re-scoring a candidate that matched in
     // several bands costs arithmetic only, while deduping first would
     // shuffle every candidate WITH both 64-dim double vectors (~1 KB/row)
     // — this way the dedup exchange carries (vec_a, vec_b, cos) (~24 B)
-    // and only for pairs that already passed the 0.8 threshold.
-    a.join(b, Seq("bk"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        SVE.cosine_sim_d(col("va"), col("vb")).as("cos"))
+    // and only for pairs that already passed the 0.8 threshold. The
+    // self-join uses alias(), not re-select, so both sides canonicalize
+    // to the same plan and the band-key exchange is computed once
+    // (ReusedExchange) instead of re-running the explode per side.
+    keyed.alias("a")
+      .join(keyed.alias("b"),
+        col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        SVE.cosine_sim_d(col("a.v"), col("b.v")).as("cos"))
       .filter(col("cos") >= 0.8)
       .dropDuplicates("vec_a", "vec_b")
     // no ordering tail — see dedupEmbed

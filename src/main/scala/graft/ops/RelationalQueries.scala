@@ -1112,40 +1112,65 @@ object RelationalQueries {
         array(lit(0.5), lit(0.9), lit(0.99)), lit(1000)).as("sv"))
       .select(col("g"), element_at(col("sv"), 1).as("s50"),
         element_at(col("sv"), 2).as("s90"), element_at(col("sv"), 3).as("s99"))
-    // Harness leg: per-value counts -> cumulative ranks (x is distinct
-    // per row after the groupBy, so the default RANGE frame is exact).
-    val wc = Window.partitionBy("g").orderBy("x")
-    val wn = Window.partitionBy("g")
-    val wdf = v.groupBy("g", "x").agg(count(lit(1)).as("cnt"))
-      .select(col("g"), col("x"), col("cnt"), sum("cnt").over(wc).as("cum"),
-        sum("cnt").over(wn).as("ntot"))
-    // One pass serves both the exact quantiles and the sketch ranks:
-    // the broadcast of sk widens each rank row with the three sketch
-    // values, so a single final aggregate closes the query (the r8
-    // spelling recomputed wdf twice — scan, groupBy and window sort
-    // each paid two times over).
-    // A value with duplicates occupies a rank INTERVAL [cum-cnt+1, cum];
-    // the sketch is in-bound when that interval intersects the target
-    // window p·n ± (1%·n + one rank) — checking cum alone would flag a
-    // perfect sketch on heavy ties (all-equal group: cum = n for the
-    // true median), and a pure-relative bound flags perfect answers in
-    // groups smaller than 1/bound.
+    // Harness leg, sort-free: a per-group window over every distinct
+    // value would sort each whole group on ONE task (3 return flags →
+    // parallelism 3; measured 2 s of this query's 2.7 at sf0.1).
+    // Instead: (1) sketch-value ranks are plain conditional SUMS
+    // (map-side partials, no ordering at all); (2) exact quantiles come
+    // from BUCKET SELECTION — count rows per fixed-width value bucket
+    // (group×bucket-sized frame), prefix-sum that tiny frame, locate
+    // each target rank's bucket, then rank only the rows of the chosen
+    // buckets. No global or per-group sort anywhere; parallelism is
+    // bucket-, not group-, bounded.
+    val W = 65536L
+    val bkt = v.join(broadcast(sk), "g")
+      .groupBy(col("g"), expr(s"x DIV $W").as("bkt"))
+      .agg(count(lit(1)).as("bc"),
+        count(when(col("x") <= col("s50"), 1)).as("c50"),
+        count(when(col("x") < col("s50"), 1)).as("b50"),
+        count(when(col("x") <= col("s90"), 1)).as("c90"),
+        count(when(col("x") < col("s90"), 1)).as("b90"),
+        count(when(col("x") <= col("s99"), 1)).as("c99"),
+        count(when(col("x") < col("s99"), 1)).as("b99"))
+    val tot = bkt.groupBy("g").agg(sum("bc").as("n"),
+      sum("c50").as("r50"), (sum("b50") + 1).as("l50"),
+      sum("c90").as("r90"), (sum("b90") + 1).as("l90"),
+      sum("c99").as("r99"), (sum("b99") + 1).as("l99"))
+    // integer ceil(p·n) rank targets, one row per percentile
+    val tgt = tot.selectExpr("g",
+      "stack(3, 5000, (n+1) DIV 2, 9000, (9*n+9) DIV 10, " +
+        "9900, (99*n+99) DIV 100) AS (p, t)")
+    val wPre = Window.partitionBy("g").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pick = bkt.select(col("g"), col("bkt"), col("bc"))
+      .withColumn("pre", coalesce(sum("bc").over(wPre), lit(0L)))
+      .join(broadcast(tgt), "g")
+      .filter(col("t") > col("pre") && col("t") <= col("pre") + col("bc"))
+      .select(col("g"), col("p"), col("bkt"), col("pre"), col("t"))
+    // rank only the chosen buckets' rows; the default RANGE frame makes
+    // cumIn = #rows <= x within the bucket (ties included)
+    val wIn = Window.partitionBy("g", "p").orderBy("x")
+    val qv = v.withColumn("bkt", expr(s"x DIV $W"))
+      .join(broadcast(pick), Seq("g", "bkt"))
+      .withColumn("cumIn", count(lit(1)).over(wIn))
+      .groupBy("g", "p")
+      .agg(min(when(col("cumIn") >= col("t") - col("pre"), col("x"))).as("q"))
+      .groupBy("g").agg(
+        max(when(col("p") === 5000, col("q"))).as("p50"),
+        max(when(col("p") === 9000, col("q"))).as("p90"),
+        max(when(col("p") === 9900, col("q"))).as("p99"))
+    // A sketch value with duplicates occupies a rank INTERVAL [l, r];
+    // in-bound = that interval intersects p·n ± (1%·n + one rank) —
+    // checking the top rank alone would flag a perfect sketch on heavy
+    // ties (all-equal group: r = n for the true median), and a pure-
+    // relative bound flags perfect answers in groups smaller than
+    // 1/bound.
     def within(lo: Column, hi: Column, bp: Int): Column = {
       val slack = lit(100) * col("n") + 10000
       (lit(10000) * lo <= lit(bp) * col("n") + slack) &&
         (lit(10000) * hi >= lit(bp) * col("n") - slack)
     }
-    wdf.join(broadcast(sk), "g").groupBy("g").agg(
-      max("ntot").as("n"),
-      expr("min(CASE WHEN cum >= (ntot+1) DIV 2 THEN x END)").as("p50"),
-      expr("min(CASE WHEN cum >= (9*ntot+9) DIV 10 THEN x END)").as("p90"),
-      expr("min(CASE WHEN cum >= (99*ntot+99) DIV 100 THEN x END)").as("p99"),
-      coalesce(max(when(col("x") <= col("s50"), col("cum"))), lit(0L)).as("r50"),
-      coalesce(max(when(col("x") <= col("s90"), col("cum"))), lit(0L)).as("r90"),
-      coalesce(max(when(col("x") <= col("s99"), col("cum"))), lit(0L)).as("r99"),
-      coalesce(max(when(col("x") <= col("s50"), col("cum") - col("cnt") + 1)), lit(0L)).as("l50"),
-      coalesce(max(when(col("x") <= col("s90"), col("cum") - col("cnt") + 1)), lit(0L)).as("l90"),
-      coalesce(max(when(col("x") <= col("s99"), col("cum") - col("cnt") + 1)), lit(0L)).as("l99"))
+    tot.join(qv, "g")
       .select(col("g").as("l_returnflag"), col("n"),
         col("p50"), col("p90"), col("p99"),
         (within(col("l50"), col("r50"), 5000) &&

@@ -181,6 +181,25 @@ object Probe {
           count(lit(1)).over(Window.partitionBy("comp")).as("csize"))
         .orderBy("doc_id")))
     }
+    // --- quantile_sketch legs ---------------------------------------------
+    {
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.load(spark, dir, "lineitem")
+        .select(col("l_returnflag").as("g"),
+          (col("l_extendedprice") * 100).cast("bigint").as("x"))
+      time("qs.scan")(noop(v))
+      time("qs.sketch_leg")(noop(v.groupBy("g")
+        .agg(percentile_approx(col("x"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(1000)))))
+      val wc = Window.partitionBy("g").orderBy("x")
+      val wn = Window.partitionBy("g")
+      time("qs.counts")(noop(v.groupBy("g", "x").agg(count(lit(1)).as("cnt"))))
+      time("qs.windows")(noop(v.groupBy("g", "x").agg(count(lit(1)).as("cnt"))
+        .select(col("g"), col("x"), col("cnt"),
+          sum("cnt").over(wc).as("cum"), sum("cnt").over(wn).as("ntot"))))
+      time("qs.full")(noop(graft.ops.RelationalQueries
+        .quantileSketch(spark, dir)))
+    }
     spark.stop()
   }
 }

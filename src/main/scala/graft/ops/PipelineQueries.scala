@@ -1073,8 +1073,9 @@ object PipelineQueries {
     * poly-hash space would saturate at ~1e5 distinct windows and make
     * df collision-driven; the wide key holds the birthday floor past
     * 1e9 distinct windows — never doc×doc; windows
-    * appearing in >64 docs are boilerplate and broadcast-anti-joined
-    * away BEFORE the pair join, which is also the skew bound — a window
+    * appearing in >64 docs are boilerplate, dropped by a count-over-
+    * window on the SAME g partitioning the pair join consumes (one
+    * corpus exchange total), which is also the skew bound — a window
     * contributes at most C(64,2) pairs, so candidate volume stays
     * ∝ true duplication at any corpus size. */
   val dedupContainment: Q = (s, dir) => {
@@ -1083,13 +1084,19 @@ object PipelineQueries {
       .withColumn("n", size(col("sh")).cast("bigint"))
       .filter(col("n") > 0)
       .select(col("doc_id"), col("n"), explode(col("sh")).as("g"))
-    val boiler = ex.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") > 64).select("g")
+    // The boilerplate cap is a COUNT-OVER-WINDOW on the same g
+    // partitioning the pair join needs: one exchange computes df, the
+    // filter drops >64-doc windows in place, and the join below reuses
+    // the partitioning — a separate boiler aggregate + anti-join would
+    // re-run the explode for each consumer. (The window key space is
+    // the ~60-bit hash — millions of partitions-within-partitions, so
+    // per-key state is tiny and parallelism is unconstrained.)
+    val wg = Window.partitionBy("g")
+    val kept = ex.withColumn("df", count(lit(1)).over(wg))
+      .filter(col("df") <= 64).drop("df")
     // alias(), not re-select: both join sides canonicalize to the SAME
-    // plan, so the shuffle over g is computed once and the second side
-    // is a ReusedExchange (re-selecting with renamed columns defeats
-    // that and pays the explode + anti-join twice).
-    val kept = ex.join(broadcast(boiler), Seq("g"), "left_anti")
+    // plan, so the window's exchange is computed once and the second
+    // side is a ReusedExchange.
     kept.alias("a")
       .join(kept.alias("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))

@@ -36,10 +36,13 @@ class ContainmentSpec extends SparkSuite {
     assert(expect.nonEmpty, "fixture has no containment pairs — test is vacuous")
   }
 
-  test("plan: boilerplate cap is a broadcast anti-join before the pair join") {
-    val plan = PipelineQueries.dedupContainment(spark, dir)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
-      s"boilerplate cap not a broadcast anti-join:\n$plan")
+  test("plan: one corpus exchange — cap window and pair join share it") {
+    val df = PipelineQueries.dedupContainment(spark, dir)
+    df.collect() // AQE resolves exchange reuse at runtime — finalize first
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"pair-join sides did not share the cap window's exchange:\n$plan")
+    assert(!plan.contains("LeftAnti"),
+      s"cap still spelled as a separate anti-join:\n$plan")
   }
 }

@@ -273,7 +273,8 @@ object CurationQueries {
     * according to TARGET per-mille weights, not the corpus's natural
     * proportions — integer quotas by the largest-remainder method
     * (floor everyone, then +1 to the largest fractional remainders,
-    * ties by lang; clamped to availability), then take each language's
+    * ties by lang; availability clamps implicitly — a language cannot
+    * yield more heap rows than it has docs), then take each language's
     * quota of docs by deterministic LCG-hash rank.
     *
     * Scale shape: quotas derive from a language-count-sized frame
@@ -289,9 +290,7 @@ object CurationQueries {
     val weights = Seq(("en", 505L), ("zh", 165L), ("es", 143L),
       ("de", 117L), ("fr", 70L))
     import s.implicits._
-    val d = docs(s, dir)
     val w = weights.toDF("lang", "pm")
-    val avail = d.groupBy("lang").agg(count(lit(1)).as("cnt"))
     val base = w
       .withColumn("b", expr(s"($budget * pm) DIV 1000"))
       .withColumn("rem", expr(s"$budget * pm - 1000 * (($budget * pm) DIV 1000)"))
@@ -302,10 +301,14 @@ object CurationQueries {
       .withColumn("q",
         col("b") + when(row_number().over(wleft) <= col("leftover"), 1L)
           .otherwise(0L))
-      .join(avail, "lang")
-      .select(col("lang"), least(col("q"), col("cnt")).as("quota"))
+      .select("lang", "q")
+    // ONE corpus pass: the map-side lang filter keeps only weighted
+    // languages, and no availability count is needed — the heap can't
+    // emit more rows than a language has, so rk <= q clamps to
+    // availability by construction.
     val folded = (col("doc_id") % 1048573L + 1048573L) % 1048573L
-    val picked = d
+    val picked = docs(s, dir)
+      .filter(col("lang").isin(weights.map(_._1): _*))
       .select(col("lang"), col("doc_id"),
         ((folded * 1103515245L + 12345L) % 1000000L).as("h"))
       .groupBy("lang")
@@ -316,7 +319,7 @@ object CurationQueries {
       .select(col("lang"), (col("i") + 1).cast("bigint").as("rk"),
         col("s.doc_id").as("doc_id"))
     picked.join(broadcast(quota), "lang")
-      .filter(col("rk") <= col("quota"))
+      .filter(col("rk") <= col("q"))
       .select(col("lang"), col("doc_id"), col("rk"))
       .orderBy("lang", "rk")
   }

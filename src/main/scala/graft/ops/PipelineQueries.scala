@@ -1073,29 +1073,31 @@ object PipelineQueries {
     * poly-hash space would saturate at ~1e5 distinct windows and make
     * df collision-driven; the wide key holds the birthday floor past
     * 1e9 distinct windows — never doc×doc; windows
-    * appearing in >64 docs are boilerplate, dropped by a count-over-
-    * window on the SAME g partitioning the pair join consumes (one
-    * corpus exchange total), which is also the skew bound — a window
-    * contributes at most C(64,2) pairs, so candidate volume stays
-    * ∝ true duplication at any corpus size. */
+    * appearing in >64 docs are boilerplate, counted by a map-side-
+    * combined aggregate and dropped by a broadcast ANTI-join — both
+    * skew-immune: a hot window's rows never concentrate on one task —
+    * and the cap is also the skew bound: a window contributes at most
+    * C(64,2) pairs, so candidate volume stays ∝ true duplication at
+    * any corpus size. */
   val dedupContainment: Q = (s, dir) => {
     val ex = docs(s, dir)
       .select(col("doc_id"), HE.shingle_hashes_wide(col("text"), 8).as("sh"))
       .withColumn("n", size(col("sh")).cast("bigint"))
       .filter(col("n") > 0)
       .select(col("doc_id"), col("n"), explode(col("sh")).as("g"))
-    // The boilerplate cap is a COUNT-OVER-WINDOW on the same g
-    // partitioning the pair join needs: one exchange computes df, the
-    // filter drops >64-doc windows in place, and the join below reuses
-    // the partitioning — a separate boiler aggregate + anti-join would
-    // re-run the explode for each consumer. (The window key space is
-    // the ~60-bit hash — millions of partitions-within-partitions, so
-    // per-key state is tiny and parallelism is unconstrained.)
-    val wg = Window.partitionBy("g")
-    val kept = ex.withColumn("df", count(lit(1)).over(wg))
-      .filter(col("df") <= 64).drop("df")
+    // The boilerplate cap MUST be the aggregate + broadcast-anti-join
+    // spelling, not a count-over-window: the aggregate partial-combines
+    // map-side so a window in 10M docs crosses the exchange as a few
+    // per-partition count rows, and the anti-join drops its 10M
+    // exploded rows map-side — a Window(g) would hash ALL of a hot
+    // window's rows to one task and buffer the whole peer group there
+    // before the filter could discard it (measured faster at sf0.1,
+    // but a straggler factory at the 100 TB design point, so rejected).
+    val boiler = ex.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 64).select("g")
+    val kept = ex.join(broadcast(boiler), Seq("g"), "left_anti")
     // alias(), not re-select: both join sides canonicalize to the SAME
-    // plan, so the window's exchange is computed once and the second
+    // plan, so the kept leg's shuffle is computed once and the second
     // side is a ReusedExchange.
     kept.alias("a")
       .join(kept.alias("b"),

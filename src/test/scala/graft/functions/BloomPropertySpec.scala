@@ -58,19 +58,20 @@ class BloomPropertySpec extends AnyFunSuite {
     assert(SCTest.check(params, p).passed)
   }
 
-  test("definite-absence direction: clear bits mean NOT present in build set") {
-    // mightContain == false must imply the key was never inserted: probe
-    // keys drawn from a disjoint range of the generator.
+  test("discrimination: a correctly-sized filter rejects most non-members") {
+    // The absence direction must actually FIRE — an all-bits-set (or
+    // always-true) implementation satisfies no-false-negatives trivially
+    // but fails here: with <=64 members in a 4096-bit filter
+    // (64 bits/key), at most ~2% of 500 disjoint-range probes may
+    // false-positive.
     val gen = for {
       members <- Gen.listOf(Gen.chooseNum(0L, Long.MaxValue / 2))
-      probes <- Gen.listOfN(50, Gen.chooseNum(Long.MinValue, -1L))
+        .map(_.take(64))
+      probes <- Gen.listOfN(500, Gen.chooseNum(Long.MinValue, -1L))
     } yield (members, probes)
     val p = Prop.forAll(gen) { case (members, probes) =>
       val bits = build(members, 512)
-      val memberSet = members.toSet
-      probes.forall { k =>
-        BloomRuntime.mightContain(bits, k, 7) || !memberSet.contains(k)
-      }
+      probes.count(BloomRuntime.mightContain(bits, _, 7)) <= 10
     }
     assert(SCTest.check(params, p).passed)
   }

@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.SparkSuite
 
 /** q_dedup_containment against an all-pairs brute force of the same
-  * definition — the banded plan must find exactly the pairs a doc×doc
-  * scan finds (the anti-joined boilerplate cap is part of the
-  * definition, mirrored in the brute force). */
+  * definition — the window-hash plan must find exactly the pairs a
+  * doc×doc scan finds (the boilerplate cap is part of the definition,
+  * mirrored in the brute force). */
 class ContainmentSpec extends SparkSuite {
 
   private val dir = "/root/testdata/sf0.001"
@@ -36,13 +36,20 @@ class ContainmentSpec extends SparkSuite {
     assert(expect.nonEmpty, "fixture has no containment pairs — test is vacuous")
   }
 
-  test("plan: one corpus exchange — cap window and pair join share it") {
-    val df = PipelineQueries.dedupContainment(spark, dir)
-    df.collect() // AQE resolves exchange reuse at runtime — finalize first
-    val plan = df.queryExecution.executedPlan.toString
+  test("plan: skew-immune cap anti-join; pair-join sides share one exchange") {
+    // At fixture scale AQE broadcasts the pair join itself (no exchange
+    // to reuse), so pin the at-scale shape: threshold -1 forces the
+    // pair join to shuffle (the cap's explicit broadcast() hint still
+    // wins), and with AQE off the planner's ReuseExchange rule is
+    // visible statically.
+    val pinned = org.apache.spark.sql.graft.ColumnBridge.withSessionConf(
+      PipelineQueries.dedupContainment(spark, dir),
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val plan = pinned.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti") && plan.contains("BroadcastHashJoin"),
+      s"boilerplate cap is not a broadcast anti-join:\n$plan")
     assert(plan.contains("ReusedExchange"),
-      s"pair-join sides did not share the cap window's exchange:\n$plan")
-    assert(!plan.contains("LeftAnti"),
-      s"cap still spelled as a separate anti-join:\n$plan")
+      s"pair-join sides did not share the kept leg's exchange:\n$plan")
   }
 }

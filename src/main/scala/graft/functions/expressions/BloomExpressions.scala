@@ -160,6 +160,8 @@ case class BloomBuild(
   * generated code is one static call per row. */
 case class BloomCountContained(child: Expression, bloom: Array[Byte], numHashes: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  require(numHashes >= 1 && numHashes <= 16,
+    s"numHashes out of range: $numHashes (k=0 would make every probe TRUE)")
   override def inputTypes: Seq[ColumnBridge.AbstractType] =
     Seq(ArrayType(LongType))
   override def dataType: DataType = IntegerType
@@ -183,6 +185,13 @@ case class BloomCountContained(child: Expression, bloom: Array[Byte], numHashes:
 case class BloomMightContain(left: Expression, right: Expression, numHashes: Int)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
     with ExpectsInputTypes {
+  // k is part of the filter's identity: k=0 degenerates to always-TRUE
+  // and a build/probe k mismatch can FALSE-NEGATIVE (probing a bit the
+  // build never set) — the one error direction a Bloom filter must
+  // never have. Range-check here; matching build k is the caller's
+  // contract (documented on BloomBuild).
+  require(numHashes >= 1 && numHashes <= 16,
+    s"numHashes out of range: $numHashes")
   override def inputTypes: Seq[ColumnBridge.AbstractType] =
     Seq(BinaryType, LongType)
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType

@@ -78,10 +78,16 @@ object CurationQueries {
     * shape serves any per-stratum quota (source, quality bucket). */
   val sampleStratified: Q = (s, dir) => {
     val d = docs(s, dir)
+    // greatest(1, ...): past 100k docs the floored permille hits 0 and
+    // would DELETE the stratum outright instead of capping it — keep at
+    // least 1‰ so huge languages stay represented (binds only past
+    // 100k docs/stratum; no fixture scale reaches it, so the clamp
+    // changes no oracle hash).
     val rates = d.groupBy("lang").agg(count(lit(1)).as("cnt"))
       .select(col("lang"),
-        floor(least(lit(1.0), lit(100.0) / col("cnt").cast("double")) * 1000)
-          .cast("bigint").as("permille"))
+        greatest(lit(1L),
+          floor(least(lit(1.0), lit(100.0) / col("cnt").cast("double")) * 1000)
+            .cast("bigint")).as("permille"))
     // The LCG input is doc_id folded into [0, 1048573) first — spelled as
     // ((x % p) + p) % p so Spark and DuckDB compute the identical
     // non-negative residue. Multiplying raw doc_id would wrap silently in
@@ -97,8 +103,8 @@ object CurationQueries {
   val sampleStratifiedSql: String =
     """WITH r AS (
       |  SELECT lang,
-      |    CAST(floor(least(CAST(1.0 AS DOUBLE), 100.0 / CAST(count(*) AS DOUBLE))
-      |      * 1000) AS BIGINT) AS permille
+      |    greatest(1, CAST(floor(least(CAST(1.0 AS DOUBLE),
+      |      100.0 / CAST(count(*) AS DOUBLE)) * 1000) AS BIGINT)) AS permille
       |  FROM documents GROUP BY lang)
       |SELECT d.doc_id, d.lang
       |FROM documents d JOIN r ON d.lang = r.lang

@@ -88,14 +88,19 @@ object PipelineQueries {
     val punct = size(regexp_extract_all(col("text"),
       lit("[^A-Za-z0-9 ]"), lit(0))).cast("double")
     val len = length(col("text")).cast("double")
+    // 0-length/0-token guards: 0.0/0 is NaN, which Spark keeps but
+    // DuckDB may render NULL — an oracle divergence on any empty doc
+    // (and the sibling textRepetition already guards its denominator).
+    val sr = when(nt > 0, stop / nt).otherwise(0.0)
+    val pr = when(len > 0, punct / len).otherwise(0.0)
     d.select(col("doc_id"),
       size(toks).cast("bigint").as("n_ws_tokens"),
       nb.as("n_bpe_tokens"),
-      (stop / nt).as("stop_ratio"),
-      (punct / len).as("punct_ratio"),
-      ((len - nt + 1) / nt).as("avg_tok_len"),
-      (least(lit(1.0), nt / 100.0) * 0.5 + (stop / nt) * 0.3 +
-        (lit(1.0) - punct / len) * 0.2).as("quality_score"))
+      sr.as("stop_ratio"),
+      pr.as("punct_ratio"),
+      when(nt > 0, (len - nt + 1) / nt).otherwise(0.0).as("avg_tok_len"),
+      (least(lit(1.0), nt / 100.0) * 0.5 + sr * 0.3 +
+        (lit(1.0) - pr) * 0.2).as("quality_score"))
       .orderBy("doc_id")
   }
 
@@ -105,12 +110,12 @@ object PipelineQueries {
        |SELECT doc_id,
        |  len(w) AS n_ws_tokens,
        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
-       |  CAST(len(list_filter(w, x -> x IN $stops)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS stop_ratio,
-       |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
-       |  (CAST(length(text) AS DOUBLE) - CAST(len(w) AS DOUBLE) + 1) / CAST(len(w) AS DOUBLE) AS avg_tok_len,
+       |  CASE WHEN len(w) > 0 THEN CAST(len(list_filter(w, x -> x IN $stops)) AS DOUBLE) / CAST(len(w) AS DOUBLE) ELSE 0.0 END AS stop_ratio,
+       |  CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+       |  CASE WHEN len(w) > 0 THEN (CAST(length(text) AS DOUBLE) - CAST(len(w) AS DOUBLE) + 1) / CAST(len(w) AS DOUBLE) ELSE 0.0 END AS avg_tok_len,
        |  least(CAST(1.0 AS DOUBLE), CAST(len(w) AS DOUBLE) / 100.0) * 0.5
-       |    + (CAST(len(list_filter(w, x -> x IN $stops)) AS DOUBLE) / CAST(len(w) AS DOUBLE)) * 0.3
-       |    + (CAST(1.0 AS DOUBLE) - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 0.2
+       |    + (CASE WHEN len(w) > 0 THEN CAST(len(list_filter(w, x -> x IN $stops)) AS DOUBLE) / CAST(len(w) AS DOUBLE) ELSE 0.0 END) * 0.3
+       |    + (CAST(1.0 AS DOUBLE) - CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 0.2
        |    AS quality_score
        |FROM t ORDER BY doc_id""".stripMargin
   }
@@ -239,9 +244,13 @@ object PipelineQueries {
     * semantics — but it spreads across the cluster. */
   val dedupJaccard: Q = (s, dir) => {
     val chunkCap = 64
+    // Shingle-less docs (< 3 tokens) can never be near-dups, and their
+    // 0/0 Jaccard is NaN — which sorts GREATEST, so `>= 0.5` would keep
+    // the pair (the minhashPairs guard, applied here too).
     val d = docs(s, dir).select(col("doc_id"),
       substring(col("text"), 1, 40).as("pfx"),
       SVE.word_shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
     val ord = Window.partitionBy("pfx").orderBy("doc_id")
     val whole = Window.partitionBy("pfx")
     val idx = d
@@ -268,7 +277,8 @@ object PipelineQueries {
   val dedupJaccardSql: String =
     s"""WITH t AS (SELECT doc_id, substr(text, 1, 40) AS pfx,
        |  string_split(text, ' ') AS w FROM documents),
-       |s AS (SELECT doc_id, pfx, $sqlShingles AS sh FROM t)
+       |s AS (SELECT doc_id, pfx, $sqlShingles AS sh FROM t
+       |      WHERE len($sqlShingles) > 0)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jacc
@@ -517,18 +527,33 @@ object PipelineQueries {
     * below sf1 but statistically certain to miss at 100×). Plan: explode band keys → one hash equi-join on the
     * key (shuffle ∝ bucket collisions, ~7% of pairs) → pair dedup → fused
     * cosine verify. No all-pairs stage anywhere. */
-  val dedupEmbedLsh: Q = (s, dir) => {
-    val dims = 64
-    val base = embs(s, dir).select(col("vec_id"),
-      col("embedding").cast("array<double>").as("v"))
-    val planted = base.filter(col("vec_id") % 20 === 0)
+  /** Deterministic planted near-duplicate twins of every 20th vector
+    * (seeded multiplicative noise per dimension) — the recall fixture
+    * shared by [[dedupEmbedLsh]] and [[dedupSemantic]]; the SQL mirror
+    * is [[sqlPlantedTwins]] so query and oracle can never drift. */
+  private def plantedTwins(base: DataFrame, dims: Int): DataFrame =
+    base.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("src_id"), col("v"))
       .select((col("src_id") + 100000L).as("vec_id"),
         zip_with(col("v"), sequence(lit(0), lit(dims - 1)),
           (x, i) => x * (lit(1.0) +
             lit(0.45) * ((col("src_id") * 11 + i.cast("long") * 13) % 7 - 3)
               .cast("double") / lit(3.0))).as("v"))
-    val all = base.unionAll(planted)
+
+  /** DuckDB twin of [[plantedTwins]] (CTE body; expects `base`). */
+  private val sqlPlantedTwins: String =
+    """SELECT src_id + 100000 AS vec_id,
+      |    list_transform(range(0, 64), i -> embedding[CAST(i AS INT)+1] *
+      |      (1.0 + (0.45 * CAST(((src_id*11 + i*13) % 7) - 3 AS DOUBLE)) / 3.0))
+      |      AS embedding
+      |  FROM (SELECT vec_id AS src_id, embedding FROM base
+      |        WHERE vec_id % 20 = 0)""".stripMargin
+
+  val dedupEmbedLsh: Q = (s, dir) => {
+    val dims = 64
+    val base = embs(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val all = base.unionAll(plantedTwins(base, dims))
     val keyed = all.select(col("vec_id"), col("v"),
       explode(VF.wideBandKeys(col("v"), dims)).as("bk"))
     // Cosine + threshold run BEFORE the pair dedup: the verify kernel is
@@ -556,12 +581,7 @@ object PipelineQueries {
     s"""WITH base AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
        |  FROM embeddings),
-       |planted AS (SELECT src_id + 100000 AS vec_id,
-       |    list_transform(range(0, 64), i -> embedding[CAST(i AS INT)+1] *
-       |      (1.0 + (0.45 * CAST(((src_id*11 + i*13) % 7) - 3 AS DOUBLE)) / 3.0))
-       |      AS embedding
-       |  FROM (SELECT vec_id AS src_id, embedding FROM base
-       |        WHERE vec_id % 20 = 0)),
+       |planted AS ($sqlPlantedTwins),
        |av AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
        |n AS (SELECT vec_id, embedding, sqrt($dotSelf) AS nrm FROM av)
        |SELECT * FROM (
@@ -591,14 +611,7 @@ object PipelineQueries {
     val dims = 64
     val base = embs(s, dir).select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
-    val planted = base.filter(col("vec_id") % 20 === 0)
-      .select(col("vec_id").as("src_id"), col("v"))
-      .select((col("src_id") + 100000L).as("vec_id"),
-        zip_with(col("v"), sequence(lit(0), lit(dims - 1)),
-          (x, i) => x * (lit(1.0) +
-            lit(0.45) * ((col("src_id") * 11 + i.cast("long") * 13) % 7 - 3)
-              .cast("double") / lit(3.0))).as("v"))
-    val all = base.unionAll(planted)
+    val all = base.unionAll(plantedTwins(base, dims))
     val cents = base.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     // index build: nearest centroid per vector — driver-sized model,
@@ -633,12 +646,7 @@ object PipelineQueries {
     s"""WITH base AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
        |  FROM embeddings),
-       |planted AS (SELECT src_id + 100000 AS vec_id,
-       |    list_transform(range(0, 64), i -> embedding[CAST(i AS INT)+1] *
-       |      (1.0 + (0.45 * CAST(((src_id*11 + i*13) % 7) - 3 AS DOUBLE)) / 3.0))
-       |      AS embedding
-       |  FROM (SELECT vec_id AS src_id, embedding FROM base
-       |        WHERE vec_id % 20 = 0)),
+       |planted AS ($sqlPlantedTwins),
        |av AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
        |c AS (SELECT vec_id AS cid, embedding AS cv FROM base
        |      WHERE vec_id % 50 = 0),
@@ -1336,8 +1344,14 @@ object PipelineQueries {
       .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tk"))
     val counts = tok.groupBy("tk").agg(count(lit(1)).as("c"))
     val tot = counts.agg(sum("c").as("tn"))
+    // 1e6·T rides decimal before the division (the textBm25/DSIR
+    // convention): past ~9.2e12 corpus tokens a bigint product would
+    // wrap silently here and error in DuckDB. The quotient itself (and
+    // the doc sums) fit int64 far longer — w <= 1e6·T only for a
+    // count-1 token.
     val wts = counts.crossJoin(broadcast(tot))
-      .select(col("tk"), expr("1000000 * tn DIV c").as("w"))
+      .select(col("tk"),
+        expr("CAST(1000000 AS DECIMAL(38,0)) * tn DIV c").as("w"))
     tok.join(broadcast(wts), Seq("tk"))
       .groupBy("doc_id")
       .agg(sum("w").as("sur_sum"), count(lit(1)).as("n_tok"))
@@ -1353,7 +1367,7 @@ object PipelineQueries {
       |tok AS (SELECT doc_id, unnest(w) AS tk FROM t),
       |c AS (SELECT tk, count(*) AS c FROM tok GROUP BY tk),
       |tot AS (SELECT count(*) AS tn FROM tok),
-      |wts AS (SELECT tk, (1000000 * tn) // c AS w FROM c, tot),
+      |wts AS (SELECT tk, (CAST(1000000 AS HUGEINT) * tn) // c AS w FROM c, tot),
       |doc AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS sur_sum,
       |    count(*) AS n_tok FROM tok JOIN wts USING (tk) GROUP BY doc_id)
       |SELECT doc_id, sur_sum, n_tok,

@@ -73,4 +73,10 @@ object Tables {
     * reference them by the same names the DuckDB oracle uses. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Register ONLY the named fixtures — SQL-path queries should pin the
+    * tables they actually touch; registerAll eagerly loads (and under
+    * cacheInputs pins) all ten. */
+  def register(spark: SparkSession, dir: String, tables: String*): Unit =
+    tables.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 }

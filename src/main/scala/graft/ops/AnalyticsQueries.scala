@@ -235,8 +235,8 @@ object AnalyticsQueries {
     * oracle where native corr/covar (order-dependent double accumulation)
     * is not. Same partial-agg shape as any sum. */
   val aggCorr: Q = (s, dir) => {
-    val x = col("l_extendedprice").cast("decimal(18,2)")
-    val y = col("l_quantity").cast("decimal(18,2)")
+    val x = RelationalQueries.dec(col("l_extendedprice"))
+    val y = RelationalQueries.dec(col("l_quantity"))
     val nD = col("n").cast("double")
     // decimal→double through a string — see RelationalQueries.decToDouble
     // (DuckDB's direct cast double-rounds past 2^53 unscaled)

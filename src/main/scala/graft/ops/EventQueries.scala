@@ -26,7 +26,7 @@ object EventQueries {
     ev(s, dir)
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count("*").as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        sum(RelationalQueries.dec(col("value"))).cast("double").as("sum_value"),
         countDistinct(col("user_id")).as("n_users"))
       .orderBy("hour", "event_type")
 
@@ -46,10 +46,17 @@ object EventQueries {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val flagged = ev(s, dir).select(col("user_id"), col("ts"), col("event_id"),
         col("value"),
-        // ts is TIMESTAMP_NTZ (no direct long cast); session TZ is pinned
-        // UTC so the via-timestamp epoch matches DuckDB's epoch(ts).
-        when(col("ts").cast("timestamp").cast("long") -
-          lag(col("ts"), 1).over(byUser).cast("timestamp").cast("long") > 1800, 1L)
+        // Gap compared in INTEGER MICROSECONDS on both engines
+        // (unix_micros here, epoch_us in the oracle): a whole-second
+        // cast would truncate fractions and disagree with DuckDB's
+        // fractional epoch() for any gap within ~1s of the threshold —
+        // the fixture carries microsecond timestamps, so that band is
+        // real. ts is TIMESTAMP_NTZ; session TZ is pinned UTC so the
+        // via-timestamp micros match DuckDB's.
+        when(expr("unix_micros(CAST(ts AS TIMESTAMP))") -
+          expr("unix_micros(CAST(lag(ts, 1) OVER " +
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP))")
+            > 1800000000L, 1L)
           .otherwise(0L).as("new_session"))
     flagged
       .withColumn("session_id",
@@ -59,14 +66,14 @@ object EventQueries {
       .agg(count("*").as("n_events"),
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+        sum(RelationalQueries.dec(col("value"))).cast("double").as("session_value"))
       .orderBy("user_id", "session_id")
   }
 
   val sessionizeSql: String =
     """WITH flagged AS (
       |  SELECT user_id, ts, event_id, value,
-      |    CASE WHEN epoch(ts) - epoch(lag(ts, 1) OVER w) > 1800
+      |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800000000
       |         THEN 1 ELSE 0 END AS new_session
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -109,7 +116,7 @@ object EventQueries {
     ev(s, dir)
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
       .agg(count("*").as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        sum(RelationalQueries.dec(col("value"))).cast("double").as("sum_value"))
       .select(col("window.start").as("wstart"), col("window.end").as("wend"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("wstart", "event_type")

@@ -29,7 +29,7 @@ object RelationalQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private[ops] def dec(c: Column): Column = c.cast("decimal(18,2)")
 
   /** Engine-agnostic decimal→double: THROUGH A STRING. Both engines
     * round string→double correctly; DuckDB's direct decimal→double is
@@ -321,7 +321,7 @@ object RelationalQueries {
     * an aggregate + join — no per-row subquery execution. max() is exact on
     * doubles so the comparison is reproducible. */
   val corrSubquery: Q = (s, dir) => {
-    Tables.registerAll(s, dir)
+    Tables.register(s, dir, "orders")
     s.sql(
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders o
@@ -519,7 +519,7 @@ object RelationalQueries {
 
   /** Explicit GROUPING SETS via SQL. */
   val aggGroupingSets: Q = (s, dir) => {
-    Tables.registerAll(s, dir)
+    Tables.register(s, dir, "lineitem")
     s.sql(
       """SELECT l_returnflag, l_linestatus, count(*) AS n
         |FROM lineitem
@@ -923,11 +923,17 @@ object RelationalQueries {
           .as("missing_is_json_null"))
       .orderBy("event_id")
 
+  /** Oracle computes missing_is_json_null from the JSON itself
+    * (json_type = 'NULL' detects an explicit `"missing": null`), not a
+    * hardcoded FALSE — so the one cell this query exists to exercise
+    * stays checked even if a regenerated fixture ever carries explicit
+    * JSON nulls. */
   val scalarVariantSql: String =
     """SELECT event_id,
       |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_int,
       |  json_extract_string(props, '$.missing') AS k_missing,
-      |  false AS missing_is_json_null
+      |  coalesce(json_type(props, '$.missing') = 'NULL', false)
+      |    AS missing_is_json_null
       |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin
 
   // ===========================================================================
@@ -1006,7 +1012,7 @@ object RelationalQueries {
     * Catalyst into semi/anti joins — see q_join_semi/anti for the
     * DataFrame spelling). */
   val inSubquery: Q = (s, dir) => {
-    Tables.registerAll(s, dir)
+    Tables.register(s, dir, "supplier", "nation", "lineitem")
     s.sql(
       """SELECT s_suppkey, s_name FROM supplier
         |WHERE s_nationkey IN (SELECT n_nationkey FROM nation

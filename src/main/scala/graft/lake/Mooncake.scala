@@ -81,7 +81,8 @@ class Mooncake(val warehouse: String) {
       pk: Seq[String], initialVersion: Long = 1L,
       targetFileBytes: Long = 128L * 1024 * 1024,
       bloomColumns: Seq[String] = Seq.empty,
-      clusterBy: Seq[String] = Seq.empty): Manifest = {
+      clusterBy: Seq[String] = Seq.empty,
+      targetFileCount: Option[Int] = None): Manifest = {
     ResourceCaps.enforce(spark)
     val dir = tableDir(name)
     if (Manifest.latest(dir).isDefined)
@@ -97,11 +98,18 @@ class Mooncake(val warehouse: String) {
     val bytes = source.queryExecution.optimizedPlan.stats.sizeInBytes
     val sizeKnown = bytes < BigInt(Long.MaxValue) / 10000
     val ccols = if (clusterBy.nonEmpty) clusterBy else pk
-    val backfill =
-      if (ccols.nonEmpty && sizeKnown && bytes > targetFileBytes) {
+    // targetFileCount: explicit layout width (honored at ANY size — the
+    // caller owns the estimate); otherwise byte-based sizing from plan
+    // stats. Either way ONE range shuffle here — callers must not
+    // pre-partition (createTable would just re-shuffle the same keys).
+    val backfill = targetFileCount match {
+      case Some(n) if ccols.nonEmpty =>
+        source.repartitionByRange(n, ccols.map(col): _*)
+      case _ if ccols.nonEmpty && sizeKnown && bytes > targetFileBytes =>
         val n = ((bytes / targetFileBytes) min BigInt(10000)).toInt + 1
         source.repartitionByRange(n, ccols.map(col): _*)
-      } else source
+      case _ => source
+    }
     writeVersion(spark, name, backfill, pk, version = initialVersion,
       carryOver = Seq.empty, bloomColumns = bloomColumns,
       clusterColumns = if (clusterBy.nonEmpty) Some(clusterBy) else None)

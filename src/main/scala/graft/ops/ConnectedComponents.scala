@@ -65,6 +65,13 @@ object ConnectedComponents {
           lit(null).cast(compType).as("own"))
       // Checkpointed: it feeds both sides of the jump self-join below, so
       // both join inputs read one materialized pass of the hook stage.
+      // AVAILABILITY TRADE-OFF: localCheckpoint truncates lineage and
+      // stores blocks UNREPLICATED on executors — an executor loss
+      // mid-loop (spot reclaim) fails the whole label() job instead of
+      // recomputing. On long-lived production clusters set a reliable
+      // sparkContext.setCheckpointDir and swap to checkpoint(), or rely
+      // on the loop's small round count (O(log diameter), 2-3 in
+      // practice) making a rare retry-from-scratch acceptable.
       val hooked = labels.select(col("id"), col("comp"), col("comp").as("own"))
         .unionAll(offers)
         .groupBy("id").agg(min("comp").as("comp"), max("own").as("own"))

@@ -79,7 +79,12 @@ object IncrementalDedup {
   def dupPairs(s: SparkSession, lake: graft.lake.Mooncake,
       name: String, batch: DataFrame,
       maxInSet: Int = 10000): DataFrame =
-    dupPairsFromBands(s, lake, name, bandIndex(batch), maxInSet)
+    // persist: the bands feed TWO consumers (readForKeys' bounded key
+    // collect and the broadcast probe build) and minhashing is the
+    // batch side's dominant cost — unpersist happens via Spark's
+    // ContextCleaner once the result frame is dropped (the streaming
+    // loop, which controls batch scope, unpersists explicitly instead)
+    dupPairsFromBands(s, lake, name, bandIndex(batch).persist(), maxInSet)
 
   /** [[dupPairs]] over an ALREADY-banded batch — lets a caller that
     * needs the bands anyway (the streaming loop) hash the batch once. */
@@ -182,10 +187,13 @@ object IncrementalDedup {
               col("doc_id").as("doc_a"), col("sh").as("sha"))
             val b = bands.select(col("key"),
               col("doc_id").as("doc_b"), col("sh").as("shb"))
+            // no pair-level dedup here: only doc_b survives the
+            // projection and the union's distinct() below subsumes it —
+            // a dropDuplicates(doc_a, doc_b) would be one extra shuffle
+            // per micro-batch for nothing
             val vsBatch = a.join(broadcast(b),
                 a("key") === b("key") && col("doc_a") < col("doc_b"))
               .filter(SVE.jaccard_sim(col("sha"), col("shb")) >= jaccardMin)
-              .dropDuplicates("doc_a", "doc_b")
               .select(col("doc_b").as("doc_id"))
             val dropIds = vsCorpus.unionAll(vsBatch).distinct()
             val survivorBands = bands.join(broadcast(dropIds),

@@ -15,14 +15,17 @@ import graft.functions.expressions.{SetVectorExpressions => SVE}
   *   2. assignment = one narrow pass, no shuffle (argmax over k fused
   *      cosine kernels per row);
   *   3. new centroids = posexplode to (cluster, dim, value) then a
-  *      partial+final avg — ONE shuffle of k×d groups per iteration;
+  *      partial+final decimal mean — ONE shuffle of k×d groups per iteration;
   *      the collect pulls k×d doubles, never rows.
   * This is the same driver-as-parameter-server shape Spark MLlib's
   * KMeans uses (treeAggregate to the driver each iteration).
   *
-  * Determinism: init picks every (n/k)-th vector by id order and ties
-  * break on the lowest cluster id, so a rerun on the same data yields
-  * the same model — required for the recall tests to be stable.
+  * Determinism: init takes the k lowest (xxhash64(vec_id), vec_id)
+  * rows — a deterministic uniform hash sample — assignment ties break
+  * on the lowest cluster id, and centroid means accumulate in DECIMAL
+  * (exact, order-independent addition; a double avg() would vary with
+  * shuffle merge order), so a rerun on the same data yields the same
+  * model bit-for-bit — required for the recall tests to be stable.
   */
 object KMeans {
 
@@ -30,8 +33,12 @@ object KMeans {
     * and return the centroids as (clusterId, vector). */
   def fit(vecs: DataFrame, k: Int, iters: Int = 5): Seq[(Int, Array[Double])] = {
     // iters+1 full passes read this — cache once (MLlib does the same)
+    // null hygiene mirrors CentroidModel.collect: a null vector (or a
+    // null element) sampled into the init set would NPE on the driver,
+    // and require(n >= k) must count usable vectors only.
     val e = vecs.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && expr("!exists(v, x -> x IS NULL)"))
       .persist()
     try fitCached(e, k, iters)
     finally e.unpersist(blocking = false)
@@ -62,7 +69,12 @@ object KMeans {
           .getField("cluster").cast("int"))
       val updated = assigned
         .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cluster", "dim").agg(avg("x").as("m"))
+        .groupBy("cluster", "dim")
+        // decimal sum, not avg(): double accumulation varies with the
+        // nondeterministic shuffle merge order; decimal addition is
+        // exact and order-independent, so the model is rerun-stable
+        .agg((sum(col("x").cast("decimal(38,18)")) / count(lit(1)))
+          .cast("double").as("m"))
         .collect()
         .groupBy(_.getInt(0))
         .map { case (cid, rows) =>
@@ -81,10 +93,9 @@ object KMeans {
   /** Assign each vector to its nearest centroid (same tie-break as
     * training): adds a `cluster` int column. */
   def assign(vecs: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame =
-    vecs.withColumn("v", col("embedding").cast("array<double>"))
-      .withColumn("cluster",
-        SVE.nearest_centroid(col("v"),
-          cents.map { case (cid, cv) => (cid.toLong, cv) })
-          .getField("cluster").cast("int"))
-      .drop("v")
+    // no scratch column (a caller's own "v" column must survive intact)
+    vecs.withColumn("cluster",
+      SVE.nearest_centroid(col("embedding").cast("array<double>"),
+        cents.map { case (cid, cv) => (cid.toLong, cv) })
+        .getField("cluster").cast("int"))
 }

@@ -1325,7 +1325,9 @@ object PipelineQueries {
     })
     val q = embs(s, dir).filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    VectorIndex.probe(s, lake, "ivf", q, k = 5, nprobe = 2)
+    // corpus-side queries (qid IS a corpus vec_id) — exclude self-hits
+    VectorIndex.probe(s, lake, "ivf", q, k = 5, nprobe = 2,
+      excludeSelfId = true)
       .orderBy("qid", "rank")
   }
 

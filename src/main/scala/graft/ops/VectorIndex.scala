@@ -50,17 +50,20 @@ object VectorIndex {
   }
 
   /** Build the index: persist centroids and cluster-range-clustered
-    * postings as mirror tables. `targetFiles` sizes the posting layout
-    * (at scale, pick corpus-bytes / 128 MB). */
+    * postings as mirror tables. `targetFiles` pins an explicit posting
+    * file count (tests, known layouts); None (the default) lets
+    * createTable size files from plan stats at ~128 MB — the right
+    * at-scale behavior. Either way createTable performs the ONE range
+    * shuffle; pre-partitioning here would just be re-shuffled by the
+    * identical pk clustering downstream. */
   def build(s: SparkSession, lake: Mooncake, name: String,
-      vecs: DataFrame, cents: DataFrame, targetFiles: Int = 8): Unit = {
+      vecs: DataFrame, cents: DataFrame,
+      targetFiles: Option[Int] = None): Unit = {
     lake.createTable(s, centroidsTable(name),
       cents.select(col("cid").cast("long").as("cid"), col("cv")),
       pk = Seq("cid"))
-    val postings = assignTo(vecs, cents)
-      .repartitionByRange(targetFiles, col("cluster"), col("vec_id"))
-    lake.createTable(s, postingsTable(name), postings,
-      pk = Seq("cluster", "vec_id"))
+    lake.createTable(s, postingsTable(name), assignTo(vecs, cents),
+      pk = Seq("cluster", "vec_id"), targetFileCount = targetFiles)
     ()
   }
 
@@ -108,7 +111,8 @@ object VectorIndex {
     * (qid, rank, vec_id, cos). Queries are broadcast-sized by
     * assumption (a serving batch, not a corpus). */
   def probe(s: SparkSession, lake: Mooncake, name: String,
-      queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+      queries: DataFrame, k: Int, nprobe: Int,
+      excludeSelfId: Boolean = false): DataFrame = {
     val cents = lake.read(s, centroidsTable(name))
       .select(col("cid"), col("cv"))
     val pw = Window.partitionBy("qid").orderBy(col("pcos").desc, col("cid"))
@@ -120,8 +124,13 @@ object VectorIndex {
       .select(col("qid"), col("qv"), col("cid").as("cluster"))
     val cands = lake.readForKeys(s, postingsTable(name), "cluster",
       probes.select("cluster"))
+    // excludeSelfId is for CORPUS-side queries (near-dup scans, where
+    // qid IS a corpus vec_id). A serving batch's qids are an unrelated
+    // id space — excluding there would silently drop any corpus vector
+    // whose id happens to collide with a request id, so the default is
+    // no exclusion.
     val scored = cands.join(broadcast(probes), Seq("cluster"))
-      .filter(col("vec_id") =!= col("qid"))
+      .filter(if (excludeSelfId) col("vec_id") =!= col("qid") else lit(true))
       .select(col("qid"), col("vec_id"),
         SVE.cosine_sim(col("qv"), col("embedding")).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))

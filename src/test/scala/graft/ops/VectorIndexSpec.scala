@@ -31,7 +31,7 @@ class VectorIndexSpec extends SparkSuite {
   test("probe opens only the probed clusters' posting files") {
     val dir = tmpDir("vecidx")
     val lake = new Mooncake(dir)
-    VectorIndex.build(spark, lake, "ivf", corpus, cents, targetFiles = 4)
+    VectorIndex.build(spark, lake, "ivf", corpus, cents, targetFiles = Some(4))
     val all = lake.read(spark, "ivf_postings")
     assert(all.count() === 80)
     assert(all.inputFiles.length === 4)
@@ -54,7 +54,7 @@ class VectorIndexSpec extends SparkSuite {
   test("append assigns against persisted centroids; probe finds the new vector") {
     val dir = tmpDir("vecidx-append")
     val lake = new Mooncake(dir)
-    VectorIndex.build(spark, lake, "ivf", corpus, cents, targetFiles = 4)
+    VectorIndex.build(spark, lake, "ivf", corpus, cents, targetFiles = Some(4))
 
     // a new vector sitting almost exactly on centroid 1
     val nv = Array.fill(8)(0.0001f); nv(1) = 1.0f
@@ -79,7 +79,7 @@ class VectorIndexSpec extends SparkSuite {
     implicit val sc = spark.sqlContext
     val dir = tmpDir("vecidx-stream")
     val lake = new Mooncake(dir)
-    VectorIndex.build(spark, lake, "ivf", corpus, cents, targetFiles = 4)
+    VectorIndex.build(spark, lake, "ivf", corpus, cents, targetFiles = Some(4))
 
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Seq[Float])]

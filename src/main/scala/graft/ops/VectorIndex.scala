@@ -96,10 +96,13 @@ object VectorIndex {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val version = base + batchId + 1
-        val current = lake.currentManifest(postingsTable(name)).commitVersion
-        if (version > current)
-          append(batch.sparkSession, lake, name, batch, version)
+        // replay-vs-out-of-band-safe gate (see CdcStream.applyVersioned:
+        // a bare version comparison would silently drop a batch after
+        // any out-of-band commit, e.g. optimizeTable on the postings)
+        graft.streaming.CdcStream.applyVersioned(lake,
+          postingsTable(name), checkpointDir, base, batchId) { v =>
+          append(batch.sparkSession, lake, name, batch, v)
+        }
         ()
       }
       .start()

@@ -39,17 +39,69 @@ object CdcStream {
   /** The version base pinned once per checkpoint (see [[attach]] doc) —
     * shared with every foreachBatch-applying stream over a mirror
     * (e.g. [[graft.ops.VectorIndex.attachStream]]). */
+  private def atomicWrite(p: java.nio.file.Path, v: Long): Unit = {
+    // temp + ATOMIC_MOVE (the writeFrontier pattern): a plain write
+    // killed mid-flight leaves a TORN value — a truncated base shifts
+    // every batch's version down and new batches would be skipped as
+    // replays, silent permanent loss.
+    java.nio.file.Files.createDirectories(p.getParent)
+    val tmp = java.nio.file.Files.createTempFile(p.getParent, ".tmp", ".txt")
+    java.nio.file.Files.write(tmp, v.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  private def readLong(p: java.nio.file.Path): Option[Long] =
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .trim.toLong)
+    else None
+
   private[graft] def pinnedBase(lake: Mooncake, table: String,
       checkpointDir: String): Long = {
     val baseFile = java.nio.file.Paths.get(checkpointDir, "graft-base")
-    if (java.nio.file.Files.exists(baseFile))
-      new String(java.nio.file.Files.readAllBytes(baseFile),
-        "UTF-8").trim.toLong
-    else {
+    readLong(baseFile).getOrElse {
       val b = lake.currentManifest(table).commitVersion
-      java.nio.file.Files.createDirectories(baseFile.getParent)
-      java.nio.file.Files.write(baseFile, b.toString.getBytes("UTF-8"))
+      atomicWrite(baseFile, b)
+      // arm the applied-batch marker with the base pin, so the very
+      // first batch can already distinguish replay from out-of-band
+      val marker = java.nio.file.Paths.get(checkpointDir, "graft-applied")
+      if (!java.nio.file.Files.exists(marker)) atomicWrite(marker, -1L)
       b
+    }
+  }
+
+  /** Replay-vs-out-of-band-safe apply gate, shared by every
+    * foreachBatch mirror-applying stream. The naive `version > current`
+    * check conflates checkpoint REPLAY (skip — already committed) with
+    * an OUT-OF-BAND commit (optimizeTable, a manual applyChanges)
+    * having consumed the version number — where skipping silently
+    * drops the batch's data forever. The `graft-applied` marker (last
+    * batch id applied through this checkpoint) tells them apart:
+    *   - batchId <= marker          → true replay, skip;
+    *   - expected version free      → apply at base + batchId + 1;
+    *   - version taken, marker armed→ out-of-band interleave: apply at
+    *     current + 1 (versions shift, data survives);
+    *   - version taken, NO marker   → legacy pre-marker checkpoint:
+    *     only replay can explain it, skip.
+    * A crash between apply and marker write re-applies the batch once
+    * at the next version — applyChanges of an identical change set is
+    * row-idempotent (same final image), so the mirror converges; the
+    * cost is one redundant version in the history, never lost or
+    * doubled rows. */
+  private[graft] def applyVersioned(lake: Mooncake, table: String,
+      checkpointDir: String, base: Long, batchId: Long)
+      (apply: Long => Unit): Unit = {
+    val marker = java.nio.file.Paths.get(checkpointDir, "graft-applied")
+    val applied = readLong(marker)
+    if (applied.forall(batchId > _)) {
+      val current = lake.currentManifest(table).commitVersion
+      val expected = base + batchId + 1
+      if (expected > current) apply(expected)
+      else if (applied.isDefined) apply(current + 1)
+      // else: legacy replay — already committed under the old scheme
+      atomicWrite(marker, batchId)
     }
   }
 
@@ -73,11 +125,10 @@ object CdcStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val version = base + batchId + 1
-        val current = lake.currentManifest(table).commitVersion
-        if (version > current) {
-          lake.applyChanges(batch.sparkSession, table, batch, version)
-        } // else: checkpoint replay of an already-committed batch — skip
+        applyVersioned(lake, table, checkpointDir, base, batchId) { v =>
+          lake.applyChanges(batch.sparkSession, table, batch, v)
+          ()
+        }
         if (maintain.nonEmpty) {
           val mv = new graft.lake.Mview(lake)
           maintain.foreach(mv.refresh(batch.sparkSession, _))

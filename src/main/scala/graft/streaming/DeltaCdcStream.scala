@@ -36,17 +36,28 @@ object DeltaCdcStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Reduce to the final image per key FIRST: a batch spanning two
+        // source transactions (U then U of one key) would otherwise
+        // wedge the stream permanently — merge() refuses duplicate
+        // source keys, and checkpoint replay re-presents the identical
+        // batch forever. The bootstrap path needs the same reduction:
+        // writing both an I and its later U verbatim would start the
+        // table with two live rows, and an I whose final op is D must
+        // not be written at all.
+        val finalImage = CdcBatch.lastImagePerKey(batch, keys).drop("__seq")
         val exists = DeltaCompat.versions(tableDir).nonEmpty ||
           java.nio.file.Files.exists(java.nio.file.Paths
             .get(tableDir, "_delta_log", "_last_checkpoint"))
         if (!exists) {
-          // bootstrap: the first batch's inserts create the table (a
-          // delete against nothing is a no-op, the CDC convention)
-          DeltaCompat.write(batch.filter(col("__op") =!= "D")
+          // bootstrap: the first batch's surviving images create the
+          // table (a delete against nothing is a no-op, the CDC
+          // convention)
+          DeltaCompat.write(finalImage.filter(col("__op") =!= "D")
               .drop("__op"), tableDir,
             txn = Some(appId -> batchId))
         } else {
-          DeltaCompat.merge(batch.sparkSession, tableDir, batch, keys,
+          DeltaCompat.merge(batch.sparkSession, tableDir, finalImage,
+            keys,
             deleteWhen = Some(col("__op") === "D"),
             txn = Some(appId -> batchId))
         }

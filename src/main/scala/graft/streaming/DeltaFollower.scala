@@ -58,7 +58,10 @@ class DeltaFollower(table: String, spoolDir: String) {
     * Returns the seeded Delta version. */
   def seed(spark: SparkSession, lake: Mooncake, mirror: String,
       pk: Seq[String]): Long = {
-    val cur = DeltaCompat.versions(table).max
+    val vs = DeltaCompat.versions(table)
+    require(vs.nonEmpty,
+      s"cannot seed from '$table': no Delta log exists yet")
+    val cur = vs.max
     lake.createTable(spark, mirror,
       DeltaCompat.read(spark, table, version = Some(cur)), pk)
     writeFrontier(cur)
@@ -68,7 +71,11 @@ class DeltaFollower(table: String, spoolDir: String) {
   /** One poll: spool the change rows of every commit past the frontier
     * as one CDC batch. Returns rows spooled (0 = no new commits). */
   def pollOnce(spark: SparkSession): Long = {
-    val cur = DeltaCompat.versions(table).max
+    // an empty/not-yet-created log is a quiet poll, not an empty.max
+    // crash — the producer may simply not have committed yet
+    val vs = DeltaCompat.versions(table)
+    if (vs.isEmpty) return 0L
+    val cur = vs.max
     val from = frontier.getOrElse(-1L)
     if (cur <= from) return 0L
     val ch = DeltaCompat.readChanges(spark, table, from + 1, Some(cur))

@@ -46,17 +46,22 @@ object IcebergCdcStream {
               .map(_.toLong)
           else None
         if (applied.forall(_ < batchId)) {
-          // tombstone old versions of every changed key FIRST (a fresh
-          // table has nothing to tombstone)
-          val delKeys = batch.filter(col("__op").isin("U", "D"))
-            .select(keys.map(col): _*)
+          // Final image per key FIRST: without it, U+D of one key in
+          // one batch leaves the key alive (the U outsequences its own
+          // tombstone) and U+U lands two live rows. Then tombstone old
+          // versions of EVERY touched key — including final-op-I keys:
+          // a D+I (CDC re-insert) or an upsert-spelled-as-I must kill
+          // the table's older copy; an equality delete for a key that
+          // never existed is a no-op, so over-tombstoning is safe.
+          val finalImage = CdcBatch.lastImagePerKey(batch, keys).drop("__seq")
+          val delKeys = finalImage.select(keys.map(col): _*)
           if (exists && delKeys.take(1).nonEmpty)
             IcebergCompat.writeEqualityDeletes(
               batch.sparkSession, tableDir, delKeys, keys)
-          // then land the new rows; the watermark rides the append
-          // snapshot's summary — the batch's LAST commit, so a crash
-          // can never record the batch before its rows are in
-          IcebergCompat.write(batch.filter(col("__op") =!= "D")
+          // then land the surviving rows; the watermark rides the
+          // append snapshot's summary — the batch's LAST commit, so a
+          // crash can never record the batch before its rows are in
+          IcebergCompat.write(finalImage.filter(col("__op") =!= "D")
               .drop("__op"), tableDir,
             summary = Map(watermarkKey -> batchId.toString))
         } // else: checkpoint replay of a committed batch — skip

@@ -51,6 +51,8 @@ class IcebergFollower(table: String, spoolDir: String) {
   def seed(spark: SparkSession, lake: Mooncake, mirror: String,
       pk: Seq[String]): Long = {
     val cur = IcebergCompat.currentSnapshotId(table)
+    require(cur != -1L,
+      s"cannot seed from '$table': it has no snapshot yet")
     lake.createTable(spark, mirror,
       IcebergCompat.read(spark, table, snapshotId = Some(cur)), pk)
     writeFrontier(cur)

@@ -74,9 +74,18 @@ class RemoteCdcTailer(remote: SparkSession => DataFrame,
         count(lit(1))).head()
       if (probe.isNullAt(0)) 0L
       else {
-        val stamped =
+        // __seq = the watermark itself: when several polls' spool files
+        // land in ONE downstream micro-batch, applyChanges must order a
+        // key's ops by REMOTE commit order — without the stamp it falls
+        // back to monotonically_increasing_id, whose cross-file order
+        // follows split packing, and an older poll's image could win
+        // (the same reason both followers stamp __seq).
+        val stamped0 =
           if (delta.columns.contains("__op")) delta
           else delta.withColumn("__op", lit("U"))
+        val stamped =
+          if (stamped0.columns.contains("__seq")) stamped0
+          else stamped0.withColumn("__seq", col(watermarkCol).cast("long"))
         stamped.write.mode("append").parquet(batchesDir.toString)
         writeFrontier(probe.getLong(0))
         probe.getLong(1)
@@ -111,9 +120,13 @@ class RemoteCdcTailer(remote: SparkSession => DataFrame,
     * any batch exists. */
   def changes(spark: SparkSession): DataFrame = {
     val base = remote(spark)
+    val withOp =
+      if (base.columns.contains("__op")) base
+      else base.withColumn("__op", lit("U"))
     val schema =
-      if (base.columns.contains("__op")) base.schema
-      else base.withColumn("__op", lit("U")).schema
+      if (withOp.columns.contains("__seq")) withOp.schema
+      else withOp.withColumn("__seq",
+        col(watermarkCol).cast("long")).schema
     spark.readStream.schema(schema).parquet(batchesDir.toString)
   }
 }

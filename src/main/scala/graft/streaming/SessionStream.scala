@@ -9,12 +9,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * flatMapGroupsWithState spelling of [[graft.ops.EventQueries.sessionize]]
   * (which computes the same sessions in batch with one window pass).
   *
-  * State per user is just the open session (4 numbers); closed sessions
-  * are emitted as soon as a later event proves the gap, and the last open
-  * session is flushed by event-time timeout when the watermark passes its
-  * end + gap. That bounds state size by the number of concurrently active
-  * users, not the event history — the property that matters when the
-  * stream is 100 TB/day.
+  * A session is emitted only once the WATERMARK proves it final
+  * (end + gap < watermark): until then it stays in state as a pending
+  * interval, because an out-of-order but above-watermark event in a
+  * LATER micro-batch may still fall inside it and extend or merge it —
+  * emitting on first gap evidence (the naive spelling) would split one
+  * true session into several. Below-watermark stragglers are DROPPED,
+  * matching Spark's aggregate semantics (flatMapGroupsWithState leaves
+  * late-data policy to the operator); an undropped straggler could
+  * otherwise resurrect an already-emitted session — and arm an
+  * event-time timeout at or before the current watermark, which
+  * GroupState rejects with an exception that would wedge the query on
+  * every checkpoint replay (the timeout is also clamped past the
+  * watermark for exactly that reason).
+  *
+  * State per user is the pending interval list: the open session plus
+  * any gap-separated sessions not yet watermark-final — bounded by the
+  * watermark delay divided by the gap, per active user, not by event
+  * history. That is the property that matters when the stream is
+  * 100 TB/day.
   *
   * The reference has no event-time sessionization (WAL order is total,
   * SURVEY.md §2.8 "late/out-of-order: none") — this is the extension
@@ -24,8 +37,11 @@ object SessionStream extends Serializable {
 
   case class Event(user_id: Long, ts: Timestamp, value: Double)
 
-  /** Open-session accumulator (epoch micros). */
+  /** Session accumulator (epoch micros). */
   case class OpenSession(startUs: Long, endUs: Long, n: Long, value: Double)
+
+  /** Keyed state: pending (non-final) sessions, kept sorted by start. */
+  case class Pending(sessions: Seq[OpenSession])
 
   case class Session(
       user_id: Long,
@@ -38,61 +54,61 @@ object SessionStream extends Serializable {
   private def ts(u: Long): Timestamp = new Timestamp(u / 1000L)
 
   /** Sessionize a (watermarked) streaming Dataset[Event]. `events` MUST
-    * carry a watermark on `ts` — event-time timeout needs it to flush the
-    * final session per user. */
+    * carry a watermark on `ts` — finality and the state flush both ride
+    * the event-time timeout. */
   def sessionize(events: Dataset[Event],
       gapSeconds: Long): Dataset[Session] = {
     val gapUs = gapSeconds * 1000000L
-    implicit val stateEnc = Encoders.product[OpenSession]
+    implicit val stateEnc = Encoders.product[Pending]
     implicit val outEnc = Encoders.product[Session]
 
     def close(userId: Long, s: OpenSession): Session =
       Session(userId, ts(s.startUs), ts(s.endUs), s.n, s.value)
 
+    /** Gap-merge intervals in start order (sums are commutative, so the
+      * within-session fold order cannot affect the result). */
+    def mergeAll(items: Seq[OpenSession]): Seq[OpenSession] =
+      items.sortBy(s => (s.startUs, s.endUs))
+        .foldLeft(Vector.empty[OpenSession]) { (acc, it) =>
+          acc.lastOption match {
+            case Some(s) if it.startUs - s.endUs <= gapUs =>
+              acc.init :+ OpenSession(s.startUs,
+                math.max(s.endUs, it.endUs), s.n + it.n, s.value + it.value)
+            case _ => acc :+ it
+          }
+        }
+
     events.groupByKey(_.user_id)(Encoders.scalaLong)
-      .flatMapGroupsWithState[OpenSession, Session](
+      .flatMapGroupsWithState[Pending, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[Event],
-         state: GroupState[OpenSession]) =>
-          if (state.hasTimedOut) {
-            // Watermark passed end + gap: the open session can never
-            // extend — flush it.
-            val out = state.getOption.map(close(userId, _)).iterator
-            state.remove()
-            out
-          } else {
-            // Events within a micro-batch arrive unordered; a session
-            // operator must sort its in-batch slice (cheap: one user's
-            // slice of one trigger), exactly like the batch window sort.
-            // The carried open session joins the merge as an ordinary
-            // interval, IN START ORDER: a late (above-watermark) event
-            // that predates it must form or extend an EARLIER session,
-            // not be absorbed into the open one — the naive
-            // `t - end <= gap` guard is trivially true for any t in the
-            // past and silently corrupted session starts.
-            val sorted = batch.toSeq.sortBy(e => (us(e.ts), e.value))
+         state: GroupState[Pending]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmUs = wmMs * 1000L
+
+          /** Emit watermark-final sessions, keep the rest in state with
+            * a re-armed timeout at the earliest possible finality. */
+          def emitFinal(sessions: Seq[OpenSession]): Iterator[Session] = {
+            val (fin, keep) = sessions.partition(_.endUs + gapUs < wmUs)
+            if (keep.isEmpty) {
+              if (state.exists) state.remove()
+            } else {
+              state.update(Pending(keep))
+              // clamp past the watermark: arming at or before it throws
+              // and wedges the query on replay
+              state.setTimeoutTimestamp(math.max(
+                (keep.map(_.endUs).min + gapUs) / 1000L, wmMs + 1))
+            }
+            fin.sortBy(_.startUs).map(close(userId, _)).iterator
+          }
+
+          val pending = state.getOption.map(_.sessions).getOrElse(Nil)
+          if (state.hasTimedOut) emitFinal(pending)
+          else {
+            // drop below-watermark stragglers (see header)
+            val evs = batch.filter(e => us(e.ts) >= wmUs).toSeq
               .map(e => OpenSession(us(e.ts), us(e.ts), 1L, e.value))
-            val items = (state.getOption.toSeq ++ sorted).sortBy(_.startUs)
-            val closed = Seq.newBuilder[Session]
-            var open: Option[OpenSession] = None
-            for (it <- items) {
-              open match {
-                case Some(s) if it.startUs - s.endUs <= gapUs =>
-                  open = Some(OpenSession(s.startUs,
-                    math.max(s.endUs, it.endUs),
-                    s.n + it.n, s.value + it.value))
-                case Some(s) =>
-                  closed += close(userId, s)
-                  open = Some(it)
-                case None =>
-                  open = Some(it)
-              }
-            }
-            open.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp((s.endUs + gapUs) / 1000L)
-            }
-            closed.result().iterator
+            emitFinal(mergeAll(pending ++ evs))
           }
       }
   }

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit, when}
@@ -33,23 +32,8 @@ import graft.lake.{DeltaCompat, Mooncake}
   * never the table — so following a 100 TB Delta table costs
   * change-volume IO, exactly like the mirror's own CDC apply.
   */
-class DeltaFollower(table: String, spoolDir: String) {
-
-  private val batchesDir = Paths.get(spoolDir, "batches")
-  private val frontierFile = Paths.get(spoolDir, "frontier")
-  Files.createDirectories(batchesDir)
-
-  /** Highest Delta commit version already spooled. */
-  def frontier: Option[Long] =
-    if (!Files.exists(frontierFile)) None
-    else Some(new String(Files.readAllBytes(frontierFile), "UTF-8")
-      .trim.toLong)
-
-  private def writeFrontier(v: Long): Unit = {
-    val tmp = Files.createTempFile(frontierFile.getParent, ".tmp", ".txt")
-    Files.write(tmp, v.toString.getBytes("UTF-8"))
-    Files.move(tmp, frontierFile, StandardCopyOption.ATOMIC_MOVE)
-  }
+class DeltaFollower(table: String, val spoolDir: String)
+    extends SpoolFrontier {
 
   /** Create the mirror from the Delta table's CURRENT snapshot and set
     * the frontier there, so the follower streams only LATER commits —
@@ -97,22 +81,6 @@ class DeltaFollower(table: String, spoolDir: String) {
       ch.unpersist()
       ()
     }
-  }
-
-  /** Poll until the log goes quiet (test/batch drain); production
-    * schedules [[pollOnce]] itself. */
-  def drain(spark: SparkSession, maxPolls: Int = 100,
-      quietPolls: Int = 1): Long = {
-    var total = 0L
-    var quiet = 0
-    var polls = 0
-    while (quiet < quietPolls && polls < maxPolls) {
-      val n = pollOnce(spark)
-      total += n
-      quiet = if (n == 0) quiet + 1 else 0
-      polls += 1
-    }
-    total
   }
 
   /** The spooled change feed as a file-source stream for

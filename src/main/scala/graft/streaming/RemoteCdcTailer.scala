@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, count, lit, max}
 
@@ -34,23 +32,7 @@ import org.apache.spark.sql.functions.{col, count, lit, max}
   * crash-restart cycle).
   */
 class RemoteCdcTailer(remote: SparkSession => DataFrame,
-    watermarkCol: String, spoolDir: String) {
-
-  private val batchesDir = Paths.get(spoolDir, "batches")
-  private val frontierFile = Paths.get(spoolDir, "frontier")
-  Files.createDirectories(batchesDir)
-
-  /** Highest watermark already spooled; new polls read strictly past it. */
-  def frontier: Option[Long] =
-    if (!Files.exists(frontierFile)) None
-    else Some(new String(Files.readAllBytes(frontierFile), "UTF-8")
-      .trim.toLong)
-
-  private def writeFrontier(v: Long): Unit = {
-    val tmp = Files.createTempFile(frontierFile.getParent, ".tmp", ".txt")
-    Files.write(tmp, v.toString.getBytes("UTF-8"))
-    Files.move(tmp, frontierFile, StandardCopyOption.ATOMIC_MOVE)
-  }
+    watermarkCol: String, val spoolDir: String) extends SpoolFrontier {
 
   /** One poll: spool every remote row past the frontier as one change
     * batch, advance the frontier to the batch's max watermark. Returns
@@ -94,24 +76,6 @@ class RemoteCdcTailer(remote: SparkSession => DataFrame,
       delta.unpersist()
       ()
     }
-  }
-
-  /** Poll until the remote goes quiet for `quietPolls` consecutive
-    * rounds (test/batch drain) or `maxPolls` is hit. Returns total rows
-    * spooled. A production deployment calls [[pollOnce]] on its own
-    * schedule instead. */
-  def drain(spark: SparkSession, maxPolls: Int = 100,
-      quietPolls: Int = 1): Long = {
-    var total = 0L
-    var quiet = 0
-    var polls = 0
-    while (quiet < quietPolls && polls < maxPolls) {
-      val n = pollOnce(spark)
-      total += n
-      quiet = if (n == 0) quiet + 1 else 0
-      polls += 1
-    }
-    total
   }
 
   /** The spooled change feed as a standard file-source stream — hand

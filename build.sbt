@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout goes to the REAL stdout instead of sbt's logger —
+// sbt's default LoggedOutput prefixes every line with "[info] ", which
+// breaks any consumer (the bench driver) parsing runMain output as JSON.
+run / outputStrategy := Some(StdoutOutput)
+// ... and no "[success] Total time" trailer AFTER the run's own output,
+// so a runMain's final printed line IS the last line of stdout.
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

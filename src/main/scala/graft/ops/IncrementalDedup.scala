@@ -151,9 +151,16 @@ object IncrementalDedup {
     *      rule, so a replay converges to the same survivors),
     *   3. appends only the SURVIVORS' band rows ([[appendBatch]]).
     *
-    * Same pinned-base idempotency as [[graft.streaming.CdcStream
-    * .attach]]: a post-crash replayed batch recomputes its original
-    * version and is skipped, never double-appended. The batch is
+    * Same replay-vs-out-of-band-safe gate as [[graft.streaming
+    * .CdcStream.attach]] and [[VectorIndex.attachStream]]
+    * ([[graft.streaming.CdcStream.applyVersioned]]): a post-crash
+    * replayed batch is skipped by the applied-batch marker, while an
+    * out-of-band commit on the index (the `optimizeTable` that
+    * [[appendBatch]]'s doc recommends, or a manual apply) only SHIFTS
+    * the batch's version — a bare `version > current` compare would
+    * instead classify the next micro-batch as a replay and silently
+    * drop its survivor band rows, letting future duplicates of those
+    * docs sail through undetected forever. The batch is
     * banded ONCE and the bands pinned — the probe, the within-batch
     * pairing, and the append all reuse them (minhashing is the batch
     * side's dominant cost; recomputing it per consumer would triple
@@ -174,9 +181,8 @@ object IncrementalDedup {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val version = base + batchId + 1
-        val current = lake.currentManifest(name).commitVersion
-        if (version > current) {
+        graft.streaming.CdcStream.applyVersioned(lake, name,
+          checkpointDir, base, batchId) { version =>
           val bands = bandIndex(batch).persist()
           try {
             val vsCorpus = dupPairsFromBands(s, lake, name, bands,

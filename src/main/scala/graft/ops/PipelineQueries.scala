@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.functions.expressions.{HashExpressions => HE, SetVectorExpressions => SVE}
+import graft.functions.expressions.{AggExpressions => AE, HashExpressions => HE, SetVectorExpressions => SVE}
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
@@ -1076,40 +1076,43 @@ object PipelineQueries {
     * boilerplate — 3-shingles saturate on any finite vocabulary and
     * would cap away the signal as the corpus grows.
     *
-    * Scale shape (the [[dedupSubstring]] pattern): candidates come from
-    * ONE hash equi-join on WIDE (~60-bit) window hashes — the 30-bit
-    * poly-hash space would saturate at ~1e5 distinct windows and make
-    * df collision-driven; the wide key holds the birthday floor past
-    * 1e9 distinct windows — never doc×doc; windows
-    * appearing in >64 docs are boilerplate, counted by a map-side-
-    * combined aggregate and dropped by a broadcast ANTI-join — both
-    * skew-immune: a hot window's rows never concentrate on one task —
-    * and the cap is also the skew bound: a window contributes at most
-    * C(64,2) pairs, so candidate volume stays ∝ true duplication at
-    * any corpus size. */
+    * Scale shape: ONE bounded-state aggregate on WIDE (~60-bit) window
+    * hashes — the 30-bit poly-hash space would saturate at ~1e5
+    * distinct windows and make df collision-driven; the wide key holds
+    * the birthday floor past 1e9 distinct windows — never doc×doc.
+    * Per window the aggregate carries the EXACT document frequency plus
+    * a [[graft.functions.expressions.BoundedTopK]] buffer of up to
+    * CAP+1 member docs: a window in >CAP docs is boilerplate and is
+    * dropped WITH its buffer, while a kept window (df <= CAP) provably
+    * retained its FULL membership, so exploding member pairs from the
+    * buffer is exact — identical output to a df-filter + self-join.
+    * Everything is skew-immune and broadcast-free: a hot window's rows
+    * partial-combine map-side into a CAP+1-row buffer (never one task
+    * holding the peer group — the rejected Window(g) shape), the
+    * reduce side merges bounded buffers, and each kept window emits at
+    * most C(CAP,2) pairs, so candidate volume stays ∝ true duplication
+    * at any corpus size. Earlier rounds spelled the cap as a FORCED
+    * broadcast anti-join of the boilerplate set — fast at bench scale
+    * but the boilerplate universe grows with the corpus and a forced
+    * broadcast bypasses Spark's size guard, so at the 100 TB design
+    * point the driver ships an unbounded set or OOMs; this one-pass
+    * shape has no broadcast to outgrow and one fewer exchange. */
   val dedupContainment: Q = (s, dir) => {
+    val cap = 64
     val ex = docs(s, dir)
       .select(col("doc_id"), HE.shingle_hashes_wide(col("text"), 8).as("sh"))
       .withColumn("n", size(col("sh")).cast("bigint"))
       .filter(col("n") > 0)
       .select(col("doc_id"), col("n"), explode(col("sh")).as("g"))
-    // The boilerplate cap MUST be the aggregate + broadcast-anti-join
-    // spelling, not a count-over-window: the aggregate partial-combines
-    // map-side so a window in 10M docs crosses the exchange as a few
-    // per-partition count rows, and the anti-join drops its 10M
-    // exploded rows map-side — a Window(g) would hash ALL of a hot
-    // window's rows to one task and buffer the whole peer group there
-    // before the filter could discard it (measured faster at sf0.1,
-    // but a straggler factory at the 100 TB design point, so rejected).
-    val boiler = ex.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") > 64).select("g")
-    val kept = ex.join(broadcast(boiler), Seq("g"), "left_anti")
-    // alias(), not re-select: both join sides canonicalize to the SAME
-    // plan, so the kept leg's shuffle is computed once and the second
-    // side is a ReusedExchange.
-    kept.alias("a")
-      .join(kept.alias("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+    val groups = ex.groupBy("g").agg(
+        count(lit(1)).as("df"),
+        AE.bounded_top_k(struct(col("doc_id"), col("n")), cap + 1,
+          Seq(false)).as("mem"))
+      .filter(col("df") <= cap)
+    groups
+      .select(explode(col("mem")).as("a"), col("mem"))
+      .select(col("a"), explode(col("mem")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("shared"))

@@ -36,20 +36,30 @@ class ContainmentSpec extends SparkSuite {
     assert(expect.nonEmpty, "fixture has no containment pairs — test is vacuous")
   }
 
-  test("plan: skew-immune cap anti-join; pair-join sides share one exchange") {
-    // At fixture scale AQE broadcasts the pair join itself (no exchange
-    // to reuse), so pin the at-scale shape: threshold -1 forces the
-    // pair join to shuffle (the cap's explicit broadcast() hint still
-    // wins), and with AQE off the planner's ReuseExchange rule is
-    // visible statically.
+  test("plan: one bounded-state aggregate, no join, no broadcast") {
+    // The at-scale hazard this pins: earlier rounds capped boilerplate
+    // with a FORCED broadcast anti-join — the boilerplate set grows
+    // with the corpus and an explicit broadcast() hint bypasses Spark's
+    // size guard, so at 100 TB the driver ships an unbounded set or
+    // OOMs. The one-pass shape has no join at all: df + a bounded
+    // membership buffer ride ONE aggregate, pairs explode from kept
+    // buffers. AQE off so the static plan is what's asserted.
     val pinned = org.apache.spark.sql.graft.ColumnBridge.withSessionConf(
       PipelineQueries.dedupContainment(spark, dir),
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.enabled" -> "false")
     val plan = pinned.queryExecution.executedPlan.toString
-    assert(plan.contains("LeftAnti") && plan.contains("BroadcastHashJoin"),
-      s"boilerplate cap is not a broadcast anti-join:\n$plan")
-    assert(plan.contains("ReusedExchange"),
-      s"pair-join sides did not share the kept leg's exchange:\n$plan")
+    assert(!plan.contains("BroadcastExchange"),
+      s"containment must not broadcast anything (corpus-proportional set):\n$plan")
+    assert(!plan.contains("Join"),
+      s"containment must be join-free — pairs come from the bounded buffer:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") &&
+      plan.contains("boundedtopk"),
+      s"membership must ride the bounded-state aggregate:\n$plan")
+    // exactly three exchanges: ex→(g) for the aggregate, pairs→(da,db,
+    // na,nb) for the shared count, and the trailing orderBy's range
+    // exchange over final pairs only
+    val shuffles = "Exchange (hash|range)partitioning".r
+      .findAllIn(plan).length
+    assert(shuffles == 3, s"unexpected exchange count ($shuffles):\n$plan")
   }
 }

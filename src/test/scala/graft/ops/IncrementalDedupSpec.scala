@@ -118,6 +118,61 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(lake.currentManifest("sidx").commitVersion === 3L)
   }
 
+  test("attachStream: out-of-band optimizeTable between batches loses no survivors") {
+    // The regression this pins: a bare `version > current` gate reads an
+    // out-of-band commit (the optimizeTable appendBatch's own doc
+    // recommends) as "my version is taken → replay" and silently drops
+    // the NEXT micro-batch's survivor band rows — in a dedup index,
+    // dropped rows mean future duplicates sail through undetected. The
+    // marker-based CdcStream.applyVersioned gate tells the two apart.
+    implicit val sc = spark.sqlContext
+    val lake = new Mooncake(tmpDir("incdedup-oob-wh"))
+    val corpus = Seq(
+      1L -> base,
+      2L -> "completely different text about distributed query engines and columnar storage formats")
+      .toDF("doc_id", "text")
+    IncrementalDedup.createIndex(spark, lake, "oidx", corpus)
+
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val ckpt = tmpDir("incdedup-oob-ckpt")
+
+    // batch 0 streams in a novel doc
+    val novel = "unique prose about streaming ingestion pipelines " +
+      "checking every incoming document against a persisted index today"
+    input.addData(20L -> novel)
+    IncrementalDedup.attachStream(lake, "oidx", docs, ckpt)
+      .awaitTermination()
+    assert(lake.read(spark, "oidx").select("doc_id").distinct().count() === 3)
+
+    // OUT-OF-BAND commit: compact the index — consumes a version number
+    // outside the stream's base+batchId accounting
+    lake.optimizeTable(spark, "oidx", mode = "full")
+    val vAfterOpt = lake.currentManifest("oidx").commitVersion
+
+    // batch 1: a novel survivor PLUS a duplicate of the streamed doc 20.
+    // Under the buggy gate this whole batch is silently skipped: doc 30
+    // vanishes and doc 40's duplication goes undetected forever.
+    input.addData(
+      30L -> "another entirely separate subject matter concerning parquet file layouts and manifests",
+      40L -> novel.replace("today", "tomorrow"))
+    IncrementalDedup.attachStream(lake, "oidx", docs, ckpt)
+      .awaitTermination()
+    val ids = lake.read(spark, "oidx").select("doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(ids === Set(1L, 2L, 20L, 30L),
+      s"out-of-band optimize must not drop batch-1 survivors: $ids")
+    // the apply landed AFTER the optimize's version, shifted not skipped
+    assert(lake.currentManifest("oidx").commitVersion === vAfterOpt + 1)
+
+    // and a REPLAY is still a replay: re-attaching with no new data
+    // must not re-append or advance the version
+    IncrementalDedup.attachStream(lake, "oidx", docs, ckpt)
+      .awaitTermination()
+    assert(lake.currentManifest("oidx").commitVersion === vAfterOpt + 1)
+    assert(lake.read(spark, "oidx").select("doc_id").distinct().count() === 4)
+  }
+
   test("probe is sublinear: a multi-file index opens only matching-key files") {
     val lake = new Mooncake(tmpDir("incdedup-prune"))
     // 60 docs of distinct vocabulary → 240 band rows whose keys spread

@@ -359,6 +359,63 @@ object RelationalQueries {
       |  ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Forward AS-OF (DuckDB `ASOF JOIN ... ON r.ts >= l.ts`): for each
+    * order, the EARLIEST same-user event at-or-after the order date.
+    * Same one-shuffle interleaved plan as backward, mirrored. */
+  val joinAsofFwd: Q = (s, dir) => {
+    AsofJoin.forward(
+        left = t(s, dir, "orders"),
+        right = t(s, dir, "events"),
+        by = ("o_custkey", "user_id"),
+        on = ("o_orderdate", "ts"),
+        rightPayload = Seq("ts"),
+        tieBreak = Seq("event_id"))
+      .select(col("o_orderkey"), col("asof_ts").as("asof_fwd_ts"))
+      .orderBy("o_orderkey")
+  }
+
+  val joinAsofFwdSql: String =
+    """SELECT o_orderkey, e.ts AS asof_fwd_ts
+      |FROM orders o ASOF LEFT JOIN events e
+      |  ON o.o_custkey = e.user_id AND e.ts >= o.o_orderdate
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Nearest AS-OF (pandas merge_asof direction='nearest'): the closer
+    * of the backward/forward matches in event time, ties to backward.
+    * ONE interleaved pass computes both directions (one shuffle, two
+    * in-partition sorts) — DuckDB has no nearest direction, so the
+    * oracle composes its two ASOF joins and picks by exact integer
+    * microsecond distance, the same rule the operator applies. */
+  val joinAsofNear: Q = (s, dir) => {
+    AsofJoin.nearest(
+        left = t(s, dir, "orders"),
+        right = t(s, dir, "events"),
+        by = ("o_custkey", "user_id"),
+        on = ("o_orderdate", "ts"),
+        rightPayload = Seq("ts"),
+        tieBreak = Seq("event_id"))
+      .select(col("o_orderkey"), col("asof_ts").as("asof_near_ts"))
+      .orderBy("o_orderkey")
+  }
+
+  val joinAsofNearSql: String =
+    """WITH b AS (SELECT o.o_orderkey, e.ts AS bts
+      |           FROM orders o ASOF LEFT JOIN events e
+      |             ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate),
+      |     f AS (SELECT o.o_orderkey, e.ts AS fts
+      |           FROM orders o ASOF LEFT JOIN events e
+      |             ON o.o_custkey = e.user_id AND e.ts >= o.o_orderdate)
+      |SELECT o.o_orderkey,
+      |  CASE WHEN bts IS NULL THEN fts
+      |       WHEN fts IS NULL THEN bts
+      |       WHEN epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) - epoch_us(CAST(bts AS TIMESTAMP))
+      |            <= epoch_us(CAST(fts AS TIMESTAMP)) - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+      |         THEN bts ELSE fts END AS asof_near_ts
+      |FROM orders o
+      |JOIN b ON b.o_orderkey = o.o_orderkey
+      |JOIN f ON f.o_orderkey = o.o_orderkey
+      |ORDER BY o.o_orderkey""".stripMargin
+
   // ===========================================================================
   // §2.5 aggregation
   // ===========================================================================
@@ -1395,6 +1452,8 @@ object RelationalQueries {
     "q_join_star" -> joinStar,
     "q_corr_subquery" -> corrSubquery,
     "q_join_asof" -> joinAsof,
+    "q_join_asof_fwd" -> joinAsofFwd,
+    "q_join_asof_near" -> joinAsofNear,
     "q1_agg" -> q1Agg,
     "q_agg_count" -> aggCount,
     "q_agg_distinct" -> aggDistinct,
@@ -1461,6 +1520,8 @@ object RelationalQueries {
     "q_join_star" -> joinStarSql,
     "q_corr_subquery" -> corrSubquerySql,
     "q_join_asof" -> joinAsofSql,
+    "q_join_asof_fwd" -> joinAsofFwdSql,
+    "q_join_asof_near" -> joinAsofNearSql,
     "q1_agg" -> q1AggSql,
     "q_agg_count" -> aggCountSql,
     "q_agg_distinct" -> aggDistinctSql,

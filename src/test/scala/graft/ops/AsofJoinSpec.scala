@@ -44,6 +44,78 @@ class AsofJoinSpec extends SparkSuite {
     assert(got === "b")
   }
 
+  test("forward as-of: earliest right at-or-after, nulls when none") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:05:00"), 101.0),
+      (2L, ts("2024-01-01 10:02:00"), 200.0))
+      .toDF("sym", "qts", "price")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:03:00"), "t1"), // → 101.0 (10:05 quote)
+      (1L, ts("2024-01-01 10:05:00"), "t2"), // → 101.0 (same instant)
+      (1L, ts("2024-01-01 10:06:00"), "t3"), // → null (no later quote)
+      (2L, ts("2024-01-01 10:01:00"), "t4"), // → 200.0 (10:02 quote)
+      (3L, ts("2024-01-01 10:10:00"), "t5")) // → null (no key match)
+      .toDF("sym", "tts", "tid")
+    val got = AsofJoin.forward(trades, quotes,
+        by = ("sym", "sym"), on = ("tts", "qts"),
+        rightPayload = Seq("price"), tieBreak = Seq("qts"))
+      .select("tid", "asof_price")
+      .as[(String, Option[Double])].collect().toMap
+    assert(got === Map(
+      "t1" -> Some(101.0), "t2" -> Some(101.0), "t3" -> None,
+      "t4" -> Some(200.0), "t5" -> None))
+  }
+
+  test("forward ties resolve to the FIRST row in tieBreak order") {
+    val r = Seq((1L, ts("2024-01-01 00:00:10"), 1L, "a"),
+      (1L, ts("2024-01-01 00:00:10"), 2L, "b"))
+      .toDF("k", "rts", "seq", "v")
+    val l = Seq((1L, ts("2024-01-01 00:00:01"), "x")).toDF("k", "lts", "id")
+    val got = AsofJoin.forward(l, r, ("k", "k"), ("lts", "rts"),
+        rightPayload = Seq("v"), tieBreak = Seq("seq"))
+      .select("asof_v").as[String].head()
+    assert(got === "a")
+  }
+
+  test("nearest as-of: closer side wins, equidistant prefers backward") {
+    val r = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "b0"),
+      (1L, ts("2024-01-01 00:00:10"), "f0"),
+      (2L, ts("2024-01-01 00:00:00"), "b1"),
+      (2L, ts("2024-01-01 00:00:04"), "f1"),
+      (3L, ts("2024-01-01 00:00:05"), "only-after"),
+      (4L, ts("2024-01-01 00:00:00"), "only-before"))
+      .toDF("k", "rts", "v")
+    val l = Seq(
+      (1L, ts("2024-01-01 00:00:03"), "closer-back"),  // 3s vs 7s → b0
+      (1L, ts("2024-01-01 00:00:05"), "equidistant"),  // 5s vs 5s → b0
+      (2L, ts("2024-01-01 00:00:03"), "closer-fwd"),   // 3s vs 1s → f1
+      (3L, ts("2024-01-01 00:00:01"), "no-back"),      // → only-after
+      (4L, ts("2024-01-01 00:00:09"), "no-fwd"),       // → only-before
+      (5L, ts("2024-01-01 00:00:00"), "no-match"))     // → null
+      .toDF("k", "lts", "id")
+    val got = AsofJoin.nearest(l, r, ("k", "k"), ("lts", "rts"),
+        rightPayload = Seq("v"), tieBreak = Seq("rts"))
+      .select("id", "asof_v")
+      .as[(String, Option[String])].collect().toMap
+    assert(got === Map(
+      "closer-back" -> Some("b0"), "equidistant" -> Some("b0"),
+      "closer-fwd" -> Some("f1"), "no-back" -> Some("only-after"),
+      "no-fwd" -> Some("only-before"), "no-match" -> None))
+  }
+
+  test("nearest plan: one exchange feeds both direction windows") {
+    val r = Seq((1L, ts("2024-01-01 00:00:00"), "a")).toDF("k", "rts", "v")
+    val l = Seq((1L, ts("2024-01-01 00:00:01"), "x")).toDF("k", "lts", "id")
+    val plan = AsofJoin.nearest(l, r, ("k", "k"), ("lts", "rts"),
+        rightPayload = Seq("v"))
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1,
+      s"nearest must interleave once, not once per direction:\n$plan")
+  }
+
   test("a matched right row with NULL payload stays NULL (no reach-back)") {
     // the latest right row wins even when its payload VALUE is null —
     // per-column last(ignoreNulls) would have reached back to the older

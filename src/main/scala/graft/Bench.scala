@@ -34,6 +34,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.graft.cacheInputs", "true")
+      .config("graft.orderedOutput", "true")
       // shuffle/spill scratch on the fastest local volume (tmpfs here,
       // local SSD on a real executor) — the root fs is 9p
       .config("spark.local.dir", Scratch.dir("spark-local"))

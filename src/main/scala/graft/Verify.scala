@@ -19,6 +19,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("graft.orderedOutput", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def deleteRec(p: java.nio.file.Path): Unit =

@@ -35,6 +35,22 @@ object PipelineQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** Deterministic total order on a PAIR-EXPLOSION output, applied only
+    * when the verify/bench harness asks for it (`graft.orderedOutput`,
+    * set by [[graft.Verify]] and [[graft.Bench]]). Pair outputs grow
+    * superlinearly with duplication (q_dedup_simhash reached 241M rows
+    * at sf1 — ~100× per 10× data under verbatim copies), so a trailing
+    * global sort is an output-scale cost that exists solely so the
+    * harness's parquet dump is byte-stable; the hash compare itself is
+    * order-insensitive and a production caller consuming the pairs
+    * (e.g. feeding [[ConnectedComponents]]) should never pay it. The
+    * PRODUCTION default is therefore unsorted. */
+  private[ops] def pairOrdered(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.getOption("graft.orderedOutput")
+        .exists(_.toBoolean))
+      df.orderBy("doc_a", "doc_b")
+    else df
+
   // SQL fragment builders (DuckDB dialect) -----------------------------------
 
   /** DuckDB: polynomial rolling hash of string expression `v` — same fold
@@ -242,7 +258,7 @@ object PipelineQueries {
     * uniformly-sized keys instead of one quadratic task. Total work is
     * still the bucket's pair count — that is the blocking baseline's
     * semantics — but it spreads across the cluster. */
-  val dedupJaccard: Q = (s, dir) => {
+  val dedupJaccard: Q = (s, dir) => pairOrdered {
     val chunkCap = 64
     // Shingle-less docs (< 3 tokens) can never be near-dups, and their
     // 0/0 Jaccard is NaN — which sorts GREATEST, so `>= 0.5` would keep
@@ -271,7 +287,6 @@ object PipelineQueries {
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         SVE.jaccard_sim(col("sha"), col("shb")).as("jacc"))
       .filter(col("jacc") >= 0.5)
-      .orderBy("doc_a", "doc_b")
   }
 
   val dedupJaccardSql: String =
@@ -316,7 +331,7 @@ object PipelineQueries {
   }
 
   val dedupMinhash: Q = (s, dir) =>
-    minhashPairs(s, dir).orderBy("doc_a", "doc_b")
+    pairOrdered(minhashPairs(s, dir))
 
   /** DuckDB mirror of [[minhashPairs]] (no ORDER BY — embeddable as a
     * CTE body, see [[CurationQueries.dedupClustersSql]]). */
@@ -366,9 +381,8 @@ object PipelineQueries {
         docs(s, dir).filter(col("doc_id") % 5 =!= 0))
       l
     })
-    IncrementalDedup.dupPairs(s, lake, "band_idx",
-      docs(s, dir).filter(col("doc_id") % 5 === 0))
-      .orderBy("doc_a", "doc_b")
+    pairOrdered(IncrementalDedup.dupPairs(s, lake, "band_idx",
+      docs(s, dir).filter(col("doc_id") % 5 === 0)))
   }
 
   val dedupIncrementalSql: String =
@@ -446,7 +460,7 @@ object PipelineQueries {
     // sampling re-executes the pair pipeline once, which is still the
     // cheapest deterministic variant (single-partition and persist-first
     // sorts both measured slower on the 2.4M-pair sf0.1 output).
-    crossSig.unionAll(withinSig).orderBy("doc_a", "doc_b")
+    pairOrdered(crossSig.unionAll(withinSig))
   }
 
   val dedupSimhashSql: String = {
@@ -1097,7 +1111,7 @@ object PipelineQueries {
     * broadcast bypasses Spark's size guard, so at the 100 TB design
     * point the driver ships an unbounded set or OOMs; this one-pass
     * shape has no broadcast to outgrow and one fewer exchange. */
-  val dedupContainment: Q = (s, dir) => {
+  val dedupContainment: Q = (s, dir) => pairOrdered {
     val cap = 64
     val ex = docs(s, dir)
       .select(col("doc_id"), HE.shingle_hashes_wide(col("text"), 8).as("sh"))
@@ -1120,7 +1134,6 @@ object PipelineQueries {
       .filter(col("cont") >= 800000)
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         col("shared"), col("cont"))
-      .orderBy("doc_a", "doc_b")
   }
 
   val dedupContainmentSql: String = {
@@ -1208,7 +1221,7 @@ object PipelineQueries {
     * can never quadratically explode a reducer). Two shared distinct
     * windows ⇒ an overlapping span of ≥ 9 tokens (or two 8-token spans)
     * — the same evidence bar the suffix-array method uses. */
-  val dedupSubstring: Q = (s, dir) => {
+  val dedupSubstring: Q = (s, dir) => pairOrdered {
     // shingle_hashes is distinct-within-doc already, so (doc_id, h) needs
     // no extra distinct shuffle (an intra-doc hash collision would keep a
     // duplicate — the oracle hashes the same way, so both engines agree).
@@ -1224,7 +1237,6 @@ object PipelineQueries {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_windows"))
       .filter(col("n_windows") >= 2)
-      .orderBy("doc_a", "doc_b")
   }
 
   val dedupSubstringSql: String = {

@@ -29,9 +29,11 @@ class ContainmentSpec extends SparkSuite {
       cont = 1000000L * shared / math.min(sa.size, sb.size)
       if cont >= 800000L
     } yield (ia, ib, shared.toLong, cont)).sortBy(p => (p._1, p._2))
+    // production default is UNSORTED pair output — canonicalize here
     val got = PipelineQueries.dedupContainment(spark, dir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
         r.getAs[Long]("shared"), r.getAs[Long]("cont")))
+      .sortBy(p => (p._1, p._2))
     assert(got.toSeq === expect.toSeq)
     assert(expect.nonEmpty, "fixture has no containment pairs — test is vacuous")
   }
@@ -55,11 +57,11 @@ class ContainmentSpec extends SparkSuite {
     assert(plan.contains("ObjectHashAggregate") &&
       plan.contains("boundedtopk"),
       s"membership must ride the bounded-state aggregate:\n$plan")
-    // exactly three exchanges: ex→(g) for the aggregate, pairs→(da,db,
-    // na,nb) for the shared count, and the trailing orderBy's range
-    // exchange over final pairs only
+    // exactly two exchanges on the production path (no harness output
+    // sort): ex→(g) for the aggregate and pairs→(da,db,na,nb) for the
+    // shared count
     val shuffles = "Exchange (hash|range)partitioning".r
       .findAllIn(plan).length
-    assert(shuffles == 3, s"unexpected exchange count ($shuffles):\n$plan")
+    assert(shuffles == 2, s"unexpected exchange count ($shuffles):\n$plan")
   }
 }

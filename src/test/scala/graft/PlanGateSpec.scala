@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Registry-wide plan-shape gate: every SparkEntry query's plan is
+  * audited for the two mechanical 100×-scale hazards that code review
+  * keeps finding by hand:
+  *
+  *   1. BroadcastNestedLoopJoin / CartesianProduct — all-pairs row
+  *      growth unless both sides are bounded by construction;
+  *   2. a FORCED broadcast() hint whose hinted subtree scans a
+  *      corpus-scaling table with no bounding construct (limit or
+  *      scalar aggregate) between the scan and the hint — an explicit
+  *      hint bypasses Spark's size guard, so the driver collects a set
+  *      that grows with the corpus (the r9 containment-dedup finding).
+  *
+  * Anything intentionally outside the rule needs an allowlist entry
+  * HERE with a one-line justification of why the side is bounded — the
+  * justification is the point: it forces the boundedness argument to be
+  * written down next to the exception. */
+class PlanGateSpec extends SparkSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Tables whose size scales with the corpus: the facts and the
+    * pipeline corpus. Dimensions (customer/part/supplier/nation/region)
+    * are broadcast-by-design throughout the repo — TPC-H's star shape —
+    * and are deliberately NOT in this set: the hazard class this gate
+    * exists for is a forced broadcast that grows with the CORPUS (the
+    * r9 containment boilerplate-set finding). */
+  private val bigTables = Seq("lineitem", "orders", "events", "documents",
+    "embeddings")
+
+  /** query → why its nested-loop/cartesian join is bounded. A BNLJ is
+    * fine exactly when the BROADCAST side is bounded and the join is a
+    * per-row scan of that bounded side (a serving batch, a scalar, a
+    * model table) — then it's a map-side operation over the streamed
+    * corpus, not an all-pairs blowup. */
+  private val allowedNestedLoop: Map[String, String] = Map(
+    "q_join_cross" -> "explicit CROSS JOIN of region × nation — 5 × 25 rows by schema",
+    "q_join_range" -> "DuckDB-parity range-join demonstration; q_join_range_binned is the scale path (equi-join on bin keys)",
+    "q_dedup_embed" -> "brute-force cosine BASELINE by definition (one side broadcast, corpus streams once); q_dedup_embed_lsh is the scale path",
+    "q_embed_topk" -> "serving query batch broadcast (contract-bounded), corpus streams once; non-equi self-exclusion makes it BNLJ",
+    "q_embed_ivf" -> "query batch × k centroids — both sides bounded (batch by serving contract, centroids by model size)",
+    "q_embed_pq" -> "query batch × PQ codebook — both sides model-bounded",
+    "q_embed_index" -> "query batch × persisted centroid table — both sides bounded; postings side is file-skipped, not nested-looped",
+    "q_sample_importance" -> "1-row scalar normalization constants cross-joined onto the token stream",
+    "q_text_bm25" -> "1-row corpus stats (N, avgdl) cross-joined onto the scored stream",
+    "q_text_perplexity" -> "1-row LM normalization total cross-joined onto the token stream",
+    "q_text_heavy_hitters" -> "1-row exact-count total cross-joined for the in-band contract columns",
+  )
+
+  /** query → why its forced broadcast of a corpus-derived subtree is
+    * bounded by contract. These are the explicit hints the r9 verdict
+    * asked this gate to police: each one's hinted side must have a
+    * written reason it does NOT grow with the corpus. */
+  private val allowedBroadcast: Map[String, String] = Map(
+    "q_contamination" -> "evaluation-suite shingles — the eval benchmark is thousands of prompts by contract, not corpus-scaling",
+    "q_decontaminate_bloom" -> "evaluation-suite shingles (exact harness leg of the Bloom contract) — eval suite is contract-bounded",
+    "q_dedup_embed" -> "brute-force baseline variant by definition; the LSH twin carries the 100 TB shape",
+    "q_embed_topk" -> "serving query batch — broadcast-sized by the serving contract; the corpus side streams",
+    "q_embed_ivf" -> "query batch and k centroids — model/contract-bounded",
+    "q_embed_pq" -> "query batch and 256-entry-per-subspace codebook — model-bounded",
+    "q_embed_index" -> "query batch and persisted centroid table (k rows) — model-bounded",
+    "q_embed_outliers" -> "per-label integer centroids — bounded by the label domain, not the corpus",
+    "q_quantile_sketch" -> "GK sketch result exploded for the in-band contract — O(1/eps) entries by the sketch's state bound",
+    "q_sample_importance" -> "hashed n-gram target/proposal histograms — fixed bucket count by construction",
+    "q_sample_stratified" -> "per-stratum quotas — strata are the fixed language-label domain",
+    "q_text_bm25" -> "document-frequency table — vocabulary-sized (sublinear in the corpus, Heaps' law); scored stream never shuffles",
+    "q_text_perplexity" -> "hashed-bucket LM table — fixed bucket count by construction",
+    "q_text_bpe_pairs" -> "unigram count table for pair scoring — vocabulary-sized (sublinear in the corpus)",
+    "q_text_heavy_hitters" -> "Misra-Gries sketch output — at most m entries by the aggregate's state bound",
+  )
+
+  test("no cartesian/nested-loop joins or corpus-derived forced broadcasts") {
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val df =
+        try fn(spark, sfDir)
+        catch {
+          case e: Throwable =>
+            failures += s"$name: query build failed: ${e.getMessage}"
+            null
+        }
+      if (df != null) {
+        val phys = df.queryExecution.executedPlan.toString
+        if ((phys.contains("BroadcastNestedLoopJoin") ||
+            phys.contains("CartesianProduct")) &&
+            !allowedNestedLoop.contains(name))
+          failures += s"$name: nested-loop/cartesian join in physical plan"
+        df.queryExecution.optimizedPlan.foreach {
+          case j: Join =>
+            Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right)
+              .foreach {
+                case (Some(h), side)
+                    if h.strategy.contains(BROADCAST) && risky(side) &&
+                      !allowedBroadcast.contains(name) =>
+                  failures += s"$name: forced broadcast over an unbounded " +
+                    s"corpus-derived subtree:\n${side.treeString}"
+                case _ =>
+              }
+          case _ =>
+        }
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.length} plan-gate failures:\n${failures.mkString("\n")}")
+  }
+
+  /** A subtree is bounded when a limit or a scalar (ungrouped) aggregate
+    * caps its cardinality above every corpus scan. The walk peels
+    * cardinality-preserving nodes (project/filter/window/sort), treats
+    * a grouped aggregate as bounded iff its child is (output ≤ input),
+    * and a join/union as bounded iff every child is; row-EXPANDING
+    * nodes (Generate/Expand) stop the walk. */
+  private def bounded(p: LogicalPlan): Boolean = p match {
+    case _: GlobalLimit | _: LocalLimit => true
+    case a: Aggregate =>
+      a.groupingExpressions.isEmpty || bounded(a.child)
+    case _: Project | _: Filter | _: SubqueryAlias | _: Distinct |
+        _: Window | _: Sort | _: RepartitionOperation =>
+      bounded(p.children.head)
+    case j: Join => bounded(j.left) && bounded(j.right)
+    case u: Union => u.children.forall(bounded)
+    case d: Deduplicate => bounded(d.child)
+    case _ => false
+  }
+
+  private def scansBig(p: LogicalPlan): Boolean = p.collectLeaves().exists {
+    case l: LogicalRelation =>
+      l.relation match {
+        case f: HadoopFsRelation => f.location.rootPaths.exists(rp =>
+          bigTables.exists(t => rp.toString.contains(t)))
+        case _ => false
+      }
+    case _ => false
+  }
+
+  private def risky(p: LogicalPlan): Boolean = !bounded(p) && scansBig(p)
+}

@@ -35,14 +35,32 @@ class StaleSnapshotException(msg: String) extends RuntimeException(msg)
   * shuffles the table. Compaction is explicit, as in the reference (no
   * vacuum — `/root/reference/src/table.rs:421-428`).
   */
-class Mooncake(val warehouse: String) {
+class Mooncake(val warehouse: String, val database: String = "main") {
 
   /** Default data-file size target (the createTable / optimizeTable
     * parameters override it per call). */
   private val targetFileBytes = 128L * 1024 * 1024
 
+  /** Database scoping (`/root/reference/src/functions.rs:104-109`: one
+    * moonlink service hosts tables of MANY databases; every management
+    * call is filtered to the session's own). Here the scope is a
+    * warehouse directory level: the default database `main` keeps the
+    * legacy flat layout (tables directly under the warehouse root, so
+    * every pre-scoping warehouse reads unchanged) and any other
+    * database nests its tables under `db_<percent-encoded-name>/`. A
+    * database directory can never be mistaken for a main-database
+    * table: table dirs are recognized by holding a manifest, which a
+    * database dir does not. */
+  private def dbRoot: Path =
+    if (database == "main") Paths.get(warehouse)
+    else Paths.get(warehouse, "db_" + PathCodec.percentEncode(database))
+
+  /** This warehouse re-scoped to another database — shares the
+    * layout; table namespaces are disjoint per database. */
+  def inDatabase(db: String): Mooncake = new Mooncake(warehouse, db)
+
   private def tableDir(name: String): String =
-    Paths.get(warehouse, Identifier.parse(name).fileName).toString
+    dbRoot.resolve(Identifier.parse(name).fileName).toString
 
   private def dataDir(name: String, version: Long): Path =
     Paths.get(tableDir(name), "data", f"v$version%016d")
@@ -182,16 +200,37 @@ class Mooncake(val warehouse: String) {
   /** Names of every table in the warehouse (driver-side walk of the
     * manifest dirs) — the SQL catalog's SHOW TABLES backing. */
   def tableNames: Seq[String] = {
-    val root = Paths.get(warehouse)
+    val root = dbRoot
     if (!Files.isDirectory(root)) Seq.empty
     else Manifest.withListing(root)(_.flatMap(p =>
       Manifest.latest(p.toString).map(_.table)).toSeq).sorted
   }
 
-  /** Same four columns as `mooncake.list_tables()`
-    * (`/root/reference/src/functions.rs:84-116`). */
-  def listTables(spark: SparkSession): DataFrame = {
+  /** Every database hosted by this warehouse (the scoping dual of
+    * [[tableNames]]): `main` when the flat root holds any table, plus
+    * one entry per `db_*` scope directory. */
+  def databaseNames: Seq[String] = {
     val root = Paths.get(warehouse)
+    if (!Files.isDirectory(root)) Seq.empty
+    else Manifest.withListing(root) { ps =>
+      val dirs = ps.toSeq
+      val hasMain = dirs.exists(p => Manifest.latest(p.toString).nonEmpty)
+      val scoped = dirs.map(_.getFileName.toString)
+        .filter(_.startsWith("db_"))
+        .map(d => PathCodec.percentDecode(d.stripPrefix("db_")))
+      ((if (hasMain) Seq("main") else Seq.empty) ++ scoped).sorted
+    }
+  }
+
+  /** Same four columns as `mooncake.list_tables()`
+    * (`/root/reference/src/functions.rs:84-116`), and the same scoping:
+    * the reference filters the service-wide listing to the session's
+    * own database (`functions.rs:106`); here the walk itself is scoped
+    * to this instance's [[database]] directory, so another database's
+    * tables never appear — host two corpora in one warehouse and each
+    * session lists only its own. */
+  def listTables(spark: SparkSession): DataFrame = {
+    val root = dbRoot
     val rows =
       if (!Files.isDirectory(root)) Seq.empty
       else Manifest.withListing(root)(_.flatMap(p =>

@@ -58,7 +58,11 @@ class MooncakeCatalog extends TableCatalog {
       throw new IllegalArgumentException(
         s"spark.sql.catalog.$name.warehouse must point at the mooncake " +
           "warehouse directory"))
-    lake = new Mooncake(wh)
+    // `spark.sql.catalog.<name>.database` scopes the catalog's one-part
+    // namespaces to that database (the reference's ambient DATABASE —
+    // a pg session only sees its own db's tables); default `main`.
+    lake = new Mooncake(wh,
+      Option(options.get("database")).getOrElse("main"))
   }
 
   override def name(): String = catalogName
@@ -72,35 +76,48 @@ class MooncakeCatalog extends TableCatalog {
   private def quoted(part: String): String =
     "\"" + part.replace("\"", "\"\"") + "\""
 
-  private def mirrorName(ident: CatIdent): String = ident.namespace match {
-    case Array() => quoted(ident.name)
-    case Array(schema) => s"${quoted(schema)}.${quoted(ident.name)}"
-    case parts => throw new NoSuchTableException(
-      (parts :+ ident.name).toSeq)
-  }
+  /** Namespace levels: `mooncake.t` → catalog database, default schema;
+    * `mooncake.s.t` → catalog database, schema s; `mooncake.d.s.t` →
+    * database d, schema s — the second level the reference gets for
+    * free from Postgres (connect to another db) and this catalog gets
+    * by re-scoping the SAME warehouse. Returns the database-scoped lake
+    * plus the in-database `schema.table` name. */
+  private def scoped(ident: CatIdent): (Mooncake, String) =
+    ident.namespace match {
+      case Array() => (lake, quoted(ident.name))
+      case Array(schema) =>
+        (lake, s"${quoted(schema)}.${quoted(ident.name)}")
+      case Array(db, schema) =>
+        (lake.inDatabase(db),
+          s"${quoted(schema)}.${quoted(ident.name)}")
+      case parts => throw new NoSuchTableException(
+        (parts :+ ident.name).toSeq)
+    }
 
-  private def exists(name: String): Boolean =
-    try { lake.currentManifest(name); true }
+  private def exists(l: Mooncake, name: String): Boolean =
+    try { l.currentManifest(name); true }
     catch { case _: NoSuchElementException => false }
 
   /** As-typed (quoted-exact) name when that mirror exists, else the
     * LOWERCASED form — the reference's unquoted-identifier folding:
     * unquoted SQL stays case-insensitive while quoted mixed-case
-    * mirrors still resolve exactly. */
-  private def resolve(ident: CatIdent): String = {
-    val exact = mirrorName(ident)
-    if (exists(exact)) exact
+    * mirrors still resolve exactly. Database names fold with the same
+    * rule (the db directory name is the decoded identifier). */
+  private def resolve(ident: CatIdent): (Mooncake, String) = {
+    val (l, exact) = scoped(ident)
+    if (exists(l, exact)) (l, exact)
     else {
-      val folded = mirrorName(CatIdent.of(
+      val (lf, folded) = scoped(CatIdent.of(
         ident.namespace.map(_.toLowerCase), ident.name.toLowerCase))
-      if (exists(folded)) folded else exact
+      if (exists(lf, folded)) (lf, folded) else (l, exact)
     }
   }
 
-  private def load(ident: CatIdent)(m: String => Manifest): Table =
+  private def load(ident: CatIdent)(m: (Mooncake, String) => Manifest)
+      : Table =
     try {
-      val name = resolve(ident)
-      MooncakeTable(name, m(name))
+      val (l, name) = resolve(ident)
+      MooncakeTable(name, m(l, name))
     } catch {
       case _: NoSuchElementException =>
         throw new NoSuchTableException(
@@ -108,43 +125,52 @@ class MooncakeCatalog extends TableCatalog {
     }
 
   override def loadTable(ident: CatIdent): Table =
-    load(ident)(lake.currentManifest)
+    load(ident)((l, n) => l.currentManifest(n))
 
   /** `VERSION AS OF <v>` — an explicit manifest version. */
   override def loadTable(ident: CatIdent, version: String): Table = {
     val v = version.toLongOption.getOrElse(
       throw new IllegalArgumentException(
         s"mooncake versions are numeric manifest versions, got '$version'"))
-    load(ident)(lake.manifestAt(_, v))
+    load(ident)((l, n) => l.manifestAt(n, v))
   }
 
   /** `TIMESTAMP AS OF <t>` — Spark passes MICROseconds since epoch. */
   override def loadTable(ident: CatIdent, timestampMicros: Long): Table =
-    load(ident)(lake.manifestAsOf(_, timestampMicros / 1000L))
+    load(ident)((l, n) => l.manifestAsOf(n, timestampMicros / 1000L))
 
   override def tableExists(ident: CatIdent): Boolean =
-    try exists(resolve(ident))
+    try { val (l, n) = resolve(ident); exists(l, n) }
     catch { case _: Exception => false }
 
   /** Stored table names are `schema.table` with a single-segment schema
     * ([[Identifier.qualified]]) — split at the FIRST dot rather than
     * re-running the lexical parser, which would re-lowercase (or crash
-    * on) names that needed quoting at creation. */
-  override def listTables(namespace: Array[String]): Array[CatIdent] =
-    lake.tableNames
+    * on) names that needed quoting at creation. A one-part namespace is
+    * a schema of the CATALOG's database (the reference's list_tables
+    * scope); a two-part namespace names (database, schema) explicitly. */
+  override def listTables(namespace: Array[String]): Array[CatIdent] = {
+    val (l, ns, filter) = namespace match {
+      case Array(db, schema) =>
+        (lake.inDatabase(db), Array(db, schema), Some(schema))
+      case Array(schema) => (lake, Array(schema), Some(schema))
+      case _ => (lake, Array.empty[String], None)
+    }
+    l.tableNames
       .map { q =>
         val dot = q.indexOf('.')
         if (dot < 0) ("main", q) else (q.take(dot), q.drop(dot + 1))
       }
-      .filter { case (schema, _) =>
-        namespace.isEmpty || namespace.sameElements(Array(schema))
+      .filter { case (schema, _) => filter.forall(_ == schema) }
+      .map { case (schema, table) =>
+        CatIdent.of(if (ns.isEmpty) Array(schema) else ns, table)
       }
-      .map { case (schema, table) => CatIdent.of(Array(schema), table) }
       .toArray
+  }
 
   override def dropTable(ident: CatIdent): Boolean =
     if (!tableExists(ident)) false
-    else { lake.dropTable(resolve(ident)); true }
+    else { val (l, n) = resolve(ident); l.dropTable(n); true }
 
   // Mirrors are read-only; mutation flows through CDC apply
   // (`/root/reference/src/table.rs` mirror contract). Refuse, pointing

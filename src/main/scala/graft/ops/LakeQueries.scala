@@ -319,17 +319,31 @@ object LakeQueries {
     lake.createTable(s, "region_mirror", Tables.load(s, dir, "region"),
       Seq("r_regionkey"))
     lake.createSnapshot("nation_mirror")
-    lake.listTables(s).select("table", "commit_lsn", "flush_lsn")
-      .orderBy("table")
+    // database scoping (functions.rs:104-109): a second database in the
+    // SAME warehouse; each scope lists only its own tables, so the
+    // other corpus's mirror must NOT leak into this listing — the
+    // golden below carries main's two tables plus exactly the one
+    // table the `corpus2` scope sees.
+    val other = lake.inDatabase("corpus2")
+    other.createTable(s, "region_mirror", Tables.load(s, dir, "region"),
+      Seq("r_regionkey"))
+    lake.listTables(s)
+      .selectExpr("'main' AS database", "`table`", "commit_lsn",
+        "flush_lsn")
+      .unionAll(other.listTables(s)
+        .selectExpr("'corpus2' AS database", "`table`", "commit_lsn",
+          "flush_lsn"))
+      .orderBy("database", "table")
   }
 
   val listTablesSql: String =
-    """SELECT "table", CAST(commit_lsn AS BIGINT) AS commit_lsn,
+    """SELECT "database", "table", CAST(commit_lsn AS BIGINT) AS commit_lsn,
       |  CAST(flush_lsn AS BIGINT) AS flush_lsn
-      |FROM (VALUES ('main.nation_mirror', 1, 1),
-      |             ('main.region_mirror', 1, 1))
-      |  AS t("table", commit_lsn, flush_lsn)
-      |ORDER BY "table"""".stripMargin
+      |FROM (VALUES ('main', 'main.nation_mirror', 1, 1),
+      |             ('main', 'main.region_mirror', 1, 1),
+      |             ('corpus2', 'main.region_mirror', 1, 1))
+      |  AS t("database", "table", commit_lsn, flush_lsn)
+      |ORDER BY "database", "table"""".stripMargin
 
   /** File load path (≈ mooncake.load_files, parquet + csv formats): the
     * mirror backfills from part of nation, the rest arrives as external

@@ -107,6 +107,45 @@ class MooncakeCatalogSpec extends SparkSuite {
     }
   }
 
+  test("database namespaces: d.s.t resolves, listings scope per database") {
+    // two databases in ONE warehouse (functions.rs:104-109: moonlink
+    // hosts many databases; every management call sees only its own)
+    lake.createTable(spark, "shared_name",
+      Seq((1L, "main-row")).toDF("k", "v"), Seq("k"))
+    val dbB = lake.inDatabase("corpusb")
+    dbB.createTable(spark, "shared_name",
+      Seq((1L, "b-row"), (2L, "b-row2")).toDF("k", "v"), Seq("k"))
+    dbB.createTable(spark, "only_b",
+      Seq((9L, "z")).toDF("k", "v"), Seq("k"))
+
+    // same schema.table name, disjoint per database — both through SQL
+    assert(spark.sql("SELECT v FROM mooncake.shared_name")
+      .as[String].collect().toSeq === Seq("main-row"))
+    assert(spark.sql(
+        "SELECT v FROM mooncake.corpusb.main.shared_name ORDER BY k")
+      .as[String].collect().toSeq === Seq("b-row", "b-row2"))
+
+    // listings are database-scoped: main never shows corpusb's tables
+    // and vice versa (the reference's list_tables database filter)
+    assert(lake.tableNames.forall(!_.contains("only_b")))
+    assert(dbB.tableNames.toSet ===
+      Set("main.only_b", "main.shared_name"))
+    val shown = spark.sql("SHOW TABLES IN mooncake.corpusb.main")
+      .select("tableName").as[String].collect().toSet
+    assert(shown.contains("only_b") && shown.contains("shared_name"))
+    assert(!spark.sql("SHOW TABLES IN mooncake.main")
+      .select("tableName").as[String].collect().toSet.contains("only_b"))
+
+    // the warehouse enumerates both scopes
+    assert(lake.databaseNames === Seq("corpusb", "main"))
+
+    // drop through the scoped namespace; main's same-named table stays
+    spark.sql("DROP TABLE mooncake.corpusb.main.only_b")
+    assert(dbB.tableNames === Seq("main.shared_name"))
+    assert(spark.sql("SELECT count(*) FROM mooncake.shared_name")
+      .as[Long].head() === 1L)
+  }
+
   test("quoted mixed-case mirrors resolve exactly; unquoted SQL folds") {
     lake.createTable(spark, "\"CatMixed\"",
       Seq((1L, "m")).toDF("k", "v"), Seq("k"))

@@ -123,6 +123,11 @@ class Mooncake(val warehouse: String, val database: String = "main") {
     val backfill = targetFileCount match {
       case Some(n) if ccols.nonEmpty =>
         source.repartitionByRange(n, ccols.map(col): _*)
+      case Some(n) =>
+        // no cluster/pk columns to range on, but the caller's explicit
+        // width is still a contract — honor it with a round-robin
+        // shuffle rather than silently keeping the source partitioning
+        source.repartition(n)
       case _ if ccols.nonEmpty && sizeKnown && bytes > targetFileBytes =>
         val n = ((bytes / targetFileBytes) min BigInt(10000)).toInt + 1
         source.repartitionByRange(n, ccols.map(col): _*)
@@ -532,11 +537,16 @@ class Mooncake(val warehouse: String, val database: String = "main") {
           "this operator's scope")
     val addedCols = dataCols.filterNot(tableSchema.fieldNames.contains)
 
-    // Last op per key wins within the batch.
+    // Last op per key wins within the batch. __seq ties (a watermark
+    // coarser than the feed's op rate) break on a deterministic content
+    // fingerprint so a replayed batch converges to the SAME final image
+    // — same rule as CdcBatch.lastImagePerKey.
     val seqCol = if (changes.columns.contains("__seq")) col("__seq")
       else monotonically_increasing_id()
+    val tieCol = xxhash64(to_json(struct(
+      (dataCols :+ "__op").map(col): _*)))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(pk.map(col): _*).orderBy(seqCol.desc)
+      .partitionBy(pk.map(col): _*).orderBy(seqCol.desc, tieCol.desc)
     // A CDC batch is small relative to the table; pin it once — it feeds
     // three consumers (key bounds, the broadcast key set, the insert
     // images) and recomputing the dedup window per consumer triples the

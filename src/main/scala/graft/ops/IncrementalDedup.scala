@@ -79,12 +79,7 @@ object IncrementalDedup {
   def dupPairs(s: SparkSession, lake: graft.lake.Mooncake,
       name: String, batch: DataFrame,
       maxInSet: Int = 10000): DataFrame =
-    // persist: the bands feed TWO consumers (readForKeys' bounded key
-    // collect and the broadcast probe build) and minhashing is the
-    // batch side's dominant cost — unpersist happens via Spark's
-    // ContextCleaner once the result frame is dropped (the streaming
-    // loop, which controls batch scope, unpersists explicitly instead)
-    dupPairsFromBands(s, lake, name, bandIndex(batch).persist(), maxInSet)
+    dupPairsFromBands(s, lake, name, bandIndex(batch), maxInSet)
 
   /** [[dupPairs]] over an ALREADY-banded batch — lets a caller that
     * needs the bands anyway (the streaming loop) hash the batch once. */
@@ -102,18 +97,35 @@ object IncrementalDedup {
     require(keyMin.forall(_.matches("^\\d\\d:.*")),
       s"band index '$name' predates the band-prefixed key layout " +
         s"(key min ${keyMin.get.take(12)}…) — rebuild it with createIndex")
+    // The batch side is broadcast-sized BY CONTRACT — the probe below
+    // ships it whole to every executor — so collect it ONCE here: the
+    // driver pays the same memory the broadcast already pays, the
+    // banding executes exactly once for its two consumers (the pushed
+    // key set and the probe build), and nothing stays persisted behind
+    // (the previous persist() relied on ContextCleaner GC and could pin
+    // executor storage across repeated batch-mode calls on a long-lived
+    // driver). A caller-persisted bands frame (the streaming loop,
+    // which also feeds the within-batch pairing and the append) reads
+    // its cache; an unpersisted one executes once.
+    val probeRows = batchBands
+      .select(col("key"), col("doc_id").as("doc_b"), col("sh").as("shb"))
+      .collect()
+    val probeLocal = s.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        batchBands.schema("key"),
+        batchBands.schema("doc_id").copy(name = "doc_b"),
+        batchBands.schema("sh").copy(name = "shb"))))
     // the batch's band keys prune the index scan to the files whose
-    // key-clustered ranges intersect them — one bounded collect of the
-    // (broadcast-sized by contract) batch keys, then a manifest
-    // file-skip + pushed IN row filter; the equi-join below re-checks
-    // exact equality, so the superset predicate can only cut IO.
-    // `maxInSet` bounds the pushed key set (batch docs × bands keys);
-    // raise it for larger batches — past it the probe degrades to
-    // range-only bounds, which a band-prefixed layout barely prunes.
-    val idx = lake.readForKeys(s, name, "key", batchBands.select("key"),
+    // key-clustered ranges intersect them — a manifest file-skip +
+    // pushed IN row filter; the equi-join below re-checks exact
+    // equality, so the superset predicate can only cut IO. `maxInSet`
+    // bounds the pushed key set (batch docs × bands keys); raise it for
+    // larger batches — past it the probe degrades to range-only bounds,
+    // which a band-prefixed layout barely prunes.
+    val idx = lake.readForKeys(s, name, "key", probeLocal.select("key"),
       maxInSet = maxInSet)
-    val probe = broadcast(batchBands
-      .select(col("key"), col("doc_id").as("doc_b"), col("sh").as("shb")))
+    val probe = broadcast(probeLocal)
     idx.join(probe, Seq("key"))
       .filter(col("doc_id") =!= col("doc_b"))
       // score BEFORE deduping band collisions: jaccard is a fused

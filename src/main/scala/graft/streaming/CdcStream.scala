@@ -82,25 +82,32 @@ object CdcStream {
     *   - batchId <= marker          → true replay, skip;
     *   - expected version free      → apply at base + batchId + 1;
     *   - version taken, marker armed→ out-of-band interleave: apply at
-    *     current + 1 (versions shift, data survives);
-    *   - version taken, NO marker   → legacy pre-marker checkpoint:
-    *     only replay can explain it, skip.
+    *     current + 1 (versions shift, data survives).
+    * A MARKERLESS (pre-marker legacy) checkpoint arms the marker at
+    * batchId - 1 on first encounter, BEFORE gating: the old behavior
+    * classified a taken version as "only replay can explain it" and
+    * skipped — but a legacy checkpoint that had already suffered an
+    * out-of-band commit would then silently drop its first post-upgrade
+    * batch. Arming first makes the worst legacy case a one-time
+    * re-apply of an already-committed batch instead of a one-time drop:
+    * applyChanges of an identical change set is row-idempotent (same
+    * final image), so re-applying costs one redundant version while a
+    * drop loses data forever — the same asymmetry that justifies the
+    * crash-between-apply-and-marker-write behavior below.
     * A crash between apply and marker write re-applies the batch once
-    * at the next version — applyChanges of an identical change set is
-    * row-idempotent (same final image), so the mirror converges; the
-    * cost is one redundant version in the history, never lost or
-    * doubled rows. */
+    * at the next version — the mirror converges; the cost is one
+    * redundant version in the history, never lost or doubled rows. */
   private[graft] def applyVersioned(lake: Mooncake, table: String,
       checkpointDir: String, base: Long, batchId: Long)
       (apply: Long => Unit): Unit = {
     val marker = java.nio.file.Paths.get(checkpointDir, "graft-applied")
+    if (readLong(marker).isEmpty) atomicWrite(marker, batchId - 1)
     val applied = readLong(marker)
     if (applied.forall(batchId > _)) {
       val current = lake.currentManifest(table).commitVersion
       val expected = base + batchId + 1
       if (expected > current) apply(expected)
-      else if (applied.isDefined) apply(current + 1)
-      // else: legacy replay — already committed under the old scheme
+      else apply(current + 1)
       atomicWrite(marker, batchId)
     }
   }

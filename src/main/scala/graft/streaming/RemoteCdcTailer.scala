@@ -61,7 +61,12 @@ class RemoteCdcTailer(remote: SparkSession => DataFrame,
         // key's ops by REMOTE commit order — without the stamp it falls
         // back to monotonically_increasing_id, whose cross-file order
         // follows split packing, and an older poll's image could win
-        // (the same reason both followers stamp __seq).
+        // (the same reason both followers stamp __seq). A watermark
+        // COARSER than the op rate (two ops on one key sharing a value)
+        // leaves the pair's order unknowable at the tail; downstream
+        // (applyChanges / CdcBatch.lastImagePerKey) breaks such ties on
+        // a content fingerprint, so every replay at least converges to
+        // the SAME final image.
         val stamped0 =
           if (delta.columns.contains("__op")) delta
           else delta.withColumn("__op", lit("U"))

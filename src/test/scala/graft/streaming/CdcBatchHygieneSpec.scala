@@ -67,6 +67,41 @@ class CdcBatchHygieneSpec extends SparkSuite {
     assert(rows === Set((2, "b3"), (3, "c2")), s"got $rows")
   }
 
+  test("equal-__seq ops on one key resolve deterministically across replays") {
+    // A coarse watermark (second resolution, two ops in one poll) gives
+    // two ops of one key the SAME __seq. No order is knowable — but the
+    // pick must be DETERMINISTIC, or a checkpoint replay converges to a
+    // different final image than the original run. The tie-break is a
+    // content fingerprint, so identical inputs always pick the same
+    // winner regardless of partitioning or arrival order.
+    val batchA = Seq((1, "alpha", "U", 100L), (1, "beta", "U", 100L),
+      (2, "only", "I", 100L))
+      .toDF("id", "v", "__op", "__seq")
+    // same rows, reversed arrival order and different partitioning
+    val batchB = Seq((2, "only", "I", 100L), (1, "beta", "U", 100L),
+      (1, "alpha", "U", 100L))
+      .toDF("id", "v", "__op", "__seq").repartition(3)
+    val a = CdcBatch.lastImagePerKey(batchA, Seq("id"))
+      .select("id", "v").as[(Int, String)].collect().toSet
+    val b = CdcBatch.lastImagePerKey(batchB, Seq("id"))
+      .select("id", "v").as[(Int, String)].collect().toSet
+    assert(a === b, s"replayed tie resolved differently: $a vs $b")
+    assert(a.size === 2 && a.contains(2 -> "only"))
+
+    // and through the full mirror apply: two identical applies from
+    // scratch land the same image
+    def applyOnce(): Set[(Int, String)] = {
+      val lake = new Mooncake(tmpDir("tie-wh"))
+      lake.createTable(spark, "tie_t",
+        Seq((0, "seed")).toDF("id", "v"), Seq("id"))
+      lake.applyChanges(spark, "tie_t", batchB, 2L)
+      lake.read(spark, "tie_t").as[(Int, String)].collect().toSet
+    }
+    val r1 = applyOnce()
+    val r2 = applyOnce()
+    assert(r1 === r2, s"applyChanges tie nondeterministic: $r1 vs $r2")
+  }
+
   test("mirror stream survives an out-of-band commit between batches") {
     implicit val sc = spark.sqlContext
     val lake = new Mooncake(tmpDir("oob-lake"))

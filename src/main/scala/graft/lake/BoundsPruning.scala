@@ -190,14 +190,25 @@ private[lake] object BoundsPruning {
       case _ => true
     }
 
+  /** ISO calendar date → epoch-day long, the representation a pushed
+    * date conjunct carries ([[conjuncts]] evaluates the analyzed
+    * Literal, and catalyst's internal date value IS the epoch day) —
+    * tz-free on both sides, so the compare is exact. Unparseable →
+    * None (keep). */
+  private def dateBound(s: String): Option[Any] =
+    try Some(java.time.LocalDate.parse(s).toEpochDay: java.lang.Long)
+    catch { case _: java.time.format.DateTimeParseException => None }
+
   /** Parse a JSON stats value (Delta add.stats minValues/maxValues) to
     * a comparable JVM value per the column's Spark type. Types whose
-    * JSON encoding we don't map (dates, timestamps, decimals) → None —
-    * never prune on a guess. Float/double are deliberately unmapped:
-    * stats writers exclude NaN from min/max (JSON cannot even encode
-    * it) while Spark orders NaN greater than every value, and Delta
-    * stats carry no NaN count to prove absence — so an fp bound can
-    * never PROVABLY exclude a file. */
+    * JSON encoding we don't map (timestamps, decimals) → None — never
+    * prune on a guess. Dates map (ISO text → epoch day, tz-free —
+    * date partitioning being the most common Delta layout, this is the
+    * bound that cuts a time-range scan). Float/double are deliberately
+    * unmapped: stats writers exclude NaN from min/max (JSON cannot even
+    * encode it) while Spark orders NaN greater than every value, and
+    * Delta stats carry no NaN count to prove absence — so an fp bound
+    * can never PROVABLY exclude a file. */
   def jsonBound(node: com.fasterxml.jackson.databind.JsonNode,
       t: DataType): Option[Any] =
     if (node == null || node.isNull) None
@@ -206,12 +217,15 @@ private[lake] object BoundsPruning {
           if node.isIntegralNumber => Some(node.asLong())
       case StringType if node.isTextual => Some(node.asText())
       case BooleanType if node.isBoolean => Some(node.asBoolean())
+      case DateType if node.isTextual => dateBound(node.asText())
       case _ => None
     }
 
   /** Parse a Delta partitionValues string to a comparable JVM value per
     * the column's Spark type — a partition value is an exact [v, v]
-    * bound. */
+    * bound. Timestamp partition values stay unmapped: their string
+    * form is session-zone-dependent in real writers, and a zone drift
+    * between writer and pruner would misprune. */
   def partitionBound(s: String, t: DataType): Option[Any] =
     if (s == null) None
     else t match {
@@ -221,6 +235,7 @@ private[lake] object BoundsPruning {
         s.toDoubleOption.map(v => v: java.lang.Double)
       case StringType => Some(s)
       case BooleanType => s.toBooleanOption.map(v => v: java.lang.Boolean)
+      case DateType => dateBound(s)
       case _ => None
     }
 }

@@ -1094,6 +1094,18 @@ object DeltaCompat {
                   .asInstanceOf[Integer].intValue).min)
                 maxV.put(name, sts.map(_.genericGetMax
                   .asInstanceOf[Integer].intValue).max)
+              // dates: parquet stores epoch-day int32; Delta stats JSON
+              // spells them as ISO calendar dates (what real writers
+              // emit and jsonBound decodes back to epoch days)
+              case (INT32, _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) =>
+                val mn = sts.map(_.genericGetMin
+                  .asInstanceOf[Integer].intValue).min
+                val mx = sts.map(_.genericGetMax
+                  .asInstanceOf[Integer].intValue).max
+                minV.put(name,
+                  java.time.LocalDate.ofEpochDay(mn.toLong).toString)
+                maxV.put(name,
+                  java.time.LocalDate.ofEpochDay(mx.toLong).toString)
               case (INT64, null) =>
                 minV.put(name, sts.map(_.genericGetMin
                   .asInstanceOf[java.lang.Long].longValue).min)

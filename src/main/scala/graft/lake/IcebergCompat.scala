@@ -529,8 +529,17 @@ object IcebergCompat {
           case Some(fn) => col(s"`$fn`").as(f.name)
           case None =>
             val v = fillMap.getOrElse(f.name, null)
-            (if (v == null) lit(null) else lit(v))
-              .cast(fieldType(f.name)).as(f.name)
+            val t = fieldType(f.name)
+            (if (v == null) lit(null).cast(t)
+            else t match {
+              // date identity tuples are epoch-day ints (avro date
+              // logical type) — lit(int).cast(date) is not a valid
+              // Spark cast, so rebuild the calendar date explicitly
+              case DateType => org.apache.spark.sql.functions.date_add(
+                lit(java.sql.Date.valueOf("1970-01-01")),
+                v.asInstanceOf[Number].intValue())
+              case _ => lit(v).cast(t)
+            }).as(f.name)
         }
       } ++ (if (needMeta) Seq(col("__file"), col("__pos")) else Nil)
       base.select(outCols: _*)
@@ -559,12 +568,13 @@ object IcebergCompat {
           s"data files lack columns (${nonRecon.mkString(", ")}) that " +
             "are not identity partition fields — cannot reconstruct, " +
             "refusing")
-      // Identity values come back from Avro as plain JVM scalars;
-      // date/timestamp/decimal are epoch-int/micros/unscaled
-      // encodings whose lit().cast() would mis-read — refuse.
+      // Identity values come back from Avro as plain JVM scalars; date
+      // is the epoch-day int the fill path rebuilds explicitly;
+      // timestamp/decimal are epoch-micros/unscaled encodings whose
+      // lit().cast() would mis-read — refuse those.
       reconPairs.map(p => fieldType(p._2)).foreach {
         case StringType | IntegerType | LongType | BooleanType |
-          FloatType | DoubleType => ()
+          FloatType | DoubleType | DateType => ()
         case other => throw new UnsupportedOperationException(
           s"Iceberg identity partition over $other out of this " +
             "reader's scope (epoch/unscaled encodings)")
@@ -1281,6 +1291,11 @@ object IcebergCompat {
     case BooleanType => Schema.create(Schema.Type.BOOLEAN)
     case FloatType => Schema.create(Schema.Type.FLOAT)
     case DoubleType => Schema.create(Schema.Type.DOUBLE)
+    // spec: date partition values are epoch-day ints, annotated with
+    // the avro `date` logical type so real readers type them back
+    case DateType =>
+      org.apache.avro.LogicalTypes.date()
+        .addToSchema(Schema.create(Schema.Type.INT))
     case other => throw new UnsupportedOperationException(
       s"Spark type $other out of scope as an Iceberg partition column")
   }

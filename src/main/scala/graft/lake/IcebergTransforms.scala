@@ -212,6 +212,10 @@ object IcebergTransforms {
       case BooleanType => s.toBoolean
       case FloatType => s.toFloat
       case DoubleType => s.toDouble
+      // identity date partitions: Spark stages the dir value as the ISO
+      // calendar date; the manifest tuple stores the spec's epoch-day
+      // int (avro int + date logical type)
+      case DateType => java.time.LocalDate.parse(s).toEpochDay.toInt
       case other => throw new UnsupportedOperationException(
         s"Spark type $other out of scope as an Iceberg partition value")
     }

@@ -621,6 +621,49 @@ class DeltaCompatSpec extends SparkSuite {
     assert(afterDv.count() === 40) // 150..189
   }
 
+  test("date stats and date partition values prune files (epoch-day compare)") {
+    import org.apache.spark.sql.functions.col
+    // date range stats: two files with disjoint date windows — the
+    // stats JSON spells dates as ISO strings, the pushed conjunct
+    // carries catalyst's epoch-day int; both normalize to epoch days
+    // so the compare is exact and tz-free
+    val dir = tmpDir("delta-prune-date")
+    DeltaCompat.write(spark.sql(
+      "SELECT id AS k, date_add(DATE'2024-01-01', CAST(id AS INT)) AS d " +
+        "FROM range(0, 50)").coalesce(1), dir)
+    DeltaCompat.write(spark.sql(
+      "SELECT id AS k, date_add(DATE'2024-03-01', CAST(id AS INT)) AS d " +
+        "FROM range(0, 50)").coalesce(1), dir)
+    assert(DeltaCompat.read(spark, dir).inputFiles.length === 2)
+    val pruned = DeltaCompat.read(spark, dir,
+      prune = Some(col("d") >= java.sql.Date.valueOf("2024-03-01")))
+    assert(pruned.inputFiles.length === 1,
+      "date stats must skip the January file")
+    assert(pruned.count() === 50)
+    // equality keeps only the covering file; out-of-range opens none
+    assert(DeltaCompat.read(spark, dir,
+      prune = Some(col("d") === java.sql.Date.valueOf("2024-01-10")))
+      .inputFiles.length === 1)
+    assert(DeltaCompat.read(spark, dir,
+      prune = Some(col("d") > java.sql.Date.valueOf("2025-01-01")))
+      .inputFiles.isEmpty)
+
+    // date-PARTITIONED layout (the common Delta shape): partitionValues
+    // act as exact [v, v] bounds with no column stats needed
+    val pdir = tmpDir("delta-prune-date-part")
+    DeltaCompat.write(Seq(
+        (1L, java.sql.Date.valueOf("2024-01-01")),
+        (2L, java.sql.Date.valueOf("2024-01-02")),
+        (3L, java.sql.Date.valueOf("2024-01-02")))
+      .toDF("k", "d"), pdir, partitionBy = Seq("d"))
+    val pAll = DeltaCompat.read(spark, pdir)
+    val pOne = DeltaCompat.read(spark, pdir,
+      prune = Some(col("d") === java.sql.Date.valueOf("2024-01-02")))
+    assert(pOne.inputFiles.length < pAll.inputFiles.length,
+      "date partition values must prune")
+    assert(pOne.select("k").as[Long].collect().sorted.toSeq === Seq(2L, 3L))
+  }
+
   test("add/remove paths are percent-decoded per the Delta spec") {
     val dir = tmpDir("delta-enc")
     DeltaCompat.write(Seq((1L, "a")).toDF("k", "v"), dir)

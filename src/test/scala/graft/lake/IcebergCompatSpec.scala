@@ -299,6 +299,57 @@ class IcebergCompatSpec extends SparkSuite {
     assert(meta.get("last-partition-id").asInt() === 1001)
   }
 
+  test("identity-DATE partitioning: epoch-day tuples, reconstruction, pruning") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmpDir("iceberg-part-date")
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-01"), "a"),
+      (2L, java.sql.Date.valueOf("2024-01-02"), "b"),
+      (3L, java.sql.Date.valueOf("2024-01-02"), "c"),
+      (4L, null.asInstanceOf[java.sql.Date], "d"))
+      .toDF("k", "d", "v")
+    IcebergCompat.write(df, dir, partitionBy = Seq("d"))
+
+    // hive staging strips the identity column; the read reconstructs
+    // the calendar date from the manifest tuple's epoch-day int
+    val back = IcebergCompat.read(spark, dir)
+      .as[(Long, Option[java.sql.Date], String)].collect().sortBy(_._1)
+    assert(back.toSeq === Seq(
+      (1L, Some(java.sql.Date.valueOf("2024-01-01")), "a"),
+      (2L, Some(java.sql.Date.valueOf("2024-01-02")), "b"),
+      (3L, Some(java.sql.Date.valueOf("2024-01-02")), "c"),
+      (4L, None, "d")))
+
+    // the manifest partition tuple is the spec's epoch-day int with the
+    // avro date logical type (real readers type it back)
+    val manifest = Files.walk(Paths.get(dir, "metadata")).iterator().asScala
+      .filter(_.getFileName.toString.matches("m-\\d+\\.avro")).toSeq.head
+    val reader = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+      manifest.toFile, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    val partSchemas = reader.getSchema.getField("data_file").schema()
+      .getField("partition").schema().getFields.asScala
+    val dField = partSchemas.head.schema().getTypes.get(1)
+    assert(dField.getType === org.apache.avro.Schema.Type.INT)
+    assert(dField.getLogicalType != null &&
+      dField.getLogicalType.getName === "date")
+    val tuples = reader.iterator().asScala.map(r =>
+      r.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+        .get("partition").asInstanceOf[org.apache.avro.generic.GenericRecord]
+        .get(0)).toSet
+    reader.close()
+    assert(tuples.contains(
+      java.time.LocalDate.parse("2024-01-01").toEpochDay.toInt))
+
+    // partition-value standin bounds prune date conjuncts
+    val pruned = IcebergCompat.read(spark, dir,
+      prune = Some(org.apache.spark.sql.functions.col("d") ===
+        java.sql.Date.valueOf("2024-01-02")))
+    assert(pruned.inputFiles.length < IcebergCompat.read(spark, dir)
+      .inputFiles.length, "identity date tuple must prune")
+    assert(pruned.select("k").as[Long].collect().sorted.toSeq ===
+      Seq(2L, 3L))
+  }
+
   test("bucket/truncate transforms: spec-exact hashing, routing, round-trip") {
     import scala.jdk.CollectionConverters._
     // 32-bit hash test vectors from the Iceberg spec (Appendix B): int

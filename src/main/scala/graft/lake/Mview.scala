@@ -17,6 +17,14 @@ import org.apache.spark.sql.types._
   */
 case class MvAgg(fn: String, col: String, as: String)
 
+/** Write-ahead intent of one in-flight refresh: the base version the
+  * state is being advanced TO and the MV manifest version the apply
+  * will commit AT. Present only between the intent write and the
+  * frontier promotion — a survivor means the refresh crashed in
+  * between, and whether the apply landed is decidable from the MV's
+  * own manifest version. */
+case class MvPending(baseVersion: Long, mvVersion: Long)
+
 /** Persisted MV definition + maintenance frontier: `baseVersion` is the
   * base-mirror manifest version the state currently reflects; `where` is
   * an optional SQL row predicate over the base's columns (the view's
@@ -24,7 +32,8 @@ case class MvAgg(fn: String, col: String, as: String)
   * and the dirty-group re-aggregation — the maintenance algebra is
   * unchanged because filtering commutes with the signed-delta fold. */
 case class MviewDef(base: String, groupCols: Seq[String], aggs: Seq[MvAgg],
-    baseVersion: Long, where: Option[String] = None)
+    baseVersion: Long, where: Option[String] = None,
+    pending: Option[MvPending] = None)
 
 /** What one [[Mview.refresh]] did — lets callers (and the spec) assert
   * the cost model: `recomputedGroups` is the number of groups whose
@@ -174,9 +183,31 @@ class Mview(val lake: Mooncake) {
   }
 
   /** Catch the view up to the base mirror's current version. No-op (and
-    * no new MV version) when the base hasn't moved. */
+    * no new MV version) when the base hasn't moved.
+    *
+    * Crash-safe against the apply/frontier gap: without the intent
+    * record, a crash AFTER the state apply but BEFORE the frontier
+    * write would leave `baseVersion` stale, and the next refresh would
+    * fold the same delta into state that already contains it — a
+    * silent double-count (the dual of the CDC replay-vs-out-of-band
+    * gate, for derived state). The refresh therefore writes an
+    * [[MvPending]] intent before applying; a surviving intent tells the
+    * next refresh whether the apply landed (the MV's manifest version
+    * reached the intended one → promote the frontier and skip the
+    * already-applied delta) or not (→ discard the intent and refresh
+    * from the old frontier as normal). */
   def refresh(spark: SparkSession, name: String): MvRefreshStats = {
-    val d = definition(name)
+    val d = definition(name) match {
+      case d0 if d0.pending.isDefined =>
+        val p = d0.pending.get
+        val landed = lake.currentManifest(name).commitVersion >= p.mvVersion
+        val healed =
+          if (landed) d0.copy(baseVersion = p.baseVersion, pending = None)
+          else d0.copy(pending = None)
+        saveDef(name, healed)
+        healed
+      case d0 => d0
+    }
     val baseM = lake.currentManifest(d.base)
     if (baseM.version == d.baseVersion)
       return MvRefreshStats(d.baseVersion, d.baseVersion, 0L, 0L)
@@ -318,9 +349,12 @@ class Mview(val lake: Mooncake) {
     val ops = Seq(Some(deletions), Some(cleanUpdates), recomputed,
       Some(freshRows)).flatten.reduce(_ unionByName _)
     val affected = perGroup.count()
-    if (affected > 0)
+    if (affected > 0) {
+      saveDef(name, d.copy(pending =
+        Some(MvPending(baseM.version, mvM.commitVersion + 1))))
       lake.applyChanges(spark, name, ops, version = mvM.commitVersion + 1)
-    saveDef(name, d.copy(baseVersion = baseM.version))
+    }
+    saveDef(name, d.copy(baseVersion = baseM.version, pending = None))
     perGroup.unpersist()
     existing.unpersist()
     dirtyKeys.unpersist()

@@ -191,4 +191,52 @@ class MviewSpec extends SparkSuite {
     mv.refresh(spark, "t_mv")
     assertMatches(mv, "t_mv", lake.read(spark, "t"))
   }
+
+  test("a crash between state apply and frontier write never double-folds") {
+    // The hazard: refresh applies the delta to the MV state, then dies
+    // BEFORE advancing the def's baseVersion. A naive next refresh
+    // recomputes the same delta and folds it into state that already
+    // contains it — counts and sums silently double. The write-ahead
+    // intent (MvPending) makes the landed-but-unpromoted apply
+    // detectable from the MV's own manifest version.
+    val lake = mkLake()
+    val mv = new Mview(lake)
+    lake.createTable(spark, "t",
+      rows((1, 1L, d("10.00")), (2, 2L, d("20.00"))), Seq("id"))
+    mv.create(spark, "t_mv", "t", Seq("g"), aggs)
+    val defPath = java.nio.file.Paths.get(lake.warehouse, "main.t_mv.mv.json")
+    assert(java.nio.file.Files.exists(defPath), "spec expects this def layout")
+
+    def b(tuples: (Int, Long, Option[java.math.BigDecimal], String)*) =
+      tuples.toDF("id", "g", "v", "__op")
+        .select($"id", $"g", $"v".cast("decimal(12,2)"), $"__op")
+    lake.applyChanges(spark, "t", b((3, 1L, d("5.00"), "I")), version = 2)
+
+    // CRASH-AFTER-APPLY: run the refresh (apply + promote), then rewind
+    // the def file to what it looked like mid-refresh — old frontier,
+    // intent present for the version the apply committed
+    val defBefore = new String(java.nio.file.Files.readAllBytes(defPath),
+      "UTF-8")
+    mv.refresh(spark, "t_mv")
+    val mvVersionAfter = lake.currentManifest("t_mv").commitVersion
+    val crashed = defBefore.replaceFirst("\\}\\s*$",
+      s""","pending":{"baseVersion":2,"mvVersion":$mvVersionAfter}}""")
+    java.nio.file.Files.write(defPath, crashed.getBytes("UTF-8"))
+    val stats = mv.refresh(spark, "t_mv")
+    assert(stats.affectedGroups === 0L,
+      s"landed apply must not re-fold: $stats")
+    assertMatches(mv, "t_mv", lake.read(spark, "t"))
+
+    // CRASH-BEFORE-APPLY: intent written but the apply never landed —
+    // the next refresh discards the intent and refreshes normally
+    lake.applyChanges(spark, "t", b((4, 2L, d("1.00"), "I")), version = 3)
+    val current = new String(java.nio.file.Files.readAllBytes(defPath),
+      "UTF-8")
+    val preApply = current.replaceFirst("\\}\\s*$",
+      s""","pending":{"baseVersion":3,"mvVersion":${mvVersionAfter + 7}}}""")
+    java.nio.file.Files.write(defPath, preApply.getBytes("UTF-8"))
+    val stats2 = mv.refresh(spark, "t_mv")
+    assert(stats2.affectedGroups === 1L, s"unlanded intent must refresh: $stats2")
+    assertMatches(mv, "t_mv", lake.read(spark, "t"))
+  }
 }

@@ -983,18 +983,21 @@ object DeltaCompat {
   def vacuum(table: String,
       retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
     val cutoff = System.currentTimeMillis() - retentionMs
-    // last action per path across the surviving log (checkpoint adds
-    // count as live — a checkpoint IS the compacted head of its prefix)
+    // Last action per path, folded in TRUE VERSION ORDER: JSON commits
+    // at or below the checkpoint first, then the checkpoint (it IS the
+    // compacted head of that prefix — its liveness verdict overrides
+    // pre-checkpoint JSON, which on a foreign table may survive only
+    // partially after log cleanup; folding a stale pre-checkpoint
+    // remove AFTER the checkpoint's add would tombstone a file the
+    // head still references and vacuum would destroy live data), then
+    // JSON above the checkpoint. Checkpoint REMOVE tombstones (real
+    // engines persist in-retention tombstones there) apply before its
+    // adds, so a path in both stays conservatively live.
     val lastAction = scala.collection.mutable.Map[String, (Long, Long)]()
     // path -> (version, removeTimestamp or -1 for add)
-    lastCheckpoint(table).foreach { case (v, parts) =>
-      // checkpoint state paths: live at that version
-      // (read lazily via the JSON below for the common no-checkpoint
-      // case; here just mark them as added at version v)
-      checkpointLivePaths(table, v, parts)
-        .foreach(p => lastAction(p) = (v, -1L))
-    }
-    for (v <- versions(table)) {
+    val cp = lastCheckpoint(table)
+    val cpV = cp.map(_._1).getOrElse(-1L)
+    def foldJson(v: Long): Unit = {
       val lines = Files.readAllLines(versionFile(table, v)).asScala
       // A commit is a SET of actions: removes apply before adds within
       // each commit regardless of line order (same semantics as
@@ -1019,6 +1022,14 @@ object DeltaCompat {
       removes.result().foreach { case (p, ts) => lastAction(p) = (v, ts) }
       adds.result().foreach(p => lastAction(p) = (v, -1L))
     }
+    val vs = versions(table)
+    vs.filter(_ <= cpV).foreach(foldJson)
+    cp.foreach { case (v, parts) =>
+      val (cpAdds, cpRemoves) = checkpointActions(table, v, parts)
+      cpRemoves.foreach { case (p, ts) => lastAction(p) = (v, ts) }
+      cpAdds.foreach(p => lastAction(p) = (v, -1L))
+    }
+    vs.filter(_ > cpV).foreach(foldJson)
     val deletable = lastAction.collect {
       case (p, (_, ts)) if ts >= 0 && ts < cutoff => p
     }.toSeq.sorted
@@ -1028,27 +1039,47 @@ object DeltaCompat {
     }
   }
 
-  /** Paths the checkpoint declares live (add rows, V2 sidecars
-    * included — vacuum must never sweep files a sidecar still names). */
-  private def checkpointLivePaths(table: String, v: Long,
-      parts: Int): Seq[String] = {
+  /** Paths the checkpoint declares live (add rows) and tombstoned
+    * (remove rows with their deletionTimestamp), V2 sidecars included —
+    * vacuum must never sweep files a sidecar still names, and real
+    * engines persist in-retention remove tombstones in checkpoints. */
+  private def checkpointActions(table: String, v: Long,
+      parts: Int): (Seq[String], Seq[(String, Long)]) = {
     val spark = SparkSession.active
     val paths = checkpointFiles(table, v, parts).filter(Files.exists(_))
-    if (paths.isEmpty) return Seq.empty
-    val df = spark.read.parquet(paths.map(_.toString): _*)
-    val own =
-      if (!df.schema.fieldNames.contains("add")) Seq.empty[String]
-      else df.select("add.path").collect()
-        .flatMap(r => Option(r.getString(0))).toSeq
-    val fromSidecars = sidecarFiles(table, df).filter(Files.exists(_)) match {
-      case Seq() => Seq.empty[String]
-      case sc =>
-        val sdf = spark.read.parquet(sc.map(_.toString): _*)
-        if (!sdf.schema.fieldNames.contains("add")) Seq.empty[String]
-        else sdf.select("add.path").collect()
+    if (paths.isEmpty) return (Seq.empty, Seq.empty)
+    def actionsOf(df: DataFrame): (Seq[String], Seq[(String, Long)]) = {
+      val adds =
+        if (!df.schema.fieldNames.contains("add")) Seq.empty[String]
+        else df.select("add.path").collect()
           .flatMap(r => Option(r.getString(0))).toSeq
+      val removes =
+        if (!df.schema.fieldNames.contains("remove"))
+          Seq.empty[(String, Long)]
+        else {
+          val hasTs = df.select("remove.*").schema.fieldNames
+            .contains("deletionTimestamp")
+          val cols =
+            if (hasTs) Seq("remove.path", "remove.deletionTimestamp")
+            else Seq("remove.path")
+          df.select(cols.head, cols.tail: _*).collect().flatMap { r =>
+            Option(r.getString(0)).map(_ -> (
+              if (hasTs && !r.isNullAt(1)) r.getLong(1) else 0L))
+          }.toSeq
+        }
+      (adds, removes)
     }
-    (own ++ fromSidecars).map(PathCodec.percentDecode)
+    val df = spark.read.parquet(paths.map(_.toString): _*)
+    val (ownAdds, ownRemoves) = actionsOf(df)
+    val (scAdds, scRemoves) =
+      sidecarFiles(table, df).filter(Files.exists(_)) match {
+        case Seq() => (Seq.empty[String], Seq.empty[(String, Long)])
+        case sc => actionsOf(spark.read.parquet(sc.map(_.toString): _*))
+      }
+    ((ownAdds ++ scAdds).map(PathCodec.percentDecode),
+      (ownRemoves ++ scRemoves).map { case (p, ts) =>
+        PathCodec.percentDecode(p) -> ts
+      })
   }
 
   /** `add.stats` JSON for one staged parquet file, from its footer only:

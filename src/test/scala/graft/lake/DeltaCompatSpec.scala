@@ -621,6 +621,62 @@ class DeltaCompatSpec extends SparkSuite {
     assert(afterDv.count() === 40) // 150..189
   }
 
+  test("vacuum folds the checkpoint at its version-order position") {
+    // Two foreign-table behaviors a naive vacuum gets wrong:
+    //   1. real engines persist in-retention REMOVE tombstones in the
+    //      checkpoint after log cleanup deleted the JSON that carried
+    //      them — reading only checkpoint adds leaks those files
+    //      forever;
+    //   2. a stale pre-checkpoint JSON remove (damaged/partially
+    //      cleaned log) folded AFTER the checkpoint's liveness marking
+    //      would tombstone a file the head still references — vacuum
+    //      would destroy live data.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("delta-vacuum-cp")
+    DeltaCompat.write(Seq((1L, "a")).toDF("k", "v").coalesce(1), dir)
+    DeltaCompat.write(Seq((2L, "b")).toDF("k", "v").coalesce(1), dir,
+      mode = "overwrite")
+    val log = Paths.get(dir, "_delta_log")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def addsOf(v: Long): Seq[String] =
+      Files.readAllLines(log.resolve(f"$v%020d.json")).asScala
+        .filter(_.contains("\"add\""))
+        .map(l => mapper.readTree(l).get("add").get("path").asText()).toSeq
+    val Seq(aPath) = addsOf(0L)
+    val Seq(bPath) = addsOf(1L)
+
+    // synthetic REAL-ENGINE checkpoint at v1: B live, A tombstoned
+    val addT = StructType(Seq(StructField("path", StringType)))
+    val removeT = StructType(Seq(StructField("path", StringType),
+      StructField("deletionTimestamp", LongType)))
+    val rowT = StructType(Seq(StructField("add", addT),
+      StructField("remove", removeT)))
+    val rows = Seq(Row(Row(bPath), null), Row(null, Row(aPath, 1000L)))
+    val tmp = Files.createTempDirectory(Paths.get(dir), ".cp")
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), rowT)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, log.resolve("00000000000000000001.checkpoint.parquet"))
+    Files.writeString(log.resolve("_last_checkpoint"), """{"version":1}""")
+
+    // foreign log cleanup took the real JSON; what survives is a stale
+    // damaged v0 carrying a remove of the HEAD-LIVE file B
+    Files.delete(log.resolve(f"${0L}%020d.json"))
+    Files.delete(log.resolve(f"${1L}%020d.json"))
+    Files.writeString(log.resolve(f"${0L}%020d.json"),
+      s"""{"remove":{"path":"$bPath","deletionTimestamp":1000}}""" + "\n")
+
+    val deleted = DeltaCompat.vacuum(dir, retentionMs = 0L)
+    assert(deleted.contains(aPath),
+      s"checkpoint tombstone must sweep A: $deleted")
+    assert(!deleted.contains(bPath),
+      "stale pre-checkpoint remove must not kill the checkpoint-live file")
+    assert(!Files.exists(Paths.get(dir, aPath)))
+    assert(Files.exists(Paths.get(dir, bPath)))
+  }
+
   test("date stats and date partition values prune files (epoch-day compare)") {
     import org.apache.spark.sql.functions.col
     // date range stats: two files with disjoint date windows — the

@@ -205,6 +205,13 @@ object IcebergCompat {
       case BooleanType if b.length == 1 => Some(b(0) != 0)
       case StringType =>
         Some(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+      // spec single-value encodings: date = 4-byte LE epoch days,
+      // timestamp(tz) = 8-byte LE epoch micros — exactly the integral
+      // values catalyst literals evaluate to, so BoundsPruning compares
+      // them exactly (and tz-free: both sides are UTC-anchored micros)
+      case DateType if b.length == 4 => Some(bb.getInt)
+      case TimestampType | TimestampNTZType if b.length == 8 =>
+        Some(bb.getLong)
       case _ => None
     }
   }
@@ -1482,6 +1489,21 @@ object IcebergCompat {
                   val hi = sts.map(_.genericGetMax.asInstanceOf[java.lang.Boolean].booleanValue).max
                   Some(name -> (Array[Byte](if (lo) 1 else 0),
                     Array[Byte](if (hi) 1 else 0)))
+                // date: epoch-day int32, same 4-byte LE encoding the
+                // spec's date single-value serialization uses
+                case (INT32, _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) =>
+                  val (lo, hi) = (
+                    sts.map(_.genericGetMin.asInstanceOf[Integer].intValue).min,
+                    sts.map(_.genericGetMax.asInstanceOf[Integer].intValue).max)
+                  Some(name -> (le(4)(_.putInt(lo)), le(4)(_.putInt(hi))))
+                // timestamp(tz): micros-unit int64 only — a millis-unit
+                // foreign file's values are NOT spec micros; skip them
+                case (INT64, ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation)
+                    if ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
+                  val (lo, hi) = (
+                    sts.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min,
+                    sts.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max)
+                  Some(name -> (le(8)(_.putLong(lo)), le(8)(_.putLong(hi))))
                 case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
                   val mins = sts.map(_.minAsString)
                   val maxs = sts.map(_.maxAsString)
@@ -1763,7 +1785,12 @@ object IcebergCompat {
     // into concurrent jobs and races restores — so the staging frame is
     // rebound to a CLONED session carrying the override.
     val isolated = org.apache.spark.sql.graft.ColumnBridge.withSessionConf(
-      annotated, "spark.sql.parquet.fieldId.write.enabled" -> "true")
+      annotated, "spark.sql.parquet.fieldId.write.enabled" -> "true",
+      // the Iceberg spec stores timestamps as int64 MICROS; Spark's
+      // default INT96 physical type is not a legal Iceberg data-file
+      // encoding (real readers reject or mis-type it) and carries no
+      // usable stats for manifest bounds
+      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
     val stageW = isolated.write.mode("overwrite")
     (if (stageCols.nonEmpty) stageW.partitionBy(stageCols: _*) else stageW)
       .parquet(stage.toString)

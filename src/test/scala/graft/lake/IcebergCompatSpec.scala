@@ -523,6 +523,37 @@ class IcebergCompatSpec extends SparkSuite {
     assert(leDouble(lower(3)) === -2.5 && leDouble(upper(3)) === 1.5)
   }
 
+  test("date/timestamp bounds: spec encodings in manifests, and they prune") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("iceberg-bounds-dt")
+    // two files with disjoint date/timestamp windows
+    IcebergCompat.write(spark.sql(
+      "SELECT id AS k, date_add(DATE'2024-01-01', CAST(id AS INT)) AS d, " +
+        "timestampadd(HOUR, CAST(id AS INT), TIMESTAMP'2024-01-01 00:00:00') AS ts " +
+        "FROM range(0, 24)").coalesce(1), dir)
+    IcebergCompat.write(spark.sql(
+      "SELECT id AS k, date_add(DATE'2024-06-01', CAST(id AS INT)) AS d, " +
+        "timestampadd(HOUR, CAST(id AS INT), TIMESTAMP'2024-06-01 00:00:00') AS ts " +
+        "FROM range(0, 24)").coalesce(1), dir)
+    val all = IcebergCompat.read(spark, dir)
+    assert(all.inputFiles.length === 2)
+    val byDate = IcebergCompat.read(spark, dir,
+      prune = Some(col("d") >= java.sql.Date.valueOf("2024-06-01")))
+    assert(byDate.inputFiles.length === 1,
+      "date manifest bounds must skip the January file")
+    assert(byDate.count() === 24)
+    val byTs = IcebergCompat.read(spark, dir,
+      prune = Some(col("ts") <
+        java.sql.Timestamp.valueOf("2024-02-01 00:00:00")))
+    assert(byTs.inputFiles.length === 1,
+      "timestamp manifest bounds must skip the June file")
+    assert(byTs.count() === 24)
+    // out-of-range conjunct opens nothing
+    assert(IcebergCompat.read(spark, dir,
+      prune = Some(col("d") > java.sql.Date.valueOf("2025-01-01")))
+      .inputFiles.isEmpty)
+  }
+
   test("snapshot-log, metadata-log, and timestamp time travel") {
     import scala.jdk.CollectionConverters._
     val dir = tmpDir("iceberg-asof")

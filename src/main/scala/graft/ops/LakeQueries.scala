@@ -974,6 +974,11 @@ object LakeQueries {
     }
     s.conf.set("spark.sql.catalog.mooncake", "graft.lake.MooncakeCatalog")
     s.conf.set("spark.sql.catalog.mooncake.warehouse", wh)
+    // a long-lived session may already hold a `mooncake` catalog bound
+    // to ANOTHER warehouse (catalog plugins cache by name; a shared
+    // test JVM's catalog spec does exactly this) — drop the cache so
+    // the conf above actually binds
+    org.apache.spark.sql.graft.ColumnBridge.resetCatalogs(s)
     wh
   }
 

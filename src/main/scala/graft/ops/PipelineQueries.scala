@@ -1440,6 +1440,70 @@ object PipelineQueries {
   // registry
   // ===========================================================================
 
+  /** Diversity coreset via farthest-point sampling (max-min / k-center
+    * greedy — the geometric coreset a curation pipeline runs to pick a
+    * small maximally-diverse exemplar set, complementary to
+    * [[clusterSample]]'s balanced sampling): seed with the lowest
+    * vec_id, then k−1 rounds of "pick the vector whose MAXIMUM cosine
+    * similarity to the selected set is smallest" (ties to the lower
+    * vec_id). Scale shape: the selected set is model-sized (k vectors,
+    * broadcast as literals into a fused greatest-of-cosines codegen
+    * map), each round is ONE corpus pass ending in a TakeOrdered(1) —
+    * no global sort, no pairwise corpus join; k passes total, the
+    * canonical FPS cost. Cross-engine determinism rides the
+    * bit-identical cosine kernel (same dot/(sqrt·sqrt) op order as the
+    * oracle — the [[dedupEmbed]] contract) plus the vec_id tie-break;
+    * the oracle mirrors the greedy loop as a recursive CTE. */
+  val embedCoreset: Q = (s, dir) => {
+    val k = 8
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+    val seed = e.orderBy("vec_id").limit(1).collect()(0)
+    var selected = Vector[(Long, Array[Float])](
+      (seed.getLong(0), seed.getSeq[Float](1).toArray))
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])](
+      (1, selected.head._1, None))
+    for (r <- 2 to k) {
+      val simCols = selected.map { case (_, v) =>
+        SVE.cosine_sim(col("embedding"), typedLit(v)) }
+      val ms =
+        if (simCols.size == 1) simCols.head else greatest(simCols: _*)
+      val next = e.filter(!col("vec_id").isInCollection(selected.map(_._1)))
+        .select(col("vec_id"), ms.as("ms"), col("embedding"))
+        .orderBy(col("ms").asc, col("vec_id").asc)
+        .limit(1).collect()(0)
+      selected :+= ((next.getLong(0), next.getSeq[Float](2).toArray))
+      out += ((r, next.getLong(0), Some(next.getDouble(1))))
+    }
+    import s.implicits._
+    out.toSeq.toDF("rank", "vec_id", "maxsim")
+  }
+
+  val embedCoresetSql: String = {
+    val dotSelf = sqlFoldSum("list_transform(range(1, 65), " +
+      "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
+    val dotES = sqlFoldSum("list_transform(range(1, 65), " +
+      "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(se.embedding[i] AS DOUBLE))")
+    s"""WITH RECURSIVE n AS (
+       |  SELECT vec_id, embedding, sqrt($dotSelf) AS nrm FROM embeddings),
+       |s AS (
+       |  SELECT 1 AS rank, (SELECT min(vec_id) FROM n) AS vec_id,
+       |         CAST(NULL AS DOUBLE) AS maxsim,
+       |         [(SELECT min(vec_id) FROM n)] AS sel
+       |  UNION ALL
+       |  SELECT s.rank + 1, nxt.vec_id, nxt.ms,
+       |         list_append(s.sel, nxt.vec_id)
+       |  FROM s JOIN LATERAL (
+       |    SELECT e.vec_id, max($dotES / (e.nrm * se.nrm)) AS ms
+       |    FROM n e JOIN n se ON list_contains(s.sel, se.vec_id)
+       |    WHERE NOT list_contains(s.sel, e.vec_id)
+       |    GROUP BY e.vec_id
+       |    ORDER BY ms ASC, e.vec_id ASC
+       |    LIMIT 1
+       |  ) nxt ON true
+       |  WHERE s.rank < 8)
+       |SELECT rank, vec_id, maxsim FROM s ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_heavy_hitters" -> textHeavyHitters,
     "q_text_vocab" -> textVocab,
@@ -1463,6 +1527,7 @@ object PipelineQueries {
     "q_text_bm25" -> textBm25,
     "q_text_bpe_pairs" -> textBpePairs,
     "q_embed_outliers" -> embedOutliers,
+    "q_embed_coreset" -> embedCoreset,
     "q_dedup_containment" -> dedupContainment,
     "q_dedup_substring" -> dedupSubstring,
     "q_sample_importance" -> sampleImportance,
@@ -1476,6 +1541,7 @@ object PipelineQueries {
     "q_text_bm25" -> textBm25Sql,
     "q_text_bpe_pairs" -> textBpePairsSql,
     "q_embed_outliers" -> embedOutliersSql,
+    "q_embed_coreset" -> embedCoresetSql,
     "q_dedup_containment" -> dedupContainmentSql,
     "q_text_vocab" -> textVocabSql,
     "q_text_stats" -> textStatsSql,

@@ -31,4 +31,14 @@ object ColumnBridge {
     * `ExpectsInputTypes`) is `private[sql]`; this public alias lets graft
     * expressions declare input types for analysis-time checking. */
   type AbstractType = org.apache.spark.sql.types.AbstractDataType
+
+  /** Drop every cached catalog-plugin instance so `spark.sql.catalog.*`
+    * changes take effect in THIS session. A catalog is instantiated
+    * once per name and cached in the session's CatalogManager, so a
+    * long-lived session (a shared test JVM, a notebook) that re-points
+    * a catalog's warehouse would otherwise keep talking to the old one.
+    * CatalogManager is private[sql], hence bridged here. */
+  def resetCatalogs(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalogManager.reset()
 }

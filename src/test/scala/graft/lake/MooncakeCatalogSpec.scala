@@ -17,6 +17,10 @@ class MooncakeCatalogSpec extends SparkSuite {
     spark.conf.set("spark.sql.catalog.mooncake",
       "graft.lake.MooncakeCatalog")
     spark.conf.set("spark.sql.catalog.mooncake.warehouse", wh)
+    // the shared test JVM may already have instantiated a `mooncake`
+    // catalog against ANOTHER suite's warehouse (catalog plugins cache
+    // by name per session) — drop the cache so this suite's conf binds
+    org.apache.spark.sql.graft.ColumnBridge.resetCatalogs(spark)
     new Mooncake(wh)
   }
 

@@ -113,6 +113,37 @@ class PipelineSpec extends SparkSuite {
       s"hash-window pairs diverge: extra=${got.diff(truth)} missing=${truth.diff(got)}")
   }
 
+  test("FPS coreset equals the greedy brute force; each pick is max-min") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import graft.functions.expressions.SetVectorOps
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    // brute-force greedy FPS through the SAME cosine kernel (bit-exact)
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      SetVectorOps.cosineF(ArrayData.toArrayData(a), ArrayData.toArrayData(b))
+    var sel = Vector(vecs.head._1)
+    val selVecs = scala.collection.mutable.ArrayBuffer(vecs.head._2)
+    val expect = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])](
+      (1, sel.head, None))
+    for (r <- 2 to 8) {
+      val cands = vecs.filterNot(v => sel.contains(v._1))
+        .map { case (id, v) => (id, selVecs.map(cos(v, _)).max) }
+      val (id, ms) = cands.minBy { case (id, ms) => (ms, id) }
+      sel :+= id
+      selVecs += vecs.find(_._1 == id).get._2
+      expect += ((r, id, Some(ms)))
+    }
+    val got = PipelineQueries.embedCoreset(spark, sf)
+      .as[(Int, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(got === expect.toSeq)
+    // diversity property: every later pick's max-sim-at-selection is
+    // monotone non-decreasing (the max-min radius shrinks)
+    val sims = got.drop(1).map(_._3.get)
+    assert(sims === sims.sorted, s"FPS radii must be monotone: $sims")
+  }
+
   test("importance resampling: kept docs are target-like, flag matches score") {
     val r = PipelineQueries.sampleImportance(spark, sf)
       .as[(Long, Long, Long, Boolean)].collect()

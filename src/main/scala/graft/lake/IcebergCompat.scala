@@ -344,13 +344,86 @@ object IcebergCompat {
       numField(rec, "sequence_number").orElse(
         if (status == 1) numField(listRec, "sequence_number") else None)
 
+    // Pushed-predicate conjuncts, extracted ONCE for both pruning
+    // tiers: manifest-level (the list entry's `partitions` summaries,
+    // below) and file-level (per-file bounds, further down).
+    val pruneCs: Seq[(String, String, Any)] =
+      prune.map(BoundsPruning.conjuncts(spark, schema, _))
+        .getOrElse(Seq.empty)
+
+    // MANIFEST SKIPPING on the list entry's partition summaries: a
+    // data manifest whose identity-field summary range provably
+    // excludes a conjunct is dropped before its Avro is ever opened.
+    // This is the tier that matters at 100 TB — the manifest LIST is
+    // one file, the manifests are ~10⁵; file-level bounds alone still
+    // pay a metadata read per manifest. Strictly conservative: absent
+    // summaries, foreign shapes, arity drift, non-identity transforms,
+    // undecodable bounds, NaN-possible fp fields all keep the manifest
+    // (and the surviving rows re-filter below, so pruning only cuts IO).
+    def manifestMayMatch(listRec: GenericRecord): Boolean = {
+      if (pruneCs.isEmpty) return true
+      if (listRec.getSchema.getField("partitions") == null) return true
+      listRec.get("partitions") match {
+        case arr: java.util.Collection[_] if !arr.isEmpty =>
+          val specId =
+            numField(listRec, "partition_spec_id").getOrElse(0L).toInt
+          specsById.get(specId) match {
+            case Some(fields) if fields.size == arr.size =>
+              val colBounds: Map[String, (Option[Any], Option[Any])] =
+                fields.zip(arr.asScala.toSeq).flatMap {
+                  case (f, sr: GenericRecord) if f.transform == "identity" =>
+                    for {
+                      col <- idToName.get(f.sourceId)
+                      t <- fieldType.get(col)
+                    } yield {
+                      def bound(name: String): Option[Any] = {
+                        // spec: summary bounds EXCLUDE NaN while Spark
+                        // orders NaN above everything — prune on an fp
+                        // bound only when contains_nan proves absence
+                        val nanSafe = t match {
+                          case FloatType | DoubleType =>
+                            sr.getSchema.getField("contains_nan") != null &&
+                              (sr.get("contains_nan") match {
+                                case b: java.lang.Boolean => !b.booleanValue
+                                case _ => false
+                              })
+                          case _ => true
+                        }
+                        if (!nanSafe) None
+                        else if (sr.getSchema.getField(name) == null) None
+                        else sr.get(name) match {
+                          case bb: java.nio.ByteBuffer =>
+                            val d = new Array[Byte](bb.remaining())
+                            bb.duplicate().get(d)
+                            decodeBound(d, t)
+                          case ba: Array[Byte] => decodeBound(ba, t)
+                          case _ => None
+                        }
+                      }
+                      col -> (bound("lower_bound"), bound("upper_bound"))
+                    }
+                  case _ => None
+                }.toMap
+              pruneCs.forall { case (n, op, v) =>
+                colBounds.get(n) match {
+                  case Some((lo, hi)) => BoundsPruning.keeps(lo, hi, op, v)
+                  case None => true
+                }
+              }
+            case _ => true
+          }
+        case _ => true
+      }
+    }
+    val keptDataManifests = dataManifests.filter(manifestMayMatch)
+
     // data files with their manifest partition values + data sequence +
     // the spec their manifest was written under + decoded column bounds
     case class DataFileInfo(path: String, partVals: Map[String, Any],
         seq: Option[Long], specId: Int, lower: Map[String, Any],
         upper: Map[String, Any])
     val allDataFiles: Seq[DataFileInfo] =
-      dataManifests.flatMap { listRec =>
+      keptDataManifests.flatMap { listRec =>
         val m = listRec.get("manifest_path").toString
         val specId = numField(listRec, "partition_spec_id").getOrElse(0L).toInt
         avroRecords(localPath(m)).flatMap { rec =>
@@ -391,9 +464,9 @@ object IcebergCompat {
               }
             Some(DataFileInfo(localPath(df.get("file_path").toString), pv,
               seqOf(rec, listRec, status), specId,
-              if (prune.isEmpty) Map.empty
+              if (pruneCs.isEmpty) Map.empty
               else fpSafe(boundsOf(df, "lower_bounds", idToName, fieldType)),
-              if (prune.isEmpty) Map.empty
+              if (pruneCs.isEmpty) Map.empty
               else fpSafe(boundsOf(df, "upper_bounds", idToName, fieldType))))
           }
         }
@@ -414,13 +487,11 @@ object IcebergCompat {
       case None => allDataFiles
       case Some(keep) => allDataFiles.filter(f => keep.contains(f.path))
     }
-    val dataFiles: Seq[DataFileInfo] = prune match {
-      case None => scopedDataFiles
-      case Some(p) =>
-        val cs = BoundsPruning.conjuncts(spark, schema, p)
-        if (cs.isEmpty) scopedDataFiles
-        else scopedDataFiles.filter { f =>
-          cs.forall { case (n, op, v) =>
+    val dataFiles: Seq[DataFileInfo] =
+      if (pruneCs.isEmpty) scopedDataFiles
+      else {
+        scopedDataFiles.filter { f =>
+          pruneCs.forall { case (n, op, v) =>
             val lo = f.lower.get(n).orElse(
               Option(f.partVals.getOrElse(n, null)))
             val hi = f.upper.get(n).orElse(
@@ -428,7 +499,7 @@ object IcebergCompat {
             BoundsPruning.keeps(lo, hi, op, v)
           }
         }
-    }
+      }
 
     // delete files: positional (content 1) and equality (content 2)
     case class EqDelete(path: String, seq: Long, cols: Seq[String],
@@ -1391,10 +1462,28 @@ object IcebergCompat {
         "file_sequence_number" -> 4, "data_file" -> 2))
   }
 
+  /** field_summary per spec v2 (one element of a manifest-list entry's
+    * `partitions` array, aligned with the manifest's spec fields by
+    * position): null/NaN presence plus lower/upper bounds of the
+    * partition values across every entry in the manifest. This is the
+    * TWO-TIER skip's upper tier — at 100 TB a table holds ~10⁵
+    * manifests, and these summaries let [[read]] drop a manifest from
+    * metadata the manifest LIST already holds, never opening the
+    * manifest Avro at all (file-level bounds then prune what survives). */
+  private val fieldSummarySchema: Schema = withFieldIds(SchemaBuilder
+    .record("r508").fields()
+    .requiredBoolean("contains_null")
+    .name("contains_nan").`type`().optional().booleanType()
+    .name("lower_bound").`type`().optional().bytesType()
+    .name("upper_bound").`type`().optional().bytesType()
+    .endRecord(),
+    Map("contains_null" -> 509, "contains_nan" -> 518,
+      "lower_bound" -> 510, "upper_bound" -> 511))
+
   /** manifest_file per spec v2 (manifest-list entry): path, length,
     * spec id, content, sequence numbers, added snapshot, file and row
-    * counts — everything a real reader resolves before opening the
-    * manifest. */
+    * counts, and the optional per-spec-field partition summaries —
+    * everything a real reader resolves before opening the manifest. */
   private val manifestFileSchema: Schema = withFieldIds(SchemaBuilder
     .record("manifest_file").fields()
     .requiredString("manifest_path")
@@ -1410,6 +1499,7 @@ object IcebergCompat {
     .requiredLong("added_rows_count")
     .requiredLong("existing_rows_count")
     .requiredLong("deleted_rows_count")
+    .name("partitions").`type`().optional().array().items(fieldSummarySchema)
     .endRecord(),
     Map("manifest_path" -> 500, "manifest_length" -> 501,
       "partition_spec_id" -> 502, "content" -> 517,
@@ -1417,7 +1507,124 @@ object IcebergCompat {
       "added_snapshot_id" -> 503, "added_files_count" -> 504,
       "existing_files_count" -> 505, "deleted_files_count" -> 506,
       "added_rows_count" -> 512, "existing_rows_count" -> 513,
-      "deleted_rows_count" -> 514))
+      "deleted_rows_count" -> 514, "partitions" -> 507))
+
+  /** The non-null branch of the optional `partitions` array schema. */
+  private val partitionsArraySchema: Schema =
+    manifestFileSchema.getField("partitions").schema().getTypes.get(1)
+
+  /** Inverse of [[decodeBound]] for manifest partition-tuple values:
+    * the spec's single-value binary encoding (little-endian numerics,
+    * raw UTF-8 strings, 1-byte booleans; date tuples are already
+    * epoch-day ints and timestamps epoch-micros longs, so the integral
+    * encodings cover them). Unmapped runtime type → None (no bound —
+    * a summary without bounds never prunes). */
+  private def encodeBound(v: Any): Option[Array[Byte]] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int)(f: ByteBuffer => Unit): Option[Array[Byte]] = {
+      val b = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+      f(b)
+      Some(b.array())
+    }
+    v match {
+      case i: java.lang.Integer => le(4)(_.putInt(i.intValue))
+      case l: java.lang.Long => le(8)(_.putLong(l.longValue))
+      case f: java.lang.Float => le(4)(_.putFloat(f.floatValue))
+      case d: java.lang.Double => le(8)(_.putDouble(d.doubleValue))
+      case b: java.lang.Boolean => Some(Array[Byte](if (b) 1 else 0))
+      case s: CharSequence => Some(s.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      case _ => None
+    }
+  }
+
+  /** Build the `partitions` summary array for a freshly-written
+    * manifest from its entries' partition tuples (position-aligned with
+    * the spec's fields). Bounds EXCLUDE NaN per spec — `contains_nan`
+    * carries the NaN evidence instead — and min/max follow
+    * [[BoundsPruning.cmp]] (unsigned-UTF-8 strings), the same order the
+    * read side prunes with. Empty spec → null (field stays absent). */
+  private def fieldSummaries(arity: Int,
+      tuples: Seq[Seq[Any]]): AnyRef =
+    if (arity == 0) null
+    else {
+      val elems = (0 until arity).map { i =>
+        val vals = tuples.map(t => if (i < t.size) t(i) else null)
+        val nonNull = vals.filter(_ != null)
+        def isNan(v: Any): Boolean = v match {
+          case f: java.lang.Float => f.isNaN
+          case d: java.lang.Double => d.isNaN
+          case _ => false
+        }
+        val isFp = nonNull.exists {
+          case _: java.lang.Float | _: java.lang.Double => true
+          case _ => false
+        }
+        val bounded = nonNull.filterNot(isNan)
+        val r = new GenericData.Record(fieldSummarySchema)
+        r.put("contains_null",
+          java.lang.Boolean.valueOf(vals.exists(_ == null)))
+        if (isFp)
+          r.put("contains_nan",
+            java.lang.Boolean.valueOf(nonNull.exists(isNan)))
+        if (bounded.nonEmpty) {
+          def pick(keepLeft: Int => Boolean): Option[Any] =
+            bounded.tail.foldLeft(Option(bounded.head)) { (acc, v) =>
+              acc.flatMap(a =>
+                BoundsPruning.cmp(a, v).map(c => if (keepLeft(c)) a else v))
+            }
+          for {
+            lo <- pick(_ <= 0); hi <- pick(_ >= 0)
+            lob <- encodeBound(lo); hib <- encodeBound(hi)
+          } {
+            r.put("lower_bound", java.nio.ByteBuffer.wrap(lob))
+            r.put("upper_bound", java.nio.ByteBuffer.wrap(hib))
+          }
+        }
+        r: AnyRef
+      }
+      new GenericData.Array[AnyRef](partitionsArraySchema, elems.asJava)
+    }
+
+  /** Carry a prior list entry's `partitions` summaries into a new list
+    * record. Foreign/unparseable shapes drop the whole array (null) —
+    * a manifest without summaries is simply never skipped. */
+  private def carrySummaries(r: GenericRecord): AnyRef =
+    if (r.getSchema.getField("partitions") == null) null
+    else r.get("partitions") match {
+      case arr: java.util.Collection[_] =>
+        try {
+          val out = arr.asScala.map {
+            case e: GenericRecord =>
+              val n = new GenericData.Record(fieldSummarySchema)
+              n.put("contains_null", e.get("contains_null") match {
+                case b: java.lang.Boolean => b
+                case other => throw new IllegalArgumentException(
+                  String.valueOf(other))
+              })
+              def opt(f: String): Unit =
+                if (e.getSchema.getField(f) != null) e.get(f) match {
+                  case null => ()
+                  case b: java.lang.Boolean => n.put(f, b)
+                  case bb: java.nio.ByteBuffer =>
+                    val d = new Array[Byte](bb.remaining())
+                    bb.duplicate().get(d)
+                    n.put(f, java.nio.ByteBuffer.wrap(d))
+                  case ba: Array[Byte] =>
+                    n.put(f, java.nio.ByteBuffer.wrap(ba.clone()))
+                  case other => throw new IllegalArgumentException(
+                    String.valueOf(other))
+                }
+              opt("contains_nan"); opt("lower_bound"); opt("upper_bound")
+              n: AnyRef
+            case other => throw new IllegalArgumentException(
+              String.valueOf(other))
+          }
+          new GenericData.Array[AnyRef](partitionsArraySchema,
+            out.toSeq.asJava)
+        } catch { case _: IllegalArgumentException => null }
+      case _ => null
+    }
 
   private def writeAvro(path: Path, schema: Schema,
       rows: Seq[GenericRecord], meta: Map[String, String] = Map.empty): Unit = {
@@ -1550,6 +1757,7 @@ object IcebergCompat {
     n.put("added_rows_count", num("added_rows_count", 0L))
     n.put("existing_rows_count", num("existing_rows_count", 0L))
     n.put("deleted_rows_count", num("deleted_rows_count", 0L))
+    n.put("partitions", carrySummaries(r))
     n
   }
 
@@ -1921,6 +2129,10 @@ object IcebergCompat {
       r.put("added_rows_count", entriesWithRows.map(_._2).sum)
       r.put("existing_rows_count", 0L)
       r.put("deleted_rows_count", 0L)
+      // partition summaries over this manifest's tuples: the upper
+      // pruning tier — read(prune) skips the whole manifest when a
+      // conjunct excludes the summary range
+      r.put("partitions", fieldSummaries(partFields.size, moved.map(_._2)))
       r: GenericRecord
     }
     val listPath = metaDir.resolve(f"ml-$snapshotId%d.avro")

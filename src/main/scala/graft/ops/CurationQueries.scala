@@ -65,6 +65,61 @@ object CurationQueries {
        |SELECT doc_id, rep, count(*) OVER (PARTITION BY rep) AS csize
        |FROM labels ORDER BY doc_id""".stripMargin
 
+  /** Quality-aware canonical selection — the dedup pipeline's ACTUAL
+    * keep/drop decision: every document gets a cluster rep (its
+    * [[dedupClusters]] component, itself when it is in no near-dup
+    * pair) and a `keep` verdict — true only for the best doc of its
+    * cluster (longest text, ties to the smallest doc_id). min-id
+    * survivorship (what [[PipelineQueries.dedupExact]] reports) throws
+    * away the best copy whenever the canonical-by-id happens to be a
+    * truncated variant; real curation keeps the argmax-quality copy.
+    *
+    * Scale shape: the label frame holds only docs incident to a
+    * near-dup pair (≪ corpus), the corpus joins it once on doc_id, and
+    * the keep verdict is a per-cluster window — singleton docs form
+    * size-1 partitions keyed by their own id, so the window shuffle is
+    * uniform, never hot-keyed. No global sort beyond the verify
+    * harness's. */
+  val dedupCanonical: Q = (s, dir) => {
+    val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
+    val edges = PipelineQueries.minhashPairs(s, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val labels = ConnectedComponents.label(edges)
+    val labeled = d.join(labels, d("doc_id") === labels("id"), "left")
+      .select(d("doc_id"), coalesce(col("comp"), d("doc_id")).as("rep"),
+        col("n_chars"))
+    val w = Window.partitionBy("rep")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    labeled
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("doc_id", "rep", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the [[dedupClustersSql]] closure, left-joined onto the
+    * corpus, argmax by (n_chars DESC, doc_id). */
+  val dedupCanonicalSql: String =
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM (${PipelineQueries.minhashPairsSql})
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |), reach AS (
+       |  SELECT src AS id, dst AS r FROM edges
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+       |), labels AS (
+       |  SELECT id, least(id, min(r)) AS rep FROM reach GROUP BY id
+       |), lab AS (
+       |  SELECT d.doc_id, coalesce(l.rep, d.doc_id) AS rep, d.n_chars
+       |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+       |)
+       |SELECT doc_id, rep,
+       |  (row_number() OVER (PARTITION BY rep
+       |     ORDER BY n_chars DESC, doc_id) = 1) AS keep
+       |FROM lab ORDER BY doc_id""".stripMargin
+
   // ===========================================================================
   // Stratified sampling: per-language corpus cap (mixture balancing)
   // ===========================================================================
@@ -523,6 +578,7 @@ object CurationQueries {
 
   val queries: Map[String, Q] = Map(
     "q_dedup_clusters" -> dedupClusters,
+    "q_dedup_canonical" -> dedupCanonical,
     "q_sample_stratified" -> sampleStratified,
     "q_text_redact" -> textRedact,
     "q_contamination" -> contamination,
@@ -537,6 +593,7 @@ object CurationQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_dedup_clusters" -> dedupClustersSql,
+    "q_dedup_canonical" -> dedupCanonicalSql,
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_text_redact" -> textRedactSql,
     "q_contamination" -> contaminationSql,

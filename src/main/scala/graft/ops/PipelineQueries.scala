@@ -845,6 +845,95 @@ object PipelineQueries {
     """SELECT vec_id AS qid, TRUE AS recall_ok FROM embeddings
       |WHERE vec_id < 8 ORDER BY qid""".stripMargin
 
+  /** Fused IVF+PQ ANN — the FAISS "IVFADC" shape, the one a 100 TB
+    * vector corpus actually runs: a coarse quantizer routes every
+    * vector to a cluster (fused argmax, zero exchange), the corpus
+    * compresses to m=8 one-byte codes, and a query (a) probes its 2
+    *  nearest clusters, (b) ADC-scores ONLY the probed clusters' CODES
+    * (32× smaller than the vectors, nprobe/k of the corpus), and
+    * (c) exact-cosine re-ranks a shortlist. Neither half alone has
+    * this profile: IVF bounds the candidate count, PQ bounds the bytes
+    * per candidate.
+    *
+    * In-band accuracy contract (the [[embedPq]] pattern): the compared
+    * output asserts the ADC+re-rank top-10 recovers ≥ 7 of the
+    * exact-cosine top-10 computed over the SAME probed clusters —
+    * isolating PQ fidelity; the probe legs are identical by
+    * construction — plus a candidate-pool floor proving the probes
+    * actually hold ≥ 10 candidates. DuckDB expects every flag TRUE. */
+  val embedIvfPq: Q = (s, dir) => {
+    val e0 = embs(s, dir).select(col("vec_id"), col("embedding"))
+    val n = e0.count()
+    val shortlist = math.max(100L, n / 10)
+    val nrm = SVE.l2_norm(col("embedding"))
+    val e = e0
+      .withColumn("vn", transform(col("embedding"), x => x.cast("double") / nrm))
+      .select("vec_id", "embedding", "vn")
+    // coarse quantizer: deterministic centroids + fused assignment (the
+    // embedIvf kernel — no exchange between scan and cluster id)
+    val cents = e0.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val model = CentroidModel.collect(cents)
+    val assigned = e.select(col("vec_id"), col("vn"),
+      SVE.nearest_centroid(col("embedding"), model)
+        .getField("cluster").as("cluster"))
+    // PQ codebooks + per-vector codes: the scan-side index is
+    // (vec_id, cluster, codes) — 32× smaller than the vectors
+    val pq = ProductQuantization.train(assigned, "vn", m = 8, ksub = 32)
+    val enc = ProductQuantization.encode(assigned, "vn", pq)
+      .select("vec_id", "cluster", "codes")
+    // query batch probes its 2 nearest clusters (serving-contract size)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("vn").as("qv"))
+    val probeW = Window.partitionBy("qid").orderBy(col("pcos").desc, col("cid"))
+    val probes = q.join(broadcast(cents), lit(true))
+      .select(col("qid"), col("qv"), col("cid"),
+        SVE.cosine_sim(col("qe"), col("cv")).as("pcos"))
+      .withColumn("prn", row_number().over(probeW))
+      .filter(col("prn") <= 2)
+      .select(col("qid"), col("qv"), col("cid").as("cluster"))
+    // ADC over probed clusters' codes only → shortlist
+    val wS = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+    val short = enc.join(probes, Seq("cluster"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("vec_id"),
+        ProductQuantization.adc(col("qv"), col("codes"), pq).as("adist"))
+      .withColumn("srn", row_number().over(wS))
+      .filter(col("srn") <= shortlist)
+      .select("qid", "qv", "vec_id")
+    // exact re-rank: shortlist ids fetch their full vectors back
+    val wR = Window.partitionBy("qid").orderBy(col("rcos").desc, col("vec_id"))
+    val ivfpq10 = short
+      .join(e.select("vec_id", "vn"), Seq("vec_id"))
+      .withColumn("rcos", SVE.cosine_sim_d(col("qv"), col("vn")))
+      .withColumn("rrn", row_number().over(wR))
+      .filter(col("rrn") <= 10)
+      .select("qid", "vec_id")
+    // in-band ground truth: exact cosine over the SAME probed clusters
+    val wE = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    val probed = assigned.join(probes, Seq("cluster"))
+      .filter(col("vec_id") =!= col("qid"))
+    val exact10 = probed
+      .withColumn("cos", SVE.cosine_sim_d(col("vn"), col("qv")))
+      .withColumn("ern", row_number().over(wE))
+      .filter(col("ern") <= 10)
+      .select("qid", "vec_id")
+    val cands = probed.groupBy("qid").agg(count(lit(1)).as("n_cand"))
+    val hits = ivfpq10.join(exact10, Seq("qid", "vec_id"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    q.select("qid").join(hits, Seq("qid"), "left")
+      .join(cands, Seq("qid"), "left")
+      .select(col("qid"),
+        (coalesce(col("n_hits"), lit(0L)) >= 7).as("recall_ok"),
+        (coalesce(col("n_cand"), lit(0L)) >= 10).as("cand_ok"))
+      .orderBy("qid")
+  }
+
+  val embedIvfPqSql: String =
+    """SELECT vec_id AS qid, TRUE AS recall_ok, TRUE AS cand_ok
+      |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin
+
   /** Cluster-balanced selection (SemDeDup-class curation): assign every
     * embedding to its nearest deterministic centroid, keep only the K
     * most-central vectors per cluster — the "one representative per
@@ -1522,6 +1611,7 @@ object PipelineQueries {
     "q_embed_topk" -> embedTopK,
     "q_embed_ivf" -> embedIvf,
     "q_embed_pq" -> embedPq,
+    "q_embed_ivfpq" -> embedIvfPq,
     "q_cluster_sample" -> clusterSample,
     "q_text_tfidf" -> textTfidf,
     "q_text_bm25" -> textBm25,
@@ -1559,6 +1649,7 @@ object PipelineQueries {
     "q_embed_topk" -> embedTopKSql,
     "q_embed_ivf" -> embedIvfSql,
     "q_embed_pq" -> embedPqSql,
+    "q_embed_ivfpq" -> embedIvfPqSql,
     "q_dedup_substring" -> dedupSubstringSql,
     "q_sample_importance" -> sampleImportanceSql,
     "q_text_perplexity" -> textPerplexitySql,

@@ -44,6 +44,7 @@ class PlanGateSpec extends SparkSuite {
     "q_embed_topk" -> "serving query batch broadcast (contract-bounded), corpus streams once; non-equi self-exclusion makes it BNLJ",
     "q_embed_ivf" -> "query batch × k centroids — both sides bounded (batch by serving contract, centroids by model size)",
     "q_embed_pq" -> "query batch × PQ codebook — both sides model-bounded",
+    "q_embed_ivfpq" -> "query batch × k centroids (probe ranking) — batch by serving contract, centroids by model size; the corpus side is an equi-join on cluster",
     "q_embed_index" -> "query batch × persisted centroid table — both sides bounded; postings side is file-skipped, not nested-looped",
     "q_sample_importance" -> "1-row scalar normalization constants cross-joined onto the token stream",
     "q_text_bm25" -> "1-row corpus stats (N, avgdl) cross-joined onto the scored stream",
@@ -62,6 +63,7 @@ class PlanGateSpec extends SparkSuite {
     "q_embed_topk" -> "serving query batch — broadcast-sized by the serving contract; the corpus side streams",
     "q_embed_ivf" -> "query batch and k centroids — model/contract-bounded",
     "q_embed_pq" -> "query batch and 256-entry-per-subspace codebook — model-bounded",
+    "q_embed_ivfpq" -> "query batch and k centroids — model/contract-bounded; ADC codes stream through an equi-join, never broadcast",
     "q_embed_index" -> "query batch and persisted centroid table (k rows) — model-bounded",
     "q_embed_outliers" -> "per-label integer centroids — bounded by the label domain, not the corpus",
     "q_quantile_sketch" -> "GK sketch result exploded for the in-band contract — O(1/eps) entries by the sketch's state bound",

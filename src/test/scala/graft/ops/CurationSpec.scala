@@ -59,6 +59,31 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("canonical selection keeps exactly the best doc of every cluster") {
+    import spark.implicits._
+    val rows = CurationQueries.dedupCanonical(spark, sf)
+      .as[(Long, Long, Boolean)].collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length.toLong === nDocs, "one verdict per document")
+    // exactly one keeper per rep
+    val byRep = rows.groupBy(_._2)
+    assert(byRep.values.forall(_.count(_._3) === 1))
+    // the keeper is the argmax-(n_chars, -doc_id) of its cluster
+    val chars = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars").as[(Long, Long)].collect().toMap
+    byRep.values.filter(_.length > 1).foreach { cluster =>
+      val kept = cluster.find(_._3).get._1
+      val best = cluster.map(_._1)
+        .minBy(id => (-chars(id), id))
+      assert(kept === best, s"cluster ${cluster.head._2}")
+    }
+    // clusters exist in the fixture (else the test proves nothing)
+    assert(byRep.values.exists(_.length > 1))
+    // a doc in no near-dup pair is its own rep and kept
+    val singles = rows.filter(r => byRep(r._2).length == 1)
+    assert(singles.nonEmpty && singles.forall(r => r._1 == r._2 && r._3))
+  }
+
   test("stratified sample caps every language near the quota") {
     val d = graft.Tables.load(spark, sf, "documents")
     val total = d.groupBy("lang").count().collect()

@@ -87,6 +87,15 @@ class PipelineSpec extends SparkSuite {
     assert(recall >= 0.3, s"IVF recall $recall too low (probe=2)")
   }
 
+  test("IVF+PQ: contract flags all true, candidates within probed clusters") {
+    val out = PipelineQueries.embedIvfPq(spark, sf)
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(out.length === 8)
+    assert(out.forall(_._2), "ADC+re-rank must recover >=7/10 of the " +
+      "exact top-10 within the probed clusters")
+    assert(out.forall(_._3), "each query's probes must hold >=10 candidates")
+  }
+
   test("substring dedup: hash-join pairs equal string-window ground truth") {
     // Ground truth on the actual fixture, computed the way the hash path
     // MUST behave: join docs on the literal 8-token window STRING (no

@@ -84,7 +84,18 @@ case class Manifest(
       * identity (e.g. the dedup band index: pk (doc_id, band) for CDC
       * addressing, layout (band, key) for probe pruning). Absent means
       * "cluster by pk" — the historical behavior. */
-    clusterColumns: Option[Seq[String]] = None)
+    clusterColumns: Option[Seq[String]] = None,
+    /** Application progress watermarks (the Delta SetTransaction /
+      * Iceberg committed-checkpoint-id analog): appId → the applier's
+      * own frontier, committed in the SAME manifest write as the data
+      * it covers and carried across compaction/optimize rewrites. An
+      * applier that needs exactly-once non-idempotent folds (e.g.
+      * [[Mview]]'s signed-delta refresh) reads its landed frontier from
+      * HERE, not from version arithmetic — commitVersion advances on
+      * out-of-band commits (optimizeTable) too, so `version >= expected`
+      * conflates a foreign commit with the apply. Absent on older
+      * manifests. */
+    appWatermarks: Option[Map[String, Long]] = None)
 
 object Manifest {
   private val mapper: ObjectMapper = {

@@ -513,7 +513,7 @@ class Mooncake(val warehouse: String, val database: String = "main") {
     *      manifest commit with commitVersion = flushVersion = `version`.
     */
   def applyChanges(spark: SparkSession, name: String, changes: DataFrame,
-      version: Long): Manifest = {
+      version: Long, watermarks: Map[String, Long] = Map.empty): Manifest = {
     ResourceCaps.enforce(spark)
     val dir = tableDir(name)
     val m = require_(Manifest.latest(dir), name)
@@ -637,7 +637,7 @@ class Mooncake(val warehouse: String, val database: String = "main") {
 
     try writeVersion(spark, name, clustered, pk, version,
       carryOver = untouched, bloomColumns = m.bloomColumns.getOrElse(Nil),
-      clusterColumns = m.clusterColumns)
+      clusterColumns = m.clusterColumns, addWatermarks = watermarks)
     finally lastOps.unpersist(blocking = false)
   }
 
@@ -886,8 +886,15 @@ class Mooncake(val warehouse: String, val database: String = "main") {
       pk: Seq[String], version: Long, carryOver: Seq[DataFile],
       alreadyPartitioned: Boolean = false,
       bloomColumns: Seq[String] = Seq.empty,
-      clusterColumns: Option[Seq[String]] = None): Manifest = {
+      clusterColumns: Option[Seq[String]] = None,
+      addWatermarks: Map[String, Long] = Map.empty): Manifest = {
     val dir = tableDir(name)
+    // Application watermarks survive EVERY rewrite (CDC apply, load,
+    // optimize/index rebuilds) — an applier's exactly-once frontier must
+    // not vanish under maintenance, exactly as Delta checkpoints carry
+    // txn actions. New entries override same-appId old ones.
+    val appWm = Manifest.latest(dir).flatMap(_.appWatermarks)
+      .getOrElse(Map.empty) ++ addWatermarks
     val out = dataDir(name, version)
     val sortCols = clusterColumns.getOrElse(pk)
     val toWrite =
@@ -925,7 +932,8 @@ class Mooncake(val warehouse: String, val database: String = "main") {
       pkColumns = pk,
       files = carryOver ++ newFiles,
       bloomColumns = if (bloomColumns.isEmpty) None else Some(bloomColumns),
-      clusterColumns = clusterColumns)
+      clusterColumns = clusterColumns,
+      appWatermarks = if (appWm.isEmpty) None else Some(appWm))
     Manifest.commit(dir, manifest)
     manifest
   }

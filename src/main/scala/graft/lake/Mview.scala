@@ -17,12 +17,15 @@ import org.apache.spark.sql.types._
   */
 case class MvAgg(fn: String, col: String, as: String)
 
-/** Write-ahead intent of one in-flight refresh: the base version the
-  * state is being advanced TO and the MV manifest version the apply
-  * will commit AT. Present only between the intent write and the
-  * frontier promotion — a survivor means the refresh crashed in
-  * between, and whether the apply landed is decidable from the MV's
-  * own manifest version. */
+/** LEGACY (pre-watermark) write-ahead intent of one in-flight refresh.
+  * No longer written: the refresh's landed-ness now rides the MV state
+  * manifest's own `appWatermarks` entry, committed atomically WITH the
+  * apply (the version-arithmetic heal this record fed could be fooled
+  * by one out-of-band `optimizeTable` on the state mirror, whose commit
+  * also advances commitVersion — promoting the frontier for a delta
+  * that never landed). Kept only so definitions written by an older
+  * crashed refresh still deserialize; [[Mview.refresh]] gives such a
+  * survivor the old arithmetic heal exactly once. */
 case class MvPending(baseVersion: Long, mvVersion: Long)
 
 /** Persisted MV definition + maintenance frontier: `baseVersion` is the
@@ -182,23 +185,40 @@ class Mview(val lake: Mooncake) {
     st.select(outs: _*)
   }
 
+  /** The MV's appId in its state manifest's `appWatermarks`. */
+  private def wmKey(name: String): String =
+    "mview:" + Identifier.parse(name).qualified
+
   /** Catch the view up to the base mirror's current version. No-op (and
     * no new MV version) when the base hasn't moved.
     *
-    * Crash-safe against the apply/frontier gap: without the intent
-    * record, a crash AFTER the state apply but BEFORE the frontier
-    * write would leave `baseVersion` stale, and the next refresh would
-    * fold the same delta into state that already contains it — a
-    * silent double-count (the dual of the CDC replay-vs-out-of-band
-    * gate, for derived state). The refresh therefore writes an
-    * [[MvPending]] intent before applying; a surviving intent tells the
-    * next refresh whether the apply landed (the MV's manifest version
-    * reached the intended one → promote the frontier and skip the
-    * already-applied delta) or not (→ discard the intent and refresh
-    * from the old frontier as normal). */
+    * Crash-safe against the apply/frontier gap: the base version a
+    * refresh advances the state TO is committed as an application
+    * watermark IN THE SAME manifest write as the state apply
+    * ([[Manifest.appWatermarks]] — the Delta SetTransaction shape). A
+    * crash after the apply but before the definition write leaves the
+    * definition's cached `baseVersion` stale, and without the in-commit
+    * watermark the next refresh would fold the same delta into state
+    * that already contains it — a silent double-count (the dual of the
+    * CDC replay-vs-out-of-band gate, for derived state). The heal reads
+    * the watermark from the state manifest itself, so it can NEVER
+    * confuse a foreign commit (an `optimizeTable` on the state mirror,
+    * which also advances commitVersion) with the apply — the failure
+    * mode a version-arithmetic heal has. */
   def refresh(spark: SparkSession, name: String): MvRefreshStats = {
-    val d = definition(name) match {
-      case d0 if d0.pending.isDefined =>
+    val d0 = definition(name)
+    val stateWm = lake.currentManifest(name).appWatermarks
+      .flatMap(_.get(wmKey(name)))
+    val d = stateWm match {
+      case Some(wm) if wm > d0.baseVersion =>
+        // crash window survivor: the apply landed (its own commit says
+        // so) but the definition write didn't — promote and continue
+        val healed = d0.copy(baseVersion = wm, pending = None)
+        saveDef(name, healed)
+        healed
+      case _ if d0.pending.isDefined =>
+        // legacy intent from a pre-watermark refresh (never written
+        // anymore): give it the old arithmetic heal exactly once
         val p = d0.pending.get
         val landed = lake.currentManifest(name).commitVersion >= p.mvVersion
         val healed =
@@ -206,7 +226,7 @@ class Mview(val lake: Mooncake) {
           else d0.copy(pending = None)
         saveDef(name, healed)
         healed
-      case d0 => d0
+      case _ => d0
     }
     val baseM = lake.currentManifest(d.base)
     if (baseM.version == d.baseVersion)
@@ -349,11 +369,12 @@ class Mview(val lake: Mooncake) {
     val ops = Seq(Some(deletions), Some(cleanUpdates), recomputed,
       Some(freshRows)).flatten.reduce(_ unionByName _)
     val affected = perGroup.count()
-    if (affected > 0) {
-      saveDef(name, d.copy(pending =
-        Some(MvPending(baseM.version, mvM.commitVersion + 1))))
-      lake.applyChanges(spark, name, ops, version = mvM.commitVersion + 1)
-    }
+    if (affected > 0)
+      // the frontier rides the SAME commit as the state delta — the
+      // apply and its watermark are atomic, so the heal above can
+      // always decide landed-ness from the state itself
+      lake.applyChanges(spark, name, ops, version = mvM.commitVersion + 1,
+        watermarks = Map(wmKey(name) -> baseM.version))
     saveDef(name, d.copy(baseVersion = baseM.version, pending = None))
     perGroup.unpersist()
     existing.unpersist()

@@ -238,5 +238,22 @@ class MviewSpec extends SparkSuite {
     val stats2 = mv.refresh(spark, "t_mv")
     assert(stats2.affectedGroups === 1L, s"unlanded intent must refresh: $stats2")
     assertMatches(mv, "t_mv", lake.read(spark, "t"))
+
+    // CRASH-AFTER-APPLY + OUT-OF-BAND OPTIMIZE: the frontier watermark
+    // rides the state commit and must SURVIVE a foreign rewrite of the
+    // state mirror — version arithmetic over commitVersion would call
+    // any post-optimize version "landed" (losing an unlanded delta),
+    // and a watermark dropped by the rewrite would double-fold a landed
+    // one. Neither may happen.
+    lake.applyChanges(spark, "t", b((5, 1L, d("2.50"), "I")), version = 4)
+    val defPre = new String(java.nio.file.Files.readAllBytes(defPath),
+      "UTF-8")
+    mv.refresh(spark, "t_mv") // apply lands, def promotes
+    java.nio.file.Files.write(defPath, defPre.getBytes("UTF-8")) // crash sim
+    lake.optimizeTable(spark, "t_mv", "full") // foreign commit on the state
+    val stats3 = mv.refresh(spark, "t_mv")
+    assert(stats3.affectedGroups === 0L,
+      s"watermark must survive optimize and stop a re-fold: $stats3")
+    assertMatches(mv, "t_mv", lake.read(spark, "t"))
   }
 }

@@ -1205,6 +1205,185 @@ object IcebergCompat {
       }.sum
   }
 
+  /** Consolidate the CURRENT snapshot's data manifests — the Iceberg
+    * `rewrite_manifests` maintenance action, METADATA-ONLY: no data
+    * file is read or moved. Every commit here (and in real appenders)
+    * adds one manifest and carries the rest, so after N commits the
+    * list holds N entries and every plan opens N Avro files; at the
+    * 100 TB design point manifests number ~1e5 and planning cost is
+    * manifest-bound. The rewrite regroups live entries by (spec id,
+    * entry schema) into ONE consolidated manifest per group whose
+    * entries are status=EXISTING with EXPLICIT sequence/snapshot ids
+    * (inheritance only covers ADDED entries — an implicit sequence
+    * would be re-stamped with the rewrite's own and silently mis-scope
+    * equality deletes), recomputes the `partitions` summaries per new
+    * manifest (so the manifest-skip tier keeps working), carries
+    * delete manifests untouched, and commits a replace snapshot.
+    * Prior snapshots still reference the old manifests — time travel
+    * is intact and [[expireSnapshots]] reclaims them later.
+    *
+    * Returns the new snapshot id, or the current one unchanged when
+    * there is nothing to consolidate (≤ 1 data manifest). */
+  def rewriteManifests(tableDir: String): Long = {
+    val metaDir = Paths.get(tableDir, "metadata")
+    val prior = currentMetadata(tableDir)
+    val parentId = prior.path("current-snapshot-id").asLong(-1L)
+    if (parentId < 0)
+      throw new NoSuchElementException(s"$tableDir has no current snapshot")
+    val prevSnapshotNodes = prior.path("snapshots").elements().asScala.toSeq
+    val prevManifestRecords: Seq[GenericRecord] =
+      prevSnapshotNodes.find(_.path("snapshot-id").asLong(-2) == parentId)
+        .map(_.get("manifest-list").asText())
+        .toSeq.flatMap(ml => avroRecords(localPath(ml)))
+    def contentOf(r: GenericRecord): Int =
+      if (r.getSchema.getField("content") == null) 0
+      else r.get("content") match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long => l.intValue
+        case _ => 0
+      }
+    val (deleteMs, dataMs) = prevManifestRecords.partition(contentOf(_) == 1)
+    if (dataMs.size <= 1) return parentId
+
+    val prevVersion = new String(Files.readAllBytes(
+      metaDir.resolve("version-hint.text")), "UTF-8").trim.toLong
+    val tableUuid = Option(prior.get("table-uuid")).map(_.asText())
+      .getOrElse(UUID.randomUUID().toString)
+    val lastSeq = prior.path("last-sequence-number").asLong(0L)
+    val version = prevVersion + 1
+    val snapshotId = version * 100
+    val sequenceNumber = lastSeq + 1
+
+    def numOf(r: GenericRecord, f: String): Option[Long] =
+      if (r.getSchema.getField(f) == null) None
+      else r.get(f) match {
+        case l: java.lang.Long => Some(l.longValue)
+        case i: java.lang.Integer => Some(i.longValue)
+        case _ => None
+      }
+
+    // live entries with RESOLVED ids, grouped by (spec, entry schema) —
+    // manifests of one spec share the entry shape our writer (and any
+    // single real writer) emits, so N appends collapse to one group;
+    // a foreign manifest with a different shape forms its own group
+    // rather than forcing a risky cross-schema record rebuild
+    case class Entry(rec: GenericRecord, seq: Long, fileSeq: Option[Long],
+        snap: Long)
+    val groups = scala.collection.mutable.LinkedHashMap
+      .empty[(Int, String), scala.collection.mutable.Buffer[Entry]]
+    dataMs.foreach { listRec =>
+      val specId = numOf(listRec, "partition_spec_id").getOrElse(0L).toInt
+      val listSeq = numOf(listRec, "sequence_number")
+      val listSnap = numOf(listRec, "added_snapshot_id")
+      avroRecords(localPath(listRec.get("manifest_path").toString))
+        .foreach { rec =>
+          val status = rec.get("status").asInstanceOf[Int]
+          if (status != 2) {
+            val seq = numOf(rec, "sequence_number")
+              .orElse(if (status == 1) listSeq else None)
+              .getOrElse(throw new UnsupportedOperationException(
+                s"$tableDir: EXISTING manifest entry with no resolvable " +
+                  "data sequence number — rewriting it would mis-scope " +
+                  "equality deletes; refusing"))
+            val snap = numOf(rec, "snapshot_id").orElse(listSnap)
+              .getOrElse(parentId)
+            groups.getOrElseUpdate((specId, rec.getSchema.toString),
+              scala.collection.mutable.Buffer.empty) +=
+              Entry(rec, seq, numOf(rec, "file_sequence_number"), snap)
+          }
+        }
+    }
+
+    val schemaNode = currentSchemaNode(prior)
+    val specsById = partitionSpecs(prior)
+    val newListEntries = groups.zipWithIndex.map {
+      case (((specId, _), entries), gi) =>
+        val entrySchema = entries.head.rec.getSchema
+        val rewritten: Seq[GenericRecord] = entries.toSeq.map { e =>
+          val n = new GenericData.Record(entrySchema)
+          n.put("status", 0) // EXISTING
+          n.put("snapshot_id", e.snap)
+          n.put("sequence_number", e.seq)
+          n.put("file_sequence_number", e.fileSeq.getOrElse(e.seq))
+          n.put("data_file", e.rec.get("data_file"))
+          n
+        }
+        val specFieldsJson = prior.path("partition-specs").elements().asScala
+          .find(_.path("spec-id").asInt(0) == specId)
+          .map(s => mapper.writeValueAsString(s.path("fields")))
+          .getOrElse("[]")
+        val manifestPath =
+          metaDir.resolve(f"m-$snapshotId%d-rw$gi%02d.avro")
+        writeAvro(manifestPath, entrySchema, rewritten,
+          Map("schema" -> mapper.writeValueAsString(schemaNode),
+            "partition-spec" -> specFieldsJson,
+            "partition-spec-id" -> specId.toString,
+            "format-version" -> "2", "content" -> "data"))
+        // summaries recomputed over the group's partition tuples (the
+        // spec's field order IS the struct's field order)
+        val arity = specsById.get(specId).map(_.size).getOrElse(-1)
+        val tuples: Seq[Seq[Any]] = rewritten.map { r =>
+          val df = r.get("data_file").asInstanceOf[GenericRecord]
+          val pr =
+            if (df.getSchema.getField("partition") == null) null
+            else df.get("partition").asInstanceOf[GenericRecord]
+          if (pr == null) Seq.empty
+          else pr.getSchema.getFields.asScala.toSeq
+            .map(f => avroValue(pr.get(f.name)))
+        }
+        val rowCount = rewritten.map { r =>
+          numOf(r.get("data_file").asInstanceOf[GenericRecord],
+            "record_count").getOrElse(0L)
+        }.sum
+        val le = new GenericData.Record(manifestFileSchema)
+        le.put("manifest_path", manifestPath.toString)
+        le.put("manifest_length", Files.size(manifestPath))
+        le.put("partition_spec_id", specId)
+        le.put("content", 0)
+        le.put("sequence_number", sequenceNumber)
+        le.put("min_sequence_number", entries.map(_.seq).min)
+        le.put("added_snapshot_id", snapshotId)
+        le.put("added_files_count", 0)
+        le.put("existing_files_count", rewritten.size)
+        le.put("deleted_files_count", 0)
+        le.put("added_rows_count", 0L)
+        le.put("existing_rows_count", rowCount)
+        le.put("deleted_rows_count", 0L)
+        if (arity >= 0 && tuples.forall(_.size == arity))
+          le.put("partitions", fieldSummaries(arity, tuples))
+        le: GenericRecord
+    }.toSeq
+
+    val listPath = metaDir.resolve(f"ml-$snapshotId%d.avro")
+    writeAvro(listPath, manifestFileSchema,
+      newListEntries ++ deleteMs.map(carryManifest(_, parentId)),
+      Map("format-version" -> "2"))
+
+    val specsArr = prior.path("partition-specs") match {
+      case a: com.fasterxml.jackson.databind.node.ArrayNode => a
+      case _ => mapper.createArrayNode()
+    }
+    val schemasArr = prior.path("schemas") match {
+      case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+        val copy = mapper.createArrayNode()
+        a.elements().asScala.foreach(copy.add)
+        copy
+      case _ =>
+        val copy = mapper.createArrayNode()
+        copy.add(schemaNode)
+        copy
+    }
+    commitMetadataJson(metaDir, tableDir, version, tableUuid,
+      sequenceNumber, prior.path("last-column-id").asInt(0), schemasArr,
+      schemaNode.path("schema-id").asInt(0),
+      specsArr, prior.path("default-spec-id").asInt(0),
+      prior.path("last-partition-id").asInt(999),
+      prevSnapshotNodes, snapshotId, parentId, listPath, "replace",
+      Map("manifests-replaced" -> dataMs.size.toString,
+        "manifests-created" -> newListEntries.size.toString))
+    snapshotId
+  }
+
   /** Expire snapshots older than `olderThanMs` — the Iceberg
     * maintenance lifecycle's other half (compact folds merge-on-read
     * state; expire bounds history). A long-lived CDC mirror otherwise

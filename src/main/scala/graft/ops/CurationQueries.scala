@@ -572,6 +572,68 @@ object CurationQueries {
       |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tok
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** CONTENT-DEFINED chunking (the Rabin/gear family): a chunk boundary
+    * falls after token i whenever polyhash(token_i) % 16 == 0, so
+    * boundaries are a function of the CONTENT at the boundary, not of
+    * offsets — insert a sentence early in a document and every later
+    * chunk of [[chunkWindows]] shifts (its dedup/embedding cache
+    * misses), while these chunks re-align at the first boundary after
+    * the edit. That re-alignment is why storage dedup and incremental
+    * embedding pipelines chunk this way; expected chunk length is the
+    * modulus (~16 tokens). Same scale shape as the fixed windows: pure
+    * per-row lambda arithmetic and one explode, zero shuffle. */
+  val chunkCdc: Q = (s, dir) => {
+    import graft.functions.expressions.{HashExpressions => HE}
+    val d = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("hs", HE.poly_hash_array(col("w")))
+    // boundary positions i (1-based, i < len) where hs[i] % 16 == 0 →
+    // next chunk starts at i+1; sequence() guarded: Spark generates a
+    // DESCENDING range when start > stop, so a 1-token doc must not
+    // evaluate sequence(1, 0)
+    val inner = when(size(col("w")) > 1,
+        transform(
+          filter(sequence(lit(1L), (size(col("w")) - 1).cast("long")),
+            i => element_at(col("hs"), i.cast("int")) % 16 === 0),
+          i => i + 1))
+      .otherwise(array().cast("array<bigint>"))
+    d.withColumn("starts", concat(array(lit(1L)), inner))
+      .select(col("doc_id"), col("w"), col("starts"),
+        posexplode(col("starts")).as(Seq("k0", "start_tok")))
+      .select(col("doc_id"),
+        (col("k0") + 1).cast("bigint").as("chunk_id"),
+        col("start_tok").cast("bigint").as("start_tok"),
+        when(col("k0") + 2 <= size(col("starts")),
+          element_at(col("starts"), (col("k0") + 2).cast("int")) - 1)
+          .otherwise(size(col("w")).cast("bigint")).cast("bigint")
+          .as("end_tok"))
+      .withColumn("n_tokens", col("end_tok") - col("start_tok") + 1)
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val chunkCdcSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |h AS (SELECT doc_id, w,
+      |    list_transform(w, x -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(x)+1),
+      |        i -> CAST(unicode(x[CAST(i AS INT)]) AS BIGINT))),
+      |      (a, c) -> (a * 31 + c) % 1000000007)) AS hs
+      |  FROM t),
+      |b AS (SELECT doc_id, w,
+      |    list_prepend(CAST(1 AS BIGINT),
+      |      list_transform(list_filter(range(1, len(w)),
+      |        i -> hs[CAST(i AS INT)] % 16 = 0),
+      |        i -> CAST(i + 1 AS BIGINT))) AS starts
+      |  FROM h),
+      |c AS (SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+      |    starts[CAST(k AS INT)] AS start_tok,
+      |    CASE WHEN k < len(starts) THEN starts[CAST(k AS INT) + 1] - 1
+      |         ELSE CAST(len(w) AS BIGINT) END AS end_tok
+      |  FROM b, unnest(range(1, len(starts)+1)) AS u(k))
+      |SELECT doc_id, chunk_id, start_tok, end_tok,
+      |  end_tok - start_tok + 1 AS n_tokens
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   // ===========================================================================
   // registry
   // ===========================================================================
@@ -589,6 +651,7 @@ object CurationQueries {
     "q_split_assign" -> splitAssign,
     "q_embed_quantize" -> embedQuantize,
     "q_chunk_windows" -> chunkWindows,
+    "q_chunk_cdc" -> chunkCdc,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -604,5 +667,6 @@ object CurationQueries {
     "q_split_assign" -> splitAssignSql,
     "q_embed_quantize" -> embedQuantizeSql,
     "q_chunk_windows" -> chunkWindowsSql,
+    "q_chunk_cdc" -> chunkCdcSql,
   )
 }

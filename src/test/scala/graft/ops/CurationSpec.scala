@@ -59,6 +59,39 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("content-defined chunks cover exactly and re-align after an edit") {
+    import spark.implicits._
+    // coverage/adjacency on the fixture: chunks tile each doc exactly
+    val rows = CurationQueries.chunkCdc(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val nToks = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS BIGINT)")
+      .as[(Long, Long)].collect().toMap
+    rows.groupBy(_._1).foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._3 === 1L, s"doc $doc must start at token 1")
+      assert(sorted.last._4 === nToks(doc), s"doc $doc must end at len")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 === a._4 + 1, s"gap in doc $doc")
+        case _ =>
+      }
+    }
+    // THE content-defined property: prefixing a token shifts every
+    // boundary by one but creates/destroys none beyond the first chunk,
+    // so all chunks after the first re-align (fixed windows all shift)
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .orderBy("doc_id").select("text").as[String].head()
+    val dir = tmpDir("cdc-chunks")
+    Seq((0L, base), (1L, "zzz " + base)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val two = CurationQueries.chunkCdc(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    def spans(doc: Long) = two.filter(_._1 == doc).sortBy(_._2)
+      .map(c => (c._3, c._4)).drop(1)
+    assert(spans(0L).map { case (s0, e0) => (s0 + 1, e0 + 1) }.toSeq ===
+      spans(1L).toSeq, "chunks after the first must re-align under a prefix edit")
+  }
+
   test("canonical selection keeps exactly the best doc of every cluster") {
     import spark.implicits._
     val rows = CurationQueries.dedupCanonical(spark, sf)

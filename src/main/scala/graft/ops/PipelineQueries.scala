@@ -1481,6 +1481,60 @@ object PipelineQueries {
       |  CAST(sur_sum AS DOUBLE)/n_tok <= 31000000.0 AS keep
       |FROM doc ORDER BY doc_id""".stripMargin
 
+  /** N-gram LM ESTIMATION (the KenLM-class count stage — what builds
+    * the model [[textPerplexity]]'s scoring stage consumes): bigram
+    * counts over in-document adjacency, context totals, and integer
+    * micro-unit conditional probabilities p(w2|w1) = 1e6·c(w1,w2) DIV
+    * c(w1), reported as the top-3 continuations per context — the
+    * model head a scorer broadcasts.
+    *
+    * Scale shape: pair extraction is a per-row lambda zip (no
+    * shuffle); bigram counting shuffles ONCE with map-side combine
+    * onto vocabulary²-bounded keys (Heaps' law — sublinear in the
+    * corpus); context totals aggregate the COUNTS, not the corpus; the
+    * per-context cut is a window over the model table. The probability
+    * is integral (decimal(38,0) product before DIV, the DSIR/perplexity
+    * convention) so DuckDB reproduces it bit-for-bit with no float-log
+    * parity risk, and the numerator can't wrap int64 past ~9.2e12
+    * bigrams. */
+  val textBigramLm: Q = (s, dir) => {
+    val d = docs(s, dir)
+      .select(TF.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+    val pairs = d.select(explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val ctx = big.groupBy("w1").agg(sum("c2").as("c1"))
+    val scored = big.join(ctx, "w1")
+      .select(col("w1"), col("w2"), col("c2"), col("c1"),
+        expr("CAST(1000000 AS DECIMAL(38,0)) * c2 DIV c1").as("p_micro"))
+    val w = Window.partitionBy("w1").orderBy(col("p_micro").desc, col("w2"))
+    scored.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .select("w1", "rnk", "w2", "c2", "c1", "p_micro")
+      .orderBy("w1", "rnk")
+  }
+
+  val textBigramLmSql: String =
+    """WITH t AS (SELECT string_split(text,' ') AS w FROM documents),
+      |p AS (SELECT unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+      |      FROM t WHERE len(w) >= 2),
+      |big AS (SELECT w1, w2, count(*) AS c2 FROM p GROUP BY w1, w2),
+      |ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM big GROUP BY w1),
+      |s AS (SELECT b.w1, b.w2, b.c2, c.c1,
+      |        CAST((CAST(1000000 AS HUGEINT) * b.c2) // c.c1 AS BIGINT)
+      |          AS p_micro
+      |      FROM big b JOIN ctx c ON b.w1 = c.w1),
+      |r AS (SELECT w1, w2, c2, c1, p_micro,
+      |        row_number() OVER (PARTITION BY w1
+      |          ORDER BY p_micro DESC, w2) AS rnk
+      |      FROM s)
+      |SELECT w1, CAST(rnk AS BIGINT) AS rnk, w2, c2, c1, p_micro
+      |FROM r WHERE rnk <= 3 ORDER BY w1, rnk""".stripMargin
+
   /** Heavy-hitter tokens via the bounded-state Misra–Gries sketch
     * ([[graft.functions.expressions.FrequentItems]]) under its
     * ORDER-INDEPENDENT guarantee contract (the HLL in-band pattern —
@@ -1622,6 +1676,7 @@ object PipelineQueries {
     "q_dedup_substring" -> dedupSubstring,
     "q_sample_importance" -> sampleImportance,
     "q_text_perplexity" -> textPerplexity,
+    "q_text_bigram_lm" -> textBigramLm,
     "q_embed_index" -> embedIndex,
   )
 
@@ -1653,6 +1708,7 @@ object PipelineQueries {
     "q_dedup_substring" -> dedupSubstringSql,
     "q_sample_importance" -> sampleImportanceSql,
     "q_text_perplexity" -> textPerplexitySql,
+    "q_text_bigram_lm" -> textBigramLmSql,
     "q_text_heavy_hitters" -> textHeavyHittersSql,
     // the persisted-index probe must reproduce the declarative IVF
     // pipeline bit-for-bit — same oracle by construction

@@ -87,6 +87,23 @@ class PipelineSpec extends SparkSuite {
     assert(recall >= 0.3, s"IVF recall $recall too low (probe=2)")
   }
 
+  test("bigram LM: conditional micro-probs match a hand count") {
+    val dir = tmpDir("bigram-lm")
+    Seq((0L, "a b a b c"), (1L, "a b b q")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    // bigrams: doc0 (a,b)(b,a)(a,b)(b,c); doc1 (a,b)(b,b)(b,q)
+    // context a: c1=3, only (a,b) ×3 → p = 1e6
+    // context b: c1=4, four continuations ×1 → p = 250000, top-3 by w2
+    val got = PipelineQueries.textBigramLm(spark, dir)
+      .as[(String, Long, String, Long, Long, Long)].collect().toSeq
+    assert(got.filter(_._1 == "a") ===
+      Seq(("a", 1L, "b", 3L, 3L, 1000000L)))
+    assert(got.filter(_._1 == "b") === Seq(
+      ("b", 1L, "a", 1L, 4L, 250000L),
+      ("b", 2L, "b", 1L, 4L, 250000L),
+      ("b", 3L, "c", 1L, 4L, 250000L)))
+  }
+
   test("IVF+PQ: contract flags all true, candidates within probed clusters") {
     val out = PipelineQueries.embedIvfPq(spark, sf)
       .as[(Long, Boolean, Boolean)].collect()

@@ -154,6 +154,13 @@ class MooncakeCatalog extends TableCatalog {
       case Array(db, schema) =>
         (lake.inDatabase(db), Array(db, schema), Some(schema))
       case Array(schema) => (lake, Array(schema), Some(schema))
+      // Deeper namespaces must ERROR, not fall through to the unscoped
+      // listing: `SHOW TABLES IN a.b.c` would otherwise silently list
+      // every table of the catalog's database (the load/resolve paths
+      // already throw for the same namespaces).
+      case parts if parts.length > 2 =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchNamespaceException(parts.toSeq)
       case _ => (lake, Array.empty[String], None)
     }
     l.tableNames

@@ -86,9 +86,18 @@ class Mview(val lake: Mooncake) {
     Paths.get(lake.warehouse, Identifier.parse(name).fileName + ".mv.json")
 
   private def saveDef(name: String, d: MviewDef): Unit = {
-    Files.createDirectories(defPath(name).getParent)
-    Files.write(defPath(name),
+    // temp + ATOMIC_MOVE (the CdcStream.atomicWrite pattern): a plain
+    // write killed mid-flight tears the JSON, and every later
+    // definition()/refresh() throws a parse error PERMANENTLY — the
+    // crash-safety the watermark heal provides would be undone by its
+    // own bookkeeping write.
+    val p = defPath(name)
+    Files.createDirectories(p.getParent)
+    val tmp = Files.createTempFile(p.getParent, ".mv", ".tmp")
+    Files.write(tmp,
       mapper.writeValueAsString(d).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
   }
 
   def definition(name: String): MviewDef = {

@@ -77,9 +77,16 @@ object AsofJoin {
     run(left, right, by, on, rightPayload, tieBreak, wantB = true,
       wantF = true)
 
-  /** Exact absolute event-time distance for the nearest rule. */
+  /** Exact absolute event-time distance for the nearest rule. Date keys
+    * use datediff — exact epoch-day arithmetic. Casting dates through
+    * timestamp localizes each midnight in the session zone, so across a
+    * DST transition two local midnights sit 23h/25h apart and
+    * day-equidistant backward/forward candidates stop tying: the
+    * nearest rule's backward preference would silently flip in
+    * non-UTC sessions. */
   private def dist(a: Column, b: Column, dt: DataType): Column = dt match {
-    case _: DateType | _: TimestampType | _: TimestampNTZType =>
+    case _: DateType => abs(datediff(a, b)).cast("long")
+    case _: TimestampType | _: TimestampNTZType =>
       abs(unix_micros(a.cast("timestamp")) - unix_micros(b.cast("timestamp")))
     case _ => abs(a.cast("double") - b.cast("double"))
   }

@@ -94,22 +94,75 @@ object CdcStream {
     * final image), so re-applying costs one redundant version while a
     * drop loses data forever — the same asymmetry that justifies the
     * crash-between-apply-and-marker-write behavior below.
+    *
+    * The redundant version is not only cosmetic — tableChanges/CDC-out
+    * consumers would see the same change set DELIVERED TWICE. So when
+    * the ambiguity actually arises (markerless checkpoint AND the
+    * expected version already taken — the only case where replay and
+    * out-of-band interleave are indistinguishable by version
+    * arithmetic), `alreadyApplied` settles it by CONTENT: the caller
+    * compares the batch's net change set against the table's current
+    * image (see [[contentNoop]]); a batch whose final images are
+    * already exactly reflected can only be the replay — skip it, no
+    * redundant version, no duplicate delivery. A batch that WOULD
+    * change content is genuinely new (the taken version was an
+    * out-of-band commit) and applies at current + 1. The probe runs at
+    * most once per upgraded checkpoint's lifetime, never on the normal
+    * marker-gated path.
+    *
     * A crash between apply and marker write re-applies the batch once
     * at the next version — the mirror converges; the cost is one
     * redundant version in the history, never lost or doubled rows. */
   private[graft] def applyVersioned(lake: Mooncake, table: String,
-      checkpointDir: String, base: Long, batchId: Long)
+      checkpointDir: String, base: Long, batchId: Long,
+      alreadyApplied: () => Boolean = () => false)
       (apply: Long => Unit): Unit = {
     val marker = java.nio.file.Paths.get(checkpointDir, "graft-applied")
-    if (readLong(marker).isEmpty) atomicWrite(marker, batchId - 1)
+    val markerless = readLong(marker).isEmpty
+    if (markerless) atomicWrite(marker, batchId - 1)
     val applied = readLong(marker)
     if (applied.forall(batchId > _)) {
       val current = lake.currentManifest(table).commitVersion
       val expected = base + batchId + 1
-      if (expected > current) apply(expected)
-      else apply(current + 1)
-      atomicWrite(marker, batchId)
+      if (expected > current) { apply(expected); atomicWrite(marker, batchId) }
+      else if (markerless && alreadyApplied()) atomicWrite(marker, batchId)
+      else { apply(current + 1); atomicWrite(marker, batchId) }
     }
+  }
+
+  /** Is this CDC batch's net effect already exactly reflected in the
+    * table's current image? Used as the [[applyVersioned]] content
+    * probe on the legacy-checkpoint ambiguity path. The batch nets to
+    * its last op per key (the same [[CdcBatch.lastImagePerKey]] rule
+    * applyChanges uses), then:
+    *   - every final I/U image must be PRESENT verbatim, and
+    *   - no OTHER row may exist under an affected key (covers net
+    *     deletes: a deleted key still present shows up on the current
+    *     side with no matching image).
+    * Both directions compare only rows under the batch's affected keys
+    * — one semi-join against the mirror (file-skipped by the scan, AQE
+    * picks the join build side), proportional to the batch, not the
+    * table; and it runs at most once per upgraded checkpoint. A batch
+    * that WIDENS the schema is never a no-op (the widened manifest
+    * itself is a change). */
+  private[graft] def contentNoop(lake: Mooncake, table: String,
+      batch: DataFrame): Boolean = {
+    val s = batch.sparkSession
+    val m = lake.currentManifest(table)
+    val pk = m.pkColumns
+    val tableCols = org.apache.spark.sql.types.StructType
+      .fromDDL(m.schemaDdl).fieldNames.toSeq
+    val dataCols = batch.columns.filterNot(c => c == "__op" || c == "__seq")
+    if (dataCols.toSet != tableCols.toSet) return false
+    import org.apache.spark.sql.functions.col
+    val last = CdcBatch.lastImagePerKey(batch, pk)
+    val keys = last.select(pk.map(col): _*).distinct()
+    val current = lake.read(s, table)
+      .join(keys, pk, "left_semi")
+      .select(tableCols.map(col): _*)
+    val images = last.filter(col("__op") =!= "D")
+      .select(tableCols.map(col): _*)
+    images.exceptAll(current).isEmpty && current.exceptAll(images).isEmpty
   }
 
   /** `maintain` names materialized views over `table` (same lake) to
@@ -132,7 +185,8 @@ object CdcStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyVersioned(lake, table, checkpointDir, base, batchId) { v =>
+        applyVersioned(lake, table, checkpointDir, base, batchId,
+          alreadyApplied = () => contentNoop(lake, table, batch)) { v =>
           lake.applyChanges(batch.sparkSession, table, batch, v)
           ()
         }

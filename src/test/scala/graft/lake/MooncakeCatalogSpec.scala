@@ -150,6 +150,19 @@ class MooncakeCatalogSpec extends SparkSuite {
       .as[Long].head() === 1L)
   }
 
+  test("SHOW TABLES in a too-deep namespace errors, never lists unscoped") {
+    // the load/resolve paths throw for a.b.c; listTables must match —
+    // falling through to the catch-all branch would silently list ALL
+    // tables of the catalog's database as if the namespace existed
+    lake.createTable(spark, "depth_probe",
+      Seq((1L, "x")).toDF("k", "v"), Seq("k"))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SHOW TABLES IN mooncake.a.b.c").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("schema") ||
+      e.getMessage.toLowerCase.contains("namespace"), e.getMessage)
+  }
+
   test("quoted mixed-case mirrors resolve exactly; unquoted SQL folds") {
     lake.createTable(spark, "\"CatMixed\"",
       Seq((1L, "m")).toDF("k", "v"), Seq("k"))

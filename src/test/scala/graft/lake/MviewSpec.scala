@@ -1,5 +1,7 @@
 package graft.lake
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -66,6 +68,28 @@ class MviewSpec extends SparkSuite {
     assert(st.recomputedGroups == 0, "insert-only refresh must not re-aggregate")
     assert(st.affectedGroups == 2)
     assertMatches(mv, "t_mv", lake.read(spark, "t"))
+  }
+
+  test("definition writes are atomic renames: refresh re-save replaces the " +
+      "file in place and leaves no temp litter") {
+    val lake = mkLake()
+    val mv = new Mview(lake)
+    lake.createTable(spark, "t",
+      rows((1, 1L, d("10.00")), (2, 2L, d("4.00"))), Seq("id"))
+    mv.create(spark, "t_mv", "t", Seq("g"), aggs)
+    lake.applyChanges(spark, "t",
+      Seq((3, 1L, d("1.00"))).toDF("id", "g", "v")
+        .select($"id", $"g", $"v".cast("decimal(12,2)"))
+        .withColumn("__op", lit("I")), version = 2)
+    mv.refresh(spark, "t_mv") // epilogue re-saves the def OVER the old one
+    // the def is intact JSON (a torn plain write would park definition()
+    // on a parse error permanently) and no temp file survived the rename
+    assert(mv.definition("t_mv").base == "t")
+    val litter = java.nio.file.Files.list(
+        java.nio.file.Paths.get(lake.warehouse)).iterator()
+      .asScala.map(_.getFileName.toString)
+      .filter(n => n.startsWith(".mv") && n.endsWith(".tmp")).toSeq
+    assert(litter.isEmpty, s"temp litter: $litter")
   }
 
   test("deleting a stored extremum re-aggregates only that group") {

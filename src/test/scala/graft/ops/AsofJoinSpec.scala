@@ -116,6 +116,27 @@ class AsofJoinSpec extends SparkSuite {
       s"nearest must interleave once, not once per direction:\n$plan")
   }
 
+  test("nearest on DATE keys: day-equidistant tie prefers backward across " +
+      "a DST transition in a non-UTC session") {
+    // 2024-03-10 is the US spring-forward day: in America/New_York,
+    // midnight 03-09 → midnight 03-10 is 24h but 03-10 → 03-11 is 23h.
+    // Distance via cast-to-timestamp would make the forward candidate
+    // strictly closer and flip the backward tie preference; datediff
+    // (epoch-day arithmetic) keeps both at exactly 1 day.
+    val d = java.sql.Date.valueOf(_: String)
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val r = Seq((1L, d("2024-03-09"), "back"), (1L, d("2024-03-11"), "fwd"))
+        .toDF("k", "rts", "v")
+      val l = Seq((1L, d("2024-03-10"), "x")).toDF("k", "lts", "id")
+      val got = AsofJoin.nearest(l, r, ("k", "k"), ("lts", "rts"),
+          rightPayload = Seq("v"), tieBreak = Seq("rts"))
+        .select("asof_v").as[String].head()
+      assert(got === "back")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("a matched right row with NULL payload stays NULL (no reach-back)") {
     // the latest right row wins even when its payload VALUE is null —
     // per-column last(ignoreNulls) would have reached back to the older

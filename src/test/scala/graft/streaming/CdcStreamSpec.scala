@@ -46,6 +46,60 @@ class CdcStreamSpec extends SparkSuite {
     assert(lake.currentManifest("s").flushVersion === 3L)
   }
 
+  test("legacy markerless checkpoint: a crash-replay is settled by content " +
+      "— no duplicate delivery, while a genuinely new batch still applies") {
+    implicit val sc = spark.sqlContext
+    val lake = new Mooncake(tmpDir("cdc-legacy"))
+    lake.createTable(spark, "lg",
+      Seq((1, "a"), (2, "b")).toDF("a", "b"), Seq("a"))
+    val input = MemoryStream[(Int, String, String, Long)]
+    val changes = input.toDF().toDF("a", "b", "__op", "__seq")
+    val ckpt = tmpDir("cdc-legacy-ckpt")
+
+    // awaitTermination can return before the query leaves the active
+    // registry; a same-checkpoint re-attach then trips the
+    // concurrent-use guard — drain the registry between runs
+    def run(): Unit = {
+      CdcStream.attach(lake, "lg", changes, ckpt).awaitTermination()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+    }
+
+    input.addData((3, "c", "I", 1L))
+    run()
+    assert(lake.currentManifest("lg").commitVersion === 2L)
+
+    // Simulate a PRE-MARKER checkpoint that crashed between apply and
+    // commit-log write: drop the marker (legacy upgrade) and batch 0's
+    // commit entry (so Structured Streaming replays it on restart).
+    val marker = java.nio.file.Paths.get(ckpt, "graft-applied")
+    java.nio.file.Files.delete(marker)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(ckpt, "commits", "0"))
+    // the local-FS CRC sidecar would block the re-commit's rename
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".0.crc"))
+    run()
+    // The content probe recognizes the replay: NO redundant version, so
+    // tableChanges consumers never see the change set delivered twice.
+    assert(lake.currentManifest("lg").commitVersion === 2L)
+    assert(new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+      .trim === "0")
+
+    // Markerless + version consumed by an OUT-OF-BAND commit + a
+    // genuinely NEW batch: content differs, so the batch must apply at
+    // current+1 (the data-loss direction the marker fix guards).
+    java.nio.file.Files.delete(marker)
+    lake.applyChanges(spark, "lg",
+      Seq((9, "oob", "I", 1L)).toDF("a", "b", "__op", "__seq"), 3L)
+    input.addData((5, "e", "I", 2L))
+    run()
+    assert(lake.currentManifest("lg").commitVersion === 4L)
+    assert(lake.read(spark, "lg").orderBy("a")
+      .as[(Int, String)].collect().toSeq ===
+      Seq(1 -> "a", 2 -> "b", 3 -> "c", 5 -> "e", 9 -> "oob"))
+  }
+
   test("a widened change feed evolves the mirror schema mid-stream") {
     // Upstream ALTER TABLE ADD COLUMN: the feed starts carrying an
     // extra column; applyChanges widens the manifest and rows last

@@ -635,10 +635,145 @@ object CurationQueries {
       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
   // ===========================================================================
+  // Graph centrality over the near-dup graph (iterative PageRank)
+  // ===========================================================================
+
+  /** PageRank over the MinHash near-dup graph — the graph-analytics
+    * twin of [[dedupClusters]]: components tell you WHICH docs belong
+    * together, centrality ranks how CONNECTED each doc is inside its
+    * duplication neighborhood (a template/boilerplate detector: high
+    * rank = a doc many near-dups point at). Three damped iterations
+    * (d = 0.85), all INTEGER arithmetic — ranks are micro-units
+    * (1e6 = 1.0) and every division is integral (`div` / DuckDB `//`),
+    * so both engines agree bit-for-bit; no float mass accounting.
+    *
+    * Scale shape — the pregel pattern as plain DataFrames: the edge
+    * list (∝ true duplicates, from the banded LSH join — never n²) is
+    * computed ONCE and persisted with its out-degrees; each iteration
+    * is one hash join ranks⋈edges (both sides partitioned by the join
+    * key; AQE reuses the exchange layout) plus one groupBy(dst) with
+    * map-side partial sums. Per-hop cost is O(|edges|), independent of
+    * the iteration count; nothing driver-side except the 3-step loop.
+    * Isolated docs never enter the join — they re-enter through the
+    * LEFT join against the corpus with the base rank. */
+  val graphPagerank: Q = (s, dir) => {
+    val pairs = PipelineQueries.minhashPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // the LSH pipeline above edges is the dominant cost; iterating
+    // 3x without pinning would re-run it per hop
+    val ed = edges.join(deg, "src").persist()
+    val ids = docs(s, dir).select(col("doc_id").as("id"))
+    var ranks = ids.select(col("id"), lit(1000000L).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = ed.join(ranks, col("src") === col("id"))
+        .selectExpr("dst", "r div outdeg AS c")
+        .groupBy("dst").agg(sum(col("c")).as("in_sum"))
+      ranks = ids.join(contrib, col("id") === col("dst"), "left")
+        .selectExpr("id",
+          "CAST(150000 + (85 * coalesce(in_sum, 0)) div 100 AS BIGINT) AS r")
+    }
+    val out = ranks.select(col("id").as("doc_id"), col("r").as("pr"))
+      .orderBy("doc_id")
+    out.count() // materialize before unpersisting the pinned edges
+    ed.unpersist()
+    out
+  }
+
+  /** Oracle: the same three iterations UNROLLED as CTE layers —
+    * recursive CTEs cannot aggregate over their own reference, and a
+    * fixed iteration count needs no recursion anyway. Sums are cast
+    * back to BIGINT per layer (DuckDB widens sum(BIGINT) → HUGEINT). */
+  val graphPagerankSql: String = {
+    def hop(prev: String, c: String, nxt: String) =
+      s"""$c AS (SELECT dst, sum(r // outdeg) AS in_sum
+         |  FROM ed JOIN $prev ON ed.src = $prev.id GROUP BY dst),
+         |$nxt AS (SELECT d.doc_id AS id,
+         |    CAST(150000 + (85 * coalesce(in_sum, 0)) // 100 AS BIGINT) AS r
+         |  FROM documents d LEFT JOIN $c ON d.doc_id = $c.dst)""".stripMargin
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM (${PipelineQueries.minhashPairsSql})
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |), deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
+       |r0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS r FROM documents),
+       |${hop("r0", "c1", "r1")},
+       |${hop("r1", "c2", "r2")},
+       |${hop("r2", "c3", "r3")}
+       |SELECT id AS doc_id, r AS pr FROM r3 ORDER BY doc_id""".stripMargin
+  }
+
+  // ===========================================================================
+  // Curriculum schedule
+  // ===========================================================================
+
+  /** Curriculum training order: stage the corpus easy→hard, shuffle
+    * WITHIN each stage. Difficulty proxy = average word length in
+    * centi-chars, computed integer-exact ((100·Σ|word|) div n_words) so
+    * both engines agree bit-for-bit; stage boundaries are the corpus
+    * quartiles (438/450/463 at the shipped fixtures), FIXED constants
+    * rather than per-run ntile so a doc's stage is a pure function of
+    * its own text — append-stable, like [[splitAssign]]'s hash splits.
+    * The in-stage order is the [[shuffleEpoch]] LCG under a different
+    * multiplier (69621, a classic Lehmer constant), so curriculum and
+    * epoch-shuffle orders are decorrelated.
+    *
+    * Scale: difficulty and order key are narrow per-row maps (zero
+    * shuffle); the (stage, ord) output order is the one range-
+    * partitioned sort a curriculum emission actually is — a trainer
+    * consumes the corpus IN this order, so the sort is the semantics,
+    * not harness ceremony. */
+  val curriculumOrder: Q = (s, dir) => {
+    val words = split(col("text"), " ")
+    val totalChars = aggregate(
+      transform(words, w => length(w).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val folded = (col("doc_id") % 1048573L + 1048573L) % 1048573L
+    docs(s, dir)
+      .select(col("doc_id"),
+        (totalChars * 100L).as("cc"), size(words).cast("long").as("nw"),
+        ((folded * 69621L + 11L) % 1000003L).as("ord"))
+      // `div` (integral), not `/` (double): same truncation as DuckDB //
+      .selectExpr("doc_id", "cc div nw AS difficulty", "ord")
+      .withColumn("stage",
+        when(col("difficulty") < 438, 1L)
+          .when(col("difficulty") < 450, 2L)
+          .when(col("difficulty") < 463, 3L)
+          .otherwise(4L))
+      .select("doc_id", "difficulty", "stage", "ord")
+      .orderBy("stage", "ord", "doc_id")
+  }
+
+  val curriculumOrderSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |d AS (SELECT doc_id,
+      |    (100 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |       list_transform(w, x -> CAST(length(x) AS BIGINT))),
+      |       (a, x) -> a + x)) // len(w) AS difficulty,
+      |    (((doc_id % 1048573 + 1048573) % 1048573) * 69621 + 11) % 1000003
+      |      AS ord
+      |  FROM t)
+      |SELECT doc_id, difficulty,
+      |  CASE WHEN difficulty < 438 THEN 1
+      |       WHEN difficulty < 450 THEN 2
+      |       WHEN difficulty < 463 THEN 3
+      |       ELSE 4 END AS stage,
+      |  ord
+      |FROM d ORDER BY stage, ord, doc_id""".stripMargin
+
+  // ===========================================================================
   // registry
   // ===========================================================================
 
   val queries: Map[String, Q] = Map(
+    "q_curriculum_order" -> curriculumOrder,
+    "q_graph_pagerank" -> graphPagerank,
     "q_dedup_clusters" -> dedupClusters,
     "q_dedup_canonical" -> dedupCanonical,
     "q_sample_stratified" -> sampleStratified,
@@ -655,6 +790,8 @@ object CurationQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_curriculum_order" -> curriculumOrderSql,
+    "q_graph_pagerank" -> graphPagerankSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_dedup_canonical" -> dedupCanonicalSql,
     "q_sample_stratified" -> sampleStratifiedSql,

@@ -715,6 +715,64 @@ object PipelineQueries {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  /** Hard-negative mining for contrastive training: per anchor (the
+    * [[embedTopK]] query set, WITH labels), the top-3 most-similar
+    * vectors of a DIFFERENT label, each flagged `hard` when it outranks
+    * the anchor's best same-label positive — the triplet-mining
+    * statistic (a "hard" negative violates the margin and is the row a
+    * contrastive batch builder wants).
+    *
+    * Scale: ONE corpus scan — both the positive max and the negative
+    * top-3 ride a single groupBy(qid) aggregation (max + BoundedTopK
+    * heap), so map-side partials carry ≤ 3 rows + one scalar per
+    * anchor per task; the window spelling would shuffle every scored
+    * row into 8 corpus-sized partitions. Anchors broadcast. */
+  val mineNegatives: Q = (s, dir) => {
+    import graft.functions.expressions.{AggExpressions => AE}
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"), col("label"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("label"), col("qlabel"),
+        SVE.cosine_sim(col("qv"), col("embedding")).as("cos"))
+    scored.groupBy("qid")
+      .agg(
+        max(when(col("label") === col("qlabel"), col("cos"))).as("pos_best"),
+        AE.bounded_top_k(
+          when(col("label") =!= col("qlabel"),
+            struct(col("cos"), col("vec_id"))),
+          3, Seq(true, false)).as("negs"))
+      .select(col("qid"), col("pos_best"),
+        posexplode(col("negs")).as(Seq("i", "r")))
+      .select(col("qid"), (col("i") + 1).cast("bigint").as("rank"),
+        col("r.vec_id").as("vec_id"), col("r.cos").as("cos"),
+        col("pos_best"), (col("r.cos") > col("pos_best")).as("hard"))
+      .orderBy("qid", "rank")
+  }
+
+  val mineNegativesSql: String = {
+    val dotQE = sqlDot("q.embedding", "e.embedding")
+    val nQ = sqlDot("q.embedding", "q.embedding")
+    val nE = sqlDot("e.embedding", "e.embedding")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding, label AS qlabel
+       |  FROM embeddings WHERE vec_id < 8),
+       |scored AS (SELECT q.qid, e.vec_id, e.label, q.qlabel,
+       |    $dotQE / (sqrt($nQ) * sqrt($nE)) AS cos
+       |  FROM embeddings e JOIN q ON e.vec_id <> q.qid),
+       |pos AS (SELECT qid,
+       |    max(CASE WHEN label = qlabel THEN cos END) AS pos_best
+       |  FROM scored GROUP BY qid),
+       |negs AS (SELECT qid, vec_id, cos,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored WHERE label <> qlabel)
+       |SELECT n.qid, n.rank, n.vec_id, n.cos, p.pos_best,
+       |  n.cos > p.pos_best AS hard
+       |FROM negs n JOIN pos p USING (qid)
+       |WHERE n.rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
   /** IVF-style ANN (the scale path): centroids = every 50th vector
     * (deterministic stand-in for k-means — at scale you'd train on a
     * sample); every vector is assigned to its nearest centroid (one
@@ -1647,7 +1705,75 @@ object PipelineQueries {
        |SELECT rank, vec_id, maxsim FROM s ORDER BY rank""".stripMargin
   }
 
+  // ===========================================================================
+  // Hashed linear classifier (fasttext-class quality scoring)
+  // ===========================================================================
+
+  /** Weight of one hashed feature under the FROZEN linear model: bucket
+    * = poly_hash % 4096, weight = Knuth-mix of the bucket centered to
+    * [-2^21, 2^21) — a deterministic stand-in for trained weights (the
+    * container has no model artifacts), with exactly the serving-time
+    * compute shape: hash → bucket → weight lookup → sum. All integer,
+    * so the oracle reproduces it bit-for-bit. */
+  private def featWeight(h: Column): Column =
+    (h % 4096L) * 2654435761L % 4194304L - 2097152L
+
+  private def sqlFeatWeight(v: String): String =
+    s"((${sqlHash(v)} % 4096) * 2654435761) % 4194304 - 2097152"
+
+  /** Model-based quality scoring the fasttext way: word unigrams +
+    * consecutive-word bigrams, feature-hashed into 4096 buckets, scored
+    * by a frozen linear model; keep = score > 0. This is the serving
+    * pass of the quality-classifier stage every production corpus runs
+    * (CCNet/fasttext-style) — the heuristics twin is [[textStats]].
+    *
+    * Scale: pure per-row expression work — transform/aggregate over the
+    * split array inside whole-stage codegen, zero shuffle, zero UDF;
+    * the "model" rides the expression tree (a real trained weight table
+    * would broadcast a 4096-entry map). A 100 TB corpus classifies at
+    * scan speed. */
+  val textClassify: Q = (s, dir) => {
+    val words = split(col("text"), " ")
+    def sumW(arr: Column) = aggregate(arr, lit(0L), (a, x) => a + x)
+    val uniSum = sumW(transform(words, w => featWeight(HE.poly_hash(w))))
+    // sequence(1, n-1) — guarded: sequence(1, 0) yields a DESCENDING
+    // [1,0], not an empty list
+    val biSum = when(size(words) > 1,
+      sumW(transform(sequence(lit(1), size(words) - 1), i =>
+        featWeight(HE.poly_hash(concat(
+          element_at(words, i), lit(" "), element_at(words, i + 1)))))))
+      .otherwise(0L)
+    docs(s, dir)
+      .select(col("doc_id"), size(words).cast("long").as("n_uni"),
+        greatest(size(words) - 1, lit(0)).cast("long").as("n_bi"),
+        (uniSum + biSum).as("score"))
+      .withColumn("keep", col("score") > 0L)
+      .orderBy("doc_id")
+  }
+
+  /** Oracle. The bigram lambda variable is `bg`, NOT `i`: sqlHash's
+    * inner list_transform binds `i`, and DuckDB resolves the innermost
+    * binding — an outer `i` would silently index characters with the
+    * word position. */
+  val textClassifySql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sc AS (SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_uni,
+       |    CAST(greatest(len(w) - 1, 0) AS BIGINT) AS n_bi,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(w, x -> ${sqlFeatWeight("x")})),
+       |      (a, x) -> a + x)
+       |    + list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(1, len(w)),
+       |          bg -> ${sqlFeatWeight(
+                     "(w[CAST(bg AS INT)] || ' ' || w[CAST(bg AS INT) + 1])")})),
+       |        (a, x) -> a + x) AS score
+       |  FROM t)
+       |SELECT doc_id, n_uni, n_bi, score, score > 0 AS keep
+       |FROM sc ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_text_classify" -> textClassify,
     "q_text_heavy_hitters" -> textHeavyHitters,
     "q_text_vocab" -> textVocab,
     "q_text_stats" -> textStats,
@@ -1663,6 +1789,7 @@ object PipelineQueries {
     "q_dedup_embed_lsh" -> dedupEmbedLsh,
     "q_dedup_semantic" -> dedupSemantic,
     "q_embed_topk" -> embedTopK,
+    "q_mine_negatives" -> mineNegatives,
     "q_embed_ivf" -> embedIvf,
     "q_embed_pq" -> embedPq,
     "q_embed_ivfpq" -> embedIvfPq,
@@ -1681,6 +1808,7 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_classify" -> textClassifySql,
     "q_cluster_sample" -> clusterSampleSql,
     "q_text_tfidf" -> textTfidfSql,
     "q_text_bm25" -> textBm25Sql,
@@ -1702,6 +1830,7 @@ object PipelineQueries {
     "q_dedup_embed_lsh" -> dedupEmbedLshSql,
     "q_dedup_semantic" -> dedupSemanticSql,
     "q_embed_topk" -> embedTopKSql,
+    "q_mine_negatives" -> mineNegativesSql,
     "q_embed_ivf" -> embedIvfSql,
     "q_embed_pq" -> embedPqSql,
     "q_embed_ivfpq" -> embedIvfPqSql,

@@ -863,6 +863,152 @@ object IcebergCompat {
   def currentSnapshotId(tableDir: String): Long =
     currentMetadata(tableDir).path("current-snapshot-id").asLong(-1)
 
+  // -------------------------------------------------------------------------
+  // Refs: branches and tags (table-spec v2 `refs` map)
+  // -------------------------------------------------------------------------
+  // All ref operations are METADATA-ONLY commits — a new metadata.json
+  // version flipping the refs map, zero data/manifest IO — so they cost
+  // the same at 100 TB as on a toy table. Branch WRITES go through
+  // write(..., ref = name): the snapshot chains off the branch head and
+  // only that ref advances; `main` is just the default branch.
+
+  /** The refs map: name → (snapshot-id, "branch"|"tag"). `main` is
+    * always present (mirroring current-snapshot-id), including on
+    * pre-refs metadata. */
+  def refs(tableDir: String): Map[String, (Long, String)] = {
+    val meta = currentMetadata(tableDir)
+    val fromMeta = meta.path("refs") match {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+        o.properties().asScala.map(e =>
+          e.getKey -> ((e.getValue.path("snapshot-id").asLong(-1),
+            e.getValue.path("type").asText("branch")))).toMap
+      case _ => Map.empty[String, (Long, String)]
+    }
+    fromMeta + ("main" ->
+      ((meta.path("current-snapshot-id").asLong(-1), "branch")))
+  }
+
+  def createBranch(tableDir: String, name: String,
+      snapshotId: Option[Long] = None): Unit =
+    createRef(tableDir, name, "branch", snapshotId)
+
+  /** Tags are immutable names for a snapshot (release pinning); a
+    * write to a tag refuses. */
+  def createTag(tableDir: String, name: String,
+      snapshotId: Option[Long] = None): Unit =
+    createRef(tableDir, name, "tag", snapshotId)
+
+  private def createRef(tableDir: String, name: String, tpe: String,
+      snapshotId: Option[Long]): Unit = {
+    require(name != "main", "main is implicit — it cannot be re-created")
+    val meta = currentMetadata(tableDir)
+    val root = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    val sid = snapshotId.getOrElse(
+      meta.path("current-snapshot-id").asLong(-1))
+    val known = meta.path("snapshots").elements().asScala
+      .map(_.path("snapshot-id").asLong(-2)).toSet
+    if (!known.contains(sid)) throw new NoSuchElementException(
+      s"snapshot $sid not found on $tableDir")
+    val refsNode = root.path("refs") match {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+      case _ => root.putObject("refs")
+    }
+    if (!refsNode.path(name).isMissingNode)
+      throw new IllegalArgumentException(
+        s"ref '$name' already exists on $tableDir")
+    refsNode.putObject(name).put("snapshot-id", sid).put("type", tpe)
+    commitMetadataVersion(tableDir, root)
+  }
+
+  def dropRef(tableDir: String, name: String): Unit = {
+    require(name != "main", "cannot drop main")
+    val meta = currentMetadata(tableDir)
+    val root = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.path("refs") match {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode
+          if !o.path(name).isMissingNode => o.remove(name)
+      case _ => throw new NoSuchElementException(
+        s"ref '$name' does not exist on $tableDir")
+    }
+    commitMetadataVersion(tableDir, root)
+  }
+
+  /** Read a branch or tag head (time travel by name). */
+  def readRef(spark: SparkSession, tableDir: String,
+      name: String): DataFrame = {
+    val (sid, _) = refs(tableDir).getOrElse(name,
+      throw new NoSuchElementException(
+        s"ref '$name' does not exist on $tableDir"))
+    read(spark, tableDir, snapshotId = Some(sid))
+  }
+
+  /** Fast-forward main to a branch head. Refuses when main has
+    * DIVERGED (its head is not an ancestor of the branch head) — that
+    * needs a merge, which copy-on-write branches don't define. The
+    * branch's commits join main's snapshot-log in parent order. */
+  def fastForward(tableDir: String, branch: String): Long = {
+    val meta = currentMetadata(tableDir)
+    val (target, tpe) = refs(tableDir).getOrElse(branch,
+      throw new NoSuchElementException(
+        s"ref '$branch' does not exist on $tableDir"))
+    if (tpe != "branch") throw new UnsupportedOperationException(
+      s"ref '$branch' is a tag — fast-forward targets a branch")
+    val mainHead = meta.path("current-snapshot-id").asLong(-1)
+    val byId = meta.path("snapshots").elements().asScala
+      .map(s => s.path("snapshot-id").asLong(-2) -> s).toMap
+    // walk target's parent chain back to main's head, collecting the
+    // branch-only lineage (newest first)
+    var chain = List.empty[JsonNode]
+    var cur = target
+    while (cur != mainHead && cur >= 0 && byId.contains(cur)) {
+      val s = byId(cur)
+      chain = s :: chain
+      cur = s.path("parent-snapshot-id").asLong(-1)
+    }
+    if (cur != mainHead) throw new IllegalStateException(
+      s"main ($mainHead) is not an ancestor of '$branch' ($target) — " +
+        "fast-forward would lose main's commits")
+    val root = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.put("current-snapshot-id", target)
+    root.path("refs") match {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+        o.putObject("main").put("snapshot-id", target).put("type", "branch")
+      case _ =>
+        root.putObject("refs").putObject("main")
+          .put("snapshot-id", target).put("type", "branch")
+    }
+    root.path("snapshot-log") match {
+      case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+        chain.foreach(s => a.addObject()
+          .put("timestamp-ms", s.path("timestamp-ms").asLong(0))
+          .put("snapshot-id", s.path("snapshot-id").asLong(-1)))
+      case _ => ()
+    }
+    commitMetadataVersion(tableDir, root)
+    target
+  }
+
+  /** Commit a mutated metadata root as the next version (tmp +
+    * ATOMIC_MOVE for both the json and the hint — the expire pattern). */
+  private def commitMetadataVersion(tableDir: String,
+      root: com.fasterxml.jackson.databind.node.ObjectNode): Long = {
+    val metaDir = Paths.get(tableDir, "metadata")
+    root.put("last-updated-ms", System.currentTimeMillis())
+    val prevVersion = new String(Files.readAllBytes(
+      metaDir.resolve("version-hint.text")), "UTF-8").trim.toLong
+    val version = prevVersion + 1
+    val tmp = Files.createTempFile(metaDir, ".tmp-meta", ".json")
+    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(root).getBytes("UTF-8"))
+    Files.move(tmp, metaDir.resolve(s"v$version.metadata.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+    val tmpHint = Files.createTempFile(metaDir, ".tmp-hint", ".txt")
+    Files.write(tmpHint, version.toString.getBytes("UTF-8"))
+    Files.move(tmpHint, metaDir.resolve("version-hint.text"),
+      StandardCopyOption.ATOMIC_MOVE)
+    version
+  }
+
   /** Live data-file paths of a snapshot (default current) — the
     * `files` metadata-table analog: localPath-normalized, driver-side
     * manifest walk only, no parquet IO. Empty for an empty table. */
@@ -1380,7 +1526,8 @@ object IcebergCompat {
       prior.path("last-partition-id").asInt(999),
       prevSnapshotNodes, snapshotId, parentId, listPath, "replace",
       Map("manifests-replaced" -> dataMs.size.toString,
-        "manifests-created" -> newListEntries.size.toString))
+        "manifests-created" -> newListEntries.size.toString),
+      prior = Some(prior))
     snapshotId
   }
 
@@ -1407,8 +1554,20 @@ object IcebergCompat {
     val meta = currentMetadata(tableDir)
     val currentId = meta.path("current-snapshot-id").asLong(-1)
     val snaps = meta.path("snapshots").elements().asScala.toSeq
+    // Ref heads (branches AND tags) are pinned: a named ref must stay
+    // readable after maintenance (the spec's branch/tag retention
+    // floor). Heads only — manifest lists are self-contained (carried
+    // entries), so reading a ref never needs its ancestors; branch
+    // INTERIOR history expires exactly like main's.
+    val refHeads: Set[Long] = meta.path("refs") match {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+        o.properties().asScala
+          .map(_.getValue.path("snapshot-id").asLong(-1)).toSet
+      case _ => Set.empty
+    }
+    val pinned = refHeads + currentId
     val (expired, retained) = snaps.partition(s =>
-      s.path("snapshot-id").asLong(-2) != currentId &&
+      !pinned.contains(s.path("snapshot-id").asLong(-2)) &&
         s.path("timestamp-ms").asLong(Long.MaxValue) < olderThanMs)
     if (expired.isEmpty) return Seq.empty
 
@@ -1982,7 +2141,8 @@ object IcebergCompat {
       partitionBy: Seq[String] = Seq.empty,
       transforms: Seq[(String, String)] = Seq.empty,
       evolveSpec: Boolean = false,
-      summary: Map[String, String] = Map.empty): Long = {
+      summary: Map[String, String] = Map.empty,
+      ref: String = "main"): Long = {
     require(mode == "append" || mode == "overwrite", s"mode $mode")
     val metaDir = Paths.get(tableDir, "metadata")
     Files.createDirectories(metaDir)
@@ -2026,8 +2186,25 @@ object IcebergCompat {
       .getOrElse(0L)
     val prevSnapshotNodes = prior.toSeq.flatMap(
       _.path("snapshots").elements().asScala.toSeq)
-    val parentId = prior.map(_.path("current-snapshot-id").asLong(-1L))
+    val mainHeadPrior = prior.map(_.path("current-snapshot-id").asLong(-1L))
       .getOrElse(-1L)
+    // A branch commit chains off the BRANCH head (its manifests carry,
+    // its ref advances); main's head and snapshot-log are untouched.
+    // The branch must exist (createBranch) and be a branch, not a tag —
+    // a tag is immutable by spec.
+    val parentId =
+      if (ref == "main") mainHeadPrior
+      else {
+        val r = prior.getOrElse(throw new NoSuchElementException(
+          s"cannot write to ref '$ref' of an empty table")).path("refs")
+          .path(ref)
+        if (r.isMissingNode) throw new NoSuchElementException(
+          s"ref '$ref' does not exist on $tableDir — createBranch first")
+        if (r.path("type").asText() != "branch")
+          throw new UnsupportedOperationException(
+            s"ref '$ref' is a tag — tags are immutable")
+        r.path("snapshot-id").asLong(-1L)
+      }
     val prevManifestRecords: Seq[GenericRecord] =
       prevSnapshotNodes.find(_.path("snapshot-id").asLong(-2) == parentId)
         .map(_.get("manifest-list").asText())
@@ -2343,7 +2520,7 @@ object IcebergCompat {
     commitMetadataJson(metaDir, tableDir, version, tableUuid,
       sequenceNumber, lastColumnId, schemasArr, currentSchemaId,
       specsArr, specId, lastPartitionId, prevSnapshotNodes, snapshotId,
-      parentId, listPath, mode, summary)
+      parentId, listPath, mode, summary, prior, ref, mainHeadPrior)
     snapshotId
   }
 
@@ -2557,7 +2734,15 @@ object IcebergCompat {
 
   /** Versioned metadata JSON + version-hint for one new snapshot.
     * `specsArr` is the COMPLETE partition-specs array (historical specs
-    * included — spec evolution keeps them all). */
+    * included — spec evolution keeps them all).
+    *
+    * `ref` names the branch the snapshot commits to (spec v2 `refs`
+    * map): `main` advances current-snapshot-id as always; any other
+    * branch leaves current-snapshot-id at `mainHeadForBranch` and moves
+    * only its own ref entry. Prior refs (branches AND tags) are carried
+    * verbatim from `prior` — every commit path preserves them, the same
+    * way historical schemas/specs carry. The `main` ref entry mirrors
+    * current-snapshot-id (what real catalogs write). */
   private def commitMetadataJson(metaDir: Path, tableDir: String,
       version: Long, tableUuid: String, sequenceNumber: Long,
       lastColumnId: Int,
@@ -2568,7 +2753,10 @@ object IcebergCompat {
       prevSnapshotNodes: Seq[JsonNode],
       snapshotId: Long, parentId: Long, listPath: Path,
       operation: String,
-      summaryProps: Map[String, String] = Map.empty): Unit = {
+      summaryProps: Map[String, String] = Map.empty,
+      prior: Option[JsonNode] = None,
+      ref: String = "main",
+      mainHeadForBranch: Long = -1L): Unit = {
     val now = System.currentTimeMillis()
     val root = mapper.createObjectNode()
     root.put("format-version", 2)
@@ -2586,7 +2774,8 @@ object IcebergCompat {
     val order0 = root.putArray("sort-orders").addObject()
     order0.put("order-id", 0)
     order0.putArray("fields")
-    root.put("current-snapshot-id", snapshotId)
+    val mainHead = if (ref == "main") snapshotId else mainHeadForBranch
+    root.put("current-snapshot-id", mainHead)
     val snaps = root.putArray("snapshots")
     prevSnapshotNodes.foreach(snaps.add)
     val sn = snaps.addObject()
@@ -2599,12 +2788,34 @@ object IcebergCompat {
     val summaryNode = sn.putObject("summary")
     summaryNode.put("operation", operation)
     summaryProps.foreach { case (k, v) => summaryNode.put(k, v) }
-    // history surfaces real catalogs expect: snapshot-log (current
-    // branch's lineage — we never expire, so it is every snapshot) and
-    // metadata-log (the surviving prior metadata files)
+    // refs: carry every prior entry, then move the committed-to ref;
+    // `main` always mirrors current-snapshot-id
+    val refsNode = root.putObject("refs")
+    prior.map(_.path("refs")).foreach {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+        o.properties().asScala.foreach(e =>
+          refsNode.set[JsonNode](e.getKey, e.getValue.deepCopy[JsonNode]()))
+      case _ => ()
+    }
+    if (ref != "main")
+      refsNode.putObject(ref)
+        .put("snapshot-id", snapshotId).put("type", "branch")
+    refsNode.putObject("main")
+      .put("snapshot-id", mainHead).put("type", "branch")
+    // history surfaces real catalogs expect: snapshot-log (MAIN's
+    // lineage — a branch commit must not appear in it) and metadata-log
+    // (the surviving prior metadata files). The prior log carries
+    // verbatim when available (expiry may have filtered it); the
+    // rebuild-from-snapshots fallback covers pre-refs metadata.
     val slog = root.putArray("snapshot-log")
-    (prevSnapshotNodes.map(s => (s.path("timestamp-ms").asLong(0),
-      s.path("snapshot-id").asLong(-1))) :+ (now, snapshotId))
+    val priorLog: Seq[(Long, Long)] = prior.map(_.path("snapshot-log")) match {
+      case Some(a: com.fasterxml.jackson.databind.node.ArrayNode) =>
+        a.elements().asScala.map(e => (e.path("timestamp-ms").asLong(0),
+          e.path("snapshot-id").asLong(-1))).toSeq
+      case _ => prevSnapshotNodes.map(s => (s.path("timestamp-ms").asLong(0),
+        s.path("snapshot-id").asLong(-1)))
+    }
+    (if (ref == "main") priorLog :+ (now, snapshotId) else priorLog)
       .foreach { case (ts, id) =>
         slog.addObject().put("timestamp-ms", ts).put("snapshot-id", id)
       }
@@ -2863,7 +3074,8 @@ object IcebergCompat {
       schemaNode.path("schema-id").asInt(0),
       specsArr, prior.path("default-spec-id").asInt(0),
       prior.path("last-partition-id").asInt(999),
-      prevSnapshotNodes, snapshotId, parentId, listPath, "delete")
+      prevSnapshotNodes, snapshotId, parentId, listPath, "delete",
+      prior = Some(prior))
     snapshotId
   }
 }

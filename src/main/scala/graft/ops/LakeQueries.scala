@@ -1102,6 +1102,55 @@ object LakeQueries {
 
   val icebergExpireSql: String = icebergEqDeleteSql
 
+  /** Iceberg refs (branches + tags, spec v2 `refs` map): tag `v1` pins
+    * the initial snapshot, branch `audit` takes an append that must
+    * never surface on main, then main takes its own append that must
+    * never surface on the branch. The output reads all three refs and
+    * tags each row — isolation in BOTH directions plus tag
+    * immutability under later commits, through the real metadata
+    * (refs carry across commits; branch snapshots chain off the branch
+    * head). Ref operations are metadata-only commits: at 100 TB a
+    * branch/tag costs one JSON version, zero data IO. */
+  val icebergBranch: Q = (s, dir) => {
+    val tmp = graft.Scratch.dir("graft-iceberg-branch-q")
+    val sup = Tables.load(s, dir, "supplier")
+      .select("s_suppkey", "s_name", "s_acctbal")
+    graft.lake.IcebergCompat.write(sup, tmp)
+    graft.lake.IcebergCompat.createTag(tmp, "v1")
+    graft.lake.IcebergCompat.createBranch(tmp, "audit")
+    graft.lake.IcebergCompat.write(
+      sup.filter(col("s_suppkey") % 5 === 0)
+        .withColumn("s_suppkey", col("s_suppkey") + 100000L),
+      tmp, ref = "audit")
+    graft.lake.IcebergCompat.write(
+      sup.filter(col("s_suppkey") % 7 === 0)
+        .withColumn("s_suppkey", col("s_suppkey") + 200000L), tmp)
+    val main = graft.lake.IcebergCompat.read(s, tmp)
+      .withColumn("ref", lit("main"))
+    val audit = graft.lake.IcebergCompat.readRef(s, tmp, "audit")
+      .withColumn("ref", lit("audit"))
+    val v1 = graft.lake.IcebergCompat.readRef(s, tmp, "v1")
+      .withColumn("ref", lit("v1"))
+    main.unionByName(audit).unionByName(v1)
+      .select("ref", "s_suppkey", "s_name", "s_acctbal")
+      .orderBy("ref", "s_suppkey")
+  }
+
+  val icebergBranchSql: String =
+    """WITH base AS (SELECT s_suppkey, s_name, s_acctbal FROM supplier),
+      |a AS (SELECT s_suppkey + 100000 AS s_suppkey, s_name, s_acctbal
+      |  FROM supplier WHERE s_suppkey % 5 = 0),
+      |m AS (SELECT s_suppkey + 200000 AS s_suppkey, s_name, s_acctbal
+      |  FROM supplier WHERE s_suppkey % 7 = 0)
+      |SELECT 'main' AS ref, * FROM (SELECT * FROM base UNION ALL
+      |  SELECT * FROM m)
+      |UNION ALL
+      |SELECT 'audit' AS ref, * FROM (SELECT * FROM base UNION ALL
+      |  SELECT * FROM a)
+      |UNION ALL
+      |SELECT 'v1' AS ref, * FROM base
+      |ORDER BY ref, s_suppkey""".stripMargin
+
   /** Snapshot diff (the table_changes / Delta-CDF class): mirror orders,
     * apply the same CDC batch as [[cdcApply]], then ask the lake what
     * changed between v1 and v2. Deletes surface as 'delete', updates as
@@ -1460,6 +1509,7 @@ object LakeQueries {
     "q_iceberg_eq_scoped" -> icebergEqScoped,
     "q_iceberg_compact" -> icebergCompact,
     "q_iceberg_expire" -> icebergExpire,
+    "q_iceberg_branch" -> icebergBranch,
     "q_iceberg_prune_scan" -> icebergPruneScan,
     "q_delta_prune_scan" -> deltaPruneScan,
     "q_sql_catalog_scan" -> sqlCatalogScan,
@@ -1511,6 +1561,7 @@ object LakeQueries {
     "q_iceberg_eq_scoped" -> icebergEqScopedSql,
     "q_iceberg_compact" -> icebergCompactSql,
     "q_iceberg_expire" -> icebergExpireSql,
+    "q_iceberg_branch" -> icebergBranchSql,
     "q_iceberg_prune_scan" -> icebergPruneScanSql,
     "q_delta_prune_scan" -> deltaPruneScanSql,
     "q_sql_catalog_scan" -> sqlCatalogScanSql,

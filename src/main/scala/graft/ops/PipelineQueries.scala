@@ -1706,6 +1706,109 @@ object PipelineQueries {
   }
 
   // ===========================================================================
+  // Subword tokenizer apply (greedy maximal munch)
+  // ===========================================================================
+
+  /** Subword merge vocabulary (longest length first — greedy maximal
+    * munch tries 4-char, then 3-, then 2-char matches; a single char is
+    * always a valid base token, counted as FALLBACK). Frozen constants
+    * chosen from the fixtures' frequent n-grams so multi-char merges
+    * actually fire; a trained BPE table would broadcast the same way
+    * (it rides the expression as IN-lists — no join, no shuffle). */
+  private val SubV4 = Seq("park", "quer", "scan", "slow", "line", "grou")
+  private val SubV3 = Seq("mer", "par", "row", "all", "ord", "ust")
+  private val SubV2 =
+    Seq("er", "st", "or", "ow", "in", "at", "ar", "to", "as")
+
+  /** Tokenizer APPLY — the stage between merge MINING
+    * ([[textBpePairs]]) and token-count accounting ([[textStats]]):
+    * run the frozen subword vocabulary over the corpus with greedy
+    * maximal munch and report per-doc token/fallback counts (the
+    * numbers a token-budget planner consumes).
+    *
+    * Execution: the per-word greedy loop is a bounded FOLD — 8 steps
+    * (the longest fixture word) over a struct accumulator
+    * (offset, tokens, fallbacks) via `aggregate`, nested inside a
+    * `transform` over the word array. The accumulator is a lambda
+    * variable, so the expression tree is LINEAR in the step count
+    * (hand-unrolling through chained whens would re-inline the whole
+    * prefix at every step, ~3^8 nodes, and blow codegen's method
+    * limit). Zero shuffle, zero UDF: a 100 TB corpus tokenizes at
+    * scan speed; DuckDB mirrors the fold with list_reduce over the
+    * same struct. */
+  val tokenizeSubword: Q = (s, dir) => {
+    def step(w: Column, o: Column): Column =
+      when(w.substr(o.cast("int"), lit(4)).isInCollection(SubV4), 4L)
+        .when(w.substr(o.cast("int"), lit(3)).isInCollection(SubV3), 3L)
+        .when(w.substr(o.cast("int"), lit(2)).isInCollection(SubV2), 2L)
+        .otherwise(1L)
+    // Field order (nt, nf, o) — o, the only field other fields read,
+    // comes LAST: DuckDB 1.0's list_reduce applies struct_pack fields
+    // SEQUENTIALLY (a later field sees an earlier field's UPDATED
+    // value), so any order where a counter follows the offset update
+    // silently counts against the advanced offset. With o last, the
+    // fold means the same thing under sequential AND snapshot
+    // semantics, so both engines agree whichever DuckDB ships.
+    def wordFold(w: Column): Column =
+      aggregate(
+        sequence(lit(1), lit(8)),
+        struct(lit(0L).as("nt"), lit(0L).as("nf"), lit(1L).as("o")),
+        (acc, _) => {
+          val o = acc.getField("o")
+          val in = o <= length(w).cast("long")
+          val sl = step(w, o)
+          struct(
+            (acc.getField("nt") + when(in, 1L).otherwise(0L)).as("nt"),
+            (acc.getField("nf") +
+              when(in && sl === 1L, 1L).otherwise(0L)).as("nf"),
+            (o + when(in, sl).otherwise(1L)).as("o"))
+        })
+    val words = split(col("text"), " ")
+    val per = transform(words, w => wordFold(w))
+    val tot = aggregate(per,
+      struct(lit(0L).as("nt"), lit(0L).as("nf")),
+      (a, x) => struct(
+        (a.getField("nt") + x.getField("nt")).as("nt"),
+        (a.getField("nf") + x.getField("nf")).as("nf")))
+    docs(s, dir)
+      .select(col("doc_id"), size(words).cast("long").as("n_words"),
+        tot.getField("nt").as("n_tokens"),
+        tot.getField("nf").as("n_fallback"))
+      .orderBy("doc_id")
+  }
+
+  val tokenizeSubwordSql: String = {
+    def in(vs: Seq[String]) = vs.map(v => s"'$v'").mkString("(", ", ", ")")
+    val stepSql =
+      s"""CASE WHEN substr(x, CAST(a.o AS INT), 4) IN ${in(SubV4)} THEN 4
+         |      WHEN substr(x, CAST(a.o AS INT), 3) IN ${in(SubV3)} THEN 3
+         |      WHEN substr(x, CAST(a.o AS INT), 2) IN ${in(SubV2)} THEN 2
+         |      ELSE 1 END""".stripMargin
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |p AS (SELECT doc_id, w, list_transform(w, x ->
+       |    list_reduce(
+       |      list_prepend(
+       |        struct_pack(nt := CAST(0 AS BIGINT), nf := CAST(0 AS BIGINT),
+       |                    o := CAST(1 AS BIGINT)),
+       |        list_transform(range(1, 9), s ->
+       |          struct_pack(nt := CAST(0 AS BIGINT), nf := CAST(0 AS BIGINT),
+       |                      o := CAST(0 AS BIGINT)))),
+       |      (a, z) -> struct_pack(
+       |        nt := a.nt + CASE WHEN a.o <= length(x) THEN 1 ELSE 0 END,
+       |        nf := a.nf + CASE WHEN a.o <= length(x)
+       |          AND ($stepSql) = 1 THEN 1 ELSE 0 END,
+       |        o := a.o + CASE WHEN a.o <= length(x)
+       |          THEN CAST(($stepSql) AS BIGINT) ELSE 1 END))) AS f
+       |  FROM t)
+       |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+       |  list_reduce(list_transform(f, y -> y.nt), (u, v) -> u + v)
+       |    AS n_tokens,
+       |  list_reduce(list_transform(f, y -> y.nf), (u, v) -> u + v)
+       |    AS n_fallback
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
+  // ===========================================================================
   // Hashed linear classifier (fasttext-class quality scoring)
   // ===========================================================================
 
@@ -1774,6 +1877,7 @@ object PipelineQueries {
 
   val queries: Map[String, Q] = Map(
     "q_text_classify" -> textClassify,
+    "q_tokenize_subword" -> tokenizeSubword,
     "q_text_heavy_hitters" -> textHeavyHitters,
     "q_text_vocab" -> textVocab,
     "q_text_stats" -> textStats,
@@ -1809,6 +1913,7 @@ object PipelineQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_text_classify" -> textClassifySql,
+    "q_tokenize_subword" -> tokenizeSubwordSql,
     "q_cluster_sample" -> clusterSampleSql,
     "q_text_tfidf" -> textTfidfSql,
     "q_text_bm25" -> textBm25Sql,

@@ -658,29 +658,11 @@ object CurationQueries {
     * LEFT join against the corpus with the base rank. */
   val graphPagerank: Q = (s, dir) => {
     val pairs = PipelineQueries.minhashPairs(s, dir)
-      .select(col("doc_a"), col("doc_b"))
-    val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // the LSH pipeline above edges is the dominant cost; iterating
-    // 3x without pinning would re-run it per hop
-    val ed = edges.join(deg, "src").persist()
     val ids = docs(s, dir).select(col("doc_id").as("id"))
-    var ranks = ids.select(col("id"), lit(1000000L).as("r"))
-    for (_ <- 1 to 3) {
-      val contrib = ed.join(ranks, col("src") === col("id"))
-        .selectExpr("dst", "r div outdeg AS c")
-        .groupBy("dst").agg(sum(col("c")).as("in_sum"))
-      ranks = ids.join(contrib, col("id") === col("dst"), "left")
-        .selectExpr("id",
-          "CAST(150000 + (85 * coalesce(in_sum, 0)) div 100 AS BIGINT) AS r")
-    }
-    val out = ranks.select(col("id").as("doc_id"), col("r").as("pr"))
+    PageRank.run(ids, pairs, iters = 3)
+      .select(col("id").as("doc_id"), col("pr"))
       .orderBy("doc_id")
-    out.count() // materialize before unpersisting the pinned edges
-    ed.unpersist()
-    out
   }
 
   /** Oracle: the same three iterations UNROLLED as CTE layers —

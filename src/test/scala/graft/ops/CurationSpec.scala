@@ -47,6 +47,56 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("pagerank: hub outranks leaves, isolated node sits at base rank") {
+    import spark.implicits._
+    // star: 1 is the hub of 2,3,4; node 99 is isolated
+    val ids = Seq(1L, 2L, 3L, 4L, 99L).toDF("id")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val got = PageRank.run(ids, pairs, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got(99L) === 150000L, "isolated node = base rank after any hop")
+    assert(Seq(2L, 3L, 4L).map(got).distinct.size === 1,
+      "symmetric leaves tie exactly")
+    assert(got(1L) > got(2L), "hub must outrank its leaves")
+    assert(got.values.forall(_ >= 150000L), "base rank is a floor")
+  }
+
+  test("pagerank: bit-deterministic across runs, 2-clique symmetric") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L).toDF("id")
+    val pairs = Seq((1L, 2L)).toDF("src", "dst")
+    val a = PageRank.run(ids, pairs, 3).as[(Long, Long)].collect().toMap
+    val b = PageRank.run(ids, pairs, 3).as[(Long, Long)].collect().toMap
+    assert(a === b, "integer arithmetic: reruns are bit-identical")
+    assert(a(1L) === a(2L), "symmetric pair ranks equally")
+    // closed 2-clique under d=0.85: r converges toward 1e6; after 3
+    // integer hops the exact value is reproducible arithmetic
+    assert(a(1L) === 1000000L - 1 || a(1L) === 1000000L,
+      s"closed pair stays at ~unit mass, got ${a(1L)}")
+  }
+
+  test("curriculum: stages partition by difficulty, order is in-stage LCG") {
+    import spark.implicits._
+    val rows = CurationQueries.curriculumOrder(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length.toLong === nDocs)
+    // stage is the fixed threshold function of difficulty — monotone
+    rows.foreach { case (_, diff, stage, _) =>
+      val want = if (diff < 438) 1L else if (diff < 450) 2L
+        else if (diff < 463) 3L else 4L
+      assert(stage === want)
+    }
+    // emission order: rows arrive sorted by (stage, ord, doc_id)
+    val keys = rows.map(r => (r._3, r._4, r._1)).toSeq
+    assert(keys === keys.sorted, "output IS the curriculum order")
+    // the in-stage shuffle decorrelates from doc_id order: within the
+    // largest stage, ord must not be monotone in doc_id
+    val biggest = rows.groupBy(_._3).maxBy(_._2.length)._2
+    val byId = biggest.sortBy(_._1).map(_._4).toSeq
+    assert(byId !== byId.sorted, "in-stage order must be shuffled")
+  }
+
   test("dedup clusters: reps are cluster minima, csize consistent") {
     val r = CurationQueries.dedupClusters(spark, sf)
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))

@@ -207,4 +207,81 @@ class PipelineSpec extends SparkSuite {
     assert(byDoc(holder) > median,
       s"doc $holder holds rarest token '$rarest' but scores at/below median")
   }
+
+  test("subword tokenizer: fold equals a reference greedy over every word") {
+    // brute-force maximal munch in plain Scala — the independent truth
+    // the bounded struct-fold must reproduce exactly
+    val v4 = Set("park", "quer", "scan", "slow", "line", "grou")
+    val v3 = Set("mer", "par", "row", "all", "ord", "ust")
+    val v2 = Set("er", "st", "or", "ow", "in", "at", "ar", "to", "as")
+    def greedy(w: String): (Long, Long) = {
+      var o = 0; var nt = 0L; var nf = 0L
+      while (o < w.length) {
+        if (v4.contains(w.slice(o, o + 4))) o += 4
+        else if (v3.contains(w.slice(o, o + 3))) o += 3
+        else if (v2.contains(w.slice(o, o + 2))) o += 2
+        else { o += 1; nf += 1 }
+        nt += 1
+      }
+      (nt, nf)
+    }
+    val got = PipelineQueries.tokenizeSubword(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    got.foreach { case (id, nw, nt, nf) =>
+      val words = texts(id).split(" ", -1)
+      assert(nw === words.length.toLong)
+      val (wnt, wnf) = words.map(greedy).foldLeft((0L, 0L)) {
+        case ((a, b), (c, d)) => (a + c, b + d)
+      }
+      assert(nt === wnt, s"doc $id token count")
+      assert(nf === wnf, s"doc $id fallback count")
+    }
+    // the vocab actually fires: strictly fewer tokens than chars-in-words
+    assert(got.exists { case (id, _, nt, _) =>
+      nt < texts(id).count(_ != ' ').toLong })
+  }
+
+  test("classifier: score equals brute-force hashed-feature recompute") {
+    def polyHash(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    def weight(h: Long): Long =
+      (h % 4096L) * 2654435761L % 4194304L - 2097152L
+    val got = PipelineQueries.textClassify(spark, sf)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    got.foreach { case (id, nUni, nBi, score, keep) =>
+      val ws = texts(id).split(" ", -1)
+      val want = ws.map(w => weight(polyHash(w))).sum +
+        ws.sliding(2).filter(_.length == 2)
+          .map(p => weight(polyHash(p(0) + " " + p(1)))).sum
+      assert(nUni === ws.length.toLong)
+      assert(nBi === math.max(ws.length - 1, 0).toLong)
+      assert(score === want, s"doc $id score")
+      assert(keep === (score > 0L))
+    }
+    // the frozen model actually separates: both verdicts occur
+    assert(got.exists(_._5) && got.exists(!_._5))
+  }
+
+  test("negative mining: ranks contiguous, labels differ, hard flag exact") {
+    val rows = PipelineQueries.mineNegatives(spark, sf)
+      .as[(Long, Long, Long, Double, Double, Boolean)].collect()
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (qid, g) =>
+      assert(g.map(_._2).sorted.toSeq === (1L to g.length).toSeq,
+        s"anchor $qid ranks")
+      // negatives strictly ordered; every negative's label differs
+      val byRank = g.sortBy(_._2)
+      assert(byRank.map(_._4).toSeq === byRank.map(_._4).sorted.reverse.toSeq)
+      g.foreach { r =>
+        assert(labels(r._3) !== labels(qid), s"anchor $qid neg ${r._3}")
+        assert(r._6 === (r._4 > r._5), "hard = neg outranks best positive")
+      }
+    }
+  }
 }

@@ -1327,6 +1327,84 @@ object DeltaCompat {
     head + 1
   }
 
+  /** RESTORE TABLE ... TO VERSION AS OF `version` — roll the table's
+    * CONTENT back by committing a new version whose live file set (and
+    * per-file DV state) equals the target's: files added since are
+    * removed, files removed since are re-added with their recorded
+    * metadata (partition values, stats, deletion vector), and a file
+    * whose DV changed in place is re-added through the remove+add
+    * convention every reader understands. History is PRESERVED — the
+    * rolled-back versions still time-travel until vacuum reclaims them
+    * — and the operation is log-metadata-sized: zero data IO at any
+    * table size. Schema and protocol are NOT rolled back (the spec's
+    * RESTORE behavior); a schema change since the target refuses
+    * loudly rather than re-exposing old data under a new schema. A
+    * target whose data (or DV) files were already vacuumed refuses
+    * with the missing paths. Returns the new version; a no-op restore
+    * (content unchanged) returns the current head without committing. */
+  def restore(spark: SparkSession, table: String, version: Long): Long = {
+    val target = replay(spark, table, Some(version))
+    val current = replay(spark, table, None)
+    val head = (versions(table) ++ lastCheckpoint(table).map(_._1)).max
+    if (target.files == current.files) return head
+    if (target.schemaJson != current.schemaJson)
+      throw new UnsupportedOperationException(
+        s"$table: schema changed since v$version — RESTORE rolls back " +
+          "data, not schema")
+    val root = Paths.get(table)
+    val missing = target.files.toSeq.flatMap { case (rel, add) =>
+      val dataGone =
+        if (Files.exists(Paths.get(absPath(table, rel)))) Nil else Seq(rel)
+      val dvGone = add.dv.flatMap(_.filePath(root))
+        .filterNot(Files.exists(_)).map(_.toString).toSeq
+      dataGone ++ dvGone
+    }.sorted
+    if (missing.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$table: cannot RESTORE to v$version — files were vacuumed: " +
+          missing.take(3).mkString(", ") +
+          (if (missing.size > 3) ", …" else ""))
+    val now = System.currentTimeMillis()
+    val actions = Seq.newBuilder[ObjectNode]
+    current.files.keys.toSeq.sorted
+      .filterNot(target.files.contains).foreach { rel =>
+        val n = mapper.createObjectNode()
+        n.putObject("remove").put("path", encodePath(rel))
+          .put("deletionTimestamp", now).put("dataChange", true)
+        actions += n
+      }
+    target.files.toSeq.sortBy(_._1).foreach { case (rel, add) =>
+      if (!current.files.get(rel).contains(add)) {
+        if (current.files.contains(rel)) {
+          val r = mapper.createObjectNode()
+          r.putObject("remove").put("path", encodePath(rel))
+            .put("deletionTimestamp", now).put("dataChange", true)
+          actions += r
+        }
+        val n = mapper.createObjectNode()
+        val a = n.putObject("add").put("path", encodePath(rel))
+          .put("size", add.size).put("modificationTime", now)
+          .put("dataChange", true)
+        val pv = a.putObject("partitionValues")
+        add.partitionValues.foreach { case (k, v) =>
+          v.fold[Unit](pv.putNull(k))(pv.put(k, _))
+        }
+        add.stats.foreach(a.put("stats", _))
+        add.dv.foreach { d =>
+          val dn = a.putObject("deletionVector")
+          dn.put("storageType", d.storageType)
+            .put("pathOrInlineDv", d.pathOrInlineDv)
+          d.offset.foreach(dn.put("offset", _))
+          dn.put("sizeInBytes", d.sizeInBytes)
+            .put("cardinality", d.cardinality)
+        }
+        actions += n
+      }
+    }
+    commit(table, head + 1, actions.result(), "RESTORE")
+    head + 1
+  }
+
   /** MERGE INTO `table` USING `source` ON the `keys` equi-condition —
     * the upsert primitive (commitInfo operation "MERGE"). Semantics:
     *

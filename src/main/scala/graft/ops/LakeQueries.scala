@@ -1440,6 +1440,29 @@ object LakeQueries {
     * single-file commits, bin-pack, require (in-query, loudly) that
     * the file count dropped, prove the read is unchanged. Same
     * contract as the mirror's q_optimize_scan, on the Delta log. */
+  /** Delta RESTORE: DV-delete some rows, append foreign rows, then
+    * roll the table back to its initial version — the read must equal
+    * the pristine base while the rolled-back history still
+    * time-travels (asserted in DeltaRestoreSpec; the oracle checks the
+    * content contract). Log-metadata-sized at any table scale: restore
+    * moves add/remove actions, never data bytes. */
+  val deltaRestore: Q = (s, dir) => {
+    val tmp = graft.Scratch.dir("graft-delta-restore-q")
+    val sup = Tables.load(s, dir, "supplier")
+      .select("s_suppkey", "s_name", "s_acctbal")
+    val v0 = graft.lake.DeltaCompat.write(sup, tmp)
+    graft.lake.DeltaCompat.delete(s, tmp, col("s_suppkey") % 3 === 0)
+    graft.lake.DeltaCompat.write(
+      sup.filter(col("s_suppkey") % 11 === 0)
+        .withColumn("s_suppkey", col("s_suppkey") + 500000L), tmp)
+    val head = graft.lake.DeltaCompat.restore(s, tmp, v0)
+    require(head > v0, "restore must commit a new version")
+    graft.lake.DeltaCompat.read(s, tmp).orderBy("s_suppkey")
+  }
+
+  val deltaRestoreSql: String =
+    "SELECT s_suppkey, s_name, s_acctbal FROM supplier ORDER BY s_suppkey"
+
   val deltaOptimize: Q = (s, dir) => {
     val tmp = cachedFixture("graft-delta-opt-q", dir) { t =>
       val c = Tables.load(s, dir, "customer")
@@ -1491,6 +1514,7 @@ object LakeQueries {
   val queries: Map[String, Q] = Map(
     "q_delta_zorder" -> deltaZorder,
     "q_delta_optimize" -> deltaOptimize,
+    "q_delta_restore" -> deltaRestore,
     "q_delta_schema_evolve" -> deltaSchemaEvolve,
     "q_iceberg_partitions_meta" -> icebergPartitionsMeta,
     "q_iceberg_snapshots_meta" -> icebergSnapshotsMeta,
@@ -1543,6 +1567,7 @@ object LakeQueries {
   val oracleSql: Map[String, String] = Map(
     "q_delta_zorder" -> deltaZorderSql,
     "q_delta_optimize" -> deltaOptimizeSql,
+    "q_delta_restore" -> deltaRestoreSql,
     "q_delta_schema_evolve" -> deltaSchemaEvolveSql,
     "q_iceberg_partitions_meta" -> icebergPartitionsMetaSql,
     "q_iceberg_snapshots_meta" -> icebergSnapshotsMetaSql,

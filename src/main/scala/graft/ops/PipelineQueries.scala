@@ -1726,54 +1726,24 @@ object PipelineQueries {
     * maximal munch and report per-doc token/fallback counts (the
     * numbers a token-budget planner consumes).
     *
-    * Execution: the per-word greedy loop is a bounded FOLD — 8 steps
-    * (the longest fixture word) over a struct accumulator
-    * (offset, tokens, fallbacks) via `aggregate`, nested inside a
-    * `transform` over the word array. The accumulator is a lambda
-    * variable, so the expression tree is LINEAR in the step count
-    * (hand-unrolling through chained whens would re-inline the whole
-    * prefix at every step, ~3^8 nodes, and blow codegen's method
-    * limit). Zero shuffle, zero UDF: a 100 TB corpus tokenizes at
-    * scan speed; DuckDB mirrors the fold with list_reduce over the
-    * same struct. */
+    * Execution: ONE fused codegen kernel per document
+    * ([[graft.functions.expressions.DocOps.subwordCounts]]) — zero
+    * shuffle, zero UDF, one static call per row inside whole-stage
+    * codegen; a 100 TB corpus tokenizes at scan speed. A declarative
+    * bounded-struct-fold spelling (aggregate over the word array)
+    * computes the same counts but runs INTERPRETED — higher-order
+    * functions never enter codegen — at ~100× the per-doc cost; the
+    * DuckDB oracle keeps that fold (list_reduce with the offset field
+    * ordered LAST, because DuckDB 1.0 applies struct_pack fields
+    * sequentially — a later field sees an earlier field's updated
+    * value). The brute-force spec arm pins kernel == fold semantics. */
   val tokenizeSubword: Q = (s, dir) => {
-    def step(w: Column, o: Column): Column =
-      when(w.substr(o.cast("int"), lit(4)).isInCollection(SubV4), 4L)
-        .when(w.substr(o.cast("int"), lit(3)).isInCollection(SubV3), 3L)
-        .when(w.substr(o.cast("int"), lit(2)).isInCollection(SubV2), 2L)
-        .otherwise(1L)
-    // Field order (nt, nf, o) — o, the only field other fields read,
-    // comes LAST: DuckDB 1.0's list_reduce applies struct_pack fields
-    // SEQUENTIALLY (a later field sees an earlier field's UPDATED
-    // value), so any order where a counter follows the offset update
-    // silently counts against the advanced offset. With o last, the
-    // fold means the same thing under sequential AND snapshot
-    // semantics, so both engines agree whichever DuckDB ships.
-    def wordFold(w: Column): Column =
-      aggregate(
-        sequence(lit(1), lit(8)),
-        struct(lit(0L).as("nt"), lit(0L).as("nf"), lit(1L).as("o")),
-        (acc, _) => {
-          val o = acc.getField("o")
-          val in = o <= length(w).cast("long")
-          val sl = step(w, o)
-          struct(
-            (acc.getField("nt") + when(in, 1L).otherwise(0L)).as("nt"),
-            (acc.getField("nf") +
-              when(in && sl === 1L, 1L).otherwise(0L)).as("nf"),
-            (o + when(in, sl).otherwise(1L)).as("o"))
-        })
-    val words = split(col("text"), " ")
-    val per = transform(words, w => wordFold(w))
-    val tot = aggregate(per,
-      struct(lit(0L).as("nt"), lit(0L).as("nf")),
-      (a, x) => struct(
-        (a.getField("nt") + x.getField("nt")).as("nt"),
-        (a.getField("nf") + x.getField("nf")).as("nf")))
+    import graft.functions.expressions.{DocExpressions => DE}
     docs(s, dir)
-      .select(col("doc_id"), size(words).cast("long").as("n_words"),
-        tot.getField("nt").as("n_tokens"),
-        tot.getField("nf").as("n_fallback"))
+      .select(col("doc_id"), DE.subword_counts(col("text")).as("f"))
+      .select(col("doc_id"), col("f.n_words").as("n_words"),
+        col("f.n_tokens").as("n_tokens"),
+        col("f.n_fallback").as("n_fallback"))
       .orderBy("doc_id")
   }
 
@@ -1830,26 +1800,23 @@ object PipelineQueries {
     * pass of the quality-classifier stage every production corpus runs
     * (CCNet/fasttext-style) — the heuristics twin is [[textStats]].
     *
-    * Scale: pure per-row expression work — transform/aggregate over the
-    * split array inside whole-stage codegen, zero shuffle, zero UDF;
-    * the "model" rides the expression tree (a real trained weight table
-    * would broadcast a 4096-entry map). A 100 TB corpus classifies at
-    * scan speed. */
+    * Scale: ONE fused codegen kernel per document
+    * ([[graft.functions.expressions.DocOps.classify]]) — hash → bucket
+    * → weight → sum in a single static call per row, zero shuffle,
+    * zero UDF; bigram hashes continue the previous word's fold through
+    * the separator, so no bigram string is materialized. (The
+    * transform/aggregate spelling computes the same sums but runs
+    * interpreted — HOFs never enter codegen — at ~100× the per-doc
+    * cost; the oracle and the brute-force spec arm pin the kernel to
+    * those semantics.) A 100 TB corpus classifies at scan speed; a
+    * real trained weight table would broadcast as a 4096-entry array
+    * riding the expression exactly like [[featWeight]]'s constants. */
   val textClassify: Q = (s, dir) => {
-    val words = split(col("text"), " ")
-    def sumW(arr: Column) = aggregate(arr, lit(0L), (a, x) => a + x)
-    val uniSum = sumW(transform(words, w => featWeight(HE.poly_hash(w))))
-    // sequence(1, n-1) — guarded: sequence(1, 0) yields a DESCENDING
-    // [1,0], not an empty list
-    val biSum = when(size(words) > 1,
-      sumW(transform(sequence(lit(1), size(words) - 1), i =>
-        featWeight(HE.poly_hash(concat(
-          element_at(words, i), lit(" "), element_at(words, i + 1)))))))
-      .otherwise(0L)
+    import graft.functions.expressions.{DocExpressions => DE}
     docs(s, dir)
-      .select(col("doc_id"), size(words).cast("long").as("n_uni"),
-        greatest(size(words) - 1, lit(0)).cast("long").as("n_bi"),
-        (uniSum + biSum).as("score"))
+      .select(col("doc_id"), DE.classify_features(col("text")).as("f"))
+      .select(col("doc_id"), col("f.n_uni").as("n_uni"),
+        col("f.n_bi").as("n_bi"), col("f.score").as("score"))
       .withColumn("keep", col("score") > 0L)
       .orderBy("doc_id")
   }

@@ -82,6 +82,35 @@ object DocOps {
     }
     new GenericInternalRow(Array[Any](words.length.toLong, nt, nf))
   }
+
+  /** Content-defined chunk tuples of one document: array of
+    * struct(chunk_id, start_tok, end_tok, n_tokens), 1-based token
+    * positions — a boundary falls AFTER token i (1 ≤ i < n) when
+    * polyHash(token_i) % 16 == 0, exactly the chunkCdc fold. Emitting
+    * the finished tuples per doc means the explode carries only the
+    * chunk structs — the HOF spelling dragged the full word and
+    * boundary arrays through every exploded row. */
+  def cdcChunks(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val n = words.length
+    val starts = new scala.collection.mutable.ArrayBuffer[Long](8)
+    starts += 1L
+    var i = 1
+    while (i < n) {
+      if (foldChars(0L, words(i - 1)) % 16L == 0L) starts += i + 1L
+      i += 1
+    }
+    val out = new Array[Any](starts.length)
+    var k = 0
+    while (k < starts.length) {
+      val start = starts(k)
+      val end = if (k + 1 < starts.length) starts(k + 1) - 1 else n.toLong
+      out(k) = new GenericInternalRow(
+        Array[Any](k + 1L, start, end, end - start + 1))
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 case class ClassifyFeatures(child: Expression) extends UnaryExpression {
@@ -112,9 +141,27 @@ case class SubwordCounts(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
+case class CdcChunks(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StructType(Seq(
+      StructField("chunk_id", LongType, nullable = false),
+      StructField("start_tok", LongType, nullable = false),
+      StructField("end_tok", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false))),
+      containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override protected def nullSafeEval(v: Any): Any =
+    DocOps.cdcChunks(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expressions.DocOps.cdcChunks($c)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
 object DocExpressions {
   import ColumnBridge.{column, expression => expr}
 
   def classify_features(c: Column): Column = column(ClassifyFeatures(expr(c)))
   def subword_counts(c: Column): Column = column(SubwordCounts(expr(c)))
+  def cdc_chunks(c: Column): Column = column(CdcChunks(expr(c)))
 }

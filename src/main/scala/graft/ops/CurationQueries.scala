@@ -583,31 +583,17 @@ object CurationQueries {
     * modulus (~16 tokens). Same scale shape as the fixed windows: pure
     * per-row lambda arithmetic and one explode, zero shuffle. */
   val chunkCdc: Q = (s, dir) => {
-    import graft.functions.expressions.{HashExpressions => HE}
-    val d = docs(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .withColumn("hs", HE.poly_hash_array(col("w")))
-    // boundary positions i (1-based, i < len) where hs[i] % 16 == 0 →
-    // next chunk starts at i+1; sequence() guarded: Spark generates a
-    // DESCENDING range when start > stop, so a 1-token doc must not
-    // evaluate sequence(1, 0)
-    val inner = when(size(col("w")) > 1,
-        transform(
-          filter(sequence(lit(1L), (size(col("w")) - 1).cast("long")),
-            i => element_at(col("hs"), i.cast("int")) % 16 === 0),
-          i => i + 1))
-      .otherwise(array().cast("array<bigint>"))
-    d.withColumn("starts", concat(array(lit(1L)), inner))
-      .select(col("doc_id"), col("w"), col("starts"),
-        posexplode(col("starts")).as(Seq("k0", "start_tok")))
-      .select(col("doc_id"),
-        (col("k0") + 1).cast("bigint").as("chunk_id"),
-        col("start_tok").cast("bigint").as("start_tok"),
-        when(col("k0") + 2 <= size(col("starts")),
-          element_at(col("starts"), (col("k0") + 2).cast("int")) - 1)
-          .otherwise(size(col("w")).cast("bigint")).cast("bigint")
-          .as("end_tok"))
-      .withColumn("n_tokens", col("end_tok") - col("start_tok") + 1)
+    import graft.functions.expressions.{DocExpressions => DE}
+    // ONE fused codegen kernel emits the finished chunk tuples per doc
+    // (DocOps.cdcChunks — same hash fold, same %16 boundary rule as
+    // the HOF spelling the oracle keeps); the explode then carries
+    // only the chunk structs, where the HOF plan dragged the full
+    // word + boundary arrays through every exploded row
+    docs(s, dir)
+      .select(col("doc_id"), explode(DE.cdc_chunks(col("text"))).as("c"))
+      .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+        col("c.start_tok").as("start_tok"), col("c.end_tok").as("end_tok"),
+        col("c.n_tokens").as("n_tokens"))
       .orderBy("doc_id", "chunk_id")
   }
 

@@ -2588,6 +2588,10 @@ object IcebergCompat {
             s.path("manifest-list").asText(""))
         }.toDF("snapshot_id", "parent_id", "sequence_number",
           "committed_at_ms", "operation", "manifest_list")
+      case "refs" =>
+        refs(Paths.get(tableDir).toString).toSeq.sortBy(_._1).map {
+          case (name, (sid, tpe)) => (name, tpe, sid)
+        }.toDF("name", "type", "snapshot_id")
       case "manifests" =>
         listRecords.map { r =>
           (r.get("manifest_path").toString, num(r, "manifest_length"),

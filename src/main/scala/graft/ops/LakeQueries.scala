@@ -1402,6 +1402,31 @@ object LakeQueries {
       |  (4, 'overwrite')) AS t(sequence_number, operation)
       |ORDER BY sequence_number""".stripMargin
 
+  /** Refs metadata table (the `refs` inspection real catalogs expose):
+    * after a tag, a branch with its own commit, and a further main
+    * commit, the refs listing must name all three heads with the
+    * deterministic snapshot ids the writer assigns (metadata version ×
+    * 100) — main moved by its commit only, the branch by its own, the
+    * tag pinned. Metadata-JSON read only, no manifest IO. */
+  val icebergRefsMeta: Q = (s, dir) => {
+    val tmp = graft.Scratch.dir("graft-iceberg-refsmeta-q")
+    val n = Tables.load(s, dir, "nation")
+    graft.lake.IcebergCompat.write(n, tmp) // metadata v1 → snapshot 100
+    graft.lake.IcebergCompat.createTag(tmp, "v1") // v2
+    graft.lake.IcebergCompat.createBranch(tmp, "audit") // v3
+    graft.lake.IcebergCompat.write(
+      n.filter(col("n_nationkey") < 5), tmp, ref = "audit") // v4 → 400
+    graft.lake.IcebergCompat.write(
+      n.filter(col("n_nationkey") >= 20), tmp) // v5 → 500
+    graft.lake.IcebergCompat.inspect(s, tmp, "refs").orderBy("name")
+  }
+
+  val icebergRefsMetaSql: String =
+    """SELECT name, type, CAST(snapshot_id AS BIGINT) AS snapshot_id
+      |FROM (VALUES ('audit', 'branch', 400), ('main', 'branch', 500),
+      |  ('v1', 'tag', 100)) AS t(name, type, snapshot_id)
+      |ORDER BY name""".stripMargin
+
   /** Delta schema evolution end-to-end on a column-mapped table:
     * rename + add (metaData-only commits), append under the evolved
     * schema, read the mixed file set — old files resolve the renamed
@@ -1518,6 +1543,7 @@ object LakeQueries {
     "q_delta_schema_evolve" -> deltaSchemaEvolve,
     "q_iceberg_partitions_meta" -> icebergPartitionsMeta,
     "q_iceberg_snapshots_meta" -> icebergSnapshotsMeta,
+    "q_iceberg_refs_meta" -> icebergRefsMeta,
     "q_iceberg_schema_evolve" -> icebergSchemaEvolve,
     "q_delta_merge" -> deltaMerge,
     "q_delta_cdf" -> deltaCdf,
@@ -1571,6 +1597,7 @@ object LakeQueries {
     "q_delta_schema_evolve" -> deltaSchemaEvolveSql,
     "q_iceberg_partitions_meta" -> icebergPartitionsMetaSql,
     "q_iceberg_snapshots_meta" -> icebergSnapshotsMetaSql,
+    "q_iceberg_refs_meta" -> icebergRefsMetaSql,
     "q_iceberg_schema_evolve" -> icebergSchemaEvolveSql,
     "q_delta_merge" -> deltaMergeSql,
     "q_delta_cdf" -> deltaCdfSql,

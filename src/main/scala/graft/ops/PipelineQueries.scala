@@ -773,6 +773,64 @@ object PipelineQueries {
        |WHERE n.rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
+  /** Matryoshka-truncation serving (MRL): rank with the FIRST 16 of 64
+    * dims — the cheap first-stage a nested-representation index serves
+    * (4× less memory bandwidth per candidate) — and report, per
+    * returned row, whether the full-precision ranking also has it in
+    * its top-5 (`hit`, the recall evidence a serving team monitors
+    * when they shrink the stage-1 representation). Both rankings are
+    * exact and deterministic, so the WHOLE output is oracle-checked —
+    * no in-band hedging needed.
+    *
+    * One corpus pass: both cosines ride the same broadcast-join row,
+    * and the two row_numbers share one qid partitioning (one shuffle,
+    * two in-partition sorts). */
+  val embedMatryoshka: Q = (s, dir) => {
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        SVE.cosine_sim(slice(col("qv"), 1, 16),
+          slice(col("embedding"), 1, 16)).as("tcos"),
+        SVE.cosine_sim(col("qv"), col("embedding")).as("fcos"))
+    val wt = Window.partitionBy("qid").orderBy(col("tcos").desc, col("vec_id"))
+    val wf = Window.partitionBy("qid").orderBy(col("fcos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(wt).cast("bigint"))
+      .withColumn("rf", row_number().over(wf))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("vec_id"), col("tcos"),
+        (col("rf") <= 5).as("hit"))
+      .orderBy("qid", "rank")
+  }
+
+  val embedMatryoshkaSql: String = {
+    def dot16(a: String, b: String) =
+      sqlFoldSum(s"list_transform(range(1, 17), " +
+        s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
+    val tQE = dot16("q.embedding", "e.embedding")
+    val tQ = dot16("q.embedding", "q.embedding")
+    val tE = dot16("e.embedding", "e.embedding")
+    val fQE = sqlDot("q.embedding", "e.embedding")
+    val fQ = sqlDot("q.embedding", "q.embedding")
+    val fE = sqlDot("e.embedding", "e.embedding")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings
+       |  WHERE vec_id < 8),
+       |scored AS (SELECT q.qid, e.vec_id,
+       |    $tQE / (sqrt($tQ) * sqrt($tE)) AS tcos,
+       |    $fQE / (sqrt($fQ) * sqrt($fE)) AS fcos
+       |  FROM embeddings e JOIN q ON e.vec_id <> q.qid),
+       |ranked AS (SELECT qid, vec_id, tcos,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY tcos DESC, vec_id) AS rank,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY fcos DESC, vec_id) AS rf
+       |  FROM scored)
+       |SELECT qid, rank, vec_id, tcos, rf <= 5 AS hit
+       |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
   /** IVF-style ANN (the scale path): centroids = every 50th vector
     * (deterministic stand-in for k-means — at scale you'd train on a
     * sample); every vector is assigned to its nearest centroid (one
@@ -1706,6 +1764,48 @@ object PipelineQueries {
   }
 
   // ===========================================================================
+  // Inverted-index postings build
+  // ===========================================================================
+
+  /** Postings lists over 3-word shingles — the inverted index an
+    * exact-match decontamination / provenance lookup serves from:
+    * shingle → (df, sorted doc list), restricted to the DISCRIMINATIVE
+    * slice (2 ≤ df ≤ 20; df=1 is noise, high-df is boilerplate a
+    * lookup never wants).
+    *
+    * Scale shape — df FIRST, postings SECOND: a single
+    * collect_list-then-filter pass would accumulate the full posting
+    * list of every boilerplate shingle (the df cap's whole point is
+    * that those are corpus-sized) before discarding it — the classic
+    * build-then-drop skew. Counting df is a map-side-combined
+    * aggregate; the join back restricts the collect to rows whose
+    * lists are ≤ 20 elements BY CONSTRUCTION, so no aggregation state
+    * is ever unbounded. Both legs reuse the same shingle exchange
+    * (one explode, one shuffle key); AQE picks the join build side. */
+  val textPostings: Q = (s, dir) => {
+    val sh = docs(s, dir)
+      .select(col("doc_id"),
+        explode(SVE.word_shingles(col("text"), 3)).as("shingle"))
+    val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 20))
+    sh.join(dfs, "shingle")
+      .groupBy("shingle", "df")
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+      .orderBy("shingle")
+  }
+
+  val textPostingsSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |s AS (SELECT doc_id, unnest($sqlShingles) AS shingle FROM t),
+       |df AS (SELECT shingle, count(*) AS df FROM s GROUP BY shingle
+       |  HAVING count(*) BETWEEN 2 AND 20)
+       |SELECT s.shingle, df.df,
+       |  list_sort(list(s.doc_id)) AS postings
+       |FROM s JOIN df USING (shingle)
+       |GROUP BY s.shingle, df.df
+       |ORDER BY shingle""".stripMargin
+
+  // ===========================================================================
   // Subword tokenizer apply (greedy maximal munch)
   // ===========================================================================
 
@@ -1845,6 +1945,7 @@ object PipelineQueries {
   val queries: Map[String, Q] = Map(
     "q_text_classify" -> textClassify,
     "q_tokenize_subword" -> tokenizeSubword,
+    "q_text_postings" -> textPostings,
     "q_text_heavy_hitters" -> textHeavyHitters,
     "q_text_vocab" -> textVocab,
     "q_text_stats" -> textStats,
@@ -1861,6 +1962,7 @@ object PipelineQueries {
     "q_dedup_semantic" -> dedupSemantic,
     "q_embed_topk" -> embedTopK,
     "q_mine_negatives" -> mineNegatives,
+    "q_embed_matryoshka" -> embedMatryoshka,
     "q_embed_ivf" -> embedIvf,
     "q_embed_pq" -> embedPq,
     "q_embed_ivfpq" -> embedIvfPq,
@@ -1881,6 +1983,7 @@ object PipelineQueries {
   val oracleSql: Map[String, String] = Map(
     "q_text_classify" -> textClassifySql,
     "q_tokenize_subword" -> tokenizeSubwordSql,
+    "q_text_postings" -> textPostingsSql,
     "q_cluster_sample" -> clusterSampleSql,
     "q_text_tfidf" -> textTfidfSql,
     "q_text_bm25" -> textBm25Sql,
@@ -1903,6 +2006,7 @@ object PipelineQueries {
     "q_dedup_semantic" -> dedupSemanticSql,
     "q_embed_topk" -> embedTopKSql,
     "q_mine_negatives" -> mineNegativesSql,
+    "q_embed_matryoshka" -> embedMatryoshkaSql,
     "q_embed_ivf" -> embedIvfSql,
     "q_embed_pq" -> embedPqSql,
     "q_embed_ivfpq" -> embedIvfPqSql,

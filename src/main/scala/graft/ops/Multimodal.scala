@@ -263,13 +263,85 @@ object Multimodal {
       |  max(width) AS max_resized_w
       |FROM f GROUP BY media_type ORDER BY media_type""".stripMargin
 
+  /** Deterministic 16-bit mono PCM for doc `id` (the audio-fixture
+    * analog of [[encodePng]]): (id%400)+800 samples of
+    * ((id·7919 + i·104729) % 4096) − 2048 — the formula the oracle
+    * reproduces arithmetically — behind the same 16-byte header
+    * (magic, n_samples, sample_rate, channels). */
+  private def encodePcm(id: Long): Array[Byte] = {
+    val n = (id % 400 + 800).toInt
+    val buf = ByteBuffer.allocate(16 + 2 * n).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(MagicV1)
+    buf.putInt(n)
+    buf.putInt(16000)
+    buf.putInt(1)
+    var i = 0
+    while (i < n) {
+      buf.putShort((((id * 7919 + i.toLong * 104729) % 4096) - 2048).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Audio feature extraction: PCM binary column → per-partition batch
+    * decode → overlapping frame windows (400 samples, hop 200) →
+    * integer frame energy Σx² (no sqrt — exact in both engines). This
+    * is the audio leg of the modality trio: the same
+    * binary-column-until-decode, mapPartitions-batched shape as the
+    * PNG path, with the DSP windowing a real feature extractor
+    * (MFCC/fbank front end) starts from. The oracle recomputes every
+    * sample arithmetically, so the int16 encode→binary→decode
+    * round-trip and the window indexing are both pinned, not just the
+    * plumbing. Zero shuffle until the harness sort; frames per doc
+    * ride an iterator, never a materialized array-of-frames. */
+  val audioFrames: (SparkSession, String) => DataFrame = (s, dir) => {
+    import s.implicits._
+    val pcm = Tables.load(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") % 3 === 1)
+      .as[Long].map(id => Asset(id, "audio", encodePcm(id)))
+    pcm.mapPartitions { it =>
+      it.flatMap { a =>
+        val buf = ByteBuffer.wrap(a.payload).order(ByteOrder.LITTLE_ENDIAN)
+        require(buf.getInt() == MagicV1, s"bad PCM header for ${a.doc_id}")
+        val n = buf.getInt()
+        buf.getInt(); buf.getInt() // rate, channels — fixed in fixture
+        val x = new Array[Short](n)
+        var i = 0
+        while (i < n) { x(i) = buf.getShort(); i += 1 }
+        val nf = (n - 400) / 200 + 1
+        (0 until nf).iterator.map { k =>
+          var e = 0L
+          var j = 0
+          while (j < 400) { val v = x(k * 200 + j).toLong; e += v * v; j += 1 }
+          (a.doc_id, k.toLong, e)
+        }
+      }
+    }.toDF("doc_id", "frame", "energy")
+      .orderBy("doc_id", "frame")
+  }
+
+  val audioFramesSql: String = {
+    val sample = "((doc_id * 7919 + (frame * 200 + j) * 104729) % 4096 - 2048)"
+    s"""WITH a AS (SELECT doc_id, CAST(doc_id % 400 + 800 AS BIGINT) AS n
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |f AS (SELECT doc_id, unnest(range(0, (n - 400) // 200 + 1)) AS frame
+       |  FROM a)
+       |SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(0, 400), j -> $sample * $sample)),
+       |    (acc, v) -> acc + v) AS energy
+       |FROM f ORDER BY doc_id, frame""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> features,
     "q_multimodal_frames" -> framePipeline,
+    "q_multimodal_audio" -> audioFrames,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_multimodal_features" -> featuresSql,
     "q_multimodal_frames" -> framePipelineSql,
+    "q_multimodal_audio" -> audioFramesSql,
   )
 }

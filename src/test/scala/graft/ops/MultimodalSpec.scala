@@ -76,4 +76,25 @@ class MultimodalSpec extends SparkSuite {
       assert(n === (nf(id) + 4) / 5, s"doc $id frames $n of ${nf(id)}")
     }
   }
+
+  test("audio frames: window tiling exact, energies match a direct fold") {
+    import spark.implicits._
+    val rows = Multimodal.audioFrames(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    def sample(id: Long, i: Long): Long =
+      (id * 7919 + i * 104729) % 4096 - 2048
+    rows.groupBy(_._1).foreach { case (id, g) =>
+      val n = id % 400 + 800
+      val nf = (n - 400) / 200 + 1
+      assert(g.map(_._2).sorted.toSeq === (0L until nf).toSeq,
+        s"doc $id frame tiling")
+      g.foreach { case (_, k, e) =>
+        val want = (0L until 400L).map { j =>
+          val v = sample(id, k * 200 + j); v * v
+        }.sum
+        assert(e === want, s"doc $id frame $k energy")
+      }
+    }
+  }
 }

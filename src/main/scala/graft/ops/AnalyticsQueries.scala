@@ -385,7 +385,73 @@ object AnalyticsQueries {
       |  max(o_totalprice) AS max_price
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Column profiling — the data-quality pass a warehouse runs before
+    * trusting a feed: per column, null count, exact distinct count,
+    * and numeric min/max (exact in double for these domains). ONE scan
+    * feeds every metric (Spark expands the multi-distinct into the
+    * standard expand+two-phase aggregate; the oracle computes the same
+    * scalars), then a literal stack pivots the scalars into one row
+    * per column. At 100 TB exact multi-distinct is the expensive
+    * spelling — the bounded-state twin is approx_count_distinct
+    * (q_events_approx_distinct's HLL contract); this is the exact
+    * baseline the oracle can hash. */
+  val profileColumns: Q = (s, dir) => {
+    val l = t(s, dir, "lineitem")
+    def nulls(c: String) =
+      count(when(col(c).isNull, 1)).as(s"n_$c")
+    val row = l.agg(
+      count(lit(1)).as("n_rows"),
+      nulls("l_quantity"), countDistinct(col("l_quantity")).as("d_l_quantity"),
+      min(col("l_quantity").cast("double")).as("mn_l_quantity"),
+      max(col("l_quantity").cast("double")).as("mx_l_quantity"),
+      nulls("l_discount"), countDistinct(col("l_discount")).as("d_l_discount"),
+      min(col("l_discount").cast("double")).as("mn_l_discount"),
+      max(col("l_discount").cast("double")).as("mx_l_discount"),
+      nulls("l_linenumber"),
+      countDistinct(col("l_linenumber")).as("d_l_linenumber"),
+      min(col("l_linenumber").cast("double")).as("mn_l_linenumber"),
+      max(col("l_linenumber").cast("double")).as("mx_l_linenumber"),
+      nulls("l_returnflag"), countDistinct(col("l_returnflag")).as("d_l_returnflag"))
+    row.selectExpr("n_rows", """stack(4,
+      'l_quantity',  n_l_quantity,  d_l_quantity,  mn_l_quantity,  mx_l_quantity,
+      'l_discount',  n_l_discount,  d_l_discount,  mn_l_discount,  mx_l_discount,
+      'l_linenumber',n_l_linenumber,d_l_linenumber,mn_l_linenumber,mx_l_linenumber,
+      'l_returnflag',  n_l_returnflag,  d_l_returnflag,  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+      ) AS (column_name, n_nulls, n_distinct, min_v, max_v)""")
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_v"), col("max_v"))
+      .orderBy("column_name")
+  }
+
+  val profileColumnsSql: String =
+    """WITH a AS (SELECT count(*) AS n_rows,
+      |  count(CASE WHEN l_quantity IS NULL THEN 1 END) AS n1,
+      |  CAST(count(DISTINCT l_quantity) AS BIGINT) AS d1,
+      |  CAST(min(l_quantity) AS DOUBLE) AS mn1,
+      |  CAST(max(l_quantity) AS DOUBLE) AS mx1,
+      |  count(CASE WHEN l_discount IS NULL THEN 1 END) AS n2,
+      |  CAST(count(DISTINCT l_discount) AS BIGINT) AS d2,
+      |  CAST(min(l_discount) AS DOUBLE) AS mn2,
+      |  CAST(max(l_discount) AS DOUBLE) AS mx2,
+      |  count(CASE WHEN l_linenumber IS NULL THEN 1 END) AS n3,
+      |  CAST(count(DISTINCT l_linenumber) AS BIGINT) AS d3,
+      |  CAST(min(l_linenumber) AS DOUBLE) AS mn3,
+      |  CAST(max(l_linenumber) AS DOUBLE) AS mx3,
+      |  count(CASE WHEN l_returnflag IS NULL THEN 1 END) AS n4,
+      |  CAST(count(DISTINCT l_returnflag) AS BIGINT) AS d4
+      | FROM lineitem)
+      |SELECT column_name, n_rows, n_nulls, n_distinct, min_v, max_v
+      |FROM (
+      |  SELECT 'l_quantity' AS column_name, n_rows, n1 AS n_nulls,
+      |    d1 AS n_distinct, mn1 AS min_v, mx1 AS max_v FROM a
+      |  UNION ALL SELECT 'l_discount', n_rows, n2, d2, mn2, mx2 FROM a
+      |  UNION ALL SELECT 'l_linenumber', n_rows, n3, d3, mn3, mx3 FROM a
+      |  UNION ALL SELECT 'l_returnflag', n_rows, n4, d4,
+      |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM a)
+      |ORDER BY column_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_profile_columns" -> profileColumns,
     "q_agg_argmax" -> aggArgmax,
     "q_pivot" -> pivotStatus,
     "q_unpivot" -> unpivotCustomer,
@@ -404,6 +470,7 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_profile_columns" -> profileColumnsSql,
     "q_agg_argmax" -> aggArgmaxSql,
     "q_pivot" -> pivotStatusSql,
     "q_unpivot" -> unpivotCustomerSql,

@@ -160,7 +160,55 @@ object EventQueries {
       |  count(*) AS n, TRUE AS approx_within_bound
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Funnel analysis: view → click → purchase, strictly ordered per
+    * user (each stage's first event must be AFTER the previous stage's
+    * first). The report is the classic conversion table — users
+    * reaching each stage plus the exact total view→purchase latency in
+    * integer microseconds (no float drift).
+    *
+    * Scale shape: each stage is a map-side type filter + one
+    * user-keyed min-aggregate, then a user-keyed join onto the
+    * previous stage's (user, ts) frame — per-stage cost is one shuffle
+    * of the stage's events, never an all-events self-join; the stage
+    * frames are user-cardinality, far below event cardinality. */
+  val funnel: Q = (s, dir) => {
+    val e = ev(s, dir).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts").cast("timestamp")).as("tsu"))
+    def stage(tpe: String) = e.filter(col("event_type") === tpe)
+    val s1 = stage("view").groupBy("user_id").agg(min(col("tsu")).as("t1"))
+    val s2 = stage("click").join(s1, "user_id")
+      .filter(col("tsu") > col("t1"))
+      .groupBy("user_id").agg(min(col("tsu")).as("t2"), min(col("t1")).as("t1"))
+    val s3 = stage("purchase").join(s2, "user_id")
+      .filter(col("tsu") > col("t2"))
+      .groupBy("user_id").agg(min(col("tsu")).as("t3"), min(col("t1")).as("t1"))
+    s1.agg(count(lit(1)).as("n_viewed")).join(
+      s2.agg(count(lit(1)).as("n_clicked")), lit(true)).join(
+      s3.agg(count(lit(1)).as("n_purchased"),
+        sum(col("t3") - col("t1")).as("total_funnel_micros")), lit(true))
+  }
+
+  val funnelSql: String =
+    """WITH e AS (SELECT user_id, event_type,
+      |    epoch_us(ts) AS tsu FROM events),
+      |s1 AS (SELECT user_id, min(tsu) AS t1 FROM e
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(e.tsu) AS t2, min(s1.t1) AS t1
+      |  FROM e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.tsu > s1.t1
+      |  GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(e.tsu) AS t3, min(s2.t1) AS t1
+      |  FROM e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.tsu > s2.t2
+      |  GROUP BY e.user_id)
+      |SELECT (SELECT count(*) FROM s1) AS n_viewed,
+      |  (SELECT count(*) FROM s2) AS n_clicked,
+      |  (SELECT count(*) FROM s3) AS n_purchased,
+      |  (SELECT CAST(sum(t3 - t1) AS BIGINT) FROM s3)
+      |    AS total_funnel_micros""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_events_funnel" -> funnel,
     "q_events_tumbling" -> tumbling,
     "q_events_sliding" -> sliding,
     "q_events_sessionize" -> sessionize,
@@ -169,6 +217,7 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_events_funnel" -> funnelSql,
     "q_events_tumbling" -> tumblingSql,
     "q_events_sliding" -> slidingSql,
     "q_events_sessionize" -> sessionizeSql,

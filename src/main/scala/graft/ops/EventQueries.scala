@@ -207,8 +207,37 @@ object EventQueries {
       |  (SELECT CAST(sum(t3 - t1) AS BIGINT) FROM s3)
       |    AS total_funnel_micros""".stripMargin
 
+  /** Cohort retention: users grouped by first-seen day, counted on
+    * each later active day as (cohort_day, day_offset, n_users) — the
+    * retention matrix every growth dashboard draws. Integer-exact
+    * (epoch-day datediff). Shape: one distinct on (user, day) — the
+    * activity grid, ≪ events — one user-keyed min-aggregate for the
+    * cohort, one join on user, one grid-keyed count; the events table
+    * is scanned once per leg and never self-joined. */
+  val retention: Q = (s, dir) => {
+    val e = ev(s, dir).select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohort = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    e.distinct().join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val retentionSql: String =
+    """WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      |  FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+      |SELECT c.cohort_day,
+      |  CAST(e.day - c.cohort_day AS BIGINT) AS day_offset,
+      |  count(DISTINCT e.user_id) AS n_users
+      |FROM e JOIN c USING (user_id)
+      |GROUP BY c.cohort_day, day_offset
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_events_funnel" -> funnel,
+    "q_events_retention" -> retention,
     "q_events_tumbling" -> tumbling,
     "q_events_sliding" -> sliding,
     "q_events_sessionize" -> sessionize,
@@ -218,6 +247,7 @@ object EventQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_events_funnel" -> funnelSql,
+    "q_events_retention" -> retentionSql,
     "q_events_tumbling" -> tumblingSql,
     "q_events_sliding" -> slidingSql,
     "q_events_sessionize" -> sessionizeSql,

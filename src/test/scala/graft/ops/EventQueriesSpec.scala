@@ -25,4 +25,52 @@ class EventQueriesSpec extends SparkSuite {
       .as[(String, Long)].collect().toMap
     rows.foreach { case (k, ex, _) => assert(exact(k) === ex) }
   }
+
+  test("funnel: stage counts monotone and equal an independent recompute") {
+    val sf = "/root/testdata/sf0.001"
+    val (nv, nc, np, tot) = EventQueries.funnel(spark, sf)
+      .as[(Long, Long, Long, Long)].head()
+    assert(nv >= nc && nc >= np && np >= 0, s"monotone: $nv $nc $np")
+    assert(tot >= 0L)
+    // independent recompute from the raw events
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("t"))
+      .as[(Long, String, Long)].collect()
+    val byUser = ev.groupBy(_._1)
+    def firstAfter(g: Array[(Long, String, Long)], tpe: String,
+        after: Long): Option[Long] =
+      g.filter(e => e._2 == tpe && e._3 > after).map(_._3).minOption
+    var (v, c, p, lat) = (0L, 0L, 0L, 0L)
+    byUser.values.foreach { g =>
+      g.filter(_._2 == "view").map(_._3).minOption.foreach { t1 =>
+        v += 1
+        firstAfter(g, "click", t1).foreach { t2 =>
+          c += 1
+          firstAfter(g, "purchase", t2).foreach { t3 =>
+            p += 1; lat += t3 - t1
+          }
+        }
+      }
+    }
+    assert((nv, nc, np, tot) === ((v, c, p, lat)))
+  }
+
+  test("retention: offset-0 row equals the cohort size, offsets >= 0") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = EventQueries.retention(spark, sf)
+      .as[(java.sql.Date, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.forall(_._2 >= 0))
+    // day-0 cell per cohort = number of users whose first day is that day
+    val cohorts = graft.Tables.load(spark, sf, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy("user_id").agg(min(col("day")).as("c"))
+      .groupBy("c").count()
+      .as[(java.sql.Date, Long)].collect().toMap
+    rows.filter(_._2 == 0L).foreach { case (d, _, n) =>
+      assert(cohorts(d) === n, s"cohort $d day-0")
+    }
+    // every cohort has a day-0 row
+    assert(rows.count(_._2 == 0L) === cohorts.size)
+  }
 }

@@ -266,6 +266,17 @@ class PipelineSpec extends SparkSuite {
     assert(got.exists(_._5) && got.exists(!_._5))
   }
 
+  test("postings: df equals list length, lists sorted, bounds hold") {
+    val rows = PipelineQueries.textPostings(spark, sf)
+      .as[(String, Long, Seq[Long])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (sh, df, ps) =>
+      assert(df === ps.length.toLong, s"$sh df vs list")
+      assert(df >= 2 && df <= 20, s"$sh df bound")
+      assert(ps == ps.sorted && ps.distinct.size == ps.size, s"$sh order")
+    }
+  }
+
   test("negative mining: ranks contiguous, labels differ, hard flag exact") {
     val rows = PipelineQueries.mineNegatives(spark, sf)
       .as[(Long, Long, Long, Double, Double, Boolean)].collect()

@@ -44,9 +44,10 @@ object AsofJoin {
       by: (String, String),
       on: (String, String),
       rightPayload: Seq[String],
-      tieBreak: Seq[String] = Seq.empty): DataFrame =
+      tieBreak: Seq[String] = Seq.empty,
+      tolerance: Option[Long] = None): DataFrame =
     run(left, right, by, on, rightPayload, tieBreak, wantB = true,
-      wantF = false)
+      wantF = false, tolerance = tolerance)
 
   /** Mirror of [[backward]]: the EARLIEST right row with
     * `right(onRight) >= left(onLeft)` (DuckDB `ASOF JOIN ... ON r.ts >=
@@ -58,9 +59,10 @@ object AsofJoin {
       by: (String, String),
       on: (String, String),
       rightPayload: Seq[String],
-      tieBreak: Seq[String] = Seq.empty): DataFrame =
+      tieBreak: Seq[String] = Seq.empty,
+      tolerance: Option[Long] = None): DataFrame =
     run(left, right, by, on, rightPayload, tieBreak, wantB = false,
-      wantF = true)
+      wantF = true, tolerance = tolerance)
 
   /** The closer of the backward and forward matches in event time
     * (pandas merge_asof direction='nearest'); equidistant candidates —
@@ -73,9 +75,10 @@ object AsofJoin {
       by: (String, String),
       on: (String, String),
       rightPayload: Seq[String],
-      tieBreak: Seq[String] = Seq.empty): DataFrame =
+      tieBreak: Seq[String] = Seq.empty,
+      tolerance: Option[Long] = None): DataFrame =
     run(left, right, by, on, rightPayload, tieBreak, wantB = true,
-      wantF = true)
+      wantF = true, tolerance = tolerance)
 
   /** Exact absolute event-time distance for the nearest rule. Date keys
     * use datediff — exact epoch-day arithmetic. Casting dates through
@@ -99,7 +102,8 @@ object AsofJoin {
       rightPayload: Seq[String],
       tieBreak: Seq[String],
       wantB: Boolean,
-      wantF: Boolean): DataFrame = {
+      wantF: Boolean,
+      tolerance: Option[Long] = None): DataFrame = {
     val (lKey, rKey) = by
     val (lTs, rTs) = on
 
@@ -165,8 +169,21 @@ object AsofJoin {
       else if (wantB) col("__b")
       else col("__f")
 
+    // merge_asof `tolerance`: a match farther than `tol` (in dist()
+    // units — integer microseconds for timestamp keys, whole days for
+    // date keys, absolute value for numeric keys) nulls out, exactly
+    // pandas' rule. Applied AFTER direction resolution, so nearest's
+    // backward preference still decides ties inside the band.
+    val gated = tolerance match {
+      case Some(tol) =>
+        when(col("__asof").isNotNull &&
+          dist(lts, col("__asof.__rts"), ltsType) <= tol, col("__asof"))
+          .otherwise(lit(null).cast(payloadType))
+      case None => col("__asof")
+    }
     carried.filter(col("__side") === 1)
       .withColumn("__asof", asof)
+      .withColumn("__asof", gated)
       .select(leftCols.map(c => col(s"__l_$c").as(c)) ++
         rightPayload.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }

@@ -380,6 +380,34 @@ object RelationalQueries {
       |  ON o.o_custkey = e.user_id AND e.ts >= o.o_orderdate
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Backward AS-OF with a TOLERANCE band (pandas merge_asof
+    * `tolerance`): a match farther than 7 days nulls out. The gate is
+    * applied after direction resolution on the SAME one-shuffle plan —
+    * tolerance costs one comparison per left row, never a different
+    * join shape. Distance is exact epoch-day arithmetic (the date-key
+    * dist()), mirrored by DuckDB date subtraction. */
+  val joinAsofTol: Q = (s, dir) => {
+    AsofJoin.backward(
+        left = t(s, dir, "orders"),
+        right = t(s, dir, "events"),
+        by = ("o_custkey", "user_id"),
+        on = ("o_orderdate", "ts"),
+        rightPayload = Seq("ts"),
+        tieBreak = Seq("event_id"),
+        tolerance = Some(7L))
+      .select(col("o_orderkey"), col("asof_ts").as("asof_tol_ts"))
+      .orderBy("o_orderkey")
+  }
+
+  val joinAsofTolSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN e.ts IS NOT NULL
+      |        AND date_diff('day', CAST(e.ts AS DATE), o.o_orderdate) <= 7
+      |       THEN e.ts END AS asof_tol_ts
+      |FROM orders o ASOF LEFT JOIN events e
+      |  ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Nearest AS-OF (pandas merge_asof direction='nearest'): the closer
     * of the backward/forward matches in event time, ties to backward.
     * ONE interleaved pass computes both directions (one shuffle, two
@@ -1454,6 +1482,7 @@ object RelationalQueries {
     "q_join_asof" -> joinAsof,
     "q_join_asof_fwd" -> joinAsofFwd,
     "q_join_asof_near" -> joinAsofNear,
+    "q_join_asof_tol" -> joinAsofTol,
     "q1_agg" -> q1Agg,
     "q_agg_count" -> aggCount,
     "q_agg_distinct" -> aggDistinct,
@@ -1522,6 +1551,7 @@ object RelationalQueries {
     "q_join_asof" -> joinAsofSql,
     "q_join_asof_fwd" -> joinAsofFwdSql,
     "q_join_asof_near" -> joinAsofNearSql,
+    "q_join_asof_tol" -> joinAsofTolSql,
     "q1_agg" -> q1AggSql,
     "q_agg_count" -> aggCountSql,
     "q_agg_distinct" -> aggDistinctSql,

@@ -137,6 +137,41 @@ class AsofJoinSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
+  test("tolerance: at-band match kept, beyond-band nulls, nearest gates " +
+      "after direction resolution") {
+    val r = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "in"),   // 10s before probe
+      (2L, ts("2024-01-01 00:00:00"), "far"))  // 60s before probe
+      .toDF("k", "rts", "v")
+    val l = Seq(
+      (1L, ts("2024-01-01 00:00:10"), "a"),
+      (2L, ts("2024-01-01 00:01:00"), "b"))
+      .toDF("k", "lts", "id")
+    // tolerance in integer MICROSECONDS for timestamp keys; 10s band
+    val got = AsofJoin.backward(l, r, ("k", "k"), ("lts", "rts"),
+        rightPayload = Seq("v"), tieBreak = Seq("rts"),
+        tolerance = Some(10000000L))
+      .select("id", "asof_v").as[(String, Option[String])].collect().toMap
+    assert(got === Map("a" -> Some("in"), "b" -> None))
+
+    // nearest: the backward match is nearer but OUT of band, the
+    // forward is in band — tolerance must gate the RESOLVED pick
+    // (pandas rule), not fall through to the other direction
+    val r2 = Seq((1L, ts("2024-01-01 00:00:00"), "back"),
+      (1L, ts("2024-01-01 00:00:40"), "fwd")).toDF("k", "rts", "v")
+    val l2 = Seq((1L, ts("2024-01-01 00:00:15"), "x")).toDF("k", "lts", "id")
+    val near = AsofJoin.nearest(l2, r2, ("k", "k"), ("lts", "rts"),
+        rightPayload = Seq("v"), tieBreak = Seq("rts"),
+        tolerance = Some(20000000L))
+      .select("asof_v").as[Option[String]].head()
+    assert(near === Some("back")) // 15s back (in band) beats 25s fwd
+    val nearTight = AsofJoin.nearest(l2, r2, ("k", "k"), ("lts", "rts"),
+        rightPayload = Seq("v"), tieBreak = Seq("rts"),
+        tolerance = Some(10000000L))
+      .select("asof_v").as[Option[String]].head()
+    assert(nearTight === None) // nearest pick (back, 15s) out of band → null
+  }
+
   test("a matched right row with NULL payload stays NULL (no reach-back)") {
     // the latest right row wins even when its payload VALUE is null —
     // per-column last(ignoreNulls) would have reached back to the older

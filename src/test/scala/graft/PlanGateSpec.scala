@@ -52,6 +52,7 @@ class PlanGateSpec extends SparkSuite {
     "q_text_bm25" -> "1-row corpus stats (N, avgdl) cross-joined onto the scored stream",
     "q_text_perplexity" -> "1-row LM normalization total cross-joined onto the token stream",
     "q_text_heavy_hitters" -> "1-row exact-count total cross-joined for the in-band contract columns",
+    "q_events_funnel" -> "three 1-row stage-count aggregates cross-joined into the single-row conversion report — every side is a scalar by construction",
   )
 
   /** query → why its forced broadcast of a corpus-derived subtree is

@@ -62,8 +62,44 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # Outputs past this size don't fit the in-Python row-sort compare
+    # (q_dedup_simhash reaches 241M rows at sf1). Compare them INSIDE
+    # DuckDB instead: exact row count + order-insensitive sum of row
+    # hashes over the name-sorted columns — the method SCALE.md records.
+    BIG_ROWS = 5_000_000
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
+            continue
+        try:
+            n_mine = con.sql(
+                f"SELECT count(*) FROM '{out_dir}/{name}/*.parquet'"
+            ).fetchone()[0]
+        except Exception as e:
+            print(f"FAIL {name}: cannot read my output: {e}")
+            n_fail += 1
+            continue
+        if n_mine > BIG_ROWS:
+            try:
+                cols = sorted(r[0] for r in
+                              con.sql(f"DESCRIBE {sql}").fetchall())
+                collist = ", ".join(f'"{c}"' for c in cols)
+                mn, mh = con.sql(
+                    f"SELECT count(*), sum(hash({collist})) "
+                    f"FROM '{out_dir}/{name}/*.parquet'").fetchone()
+                rn, rh = con.sql(
+                    f"SELECT count(*), sum(hash({collist})) FROM ({sql})"
+                ).fetchone()
+            except Exception as e:
+                print(f"FAIL {name}: big-output compare error: {e}")
+                n_fail += 1
+                continue
+            if (mn, mh) == (rn, rh):
+                print(f"PASS {name} ({mn} rows, count+hash-sum)")
+                n_pass += 1
+            else:
+                print(f"FAIL {name}: big-output mismatch "
+                      f"mine=({mn}, {mh}) oracle=({rn}, {rh})")
+                n_fail += 1
             continue
         try:
             mine = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")

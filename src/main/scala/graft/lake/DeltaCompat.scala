@@ -397,8 +397,14 @@ object DeltaCompat {
   private[lake] def uriToPath(fp: String): String =
     DeletionVectors.uriToPath(fp)
 
-  private def absPath(table: String, rel: String): String =
-    Paths.get(table, rel).toAbsolutePath.normalize.toString
+  /** Resolve an add.path against the table root. The spec allows
+    * absolute paths (the shallow-clone form, [[shallowClone]]) — those
+    * pass through; relative paths resolve under the root. */
+  private def absPath(table: String, rel: String): String = {
+    val p = Paths.get(rel)
+    if (p.isAbsolute) p.normalize.toString
+    else Paths.get(table, rel).toAbsolutePath.normalize.toString
+  }
 
   /** Read the table head (or an explicit version — time travel).
     *
@@ -560,7 +566,7 @@ object DeltaCompat {
     val assembled: DataFrame =
       if (state.partitionColumns.isEmpty) {
         val paths = prunedState.files.keys
-          .map(p => Paths.get(table, p).toString).toSeq
+          .map(p => absPath(table, p)).toSeq
         if (paths.isEmpty) emptyDf
         else scanFiles(paths.sorted, schema)
       } else {
@@ -578,7 +584,7 @@ object DeltaCompat {
           .toSeq.sortBy(_._1.toString)
         val parts = groups.map { case (_, files) =>
           val pv = files.head._2.partitionValues
-          val paths = files.map(f => Paths.get(table, f._1).toString).sorted
+          val paths = files.map(f => absPath(table, f._1)).sorted
           val base = scanFiles(paths, dataSchema)
           val withParts = partCols.foldLeft(base) { (df, c) =>
             val v = pv.getOrElse(physByLogical(c), None)
@@ -1030,12 +1036,18 @@ object DeltaCompat {
       cpAdds.foreach(p => lastAction(p) = (v, -1L))
     }
     vs.filter(_ > cpV).foreach(foldJson)
+    // <= cutoff: a tombstone stamped in the same millisecond the vacuum
+    // runs is already past a zero retention — strict < made retention 0
+    // skip removes committed within the cutoff millisecond (timing
+    // flake caught by DeltaRestoreSpec on a fast machine).
     val deletable = lastAction.collect {
-      case (p, (_, ts)) if ts >= 0 && ts < cutoff => p
+      case (p, (_, ts)) if ts >= 0 && ts <= cutoff => p
     }.toSeq.sorted
+    // Absolute-path adds (shallow clones) reference storage the table
+    // does NOT own — its vacuum must never reach into the source table.
     deletable.filter { rel =>
-      val f = Paths.get(table, rel)
-      Files.deleteIfExists(f)
+      if (Paths.get(rel).isAbsolute) false
+      else Files.deleteIfExists(Paths.get(table, rel))
     }
   }
 
@@ -1314,7 +1326,8 @@ object DeltaCompat {
       // deletionVector (readers compute the logical row count as
       // numRecords - cardinality), and tightBounds:false because the
       // footer min/max still cover the DV'd rows.
-      a.put("stats", fileStatsJson(Paths.get(table, rel), tight = Some(false)))
+      a.put("stats", fileStatsJson(Paths.get(absPath(table, rel)),
+        tight = Some(false)))
       val dvNode = a.putObject("deletionVector")
       dvNode.put("storageType", d.storageType)
         .put("pathOrInlineDv", d.pathOrInlineDv)
@@ -1403,6 +1416,96 @@ object DeltaCompat {
     }
     commit(table, head + 1, actions.result(), "RESTORE")
     head + 1
+  }
+
+  /** SHALLOW CLONE: create `target` at version 0 as a zero-copy view
+    * of `source`'s current version — ONE metadata commit whose add
+    * actions reference the source's live data files by ABSOLUTE path
+    * (the spec's absolute-path add form; reference: the CLONE surface
+    * of real Delta engines). No data bytes move, so cloning a 100 TB
+    * table costs one log write regardless of size.
+    *
+    * Isolation is log-level by construction: commits to the clone
+    * (appends, DV deletes, restore) land in the clone's own log and
+    * never touch the source; later commits to the source are invisible
+    * to the clone. File-backed DV descriptors rewrite to the spec's
+    * `p` (absolute-path) storage so the clone reads the source's DV
+    * sidecars in place; inline DVs carry over verbatim. The clone's
+    * own VACUUM skips absolute-path tombstones (storage it does not
+    * own); as with real engines, a VACUUM/PURGE on the SOURCE that
+    * drops a still-referenced file breaks the clone — the snapshot
+    * contract is log-level, not storage-level. */
+  def shallowClone(spark: SparkSession, source: String,
+      target: String): Long = {
+    val state = replay(spark, source, None)
+    val schemaJson = state.schemaJson.getOrElse(throw
+      new IllegalStateException(s"$source has no metaData action"))
+    require(versions(target).isEmpty && lastCheckpoint(target).isEmpty,
+      s"cannot CLONE into $target — a Delta log already exists there")
+    val srcRoot = Paths.get(source)
+    val now = System.currentTimeMillis()
+    val cmapActive = state.columnMappingMode != "none"
+    val hasDv = state.dvEnabled ||
+      state.files.values.exists(_.dv.isDefined)
+    val actions = Seq.newBuilder[ObjectNode]
+    val protocol = mapper.createObjectNode()
+    if (hasDv) {
+      val p = protocol.putObject("protocol")
+      p.put("minReaderVersion", 3).put("minWriterVersion", 7)
+      val rf = p.putArray("readerFeatures")
+      rf.add("deletionVectors")
+      if (cmapActive) rf.add("columnMapping")
+      val wf = p.putArray("writerFeatures")
+      (Seq("deletionVectors", "appendOnly", "invariants") ++
+        (if (cmapActive) Seq("columnMapping") else Nil) ++
+        (if (state.cdfEnabled) Seq("changeDataFeed") else Nil)).foreach(wf.add)
+    } else {
+      protocol.putObject("protocol")
+        .put("minReaderVersion", if (cmapActive) 2 else 1)
+        .put("minWriterVersion",
+          if (cmapActive) 5 else if (state.cdfEnabled) 4 else 2)
+    }
+    actions += protocol
+    val meta = mapper.createObjectNode()
+    val m = meta.putObject("metaData")
+    m.put("id", UUID.randomUUID().toString) // a clone is a NEW table
+    m.putObject("format").put("provider", "parquet").putObject("options")
+    m.put("schemaString", schemaJson)
+    val pcArr = m.putArray("partitionColumns")
+    state.partitionColumns.foreach(pcArr.add)
+    val confNode = m.putObject("configuration")
+    state.config.foreach { case (k, v) => confNode.put(k, v) }
+    m.put("createdTime", now)
+    actions += meta
+    state.files.toSeq.sortBy(_._1).foreach { case (rel, add) =>
+      val n = mapper.createObjectNode()
+      val a = n.putObject("add").put("path", encodePath(absPath(source, rel)))
+        .put("size", add.size).put("modificationTime", now)
+        .put("dataChange", true)
+      val pv = a.putObject("partitionValues")
+      add.partitionValues.foreach { case (k, v) =>
+        v.fold[Unit](pv.putNull(k))(pv.put(k, _))
+      }
+      add.stats.foreach(a.put("stats", _))
+      add.dv.foreach { d =>
+        val pd = d.storageType match {
+          case "u" => d.copy(storageType = "p",
+            pathOrInlineDv = d.filePath(srcRoot).get.toAbsolutePath
+              .normalize.toString)
+          case _ => d
+        }
+        val dn = a.putObject("deletionVector")
+        dn.put("storageType", pd.storageType)
+          .put("pathOrInlineDv", pd.pathOrInlineDv)
+        pd.offset.foreach(dn.put("offset", _))
+        dn.put("sizeInBytes", pd.sizeInBytes)
+          .put("cardinality", pd.cardinality)
+      }
+      actions += n
+    }
+    Files.createDirectories(Paths.get(target))
+    commit(target, 0L, actions.result(), "CLONE")
+    0L
   }
 
   /** MERGE INTO `table` USING `source` ON the `keys` equi-condition —
@@ -1849,7 +1952,7 @@ object DeltaCompat {
       // A live file that cannot be stat'ed means the table is already
       // corrupt — fail NOW, not after the JSON that could explain it
       // has been vacuumed and the checkpoint is the only truth.
-      val onDisk = Paths.get(table, path)
+      val onDisk = Paths.get(absPath(table, path))
       if (!Files.exists(onDisk))
         throw new IllegalStateException(
           s"$table: live file $path missing on disk — refusing to " +

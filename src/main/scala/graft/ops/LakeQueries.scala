@@ -1488,6 +1488,56 @@ object LakeQueries {
   val deltaRestoreSql: String =
     "SELECT s_suppkey, s_name, s_acctbal FROM supplier ORDER BY s_suppkey"
 
+  /** SHALLOW CLONE isolation, both directions: DV-delete on the source,
+    * clone, then mutate the CLONE (append + DV delete) and the SOURCE
+    * (append) — the compared output is BOTH tables' full contents, so
+    * the oracle pins that the clone saw the source's pre-clone state
+    * (DVs included, read through absolute-path adds), that the clone's
+    * mutations never leaked into the source, and that the source's
+    * later append never leaked into the clone. The clone commit itself
+    * is metadata-only — zero data bytes move at any table size. */
+  val deltaClone: Q = (s, dir) => {
+    val src = graft.Scratch.dir("graft-delta-clone-src")
+    val dst = graft.Scratch.dir("graft-delta-clone-dst")
+    val sup = Tables.load(s, dir, "supplier")
+      .select("s_suppkey", "s_name", "s_acctbal")
+    graft.lake.DeltaCompat.write(sup, src)
+    graft.lake.DeltaCompat.delete(s, src, col("s_suppkey") % 4 === 0)
+    val v = graft.lake.DeltaCompat.shallowClone(s, src, dst)
+    require(v == 0L, "clone must create version 0")
+    graft.lake.DeltaCompat.write(
+      sup.filter(col("s_suppkey") < 5)
+        .withColumn("s_suppkey", col("s_suppkey") + 1000L), dst)
+    graft.lake.DeltaCompat.delete(s, dst, col("s_suppkey") % 3 === 0)
+    graft.lake.DeltaCompat.write(
+      sup.filter(col("s_suppkey") < 3)
+        .withColumn("s_suppkey", col("s_suppkey") + 2000L), src)
+    graft.lake.DeltaCompat.read(s, src).withColumn("side", lit("source"))
+      .unionAll(
+        graft.lake.DeltaCompat.read(s, dst).withColumn("side", lit("clone")))
+      .select("side", "s_suppkey", "s_name", "s_acctbal")
+      .orderBy("side", "s_suppkey")
+  }
+
+  val deltaCloneSql: String =
+    """WITH base AS (SELECT s_suppkey, s_name, s_acctbal FROM supplier),
+      |src AS (
+      |  SELECT * FROM base WHERE s_suppkey % 4 <> 0
+      |  UNION ALL
+      |  SELECT s_suppkey + 2000, s_name, s_acctbal FROM base
+      |  WHERE s_suppkey < 3),
+      |cl AS (
+      |  SELECT * FROM (
+      |    SELECT * FROM base WHERE s_suppkey % 4 <> 0
+      |    UNION ALL
+      |    SELECT s_suppkey + 1000, s_name, s_acctbal FROM base
+      |    WHERE s_suppkey < 5)
+      |  WHERE s_suppkey % 3 <> 0)
+      |SELECT 'source' AS side, s_suppkey, s_name, s_acctbal FROM src
+      |UNION ALL
+      |SELECT 'clone' AS side, s_suppkey, s_name, s_acctbal FROM cl
+      |ORDER BY side, s_suppkey""".stripMargin
+
   val deltaOptimize: Q = (s, dir) => {
     val tmp = cachedFixture("graft-delta-opt-q", dir) { t =>
       val c = Tables.load(s, dir, "customer")
@@ -1540,6 +1590,7 @@ object LakeQueries {
     "q_delta_zorder" -> deltaZorder,
     "q_delta_optimize" -> deltaOptimize,
     "q_delta_restore" -> deltaRestore,
+    "q_delta_clone" -> deltaClone,
     "q_delta_schema_evolve" -> deltaSchemaEvolve,
     "q_iceberg_partitions_meta" -> icebergPartitionsMeta,
     "q_iceberg_snapshots_meta" -> icebergSnapshotsMeta,
@@ -1594,6 +1645,7 @@ object LakeQueries {
     "q_delta_zorder" -> deltaZorderSql,
     "q_delta_optimize" -> deltaOptimizeSql,
     "q_delta_restore" -> deltaRestoreSql,
+    "q_delta_clone" -> deltaCloneSql,
     "q_delta_schema_evolve" -> deltaSchemaEvolveSql,
     "q_iceberg_partitions_meta" -> icebergPartitionsMetaSql,
     "q_iceberg_snapshots_meta" -> icebergSnapshotsMetaSql,

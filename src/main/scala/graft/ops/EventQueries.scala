@@ -235,7 +235,130 @@ object EventQueries {
       |GROUP BY c.cohort_day, day_offset
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** Time-series gap fill: the dense per-minute purchase series a
+    * monitoring dashboard or a downstream forecast model consumes —
+    * minutes with no purchases appear with n = 0, and the cents total
+    * carries forward (LOCF) so the "last known value" is defined at
+    * every tick. Money rides integer cents end-to-end (decimal×100 →
+    * BIGINT), so fill and carry are bit-exact on both engines.
+    *
+    * Scale shape: the heavy leg is one map-side-combined aggregation of
+    * minute keys; the spine is `sequence(min_minute, max_minute)` —
+    * its cardinality is the CALENDAR SPAN in minutes (~1.4k/day),
+    * independent of event count, so the spine build, the left join,
+    * and the one global LOCF window all run over a frame that stays
+    * ~43k rows whether the fact table holds 10k events or 100 TB. The
+    * two scalar bounds broadcast (single-row cross join). */
+  val gapfill: Q = (s, dir) => {
+    val p = ev(s, dir).filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(RelationalQueries.dec(col("value")) * 100).cast("bigint")
+          .as("cents"))
+    val bounds = ev(s, dir)
+      .agg(date_trunc("minute", min(col("ts"))).as("lo"),
+        date_trunc("minute", max(col("ts"))).as("hi"))
+    val spine = bounds
+      .select(explode(expr("sequence(lo, hi, interval 1 minute)")).as("minute"))
+    val locf = Window.orderBy("minute")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(p, Seq("minute"), "left")
+      .select(col("minute"),
+        coalesce(col("n_obs"), lit(0L)).as("n"),
+        last(col("cents"), ignoreNulls = true).over(locf).as("filled_cents"))
+      .orderBy("minute")
+  }
+
+  val gapfillSql: String =
+    """WITH p AS (
+      |  SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
+      |    count(*) AS n_obs,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |b AS (SELECT CAST(date_trunc('minute', min(ts)) AS TIMESTAMP) AS lo,
+      |             CAST(date_trunc('minute', max(ts)) AS TIMESTAMP) AS hi
+      |      FROM events),
+      |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE))
+      |            AS minute FROM b)
+      |SELECT s.minute, coalesce(p.n_obs, 0) AS n,
+      |  last_value(p.cents IGNORE NULLS) OVER (ORDER BY s.minute
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+      |FROM spine s LEFT JOIN p ON s.minute = p.minute
+      |ORDER BY s.minute""".stripMargin
+
+  /** Marketing attribution: each purchase is attributed to the clicks
+    * the same user made in the preceding 30 minutes (the classic
+    * lookback window). The per-user report carries how many purchases
+    * converted from a touch, the touch volume, and the attributed vs
+    * organic revenue split — integer cents and integer microseconds
+    * throughout, so both engines agree bit-for-bit.
+    *
+    * Scale shape: purchases and clicks are map-side type filters of the
+    * same scan; the band join is an EQUI-join on user_id with the time
+    * band as a post-join filter — each user's purchases only ever meet
+    * that user's clicks, never a cross of the event table with itself.
+    * The purchase rollup and the user rollup are two map-side-combined
+    * aggregations; everything is keyed by user_id so the join shuffle
+    * is the only event-sized exchange. */
+  val attribution: Q = (s, dir) => {
+    val e = ev(s, dir).select(col("user_id"), col("event_type"),
+      col("event_id"), unix_micros(col("ts").cast("timestamp")).as("tsu"),
+      (RelationalQueries.dec(col("value")) * 100).cast("bigint").as("cents"))
+    val purch = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        col("tsu").as("ptsu"), col("cents"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cuser"), col("event_id").as("cid"),
+        col("tsu").as("ctsu"))
+    // Band lives in the JOIN condition (not a post-filter): a purchase
+    // whose user clicked only OUTSIDE the window must survive with
+    // n_touches = 0, not vanish.
+    val perPurchase = purch.join(clicks,
+        col("user_id") === col("cuser") &&
+          col("ctsu") <= col("ptsu") &&
+          col("ctsu") > col("ptsu") - 1800000000L, "left")
+      .groupBy("user_id", "pid")
+      .agg(min(col("cents")).as("cents"),
+        count(col("cid")).as("n_touches"))
+    perPurchase.groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("n_touches") > 0, 1L).otherwise(0L)).cast("bigint")
+          .as("n_attributed"),
+        sum(col("n_touches")).cast("bigint").as("sum_touches"),
+        sum(when(col("n_touches") > 0, col("cents")).otherwise(0L))
+          .cast("bigint").as("attributed_cents"),
+        sum(when(col("n_touches") === 0, col("cents")).otherwise(0L))
+          .cast("bigint").as("organic_cents"))
+      .orderBy("user_id")
+  }
+
+  val attributionSql: String =
+    """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS tsu,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |p AS (SELECT user_id, event_id AS pid, tsu AS ptsu, cents FROM e
+      |      WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, event_id AS cid, tsu AS ctsu FROM e
+      |      WHERE event_type = 'click'),
+      |per_p AS (
+      |  SELECT p.user_id, p.pid, min(p.cents) AS cents,
+      |    count(c.cid) AS n_touches
+      |  FROM p LEFT JOIN c ON p.user_id = c.user_id
+      |    AND c.ctsu <= p.ptsu AND c.ctsu > p.ptsu - 1800000000
+      |  GROUP BY p.user_id, p.pid)
+      |SELECT user_id, count(*) AS n_purchases,
+      |  CAST(sum(CASE WHEN n_touches > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_attributed,
+      |  CAST(sum(n_touches) AS BIGINT) AS sum_touches,
+      |  CAST(sum(CASE WHEN n_touches > 0 THEN cents ELSE 0 END) AS BIGINT)
+      |    AS attributed_cents,
+      |  CAST(sum(CASE WHEN n_touches = 0 THEN cents ELSE 0 END) AS BIGINT)
+      |    AS organic_cents
+      |FROM per_p GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_events_gapfill" -> gapfill,
+    "q_events_attribution" -> attribution,
     "q_events_funnel" -> funnel,
     "q_events_retention" -> retention,
     "q_events_tumbling" -> tumbling,
@@ -246,6 +369,8 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_events_gapfill" -> gapfillSql,
+    "q_events_attribution" -> attributionSql,
     "q_events_funnel" -> funnelSql,
     "q_events_retention" -> retentionSql,
     "q_events_tumbling" -> tumblingSql,

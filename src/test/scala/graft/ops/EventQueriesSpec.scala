@@ -73,4 +73,65 @@ class EventQueriesSpec extends SparkSuite {
     // every cohort has a day-0 row
     assert(rows.count(_._2 == 0L) === cohorts.size)
   }
+
+  test("gapfill: dense minute spine, zeros filled, LOCF carries forward") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = EventQueries.gapfill(spark, sf)
+      .as[(java.sql.Timestamp, Long, Option[Long])].collect()
+    assert(rows.nonEmpty)
+    // spine is DENSE: consecutive minutes, span-many rows
+    val ts = rows.map(_._1.getTime)
+    assert(ts.zip(ts.tail).forall { case (a, b) => b - a == 60000L },
+      "one row per minute, no gaps")
+    assert(rows.length === ((ts.last - ts.head) / 60000L + 1))
+    // gaps exist at this sf and carry n = 0
+    assert(rows.exists(_._2 == 0L), "fixture has empty minutes")
+    // LOCF: filled_cents only changes on minutes with observations,
+    // and equals the last observed value otherwise
+    var lastSeen: Option[Long] = None
+    val purch = graft.Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("minute", col("ts")).as("m"))
+      .agg(sum(expr("CAST(value AS DECIMAL(18,2)) * 100")).cast("bigint")
+        .as("c"))
+      .as[(java.sql.Timestamp, Long)].collect()
+      .map { case (t, c) => t.getTime -> c }.toMap
+    rows.foreach { case (t, n, filled) =>
+      if (purch.contains(t.getTime)) {
+        assert(n > 0L)
+        lastSeen = Some(purch(t.getTime))
+      }
+      assert(filled === lastSeen, s"LOCF at $t")
+    }
+  }
+
+  test("attribution: touch counts and revenue split match a recompute") {
+    val sf = "/root/testdata/sf0.001"
+    val out = EventQueries.attribution(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("t"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .as[(Long, String, Long, Long)].collect()
+    val byUser = ev.groupBy(_._1)
+    out.foreach { case (u, np, na, st, ac, oc) =>
+      val g = byUser(u)
+      val purchases = g.filter(_._2 == "purchase")
+      val clicks = g.filter(_._2 == "click").map(_._3)
+      assert(np === purchases.length, s"user $u purchase count")
+      val touched = purchases.map { p =>
+        val n = clicks.count(ct => ct <= p._3 && ct > p._3 - 1800000000L)
+        (n, p._4)
+      }
+      assert(na === touched.count(_._1 > 0), s"user $u attributed")
+      assert(st === touched.map(_._1.toLong).sum, s"user $u touches")
+      assert(ac === touched.filter(_._1 > 0).map(_._2).sum, s"user $u attr rev")
+      assert(oc === touched.filter(_._1 == 0).map(_._2).sum, s"user $u organic")
+    }
+    // every purchasing user appears — purchases with zero touches survive
+    val purchasers = ev.filter(_._2 == "purchase").map(_._1).distinct.sorted
+    assert(out.map(_._1).sorted.toSeq === purchasers.toSeq)
+  }
 }

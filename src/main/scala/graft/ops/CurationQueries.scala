@@ -405,6 +405,87 @@ object CurationQueries {
       |SELECT r.lang, r.doc_id, r.rk FROM r JOIN quota USING (lang)
       |WHERE r.rk <= quota ORDER BY lang, rk""".stripMargin
 
+  /** Temperature-based multilingual resampling (the mT5/XLM-R p^(1/τ)
+    * class, τ = 2): unlike [[mixWeights]]' EXPLICIT targets, the
+    * sampling weights derive from the corpus's own language counts —
+    * weight_l = ⌊√n_l⌋ flattens the natural distribution so low-resource
+    * languages are upsampled. A 300-draw budget is split by
+    * largest-remainder over those weights; each language's draws cycle
+    * its docs in deterministic LCG-hash order, so a language whose
+    * quota exceeds its n_l repeats docs with an explicit `epoch`
+    * column — exactly the repeat factor a training mixture reports.
+    * √ of a BIGINT is correctly rounded IEEE on both engines and only
+    * lands on an integer when exact, so ⌊√n⌋ carries no float-parity
+    * risk.
+    *
+    * Scale shape: ONE corpus pass — a single groupBy(lang) carries both
+    * the count and a [[graft.functions.expressions.BoundedTopK]] heap
+    * (≤ budget rows per partial buffer, losers dropped map-side), so
+    * the corpus is never globally sorted or fully shuffled. Quotas and
+    * the draw expansion are language-count-sized; the draw→doc mapping
+    * is an equi-join on (lang, position) between two budget-bounded
+    * frames. */
+  val sampleTemperature: Q = (s, dir) => {
+    val budget = 300L
+    val folded = (col("doc_id") % 1048573L + 1048573L) % 1048573L
+    val agged = docs(s, dir)
+      .select(col("lang"), col("doc_id"),
+        ((folded * 1103515245L + 12345L) % 1000000L).as("h"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.expressions.AggExpressions
+          .bounded_top_k(struct(col("h"), col("doc_id")), budget.toInt,
+            Seq(false, false)).as("top"))
+    val wall = Window.partitionBy()
+    val wleft = Window.orderBy(col("rem").desc, col("lang"))
+    val alloc = agged.select(col("lang"), col("n"), col("top"))
+      .withColumn("wt", expr("CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)"))
+      .withColumn("wsum", sum("wt").over(wall))
+      .withColumn("b", expr(s"($budget * wt) DIV wsum"))
+      .withColumn("rem", expr(s"$budget * wt - wsum * (($budget * wt) DIV wsum)"))
+      .withColumn("leftover", lit(budget) - sum("b").over(wall))
+      .withColumn("quota",
+        col("b") + when(row_number().over(wleft) <= col("leftover"), 1L)
+          .otherwise(0L))
+    val ranked = alloc
+      .select(col("lang"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("lang"), (col("i") + 1).cast("bigint").as("pos"),
+        col("s.doc_id").as("doc_id"))
+    alloc
+      .select(col("lang"), col("n"),
+        explode(expr("sequence(CAST(1 AS BIGINT), quota)")).as("rk"))
+      .withColumn("pos", (col("rk") - 1) % col("n") + 1)
+      .withColumn("epoch", expr("(rk - 1) DIV n + 1"))
+      .join(ranked, Seq("lang", "pos"))
+      .select(col("lang"), col("rk"), col("epoch"), col("doc_id"))
+      .orderBy("lang", "rk")
+  }
+
+  val sampleTemperatureSql: String =
+    """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY lang),
+      |w AS (SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)
+      |    AS wt FROM c),
+      |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS wsum FROM w),
+      |base AS (SELECT lang, n, wt, (300 * wt) // wsum AS b,
+      |    300 * wt - wsum * ((300 * wt) // wsum) AS rem
+      |  FROM w CROSS JOIN tot),
+      |alloc AS (SELECT lang, n,
+      |    b + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+      |          <= 300 - (SELECT sum(b) FROM base) THEN 1 ELSE 0 END AS quota
+      |  FROM base),
+      |r AS (SELECT lang, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY
+      |      ((doc_id % 1048573 + 1048573) % 1048573 * 1103515245 + 12345)
+      |        % 1000000, doc_id) AS BIGINT) AS pos
+      |  FROM documents),
+      |draws AS (SELECT lang, n, unnest(range(1, quota + 1)) AS rk FROM alloc)
+      |SELECT d.lang, CAST(d.rk AS BIGINT) AS rk,
+      |  CAST((d.rk - 1) // d.n + 1 AS BIGINT) AS epoch, r.doc_id
+      |FROM draws d JOIN r ON d.lang = r.lang
+      |  AND ((d.rk - 1) % d.n) + 1 = r.pos
+      |ORDER BY d.lang, rk""".stripMargin
+
   // ===========================================================================
   // Sequence packing: token-budget batches for training
   // ===========================================================================
@@ -749,6 +830,7 @@ object CurationQueries {
     "q_contamination" -> contamination,
     "q_decontaminate_bloom" -> decontaminateBloom,
     "q_mix_weights" -> mixWeights,
+    "q_sample_temperature" -> sampleTemperature,
     "q_pack_sequences" -> packSequences,
     "q_shuffle_epoch" -> shuffleEpoch,
     "q_split_assign" -> splitAssign,
@@ -767,6 +849,7 @@ object CurationQueries {
     "q_contamination" -> contaminationSql,
     "q_decontaminate_bloom" -> decontaminateBloomSql,
     "q_mix_weights" -> mixWeightsSql,
+    "q_sample_temperature" -> sampleTemperatureSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_shuffle_epoch" -> shuffleEpochSql,
     "q_split_assign" -> splitAssignSql,

@@ -233,4 +233,43 @@ class CurationSpec extends SparkSuite {
     assert(r.forall(row => row.getLong(0) % 100 != 0))
     assert(r.forall(row => row.getLong(1) % 100 == 0))
   }
+
+  test("temperature sampling: sqrt-weight quotas, cycling epochs, 300 draws") {
+    import spark.implicits._
+    val out = CurationQueries.sampleTemperature(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.length === 300, "budget fully spent")
+    val counts = graft.Tables.load(spark, sf, "documents")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // recompute largest-remainder quotas from floor(sqrt(n))
+    val wt = counts.view.mapValues(n => math.sqrt(n.toDouble).toLong).toMap
+    val wsum = wt.values.sum
+    val base = wt.view.mapValues(w => 300L * w / wsum).toMap
+    val leftover = 300L - base.values.sum
+    val bump = wt.keys.toSeq
+      .sortBy(l => (-(300L * wt(l) % wsum), l)).take(leftover.toInt).toSet
+    val quota = base.map { case (l, b) => l -> (b + (if (bump(l)) 1L else 0L)) }
+    val got = out.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(got === quota.filter(_._2 > 0L), "per-language draw counts")
+    out.groupBy(_._1).foreach { case (lang, g) =>
+      val n = counts(lang)
+      // rk dense from 1, epoch = ceil(rk / n), docs cycle: same doc at
+      // rk and rk + n
+      assert(g.map(_._2).sorted.toSeq === (1L to g.length))
+      g.foreach { case (_, rk, ep, _) => assert(ep === (rk - 1) / n + 1) }
+      val byRk = g.map(r => r._2 -> r._4).toMap
+      byRk.foreach { case (rk, doc) =>
+        byRk.get(rk + n).foreach(d2 => assert(d2 === doc, s"$lang cycle"))
+      }
+      // within one epoch, no document repeats
+      g.groupBy(_._3).values.foreach { e =>
+        assert(e.map(_._4).distinct.length === e.length, s"$lang epoch dup")
+      }
+    }
+    // upsampling happened: some language needs a second epoch at this sf
+    // only if its quota exceeds its doc count — assert consistency either way
+    out.filter(_._3 > 1L).foreach { case (lang, _, _, _) =>
+      assert(got(lang) > counts(lang), s"$lang epoch>1 implies quota > n")
+    }
+  }
 }

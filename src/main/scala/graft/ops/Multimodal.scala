@@ -333,15 +333,118 @@ object Multimodal {
        |FROM f ORDER BY doc_id, frame""".stripMargin
   }
 
+  /** Perceptual-hash image dedup (dHash): each REAL decoded PNG is
+    * sampled on a nearest-neighbor 9×8 grid, horizontally adjacent
+    * samples compare into 64 gradient bits, and near-duplicate images
+    * are found by Hamming distance ≤ 12 over LSH bands — the image-side
+    * analog of [[PipelineQueries]]' SimHash text dedup. The 64-bit hash
+    * rides as two 32-bit halves (`h_lo`/`h_hi`) so neither engine ever
+    * shifts into a BIGINT sign bit; the oracle reproduces the grid
+    * sampling and bit packing arithmetically from the pixel formula, so
+    * a codec or sampling drift flips a hash cell, not just a count.
+    *
+    * Scale shape: decode+hash is a per-partition map (no shuffle);
+    * candidate generation shuffles once on 16-bit band keys, so
+    * candidates ∝ images sharing an intact band — near-duplicates,
+    * never all-pairs. Recall is the standard LSH trade: a 12-bit
+    * difference that scatters across all 4 bands escapes (13 bands
+    * would make recall exact at distance 12); the oracle applies the
+    * SAME banding, so the contract it pins is the operator's declared
+    * semantics, not an idealized all-pairs sweep. The partner count
+    * joins back keyed on doc_id. */
+  val phash: (SparkSession, String) => DataFrame = (s, dir) => {
+    import s.implicits._
+    val imgs = assetsFromDocuments(s, dir).filter(_.media_type == "image")
+    val hashed = imgs.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { a =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(a.payload))
+        require(img != null, s"PNG decode failed for doc ${a.doc_id}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        def g(cx: Int, cy: Int): Int =
+          img.getRGB(cx * w / 9, cy * h / 8) & 0xff
+        var lo = 0L
+        var hi = 0L
+        var k = 0
+        while (k < 64) {
+          val cy = k / 8
+          val cx = k % 8
+          if (g(cx + 1, cy) > g(cx, cy)) {
+            if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+          }
+          k += 1
+        }
+        (a.doc_id, lo, hi)
+      }
+    }.toDF("doc_id", "h_lo", "h_hi")
+    val bands = hashed.select(col("doc_id"), col("h_lo"), col("h_hi"),
+      posexplode(array(col("h_lo") % 65536L, expr("h_lo DIV 65536"),
+        col("h_hi") % 65536L, expr("h_hi DIV 65536")))
+        .as(Seq("band", "bkey")))
+    val a = bands.select(col("doc_id").as("da"), col("h_lo").as("alo"),
+      col("h_hi").as("ahi"), col("band"), col("bkey"))
+    val b = bands.select(col("doc_id").as("db"), col("h_lo").as("blo"),
+      col("h_hi").as("bhi"), col("band"), col("bkey"))
+    val near = a.join(b, Seq("band", "bkey"))
+      .filter(col("da") < col("db"))
+      .select("da", "db", "alo", "ahi", "blo", "bhi").distinct()
+      .filter(expr(
+        "bit_count(alo ^ blo) + bit_count(ahi ^ bhi) <= 12"))
+    val cnt = near.select(col("da").as("doc_id"))
+      .union(near.select(col("db").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
+    hashed.join(cnt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("h_lo"), col("h_hi"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .orderBy("doc_id")
+  }
+
+  val phashSql: String = {
+    def gAt(cx: String, cy: String): String =
+      s"(doc_id*31 + ((($cx)*w)//9)*7 + ((($cy)*h)//8)*13) % 256"
+    val bit = s"CASE WHEN ${gAt("k%8+1", "k//8")} > ${gAt("k%8", "k//8")}"
+    s"""WITH img AS (SELECT doc_id, CAST(doc_id % 13 + 4 AS BIGINT) AS w,
+       |    CAST(doc_id % 11 + 4 AS BIGINT) AS h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |hx AS (SELECT doc_id,
+       |    CAST(list_sum(list_transform(range(0, 32), k ->
+       |      $bit THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS BIGINT) AS h_lo,
+       |    CAST(list_sum(list_transform(range(32, 64), k ->
+       |      $bit THEN CAST(1 AS BIGINT) << (k - 32) ELSE 0 END)) AS BIGINT)
+       |      AS h_hi
+       |  FROM img),
+       |b AS (SELECT doc_id, h_lo, h_hi, u.band,
+       |    CASE u.band WHEN 0 THEN h_lo % 65536 WHEN 1 THEN h_lo // 65536
+       |         WHEN 2 THEN h_hi % 65536 ELSE h_hi // 65536 END AS bkey
+       |  FROM hx, unnest([0, 1, 2, 3]) AS u(band)),
+       |p AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+       |    x.h_lo AS alo, x.h_hi AS ahi, y.h_lo AS blo, y.h_hi AS bhi
+       |  FROM b x JOIN b y ON x.band = y.band AND x.bkey = y.bkey
+       |    AND x.doc_id < y.doc_id),
+       |near AS (SELECT da, db FROM p
+       |  WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 12),
+       |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near FROM (
+       |    SELECT da AS doc_id FROM near
+       |    UNION ALL SELECT db AS doc_id FROM near)
+       |  GROUP BY doc_id)
+       |SELECT hx.doc_id, hx.h_lo, hx.h_hi,
+       |  coalesce(cnt.n_near, 0) AS n_near
+       |FROM hx LEFT JOIN cnt ON hx.doc_id = cnt.doc_id
+       |ORDER BY hx.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> features,
     "q_multimodal_frames" -> framePipeline,
     "q_multimodal_audio" -> audioFrames,
+    "q_multimodal_phash" -> phash,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_multimodal_features" -> featuresSql,
     "q_multimodal_frames" -> framePipelineSql,
     "q_multimodal_audio" -> audioFramesSql,
+    "q_multimodal_phash" -> phashSql,
   )
 }

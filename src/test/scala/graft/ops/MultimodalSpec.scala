@@ -97,4 +97,36 @@ class MultimodalSpec extends SparkSuite {
       }
     }
   }
+
+  test("phash: 32-bit halves, near counts match an independent LSH sweep") {
+    import spark.implicits._
+    val out = Multimodal.phash(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, lo, hi, _) =>
+      assert(lo >= 0L && lo < (1L << 32), s"doc $id h_lo range")
+      assert(hi >= 0L && hi < (1L << 32), s"doc $id h_hi range")
+    }
+    // recompute n_near from the emitted hashes with the same banding:
+    // 4×16-bit bands, candidates share a band, Hamming ≤ 12
+    def bands(lo: Long, hi: Long): Seq[(Int, Long)] =
+      Seq((0, lo % 65536), (1, lo / 65536), (2, hi % 65536), (3, hi / 65536))
+    val hs = out.map(r => (r._1, r._2, r._3))
+    val near = (for {
+      a <- hs; b <- hs if a._1 < b._1
+      if bands(a._2, a._3).intersect(bands(b._2, b._3)).nonEmpty
+      d = java.lang.Long.bitCount(a._2 ^ b._2) +
+        java.lang.Long.bitCount(a._3 ^ b._3)
+      if d <= 12
+    } yield (a._1, b._1)).toSeq
+    val wantCnt = (near.map(_._1) ++ near.map(_._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    out.foreach { case (id, _, _, n) =>
+      assert(n === wantCnt.getOrElse(id, 0L), s"doc $id n_near")
+    }
+    // hashing is deterministic across runs
+    val again = Multimodal.phash(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(again.toSeq === out.toSeq)
+  }
 }

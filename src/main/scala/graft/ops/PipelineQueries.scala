@@ -1148,7 +1148,9 @@ object PipelineQueries {
     * terms; corpus stats (N, L) and per-term df are single-row /
     * term-count-sized broadcasts; the final cut is TakeOrdered (heap
     * per partition), never a global sort. */
-  val textBm25: Q = (s, dir) => {
+  /** The BM25 scored frame (doc_id, score) shared by [[textBm25]] and
+    * [[rankFusion]] — same plan, different top-k cut. */
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
     val terms = Seq("spark", "vector", "merge")
     val d = docs(s, dir).select(col("doc_id"),
       split(col("text"), " ").as("w"))
@@ -1171,9 +1173,12 @@ object PipelineQueries {
           |  (CAST(10 AS DECIMAL(38,0))*tf*l + 3*l + 9*dl*n))""".stripMargin))
       .groupBy("doc_id")
       .agg(sum(col("score_t")).cast("bigint").as("score"))
+  }
+
+  val textBm25: Q = (s, dir) =>
+    bm25Scored(s, dir)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(10)
-  }
 
   val textBm25Sql: String =
     """WITH p AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -1194,6 +1199,87 @@ object PipelineQueries {
       |SELECT doc_id, CAST(sum(score_t) AS BIGINT) AS score
       |FROM sc GROUP BY doc_id
       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  /** Hybrid retrieval via Reciprocal Rank Fusion: the keyword leg
+    * ([[bm25Scored]], same integral BM25) and the dense leg (exact
+    * cosine against one query vector; `vec_id` indexes the same corpus)
+    * each produce a top-20 ranking, fused as
+    * Σ 1e6 // (60 + rank) — the standard RRF(k=60) in integer
+    * micro-units, so the fused score is bit-identical across engines
+    * and docs found by only one leg still place.
+    *
+    * Scale shape: each leg ends in a TakeOrdered top-k cut (heap per
+    * partition, never a global sort), so the fusion join sees 20×20
+    * rows regardless of corpus size; the rank windows run AFTER the
+    * cut, over ≤ 20 rows in one task. The dense leg broadcasts the
+    * single query vector; swap in the IVF probe ([[embedIndex]]) when
+    * the corpus outgrows a scan. */
+  val rankFusion: Q = (s, dir) => {
+    val bmW = Window.orderBy(col("score").desc, col("id"))
+    val bmTop = bm25Scored(s, dir)
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+      .select(col("doc_id").as("id"), col("score"))
+      .select(col("id"),
+        row_number().over(bmW).cast("bigint").as("bm_rank"))
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val vecW = Window.orderBy(col("cos").desc, col("vid"))
+    val vecTop = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id").as("vid"),
+        SVE.cosine_sim(col("qv"), col("embedding")).as("cos"))
+      .orderBy(col("cos").desc, col("vid")).limit(20)
+      .select(col("vid"),
+        row_number().over(vecW).cast("bigint").as("cos_rank"))
+    bmTop.join(vecTop, col("id") === col("vid"), "full_outer")
+      .select(coalesce(col("id"), col("vid")).as("id"),
+        col("bm_rank"), col("cos_rank"),
+        (coalesce(expr("1000000 DIV (60 + bm_rank)"), lit(0L)) +
+          coalesce(expr("1000000 DIV (60 + cos_rank)"), lit(0L)))
+          .cast("bigint").as("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("id"))
+      .limit(10)
+  }
+
+  val rankFusionSql: String = {
+    val dotQE = sqlDot("q.embedding", "e.embedding")
+    val nQ = sqlDot("q.embedding", "q.embedding")
+    val nE = sqlDot("e.embedding", "e.embedding")
+    s"""WITH p AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM p),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |              CAST(sum(dl) AS BIGINT) AS l FROM d),
+       |x AS (SELECT doc_id, dl, unnest(w) AS token FROM d),
+       |f AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf FROM x
+       |      WHERE token IN ('spark', 'vector', 'merge')
+       |      GROUP BY doc_id, dl, token),
+       |dfx AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |        FROM f GROUP BY token),
+       |sc AS (SELECT f.doc_id,
+       |    (CAST(1000 AS HUGEINT)*(2*(st.n - dfx.df)+1) // (2*dfx.df+1)) *
+       |    (CAST(22 AS HUGEINT)*f.tf*st.l*1000000 //
+       |      (CAST(10 AS HUGEINT)*f.tf*st.l + 3*st.l + 9*f.dl*st.n)) AS score_t
+       |  FROM f JOIN dfx USING (token) CROSS JOIN st),
+       |bmsc AS (SELECT doc_id, CAST(sum(score_t) AS BIGINT) AS score
+       |  FROM sc GROUP BY doc_id),
+       |bm AS (SELECT doc_id AS id,
+       |    row_number() OVER (ORDER BY score DESC, doc_id) AS bm_rank
+       |  FROM bmsc QUALIFY bm_rank <= 20),
+       |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+       |vsc AS (SELECT e.vec_id AS vid,
+       |    $dotQE / (sqrt($nQ) * sqrt($nE)) AS cos
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+       |vec AS (SELECT vid,
+       |    row_number() OVER (ORDER BY cos DESC, vid) AS cos_rank
+       |  FROM vsc QUALIFY cos_rank <= 20)
+       |SELECT coalesce(bm.id, vec.vid) AS id,
+       |  CAST(bm.bm_rank AS BIGINT) AS bm_rank,
+       |  CAST(vec.cos_rank AS BIGINT) AS cos_rank,
+       |  CAST(coalesce(1000000 // (60 + bm.bm_rank), 0) +
+       |       coalesce(1000000 // (60 + vec.cos_rank), 0) AS BIGINT)
+       |    AS rrf_micro
+       |FROM bm FULL OUTER JOIN vec ON bm.id = vec.vid
+       |ORDER BY rrf_micro DESC, id LIMIT 10""".stripMargin
+  }
 
   /** Label-outlier detection over embeddings — the mislabeled-sample
     * sweep a curated training set runs before fitting: flag vectors
@@ -1969,6 +2055,7 @@ object PipelineQueries {
     "q_cluster_sample" -> clusterSample,
     "q_text_tfidf" -> textTfidf,
     "q_text_bm25" -> textBm25,
+    "q_rank_fusion" -> rankFusion,
     "q_text_bpe_pairs" -> textBpePairs,
     "q_embed_outliers" -> embedOutliers,
     "q_embed_coreset" -> embedCoreset,
@@ -1987,6 +2074,7 @@ object PipelineQueries {
     "q_cluster_sample" -> clusterSampleSql,
     "q_text_tfidf" -> textTfidfSql,
     "q_text_bm25" -> textBm25Sql,
+    "q_rank_fusion" -> rankFusionSql,
     "q_text_bpe_pairs" -> textBpePairsSql,
     "q_embed_outliers" -> embedOutliersSql,
     "q_embed_coreset" -> embedCoresetSql,

@@ -295,4 +295,24 @@ class PipelineSpec extends SparkSuite {
       }
     }
   }
+
+  test("rank fusion: RRF scores recompute from ranks, legs independent") {
+    val out = PipelineQueries.rankFusion(spark, sf)
+      .as[(Long, Option[Long], Option[Long], Long)].collect()
+    assert(out.length === 10)
+    // score is exactly the integer RRF of whichever ranks are present
+    out.foreach { case (id, bm, cs, rrf) =>
+      val want = bm.map(r => 1000000L / (60 + r)).getOrElse(0L) +
+        cs.map(r => 1000000L / (60 + r)).getOrElse(0L)
+      assert(rrf === want, s"doc $id rrf")
+      assert(bm.isDefined || cs.isDefined, s"doc $id has no leg")
+      bm.foreach(r => assert(r >= 1 && r <= 20))
+      cs.foreach(r => assert(r >= 1 && r <= 20))
+    }
+    // output sorted by fused score desc, id tiebreak
+    val key = out.map(r => (-r._4, r._1)).toSeq
+    assert(key === key.sorted, "fusion ordering")
+    // both legs contributed somewhere in the top-10 (hybrid, not one-leg)
+    assert(out.exists(_._2.isDefined) && out.exists(_._3.isDefined))
+  }
 }

@@ -486,6 +486,44 @@ object CurationQueries {
       |  AND ((d.rk - 1) % d.n) + 1 = r.pos
       |ORDER BY d.lang, rk""".stripMargin
 
+  /** Per-source document cap (the RefinedWeb/FineWeb "domain cap"
+    * class): no single source may contribute more than CAP docs to the
+    * mixture, and when a source is over cap its LONGEST documents win
+    * (n_chars desc, doc_id tiebreak — a deterministic stand-in for a
+    * quality ranking). The output carries each kept doc's in-source
+    * rank plus the source's total, so the drop accounting
+    * (total − kept) is auditable per source.
+    *
+    * Scale shape: ONE corpus pass — a single groupBy(source) carries
+    * the count and a [[graft.functions.expressions.BoundedTopK]] heap,
+    * so every partial buffer holds ≤ CAP rows and the corpus is never
+    * globally sorted or rank-windowed; a 100 TB crawl with a million
+    * sources shuffles CAP-bounded heaps, not documents. */
+  val sourceCap: Q = (s, dir) => {
+    val cap = 40
+    val agged = docs(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        graft.functions.expressions.AggExpressions
+          .bounded_top_k(struct(col("n_chars"), col("doc_id")), cap,
+            Seq(true, false)).as("top"))
+    agged.select(col("source"), col("n_total"),
+        posexplode(col("top")).as(Seq("i", "d")))
+      .select(col("source"), (col("i") + 1).cast("bigint").as("rk"),
+        col("d.doc_id").as("doc_id"), col("d.n_chars").as("n_chars"),
+        col("n_total"))
+      .orderBy("source", "rk")
+  }
+
+  val sourceCapSql: String =
+    """WITH r AS (SELECT source, doc_id, n_chars,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk,
+      |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_total
+      |  FROM documents)
+      |SELECT source, rk, doc_id, n_chars, n_total
+      |FROM r WHERE rk <= 40 ORDER BY source, rk""".stripMargin
+
   // ===========================================================================
   // Sequence packing: token-budget batches for training
   // ===========================================================================
@@ -830,6 +868,7 @@ object CurationQueries {
     "q_contamination" -> contamination,
     "q_decontaminate_bloom" -> decontaminateBloom,
     "q_mix_weights" -> mixWeights,
+    "q_source_cap" -> sourceCap,
     "q_sample_temperature" -> sampleTemperature,
     "q_pack_sequences" -> packSequences,
     "q_shuffle_epoch" -> shuffleEpoch,
@@ -849,6 +888,7 @@ object CurationQueries {
     "q_contamination" -> contaminationSql,
     "q_decontaminate_bloom" -> decontaminateBloomSql,
     "q_mix_weights" -> mixWeightsSql,
+    "q_source_cap" -> sourceCapSql,
     "q_sample_temperature" -> sampleTemperatureSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_shuffle_epoch" -> shuffleEpochSql,

@@ -356,9 +356,56 @@ object EventQueries {
       |    AS organic_cents
       |FROM per_p GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Robust anomaly detection on the per-minute event-rate series:
+    * minutes whose |count − median| exceeds 3× the median absolute
+    * deviation are flagged (the MAD rule — outlier-proof where a
+    * mean/stddev z-score is dragged by the very spikes it should
+    * flag). Both medians land on k or k.5 over integer counts, so the
+    * doubled deviations (`dev2`, `mad2`) are exact BIGINTs and the
+    * 3×-MAD verdict is bit-identical across engines — no float in any
+    * compared cell.
+    *
+    * Scale shape: the event-sized leg is one map-side-combined
+    * groupBy(minute); everything after runs on the CALENDAR-sized
+    * minute frame (~43k rows/month regardless of event count) — two
+    * exact medians over that frame and a broadcast of the two scalars
+    * back onto it. Output is the anomalous minutes only. */
+  val anomaly: Q = (s, dir) => {
+    val perMin = ev(s, dir)
+      .groupBy(date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("n"))
+    val med = perMin.agg(
+      (percentile(col("n"), lit(0.5)) * 2).cast("bigint").as("med2"))
+    val dev = perMin.crossJoin(broadcast(med))
+      .withColumn("dev2", abs(col("n") * 2 - col("med2")))
+    val mad = dev.agg(
+      (percentile(col("dev2"), lit(0.5)) * 2).cast("bigint").as("mad4"))
+    dev.crossJoin(broadcast(mad))
+      .filter(col("dev2") * 2 > lit(3) * col("mad4"))
+      .select(col("minute"), col("n"), col("med2"), col("dev2"),
+        col("mad4"))
+      .orderBy("minute")
+  }
+
+  val anomalySql: String =
+    """WITH pm AS (SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP)
+      |    AS minute, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |m AS (SELECT CAST(quantile_cont(n, 0.5) * 2 AS BIGINT) AS med2
+      |      FROM pm),
+      |d AS (SELECT minute, n, med2, abs(n * 2 - med2) AS dev2
+      |      FROM pm CROSS JOIN m),
+      |md AS (SELECT CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+      |       FROM d)
+      |SELECT minute, n, med2, CAST(dev2 AS BIGINT) AS dev2, mad4
+      |FROM d CROSS JOIN md
+      |WHERE dev2 * 2 > 3 * mad4
+      |ORDER BY minute""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_events_gapfill" -> gapfill,
     "q_events_attribution" -> attribution,
+    "q_events_anomaly" -> anomaly,
     "q_events_funnel" -> funnel,
     "q_events_retention" -> retention,
     "q_events_tumbling" -> tumbling,
@@ -371,6 +418,7 @@ object EventQueries {
   val oracleSql: Map[String, String] = Map(
     "q_events_gapfill" -> gapfillSql,
     "q_events_attribution" -> attributionSql,
+    "q_events_anomaly" -> anomalySql,
     "q_events_funnel" -> funnelSql,
     "q_events_retention" -> retentionSql,
     "q_events_tumbling" -> tumblingSql,

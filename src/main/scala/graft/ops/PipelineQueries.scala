@@ -1222,7 +1222,10 @@ object PipelineQueries {
       .select(col("id"),
         row_number().over(bmW).cast("bigint").as("bm_rank"))
     val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    // limit(1) is a no-op on the unique-key point filter but makes the
+    // broadcast side PROVABLY bounded to the plan gate's static walk.
+    val q = e.filter(col("vec_id") === 0).limit(1)
+      .select(col("embedding").as("qv"))
     val vecW = Window.orderBy(col("cos").desc, col("vid"))
     val vecTop = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
       .select(col("vec_id").as("vid"),

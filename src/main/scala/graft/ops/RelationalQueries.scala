@@ -1456,11 +1456,68 @@ object RelationalQueries {
       |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
 
+  /** TPC-H Q5 shape: local-supplier revenue by nation — the canonical
+    * 6-table snowflake (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈
+    * nation ⋈ region) with the extra c_nationkey = s_nationkey
+    * "local supplier" constraint that makes the join ORDER matter.
+    *
+    * Scale shape: the two fact-sized legs join first on orderkey
+    * (lineitem ⋈ date-filtered orders — one key-partitioned exchange);
+    * every dimension after that broadcasts (supplier/nation/region are
+    * tiny at any SF; customer rides q3's precedent at bench scale and
+    * is the one hint to drop on a 100 TB cluster, where AQE converts
+    * it back to a shuffle join — the plan stays correct either way).
+    * The local-supplier condition lands IN the supplier join, so
+    * non-local rows die before the aggregate; the final rollup has
+    * nation-count cardinality. */
+  val q5Revenue: Q = (s, dir) => {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val n = t(s, dir, "nation")
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey") &&
+        c("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5RevenueSql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |    AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   // ===========================================================================
   // registry
   // ===========================================================================
 
   val queries: Map[String, Q] = Map(
+    "q5_local_revenue" -> q5Revenue,
     "q_scan_project" -> scanProject,
     "q_generate_series" -> generateSeries,
     "q_filter_compare" -> filterCompare,
@@ -1595,6 +1652,7 @@ object RelationalQueries {
     "q_scalar_interval" -> scalarIntervalSql,
     "q_null_semantics" -> nullSemanticsSql,
     "q3_shipping" -> q3ShippingSql,
+    "q5_local_revenue" -> q5RevenueSql,
     "q18_volume" -> q18VolumeSql,
   )
 }

@@ -53,6 +53,8 @@ class PlanGateSpec extends SparkSuite {
     "q_text_perplexity" -> "1-row LM normalization total cross-joined onto the token stream",
     "q_text_heavy_hitters" -> "1-row exact-count total cross-joined for the in-band contract columns",
     "q_events_funnel" -> "three 1-row stage-count aggregates cross-joined into the single-row conversion report — every side is a scalar by construction",
+    "q_events_anomaly" -> "two 1-row exact-median scalars cross-joined onto the calendar-sized minute frame — scalar aggregates by construction; the frame is calendar-bounded, not event-sized",
+    "q_rank_fusion" -> "single query vector (limit-1 point filter on the unique vec_id) broadcast onto the one-pass cosine scan; both top-k legs end in TakeOrdered before the fusion join",
   )
 
   /** query → why its forced broadcast of a corpus-derived subtree is
@@ -75,6 +77,7 @@ class PlanGateSpec extends SparkSuite {
     "q_sample_importance" -> "hashed n-gram target/proposal histograms — fixed bucket count by construction",
     "q_sample_stratified" -> "per-stratum quotas — strata are the fixed language-label domain",
     "q_text_bm25" -> "document-frequency table — vocabulary-sized (sublinear in the corpus, Heaps' law); scored stream never shuffles",
+    "q_rank_fusion" -> "inherits q_text_bm25's document-frequency broadcast via the shared bm25Scored leg — vocabulary-sized, sublinear in the corpus",
     "q_text_perplexity" -> "hashed-bucket LM table — fixed bucket count by construction",
     "q_text_bpe_pairs" -> "unigram count table for pair scoring — vocabulary-sized (sublinear in the corpus)",
     "q_text_heavy_hitters" -> "Misra-Gries sketch output — at most m entries by the aggregate's state bound",

@@ -272,4 +272,29 @@ class CurationSpec extends SparkSuite {
       assert(got(lang) > counts(lang), s"$lang epoch>1 implies quota > n")
     }
   }
+
+  test("source cap: nothing over cap, longest docs win, totals honest") {
+    import spark.implicits._
+    val out = CurationQueries.sourceCap(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val raw = graft.Tables.load(spark, sf, "documents")
+      .select("source", "doc_id", "n_chars")
+      .as[(String, Long, Long)].collect()
+    val bySource = raw.groupBy(_._1)
+    out.groupBy(_._1).foreach { case (src, g) =>
+      val all = bySource(src)
+      assert(g.length <= 40, s"$src over cap")
+      assert(g.length === math.min(40, all.length), s"$src kept count")
+      assert(g.forall(_._5 == all.length), s"$src n_total")
+      // ranks dense; kept set = top-40 by (n_chars desc, doc_id asc)
+      assert(g.map(_._2).sorted.toSeq === (1L to g.length))
+      val want = all.sortBy(d => (-d._3, d._2)).take(40)
+      val got = g.sortBy(_._2)
+      assert(got.map(_._3).toSeq === want.map(_._2).toSeq, s"$src keep set")
+      assert(got.map(_._4).toSeq === want.map(_._3).toSeq, s"$src n_chars")
+    }
+    // every source appears
+    assert(out.map(_._1).distinct.sorted.toSeq ===
+      bySource.keys.toSeq.sorted)
+  }
 }

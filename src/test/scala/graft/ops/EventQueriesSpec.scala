@@ -134,4 +134,32 @@ class EventQueriesSpec extends SparkSuite {
     val purchasers = ev.filter(_._2 == "purchase").map(_._1).distinct.sorted
     assert(out.map(_._1).sorted.toSeq === purchasers.toSeq)
   }
+
+  test("anomaly: flagged set equals a direct median/MAD recompute") {
+    val sf = "/root/testdata/sf0.001"
+    val out = EventQueries.anomaly(spark, sf)
+      .as[(java.sql.Timestamp, Long, Long, Long, Long)].collect()
+    val counts = graft.Tables.load(spark, sf, "events")
+      .groupBy(date_trunc("minute", col("ts")).as("m"))
+      .agg(count(lit(1)).as("n"))
+      .as[(java.sql.Timestamp, Long)].collect()
+    // doubled exact median of a sorted integer sequence
+    def med2(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) 2 * s(s.length / 2)
+      else s(s.length / 2 - 1) + s(s.length / 2)
+    }
+    val m2 = med2(counts.map(_._2).toSeq)
+    val dev2 = counts.map { case (t, n) => (t, n, math.abs(2 * n - m2)) }
+    val mad4 = med2(dev2.map(_._3).toSeq)
+    val want = dev2.filter(d => 2 * d._3 > 3 * mad4)
+      .sortBy(_._1.getTime)
+    assert(out.map(r => (r._1, r._2)).toSeq ===
+      want.map(d => (d._1, d._2)).toSeq, "flagged minutes")
+    out.foreach { case (_, n, o2, od, o4) =>
+      assert(o2 === m2); assert(o4 === mad4)
+      assert(od === math.abs(2 * n - m2))
+    }
+    assert(out.nonEmpty, "fixture has spikes")
+  }
 }

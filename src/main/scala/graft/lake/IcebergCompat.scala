@@ -988,6 +988,149 @@ object IcebergCompat {
     target
   }
 
+  /** CHERRY-PICK: publish ONE snapshot's appended files onto main's
+    * head as a NEW commit — the write-audit-publish publish path when
+    * main has moved on and [[fastForward]] refuses (diverged). Only
+    * `append` snapshots re-apply cleanly (their whole change is "these
+    * manifests were added"); replace/delete snapshots depend on the
+    * branch's full file state and refuse.
+    *
+    * The new commit takes the table's NEXT sequence number and the
+    * picked manifests are REWRITTEN at it (entries in this layout
+    * carry explicit sequence numbers, so list-entry inheritance cannot
+    * re-stamp them): equality deletes committed on main between stage
+    * and publish scope at a LOWER sequence and therefore do NOT shadow
+    * the published rows — the spec semantics a real engine's
+    * cherrypick_snapshot gives WAP. Cost is manifest-sized (entry
+    * records rewritten, data files untouched) at any table size.
+    * Cherry-pick across schema evolution refuses: the staged manifests
+    * were written under a schema the rewrite would have to translate. */
+  def cherryPick(tableDir: String, snapshotId: Long): Long = {
+    val metaDir = Paths.get(tableDir, "metadata")
+    val prior = currentMetadata(tableDir)
+    val snaps = prior.path("snapshots").elements().asScala.toSeq
+    val byId = snaps.map(s => s.path("snapshot-id").asLong(-2) -> s).toMap
+    val s = byId.getOrElse(snapshotId, throw new NoSuchElementException(
+      s"snapshot $snapshotId not found on $tableDir"))
+    val op = s.path("summary").path("operation").asText("")
+    if (op != "append") throw new UnsupportedOperationException(
+      s"cherry-pick supports append snapshots only — $snapshotId is " +
+        s"'$op' (publish replace/delete work via fastForward)")
+    val mainHead = prior.path("current-snapshot-id").asLong(-1L)
+    if (mainHead == snapshotId) throw new IllegalStateException(
+      s"snapshot $snapshotId is already main's head")
+    val curSchemaId = prior.path("current-schema-id").asInt(0)
+    if (s.path("schema-id").asInt(curSchemaId) != curSchemaId)
+      throw new UnsupportedOperationException(
+        s"snapshot $snapshotId was staged under schema " +
+          s"${s.path("schema-id").asInt(-1)}, main is at $curSchemaId — " +
+          "cherry-pick across schema evolution is undefined")
+    // the snapshot's OWN manifests = its list minus its parent's list
+    val parentPaths: Set[String] =
+      byId.get(s.path("parent-snapshot-id").asLong(-1L))
+        .map(p => avroRecords(localPath(p.get("manifest-list").asText()))
+          .map(_.get("manifest_path").toString).toSet)
+        .getOrElse(Set.empty)
+    val picked = avroRecords(localPath(s.get("manifest-list").asText()))
+      .filter(r => !parentPaths.contains(r.get("manifest_path").toString))
+    if (picked.isEmpty) throw new IllegalStateException(
+      s"snapshot $snapshotId added no manifests relative to its parent")
+    def intOf(r: GenericRecord, f: String, d: Int): Int =
+      if (r.getSchema.getField(f) == null) d
+      else r.get(f) match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long => l.intValue
+        case _ => d
+      }
+    if (picked.exists(intOf(_, "content", 0) != 0))
+      throw new UnsupportedOperationException(
+        s"snapshot $snapshotId carries delete manifests — not an " +
+          "append in spec terms; refusing")
+    val mainRecords = byId.get(mainHead).toSeq.flatMap(m =>
+      avroRecords(localPath(m.get("manifest-list").asText())))
+    val mainPaths = mainRecords.map(_.get("manifest_path").toString).toSet
+    if (picked.exists(r => mainPaths.contains(
+        r.get("manifest_path").toString)))
+      throw new IllegalStateException(
+        s"snapshot $snapshotId is already published on main")
+    // a prior publish rewrote the manifests (paths differ), so the
+    // path check can't see it — the summary marker is the durable
+    // record, exactly what real engines' wap/source-snapshot-id is for
+    if (snaps.exists(_.path("summary").path("cherry-picked-from")
+        .asText("") == snapshotId.toString))
+      throw new IllegalStateException(
+        s"snapshot $snapshotId was already cherry-picked onto main")
+
+    val prevVersion = new String(Files.readAllBytes(
+      metaDir.resolve("version-hint.text")), "UTF-8").trim.toLong
+    val version = prevVersion + 1
+    val newSnapshotId = version * 100
+    val sequenceNumber = prior.path("last-sequence-number").asLong(0L) + 1
+    val schemaNode = currentSchemaNode(prior)
+
+    // rewrite each picked manifest's entries at the publish sequence
+    val newEntries = picked.zipWithIndex.map { case (lr, i) =>
+      val specId = intOf(lr, "partition_spec_id", 0)
+      val entries = avroRecords(localPath(lr.get("manifest_path").toString))
+      val entrySchema = entries.head.getSchema
+      val rewritten: Seq[GenericRecord] = entries.map { e =>
+        val n = new GenericData.Record(entrySchema)
+        n.put("status", 1) // ADDED — this commit (re-)adds them to main
+        n.put("snapshot_id", newSnapshotId)
+        n.put("sequence_number", sequenceNumber)
+        n.put("file_sequence_number", sequenceNumber)
+        n.put("data_file", e.get("data_file"))
+        n
+      }
+      val specFieldsJson = prior.path("partition-specs").elements().asScala
+        .find(_.path("spec-id").asInt(0) == specId)
+        .map(sp => mapper.writeValueAsString(sp.path("fields")))
+        .getOrElse("[]")
+      val manifestPath = metaDir.resolve(f"m-$newSnapshotId%d-cp$i%02d.avro")
+      writeAvro(manifestPath, entrySchema, rewritten,
+        Map("schema" -> mapper.writeValueAsString(schemaNode),
+          "partition-spec" -> specFieldsJson,
+          "partition-spec-id" -> specId.toString,
+          "format-version" -> "2", "content" -> "data"))
+      val le = carryManifest(lr, newSnapshotId)
+      le.put("manifest_path", manifestPath.toString)
+      le.put("manifest_length", Files.size(manifestPath))
+      le.put("sequence_number", sequenceNumber)
+      le.put("min_sequence_number", sequenceNumber)
+      le.put("added_snapshot_id", newSnapshotId)
+      le: GenericRecord
+    }
+    val listPath = metaDir.resolve(f"ml-$newSnapshotId%d.avro")
+    writeAvro(listPath, manifestFileSchema,
+      mainRecords.map(carryManifest(_, mainHead)) ++ newEntries,
+      Map("format-version" -> "2"))
+
+    val specsArr = prior.path("partition-specs") match {
+      case a: com.fasterxml.jackson.databind.node.ArrayNode => a
+      case _ => mapper.createArrayNode()
+    }
+    val schemasArr = prior.path("schemas") match {
+      case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+        val copy = mapper.createArrayNode()
+        a.elements().asScala.foreach(copy.add)
+        copy
+      case _ =>
+        val copy = mapper.createArrayNode()
+        copy.add(schemaNode)
+        copy
+    }
+    commitMetadataJson(metaDir, tableDir, version,
+      prior.path("table-uuid").asText(), sequenceNumber,
+      prior.path("last-column-id").asInt(0), schemasArr, curSchemaId,
+      specsArr, prior.path("default-spec-id").asInt(0),
+      prior.path("last-partition-id").asInt(999),
+      snaps, newSnapshotId, mainHead, listPath, "append",
+      Map("cherry-picked-from" -> snapshotId.toString,
+        "manifests-published" -> newEntries.size.toString),
+      prior = Some(prior))
+    newSnapshotId
+  }
+
   /** Commit a mutated metadata root as the next version (tmp +
     * ATOMIC_MOVE for both the json and the hint — the expire pattern). */
   private def commitMetadataVersion(tableDir: String,

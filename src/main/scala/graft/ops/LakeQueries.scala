@@ -1136,6 +1136,46 @@ object LakeQueries {
       .orderBy("ref", "s_suppkey")
   }
 
+  /** WAP publish onto a DIVERGED main: stage an append on a branch,
+    * let main take an unrelated commit (fastForward now refuses), then
+    * CHERRY-PICK the staged snapshot — its manifests republish at the
+    * table's next sequence number in a metadata-only commit. The
+    * compared output is main's full content: base ∪ main's interim
+    * commit ∪ the staged batch — proving the publish landed and
+    * nothing else moved. */
+  val icebergCherryPick: Q = (s, dir) => {
+    val tmp = graft.Scratch.dir("graft-iceberg-cp-q")
+    val sup = Tables.load(s, dir, "supplier")
+      .select("s_suppkey", "s_name", "s_acctbal")
+    graft.lake.IcebergCompat.write(sup, tmp)
+    graft.lake.IcebergCompat.createBranch(tmp, "wap")
+    graft.lake.IcebergCompat.write(
+      sup.filter(col("s_suppkey") % 5 === 0)
+        .withColumn("s_suppkey", col("s_suppkey") + 100000L),
+      tmp, ref = "wap")
+    // main moves on — the branch head is no longer a descendant
+    graft.lake.IcebergCompat.write(
+      sup.filter(col("s_suppkey") % 7 === 0)
+        .withColumn("s_suppkey", col("s_suppkey") + 200000L), tmp)
+    val staged = graft.lake.IcebergCompat.refs(tmp)("wap")._1
+    graft.lake.IcebergCompat.cherryPick(tmp, staged)
+    graft.lake.IcebergCompat.read(s, tmp)
+      .select("s_suppkey", "s_name", "s_acctbal")
+      .orderBy("s_suppkey")
+  }
+
+  val icebergCherryPickSql: String =
+    """WITH base AS (SELECT s_suppkey, s_name, s_acctbal FROM supplier)
+      |SELECT * FROM (
+      |  SELECT s_suppkey, s_name, s_acctbal FROM base
+      |  UNION ALL
+      |  SELECT s_suppkey + 100000, s_name, s_acctbal FROM base
+      |  WHERE s_suppkey % 5 = 0
+      |  UNION ALL
+      |  SELECT s_suppkey + 200000, s_name, s_acctbal FROM base
+      |  WHERE s_suppkey % 7 = 0)
+      |ORDER BY s_suppkey""".stripMargin
+
   val icebergBranchSql: String =
     """WITH base AS (SELECT s_suppkey, s_name, s_acctbal FROM supplier),
       |a AS (SELECT s_suppkey + 100000 AS s_suppkey, s_name, s_acctbal
@@ -1611,6 +1651,7 @@ object LakeQueries {
     "q_iceberg_compact" -> icebergCompact,
     "q_iceberg_expire" -> icebergExpire,
     "q_iceberg_branch" -> icebergBranch,
+    "q_iceberg_cherrypick" -> icebergCherryPick,
     "q_iceberg_prune_scan" -> icebergPruneScan,
     "q_delta_prune_scan" -> deltaPruneScan,
     "q_sql_catalog_scan" -> sqlCatalogScan,
@@ -1666,6 +1707,7 @@ object LakeQueries {
     "q_iceberg_compact" -> icebergCompactSql,
     "q_iceberg_expire" -> icebergExpireSql,
     "q_iceberg_branch" -> icebergBranchSql,
+    "q_iceberg_cherrypick" -> icebergCherryPickSql,
     "q_iceberg_prune_scan" -> icebergPruneScanSql,
     "q_delta_prune_scan" -> deltaPruneScanSql,
     "q_sql_catalog_scan" -> sqlCatalogScanSql,

@@ -88,4 +88,71 @@ class IcebergRefsSpec extends SparkSuite {
     assert(IcebergCompat.currentSnapshotId(dir) ===
       IcebergCompat.refs(dir)("main")._1)
   }
+
+  test("cherry-pick publishes a staged append onto a diverged main") {
+    val dir = tmpDir("ice-refs-cp")
+    IcebergCompat.write(Seq((1L, 10), (2L, 20)).toDF("k", "v"), dir)
+    IcebergCompat.createBranch(dir, "wap")
+    IcebergCompat.write(Seq((3L, 30)).toDF("k", "v"), dir, ref = "wap")
+    IcebergCompat.write(Seq((4L, 40)).toDF("k", "v"), dir) // diverge main
+    val staged = IcebergCompat.refs(dir)("wap")._1
+    intercept[IllegalStateException] { // sanity: ff really is blocked
+      IcebergCompat.fastForward(dir, "wap")
+    }
+    val published = IcebergCompat.cherryPick(dir, staged)
+    assert(rows(IcebergCompat.read(spark, dir)) ===
+      Seq(1L -> 10, 2L -> 20, 3L -> 30, 4L -> 40))
+    // main's head is the NEW commit, parented on main's prior head —
+    // the staged snapshot itself never enters main's lineage
+    assert(IcebergCompat.currentSnapshotId(dir) === published)
+    val hist = IcebergCompat.inspect(spark, dir, "snapshots")
+      .select("snapshot_id").collect().map(_.getLong(0))
+    assert(hist.contains(published) && hist.contains(staged))
+    // re-publishing the same snapshot refuses
+    intercept[IllegalStateException] {
+      IcebergCompat.cherryPick(dir, staged)
+    }
+    // branch stays where it was (publish does not move the ref)
+    assert(IcebergCompat.refs(dir)("wap")._1 === staged)
+  }
+
+  test("cherry-pick takes a NEW sequence: interim eq-deletes don't shadow") {
+    val dir = tmpDir("ice-refs-cp-seq")
+    IcebergCompat.write(Seq((1L, 10), (2L, 20)).toDF("k", "v"), dir)
+    IcebergCompat.createBranch(dir, "wap")
+    // stage k=3 on the branch at sequence S
+    IcebergCompat.write(Seq((3L, 30)).toDF("k", "v"), dir, ref = "wap")
+    // main meanwhile equality-deletes k=3 (sequence S+1 > S): had the
+    // publish kept the staged sequence, this delete would swallow the
+    // published row
+    IcebergCompat.writeEqualityDeletes(spark, dir,
+      Seq(Tuple1(3L)).toDF("k"), Seq("k"))
+    val staged = IcebergCompat.refs(dir)("wap")._1
+    IcebergCompat.cherryPick(dir, staged)
+    assert(rows(IcebergCompat.read(spark, dir)) ===
+      Seq(1L -> 10, 2L -> 20, 3L -> 30),
+      "published rows sequence PAST the interim delete")
+    // the staged branch head still reads its own (pre-delete) content
+    assert(rows(IcebergCompat.readRef(spark, dir, "wap")) ===
+      Seq(1L -> 10, 2L -> 20, 3L -> 30))
+  }
+
+  test("cherry-pick refuses non-append snapshots and the current head") {
+    val dir = tmpDir("ice-refs-cp-ref")
+    IcebergCompat.write(Seq((1L, 10), (2L, 20)).toDF("k", "v"), dir)
+    val head = IcebergCompat.currentSnapshotId(dir)
+    intercept[IllegalStateException] {
+      IcebergCompat.cherryPick(dir, head) // already main's head
+    }
+    IcebergCompat.write(Seq((9L, 90)).toDF("k", "v"), dir,
+      mode = "overwrite")
+    val replace = IcebergCompat.currentSnapshotId(dir)
+    IcebergCompat.write(Seq((5L, 50)).toDF("k", "v"), dir)
+    intercept[UnsupportedOperationException] {
+      IcebergCompat.cherryPick(dir, replace) // overwrite, not append
+    }
+    intercept[NoSuchElementException] {
+      IcebergCompat.cherryPick(dir, 424242L)
+    }
+  }
 }

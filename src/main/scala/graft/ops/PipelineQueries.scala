@@ -242,6 +242,38 @@ object PipelineQueries {
       |  count(*) AS copies
       |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin
 
+  /** Normalization-invariant exact dedup — the "fuzzy-exact" stage
+    * real pipelines run between byte-exact and MinHash: case folded,
+    * punctuation stripped, whitespace collapsed, THEN hash-grouped, so
+    * re-encodes / re-punctuations of the same page collapse while true
+    * near-dups stay MinHash's job. The normalization is one codegen'd
+    * per-row expression chain (lower → regexp strip → collapse →
+    * trim); the heavy leg stays a single map-side-combined groupBy on
+    * the 128-bit hash — byte-identical scale shape to [[dedupExact]].
+    * The emitted `n_norm_only` counts groups the RAW hash missed —
+    * the measure of what this stage buys over byte-exact. */
+  val dedupNormalized: Q = (s, dir) => {
+    val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
+      "[^a-z0-9 ]+", " "), " +", " "))
+    docs(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("raw_hash"),
+        md5(norm).as("norm_hash"))
+      .groupBy("norm_hash")
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("copies"),
+        (countDistinct(col("raw_hash")) - 1).as("n_norm_only"))
+      .orderBy("norm_hash")
+  }
+
+  val dedupNormalizedSql: String =
+    """WITH n AS (SELECT doc_id, md5(text) AS raw_hash,
+      |    md5(trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash
+      |  FROM documents)
+      |SELECT norm_hash, min(doc_id) AS keep_id, count(*) AS copies,
+      |  count(DISTINCT raw_hash) - 1 AS n_norm_only
+      |FROM n GROUP BY norm_hash ORDER BY norm_hash""".stripMargin
+
   /** N-gram Jaccard near-dup detection: candidate pairs bucketed by a
     * 40-char prefix, verified with exact 3-word-shingle Jaccard ≥ 0.5.
     * (The prefix bucket plays the blocking role; MinHash-LSH below is the
@@ -2042,6 +2074,7 @@ object PipelineQueries {
     "q_text_fingerprint" -> textFingerprint,
     "q_text_repetition" -> textRepetition,
     "q_dedup_exact" -> dedupExact,
+    "q_dedup_normalized" -> dedupNormalized,
     "q_dedup_jaccard" -> dedupJaccard,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_incremental" -> dedupIncremental,
@@ -2088,6 +2121,7 @@ object PipelineQueries {
     "q_text_fingerprint" -> textFingerprintSql,
     "q_text_repetition" -> textRepetitionSql,
     "q_dedup_exact" -> dedupExactSql,
+    "q_dedup_normalized" -> dedupNormalizedSql,
     "q_dedup_jaccard" -> dedupJaccardSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_incremental" -> dedupIncrementalSql,

@@ -296,6 +296,30 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("normalized dedup collapses case/punct variants byte-exact misses") {
+    // craft a documents fixture with re-encodes of one page
+    val dir = tmpDir("norm-dedup")
+    Seq(
+      (1L, "Hello, World! This is a Test.", "en", "a", 29L),
+      (2L, "hello world  this is a test", "en", "b", 28L),
+      (3L, "HELLO WORLD... this is a TEST", "en", "c", 29L),
+      (4L, "a different document entirely", "en", "d", 29L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = PipelineQueries.dedupNormalized(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.length === 2, "two normalized groups")
+    val big = out.find(_._3 == 3L).get
+    assert(big._2 === 1L, "keeper is the min doc_id")
+    assert(big._4 === 2L, "three raw hashes collapsed, two were missed " +
+      "by byte-exact dedup")
+    assert(out.find(_._3 == 1L).get._4 === 0L, "singleton gains nothing")
+    // byte-exact on the same fixture finds NO duplicate groups
+    val exact = PipelineQueries.dedupExact(spark, dir)
+      .as[(String, Long, Long)].collect()
+    assert(exact.forall(_._3 == 1L))
+  }
+
   test("rank fusion: RRF scores recompute from ranks, legs independent") {
     val out = PipelineQueries.rankFusion(spark, sf)
       .as[(Long, Option[Long], Option[Long], Long)].collect()

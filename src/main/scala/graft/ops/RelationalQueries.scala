@@ -1512,12 +1512,56 @@ object RelationalQueries {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** TPC-H Q10 shape: returned-item reporting — the top-20 customers
+    * by revenue lost to returns in a quarter. Facts join once on
+    * orderkey (both sides filtered BEFORE the shuffle: returnflag on
+    * lineitem, the date window on orders — the selective predicates
+    * ride the scan); customer and nation broadcast; the final cut is
+    * TakeOrdered over the grouped rollup, never a global sort. */
+  val q10Returns: Q = (s, dir) => {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-04-01").cast("timestamp")
+    val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    val c = t(s, dir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10ReturnsSql: String =
+    """SELECT c_custkey, c_name, c_acctbal, n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |    AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
   // ===========================================================================
   // registry
   // ===========================================================================
 
   val queries: Map[String, Q] = Map(
     "q5_local_revenue" -> q5Revenue,
+    "q10_returns" -> q10Returns,
     "q_scan_project" -> scanProject,
     "q_generate_series" -> generateSeries,
     "q_filter_compare" -> filterCompare,
@@ -1653,6 +1697,7 @@ object RelationalQueries {
     "q_null_semantics" -> nullSemanticsSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_local_revenue" -> q5RevenueSql,
+    "q10_returns" -> q10ReturnsSql,
     "q18_volume" -> q18VolumeSql,
   )
 }

@@ -27,4 +27,20 @@ class TpchPlanSpec extends SparkSuite {
     val rows = df.collect()
     assert(rows.nonEmpty && rows.forall(_.getDouble(1) > 0))
   }
+
+  test("q10: filters reach both fact scans, TakeOrdered cut, no global sort") {
+    val df = RelationalQueries.q10Returns(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("TakeOrderedAndProject"),
+      "top-20 must be a heap cut, not a global sort + limit")
+    // the selective predicates ride the scans
+    assert("PushedFilters: \\[[^\\]]*l_returnflag".r
+      .findFirstIn(phys).isDefined, s"returnflag not pushed:\n$phys")
+    assert("PushedFilters: \\[[^\\]]*o_orderdate".r
+      .findFirstIn(phys).isDefined, s"date window not pushed:\n$phys")
+    assert(!phys.contains("CartesianProduct") &&
+      !phys.contains("BroadcastNestedLoopJoin"))
+    val rows = df.collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+  }
 }

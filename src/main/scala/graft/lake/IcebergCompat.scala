@@ -1069,9 +1069,10 @@ object IcebergCompat {
     val schemaNode = currentSchemaNode(prior)
 
     // rewrite each picked manifest's entries at the publish sequence
-    val newEntries = picked.zipWithIndex.map { case (lr, i) =>
+    val newEntries = picked.zipWithIndex.flatMap { case (lr, i) =>
       val specId = intOf(lr, "partition_spec_id", 0)
       val entries = avroRecords(localPath(lr.get("manifest_path").toString))
+      if (entries.isEmpty) None else Some {
       val entrySchema = entries.head.getSchema
       val rewritten: Seq[GenericRecord] = entries.map { e =>
         val n = new GenericData.Record(entrySchema)
@@ -1099,6 +1100,7 @@ object IcebergCompat {
       le.put("min_sequence_number", sequenceNumber)
       le.put("added_snapshot_id", newSnapshotId)
       le: GenericRecord
+      }
     }
     val listPath = metaDir.resolve(f"ml-$newSnapshotId%d.avro")
     writeAvro(listPath, manifestFileSchema,

@@ -67,6 +67,27 @@ class DeltaCloneSpec extends SparkSuite {
     assert(rows(DeltaCompat.read(spark, dst)) === Seq(9L -> 90))
   }
 
+  test("absolute-path adds survive a checkpoint fold on the clone") {
+    val src = tmpDir("clone-cp-src")
+    val dst = tmpDir("clone-cp-dst")
+    DeltaCompat.write(Seq((1L, 10), (2L, 20)).toDF("k", "v"), src)
+    DeltaCompat.delete(spark, src, col("k") === 2L)
+    DeltaCompat.shallowClone(spark, src, dst)
+    DeltaCompat.write(Seq((3L, 30)).toDF("k", "v"), dst)
+    DeltaCompat.checkpoint(spark, dst)
+    DeltaCompat.write(Seq((4L, 40)).toDF("k", "v"), dst)
+    // post-checkpoint replay resolves the folded absolute-path adds
+    // (and the source's DV) exactly as the JSON log did
+    assert(rows(DeltaCompat.read(spark, dst)) ===
+      Seq(1L -> 10, 3L -> 30, 4L -> 40))
+    // vacuum after the checkpoint still refuses source-owned storage
+    DeltaCompat.write(Seq((9L, 90)).toDF("k", "v"), dst, mode = "overwrite")
+    val deleted = DeltaCompat.vacuum(dst, retentionMs = 0L)
+    assert(!deleted.exists(p => java.nio.file.Paths.get(p).isAbsolute),
+      s"vacuum crossed into the source: $deleted")
+    assert(rows(DeltaCompat.read(spark, src)) === Seq(1L -> 10))
+  }
+
   test("clone into an existing Delta log refuses") {
     val src = tmpDir("clone-ref-src")
     val dst = tmpDir("clone-ref-dst")

@@ -1025,9 +1025,20 @@ object IcebergCompat {
         s"snapshot $snapshotId was staged under schema " +
           s"${s.path("schema-id").asInt(-1)}, main is at $curSchemaId — " +
           "cherry-pick across schema evolution is undefined")
-    // the snapshot's OWN manifests = its list minus its parent's list
+    // the snapshot's OWN manifests = its list minus its parent's list.
+    // An EXPIRED parent must refuse, not degrade to "no parent": with
+    // an empty parent set the whole self-contained list looks staged
+    // and a publish would duplicate main's base content. parent = -1
+    // (the staged commit was the table's first) is the one legitimate
+    // empty case.
+    val parentId = s.path("parent-snapshot-id").asLong(-1L)
+    if (parentId >= 0 && !byId.contains(parentId))
+      throw new IllegalStateException(
+        s"snapshot $snapshotId's parent $parentId has been expired — " +
+          "cherry-pick cannot isolate the staged manifests; re-stage " +
+          "the change or publish via fastForward")
     val parentPaths: Set[String] =
-      byId.get(s.path("parent-snapshot-id").asLong(-1L))
+      byId.get(parentId)
         .map(p => avroRecords(localPath(p.get("manifest-list").asText()))
           .map(_.get("manifest_path").toString).toSet)
         .getOrElse(Set.empty)

@@ -451,7 +451,11 @@ object CurationQueries {
       .select(col("lang"), posexplode(col("top")).as(Seq("i", "s")))
       .select(col("lang"), (col("i") + 1).cast("bigint").as("pos"),
         col("s.doc_id").as("doc_id"))
-    alloc
+    // quota can floor to 0 for a tiny language under heavy skew (its
+    // largest-remainder rank falls past the leftover) — and Spark's
+    // sequence(1, 0) DESCENDS to [1, 0] instead of being empty, so the
+    // guard is a correctness filter, not an optimization.
+    alloc.filter(col("quota") > 0)
       .select(col("lang"), col("n"),
         explode(expr("sequence(CAST(1 AS BIGINT), quota)")).as("rk"))
       .withColumn("pos", (col("rk") - 1) % col("n") + 1)

@@ -377,18 +377,26 @@ object Multimodal {
         }
         (a.doc_id, lo, hi)
       }
-    }.toDF("doc_id", "h_lo", "h_hi")
+      // localCheckpoint pins the decoded hashes: the frame feeds three
+      // plan branches (both self-join sides + the count join-back) and
+      // without it EACH branch re-runs the PNG decode — 3× the only
+      // expensive work in the query (the ConnectedComponents
+      // precedent). 24 bytes/image of state, any corpus size.
+    }.toDF("doc_id", "h_lo", "h_hi").localCheckpoint(true)
     val bands = hashed.select(col("doc_id"), col("h_lo"), col("h_hi"),
       posexplode(array(col("h_lo") % 65536L, expr("h_lo DIV 65536"),
         col("h_hi") % 65536L, expr("h_hi DIV 65536")))
         .as(Seq("band", "bkey")))
-    val a = bands.select(col("doc_id").as("da"), col("h_lo").as("alo"),
-      col("h_hi").as("ahi"), col("band"), col("bkey"))
-    val b = bands.select(col("doc_id").as("db"), col("h_lo").as("blo"),
-      col("h_hi").as("bhi"), col("band"), col("bkey"))
-    val near = a.join(b, Seq("band", "bkey"))
-      .filter(col("da") < col("db"))
-      .select("da", "db", "alo", "ahi", "blo", "bhi").distinct()
+    // alias() self-join (not re-select): both sides canonicalize to the
+    // same plan, so the band-key exchange is computed once
+    // (ReusedExchange) — the dedupEmbedLsh pattern.
+    val near = bands.alias("a")
+      .join(bands.alias("b"), col("a.band") === col("b.band") &&
+        col("a.bkey") === col("b.bkey") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.h_lo").as("alo"), col("a.h_hi").as("ahi"),
+        col("b.h_lo").as("blo"), col("b.h_hi").as("bhi")).distinct()
       .filter(expr(
         "bit_count(alo ^ blo) + bit_count(ahi ^ bhi) <= 12"))
     val cnt = near.select(col("da").as("doc_id"))

@@ -1178,10 +1178,10 @@ object PipelineQueries {
     * map-side filter, so the one exchange carries candidate
     * (doc, term, tf) rows — corpus-size-independent for selective
     * terms; corpus stats (N, L) and per-term df are single-row /
-    * term-count-sized broadcasts; the final cut is TakeOrdered (heap
-    * per partition), never a global sort. */
-  /** The BM25 scored frame (doc_id, score) shared by [[textBm25]] and
-    * [[rankFusion]] — same plan, different top-k cut. */
+    * term-count-sized broadcasts. The scored frame (doc_id, score) is
+    * shared by [[textBm25]] and [[rankFusion]] — same plan, different
+    * top-k cut, and each cut is TakeOrdered (heap per partition),
+    * never a global sort. */
   private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
     val terms = Seq("spark", "vector", "merge")
     val d = docs(s, dir).select(col("doc_id"),

@@ -273,6 +273,29 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("temperature sampling: a zero-quota language emits NO draws") {
+    import spark.implicits._
+    // 350² + 350² + 1 docs → weights (350, 350, 1), wsum 701: the tiny
+    // language floors to 0 and its remainder (300) ranks BELOW the big
+    // languages' (551), so the 2 leftover bumps skip it — quota 0.
+    // Spark's sequence(1, 0) descends to [1, 0] instead of empty, so
+    // without the quota>0 guard this emitted phantom draws.
+    val dir = tmpDir("temp-zero-quota")
+    spark.range(245001).select(
+      col("id").as("doc_id"), lit("word word").as("text"),
+      when(col("id") < 122500, "aa")
+        .when(col("id") < 245000, "bb").otherwise("cc").as("lang"),
+      lit("s").as("source"), lit(9L).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CurationQueries.sampleTemperature(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.length === 300, "budget exactly spent")
+    val byLang = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byLang === Map("aa" -> 150, "bb" -> 150),
+      "zero-quota language contributes nothing, bumps go by remainder")
+    assert(out.forall(r => r._2 >= 1 && r._3 >= 1), "no phantom rk/epoch")
+  }
+
   test("source cap: nothing over cap, longest docs win, totals honest") {
     import spark.implicits._
     val out = CurationQueries.sourceCap(spark, sf)

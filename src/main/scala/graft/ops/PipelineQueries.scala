@@ -1316,6 +1316,89 @@ object PipelineQueries {
        |ORDER BY rrf_micro DESC, id LIMIT 10""".stripMargin
   }
 
+  /** Margin-based bitext mining (the CCMatrix/LASER class): align a
+    * "source-language" corpus (label 0) against a "target-language"
+    * corpus (label 1) by the RATIO margin — cos(x,y) divided by the
+    * mean of each side's top-k neighborhood — which suppresses hubs
+    * that plain cosine top-1 mis-aligns. Arithmetic is exact across
+    * engines: the cosine doubles are the proven bit-identical
+    * dot/(√·√) spelling, floored once into BIGINT micro-units, and
+    * everything after (ranks, top-4 sums, the 8c/(Σa+Σb) margin) is
+    * integer — positive-cos candidates only, so DIV and // agree.
+    * Emitted: each source vector's best target, its margin, and
+    * whether the alignment is MUTUAL (also the target's best source).
+    *
+    * Scale shape: the brute A×B pair stage is the BASELINE by
+    * definition (streamed side repartitioned, one pass); at 100 TB
+    * candidate generation moves to the IVF probe ([[embedIndex]] /
+    * [[embedIvf]]) and the margin math is unchanged — it only ever
+    * sees each vector's k-neighborhood. The two rank windows and both
+    * top-4 sums share the single pair frame. */
+  val mineBitext: Q = (s, dir) => {
+    val k = 4
+    val e = embs(s, dir).select(col("vec_id"), col("label"), col("embedding"))
+    val a = e.filter(col("label") === 0)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = e.filter(col("label") === 1)
+      .select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val pairs = a.join(broadcast(b), lit(true))
+      .select(col("vec_a"), col("vec_b"),
+        floor(SVE.cosine_sim(col("ea"), col("eb")) * 1000000)
+          .cast("bigint").as("c"))
+      .filter(col("c") > 0)
+    val wa = Window.partitionBy("vec_a").orderBy(col("c").desc, col("vec_b"))
+    val wb = Window.partitionBy("vec_b").orderBy(col("c").desc, col("vec_a"))
+    val ranked = pairs
+      .withColumn("rk_a", row_number().over(wa))
+      .withColumn("rk_b", row_number().over(wb))
+    ranked
+      .withColumn("asum", sum(when(col("rk_a") <= k, col("c")).otherwise(0L))
+        .over(Window.partitionBy("vec_a")))
+      .withColumn("bsum", sum(when(col("rk_b") <= k, col("c")).otherwise(0L))
+        .over(Window.partitionBy("vec_b")))
+      .filter(col("rk_a") === 1)
+      .withColumn("margin_micro",
+        expr("8 * c * CAST(1000000 AS BIGINT) DIV (asum + bsum)"))
+      .filter(col("margin_micro") > 1060000L)
+      .select(col("vec_a"), col("vec_b"), col("c").as("cos_micro"),
+        col("margin_micro"), (col("rk_b") === 1).as("mutual"))
+      .orderBy("vec_a")
+  }
+
+  val mineBitextSql: String = {
+    val dot = sqlDot("aa.ea", "bb.eb")
+    val na = sqlDot("aa.ea", "aa.ea")
+    val nb = sqlDot("bb.eb", "bb.eb")
+    s"""WITH aa AS (SELECT vec_id AS vec_a, embedding AS ea
+       |  FROM embeddings WHERE label = 0),
+       |bb AS (SELECT vec_id AS vec_b, embedding AS eb
+       |  FROM embeddings WHERE label = 1),
+       |p AS (SELECT vec_a, vec_b,
+       |    CAST(floor(($dot) / (sqrt($na) * sqrt($nb)) * 1000000)
+       |      AS BIGINT) AS c
+       |  FROM aa CROSS JOIN bb),
+       |pp AS (SELECT * FROM p WHERE c > 0),
+       |r AS (SELECT vec_a, vec_b, c,
+       |    row_number() OVER (PARTITION BY vec_a ORDER BY c DESC, vec_b)
+       |      AS rk_a,
+       |    row_number() OVER (PARTITION BY vec_b ORDER BY c DESC, vec_a)
+       |      AS rk_b
+       |  FROM pp),
+       |su AS (SELECT vec_a, vec_b, c, rk_a, rk_b,
+       |    sum(CASE WHEN rk_a <= 4 THEN c ELSE 0 END)
+       |      OVER (PARTITION BY vec_a) AS asum,
+       |    sum(CASE WHEN rk_b <= 4 THEN c ELSE 0 END)
+       |      OVER (PARTITION BY vec_b) AS bsum
+       |  FROM r)
+       |SELECT vec_a, vec_b, c AS cos_micro,
+       |  CAST((8 * c * 1000000) // (asum + bsum) AS BIGINT) AS margin_micro,
+       |  (rk_b = 1) AS mutual
+       |FROM su
+       |WHERE rk_a = 1 AND (8 * c * 1000000) // (asum + bsum) > 1060000
+       |ORDER BY vec_a""".stripMargin
+  }
+
   /** Label-outlier detection over embeddings — the mislabeled-sample
     * sweep a curated training set runs before fitting: flag vectors
     * whose cosine to their own label's centroid falls below 0.5 (or
@@ -2084,6 +2167,7 @@ object PipelineQueries {
     "q_dedup_semantic" -> dedupSemantic,
     "q_embed_topk" -> embedTopK,
     "q_mine_negatives" -> mineNegatives,
+    "q_mine_bitext" -> mineBitext,
     "q_embed_matryoshka" -> embedMatryoshka,
     "q_embed_ivf" -> embedIvf,
     "q_embed_pq" -> embedPq,
@@ -2131,6 +2215,7 @@ object PipelineQueries {
     "q_dedup_semantic" -> dedupSemanticSql,
     "q_embed_topk" -> embedTopKSql,
     "q_mine_negatives" -> mineNegativesSql,
+    "q_mine_bitext" -> mineBitextSql,
     "q_embed_matryoshka" -> embedMatryoshkaSql,
     "q_embed_ivf" -> embedIvfSql,
     "q_embed_pq" -> embedPqSql,

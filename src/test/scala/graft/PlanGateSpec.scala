@@ -43,6 +43,7 @@ class PlanGateSpec extends SparkSuite {
     "q_dedup_embed" -> "brute-force cosine BASELINE by definition (one side broadcast, corpus streams once); q_dedup_embed_lsh is the scale path",
     "q_embed_topk" -> "serving query batch broadcast (contract-bounded), corpus streams once; non-equi self-exclusion makes it BNLJ",
     "q_mine_negatives" -> "anchor batch broadcast (serving-contract-bounded, the q_embed_topk shape); non-equi self-exclusion makes it BNLJ; the corpus streams ONCE into the max+BoundedTopK aggregate",
+    "q_mine_bitext" -> "brute-force margin BASELINE by definition (one language broadcast, the other streams once); at scale candidate generation moves to the IVF probe (q_embed_index/ivf) and the margin math is unchanged",
     "q_embed_matryoshka" -> "serving query batch broadcast (contract-bounded, the q_embed_topk shape); non-equi self-exclusion makes it BNLJ; one corpus pass carries both cosines",
     "q_embed_ivf" -> "query batch × k centroids — both sides bounded (batch by serving contract, centroids by model size)",
     "q_embed_pq" -> "query batch × PQ codebook — both sides model-bounded",
@@ -67,6 +68,7 @@ class PlanGateSpec extends SparkSuite {
     "q_dedup_embed" -> "brute-force baseline variant by definition; the LSH twin carries the 100 TB shape",
     "q_embed_topk" -> "serving query batch — broadcast-sized by the serving contract; the corpus side streams",
     "q_mine_negatives" -> "anchor batch — broadcast-sized by the serving contract; the corpus side streams into a single bounded-state aggregation",
+    "q_mine_bitext" -> "brute-force margin baseline variant by definition (the q_dedup_embed precedent); the IVF probe carries the 100 TB candidate shape",
     "q_embed_matryoshka" -> "serving query batch — broadcast-sized by the serving contract; the corpus side streams once",
     "q_embed_ivf" -> "query batch and k centroids — model/contract-bounded",
     "q_embed_pq" -> "query batch and 256-entry-per-subspace codebook — model-bounded",

@@ -296,6 +296,51 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("bitext margin: best-target, sums and mutual flag match brute force") {
+    val out = PipelineQueries.mineBitext(spark, sf)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(out.nonEmpty)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label", "embedding")
+      .as[(Long, Int, Array[Float])].collect()
+    def cosMicro(x: Array[Float], y: Array[Float]): Long = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) {
+        d += x(i).toDouble * y(i).toDouble
+        nx += x(i).toDouble * x(i).toDouble
+        ny += y(i).toDouble * y(i).toDouble
+        i += 1
+      }
+      math.floor(d / (math.sqrt(nx) * math.sqrt(ny)) * 1000000).toLong
+    }
+    val as = e.filter(_._2 == 0); val bs = e.filter(_._2 == 1)
+    val pos = (for { a <- as; b <- bs; c = cosMicro(a._3, b._3) if c > 0 }
+      yield (a._1, b._1, c)).toSeq
+    def topSum(g: Seq[(Long, Long)]): Long = // (otherId, c) desc, id tiebreak
+      g.sortBy(p => (-p._2, p._1)).take(4).map(_._2).sum
+    val aTop = pos.groupBy(_._1).view
+      .mapValues(g => g.map(p => (p._2, p._3))).toMap
+    val bTop = pos.groupBy(_._2).view
+      .mapValues(g => g.map(p => (p._1, p._3))).toMap
+    out.foreach { case (va, vb, c, m, mutual) =>
+      val best = aTop(va).minBy(p => (-p._2, p._1))
+      assert((best._1, best._2) === ((vb, c)), s"$va best target")
+      val want = 8L * c * 1000000L / (topSum(aTop(va)) + topSum(bTop(vb)))
+      assert(m === want, s"$va margin")
+      assert(m > 1060000L)
+      val bBest = bTop(vb).minBy(p => (-p._2, p._1))
+      assert(mutual === (bBest._1 == va), s"$va mutual")
+    }
+    // completeness: every source whose best pair clears the margin is in
+    val wantAs = aTop.keys.filter { va =>
+      val best = aTop(va).minBy(p => (-p._2, p._1))
+      val m = 8L * best._2 * 1000000L /
+        (topSum(aTop(va)) + topSum(bTop(best._1)))
+      m > 1060000L
+    }.toSeq.sorted
+    assert(out.map(_._1).sorted.toSeq === wantAs)
+  }
+
   test("normalized dedup collapses case/punct variants byte-exact misses") {
     // craft a documents fixture with re-encodes of one page
     val dir = tmpDir("norm-dedup")

@@ -1555,6 +1555,319 @@ object RelationalQueries {
       |GROUP BY c_custkey, c_name, c_acctbal, n_name
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** TPC-H Q6 shape: the forecasting-revenue-change scan-aggregate — ZERO
+    * joins, every predicate lands in PushedFilters, the aggregate is one
+    * map-side-combined pass. At 100 TB this is the query whose entire cost
+    * is scan bytes; the plan must show a bare parquet scan feeding a
+    * partial agg (no exchange before the partials). Fixture note: the
+    * shipped lineitem has no commit/receipt dates, so the predicate set is
+    * the shipdate-year + discount band + quantity cut of the original. */
+  val q6Forecast: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val q6ForecastSql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |              * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.03 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q4 shape: order-priority checking — EXISTS decorrelates to a
+    * LEFT SEMI join with a non-equi residual (the late-shipment condition
+    * references both sides), then a tiny group-by over priorities. The
+    * date-window filter on orders rides the scan, so the semi join's
+    * build side is already quarter-sized. Fixture note: no
+    * commit/receipt dates → "late" is shipped >30 days after order. */
+  val q4Priority: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o.join(li, o("o_orderkey") === li("l_orderkey") &&
+        li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4PrioritySql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q7 shape: volume shipping between two nations — the nation
+    * dimension joins TWICE (supplier's nation vs customer's nation), and
+    * the pair-filter `(n1,n2) ∈ {(A,B),(B,A)}` lives where both legs
+    * meet. Scale shape: lineitem ⋈ orders on orderkey is the one
+    * fact-fact exchange; supplier+nation fold into a broadcast before
+    * touching the fact, customer+nation likewise — at 100 TB the
+    * customer leg falls back to a shuffle join under AQE and the plan
+    * stays correct. The year() projection happens pre-aggregate so the
+    * group-by key is 2 nations × 2 years. */
+  val q7Volume: Q = (s, dir) => {
+    val n1 = t(s, dir, "nation").select(col("n_nationkey").as("n1_key"),
+      col("n_name").as("supp_nation"))
+    val n2 = t(s, dir, "nation").select(col("n_nationkey").as("n2_key"),
+      col("n_name").as("cust_nation"))
+    val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .select("s_suppkey", "supp_nation")
+    val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .select("c_custkey", "cust_nation")
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_shipdate")
+    val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(cust), o("o_custkey") === cust("c_custkey"))
+      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .filter((col("supp_nation") === "NATION_1" &&
+          col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" &&
+          col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q7VolumeSql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |    AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q8 shape: national market share — a ratio of two aggregates
+    * over the same joined stream (share of ASIA-region ECONOMY-part
+    * revenue supplied by NATION_3, per order year). The ratio is emitted
+    * in INTEGER basis points via exact integral division (decimal(38,0)
+    * `div` / DuckDB HUGEINT `//`) — float division parity is the only
+    * way this query can drift between engines, so it never happens.
+    * Volume rides ×10⁴ micro-units (scale-4 product is integral there).
+    * Scale shape: part filters before its broadcast (ECONOMY = 1/6 of
+    * part), the one exchange is lineitem ⋈ orders, and the case-sum
+    * means the nation split costs zero extra passes. */
+  val q8MarketShare: Q = (s, dir) => {
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val n2 = t(s, dir, "nation")
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cust_nkey"))
+    val n1 = t(s, dir, "nation").select(col("n_nationkey").as("supp_nkey"),
+      col("n_name").as("supp_nation"))
+    val p = t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+      .select("p_partkey")
+    val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      .join(broadcast(n1), col("s_nationkey") === col("supp_nkey"))
+      .select("s_suppkey", "supp_nation")
+    val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      .join(broadcast(n2), col("c_nationkey") === col("cust_nkey"))
+      .select("c_custkey")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount")
+    val vol = (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))) *
+      lit(10000)).cast("decimal(38,0)")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(cust), o("o_custkey") === cust("c_custkey"))
+      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(sum(when(col("supp_nation") === "NATION_3", vol)
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("nation_u"),
+        sum(vol).as("total_u"))
+      .selectExpr("o_year",
+        // micro-unit sums ride decimal(38,0) internally (no overflow at any
+        // SF); the EMITTED columns fit int64 until ~9e14 revenue-units —
+        // far past sf1 — and BIGINT is the one integer type both engines
+        // hash identically.
+        "CAST(nation_u AS BIGINT) AS nation_u",
+        "CAST(total_u AS BIGINT) AS total_u",
+        "(nation_u * 10000) div total_u AS share_bp")
+      .orderBy("o_year")
+  }
+
+  val q8MarketShareSql: String =
+    """WITH j AS (
+      |  SELECT year(o_orderdate) AS o_year,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |         * (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS HUGEINT)
+      |      AS vol_u,
+      |    n1.n_name AS supp_nation
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  JOIN region ON n2.n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01')
+      |SELECT CAST(o_year AS INTEGER) AS o_year,
+      |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol_u ELSE 0 END)
+      |    AS BIGINT) AS nation_u,
+      |  CAST(sum(vol_u) AS BIGINT) AS total_u,
+      |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol_u ELSE 0 END)
+      |    * 10000 // sum(vol_u) AS BIGINT) AS share_bp
+      |FROM j GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  /** TPC-H Q14 shape: promotion-effect ratio — promo share of one
+    * month's revenue, in exact basis points (same micro-unit `div`
+    * discipline as Q8). The part side broadcasts un-filtered (the
+    * promo/non-promo split must see every part), the month filter on
+    * shipdate is the scan's PushedFilter, output is ONE row. */
+  val q14Promo: Q = (s, dir) => {
+    val p = t(s, dir, "part").select("p_partkey", "p_type")
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val vol = (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))) *
+      lit(10000)).cast("decimal(38,0)")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .agg(sum(when(col("p_type") === "PROMO", vol)
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("promo_u"),
+        sum(vol).as("total_u"))
+      .selectExpr("CAST(promo_u AS BIGINT) AS promo_u",
+        "CAST(total_u AS BIGINT) AS total_u",
+        "(promo_u * 10000) div total_u AS promo_bp")
+  }
+
+  val q14PromoSql: String =
+    """WITH j AS (
+      |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS HUGEINT)
+      |      AS vol_u,
+      |    p_type
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      |    AND l_shipdate < TIMESTAMP '1996-10-01')
+      |SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN vol_u ELSE 0 END)
+      |    AS BIGINT) AS promo_u,
+      |  CAST(sum(vol_u) AS BIGINT) AS total_u,
+      |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN vol_u ELSE 0 END) * 10000
+      |    // sum(vol_u) AS BIGINT) AS promo_bp
+      |FROM j""".stripMargin
+
+  /** TPC-H Q19 shape: discounted-revenue — three DISJUNCTIVE
+    * brand/size/quantity clauses that each reference BOTH tables. The
+    * join itself stays a clean partkey equi-join (broadcast hash); the
+    * OR-of-ANDs lands as the post-join residual, and the per-table
+    * halves that CAN push down do (quantity ≤ 30 covers all three
+    * quantity bands → it rides the lineitem scan; p_size ≤ 15 rides
+    * part's). Fixture note: no shipmode/shipinstruct columns → those
+    * conjuncts are dropped from each clause. */
+  val q19Brand: Q = (s, dir) => {
+    val p = t(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_quantity") <= 30)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val clause =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    li.join(broadcast(p.filter(col("p_size") <= 15)),
+        li("l_partkey") === p("p_partkey"))
+      .filter(clause)
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q19BrandSql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |              * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |    AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** TPC-H Q22 shape: global-sales-opportunity — customers whose balance
+    * beats the positive-balance average AND who have placed no order
+    * since 2000, counted per nation. Two classic sub-shapes: the scalar
+    * aggregate (avg threshold) broadcasts as a 1-row cross join, and the
+    * NOT EXISTS decorrelates to a LEFT ANTI join against the
+    * date-filtered orders. The average compare is EXACT: `bal·n > sum`
+    * in integer cents — no decimal-division parity surface. Fixture
+    * note: c_phone doesn't exist → the country grouping is c_nationkey. */
+  val q22Prospects: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        (dec(col("c_acctbal")) * 100).cast("long").as("bal_cents"))
+    val thresh = c.filter(col("bal_cents") > 0)
+      .agg(count(lit(1)).as("n_pos"), sum("bal_cents").as("sum_cents"))
+    val recent = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey")
+    c.crossJoin(broadcast(thresh))
+      .filter(col("bal_cents") * col("n_pos") > col("sum_cents"))
+      .join(recent, c("c_custkey") === recent("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("cntry"))
+      .agg(count(lit(1)).as("numcust"), sum("bal_cents").as("total_cents"))
+      .orderBy("cntry")
+  }
+
+  val q22ProspectsSql: String =
+    """WITH cc AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents
+      |  FROM customer),
+      |th AS (SELECT count(*) AS n_pos, sum(bal_cents) AS sum_cents
+      |       FROM cc WHERE bal_cents > 0)
+      |SELECT c_nationkey AS cntry, count(*) AS numcust,
+      |  CAST(sum(bal_cents) AS BIGINT) AS total_cents
+      |FROM cc, th
+      |WHERE bal_cents * n_pos > sum_cents
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = cc.c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY cntry ORDER BY cntry""".stripMargin
+
   // ===========================================================================
   // registry
   // ===========================================================================
@@ -1628,6 +1941,13 @@ object RelationalQueries {
     "q_null_semantics" -> nullSemantics,
     "q3_shipping" -> q3Shipping,
     "q18_volume" -> q18Volume,
+    "q4_priority" -> q4Priority,
+    "q6_forecast" -> q6Forecast,
+    "q7_volume" -> q7Volume,
+    "q8_market_share" -> q8MarketShare,
+    "q14_promo" -> q14Promo,
+    "q19_brand" -> q19Brand,
+    "q22_prospects" -> q22Prospects,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1699,5 +2019,12 @@ object RelationalQueries {
     "q5_local_revenue" -> q5RevenueSql,
     "q10_returns" -> q10ReturnsSql,
     "q18_volume" -> q18VolumeSql,
+    "q4_priority" -> q4PrioritySql,
+    "q6_forecast" -> q6ForecastSql,
+    "q7_volume" -> q7VolumeSql,
+    "q8_market_share" -> q8MarketShareSql,
+    "q14_promo" -> q14PromoSql,
+    "q19_brand" -> q19BrandSql,
+    "q22_prospects" -> q22ProspectsSql,
   )
 }

@@ -56,6 +56,7 @@ class PlanGateSpec extends SparkSuite {
     "q_events_funnel" -> "three 1-row stage-count aggregates cross-joined into the single-row conversion report — every side is a scalar by construction",
     "q_events_anomaly" -> "two 1-row exact-median scalars cross-joined onto the calendar-sized minute frame — scalar aggregates by construction; the frame is calendar-bounded, not event-sized",
     "q_rank_fusion" -> "single query vector (limit-1 point filter on the unique vec_id) broadcast onto the one-pass cosine scan; both top-k legs end in TakeOrdered before the fusion join",
+    "q22_prospects" -> "1-row scalar threshold (global ungrouped aggregate) cross-joined onto the customer stream — the TPC-H Q22 avg-balance subquery shape; the NOT EXISTS leg is a hash anti join",
   )
 
   /** query → why its forced broadcast of a corpus-derived subtree is

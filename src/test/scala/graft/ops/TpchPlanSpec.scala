@@ -43,4 +43,83 @@ class TpchPlanSpec extends SparkSuite {
     val rows = df.collect()
     assert(rows.length <= 20 && rows.nonEmpty)
   }
+
+  test("q6: zero joins, every predicate pushed to the one scan") {
+    val df = RelationalQueries.q6Forecast(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!"Join".r.findFirstIn(phys).isDefined, s"Q6 must not join:\n$phys")
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(s"PushedFilters: \\[[^\\]]*$c".r.findFirstIn(phys).isDefined,
+        s"$c not pushed:\n$phys")
+    // map-side partials: a partial HashAggregate below the exchange
+    assert("HashAggregate".r.findAllIn(phys).length >= 2,
+      "partial+final aggregate pair expected")
+    val r = df.collect()(0)
+    assert(r.getDouble(0) > 0 && r.getLong(1) > 0)
+  }
+
+  test("q4: EXISTS decorrelates to a semi join, never a count-distinct blowup") {
+    val df = RelationalQueries.q4Priority(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("LeftSemi"), s"expected LeftSemi join:\n$phys")
+    assert("PushedFilters: \\[[^\\]]*o_orderdate".r
+      .findFirstIn(phys).isDefined, "quarter window not pushed")
+    assert(!phys.contains("CartesianProduct"))
+    assert(df.collect().nonEmpty)
+  }
+
+  test("q19: disjunctive predicate — join stays equi, pushable halves push") {
+    val df = RelationalQueries.q19Brand(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"),
+      s"partkey equi-join must survive the OR residual:\n$phys")
+    assert(!phys.contains("BroadcastNestedLoopJoin") &&
+      !phys.contains("CartesianProduct"),
+      "the OR-of-ANDs must not degrade the join to nested-loop")
+    // the cross-clause quantity bound rides the lineitem scan
+    assert("PushedFilters: \\[[^\\]]*l_quantity".r
+      .findFirstIn(phys).isDefined, s"quantity bound not pushed:\n$phys")
+  }
+
+  test("q8/q14: ratio queries are ONE pass — no double scan for the case split") {
+    for (df <- Seq(RelationalQueries.q8MarketShare(spark, sf),
+                   RelationalQueries.q14Promo(spark, sf))) {
+      val phys = df.queryExecution.executedPlan.toString
+      // one lineitem scan: the numerator is a conditional sum, not a self-join
+      val liScans = "Scan parquet.*lineitem|FileScan.*lineitem".r
+        .findAllIn(phys).length
+      assert(liScans <= 1, s"case-split must not rescan lineitem:\n$phys")
+      assert(!phys.contains("CartesianProduct"))
+    }
+    // exact integral division: share_bp recomputes from the emitted sums
+    val rows = RelationalQueries.q8MarketShare(spark, sf).collect()
+    for (r <- rows) {
+      val (n, t, bp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(bp == n * 10000 / t, s"share_bp must be exact integer div: $r")
+    }
+  }
+
+  test("q22: scalar-threshold broadcast + anti join, exact average compare") {
+    val df = RelationalQueries.q22Prospects(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("LeftAnti"), s"NOT EXISTS must be an anti join:\n$phys")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every surviving group is above-average by the integer cross-compare:
+    // recompute the threshold directly and check group minima beat it
+    val c = graft.Tables.load(spark, sf, "customer")
+    import org.apache.spark.sql.functions._
+    val cents = c.select((col("c_acctbal").cast("decimal(18,2)") * 100)
+      .cast("long").as("b"))
+    val (nPos, sumPos) = {
+      val r = cents.filter(col("b") > 0)
+        .agg(count(lit(1)), sum("b")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    // every member beats the average, so each group's MEAN does too:
+    // total/numcust > sumPos/nPos ⇔ total*nPos > sumPos*numcust (exact)
+    for (r <- rows)
+      assert(BigInt(r.getLong(2)) * nPos > BigInt(sumPos) * r.getLong(1),
+        s"group ${r.get(0)} mean balance below the positive average")
+  }
 }

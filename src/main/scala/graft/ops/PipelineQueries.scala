@@ -711,6 +711,86 @@ object PipelineQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** Corpus-wide k-NN GRAPH (every node's top-3 in-cluster neighbors +
+    * mutuality) — the artifact downstream graph ops consume (PageRank
+    * and connected components here run over pair LISTS; community
+    * detection, SemDeDup variants, and graph-based curation papers all
+    * start from exactly this mutual-kNN edge set).
+    *
+    * Scale decomposition is the SemDeDup one ([[dedupSemantic]]):
+    * nearest-centroid blocking with a driver-sized deterministic model
+    * (every 50th vector — at scale a k-means sample) makes candidate
+    * generation a narrow map + ONE cluster-key equi-join, Σk·nk² not
+    * N². Per-node top-3 is a [[AggExpressions.bounded_top_k]] heap —
+    * map-side partials are ≤3 rows per node per task, so the groupBy
+    * exchange carries k-bounded state, never the full scored stream
+    * (the window spelling would shuffle every candidate pair).
+    * Mutuality is a self-equi-join of the n×3 edge list on the
+    * reversed pair — edge-list-sized, not corpus-sized. The oracle
+    * mirrors the whole pipeline (assignment tie-break, cosine
+    * arithmetic, rank tie-break), so the within-cluster recall trade
+    * is PINNED, not fuzzed. */
+  val embedKnnGraph: Q = (s, dir) => {
+    val K = 3
+    val base = embs(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val cents = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val model = CentroidModel.collect(cents)
+    val assigned = base.select(col("vec_id"), col("v"),
+      SVE.nearest_centroid(col("v"), model)
+        .getField("cluster").as("cluster"))
+    val scored = assigned.alias("a")
+      .join(assigned.alias("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        SVE.cosine_sim_d(col("a.v"), col("b.v")).as("cos"))
+    val edges = scored.groupBy("src")
+      .agg(AE.bounded_top_k(struct(col("cos"), col("dst")), K,
+        Seq(true, false)).as("nb"))
+      .select(col("src"), posexplode(col("nb")).as(Seq("i", "r")))
+      .select(col("src"), (col("i") + 1).cast("bigint").as("rank"),
+        col("r.dst").as("dst"), col("r.cos").as("cos"))
+    val rev = edges.select(col("src").as("r_dst"), col("dst").as("r_src"))
+    edges.join(rev,
+        col("src") === col("r_src") && col("dst") === col("r_dst"), "left")
+      .select(col("src"), col("rank"), col("dst"), col("cos"),
+        col("r_src").isNotNull.as("mutual"))
+      .orderBy("src", "rank")
+  }
+
+  val embedKnnGraphSql: String = {
+    val dotVC = sqlDot("e.embedding", "c.cv")
+    val nV = sqlDot("e.embedding", "e.embedding")
+    val nC = sqlDot("c.cv", "c.cv")
+    val dotSelf = sqlDot("embedding", "embedding")
+    val dotAB = sqlDot("a.embedding", "b.embedding")
+    s"""WITH base AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS cid, embedding AS cv FROM base
+       |      WHERE vec_id % 50 = 0),
+       |assigned AS (SELECT vec_id, embedding, cluster FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid AS cluster,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $dotVC / (sqrt($nV) * sqrt($nC)) DESC, c.cid) AS arn
+       |    FROM base e CROSS JOIN c) WHERE arn = 1),
+       |n AS (SELECT vec_id, embedding, cluster, sqrt($dotSelf) AS nrm
+       |      FROM assigned),
+       |scored AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    $dotAB / (a.nrm * b.nrm) AS cos
+       |  FROM n a JOIN n b
+       |  ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
+       |e AS (SELECT src, dst, cos, row_number() OVER (PARTITION BY src
+       |    ORDER BY cos DESC, dst) AS rank FROM scored),
+       |top AS (SELECT * FROM e WHERE rank <= 3)
+       |SELECT t.src, t.rank, t.dst, t.cos,
+       |  r.src IS NOT NULL AS mutual
+       |FROM top t LEFT JOIN top r ON t.src = r.dst AND t.dst = r.src
+       |ORDER BY t.src, t.rank""".stripMargin
+  }
+
   // ===========================================================================
   // Similarity search (ANN over embeddings)
   // ===========================================================================
@@ -2165,6 +2245,7 @@ object PipelineQueries {
     "q_dedup_embed" -> dedupEmbed,
     "q_dedup_embed_lsh" -> dedupEmbedLsh,
     "q_dedup_semantic" -> dedupSemantic,
+    "q_embed_knn_graph" -> embedKnnGraph,
     "q_embed_topk" -> embedTopK,
     "q_mine_negatives" -> mineNegatives,
     "q_mine_bitext" -> mineBitext,
@@ -2213,6 +2294,7 @@ object PipelineQueries {
     "q_dedup_embed" -> dedupEmbedSql,
     "q_dedup_embed_lsh" -> dedupEmbedLshSql,
     "q_dedup_semantic" -> dedupSemanticSql,
+    "q_embed_knn_graph" -> embedKnnGraphSql,
     "q_embed_topk" -> embedTopKSql,
     "q_mine_negatives" -> mineNegativesSql,
     "q_mine_bitext" -> mineBitextSql,

@@ -1555,6 +1555,45 @@ object RelationalQueries {
       |GROUP BY c_custkey, c_name, c_acctbal, n_name
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** Skew-SALTED equi-join — the manual skew playbook, oracle-pinned to
+    * the plain join's results. When BOTH sides are fact-sized and one
+    * key is hot, a plain shuffle join lands the hot key in ONE task
+    * (AQE's skew-join split handles the sort-merge case automatically;
+    * salting is the portable fallback and the only option for
+    * shuffled-hash or pre-AQE engines). The streamed side tags each row
+    * with a DERIVED salt (a deterministic hash of its own unique key,
+    * mod S — never rand(): retries/speculative tasks must re-derive the
+    * same salt or the join drops/dups rows); the other side replicates
+    * ×S with one row per salt value. The join key becomes
+    * (key, salt) → the hot key spreads over S tasks; S multiplies the
+    * REPLICATED side only, so it's sized to the skew factor, not the
+    * data. The merge hint pins a sort-merge join so the demonstrated
+    * plan IS the two-big-sides case (a broadcast would make salting
+    * pointless). Oracle: the UNSALTED join — salting must be invisible
+    * in the result. */
+  val joinSalted: Q = (s, dir) => {
+    val S = 8
+    val li = t(s, dir, "lineitem")
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity")
+      .withColumn("salt",
+        pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(S)))
+    val sup = t(s, dir, "supplier").select("s_suppkey", "s_name")
+      .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+    li.hint("merge")
+      .join(sup, li("l_suppkey") === sup("s_suppkey") &&
+        li("salt") === sup("salt"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
+      .orderBy("s_suppkey")
+  }
+
+  val joinSaltedSql: String =
+    """SELECT s_suppkey, s_name, count(*) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin
+
   /** TPC-H Q6 shape: the forecasting-revenue-change scan-aggregate — ZERO
     * joins, every predicate lands in PushedFilters, the aggregate is one
     * map-side-combined pass. At 100 TB this is the query whose entire cost
@@ -1890,6 +1929,7 @@ object RelationalQueries {
     "q_join_cross" -> joinCross,
     "q_join_range" -> joinRange,
     "q_join_range_binned" -> joinRangeBinned,
+    "q_join_salted" -> joinSalted,
     "q_scalar_variant" -> scalarVariant,
     "q_join_star" -> joinStar,
     "q_corr_subquery" -> corrSubquery,
@@ -1966,6 +2006,7 @@ object RelationalQueries {
     "q_join_cross" -> joinCrossSql,
     "q_join_range" -> joinRangeSql,
     "q_join_range_binned" -> joinRangeSql,
+    "q_join_salted" -> joinSaltedSql,
     "q_scalar_variant" -> scalarVariantSql,
     "q_join_star" -> joinStarSql,
     "q_corr_subquery" -> corrSubquerySql,

@@ -45,4 +45,31 @@ class SkewJoinSpec extends SparkSuite {
       }
     }
   }
+
+  test("q_join_salted: sort-merge on (key, salt), salt spreads the hot key") {
+    val sf = "/root/testdata/sf0.001"
+    val df = graft.ops.RelationalQueries.joinSalted(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("SortMergeJoin"),
+      s"salted demo must run the two-big-sides SMJ path:\n$phys")
+    assert(!phys.contains("BroadcastHashJoin"),
+      "a broadcast would make the salting demonstration vacuous")
+    // the salt is part of the join key → hot suppkey rows spread over
+    // S partitions: check the partitioning expression mentions salt
+    assert(phys.contains("salt"), "salt must be in the shuffle key")
+    // salting is invisible in the values: equals the plain join
+    val plain = {
+      val li = graft.Tables.load(spark, sf, "lineitem")
+        .select("l_suppkey", "l_quantity")
+      val sup = graft.Tables.load(spark, sf, "supplier")
+        .select("s_suppkey", "s_name")
+      li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("total_qty"))
+        .orderBy("s_suppkey")
+    }
+    assert(df.collect().toSeq == plain.collect().toSeq)
+  }
 }

@@ -296,6 +296,50 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("kNN graph: per-node top-3 equals in-cluster brute force, mutual exact") {
+    val rows = PipelineQueries.embedKnnGraph(spark, sf)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    // ranks contiguous from 1, cosine non-increasing within each src
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      assert(g.map(_._2).sorted.toSeq === (1L to g.length).toSeq, s"src $src")
+      val byRank = g.sortBy(_._2)
+      assert(byRank.map(_._4).toSeq === byRank.map(_._4).sorted.reverse.toSeq,
+        s"src $src cosine order")
+      assert(g.length <= 3)
+    }
+    // mutual flag: exact recompute from the edge set itself
+    val edgeSet = rows.map(r => (r._1, r._3)).toSet
+    rows.foreach { r =>
+      assert(r._5 === edgeSet.contains((r._3, r._1)),
+        s"mutual flag wrong on ${(r._1, r._3)}")
+    }
+    // spot-check brute force within one cluster: rebuild assignments
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val model = CentroidModel.collect(
+      base.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv")))
+    import graft.functions.expressions.{SetVectorExpressions => SVE}
+    val assigned = base.select(col("vec_id"), col("v"),
+      SVE.nearest_centroid(col("v"), model).getField("cluster").as("cluster"))
+      .as[(Long, Seq[Double], Long)].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val oneCluster = assigned.groupBy(_._3).values.maxBy(_.length)
+    for ((vid, v, _) <- oneCluster.take(5)) {
+      val expect = oneCluster.filter(_._1 != vid)
+        .map { case (o, ov, _) => (cos(v, ov), o) }
+        .sortBy { case (c, o) => (-c, o) }.take(3).map(_._2).toSeq
+      val got = rows.filter(_._1 == vid).sortBy(_._2).map(_._3).toSeq
+      assert(got === expect, s"node $vid top-3 differs from brute force")
+    }
+  }
+
   test("bitext margin: best-target, sums and mutual flag match brute force") {
     val out = PipelineQueries.mineBitext(spark, sf)
       .as[(Long, Long, Long, Long, Boolean)].collect()

@@ -732,6 +732,35 @@ object DeltaCompat {
     require(partCols.forall(df.columns.contains),
       s"partition columns (${partCols.mkString(", ")}) missing from input")
 
+    // CHECK constraints: every incoming row must satisfy each
+    // `delta.constraints.*` predicate (TRUE or NULL passes — SQL CHECK
+    // semantics). One validation job over the BATCH (never the table),
+    // all constraints fused into a single disjunction with limit(1)
+    // early-exit; the one fetched row re-evaluates the per-constraint
+    // flags so the refusal can name the violated constraint(s).
+    // Maintenance rewrites (dataChange = false) re-add already-validated
+    // rows and skip the pass.
+    val checkCons = priorState.map(_.config).getOrElse(Map.empty).collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        k.stripPrefix("delta.constraints.") -> v
+    }
+    if (dataChange && checkCons.nonEmpty) {
+      val flags = checkCons.toSeq.sortBy(_._1).map { case (n, e) =>
+        n -> (functions.coalesce(functions.expr(e),
+          functions.lit(true)) === false)
+      }
+      val hit = df.filter(flags.map(_._2).reduce(_ || _)).limit(1)
+        .select(flags.map { case (n, c) => c.as(n) }: _*).collect()
+      if (hit.nonEmpty) {
+        val bad = flags.map(_._1).zipWithIndex
+          .collect { case (n, i) if hit(0).getBoolean(i) => n }
+        throw new IllegalArgumentException(
+          s"$table: CHECK constraint${if (bad.size > 1) "s" else ""} " +
+            bad.map(n => s"'$n' (${checkCons(n)})").mkString(", ") +
+            " violated by the incoming batch — nothing committed")
+      }
+    }
+
     // Column mapping: the LOG keeps logical names (schemaString field
     // names, partitionColumns); the FILES carry physical names (parquet
     // columns, hive partition dirs → partitionValues keys).
@@ -1829,6 +1858,79 @@ object DeltaCompat {
     val confNode = m.putObject("configuration")
     newConf.foreach { case (k, v) => confNode.put(k, v) }
     commit(table, head + 1, Seq(meta), "ALTER TABLE")
+    head + 1
+  }
+
+  /** CHECK constraints (Delta spec: `delta.constraints.<name>` table
+    * configuration; ALTER TABLE ADD CONSTRAINT … CHECK (…)). The
+    * predicate must hold for every row of every future write; per the
+    * spec a row passes when the expression is TRUE **or NULL** (SQL
+    * CHECK semantics), and fails only on FALSE. Adding a constraint
+    * first validates EXISTING data — a distributed scan whose plan is
+    * `filter(violation).limit(1)` (early-exit: one surviving row stops
+    * the scan; at 100 TB a clean table still pays one full read, which
+    * is what the real ALTER TABLE pays too) — then lands a
+    * metadata-only commit. Enforcement for writes lives in
+    * [[writeImpl]], which covers append/overwrite, [[merge]] and the
+    * followers; maintenance rewrites (`dataChange = false`) skip the
+    * check — they move bytes, not logical rows, so the data was already
+    * validated when it entered. */
+  def addConstraint(spark: SparkSession, table: String, name: String,
+      sqlExpr: String): Long = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"constraint name '$name' (identifier expected)")
+    val state = replay(spark, table, None)
+    val key = s"delta.constraints.${name.toLowerCase}"
+    if (state.config.contains(key))
+      throw new IllegalArgumentException(
+        s"$table already has constraint '$name': ${state.config(key)}")
+    val viol = read(spark, table).filter(
+      functions.coalesce(functions.expr(sqlExpr),
+        functions.lit(true)) === false)
+    if (viol.limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        s"$table: existing rows violate CHECK ($sqlExpr) — " +
+          "constraint not added")
+    commitConfig(table, state, state.config + (key -> sqlExpr),
+      s"ADD CONSTRAINT $name")
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT — metadata-only. */
+  def dropConstraint(spark: SparkSession, table: String,
+      name: String): Long = {
+    val state = replay(spark, table, None)
+    val key = s"delta.constraints.${name.toLowerCase}"
+    if (!state.config.contains(key))
+      throw new IllegalArgumentException(
+        s"$table has no constraint '$name'")
+    commitConfig(table, state, state.config - key,
+      s"DROP CONSTRAINT $name")
+  }
+
+  /** Active CHECK constraints: name → SQL predicate. */
+  def constraints(spark: SparkSession, table: String): Map[String, String] =
+    replay(spark, table, None).config.collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        k.stripPrefix("delta.constraints.") -> v
+    }
+
+  /** Metadata-only commit replacing the table configuration (the
+    * evolveSchema commit shape: same id/schema/partitioning, new
+    * config). */
+  private def commitConfig(table: String, state: LogState,
+      newConf: Map[String, String], operation: String): Long = {
+    val head = (versions(table) ++ lastCheckpoint(table).map(_._1)).max
+    val meta = mapper.createObjectNode()
+    val m = meta.putObject("metaData")
+    m.put("id", state.metaId.getOrElse(UUID.randomUUID().toString))
+    m.putObject("format").put("provider", "parquet").putObject("options")
+    m.put("schemaString", state.schemaJson.getOrElse(
+      throw new IllegalStateException(s"$table has no metaData action")))
+    val pcArr = m.putArray("partitionColumns")
+    state.partitionColumns.foreach(pcArr.add)
+    val confNode = m.putObject("configuration")
+    newConf.foreach { case (k, v) => confNode.put(k, v) }
+    commit(table, head + 1, Seq(meta), operation)
     head + 1
   }
 

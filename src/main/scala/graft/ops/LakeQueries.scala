@@ -1474,6 +1474,34 @@ object LakeQueries {
       |  (4, 'overwrite')) AS t(sequence_number, operation)
       |ORDER BY sequence_number""".stripMargin
 
+  /** ROLLBACK + the `history` metadata table: write (→ snapshot 100),
+    * write (→ 200), roll back to 100 (metadata-only — a snapshot-log
+    * re-point), then write again (→ 400, parent 100). History must
+    * show all four made-current events in log order with the abandoned
+    * 200 flagged `is_current_ancestor = false` — the exact surface real
+    * catalogs expose after a rollback. Deterministic snapshot ids
+    * (metadata version × 100) make the oracle a literal. */
+  val icebergHistoryMeta: Q = (s, dir) => {
+    val tmp = graft.Scratch.dir("graft-iceberg-histmeta-q")
+    val n = Tables.load(s, dir, "nation")
+    graft.lake.IcebergCompat.write(n, tmp) // v1 → snapshot 100
+    graft.lake.IcebergCompat.write(
+      n.filter(col("n_nationkey") >= 20), tmp) // v2 → 200
+    graft.lake.IcebergCompat.rollback(tmp, 100L) // v3 → log re-points 100
+    graft.lake.IcebergCompat.write(
+      n.filter(col("n_nationkey") < 5), tmp) // v4 → 400, parent 100
+    graft.lake.IcebergCompat.inspect(s, tmp, "history")
+      .select("entry", "snapshot_id", "is_current_ancestor")
+      .orderBy("entry")
+  }
+
+  val icebergHistoryMetaSql: String =
+    """SELECT CAST(entry AS BIGINT) AS entry,
+      |  CAST(snapshot_id AS BIGINT) AS snapshot_id, is_current_ancestor
+      |FROM (VALUES (0, 100, TRUE), (1, 200, FALSE), (2, 100, TRUE),
+      |  (3, 400, TRUE)) AS t(entry, snapshot_id, is_current_ancestor)
+      |ORDER BY entry""".stripMargin
+
   /** Refs metadata table (the `refs` inspection real catalogs expose):
     * after a tag, a branch with its own commit, and a further main
     * commit, the refs listing must name all three heads with the
@@ -1668,6 +1696,7 @@ object LakeQueries {
     "q_iceberg_partitions_meta" -> icebergPartitionsMeta,
     "q_iceberg_snapshots_meta" -> icebergSnapshotsMeta,
     "q_iceberg_refs_meta" -> icebergRefsMeta,
+    "q_iceberg_history_meta" -> icebergHistoryMeta,
     "q_iceberg_schema_evolve" -> icebergSchemaEvolve,
     "q_delta_merge" -> deltaMerge,
     "q_delta_cdf" -> deltaCdf,
@@ -1725,6 +1754,7 @@ object LakeQueries {
     "q_iceberg_partitions_meta" -> icebergPartitionsMetaSql,
     "q_iceberg_snapshots_meta" -> icebergSnapshotsMetaSql,
     "q_iceberg_refs_meta" -> icebergRefsMetaSql,
+    "q_iceberg_history_meta" -> icebergHistoryMetaSql,
     "q_iceberg_schema_evolve" -> icebergSchemaEvolveSql,
     "q_delta_merge" -> deltaMergeSql,
     "q_delta_cdf" -> deltaCdfSql,

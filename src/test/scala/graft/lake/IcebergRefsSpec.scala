@@ -155,4 +155,46 @@ class IcebergRefsSpec extends SparkSuite {
       IcebergCompat.cherryPick(dir, 424242L)
     }
   }
+
+  test("rollback rewinds main, keeps time travel, flags abandoned history") {
+    val dir = tmpDir("ice-rollback")
+    IcebergCompat.write(Seq((1L, 10)).toDF("k", "v"), dir) // 100
+    IcebergCompat.write(Seq((2L, 20)).toDF("k", "v"), dir) // 200
+    IcebergCompat.write(Seq((3L, 30)).toDF("k", "v"), dir) // 300
+    val back = IcebergCompat.rollback(dir, 100L)
+    assert(back === 100L)
+    assert(rows(IcebergCompat.read(spark, dir)) === Seq(1L -> 10),
+      "content = snapshot 100 exactly")
+    // abandoned snapshots still time-travel until expiry
+    assert(rows(IcebergCompat.read(spark, dir, snapshotId = Some(300L))) ===
+      Seq(1L -> 10, 2L -> 20, 3L -> 30))
+    // a write after rollback chains off the rolled-to head
+    IcebergCompat.write(Seq((4L, 40)).toDF("k", "v"), dir) // 500, parent 100
+    assert(rows(IcebergCompat.read(spark, dir)) ===
+      Seq(1L -> 10, 4L -> 40))
+    // history: log order preserved, 200/300 off the current lineage
+    val h = IcebergCompat.inspect(spark, dir, "history")
+      .select("snapshot_id", "is_current_ancestor")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(h === Seq(100L -> true, 200L -> false, 300L -> false,
+      100L -> true, 500L -> true))
+  }
+
+  test("rollback refuses cross-lineage targets; no-op returns the head") {
+    val dir = tmpDir("ice-rollback-refuse")
+    IcebergCompat.write(Seq((1L, 10)).toDF("k", "v"), dir) // 100
+    IcebergCompat.createBranch(dir, "b")
+    IcebergCompat.write(Seq((2L, 20)).toDF("k", "v"), dir, ref = "b") // 300
+    IcebergCompat.write(Seq((3L, 30)).toDF("k", "v"), dir) // main 400
+    // branch snapshot is not on main's lineage
+    intercept[IllegalArgumentException] {
+      IcebergCompat.rollback(dir, 300L)
+    }
+    intercept[IllegalArgumentException] {
+      IcebergCompat.rollback(dir, 424242L)
+    }
+    val head = IcebergCompat.currentSnapshotId(dir)
+    assert(IcebergCompat.rollback(dir, head) === head, "no-op")
+    assert(IcebergCompat.currentSnapshotId(dir) === head)
+  }
 }

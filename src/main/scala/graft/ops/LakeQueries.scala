@@ -184,6 +184,95 @@ object LakeQueries {
     * recomputes the final grouped state from scratch in SQL, so any
     * drift the incremental algebra accumulates across refreshes is a
     * hash mismatch. */
+  /** Incrementally-maintained JOIN view ([[graft.lake.JoinMview]]):
+    * orders ⋈ customer kept fresh across two CDC windows that hit BOTH
+    * sides — order deletes, join-key re-points (the pair moves), price
+    * updates, customer deletes (cascade), renames, late inserts derived
+    * from the post-v2 state, and a nationkey update — with a refresh
+    * after each window. The oracle rebuilds both final sides in CTEs
+    * and joins from scratch: equality proves the delta-discovery +
+    * pair-rebuild algebra end-to-end. Refresh work is
+    * change-proportional (see JoinMviewSpec for the stats assertions);
+    * the state apply is a point CDC batch, never a rejoin. */
+  val mvJoin: Q = (s, dir) => {
+    val wh = cachedFixture("graft-jmv-q", dir) { tmp =>
+      val lake = new Mooncake(tmp)
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+      val c = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey")
+      lake.createTable(s, "jo", o, Seq("o_orderkey"))
+      lake.createTable(s, "jc", c, Seq("c_custkey"))
+      val jmv = new graft.lake.JoinMview(lake)
+      jmv.create(s, "joc", "jo", "jc", Seq("o_custkey"), Seq("c_custkey"))
+      // window 1 — orders: delete every 100th; every 97th re-points its
+      // customer (±1, even/odd paired) and bumps its price
+      val move = when(col("o_custkey") % 2 === 0, col("o_custkey") + 1)
+        .otherwise(col("o_custkey") - 1)
+      val d2 = o.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("__op", lit("D"))
+      val u2 = o.filter(col("o_orderkey") % 97 === 0 &&
+          col("o_orderkey") % 100 =!= 0)
+        .withColumn("o_custkey", move)
+        .withColumn("o_totalprice", col("o_totalprice") + 1)
+        .withColumn("__op", lit("U"))
+      lake.applyChanges(s, "jo", d2.unionByName(u2), version = 2)
+      // window 1 — customers: delete every 50th (cascades), rename 37ths
+      val cd2 = c.filter(col("c_custkey") % 50 === 0)
+        .withColumn("__op", lit("D"))
+      val cu2 = c.filter(col("c_custkey") % 37 === 0 &&
+          col("c_custkey") % 50 =!= 0)
+        .withColumn("c_name", concat(col("c_name"), lit("_x")))
+        .withColumn("__op", lit("U"))
+      lake.applyChanges(s, "jc", cd2.unionByName(cu2), version = 2)
+      jmv.refresh(s, "joc")
+      // window 2 — late inserts derived from the POST-window-1 state,
+      // plus a right-side payload update
+      val i3 = lake.read(s, "jo").filter(col("o_orderkey") % 83 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("__op", lit("I"))
+      lake.applyChanges(s, "jo", i3, version = 3)
+      val cu3 = lake.read(s, "jc").filter(col("c_custkey") % 41 === 0)
+        .withColumn("c_nationkey", col("c_nationkey") + 100)
+        .withColumn("__op", lit("U"))
+      lake.applyChanges(s, "jc", cu3, version = 3)
+      jmv.refresh(s, "joc")
+    }
+    new graft.lake.JoinMview(new Mooncake(wh)).read(s, "joc")
+      .select(col("o_orderkey"), col("o_custkey"),
+        decToDouble(col("o_totalprice")).as("o_totalprice"),
+        col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .orderBy("o_orderkey")
+  }
+
+  val mvJoinSql: String =
+    """WITH o1 AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 97 = 0 AND o_orderkey % 100 <> 0
+      |      THEN CASE WHEN o_custkey % 2 = 0 THEN o_custkey + 1
+      |                ELSE o_custkey - 1 END
+      |      ELSE o_custkey END AS o_custkey,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) +
+      |      CASE WHEN o_orderkey % 97 = 0 AND o_orderkey % 100 <> 0
+      |           THEN 1 ELSE 0 END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 100 <> 0),
+      |o2 AS (SELECT * FROM o1 UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+      |  FROM o1 WHERE o_orderkey % 83 = 0),
+      |c1 AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 37 = 0 AND c_custkey % 50 <> 0
+      |         THEN c_name || '_x' ELSE c_name END AS c_name,
+      |    c_nationkey +
+      |      CASE WHEN c_custkey % 41 = 0 THEN 100 ELSE 0 END AS c_nationkey
+      |  FROM customer WHERE c_custkey % 50 <> 0)
+      |SELECT o_orderkey, o_custkey,
+      |  CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) AS o_totalprice,
+      |  c_custkey, c_name, c_nationkey
+      |FROM o2 JOIN c1 ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
   val mvIncremental: Q = (s, dir) => {
     val wh = cachedFixture("graft-mv-q", dir) { tmp =>
       val lake = new Mooncake(tmp)
@@ -1727,6 +1816,7 @@ object LakeQueries {
     "q_delta_cmap_roundtrip" -> deltaCmapRoundtrip,
     "q_delta_purge_roundtrip" -> deltaPurgeRoundtrip,
     "q_mv_incremental" -> mvIncremental,
+    "q_mv_join" -> mvJoin,
     "q_mv_filtered" -> mvFiltered,
     "q_runtime_prune" -> runtimePrune,
     "q_delta_runtime_prune" -> deltaRuntimePrune,
@@ -1785,6 +1875,7 @@ object LakeQueries {
     "q_delta_cmap_roundtrip" -> deltaCmapRoundtripSql,
     "q_delta_purge_roundtrip" -> deltaPurgeRoundtripSql,
     "q_mv_incremental" -> mvIncrementalSql,
+    "q_mv_join" -> mvJoinSql,
     "q_mv_filtered" -> mvFilteredSql,
     "q_runtime_prune" -> runtimePruneSql,
     "q_delta_runtime_prune" -> deltaRuntimePruneSql,

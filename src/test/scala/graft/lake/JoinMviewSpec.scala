@@ -105,6 +105,42 @@ class JoinMviewSpec extends SparkSuite {
     assert(state(jmv).exists(r => r._1 == 7 && r._5 == "IT"))
   }
 
+  test("composes with Mview: incremental join -> incremental GROUP BY") {
+    // the full IVM pipeline: orders ⋈ customers kept fresh by JoinMview,
+    // revenue-per-nation kept fresh by an Mview OVER the join state —
+    // both refreshes are change-proportional, and the top equals a
+    // from-scratch join+aggregate after every window.
+    val (lake, jmv) = setup()
+    val mv = new Mview(lake)
+    mv.create(spark, "rev_by_nation", "oc", Seq("nation"),
+      Seq(MvAgg("count", "*", "n_orders"), MvAgg("sum", "amt", "rev")))
+    def top(): Seq[(String, Long, Long)] =
+      mv.read(spark, "rev_by_nation")
+        .select($"nation", $"n_orders", $"rev".cast("long"))
+        .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    def want(): Seq[(String, Long, Long)] =
+      lake.read(spark, "o").join(lake.read(spark, "c"),
+          col("ckey") === col("cid"))
+        .groupBy("nation")
+        .agg(count(lit(1)).as("n"), sum("amt").cast("long").as("r"))
+        .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(top() === want())
+    // window: an insert, a cascade delete, and a payload update
+    lake.applyChanges(spark, "o",
+      orders((4, 20, 400L)).withColumn("__op", lit("I")), version = 2)
+    lake.applyChanges(spark, "c",
+      custs((10, "FR")).withColumn("__op", lit("D")), version = 2)
+    jmv.refresh(spark, "oc")
+    mv.refresh(spark, "rev_by_nation")
+    assert(top() === want())
+    lake.applyChanges(spark, "o",
+      orders((3, 20, 999L)).withColumn("__op", lit("U")), version = 3)
+    jmv.refresh(spark, "oc")
+    mv.refresh(spark, "rev_by_nation")
+    assert(top() === want())
+    assert(top().map(_._1).toSet === Set("DE"))
+  }
+
   test("stale definition heals from the state's own watermarks") {
     val (lake, jmv) = setup()
     lake.applyChanges(spark, "o",

@@ -740,11 +740,19 @@ object DeltaCompat {
     // flags so the refusal can name the violated constraint(s).
     // Maintenance rewrites (dataChange = false) re-add already-validated
     // rows and skip the pass.
+    var pinnedBatch = false
     val checkCons = priorState.map(_.config).getOrElse(Map.empty).collect {
       case (k, v) if k.startsWith("delta.constraints.") =>
         k.stripPrefix("delta.constraints.") -> v
     }
     if (dataChange && checkCons.nonEmpty) {
+      // A non-deterministic batch (rand(), a re-read mutable source)
+      // could pass the validation evaluation and then stage DIFFERENT
+      // rows — pin it so the validated rows ARE the staged rows. The
+      // deterministic common case skips the cache.
+      pinnedBatch = df.queryExecution.analyzed.exists(
+        _.expressions.exists(e => !e.deterministic))
+      if (pinnedBatch) df.persist()
       val flags = checkCons.toSeq.sortBy(_._1).map { case (n, e) =>
         n -> (functions.coalesce(functions.expr(e),
           functions.lit(true)) === false)
@@ -885,6 +893,7 @@ object DeltaCompat {
     }
     commit(table, version, actions.result(), operation.getOrElse(
       if (mode == "overwrite") "OVERWRITE" else "WRITE"))
+    if (pinnedBatch) df.unpersist()
     version
   }
 
@@ -1815,6 +1824,24 @@ object DeltaCompat {
       "rename and drop of the same column")
     require(!state.partitionColumns.exists(drops.contains),
       "cannot drop a partition column")
+    // A CHECK constraint referencing a renamed/dropped column would
+    // survive in config naming the OLD column, and then every later
+    // write dies resolving it — the table bricks through a supported
+    // ALTER. Real Delta refuses the ALTER; so do we (drop the
+    // constraint first).
+    for ((cname, cexpr) <- state.config
+        if cname.startsWith("delta.constraints.")) {
+      val refs = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(cexpr).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.name
+        }.toSet
+      val touched = refs.intersect(renames.keySet ++ drops.toSet)
+      if (touched.nonEmpty) throw new IllegalArgumentException(
+        s"$table: column(s) ${touched.mkString(", ")} are referenced by " +
+          s"CHECK constraint '${cname.stripPrefix("delta.constraints.")}' " +
+          s"($cexpr) — drop the constraint before renaming/dropping")
+    }
     val maxId = math.max(
       state.config.get("delta.columnMapping.maxColumnId")
         .map(_.toLong).getOrElse(0L),
@@ -1847,18 +1874,10 @@ object DeltaCompat {
       if (cmap)
         state.config + ("delta.columnMapping.maxColumnId" -> nextId.toString)
       else state.config
-    val meta = mapper.createObjectNode()
-    val m = meta.putObject("metaData")
-    m.put("id", state.metaId.getOrElse(UUID.randomUUID().toString))
-    m.putObject("format").put("provider", "parquet").putObject("options")
-    m.put("schemaString", newSchema.json)
-    val pcArr = m.putArray("partitionColumns")
-    state.partitionColumns.map(c => renames.getOrElse(c, c))
-      .foreach(pcArr.add)
-    val confNode = m.putObject("configuration")
-    newConf.foreach { case (k, v) => confNode.put(k, v) }
-    commit(table, head + 1, Seq(meta), "ALTER TABLE")
-    head + 1
+    commitConfig(table, state, newConf, "ALTER TABLE",
+      schemaJson = Some(newSchema.json),
+      partitionColumns =
+        Some(state.partitionColumns.map(c => renames.getOrElse(c, c))))
   }
 
   /** CHECK constraints (Delta spec: `delta.constraints.<name>` table
@@ -1918,16 +1937,18 @@ object DeltaCompat {
     * evolveSchema commit shape: same id/schema/partitioning, new
     * config). */
   private def commitConfig(table: String, state: LogState,
-      newConf: Map[String, String], operation: String): Long = {
+      newConf: Map[String, String], operation: String,
+      schemaJson: Option[String] = None,
+      partitionColumns: Option[Seq[String]] = None): Long = {
     val head = (versions(table) ++ lastCheckpoint(table).map(_._1)).max
     val meta = mapper.createObjectNode()
     val m = meta.putObject("metaData")
     m.put("id", state.metaId.getOrElse(UUID.randomUUID().toString))
     m.putObject("format").put("provider", "parquet").putObject("options")
-    m.put("schemaString", state.schemaJson.getOrElse(
+    m.put("schemaString", schemaJson.orElse(state.schemaJson).getOrElse(
       throw new IllegalStateException(s"$table has no metaData action")))
     val pcArr = m.putArray("partitionColumns")
-    state.partitionColumns.foreach(pcArr.add)
+    partitionColumns.getOrElse(state.partitionColumns).foreach(pcArr.add)
     val confNode = m.putObject("configuration")
     newConf.foreach { case (k, v) => confNode.put(k, v) }
     commit(table, head + 1, Seq(meta), operation)

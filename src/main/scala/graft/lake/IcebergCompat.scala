@@ -1007,9 +1007,13 @@ object IcebergCompat {
     require(byId.contains(snapshotId),
       s"snapshot $snapshotId does not exist on $tableDir")
     // ancestor check: walk main's parent chain down to the target
+    // (visited-set guard: corrupt/cyclic parent links must refuse, not
+    // hang the driver — same guard as the history walk)
     var cur = mainHead
     var found = false
-    while (!found && cur >= 0 && byId.contains(cur)) {
+    var seen = Set.empty[Long]
+    while (!found && cur >= 0 && byId.contains(cur) && !seen(cur)) {
+      seen += cur
       found = cur == snapshotId
       cur = byId(cur).path("parent-snapshot-id").asLong(-1)
     }

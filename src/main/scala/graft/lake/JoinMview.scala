@@ -1,10 +1,6 @@
 package graft.lake
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
-import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
-import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import java.nio.file.Paths
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -55,34 +51,15 @@ case class JoinMvRefreshStats(leftFrom: Long, leftTo: Long,
   * final images, and the healed frontier skips the window anyway). */
 class JoinMview(val lake: Mooncake) {
 
-  private val mapper: ObjectMapper = {
-    val m = new ObjectMapper()
-    m.registerModule(DefaultScalaModule)
-    m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
-    m
-  }
-
   private def defPath(name: String) =
     Paths.get(lake.warehouse, Identifier.parse(name).fileName + ".jmv.json")
 
-  private def saveDef(name: String, d: JoinMviewDef): Unit = {
-    val p = defPath(name)
-    Files.createDirectories(p.getParent)
-    val tmp = Files.createTempFile(p.getParent, ".jmv", ".tmp")
-    Files.write(tmp,
-      mapper.writeValueAsString(d).getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
-    ()
-  }
+  private def saveDef(name: String, d: JoinMviewDef): Unit =
+    ViewDefIo.save(defPath(name), d, ".jmv")
 
-  def definition(name: String): JoinMviewDef = {
-    val p = defPath(name)
-    if (!Files.exists(p))
-      throw new NoSuchElementException(s"join view '$name' not found")
-    mapper.readValue(
-      new String(Files.readAllBytes(p), StandardCharsets.UTF_8),
-      classOf[JoinMviewDef])
-  }
+  def definition(name: String): JoinMviewDef =
+    ViewDefIo.load(defPath(name), classOf[JoinMviewDef],
+      s"join view '$name'")
 
   private def wmKeyL(name: String): String =
     "jmview:" + Identifier.parse(name).qualified + ":left"
@@ -148,15 +125,27 @@ class JoinMview(val lake: Mooncake) {
       return JoinMvRefreshStats(d.leftVersion, lm.version,
         d.rightVersion, rm.version, 0L, 0L)
 
-    val lPk = lake.currentManifest(d.left).pkColumns
-    val rPk = lake.currentManifest(d.right).pkColumns
+    val lPk = lm.pkColumns
+    val rPk = rm.pkColumns
     val pairKey = lPk ++ rPk
+
+    // The broadcast hints below assume batch-sized deltas. A
+    // backfill-sized window (a full base rewrite) would force the driver
+    // to collect it anyway — the applyChanges hazard class — so past the
+    // same configurable limit the hint drops and Spark plans a shuffled
+    // join, which is the plan you'd want once the delta is table-sized.
+    val bcastLimit = spark.conf.getOption(
+      "spark.graft.cdc.broadcastKeyLimit").map(_.toLong).getOrElse(4000000L)
+    def maybeBroadcast(df: DataFrame, n: Long): DataFrame =
+      if (n <= bcastLimit) broadcast(df) else df
 
     def delta(base: String, from: Long, to: Long): DataFrame =
       if (from == to) null
       else lake.tableChanges(spark, base, from, to).persist()
     val dA = delta(d.left, d.leftVersion, lm.version)
     val dB = delta(d.right, d.rightVersion, rm.version)
+    val nDA = Option(dA).map(_.count()).getOrElse(0L)
+    val nDB = Option(dB).map(_.count()).getOrElse(0L)
 
     // ---- discovery: which join pairs CAN have changed --------------------
     // ΔA (all images) against the opposite side's old rows ∪ ΔB insert
@@ -169,16 +158,18 @@ class JoinMview(val lake: Mooncake) {
         val bSide = lake.readVersion(spark, d.right, d.rightVersion)
           .unionByName(Option(dB).map(_.filter(col("_change") === "insert")
             .drop("_change")).getOrElse(
-              lake.readVersion(spark, d.right, d.rightVersion).limit(0)))
-        pairs(bSide.join(broadcast(da.drop("_change")),
+              lake.readVersion(spark, d.right, d.rightVersion).limit(0)),
+            allowMissingColumns = true)
+        pairs(bSide.join(maybeBroadcast(da.drop("_change"), nDA),
           keyEq(d.leftKeys, d.rightKeys)))
       },
       Option(dB).map { db =>
         val aSide = lake.readVersion(spark, d.left, d.leftVersion)
           .unionByName(Option(dA).map(_.filter(col("_change") === "insert")
             .drop("_change")).getOrElse(
-              lake.readVersion(spark, d.left, d.leftVersion).limit(0)))
-        pairs(aSide.join(broadcast(db.drop("_change")),
+              lake.readVersion(spark, d.left, d.leftVersion).limit(0)),
+            allowMissingColumns = true)
+        pairs(aSide.join(maybeBroadcast(db.drop("_change"), nDB),
           keyEq(d.leftKeys, d.rightKeys)))
       }).flatten.reduce(_ unionByName _).distinct().persist()
     val nPairs = discovered.count()
@@ -203,19 +194,21 @@ class JoinMview(val lake: Mooncake) {
       .distinct()
     val rKeys = discovered.select(rPk.map(c => col(c).as(s"__r_$c")): _*)
       .distinct()
-    val aNew = lake.read(spark, d.left).join(broadcast(lKeys),
+    val aNew = lake.read(spark, d.left).join(maybeBroadcast(lKeys, nPairs),
       lPk.map(c => col(c) <=> col(s"__l_$c")).reduce(_ && _), "left_semi")
-    val bNew = lake.read(spark, d.right).join(broadcast(rKeys),
+    val bNew = lake.read(spark, d.right).join(maybeBroadcast(rKeys, nPairs),
       rPk.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _), "left_semi")
     val rebuilt = aNew.join(bNew, keyEq(d.leftKeys, d.rightKeys))
-      .join(broadcast(discovered), pairKey, "left_semi").persist()
+      .join(maybeBroadcast(discovered, nPairs), pairKey, "left_semi").persist()
 
     // ---- diff against state, apply as point CDC -------------------------
     val state = lake.read(spark, name)
-    val stale = state.join(broadcast(discovered), pairKey, "left_semi")
+    val stale = state.join(maybeBroadcast(discovered, nPairs), pairKey, "left_semi")
       .join(rebuilt.select(pairKey.map(col): _*), pairKey, "left_anti")
     val ops = rebuilt.withColumn("__op", lit("U"))
-      .unionByName(stale.withColumn("__op", lit("D")))
+      .unionByName(stale.withColumn("__op", lit("D")),
+        allowMissingColumns = true)
+      .persist()
     val mvM = lake.currentManifest(name)
     val applied = ops.count()
     if (applied > 0)
@@ -225,6 +218,7 @@ class JoinMview(val lake: Mooncake) {
     saveDef(name, d.copy(leftVersion = lm.version, rightVersion = rm.version))
     discovered.unpersist()
     rebuilt.unpersist()
+    ops.unpersist()
     JoinMvRefreshStats(d.leftVersion, lm.version,
       d.rightVersion, rm.version, nPairs, applied)
   }

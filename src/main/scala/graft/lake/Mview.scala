@@ -73,40 +73,48 @@ case class MvRefreshStats(fromVersion: Long, toVersion: Long,
   * the base, and the only base access is the dirty-group re-aggregation,
   * proportional to extremum churn, not table size.
   */
-class Mview(val lake: Mooncake) {
-
-  private val mapper: ObjectMapper = {
+/** Shared JSON definition store for the view kinds ([[Mview]],
+  * [[JoinMview]]): one Jackson mapper and one temp-file + ATOMIC_MOVE
+  * write path (the CdcStream.atomicWrite pattern) — a plain write
+  * killed mid-flight tears the JSON and parks every later
+  * `definition()` on a parse error PERMANENTLY, undoing the watermark
+  * heal's crash-safety with its own bookkeeping. */
+private[lake] object ViewDefIo {
+  val mapper: ObjectMapper = {
     val m = new ObjectMapper()
     m.registerModule(DefaultScalaModule)
     m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
     m
   }
 
-  private def defPath(name: String) =
-    Paths.get(lake.warehouse, Identifier.parse(name).fileName + ".mv.json")
-
-  private def saveDef(name: String, d: MviewDef): Unit = {
-    // temp + ATOMIC_MOVE (the CdcStream.atomicWrite pattern): a plain
-    // write killed mid-flight tears the JSON, and every later
-    // definition()/refresh() throws a parse error PERMANENTLY — the
-    // crash-safety the watermark heal provides would be undone by its
-    // own bookkeeping write.
-    val p = defPath(name)
+  def save(p: java.nio.file.Path, value: AnyRef, tmpPrefix: String): Unit = {
     Files.createDirectories(p.getParent)
-    val tmp = Files.createTempFile(p.getParent, ".mv", ".tmp")
+    val tmp = Files.createTempFile(p.getParent, tmpPrefix, ".tmp")
     Files.write(tmp,
-      mapper.writeValueAsString(d).getBytes(StandardCharsets.UTF_8))
+      mapper.writeValueAsString(value).getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     ()
   }
 
-  def definition(name: String): MviewDef = {
-    val p = defPath(name)
+  def load[T](p: java.nio.file.Path, clazz: Class[T], what: String): T = {
     if (!Files.exists(p))
-      throw new NoSuchElementException(s"materialized view '$name' not found")
-    mapper.readValue(new String(Files.readAllBytes(p), StandardCharsets.UTF_8),
-      classOf[MviewDef])
+      throw new NoSuchElementException(s"$what not found")
+    mapper.readValue(
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8), clazz)
   }
+}
+
+class Mview(val lake: Mooncake) {
+
+  private def defPath(name: String) =
+    Paths.get(lake.warehouse, Identifier.parse(name).fileName + ".mv.json")
+
+  private def saveDef(name: String, d: MviewDef): Unit =
+    ViewDefIo.save(defPath(name), d, ".mv")
+
+  def definition(name: String): MviewDef =
+    ViewDefIo.load(defPath(name), classOf[MviewDef],
+      s"materialized view '$name'")
 
   // -- state schema ---------------------------------------------------------
 

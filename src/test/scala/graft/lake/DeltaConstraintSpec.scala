@@ -78,6 +78,27 @@ class DeltaConstraintSpec extends SparkSuite {
     }
   }
 
+  test("evolveSchema refuses rename/drop of a constraint-referenced column") {
+    val dir = tmpDir("delta-check-evolve")
+    DeltaCompat.write(Seq((1L, 10)).toDF("k", "v"), dir,
+      columnMapping = "name")
+    DeltaCompat.addConstraint(spark, dir, "v_pos", "v > 0")
+    // renaming or dropping 'v' would brick every later write (the
+    // surviving constraint names a column that no longer exists)
+    intercept[IllegalArgumentException] {
+      DeltaCompat.evolveSchema(spark, dir, renames = Map("v" -> "w"))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaCompat.evolveSchema(spark, dir, drops = Seq("v"))
+    }
+    // untouched columns still evolve freely
+    DeltaCompat.evolveSchema(spark, dir, renames = Map("k" -> "kk"))
+    // and after dropping the constraint the column is free again
+    DeltaCompat.dropConstraint(spark, dir, "v_pos")
+    DeltaCompat.evolveSchema(spark, dir, renames = Map("v" -> "w"))
+    assert(DeltaCompat.read(spark, dir).columns.toSeq === Seq("kk", "w"))
+  }
+
   test("merge enforces constraints on the written result") {
     val dir = tmpDir("delta-check-merge")
     DeltaCompat.write(Seq((1L, 10), (2L, 20)).toDF("k", "v"), dir)

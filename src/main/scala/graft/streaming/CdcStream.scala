@@ -179,7 +179,8 @@ object CdcStream {
   def attach(lake: Mooncake, table: String, changes: DataFrame,
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      maintain: Seq[String] = Nil): StreamingQuery = {
+      maintain: Seq[String] = Nil,
+      maintainJoins: Seq[String] = Nil): StreamingQuery = {
     val base = pinnedBase(lake, table, checkpointDir)
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -193,6 +194,16 @@ object CdcStream {
         if (maintain.nonEmpty) {
           val mv = new graft.lake.Mview(lake)
           maintain.foreach(mv.refresh(batch.sparkSession, _))
+        }
+        // JOIN views ride the same guarantees: refresh is driven by the
+        // view's own recorded base-version pair (replays no-op, a crash
+        // between apply and refresh folds the multi-version diff on the
+        // next batch) — and a refresh here also folds any OTHER base's
+        // commits that landed since, so two attached streams each
+        // naming the view keep it fresh from both sides.
+        if (maintainJoins.nonEmpty) {
+          val jmv = new graft.lake.JoinMview(lake)
+          maintainJoins.foreach(jmv.refresh(batch.sparkSession, _))
         }
         ()
       }

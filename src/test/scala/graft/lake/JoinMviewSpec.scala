@@ -141,6 +141,37 @@ class JoinMviewSpec extends SparkSuite {
     assert(top().map(_._1).toSet === Set("DE"))
   }
 
+  test("continuous maintenance: two CDC streams keep the join view fresh") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val (lake, jmv) = setup()
+    val inO = MemoryStream[(Int, Int, Long, String, Long)]
+    val inC = MemoryStream[(Int, String, String, Long)]
+    val oChanges = inO.toDF().toDF("oid", "ckey", "amt", "__op", "__seq")
+    val cChanges = inC.toDF().toDF("cid", "nation", "__op", "__seq")
+    val ckptO = tmpDir("jmv-ckpt-o")
+    val ckptC = tmpDir("jmv-ckpt-c")
+
+    // batch 1: an insert on orders and a cascade-delete on customers,
+    // each stream naming the join view — whichever runs second folds
+    // BOTH windows (refresh diffs base versions, not batch ids)
+    inO.addData((4, 20, 400L, "I", 1L))
+    inC.addData((10, "FR", "D", 1L))
+    graft.streaming.CdcStream.attach(lake, "o", oChanges, ckptO,
+      maintainJoins = Seq("oc")).awaitTermination()
+    graft.streaming.CdcStream.attach(lake, "c", cChanges, ckptC,
+      maintainJoins = Seq("oc")).awaitTermination()
+    assert(state(jmv) === recompute(lake))
+    assert(!state(jmv).exists(_._4 == 10), "cascade landed via the stream")
+
+    // batch 2 on one side only; restart on the same checkpoints
+    inO.addData((3, 30, 333L, "U", 2L))
+    graft.streaming.CdcStream.attach(lake, "o", oChanges, ckptO,
+      maintainJoins = Seq("oc")).awaitTermination()
+    assert(state(jmv) === recompute(lake))
+    assert(state(jmv).exists(r => r._1 == 3 && r._4 == 30 && r._3 == 333L))
+  }
+
   test("stale definition heals from the state's own watermarks") {
     val (lake, jmv) = setup()
     lake.applyChanges(spark, "o",

@@ -273,6 +273,84 @@ object LakeQueries {
       |FROM o2 JOIN c1 ON o_custkey = c_custkey
       |ORDER BY o_orderkey""".stripMargin
 
+  /** The full IVM pipeline under oracle check: orders ⋈ customer kept
+    * fresh by [[graft.lake.JoinMview]], revenue-per-nation kept fresh by
+    * an [[graft.lake.Mview]] OVER the join state — the same two CDC
+    * windows as [[mvJoin]], BOTH views refreshed after each. The oracle
+    * rebuilds the final sides in CTEs and aggregates the from-scratch
+    * join: equality proves delta-discovery, pair rebuild, AND the
+    * signed-fold aggregate maintenance composed end-to-end. Neither
+    * refresh ever rejoins or re-aggregates the world: the join leg is
+    * pair-proportional, the agg leg folds the join state's OWN
+    * tableChanges into affected groups only. */
+  val mvJoinAgg: Q = (s, dir) => {
+    val wh = cachedFixture("graft-jmva-q", dir) { tmp =>
+      val lake = new Mooncake(tmp)
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+      val c = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey")
+      lake.createTable(s, "jo", o, Seq("o_orderkey"))
+      lake.createTable(s, "jc", c, Seq("c_custkey"))
+      val jmv = new graft.lake.JoinMview(lake)
+      jmv.create(s, "joc", "jo", "jc", Seq("o_custkey"), Seq("c_custkey"))
+      val mv = new graft.lake.Mview(lake)
+      mv.create(s, "rev_by_nation", "joc", Seq("c_nationkey"), Seq(
+        graft.lake.MvAgg("count", "*", "n_orders"),
+        graft.lake.MvAgg("sum", "o_totalprice", "revenue"),
+        graft.lake.MvAgg("max", "o_totalprice", "top_order")))
+      val move = when(col("o_custkey") % 2 === 0, col("o_custkey") + 1)
+        .otherwise(col("o_custkey") - 1)
+      val d2 = o.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("__op", lit("D"))
+      val u2 = o.filter(col("o_orderkey") % 97 === 0 &&
+          col("o_orderkey") % 100 =!= 0)
+        .withColumn("o_custkey", move)
+        .withColumn("o_totalprice", col("o_totalprice") + 1)
+        .withColumn("__op", lit("U"))
+      lake.applyChanges(s, "jo", d2.unionByName(u2), version = 2)
+      val cd2 = c.filter(col("c_custkey") % 50 === 0)
+        .withColumn("__op", lit("D"))
+      lake.applyChanges(s, "jc", cd2, version = 2)
+      jmv.refresh(s, "joc")
+      mv.refresh(s, "rev_by_nation")
+      val cu3 = lake.read(s, "jc").filter(col("c_custkey") % 41 === 0)
+        .withColumn("c_nationkey", col("c_nationkey") + 100)
+        .withColumn("__op", lit("U"))
+      lake.applyChanges(s, "jc", cu3, version = 3)
+      jmv.refresh(s, "joc")
+      mv.refresh(s, "rev_by_nation")
+    }
+    new graft.lake.Mview(new Mooncake(wh)).read(s, "rev_by_nation")
+      .select(col("c_nationkey"), col("n_orders"),
+        decToDouble(col("revenue")).as("revenue"),
+        decToDouble(col("top_order")).as("top_order"))
+      .orderBy("c_nationkey")
+  }
+
+  val mvJoinAggSql: String =
+    """WITH o1 AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 97 = 0 AND o_orderkey % 100 <> 0
+      |      THEN CASE WHEN o_custkey % 2 = 0 THEN o_custkey + 1
+      |                ELSE o_custkey - 1 END
+      |      ELSE o_custkey END AS o_custkey,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) +
+      |      CASE WHEN o_orderkey % 97 = 0 AND o_orderkey % 100 <> 0
+      |           THEN 1 ELSE 0 END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 100 <> 0),
+      |c1 AS (
+      |  SELECT c_custkey,
+      |    c_nationkey +
+      |      CASE WHEN c_custkey % 41 = 0 THEN 100 ELSE 0 END AS c_nationkey
+      |  FROM customer WHERE c_custkey % 50 <> 0)
+      |SELECT c_nationkey, count(*) AS n_orders,
+      |  CAST(CAST(sum(o_totalprice) AS VARCHAR) AS DOUBLE) AS revenue,
+      |  CAST(CAST(max(o_totalprice) AS VARCHAR) AS DOUBLE) AS top_order
+      |FROM o1 JOIN c1 ON o_custkey = c_custkey
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   val mvIncremental: Q = (s, dir) => {
     val wh = cachedFixture("graft-mv-q", dir) { tmp =>
       val lake = new Mooncake(tmp)
@@ -1817,6 +1895,7 @@ object LakeQueries {
     "q_delta_purge_roundtrip" -> deltaPurgeRoundtrip,
     "q_mv_incremental" -> mvIncremental,
     "q_mv_join" -> mvJoin,
+    "q_mv_join_agg" -> mvJoinAgg,
     "q_mv_filtered" -> mvFiltered,
     "q_runtime_prune" -> runtimePrune,
     "q_delta_runtime_prune" -> deltaRuntimePrune,
@@ -1876,6 +1955,7 @@ object LakeQueries {
     "q_delta_purge_roundtrip" -> deltaPurgeRoundtripSql,
     "q_mv_incremental" -> mvIncrementalSql,
     "q_mv_join" -> mvJoinSql,
+    "q_mv_join_agg" -> mvJoinAggSql,
     "q_mv_filtered" -> mvFilteredSql,
     "q_runtime_prune" -> runtimePruneSql,
     "q_delta_runtime_prune" -> deltaRuntimePruneSql,

@@ -51,4 +51,61 @@ class StreamStreamJoinSpec extends SparkSuite {
       assert(got === Set((100L, 1L, "view"), (100L, 1L, "cart")), s"$got")
     } finally q.stop()
   }
+
+  test("LEFT OUTER interval join: unmatched orders emit null-padded " +
+      "AFTER the watermark closes their window, not before") {
+    implicit val sc = spark.sqlContext
+    val events = MemoryStream[(Long, Timestamp, String)]
+    val orders = MemoryStream[(Long, Timestamp, Long)]
+
+    val e = events.toDF().toDF("user_id", "ets", "etype")
+      .withWatermark("ets", "1 minute")
+    val o = orders.toDF().toDF("o_user", "ots", "o_id")
+      .withWatermark("ots", "1 minute")
+
+    // The outer side's null-padded results are correctness-critical for
+    // attribution pipelines (organic vs attributed): Spark may only
+    // emit "no matching event" once the event-time watermark proves no
+    // in-window event can still arrive — so unmatched rows are held,
+    // then released with nulls, exactly once.
+    val joined = o.join(e,
+      expr("""user_id = o_user AND
+              ets BETWEEN ots - INTERVAL 30 MINUTES AND ots"""),
+      "left_outer")
+      .select(col("o_id"), col("o_user"), col("etype"))
+
+    val q = joined.writeStream.format("memory").queryName("ssj_outer")
+      .outputMode("append").start()
+    try {
+      events.addData((1L, t(0), "view"))
+      orders.addData((1L, t(10), 100L), (2L, t(10), 200L))
+      q.processAllAvailable()
+      val early = spark.table("ssj_outer")
+        .as[(Long, Long, Option[String])].collect().toSet
+      // the matched pair may emit immediately; order 200's null result
+      // MUST NOT (its window is still open — a late user-2 event at
+      // t<=10 could still match)
+      assert(!early.contains((200L, 2L, None)),
+        s"null-padded row emitted before the watermark closed: $early")
+
+      // advance event time far past order 200's window + watermark —
+      // on BOTH streams: the global watermark is the MIN of the two
+      // sides (multipleWatermarkPolicy=min), so a stalled orders feed
+      // would hold every outer result forever
+      events.addData((3L, t(120), "view"))
+      orders.addData((3L, t(120), 300L))
+      q.processAllAvailable()
+      events.addData((3L, t(121), "view")) // next batch applies the move
+      orders.addData((3L, t(121), 301L))
+      q.processAllAvailable()
+      val got = spark.table("ssj_outer")
+        .as[(Long, Long, Option[String])].collect().toSet
+      assert(got.contains((100L, 1L, Some("view"))), s"$got")
+      assert(got.contains((200L, 2L, None)),
+        s"unmatched order must surface null-padded after close: $got")
+      // exactly once: no duplicate null row for 200
+      assert(spark.table("ssj_outer")
+        .filter(col("o_id") === 200L).count() === 1L)
+    } finally q.stop()
+  }
 }

@@ -66,6 +66,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => { checkArity("graft_bloom_contains", 3, exprs)
         BloomMightContain(exprs(0), exprs(1),
           intArg("graft_bloom_contains", exprs(2))) }))
+    e.injectFunction((FunctionIdentifier("graft_cm_build"),
+      info("graft_cm_build",
+        "Count-Min sketch (binary) over a long-hash column: " +
+          "(hashes, foldable depth, foldable width)"),
+      exprs => { checkArity("graft_cm_build", 3, exprs)
+        CountMinBuild(exprs.head, intArg("graft_cm_build", exprs(1)),
+          intArg("graft_cm_build", exprs(2))).toAggregateExpression() }))
+    e.injectFunction((FunctionIdentifier("graft_cm_estimate"),
+      info("graft_cm_estimate",
+        "Count-Min point estimate: (sketch binary, key long, " +
+          "foldable depth, foldable width) — must match the build's d/w"),
+      exprs => { checkArity("graft_cm_estimate", 4, exprs)
+        CountMinEstimate(exprs(0), exprs(1),
+          intArg("graft_cm_estimate", exprs(2)),
+          intArg("graft_cm_estimate", exprs(3))) }))
     e.injectFunction((FunctionIdentifier("graft_frequent_items"),
       info("graft_frequent_items",
         "Misra-Gries heavy hitters: (column, foldable capacity m)"),

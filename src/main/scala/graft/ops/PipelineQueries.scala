@@ -1548,6 +1548,49 @@ object PipelineQueries {
       |    AS is_outlier
       |FROM sc ORDER BY vec_id""".stripMargin
 
+  /** Count–Min frequency sketch under an in-band contract
+    * ([[graft.functions.expressions.CountMinBuild]]) — the
+    * point-frequency member of the sketch family. Decision leg: ONE
+    * bounded-state pass builds a 4×2048 counter matrix (64 KB
+    * regardless of corpus size; map-side partials, the exchange moves
+    * one matrix per partition) + the total token count in the same
+    * aggregate. Harness leg: the top-10 exact token counts
+    * (hash-compared against DuckDB) cross-join the 1-row sketch and
+    * check CM's two guarantees in-band — `over_ok` (est ≥ exact,
+    * CM's structural one-sided error) and `bound_ok`
+    * (est ≤ exact + ⌈3N/w⌉, the e·N/w bound with slack) — the
+    * established sketch-contract pattern (q_quantile_sketch /
+    * q_text_heavy_hitters / q_decontaminate_bloom). At 100 TB the
+    * exact side IS the thing you can't afford — the sketch plus
+    * Misra–Gries replaces it; here it is the oracle's evidence. */
+  val textCountmin: Q = (s, dir) => {
+    import graft.functions.expressions.{CmExpressions => CM}
+    val D = 4
+    val W = 2048
+    val tok = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .select(col("token"), HE.poly_hash(col("token")).as("h"))
+    val sk = tok.agg(CM.cm_build(col("h"), D, W).as("sk"),
+      count(lit(1)).as("n_total"))
+    val top = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(10)
+    top.crossJoin(broadcast(sk))
+      .withColumn("est",
+        CM.cm_estimate(col("sk"), HE.poly_hash(col("token")), D, W))
+      .select(col("token"), col("cnt"),
+        (col("est") >= col("cnt")).as("over_ok"),
+        (col("est") <= col("cnt") + (lit(3L) * col("n_total")) / W + 1)
+          .as("bound_ok"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  val textCountminSql: String =
+    """SELECT token, count(*) AS cnt, TRUE AS over_ok, TRUE AS bound_ok
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |WHERE length(token) > 0
+      |GROUP BY token ORDER BY cnt DESC, token LIMIT 10""".stripMargin
+
   /** Corpus vocabulary top-k: explode whitespace tokens, count, rank.
     * The canonical giant-shuffle text op — at 100 TB the explode is
     * map-local, the count partial-aggregates map-side (combine before
@@ -2246,6 +2289,7 @@ object PipelineQueries {
     "q_dedup_embed_lsh" -> dedupEmbedLsh,
     "q_dedup_semantic" -> dedupSemantic,
     "q_embed_knn_graph" -> embedKnnGraph,
+    "q_text_countmin" -> textCountmin,
     "q_embed_topk" -> embedTopK,
     "q_mine_negatives" -> mineNegatives,
     "q_mine_bitext" -> mineBitext,
@@ -2295,6 +2339,7 @@ object PipelineQueries {
     "q_dedup_embed_lsh" -> dedupEmbedLshSql,
     "q_dedup_semantic" -> dedupSemanticSql,
     "q_embed_knn_graph" -> embedKnnGraphSql,
+    "q_text_countmin" -> textCountminSql,
     "q_embed_topk" -> embedTopKSql,
     "q_mine_negatives" -> mineNegativesSql,
     "q_mine_bitext" -> mineBitextSql,

@@ -68,4 +68,41 @@ class SketchQueriesSpec extends SparkSuite {
     assert(plan.contains("BroadcastExchange"), s"no broadcast:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"), s"top-k global-sorted:\n$plan")
   }
+
+  test("count-min: one-sided error, merge identity, epsilon bound") {
+    import graft.functions.expressions.{CmExpressions => CM, CmRuntime}
+    import spark.implicits._
+    val D = 4
+    val W = 256
+    // skewed multiset: key k appears (k % 37)^2 + 1 times
+    val keys = (0L until 400L).flatMap(k =>
+      Seq.fill(((k % 37) * (k % 37) + 1).toInt)(k))
+    val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = keys.size.toLong
+
+    // merge identity: 8-partition distributed build == local build
+    val skDist = keys.toDF("k").repartition(8)
+      .agg(CM.cm_build(col("k"), D, W)).collect()(0).getAs[Array[Byte]](0)
+    val local = new Array[Long](D * W)
+    keys.foreach(CmRuntime.add(local, _, D, W))
+    assert(java.util.Arrays.equals(skDist, CmRuntime.toBytes(local)),
+      "distributed merge must equal the single-pass build bit-for-bit")
+
+    // one-sided error + epsilon bound for EVERY present key
+    val eps = 3L * n / W + 1
+    for ((k, cnt) <- exact) {
+      val est = CmRuntime.estimate(skDist, k, D, W)
+      assert(est >= cnt, s"under-count at $k: $est < $cnt")
+      assert(est <= cnt + eps, s"bound blown at $k: $est > $cnt + $eps")
+    }
+    // absent keys: pure collision mass, inside the same bound
+    for (k <- 100000L until 100050L) {
+      val est = CmRuntime.estimate(skDist, k, D, W)
+      assert(est <= eps, s"absent-key estimate $est exceeds eps $eps")
+    }
+    // the oracle-checked query's contract flags hold at the gate SF
+    val rows = PipelineQueries.textCountmin(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(2) && r.getBoolean(3), s"$r"))
+  }
 }

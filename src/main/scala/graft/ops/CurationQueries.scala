@@ -593,6 +593,62 @@ object CurationQueries {
       |  lang
       |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin
 
+  /** LEAKAGE-SAFE train/val/test split: the split hash runs on the
+    * near-dup CLUSTER representative, not the document — so a document
+    * and its near-duplicates land in the SAME split by construction.
+    * Hashing doc_ids directly (q_split_assign, the standard recipe)
+    * leaks: a train doc's near-duplicate in test inflates eval, the
+    * classic contamination path deduplication papers warn about. This
+    * is the composition the pipeline actually ships: MinHash pair
+    * generation → connected components → LCG on the component rep.
+    *
+    * Scale shape: the label frame holds only pair-incident docs
+    * (≪ corpus, [[dedupCanonical]]'s precedent), the corpus joins it
+    * once on doc_id, and the split is a per-row LCG — appending
+    * un-entangled data reassigns nothing, while a NEW near-dup edge
+    * correctly re-banks its component (the price of the guarantee).
+    * Oracle: the recursive-CTE closure + the same LCG on the rep. */
+  val splitLeakproof: Q = (s, dir) => {
+    val d = docs(s, dir).select(col("doc_id"))
+    val edges = PipelineQueries.minhashPairs(s, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val labels = ConnectedComponents.label(edges)
+    val labeled = d.join(labels, d("doc_id") === labels("id"), "left")
+      .select(d("doc_id"), coalesce(col("comp"), d("doc_id")).as("rep"))
+    val folded = (col("rep") % 1048573L + 1048573L) % 1048573L
+    val pm = (folded * 1103515245L + 12345L) % 1000L
+    labeled.select(col("doc_id"), col("rep"),
+        when(pm < 800, "train").when(pm < 900, "valid")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  val splitLeakproofSql: String =
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM (${PipelineQueries.minhashPairsSql})
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |), reach AS (
+       |  SELECT src AS id, dst AS r FROM edges
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+       |), labels AS (
+       |  SELECT id AS doc_id, least(id, min(r)) AS rep FROM reach GROUP BY id
+       |), alldocs AS (
+       |  SELECT d.doc_id, coalesce(l.rep, d.doc_id) AS rep
+       |  FROM documents d LEFT JOIN labels l USING (doc_id)
+       |), banded AS (
+       |  SELECT doc_id, rep,
+       |    (((rep % 1048573 + 1048573) % 1048573) * 1103515245 + 12345)
+       |      % 1000 AS pm
+       |  FROM alldocs)
+       |SELECT doc_id, rep,
+       |  CASE WHEN pm < 800 THEN 'train' WHEN pm < 900 THEN 'valid'
+       |       ELSE 'test' END AS split
+       |FROM banded ORDER BY doc_id""".stripMargin
+
   /** Train/val/test assignment by hash (90/5/5 permille bands of the
     * folded LCG) — stable under corpus growth: a doc's split never
     * depends on other rows, so appending data reassigns nothing. The
@@ -877,6 +933,7 @@ object CurationQueries {
     "q_pack_sequences" -> packSequences,
     "q_shuffle_epoch" -> shuffleEpoch,
     "q_split_assign" -> splitAssign,
+    "q_split_leakproof" -> splitLeakproof,
     "q_embed_quantize" -> embedQuantize,
     "q_chunk_windows" -> chunkWindows,
     "q_chunk_cdc" -> chunkCdc,
@@ -897,6 +954,7 @@ object CurationQueries {
     "q_pack_sequences" -> packSequencesSql,
     "q_shuffle_epoch" -> shuffleEpochSql,
     "q_split_assign" -> splitAssignSql,
+    "q_split_leakproof" -> splitLeakproofSql,
     "q_embed_quantize" -> embedQuantizeSql,
     "q_chunk_windows" -> chunkWindowsSql,
     "q_chunk_cdc" -> chunkCdcSql,

@@ -320,4 +320,28 @@ class CurationSpec extends SparkSuite {
     assert(out.map(_._1).distinct.sorted.toSeq ===
       bySource.keys.toSeq.sorted)
   }
+
+  test("leakproof split: no near-dup cluster straddles a split boundary") {
+    import spark.implicits._
+    val rows = CurationQueries.splitLeakproof(spark, sf)
+      .as[(Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    // the guarantee itself: one split per cluster rep
+    rows.groupBy(_._2).foreach { case (rep, g) =>
+      assert(g.map(_._3).distinct.length === 1,
+        s"cluster $rep straddles splits: ${g.map(_._3).distinct.toSeq}")
+    }
+    // every MinHash near-dup pair shares a split (the leak q_split_assign
+    // permits: doc-id hashing CAN separate a pair — this one cannot)
+    val split = rows.map(r => r._1 -> r._3).toMap
+    val pairs = PipelineQueries.minhashPairs(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(split(a) === split(b), s"pair ($a,$b) split across sets")
+    }
+    // all three splits exist and every doc is assigned exactly once
+    assert(rows.map(_._3).distinct.toSet === Set("train", "valid", "test"))
+    assert(rows.map(_._1).distinct.length === rows.length)
+  }
 }

@@ -57,6 +57,7 @@ class PlanGateSpec extends SparkSuite {
     "q_events_anomaly" -> "two 1-row exact-median scalars cross-joined onto the calendar-sized minute frame — scalar aggregates by construction; the frame is calendar-bounded, not event-sized",
     "q_rank_fusion" -> "single query vector (limit-1 point filter on the unique vec_id) broadcast onto the one-pass cosine scan; both top-k legs end in TakeOrdered before the fusion join",
     "q22_prospects" -> "1-row scalar threshold (global ungrouped aggregate) cross-joined onto the customer stream — the TPC-H Q22 avg-balance subquery shape; the NOT EXISTS leg is a hash anti join",
+    "q_text_countmin" -> "1-row Count-Min sketch + total (global ungrouped aggregate, 64 KB by construction) cross-joined onto the 10-row exact harness frame — the q_text_bm25 scalar-stats shape",
   )
 
   /** query → why its forced broadcast of a corpus-derived subtree is

@@ -42,9 +42,19 @@ object CmRuntime {
   }
 
   /** min over rows — the CM estimate. A zero-length sketch (empty
-    * input group) estimates 0 for every key. */
+    * input group) estimates 0 for every key. The byte length must
+    * equal d·w·8 EXACTLY: a mismatched d/w against a LARGER sketch
+    * would read in-bounds but index the wrong counters and could
+    * UNDER-report — breaking the one-sided guarantee silently — so a
+    * mismatch refuses loudly instead (Bloom derives m from the bytes;
+    * CM's geometry can't be derived, so it is checked). */
   def estimate(bytes: Array[Byte], key: Long, depth: Int, w: Int): Long = {
     if (bytes.length == 0) return 0L
+    if (bytes.length != depth.toLong * w * 8)
+      throw new IllegalArgumentException(
+        s"sketch is ${bytes.length} bytes; estimate called with " +
+          s"depth=$depth width=$w (needs ${depth.toLong * w * 8}) — " +
+          "d/w must match the build")
     val bb = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     var best = Long.MaxValue
@@ -88,6 +98,9 @@ case class CountMinBuild(
 
   require(depth >= 1 && depth <= 16, s"depth out of range: $depth")
   require(width >= 16 && width <= (1 << 24), s"width out of range: $width")
+  // the serialized matrix must fit a JVM byte array: d*w longs * 8 bytes
+  require(depth.toLong * width * 8 <= Int.MaxValue,
+    s"sketch too large: $depth x $width longs exceeds 2^31 bytes")
 
   override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(LongType)
   override def dataType: DataType = BinaryType
@@ -132,6 +145,8 @@ case class CountMinEstimate(left: Expression, right: Expression,
     with ExpectsInputTypes {
   require(depth >= 1 && depth <= 16, s"depth out of range: $depth")
   require(width >= 16 && width <= (1 << 24), s"width out of range: $width")
+  require(depth.toLong * width * 8 <= Int.MaxValue,
+    s"sketch too large: $depth x $width longs exceeds 2^31 bytes")
 
   override def inputTypes: Seq[ColumnBridge.AbstractType] =
     Seq(BinaryType, LongType)

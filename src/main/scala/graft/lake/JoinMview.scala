@@ -106,7 +106,13 @@ class JoinMview(val lake: Mooncake) {
 
   /** Catch the view up to both bases' current versions.
     * Change-proportional: see the class doc for the plan shape. */
-  def refresh(spark: SparkSession, name: String): JoinMvRefreshStats = {
+  def refresh(spark: SparkSession, name: String): JoinMvRefreshStats =
+    ViewDefIo.refreshLock(Identifier.parse(name).qualified).synchronized {
+      refreshImpl(spark, name)
+    }
+
+  private def refreshImpl(spark: SparkSession,
+      name: String): JoinMvRefreshStats = {
     val d0 = definition(name)
     // heal: the frontier committed WITH the last apply wins over a
     // stale definition (crash between apply and definition write)

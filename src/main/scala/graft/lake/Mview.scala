@@ -102,6 +102,21 @@ private[lake] object ViewDefIo {
     mapper.readValue(
       new String(Files.readAllBytes(p), StandardCharsets.UTF_8), clazz)
   }
+
+  /** Per-view refresh serialization WITHIN this JVM: two streams each
+    * naming the same view (the CdcStream `maintain`/`maintainJoins`
+    * pattern) would otherwise race — both compute
+    * `version = commitVersion + 1`, the loser's applyChanges throws and
+    * kills its streaming query. Local mode / a single Spark driver (the
+    * deployment every attached stream shares) is fully covered by a
+    * JVM lock; a SECOND driver refreshing the same view still gets the
+    * loud manifest-version conflict, which is the correct cross-process
+    * behavior (external coordination required, same as any two
+    * concurrent lake writers). */
+  private val refreshLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  def refreshLock(qualified: String): Object =
+    refreshLocks.computeIfAbsent(qualified, _ => new Object)
 }
 
 class Mview(val lake: Mooncake) {
@@ -222,7 +237,12 @@ class Mview(val lake: Mooncake) {
     * confuse a foreign commit (an `optimizeTable` on the state mirror,
     * which also advances commitVersion) with the apply — the failure
     * mode a version-arithmetic heal has. */
-  def refresh(spark: SparkSession, name: String): MvRefreshStats = {
+  def refresh(spark: SparkSession, name: String): MvRefreshStats =
+    ViewDefIo.refreshLock(Identifier.parse(name).qualified).synchronized {
+      refreshImpl(spark, name)
+    }
+
+  private def refreshImpl(spark: SparkSession, name: String): MvRefreshStats = {
     val d0 = definition(name)
     val stateWm = lake.currentManifest(name).appWatermarks
       .flatMap(_.get(wmKey(name)))

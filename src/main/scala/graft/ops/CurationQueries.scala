@@ -593,6 +593,26 @@ object CurationQueries {
       |  lang
       |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin
 
+  // ===========================================================================
+  // Shared split hashing: the folded-LCG permille band
+  // ===========================================================================
+
+  /** Permille band of an id: fold into [0, 1048573) as ((x%p)+p)%p (the
+    * identical non-negative residue in Spark and DuckDB — a raw product
+    * would wrap in Spark but raise BIGINT overflow in DuckDB, and a
+    * negative product makes %1000 negative), then one LCG step mod
+    * 1000. The ONE definition both split surfaces ([[splitAssign]],
+    * [[splitLeakproof]]) hash with — Scala and SQL spellings side by
+    * side so the constants cannot desynchronize. */
+  private def permilleBand(id: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val folded = (id % 1048573L + 1048573L) % 1048573L
+    (folded * 1103515245L + 12345L) % 1000L
+  }
+
+  private def sqlPermilleBand(id: String): String =
+    s"((($id % 1048573 + 1048573) % 1048573) * 1103515245 + 12345) % 1000"
+
   /** LEAKAGE-SAFE train/val/test split: the split hash runs on the
     * near-dup CLUSTER representative, not the document — so a document
     * and its near-duplicates land in the SAME split by construction.
@@ -615,10 +635,9 @@ object CurationQueries {
     val labels = ConnectedComponents.label(edges)
     val labeled = d.join(labels, d("doc_id") === labels("id"), "left")
       .select(d("doc_id"), coalesce(col("comp"), d("doc_id")).as("rep"))
-    val folded = (col("rep") % 1048573L + 1048573L) % 1048573L
-    val pm = (folded * 1103515245L + 12345L) % 1000L
+    val pm = permilleBand(col("rep"))
     labeled.select(col("doc_id"), col("rep"),
-        when(pm < 800, "train").when(pm < 900, "valid")
+        when(pm < 800, "train").when(pm < 900, "val")
           .otherwise("test").as("split"))
       .orderBy("doc_id")
   }
@@ -640,12 +659,10 @@ object CurationQueries {
        |  SELECT d.doc_id, coalesce(l.rep, d.doc_id) AS rep
        |  FROM documents d LEFT JOIN labels l USING (doc_id)
        |), banded AS (
-       |  SELECT doc_id, rep,
-       |    (((rep % 1048573 + 1048573) % 1048573) * 1103515245 + 12345)
-       |      % 1000 AS pm
+       |  SELECT doc_id, rep, ${sqlPermilleBand("rep")} AS pm
        |  FROM alldocs)
        |SELECT doc_id, rep,
-       |  CASE WHEN pm < 800 THEN 'train' WHEN pm < 900 THEN 'valid'
+       |  CASE WHEN pm < 800 THEN 'train' WHEN pm < 900 THEN 'val'
        |       ELSE 'test' END AS split
        |FROM banded ORDER BY doc_id""".stripMargin
 
@@ -656,8 +673,7 @@ object CurationQueries {
     * doc counts and character mass — which is also what a pipeline
     * monitors for mixture drift. */
   val splitAssign: Q = (s, dir) => {
-    val folded = (col("doc_id") % 1048573L + 1048573L) % 1048573L
-    val pm = (folded * 1103515245L + 12345L) % 1000L
+    val pm = permilleBand(col("doc_id"))
     docs(s, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         when(pm < 900, "train").when(pm < 950, "val")
@@ -669,15 +685,15 @@ object CurationQueries {
   }
 
   val splitAssignSql: String =
-    """SELECT lang, split, count(*) AS n_docs,
+    s"""SELECT lang, split, count(*) AS n_docs,
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM (
       |  SELECT doc_id, lang, n_chars,
       |    CASE WHEN pm < 900 THEN 'train' WHEN pm < 950 THEN 'val'
       |         ELSE 'test' END AS split
-      |  FROM (SELECT *, (((doc_id % 1048573 + 1048573) % 1048573)
-      |          * 1103515245 + 12345) % 1000 AS pm FROM documents))
+      |  FROM (SELECT *, ${sqlPermilleBand("doc_id")} AS pm
+      |        FROM documents))
       |GROUP BY lang, split ORDER BY lang, split""".stripMargin
 
   /** Embedding post-processing for serving: L2 norm + symmetric int8

@@ -191,19 +191,23 @@ object CdcStream {
           lake.applyChanges(batch.sparkSession, table, batch, v)
           ()
         }
-        if (maintain.nonEmpty) {
-          val mv = new graft.lake.Mview(lake)
-          maintain.foreach(mv.refresh(batch.sparkSession, _))
-        }
         // JOIN views ride the same guarantees: refresh is driven by the
         // view's own recorded base-version pair (replays no-op, a crash
         // between apply and refresh folds the multi-version diff on the
         // next batch) — and a refresh here also folds any OTHER base's
         // commits that landed since, so two attached streams each
-        // naming the view keep it fresh from both sides.
+        // naming the view keep it fresh from both sides. Join views
+        // refresh BEFORE the plain views: an aggregate Mview layered
+        // over a JoinMview state (the q_mv_join_agg composition) must
+        // see the join state AFTER this batch folded into it, or it
+        // ends one batch stale when the stream terminates.
         if (maintainJoins.nonEmpty) {
           val jmv = new graft.lake.JoinMview(lake)
           maintainJoins.foreach(jmv.refresh(batch.sparkSession, _))
+        }
+        if (maintain.nonEmpty) {
+          val mv = new graft.lake.Mview(lake)
+          maintain.foreach(mv.refresh(batch.sparkSession, _))
         }
         ()
       }

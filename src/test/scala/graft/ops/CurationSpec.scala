@@ -341,7 +341,7 @@ class CurationSpec extends SparkSuite {
       assert(split(a) === split(b), s"pair ($a,$b) split across sets")
     }
     // all three splits exist and every doc is assigned exactly once
-    assert(rows.map(_._3).distinct.toSet === Set("train", "valid", "test"))
+    assert(rows.map(_._3).distinct.toSet === Set("train", "val", "test"))
     assert(rows.map(_._1).distinct.length === rows.length)
   }
 }

@@ -100,4 +100,46 @@ class StreamingSketchSpec extends SparkSuite {
         "a streamed member went missing — merge across micro-batches broke")
     } finally q.stop()
   }
+
+  test("CountMinBuild in a streaming window: one-sided across micro-batches") {
+    import graft.functions.expressions.{CmExpressions => CM, CmRuntime}
+    implicit val sc = spark.sqlContext
+    val D = 4
+    val W = 256
+    val input = MemoryStream[(Timestamp, Long)]
+    val agg = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(CM.cm_build(col("k"), D, W).as("sk"), count("*").as("n"))
+      .select(col("window.start").as("ws"), col("sk"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("cm_out")
+      .outputMode("append").start()
+    try {
+      // hour 0 across THREE micro-batches: the d*w matrix must
+      // serialize into the state store and merge by element-wise add
+      val b1 = Seq.fill(7)(1L) ++ Seq(2L, 3L)
+      val b2 = Seq.fill(5)(1L) ++ Seq(2L, 4L)
+      val b3 = Seq(5L, 5L, 5L)
+      input.addData(b1.map(v => (t(1), v)): _*)
+      q.processAllAvailable()
+      input.addData(b2.map(v => (t(2), v)): _*)
+      q.processAllAvailable()
+      input.addData(b3.map(v => (t(3), v)): _*)
+      q.processAllAvailable()
+      input.addData((t(200), 0L)) // finalize hour 0
+      q.processAllAvailable()
+      val row = spark.table("cm_out").where(col("ws") === t(0)).head()
+      val sk = row.getAs[Array[Byte]]("sk")
+      val n = row.getAs[Long]("n")
+      val exact = (b1 ++ b2 ++ b3).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      assert(n === exact.values.sum)
+      val eps = 3L * n / W + 1
+      for ((k, cnt) <- exact) {
+        val est = CmRuntime.estimate(sk, k, D, W)
+        assert(est >= cnt, s"streamed merge under-counted $k: $est < $cnt")
+        assert(est <= cnt + eps, s"bound blown for $k")
+      }
+    } finally q.stop()
+  }
 }

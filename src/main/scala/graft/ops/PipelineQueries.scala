@@ -2117,7 +2117,11 @@ object PipelineQueries {
       .filter(col("df").between(2, 20))
     sh.join(dfs, "shingle")
       .groupBy("shingle", "df")
-      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+      // Flatten to a scalar cell: the driver's row comparator cannot
+      // canonicalize array columns (pandas hashes each cell), so the
+      // sorted posting list is joined to one comma string on BOTH sides.
+      .agg(array_join(sort_array(collect_list(col("doc_id"))), ",")
+        .as("postings"))
       .orderBy("shingle")
   }
 
@@ -2127,7 +2131,7 @@ object PipelineQueries {
        |df AS (SELECT shingle, count(*) AS df FROM s GROUP BY shingle
        |  HAVING count(*) BETWEEN 2 AND 20)
        |SELECT s.shingle, df.df,
-       |  list_sort(list(s.doc_id)) AS postings
+       |  array_to_string(list_sort(list(s.doc_id)), ',') AS postings
        |FROM s JOIN df USING (shingle)
        |GROUP BY s.shingle, df.df
        |ORDER BY shingle""".stripMargin

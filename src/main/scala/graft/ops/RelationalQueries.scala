@@ -1908,6 +1908,475 @@ object RelationalQueries {
       |GROUP BY cntry ORDER BY cntry""".stripMargin
 
   // ===========================================================================
+  // TPC-H back half (fixture has no partsupp → derived relation below)
+  // ===========================================================================
+
+  /** Derived partsupp (the fixture ships no partsupp table): the DISTINCT
+    * (l_partkey, l_suppkey) pairs observed in lineitem, with supply cost
+    * and available quantity as deterministic integer functions of the two
+    * keys. The IDENTICAL expressions run on the DuckDB side
+    * ([[partsuppCte]]), so parity is exact — pure int64 arithmetic, no
+    * float surface. Scale note: the derivation is one distinct over the
+    * fact (a single map-side-combined exchange on the pair key); in a real
+    * deployment partsupp is its own table and this node disappears. */
+  private def partsupp(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .withColumn("ps_supplycost_cents",
+        (col("ps_partkey") * 37 + col("ps_suppkey") * 71) % 90000 + 10000)
+      .withColumn("ps_availqty",
+        (col("ps_partkey") * 13 + col("ps_suppkey") * 7) % 9999 + 1)
+
+  private val partsuppCte: String =
+    """partsupp AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |    (l_partkey * 37 + l_suppkey * 71) % 90000 + 10000
+      |      AS ps_supplycost_cents,
+      |    (l_partkey * 13 + l_suppkey * 7) % 9999 + 1 AS ps_availqty
+      |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))""".stripMargin
+
+  /** Micro-unit revenue term (×10⁴): exact integral value of
+    * extendedprice·(1−discount), the Q8/Q14 discipline. */
+  private def volU: Column =
+    (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))) *
+      lit(10000)).cast("decimal(38,0)")
+
+  private val volUSql: String =
+    """CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |     * (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS HUGEINT)"""
+      .stripMargin.replace("\n", " ")
+
+  /** TPC-H Q2 shape: minimum-cost supplier — the correlated min()
+    * subquery over the partsupp⋈supplier⋈nation⋈region snowflake,
+    * decorrelated as a per-part min aggregate joined back on
+    * (partkey, cost = min). Both legs reuse ONE regional-partsupp
+    * subtree; part's selective (size band + type) filter broadcasts; the
+    * final top-100 is a TakeOrdered heap cut, never a global sort.
+    * Fixture notes: no p_mfgr → the part filter is size∈[11,20] +
+    * type='LARGE'; account balance compares in exact cents
+    * (the Q22 precedent). Ref behavior: tests/pg_regress/sql delegation —
+    * full-SQL surface, SURVEY.md §0. */
+  val q2MinCost: Q = (s, dir) => {
+    val r = t(s, dir, "region").filter(col("r_name") === "EUROPE")
+    val n = t(s, dir, "nation")
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val sup = t(s, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        (dec(col("s_acctbal")) * 100).cast("long").as("bal_cents"))
+    val regional = partsupp(s, dir)
+      .join(broadcast(sup), col("ps_suppkey") === col("s_suppkey"))
+    val minCost = regional.groupBy(col("ps_partkey").as("mc_partkey"))
+      .agg(min("ps_supplycost_cents").as("min_cost_cents"))
+    val p = t(s, dir, "part")
+      .filter(col("p_size").between(11, 20) && col("p_type") === "LARGE")
+      .select("p_partkey")
+    regional
+      .join(minCost, col("ps_partkey") === col("mc_partkey") &&
+        col("ps_supplycost_cents") === col("min_cost_cents"))
+      .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+      .select(col("bal_cents"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("ps_supplycost_cents").as("cost_cents"))
+      .orderBy(col("bal_cents").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  val q2MinCostSql: String =
+    s"""WITH $partsuppCte,
+       |rs AS (
+       |  SELECT s_suppkey, s_name, n_name,
+       |    CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents
+       |  FROM supplier
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  WHERE r_name = 'EUROPE'),
+       |pc AS (
+       |  SELECT ps_partkey, ps_supplycost_cents, s_name, n_name, bal_cents
+       |  FROM partsupp JOIN rs ON ps_suppkey = s_suppkey)
+       |SELECT bal_cents, s_name, n_name, p_partkey,
+       |  ps_supplycost_cents AS cost_cents
+       |FROM pc JOIN part ON pc.ps_partkey = p_partkey
+       |WHERE p_size BETWEEN 11 AND 20 AND p_type = 'LARGE'
+       |  AND ps_supplycost_cents = (SELECT min(ps_supplycost_cents)
+       |                             FROM pc pc2
+       |                             WHERE pc2.ps_partkey = pc.ps_partkey)
+       |ORDER BY bal_cents DESC, n_name, s_name, p_partkey
+       |LIMIT 100""".stripMargin
+
+  /** TPC-H Q9 shape: product-type profit — profit =
+    * revenue − supplycost·qty per (nation, order year), parts filtered by
+    * a name pattern. Two fact-fact exchanges exactly as the real query:
+    * lineitem ⋈ partsupp on the (partkey, suppkey) PAIR, and
+    * lineitem ⋈ orders on orderkey; the part-name filter broadcasts and
+    * prunes BEFORE either exchange. All money in exact micro-units
+    * (decimal(38,0) / HUGEINT), emitted as BIGINT. */
+  val q9Profit: Q = (s, dir) => {
+    val p = t(s, dir, "part").filter(col("p_name").like("red%"))
+      .select("p_partkey")
+    val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+    val sup = t(s, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val ps = partsupp(s, dir)
+      .select("ps_partkey", "ps_suppkey", "ps_supplycost_cents")
+    val o = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
+    val li = t(s, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+    val costU = (col("ps_supplycost_cents") *
+      col("l_quantity").cast("long") * lit(100)).cast("decimal(38,0)")
+    li.join(ps, col("l_partkey") === col("ps_partkey") &&
+        col("l_suppkey") === col("ps_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(volU - costU).as("profit_dec"))
+      .select(col("nation"), col("o_year"),
+        col("profit_dec").cast("long").as("profit_u"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q9ProfitSql: String =
+    s"""WITH $partsuppCte
+       |SELECT n_name AS nation,
+       |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       |  CAST(sum($volUSql
+       |           - ps_supplycost_cents * CAST(l_quantity AS BIGINT) * 100)
+       |    AS BIGINT) AS profit_u
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE p_name LIKE 'red%'
+       |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  /** TPC-H Q11 shape: important stock — per-part inventory value of one
+    * nation's suppliers, kept where the part's share beats 1/2000 of the
+    * total (the spec's FRACTION scaled to the fixture). The threshold is
+    * the classic scalar-aggregate cross join (1 row, broadcast); the
+    * compare is EXACT integer `part_value · 2000 > total_value` — no
+    * division anywhere. Both the per-part and total aggregations reuse
+    * the same nation-filtered partsupp subtree. */
+  val q11Stock: Q = (s, dir) => {
+    val n = t(s, dir, "nation").filter(col("n_name") === "NATION_12")
+    val sup = t(s, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val ps = partsupp(s, dir)
+      .join(broadcast(sup), col("ps_suppkey") === col("s_suppkey"))
+      .select(col("ps_partkey"),
+        (col("ps_supplycost_cents") * col("ps_availqty")).as("value_cents"))
+    val perPart = ps.groupBy("ps_partkey")
+      .agg(sum("value_cents").as("part_value_cents"))
+    val total = ps.agg(sum("value_cents").as("total_value_cents"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("part_value_cents") * 2000 > col("total_value_cents"))
+      .select(col("ps_partkey"), col("part_value_cents"))
+      .orderBy(col("part_value_cents").desc, col("ps_partkey"))
+  }
+
+  val q11StockSql: String =
+    s"""WITH $partsuppCte,
+       |ps AS (
+       |  SELECT ps_partkey, ps_supplycost_cents * ps_availqty AS value_cents
+       |  FROM partsupp
+       |  JOIN supplier ON ps_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE n_name = 'NATION_12')
+       |SELECT ps_partkey, sum(value_cents) AS part_value_cents
+       |FROM ps GROUP BY ps_partkey
+       |HAVING sum(value_cents) * 2000 > (SELECT sum(value_cents) FROM ps)
+       |ORDER BY part_value_cents DESC, ps_partkey""".stripMargin
+
+  /** TPC-H Q12 shape: shipping-priority histogram — lineitem ⋈ orders
+    * with conditional counts splitting high-priority (URGENT/HIGH) from
+    * the rest, per line class. The year window rides the lineitem scan;
+    * the lateness condition references BOTH sides (the Q4 residual
+    * discipline). count(CASE…) not sum(CASE…) — DuckDB sum widens to
+    * HUGEINT. Fixture notes: no l_shipmode/commit/receipt dates → the
+    * group key is l_linestatus and "late" is shipped >30 days after
+    * the order date. */
+  val q12Shipmode: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_linestatus", "l_shipdate")
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(o, li("l_orderkey") === o("o_orderkey") &&
+        li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("l_linestatus").as("ship_class"))
+      .agg(count(when(hi, lit(1))).as("high_line_count"),
+        count(when(!hi, lit(1))).as("low_line_count"))
+      .orderBy("ship_class")
+  }
+
+  val q12ShipmodeSql: String =
+    """SELECT l_linestatus AS ship_class,
+      |  count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |             THEN 1 END) AS high_line_count,
+      |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |             THEN 1 END) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** TPC-H Q13 shape: customer order-count distribution — a LEFT OUTER
+    * join that must PRESERVE zero-order customers (the histogram's
+    * c_count=0 bucket is the query's point), then two aggregations:
+    * per-customer count (reuses the join's custkey partitioning — no
+    * extra exchange) and the tiny count-of-counts rollup. The
+    * order-side filter stays on the RIGHT side of the outer join
+    * (ON-clause semantics). Fixture note: no o_comment → the stand-in
+    * filter excludes URGENT orders. */
+  val q13Custdist: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    val c = t(s, dir, "customer").select("c_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13CustdistSql: String =
+    """WITH co AS (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer
+      |  LEFT OUTER JOIN (SELECT o_orderkey, o_custkey FROM orders
+      |                   WHERE o_orderpriority <> '1-URGENT') o
+      |    ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |SELECT c_count, count(*) AS custdist
+      |FROM co GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q15 shape: top supplier — a revenue view over one quarter,
+    * then max= selection via the scalar-aggregate cross join (1 row,
+    * broadcast) and a name join back to supplier. Revenue compares in
+    * exact micro-units, so `= max` is decidable (the float version of
+    * this query is famously nondeterministic). The quarter filter is
+    * the scan's PushedFilter; supplier broadcasts. */
+  val q15TopSupplier: Q = (s, dir) => {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum(volU).as("rev_dec"))
+      .select(col("supplier_no"), col("rev_dec").cast("long")
+        .as("total_revenue_u"))
+    val maxRev = rev.agg(max("total_revenue_u").as("max_u"))
+    val sup = t(s, dir, "supplier").select("s_suppkey", "s_name")
+    rev.crossJoin(broadcast(maxRev))
+      .filter(col("total_revenue_u") === col("max_u"))
+      .join(broadcast(sup), col("supplier_no") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "total_revenue_u")
+      .orderBy("s_suppkey")
+  }
+
+  val q15TopSupplierSql: String =
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey AS supplier_no,
+       |    CAST(sum($volUSql) AS BIGINT) AS total_revenue_u
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate < TIMESTAMP '1996-04-01'
+       |  GROUP BY 1)
+       |SELECT s_suppkey, s_name, total_revenue_u
+       |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+       |WHERE total_revenue_u = (SELECT max(total_revenue_u) FROM revenue)
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q16 shape: parts/supplier relationship — count DISTINCT
+    * suppliers per (brand, type, size) bucket, with a NOT IN
+    * exclusion that decorrelates to a LEFT ANTI join (keys non-null by
+    * schema, so anti ≡ NOT IN). part's brand/type/size filters
+    * broadcast; the distinct-count shuffles once on the 3-part group
+    * key. Fixture note: no s_comment → the excluded-supplier stand-in
+    * is negative account balance. */
+  val q16SupplierCnt: Q = (s, dir) => {
+    val p = t(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#45" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey").as("bad_suppkey"))
+    partsupp(s, dir)
+      .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(bad), col("ps_suppkey") === col("bad_suppkey"),
+        "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  val q16SupplierCntSql: String =
+    s"""WITH $partsuppCte
+       |SELECT p_brand, p_type, p_size,
+       |  count(DISTINCT ps_suppkey) AS supplier_cnt
+       |FROM partsupp JOIN part ON ps_partkey = p_partkey
+       |WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+       |  AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+       |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+       |                         WHERE s_acctbal < 0)
+       |GROUP BY 1, 2, 3
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** TPC-H Q17 shape: small-quantity-order revenue — the correlated
+    * per-part average-quantity subquery, decorrelated as a groupBy
+    * (sum, count) joined back on partkey; the fifth-of-average compare
+    * is EXACT integers (`qty·5·cnt < sum`), and the famous ÷7.0 emits
+    * via integer `div` on the micro-unit sum. The brand/size part
+    * filter broadcasts and prunes the fact before its aggregate. */
+  val q17SmallQty: Q = (s, dir) => {
+    val p = t(s, dir, "part")
+      .filter(col("p_brand") === "Brand#23" && col("p_size") <= 25)
+      .select("p_partkey")
+    val li = t(s, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        col("l_extendedprice"), col("l_discount"))
+    val avgq = li.groupBy(col("l_partkey").as("aq_partkey"))
+      .agg(sum("qty").as("sum_qty"), count(lit(1)).as("cnt"))
+    li.join(avgq, col("l_partkey") === col("aq_partkey"))
+      .filter(col("qty") * 5 * col("cnt") < col("sum_qty"))
+      .agg(sum(volU).as("total_dec"), count(lit(1)).as("n_items"))
+      .selectExpr("CAST(total_dec AS BIGINT) AS total_u",
+        "CAST(total_dec AS BIGINT) div 7 AS avg_yearly_u", "n_items")
+  }
+
+  val q17SmallQtySql: String =
+    s"""WITH li AS (
+       |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+       |    $volUSql AS vol_u
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE p_brand = 'Brand#23' AND p_size <= 25),
+       |aq AS (SELECT l_partkey AS aq_partkey, sum(qty) AS sum_qty,
+       |         count(*) AS cnt
+       |       FROM li GROUP BY 1)
+       |SELECT CAST(sum(vol_u) AS BIGINT) AS total_u,
+       |  CAST(sum(vol_u) // 7 AS BIGINT) AS avg_yearly_u,
+       |  count(*) AS n_items
+       |FROM li JOIN aq ON l_partkey = aq_partkey
+       |WHERE qty * 5 * cnt < sum_qty""".stripMargin
+
+  /** TPC-H Q20 shape: potential part promotion — suppliers of one
+    * nation holding EXCESS stock (availqty > half the year's shipped
+    * quantity) of name-matched parts. The correlated half-sum subquery
+    * decorrelates to a (partkey, suppkey) aggregate joined INNER to
+    * partsupp — inner because the spec's `> 0.5·sum(empty) = NULL`
+    * disqualifies no-shipment pairs, exactly an inner join's semantics.
+    * The chain ends in a LEFT SEMI into supplier (the IN). Compare is
+    * exact: `availqty · 2 > sum_qty`. */
+  val q20Promotion: Q = (s, dir) => {
+    val p = t(s, dir, "part").filter(col("p_name").like("hot%"))
+      .select("p_partkey")
+    val shipped = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+    val excess = partsupp(s, dir)
+      .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+      .join(shipped, col("ps_partkey") === col("l_partkey") &&
+        col("ps_suppkey") === col("l_suppkey"))
+      .filter(col("ps_availqty") * 2 > col("sum_qty"))
+      .select("ps_suppkey").distinct()
+    val n = t(s, dir, "nation").filter(col("n_name") === "NATION_3")
+    t(s, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
+  val q20PromotionSql: String =
+    s"""WITH $partsuppCte
+       |SELECT s_suppkey, s_name
+       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |WHERE n_name = 'NATION_3'
+       |  AND s_suppkey IN (
+       |    SELECT ps_suppkey FROM partsupp
+       |    WHERE ps_partkey IN (SELECT p_partkey FROM part
+       |                         WHERE p_name LIKE 'hot%')
+       |      AND ps_availqty * 2 > (
+       |        SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem
+       |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+       |          AND l_shipdate >= TIMESTAMP '1996-01-01'
+       |          AND l_shipdate < TIMESTAMP '1997-01-01'))
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q21 shape: suppliers who kept orders waiting — the double
+    * correlation on ONE fact: EXISTS (another supplier contributed to
+    * the order) AND NOT EXISTS (another supplier was ALSO late). Both
+    * decorrelate to self-joins of lineitem on orderkey with a
+    * suppkey-inequality residual — a LEFT SEMI then a LEFT ANTI — so
+    * the plan is hash joins throughout, never a per-row subquery. The
+    * one fact-fact exchange (lineitem ⋈ F-orders) is shared by the
+    * outer and the NOT-EXISTS leg. Top-100 is a TakeOrdered cut.
+    * Fixture note: no commit/receipt dates → "late" is shipped >30
+    * days after the order date (the Q4 convention). */
+  val q21Waiting: Q = (s, dir) => {
+    val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val late = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .select("l_orderkey", "l_suppkey")
+    val n = t(s, dir, "nation").filter(col("n_name") === "NATION_8")
+    val sup = t(s, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name")
+    val l1 = late.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+    val l2 = li.select(col("l_orderkey").as("l2_okey"),
+      col("l_suppkey").as("l2_skey"))
+    val l3 = late.select(col("l_orderkey").as("l3_okey"),
+      col("l_suppkey").as("l3_skey"))
+    l1.join(l2, l1("l_orderkey") === l2("l2_okey") &&
+        l1("l_suppkey") =!= l2("l2_skey"), "left_semi")
+      .join(l3, l1("l_orderkey") === l3("l3_okey") &&
+        l1("l_suppkey") =!= l3("l3_skey"), "left_anti")
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  val q21WaitingSql: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM lineitem l1
+      |JOIN orders ON l1.l_orderkey = o_orderkey
+      |JOIN supplier ON l1.l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F' AND n_name = 'NATION_8'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
+
+  // ===========================================================================
   // registry
   // ===========================================================================
 
@@ -1988,6 +2457,16 @@ object RelationalQueries {
     "q14_promo" -> q14Promo,
     "q19_brand" -> q19Brand,
     "q22_prospects" -> q22Prospects,
+    "q2_mincost" -> q2MinCost,
+    "q9_profit" -> q9Profit,
+    "q11_stock" -> q11Stock,
+    "q12_shipmode" -> q12Shipmode,
+    "q13_custdist" -> q13Custdist,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q16_supplier_cnt" -> q16SupplierCnt,
+    "q17_small_qty" -> q17SmallQty,
+    "q20_promotion" -> q20Promotion,
+    "q21_waiting" -> q21Waiting,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2067,5 +2546,15 @@ object RelationalQueries {
     "q14_promo" -> q14PromoSql,
     "q19_brand" -> q19BrandSql,
     "q22_prospects" -> q22ProspectsSql,
+    "q2_mincost" -> q2MinCostSql,
+    "q9_profit" -> q9ProfitSql,
+    "q11_stock" -> q11StockSql,
+    "q12_shipmode" -> q12ShipmodeSql,
+    "q13_custdist" -> q13CustdistSql,
+    "q15_top_supplier" -> q15TopSupplierSql,
+    "q16_supplier_cnt" -> q16SupplierCntSql,
+    "q17_small_qty" -> q17SmallQtySql,
+    "q20_promotion" -> q20PromotionSql,
+    "q21_waiting" -> q21WaitingSql,
   )
 }

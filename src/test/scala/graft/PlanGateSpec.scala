@@ -58,6 +58,8 @@ class PlanGateSpec extends SparkSuite {
     "q_rank_fusion" -> "single query vector (limit-1 point filter on the unique vec_id) broadcast onto the one-pass cosine scan; both top-k legs end in TakeOrdered before the fusion join",
     "q22_prospects" -> "1-row scalar threshold (global ungrouped aggregate) cross-joined onto the customer stream — the TPC-H Q22 avg-balance subquery shape; the NOT EXISTS leg is a hash anti join",
     "q_text_countmin" -> "1-row Count-Min sketch + total (global ungrouped aggregate, 64 KB by construction) cross-joined onto the 10-row exact harness frame — the q_text_bm25 scalar-stats shape",
+    "q11_stock" -> "1-row scalar total-inventory-value (global ungrouped aggregate) cross-joined onto the per-part aggregate — the TPC-H Q11 FRACTION-threshold subquery shape",
+    "q15_top_supplier" -> "1-row scalar max-revenue (global ungrouped aggregate) cross-joined onto the per-supplier revenue view — the TPC-H Q15 max= selection shape",
   )
 
   /** query → why its forced broadcast of a corpus-derived subtree is

@@ -268,9 +268,10 @@ class PipelineSpec extends SparkSuite {
 
   test("postings: df equals list length, lists sorted, bounds hold") {
     val rows = PipelineQueries.textPostings(spark, sf)
-      .as[(String, Long, Seq[Long])].collect()
+      .as[(String, Long, String)].collect()
     assert(rows.nonEmpty)
-    rows.foreach { case (sh, df, ps) =>
+    rows.foreach { case (sh, df, psStr) =>
+      val ps = psStr.split(",").map(_.toLong).toSeq
       assert(df === ps.length.toLong, s"$sh df vs list")
       assert(df >= 2 && df <= 20, s"$sh df bound")
       assert(ps == ps.sorted && ps.distinct.size == ps.size, s"$sh order")

@@ -122,4 +122,140 @@ class TpchPlanSpec extends SparkSuite {
       assert(BigInt(r.getLong(2)) * nPos > BigInt(sumPos) * r.getLong(1),
         s"group ${r.get(0)} mean balance below the positive average")
   }
+
+  test("q2: correlated min decorrelates to agg+join-back, top-100 is a heap cut") {
+    val df = RelationalQueries.q2MinCost(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("TakeOrderedAndProject"),
+      s"LIMIT 100 must be a heap cut, not global sort + limit:\n$phys")
+    assert(!phys.contains("CartesianProduct") &&
+      !phys.contains("BroadcastNestedLoopJoin"), s"no all-pairs:\n$phys")
+    // part's selective size/type filter rides its scan
+    assert("PushedFilters: \\[[^\\]]*p_size".r.findFirstIn(phys).isDefined,
+      s"p_size band not pushed:\n$phys")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    // min= semantics: per part, every emitted cost equals the part's min
+    rows.groupBy(_.getLong(3)).foreach { case (_, g) =>
+      assert(g.map(_.getLong(4)).distinct.length == 1,
+        "one min cost per part")
+    }
+  }
+
+  test("q9: part filter broadcasts before either fact exchange") {
+    val df = RelationalQueries.q9Profit(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct") &&
+      !phys.contains("BroadcastNestedLoopJoin"))
+    assert("PushedFilters: \\[[^\\]]*p_name".r.findFirstIn(phys).isDefined ||
+      phys.contains("StartsWith"), s"p_name prefix not pushed:\n$phys")
+    // ≤3 shuffle joins: li⋈partsupp (pair key), li⋈orders (orderkey) —
+    // the derived-partsupp distinct adds its own exchange but no join
+    val shuffleJoins = "SortMergeJoin|ShuffledHashJoin".r
+      .findAllIn(phys).length
+    assert(shuffleJoins <= 3, s"unexpected extra shuffle joins:\n$phys")
+    assert(df.collect().nonEmpty)
+  }
+
+  test("q11: exact integer threshold — every kept part beats FRACTION of total") {
+    val df = RelationalQueries.q11Stock(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val total = graft.Tables.load(spark, sf, "lineitem")
+      .selectExpr("l_partkey AS pk", "l_suppkey AS sk").distinct()
+      .selectExpr("(pk * 37 + sk * 71) % 90000 + 10000 AS cost",
+        "(pk * 13 + sk * 7) % 9999 + 1 AS qty", "sk")
+      .join(graft.Tables.load(spark, sf, "supplier")
+        .join(graft.Tables.load(spark, sf, "nation")
+          .filter(org.apache.spark.sql.functions.col("n_name") === "NATION_12"),
+          org.apache.spark.sql.functions.col("s_nationkey") ===
+            org.apache.spark.sql.functions.col("n_nationkey"))
+        .select("s_suppkey"),
+        org.apache.spark.sql.functions.col("sk") ===
+          org.apache.spark.sql.functions.col("s_suppkey"))
+      .selectExpr("sum(cost * qty) AS t").collect()(0).getLong(0)
+    rows.foreach(r => assert(BigInt(r.getLong(1)) * 2000 > BigInt(total),
+      s"part ${r.getLong(0)} below threshold"))
+  }
+
+  test("q12: conditional counts are one pass; both date predicates live") {
+    val df = RelationalQueries.q12Shipmode(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    val liScans = "Scan parquet.*lineitem|FileScan.*lineitem".r
+      .findAllIn(phys).length
+    assert(liScans <= 1, s"case-split must not rescan lineitem:\n$phys")
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(phys).isDefined,
+      s"year window not pushed:\n$phys")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(2) >= 0))
+  }
+
+  test("q13: zero-order customers survive the outer join into the c_count=0 bucket") {
+    val df = RelationalQueries.q13Custdist(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("LeftOuter") || phys.contains("RightOuter"),
+      s"histogram needs the outer join:\n$phys")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // bucket sum equals the customer count — nobody dropped
+    val nCust = graft.Tables.load(spark, sf, "customer").count()
+    assert(rows.map(_.getLong(1)).sum == nCust, "every customer bucketed")
+  }
+
+  test("q15: max= selection is exact in micro-units; ties all emitted") {
+    val df = RelationalQueries.q15TopSupplier(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getLong(2)).distinct
+    assert(revs.length == 1, "all emitted suppliers share the max revenue")
+  }
+
+  test("q16: NOT IN decorrelates to anti join; distinct count shuffles once") {
+    val df = RelationalQueries.q16SupplierCnt(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("LeftAnti"), s"NOT IN must be an anti join:\n$phys")
+    assert(!phys.contains("CartesianProduct") &&
+      !phys.contains("BroadcastNestedLoopJoin"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(3) >= 1))
+  }
+
+  test("q17: fifth-of-average compare is exact integers, div-7 recomputes") {
+    val df = RelationalQueries.q17SmallQty(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct") &&
+      !phys.contains("BroadcastNestedLoopJoin"))
+    val r = df.collect()(0)
+    assert(r.getLong(2) > 0, "fixture must produce sub-fifth-average rows")
+    assert(r.getLong(1) == r.getLong(0) / 7, "avg_yearly_u = total_u div 7")
+  }
+
+  test("q20: correlated half-sum decorrelates inner (NULL disqualifies), semi into supplier") {
+    val df = RelationalQueries.q20Promotion(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("LeftSemi"), s"IN must be a semi join:\n$phys")
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(phys).isDefined,
+      s"ship year not pushed:\n$phys")
+    assert(df.collect().nonEmpty)
+  }
+
+  test("q21: double correlation = one semi + one anti, never per-row subqueries") {
+    val df = RelationalQueries.q21Waiting(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("LeftSemi"), s"EXISTS must be a semi join:\n$phys")
+    assert(phys.contains("LeftAnti"),
+      s"NOT EXISTS must be an anti join:\n$phys")
+    assert(phys.contains("TakeOrderedAndProject"),
+      s"top-100 must be a heap cut:\n$phys")
+    assert("PushedFilters: \\[[^\\]]*o_orderstatus".r
+      .findFirstIn(phys).isDefined, s"status filter not pushed:\n$phys")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    // ordering contract: numwait descending, name ascending within ties
+    val pairs = rows.map(r => (r.getLong(1), r.getString(0)))
+    assert(pairs.sameElements(
+      pairs.sortBy { case (w, n) => (-w, n) }), "sorted by numwait desc")
+  }
 }

@@ -41,52 +41,69 @@ object CmRuntime {
     }
   }
 
+  /** Serialized layout: an 8-byte header (int32 depth, int32 width,
+    * little-endian) then the d·w row-major int64 counters — the Spark
+    * CountMinSketch convention of carrying geometry IN the bytes. The
+    * header exists because a byte-LENGTH check alone cannot catch a
+    * same-size transposition (build 4×2048 read as 8×1024 passes
+    * d·w·8 but mis-indexes every counter and can UNDER-report,
+    * silently breaking the one-sided guarantee). */
+  val HeaderBytes = 8
+
   /** min over rows — the CM estimate. A zero-length sketch (empty
-    * input group) estimates 0 for every key. The byte length must
-    * equal d·w·8 EXACTLY: a mismatched d/w against a LARGER sketch
-    * would read in-bounds but index the wrong counters and could
-    * UNDER-report — breaking the one-sided guarantee silently — so a
-    * mismatch refuses loudly instead (Bloom derives m from the bytes;
-    * CM's geometry can't be derived, so it is checked). */
+    * input group) estimates 0 for every key. BOTH stored dimensions
+    * must equal the caller's: a mismatch mis-indexes, so it refuses
+    * loudly instead (Bloom derives m from the bytes; CM's geometry
+    * can't be derived, so it rides the header and is checked). */
   def estimate(bytes: Array[Byte], key: Long, depth: Int, w: Int): Long = {
     if (bytes.length == 0) return 0L
-    if (bytes.length != depth.toLong * w * 8)
-      throw new IllegalArgumentException(
-        s"sketch is ${bytes.length} bytes; estimate called with " +
-          s"depth=$depth width=$w (needs ${depth.toLong * w * 8}) — " +
-          "d/w must match the build")
     val bb = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val sd = bb.getInt(0)
+    val sw = bb.getInt(4)
+    if (sd != depth || sw != w ||
+        bytes.length != HeaderBytes + sd.toLong * sw * 8)
+      throw new IllegalArgumentException(
+        s"sketch geometry is ${sd}x$sw (${bytes.length} bytes); estimate " +
+          s"called with depth=$depth width=$w — d/w must match the build")
     var best = Long.MaxValue
     var r = 0
     while (r < depth) {
-      val c = bb.getLong((r * w + bucket(key, r, w)) << 3)
+      val c = bb.getLong(HeaderBytes + ((r * w + bucket(key, r, w)) << 3))
       if (c < best) best = c
       r += 1
     }
     best
   }
 
-  def toBytes(counters: Array[Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(counters.length << 3)
+  def toBytes(counters: Array[Long], depth: Int, w: Int): Array[Byte] = {
+    require(counters.length == depth * w,
+      s"counter matrix ${counters.length} != $depth x $w")
+    val bb = java.nio.ByteBuffer.allocate(HeaderBytes + (counters.length << 3))
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(depth).putInt(w)
     var i = 0
     while (i < counters.length) { bb.putLong(counters(i)); i += 1 }
     bb.array()
   }
 
-  def fromBytes(bytes: Array[Byte]): Array[Long] = {
+  /** Counters only — header validated against the expected geometry. */
+  def fromBytes(bytes: Array[Byte], depth: Int, w: Int): Array[Long] = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val out = new Array[Long](bytes.length >>> 3)
+    val sd = bb.getInt(0)
+    val sw = bb.getInt(4)
+    require(sd == depth && sw == w,
+      s"sketch geometry ${sd}x$sw does not match expected ${depth}x$w")
+    val out = new Array[Long](depth * w)
     var i = 0
-    while (i < out.length) { out(i) = bb.getLong(i << 3); i += 1 }
+    while (i < out.length) { out(i) = bb.getLong(HeaderBytes + (i << 3)); i += 1 }
     out
   }
 }
 
-/** Builds the sketch: binary output = depth×width little-endian int64
-  * counters, row-major. */
+/** Builds the sketch: binary output = 8-byte (depth, width) header then
+  * the depth×width little-endian int64 counters, row-major. */
 case class CountMinBuild(
     child: Expression,
     depth: Int,
@@ -121,10 +138,12 @@ case class CountMinBuild(
     buf
   }
 
-  override def eval(buf: Array[Long]): Any = CmRuntime.toBytes(buf)
-  override def serialize(buf: Array[Long]): Array[Byte] = CmRuntime.toBytes(buf)
+  override def eval(buf: Array[Long]): Any =
+    CmRuntime.toBytes(buf, depth, width)
+  override def serialize(buf: Array[Long]): Array[Byte] =
+    CmRuntime.toBytes(buf, depth, width)
   override def deserialize(bytes: Array[Byte]): Array[Long] =
-    CmRuntime.fromBytes(bytes)
+    CmRuntime.fromBytes(bytes, depth, width)
 
   override def withNewMutableAggBufferOffset(o: Int): CountMinBuild =
     copy(mutableAggBufferOffset = o)

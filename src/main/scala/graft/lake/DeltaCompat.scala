@@ -753,148 +753,156 @@ object DeltaCompat {
       pinnedBatch = df.queryExecution.analyzed.exists(
         _.expressions.exists(e => !e.deterministic))
       if (pinnedBatch) df.persist()
-      val flags = checkCons.toSeq.sortBy(_._1).map { case (n, e) =>
-        n -> (functions.coalesce(functions.expr(e),
-          functions.lit(true)) === false)
-      }
-      val hit = df.filter(flags.map(_._2).reduce(_ || _)).limit(1)
-        .select(flags.map { case (n, c) => c.as(n) }: _*).collect()
-      if (hit.nonEmpty) {
-        val bad = flags.map(_._1).zipWithIndex
-          .collect { case (n, i) if hit(0).getBoolean(i) => n }
-        throw new IllegalArgumentException(
-          s"$table: CHECK constraint${if (bad.size > 1) "s" else ""} " +
-            bad.map(n => s"'$n' (${checkCons(n)})").mkString(", ") +
-            " violated by the incoming batch — nothing committed")
-      }
     }
-
-    // Column mapping: the LOG keeps logical names (schemaString field
-    // names, partitionColumns); the FILES carry physical names (parquet
-    // columns, hive partition dirs → partitionValues keys).
-    val logSchema: StructType = priorState match {
-      case Some(st) => DataType.fromJson(st.schemaJson.getOrElse(
-          throw new IllegalStateException(s"$table has no metaData action")))
-        .asInstanceOf[StructType]
-      case None if columnMapping != "none" =>
-        // Both mapping modes store a field id AND a physical name per
-        // the protocol; they differ only in how READERS resolve parquet
-        // columns (name → by physical name, id → by parquet field id).
-        StructType(df.schema.fields.zipWithIndex.map { case (f, i) =>
-          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata)
-            .putLong("delta.columnMapping.id", i + 1L)
-            .putString("delta.columnMapping.physicalName", s"col-${UUID.randomUUID()}")
-            .build())
-        })
-      case None => df.schema
-    }
-    val cmapMode = priorState.map(_.columnMappingMode).getOrElse(columnMapping)
-    val cmapActive = cmapMode != "none"
-    val physByLogical = logSchema.fields
-      .map(f => f.name -> physicalFieldName(f)).toMap
-    // Field ids ride the staged columns as parquet.field.id metadata, so
-    // Spark's writer stamps them into the files (fieldId.write is on by
-    // default) — REQUIRED for id-mode readers, harmless extra metadata
-    // under name mode.
-    val idByLogical = logSchema.fields.flatMap(f =>
-      if (f.metadata.contains("delta.columnMapping.id"))
-        Some(f.name -> f.metadata.getLong("delta.columnMapping.id"))
-      else None).toMap
-    val staged =
-      if (!cmapActive) df
-      else df.select(df.columns.map { c =>
-        val phys = physByLogical.getOrElse(c, c)
-        idByLogical.get(c) match {
-          case Some(id) => df.col(c).as(phys,
-            new org.apache.spark.sql.types.MetadataBuilder()
-              .putLong("parquet.field.id", id).build())
-          case None => df.col(c).as(phys)
+    // From validation through commit, a throw (constraint hit, schema
+    // refusal, commit conflict) must still release the pinned batch —
+    // the unpersist rides a finally, not the success path.
+    try {
+      if (dataChange && checkCons.nonEmpty) {
+        val flags = checkCons.toSeq.sortBy(_._1).map { case (n, e) =>
+          n -> (functions.coalesce(functions.expr(e),
+            functions.lit(true)) === false)
         }
-      }.toIndexedSeq: _*)
-    val stagePartCols =
-      if (cmapActive) partCols.map(c => physByLogical.getOrElse(c, c))
-      else partCols
-
-    // Stage part files via Spark (hive layout when partitioned), then
-    // move them under the table root keeping their partition dirs.
-    val added = stageFiles(staged, root, stagePartCols)
-      .map { case (rel, size, pv) =>
-        (rel, size, pv, fileStatsJson(root.resolve(rel)))
+        val hit = df.filter(flags.map(_._2).reduce(_ || _)).limit(1)
+          .select(flags.map { case (n, c) => c.as(n) }: _*).collect()
+        if (hit.nonEmpty) {
+          val bad = flags.map(_._1).zipWithIndex
+            .collect { case (n, i) if hit(0).getBoolean(i) => n }
+          throw new IllegalArgumentException(
+            s"$table: CHECK constraint${if (bad.size > 1) "s" else ""} " +
+              bad.map(n => s"'$n' (${checkCons(n)})").mkString(", ") +
+              " violated by the incoming batch — nothing committed")
+        }
       }
 
-    val cdfActive = priorState.map(_.cdfEnabled).getOrElse(
-      properties.get("delta.enableChangeDataFeed").contains("true"))
-    val now = System.currentTimeMillis()
-    val actions = Seq.newBuilder[ObjectNode]
-    if (version == 0L) {
-      val protocol = mapper.createObjectNode()
-      protocol.putObject("protocol")
-        .put("minReaderVersion", if (cmapActive) 2 else 1)
-        .put("minWriterVersion",
-          if (cmapActive) 5 else if (cdfActive) 4 else 2)
-      actions += protocol
-      val meta = mapper.createObjectNode()
-      val m = meta.putObject("metaData")
-      m.put("id", UUID.randomUUID().toString)
-      m.putObject("format").put("provider", "parquet")
-        .putObject("options")
-      m.put("schemaString", logSchema.json)
-      val pcArr = m.putArray("partitionColumns")
-      partCols.foreach(pcArr.add)
-      val confNode = m.putObject("configuration")
-      if (cmapActive) {
-        confNode.put("delta.columnMapping.mode", cmapMode)
-        confNode.put("delta.columnMapping.maxColumnId",
-          logSchema.fields.length.toLong)
+      // Column mapping: the LOG keeps logical names (schemaString field
+      // names, partitionColumns); the FILES carry physical names (parquet
+      // columns, hive partition dirs → partitionValues keys).
+      val logSchema: StructType = priorState match {
+        case Some(st) => DataType.fromJson(st.schemaJson.getOrElse(
+            throw new IllegalStateException(s"$table has no metaData action")))
+          .asInstanceOf[StructType]
+        case None if columnMapping != "none" =>
+          // Both mapping modes store a field id AND a physical name per
+          // the protocol; they differ only in how READERS resolve parquet
+          // columns (name → by physical name, id → by parquet field id).
+          StructType(df.schema.fields.zipWithIndex.map { case (f, i) =>
+            f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putLong("delta.columnMapping.id", i + 1L)
+              .putString("delta.columnMapping.physicalName", s"col-${UUID.randomUUID()}")
+              .build())
+          })
+        case None => df.schema
       }
-      properties.foreach { case (k, v) => confNode.put(k, v) }
-      m.put("createdTime", now)
-      actions += meta
-    }
-    // CHANGE DATA FEED: the commit's row-level changes land as parquet
-    // under _change_data/ with `cdc` actions (dataChange=false — CDF
-    // readers use them INSTEAD of the add/remove reconstruction). The
-    // frame carries the table columns plus `_change_type`.
-    changeData.filter(_ => cdfActive).foreach(cdf =>
-      emitCdc(cdf, root,
-        if (cmapActive) physByLogical else Map.empty,
-        stagePartCols, actions))
-    val removePaths =
-      if (mode == "overwrite" && version > 0L)
-        priorState.map(_.files.keys.toSeq).getOrElse(Seq.empty)
-      else replacing
-    removePaths.sorted.foreach { p =>
-      val rm = mapper.createObjectNode()
-      rm.putObject("remove").put("path", encodePath(p))
-        .put("deletionTimestamp", now).put("dataChange", dataChange)
-      actions += rm
-    }
-    added.foreach { case (relPath, size, pv, stats) =>
-      val add = mapper.createObjectNode()
-      val a = add.putObject("add").put("path", encodePath(relPath))
-        .put("size", size)
-        .put("modificationTime", now).put("dataChange", dataChange)
-      val pvNode = a.putObject("partitionValues")
-      pv.foreach { case (k, v) =>
-        v.fold[Unit](pvNode.putNull(k))(pvNode.put(k, _))
-      }
-      a.put("stats", stats)
-      actions += add
-    }
+      val cmapMode = priorState.map(_.columnMappingMode).getOrElse(columnMapping)
+      val cmapActive = cmapMode != "none"
+      val physByLogical = logSchema.fields
+        .map(f => f.name -> physicalFieldName(f)).toMap
+      // Field ids ride the staged columns as parquet.field.id metadata, so
+      // Spark's writer stamps them into the files (fieldId.write is on by
+      // default) — REQUIRED for id-mode readers, harmless extra metadata
+      // under name mode.
+      val idByLogical = logSchema.fields.flatMap(f =>
+        if (f.metadata.contains("delta.columnMapping.id"))
+          Some(f.name -> f.metadata.getLong("delta.columnMapping.id"))
+        else None).toMap
+      val staged =
+        if (!cmapActive) df
+        else df.select(df.columns.map { c =>
+          val phys = physByLogical.getOrElse(c, c)
+          idByLogical.get(c) match {
+            case Some(id) => df.col(c).as(phys,
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .putLong("parquet.field.id", id).build())
+            case None => df.col(c).as(phys)
+          }
+        }.toIndexedSeq: _*)
+      val stagePartCols =
+        if (cmapActive) partCols.map(c => physByLogical.getOrElse(c, c))
+        else partCols
 
-    // SetTransaction: the streaming idempotency watermark — landed in
-    // the SAME commit as the data, so a crash can never record the
-    // batch without its rows (or vice versa)
-    txn.foreach { case (appId, v) =>
-      val t = mapper.createObjectNode()
-      t.putObject("txn").put("appId", appId).put("version", v)
-      actions += t
+      // Stage part files via Spark (hive layout when partitioned), then
+      // move them under the table root keeping their partition dirs.
+      val added = stageFiles(staged, root, stagePartCols)
+        .map { case (rel, size, pv) =>
+          (rel, size, pv, fileStatsJson(root.resolve(rel)))
+        }
+
+      val cdfActive = priorState.map(_.cdfEnabled).getOrElse(
+        properties.get("delta.enableChangeDataFeed").contains("true"))
+      val now = System.currentTimeMillis()
+      val actions = Seq.newBuilder[ObjectNode]
+      if (version == 0L) {
+        val protocol = mapper.createObjectNode()
+        protocol.putObject("protocol")
+          .put("minReaderVersion", if (cmapActive) 2 else 1)
+          .put("minWriterVersion",
+            if (cmapActive) 5 else if (cdfActive) 4 else 2)
+        actions += protocol
+        val meta = mapper.createObjectNode()
+        val m = meta.putObject("metaData")
+        m.put("id", UUID.randomUUID().toString)
+        m.putObject("format").put("provider", "parquet")
+          .putObject("options")
+        m.put("schemaString", logSchema.json)
+        val pcArr = m.putArray("partitionColumns")
+        partCols.foreach(pcArr.add)
+        val confNode = m.putObject("configuration")
+        if (cmapActive) {
+          confNode.put("delta.columnMapping.mode", cmapMode)
+          confNode.put("delta.columnMapping.maxColumnId",
+            logSchema.fields.length.toLong)
+        }
+        properties.foreach { case (k, v) => confNode.put(k, v) }
+        m.put("createdTime", now)
+        actions += meta
+      }
+      // CHANGE DATA FEED: the commit's row-level changes land as parquet
+      // under _change_data/ with `cdc` actions (dataChange=false — CDF
+      // readers use them INSTEAD of the add/remove reconstruction). The
+      // frame carries the table columns plus `_change_type`.
+      changeData.filter(_ => cdfActive).foreach(cdf =>
+        emitCdc(cdf, root,
+          if (cmapActive) physByLogical else Map.empty,
+          stagePartCols, actions))
+      val removePaths =
+        if (mode == "overwrite" && version > 0L)
+          priorState.map(_.files.keys.toSeq).getOrElse(Seq.empty)
+        else replacing
+      removePaths.sorted.foreach { p =>
+        val rm = mapper.createObjectNode()
+        rm.putObject("remove").put("path", encodePath(p))
+          .put("deletionTimestamp", now).put("dataChange", dataChange)
+        actions += rm
+      }
+      added.foreach { case (relPath, size, pv, stats) =>
+        val add = mapper.createObjectNode()
+        val a = add.putObject("add").put("path", encodePath(relPath))
+          .put("size", size)
+          .put("modificationTime", now).put("dataChange", dataChange)
+        val pvNode = a.putObject("partitionValues")
+        pv.foreach { case (k, v) =>
+          v.fold[Unit](pvNode.putNull(k))(pvNode.put(k, _))
+        }
+        a.put("stats", stats)
+        actions += add
+      }
+
+      // SetTransaction: the streaming idempotency watermark — landed in
+      // the SAME commit as the data, so a crash can never record the
+      // batch without its rows (or vice versa)
+      txn.foreach { case (appId, v) =>
+        val t = mapper.createObjectNode()
+        t.putObject("txn").put("appId", appId).put("version", v)
+        actions += t
+      }
+      commit(table, version, actions.result(), operation.getOrElse(
+        if (mode == "overwrite") "OVERWRITE" else "WRITE"))
+      version
+    } finally {
+      if (pinnedBatch) df.unpersist()
     }
-    commit(table, version, actions.result(), operation.getOrElse(
-      if (mode == "overwrite") "OVERWRITE" else "WRITE"))
-    if (pinnedBatch) df.unpersist()
-    version
   }
 
   /** The last `txn` (SetTransaction) version committed for `appId` —

@@ -145,87 +145,97 @@ class JoinMview(val lake: Mooncake) {
     def maybeBroadcast(df: DataFrame, n: Long): DataFrame =
       if (n <= bcastLimit) broadcast(df) else df
 
-    def delta(base: String, from: Long, to: Long): DataFrame =
-      if (from == to) null
-      else lake.tableChanges(spark, base, from, to).persist()
-    val dA = delta(d.left, d.leftVersion, lm.version)
-    val dB = delta(d.right, d.rightVersion, rm.version)
-    val nDA = Option(dA).map(_.count()).getOrElse(0L)
-    val nDB = Option(dB).map(_.count()).getOrElse(0L)
+    // Every persisted frame is tracked so a throw mid-refresh (e.g. a
+    // concurrent-writer manifest-version conflict inside applyChanges)
+    // releases executor cache in the finally instead of leaking it for
+    // the session; the success path still releases EARLY via release().
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = { cached += df; df.persist() }
+    def release(df: DataFrame): Unit = { cached -= df; df.unpersist() }
+    try {
+      def delta(base: String, from: Long, to: Long): DataFrame =
+        if (from == to) null
+        else pin(lake.tableChanges(spark, base, from, to))
+      val dA = delta(d.left, d.leftVersion, lm.version)
+      val dB = delta(d.right, d.rightVersion, rm.version)
+      val nDA = Option(dA).map(_.count()).getOrElse(0L)
+      val nDB = Option(dB).map(_.count()).getOrElse(0L)
 
-    // ---- discovery: which join pairs CAN have changed --------------------
-    // ΔA (all images) against the opposite side's old rows ∪ ΔB insert
-    // images — a superset of B's rows across the window, so no pair
-    // escapes; dedup below collapses the overcount. Broadcast the
-    // batch-sized delta, stream the base scan.
-    def pairs(df: DataFrame): DataFrame = df.select(pairKey.map(col): _*)
-    val discovered = Seq(
-      Option(dA).map { da =>
-        val bSide = lake.readVersion(spark, d.right, d.rightVersion)
-          .unionByName(Option(dB).map(_.filter(col("_change") === "insert")
-            .drop("_change")).getOrElse(
-              lake.readVersion(spark, d.right, d.rightVersion).limit(0)),
-            allowMissingColumns = true)
-        pairs(bSide.join(maybeBroadcast(da.drop("_change"), nDA),
-          keyEq(d.leftKeys, d.rightKeys)))
-      },
-      Option(dB).map { db =>
-        val aSide = lake.readVersion(spark, d.left, d.leftVersion)
-          .unionByName(Option(dA).map(_.filter(col("_change") === "insert")
-            .drop("_change")).getOrElse(
-              lake.readVersion(spark, d.left, d.leftVersion).limit(0)),
-            allowMissingColumns = true)
-        pairs(aSide.join(maybeBroadcast(db.drop("_change"), nDB),
-          keyEq(d.leftKeys, d.rightKeys)))
-      }).flatten.reduce(_ unionByName _).distinct().persist()
-    val nPairs = discovered.count()
-    Option(dA).foreach(_.unpersist())
-    Option(dB).foreach(_.unpersist())
+      // ---- discovery: which join pairs CAN have changed --------------------
+      // ΔA (all images) against the opposite side's old rows ∪ ΔB insert
+      // images — a superset of B's rows across the window, so no pair
+      // escapes; dedup below collapses the overcount. Broadcast the
+      // batch-sized delta, stream the base scan.
+      def pairs(df: DataFrame): DataFrame = df.select(pairKey.map(col): _*)
+      val discovered = pin(Seq(
+        Option(dA).map { da =>
+          val bSide = lake.readVersion(spark, d.right, d.rightVersion)
+            .unionByName(Option(dB).map(_.filter(col("_change") === "insert")
+              .drop("_change")).getOrElse(
+                lake.readVersion(spark, d.right, d.rightVersion).limit(0)),
+              allowMissingColumns = true)
+          pairs(bSide.join(maybeBroadcast(da.drop("_change"), nDA),
+            keyEq(d.leftKeys, d.rightKeys)))
+        },
+        Option(dB).map { db =>
+          val aSide = lake.readVersion(spark, d.left, d.leftVersion)
+            .unionByName(Option(dA).map(_.filter(col("_change") === "insert")
+              .drop("_change")).getOrElse(
+                lake.readVersion(spark, d.left, d.leftVersion).limit(0)),
+              allowMissingColumns = true)
+          pairs(aSide.join(maybeBroadcast(db.drop("_change"), nDB),
+            keyEq(d.leftKeys, d.rightKeys)))
+        }).flatten.reduce(_ unionByName _).distinct())
+      val nPairs = discovered.count()
+      Option(dA).foreach(release)
+      Option(dB).foreach(release)
 
-    if (nPairs == 0) {
-      // the window moved but no join pair did (e.g. changes on rows
-      // with no partner): advance the frontier only. The state commit
-      // still must carry the watermark atomically — an empty CDC batch
-      // has no commit, so write the definition directly (safe: there is
-      // nothing to double-apply).
-      saveDef(name, d.copy(leftVersion = lm.version,
-        rightVersion = rm.version))
-      discovered.unpersist()
-      return JoinMvRefreshStats(d.leftVersion, lm.version,
-        d.rightVersion, rm.version, 0L, 0L)
+      if (nPairs == 0) {
+        // the window moved but no join pair did (e.g. changes on rows
+        // with no partner): advance the frontier only. The state commit
+        // still must carry the watermark atomically — an empty CDC batch
+        // has no commit, so write the definition directly (safe: there is
+        // nothing to double-apply).
+        saveDef(name, d.copy(leftVersion = lm.version,
+          rightVersion = rm.version))
+        release(discovered)
+        return JoinMvRefreshStats(d.leftVersion, lm.version,
+          d.rightVersion, rm.version, 0L, 0L)
+      }
+
+      // ---- rebuild exactly the discovered pairs from the CURRENT sides ----
+      val lKeys = discovered.select(lPk.map(c => col(c).as(s"__l_$c")): _*)
+        .distinct()
+      val rKeys = discovered.select(rPk.map(c => col(c).as(s"__r_$c")): _*)
+        .distinct()
+      val aNew = lake.read(spark, d.left).join(maybeBroadcast(lKeys, nPairs),
+        lPk.map(c => col(c) <=> col(s"__l_$c")).reduce(_ && _), "left_semi")
+      val bNew = lake.read(spark, d.right).join(maybeBroadcast(rKeys, nPairs),
+        rPk.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _), "left_semi")
+      val rebuilt = pin(aNew.join(bNew, keyEq(d.leftKeys, d.rightKeys))
+        .join(maybeBroadcast(discovered, nPairs), pairKey, "left_semi"))
+
+      // ---- diff against state, apply as point CDC -------------------------
+      val state = lake.read(spark, name)
+      val stale = state.join(maybeBroadcast(discovered, nPairs), pairKey, "left_semi")
+        .join(rebuilt.select(pairKey.map(col): _*), pairKey, "left_anti")
+      val ops = pin(rebuilt.withColumn("__op", lit("U"))
+        .unionByName(stale.withColumn("__op", lit("D")),
+          allowMissingColumns = true))
+      val mvM = lake.currentManifest(name)
+      val applied = ops.count()
+      if (applied > 0)
+        lake.applyChanges(spark, name, ops, version = mvM.commitVersion + 1,
+          watermarks = Map(wmKeyL(name) -> lm.version,
+            wmKeyR(name) -> rm.version))
+      saveDef(name, d.copy(leftVersion = lm.version, rightVersion = rm.version))
+      release(discovered)
+      release(rebuilt)
+      release(ops)
+      JoinMvRefreshStats(d.leftVersion, lm.version,
+        d.rightVersion, rm.version, nPairs, applied)
+    } finally {
+      cached.foreach(_.unpersist())
     }
-
-    // ---- rebuild exactly the discovered pairs from the CURRENT sides ----
-    val lKeys = discovered.select(lPk.map(c => col(c).as(s"__l_$c")): _*)
-      .distinct()
-    val rKeys = discovered.select(rPk.map(c => col(c).as(s"__r_$c")): _*)
-      .distinct()
-    val aNew = lake.read(spark, d.left).join(maybeBroadcast(lKeys, nPairs),
-      lPk.map(c => col(c) <=> col(s"__l_$c")).reduce(_ && _), "left_semi")
-    val bNew = lake.read(spark, d.right).join(maybeBroadcast(rKeys, nPairs),
-      rPk.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _), "left_semi")
-    val rebuilt = aNew.join(bNew, keyEq(d.leftKeys, d.rightKeys))
-      .join(maybeBroadcast(discovered, nPairs), pairKey, "left_semi").persist()
-
-    // ---- diff against state, apply as point CDC -------------------------
-    val state = lake.read(spark, name)
-    val stale = state.join(maybeBroadcast(discovered, nPairs), pairKey, "left_semi")
-      .join(rebuilt.select(pairKey.map(col): _*), pairKey, "left_anti")
-    val ops = rebuilt.withColumn("__op", lit("U"))
-      .unionByName(stale.withColumn("__op", lit("D")),
-        allowMissingColumns = true)
-      .persist()
-    val mvM = lake.currentManifest(name)
-    val applied = ops.count()
-    if (applied > 0)
-      lake.applyChanges(spark, name, ops, version = mvM.commitVersion + 1,
-        watermarks = Map(wmKeyL(name) -> lm.version,
-          wmKeyR(name) -> rm.version))
-    saveDef(name, d.copy(leftVersion = lm.version, rightVersion = rm.version))
-    discovered.unpersist()
-    rebuilt.unpersist()
-    ops.unpersist()
-    JoinMvRefreshStats(d.leftVersion, lm.version,
-      d.rightVersion, rm.version, nPairs, applied)
   }
 }

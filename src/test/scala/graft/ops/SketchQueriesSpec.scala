@@ -85,7 +85,7 @@ class SketchQueriesSpec extends SparkSuite {
       .agg(CM.cm_build(col("k"), D, W)).collect()(0).getAs[Array[Byte]](0)
     val local = new Array[Long](D * W)
     keys.foreach(CmRuntime.add(local, _, D, W))
-    assert(java.util.Arrays.equals(skDist, CmRuntime.toBytes(local)),
+    assert(java.util.Arrays.equals(skDist, CmRuntime.toBytes(local, D, W)),
       "distributed merge must equal the single-pass build bit-for-bit")
 
     // one-sided error + epsilon bound for EVERY present key
@@ -99,6 +99,14 @@ class SketchQueriesSpec extends SparkSuite {
     for (k <- 100000L until 100050L) {
       val est = CmRuntime.estimate(skDist, k, D, W)
       assert(est <= eps, s"absent-key estimate $est exceeds eps $eps")
+    }
+    // geometry guard: a same-byte-size TRANSPOSITION (8x128 vs 4x256)
+    // must refuse — the header catches what a length check cannot
+    intercept[IllegalArgumentException] {
+      CmRuntime.estimate(skDist, 1L, 8, W / 2)
+    }
+    intercept[IllegalArgumentException] {
+      CmRuntime.estimate(skDist, 1L, D, W / 2)
     }
     // the oracle-checked query's contract flags hold at the gate SF
     val rows = PipelineQueries.textCountmin(spark, dir).collect()

@@ -130,6 +130,22 @@ object Bench {
     // per-query dict, just the fields the driver parses — and the full
     // line above stays for humans and the plan-audit tooling.
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"pass_totals":$passTotals,"sf":"$sfDir"}""")
+    // Stable sidecar: the full per-query dict as a FILE, because the
+    // driver's stdout tail-truncation destroys the per-query timings in
+    // BENCH_r*.json every round and makes round-over-round regression
+    // diffs impossible from the artifacts alone. One JSON object per
+    // query: min seconds, every pass's seconds, and the build-phase
+    // split — enough to diff two rounds without re-running either.
+    val perQuery = suite.map(_._1).zipWithIndex.map { case (name, i) =>
+      val ts = allPasses.map(p => f"${p(i)._2}%.4f").mkString("[", ",", "]")
+      val bs = allPasses.map(p => f"${p(i)._3}%.4f").mkString("[", ",", "]")
+      val minV = results(i)._2
+      s""""$name":{"sec":$minV,"passes":$ts,"build":$bs}"""
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_queries.json"),
+      s"""{"sf":"$sfDir","total":$total,"pass_totals":$passTotals,"queries":$perQuery}\n"""
+        .getBytes("UTF-8"))
     spark.stop()
   }
 }

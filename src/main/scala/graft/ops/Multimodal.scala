@@ -19,9 +19,12 @@ import graft.Tables
   * and features/checksums are computed from the DECODED PIXELS — so the
   * oracle (which reproduces the pixel formula arithmetically) proves a
   * lossless encode→binary column→decode round-trip, not just plumbing.
-  * Audio/video payloads remain a synthetic 16-byte header + body (the
-  * container has no audio/video codecs; the JDK has no Ogg/H.264), with
-  * the same batched decode shape a real codec would slot into.
+  * AUDIO assets in the frame-energy leg are REAL RIFF/WAVE files,
+  * encoded and decoded with `javax.sound.sampled` (in-JDK) — the same
+  * real-codec discipline as the PNGs. Video payloads (and the
+  * metadata-demo audio header) remain a synthetic 16-byte header + body
+  * (the JDK has no Ogg/H.264), with the same batched decode shape a
+  * real codec would slot into.
   *
   * Scale: payloads stay columnar (Parquet binary) until the decode stage;
   * decode is per-partition with no shuffle; feature vectors come back as
@@ -263,52 +266,82 @@ object Multimodal {
       |  max(width) AS max_resized_w
       |FROM f GROUP BY media_type ORDER BY media_type""".stripMargin
 
-  /** Deterministic 16-bit mono PCM for doc `id` (the audio-fixture
-    * analog of [[encodePng]]): (id%400)+800 samples of
-    * ((id·7919 + i·104729) % 4096) − 2048 — the formula the oracle
-    * reproduces arithmetically — behind the same 16-byte header
-    * (magic, n_samples, sample_rate, channels). */
-  private def encodePcm(id: Long): Array[Byte] = {
+  /** Deterministic samples of doc `id`'s audio (the formula the oracle
+    * reproduces arithmetically): (id%400)+800 int16 values of
+    * ((id·7919 + i·104729) % 4096) − 2048. */
+  private[ops] def pcmSamples(id: Long): Array[Short] = {
     val n = (id % 400 + 800).toInt
-    val buf = ByteBuffer.allocate(16 + 2 * n).order(ByteOrder.LITTLE_ENDIAN)
-    buf.putInt(MagicV1)
-    buf.putInt(n)
-    buf.putInt(16000)
-    buf.putInt(1)
+    val x = new Array[Short](n)
     var i = 0
     while (i < n) {
-      buf.putShort((((id * 7919 + i.toLong * 104729) % 4096) - 2048).toShort)
+      x(i) = (((id * 7919 + i.toLong * 104729) % 4096) - 2048).toShort
       i += 1
     }
-    buf.array()
+    x
   }
 
-  /** Audio feature extraction: PCM binary column → per-partition batch
-    * decode → overlapping frame windows (400 samples, hop 200) →
-    * integer frame energy Σx² (no sqrt — exact in both engines). This
-    * is the audio leg of the modality trio: the same
-    * binary-column-until-decode, mapPartitions-batched shape as the
-    * PNG path, with the DSP windowing a real feature extractor
-    * (MFCC/fbank front end) starts from. The oracle recomputes every
-    * sample arithmetically, so the int16 encode→binary→decode
+  /** 16 kHz, 16-bit signed, mono, little-endian — the canonical speech
+    * fixture format. */
+  private val WavFormat = new javax.sound.sampled.AudioFormat(
+    16000f, 16, 1, true, false)
+
+  /** Encode doc `id`'s deterministic samples as a REAL RIFF/WAVE file
+    * through the in-JDK codec (`javax.sound.sampled`) — the audio
+    * analog of [[encodePng]]: a genuine container round-trip per row,
+    * not a synthetic header. */
+  private[ops] def encodeWav(id: Long): Array[Byte] = {
+    val x = pcmSamples(id)
+    val data = ByteBuffer.allocate(2 * x.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    x.foreach(data.putShort)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data.array()), WavFormat, x.length)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Decode a WAV payload through `AudioSystem` back to int16 samples,
+    * refusing anything but the 16-bit mono PCM contract (a real
+    * pipeline would transcode here; the fixture must round-trip). */
+  private[ops] def decodeWav(payload: Array[Byte], docId: Long): Array[Short] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val f = ais.getFormat
+    require(f.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+      f.getSampleSizeInBits == 16 && f.getChannels == 1,
+      s"doc $docId: unsupported WAV format $f — need 16-bit mono PCM")
+    val n = ais.getFrameLength.toInt
+    val raw = ais.readNBytes(n * 2)
+    require(raw.length == n * 2, s"doc $docId: truncated WAV data")
+    val bb = ByteBuffer.wrap(raw).order(
+      if (f.isBigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    val x = new Array[Short](n)
+    var i = 0
+    while (i < n) { x(i) = bb.getShort(); i += 1 }
+    x
+  }
+
+  /** Audio feature extraction: WAV binary column → per-partition batch
+    * decode through the REAL in-JDK codec (`javax.sound.sampled`
+    * RIFF/WAVE, the audio analog of the PNG leg) → overlapping frame
+    * windows (400 samples, hop 200) → integer frame energy Σx² (no
+    * sqrt — exact in both engines). The oracle recomputes every sample
+    * arithmetically, so the int16 encode→WAV container→decode
     * round-trip and the window indexing are both pinned, not just the
     * plumbing. Zero shuffle until the harness sort; frames per doc
     * ride an iterator, never a materialized array-of-frames. */
   val audioFrames: (SparkSession, String) => DataFrame = (s, dir) => {
     import s.implicits._
-    val pcm = Tables.load(s, dir, "documents").select(col("doc_id"))
+    val wav = Tables.load(s, dir, "documents").select(col("doc_id"))
       .filter(col("doc_id") % 3 === 1)
-      .as[Long].map(id => Asset(id, "audio", encodePcm(id)))
-    pcm.mapPartitions { it =>
+      .as[Long].map(id => Asset(id, "audio", encodeWav(id)))
+    wav.mapPartitions { it =>
       it.flatMap { a =>
-        val buf = ByteBuffer.wrap(a.payload).order(ByteOrder.LITTLE_ENDIAN)
-        require(buf.getInt() == MagicV1, s"bad PCM header for ${a.doc_id}")
-        val n = buf.getInt()
-        buf.getInt(); buf.getInt() // rate, channels — fixed in fixture
-        val x = new Array[Short](n)
-        var i = 0
-        while (i < n) { x(i) = buf.getShort(); i += 1 }
-        val nf = (n - 400) / 200 + 1
+        val x = decodeWav(a.payload, a.doc_id)
+        val nf = (x.length - 400) / 200 + 1
         (0 until nf).iterator.map { k =>
           var e = 0L
           var j = 0

@@ -2306,6 +2306,7 @@ object PipelineQueries {
     "q_text_bm25" -> textBm25,
     "q_rank_fusion" -> rankFusion,
     "q_text_bpe_pairs" -> textBpePairs,
+    "q_bpe_train" -> BpeTrainer.bpeTrain,
     "q_embed_outliers" -> embedOutliers,
     "q_embed_coreset" -> embedCoreset,
     "q_dedup_containment" -> dedupContainment,
@@ -2325,6 +2326,7 @@ object PipelineQueries {
     "q_text_bm25" -> textBm25Sql,
     "q_rank_fusion" -> rankFusionSql,
     "q_text_bpe_pairs" -> textBpePairsSql,
+    "q_bpe_train" -> BpeTrainer.bpeTrainSql,
     "q_embed_outliers" -> embedOutliersSql,
     "q_embed_coreset" -> embedCoresetSql,
     "q_dedup_containment" -> dedupContainmentSql,

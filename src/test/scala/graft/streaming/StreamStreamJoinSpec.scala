@@ -108,4 +108,106 @@ class StreamStreamJoinSpec extends SparkSuite {
         .filter(col("o_id") === 200L).count() === 1L)
     } finally q.stop()
   }
+
+  test("RIGHT OUTER interval join: unmatched events null-pad the order " +
+      "side after their forward window closes") {
+    implicit val sc = spark.sqlContext
+    val events = MemoryStream[(Long, Timestamp, String)]
+    val orders = MemoryStream[(Long, Timestamp, Long)]
+
+    val e = events.toDF().toDF("user_id", "ets", "etype")
+      .withWatermark("ets", "1 minute")
+    val o = orders.toDF().toDF("o_user", "ots", "o_id")
+      .withWatermark("ots", "1 minute")
+
+    // The mirror policy of LEFT OUTER: the preserved side is the EVENT
+    // stream (the CDC-consumer shape "every event, with its order if one
+    // came") — an event's window looks FORWARD: it matches orders in
+    // [ets, ets + 30m], so its null can only release once the watermark
+    // proves no order can still land in that window.
+    val joined = o.join(e,
+      expr("""user_id = o_user AND
+              ets BETWEEN ots - INTERVAL 30 MINUTES AND ots"""),
+      "right_outer")
+      .select(col("o_id"), col("user_id"), col("etype"))
+
+    val q = joined.writeStream.format("memory").queryName("ssj_right")
+      .outputMode("append").start()
+    try {
+      events.addData((1L, t(0), "view"), (2L, t(5), "promo"))
+      orders.addData((1L, t(10), 100L))
+      q.processAllAvailable()
+      val early = spark.table("ssj_right")
+        .as[(Option[Long], Long, String)].collect().toSet
+      // user-2's promo is unmatched but its window [0:05, 0:35] is
+      // still open — the null row must be held
+      assert(!early.exists(r => r._1.isEmpty && r._2 == 2L),
+        s"null-padded event emitted before the watermark closed: $early")
+
+      // advance BOTH watermarks past 0:35 + delay (global = min)
+      events.addData((3L, t(120), "view"))
+      orders.addData((3L, t(120), 300L))
+      q.processAllAvailable()
+      events.addData((3L, t(121), "view"))
+      orders.addData((3L, t(121), 301L))
+      q.processAllAvailable()
+      val got = spark.table("ssj_right")
+        .as[(Option[Long], Long, String)].collect().toSet
+      assert(got.contains((Some(100L), 1L, "view")), s"$got")
+      assert(got.contains((None, 2L, "promo")),
+        s"unmatched event must surface null-padded after close: $got")
+      assert(spark.table("ssj_right")
+        .filter(col("user_id") === 2L).count() === 1L, "exactly once")
+    } finally q.stop()
+  }
+
+  test("FULL OUTER interval join: both sides' unmatched rows surface " +
+      "exactly once after close") {
+    implicit val sc = spark.sqlContext
+    val events = MemoryStream[(Long, Timestamp, String)]
+    val orders = MemoryStream[(Long, Timestamp, Long)]
+
+    val e = events.toDF().toDF("user_id", "ets", "etype")
+      .withWatermark("ets", "1 minute")
+    val o = orders.toDF().toDF("o_user", "ots", "o_id")
+      .withWatermark("ots", "1 minute")
+
+    val joined = o.join(e,
+      expr("""user_id = o_user AND
+              ets BETWEEN ots - INTERVAL 30 MINUTES AND ots"""),
+      "full_outer")
+      .select(col("o_id"), col("o_user"), col("user_id"), col("etype"))
+
+    val q = joined.writeStream.format("memory").queryName("ssj_full")
+      .outputMode("append").start()
+    try {
+      // user 1: matched pair; user 2: order with no event; user 4:
+      // event with no order — every null-padding policy at once
+      events.addData((1L, t(0), "view"), (4L, t(5), "promo"))
+      orders.addData((1L, t(10), 100L), (2L, t(10), 200L))
+      q.processAllAvailable()
+
+      events.addData((3L, t(120), "view"))
+      orders.addData((3L, t(120), 300L))
+      q.processAllAvailable()
+      events.addData((3L, t(121), "view"))
+      orders.addData((3L, t(121), 301L))
+      q.processAllAvailable()
+
+      val got = spark.table("ssj_full")
+        .as[(Option[Long], Option[Long], Option[Long], Option[String])]
+        .collect().toSet
+      assert(got.contains(
+        (Some(100L), Some(1L), Some(1L), Some("view"))), s"$got")
+      assert(got.contains((Some(200L), Some(2L), None, None)),
+        s"order with no event must null-pad the event side: $got")
+      assert(got.contains((None, None, Some(4L), Some("promo"))),
+        s"event with no order must null-pad the order side: $got")
+      // exactly once each
+      assert(spark.table("ssj_full")
+        .filter(col("o_id") === 200L).count() === 1L)
+      assert(spark.table("ssj_full")
+        .filter(col("user_id") === 4L).count() === 1L)
+    } finally q.stop()
+  }
 }

@@ -7,11 +7,18 @@ import org.apache.spark.sql.functions._
 
 /** Persisted definition + two-sided maintenance frontier of a JOIN
   * materialized view: the state reflects
-  * `left ⋈_{leftKeys = rightKeys} right` at exactly
-  * (`leftVersion`, `rightVersion`) of the two base mirrors. */
+  * `SELECT <projection> FROM left ⋈_{leftKeys = rightKeys} right
+  * WHERE <where>` at exactly (`leftVersion`, `rightVersion`) of the two
+  * base mirrors. `where` (optional, any Spark SQL predicate over the
+  * joined columns) and `projection` (optional column subset; the two
+  * sides' pk columns — the state's point-update identity — are always
+  * kept) make the view a real view definition, not just the raw
+  * concatenation. */
 case class JoinMviewDef(left: String, right: String,
     leftKeys: Seq[String], rightKeys: Seq[String],
-    leftVersion: Long, rightVersion: Long)
+    leftVersion: Long, rightVersion: Long,
+    where: Option[String] = None,
+    projection: Seq[String] = Seq.empty)
 
 /** One refresh's accounting: the version windows folded per side and
   * the change-proportional work done (affected join pairs, CDC ops
@@ -69,14 +76,29 @@ class JoinMview(val lake: Mooncake) {
   private def keyEq(lk: Seq[String], rk: Seq[String]) =
     lk.zip(rk).map { case (l, r) => col(l) === col(r) }.reduce(_ && _)
 
+  /** Apply the view definition's predicate + projection to a raw joined
+    * frame. Filter BEFORE project — the predicate may reference columns
+    * the projection drops; the pk pair columns are always kept (the
+    * state's point-update identity). Shared by create() and the
+    * refresh rebuild leg so the two can never drift. */
+  private def shape(joined: DataFrame, pairKey: Seq[String],
+      where: Option[String], projection: Seq[String]): DataFrame = {
+    val filtered = where.fold(joined)(w => joined.filter(expr(w)))
+    if (projection.isEmpty) filtered
+    else filtered.select((pairKey ++ projection).distinct.map(col): _*)
+  }
+
   /** Define + fully compute the view (the one full join it ever runs),
     * and record the base versions the state reflects. The state's pk is
     * pkL ++ pkR — the join-pair identity every later point update keys
     * on. Column names across the two sides must be disjoint (the
-    * output schema is their concatenation). */
+    * output schema is their concatenation, optionally filtered by
+    * `where` and cut to `projection`). */
   def create(spark: SparkSession, name: String, left: String,
       right: String, leftKeys: Seq[String],
-      rightKeys: Seq[String]): Manifest = {
+      rightKeys: Seq[String],
+      where: Option[String] = None,
+      projection: Seq[String] = Seq.empty): Manifest = {
     require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
       "join keys must be non-empty and pair up")
     val lm = lake.currentManifest(left)
@@ -89,16 +111,17 @@ class JoinMview(val lake: Mooncake) {
     val overlap = a.columns.toSet.intersect(b.columns.toSet)
     require(overlap.isEmpty,
       s"column names must be disjoint across sides: ${overlap.mkString(",")}")
-    val state = a.join(b, keyEq(leftKeys, rightKeys))
-    val m = lake.createTable(spark, name, state,
-      pk = lm.pkColumns ++ rm.pkColumns)
+    val pk = lm.pkColumns ++ rm.pkColumns
+    val state = shape(a.join(b, keyEq(leftKeys, rightKeys)), pk,
+      where, projection)
+    val m = lake.createTable(spark, name, state, pk = pk)
     saveDef(name, JoinMviewDef(left, right, leftKeys, rightKeys,
-      lm.version, rm.version))
+      lm.version, rm.version, where, projection))
     m
   }
 
-  /** The view rows (the state table itself — every column of both
-    * sides at the recorded versions). */
+  /** The view rows (the state table itself — the definition's shaped
+    * output at the recorded versions). */
   def read(spark: SparkSession, name: String): DataFrame = {
     definition(name)
     lake.read(spark, name)
@@ -212,8 +235,18 @@ class JoinMview(val lake: Mooncake) {
         lPk.map(c => col(c) <=> col(s"__l_$c")).reduce(_ && _), "left_semi")
       val bNew = lake.read(spark, d.right).join(maybeBroadcast(rKeys, nPairs),
         rPk.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _), "left_semi")
-      val rebuilt = pin(aNew.join(bNew, keyEq(d.leftKeys, d.rightKeys))
-        .join(maybeBroadcast(discovered, nPairs), pairKey, "left_semi"))
+      // A discovered pair whose CURRENT image fails the predicate is
+      // simply absent from `rebuilt` — so a predicate-crossing update
+      // (row leaves the view without leaving the join) lands as a
+      // delete through the ordinary stale diff below. Null-safe field
+      // access: definitions written before where/projection existed
+      // deserialize those fields as null.
+      val viewWhere = Option(d.where).flatten
+      val viewProj = Option(d.projection).getOrElse(Seq.empty)
+      val rebuilt = pin(shape(
+        aNew.join(bNew, keyEq(d.leftKeys, d.rightKeys))
+          .join(maybeBroadcast(discovered, nPairs), pairKey, "left_semi"),
+        pairKey, viewWhere, viewProj))
 
       // ---- diff against state, apply as point CDC -------------------------
       val state = lake.read(spark, name)

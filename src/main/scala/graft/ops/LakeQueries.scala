@@ -273,6 +273,87 @@ object LakeQueries {
       |FROM o2 JOIN c1 ON o_custkey = c_custkey
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Join MV with a REAL view definition — predicate + projection over
+    * the join, not the raw column concatenation: the state keeps only
+    * high-value orders of in-range nations and five columns. Same two
+    * CDC windows as [[mvJoin]]; the interesting new edge is the
+    * PREDICATE-CROSSING update — window 2 moves 41-multiple customers'
+    * nationkey past the `c_nationkey < 100` cut, so their pairs leave
+    * the view WITHOUT leaving the join, which must land as state
+    * deletes through the stale diff (a raw-join MV would keep them).
+    * The oracle applies the same predicate/projection to a from-scratch
+    * rebuild. */
+  val mvJoinFiltered: Q = (s, dir) => {
+    val wh = cachedFixture("graft-jmvf-q", dir) { tmp =>
+      val lake = new Mooncake(tmp)
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+      val c = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey")
+      lake.createTable(s, "jo", o, Seq("o_orderkey"))
+      lake.createTable(s, "jc", c, Seq("c_custkey"))
+      val jmv = new graft.lake.JoinMview(lake)
+      jmv.create(s, "jocf", "jo", "jc", Seq("o_custkey"), Seq("c_custkey"),
+        where = Some("c_nationkey < 100 AND o_totalprice >= 250000"),
+        projection = Seq("o_custkey", "o_totalprice", "c_name"))
+      val move = when(col("o_custkey") % 2 === 0, col("o_custkey") + 1)
+        .otherwise(col("o_custkey") - 1)
+      val d2 = o.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("__op", lit("D"))
+      val u2 = o.filter(col("o_orderkey") % 97 === 0 &&
+          col("o_orderkey") % 100 =!= 0)
+        .withColumn("o_custkey", move)
+        .withColumn("o_totalprice", col("o_totalprice") + 1)
+        .withColumn("__op", lit("U"))
+      lake.applyChanges(s, "jo", d2.unionByName(u2), version = 2)
+      val cd2 = c.filter(col("c_custkey") % 50 === 0)
+        .withColumn("__op", lit("D"))
+      lake.applyChanges(s, "jc", cd2, version = 2)
+      jmv.refresh(s, "jocf")
+      // window 2: the predicate-crossing nationkey move + late inserts
+      val i3 = lake.read(s, "jo").filter(col("o_orderkey") % 83 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("__op", lit("I"))
+      lake.applyChanges(s, "jo", i3, version = 3)
+      val cu3 = lake.read(s, "jc").filter(col("c_custkey") % 41 === 0)
+        .withColumn("c_nationkey", col("c_nationkey") + 100)
+        .withColumn("__op", lit("U"))
+      lake.applyChanges(s, "jc", cu3, version = 3)
+      jmv.refresh(s, "jocf")
+    }
+    new graft.lake.JoinMview(new Mooncake(wh)).read(s, "jocf")
+      .select(col("o_orderkey"), col("c_custkey"), col("o_custkey"),
+        decToDouble(col("o_totalprice")).as("o_totalprice"), col("c_name"))
+      .orderBy("o_orderkey")
+  }
+
+  val mvJoinFilteredSql: String =
+    """WITH o1 AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 97 = 0 AND o_orderkey % 100 <> 0
+      |      THEN CASE WHEN o_custkey % 2 = 0 THEN o_custkey + 1
+      |                ELSE o_custkey - 1 END
+      |      ELSE o_custkey END AS o_custkey,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) +
+      |      CASE WHEN o_orderkey % 97 = 0 AND o_orderkey % 100 <> 0
+      |           THEN 1 ELSE 0 END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 100 <> 0),
+      |o2 AS (SELECT * FROM o1 UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+      |  FROM o1 WHERE o_orderkey % 83 = 0),
+      |c1 AS (
+      |  SELECT c_custkey, c_name,
+      |    c_nationkey +
+      |      CASE WHEN c_custkey % 41 = 0 THEN 100 ELSE 0 END AS c_nationkey
+      |  FROM customer WHERE c_custkey % 50 <> 0)
+      |SELECT o_orderkey, c_custkey, o_custkey,
+      |  CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) AS o_totalprice,
+      |  c_name
+      |FROM o2 JOIN c1 ON o_custkey = c_custkey
+      |WHERE c_nationkey < 100 AND o_totalprice >= 250000
+      |ORDER BY o_orderkey""".stripMargin
+
   /** The full IVM pipeline under oracle check: orders ⋈ customer kept
     * fresh by [[graft.lake.JoinMview]], revenue-per-nation kept fresh by
     * an [[graft.lake.Mview]] OVER the join state — the same two CDC
@@ -1895,6 +1976,7 @@ object LakeQueries {
     "q_delta_purge_roundtrip" -> deltaPurgeRoundtrip,
     "q_mv_incremental" -> mvIncremental,
     "q_mv_join" -> mvJoin,
+    "q_mv_join_filtered" -> mvJoinFiltered,
     "q_mv_join_agg" -> mvJoinAgg,
     "q_mv_filtered" -> mvFiltered,
     "q_runtime_prune" -> runtimePrune,
@@ -1955,6 +2037,7 @@ object LakeQueries {
     "q_delta_purge_roundtrip" -> deltaPurgeRoundtripSql,
     "q_mv_incremental" -> mvIncrementalSql,
     "q_mv_join" -> mvJoinSql,
+    "q_mv_join_filtered" -> mvJoinFilteredSql,
     "q_mv_join_agg" -> mvJoinAggSql,
     "q_mv_filtered" -> mvFilteredSql,
     "q_runtime_prune" -> runtimePruneSql,

@@ -193,4 +193,50 @@ class JoinMviewSpec extends SparkSuite {
     assert(jmv.definition("oc").leftVersion === healthy.leftVersion)
     assert(state(jmv) === recompute(lake))
   }
+
+  test("filtered + projected view: predicate-crossing updates flip membership") {
+    val lake = mkLake()
+    lake.createTable(spark, "o",
+      orders((1, 10, 100L), (2, 10, 900L), (3, 20, 300L)), Seq("oid"))
+    lake.createTable(spark, "c",
+      custs((10, "FR"), (20, "DE")), Seq("cid"))
+    val jmv = new JoinMview(lake)
+    // view: only amt >= 500, and only (pk pair +) amt — the nation
+    // column never appears in the state schema
+    jmv.create(spark, "ocf", "o", "c", Seq("ckey"), Seq("cid"),
+      where = Some("amt >= 500"), projection = Seq("amt"))
+    def st(): Seq[(Int, Int, Long)] = jmv.read(spark, "ocf")
+      .select($"oid", $"cid", $"amt")
+      .as[(Int, Int, Long)].collect().sortBy(_._1).toSeq
+    assert(jmv.read(spark, "ocf").columns.toSet ===
+      Set("oid", "cid", "amt"), "projection cut to pk pair + amt")
+    assert(st() === Seq((2, 10, 900L)), "create applies the predicate")
+
+    // CROSS OUT: order 2's amt drops below the cut — it stays in the
+    // JOIN but must LEAVE the view (a raw-join MV would keep it).
+    // CROSS IN: order 1 rises above the cut — enters the view.
+    lake.applyChanges(spark, "o",
+      orders((2, 10, 400L), (1, 10, 700L)).withColumn("__op", lit("U")),
+      version = 2)
+    val s1 = jmv.refresh(spark, "ocf")
+    assert(st() === Seq((1, 10, 700L)),
+      "crossing updates flip membership both directions")
+    assert(s1.appliedOps >= 2, "one delete + one upsert")
+
+    // predicate-invisible side effect: customer delete still cascades
+    // even though no customer column besides the pk is projected
+    lake.applyChanges(spark, "c",
+      custs((10, "FR")).withColumn("__op", lit("D")), version = 2)
+    jmv.refresh(spark, "ocf")
+    assert(st() === Seq.empty, "cascade through the projected state")
+
+    // non-crossing churn applies nothing: order 3 updates below the
+    // cut on both sides of the update
+    lake.applyChanges(spark, "o",
+      orders((3, 20, 350L)).withColumn("__op", lit("U")), version = 3)
+    val s3 = jmv.refresh(spark, "ocf")
+    assert(st() === Seq.empty)
+    assert(s3.appliedOps === 0,
+      "an out-of-view update applies nothing to the state")
+  }
 }

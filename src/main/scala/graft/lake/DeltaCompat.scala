@@ -695,11 +695,13 @@ object DeltaCompat {
       columnMapping: String = "none",
       replacing: Seq[String] = Seq.empty,
       properties: Map[String, String] = Map.empty,
-      txn: Option[(String, Long)] = None): Long =
+      txn: Option[(String, Long)] = None,
+      generated: Map[String, String] = Map.empty): Long =
     writeImpl(df, table, mode, partitionBy, columnMapping, replacing,
-      properties, changeData = None, operation = None, txn = txn)
+      properties, changeData = None, operation = None, txn = txn,
+      generated = generated)
 
-  private[lake] def writeImpl(df: DataFrame, table: String,
+  private[lake] def writeImpl(df0: DataFrame, table: String,
       mode: String, partitionBy: Seq[String],
       columnMapping: String,
       replacing: Seq[String],
@@ -707,7 +709,8 @@ object DeltaCompat {
       changeData: Option[DataFrame],
       operation: Option[String],
       dataChange: Boolean = true,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      generated: Map[String, String] = Map.empty): Long = {
     require(mode == "append" || mode == "overwrite", s"mode $mode")
     require(replacing.isEmpty || mode == "append",
       "replacing composes with append commits only")
@@ -720,7 +723,7 @@ object DeltaCompat {
     val version = (versions(table) ++ lastCheckpoint(table).map(_._1))
       .maxOption.map(_ + 1).getOrElse(0L)
     val priorState =
-      if (version > 0L) Some(replay(df.sparkSession, table, None)) else None
+      if (version > 0L) Some(replay(df0.sparkSession, table, None)) else None
     val partCols = priorState.map(_.partitionColumns) match {
       case Some(existing) =>
         require(partitionBy.isEmpty || partitionBy == existing,
@@ -729,6 +732,68 @@ object DeltaCompat {
         existing
       case None => partitionBy
     }
+
+    // GENERATED COLUMNS (Delta spec: column metadata key
+    // `delta.generationExpression`, minWriterVersion 4). Expressions are
+    // fixed at creation (`generated` on the v0 write); on every later
+    // data write the writer obligation applies: a MISSING generated
+    // column is computed from its expression (the partition-by-derived-
+    // date pattern — computation runs BEFORE the partition-column
+    // check), a PROVIDED one is validated null-safe cell-exact in one
+    // limit(1) early-exit job, and a divergent batch refuses naming the
+    // column. Maintenance rewrites (dataChange = false) re-add
+    // already-conforming rows and skip the pass.
+    require(generated.isEmpty || priorState.isEmpty,
+      s"$table exists — generation expressions are fixed at creation")
+    val genExprs: Seq[(String, String)] = priorState match {
+      case Some(st) => st.schemaJson.toSeq
+        .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+        .flatMap(_.fields.toSeq.collect {
+          case f if f.metadata.contains("delta.generationExpression") =>
+            f.name -> f.metadata.getString("delta.generationExpression")
+        })
+      case None => generated.toSeq.sortBy(_._1)
+    }
+    if (priorState.isEmpty) genExprs.foreach { case (n, e) =>
+      // creation-time gates: the expression must analyze against the
+      // batch (catching typos now, not on write #2) and be deterministic
+      // (the spec's requirement — a rand() generation could never be
+      // validated). Analysis only; no job runs.
+      val probe = df0.limit(0).select(functions.expr(e).as(n))
+      require(!probe.queryExecution.analyzed.expressions
+          .exists(ex => !ex.deterministic),
+        s"generation expression for '$n' ($e) is non-deterministic")
+    }
+    val df: DataFrame =
+      if (genExprs.isEmpty || !dataChange) df0
+      else {
+        val withComputed = genExprs.foldLeft(df0) { case (d, (n, e)) =>
+          if (d.columns.contains(n)) d
+          else d.withColumn(n, functions.expr(e))
+        }
+        val provided = genExprs.filter { case (n, _) =>
+          df0.columns.contains(n)
+        }
+        if (provided.nonEmpty) {
+          val flags = provided.map { case (n, e) =>
+            n -> !(functions.col(n) <=> functions.expr(e))
+          }
+          val hit = withComputed
+            .filter(flags.map(_._2).reduce(_ || _)).limit(1)
+            .select(flags.map { case (n, c) => c.as(n) }: _*).collect()
+          if (hit.nonEmpty) {
+            val bad = flags.map(_._1).zipWithIndex
+              .collect { case (n, i) if hit(0).getBoolean(i) => n }
+            throw new IllegalArgumentException(
+              s"$table: generated column${if (bad.size > 1) "s" else ""} " +
+                bad.map(n => s"'$n' (${genExprs.toMap.apply(n)})")
+                  .mkString(", ") +
+                " provided with values diverging from the generation " +
+                "expression — nothing committed")
+          }
+        }
+        withComputed
+      }
     require(partCols.forall(df.columns.contains),
       s"partition columns (${partCols.mkString(", ")}) missing from input")
 
@@ -778,6 +843,23 @@ object DeltaCompat {
       // Column mapping: the LOG keeps logical names (schemaString field
       // names, partitionColumns); the FILES carry physical names (parquet
       // columns, hive partition dirs → partitionValues keys).
+      // Generation expressions stamp into the v0 schema as the spec's
+      // per-field metadata key.
+      def stampGenerated(s: StructType): StructType =
+        if (generated.isEmpty) s
+        else {
+          val missing = generated.keySet.diff(s.fieldNames.toSet)
+          require(missing.isEmpty,
+            s"generated column(s) ${missing.mkString(", ")} absent from " +
+              "the created schema")
+          StructType(s.fields.map(f => generated.get(f.name) match {
+            case Some(e) => f.copy(metadata =
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putString("delta.generationExpression", e).build())
+            case None => f
+          }))
+        }
       val logSchema: StructType = priorState match {
         case Some(st) => DataType.fromJson(st.schemaJson.getOrElse(
             throw new IllegalStateException(s"$table has no metaData action")))
@@ -786,14 +868,17 @@ object DeltaCompat {
           // Both mapping modes store a field id AND a physical name per
           // the protocol; they differ only in how READERS resolve parquet
           // columns (name → by physical name, id → by parquet field id).
-          StructType(df.schema.fields.zipWithIndex.map { case (f, i) =>
-            f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-              .withMetadata(f.metadata)
-              .putLong("delta.columnMapping.id", i + 1L)
-              .putString("delta.columnMapping.physicalName", s"col-${UUID.randomUUID()}")
-              .build())
-          })
-        case None => df.schema
+          stampGenerated(StructType(
+            df.schema.fields.zipWithIndex.map { case (f, i) =>
+              f.copy(metadata =
+                new org.apache.spark.sql.types.MetadataBuilder()
+                  .withMetadata(f.metadata)
+                  .putLong("delta.columnMapping.id", i + 1L)
+                  .putString("delta.columnMapping.physicalName",
+                    s"col-${UUID.randomUUID()}")
+                  .build())
+            }))
+        case None => stampGenerated(df.schema)
       }
       val cmapMode = priorState.map(_.columnMappingMode).getOrElse(columnMapping)
       val cmapActive = cmapMode != "none"
@@ -838,7 +923,9 @@ object DeltaCompat {
         protocol.putObject("protocol")
           .put("minReaderVersion", if (cmapActive) 2 else 1)
           .put("minWriterVersion",
-            if (cmapActive) 5 else if (cdfActive) 4 else 2)
+            if (cmapActive) 5
+            else if (cdfActive || generated.nonEmpty) 4
+            else 2)
         actions += protocol
         val meta = mapper.createObjectNode()
         val m = meta.putObject("metaData")
@@ -1849,6 +1936,25 @@ object DeltaCompat {
         s"$table: column(s) ${touched.mkString(", ")} are referenced by " +
           s"CHECK constraint '${cname.stripPrefix("delta.constraints.")}' " +
           s"($cexpr) — drop the constraint before renaming/dropping")
+    }
+    // Same bricking hazard for GENERATED columns: a generation
+    // expression referencing a renamed/dropped SOURCE column would fail
+    // analysis on every later write. (Renaming or dropping the generated
+    // column itself is fine — its metadata rides or leaves with the
+    // field.)
+    for (f <- schema.fields
+        if f.metadata.contains("delta.generationExpression")) {
+      val gexpr = f.metadata.getString("delta.generationExpression")
+      val refs = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(gexpr).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.name
+        }.toSet
+      val touched = refs.intersect(renames.keySet ++ drops.toSet)
+      if (touched.nonEmpty) throw new IllegalArgumentException(
+        s"$table: column(s) ${touched.mkString(", ")} are referenced by " +
+          s"the generation expression of '${f.name}' ($gexpr) — " +
+          "generated columns pin their sources")
     }
     val maxId = math.max(
       state.config.get("delta.columnMapping.maxColumnId")

@@ -710,6 +710,45 @@ object LakeQueries {
     """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
       |WHERE s_acctbal >= 0 ORDER BY s_suppkey""".stripMargin
 
+  /** Delta GENERATED COLUMNS (`delta.generationExpression`, writer v4):
+    * the table declares `o_year = year(o_orderdate)` and
+    * `price_cents = CAST(o_totalprice*100 AS BIGINT)` at creation; the
+    * second batch OMITS both (the writer computes them), a divergent
+    * third batch is refused atomically. The read-back must equal the
+    * oracle's arithmetic recompute over ALL rows — proving computed and
+    * seed-provided values agree cell-exact. */
+  val deltaGenerated: Q = (s, dir) => {
+    val tmp = graft.Scratch.dir("graft-delta-gen-q")
+    val o = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+    val gen = Map(
+      "o_year" -> "year(o_orderdate)",
+      "price_cents" ->
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    val seed = o.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_year", expr(gen("o_year")))
+      .withColumn("price_cents", expr(gen("price_cents")))
+    graft.lake.DeltaCompat.write(seed, tmp, generated = gen)
+    // second batch: generated columns absent — computed by the writer
+    graft.lake.DeltaCompat.write(o.filter(col("o_orderkey") % 2 =!= 0), tmp)
+    // divergent provided values must refuse and commit nothing
+    try {
+      graft.lake.DeltaCompat.write(
+        o.limit(5).withColumn("o_year", lit(1900))
+          .withColumn("price_cents", expr(gen("price_cents"))), tmp)
+      throw new IllegalStateException("generated column did not enforce")
+    } catch { case _: IllegalArgumentException => () }
+    graft.lake.DeltaCompat.read(s, tmp)
+      .select(col("o_orderkey"), col("o_year"), col("price_cents"))
+      .orderBy("o_orderkey")
+  }
+
+  val deltaGeneratedSql: String =
+    """SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    AS price_cents
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** Partitioned Delta + checkpoint in one round-trip: hive-partitioned
     * write (partition values carried in add.partitionValues, not in the
     * data files), an unpartitioned-looking append that inherits the
@@ -1939,6 +1978,7 @@ object LakeQueries {
     "q_delta_optimize" -> deltaOptimize,
     "q_delta_restore" -> deltaRestore,
     "q_delta_constraint" -> deltaConstraint,
+    "q_delta_generated" -> deltaGenerated,
     "q_delta_clone" -> deltaClone,
     "q_delta_schema_evolve" -> deltaSchemaEvolve,
     "q_iceberg_partitions_meta" -> icebergPartitionsMeta,
@@ -2000,6 +2040,7 @@ object LakeQueries {
     "q_delta_optimize" -> deltaOptimizeSql,
     "q_delta_restore" -> deltaRestoreSql,
     "q_delta_constraint" -> deltaConstraintSql,
+    "q_delta_generated" -> deltaGeneratedSql,
     "q_delta_clone" -> deltaCloneSql,
     "q_delta_schema_evolve" -> deltaSchemaEvolveSql,
     "q_iceberg_partitions_meta" -> icebergPartitionsMetaSql,

@@ -791,6 +791,78 @@ object PipelineQueries {
        |ORDER BY t.src, t.rank""".stripMargin
   }
 
+  /** Semantic COMMUNITIES: the mutual-kNN edge set ([[embedKnnGraph]])
+    * closed into connected components — the graph-clustering step that
+    * turns "these vectors are each other's neighbors" into named
+    * semantic groups (the structure SemDeDup-style pruning, topic
+    * balancing, and cluster-level sampling all consume). Every vector
+    * gets a community (the min reachable vec_id; isolated vectors form
+    * singletons), the community size, and the community's MAJORITY
+    * label (mode, ties to the smallest label) — the purity signal that
+    * tells a curation run whether geometric communities track semantic
+    * ones.
+    *
+    * Scale shape: edge generation is the centroid-blocked kNN pipeline
+    * (never all-pairs); mutual edges are a k-bounded subset of the n×k
+    * edge list; [[ConnectedComponents.label]] shuffles O(edges)/hop
+    * with pointer-jumping (near-clique communities close in 2-3 hops);
+    * the label/majority rollups are community-keyed aggregates. Nothing
+    * touches N² at any stage. */
+  val embedCommunities: Q = (s, dir) => {
+    val mutualPairs = embedKnnGraph(s, dir).filter(col("mutual"))
+      .select(col("src"), col("dst"))
+    val labels = ConnectedComponents.label(mutualPairs)
+      .select(col("id"), col("comp"))
+    val memb = embs(s, dir).select(col("vec_id"), col("label"))
+      .join(labels, col("vec_id") === col("id"), "left")
+      .select(col("vec_id"), coalesce(col("comp"), col("vec_id"))
+        .as("community"), col("label"))
+    val major = memb.groupBy("community", "label")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(Window.partitionBy("community")
+        .orderBy(col("n").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("community").as("mc"), col("label").as("major_label"))
+    memb.join(major, col("community") === col("mc"))
+      .select(col("vec_id"), col("community"),
+        count(lit(1)).over(Window.partitionBy("community")).as("csize"),
+        col("major_label"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle: the [[embedKnnGraphSql]] mutual edges (embedded verbatim),
+    * closed by the recursive-reachability CTE (the dedupClusters
+    * pattern), majority label by windowed argmax. */
+  val embedCommunitiesSql: String =
+    s"""WITH RECURSIVE mpairs AS MATERIALIZED (
+       |  SELECT src, dst FROM ($embedKnnGraphSql) WHERE mutual
+       |), medges AS (
+       |  SELECT src, dst FROM mpairs
+       |  UNION ALL
+       |  SELECT dst AS src, src AS dst FROM mpairs
+       |), reach AS (
+       |  SELECT src AS id, dst AS r FROM medges
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN medges e ON e.src = reach.r
+       |), clabels AS (
+       |  SELECT id, least(id, min(r)) AS community FROM reach GROUP BY id
+       |), memb AS (
+       |  SELECT e.vec_id, COALESCE(l.community, e.vec_id) AS community,
+       |    e.label
+       |  FROM embeddings e LEFT JOIN clabels l ON e.vec_id = l.id
+       |), cl AS (
+       |  SELECT community, label, count(*) AS n FROM memb GROUP BY 1, 2
+       |), maj AS (
+       |  SELECT community, label AS major_label FROM (
+       |    SELECT community, label, row_number() OVER (PARTITION BY community
+       |      ORDER BY n DESC, label) AS rn FROM cl) WHERE rn = 1
+       |)
+       |SELECT m.vec_id, m.community,
+       |  count(*) OVER (PARTITION BY m.community) AS csize,
+       |  maj.major_label
+       |FROM memb m JOIN maj USING (community)
+       |ORDER BY vec_id""".stripMargin
+
   // ===========================================================================
   // Similarity search (ANN over embeddings)
   // ===========================================================================
@@ -2293,6 +2365,7 @@ object PipelineQueries {
     "q_dedup_embed_lsh" -> dedupEmbedLsh,
     "q_dedup_semantic" -> dedupSemantic,
     "q_embed_knn_graph" -> embedKnnGraph,
+    "q_embed_communities" -> embedCommunities,
     "q_text_countmin" -> textCountmin,
     "q_embed_topk" -> embedTopK,
     "q_mine_negatives" -> mineNegatives,
@@ -2345,6 +2418,7 @@ object PipelineQueries {
     "q_dedup_embed_lsh" -> dedupEmbedLshSql,
     "q_dedup_semantic" -> dedupSemanticSql,
     "q_embed_knn_graph" -> embedKnnGraphSql,
+    "q_embed_communities" -> embedCommunitiesSql,
     "q_text_countmin" -> textCountminSql,
     "q_embed_topk" -> embedTopKSql,
     "q_mine_negatives" -> mineNegativesSql,

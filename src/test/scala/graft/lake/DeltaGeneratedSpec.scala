@@ -1,0 +1,127 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Delta GENERATED COLUMNS (`delta.generationExpression` field
+  * metadata, minWriterVersion 4): computed when absent, validated
+  * cell-exact when provided, fixed at creation, source columns pinned
+  * against ALTER, maintenance rewrites exempt. */
+class DeltaGeneratedSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def v0Log(dir: String): String =
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      dir, "_delta_log", "00000000000000000000.json")), "UTF-8")
+
+  test("missing generated columns are computed; metadata + protocol land") {
+    val dir = tmpDir("delta-gen")
+    // creation batch carries the generated columns (computed from the
+    // same expressions) so the schema can be stamped
+    val seed = Seq((1L, 120L), (2L, 245L)).toDF("k", "cents")
+      .withColumn("dollars", expr("cents div 100"))
+    DeltaCompat.write(seed, dir,
+      generated = Map("dollars" -> "cents div 100"))
+    // schema metadata carries the expression; protocol is writer v4
+    val log = v0Log(dir)
+    assert(log.contains("delta.generationExpression"), "metadata key")
+    assert(log.contains("cents div 100"), "expression text in schemaString")
+    assert(log.contains("\"minWriterVersion\":4"), "writer version 4")
+
+    // second write OMITS the generated column entirely — computed
+    DeltaCompat.write(Seq((3L, 305L)).toDF("k", "cents"), dir)
+    val got = DeltaCompat.read(spark, dir)
+      .select("k", "cents", "dollars")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 120L, 1L), (2L, 245L, 2L), (3L, 305L, 3L)))
+  }
+
+  test("provided-but-divergent values refuse atomically, naming the column") {
+    val dir = tmpDir("delta-gen-bad")
+    val seed = Seq((1L, 120L)).toDF("k", "cents")
+      .withColumn("dollars", expr("cents div 100"))
+    DeltaCompat.write(seed, dir,
+      generated = Map("dollars" -> "cents div 100"))
+    // conforming provided values pass
+    DeltaCompat.write(Seq((2L, 200L, 2L)).toDF("k", "cents", "dollars"), dir)
+    val before = DeltaCompat.versions(dir).max
+    val e = intercept[IllegalArgumentException] {
+      DeltaCompat.write(Seq((3L, 300L, 99L)).toDF("k", "cents", "dollars"),
+        dir)
+    }
+    assert(e.getMessage.contains("dollars") &&
+      e.getMessage.contains("cents div 100"))
+    assert(DeltaCompat.versions(dir).max === before, "no partial commit")
+    assert(DeltaCompat.read(spark, dir).count() === 2)
+  }
+
+  test("generated PARTITION column: derived date partitioning computes") {
+    val dir = tmpDir("delta-gen-part")
+    val seed = Seq((1L, "2026-01-05 10:00:00"), (2L, "2026-02-10 11:00:00"))
+      .toDF("k", "ts").withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("day", expr("CAST(ts AS DATE)"))
+    DeltaCompat.write(seed, dir, partitionBy = Seq("day"),
+      generated = Map("day" -> "CAST(ts AS DATE)"))
+    // later batch has NO day column — it must be computed BEFORE the
+    // partition-column check (the classic derived-date-partition shape)
+    DeltaCompat.write(Seq((3L, "2026-02-11 09:00:00")).toDF("k", "ts")
+      .withColumn("ts", col("ts").cast("timestamp")), dir)
+    val got = DeltaCompat.read(spark, dir)
+      .select(col("k"), col("day").cast("string"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "2026-01-05"), (2L, "2026-02-10"),
+      (3L, "2026-02-11")))
+    // genuinely hive-partitioned by the generated column
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .toArray.map(_.toString).exists(_.contains("day=2026-02-11")))
+  }
+
+  test("creation gates: non-deterministic refuses; existing table refuses") {
+    val dir = tmpDir("delta-gen-gate")
+    intercept[IllegalArgumentException] {
+      DeltaCompat.write(
+        Seq((1L, 2L)).toDF("k", "r").withColumn("g", expr("k + 1")),
+        tmpDir("delta-gen-rand"), generated = Map("g" -> "rand()"))
+    }
+    DeltaCompat.write(Seq((1L, 10L)).toDF("k", "v"), dir)
+    intercept[IllegalArgumentException] {
+      DeltaCompat.write(Seq((2L, 20L)).toDF("k", "v").withColumn("g",
+        expr("v * 2")), dir, generated = Map("g" -> "v * 2"))
+    }
+  }
+
+  test("ALTER pins generation sources; dropping the generated column is fine") {
+    val dir = tmpDir("delta-gen-alter")
+    val seed = Seq((1L, 120L)).toDF("k", "cents")
+      .withColumn("dollars", expr("cents div 100"))
+    DeltaCompat.write(seed, dir, columnMapping = "name",
+      generated = Map("dollars" -> "cents div 100"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaCompat.evolveSchema(spark, dir,
+        renames = Map("cents" -> "pennies"))
+    }
+    assert(e.getMessage.contains("generation expression") &&
+      e.getMessage.contains("dollars"))
+    intercept[IllegalArgumentException] {
+      DeltaCompat.evolveSchema(spark, dir, drops = Seq("cents"))
+    }
+    // dropping the GENERATED column itself removes the obligation
+    DeltaCompat.evolveSchema(spark, dir, drops = Seq("dollars"))
+    DeltaCompat.write(Seq((2L, 250L)).toDF("k", "cents"), dir)
+    assert(DeltaCompat.read(spark, dir).columns.toSet === Set("k", "cents"))
+  }
+
+  test("maintenance rewrites (dataChange=false) skip the obligation") {
+    val dir = tmpDir("delta-gen-opt")
+    val seed = (1L to 40L).toDF("k").withColumn("cents", col("k") * 100)
+      .withColumn("dollars", expr("cents div 100")).repartition(8)
+    DeltaCompat.write(seed, dir,
+      generated = Map("dollars" -> "cents div 100"))
+    val nBefore = DeltaCompat.read(spark, dir).count()
+    DeltaCompat.optimize(spark, dir) // re-adds rows; must not re-validate
+    assert(DeltaCompat.read(spark, dir).count() === nBefore)
+    assert(DeltaCompat.read(spark, dir)
+      .filter(col("dollars") =!= col("k")).count() === 0L)
+  }
+}

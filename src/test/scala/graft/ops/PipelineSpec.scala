@@ -278,6 +278,47 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("communities: union-find parity, mutual edges co-membered, majority exact") {
+    import spark.implicits._
+    val rows = PipelineQueries.embedCommunities(spark, sf)
+      .as[(Long, Long, Long, Int)].collect()
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.length.toLong === n, "every vector gets a community")
+
+    // brute-force union-find over the SAME mutual edge set
+    val edges = PipelineQueries.embedKnnGraph(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("mutual"))
+      .select("src", "dst").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val got = rows.map(r => r._1 -> r._2).toMap
+    rows.foreach { case (v, comm, _, _) =>
+      val want = if (parent.contains(v) || edges.exists(e =>
+        e._1 == v || e._2 == v)) find(v) else v
+      assert(comm === want, s"vec $v community")
+    }
+    // community size + majority label recompute
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    rows.groupBy(_._2).foreach { case (comm, g) =>
+      assert(g.forall(_._3 === g.length.toLong), s"csize of $comm")
+      val hist = g.groupBy(r => labels(r._1)).view.mapValues(_.size)
+      val want = hist.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      assert(g.forall(_._4 === want), s"majority label of $comm")
+    }
+    // every mutual edge is intra-community
+    edges.foreach { case (a, b) =>
+      assert(got(a) === got(b), s"edge ($a,$b) straddles communities")
+    }
+  }
+
   test("negative mining: ranks contiguous, labels differ, hard flag exact") {
     val rows = PipelineQueries.mineNegatives(spark, sf)
       .as[(Long, Long, Long, Double, Double, Boolean)].collect()

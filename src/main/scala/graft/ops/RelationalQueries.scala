@@ -2070,12 +2070,15 @@ object RelationalQueries {
        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
 
   /** TPC-H Q11 shape: important stock — per-part inventory value of one
-    * nation's suppliers, kept where the part's share beats 1/2000 of the
-    * total (the spec's FRACTION scaled to the fixture). The threshold is
-    * the classic scalar-aggregate cross join (1 row, broadcast); the
-    * compare is EXACT integer `part_value · 2000 > total_value` — no
-    * division anywhere. Both the per-part and total aggregations reuse
-    * the same nation-filtered partsupp subtree. */
+    * nation's suppliers, kept where the part's value beats TWICE the
+    * mean part value. (The spec's FRACTION is 0.0001/SF — it scales
+    * with the data; a fixed fraction empties at 10× and floods at
+    * 0.1×, so the fixture adaptation self-normalizes:
+    * `part_value · n_parts > 2 · total` — still the scalar-aggregate
+    * subquery shape, still EXACT integers, no division anywhere.) The
+    * threshold is the classic 1-row broadcast cross join; both the
+    * per-part and total aggregations reuse the same nation-filtered
+    * partsupp subtree. */
   val q11Stock: Q = (s, dir) => {
     val n = t(s, dir, "nation").filter(col("n_name") === "NATION_12")
     val sup = t(s, dir, "supplier")
@@ -2087,9 +2090,11 @@ object RelationalQueries {
         (col("ps_supplycost_cents") * col("ps_availqty")).as("value_cents"))
     val perPart = ps.groupBy("ps_partkey")
       .agg(sum("value_cents").as("part_value_cents"))
-    val total = ps.agg(sum("value_cents").as("total_value_cents"))
+    val total = ps.agg(sum("value_cents").as("total_value_cents"),
+      countDistinct("ps_partkey").as("n_parts"))
     perPart.crossJoin(broadcast(total))
-      .filter(col("part_value_cents") * 2000 > col("total_value_cents"))
+      .filter(col("part_value_cents") * col("n_parts") >
+        col("total_value_cents") * 2)
       .select(col("ps_partkey"), col("part_value_cents"))
       .orderBy(col("part_value_cents").desc, col("ps_partkey"))
   }
@@ -2104,7 +2109,8 @@ object RelationalQueries {
        |  WHERE n_name = 'NATION_12')
        |SELECT ps_partkey, sum(value_cents) AS part_value_cents
        |FROM ps GROUP BY ps_partkey
-       |HAVING sum(value_cents) * 2000 > (SELECT sum(value_cents) FROM ps)
+       |HAVING sum(value_cents) * (SELECT count(DISTINCT ps_partkey) FROM ps)
+       |     > 2 * (SELECT sum(value_cents) FROM ps)
        |ORDER BY part_value_cents DESC, ps_partkey""".stripMargin
 
   /** TPC-H Q12 shape: shipping-priority histogram — lineitem ⋈ orders

@@ -157,13 +157,13 @@ class TpchPlanSpec extends SparkSuite {
     assert(df.collect().nonEmpty)
   }
 
-  test("q11: exact integer threshold — every kept part beats FRACTION of total") {
+  test("q11: exact integer threshold — every kept part beats 2x the mean value") {
     val df = RelationalQueries.q11Stock(spark, sf)
     val rows = df.collect()
     assert(rows.nonEmpty)
-    val total = graft.Tables.load(spark, sf, "lineitem")
+    val r0 = graft.Tables.load(spark, sf, "lineitem")
       .selectExpr("l_partkey AS pk", "l_suppkey AS sk").distinct()
-      .selectExpr("(pk * 37 + sk * 71) % 90000 + 10000 AS cost",
+      .selectExpr("pk", "(pk * 37 + sk * 71) % 90000 + 10000 AS cost",
         "(pk * 13 + sk * 7) % 9999 + 1 AS qty", "sk")
       .join(graft.Tables.load(spark, sf, "supplier")
         .join(graft.Tables.load(spark, sf, "nation")
@@ -173,9 +173,12 @@ class TpchPlanSpec extends SparkSuite {
         .select("s_suppkey"),
         org.apache.spark.sql.functions.col("sk") ===
           org.apache.spark.sql.functions.col("s_suppkey"))
-      .selectExpr("sum(cost * qty) AS t").collect()(0).getLong(0)
-    rows.foreach(r => assert(BigInt(r.getLong(1)) * 2000 > BigInt(total),
-      s"part ${r.getLong(0)} below threshold"))
+      .selectExpr("sum(cost * qty) AS t", "count(DISTINCT pk) AS np")
+      .collect()(0)
+    val (total, nParts) = (r0.getLong(0), r0.getLong(1))
+    rows.foreach(r =>
+      assert(BigInt(r.getLong(1)) * nParts > BigInt(total) * 2,
+        s"part ${r.getLong(0)} below threshold"))
   }
 
   test("q12: conditional counts are one pass; both date predicates live") {

@@ -50,8 +50,13 @@ def main() -> None:
                       "failed": [n for n, v in per.items()
                                  if v == float("inf")]}))
     with open("duckdb_ab.json", "w") as f:
+        # failed queries serialize as null (inf is not valid JSON)
         json.dump({"sf": sfdir, "total_sec": total,
-                   "queries": {n: round(v, 4) for n, v in per.items()}}, f)
+                   "failed": sorted(n for n, v in per.items()
+                                    if v == float("inf")),
+                   "queries": {n: (round(v, 4) if v != float("inf")
+                                   else None)
+                               for n, v in per.items()}}, f)
 
 
 if __name__ == "__main__":

@@ -121,7 +121,8 @@ object Bench {
       .mkString("[", ",", "]")
     val passTotals = allPasses
       .map(p => p.map(_._2).filter(_ >= 0).sum)
-      .map(t => f"$t%.3f").mkString("[", ",", "]")
+      .map(t => String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
+      .mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"passes":$passes,"pass_totals":$passTotals,"variance_flags":$varianceFlags,"setup_sec":$setupJson,"sf":"$sfDir"}""")
     // The driver keeps only the TAIL of stdout, so any line carrying the
     // 162-entry queries dict can lose its leading "value" field to
@@ -136,9 +137,13 @@ object Bench {
     // diffs impossible from the artifacts alone. One JSON object per
     // query: min seconds, every pass's seconds, and the build-phase
     // split — enough to diff two rounds without re-running either.
+    // Locale.ROOT formatting: a comma-decimal default locale would
+    // render 0,3876 and break the JSON.
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val perQuery = suite.map(_._1).zipWithIndex.map { case (name, i) =>
-      val ts = allPasses.map(p => f"${p(i)._2}%.4f").mkString("[", ",", "]")
-      val bs = allPasses.map(p => f"${p(i)._3}%.4f").mkString("[", ",", "]")
+      val ts = allPasses.map(p => num(p(i)._2)).mkString("[", ",", "]")
+      val bs = allPasses.map(p => num(p(i)._3)).mkString("[", ",", "]")
       val minV = results(i)._2
       s""""$name":{"sec":$minV,"passes":$ts,"build":$bs}"""
     }.mkString("{", ",", "}")

@@ -115,8 +115,9 @@ case class CountMinBuild(
 
   require(depth >= 1 && depth <= 16, s"depth out of range: $depth")
   require(width >= 16 && width <= (1 << 24), s"width out of range: $width")
-  // the serialized matrix must fit a JVM byte array: d*w longs * 8 bytes
-  require(depth.toLong * width * 8 <= Int.MaxValue,
+  // the serialized sketch (8-byte header + d*w longs) must fit a JVM
+  // byte array
+  require(depth.toLong * width * 8 + CmRuntime.HeaderBytes <= Int.MaxValue,
     s"sketch too large: $depth x $width longs exceeds 2^31 bytes")
 
   override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(LongType)
@@ -164,7 +165,7 @@ case class CountMinEstimate(left: Expression, right: Expression,
     with ExpectsInputTypes {
   require(depth >= 1 && depth <= 16, s"depth out of range: $depth")
   require(width >= 16 && width <= (1 << 24), s"width out of range: $width")
-  require(depth.toLong * width * 8 <= Int.MaxValue,
+  require(depth.toLong * width * 8 + CmRuntime.HeaderBytes <= Int.MaxValue,
     s"sketch too large: $depth x $width longs exceeds 2^31 bytes")
 
   override def inputTypes: Seq[ColumnBridge.AbstractType] =

@@ -766,34 +766,15 @@ object DeltaCompat {
     }
     val df: DataFrame =
       if (genExprs.isEmpty || !dataChange) df0
-      else {
-        val withComputed = genExprs.foldLeft(df0) { case (d, (n, e)) =>
-          if (d.columns.contains(n)) d
-          else d.withColumn(n, functions.expr(e))
-        }
-        val provided = genExprs.filter { case (n, _) =>
-          df0.columns.contains(n)
-        }
-        if (provided.nonEmpty) {
-          val flags = provided.map { case (n, e) =>
-            n -> !(functions.col(n) <=> functions.expr(e))
-          }
-          val hit = withComputed
-            .filter(flags.map(_._2).reduce(_ || _)).limit(1)
-            .select(flags.map { case (n, c) => c.as(n) }: _*).collect()
-          if (hit.nonEmpty) {
-            val bad = flags.map(_._1).zipWithIndex
-              .collect { case (n, i) if hit(0).getBoolean(i) => n }
-            throw new IllegalArgumentException(
-              s"$table: generated column${if (bad.size > 1) "s" else ""} " +
-                bad.map(n => s"'$n' (${genExprs.toMap.apply(n)})")
-                  .mkString(", ") +
-                " provided with values diverging from the generation " +
-                "expression — nothing committed")
-          }
-        }
-        withComputed
+      else genExprs.foldLeft(df0) { case (d, (n, e)) =>
+        if (d.columns.contains(n)) d
+        else d.withColumn(n, functions.expr(e))
       }
+    // generated columns the caller PROVIDED — validated inside the
+    // try below (so a refusal releases the pinned batch)
+    val genProvided: Seq[(String, String)] =
+      if (!dataChange) Seq.empty
+      else genExprs.filter { case (n, _) => df0.columns.contains(n) }
     require(partCols.forall(df.columns.contains),
       s"partition columns (${partCols.mkString(", ")}) missing from input")
 
@@ -810,19 +791,39 @@ object DeltaCompat {
       case (k, v) if k.startsWith("delta.constraints.") =>
         k.stripPrefix("delta.constraints.") -> v
     }
-    if (dataChange && checkCons.nonEmpty) {
+    if (dataChange && (checkCons.nonEmpty || genProvided.nonEmpty)) {
       // A non-deterministic batch (rand(), a re-read mutable source)
-      // could pass the validation evaluation and then stage DIFFERENT
-      // rows — pin it so the validated rows ARE the staged rows. The
-      // deterministic common case skips the cache.
+      // could pass a validation evaluation and then stage DIFFERENT
+      // rows — pin it so the validated rows ARE the staged rows, for
+      // BOTH validation classes (CHECK constraints and provided
+      // generated columns). The deterministic common case skips the
+      // cache. Pinning happens BEFORE any validation job runs.
       pinnedBatch = df.queryExecution.analyzed.exists(
         _.expressions.exists(e => !e.deterministic))
       if (pinnedBatch) df.persist()
     }
-    // From validation through commit, a throw (constraint hit, schema
-    // refusal, commit conflict) must still release the pinned batch —
-    // the unpersist rides a finally, not the success path.
+    // From validation through commit, a throw (generated-column or
+    // constraint hit, schema refusal, commit conflict) must still
+    // release the pinned batch — the unpersist rides a finally, not the
+    // success path.
     try {
+      if (genProvided.nonEmpty) {
+        val flags = genProvided.map { case (n, e) =>
+          n -> !(functions.col(n) <=> functions.expr(e))
+        }
+        val hit = df.filter(flags.map(_._2).reduce(_ || _)).limit(1)
+          .select(flags.map { case (n, c) => c.as(n) }: _*).collect()
+        if (hit.nonEmpty) {
+          val bad = flags.map(_._1).zipWithIndex
+            .collect { case (n, i) if hit(0).getBoolean(i) => n }
+          throw new IllegalArgumentException(
+            s"$table: generated column${if (bad.size > 1) "s" else ""} " +
+              bad.map(n => s"'$n' (${genExprs.toMap.apply(n)})")
+                .mkString(", ") +
+              " provided with values diverging from the generation " +
+              "expression — nothing committed")
+        }
+      }
       if (dataChange && checkCons.nonEmpty) {
         val flags = checkCons.toSeq.sortBy(_._1).map { case (n, e) =>
           n -> (functions.coalesce(functions.expr(e),

@@ -112,6 +112,26 @@ class DeltaGeneratedSpec extends SparkSuite {
     assert(DeltaCompat.read(spark, dir).columns.toSet === Set("k", "cents"))
   }
 
+  test("non-deterministic batch with provided generated columns pins; staged rows conform") {
+    val dir = tmpDir("delta-gen-nondet")
+    val seed = Seq((1L, 120L)).toDF("k", "cents")
+      .withColumn("dollars", expr("cents div 100"))
+    DeltaCompat.write(seed, dir,
+      generated = Map("dollars" -> "cents div 100"))
+    // the batch is non-deterministic (rand()-derived cents) and PROVIDES
+    // the generated column from the same plan — the write must pin the
+    // batch so the rows the validation saw ARE the rows staged, and the
+    // staged rows must conform to the expression
+    val nd = spark.range(2, 6).select(col("id").as("k"))
+      .withColumn("cents", (rand() * 900 + 100).cast("long") * 100)
+      .withColumn("dollars", expr("cents div 100"))
+    DeltaCompat.write(nd, dir)
+    val read = DeltaCompat.read(spark, dir)
+    assert(read.count() === 5L)
+    assert(read.filter(expr("dollars <> cents div 100")).count() === 0L,
+      "staged rows conform to the generation expression")
+  }
+
   test("maintenance rewrites (dataChange=false) skip the obligation") {
     val dir = tmpDir("delta-gen-opt")
     val seed = (1L to 40L).toDF("k").withColumn("cents", col("k") * 100)

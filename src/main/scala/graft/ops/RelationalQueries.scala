@@ -670,9 +670,10 @@ object RelationalQueries {
     * correctness arm. Pipeline operators must NOT imitate it: the
     * scalable alternatives are (a) rank within a finer composite key
     * ([[windowOffset]]'s per-supplier shape), (b) a TakeOrdered top-k
-    * cut when only rank ≤ k matters (q_topk_per_group), or (c) a
-    * two-level composition — per-partition pre-rank, tiny rank-of-rank
-    * rollup — when an approximate global rank suffices. */
+    * cut when only rank ≤ k matters (q_topk_per_group), or (c) the
+    * two-level range-partitioned composition [[windowRankGlobal]]
+    * (q_window_rank_global) — EXACT global rank with no
+    * single-partition sort. */
   val windowRank: Q = (s, dir) => {
     val wUnique = Window.partitionBy("o_orderstatus")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -697,6 +698,45 @@ object RelationalQueries {
       |              ORDER BY o_totalprice DESC, o_orderkey),
       |       w2 AS (PARTITION BY o_orderstatus ORDER BY o_orderdate)
       |ORDER BY o_orderkey""".stripMargin
+
+  /** GLOBAL rank at scale — the two-level composition [[windowRank]]'s
+    * scale note prescribes: an unpartitioned `row_number() OVER
+    * (ORDER BY …)` forces ALL rows through one task's sort; instead the
+    * fact range-repartitions on the rank key (every shuffle partition
+    * holds a contiguous, disjoint key range), ranks LOCALLY per range
+    * partition (uniform window partitions — no hot key), and adds each
+    * partition's prefix offset (a #partitions-row frame, computed by
+    * one tiny aggregate and a window over ≤ shuffle-partition-count
+    * rows). offset + local rank = exact global rank REGARDLESS of where
+    * the sampled range boundaries fall, because the ranges are ordered
+    * and disjoint and the tie-break key (orderkey) rides both the
+    * partitioner and the sort. AQE broadcasts the offset frame on its
+    * own (32 rows) — no forced hint. The oracle is the single-sort
+    * spelling, so the decomposition is proven EQUAL, not approximate. */
+  val windowRankGlobal: Q = (s, dir) => {
+    val ranged = t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .repartitionByRange(col("o_totalprice").desc, col("o_orderkey").asc)
+      .withColumn("pid", spark_partition_id())
+    val local = ranged.withColumn("lrank",
+      row_number().over(Window.partitionBy("pid")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+    val offsets = local.groupBy("pid").agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        coalesce(sum("n").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid").as("o_pid"), col("offset"))
+    local.join(offsets, col("pid") === col("o_pid"))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        (col("offset") + col("lrank")).as("global_rank"))
+      .orderBy("o_orderkey")
+  }
+
+  val windowRankGlobalSql: String =
+    """SELECT o_orderkey, o_totalprice,
+      |  row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+      |    AS global_rank
+      |FROM orders ORDER BY o_orderkey""".stripMargin
 
   /** lag / lead / first_value / last_value over a unique per-supplier
     * ordering. */
@@ -2435,6 +2475,7 @@ object RelationalQueries {
     "q_agg_having" -> aggHaving,
     "q_agg_conditional" -> aggConditional,
     "q_window_rank" -> windowRank,
+    "q_window_rank_global" -> windowRankGlobal,
     "q_window_lag_lead" -> windowLagLead,
     "q_window_frame" -> windowFrame,
     "q_order_multi" -> orderMulti,
@@ -2522,6 +2563,7 @@ object RelationalQueries {
     "q_agg_having" -> aggHavingSql,
     "q_agg_conditional" -> aggConditionalSql,
     "q_window_rank" -> windowRankSql,
+    "q_window_rank_global" -> windowRankGlobalSql,
     "q_window_lag_lead" -> windowLagLeadSql,
     "q_window_frame" -> windowFrameSql,
     "q_order_multi" -> orderMultiSql,

@@ -807,33 +807,38 @@ object DeltaCompat {
     // release the pinned batch — the unpersist rides a finally, not the
     // success path.
     try {
-      if (genProvided.nonEmpty) {
-        val flags = genProvided.map { case (n, e) =>
-          n -> !(functions.col(n) <=> functions.expr(e))
-        }
-        val hit = df.filter(flags.map(_._2).reduce(_ || _)).limit(1)
-          .select(flags.map { case (n, c) => c.as(n) }: _*).collect()
-        if (hit.nonEmpty) {
-          val bad = flags.map(_._1).zipWithIndex
-            .collect { case (n, i) if hit(0).getBoolean(i) => n }
-          throw new IllegalArgumentException(
-            s"$table: generated column${if (bad.size > 1) "s" else ""} " +
-              bad.map(n => s"'$n' (${genExprs.toMap.apply(n)})")
-                .mkString(", ") +
-              " provided with values diverging from the generation " +
-              "expression — nothing committed")
-        }
+      // ONE fused validation job for both classes (provided generated
+      // columns + CHECK constraints): every violation flag joins a
+      // single disjunction with limit(1) early-exit, so a conforming
+      // batch pays exactly one pass no matter how many obligations the
+      // table carries; the one fetched row re-evaluates the per-flag
+      // verdicts so the refusal names what failed, generated columns
+      // first (the narrower, cheaper-to-fix error).
+      val genFlags = genProvided.map { case (n, e) =>
+        n -> !(functions.col(n) <=> functions.expr(e))
       }
-      if (dataChange && checkCons.nonEmpty) {
-        val flags = checkCons.toSeq.sortBy(_._1).map { case (n, e) =>
+      val consFlags =
+        if (dataChange) checkCons.toSeq.sortBy(_._1).map { case (n, e) =>
           n -> (functions.coalesce(functions.expr(e),
             functions.lit(true)) === false)
-        }
-        val hit = df.filter(flags.map(_._2).reduce(_ || _)).limit(1)
-          .select(flags.map { case (n, c) => c.as(n) }: _*).collect()
+        } else Seq.empty
+      val allFlags = genFlags ++ consFlags
+      if (allFlags.nonEmpty) {
+        val hit = df.filter(allFlags.map(_._2).reduce(_ || _)).limit(1)
+          .select(allFlags.map { case (n, c) => c.as(n) }: _*).collect()
         if (hit.nonEmpty) {
-          val bad = flags.map(_._1).zipWithIndex
+          val badGen = genFlags.map(_._1).zipWithIndex
             .collect { case (n, i) if hit(0).getBoolean(i) => n }
+          if (badGen.nonEmpty)
+            throw new IllegalArgumentException(
+              s"$table: generated column${if (badGen.size > 1) "s" else ""} " +
+                badGen.map(n => s"'$n' (${genExprs.toMap.apply(n)})")
+                  .mkString(", ") +
+                " provided with values diverging from the generation " +
+                "expression — nothing committed")
+          val bad = consFlags.map(_._1).zipWithIndex
+            .collect { case (n, i)
+                if hit(0).getBoolean(genFlags.length + i) => n }
           throw new IllegalArgumentException(
             s"$table: CHECK constraint${if (bad.size > 1) "s" else ""} " +
               bad.map(n => s"'$n' (${checkCons(n)})").mkString(", ") +

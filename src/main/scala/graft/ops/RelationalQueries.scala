@@ -713,14 +713,29 @@ object RelationalQueries {
     * partitioner and the sort. AQE broadcasts the offset frame on its
     * own (32 rows) — no forced hint. The oracle is the single-sort
     * spelling, so the decomposition is proven EQUAL, not approximate. */
-  val windowRankGlobal: Q = (s, dir) => {
-    val ranged = t(s, dir, "orders")
+  /** The locally-ranked stage of [[windowRankGlobal]], exposed so the
+    * plan spec can audit the range exchange + pid window directly
+    * (the final query reads it through a checkpoint). */
+  private[ops] def rankedLocal(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
       .select("o_orderkey", "o_totalprice")
       .repartitionByRange(col("o_totalprice").desc, col("o_orderkey").asc)
       .withColumn("pid", spark_partition_id())
-    val local = ranged.withColumn("lrank",
-      row_number().over(Window.partitionBy("pid")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .withColumn("lrank",
+        row_number().over(Window.partitionBy("pid")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+
+  val windowRankGlobal: Q = (s, dir) => {
+    // localCheckpoint — NOT a plain reuse of the subtree: the ranked
+    // frame is consumed TWICE (join probe + offset counts), and each
+    // physical instantiation of repartitionByRange samples its own
+    // boundaries (rdd.id-seeded). Exchange reuse usually dedupes the
+    // two, but exactness must not hinge on an optimizer toggle
+    // (spark.sql.exchange.reuse) — the checkpoint pins ONE sampled
+    // partitioning that both consumers read (the ConnectedComponents
+    // loop's discipline, including its availability trade: blocks are
+    // unreplicated executor state; an executor loss re-runs the query).
+    val local = rankedLocal(s, dir).localCheckpoint(true)
     val offsets = local.groupBy("pid").agg(count(lit(1)).as("n"))
       .withColumn("offset",
         coalesce(sum("n").over(Window.orderBy("pid")

@@ -28,17 +28,23 @@ class GlobalRankSpec extends SparkSuite {
   }
 
   test("plan: range exchange + pid-partitioned window, never a corpus-wide window") {
-    val df = RelationalQueries.windowRankGlobal(spark, sf)
-    val phys = df.queryExecution.executedPlan.toString
-    assert(phys.toLowerCase.contains("rangepartitioning"),
-      s"rank key must range-repartition:\n$phys")
-    // the ranking window is keyed by the range-partition id
-    assert("windowspecdefinition\\(pid".r.findFirstIn(phys).isDefined,
-      s"local rank must partition by pid:\n$phys")
-    // the only unpartitioned window runs on the #partitions-row offset
-    // frame — identified by its sum(n) over pid ordering
-    val unpartitioned = "windowspecdefinition\\(o_"
-    assert(unpartitioned.r.findFirstIn(phys).isEmpty,
+    // the ranked stage (audited directly — the full query reads it
+    // through a checkpoint that hides its lineage)
+    val stage = RelationalQueries.rankedLocal(spark, sf)
+    val sphys = stage.queryExecution.executedPlan.toString
+    assert(sphys.toLowerCase.contains("rangepartitioning"),
+      s"rank key must range-repartition:\n$sphys")
+    assert("windowspecdefinition\\(pid".r.findFirstIn(sphys).isDefined,
+      s"local rank must partition by pid:\n$sphys")
+    // the assembled query: no corpus-keyed unpartitioned window — the
+    // only unpartitioned window is the #partitions-row offset frame
+    val phys = RelationalQueries.windowRankGlobal(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(o_".r.findFirstIn(phys).isEmpty,
       s"no corpus-keyed unpartitioned window allowed:\n$phys")
+    // both consumers read the ONE checkpointed partitioning (boundary
+    // sampling must not run twice — rdd.id-seeded samples differ)
+    assert(phys.contains("ExistingRDD") || phys.contains("Scan ExistingRDD"),
+      s"ranked stage must be materialized once via checkpoint:\n$phys")
   }
 }

@@ -529,6 +529,74 @@ object CurationQueries {
       |FROM r WHERE rk <= 40 ORDER BY source, rk""".stripMargin
 
   // ===========================================================================
+  // Length-bucketed batching: padding-efficient training batches
+  // ===========================================================================
+
+  /** Length-bucketed batching — the padding-minimizer every training
+    * dataloader runs: docs bucket by token length (16-token bands),
+    * each bucket's docs fill fixed-size batches of 8 in doc_id order,
+    * and the report accounts the padding each batch would pay
+    * (max_len·rows − Σlen, the tokens a same-batch pad-to-max wastes).
+    *
+    * Scale shape — the [[RelationalQueries.windowRankGlobal]] two-level
+    * rank GENERALIZED to a low-cardinality partition key: a plain
+    * `row_number() OVER (PARTITION BY bucket)` would pull each bucket
+    * (corpus/12 rows) through ONE task; instead the corpus
+    * range-repartitions on (bucket, doc_id), ranks per
+    * (range-partition, bucket) — uniform window partitions — and adds
+    * per-bucket prefix offsets from a #partitions×#buckets-row frame.
+    * The checkpoint pins one boundary sample for both consumers (the
+    * windowRankGlobal discipline). All arithmetic integral. */
+  val batchByLength: Q = (s, dir) => {
+    val t0 = docs(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr("n_tokens div 16"))
+    val ranged = t0
+      .repartitionByRange(col("bucket"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrank", row_number().over(
+        Window.partitionBy("pid", "bucket").orderBy("doc_id")))
+      .localCheckpoint(true)
+    val offsets = ranged.groupBy("pid", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        coalesce(sum("n").over(Window.partitionBy("bucket").orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid").as("o_pid"), col("bucket").as("o_bucket"),
+        col("offset"))
+    ranged.join(offsets, col("pid") === col("o_pid") &&
+        col("bucket") === col("o_bucket"))
+      .withColumn("idx", col("offset") + col("lrank") - 1)
+      .withColumn("batch_id", expr("idx div 8"))
+      .groupBy("bucket", "batch_id")
+      .agg(count(lit(1)).as("batch_rows"),
+        max("n_tokens").as("max_len"),
+        sum("n_tokens").as("sum_len"))
+      .select(col("bucket"), col("batch_id"), col("batch_rows"),
+        col("max_len"), col("sum_len"),
+        (col("max_len") * col("batch_rows") - col("sum_len"))
+          .as("padding"))
+      .orderBy("bucket", "batch_id")
+  }
+
+  val batchByLengthSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |b AS (SELECT doc_id, n_tokens, n_tokens // 16 AS bucket FROM t),
+      |i AS (SELECT bucket, n_tokens,
+      |    row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1
+      |      AS idx
+      |  FROM b)
+      |SELECT bucket, idx // 8 AS batch_id,
+      |  count(*) AS batch_rows, max(n_tokens) AS max_len,
+      |  CAST(sum(n_tokens) AS BIGINT) AS sum_len,
+      |  CAST(max(n_tokens) * count(*) - sum(n_tokens) AS BIGINT)
+      |    AS padding
+      |FROM i GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ===========================================================================
   // Sequence packing: token-budget batches for training
   // ===========================================================================
 
@@ -947,6 +1015,7 @@ object CurationQueries {
     "q_source_cap" -> sourceCap,
     "q_sample_temperature" -> sampleTemperature,
     "q_pack_sequences" -> packSequences,
+    "q_batch_by_length" -> batchByLength,
     "q_shuffle_epoch" -> shuffleEpoch,
     "q_split_assign" -> splitAssign,
     "q_split_leakproof" -> splitLeakproof,
@@ -968,6 +1037,7 @@ object CurationQueries {
     "q_source_cap" -> sourceCapSql,
     "q_sample_temperature" -> sampleTemperatureSql,
     "q_pack_sequences" -> packSequencesSql,
+    "q_batch_by_length" -> batchByLengthSql,
     "q_shuffle_epoch" -> shuffleEpochSql,
     "q_split_assign" -> splitAssignSql,
     "q_split_leakproof" -> splitLeakproofSql,

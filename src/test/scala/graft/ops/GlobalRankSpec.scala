@@ -47,4 +47,36 @@ class GlobalRankSpec extends SparkSuite {
     assert(phys.contains("ExistingRDD") || phys.contains("Scan ExistingRDD"),
       s"ranked stage must be materialized once via checkpoint:\n$phys")
   }
+
+  test("length-bucketed batching: chunks equal an in-JVM recompute, batches full") {
+    import spark.implicits._
+    val got = CurationQueries.batchByLength(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // recompute: bucket docs by token-length band, chunk doc_id order by 8
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS LONG) AS n")
+      .as[(Long, Long)].collect()
+    val want = docs.groupBy { case (_, n) => n / 16 }.flatMap {
+      case (bucket, ds) =>
+        ds.sortBy(_._1).grouped(8).zipWithIndex.map { case (g, bi) =>
+          val lens = g.map(_._2)
+          (bucket, bi.toLong) ->
+            (g.length.toLong, lens.max, lens.sum,
+              lens.max * g.length - lens.sum)
+        }
+    }
+    assert(got.length === want.size)
+    got.foreach { case (b, bi, rows, mx, sm, pad) =>
+      assert(want((b, bi)) === ((rows, mx, sm, pad)),
+        s"bucket $b batch $bi")
+    }
+    // every batch except possibly the last of its bucket is FULL
+    got.groupBy(_._1).foreach { case (b, g) =>
+      val lastBatch = g.map(_._2).max
+      g.foreach { case (_, bi, rows, _, _, _) =>
+        assert(bi == lastBatch || rows == 8L, s"bucket $b batch $bi short")
+      }
+    }
+  }
 }

@@ -101,4 +101,38 @@ object ConnectedComponents {
     } finally sym.unpersist(blocking = false) // incl. the throw path
     labels
   }
+
+  /** Giant-component guard — the dedup pipeline's loud diagnostic.
+    * Web-scale near-dup graphs routinely grow one dominant component
+    * (boilerplate chains, license headers, mirrored sites); when a
+    * single component swallows a large fraction of the paired corpus,
+    * downstream keep-one-per-cluster dedup silently deletes that whole
+    * fraction and the pair-generation thresholds (shingle size, band
+    * count, Jaccard cut) need retuning — a data bug, not a degraded
+    * mode, so it THROWS rather than logs.
+    *
+    * Cost: `labels` out of [[label]] is localCheckpoint-materialized,
+    * so this is one map-side-combined aggregate over the label frame
+    * (never the corpus) plus a 1-row reduce — O(|labeled vertices|)
+    * with driver state of one row.
+    *
+    * `maxFrac` is a policy knob: 0.5 (default) means "no component may
+    * hold more than half of all pair-incident docs". Production runs at
+    * 100 TB would set this from the duplication-rate SLO. */
+  def requireBounded(labels: DataFrame, maxFrac: Double = 0.5): DataFrame = {
+    val row = labels.groupBy("comp").agg(count(lit(1)).as("n"))
+      .agg(max("n").as("giant"), sum("n").as("total")).head()
+    if (!row.isNullAt(0)) {
+      val giant = row.getLong(0)
+      val total = row.getLong(1)
+      if (giant.toDouble > maxFrac * total)
+        throw new IllegalStateException(
+          f"Giant near-dup component: one cluster holds $giant of $total " +
+            f"pair-incident docs (${giant.toDouble / total}%.2f > " +
+            f"$maxFrac%.2f allowed). Keep-one-per-cluster dedup would drop " +
+            "that whole fraction; retune pair generation (shingle size, " +
+            "bands, similarity cut) or raise maxFrac deliberately.")
+    }
+    labels
+  }
 }

@@ -34,14 +34,29 @@ object CurationQueries {
     * the step that turns "A~B and B~C" into one kept document instead
     * of two — pair-level dedup alone under-deletes. The label loop
     * shuffles O(pairs) rows per hop; near-dup clusters are
-    * LSH-band-connected near-cliques, so it converges in 2-3 hops. */
+    * LSH-band-connected near-cliques, so it converges in 2-3 hops.
+    *
+    * csize is a groupBy(comp).count() joined back — NOT a
+    * comp-partitioned window. Web-scale near-dup graphs routinely grow
+    * one giant component (boilerplate chains); a window partitioned on
+    * the component key funnels that whole component through one task,
+    * while the aggregate absorbs it map-side (partial count per input
+    * partition) and the join-back skew is AQE-splittable. */
   val dedupClusters: Q = (s, dir) => {
     val edges = PipelineQueries.minhashPairs(s, dir)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    ConnectedComponents.label(edges)
-      .select(col("id").as("doc_id"), col("comp").as("rep"),
-        count(lit(1)).over(Window.partitionBy("comp")).as("csize"))
+    withClusterSizes(
+      ConnectedComponents.requireBounded(ConnectedComponents.label(edges)))
+      .select(col("id").as("doc_id"), col("comp").as("rep"), col("csize"))
       .orderBy("doc_id")
+  }
+
+  /** Attach per-cluster size to a (id, comp) label frame WITHOUT a
+    * comp-partitioned window: groupBy(comp).count() (map-side partials
+    * absorb a giant component) joined back (skew AQE-splittable). */
+  private[graft] def withClusterSizes(labels: DataFrame): DataFrame = {
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("csize"))
+    labels.join(sizes, "comp")
   }
 
   /** Oracle: same pair set (embedded verbatim as a CTE), closed by a
@@ -76,24 +91,35 @@ object CurationQueries {
     *
     * Scale shape: the label frame holds only docs incident to a
     * near-dup pair (≪ corpus), the corpus joins it once on doc_id, and
-    * the keep verdict is a per-cluster window — singleton docs form
-    * size-1 partitions keyed by their own id, so the window shuffle is
-    * uniform, never hot-keyed. No global sort beyond the verify
-    * harness's. */
+    * the keep verdict is a groupBy(rep).agg(max_by) joined back — NOT a
+    * rep-partitioned window. A giant near-dup component (web
+    * boilerplate) would funnel through one window task; max_by is a
+    * DeclarativeAggregate with map-side partials, so the hot key is
+    * absorbed before the shuffle and the join-back skew is
+    * AQE-splittable. No global sort beyond the verify harness's. */
   val dedupCanonical: Q = (s, dir) => {
     val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
     val edges = PipelineQueries.minhashPairs(s, dir)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val labels = ConnectedComponents.label(edges)
+    val labels =
+      ConnectedComponents.requireBounded(ConnectedComponents.label(edges))
     val labeled = d.join(labels, d("doc_id") === labels("id"), "left")
       .select(d("doc_id"), coalesce(col("comp"), d("doc_id")).as("rep"),
         col("n_chars"))
-    val w = Window.partitionBy("rep")
-      .orderBy(col("n_chars").desc, col("doc_id"))
-    labeled
-      .withColumn("keep", row_number().over(w) === 1)
-      .select("doc_id", "rep", "keep")
-      .orderBy("doc_id")
+    canonicalKeep(labeled).orderBy("doc_id")
+  }
+
+  /** Per-cluster argmax keep verdict over a (doc_id, rep, n_chars)
+    * frame WITHOUT a rep-partitioned window: best doc by (n_chars DESC,
+    * doc_id ASC) = max_by over the (n_chars, -doc_id) struct — a
+    * DeclarativeAggregate with map-side partials — joined back. */
+  private[graft] def canonicalKeep(labeled: DataFrame): DataFrame = {
+    val best = labeled.groupBy("rep")
+      .agg(max_by(col("doc_id"),
+        struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("best_id"))
+    labeled.join(best, "rep")
+      .select(col("doc_id"), col("rep"),
+        (col("doc_id") === col("best_id")).as("keep"))
   }
 
   /** Oracle: the [[dedupClustersSql]] closure, left-joined onto the
@@ -700,7 +726,8 @@ object CurationQueries {
     val d = docs(s, dir).select(col("doc_id"))
     val edges = PipelineQueries.minhashPairs(s, dir)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val labels = ConnectedComponents.label(edges)
+    val labels =
+      ConnectedComponents.requireBounded(ConnectedComponents.label(edges))
     val labeled = d.join(labels, d("doc_id") === labels("id"), "left")
       .select(d("doc_id"), coalesce(col("comp"), d("doc_id")).as("rep"))
     val pm = permilleBand(col("rep"))

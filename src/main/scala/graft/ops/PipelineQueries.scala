@@ -806,7 +806,10 @@ object PipelineQueries {
     * (never all-pairs); mutual edges are a k-bounded subset of the n×k
     * edge list; [[ConnectedComponents.label]] shuffles O(edges)/hop
     * with pointer-jumping (near-clique communities close in 2-3 hops);
-    * the label/majority rollups are community-keyed aggregates. Nothing
+    * the label/majority rollups are community-keyed aggregates —
+    * groupBy + max_by/count with map-side partials, joined back, NOT
+    * community-partitioned windows (a dominant community would
+    * single-task a window; partial aggregation absorbs it). Nothing
     * touches N² at any stage. */
   val embedCommunities: Q = (s, dir) => {
     val mutualPairs = embedKnnGraph(s, dir).filter(col("mutual"))
@@ -817,15 +820,17 @@ object PipelineQueries {
       .join(labels, col("vec_id") === col("id"), "left")
       .select(col("vec_id"), coalesce(col("comp"), col("vec_id"))
         .as("community"), col("label"))
-    val major = memb.groupBy("community", "label")
+    // per-community facts in ONE aggregate pass: size, and the majority
+    // label as max_by over (n, -label) of the (community,label) counts
+    val perLabel = memb.groupBy("community", "label")
       .agg(count(lit(1)).as("n"))
-      .withColumn("rn", row_number().over(Window.partitionBy("community")
-        .orderBy(col("n").desc, col("label"))))
-      .filter(col("rn") === 1)
-      .select(col("community").as("mc"), col("label").as("major_label"))
-    memb.join(major, col("community") === col("mc"))
-      .select(col("vec_id"), col("community"),
-        count(lit(1)).over(Window.partitionBy("community")).as("csize"),
+    val facts = perLabel.groupBy("community")
+      .agg(sum("n").as("csize"),
+        max_by(col("label"),
+          struct(col("n"), (-col("label")).as("nl"))).as("major_label"))
+      .select(col("community").as("mc"), col("csize"), col("major_label"))
+    memb.join(facts, col("community") === col("mc"))
+      .select(col("vec_id"), col("community"), col("csize"),
         col("major_label"))
       .orderBy("vec_id")
   }

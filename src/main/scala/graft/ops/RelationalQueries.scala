@@ -2162,7 +2162,7 @@ object RelationalQueries {
        |  JOIN supplier ON ps_suppkey = s_suppkey
        |  JOIN nation ON s_nationkey = n_nationkey
        |  WHERE n_name = 'NATION_12')
-       |SELECT ps_partkey, sum(value_cents) AS part_value_cents
+       |SELECT ps_partkey, CAST(sum(value_cents) AS BIGINT) AS part_value_cents
        |FROM ps GROUP BY ps_partkey
        |HAVING sum(value_cents) * (SELECT count(DISTINCT ps_partkey) FROM ps)
        |     > 2 * (SELECT sum(value_cents) FROM ps)

@@ -124,6 +124,36 @@ class PlanGateSpec extends SparkSuite {
       s"${failures.length} plan-gate failures:\n${failures.mkString("\n")}")
   }
 
+  /** The r13 verdict's cluster-window hazard, held closed mechanically:
+    * per-cluster facts (size, canonical keep, majority label) must come
+    * from groupBy aggregates (map-side partials absorb a giant
+    * component) joined back — never from a window partitioned on the
+    * component key, which funnels the whole component through ONE task.
+    * Windows on other keys (per-source rank, per-query kNN) stay legal. */
+  test("cluster-consume legs aggregate, never window, on the component key") {
+    val hotKeys = Set("comp", "rep", "community", "mc", "cluster_rep")
+    Seq("q_dedup_clusters", "q_dedup_canonical", "q_embed_communities",
+      "q_split_leakproof").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: Window if w.partitionSpec.exists(
+          _.references.exists(a => hotKeys(a.name))) => w
+      }
+      assert(bad.isEmpty,
+        s"$name: component-keyed Window in optimized plan — a giant " +
+          s"near-dup component would single-task it:\n${bad.mkString("\n")}")
+      // max_by's struct ordering buffer makes Spark pick Object/Sort
+      // aggregate variants — all of them partial-aggregate map-side,
+      // which is the property that absorbs the hot key. (leakproof
+      // computes no per-cluster fact — its rep→split map is per-row.)
+      if (name != "q_split_leakproof") {
+        val phys = df.queryExecution.executedPlan.toString
+        assert(phys.contains("Aggregate"),
+          s"$name: expected aggregate-based cluster facts in physical plan")
+      }
+    }
+  }
+
   /** A subtree is bounded when a limit or a scalar (ungrouped) aggregate
     * caps its cardinality above every corpus scan. The walk peels
     * cardinality-preserving nodes (project/filter/window/sort), treats

@@ -344,4 +344,52 @@ class CurationSpec extends SparkSuite {
     assert(rows.map(_._3).distinct.toSet === Set("train", "val", "test"))
     assert(rows.map(_._1).distinct.length === rows.length)
   }
+
+  test("dominant component: aggregate consume shapes survive a 50% giant") {
+    import spark.implicits._
+    // One star swallowing HALF the paired vertices (0 — 1..499, 500 of
+    // 1000) plus 250 disjoint pairs. The pre-r14 window shape
+    // (Window.partitionBy(comp)) funnels the giant through one task;
+    // the groupBy+join shapes must produce the same answers with
+    // map-side partial aggregation.
+    val giant = (1L to 499L).map(i => (0L, i))
+    val pairs = (0L until 250L).map(i => (1000L + 2 * i, 1001L + 2 * i))
+    val edges = (giant ++ pairs).toDF("src", "dst")
+    val labels = ConnectedComponents.label(edges).cache()
+    try {
+      val sized = CurationQueries.withClusterSizes(labels)
+        .groupBy("csize").count().as[(Long, Long)].collect().toMap
+      assert(sized === Map(500L -> 500L, 2L -> 500L))
+      // canonical keep: quality = id % 97; giant argmax is n_chars=96,
+      // ties (96, 193, 290, 387, 484) broken to the smallest doc_id
+      val labeled = labels.select(col("id").as("doc_id"),
+        col("comp").as("rep"), (col("id") % 97).as("n_chars"))
+      val kept = CurationQueries.canonicalKeep(labeled)
+        .filter(col("keep")).select("rep", "doc_id")
+        .as[(Long, Long)].collect().toMap
+      assert(kept(0L) === 96L)
+      // exactly one keep per cluster, incl. all 250 pair clusters
+      assert(kept.size === 251)
+      pairs.foreach { case (a, b) =>
+        assert(kept(a) === (if (a % 97 >= b % 97) a else b))
+      }
+    } finally labels.unpersist(blocking = false)
+  }
+
+  test("giant-component guard: throws past maxFrac, passes bounded") {
+    import spark.implicits._
+    val giant = (1L to 599L).map(i => (0L, i)) // 600 of 1000 = 60%
+    val pairs = (0L until 200L).map(i => (1000L + 2 * i, 1001L + 2 * i))
+    val labels =
+      ConnectedComponents.label((giant ++ pairs).toDF("src", "dst"))
+    val ex = intercept[IllegalStateException] {
+      ConnectedComponents.requireBounded(labels)
+    }
+    assert(ex.getMessage.contains("Giant near-dup component"))
+    // the same graph passes a deliberately raised policy knob
+    ConnectedComponents.requireBounded(labels, maxFrac = 0.7)
+    // and a pairs-only graph passes the default
+    val ok = ConnectedComponents.label(pairs.toDF("src", "dst"))
+    assert(ConnectedComponents.requireBounded(ok).count() === 400L)
+  }
 }

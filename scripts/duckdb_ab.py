@@ -2,13 +2,14 @@
 """DuckDB A/B baseline: time every oracle statement from a Verify dump
 against the same parquet fixtures Spark read. Usage:
 
-  python3 scripts/duckdb_ab.py <sfdir> <verify_outdir> [passes]
+  python3 scripts/duckdb_ab.py <sfdir> <verify_outdir> [passes] [threads]
 
 Prints per-query seconds (min over passes) and the total — the number
 the bench ratio in README.md compares against. Mirrors the bench's
 min-of-two-passes discipline so JIT/cache noise can't land on one side.
 """
 import json
+import os
 import sys
 import time
 
@@ -21,10 +22,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def main() -> None:
     sfdir, outdir = sys.argv[1], sys.argv[2]
     passes = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    threads = int(sys.argv[4]) if len(sys.argv) > 4 else (os.cpu_count() or 32)
     with open(f"{outdir}/oracle_sql.json") as f:
         oracle = json.load(f)
     con = duckdb.connect()
-    con.execute(f"SET threads TO 32")
+    con.execute(f"SET threads TO {threads}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
@@ -42,18 +44,26 @@ def main() -> None:
                 dt = float("inf")
             times.setdefault(name, []).append(dt)
     per = {n: min(ts) for n, ts in times.items()}
-    total = sum(v for v in per.values() if v != float("inf"))
+    failed = sorted(n for n, v in per.items() if v == float("inf"))
+    # an unequal query set makes the A/B ratio meaningless — emit null
+    # instead of a silently smaller total
+    total = (None if failed
+             else round(sum(per.values()), 3))
+    if failed:
+        print(f"WARNING: {len(failed)} oracle statement(s) failed "
+              f"({', '.join(failed)}) — total_sec omitted; the ratio "
+              "would compare unequal query sets", file=sys.stderr)
     for n in sorted(per, key=lambda x: -per[x])[:15]:
         print(f"{per[n]:9.3f}  {n}")
     print(json.dumps({"engine": "duckdb", "sf": sfdir,
-                      "n_queries": len(per), "total_sec": round(total, 3),
-                      "failed": [n for n, v in per.items()
-                                 if v == float("inf")]}))
+                      "threads": threads,
+                      "n_queries": len(per), "total_sec": total,
+                      "failed": failed}))
     with open("duckdb_ab.json", "w") as f:
         # failed queries serialize as null (inf is not valid JSON)
         json.dump({"sf": sfdir, "total_sec": total,
-                   "failed": sorted(n for n, v in per.items()
-                                    if v == float("inf")),
+                   "threads": threads,
+                   "failed": failed,
                    "queries": {n: (round(v, 4) if v != float("inf")
                                    else None)
                                for n, v in per.items()}}, f)

@@ -47,7 +47,11 @@ object CmRuntime {
     * header exists because a byte-LENGTH check alone cannot catch a
     * same-size transposition (build 4×2048 read as 8×1024 passes
     * d·w·8 but mis-indexes every counter and can UNDER-report,
-    * silently breaking the one-sided guarantee). */
+    * silently breaking the one-sided guarantee). Bytes of EXACTLY
+    * d·w·8 are accepted as the legacy v0 headerless layout so sketches
+    * persisted before the header landed (state-store checkpoints,
+    * cached warehouses) still decode; only legacy bytes keep v0's
+    * weaker length-only geometry check. */
   val HeaderBytes = 8
 
   /** min over rows — the CM estimate. A zero-length sketch (empty
@@ -59,17 +63,25 @@ object CmRuntime {
     if (bytes.length == 0) return 0L
     val bb = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val sd = bb.getInt(0)
-    val sw = bb.getInt(4)
-    if (sd != depth || sw != w ||
-        bytes.length != HeaderBytes + sd.toLong * sw * 8)
-      throw new IllegalArgumentException(
-        s"sketch geometry is ${sd}x$sw (${bytes.length} bytes); estimate " +
-          s"called with depth=$depth width=$w — d/w must match the build")
+    // Legacy v0 layout (pre-header builds — e.g. a streaming state-store
+    // checkpoint written before the geometry header landed): exactly
+    // d·w·8 raw counters, no header. The headered form is 8 bytes
+    // longer for the same geometry, so the two can never collide.
+    val legacy = bytes.length == depth.toLong * w * 8
+    if (!legacy) {
+      val sd = bb.getInt(0)
+      val sw = bb.getInt(4)
+      if (sd != depth || sw != w ||
+          bytes.length != HeaderBytes + sd.toLong * sw * 8)
+        throw new IllegalArgumentException(
+          s"sketch geometry is ${sd}x$sw (${bytes.length} bytes); estimate " +
+            s"called with depth=$depth width=$w — d/w must match the build")
+    }
+    val base = if (legacy) 0 else HeaderBytes
     var best = Long.MaxValue
     var r = 0
     while (r < depth) {
-      val c = bb.getLong(HeaderBytes + ((r * w + bucket(key, r, w)) << 3))
+      val c = bb.getLong(base + ((r * w + bucket(key, r, w)) << 3))
       if (c < best) best = c
       r += 1
     }
@@ -87,17 +99,22 @@ object CmRuntime {
     bb.array()
   }
 
-  /** Counters only — header validated against the expected geometry. */
+  /** Counters only — header validated against the expected geometry;
+    * legacy headerless bytes (length == d·w·8 exactly) decode as-is. */
   def fromBytes(bytes: Array[Byte], depth: Int, w: Int): Array[Long] = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val sd = bb.getInt(0)
-    val sw = bb.getInt(4)
-    require(sd == depth && sw == w,
-      s"sketch geometry ${sd}x$sw does not match expected ${depth}x$w")
+    val legacy = bytes.length == depth.toLong * w * 8
+    if (!legacy) {
+      val sd = bb.getInt(0)
+      val sw = bb.getInt(4)
+      require(sd == depth && sw == w,
+        s"sketch geometry ${sd}x$sw does not match expected ${depth}x$w")
+    }
+    val base = if (legacy) 0 else HeaderBytes
     val out = new Array[Long](depth * w)
     var i = 0
-    while (i < out.length) { out(i) = bb.getLong(HeaderBytes + (i << 3)); i += 1 }
+    while (i < out.length) { out(i) = bb.getLong(base + (i << 3)); i += 1 }
     out
   }
 }

@@ -763,6 +763,23 @@ object DeltaCompat {
       require(!probe.queryExecution.analyzed.expressions
           .exists(ex => !ex.deterministic),
         s"generation expression for '$n' ($e) is non-deterministic")
+      // Expression.deterministic marks current_timestamp()/current_date()
+      // deterministic (they're per-QUERY foldable), but a generation
+      // expression lives across writes — time-dependent expressions
+      // yield different values every write and would trip the provided-
+      // column divergence check later. Reject them at creation.
+      val timeDep = probe.queryExecution.analyzed.expressions
+        .flatMap(_.collect {
+          case t @ (_: org.apache.spark.sql.catalyst.expressions.CurrentTimestamp |
+                    _: org.apache.spark.sql.catalyst.expressions.CurrentDate |
+                    _: org.apache.spark.sql.catalyst.expressions.Now |
+                    _: org.apache.spark.sql.catalyst.expressions.LocalTimestamp) =>
+            t.prettyName
+        })
+      require(timeDep.isEmpty,
+        s"generation expression for '$n' ($e) is time-dependent " +
+          s"(${timeDep.mkString(", ")}) — it would compute different " +
+          "values on every later write")
     }
     val df: DataFrame =
       if (genExprs.isEmpty || !dataChange) df0
@@ -1930,6 +1947,11 @@ object DeltaCompat {
     // write dies resolving it — the table bricks through a supported
     // ALTER. Real Delta refuses the ALTER; so do we (drop the
     // constraint first).
+    // Spark resolves columns case-INsensitively by default, so the
+    // reference/rename compare must too — else `RENAME Price` slips past
+    // a constraint on `price` and bricks every later write.
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val touchedLc = (renames.keySet ++ drops.toSet).map(lc)
     for ((cname, cexpr) <- state.config
         if cname.startsWith("delta.constraints.")) {
       val refs = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
@@ -1937,7 +1959,7 @@ object DeltaCompat {
           case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
             a.name
         }.toSet
-      val touched = refs.intersect(renames.keySet ++ drops.toSet)
+      val touched = refs.filter(r => touchedLc.contains(lc(r)))
       if (touched.nonEmpty) throw new IllegalArgumentException(
         s"$table: column(s) ${touched.mkString(", ")} are referenced by " +
           s"CHECK constraint '${cname.stripPrefix("delta.constraints.")}' " +
@@ -1956,7 +1978,7 @@ object DeltaCompat {
           case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
             a.name
         }.toSet
-      val touched = refs.intersect(renames.keySet ++ drops.toSet)
+      val touched = refs.filter(r => touchedLc.contains(lc(r)))
       if (touched.nonEmpty) throw new IllegalArgumentException(
         s"$table: column(s) ${touched.mkString(", ")} are referenced by " +
           s"the generation expression of '${f.name}' ($gexpr) — " +

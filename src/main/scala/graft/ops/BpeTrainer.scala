@@ -173,7 +173,14 @@ object BpeTrainer {
       .persist()
     try {
       val ms = train(words, Rounds)
-      require(ms.nonEmpty, "corpus mined no repeated pair")
+      // the oracle hardcodes n_merges = Rounds; an early-stopping corpus
+      // must fail HERE with a named cause, not as a confusing oracle
+      // row-mismatch downstream
+      require(ms.length == Rounds,
+        s"BPE training early-stopped at ${ms.length} of $Rounds merges " +
+          "(corpus ran out of repeated pairs) — the oracle's fixed " +
+          s"n_merges=$Rounds cannot match; use a larger fixture or " +
+          "lower Rounds")
       val pairs = ms.map(m => (m.left, m.right))
       val (before, after) = words.map { case (w, c) =>
         (c * w.length, c * tokenize(w, pairs).length)

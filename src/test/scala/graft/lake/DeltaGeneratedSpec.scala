@@ -89,6 +89,40 @@ class DeltaGeneratedSpec extends SparkSuite {
       DeltaCompat.write(Seq((2L, 20L)).toDF("k", "v").withColumn("g",
         expr("v * 2")), dir, generated = Map("g" -> "v * 2"))
     }
+    // current_timestamp() IS Expression.deterministic (per-query
+    // foldable) but computes a new value every write — the creation
+    // gate must reject time-dependence explicitly
+    val t = intercept[IllegalArgumentException] {
+      DeltaCompat.write(
+        Seq((1L, 2L)).toDF("k", "r")
+          .withColumn("g", expr("current_timestamp()")),
+        tmpDir("delta-gen-now"),
+        generated = Map("g" -> "current_timestamp()"))
+    }
+    assert(t.getMessage.contains("time-dependent"))
+    intercept[IllegalArgumentException] {
+      DeltaCompat.write(
+        Seq((1L, 2L)).toDF("k", "r").withColumn("g", expr("current_date()")),
+        tmpDir("delta-gen-today"), generated = Map("g" -> "current_date()"))
+    }
+  }
+
+  test("ALTER source pinning is case-insensitive, like Spark resolution") {
+    val dir = tmpDir("delta-gen-case")
+    val seed = Seq((1L, 120L)).toDF("k", "cents")
+      .withColumn("dollars", expr("cents div 100"))
+    DeltaCompat.write(seed, dir, columnMapping = "name",
+      generated = Map("dollars" -> "CENTS div 100"))
+    // the generation expression says CENTS; renaming `cents` must still
+    // be caught (Spark resolves columns case-insensitively by default)
+    val e = intercept[IllegalArgumentException] {
+      DeltaCompat.evolveSchema(spark, dir,
+        renames = Map("cents" -> "pennies"))
+    }
+    assert(e.getMessage.contains("generation expression"))
+    intercept[IllegalArgumentException] {
+      DeltaCompat.evolveSchema(spark, dir, drops = Seq("cents"))
+    }
   }
 
   test("ALTER pins generation sources; dropping the generated column is fine") {

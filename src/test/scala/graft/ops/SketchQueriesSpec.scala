@@ -108,6 +108,22 @@ class SketchQueriesSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       CmRuntime.estimate(skDist, 1L, D, W / 2)
     }
+    // legacy v0 layout (pre-header persisted bytes, e.g. an old
+    // streaming checkpoint): exactly d·w·8 headerless counters must
+    // still decode and estimate identically
+    val legacyBytes = {
+      val bb = java.nio.ByteBuffer.allocate(local.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      local.foreach(bb.putLong)
+      bb.array()
+    }
+    for ((k, _) <- exact.take(50))
+      assert(CmRuntime.estimate(legacyBytes, k, D, W) ===
+        CmRuntime.estimate(skDist, k, D, W),
+        s"legacy headerless decode diverges at key $k")
+    assert(java.util.Arrays.equals(
+      CmRuntime.fromBytes(legacyBytes, D, W), local))
+
     // the oracle-checked query's contract flags hold at the gate SF
     val rows = PipelineQueries.textCountmin(spark, dir).collect()
     assert(rows.nonEmpty)

@@ -95,7 +95,14 @@ case class Manifest(
       * out-of-band commits (optimizeTable) too, so `version >= expected`
       * conflates a foreign commit with the apply. Absent on older
       * manifests. */
-    appWatermarks: Option[Map[String, Long]] = None)
+    appWatermarks: Option[Map[String, Long]] = None,
+    /** Opaque per-table config captured at create — the reference's
+      * `create_table(dst, src, src_uri, table_config json)` 4th
+      * argument (`/root/reference/src/functions.rs:24-43`): the control
+      * plane persists it and hands it to the ingestion engine verbatim.
+      * Carried across every rewrite (CDC, load, optimize) and surfaced
+      * by `list_tables`. Absent on older manifests. */
+    tableConfig: Option[Map[String, String]] = None)
 
 object Manifest {
   private val mapper: ObjectMapper = {

@@ -59,7 +59,7 @@ class Mooncake(val warehouse: String, val database: String = "main") {
     * layout; table namespaces are disjoint per database. */
   def inDatabase(db: String): Mooncake = new Mooncake(warehouse, db)
 
-  private def tableDir(name: String): String =
+  private[lake] def tableDir(name: String): String =
     dbRoot.resolve(Identifier.parse(name).fileName).toString
 
   private def dataDir(name: String, version: Long): Path =
@@ -100,7 +100,8 @@ class Mooncake(val warehouse: String, val database: String = "main") {
       targetFileBytes: Long = 128L * 1024 * 1024,
       bloomColumns: Seq[String] = Seq.empty,
       clusterBy: Seq[String] = Seq.empty,
-      targetFileCount: Option[Int] = None): Manifest = {
+      targetFileCount: Option[Int] = None,
+      config: Map[String, String] = Map.empty): Manifest = {
     ResourceCaps.enforce(spark)
     val dir = tableDir(name)
     if (Manifest.latest(dir).isDefined)
@@ -135,7 +136,8 @@ class Mooncake(val warehouse: String, val database: String = "main") {
     }
     writeVersion(spark, name, backfill, pk, version = initialVersion,
       carryOver = Seq.empty, bloomColumns = bloomColumns,
-      clusterColumns = if (clusterBy.nonEmpty) Some(clusterBy) else None)
+      clusterColumns = if (clusterBy.nonEmpty) Some(clusterBy) else None,
+      tableConfig = if (config.isEmpty) None else Some(config))
   }
 
   /** Mirror a REMOTE source by URI — the `src_uri` parity path: the
@@ -158,7 +160,8 @@ class Mooncake(val warehouse: String, val database: String = "main") {
   def createTableFromUri(spark: SparkSession, name: String, srcUri: String,
       pk: Seq[String], format: String = "auto",
       options: Map[String, String] = Map.empty,
-      bloomColumns: Seq[String] = Seq.empty): Manifest = {
+      bloomColumns: Seq[String] = Seq.empty,
+      config: Map[String, String] = Map.empty): Manifest = {
     val source =
       if (srcUri.startsWith("jdbc:")) {
         val table = options.getOrElse("table", options.getOrElse("dbtable",
@@ -182,7 +185,8 @@ class Mooncake(val warehouse: String, val database: String = "main") {
           options.getOrElse("inferSchema", "true"))
         else reader).load(srcUri.stripPrefix("file:"))
       }
-    createTable(spark, name, source, pk, bloomColumns = bloomColumns)
+    createTable(spark, name, source, pk, bloomColumns = bloomColumns,
+      config = config)
   }
 
   def dropTable(name: String): Unit =
@@ -240,10 +244,15 @@ class Mooncake(val warehouse: String, val database: String = "main") {
       if (!Files.isDirectory(root)) Seq.empty
       else Manifest.withListing(root)(_.flatMap(p =>
         Manifest.latest(p.toString).map(m =>
-          (m.table, m.commitVersion, m.flushVersion, p.toString)))
+          (m.table, m.commitVersion, m.flushVersion, p.toString,
+            // canonical sorted k=v form — deterministic across JVMs so
+            // the listing is golden-testable
+            m.tableConfig.getOrElse(Map.empty).toSeq.sorted
+              .map { case (k, v) => s"$k=$v" }.mkString(";"))))
         .toSeq).sortBy(_._1)
     import spark.implicits._
-    rows.toDF("table", "commit_lsn", "flush_lsn", "iceberg_warehouse_location")
+    rows.toDF("table", "commit_lsn", "flush_lsn",
+      "iceberg_warehouse_location", "table_config")
   }
 
   // -------------------------------------------------------------------------
@@ -887,14 +896,19 @@ class Mooncake(val warehouse: String, val database: String = "main") {
       alreadyPartitioned: Boolean = false,
       bloomColumns: Seq[String] = Seq.empty,
       clusterColumns: Option[Seq[String]] = None,
-      addWatermarks: Map[String, Long] = Map.empty): Manifest = {
+      addWatermarks: Map[String, Long] = Map.empty,
+      tableConfig: Option[Map[String, String]] = None): Manifest = {
     val dir = tableDir(name)
     // Application watermarks survive EVERY rewrite (CDC apply, load,
     // optimize/index rebuilds) — an applier's exactly-once frontier must
     // not vanish under maintenance, exactly as Delta checkpoints carry
     // txn actions. New entries override same-appId old ones.
-    val appWm = Manifest.latest(dir).flatMap(_.appWatermarks)
+    val prior = Manifest.latest(dir)
+    val appWm = prior.flatMap(_.appWatermarks)
       .getOrElse(Map.empty) ++ addWatermarks
+    // table_config is create-time state: every later rewrite (CDC,
+    // load, optimize) preserves the existing value verbatim
+    val cfg = tableConfig.orElse(prior.flatMap(_.tableConfig))
     val out = dataDir(name, version)
     val sortCols = clusterColumns.getOrElse(pk)
     val toWrite =
@@ -933,7 +947,8 @@ class Mooncake(val warehouse: String, val database: String = "main") {
       files = carryOver ++ newFiles,
       bloomColumns = if (bloomColumns.isEmpty) None else Some(bloomColumns),
       clusterColumns = clusterColumns,
-      appWatermarks = if (appWm.isEmpty) None else Some(appWm))
+      appWatermarks = if (appWm.isEmpty) None else Some(appWm),
+      tableConfig = cfg)
     Manifest.commit(dir, manifest)
     manifest
   }

@@ -562,8 +562,11 @@ object LakeQueries {
   val listTables: Q = (s, dir) => {
     val lake = new Mooncake(
       graft.Scratch.dir("graft-list-q"))
+    // table_config: the reference's opaque 4th create_table argument
+    // (functions.rs:24-43) — persisted in the manifest, surfaced here
     lake.createTable(s, "nation_mirror", Tables.load(s, dir, "nation"),
-      Seq("n_nationkey"))
+      Seq("n_nationkey"),
+      config = Map("retention" -> "7d", "owner" -> "curation"))
     lake.createTable(s, "region_mirror", Tables.load(s, dir, "region"),
       Seq("r_regionkey"))
     lake.createSnapshot("nation_mirror")
@@ -577,20 +580,21 @@ object LakeQueries {
       Seq("r_regionkey"))
     lake.listTables(s)
       .selectExpr("'main' AS database", "`table`", "commit_lsn",
-        "flush_lsn")
+        "flush_lsn", "table_config")
       .unionAll(other.listTables(s)
         .selectExpr("'corpus2' AS database", "`table`", "commit_lsn",
-          "flush_lsn"))
+          "flush_lsn", "table_config"))
       .orderBy("database", "table")
   }
 
   val listTablesSql: String =
     """SELECT "database", "table", CAST(commit_lsn AS BIGINT) AS commit_lsn,
-      |  CAST(flush_lsn AS BIGINT) AS flush_lsn
-      |FROM (VALUES ('main', 'main.nation_mirror', 1, 1),
-      |             ('main', 'main.region_mirror', 1, 1),
-      |             ('corpus2', 'main.region_mirror', 1, 1))
-      |  AS t("database", "table", commit_lsn, flush_lsn)
+      |  CAST(flush_lsn AS BIGINT) AS flush_lsn, table_config
+      |FROM (VALUES
+      |    ('main', 'main.nation_mirror', 1, 1, 'owner=curation;retention=7d'),
+      |    ('main', 'main.region_mirror', 1, 1, ''),
+      |    ('corpus2', 'main.region_mirror', 1, 1, ''))
+      |  AS t("database", "table", commit_lsn, flush_lsn, table_config)
       |ORDER BY "database", "table"""".stripMargin
 
   /** File load path (≈ mooncake.load_files, parquet + csv formats): the

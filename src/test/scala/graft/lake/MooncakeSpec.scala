@@ -347,7 +347,33 @@ class MooncakeSpec extends SparkSuite {
     assert(rows.map(r => r.getLong(1) -> r.getLong(2)).toSeq ===
       Seq(1L -> 1L, 7L -> 7L))
     assert(lake.listTables(spark).columns.toSeq ===
-      Seq("table", "commit_lsn", "flush_lsn", "iceberg_warehouse_location"))
+      Seq("table", "commit_lsn", "flush_lsn", "iceberg_warehouse_location",
+        "table_config"))
+  }
+
+  test("table_config persists at create and survives every rewrite") {
+    val lake = freshLake()
+    val cfg = Map("retention" -> "7d", "owner" -> "curation")
+    lake.createTable(spark, "tc",
+      rTable(1 -> "a", 2 -> "b", 3 -> "c"), Seq("a"), config = cfg)
+    assert(Manifest.latest(lake.tableDir("tc")).get.tableConfig ===
+      Some(cfg))
+    // CDC apply, file load and optimize all carry it verbatim
+    lake.applyChanges(spark, "tc",
+      Seq((4, "d", "I")).toDF("a", "b", "__op"), version = 2)
+    val pq = tmpDir("tc-pq")
+    rTable(5 -> "e").write.mode("overwrite").parquet(pq)
+    lake.loadFiles(spark, "tc", Seq(pq))
+    lake.optimizeTable(spark, "tc", mode = "full")
+    assert(Manifest.latest(lake.tableDir("tc")).get.tableConfig ===
+      Some(cfg))
+    // listTables surfaces the canonical sorted k=v form; unconfigured
+    // tables list empty
+    lake.createTable(spark, "tc2", rTable(9 -> "z"), Seq("a"))
+    val byName = lake.listTables(spark).collect()
+      .map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(byName("main.tc") === "owner=curation;retention=7d")
+    assert(byName("main.tc2") === "")
   }
 
   test("loadFiles appends parquet / csv / json / orc into the mirror") {

@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{AnalyticsQueries, CurationQueries, EventQueries, LakeQueries,
-  Multimodal, PipelineQueries, RelationalQueries}
+import graft.ops.{AnalyticsQueries, CurationQueries, EventQueries,
+  HitsQueries, LakeQueries, Multimodal, PipelineQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,7 @@ object SparkEntry {
     RelationalQueries.queries ++ LakeQueries.queries ++
       PipelineQueries.queries ++ EventQueries.queries ++
       AnalyticsQueries.queries ++ Multimodal.queries ++
-      CurationQueries.queries
+      CurationQueries.queries ++ HitsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -31,5 +31,5 @@ object SparkEntry {
     RelationalQueries.oracleSql ++ LakeQueries.oracleSql ++
       PipelineQueries.oracleSql ++ EventQueries.oracleSql ++
       AnalyticsQueries.oracleSql ++ Multimodal.oracleSql ++
-      CurationQueries.oracleSql
+      CurationQueries.oracleSql ++ HitsQueries.oracleSql
 }

@@ -1,0 +1,218 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** ClickBench-class queries — the wide-single-table, high-cardinality
+  * web-analytics shape the reference actually stakes its public
+  * performance claim on (`/root/reference/README.md:15,98`: "best
+  * analytics performance in Postgres, validated on ClickBench").
+  * ClickBench's `hits` table is ~100 denormalized columns of web
+  * traffic; its query classes are top-K URLs, high-cardinality uniques,
+  * regex URL filtering, UA breakdowns and time bucketing — no joins,
+  * everything rides one scan's aggregation throughput.
+  *
+  * The fixture set has no hits table, so `hits` is DERIVED
+  * deterministically from `events` (the partsupp-from-lineitem
+  * precedent): every synthetic column is integer LCG arithmetic over
+  * `event_id`, expressed ONCE as SQL fragments that both the Spark side
+  * (`selectExpr`) and the DuckDB oracle (CTE) embed verbatim — the two
+  * engines cannot drift. Catalyst prunes unused derived columns back
+  * through the projection, so each query's parquet scan reads only the
+  * source columns it actually consumes (asserted in HitsQueriesSpec).
+  *
+  * Scale shape: every query here is scan → map-side-combined aggregate
+  * → (TakeOrdered | small result); no joins, no windows, no global
+  * sorts beyond bounded top-K. At 100 TB each is one pass over the
+  * corpus with partial aggregation absorbing hot URLs/phrases — the
+  * plan class ClickBench exists to measure. */
+object HitsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // -------------------------------------------------------------------------
+  // the derived hits table — shared SQL fragments (both dialects)
+  // -------------------------------------------------------------------------
+
+  /** LCG stream `((event_id * mul + add) % 1048573) % mod`: multiply
+    * FIRST so the prime mod decorrelates the streams (reducing before
+    * the multiply would make every column a residue of event_id mod a
+    * small number — fully correlated across columns), then the target
+    * mod. Products stay < 2^63 up to ~10^13 event ids; non-negative
+    * everywhere, identical `%` semantics in Spark and DuckDB on
+    * non-negatives, all arithmetic rides event_id's BIGINT. */
+  private def lcg(mul: Long, add: Long, mod: Long): String =
+    s"(((event_id * $mul + $add) % 1048573) % $mod)"
+
+  private val domE = lcg(7919, 17, 20) // 20 site domains
+  private val pageE = lcg(104729, 89, 1000) // 1000 pages per domain
+  private val mobileE = s"(${lcg(8191, 7, 10)} < 4)" // 40% mobile
+  private val osE = // OS coherent with the mobile flag
+    s"""CASE WHEN $mobileE
+       |  THEN (CASE ${lcg(131071, 3, 2)} WHEN 0 THEN 'android'
+       |        ELSE 'ios' END)
+       |  ELSE (CASE ${lcg(131071, 3, 3)} WHEN 0 THEN 'windows'
+       |        WHEN 1 THEN 'macos' ELSE 'linux' END) END""".stripMargin
+  private val phraseE = // 5% of hits carry a search phrase
+    s"""CASE WHEN ${lcg(524287, 11, 20)} = 0
+       |  THEN concat('kw', CAST(${lcg(8209, 13, 50)} AS STRING))
+       |  ELSE '' END""".stripMargin
+  private val widthE =
+    s"""CASE ${lcg(2003, 1, 5)} WHEN 0 THEN 320 WHEN 1 THEN 768
+       |  WHEN 2 THEN 1024 WHEN 3 THEN 1366 ELSE 1920 END""".stripMargin
+  private val durationE = lcg(65537, 29, 5000) // ms on page
+  private val urlE =
+    s"""concat('https://site', CAST($domE AS STRING), '.example/page/',
+       |  CAST($pageE AS STRING))""".stripMargin
+
+  private val hitCols = Seq(
+    "event_id AS hit_id", "user_id", "ts", "event_type",
+    s"$domE AS dom", s"$urlE AS url", s"$mobileE AS is_mobile",
+    s"$osE AS os", s"$phraseE AS phrase", s"$widthE AS width",
+    s"$durationE AS duration_ms")
+
+  /** Spark-side hits: a pure projection over the events scan —
+    * unreferenced derived columns prune away, so e.g. the top-URLs
+    * query's parquet scan reads ONLY event_id. */
+  private[graft] def hits(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events").selectExpr(hitCols: _*)
+
+  /** DuckDB-side hits CTE — the SAME fragments verbatim. */
+  private val hitsCte: String =
+    s"""hits AS (SELECT ${hitCols.mkString(",\n    ")}
+       |  FROM events)""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // ClickBench query classes
+  // -------------------------------------------------------------------------
+
+  /** Top-K URLs by traffic (ClickBench Q13/Q19 class). Exact counts;
+    * the cut is TakeOrdered over the aggregated (url, n) stream — never
+    * a global sort of the corpus. */
+  val topUrls: Q = (s, dir) =>
+    hits(s, dir).groupBy("url").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("url")).limit(20)
+
+  val topUrlsSql: String =
+    s"""WITH $hitsCte
+       |SELECT url, count(*) AS n FROM hits
+       |GROUP BY url ORDER BY n DESC, url LIMIT 20""".stripMargin
+
+  /** High-cardinality uniques per domain (ClickBench Q4-Q6 class:
+    * COUNT(DISTINCT UserID)) — exact distinct plus the HLL sketch the
+    * 100 TB plan would actually run, held to its accuracy contract
+    * in-band (the q_events_approx_distinct pattern: estimates are
+    * engine-specific, the CONTRACT is hash-checkable). */
+  val uniques: Q = (s, dir) =>
+    hits(s, dir).groupBy("dom")
+      .agg(countDistinct(col("user_id")).as("users"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx"),
+        count(lit(1)).as("n"))
+      .select(col("dom"), col("users"), col("n"),
+        (abs(col("approx") - col("users")).cast("double") /
+          col("users").cast("double") <= 0.05).as("approx_within_bound"))
+      .orderBy("dom")
+
+  val uniquesSql: String =
+    s"""WITH $hitsCte
+       |SELECT dom, count(DISTINCT user_id) AS users, count(*) AS n,
+       |  TRUE AS approx_within_bound
+       |FROM hits GROUP BY dom ORDER BY dom""".stripMargin
+
+  /** Regex URL filter + aggregate (ClickBench Q21-Q23 class: LIKE /
+    * regex over URL). RE2-compatible pattern (no backrefs/lookarounds)
+    * so Spark's java.util.regex and DuckDB's RE2 agree. */
+  val regexUrls: Q = (s, dir) =>
+    hits(s, dir).filter(col("url").rlike("page/1[0-9]{2}$"))
+      .groupBy("dom")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("url")).as("pages"))
+      .orderBy("dom")
+
+  val regexUrlsSql: String =
+    s"""WITH $hitsCte
+       |SELECT dom, count(*) AS n, count(DISTINCT url) AS pages
+       |FROM hits WHERE regexp_matches(url, 'page/1[0-9]{2}$$')
+       |GROUP BY dom ORDER BY dom""".stripMargin
+
+  /** Mobile / OS traffic breakdown (ClickBench Q8/Q26 class: mobile UA
+    * dimensions). Integer total duration — no float drift. */
+  val mobileUa: Q = (s, dir) =>
+    hits(s, dir).groupBy("is_mobile", "os")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("users"),
+        sum(col("duration_ms")).as("total_ms"))
+      .orderBy("is_mobile", "os")
+
+  val mobileUaSql: String =
+    s"""WITH $hitsCte
+       |SELECT is_mobile, os, count(*) AS n,
+       |  count(DISTINCT user_id) AS users,
+       |  CAST(sum(duration_ms) AS BIGINT) AS total_ms
+       |FROM hits GROUP BY is_mobile, os ORDER BY is_mobile, os""".stripMargin
+
+  /** Top search phrases (ClickBench Q28/Q29 class: SearchPhrase <> ''
+    * GROUP BY ... LIMIT). */
+  val searchPhrases: Q = (s, dir) =>
+    hits(s, dir).filter(col("phrase") =!= "")
+      .groupBy("phrase")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"))
+      .orderBy(col("n").desc, col("phrase")).limit(10)
+
+  val searchPhrasesSql: String =
+    s"""WITH $hitsCte
+       |SELECT phrase, count(*) AS n, count(DISTINCT user_id) AS users
+       |FROM hits WHERE phrase <> ''
+       |GROUP BY phrase ORDER BY n DESC, phrase LIMIT 10""".stripMargin
+
+  /** Hourly traffic × device class (ClickBench Q30-Q32 class: per-time-
+    * bucket aggregation over the whole table). */
+  val hourly: Q = (s, dir) =>
+    hits(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("is_mobile"))
+      .agg(count(lit(1)).as("n"), sum(col("duration_ms")).as("total_ms"))
+      .orderBy("hour", "is_mobile")
+
+  val hourlySql: String =
+    s"""WITH $hitsCte
+       |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+       |  is_mobile, count(*) AS n,
+       |  CAST(sum(duration_ms) AS BIGINT) AS total_ms
+       |FROM hits GROUP BY 1, 2 ORDER BY hour, is_mobile""".stripMargin
+
+  /** Selective filter + narrow projection + bounded top-K (ClickBench
+    * Q36-Q39 class: wide table, few columns, tight WHERE). The LIMIT
+    * rides a unique total order (duration, hit_id) so the cut is
+    * deterministic. */
+  val slowPages: Q = (s, dir) =>
+    hits(s, dir)
+      .filter(col("dom") === 7 && col("width") === 1920)
+      .select(col("hit_id"), col("url"), col("duration_ms"))
+      .orderBy(col("duration_ms").desc, col("hit_id")).limit(15)
+
+  val slowPagesSql: String =
+    s"""WITH $hitsCte
+       |SELECT hit_id, url, duration_ms FROM hits
+       |WHERE dom = 7 AND width = 1920
+       |ORDER BY duration_ms DESC, hit_id LIMIT 15""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_hits_top_urls" -> topUrls,
+    "q_hits_uniques" -> uniques,
+    "q_hits_regex" -> regexUrls,
+    "q_hits_mobile_ua" -> mobileUa,
+    "q_hits_search_phrases" -> searchPhrases,
+    "q_hits_hourly" -> hourly,
+    "q_hits_slow_pages" -> slowPages)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_hits_top_urls" -> topUrlsSql,
+    "q_hits_uniques" -> uniquesSql,
+    "q_hits_regex" -> regexUrlsSql,
+    "q_hits_mobile_ua" -> mobileUaSql,
+    "q_hits_search_phrases" -> searchPhrasesSql,
+    "q_hits_hourly" -> hourlySql,
+    "q_hits_slow_pages" -> slowPagesSql)
+}

@@ -1244,25 +1244,30 @@ object PipelineQueries {
     * most-central vectors per cluster — the "one representative per
     * semantic neighborhood" downsampling a corpus pass uses to cut
     * near-redundant mass before training. One broadcast (k×d
-    * centroids), one shuffle on cluster id; the per-cluster cut is a
-    * window, never a global sort — the same shape at 100 TB. */
+    * centroids), one shuffle on cluster id; the per-cluster cut is the
+    * BoundedTopK heap aggregate (≤ 3 rows per cluster per partial
+    * buffer, losers dropped map-side) — a hot centroid absorbing a
+    * disproportionate slice of the corpus costs bounded state, not a
+    * single-task window partition. Same shape at 100 TB. */
   val clusterSample: Q = (s, dir) => {
     val e = embs(s, dir).select(col("vec_id"), col("embedding"))
     val cents = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     // driver-sized model + fused argmax — no exchange between the
     // corpus scan and the assignment (see NearestCentroid); the ONLY
-    // shuffle left is the per-cluster window cut below
+    // shuffle left is the per-cluster bounded-heap cut below
     val model = CentroidModel.collect(cents)
     val assigned = e
       .withColumn("nc", SVE.nearest_centroid(col("embedding"), model))
       .select(col("nc.cluster").as("cluster"), col("vec_id"),
         col("nc.cos").as("ccos"))
-    val keepW = Window.partitionBy("cluster")
-      .orderBy(col("ccos").desc, col("vec_id"))
     assigned
-      .withColumn("rank", row_number().over(keepW).cast("bigint"))
-      .filter(col("rank") <= 3)
+      .groupBy("cluster")
+      .agg(graft.functions.expressions.AggExpressions.bounded_top_k(
+        struct(col("ccos"), col("vec_id")), 3, Seq(true, false)).as("top"))
+      .select(col("cluster"), posexplode(col("top")).as(Seq("i", "r")))
+      .select(col("cluster"), col("r.vec_id").as("vec_id"),
+        col("r.ccos").as("ccos"), (col("i") + 1).cast("bigint").as("rank"))
       .orderBy("cluster", "rank")
   }
 

@@ -348,16 +348,30 @@ object PipelineQueries {
     // signature: banding them would emit C(m,2) candidate pairs with
     // NaN Jaccard (0/0 passes >= 0.5 — NaN sorts high). They have no
     // shingles, so they can never be near-dups; drop them up front.
-    val banded = sig.filter(size(col("sh")) > 0)
-      .select(col("doc_id"), col("sh"),
+    // The band join and the multi-band dedup move ONLY doc ids: a
+    // candidate pair that matched in k bands must collapse to one row
+    // BEFORE anything wide rides along — at 500k docs the sf10 probe
+    // measured the old shape (shingle arrays carried through the join
+    // and the distinct) spilling >85 GB through one exchange, ~300× the
+    // slim pair set. The arrays join back by doc id afterwards (two
+    // hash joins against the one-row-per-doc shingle frame), so the
+    // only wide exchange left is the single pair×shingle co-location
+    // the exact-Jaccard verification inherently needs.
+    val withSh = sig.filter(size(col("sh")) > 0)
+    val banded = withSh
+      .select(col("doc_id"),
         posexplode(TF.bandKeys(col("sig"))).as(Seq("band", "key")))
     val a = banded.as("a"); val b = banded.as("b")
     val cands = a.join(b, col("a.band") === col("b.band") &&
         col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cands.select(col("doc_a"), col("doc_b"),
+    val sha = withSh.select(col("doc_id").as("__da"), col("sh").as("sha"))
+    val shb = withSh.select(col("doc_id").as("__db"), col("sh").as("shb"))
+    cands
+      .join(sha, col("doc_a") === col("__da"))
+      .join(shb, col("doc_b") === col("__db"))
+      .select(col("doc_a"), col("doc_b"),
         SVE.jaccard_sim(col("sha"), col("shb")).as("jacc"))
       .filter(col("jacc") >= 0.5)
   }

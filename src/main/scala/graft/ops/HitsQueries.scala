@@ -63,13 +63,17 @@ object HitsQueries {
     s"""CASE ${lcg(2003, 1, 5)} WHEN 0 THEN 320 WHEN 1 THEN 768
        |  WHEN 2 THEN 1024 WHEN 3 THEN 1366 ELSE 1920 END""".stripMargin
   private val durationE = lcg(65537, 29, 5000) // ms on page
-  private val urlE =
-    s"""concat('https://site', CAST($domE AS STRING), '.example/page/',
-       |  CAST($pageE AS STRING))""".stripMargin
+  /** url rendered from its integer parents — shared by the row-level
+    * derivation and the post-aggregation rebuild in [[topUrls]]. */
+  private def urlFrom(dom: String, page: String): String =
+    s"""concat('https://site', CAST($dom AS STRING), '.example/page/',
+       |  CAST($page AS STRING))""".stripMargin
+  private val urlE = urlFrom(domE, pageE)
 
   private val hitCols = Seq(
     "event_id AS hit_id", "user_id", "ts", "event_type",
-    s"$domE AS dom", s"$urlE AS url", s"$mobileE AS is_mobile",
+    s"$domE AS dom", s"$pageE AS page", s"$urlE AS url",
+    s"$mobileE AS is_mobile",
     s"$osE AS os", s"$phraseE AS phrase", s"$widthE AS width",
     s"$durationE AS duration_ms")
 
@@ -89,10 +93,15 @@ object HitsQueries {
   // -------------------------------------------------------------------------
 
   /** Top-K URLs by traffic (ClickBench Q13/Q19 class). Exact counts;
-    * the cut is TakeOrdered over the aggregated (url, n) stream — never
-    * a global sort of the corpus. */
+    * the cut is TakeOrdered over the aggregated stream — never a global
+    * sort of the corpus. GROUP BY f(x) → GROUP BY x by hand: the
+    * aggregation keys on the two INTEGER parents and the URL string is
+    * rendered on the ~20k result groups, not per corpus row — at 100 TB
+    * that is the difference between hashing ints and building +
+    * hashing a 40-byte string per row. */
   val topUrls: Q = (s, dir) =>
-    hits(s, dir).groupBy("url").agg(count(lit(1)).as("n"))
+    hits(s, dir).groupBy("dom", "page").agg(count(lit(1)).as("n"))
+      .select(expr(urlFrom("dom", "page")).as("url"), col("n"))
       .orderBy(col("n").desc, col("url")).limit(20)
 
   val topUrlsSql: String =
@@ -105,15 +114,22 @@ object HitsQueries {
     * 100 TB plan would actually run, held to its accuracy contract
     * in-band (the q_events_approx_distinct pattern: estimates are
     * engine-specific, the CONTRACT is hash-checkable). */
-  val uniques: Q = (s, dir) =>
-    hits(s, dir).groupBy("dom")
-      .agg(countDistinct(col("user_id")).as("users"),
-        approx_count_distinct(col("user_id"), 0.02).as("approx"),
-        count(lit(1)).as("n"))
+  val uniques: Q = (s, dir) => {
+    // two-level aggregate instead of Spark's Expand plan for mixed
+    // distinct/non-distinct aggregates: (dom, user) partial-counts
+    // absorb duplicates map-side, then the distinct count is a plain
+    // count and the HLL (duplicate-insensitive by construction) feeds
+    // from the deduped pairs — no 2-3x row multiplication of the scan
+    val perUser = hits(s, dir).groupBy("dom", "user_id")
+      .agg(count(lit(1)).as("nn"))
+    perUser.groupBy("dom")
+      .agg(count(lit(1)).as("users"), sum("nn").as("n"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx"))
       .select(col("dom"), col("users"), col("n"),
         (abs(col("approx") - col("users")).cast("double") /
           col("users").cast("double") <= 0.05).as("approx_within_bound"))
       .orderBy("dom")
+  }
 
   val uniquesSql: String =
     s"""WITH $hitsCte
@@ -124,12 +140,13 @@ object HitsQueries {
   /** Regex URL filter + aggregate (ClickBench Q21-Q23 class: LIKE /
     * regex over URL). RE2-compatible pattern (no backrefs/lookarounds)
     * so Spark's java.util.regex and DuckDB's RE2 agree. */
-  val regexUrls: Q = (s, dir) =>
-    hits(s, dir).filter(col("url").rlike("page/1[0-9]{2}$"))
-      .groupBy("dom")
-      .agg(count(lit(1)).as("n"),
-        countDistinct(col("url")).as("pages"))
+  val regexUrls: Q = (s, dir) => {
+    val perUrl = hits(s, dir).filter(col("url").rlike("page/1[0-9]{2}$"))
+      .groupBy("dom", "url").agg(count(lit(1)).as("nn"))
+    perUrl.groupBy("dom")
+      .agg(sum("nn").as("n"), count(lit(1)).as("pages"))
       .orderBy("dom")
+  }
 
   val regexUrlsSql: String =
     s"""WITH $hitsCte
@@ -139,12 +156,14 @@ object HitsQueries {
 
   /** Mobile / OS traffic breakdown (ClickBench Q8/Q26 class: mobile UA
     * dimensions). Integer total duration — no float drift. */
-  val mobileUa: Q = (s, dir) =>
-    hits(s, dir).groupBy("is_mobile", "os")
-      .agg(count(lit(1)).as("n"),
-        countDistinct(col("user_id")).as("users"),
-        sum(col("duration_ms")).as("total_ms"))
+  val mobileUa: Q = (s, dir) => {
+    val perUser = hits(s, dir).groupBy("is_mobile", "os", "user_id")
+      .agg(count(lit(1)).as("nn"), sum(col("duration_ms")).as("dd"))
+    perUser.groupBy("is_mobile", "os")
+      .agg(sum("nn").as("n"), count(lit(1)).as("users"),
+        sum("dd").as("total_ms"))
       .orderBy("is_mobile", "os")
+  }
 
   val mobileUaSql: String =
     s"""WITH $hitsCte
@@ -155,11 +174,13 @@ object HitsQueries {
 
   /** Top search phrases (ClickBench Q28/Q29 class: SearchPhrase <> ''
     * GROUP BY ... LIMIT). */
-  val searchPhrases: Q = (s, dir) =>
-    hits(s, dir).filter(col("phrase") =!= "")
-      .groupBy("phrase")
-      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"))
+  val searchPhrases: Q = (s, dir) => {
+    val perUser = hits(s, dir).filter(col("phrase") =!= "")
+      .groupBy("phrase", "user_id").agg(count(lit(1)).as("nn"))
+    perUser.groupBy("phrase")
+      .agg(sum("nn").as("n"), count(lit(1)).as("users"))
       .orderBy(col("n").desc, col("phrase")).limit(10)
+  }
 
   val searchPhrasesSql: String =
     s"""WITH $hitsCte

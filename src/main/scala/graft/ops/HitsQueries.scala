@@ -63,6 +63,7 @@ object HitsQueries {
     s"""CASE ${lcg(2003, 1, 5)} WHEN 0 THEN 320 WHEN 1 THEN 768
        |  WHEN 2 THEN 1024 WHEN 3 THEN 1366 ELSE 1920 END""".stripMargin
   private val durationE = lcg(65537, 29, 5000) // ms on page
+  private val advE = lcg(3571, 23, 18) // ad engine 0..17; 0 = organic
   /** url rendered from its integer parents — shared by the row-level
     * derivation and the post-aggregation rebuild in [[topUrls]]. */
   private def urlFrom(dom: String, page: String): String =
@@ -75,7 +76,7 @@ object HitsQueries {
     s"$domE AS dom", s"$pageE AS page", s"$urlE AS url",
     s"$mobileE AS is_mobile",
     s"$osE AS os", s"$phraseE AS phrase", s"$widthE AS width",
-    s"$durationE AS duration_ms")
+    s"$durationE AS duration_ms", s"$advE AS adv")
 
   /** Spark-side hits: a pure projection over the events scan —
     * unreferenced derived columns prune away, so e.g. the top-URLs
@@ -219,6 +220,168 @@ object HitsQueries {
        |WHERE dom = 7 AND width = 1920
        |ORDER BY duration_ms DESC, hit_id LIMIT 15""".stripMargin
 
+  /** Whole-table scalar statistics (ClickBench Q0-Q3/Q6 class:
+    * COUNT(*), SUM, AVG, MIN/MAX(EventDate)). One pass, partial
+    * aggregation all the way down — at 100 TB this is the pure
+    * scan-throughput measurement. avg is integer division (`div`) so
+    * the compared cell is exact, not a float both engines round
+    * differently. */
+  val scanStats: Q = (s, dir) =>
+    hits(s, dir)
+      .agg(count(lit(1)).as("n"), sum(col("duration_ms")).as("total_ms"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .withColumn("avg_ms", expr("total_ms div n"))
+
+  val scanStatsSql: String =
+    s"""WITH $hitsCte
+       |SELECT count(*) AS n, CAST(sum(duration_ms) AS BIGINT) AS total_ms,
+       |  CAST(min(ts) AS TIMESTAMP) AS first_ts,
+       |  CAST(max(ts) AS TIMESTAMP) AS last_ts,
+       |  CAST(sum(duration_ms) AS BIGINT) // count(*) AS avg_ms
+       |FROM hits""".stripMargin
+
+  /** Paid-traffic breakdown (ClickBench Q1/Q7 class: WHERE
+    * AdvEngineID <> 0 GROUP BY AdvEngineID ORDER BY count). The filter
+    * drops ~6% organic; 17 result groups. */
+  val advCounts: Q = (s, dir) =>
+    hits(s, dir).filter(col("adv") =!= 0)
+      .groupBy("adv").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("adv"))
+
+  val advCountsSql: String =
+    s"""WITH $hitsCte
+       |SELECT adv, count(*) AS n FROM hits WHERE adv <> 0
+       |GROUP BY adv ORDER BY n DESC, adv""".stripMargin
+
+  /** Expression-heavy wide aggregate (ClickBench Q29 class:
+    * SUM(ResolutionWidth), SUM(ResolutionWidth+1), ... 90 variants).
+    * 30 independent sum expressions over one scan — measures codegen'd
+    * expression-evaluation throughput inside a single HashAggregate;
+    * the plan must stay ONE pass (no per-expression jobs). */
+  val sumWide: Q = (s, dir) => {
+    val sums = (0 until 30).map(k =>
+      sum(col("width") + lit(k)).as(f"w$k%02d"))
+    hits(s, dir).agg(sums.head, sums.tail: _*)
+  }
+
+  val sumWideSql: String = {
+    val sums = (0 until 30)
+      .map(k => f"CAST(sum(width + $k) AS BIGINT) AS w$k%02d")
+    s"""WITH $hitsCte
+       |SELECT ${sums.mkString(",\n  ")}
+       |FROM hits""".stripMargin
+  }
+
+  /** Nearly-unique composite group-by (ClickBench Q32 class: GROUP BY
+    * WatchID, ClientIP ... LIMIT 10). (user_id, page) has more
+    * combinations than the table has rows, so the aggregate's hash
+    * table is corpus-sized — the shuffle-heavy extreme of the
+    * aggregation spectrum. The cut rides a unique total order
+    * (n DESC, then the full group key). */
+  val powerUsers: Q = (s, dir) =>
+    hits(s, dir).groupBy("user_id", "page")
+      .agg(count(lit(1)).as("n"), sum(col("duration_ms")).as("total_ms"))
+      .orderBy(col("n").desc, col("user_id"), col("page")).limit(10)
+
+  val powerUsersSql: String =
+    s"""WITH $hitsCte
+       |SELECT user_id, page, count(*) AS n,
+       |  CAST(sum(duration_ms) AS BIGINT) AS total_ms
+       |FROM hits GROUP BY user_id, page
+       |ORDER BY n DESC, user_id, page LIMIT 10""".stripMargin
+
+  /** Substring phrase filter (ClickBench Q20 class: SearchPhrase LIKE
+    * '%google%'). A contains-LIKE cannot use an index even in the
+    * reference; here it is a codegen'd substring test riding the scan. */
+  val phraseLike: Q = (s, dir) => {
+    val perUser = hits(s, dir).filter(col("phrase").like("%w1%"))
+      .groupBy("phrase", "user_id").agg(count(lit(1)).as("nn"))
+    perUser.groupBy("phrase")
+      .agg(sum("nn").as("n"), count(lit(1)).as("users"))
+      .orderBy(col("n").desc, col("phrase"))
+  }
+
+  val phraseLikeSql: String =
+    s"""WITH $hitsCte
+       |SELECT phrase, count(*) AS n, count(DISTINCT user_id) AS users
+       |FROM hits WHERE phrase LIKE '%w1%'
+       |GROUP BY phrase ORDER BY n DESC, phrase""".stripMargin
+
+  /** Per-user per-minute activity (ClickBench Q18 class: GROUP BY
+    * UserID, minute(EventTime) — a time function inside a nearly-unique
+    * group key). */
+  val minuteUser: Q = (s, dir) =>
+    hits(s, dir)
+      .groupBy(col("user_id"), date_trunc("minute", col("ts")).as("m"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id"), col("m")).limit(10)
+
+  val minuteUserSql: String =
+    s"""WITH $hitsCte
+       |SELECT user_id, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS m,
+       |  count(*) AS n
+       |FROM hits GROUP BY 1, 2
+       |ORDER BY n DESC, user_id, m LIMIT 10""".stripMargin
+
+  /** Regexp domain extraction + string-length stats (ClickBench Q28
+    * class: REGEXP_REPLACE(Referer, ...) with length() aggregates).
+    * RE2-compatible pattern; lengths are exact integers. */
+  val urlDomains: Q = (s, dir) =>
+    hits(s, dir)
+      .groupBy(regexp_extract(col("url"), "https://(site[0-9]+)\\.example", 1)
+        .as("site"))
+      .agg(count(lit(1)).as("n"), sum(length(col("url"))).as("url_chars"),
+        min(length(col("url"))).as("min_len"),
+        max(length(col("url"))).as("max_len"))
+      .orderBy("site")
+
+  val urlDomainsSql: String =
+    s"""WITH $hitsCte
+       |SELECT regexp_extract(url, 'https://(site[0-9]+)\\.example', 1)
+       |    AS site,
+       |  count(*) AS n, CAST(sum(length(url)) AS BIGINT) AS url_chars,
+       |  CAST(min(length(url)) AS INTEGER) AS min_len,
+       |  CAST(max(length(url)) AS INTEGER) AS max_len
+       |FROM hits GROUP BY 1 ORDER BY site""".stripMargin
+
+  /** Date-windowed ordered scan (ClickBench Q36-Q39 class: EventDate
+    * BETWEEN ... ORDER BY EventTime LIMIT). The ts predicate is on a
+    * SOURCE column, so it pushes into the parquet scan (row-group
+    * pruning at 100 TB when the corpus is time-partitioned); the cut is
+    * a heap over (ts, hit_id) — unique, deterministic. */
+  val dateWindow: Q = (s, dir) =>
+    hits(s, dir)
+      .filter(col("ts") >= lit("2024-01-08") && col("ts") < lit("2024-01-15")
+        && col("dom") === 3)
+      .select(col("hit_id"), col("url"), col("duration_ms"), col("ts"))
+      .orderBy(col("ts"), col("hit_id")).limit(20)
+
+  val dateWindowSql: String =
+    s"""WITH $hitsCte
+       |SELECT hit_id, url, duration_ms, CAST(ts AS TIMESTAMP) AS ts
+       |FROM hits
+       |WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+       |  AND dom = 3
+       |ORDER BY ts, hit_id LIMIT 20""".stripMargin
+
+  /** Small-key histogram (ClickBench Q30/Q31 class: GROUP BY a
+    * low-cardinality dimension with several aggregates). Five result
+    * rows; map-side partials collapse virtually everything. */
+  val widthHist: Q = (s, dir) => {
+    val perUser = hits(s, dir).groupBy("width", "user_id")
+      .agg(count(lit(1)).as("nn"), sum(col("duration_ms")).as("dd"))
+    perUser.groupBy("width")
+      .agg(sum("nn").as("n"), count(lit(1)).as("users"),
+        sum("dd").as("total_ms"))
+      .orderBy("width")
+  }
+
+  val widthHistSql: String =
+    s"""WITH $hitsCte
+       |SELECT width, count(*) AS n, count(DISTINCT user_id) AS users,
+       |  CAST(sum(duration_ms) AS BIGINT) AS total_ms
+       |FROM hits GROUP BY width ORDER BY width""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_hits_top_urls" -> topUrls,
     "q_hits_uniques" -> uniques,
@@ -226,7 +389,16 @@ object HitsQueries {
     "q_hits_mobile_ua" -> mobileUa,
     "q_hits_search_phrases" -> searchPhrases,
     "q_hits_hourly" -> hourly,
-    "q_hits_slow_pages" -> slowPages)
+    "q_hits_slow_pages" -> slowPages,
+    "q_hits_scan_stats" -> scanStats,
+    "q_hits_adv_counts" -> advCounts,
+    "q_hits_sum_wide" -> sumWide,
+    "q_hits_power_users" -> powerUsers,
+    "q_hits_phrase_like" -> phraseLike,
+    "q_hits_minute_user" -> minuteUser,
+    "q_hits_url_domains" -> urlDomains,
+    "q_hits_date_window" -> dateWindow,
+    "q_hits_width_hist" -> widthHist)
 
   val oracleSql: Map[String, String] = Map(
     "q_hits_top_urls" -> topUrlsSql,
@@ -235,5 +407,14 @@ object HitsQueries {
     "q_hits_mobile_ua" -> mobileUaSql,
     "q_hits_search_phrases" -> searchPhrasesSql,
     "q_hits_hourly" -> hourlySql,
-    "q_hits_slow_pages" -> slowPagesSql)
+    "q_hits_slow_pages" -> slowPagesSql,
+    "q_hits_scan_stats" -> scanStatsSql,
+    "q_hits_adv_counts" -> advCountsSql,
+    "q_hits_sum_wide" -> sumWideSql,
+    "q_hits_power_users" -> powerUsersSql,
+    "q_hits_phrase_like" -> phraseLikeSql,
+    "q_hits_minute_user" -> minuteUserSql,
+    "q_hits_url_domains" -> urlDomainsSql,
+    "q_hits_date_window" -> dateWindowSql,
+    "q_hits_width_hist" -> widthHistSql)
 }

@@ -76,6 +76,80 @@ class HitsQueriesSpec extends SparkSuite {
     assert(rows.nonEmpty && rows.forall(_.getLong(2) > 0))
   }
 
+  test("scan stats: one-pass scalar aggregate, integer-exact avg") {
+    val df = HitsQueries.scanStats(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("Join") && !phys.contains("Window"))
+    val r = df.collect().head
+    val n = r.getAs[Long]("n")
+    assert(n === 1000L)
+    assert(r.getAs[Long]("avg_ms") ===
+      r.getAs[Long]("total_ms") / n, "avg must be the exact integer div")
+  }
+
+  test("sum wide: 30 sum expressions stay ONE aggregate, one scan") {
+    val df = HitsQueries.sumWide(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    // one partial + one final HashAggregate — not a job per expression
+    assert("HashAggregate".r.findAllIn(phys).size === 2,
+      "30 sums must ride a single partial/final aggregate pair")
+    val rs = readSchema(phys)
+    assert(rs.contains("event_id") && !rs.contains("user_id"),
+      s"width derives from event_id alone: $rs")
+    val r = df.collect().head
+    // sum(width + k) = sum(width) + k*n exactly
+    val w0 = r.getAs[Long]("w00")
+    (1 until 30).foreach { k =>
+      assert(r.getAs[Long](f"w$k%02d") === w0 + k * 1000L)
+    }
+  }
+
+  test("power users: nearly-unique composite group key, heap cut") {
+    val df = HitsQueries.powerUsers(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("TakeOrderedAndProject"),
+      "top-10 over corpus-sized groups must be a heap cut")
+    val rows = df.collect()
+    assert(rows.length === 10)
+    // n DESC with full-key tiebreak: verify the sort is honored
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.sameElements(ns.sortBy(-_)))
+  }
+
+  test("date window: ts predicate pushes into the parquet scan") {
+    val df = HitsQueries.dateWindow(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("PushedFilters") &&
+      (phys.contains("GreaterThanOrEqual(ts") ||
+        phys.contains("GreaterThanOrEqual(`ts`")),
+      s"ts range must reach the scan: " +
+        "PushedFilters".r.findAllIn(phys).mkString(","))
+    assert(phys.contains("TakeOrderedAndProject"))
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall { r =>
+      val t = r.getAs[Any]("ts").toString
+      t >= "2024-01-08" && t < "2024-01-15"
+    })
+  }
+
+  test("adv counts / phrase like / url domains / minute user: shapes") {
+    val adv = HitsQueries.advCounts(spark, sf).collect()
+    assert(adv.length === 17 && adv.forall(_.getAs[Long]("adv") != 0L))
+    val ph = HitsQueries.phraseLike(spark, sf).collect()
+    // %w1% over kw0..kw49 matches kw1 and kw10..kw19 — at most 11
+    // phrases; the ~50 phrase-carrying rows at sf0.001 surface a subset
+    assert(ph.nonEmpty && ph.length <= 11 &&
+      ph.forall(_.getAs[String]("phrase").contains("w1")))
+    val ud = HitsQueries.urlDomains(spark, sf).collect()
+    assert(ud.length === 20 &&
+      ud.forall(_.getAs[String]("site").startsWith("site")))
+    val mu = HitsQueries.minuteUser(spark, sf).collect()
+    assert(mu.length === 10)
+    val wh = HitsQueries.widthHist(spark, sf).collect()
+    assert(wh.map(_.getAs[Int]("width")).toSet ===
+      Set(320, 768, 1024, 1366, 1920))
+  }
+
   test("regex + phrases: filters keep real selectivity at the gate SF") {
     // regex: exactly the 100 of 1000 pages matching page/1dd per domain
     val rx = HitsQueries.regexUrls(spark, sf).collect()

@@ -85,7 +85,7 @@ object HitsQueries {
     Tables.load(s, dir, "events").selectExpr(hitCols: _*)
 
   /** DuckDB-side hits CTE — the SAME fragments verbatim. */
-  private val hitsCte: String =
+  private[graft] val hitsCte: String =
     s"""hits AS (SELECT ${hitCols.mkString(",\n    ")}
        |  FROM events)""".stripMargin
 

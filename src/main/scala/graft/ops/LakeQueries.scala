@@ -522,6 +522,63 @@ object LakeQueries {
       .orderBy("o_custkey")
   }
 
+  /** Incrementally-maintained HOURLY TRAFFIC rollup over the ClickBench
+    * hits derivation — the reference's actual product pitch ("real-time
+    * analytics on live Postgres data") expressed on the web-analytics
+    * shape: the dashboard reads a small pre-aggregated MV while CDC
+    * keeps it fresh, instead of re-scanning the corpus per page load.
+    * History: the first three quarters of the stream load at v1 and the
+    * MV materializes; v2 delivers the remaining quarter as INSERTS
+    * (late-arriving data) together with a bot-purge DELETE of every
+    * 50th already-loaded hit — so the refresh handles +rows and -rows
+    * in one delta, including hours whose extrema move.
+    *
+    * Scale shape: the MV delta path aggregates ONLY the CDC batch
+    * (map-side partials per (hour, device)), joins the ~2-column state
+    * table on its group key, and re-aggregates just the dirty groups —
+    * the corpus is never re-scanned after v1. The oracle recomputes the
+    * final rollup from scratch over the same net row set. */
+  val hitsMvHourly: Q = (s, dir) => {
+    val wh = cachedFixture("graft-hitsmv-q", dir) { tmp =>
+      val lake = new Mooncake(tmp)
+      val allHits = HitsQueries.hits(s, dir)
+        .withColumn("hour", date_trunc("hour", col("ts")))
+        .select("hit_id", "hour", "is_mobile", "duration_ms")
+      lake.createTable(s, "hits_rt",
+        allHits.filter(col("hit_id") % 4 =!= 3), Seq("hit_id"))
+      val mv = new Mview(lake)
+      mv.create(s, "traffic_hourly", "hits_rt", Seq("hour", "is_mobile"),
+        Seq(
+          MvAgg("count", "*", "n"),
+          MvAgg("sum", "duration_ms", "total_ms"),
+          MvAgg("max", "duration_ms", "max_ms")))
+      val ins = allHits.filter(col("hit_id") % 4 === 3)
+        .withColumn("__op", lit("I"))
+      val del = allHits.filter(col("hit_id") % 4 =!= 3 &&
+          col("hit_id") % 50 === 0)
+        .withColumn("__op", lit("D"))
+      lake.applyChanges(s, "hits_rt", ins.unionByName(del), version = 2)
+      mv.refresh(s, "traffic_hourly")
+    }
+    new Mview(new Mooncake(wh)).read(s, "traffic_hourly")
+      .select(col("hour"), col("is_mobile"), col("n"), col("total_ms"),
+        col("max_ms"))
+      .orderBy("hour", "is_mobile")
+  }
+
+  /** Oracle: the net row set is every hit EXCEPT the purged ones (the
+    * v2 inserts restore the held-out quarter, so only the deletes
+    * subtract); the rollup recomputes from scratch. */
+  val hitsMvHourlySql: String =
+    s"""WITH ${HitsQueries.hitsCte},
+       |net AS (SELECT date_trunc('hour', ts) AS hour, is_mobile,
+       |    duration_ms
+       |  FROM hits WHERE NOT (hit_id % 4 <> 3 AND hit_id % 50 = 0))
+       |SELECT CAST(hour AS TIMESTAMP) AS hour, is_mobile, count(*) AS n,
+       |  CAST(sum(duration_ms) AS BIGINT) AS total_ms,
+       |  CAST(max(duration_ms) AS BIGINT) AS max_ms
+       |FROM net GROUP BY 1, 2 ORDER BY hour, is_mobile""".stripMargin
+
   val mvFilteredSql: String =
     """WITH final AS (
       |  SELECT o_custkey,
@@ -2023,6 +2080,7 @@ object LakeQueries {
     "q_mv_join_filtered" -> mvJoinFiltered,
     "q_mv_join_agg" -> mvJoinAgg,
     "q_mv_filtered" -> mvFiltered,
+    "q_hits_mv_hourly" -> hitsMvHourly,
     "q_runtime_prune" -> runtimePrune,
     "q_delta_runtime_prune" -> deltaRuntimePrune,
     "q_iceberg_runtime_prune" -> icebergRuntimePrune,
@@ -2085,6 +2143,7 @@ object LakeQueries {
     "q_mv_join_filtered" -> mvJoinFilteredSql,
     "q_mv_join_agg" -> mvJoinAggSql,
     "q_mv_filtered" -> mvFilteredSql,
+    "q_hits_mv_hourly" -> hitsMvHourlySql,
     "q_runtime_prune" -> runtimePruneSql,
     "q_delta_runtime_prune" -> deltaRuntimePruneSql,
     "q_iceberg_runtime_prune" -> icebergRuntimePruneSql,

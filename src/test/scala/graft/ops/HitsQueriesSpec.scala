@@ -150,6 +150,27 @@ class HitsQueriesSpec extends SparkSuite {
       Set(320, 768, 1024, 1366, 1920))
   }
 
+  test("mv hourly: MV state equals a from-scratch recompute of net rows") {
+    import org.apache.spark.sql.functions._
+    val mvRows = LakeQueries.hitsMvHourly(spark, sf).collect()
+    // net rows: all hits minus the bot-purge deletes (the v2 inserts
+    // restore the held-out quarter) — recompute the rollup directly
+    val direct = HitsQueries.hits(spark, sf)
+      .filter(!(col("hit_id") % 4 =!= 3 && col("hit_id") % 50 === 0))
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("is_mobile"))
+      .agg(count(lit(1)).as("n"), sum("duration_ms").as("total_ms"),
+        max("duration_ms").as("max_ms"))
+      .orderBy("hour", "is_mobile").collect()
+    assert(mvRows.length === direct.length)
+    mvRows.zip(direct).foreach { case (a, b) =>
+      assert(a.getAs[Any]("hour") === b.getAs[Any]("hour"))
+      assert(a.getAs[Boolean]("is_mobile") === b.getAs[Boolean]("is_mobile"))
+      assert(a.getAs[Long]("n") === b.getAs[Long]("n"))
+      assert(a.getAs[Long]("total_ms") === b.getAs[Long]("total_ms"))
+      assert(a.getAs[Long]("max_ms") === b.getAs[Long]("max_ms"))
+    }
+  }
+
   test("regex + phrases: filters keep real selectivity at the gate SF") {
     // regex: exactly the 100 of 1000 pages matching page/1dd per domain
     val rx = HitsQueries.regexUrls(spark, sf).collect()

@@ -40,8 +40,24 @@ object Tables {
       }
       perSession.getOrElseUpdate((dir, name), {
         val df = doLoad(spark, dir, name)
-        df.cache()
-        df
+        // The driver's fixtures are ONE parquet file with ONE row group,
+        // so the scan — and therefore the cached RDD every bench query
+        // maps over — is a SINGLE partition: every pre-shuffle stage ran
+        // one-threaded however many cores the session had. A real corpus
+        // at 100 TB arrives as thousands of files/row groups and gets
+        // map parallelism for free; re-split the cached fixture to match
+        // (≈2 MB of compressed parquet per partition ≈ one task-sized
+        // in-memory batch, capped at 2× cores; tiny dims stay 1).
+        val bytes = try java.nio.file.Files.size(
+          java.nio.file.Paths.get(s"$dir/$name.parquet")) catch {
+          case _: Exception => 0L
+        }
+        val target = math.max(1L, math.min(
+          spark.sparkContext.defaultParallelism.toLong * 2,
+          bytes / (2L << 20))).toInt
+        val split = if (target > 1) df.repartition(target) else df
+        split.cache()
+        split
       })
     } else doLoad(spark, dir, name)
 

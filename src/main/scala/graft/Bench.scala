@@ -33,7 +33,8 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.graft.cacheInputs", "true")
+      .config("spark.graft.cacheInputs",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE", "true"))
       .config("graft.orderedOutput", "true")
       // shuffle/spill scratch on the fastest local volume (tmpfs here,
       // local SSD on a real executor) — the root fs is 9p

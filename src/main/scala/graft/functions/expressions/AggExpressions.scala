@@ -477,8 +477,141 @@ case class FrequentItems(
     copy(child = c)
 }
 
+/** Open-addressing set of longs — the aggregation state of
+  * [[ExactDistinctLong]]. Power-of-two table, fmix64 probe hash,
+  * 0 reserved as the empty slot (a real 0 rides the `hasZero` flag);
+  * primitive array, no boxing, ~9 bytes/entry serialized. */
+final class LongSet(var table: Array[Long], var size: Int,
+    var hasZero: Boolean) {
+
+  private def mix(v: Long): Long = {
+    var h = v
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^ (h >>> 33)
+  }
+
+  def add(v: Long): Unit = {
+    if (v == 0L) { hasZero = true; return }
+    if ((size + 1) * 2 > table.length) grow()
+    val mask = table.length - 1
+    var i = (mix(v) & mask).toInt
+    while (table(i) != 0L) {
+      if (table(i) == v) return
+      i = (i + 1) & mask
+    }
+    table(i) = v
+    size += 1
+  }
+
+  private def grow(): Unit = {
+    val old = table
+    table = new Array[Long](math.max(16, old.length * 2))
+    size = 0
+    var i = 0
+    while (i < old.length) {
+      if (old(i) != 0L) add(old(i))
+      i += 1
+    }
+  }
+
+  def count: Long = size.toLong + (if (hasZero) 1L else 0L)
+
+  def foreachEntry(f: Long => Unit): Unit = {
+    var i = 0
+    while (i < table.length) {
+      if (table(i) != 0L) f(table(i))
+      i += 1
+    }
+  }
+}
+
+/** Exact COUNT(DISTINCT long) as a single-pass set aggregate.
+  *
+  * Spark plans `count(DISTINCT x)` (and the equivalent hand-written
+  * two-level groupBy) by exchanging the DEDUPED (group, x) pairs as
+  * rows — at 100M events that shuffle is UnsafeRow-encoded tens of
+  * millions of rows and dominates the distinct-class queries
+  * (SCALE.md round-14: 13-16x DuckDB while the scan class sits at
+  * 1.5-1.8x). This operator carries the distinct set ITSELF as the
+  * aggregation state: map-side partials dedup into an open-addressing
+  * long set and the exchange moves one packed ~9-bytes-per-distinct
+  * blob per (partition, group) instead of a row per distinct value —
+  * same exactness, a fraction of the exchange volume, and the merge
+  * is set-union.
+  *
+  * Scale policy: state is O(distinct values per group) on the heap
+  * (ObjectHashAggregate falls back to sort-based merge with
+  * serialized buffers under memory pressure), so this is the right
+  * plan when per-group cardinality is bounded (dashboard dimensions:
+  * users per domain/device/phrase). For unbounded per-group
+  * cardinality the two-level shuffle spelling remains the fallback,
+  * and the HLL sketch (2% contract, bounded state) is the 100 TB
+  * default — all three spellings live in the registry. */
+case class ExactDistinctLong(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[LongSet] with ImplicitCastInputTypes
+  with UnaryLike[Expression] {
+
+  override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): LongSet =
+    new LongSet(new Array[Long](16), 0, hasZero = false)
+
+  override def update(buf: LongSet, input: InternalRow): LongSet = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: LongSet, other: LongSet): LongSet = {
+    if (other.hasZero) buf.hasZero = true
+    other.foreachEntry(buf.add)
+    buf
+  }
+
+  override def eval(buf: LongSet): Any = buf.count
+
+  override def serialize(buf: LongSet): Array[Byte] = {
+    val bb = ByteBuffer.allocate(5 + 8 * buf.size)
+    bb.putInt(buf.size)
+    bb.put(if (buf.hasZero) 1.toByte else 0.toByte)
+    buf.foreachEntry(bb.putLong(_))
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): LongSet = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val hasZero = bb.get() == 1
+    // next power of two holding n at <=50% load
+    var cap = 16
+    while (cap < n * 2) cap <<= 1
+    val set = new LongSet(new Array[Long](cap), 0, hasZero)
+    var i = 0
+    while (i < n) { set.add(bb.getLong); i += 1 }
+    set
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): ExactDistinctLong =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ExactDistinctLong =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): ExactDistinctLong =
+    copy(child = c)
+}
+
 object AggExpressions {
   import ColumnBridge.{column, expression => expr}
+
+  /** Exact count-distinct of a long column via packed-set state
+    * ([[ExactDistinctLong]]): one aggregation pass, set-blob exchange. */
+  def exact_distinct_long(c: Column): Column =
+    column(ExactDistinctLong(expr(c)).toAggregateExpression())
 
   /** Array of exact interpolated percentiles of a double column. */
   def exact_percentiles(c: Column, ps: Seq[Double]): Column =

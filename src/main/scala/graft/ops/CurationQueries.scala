@@ -631,19 +631,45 @@ object CurationQueries {
     * first, independently per `source` stratum. A doc whose arrival
     * crosses a budget multiple starts the next pack (document
     * atomicity; packs may overflow by at most one doc — the standard
-    * streaming-pack relaxation). Packing per-stratum is the 100 TB
-    * shape: each stratum is one window partition, so the corpus packs
-    * with a single hash shuffle and no global sort; pack ids are
-    * (source, pack_no) pairs, never a corpus-wide sequence. */
+    * streaming-pack relaxation). Pack ids are (source, pack_no) pairs,
+    * never a corpus-wide sequence.
+    *
+    * Scale shape — the [[batchByLength]] two-level decomposition, for
+    * a RUNNING TOTAL instead of a rank: a plain `sum OVER (PARTITION BY
+    * source)` would pull a dominant stratum (real corpora are routinely
+    * >80% one source) through ONE task — the giant-component window
+    * class the round-13 verdict flagged on the dedup consumers. Instead
+    * the corpus range-partitions on (source, n_tok desc, doc_id) —
+    * source-contiguous ordered ranges — takes local running sums per
+    * (range-partition, source) over uniform window partitions, and adds
+    * per-source prefix offsets from a #partitions×#sources-row frame:
+    * offset + local cum = the single-window running total EXACTLY. The
+    * checkpoint pins one boundary sample for both consumers (the
+    * windowRankGlobal discipline). */
   val packSequences: Q = (s, dir) => {
-    val w = Window.partitionBy("source")
-      .orderBy(col("n_tok").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs(s, dir)
+    val t0 = docs(s, dir)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("bigint").as("n_tok"))
+    val ranged = t0
+      .repartitionByRange(col("source"), col("n_tok").desc, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lcum", sum(col("n_tok")).over(
+        Window.partitionBy("pid", "source")
+          .orderBy(col("n_tok").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint(true)
+    val offsets = ranged.groupBy("pid", "source")
+      .agg(sum("n_tok").as("ptot"))
+      .withColumn("offset",
+        coalesce(sum("ptot").over(Window.partitionBy("source")
+          .orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid").as("o_pid"), col("source").as("o_source"),
+        col("offset"))
+    ranged.join(offsets, col("pid") === col("o_pid") &&
+        col("source") === col("o_source"))
       .withColumn("pack_no",
-        floor((sum(col("n_tok")).over(w) - col("n_tok")) / 2000))
+        floor((col("offset") + col("lcum") - col("n_tok")) / 2000))
       .select(col("doc_id"), col("source"), col("n_tok"), col("pack_no"))
       .orderBy("doc_id")
   }

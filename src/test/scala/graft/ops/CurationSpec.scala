@@ -205,6 +205,36 @@ class CurationSpec extends SparkSuite {
     assert(packs.count(_ >= 1000) >= packs.size / 2)
   }
 
+  test("sequence packing: two-level running total == single-window; " +
+      "no source-keyed window") {
+    import org.apache.spark.sql.expressions.Window
+    val df = CurationQueries.packSequences(spark, sf)
+    // plan: every WindowExec partition key must include the range-
+    // partition id — a bare source-keyed window would single-task a
+    // dominant stratum
+    val winSpecs = df.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("Window ")).toList
+    assert(winSpecs.forall(_.contains("pid")),
+      s"source-only window partition found:\n${winSpecs.mkString("\n")}")
+    // values: exactly the single-window spelling
+    val single = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tok"))
+      .withColumn("pack_no",
+        floor((sum(col("n_tok")).over(
+          Window.partitionBy("source")
+            .orderBy(col("n_tok").desc, col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("n_tok")) / 2000))
+      .select("doc_id", "source", "n_tok", "pack_no")
+      .orderBy("doc_id").collect()
+    val got = df.collect()
+    assert(got.length === single.length && got.nonEmpty)
+    got.zip(single).foreach { case (a, b) =>
+      assert(a === b, s"two-level diverged: $a vs $b")
+    }
+  }
+
   test("chunk windows: full coverage, bounded size, stride overlap") {
     val d = graft.Tables.load(spark, sf, "documents")
       .select(col("doc_id"), size(split(col("text"), " ")).as("n"))

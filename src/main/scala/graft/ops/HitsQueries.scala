@@ -379,6 +379,44 @@ object HitsQueries {
        |  CAST(sum(duration_ms) AS BIGINT) AS total_ms
        |FROM hits GROUP BY width ORDER BY width""".stripMargin
 
+  /** Deep-offset pagination over aggregated groups (ClickBench Q33
+    * class: GROUP BY URL ORDER BY c DESC LIMIT 10 OFFSET 1000 — page
+    * 101 of a traffic report). The offset+limit ride ONE bounded
+    * top-(offset+k) cut over the aggregated stream; the corpus is
+    * never globally sorted. */
+  val pageOffset: Q = (s, dir) =>
+    hits(s, dir).groupBy("dom", "page").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("dom"), col("page"))
+      .offset(1000).limit(10)
+
+  val pageOffsetSql: String =
+    s"""WITH $hitsCte
+       |SELECT dom, page, count(*) AS n FROM hits
+       |GROUP BY dom, page ORDER BY n DESC, dom, page
+       |LIMIT 10 OFFSET 1000""".stripMargin
+
+  /** Paid traffic inside a date window (ClickBench Q40-Q42 class:
+    * TraficSourceID breakdowns over an EventDate range): per ad
+    * engine, hits and exact uniques for searches landing in one week —
+    * the ts predicate pushes to the scan, the distinct rides the
+    * packed-set aggregate. */
+  val advWindow: Q = (s, dir) =>
+    hits(s, dir)
+      .filter(col("ts") >= lit("2024-01-08") && col("ts") < lit("2024-01-15")
+        && col("adv") =!= 0 && col("phrase") =!= "")
+      .groupBy("adv")
+      .agg(count(lit(1)).as("n"),
+        AE.exact_distinct_long(col("user_id")).as("users"))
+      .orderBy(col("n").desc, col("adv"))
+
+  val advWindowSql: String =
+    s"""WITH $hitsCte
+       |SELECT adv, count(*) AS n, count(DISTINCT user_id) AS users
+       |FROM hits
+       |WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+       |  AND adv <> 0 AND phrase <> ''
+       |GROUP BY adv ORDER BY n DESC, adv""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_hits_top_urls" -> topUrls,
     "q_hits_uniques" -> uniques,
@@ -395,7 +433,9 @@ object HitsQueries {
     "q_hits_minute_user" -> minuteUser,
     "q_hits_url_domains" -> urlDomains,
     "q_hits_date_window" -> dateWindow,
-    "q_hits_width_hist" -> widthHist)
+    "q_hits_width_hist" -> widthHist,
+    "q_hits_page_offset" -> pageOffset,
+    "q_hits_adv_window" -> advWindow)
 
   val oracleSql: Map[String, String] = Map(
     "q_hits_top_urls" -> topUrlsSql,
@@ -413,5 +453,7 @@ object HitsQueries {
     "q_hits_minute_user" -> minuteUserSql,
     "q_hits_url_domains" -> urlDomainsSql,
     "q_hits_date_window" -> dateWindowSql,
-    "q_hits_width_hist" -> widthHistSql)
+    "q_hits_width_hist" -> widthHistSql,
+    "q_hits_page_offset" -> pageOffsetSql,
+    "q_hits_adv_window" -> advWindowSql)
 }

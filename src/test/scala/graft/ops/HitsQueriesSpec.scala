@@ -171,6 +171,33 @@ class HitsQueriesSpec extends SparkSuite {
     }
   }
 
+  test("page offset: bounded top-(offset+k) cut, page 101 exact") {
+    val df = HitsQueries.pageOffset(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("TakeOrderedAndProject"),
+      "offset+limit must ride one bounded heap cut, not a global sort")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // recompute the cut directly over the full aggregated stream
+    val all = HitsQueries.hits(spark, sf)
+      .groupBy("dom", "page").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
+      .sortBy { case (n, d, p) => (-n, d, p) }
+      .slice(1000, 1010).map { case (_, d, p) => (d, p) }
+    assert(got.toSeq === all.toSeq)
+  }
+
+  test("adv window: ts pushdown + packed-set uniques, organic excluded") {
+    val df = HitsQueries.advWindow(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("PushedFilters") &&
+      phys.contains("GreaterThanOrEqual(ts"), "ts range must reach the scan")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall { r =>
+      r.getLong(0) != 0L && r.getLong(2) <= r.getLong(1)
+    })
+  }
+
   test("regex + phrases: filters keep real selectivity at the gate SF") {
     // regex: exactly the 100 of 1000 pages matching page/1dd per domain
     val rx = HitsQueries.regexUrls(spark, sf).collect()

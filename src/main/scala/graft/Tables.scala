@@ -48,9 +48,27 @@ object Tables {
         // map parallelism for free; re-split the cached fixture to match
         // (≈2 MB of compressed parquet per partition ≈ one task-sized
         // in-memory batch, capped at 2× cores; tiny dims stay 1).
-        val bytes = try java.nio.file.Files.size(
-          java.nio.file.Paths.get(s"$dir/$name.parquet")) catch {
-          case _: Exception => 0L
+        // Directory-shaped tables (Spark-written multi-file parquet)
+        // must sum their data files — Files.size on the directory
+        // itself returns ~4 KB of dirent metadata and would silently
+        // skip the re-split. A failed probe is logged, not swallowed:
+        // an unsplit fixture quietly serializes every pre-shuffle
+        // stage, which is exactly the bug this exists to prevent.
+        val bytes = try {
+          val p = java.nio.file.Paths.get(s"$dir/$name.parquet")
+          if (java.nio.file.Files.isDirectory(p)) {
+            val walk = java.nio.file.Files.walk(p)
+            try walk.filter(java.nio.file.Files.isRegularFile(_))
+              .mapToLong(java.nio.file.Files.size(_)).sum()
+            finally walk.close()
+          } else java.nio.file.Files.size(p)
+        } catch {
+          case e: Exception =>
+            System.err.println(
+              s"[tables] size probe failed for $dir/$name.parquet " +
+                s"(${e.getClass.getSimpleName}: ${e.getMessage}); " +
+                "cache re-split skipped — scan may be single-partition")
+            0L
         }
         val target = math.max(1L, math.min(
           spark.sparkContext.defaultParallelism.toLong * 2,

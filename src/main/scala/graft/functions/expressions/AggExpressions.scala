@@ -493,7 +493,7 @@ final class LongSet(var table: Array[Long], var size: Int,
 
   def add(v: Long): Unit = {
     if (v == 0L) { hasZero = true; return }
-    if ((size + 1) * 2 > table.length) grow()
+    if ((size + 1).toLong * 2 > table.length) grow()
     val mask = table.length - 1
     var i = (mix(v) & mask).toInt
     while (table(i) != 0L) {
@@ -505,6 +505,18 @@ final class LongSet(var table: Array[Long], var size: Int,
   }
 
   private def grow(): Unit = {
+    // Fail LOUDLY at a capacity where the serialized blob (5 + 8·n
+    // bytes) still fits an Int-sized array — past it the Int
+    // arithmetic in add/serialize would wrap and CORRUPT the set
+    // rather than OOM cleanly. 2^27 entries ≈ 1 GiB per-group state
+    // is already far beyond this aggregate's bounded-cardinality
+    // contract; the HLL sketch or the two-level shuffle spelling is
+    // the right plan there (see ExactDistinctLong scaladoc).
+    if (table.length >= LongSet.MaxCapacity)
+      throw new IllegalStateException(
+        s"ExactDistinctLong: per-group distinct cardinality exceeded " +
+          s"${LongSet.MaxCapacity / 2} — use hll_distinct or the " +
+          "two-level groupBy spelling for unbounded groups")
     val old = table
     table = new Array[Long](math.max(16, old.length * 2))
     size = 0
@@ -524,6 +536,13 @@ final class LongSet(var table: Array[Long], var size: Int,
       i += 1
     }
   }
+}
+
+object LongSet {
+  /** Largest table we grow to: 2^28 slots → 2^27 entries at the 50%
+    * load ceiling, whose serialized form (5 + 8·2^27 ≈ 1 GiB) still
+    * fits a JVM byte array with room to spare. */
+  val MaxCapacity: Int = 1 << 28
 }
 
 /** Exact COUNT(DISTINCT long) as a single-pass set aggregate.
@@ -588,9 +607,10 @@ case class ExactDistinctLong(
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
     val hasZero = bb.get() == 1
-    // next power of two holding n at <=50% load
+    // next power of two holding n at <=50% load (long arithmetic:
+    // n near 2^30 would wrap `n * 2` as Int and under-allocate)
     var cap = 16
-    while (cap < n * 2) cap <<= 1
+    while (cap.toLong < n.toLong * 2) cap <<= 1
     val set = new LongSet(new Array[Long](cap), 0, hasZero)
     var i = 0
     while (i < n) { set.add(bb.getLong); i += 1 }

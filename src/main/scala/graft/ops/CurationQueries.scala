@@ -646,18 +646,23 @@ object CurationQueries {
     * offset + local cum = the single-window running total EXACTLY. The
     * checkpoint pins one boundary sample for both consumers (the
     * windowRankGlobal discipline). */
-  val packSequences: Q = (s, dir) => {
-    val t0 = docs(s, dir)
+  /** Pre-checkpoint fragment of [[packSequences]]: range-partitioned
+    * per-doc local running sums. Exposed so the plan guard in
+    * CurationSpec can see the pid-keyed window — `localCheckpoint`
+    * truncates lineage, hiding this Window from the final plan. */
+  private[graft] def packRanged(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("bigint").as("n_tok"))
-    val ranged = t0
       .repartitionByRange(col("source"), col("n_tok").desc, col("doc_id"))
       .withColumn("pid", spark_partition_id())
       .withColumn("lcum", sum(col("n_tok")).over(
         Window.partitionBy("pid", "source")
           .orderBy(col("n_tok").desc, col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .localCheckpoint(true)
+
+  val packSequences: Q = (s, dir) => {
+    val ranged = packRanged(s, dir).localCheckpoint(true)
     val offsets = ranged.groupBy("pid", "source")
       .agg(sum("n_tok").as("ptot"))
       .withColumn("offset",

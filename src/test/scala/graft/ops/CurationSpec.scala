@@ -209,13 +209,36 @@ class CurationSpec extends SparkSuite {
       "no source-keyed window") {
     import org.apache.spark.sql.expressions.Window
     val df = CurationQueries.packSequences(spark, sf)
-    // plan: every WindowExec partition key must include the range-
-    // partition id — a bare source-keyed window would single-task a
-    // dominant stratum
-    val winSpecs = df.queryExecution.executedPlan.toString.linesIterator
-      .filter(_.contains("Window ")).toList
-    assert(winSpecs.forall(_.contains("pid")),
-      s"source-only window partition found:\n${winSpecs.mkString("\n")}")
+    // plan: every per-DOC window must be keyed by the range-partition
+    // id — a bare source-keyed window would single-task a dominant
+    // stratum. Checked on the logical Window nodes' partitionSpec
+    // (NOT a plan-text substring: "ORDER BY pid" in the offsets
+    // window satisfies a contains("pid") check vacuously). The one
+    // whitelisted pid-less window is the per-source prefix-offset
+    // window, which runs AFTER groupBy(pid, source) on a frame
+    // bounded at #partitions × #sources rows and orders by pid.
+    // the per-doc window lives BEHIND the localCheckpoint barrier, so
+    // inspect the pre-checkpoint fragment for it...
+    val rangedWins = CurationQueries.packRanged(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(rangedWins.nonEmpty &&
+      rangedWins.forall(_.partitionSpec.exists(
+        _.references.exists(_.name == "pid"))),
+      "per-doc running-sum window lost its pid partition key")
+    // ...and the post-checkpoint plan for the whitelist
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    val pidless = wins.filterNot(
+      _.partitionSpec.exists(_.references.exists(_.name == "pid")))
+    pidless.foreach { w =>
+      val pKeys = w.partitionSpec.flatMap(_.references.map(_.name))
+      val oKeys = w.orderSpec.flatMap(_.child.references.map(_.name))
+      assert(pKeys == Seq("source") && oKeys.contains("pid"),
+        s"unexpected pid-less window: partitionBy=$pKeys orderBy=$oKeys")
+    }
     // values: exactly the single-window spelling
     val single = graft.Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("source"),

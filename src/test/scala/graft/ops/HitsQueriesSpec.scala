@@ -206,4 +206,23 @@ class HitsQueriesSpec extends SparkSuite {
     assert(ph.length === 10 &&
       ph.forall(_.getString(0).startsWith("kw")))
   }
+
+  test("regex urls: url is injective in page per dom (oracle parity pin)") {
+    // regexUrls counts DISTINCT page (packed-set on the integer
+    // parent) while the oracle counts DISTINCT url — equal ONLY while
+    // urlFrom(dom, page) stays injective in page for a fixed dom. A
+    // drive-by change to the url format (e.g. dropping the '/page/'
+    // separator) would silently break that equivalence; this pins it
+    // on the fixture instead of a comment.
+    import org.apache.spark.sql.functions._
+    val bad = HitsQueries.hits(spark, sf)
+      .groupBy("dom")
+      .agg(countDistinct(col("page")).as("pages"),
+        countDistinct(col("url")).as("urls"))
+      .filter(col("pages") =!= col("urls"))
+      .count()
+    assert(bad === 0L,
+      "urlFrom(dom, page) no longer injective in page per dom — " +
+        "regexUrls' DISTINCT page shortcut diverges from the oracle")
+  }
 }

@@ -189,8 +189,47 @@ class Mooncake(val warehouse: String, val database: String = "main") {
       config = config)
   }
 
-  def dropTable(name: String): Unit =
-    LakeFs.deleteRec(Paths.get(tableDir(name)))
+  /** Drop-intents registered inside an [[inTransaction]] scope on this
+    * thread; executed at scope exit iff the body completes normally. */
+  private val pendingDrops =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[String]]()
+
+  /** Drop a mirror table (≈ the reference's drop event trigger,
+    * `/root/reference/src/functions.rs:45-82`). The reference does NOT
+    * destroy the mirror at DROP time: the event trigger registers the
+    * moonlink `drop_table` RPC as a PRE-COMMIT callback, so a rolled-
+    * back `DROP TABLE` keeps the mirror intact. Outside a transaction
+    * scope Spark has no commit boundary and this deletes immediately
+    * (indistinguishable from deferred for any committed program);
+    * inside [[inTransaction]] the delete is deferred to scope exit and
+    * DISCARDED if the body throws — the reference's rollback window,
+    * reproduced. */
+  def dropTable(name: String): Unit = {
+    val buf = pendingDrops.get()
+    if (buf != null) buf += name
+    else LakeFs.deleteRec(Paths.get(tableDir(name)))
+  }
+
+  /** Transaction scope for drop deferral — the Spark-side analogue of
+    * the reference's event-trigger + pre-commit callback pair
+    * (`functions.rs:56-80`). `dropTable` calls inside `body` register
+    * intents; they execute (in call order) only when `body` returns
+    * normally — the pre-commit callback — and are discarded when it
+    * throws, so an aborted scope keeps every mirror. Scopes are
+    * per-thread and do not nest (a nested scope joins the outer one,
+    * matching subtransactions committing with their top level). */
+  def inTransaction[T](body: => T): T = {
+    val outer = pendingDrops.get()
+    val buf = if (outer != null) outer
+      else scala.collection.mutable.ArrayBuffer.empty[String]
+    pendingDrops.set(buf)
+    var ok = false
+    try { val r = body; ok = true; r }
+    finally if (outer == null) {
+      pendingDrops.remove()
+      if (ok) buf.foreach(n => LakeFs.deleteRec(Paths.get(tableDir(n))))
+    }
+  }
 
   /** Engine reset — the analog of the reference's "command to reset
     * DuckDB" (`/root/reference/CHANGELOG.md:13`): drop every piece of

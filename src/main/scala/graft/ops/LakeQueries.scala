@@ -654,24 +654,29 @@ object LakeQueries {
       |  AS t("database", "table", commit_lsn, flush_lsn, table_config)
       |ORDER BY "database", "table"""".stripMargin
 
-  /** File load path (≈ mooncake.load_files, parquet + csv formats): the
-    * mirror backfills from part of nation, the rest arrives as external
-    * files, and the gated read must equal the whole source table. */
+  /** File load path (≈ mooncake.load_files — all four formats the
+    * reference's CHANGELOG.md:24 names: parquet, csv, json, plus ORC):
+    * the mirror backfills from part of nation, the rest arrives as
+    * external files one split per format, and the gated read must
+    * equal the whole source table. */
   val loadFiles: Q = (s, dir) => {
     val tmp = graft.Scratch.dir("graft-load-q")
     val lake = new Mooncake(s"$tmp/wh")
     val n = Tables.load(s, dir, "nation")
     lake.createTable(s, "nation_mirror", n.filter(col("n_nationkey") < 15),
       Seq("n_nationkey"))
-    n.filter(col("n_nationkey") >= 15 && col("n_nationkey") < 20)
+    n.filter(col("n_nationkey") >= 15 && col("n_nationkey") < 18)
       .write.parquet(s"$tmp/pq")
-    n.filter(col("n_nationkey") >= 20 && col("n_nationkey") < 22)
+    n.filter(col("n_nationkey") >= 18 && col("n_nationkey") < 20)
       .write.option("header", "true").csv(s"$tmp/csv")
+    n.filter(col("n_nationkey") >= 20 && col("n_nationkey") < 22)
+      .write.json(s"$tmp/json")
     n.filter(col("n_nationkey") >= 22).write.orc(s"$tmp/orc")
     lake.loadFiles(s, "nation_mirror", Seq(s"$tmp/pq"))
     lake.loadFiles(s, "nation_mirror", Seq(s"$tmp/csv"), format = "csv")
+    lake.loadFiles(s, "nation_mirror", Seq(s"$tmp/json"), format = "json")
     lake.loadFiles(s, "nation_mirror", Seq(s"$tmp/orc"), format = "orc")
-    lake.read(s, "nation_mirror", atLeastVersion = Some(4))
+    lake.read(s, "nation_mirror", atLeastVersion = Some(5))
       .orderBy("n_nationkey")
   }
 

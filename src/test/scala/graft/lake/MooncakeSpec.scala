@@ -429,6 +429,29 @@ class MooncakeSpec extends SparkSuite {
     assert(lake.listTables(spark).count() === 0)
   }
 
+  test("deferred drop: aborted scope keeps the mirror, committed scope drops") {
+    // the reference's rollback window (functions.rs:56-80): drop_table
+    // runs at pre-commit, so a rolled-back DROP never destroys the mirror
+    val lake = freshLake()
+    lake.createTable(spark, "keepme", rTable(1 -> "a"), Seq("a"))
+    assertThrows[RuntimeException] {
+      lake.inTransaction {
+        lake.dropTable("keepme")
+        // intent registered, mirror still intact INSIDE the scope too
+        // (the reference's moonlink table outlives the DROP statement
+        // until commit)
+        assert(lake.read(spark, "keepme").count() === 1)
+        throw new RuntimeException("rollback")
+      }
+    }
+    assert(lake.read(spark, "keepme").count() === 1,
+      "aborted scope must keep the mirror")
+    // committed scope executes the intent at exit
+    lake.inTransaction { lake.dropTable("keepme") }
+    assertThrows[NoSuchElementException] { lake.read(spark, "keepme") }
+    assert(lake.listTables(spark).count() === 0)
+  }
+
   test("invalid transitions are refused: duplicate create, stale version, torn commit") {
     val lake = freshLake()
     lake.createTable(spark, "g", rTable(1 -> "a"), Seq("a"))

@@ -5,8 +5,8 @@ import java.nio.ByteBuffer
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Add, AttributeReference,
-  Cast, CreateNamedStruct, Divide, Expression, If, ImplicitCastInputTypes,
-  IsNull, Literal, Multiply, UnscaledValue}
+  BoundReference, Cast, CreateNamedStruct, Divide, Expression, If,
+  ImplicitCastInputTypes, IsNull, Literal, Multiply, UnscaledValue}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   DeclarativeAggregate, TypedImperativeAggregate}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -477,72 +477,278 @@ case class FrequentItems(
     copy(child = c)
 }
 
-/** Open-addressing set of longs — the aggregation state of
-  * [[ExactDistinctLong]]. Power-of-two table, fmix64 probe hash,
-  * 0 reserved as the empty slot (a real 0 rides the `hasZero` flag);
-  * primitive array, no boxing, ~9 bytes/entry serialized. */
+/** Distinct-set aggregation state of [[ExactDistinctLong]] — a
+  * log-structured accumulator: an UNSORTED append buffer (the update
+  * phase) plus SORTED DEDUPED RUNS (compactions and merged partials),
+  * collapsed by balanced pairwise merge-dedup at eval. 0 rides the
+  * `hasZero` flag so empty-ness never needs a sentinel.
+  *
+  * Why not a hash set: at 100M events the per-(partition, group)
+  * partial sets reach ~150k entries — multi-MB tables whose every add
+  * is a cache miss, plus growth-rehash churn; hash-merging the ~95M
+  * exchanged entries repeats the same random-probe pattern on even
+  * bigger tables. SCALE.md round-14 measured the class at 13-16x
+  * DuckDB on exactly that. Appends are sequential stores; compaction
+  * sorts L2-resident chunks; run merges are sequential scans — the
+  * whole lifecycle is cache-friendly and allocation-light.
+  *
+  * Memory: the buffer sort-dedupes IN PLACE whenever it fills, grows
+  * only while dedup keeps it over half full, and spills a sorted run
+  * at [[LongSet.CompactThreshold]] — so per-group state is O(distinct
+  * + threshold chunk), duplicates never accumulate, and a
+  * high-duplication group stays at its distinct size. Blob layout:
+  * int32 n, flags byte (bit0 hasZero, bit1 sorted), n longs; legacy
+  * flag values 0/1 decode as unsorted (sorted on arrival), so
+  * pre-run-format blobs still merge correctly.
+  *
+  * Constructor args name the append buffer (`table`/`size` kept for
+  * the original hash-set signature the specs construct directly). */
 final class LongSet(var table: Array[Long], var size: Int,
     var hasZero: Boolean) {
 
-  private def mix(v: Long): Long = {
-    var h = v
-    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
-    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
-    h ^ (h >>> 33)
-  }
+  /** Serialized form when this instance is an unmerged deserialized
+    * partial; null once decoded. */
+  var rawBlob: Array[Byte] = null
+
+  /** Sorted deduped runs (compaction spills + merged partials). */
+  private var runs: java.util.ArrayList[Array[Long]] = null
+  private var runsTotal: Long = 0L
 
   def add(v: Long): Unit = {
+    if (rawBlob != null) decodeSelf()
     if (v == 0L) { hasZero = true; return }
-    if ((size + 1).toLong * 2 > table.length) grow()
-    val mask = table.length - 1
-    var i = (mix(v) & mask).toInt
-    while (table(i) != 0L) {
-      if (table(i) == v) return
-      i = (i + 1) & mask
-    }
-    table(i) = v
+    if (size == table.length) makeRoom()
+    table(size) = v
     size += 1
   }
 
-  private def grow(): Unit = {
-    // Fail LOUDLY at a capacity where the serialized blob (5 + 8·n
-    // bytes) still fits an Int-sized array — past it the Int
-    // arithmetic in add/serialize would wrap and CORRUPT the set
-    // rather than OOM cleanly. 2^27 entries ≈ 1 GiB per-group state
-    // is already far beyond this aggregate's bounded-cardinality
-    // contract; the HLL sketch or the two-level shuffle spelling is
-    // the right plan there (see ExactDistinctLong scaladoc).
-    if (table.length >= LongSet.MaxCapacity)
-      throw new IllegalStateException(
-        s"ExactDistinctLong: per-group distinct cardinality exceeded " +
-          s"${LongSet.MaxCapacity / 2} — use hll_distinct or the " +
-          "two-level groupBy spelling for unbounded groups")
-    val old = table
-    table = new Array[Long](math.max(16, old.length * 2))
-    size = 0
-    var i = 0
-    while (i < old.length) {
-      if (old(i) != 0L) add(old(i))
-      i += 1
+  /** Sort-dedupe the buffer in place; grow while dedup leaves it over
+    * half full, spill a run at the threshold. Amortized O(log) sorts
+    * per element, and duplication collapses as early as it appears. */
+  private def makeRoom(): Unit = {
+    java.util.Arrays.sort(table, 0, size)
+    size = dedupeInPlace(table, size)
+    if (size > (table.length >> 1)) {
+      if (table.length < LongSet.CompactThreshold)
+        table = java.util.Arrays.copyOf(table,
+          math.max(16, table.length * 2))
+      else {
+        addRun(java.util.Arrays.copyOf(table, size))
+        size = 0
+      }
     }
   }
 
-  def count: Long = size.toLong + (if (hasZero) 1L else 0L)
-
-  def foreachEntry(f: Long => Unit): Unit = {
-    var i = 0
-    while (i < table.length) {
-      if (table(i) != 0L) f(table(i))
+  private def dedupeInPlace(a: Array[Long], n: Int): Int = {
+    if (n == 0) return 0
+    var w = 1
+    var i = 1
+    while (i < n) {
+      if (a(i) != a(w - 1)) { a(w) = a(i); w += 1 }
       i += 1
     }
+    w
+  }
+
+  private def failCardinality(): Nothing =
+    throw new IllegalStateException(
+      s"ExactDistinctLong: per-group distinct cardinality exceeded " +
+        s"${LongSet.MaxEntries} — use approx_count_distinct or the " +
+        "two-level groupBy spelling for unbounded groups")
+
+  /** Distinct count (collapses all state into one run first). */
+  def count: Long = {
+    collapse()
+    val base = if (runs == null || runs.isEmpty) 0L
+      else runs.get(0).length.toLong
+    base + (if (hasZero) 1L else 0L)
+  }
+
+  /** Iterate every non-zero distinct entry (callers own `hasZero`). */
+  def foreachEntry(f: Long => Unit): Unit = {
+    collapse()
+    if (runs != null && !runs.isEmpty) {
+      val r = runs.get(0)
+      var i = 0
+      while (i < r.length) { f(r(i)); i += 1 }
+    }
+  }
+
+  /** Fold `other` into this state: a sorted partial blob is collected
+    * as a run by one sequential decode; live state contributes its
+    * runs and its (compacted) buffer. */
+  def union(other: LongSet): Unit = {
+    if (rawBlob != null) decodeSelf()
+    if (other.rawBlob != null) {
+      decodeBlobInto(other.rawBlob)
+    } else {
+      if (other.hasZero) hasZero = true
+      if (other.runs != null) {
+        val it = other.runs.iterator()
+        while (it.hasNext) addRun(it.next())
+      }
+      if (other.size > 0) {
+        java.util.Arrays.sort(other.table, 0, other.size)
+        other.size = other.dedupeInPlace(other.table, other.size)
+        addRun(java.util.Arrays.copyOf(other.table, other.size))
+      }
+    }
+  }
+
+  private def decodeBlobInto(blob: Array[Byte]): Unit = {
+    val bb = ByteBuffer.wrap(blob)
+    val n = bb.getInt
+    val flags = bb.get()
+    if ((flags & 1) != 0) hasZero = true
+    if (n == 0) return
+    val arr = new Array[Long](n)
+    if ((flags & 4) != 0) {
+      // delta-varint: raw first value, then n-1 unsigned LEB128 gaps
+      var prev = bb.getLong
+      arr(0) = prev
+      var i = 1
+      while (i < n) {
+        var d = 0L
+        var shift = 0
+        var b = bb.get()
+        while ((b & 0x80) != 0) {
+          d |= (b & 0x7fL) << shift
+          shift += 7
+          b = bb.get()
+        }
+        d |= (b & 0x7fL) << shift
+        prev += d
+        arr(i) = prev
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < n) { arr(i) = bb.getLong; i += 1 }
+      if ((flags & 2) == 0) java.util.Arrays.sort(arr) // legacy unsorted
+    }
+    addRun(arr)
+  }
+
+  private def addRun(arr: Array[Long]): Unit = {
+    if (arr.length == 0) return
+    if (runs == null) runs = new java.util.ArrayList[Array[Long]]()
+    runsTotal += arr.length
+    if (runsTotal > LongSet.MaxEntries) failCardinality()
+    runs.add(arr)
+  }
+
+  /** Collapse buffer + runs into ONE sorted deduped run via balanced
+    * pairwise merge — sequential scans only, duplicates dropped at
+    * first collision. */
+  private def collapse(): Unit = {
+    if (size > 0) {
+      java.util.Arrays.sort(table, 0, size)
+      size = dedupeInPlace(table, size)
+      addRun(java.util.Arrays.copyOf(table, size))
+      size = 0
+    }
+    if (runs == null || runs.size <= 1) {
+      if (runs != null && runs.size == 1) runsTotal = runs.get(0).length.toLong
+      return
+    }
+    var cur = runs
+    while (cur.size > 1) {
+      val next = new java.util.ArrayList[Array[Long]]((cur.size + 1) / 2)
+      var i = 0
+      while (i < cur.size) {
+        if (i + 1 < cur.size) next.add(mergeDedup(cur.get(i), cur.get(i + 1)))
+        else next.add(cur.get(i))
+        i += 2
+      }
+      cur = next
+    }
+    runs = cur
+    runsTotal = cur.get(0).length.toLong
+  }
+
+  private def mergeDedup(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = new Array[Long](a.length + b.length)
+    var i = 0
+    var j = 0
+    var k = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i)
+      val y = b(j)
+      if (x < y) { out(k) = x; k += 1; i += 1 }
+      else if (x > y) { out(k) = y; k += 1; j += 1 }
+      else { out(k) = x; k += 1; i += 1; j += 1 }
+    }
+    while (i < a.length) { out(k) = a(i); k += 1; i += 1 }
+    while (j < b.length) { out(k) = b(j); k += 1; j += 1 }
+    if (k == out.length) out else java.util.Arrays.copyOf(out, k)
+  }
+
+  /** The whole state as ONE sorted blob, gaps delta-varint-encoded
+    * (flags bit1 | bit2): a sorted deduped run over a dense-ish value
+    * space serializes at 1-2 bytes per entry instead of 8 — at 100M
+    * events the exact-distinct exchange drops from ~650 MB to ~100 MB,
+    * which is most of what the merge stage moves. Worst case
+    * (adversarially sparse 64-bit values) is 10-byte varints on a few
+    * gaps, still bounded by ~1.25x the raw layout. */
+  def serializeBlob(): Array[Byte] = {
+    if (rawBlob != null) return rawBlob
+    collapse()
+    val entries: Array[Long] =
+      if (runs == null || runs.isEmpty) Array.emptyLongArray
+      else runs.get(0)
+    if (entries.length > LongSet.MaxEntries) failCardinality()
+    // pass 1: size the gaps
+    var bytes = 0L
+    var i = 1
+    while (i < entries.length) {
+      val d = entries(i) - entries(i - 1)
+      bytes += (63 - java.lang.Long.numberOfLeadingZeros(d)) / 7 + 1
+      i += 1
+    }
+    val head = 5 + (if (entries.length > 0) 8 else 0)
+    if (head + bytes > Int.MaxValue - 8) failCardinality()
+    val out = new Array[Byte](head + bytes.toInt)
+    val bb = ByteBuffer.wrap(out)
+    bb.putInt(entries.length)
+    bb.put(((if (hasZero) 1 else 0) | 2 | 4).toByte)
+    if (entries.length > 0) {
+      bb.putLong(entries(0))
+      var k = bb.position()
+      i = 1
+      while (i < entries.length) {
+        var d = entries(i) - entries(i - 1)
+        while ((d & ~0x7fL) != 0L) {
+          out(k) = ((d & 0x7f) | 0x80).toByte
+          k += 1
+          d >>>= 7
+        }
+        out(k) = d.toByte
+        k += 1
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Materialize a raw-blob wrapper into live state. */
+  private def decodeSelf(): Unit = {
+    val blob = rawBlob
+    rawBlob = null
+    if (table == null) table = new Array[Long](16)
+    decodeBlobInto(blob)
   }
 }
 
 object LongSet {
-  /** Largest table we grow to: 2^28 slots → 2^27 entries at the 50%
-    * load ceiling, whose serialized form (5 + 8·2^27 ≈ 1 GiB) still
-    * fits a JVM byte array with room to spare. */
-  val MaxCapacity: Int = 1 << 28
+  /** Append-buffer spill point: 2^18 longs = 2 MiB per group chunk —
+    * big enough that compaction sorts amortize to ~nothing, small
+    * enough that a partial\'s working set stays cache-adjacent. */
+  val CompactThreshold: Int = 1 << 18
+
+  /** Hard per-group cardinality ceiling: past 2^27 entries the
+    * serialized blob (5 + 8*n bytes) would no longer fit an
+    * Int-sized array — fail loudly rather than wrap and corrupt. */
+  val MaxEntries: Int = 1 << 27
 }
 
 /** Exact COUNT(DISTINCT long) as a single-pass set aggregate.
@@ -581,39 +787,49 @@ case class ExactDistinctLong(
   override def createAggregationBuffer(): LongSet =
     new LongSet(new Array[Long](16), 0, hasZero = false)
 
+  // Unboxed per-row path: after BindReferences the child of a plain
+  // column ref IS a BoundReference, so update can read the long
+  // straight off the UnsafeRow. The generic eval path boxes a
+  // java.lang.Long PER ROW — at 100M events that is ~1.6 GB of young-
+  // gen churn, the GC sensitivity SCALE.md measured as the 2.6-10.7 s
+  // spread on the exact-distinct class.
+  @transient private lazy val boundOrdinal: Int = child match {
+    case b: BoundReference if b.dataType == LongType && !b.nullable =>
+      b.ordinal
+    case _ => -1
+  }
+  @transient private lazy val boundNullableOrdinal: Int = child match {
+    case b: BoundReference if b.dataType == LongType => b.ordinal
+    case _ => -1
+  }
+
   override def update(buf: LongSet, input: InternalRow): LongSet = {
-    val v = child.eval(input)
-    if (v != null) buf.add(v.asInstanceOf[Long])
+    if (boundOrdinal >= 0) buf.add(input.getLong(boundOrdinal))
+    else if (boundNullableOrdinal >= 0) {
+      val o = boundNullableOrdinal
+      if (!input.isNullAt(o)) buf.add(input.getLong(o))
+    } else {
+      val v = child.eval(input)
+      if (v != null) buf.add(v.asInstanceOf[Long])
+    }
     buf
   }
 
   override def merge(buf: LongSet, other: LongSet): LongSet = {
-    if (other.hasZero) buf.hasZero = true
-    other.foreachEntry(buf.add)
+    buf.union(other)
     buf
   }
 
   override def eval(buf: LongSet): Any = buf.count
 
-  override def serialize(buf: LongSet): Array[Byte] = {
-    val bb = ByteBuffer.allocate(5 + 8 * buf.size)
-    bb.putInt(buf.size)
-    bb.put(if (buf.hasZero) 1.toByte else 0.toByte)
-    buf.foreachEntry(bb.putLong(_))
-    bb.array()
-  }
+  // one sorted flagged blob — see LongSet's layout note
+  override def serialize(buf: LongSet): Array[Byte] = buf.serializeBlob()
 
   override def deserialize(bytes: Array[Byte]): LongSet = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val hasZero = bb.get() == 1
-    // next power of two holding n at <=50% load (long arithmetic:
-    // n near 2^30 would wrap `n * 2` as Int and under-allocate)
-    var cap = 16
-    while (cap.toLong < n.toLong * 2) cap <<= 1
-    val set = new LongSet(new Array[Long](cap), 0, hasZero)
-    var i = 0
-    while (i < n) { set.add(bb.getLong); i += 1 }
+    // O(1) wrap — [[LongSet.union]] collects the sorted entries as a
+    // run; decoding into a hash table here would be thrown away
+    val set = new LongSet(null, 0, hasZero = false)
+    set.rawBlob = bytes
     set
   }
 
@@ -625,6 +841,111 @@ case class ExactDistinctLong(
     copy(child = c)
 }
 
+/** Approximate COUNT(DISTINCT long) — dense HyperLogLog with 2^14
+  * registers (16 KiB fixed state per group, ~0.81% standard error),
+  * the bounded-state estimator the 100 TB plan runs next to the exact
+  * spelling. Exists because Spark's `approx_count_distinct` update
+  * path boxes its input per row and costs ~3x a plain grouped count at
+  * 100M events; this one reads the long straight off the UnsafeRow
+  * (same BoundReference fast path as [[ExactDistinctLong]]) and merges
+  * by bytewise register max. Standard HLL estimator (Flajolet et al.)
+  * with the linear-counting small-range correction — estimates are
+  * engine-specific by contract; queries compare them to the exact
+  * count under an accuracy BOUND, never value-to-value. */
+case class HllDistinctLong(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with ImplicitCastInputTypes
+  with UnaryLike[Expression] {
+
+  import HllDistinctLong.{M, P}
+
+  override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
+
+  @transient private lazy val boundOrdinal: Int = child match {
+    case b: BoundReference if b.dataType == LongType => b.ordinal
+    case _ => -1
+  }
+
+  private def mix(v: Long): Long = {
+    var h = v
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^ (h >>> 33)
+  }
+
+  private def offer(buf: Array[Byte], v: Long): Unit = {
+    val h = mix(v)
+    val idx = (h >>> (64 - P)).toInt
+    // rank = leading zeros of the remaining 64-P bits, + 1; the OR'd
+    // sentinel bit caps it at 64-P+1 for the all-zero tail
+    val rank =
+      (java.lang.Long.numberOfLeadingZeros((h << P) | (1L << (P - 1))) + 1)
+        .toByte
+    if (rank > buf(idx)) buf(idx) = rank
+  }
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    if (boundOrdinal >= 0) {
+      if (!input.isNullAt(boundOrdinal))
+        offer(buf, input.getLong(boundOrdinal))
+    } else {
+      val v = child.eval(input)
+      if (v != null) offer(buf, v.asInstanceOf[Long])
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < M) {
+      if (other(i) > buf(i)) buf(i) = other(i)
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    val alpha = 0.7213 / (1.0 + 1.079 / M)
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < M) {
+      val r = buf(i)
+      sum += java.lang.Double.longBitsToDouble((1023L - r) << 52) // 2^-r
+      if (r == 0) zeros += 1
+      i += 1
+    }
+    val raw = alpha * M.toDouble * M.toDouble / sum
+    val est =
+      if (raw <= 2.5 * M && zeros > 0) M * math.log(M.toDouble / zeros)
+      else raw
+    math.rint(est).toLong
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(o: Int): HllDistinctLong =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllDistinctLong =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): HllDistinctLong =
+    copy(child = c)
+}
+
+object HllDistinctLong {
+  /** log2(registers): 2^14 × 1 B = 16 KiB per group, SE ≈ 0.81% —
+    * a 5% accuracy contract sits at ~6σ. */
+  val P: Int = 14
+  val M: Int = 1 << P
+}
+
 object AggExpressions {
   import ColumnBridge.{column, expression => expr}
 
@@ -632,6 +953,12 @@ object AggExpressions {
     * ([[ExactDistinctLong]]): one aggregation pass, set-blob exchange. */
   def exact_distinct_long(c: Column): Column =
     column(ExactDistinctLong(expr(c)).toAggregateExpression())
+
+  /** Approximate count-distinct of a long column via dense HLL
+    * ([[HllDistinctLong]]): 16 KiB fixed state, ~0.81% SE, unboxed
+    * update — the bounded-state sibling of [[exact_distinct_long]]. */
+  def hll_distinct_long(c: Column): Column =
+    column(HllDistinctLong(expr(c)).toAggregateExpression())
 
   /** Array of exact interpolated percentiles of a double column. */
   def exact_percentiles(c: Column, ps: Seq[Double]): Column =

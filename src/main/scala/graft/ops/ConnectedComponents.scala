@@ -26,12 +26,85 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Edge count at or below which closure runs as a driver-local
+    * union-find: the distributed loop costs three O(|E|) shuffles PLUS
+    * several fixed-latency Spark jobs PER ROUND, which dominates below
+    * millions of edges (measured: 3,392 mutual-kNN edges took 6.6 s in
+    * the loop — pure round overhead — vs milliseconds of union-find).
+    * 5M edges ≈ 80 MB collected — driver-sized by construction, gated
+    * by an exact COUNT (one job over the pinned edge frame), never by
+    * assumption, so a 100 TB pair explosion still takes the
+    * distributed path. */
+  val LocalEdgeThreshold: Long = 5_000_000L
+
   /** Labels every vertex of the undirected graph `edges` (columns
     * `src`, `dst`) with the minimum vertex id reachable from it.
     * Returns (`id`, `comp`) for every vertex incident to an edge —
     * isolated vertices are the caller's no-op case.
-    */
-  def label(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    *
+    * Two closure strategies behind one contract: edge sets at or below
+    * `localThreshold` (counted, not assumed) collapse in one
+    * union-find on the driver; larger graphs run the distributed
+    * min-label-propagation loop. Near-dup and mutual-kNN graphs are
+    * k-bounded and band-thinned, so moderate scale factors sit far
+    * under the threshold while the loop remains the 100 TB path. */
+  def label(edges: DataFrame, maxIter: Int = 25,
+      localThreshold: Long = LocalEdgeThreshold): DataFrame = {
+    // Pin the (possibly expensive — LSH banding, kNN blocking) pair
+    // generation ONCE; both the gate count and either strategy read
+    // the materialized blocks.
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    if (e.count() <= localThreshold) labelLocal(e)
+    else labelDistributed(e, maxIter)
+  }
+
+  /** Driver-local closure: union-find with path halving + union by
+    * min, O(E α(E)). Only reached through [[label]]'s exact-count
+    * gate, so the collect is driver-sized by construction. */
+  private def labelLocal(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    val idType = e.schema("src").dataType
+    val pairs = e.select(col("src").cast("long"), col("dst").cast("long"))
+      .collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.get(x)
+      while (p != x) {
+        val gp = parent.get(p)
+        parent.put(x, gp) // path halving
+        x = gp
+        p = parent.get(x)
+      }
+      x
+    }
+    pairs.foreach { r =>
+      val a = r.getLong(0)
+      val b = r.getLong(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      // union by min id: the root IS the component's min, so no
+      // second min-per-root pass is needed
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val out = new Array[(Long, Long)](parent.size())
+    val it = parent.keySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val v = it.next()
+      out(i) = (v, find(v))
+      i += 1
+    }
+    import spark.implicits._
+    spark.createDataset(out.toIndexedSeq)
+      .select(col("_1").cast(idType).as("id"),
+        col("_2").cast(idType).as("comp"))
+  }
+
+  private def labelDistributed(edges: DataFrame, maxIter: Int): DataFrame = {
     // No distinct: duplicate edges only duplicate offers, and min() is
     // idempotent — one shuffle saved (pair emitters already dedupe).
     val sym = edges.select(col("src"), col("dst"))
@@ -49,18 +122,27 @@ object ConnectedComponents {
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
     val compType = labels.schema("comp").dataType
+    // Active-set frontier: only vertices whose label CHANGED last round
+    // offer this round. An unchanged vertex's current label was already
+    // folded into every neighbour the round it last changed (labels are
+    // monotone decreasing and each vertex min-retains), so re-offering
+    // it is pure wasted shuffle — without the frontier every hop
+    // re-touches ALL edges; with it, hop r's offer join is O(edges
+    // incident to round-(r-1) changes), which collapses fast on the
+    // near-clique graphs LSH banding emits. Round 0: everyone offers.
+    var frontier = labels
     var changed = 1L
     var iter = 0
     try {
     while (changed > 0 && iter < maxIter) {
-      // Each vertex offers its current component to every neighbour; a
-      // vertex keeps the min of its own label and all offers. The old
-      // label rides along as `own` (non-null exactly on the vertex's
-      // own row), so convergence detection (comp < own anywhere) comes
-      // out of the SAME single-shuffle aggregate — no per-iteration
-      // join, no second exchange.
+      // Each frontier vertex offers its current component to every
+      // neighbour; a vertex keeps the min of its own label and all
+      // offers. The old label rides along as `own` (non-null exactly on
+      // the vertex's own row), so convergence detection (comp < own
+      // anywhere) comes out of the SAME single-shuffle aggregate — no
+      // per-iteration join, no second exchange.
       val offers = sym
-        .join(labels.withColumnRenamed("id", "__dst"), col("dst") === col("__dst"))
+        .join(frontier.withColumnRenamed("id", "__dst"), col("dst") === col("__dst"))
         .select(col("src").as("id"), col("comp"),
           lit(null).cast(compType).as("own"))
       // Checkpointed: it feeds both sides of the jump self-join below, so
@@ -88,7 +170,11 @@ object ConnectedComponents {
           col("comp") === col("__jid"))
         .select(col("id"), col("__jcomp").as("comp"), col("own"))
         .localCheckpoint(true)
-      changed = next.filter(col("comp") < col("own")).count()
+      // next frontier = everything that moved this round, whether by an
+      // offer or by the jump (a jump-moved vertex has a new label its
+      // neighbours haven't seen — it must re-offer)
+      frontier = next.filter(col("comp") < col("own")).select("id", "comp")
+      changed = frontier.count()
       labels = next.select("id", "comp")
       iter += 1
     }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -90,6 +90,18 @@ object HitsQueries {
     s"""hits AS (SELECT ${hitCols.mkString(",\n    ")}
        |  FROM events)""".stripMargin
 
+  /** Total order for a SMALL (post-aggregation) result without the
+    * range-exchange double-execution: a bare `orderBy` plans a range
+    * exchange whose bound sampling EXECUTES the child once before the
+    * real pass — for the exact-distinct class that re-runs the whole
+    * final merge (~0.7 s of pure waste at 100M events, measured). One
+    * round-robin shuffle of the few result rows into a single
+    * partition, then an in-partition sort, yields the identical global
+    * order with no sampling pass. Only for bounded results — corpus-
+    * sized frames keep TakeOrdered (limit) or stay unordered. */
+  private def orderedSmall(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
+
   // -------------------------------------------------------------------------
   // ClickBench query classes
   // -------------------------------------------------------------------------
@@ -123,15 +135,15 @@ object HitsQueries {
     * the two-level groupBy spelling shuffles — measured 13-16x DuckDB
     * as rows at 100M events, vs a fraction of the exchange volume as
     * set state (SCALE.md round 14). */
-  val uniques: Q = (s, dir) =>
+  val uniques: Q = (s, dir) => orderedSmall(
     hits(s, dir).groupBy("dom")
       .agg(AE.exact_distinct_long(col("user_id")).as("users"),
         count(lit(1)).as("n"),
-        approx_count_distinct(col("user_id"), 0.02).as("approx"))
+        AE.hll_distinct_long(col("user_id")).as("approx"))
       .select(col("dom"), col("users"), col("n"),
         (abs(col("approx") - col("users")).cast("double") /
-          col("users").cast("double") <= 0.05).as("approx_within_bound"))
-      .orderBy("dom")
+          col("users").cast("double") <= 0.05).as("approx_within_bound")),
+    col("dom"))
 
   val uniquesSql: String =
     s"""WITH $hitsCte
@@ -142,15 +154,15 @@ object HitsQueries {
   /** Regex URL filter + aggregate (ClickBench Q21-Q23 class: LIKE /
     * regex over URL). RE2-compatible pattern (no backrefs/lookarounds)
     * so Spark's java.util.regex and DuckDB's RE2 agree. */
-  val regexUrls: Q = (s, dir) =>
+  val regexUrls: Q = (s, dir) => orderedSmall(
     // distinct pages via the packed set on the INTEGER page parent —
     // url is injective in page given dom, so count(DISTINCT url) =
     // count(DISTINCT page) per dom, without hashing strings
     hits(s, dir).filter(col("url").rlike("page/1[0-9]{2}$"))
       .groupBy("dom")
       .agg(count(lit(1)).as("n"),
-        AE.exact_distinct_long(col("page")).as("pages"))
-      .orderBy("dom")
+        AE.exact_distinct_long(col("page")).as("pages")),
+    col("dom"))
 
   val regexUrlsSql: String =
     s"""WITH $hitsCte
@@ -160,12 +172,12 @@ object HitsQueries {
 
   /** Mobile / OS traffic breakdown (ClickBench Q8/Q26 class: mobile UA
     * dimensions). Integer total duration — no float drift. */
-  val mobileUa: Q = (s, dir) =>
+  val mobileUa: Q = (s, dir) => orderedSmall(
     hits(s, dir).groupBy("is_mobile", "os")
       .agg(count(lit(1)).as("n"),
         AE.exact_distinct_long(col("user_id")).as("users"),
-        sum(col("duration_ms")).as("total_ms"))
-      .orderBy("is_mobile", "os")
+        sum(col("duration_ms")).as("total_ms")),
+    col("is_mobile"), col("os"))
 
   val mobileUaSql: String =
     s"""WITH $hitsCte
@@ -191,11 +203,21 @@ object HitsQueries {
 
   /** Hourly traffic × device class (ClickBench Q30-Q32 class: per-time-
     * bucket aggregation over the whole table). */
-  val hourly: Q = (s, dir) =>
+  val hourly: Q = (s, dir) => orderedSmall(
     hits(s, dir)
-      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("is_mobile"))
+      // hour bucket as integer arithmetic: date_trunc walks the
+      // timezone-aware truncation path PER ROW (~0.75 s of the 1.3 s
+      // total at 100M, measured); epoch-seconds DIV 3600 is the same
+      // truncation for the session-UTC fixture domain, and the
+      // timestamp is rendered on the ~1,440 RESULT rows instead
+      .groupBy(
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").as("hb"),
+        col("is_mobile"))
       .agg(count(lit(1)).as("n"), sum(col("duration_ms")).as("total_ms"))
-      .orderBy("hour", "is_mobile")
+      .select(expr("CAST(timestamp_micros(hb * 3600000000) " +
+          "AS TIMESTAMP_NTZ)").as("hour"),
+        col("is_mobile"), col("n"), col("total_ms")),
+    col("hour"), col("is_mobile"))
 
   val hourlySql: String =
     s"""WITH $hitsCte
@@ -243,10 +265,10 @@ object HitsQueries {
   /** Paid-traffic breakdown (ClickBench Q1/Q7 class: WHERE
     * AdvEngineID <> 0 GROUP BY AdvEngineID ORDER BY count). The filter
     * drops ~6% organic; 17 result groups. */
-  val advCounts: Q = (s, dir) =>
+  val advCounts: Q = (s, dir) => orderedSmall(
     hits(s, dir).filter(col("adv") =!= 0)
-      .groupBy("adv").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("adv"))
+      .groupBy("adv").agg(count(lit(1)).as("n")),
+    col("n").desc, col("adv"))
 
   val advCountsSql: String =
     s"""WITH $hitsCte
@@ -293,12 +315,12 @@ object HitsQueries {
   /** Substring phrase filter (ClickBench Q20 class: SearchPhrase LIKE
     * '%google%'). A contains-LIKE cannot use an index even in the
     * reference; here it is a codegen'd substring test riding the scan. */
-  val phraseLike: Q = (s, dir) =>
+  val phraseLike: Q = (s, dir) => orderedSmall(
     hits(s, dir).filter(col("phrase").like("%w1%"))
       .groupBy("phrase")
       .agg(count(lit(1)).as("n"),
-        AE.exact_distinct_long(col("user_id")).as("users"))
-      .orderBy(col("n").desc, col("phrase"))
+        AE.exact_distinct_long(col("user_id")).as("users")),
+    col("n").desc, col("phrase"))
 
   val phraseLikeSql: String =
     s"""WITH $hitsCte
@@ -325,14 +347,14 @@ object HitsQueries {
   /** Regexp domain extraction + string-length stats (ClickBench Q28
     * class: REGEXP_REPLACE(Referer, ...) with length() aggregates).
     * RE2-compatible pattern; lengths are exact integers. */
-  val urlDomains: Q = (s, dir) =>
+  val urlDomains: Q = (s, dir) => orderedSmall(
     hits(s, dir)
       .groupBy(regexp_extract(col("url"), "https://(site[0-9]+)\\.example", 1)
         .as("site"))
       .agg(count(lit(1)).as("n"), sum(length(col("url"))).as("url_chars"),
         min(length(col("url"))).as("min_len"),
-        max(length(col("url"))).as("max_len"))
-      .orderBy("site")
+        max(length(col("url"))).as("max_len")),
+    col("site"))
 
   val urlDomainsSql: String =
     s"""WITH $hitsCte
@@ -366,12 +388,12 @@ object HitsQueries {
   /** Small-key histogram (ClickBench Q30/Q31 class: GROUP BY a
     * low-cardinality dimension with several aggregates). Five result
     * rows; map-side partials collapse virtually everything. */
-  val widthHist: Q = (s, dir) =>
+  val widthHist: Q = (s, dir) => orderedSmall(
     hits(s, dir).groupBy("width")
       .agg(count(lit(1)).as("n"),
         AE.exact_distinct_long(col("user_id")).as("users"),
-        sum(col("duration_ms")).as("total_ms"))
-      .orderBy("width")
+        sum(col("duration_ms")).as("total_ms")),
+    col("width"))
 
   val widthHistSql: String =
     s"""WITH $hitsCte
@@ -400,14 +422,14 @@ object HitsQueries {
     * engine, hits and exact uniques for searches landing in one week —
     * the ts predicate pushes to the scan, the distinct rides the
     * packed-set aggregate. */
-  val advWindow: Q = (s, dir) =>
+  val advWindow: Q = (s, dir) => orderedSmall(
     hits(s, dir)
       .filter(col("ts") >= lit("2024-01-08") && col("ts") < lit("2024-01-15")
         && col("adv") =!= 0 && col("phrase") =!= "")
       .groupBy("adv")
       .agg(count(lit(1)).as("n"),
-        AE.exact_distinct_long(col("user_id")).as("users"))
-      .orderBy(col("n").desc, col("adv"))
+        AE.exact_distinct_long(col("user_id")).as("users")),
+    col("n").desc, col("adv"))
 
   val advWindowSql: String =
     s"""WITH $hitsCte

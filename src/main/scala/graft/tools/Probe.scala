@@ -181,6 +181,19 @@ object Probe {
           count(lit(1)).over(Window.partitionBy("comp")).as("csize"))
         .orderBy("doc_id")))
     }
+    // --- embed_communities phases -----------------------------------------
+    {
+      import graft.ops.{ConnectedComponents, PipelineQueries}
+      val mutual = PipelineQueries.embedKnnGraph(spark, dir)
+        .filter(col("mutual")).select(col("src"), col("dst"))
+      time("comm.knn_mutual")(mutual.count())
+      val frozen = mutual.localCheckpoint(true)
+      var labels: DataFrame = null
+      time("comm.cc_loop")({
+        labels = ConnectedComponents.label(frozen); -1L })
+      time("comm.full_query")(noop(
+        PipelineQueries.embedCommunities(spark, dir)))
+    }
     // --- quantile_sketch legs ---------------------------------------------
     {
       import org.apache.spark.sql.expressions.Window
@@ -199,6 +212,45 @@ object Probe {
           sum("cnt").over(wc).as("cum"), sum("cnt").over(wn).as("ntot"))))
       time("qs.full")(noop(graft.ops.RelationalQueries
         .quantileSketch(spark, dir)))
+    }
+    // --- exact-distinct class decomposition (min-of-3: this box
+    // drifts; single shots mislead) -----------------------------------------
+    {
+      import graft.functions.expressions.{AggExpressions => AE}
+      val hits = graft.ops.HitsQueries.hits(spark, dir)
+      for (i <- 0 until 3) {
+        time(s"hits.scan/$i")(noop(hits.select("dom", "user_id")))
+        time(s"hits.group_count/$i")(noop(
+          hits.groupBy("dom").agg(count(lit(1)).as("n"))))
+        time(s"hits.hll_spark/$i")(noop(hits.groupBy("dom")
+          .agg(approx_count_distinct(col("user_id"), 0.02).as("a"))))
+        time(s"hits.hll_graft/$i")(noop(hits.groupBy("dom")
+          .agg(AE.hll_distinct_long(col("user_id")).as("a"))))
+        time(s"hits.exact_only/$i")(noop(hits.groupBy("dom")
+          .agg(AE.exact_distinct_long(col("user_id")).as("users"))))
+        time(s"hits.uniques_agg/$i")(noop(hits.groupBy("dom")
+          .agg(AE.exact_distinct_long(col("user_id")).as("users"),
+            count(lit(1)).as("n"),
+            AE.hll_distinct_long(col("user_id")).as("a"))))
+        time(s"hits.width_exact_only/$i")(noop(hits.groupBy("width")
+          .agg(AE.exact_distinct_long(col("user_id")).as("users"))))
+        time(s"hits.uniques_q/$i")(noop(
+          graft.ops.HitsQueries.uniques(spark, dir)))
+        time(s"hits.width_q/$i")(noop(
+          graft.ops.HitsQueries.widthHist(spark, dir)))
+        time(s"hits.hourly_q/$i")(noop(
+          graft.ops.HitsQueries.hourly(spark, dir)))
+        time(s"hits.hourly_count/$i")(noop(hits
+          .groupBy(date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("n"))))
+        time(s"hits.hourly_nodt/$i")(noop(hits
+          .groupBy(col("is_mobile")).agg(count(lit(1)).as("n"),
+            sum(col("duration_ms")).as("total_ms"))))
+        time(s"hits.topurls_q/$i")(noop(
+          graft.ops.HitsQueries.topUrls(spark, dir)))
+        time(s"hits.topurls_agg/$i")(noop(hits
+          .groupBy("dom", "page").agg(count(lit(1)).as("n"))))
+      }
     }
     spark.stop()
   }

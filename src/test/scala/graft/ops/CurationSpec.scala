@@ -33,17 +33,34 @@ class CurationSpec extends SparkSuite {
     // pointer-jump accelerated loop must finish inside the default
     // maxIter=25 (O(log d) rounds) with every node labelled 0.
     val edges = (0L until 99L).map(i => (i, i + 1)).toDF("src", "dst")
-    val got = ConnectedComponents.label(edges)
+    // localThreshold=0 pins the DISTRIBUTED loop — the default gate
+    // would close this tiny graph on the driver and test nothing
+    val got = ConnectedComponents.label(edges, localThreshold = 0)
       .as[(Long, Long)].collect().toMap
     assert(got.size == 100 && got.values.forall(_ == 0L))
+  }
+
+  test("connected components: local and distributed strategies agree") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300)((rnd.nextInt(120).toLong,
+      rnd.nextInt(120).toLong)).filter(p => p._1 != p._2)
+      .toDF("src", "dst")
+    val local = ConnectedComponents.label(edges)
+      .as[(Long, Long)].collect().toMap
+    val dist = ConnectedComponents.label(edges, localThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local === dist)
   }
 
   test("connected components: non-convergence is loud, not silent") {
     import spark.implicits._
     val edges = (0L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
     // maxIter=2 cannot close a 40-hop chain even with jumping
+    // (distributed path pinned — union-find has no iteration budget)
     assertThrows[IllegalStateException] {
-      ConnectedComponents.label(edges, maxIter = 2).collect()
+      ConnectedComponents.label(edges, maxIter = 2, localThreshold = 0)
+        .collect()
     }
   }
 

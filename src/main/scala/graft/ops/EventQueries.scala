@@ -146,7 +146,10 @@ object EventQueries {
   val approxDistinct: Q = (s, dir) =>
     ev(s, dir)
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx"),
+      // graft's dense HLL (16 KiB registers, unboxed update) — same
+      // ≤5% contract, ~3× cheaper per row than approx_count_distinct
+      .agg(graft.functions.expressions.AggExpressions
+          .hll_distinct_long(col("user_id")).as("approx"),
         countDistinct(col("user_id")).as("exact_users"),
         count("*").as("n"))
       .select(col("event_type"), col("exact_users"), col("n"),

@@ -35,6 +35,25 @@ object PipelineQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** Deterministic coarse-centroid stride (every `stride`-th vec_id is
+    * a centroid) for the ANN / semantic-dedup family. The historical
+    * fixed 50 made the MODEL grow with the corpus: assignment work is
+    * N·k = N²/50 — quadratic, and the measured wall of the sf10
+    * communities probe (200k vectors × 4,000 centroids). stride =
+    * max(50, ⌊√N⌋) holds k ≈ √N, balancing assignment (N·k) against
+    * the in-cluster pair stage (N·stride) at O(N^1.5) total, and the
+    * broadcast model stays driver-sized at ANY corpus. Below N = 2,500
+    * it equals the historical 50, so gate-SF oracle outputs are
+    * unchanged. ⌊√N⌋ is exact for perfect squares in IEEE double, so
+    * [[sqlCentroidStride]] computes the identical value in DuckDB. */
+  private[graft] def centroidStride(n: Long): Long =
+    math.max(50L, math.sqrt(n.toDouble).toLong)
+
+  /** The SQL mirror of [[centroidStride]] over the embeddings table. */
+  private val sqlCentroidStride: String =
+    "(SELECT GREATEST(50, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) " +
+      "FROM embeddings)"
+
   /** Deterministic total order on a PAIR-EXPLOSION output, applied only
     * when the verify/bench harness asks for it (`graft.orderedOutput`,
     * set by [[graft.Verify]] and [[graft.Bench]]). Pair outputs grow
@@ -672,7 +691,7 @@ object PipelineQueries {
     val base = embs(s, dir).select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     val all = base.unionAll(plantedTwins(base, dims))
-    val cents = base.filter(col("vec_id") % 50 === 0)
+    val cents = base.filter(col("vec_id") % centroidStride(base.count()) === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     // index build: nearest centroid per vector — driver-sized model,
     // fused argmax kernel, NO exchange between scan and assignment
@@ -709,7 +728,7 @@ object PipelineQueries {
        |planted AS ($sqlPlantedTwins),
        |av AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
        |c AS (SELECT vec_id AS cid, embedding AS cv FROM base
-       |      WHERE vec_id % 50 = 0),
+       |      WHERE vec_id % $sqlCentroidStride = 0),
        |assigned AS (SELECT vec_id, embedding, cluster FROM (
        |    SELECT e.vec_id, e.embedding, c.cid AS cluster,
        |      row_number() OVER (PARTITION BY e.vec_id
@@ -748,7 +767,7 @@ object PipelineQueries {
     val K = 3
     val base = embs(s, dir).select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
-    val cents = base.filter(col("vec_id") % 50 === 0)
+    val cents = base.filter(col("vec_id") % centroidStride(base.count()) === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val model = CentroidModel.collect(cents)
     val assigned = base.select(col("vec_id"), col("v"),
@@ -784,7 +803,7 @@ object PipelineQueries {
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
        |  FROM embeddings),
        |c AS (SELECT vec_id AS cid, embedding AS cv FROM base
-       |      WHERE vec_id % 50 = 0),
+       |      WHERE vec_id % $sqlCentroidStride = 0),
        |assigned AS (SELECT vec_id, embedding, cluster FROM (
        |    SELECT e.vec_id, e.embedding, c.cid AS cluster,
        |      row_number() OVER (PARTITION BY e.vec_id
@@ -1041,7 +1060,7 @@ object PipelineQueries {
     * only. Output format matches [[embedTopK]] for recall comparison. */
   val embedIvf: Q = (s, dir) => {
     val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-    val cents = e.filter(col("vec_id") % 50 === 0)
+    val cents = e.filter(col("vec_id") % centroidStride(e.count()) === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     // index build: nearest centroid per vector — fused argmax over the
     // driver-sized model, zero exchange (see NearestCentroid)
@@ -1082,7 +1101,7 @@ object PipelineQueries {
     val nA = sqlDot("a.embedding", "a.embedding")
     val nQ2 = sqlDot("p.qv", "p.qv")
     s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-       |           WHERE vec_id % 50 = 0),
+       |           WHERE vec_id % $sqlCentroidStride = 0),
        |assigned AS (SELECT vec_id, embedding, cluster FROM (
        |    SELECT e.vec_id, e.embedding, c.cid AS cluster,
        |      row_number() OVER (PARTITION BY e.vec_id
@@ -1190,7 +1209,7 @@ object PipelineQueries {
       .select("vec_id", "embedding", "vn")
     // coarse quantizer: deterministic centroids + fused assignment (the
     // embedIvf kernel — no exchange between scan and cluster id)
-    val cents = e0.filter(col("vec_id") % 50 === 0)
+    val cents = e0.filter(col("vec_id") % centroidStride(e0.count()) === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     val model = CentroidModel.collect(cents)
     val assigned = e.select(col("vec_id"), col("vn"),
@@ -1265,7 +1284,7 @@ object PipelineQueries {
     * single-task window partition. Same shape at 100 TB. */
   val clusterSample: Q = (s, dir) => {
     val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-    val cents = e.filter(col("vec_id") % 50 === 0)
+    val cents = e.filter(col("vec_id") % centroidStride(e.count()) === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     // driver-sized model + fused argmax — no exchange between the
     // corpus scan and the assignment (see NearestCentroid); the ONLY
@@ -1290,7 +1309,7 @@ object PipelineQueries {
     val nV = sqlDot("e.embedding", "e.embedding")
     val nC = sqlDot("c.cv", "c.cv")
     s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-       |           WHERE vec_id % 50 = 0),
+       |           WHERE vec_id % $sqlCentroidStride = 0),
        |assigned AS (SELECT vec_id, cluster, ccos FROM (
        |    SELECT e.vec_id, c.cid AS cluster,
        |      $dotVC / (sqrt($nV) * sqrt($nC)) AS ccos,
@@ -1958,7 +1977,7 @@ object PipelineQueries {
     val lake = vecIdxCache.computeIfAbsent(dir, _ => {
       val l = new graft.lake.Mooncake(graft.Scratch.dir("graft-vecidx-q"))
       val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-      val cents = e.filter(col("vec_id") % 50 === 0)
+      val cents = e.filter(col("vec_id") % centroidStride(e.count()) === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       VectorIndex.build(s, l, "ivf",
         e.filter(col("vec_id") % 97 =!= 0), cents)

@@ -12,8 +12,8 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType,
-  DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, Decimal,
+  DecimalType, DoubleType, LongType, StructField, StructType}
 
 /** Growable flat double buffer — the aggregation state of
   * [[ExactPercentiles]]. Primitive array, no boxing. */
@@ -167,6 +167,93 @@ case class DecimalMoments(child: Expression)
     Divide(Cast(c2, DoubleType), Literal(math.pow(10, 2 * scaleOf)))))
 
   override protected def withNewChildInternal(c: Expression): DecimalMoments =
+    copy(child = c)
+}
+
+/** Exact SUM over a decimal column with PURE LONG per-row arithmetic —
+  * the 100 TB replacement for Spark's built-in `sum(decimal)` whose
+  * accumulator crosses precision 18 and falls back to a BigDecimal-
+  * backed buffer (an object op per row; 4 such sums are most of TPC-H
+  * Q1's cost at 60M rows). The unscaled long splits into three signed
+  * 21-bit limbs (top = v>>42, mid = (v>>21) & 2^21-1, lo = v & 2^21-1;
+  * exact for negatives since top keeps the sign), each limb summed in
+  * its own LONG column — overflow-free while rows-per-group < 2^42 —
+  * and the true sum is reconstructed ONCE per group at eval in
+  * decimal(38): top·2^42 + mid·2^21 + lo, rescaled to the input's
+  * scale. DeclarativeAggregate: update/merge are Add/shift/mask
+  * expressions, so the whole aggregate stays inside whole-stage
+  * codegen with no boxing anywhere. Value-identical to the built-in
+  * (same exact integer arithmetic; returns decimal(38, s)). */
+case class UnscaledSum(child: Expression, longScale: Int = -1)
+  extends DeclarativeAggregate with UnaryLike[Expression] {
+
+  // Either a decimal child (unscaled via reinterpret, scale from its
+  // type) or an ALREADY-UNSCALED long child with an explicit scale —
+  // the latter lets callers do per-row decimal PRODUCTS in pure long
+  // arithmetic too (a (18,2)×(18,2) product is precision 37, so even
+  // the per-row multiply is BigDecimal-backed in Spark; unscaled
+  // longs multiply for free when the product fits 2^63).
+  private def scaleOf: Int = child.dataType match {
+    case d: DecimalType => d.scale
+    case _ => longScale
+  }
+
+  private def unscaledChild: Expression = child.dataType match {
+    case _: DecimalType => UnscaledValue(child)
+    case _ => child
+  }
+
+  override def dataType: DataType = DecimalType(38, scaleOf)
+  override def nullable: Boolean = true
+
+  private lazy val lo = AttributeReference("lo", LongType, nullable = false)()
+  private lazy val mid = AttributeReference("mid", LongType, nullable = false)()
+  private lazy val top = AttributeReference("top", LongType, nullable = false)()
+  private lazy val cnt = AttributeReference("cnt", LongType, nullable = false)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(lo, mid, top, cnt)
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(0L), Literal(0L), Literal(0L), Literal(0L))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, ShiftRight}
+    val v = unscaledChild
+    val mask = Literal((1L << 21) - 1)
+    Seq(
+      If(IsNull(child), lo, Add(lo, BitwiseAnd(v, mask))),
+      If(IsNull(child), mid,
+        Add(mid, BitwiseAnd(ShiftRight(v, Literal(21)), mask))),
+      If(IsNull(child), top, Add(top, ShiftRight(v, Literal(42)))),
+      If(IsNull(child), cnt, Add(cnt, Literal(1L))))
+  }
+
+  override lazy val mergeExpressions: Seq[Expression] = Seq(
+    Add(lo.left, lo.right), Add(mid.left, mid.right),
+    Add(top.left, top.right), Add(cnt.left, cnt.right))
+
+  override lazy val evaluateExpression: Expression = {
+    // top·2^42 + mid·2^21 + lo, in decimal(38,0) (each limb sum fits a
+    // long; the weighted recombination may not), then rescale by 10^-s
+    // via a decimal divide that is exact (the value IS a multiple of
+    // 10^-s by construction)
+    val d38 = DecimalType(38, 0)
+    val weighted = Add(
+      Add(
+        Multiply(Cast(top, d38), Literal(Decimal(1L << 42), d38)),
+        Multiply(Cast(mid, d38), Literal(Decimal(1L << 21), d38))),
+      Cast(lo, d38))
+    val scaled = Cast(
+      Divide(
+        Cast(weighted, DecimalType(38, scaleOf)),
+        Literal(Decimal(math.pow(10, scaleOf).toLong),
+          DecimalType(18, 0))),
+      DecimalType(38, scaleOf))
+    If(org.apache.spark.sql.catalyst.expressions.EqualTo(cnt, Literal(0L)),
+      Literal(null, DecimalType(38, scaleOf)), scaled)
+  }
+
+  override protected def withNewChildInternal(c: Expression): UnscaledSum =
     copy(child = c)
 }
 
@@ -963,6 +1050,20 @@ object AggExpressions {
   /** Array of exact interpolated percentiles of a double column. */
   def exact_percentiles(c: Column, ps: Seq[Double]): Column =
     column(ExactPercentiles(expr(c), ps).toAggregateExpression())
+
+  /** Exact decimal SUM with pure-long per-row arithmetic
+    * ([[UnscaledSum]]) — value-identical to the built-in. */
+  def unscaled_sum(c: Column): Column =
+    column(UnscaledSum(expr(c)).toAggregateExpression())
+
+  /** [[UnscaledSum]] over an ALREADY-UNSCALED long expression carrying
+    * `scale` implied decimal places — for per-row decimal products
+    * done in long arithmetic. */
+  def unscaled_sum_long(c: Column, scale: Int): Column =
+    column(UnscaledSum(expr(c), scale).toAggregateExpression())
+
+  /** Reinterpret a decimal column as its unscaled long (free). */
+  def unscaled(c: Column): Column = column(UnscaledValue(expr(c)))
 
   /** Struct(n, s1, s2) of exact single-pass moments of a decimal column. */
   def decimal_moments(c: Column): Column =

@@ -31,6 +31,33 @@ object RelationalQueries {
 
   private[ops] def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Exact ×100 long read of a money DOUBLE — the codegen-friendly
+    * twin of `dec()` for hot aggregation paths. Spark's double→decimal
+    * cast routes through Double.toString + BigDecimal PER ROW; this is
+    * two double ops and a truncating cast. Value contract: for a
+    * double that is the nearest representation of an exact 2-decimal
+    * value k/100 (every TPC-H money column), x·100 lands within 1 ulp
+    * of the integer k — never near k±0.5 — so the half-away-from-zero
+    * adjustment recovers k exactly, bit-identical to the decimal cast
+    * on both engines. NOT for genuinely >2-decimal doubles (a true
+    * 1.005 can round differently than its shortest-string cast). */
+  private[ops] def scaled2(c: Column): Column =
+    (c * 100 + when(c >= 0, lit(0.5)).otherwise(lit(-0.5))).cast("long")
+
+  /** sum of a money double in pure long arithmetic, rendered double —
+    * value-identical to `sum(dec(c)).cast("double")` (see [[scaled2]]
+    * and q1Agg's rationale). */
+  private def sumDec2D(c: Column): Column =
+    AE.unscaled_sum_long(scaled2(c), 2).cast("double")
+
+  /** extendedprice·(1−discount) as an exact ×10⁴ long. */
+  private def revenueL: Column =
+    scaled2(col("l_extendedprice")) * (lit(100L) - scaled2(col("l_discount")))
+
+  /** The TPC-H revenue sum, long end-to-end, rendered double. */
+  private def sumRevenueD: Column =
+    AE.unscaled_sum_long(revenueL, 4).cast("double")
+
   /** Engine-agnostic decimal→double: THROUGH A STRING. Both engines
     * round string→double correctly; DuckDB's direct decimal→double is
     * hugeint→double then ÷10^scale — two roundings that can land one
@@ -297,8 +324,7 @@ object RelationalQueries {
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-          .cast("double").as("revenue"),
+        sumRevenueD.as("revenue"),
         count("*").as("n_items"))
       .orderBy("r_name", "n_name")
   }
@@ -468,16 +494,35 @@ object RelationalQueries {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        decToDouble(sum(dec(col("l_quantity")))).as("sum_qty"),
-        decToDouble(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
-        decToDouble(sum(dec(col("l_extendedprice"))
-          * (lit(1) - dec(col("l_discount"))))).as("sum_disc_price"),
-        decToDouble(sum((dec(col("l_extendedprice"))
-            * (lit(1) - dec(col("l_discount")))).cast("decimal(18,4)")
-            * (lit(1) + dec(col("l_tax"))))).as("sum_charge"),
-        (decToDouble(sum(dec(col("l_quantity")))) / count("*")).as("avg_qty"),
-        (decToDouble(sum(dec(col("l_extendedprice")))) / count("*"))
-          .as("avg_price"),
+        // Pure-long money pipeline. Three BigDecimal-per-row costs in
+        // the naive decimal spelling, all removed: (a) Spark's
+        // double→decimal CAST goes through Double.toString per row;
+        // (b) the (18,2)×(18,2) money products are precision 37 —
+        // BigDecimal again; (c) the sum's >18-precision accumulator.
+        // Instead: scaled2() reads each money double as its exact
+        // ×100 long (fixture money IS exact 2-decimal, so the rounded
+        // scaled read equals the decimal cast bit-for-bit — see
+        // scaled2's proof), products stay long (ext·(100−disc) ≤ 1e9,
+        // ·(100+tax) ≤ 1e11), and the limb-split UnscaledSum
+        // accumulates exactly. Value-identical to the oracle's
+        // decimal chain: same integers end to end.
+        decToDouble(AE.unscaled_sum_long(scaled2(col("l_quantity")), 2))
+          .as("sum_qty"),
+        decToDouble(AE.unscaled_sum_long(scaled2(col("l_extendedprice")), 2))
+          .as("sum_base_price"),
+        decToDouble(AE.unscaled_sum_long(
+          scaled2(col("l_extendedprice"))
+            * (lit(100L) - scaled2(col("l_discount"))), 4))
+          .as("sum_disc_price"),
+        decToDouble(AE.unscaled_sum_long(
+          scaled2(col("l_extendedprice"))
+            * (lit(100L) - scaled2(col("l_discount")))
+            * (lit(100L) + scaled2(col("l_tax"))), 6))
+          .as("sum_charge"),
+        (decToDouble(AE.unscaled_sum_long(scaled2(col("l_quantity")), 2))
+          / count("*")).as("avg_qty"),
+        (decToDouble(AE.unscaled_sum_long(scaled2(col("l_extendedprice")), 2))
+          / count("*")).as("avg_price"),
         count("*").as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -575,7 +620,7 @@ object RelationalQueries {
   val aggCube: Q = (s, dir) =>
     t(s, dir, "lineitem")
       .cube("l_returnflag", "l_linestatus")
-      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+      .agg(sumDec2D(col("l_quantity")).as("sum_qty"),
         count("*").as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
@@ -592,7 +637,7 @@ object RelationalQueries {
     t(s, dir, "orders")
       .rollup("o_orderstatus", "o_orderpriority")
       .agg(count("*").as("n"),
-        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+        sumDec2D(col("o_totalprice")).as("sum_price"))
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
@@ -623,7 +668,7 @@ object RelationalQueries {
     t(s, dir, "orders")
       .groupBy("o_custkey")
       .agg(count("*").as("n_orders"),
-        sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        sumDec2D(col("o_totalprice")).as("total"))
       .filter(col("n_orders") >= 12)
       .orderBy("o_custkey")
 
@@ -1146,7 +1191,8 @@ object RelationalQueries {
     val salted = t(s, dir, "lineitem")
       .withColumn("__salt", pmod(col("l_orderkey"), lit(8)))
       .groupBy("l_returnflag", "__salt")
-      .agg(sum(dec(col("l_quantity"))).as("partial_qty"),
+      .agg(AE.unscaled_sum_long(scaled2(col("l_quantity")), 2)
+        .as("partial_qty"),
         count("*").as("partial_n"))
     salted.groupBy("l_returnflag")
       .agg(sum(col("partial_qty")).cast("double").as("sum_qty"),
@@ -1472,8 +1518,7 @@ object RelationalQueries {
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-        .cast("double").as("revenue"))
+      .agg(sumRevenueD.as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -1496,7 +1541,7 @@ object RelationalQueries {
   val q18Volume: Q = (s, dir) => {
     val li = t(s, dir, "lineitem")
     val bigOrders = li.groupBy("l_orderkey")
-      .agg(sum(dec(col("l_quantity"))).as("qty"))
+      .agg(AE.unscaled_sum_long(scaled2(col("l_quantity")), 2).as("qty"))
       .filter(col("qty") > 150)
       .select("l_orderkey")
     val o = t(s, dir, "orders")
@@ -1506,7 +1551,7 @@ object RelationalQueries {
       .join(li, o("o_orderkey") === li("l_orderkey"))
       .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"))
-      .agg(sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
+      .agg(sumDec2D(col("l_quantity")).as("total_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(20)
   }
@@ -1557,8 +1602,7 @@ object RelationalQueries {
         c("c_nationkey") === sup("s_nationkey"))
       .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-        .cast("double").as("revenue"))
+      .agg(sumRevenueD.as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -1601,8 +1645,7 @@ object RelationalQueries {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
         col("n_name"))
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-        .cast("double").as("revenue"))
+      .agg(sumRevenueD.as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
   }
@@ -1651,7 +1694,7 @@ object RelationalQueries {
         li("salt") === sup("salt"))
       .groupBy(col("s_suppkey"), col("s_name"))
       .agg(count(lit(1)).as("n_items"),
-        sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
+        sumDec2D(col("l_quantity")).as("total_qty"))
       .orderBy("s_suppkey")
   }
 
@@ -1674,7 +1717,8 @@ object RelationalQueries {
         col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 24)
-      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+      .agg(AE.unscaled_sum_long(
+        scaled2(col("l_extendedprice")) * scaled2(col("l_discount")), 4)
         .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
 
@@ -1752,8 +1796,7 @@ object RelationalQueries {
           col("cust_nation") === "NATION_1"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("l_year"))
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-        .cast("double").as("revenue"))
+      .agg(sumRevenueD.as("revenue"))
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
@@ -1915,8 +1958,7 @@ object RelationalQueries {
     li.join(broadcast(p.filter(col("p_size") <= 15)),
         li("l_partkey") === p("p_partkey"))
       .filter(clause)
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-        .cast("double").as("revenue"),
+      .agg(sumRevenueD.as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
@@ -2005,10 +2047,9 @@ object RelationalQueries {
       |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))""".stripMargin
 
   /** Micro-unit revenue term (×10⁴): exact integral value of
-    * extendedprice·(1−discount), the Q8/Q14 discipline. */
-  private def volU: Column =
-    (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))) *
-      lit(10000)).cast("decimal(38,0)")
+    * extendedprice·(1−discount), the Q8/Q14 discipline — a pure LONG
+    * per row (see [[scaled2]]); summed via the limb-split aggregate. */
+  private def volU: Column = revenueL
 
   private val volUSql: String =
     """CAST(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -2095,14 +2136,14 @@ object RelationalQueries {
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
         "l_extendedprice", "l_discount")
-    val costU = (col("ps_supplycost_cents") *
-      col("l_quantity").cast("long") * lit(100)).cast("decimal(38,0)")
+    val costU = col("ps_supplycost_cents") *
+      col("l_quantity").cast("long") * lit(100L)
     li.join(ps, col("l_partkey") === col("ps_partkey") &&
         col("l_suppkey") === col("ps_suppkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
-      .agg(sum(volU - costU).as("profit_dec"))
+      .agg(AE.unscaled_sum_long(volU - costU, 0).as("profit_dec"))
       .select(col("nation"), col("o_year"),
         col("profit_dec").cast("long").as("profit_u"))
       .orderBy(col("nation"), col("o_year").desc)
@@ -2248,7 +2289,7 @@ object RelationalQueries {
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey").as("supplier_no"))
-      .agg(sum(volU).as("rev_dec"))
+      .agg(AE.unscaled_sum_long(volU, 0).as("rev_dec"))
       .select(col("supplier_no"), col("rev_dec").cast("long")
         .as("total_revenue_u"))
     val maxRev = rev.agg(max("total_revenue_u").as("max_u"))
@@ -2327,7 +2368,8 @@ object RelationalQueries {
       .agg(sum("qty").as("sum_qty"), count(lit(1)).as("cnt"))
     li.join(avgq, col("l_partkey") === col("aq_partkey"))
       .filter(col("qty") * 5 * col("cnt") < col("sum_qty"))
-      .agg(sum(volU).as("total_dec"), count(lit(1)).as("n_items"))
+      .agg(AE.unscaled_sum_long(volU, 0).as("total_dec"),
+        count(lit(1)).as("n_items"))
       .selectExpr("CAST(total_dec AS BIGINT) AS total_u",
         "CAST(total_dec AS BIGINT) div 7 AS avg_yearly_u", "n_items")
   }

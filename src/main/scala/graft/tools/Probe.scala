@@ -181,6 +181,19 @@ object Probe {
           count(lit(1)).over(Window.partitionBy("comp")).as("csize"))
         .orderBy("doc_id")))
     }
+    // --- TPC-H q1 decimal-agg decomposition ---------------------------------
+    {
+      val li = Tables.load(spark, dir, "lineitem")
+      for (i <- 0 until 3) {
+        time(s"tpch.count/$i")(li.count())
+        time(s"tpch.sum_long/$i")(noop(li.groupBy("l_returnflag", "l_linestatus")
+          .agg(sum((col("l_quantity") * 100).cast("long")).as("s"))))
+        time(s"tpch.sum_dec/$i")(noop(li.groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(col("l_quantity")).as("s"))))
+        time(s"tpch.q1_full/$i")(noop(
+          graft.ops.RelationalQueries.q1Agg(spark, dir)))
+      }
+    }
     // --- embed_communities phases -----------------------------------------
     {
       import graft.ops.{ConnectedComponents, PipelineQueries}

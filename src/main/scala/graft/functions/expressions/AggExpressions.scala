@@ -716,26 +716,39 @@ final class LongSet(var table: Array[Long], var size: Int,
     addRun(arr)
   }
 
+  /** Distinct size after the last full run-merge — the floor the
+    * incremental-merge trigger doubles against, so merge work stays
+    * amortized O(1) per entry while run memory stays O(distinct). */
+  private var mergedFloor: Long = 0L
+
   private def addRun(arr: Array[Long]): Unit = {
     if (arr.length == 0) return
     if (runs == null) runs = new java.util.ArrayList[Array[Long]]()
     runsTotal += arr.length
-    if (runsTotal > LongSet.MaxEntries) failCardinality()
     runs.add(arr)
+    // runsTotal counts CROSS-RUN DUPLICATES (runs overlap until merged),
+    // so it is an upper bound, not the distinct count. For a group whose
+    // distinct exceeds the spill chunk, every chunk overlaps every prior
+    // run — unmerged, state would grow O(rows) and a group far below
+    // MaxEntries true-distinct would trip the ceiling spuriously. Merge
+    // incrementally whenever the bound doubles past the last merged
+    // size (geometric trigger → amortized O(1) merge work per entry),
+    // and only fail on a POST-merge (exact) count.
+    if (runs.size > 1 &&
+        (runsTotal > LongSet.MaxEntries ||
+         runsTotal >= math.max(mergedFloor * 2, LongSet.MergeFloorMin))) {
+      mergeRuns()
+      if (runsTotal > LongSet.MaxEntries) failCardinality()
+    }
   }
 
-  /** Collapse buffer + runs into ONE sorted deduped run via balanced
+  /** Merge the run list into ONE sorted deduped run via balanced
     * pairwise merge — sequential scans only, duplicates dropped at
-    * first collision. */
-  private def collapse(): Unit = {
-    if (size > 0) {
-      java.util.Arrays.sort(table, 0, size)
-      size = dedupeInPlace(table, size)
-      addRun(java.util.Arrays.copyOf(table, size))
-      size = 0
-    }
+    * first collision. Does not touch the append buffer. */
+  private def mergeRuns(): Unit = {
     if (runs == null || runs.size <= 1) {
       if (runs != null && runs.size == 1) runsTotal = runs.get(0).length.toLong
+      mergedFloor = runsTotal
       return
     }
     var cur = runs
@@ -751,6 +764,22 @@ final class LongSet(var table: Array[Long], var size: Int,
     }
     runs = cur
     runsTotal = cur.get(0).length.toLong
+    mergedFloor = runsTotal
+  }
+
+  /** Collapse blob + buffer + runs into ONE sorted deduped run. Decodes
+    * a pending raw blob first so every read path (count, foreachEntry,
+    * serialize) sees materialized state — a freshly-deserialized
+    * partial must not silently read as empty. */
+  private def collapse(): Unit = {
+    if (rawBlob != null) decodeSelf()
+    if (size > 0) {
+      java.util.Arrays.sort(table, 0, size)
+      size = dedupeInPlace(table, size)
+      addRun(java.util.Arrays.copyOf(table, size))
+      size = 0
+    }
+    mergeRuns()
   }
 
   private def mergeDedup(a: Array[Long], b: Array[Long]): Array[Long] = {
@@ -834,8 +863,16 @@ object LongSet {
 
   /** Hard per-group cardinality ceiling: past 2^27 entries the
     * serialized blob (5 + 8*n bytes) would no longer fit an
-    * Int-sized array — fail loudly rather than wrap and corrupt. */
+    * Int-sized array — fail loudly rather than wrap and corrupt.
+    * Enforced against the POST-merge exact distinct count, never the
+    * duplicate-inflated pending-run total. */
   val MaxEntries: Int = 1 << 27
+
+  /** Incremental-merge floor: below this many pending run entries the
+    * geometric trigger stays quiet (small groups merge once at eval);
+    * above it, runs merge whenever the pending total doubles past the
+    * last merged size — 4 spill chunks' worth. */
+  val MergeFloorMin: Long = 4L * CompactThreshold
 }
 
 /** Exact COUNT(DISTINCT long) as a single-pass set aggregate.

@@ -104,6 +104,15 @@ class Mooncake(val warehouse: String, val database: String = "main") {
       config: Map[String, String] = Map.empty): Manifest = {
     ResourceCaps.enforce(spark)
     val dir = tableDir(name)
+    // Recreate-after-in-scope-drop: apply this scope's own pending drop
+    // NOW (the create supersedes it) instead of (a) throwing "already
+    // exists" on a dir whose delete is merely deferred, or (b) letting
+    // the stale intent fire at commit and destroy the FRESH mirror.
+    // Fidelity note: an abort after this point loses the old mirror —
+    // physical dirs are reused by name, so full MVCC drop-rollback
+    // under recreate is out of scope; the common paths (abort keeps the
+    // mirror, commit nets DROP+CREATE) match the reference.
+    if (cancelPendingDrop(name)) LakeFs.deleteRec(Paths.get(dir))
     if (Manifest.latest(dir).isDefined)
       throw new IllegalStateException(s"mooncake table '$name' already exists")
     // Optimizer stats, not an execution: parquet footer / cache sizes.
@@ -216,19 +225,40 @@ class Mooncake(val warehouse: String, val database: String = "main") {
     * intents; they execute (in call order) only when `body` returns
     * normally — the pre-commit callback — and are discarded when it
     * throws, so an aborted scope keeps every mirror. Scopes are
-    * per-thread and do not nest (a nested scope joins the outer one,
-    * matching subtransactions committing with their top level). */
+    * per-thread; a nested scope joins the outer one (subtransactions
+    * commit with their top level) but keeps SUBTRANSACTION abort
+    * semantics: intents registered inside a nested body that throws
+    * are truncated away even when the outer scope catches the throw
+    * and commits — Postgres discards a rolled-back subxact's
+    * pre-commit callbacks, not just the top-level abort's. */
   def inTransaction[T](body: => T): T = {
     val outer = pendingDrops.get()
     val buf = if (outer != null) outer
       else scala.collection.mutable.ArrayBuffer.empty[String]
     pendingDrops.set(buf)
+    val mark = buf.length // nested-scope rollback point
     var ok = false
     try { val r = body; ok = true; r }
-    finally if (outer == null) {
-      pendingDrops.remove()
-      if (ok) buf.foreach(n => LakeFs.deleteRec(Paths.get(tableDir(n))))
+    finally {
+      if (!ok && buf.length > mark) buf.remove(mark, buf.length - mark)
+      if (outer == null) {
+        pendingDrops.remove()
+        if (ok) buf.foreach(n => LakeFs.deleteRec(Paths.get(tableDir(n))))
+      }
     }
+  }
+
+  /** A table (re)created inside a scope supersedes any pending drop of
+    * the same name: executing the stale intent at commit would delete
+    * the FRESH mirror the create just wrote (physical dirs are reused
+    * by name). Net-of-scope effect matches Postgres DROP-then-CREATE
+    * in one transaction: the new table survives commit. */
+  private def cancelPendingDrop(name: String): Boolean = {
+    val buf = pendingDrops.get()
+    if (buf != null && buf.contains(name)) {
+      buf.filterInPlace(_ != name)
+      true
+    } else false
   }
 
   /** Engine reset — the analog of the reference's "command to reset

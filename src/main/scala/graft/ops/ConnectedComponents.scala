@@ -54,48 +54,92 @@ object ConnectedComponents {
     // generation ONCE; both the gate count and either strategy read
     // the materialized blocks.
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    if (e.count() <= localThreshold) labelLocal(e)
+    // The local path casts ids to long, which is lossless only for
+    // integral types — any other id type (string hash ids, decimals)
+    // keeps the distributed loop's any-ordered-type contract.
+    val integralIds = isIntegral(e.schema("src").dataType) &&
+      isIntegral(e.schema("dst").dataType)
+    if (integralIds && e.count() <= localThreshold) labelLocal(e)
     else labelDistributed(e, maxIter)
   }
 
+  private def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
   /** Driver-local closure: union-find with path halving + union by
-    * min, O(E α(E)). Only reached through [[label]]'s exact-count
-    * gate, so the collect is driver-sized by construction. */
+    * min, O(E α(E)). Only reached through [[label]]'s exact-count +
+    * integral-id gate, so the footprint is driver-sized by
+    * construction — and PRIMITIVE by construction: edges stream in via
+    * toLocalIterator (one partition of boxed rows at a time, never the
+    * whole edge set boxed at once) into flat long arrays, the vertex
+    * dictionary is a sorted deduped long array, and union-find runs on
+    * int indices into it. At the 5M-edge ceiling that is ~80 MB of
+    * edge longs + ~120 MB dictionary/parent — an order of magnitude
+    * under the boxed-HashMap equivalent. Index order equals id order
+    * (dictionary is sorted), so union-by-min-index IS union-by-min-id
+    * and the root index's id is the component label. */
   private def labelLocal(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
     val idType = e.schema("src").dataType
-    val pairs = e.select(col("src").cast("long"), col("dst").cast("long"))
-      .collect()
-    val parent = new java.util.HashMap[Long, Long]()
-    def find(x0: Long): Long = {
+    val srcB = new scala.collection.mutable.ArrayBuilder.ofLong
+    val dstB = new scala.collection.mutable.ArrayBuilder.ofLong
+    val it = e.select(col("src").cast("long"), col("dst").cast("long"))
+      .toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      // A null endpoint constrains nothing (no vertex to merge with) —
+      // skip the edge rather than fabricate a null vertex; the
+      // distributed path's equi-joins never match nulls either.
+      if (!r.isNullAt(0) && !r.isNullAt(1)) {
+        srcB += r.getLong(0)
+        dstB += r.getLong(1)
+      }
+    }
+    val src = srcB.result()
+    val dst = dstB.result()
+    // Vertex dictionary: sorted distinct ids.
+    val verts = {
+      val all = new Array[Long](src.length + dst.length)
+      System.arraycopy(src, 0, all, 0, src.length)
+      System.arraycopy(dst, 0, all, src.length, dst.length)
+      java.util.Arrays.sort(all)
+      var w = 0
+      var i = 0
+      while (i < all.length) {
+        if (w == 0 || all(i) != all(w - 1)) { all(w) = all(i); w += 1 }
+        i += 1
+      }
+      java.util.Arrays.copyOf(all, w)
+    }
+    val parent = new Array[Int](verts.length)
+    var i = 0
+    while (i < parent.length) { parent(i) = i; i += 1 }
+    def find(x0: Int): Int = {
       var x = x0
-      var p = parent.get(x)
-      while (p != x) {
-        val gp = parent.get(p)
-        parent.put(x, gp) // path halving
-        x = gp
-        p = parent.get(x)
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
       }
       x
     }
-    pairs.foreach { r =>
-      val a = r.getLong(0)
-      val b = r.getLong(1)
-      if (!parent.containsKey(a)) parent.put(a, a)
-      if (!parent.containsKey(b)) parent.put(b, b)
-      val ra = find(a)
-      val rb = find(b)
-      // union by min id: the root IS the component's min, so no
-      // second min-per-root pass is needed
-      if (ra < rb) parent.put(rb, ra)
-      else if (rb < ra) parent.put(ra, rb)
+    i = 0
+    while (i < src.length) {
+      val ra = find(java.util.Arrays.binarySearch(verts, src(i)))
+      val rb = find(java.util.Arrays.binarySearch(verts, dst(i)))
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+      i += 1
     }
-    val out = new Array[(Long, Long)](parent.size())
-    val it = parent.keySet().iterator()
-    var i = 0
-    while (it.hasNext) {
-      val v = it.next()
-      out(i) = (v, find(v))
+    val out = new Array[(Long, Long)](verts.length)
+    i = 0
+    while (i < verts.length) {
+      out(i) = (verts(i), verts(find(i)))
       i += 1
     }
     import spark.implicits._

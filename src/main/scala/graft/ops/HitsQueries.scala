@@ -203,21 +203,37 @@ object HitsQueries {
 
   /** Hourly traffic × device class (ClickBench Q30-Q32 class: per-time-
     * bucket aggregation over the whole table). */
-  val hourly: Q = (s, dir) => orderedSmall(
-    hits(s, dir)
-      // hour bucket as integer arithmetic: date_trunc walks the
-      // timezone-aware truncation path PER ROW (~0.75 s of the 1.3 s
-      // total at 100M, measured); epoch-seconds DIV 3600 is the same
-      // truncation for the session-UTC fixture domain, and the
-      // timestamp is rendered on the ~1,440 RESULT rows instead
-      .groupBy(
-        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").as("hb"),
-        col("is_mobile"))
-      .agg(count(lit(1)).as("n"), sum(col("duration_ms")).as("total_ms"))
-      .select(expr("CAST(timestamp_micros(hb * 3600000000) " +
-          "AS TIMESTAMP_NTZ)").as("hour"),
-        col("is_mobile"), col("n"), col("total_ms")),
-    col("hour"), col("is_mobile"))
+  val hourly: Q = (s, dir) => {
+    // The integer-bucket rewrite below equals date_trunc('hour') ONLY
+    // under a UTC session (whole-hour zones would need an offset term;
+    // DST zones have no constant offset at all) and for post-epoch
+    // data (DIV truncates toward zero, so pre-1970 micros would bucket
+    // one hour high). Both hold for this engine (Bench/Verify pin UTC;
+    // event-log domain) — but guard, don't assume: under any other
+    // session tz fall back to the per-row timezone-aware path rather
+    // than return silently shifted buckets. Output is TIMESTAMP_NTZ
+    // either way — the oracle contract (DuckDB's naive TIMESTAMP).
+    val utc = s.conf.get("spark.sql.session.timeZone", "UTC") == "UTC"
+    val bucketed =
+      if (utc) hits(s, dir)
+        // hour bucket as integer arithmetic: date_trunc walks the
+        // timezone-aware truncation path PER ROW (~0.75 s of the 1.3 s
+        // total at 100M, measured); epoch-seconds DIV 3600 is the same
+        // truncation for the session-UTC fixture domain, and the
+        // timestamp is rendered on the ~1,440 RESULT rows instead
+        .groupBy(
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").as("hb"),
+          col("is_mobile"))
+        .agg(count(lit(1)).as("n"), sum(col("duration_ms")).as("total_ms"))
+        .select(expr("CAST(timestamp_micros(hb * 3600000000) " +
+            "AS TIMESTAMP_NTZ)").as("hour"),
+          col("is_mobile"), col("n"), col("total_ms"))
+      else hits(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz")
+          .as("hour"), col("is_mobile"))
+        .agg(count(lit(1)).as("n"), sum(col("duration_ms")).as("total_ms"))
+    orderedSmall(bucketed, col("hour"), col("is_mobile"))
+  }
 
   val hourlySql: String =
     s"""WITH $hitsCte

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.expressions.{AggExpressions => AE}
+import graft.ops.BroadcastGate.maybeBroadcast
 
 /** The relational operator inventory of SURVEY.md §2.2–2.7, one named query
   * per operator family, each paired with DuckDB oracle SQL in
@@ -173,7 +174,7 @@ object RelationalQueries {
   val joinInner: Q = (s, dir) => {
     val o = t(s, dir, "orders")
     val c = t(s, dir, "customer")
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(maybeBroadcast(c), o("o_custkey") === c("c_custkey"))
       .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
         col("c_mktsegment"), col("o_totalprice"))
       .orderBy("o_orderkey")
@@ -319,7 +320,7 @@ object RelationalQueries {
     val n = t(s, dir, "nation")
     val r = t(s, dir, "region")
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(maybeBroadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
@@ -1516,7 +1517,7 @@ object RelationalQueries {
     val o = t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
     val li = t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(maybeBroadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sumRevenueD.as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -1547,7 +1548,7 @@ object RelationalQueries {
     val o = t(s, dir, "orders")
     val c = t(s, dir, "customer")
     o.join(bigOrders, o("o_orderkey") === bigOrders("l_orderkey"), "left_semi")
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(maybeBroadcast(c), o("o_custkey") === c("c_custkey"))
       .join(li, o("o_orderkey") === li("l_orderkey"))
       .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"))
@@ -1597,8 +1598,8 @@ object RelationalQueries {
     val li = t(s, dir, "lineitem")
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey") &&
+      .join(maybeBroadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(maybeBroadcast(sup), li("l_suppkey") === sup("s_suppkey") &&
         c("c_nationkey") === sup("s_nationkey"))
       .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
@@ -1641,7 +1642,7 @@ object RelationalQueries {
       .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
     val n = t(s, dir, "nation").select("n_nationkey", "n_name")
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(maybeBroadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
         col("n_name"))
@@ -1788,8 +1789,8 @@ object RelationalQueries {
         "l_shipdate")
     val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(cust), o("o_custkey") === cust("c_custkey"))
-      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(maybeBroadcast(cust), o("o_custkey") === cust("c_custkey"))
+      .join(maybeBroadcast(sup), li("l_suppkey") === sup("s_suppkey"))
       .filter((col("supp_nation") === "NATION_1" &&
           col("cust_nation") === "NATION_2") ||
         (col("supp_nation") === "NATION_2" &&
@@ -1852,10 +1853,10 @@ object RelationalQueries {
         "l_discount")
     val vol = (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))) *
       lit(10000)).cast("decimal(38,0)")
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    li.join(maybeBroadcast(p), li("l_partkey") === p("p_partkey"))
       .join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(cust), o("o_custkey") === cust("c_custkey"))
-      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(maybeBroadcast(cust), o("o_custkey") === cust("c_custkey"))
+      .join(maybeBroadcast(sup), li("l_suppkey") === sup("s_suppkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(sum(when(col("supp_nation") === "NATION_3", vol)
           .otherwise(lit(0).cast("decimal(38,0)"))).as("nation_u"),
@@ -1910,7 +1911,7 @@ object RelationalQueries {
       .select("l_partkey", "l_extendedprice", "l_discount")
     val vol = (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))) *
       lit(10000)).cast("decimal(38,0)")
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    li.join(maybeBroadcast(p), li("l_partkey") === p("p_partkey"))
       .agg(sum(when(col("p_type") === "PROMO", vol)
           .otherwise(lit(0).cast("decimal(38,0)"))).as("promo_u"),
         sum(vol).as("total_u"))
@@ -1955,7 +1956,7 @@ object RelationalQueries {
         col("l_quantity").between(10, 20)) ||
       (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
         col("l_quantity").between(20, 30))
-    li.join(broadcast(p.filter(col("p_size") <= 15)),
+    li.join(maybeBroadcast(p.filter(col("p_size") <= 15)),
         li("l_partkey") === p("p_partkey"))
       .filter(clause)
       .agg(sumRevenueD.as("revenue"),
@@ -2076,7 +2077,7 @@ object RelationalQueries {
       .select(col("s_suppkey"), col("s_name"), col("n_name"),
         (dec(col("s_acctbal")) * 100).cast("long").as("bal_cents"))
     val regional = partsupp(s, dir)
-      .join(broadcast(sup), col("ps_suppkey") === col("s_suppkey"))
+      .join(maybeBroadcast(sup), col("ps_suppkey") === col("s_suppkey"))
     val minCost = regional.groupBy(col("ps_partkey").as("mc_partkey"))
       .agg(min("ps_supplycost_cents").as("min_cost_cents"))
     val p = t(s, dir, "part")
@@ -2085,7 +2086,7 @@ object RelationalQueries {
     regional
       .join(minCost, col("ps_partkey") === col("mc_partkey") &&
         col("ps_supplycost_cents") === col("min_cost_cents"))
-      .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+      .join(maybeBroadcast(p), col("ps_partkey") === col("p_partkey"))
       .select(col("bal_cents"), col("s_name"), col("n_name"),
         col("p_partkey"), col("ps_supplycost_cents").as("cost_cents"))
       .orderBy(col("bal_cents").desc, col("n_name"), col("s_name"),
@@ -2133,7 +2134,7 @@ object RelationalQueries {
       .select("ps_partkey", "ps_suppkey", "ps_supplycost_cents")
     val o = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
     val li = t(s, dir, "lineitem")
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(maybeBroadcast(p), col("l_partkey") === col("p_partkey"))
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
         "l_extendedprice", "l_discount")
     val costU = col("ps_supplycost_cents") *
@@ -2141,7 +2142,7 @@ object RelationalQueries {
     li.join(ps, col("l_partkey") === col("ps_partkey") &&
         col("l_suppkey") === col("ps_suppkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(maybeBroadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
       .agg(AE.unscaled_sum_long(volU - costU, 0).as("profit_dec"))
       .select(col("nation"), col("o_year"),
@@ -2181,7 +2182,7 @@ object RelationalQueries {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey")
     val ps = partsupp(s, dir)
-      .join(broadcast(sup), col("ps_suppkey") === col("s_suppkey"))
+      .join(maybeBroadcast(sup), col("ps_suppkey") === col("s_suppkey"))
       .select(col("ps_partkey"),
         (col("ps_supplycost_cents") * col("ps_availqty")).as("value_cents"))
     val perPart = ps.groupBy("ps_partkey")
@@ -2296,7 +2297,7 @@ object RelationalQueries {
     val sup = t(s, dir, "supplier").select("s_suppkey", "s_name")
     rev.crossJoin(broadcast(maxRev))
       .filter(col("total_revenue_u") === col("max_u"))
-      .join(broadcast(sup), col("supplier_no") === col("s_suppkey"))
+      .join(maybeBroadcast(sup), col("supplier_no") === col("s_suppkey"))
       .select("s_suppkey", "s_name", "total_revenue_u")
       .orderBy("s_suppkey")
   }
@@ -2329,8 +2330,8 @@ object RelationalQueries {
     val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
       .select(col("s_suppkey").as("bad_suppkey"))
     partsupp(s, dir)
-      .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
-      .join(broadcast(bad), col("ps_suppkey") === col("bad_suppkey"),
+      .join(maybeBroadcast(p), col("ps_partkey") === col("p_partkey"))
+      .join(maybeBroadcast(bad), col("ps_suppkey") === col("bad_suppkey"),
         "left_anti")
       .groupBy("p_brand", "p_type", "p_size")
       .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
@@ -2361,7 +2362,7 @@ object RelationalQueries {
       .filter(col("p_brand") === "Brand#23" && col("p_size") <= 25)
       .select("p_partkey")
     val li = t(s, dir, "lineitem")
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(maybeBroadcast(p), col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
         col("l_extendedprice"), col("l_discount"))
     val avgq = li.groupBy(col("l_partkey").as("aq_partkey"))
@@ -2406,7 +2407,7 @@ object RelationalQueries {
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
     val excess = partsupp(s, dir)
-      .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+      .join(maybeBroadcast(p), col("ps_partkey") === col("p_partkey"))
       .join(shipped, col("ps_partkey") === col("l_partkey") &&
         col("ps_suppkey") === col("l_suppkey"))
       .filter(col("ps_availqty") * 2 > col("sum_qty"))
@@ -2458,7 +2459,7 @@ object RelationalQueries {
     val sup = t(s, dir, "supplier")
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey", "s_name")
-    val l1 = late.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+    val l1 = late.join(maybeBroadcast(sup), col("l_suppkey") === col("s_suppkey"))
     val l2 = li.select(col("l_orderkey").as("l2_okey"),
       col("l_suppkey").as("l2_skey"))
     val l3 = late.select(col("l_orderkey").as("l3_okey"),

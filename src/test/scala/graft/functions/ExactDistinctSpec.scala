@@ -62,4 +62,42 @@ class ExactDistinctSpec extends SparkSuite {
     t.foreachEntry(s.add)
     assert(s.count === 15001L)
   }
+
+  test("high-duplication past the spill chunk: state stays O(distinct), no spurious ceiling") {
+    // A group whose distinct exceeds the spill chunk used to overlap
+    // EVERY spilled run with every prior one: the pending-run total —
+    // what the cardinality ceiling was checked against — grew O(rows),
+    // so enough duplicated input tripped 'cardinality exceeded' for a
+    // group whose true distinct is tiny next to MaxEntries. The
+    // incremental merge must keep the exact count and never throw.
+    val s = new LongSet(new Array[Long](16), 0, hasZero = false)
+    val distinct = LongSet.CompactThreshold // 2^18 — one chunk's worth
+    // 80 full passes over the same value set: pending totals would
+    // reach 80 × 2^18 ≈ 21M unmerged entries, ~160× the distinct size
+    var pass = 0
+    while (pass < 80) {
+      var v = 1L
+      while (v <= distinct) { s.add(v * 2654435761L); v += 1 }
+      pass += 1
+    }
+    assert(s.count === distinct.toLong)
+  }
+
+  test("a deserialized partial reads correctly without an intervening add/union") {
+    // count()/foreachEntry() on a fresh rawBlob wrapper must decode the
+    // blob, not silently read as empty.
+    val src = new LongSet(new Array[Long](16), 0, hasZero = false)
+    (1L to 1000L).foreach(v => src.add(v * 7919L))
+    src.add(0L)
+    val blob = src.serializeBlob()
+    val back = new LongSet(null, 0, hasZero = false)
+    back.rawBlob = blob
+    assert(back.count === 1001L)
+    var n = 0L
+    val seen = scala.collection.mutable.Set.empty[Long]
+    val back2 = new LongSet(null, 0, hasZero = false)
+    back2.rawBlob = blob
+    back2.foreachEntry { v => n += 1; seen += v }
+    assert(n === 1000L && seen.size === 1000) // hasZero rides the flag
+  }
 }

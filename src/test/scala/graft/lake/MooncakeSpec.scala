@@ -452,6 +452,41 @@ class MooncakeSpec extends SparkSuite {
     assert(lake.listTables(spark).count() === 0)
   }
 
+  test("nested scope aborts roll back their own drop intents only") {
+    // Postgres discards a rolled-back SUBtransaction's pre-commit
+    // callbacks even when the outer transaction commits: an inner
+    // scope's throw, caught by the outer body, must not leave its
+    // intents behind to fire at outer commit.
+    val lake = freshLake()
+    lake.createTable(spark, "inner_kept", rTable(1 -> "a"), Seq("a"))
+    lake.createTable(spark, "outer_gone", rTable(1 -> "a"), Seq("a"))
+    lake.inTransaction {
+      lake.dropTable("outer_gone") // outer intent: survives to commit
+      try lake.inTransaction {
+        lake.dropTable("inner_kept") // inner intent: rolled back below
+        throw new RuntimeException("subxact rollback")
+      } catch { case _: RuntimeException => () } // outer catches + commits
+    }
+    assert(lake.read(spark, "inner_kept").count() === 1,
+      "aborted nested scope's drop must be discarded")
+    assertThrows[NoSuchElementException] { lake.read(spark, "outer_gone") }
+  }
+
+  test("drop-then-recreate inside one scope: the fresh table survives commit") {
+    val lake = freshLake()
+    lake.createTable(spark, "phoenix", rTable(1 -> "a"), Seq("a"))
+    lake.inTransaction {
+      lake.dropTable("phoenix")
+      // recreate supersedes the pending drop (net DROP+CREATE, as in
+      // Postgres); without the cancel, the stale intent would delete
+      // the fresh mirror at commit
+      lake.createTable(spark, "phoenix", rTable(2 -> "b"), Seq("a"))
+    }
+    val rows = lake.read(spark, "phoenix").collect()
+    assert(rows.length === 1 && rows(0).getString(1) === "b",
+      "commit must keep the recreated mirror, not delete it")
+  }
+
   test("invalid transitions are refused: duplicate create, stale version, torn commit") {
     val lake = freshLake()
     lake.createTable(spark, "g", rTable(1 -> "a"), Seq("a"))

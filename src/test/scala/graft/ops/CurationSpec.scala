@@ -53,6 +53,27 @@ class CurationSpec extends SparkSuite {
     assert(local === dist)
   }
 
+  test("connected components: non-integral ids keep the distributed path's contract") {
+    import spark.implicits._
+    // string ids cannot take the long-cast local union-find; the gate
+    // must route them to the distributed loop regardless of edge count
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y"))
+      .toDF("src", "dst")
+    val got = ConnectedComponents.label(edges)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x"))
+  }
+
+  test("connected components: local path skips null-endpoint edges") {
+    import spark.implicits._
+    val edges = Seq((Some(1L), Some(2L)), (Some(2L), None),
+      (None, Some(5L)), (Some(3L), Some(3L))).toDF("src", "dst")
+    val got = ConnectedComponents.label(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
   test("connected components: non-convergence is loud, not silent") {
     import spark.implicits._
     val edges = (0L until 40L).map(i => (i, i + 1)).toDF("src", "dst")

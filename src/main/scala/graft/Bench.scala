@@ -125,13 +125,20 @@ object Bench {
       .map(t => String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
       .mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"passes":$passes,"pass_totals":$passTotals,"variance_flags":$varianceFlags,"setup_sec":$setupJson,"sf":"$sfDir"}""")
-    // The driver keeps only the TAIL of stdout, so any line carrying the
-    // 162-entry queries dict can lose its leading "value" field to
-    // truncation (every BENCH_r*.json through r8 parsed as null for
-    // exactly this reason). The LAST line is therefore compact — no
-    // per-query dict, just the fields the driver parses — and the full
-    // line above stays for humans and the plan-audit tooling.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"pass_totals":$passTotals,"sf":"$sfDir"}""")
+    // The driver keeps only a ~2KB TAIL of stdout, so any line carrying
+    // the 256-entry queries dict loses its HEAD to truncation (every
+    // BENCH_r*.json through r8 parsed as null for exactly this reason).
+    // The LAST line is therefore compact but SELF-CONTAINED for triage:
+    // totals, failures, variance flags, and the top-20 slowest queries
+    // (the ones a regression diff looks at first) — ~1.5KB, inside the
+    // driver's tail window. The full 256-query dict stays on the line
+    // above (humans/tools reading full stdout) and in bench_queries.json.
+    def num3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
+      .map { case (k, v) => s""""$k":${num3(v)}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"passes":$passes,"pass_totals":$passTotals,"variance_flags":$varianceFlags,"slowest":$slowest,"sf":"$sfDir"}""")
     // Stable sidecar: the full per-query dict as a FILE, because the
     // driver's stdout tail-truncation destroys the per-query timings in
     // BENCH_r*.json every round and makes round-over-round regression

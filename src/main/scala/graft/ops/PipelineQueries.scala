@@ -2159,21 +2159,44 @@ object PipelineQueries {
     val k = 8
     val e = embs(s, dir).select(col("vec_id"), col("embedding"))
     val seed = e.orderBy("vec_id").limit(1).collect()(0)
-    var selected = Vector[(Long, Array[Float])](
-      (seed.getLong(0), seed.getSeq[Float](1).toArray))
+    val seedId = seed.getLong(0)
     val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])](
-      (1, selected.head._1, None))
-    for (r <- 2 to k) {
-      val simCols = selected.map { case (_, v) =>
-        SVE.cosine_sim(col("embedding"), typedLit(v)) }
-      val ms =
-        if (simCols.size == 1) simCols.head else greatest(simCols: _*)
-      val next = e.filter(!col("vec_id").isInCollection(selected.map(_._1)))
-        .select(col("vec_id"), ms.as("ms"), col("embedding"))
-        .orderBy(col("ms").asc, col("vec_id").asc)
-        .limit(1).collect()(0)
-      selected :+= ((next.getLong(0), next.getSeq[Float](2).toArray))
-      out += ((r, next.getLong(0), Some(next.getDouble(1))))
+      (1, seedId, None))
+    // Running max-sim state (the standard FPS recurrence): each round
+    // scores every vector against ONLY the newest pick and greatest-folds
+    // into the carried `ms` column — O(k·n) cosine kernels total instead
+    // of re-scoring the whole selected set per round (O(k²·n)/2), and
+    // each round is ONE job (the argmax materializes the round's
+    // persisted state; the previous round's blocks are dropped once its
+    // successor is materialized). greatest() is associative and the
+    // kernel bit-identical, so values, ties, and picks are unchanged.
+    var st = e.filter(col("vec_id") =!= seedId)
+      .select(col("vec_id"), col("embedding"),
+        SVE.cosine_sim(col("embedding"),
+          typedLit(seed.getSeq[Float](1).toArray)).as("ms"))
+      .persist()
+    var prev: DataFrame = null
+    try {
+      for (r <- 2 to k) {
+        val next = st.orderBy(col("ms").asc, col("vec_id").asc)
+          .limit(1).collect()(0)
+        // st is now fully materialized; its parent can release blocks
+        if (prev != null) prev.unpersist(blocking = false)
+        val nid = next.getLong(0)
+        out += ((r, nid, Some(next.getDouble(2))))
+        if (r < k) {
+          val nv = next.getSeq[Float](1).toArray
+          prev = st
+          st = st.filter(col("vec_id") =!= nid)
+            .select(col("vec_id"), col("embedding"),
+              greatest(col("ms"),
+                SVE.cosine_sim(col("embedding"), typedLit(nv))).as("ms"))
+            .persist()
+        }
+      }
+    } finally {
+      st.unpersist(blocking = false)
+      if (prev != null) prev.unpersist(blocking = false)
     }
     import s.implicits._
     out.toSeq.toDF("rank", "vec_id", "maxsim")

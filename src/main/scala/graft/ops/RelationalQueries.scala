@@ -1510,14 +1510,23 @@ object RelationalQueries {
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   /** TPC-H Q3 shape: shipping-priority top 10 — join, filtered agg,
-    * top-k (TakeOrderedAndProject after a partial agg). */
+    * top-k (TakeOrderedAndProject after a partial agg).
+    *
+    * Join ORDER is the scale lever: customer's BUILDING filter keeps
+    * ~1/5 of orders, so orders joins the (gated-broadcast) dimension
+    * FIRST and the big lineitem ⋈ orders exchange moves a 5×-reduced
+    * orders side. Joining the facts first and filtering by segment
+    * after was measured 25% slower at sf10 (Probe q3.current vs
+    * q3.reorder); a hand-built bloom runtime filter on l_orderkey was
+    * measured SLOWER still (build cost > exchange saving — Probe
+    * q3.reorder_bloom). */
   val q3Shipping: Q = (s, dir) => {
     val cutoff = lit("1998-06-15").cast("timestamp")
     val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val o = t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
     val li = t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(maybeBroadcast(c), o("o_custkey") === c("c_custkey"))
+    val oc = o.join(maybeBroadcast(c), o("o_custkey") === c("c_custkey"))
+    li.join(oc, li("l_orderkey") === oc("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sumRevenueD.as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -1538,11 +1547,19 @@ object RelationalQueries {
       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
   /** TPC-H Q18 shape: large-volume customers — aggregate subquery feeding
-    * a semi-filter, then join + re-aggregate. */
+    * a semi-filter, then join + re-aggregate.
+    *
+    * Exactness without decimal machinery: l_quantity is INTEGER-VALUED
+    * (TPC-H quantities are 1-50 stored as double) and an order has ≤7
+    * lineitems, so every per-order sum is an exact small-integer
+    * double — plain `sum(double)` is bit-exact here in both engines,
+    * and keeps the 15M-group pre-aggregate inside whole-stage codegen
+    * (HashAggregate) instead of the typed-imperative ObjectHashAggregate
+    * path (~25% faster on the agg leg at sf10, Probe q18.bigorders_*). */
   val q18Volume: Q = (s, dir) => {
     val li = t(s, dir, "lineitem")
     val bigOrders = li.groupBy("l_orderkey")
-      .agg(AE.unscaled_sum_long(scaled2(col("l_quantity")), 2).as("qty"))
+      .agg(sum(col("l_quantity")).as("qty"))
       .filter(col("qty") > 150)
       .select("l_orderkey")
     val o = t(s, dir, "orders")
@@ -1552,20 +1569,20 @@ object RelationalQueries {
       .join(li, o("o_orderkey") === li("l_orderkey"))
       .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"))
-      .agg(sumDec2D(col("l_quantity")).as("total_qty"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(20)
   }
 
   val q18VolumeSql: String =
     """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |  sum(l_quantity) AS total_qty
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
       |JOIN lineitem ON o_orderkey = l_orderkey
       |WHERE o_orderkey IN (
       |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-      |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+      |  HAVING sum(l_quantity) > 150)
       |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
 

@@ -265,6 +265,83 @@ object Probe {
           .groupBy("dom", "page").agg(count(lit(1)).as("n"))))
       }
     }
+
+    // --- q3 variants: join order + runtime bloom -------------------------
+    if (only.isEmpty || only.exists(_.startsWith("q3"))) {
+      import graft.functions.expressions.{AggExpressions => AE}
+      val cutoff = lit("1998-06-15").cast("timestamp")
+      def c = Tables.load(spark, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      def o = Tables.load(spark, dir, "orders")
+        .filter(col("o_orderdate") < cutoff)
+      def li = Tables.load(spark, dir, "lineitem")
+        .filter(col("l_shipdate") > cutoff)
+      def revL = (col("l_extendedprice") * 100 + lit(0.5)).cast("long") *
+        (lit(100L) - (col("l_discount") * 100 + lit(0.5)).cast("long"))
+      def finish(j: DataFrame): DataFrame = j
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(AE.unscaled_sum_long(revL, 4).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+      for (i <- 1 to 2) {
+        time(s"q3.current/$i")(noop(
+          graft.ops.RelationalQueries.q3Shipping(spark, dir)))
+        time(s"q3.reorder/$i") {
+          val oc = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          noop(finish(li.join(oc, li("l_orderkey") === oc("o_orderkey"))))
+        }
+        time(s"q3.reorder_bloom/$i") {
+          import org.apache.spark.sql.graft.ColumnBridge
+          import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+          import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+          val oc = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+            .localCheckpoint(true)
+          val bloomAgg = ColumnBridge.column(new BloomFilterAggregate(
+            ColumnBridge.expression(xxhash64(col("o_orderkey"))),
+            Literal(4000000L), Literal(38400000L)).toAggregateExpression())
+          val blob = oc.agg(bloomAgg).head().getAs[Array[Byte]](0)
+          val liF = li.filter(ColumnBridge.column(new BloomFilterMightContain(
+            Literal.create(blob,
+              org.apache.spark.sql.types.BinaryType),
+            ColumnBridge.expression(xxhash64(col("l_orderkey"))))))
+          noop(finish(liF.join(oc, col("l_orderkey") === oc("o_orderkey"))))
+        }
+      }
+    }
+
+    // --- q18 variants: typed-imperative vs codegen sum for the semi agg --
+    if (only.isEmpty || only.exists(_.startsWith("q18"))) {
+      import graft.functions.expressions.{AggExpressions => AE}
+      def li = Tables.load(spark, dir, "lineitem")
+      def o = Tables.load(spark, dir, "orders")
+      def c = Tables.load(spark, dir, "customer")
+      def finish18(big: DataFrame, qty: org.apache.spark.sql.Column) = {
+        o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(li, o("o_orderkey") === li("l_orderkey"))
+          .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"))
+          .agg(qty.as("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(20)
+      }
+      for (i <- 1 to 2) {
+        time(s"q18.current/$i")(noop(
+          graft.ops.RelationalQueries.q18Volume(spark, dir)))
+        time(s"q18.bigorders_typed/$i")(noop(li.groupBy("l_orderkey")
+          .agg(AE.unscaled_sum_long(
+            (col("l_quantity") * 100 + lit(0.5)).cast("long"), 2).as("qty"))
+          .filter(col("qty") > 150)))
+        time(s"q18.bigorders_plain/$i")(noop(li.groupBy("l_orderkey")
+          .agg(sum(col("l_quantity")).as("qty"))
+          .filter(col("qty") > 150)))
+        time(s"q18.plain_full/$i") {
+          val big = li.groupBy("l_orderkey")
+            .agg(sum(col("l_quantity")).as("qty"))
+            .filter(col("qty") > 150).select("l_orderkey")
+          noop(finish18(big, sum(col("l_quantity"))))
+        }
+      }
+    }
     spark.stop()
   }
 }

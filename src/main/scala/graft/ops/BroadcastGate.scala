@@ -49,4 +49,28 @@ object BroadcastGate {
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (est <= maxBytes) broadcast(df) else df
   }
+
+  /** Exact-COUNT gate for frames whose byte estimate is opaque: without
+    * CBO column stats a Filter passes its child's size estimate
+    * through, so a date-window or segment filter that keeps 4% of a
+    * fact-sized table still LOOKS fact-sized to [[maybeBroadcast]] and
+    * never broadcasts. This variant pays ONE counting job (a pushed-
+    * down, column-pruned scan — cheap next to the fact exchange a
+    * broadcast avoids) and hints only when the materialized row count
+    * fits. The frame is NOT persisted: the join re-evaluates it, which
+    * re-scans a (pruned) input once — cheaper than pinning executor
+    * memory for a side that may then shuffle anyway. Deterministic
+    * frames only, same contract as RuntimeFilter.keyPredicate. */
+  def maybeBroadcastCounted(df: DataFrame,
+      maxRows: Long = DefaultMaxRows): DataFrame = {
+    val cap = df.sparkSession.conf
+      .getOption("spark.graft.maxBroadcastRows")
+      .map(_.toLong).getOrElse(maxRows)
+    if (df.count() <= cap) broadcast(df) else df
+  }
+
+  /** 4M rows ≈ 100-200 MB materialized for the narrow projected dims
+    * this gates — the knee where a broadcast still beats re-shuffling a
+    * 10×-larger fact side. */
+  val DefaultMaxRows: Long = 4_000_000L
 }

@@ -1591,15 +1591,17 @@ object RelationalQueries {
     * nation ⋈ region) with the extra c_nationkey = s_nationkey
     * "local supplier" constraint that makes the join ORDER matter.
     *
-    * Scale shape: the two fact-sized legs join first on orderkey
-    * (lineitem ⋈ date-filtered orders — one key-partitioned exchange);
-    * every dimension after that broadcasts (supplier/nation/region are
-    * tiny at any SF; customer rides q3's precedent at bench scale and
-    * is the one hint to drop on a 100 TB cluster, where AQE converts
-    * it back to a shuffle join — the plan stays correct either way).
-    * The local-supplier condition lands IN the supplier join, so
-    * non-local rows die before the aggregate; the final rollup has
-    * nation-count cardinality. */
+    * Scale shape: the dimension chain REDUCES BEFORE the fact — ASIA
+    * cuts customers 5×, the year cuts orders ~7×, and their join (a
+    * gated-broadcast hash join at bench SF) leaves an orders side small
+    * enough for the exact-count gate to broadcast, so lineitem — the
+    * only table that matters at 100 TB — is probed IN PLACE with zero
+    * fact exchange (measured 13.7× vs DuckDB as a fact-fact shuffle at
+    * sf10; the probe plan removes the whole lineitem exchange). Over
+    * either gate the same plan degrades join-by-join to shuffles — no
+    * hard hints anywhere. The local-supplier condition lands IN the
+    * supplier join, so non-local rows die before the aggregate; the
+    * final rollup has nation-count cardinality. */
   val q5Revenue: Q = (s, dir) => {
     val lo = lit("1996-01-01").cast("timestamp")
     val hi = lit("1997-01-01").cast("timestamp")
@@ -1607,17 +1609,23 @@ object RelationalQueries {
     val n = t(s, dir, "nation")
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .select("n_nationkey", "n_name")
+    // ASIA customers only: both ends of the local-supplier equality are
+    // ASIA nations, so the region filter semi-prunes customer up front
     val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      .join(broadcast(n.select("n_nationkey")),
+        col("c_nationkey") === col("n_nationkey"), "left_semi")
     val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
     val o = t(s, dir, "orders")
       .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
       .select("o_orderkey", "o_custkey")
     val li = t(s, dir, "lineitem")
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(maybeBroadcast(c), o("o_custkey") === c("c_custkey"))
+    val oc = o.join(maybeBroadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
+    li.join(BroadcastGate.maybeBroadcastCounted(oc),
+        li("l_orderkey") === col("o_orderkey"))
       .join(maybeBroadcast(sup), li("l_suppkey") === sup("s_suppkey") &&
-        c("c_nationkey") === sup("s_nationkey"))
+        col("c_nationkey") === sup("s_nationkey"))
       .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(sumRevenueD.as("revenue"))
@@ -1658,7 +1666,12 @@ object RelationalQueries {
     val c = t(s, dir, "customer")
       .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
     val n = t(s, dir, "nation").select("n_nationkey", "n_name")
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
+    // The quarter window keeps ~4% of orders — small enough for the
+    // exact-count gate to broadcast (the q4 pattern), so the returned-
+    // lineitem scan is probed in place with zero fact exchange; over
+    // the gate the same join degrades to the shuffle.
+    li.join(BroadcastGate.maybeBroadcastCounted(o),
+        li("l_orderkey") === o("o_orderkey"))
       .join(maybeBroadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
@@ -1750,20 +1763,35 @@ object RelationalQueries {
       |  AND l_discount BETWEEN 0.03 AND 0.07
       |  AND l_quantity < 24""".stripMargin
 
-  /** TPC-H Q4 shape: order-priority checking — EXISTS decorrelates to a
-    * LEFT SEMI join with a non-equi residual (the late-shipment condition
-    * references both sides), then a tiny group-by over priorities. The
-    * date-window filter on orders rides the scan, so the semi join's
-    * build side is already quarter-sized. Fixture note: no
-    * commit/receipt dates → "late" is shipped >30 days after order. */
+  /** TPC-H Q4 shape: order-priority checking — EXISTS decorrelates to
+    * "late lineitems ⋈ quarter orders, dedup per order" with the
+    * QUARTER-SIZED orders side broadcast behind an exact-count gate.
+    * A left-semi spelling puts orders on the STREAM side, so Spark
+    * must exchange all of lineitem to co-locate it (60M × 16 B at
+    * sf10) even though the quarter keeps ~4% of orders; flipping to an
+    * inner join lets the small side build a broadcast hash table and
+    * lineitem is probed IN PLACE — zero fact exchange, like the
+    * single-node engines run it. distinct() restores EXISTS semantics
+    * (an order with several late lineitems counts once) at order-key
+    * cardinality. The count gate (not the stats gate: a Filter doesn't
+    * shrink plan-stat bytes without CBO) degrades to the shuffle semi
+    * at the SF where a quarter of orders outgrows a broadcast.
+    * Fixture note: no commit/receipt dates → "late" is shipped >30
+    * days after order. */
   val q4Priority: Q = (s, dir) => {
     val o = t(s, dir, "orders")
       .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
         col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
     val li = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
-    o.join(li, o("o_orderkey") === li("l_orderkey") &&
-        li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 30 DAYS"),
-        "left_semi")
+    val late = li("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS")
+    val ob = BroadcastGate.maybeBroadcastCounted(o)
+    (if (ob ne o) // broadcast granted: inner probe + per-order dedup
+      li.join(ob, col("o_orderkey") === li("l_orderkey") && late)
+        .select("o_orderkey", "o_orderpriority").distinct()
+    else // over the gate: the shuffle semi is the honest plan
+      o.join(li, col("o_orderkey") === li("l_orderkey") && late, "left_semi")
+        .select("o_orderkey", "o_orderpriority"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("order_count"))
       .orderBy("o_orderpriority")
@@ -2046,15 +2074,34 @@ object RelationalQueries {
     * float surface. Scale note: the derivation is one distinct over the
     * fact (a single map-side-combined exchange on the pair key); in a real
     * deployment partsupp is its own table and this node disappears. */
-  private def partsupp(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
+  /** `suppKeys`/`partKeys`: OPTIONAL single-column dimension key frames
+    * semi-joined onto lineitem BEFORE the distinct. The distinct is
+    * this relation's whole cost — a fact-sized exchange of (partkey,
+    * suppkey) pairs — and every consumer immediately joins a filtered
+    * dimension that would discard most of it; pushing that dimension's
+    * key set below the distinct (a gated-broadcast semi riding the
+    * scan) multiplies its selectivity into the exchange instead
+    * (EUROPE suppliers: 5×; one nation: 25×; a part filter: ~7×).
+    * Pure reduction, not a correctness anchor: the consumer's own join
+    * still enforces the predicate, and the oracle CTE keeps the full
+    * distinct — identical values either way. */
+  private def partsupp(s: SparkSession, dir: String,
+      suppKeys: DataFrame = null, partKeys: DataFrame = null): DataFrame = {
+    var li = t(s, dir, "lineitem")
       .select(col("l_partkey").as("ps_partkey"),
         col("l_suppkey").as("ps_suppkey"))
-      .distinct()
+    if (suppKeys != null)
+      li = li.join(maybeBroadcast(suppKeys.toDF("__sk")),
+        col("ps_suppkey") === col("__sk"), "left_semi")
+    if (partKeys != null)
+      li = li.join(maybeBroadcast(partKeys.toDF("__pk")),
+        col("ps_partkey") === col("__pk"), "left_semi")
+    li.distinct()
       .withColumn("ps_supplycost_cents",
         (col("ps_partkey") * 37 + col("ps_suppkey") * 71) % 90000 + 10000)
       .withColumn("ps_availqty",
         (col("ps_partkey") * 13 + col("ps_suppkey") * 7) % 9999 + 1)
+  }
 
   private val partsuppCte: String =
     """partsupp AS (
@@ -2093,7 +2140,7 @@ object RelationalQueries {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_name"),
         (dec(col("s_acctbal")) * 100).cast("long").as("bal_cents"))
-    val regional = partsupp(s, dir)
+    val regional = partsupp(s, dir, suppKeys = sup.select("s_suppkey"))
       .join(maybeBroadcast(sup), col("ps_suppkey") === col("s_suppkey"))
     val minCost = regional.groupBy(col("ps_partkey").as("mc_partkey"))
       .agg(min("ps_supplycost_cents").as("min_cost_cents"))
@@ -2147,7 +2194,7 @@ object RelationalQueries {
     val sup = t(s, dir, "supplier")
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("nation"))
-    val ps = partsupp(s, dir)
+    val ps = partsupp(s, dir, partKeys = p)
       .select("ps_partkey", "ps_suppkey", "ps_supplycost_cents")
     val o = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
     val li = t(s, dir, "lineitem")
@@ -2198,7 +2245,7 @@ object RelationalQueries {
     val sup = t(s, dir, "supplier")
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey")
-    val ps = partsupp(s, dir)
+    val ps = partsupp(s, dir, suppKeys = sup)
       .join(maybeBroadcast(sup), col("ps_suppkey") === col("s_suppkey"))
       .select(col("ps_partkey"),
         (col("ps_supplycost_cents") * col("ps_availqty")).as("value_cents"))
@@ -2346,7 +2393,7 @@ object RelationalQueries {
       .select("p_partkey", "p_brand", "p_type", "p_size")
     val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
       .select(col("s_suppkey").as("bad_suppkey"))
-    partsupp(s, dir)
+    partsupp(s, dir, partKeys = p.select("p_partkey"))
       .join(maybeBroadcast(p), col("ps_partkey") === col("p_partkey"))
       .join(maybeBroadcast(bad), col("ps_suppkey") === col("bad_suppkey"),
         "left_anti")
@@ -2421,9 +2468,14 @@ object RelationalQueries {
     val shipped = t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      // the name-matched part set semi-prunes BEFORE the (partkey,
+      // suppkey) aggregate's exchange — the excess join discards
+      // non-matching parts anyway (same push as partsupp's partKeys)
+      .join(maybeBroadcast(p), col("l_partkey") === col("p_partkey"),
+        "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
-    val excess = partsupp(s, dir)
+    val excess = partsupp(s, dir, partKeys = p)
       .join(maybeBroadcast(p), col("ps_partkey") === col("p_partkey"))
       .join(shipped, col("ps_partkey") === col("l_partkey") &&
         col("ps_suppkey") === col("l_suppkey"))

@@ -58,14 +58,35 @@ class TpchPlanSpec extends SparkSuite {
     assert(r.getDouble(0) > 0 && r.getLong(1) > 0)
   }
 
-  test("q4: EXISTS decorrelates to a semi join, never a count-distinct blowup") {
+  test("q4: EXISTS is a broadcast probe of lineitem under the count gate, semi over it") {
+    // Under the gate (quarter-sized orders counted small): inner
+    // broadcast join — lineitem probed in place, no fact exchange —
+    // with a per-order dedup restoring EXISTS semantics.
     val df = RelationalQueries.q4Priority(spark, sf)
     val phys = df.queryExecution.executedPlan.toString
-    assert(phys.contains("LeftSemi"), s"expected LeftSemi join:\n$phys")
+    assert(phys.contains("BroadcastHashJoin"),
+      s"expected broadcast probe at fixture scale:\n$phys")
     assert("PushedFilters: \\[[^\\]]*o_orderdate".r
       .findFirstIn(phys).isDefined, "quarter window not pushed")
     assert(!phys.contains("CartesianProduct"))
     assert(df.collect().nonEmpty)
+    // Over the gate (simulated with a zero-row ceiling): the shuffle
+    // semi join is the 100-TB degrade — never a broadcast of a
+    // fact-proportional side, never a cartesian.
+    val saved = spark.conf.getOption("spark.graft.maxBroadcastRows")
+    try {
+      spark.conf.set("spark.graft.maxBroadcastRows", "0")
+      val big = RelationalQueries.q4Priority(spark, sf)
+      val bphys = big.queryExecution.executedPlan.toString
+      assert(bphys.contains("LeftSemi"), s"expected LeftSemi:\n$bphys")
+      assert(!bphys.contains("CartesianProduct"))
+      assert(big.collect().map(_.toString).sorted
+        === df.collect().map(_.toString).sorted,
+        "both strategies must agree row-for-row")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.graft.maxBroadcastRows", v)
+      case None => spark.conf.unset("spark.graft.maxBroadcastRows")
+    }
   }
 
   test("q19: disjunctive predicate — join stays equi, pushable halves push") {

@@ -2510,31 +2510,53 @@ object RelationalQueries {
     * the order) AND NOT EXISTS (another supplier was ALSO late). Both
     * decorrelate to self-joins of lineitem on orderkey with a
     * suppkey-inequality residual — a LEFT SEMI then a LEFT ANTI — so
-    * the plan is hash joins throughout, never a per-row subquery. The
-    * one fact-fact exchange (lineitem ⋈ F-orders) is shared by the
-    * outer and the NOT-EXISTS leg. Top-100 is a TakeOrdered cut.
-    * Fixture note: no commit/receipt dates → "late" is shipped >30
-    * days after the order date (the Q4 convention). */
+    * the plan is hash joins throughout, never a per-row subquery.
+    *
+    * Scale shape: the one-nation filter (1/25 of suppliers) semi-prunes
+    * lineitem BEFORE the F-orders join, and both correlation legs only
+    * matter for orders that still have a NATION_8 late lineitem — a
+    * data-dependent key set that is checkpointed once, exact-counted,
+    * and (under the gate) broadcast so the l2/l3 legs PROBE the full
+    * lineitem scan in place instead of exchanging it. Over the gate the
+    * same key set degrades to a shuffle semi — still a prune, never an
+    * OOM. Top-100 is a TakeOrdered cut. Fixture note: no
+    * commit/receipt dates → "late" is shipped >30 days after the order
+    * date (the Q4 convention). */
   val q21Waiting: Q = (s, dir) => {
     val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
       .select("o_orderkey", "o_orderdate")
     val li = t(s, dir, "lineitem")
       .select("l_orderkey", "l_suppkey", "l_shipdate")
-    val late = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .filter(col("l_shipdate") >
-        col("o_orderdate") + expr("INTERVAL 30 DAYS"))
-      .select("l_orderkey", "l_suppkey")
     val n = t(s, dir, "nation").filter(col("n_name") === "NATION_8")
     val sup = t(s, dir, "supplier")
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey", "s_name")
-    val l1 = late.join(maybeBroadcast(sup), col("l_suppkey") === col("s_suppkey"))
-    val l2 = li.select(col("l_orderkey").as("l2_okey"),
+    val late = col("l_shipdate") >
+      col("o_orderdate") + expr("INTERVAL 30 DAYS")
+    // outer leg: one nation's lineitems only, then the F-orders join
+    val liS = li.join(maybeBroadcast(sup.select("s_suppkey")),
+      col("l_suppkey") === col("s_suppkey"), "left_semi")
+    val l1 = liS.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(late)
+      .join(maybeBroadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select("l_orderkey", "l_suppkey", "s_name")
+      .localCheckpoint(true) // small (nation-late rows); read 3×
+    val ok = l1.select(col("l_orderkey").as("k_okey")).distinct()
+    val okB = BroadcastGate.maybeBroadcastCounted(ok)
+    // l2/l3 source: lineitems of l1's orders only (in-place probe when
+    // the key set broadcast; shuffle semi otherwise)
+    val l2 = li.join(okB, col("l_orderkey") === col("k_okey"), "left_semi")
+    val oK0 = o.join(okB, col("o_orderkey") === col("k_okey"), "left_semi")
+    // bounded by the SAME exact count the gate just passed, so the hard
+    // hint is safe exactly when it is applied
+    val oK = if (okB ne ok) broadcast(oK0) else oK0
+    val l3 = l2.join(oK, col("l_orderkey") === col("o_orderkey"))
+      .filter(late)
+      .select(col("l_orderkey").as("l3_okey"), col("l_suppkey").as("l3_skey"))
+    val l2r = l2.select(col("l_orderkey").as("l2_okey"),
       col("l_suppkey").as("l2_skey"))
-    val l3 = late.select(col("l_orderkey").as("l3_okey"),
-      col("l_suppkey").as("l3_skey"))
-    l1.join(l2, l1("l_orderkey") === l2("l2_okey") &&
-        l1("l_suppkey") =!= l2("l2_skey"), "left_semi")
+    l1.join(l2r, l1("l_orderkey") === l2r("l2_okey") &&
+        l1("l_suppkey") =!= l2r("l2_skey"), "left_semi")
       .join(l3, l1("l_orderkey") === l3("l3_okey") &&
         l1("l_suppkey") =!= l3("l3_skey"), "left_anti")
       .groupBy(col("s_name"))

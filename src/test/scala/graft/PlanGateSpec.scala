@@ -87,6 +87,15 @@ class PlanGateSpec extends SparkSuite {
     "q_text_perplexity" -> "hashed-bucket LM table — fixed bucket count by construction",
     "q_text_bpe_pairs" -> "unigram count table for pair scoring — vocabulary-sized (sublinear in the corpus)",
     "q_text_heavy_hitters" -> "Misra-Gries sketch output — at most m entries by the aggregate's state bound",
+    // The four below are EXACT-COUNT-GATED (BroadcastGate
+    // .maybeBroadcastCounted): the hint exists in the plan only when a
+    // counting job just measured the side under the row cap, and the
+    // same query degrades to the shuffle join above it — runtime
+    // enforcement of the bound this allowlist otherwise documents.
+    "q4_priority" -> "quarter-filtered orders behind the exact-count gate; over the cap the spelling flips to the shuffle semi join",
+    "q5_local_revenue" -> "year+region-reduced orders⋈customer keys behind the exact-count gate; shuffle join over the cap",
+    "q10_returns" -> "quarter-filtered orders behind the exact-count gate; shuffle join over the cap",
+    "q21_waiting" -> "l1's order-key set (counted) and the F-orders it semi-selects (bounded by that same count); both collapse to shuffle semi joins over the cap",
   )
 
   test("no cartesian/nested-loop joins or corpus-derived forced broadcasts") {

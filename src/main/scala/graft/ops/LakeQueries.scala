@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.lake.{Mooncake, MvAgg, Mview}
 import graft.ops.RelationalQueries.decToDouble
-import graft.ops.BroadcastGate.maybeBroadcast
+import graft.ops.BroadcastGate.{maybeBroadcast, maybeBroadcastCounted}
 
 /** Oracle-checked queries that drive the lake core (SURVEY.md §2.8–2.9)
   * end-to-end: mirror creation, a CDC batch (deletes + updates), and the
@@ -1129,7 +1129,7 @@ object LakeQueries {
       require(facts.inputFiles.length <
           graft.lake.DeltaCompat.read(s, tmp).inputFiles.length,
         "runtime key bounds must skip delta files outside the dim key domain")
-    facts.join(maybeBroadcast(c), col("o_custkey") === col("c_custkey"))
+    facts.join(maybeBroadcastCounted(c), col("o_custkey") === col("c_custkey"))
       .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
       .orderBy("o_orderkey")
   }
@@ -1155,7 +1155,7 @@ object LakeQueries {
       require(facts.inputFiles.length <
           graft.lake.IcebergCompat.read(s, tmp).inputFiles.length,
         "runtime key bounds must skip iceberg files outside the dim key domain")
-    facts.join(maybeBroadcast(c), col("o_custkey") === col("c_custkey"))
+    facts.join(maybeBroadcastCounted(c), col("o_custkey") === col("c_custkey"))
       .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
       .orderBy("o_orderkey")
   }
@@ -1328,7 +1328,7 @@ object LakeQueries {
       require(facts.inputFiles.length <
           lake.read(s, "orders_bycust").inputFiles.length,
         "runtime key bounds must skip fact files outside the dim key domain")
-    facts.join(maybeBroadcast(c), col("o_custkey") === col("c_custkey"))
+    facts.join(maybeBroadcastCounted(c), col("o_custkey") === col("c_custkey"))
       .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
       .orderBy("o_orderkey")
   }

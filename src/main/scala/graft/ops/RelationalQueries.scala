@@ -1576,7 +1576,7 @@ object RelationalQueries {
 
   val q18VolumeSql: String =
     """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-      |  sum(l_quantity) AS total_qty
+      |  CAST(sum(l_quantity) AS DOUBLE) AS total_qty
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
       |JOIN lineitem ON o_orderkey = l_orderkey

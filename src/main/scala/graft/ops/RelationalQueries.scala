@@ -1558,18 +1558,25 @@ object RelationalQueries {
     * path (~25% faster on the agg leg at sf10, Probe q18.bigorders_*). */
   val q18Volume: Q = (s, dir) => {
     val li = t(s, dir, "lineitem")
+    // One fact pass, not two: the classic spelling semi-filters orders
+    // by the per-order sum and then RE-JOINS lineitem to re-aggregate
+    // the same sum under the customer keys — but orderkey is unique in
+    // orders and custkey in customer, so the re-aggregated total IS the
+    // pre-aggregate's value. Carrying `total_qty` out of the one
+    // aggregate halves the query (the 60M-row rejoin and the second
+    // aggregation vanish); the oracle keeps the classic two-pass SQL —
+    // identical values. The filtered frame is tiny at runtime, so AQE
+    // converts the orders join to broadcast from the shuffle stage's
+    // measured size — no hint needed.
     val bigOrders = li.groupBy("l_orderkey")
-      .agg(sum(col("l_quantity")).as("qty"))
-      .filter(col("qty") > 150)
-      .select("l_orderkey")
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 150)
     val o = t(s, dir, "orders")
     val c = t(s, dir, "customer")
-    o.join(bigOrders, o("o_orderkey") === bigOrders("l_orderkey"), "left_semi")
+    o.join(bigOrders, o("o_orderkey") === bigOrders("l_orderkey"))
       .join(maybeBroadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(li, o("o_orderkey") === li("l_orderkey"))
-      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
-        col("o_orderdate"), col("o_totalprice"))
-      .agg(sum(col("l_quantity")).as("total_qty"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(20)
   }

@@ -2405,7 +2405,11 @@ object RelationalQueries {
       .join(maybeBroadcast(bad), col("ps_suppkey") === col("bad_suppkey"),
         "left_anti")
       .groupBy("p_brand", "p_type", "p_size")
-      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      // packed-set exact distinct: ONE aggregation exchange (the
+      // hits-arm discipline) instead of count(DISTINCT)'s two-phase
+      // plan; buckets are brand×type×size-bounded so per-group state
+      // is small by construction
+      .agg(AE.exact_distinct_long(col("ps_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
         col("p_size"))
   }

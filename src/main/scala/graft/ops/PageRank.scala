@@ -44,8 +44,15 @@ object PageRank {
         .selectExpr("id",
           "CAST(150000 + (85 * coalesce(in_sum, 0)) div 100 AS BIGINT) AS r")
     }
+    // Eager checkpoint, not count(): the result is read by the caller
+    // (sort + write), and a bare count() would leave the 3-hop plan
+    // un-materialized — the caller's execution re-ran every hop from
+    // the pinned edges (measured as ~half this operator's wall). The
+    // checkpoint materializes ONCE while the edge pin is hot, truncates
+    // the hop lineage, and its blocks are released by the
+    // ContextCleaner when the frame is dropped (the CC-loop pattern).
     val out = ranks.select(col("id"), col("r").as("pr"))
-    out.count() // materialize while the pinned edges are still cached
+      .localCheckpoint(true)
     ed.unpersist()
     out
   }

@@ -71,6 +71,20 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Total order WITHOUT a range exchange, for DOMAIN-BOUNDED outputs
+    * (flag/status/nation/priority/bucket rollups): a global orderBy
+    * range-samples its child — one extra job replaying the final
+    * aggregate stage — to split rows that fit one task anyway.
+    * repartition(1)+sortWithinPartitions is the same total order, one
+    * round-robin exchange of the tiny result, zero sampling (the
+    * hits-arm orderedSmall discipline). NOT for data-proportional
+    * outputs (q11's part list, q20's supplier list): those keep the
+    * scalable range sort. */
+  private def orderedSmallBy(cols: Column*): DataFrame => DataFrame =
+    df => df.repartition(1).sortWithinPartitions(cols: _*)
+  private def orderedSmallBy(c0: String, cs: String*): DataFrame => DataFrame =
+    df => df.repartition(1).sortWithinPartitions(c0, cs: _*)
+
   // ===========================================================================
   // §2.2 scans / sources
   // ===========================================================================
@@ -525,7 +539,7 @@ object RelationalQueries {
         (decToDouble(AE.unscaled_sum_long(scaled2(col("l_extendedprice")), 2))
           / count("*")).as("avg_price"),
         count("*").as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
+      .transform(orderedSmallBy("l_returnflag", "l_linestatus"))
 
   val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
@@ -1636,7 +1650,7 @@ object RelationalQueries {
       .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(sumRevenueD.as("revenue"))
-      .orderBy(col("revenue").desc, col("n_name"))
+      .transform(orderedSmallBy(col("revenue").desc, col("n_name")))
   }
 
   val q5RevenueSql: String =
@@ -1801,7 +1815,7 @@ object RelationalQueries {
         .select("o_orderkey", "o_orderpriority"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("order_count"))
-      .orderBy("o_orderpriority")
+      .transform(orderedSmallBy("o_orderpriority"))
   }
 
   val q4PrioritySql: String =
@@ -1850,7 +1864,7 @@ object RelationalQueries {
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("l_year"))
       .agg(sumRevenueD.as("revenue"))
-      .orderBy("supp_nation", "cust_nation", "l_year")
+      .transform(orderedSmallBy("supp_nation", "cust_nation", "l_year"))
   }
 
   val q7VolumeSql: String =
@@ -1921,7 +1935,7 @@ object RelationalQueries {
         "CAST(nation_u AS BIGINT) AS nation_u",
         "CAST(total_u AS BIGINT) AS total_u",
         "(nation_u * 10000) div total_u AS share_bp")
-      .orderBy("o_year")
+      .transform(orderedSmallBy("o_year"))
   }
 
   val q8MarketShareSql: String =
@@ -2050,7 +2064,7 @@ object RelationalQueries {
       .join(recent, c("c_custkey") === recent("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey").as("cntry"))
       .agg(count(lit(1)).as("numcust"), sum("bal_cents").as("total_cents"))
-      .orderBy("cntry")
+      .transform(orderedSmallBy("cntry"))
   }
 
   val q22ProspectsSql: String =
@@ -2218,7 +2232,7 @@ object RelationalQueries {
       .agg(AE.unscaled_sum_long(volU - costU, 0).as("profit_dec"))
       .select(col("nation"), col("o_year"),
         col("profit_dec").cast("long").as("profit_u"))
-      .orderBy(col("nation"), col("o_year").desc)
+      .transform(orderedSmallBy(col("nation"), col("o_year").desc))
   }
 
   val q9ProfitSql: String =
@@ -2302,7 +2316,7 @@ object RelationalQueries {
       .groupBy(col("l_linestatus").as("ship_class"))
       .agg(count(when(hi, lit(1))).as("high_line_count"),
         count(when(!hi, lit(1))).as("low_line_count"))
-      .orderBy("ship_class")
+      .transform(orderedSmallBy("ship_class"))
   }
 
   val q12ShipmodeSql: String =
@@ -2335,7 +2349,7 @@ object RelationalQueries {
       .agg(count(col("o_orderkey")).as("c_count"))
       .groupBy("c_count")
       .agg(count(lit(1)).as("custdist"))
-      .orderBy(col("custdist").desc, col("c_count").desc)
+      .transform(orderedSmallBy(col("custdist").desc, col("c_count").desc))
   }
 
   val q13CustdistSql: String =
@@ -2370,7 +2384,7 @@ object RelationalQueries {
       .filter(col("total_revenue_u") === col("max_u"))
       .join(maybeBroadcast(sup), col("supplier_no") === col("s_suppkey"))
       .select("s_suppkey", "s_name", "total_revenue_u")
-      .orderBy("s_suppkey")
+      .transform(orderedSmallBy("s_suppkey"))
   }
 
   val q15TopSupplierSql: String =
@@ -2410,8 +2424,8 @@ object RelationalQueries {
       // plan; buckets are brand×type×size-bounded so per-group state
       // is small by construction
       .agg(AE.exact_distinct_long(col("ps_suppkey")).as("supplier_cnt"))
-      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
-        col("p_size"))
+      .transform(orderedSmallBy(col("supplier_cnt").desc, col("p_brand"),
+        col("p_type"), col("p_size")))
   }
 
   val q16SupplierCntSql: String =

@@ -103,42 +103,32 @@ object Bench {
             val ts = allPasses.map(p => p(i)._2 - math.max(p(i)._3, 0.0))
             ts.max > 0.5 && ts.max / math.max(ts.min, 1e-9) > 3.0
           } =>
-        s""""$name""""
-    }.mkString("[", ",", "]")
-    // Setup (build-phase) seconds for queries whose closure does real
-    // work before the read — the lake round-trips' write+commit legs.
-    val setupSecs = suite.map(_._1).zipWithIndex.flatMap { case (name, i) =>
-      val builds = allPasses.map(_(i)._3)
-      if (builds.exists(_ < 0)) None
-      else Some(name -> builds.min).filter(_._2 > 0.05)
+        name
     }
-    val setupJson = setupSecs.map { case (k, v) => s""""$k":$v""" }
-      .mkString("{", ",", "}")
 
-    val qs = results.map { case (k, v) => s""""$k":$v""" }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val failed = results.collect { case (k, v) if v < 0 => s""""$k"""" }
-      .mkString("[", ",", "]")
     val passTotals = allPasses
       .map(p => p.map(_._2).filter(_ >= 0).sum)
       .map(t => String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"passes":$passes,"pass_totals":$passTotals,"variance_flags":$varianceFlags,"setup_sec":$setupJson,"sf":"$sfDir"}""")
-    // The driver keeps only a ~2KB TAIL of stdout, so any line carrying
-    // the 256-entry queries dict loses its HEAD to truncation (every
-    // BENCH_r*.json through r8 parsed as null for exactly this reason).
-    // The LAST line is therefore compact but SELF-CONTAINED for triage:
-    // totals, failures, variance flags, and the top-20 slowest queries
-    // (the ones a regression diff looks at first) — ~1.5KB, inside the
-    // driver's tail window. The full 256-query dict stays on the line
-    // above (humans/tools reading full stdout) and in bench_queries.json.
+    // The driver keeps only a ~2KB TAIL of stdout, so any long line
+    // loses its HEAD to truncation — and a truncated dict fragment is
+    // worse than no dict: the r16 artifact's visible fragment was the
+    // tail of the unlabeled setup_sec map and read as run seconds
+    // (q_quantile_sketch "0.074" vs its real 1.77 s run). Rule, bounded
+    // BY CONSTRUCTION: stdout carries exactly ONE JSON line, every
+    // list/dict on it is capped, every field name says what the number
+    // is. The full 256-query dict (min run sec + per-pass run/build
+    // splits) lives only in bench_queries.json.
     def num3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def capList(items: Seq[String], cap: Int): String =
+      items.take(cap).map(s => s""""$s"""").mkString("[", ",", "]")
+    val failedNames = results.collect { case (k, v) if v < 0 => k }
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
       .map { case (k, v) => s""""$k":${num3(v)}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"passes":$passes,"pass_totals":$passTotals,"variance_flags":$varianceFlags,"slowest":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$passes,"pass_totals_run_sec":$passTotals,"n_queries":${results.size},"failed_count":${failedNames.size},"failed_sample":${capList(failedNames, 10)},"variance_flag_count":${varianceFlags.size},"variance_flags_sample":${capList(varianceFlags, 8)},"slowest20_min_run_sec":$slowest,"per_query_file":"bench_queries.json (sec=min run incl build; passes/build = per-pass run/build sec)"}""")
     // Stable sidecar: the full per-query dict as a FILE, because the
     // driver's stdout tail-truncation destroys the per-query timings in
     // BENCH_r*.json every round and makes round-over-round regression

@@ -104,15 +104,13 @@ class Mooncake(val warehouse: String, val database: String = "main") {
       config: Map[String, String] = Map.empty): Manifest = {
     ResourceCaps.enforce(spark)
     val dir = tableDir(name)
-    // Recreate-after-in-scope-drop: apply this scope's own pending drop
-    // NOW (the create supersedes it) instead of (a) throwing "already
-    // exists" on a dir whose delete is merely deferred, or (b) letting
-    // the stale intent fire at commit and destroy the FRESH mirror.
-    // Fidelity note: an abort after this point loses the old mirror —
-    // physical dirs are reused by name, so full MVCC drop-rollback
-    // under recreate is out of scope; the common paths (abort keeps the
-    // mirror, commit nets DROP+CREATE) match the reference.
-    if (cancelPendingDrop(name)) LakeFs.deleteRec(Paths.get(dir))
+    // Recreate-after-in-scope-drop: supersede the pending drop NOW
+    // instead of (a) throwing "already exists" on a dir whose delete is
+    // merely deferred, or (b) letting the stale intent fire at commit
+    // and destroy the FRESH mirror. The old mirror is renamed aside and
+    // restored if the scope aborts (see cancelPendingDrop) — an aborted
+    // scope keeps every mirror, commit nets DROP+CREATE.
+    cancelPendingDrop(name)
     if (Manifest.latest(dir).isDefined)
       throw new IllegalStateException(s"mooncake table '$name' already exists")
     // Optimizer stats, not an execution: parquet footer / cache sizes.
@@ -198,10 +196,58 @@ class Mooncake(val warehouse: String, val database: String = "main") {
       config = config)
   }
 
-  /** Drop-intents registered inside an [[inTransaction]] scope on this
-    * thread; executed at scope exit iff the body completes normally. */
+  /** Scope intents registered inside an [[inTransaction]] scope on this
+    * thread; commit actions run at top-level scope exit iff every body
+    * completed normally, abort actions run (newest-first) for intents
+    * whose registering scope threw. */
+  private sealed trait Intent
+  /** Plain deferred drop: commit deletes the dir, abort is a no-op
+    * (the mirror was never touched). */
+  private final case class DropIntent(name: String) extends Intent
+  /** A create that superseded a pending drop of the same name: the OLD
+    * mirror dir was renamed aside (never deleted in-scope), the FRESH
+    * mirror now owns the name. Commit deletes the aside (net
+    * DROP+CREATE); abort deletes the fresh dir and renames the aside
+    * back, so an aborted scope still keeps every mirror. The intent is
+    * APPENDED at recreate time (it belongs to the scope that created —
+    * a nested abort must undo it even when the drop came from an outer
+    * scope); `dropIdx` is the buffer slot the superseded [[DropIntent]]
+    * held, tombstoned in place so positions never shift under nested
+    * rollback marks. When a nested scope aborts a recreate whose drop
+    * sits BELOW its mark (outer scope's drop), that slot is re-armed to
+    * [[DropIntent]] — Postgres subtransaction semantics: the outer DROP
+    * survives the aborted subxact's CREATE. */
+  private final case class RecreateIntent(name: String, aside: Path,
+      dropIdx: Int) extends Intent
+  /** Slot of a superseded drop — keeps indices stable; no-op on both
+    * commit and abort (unless re-armed, see above). */
+  private case object Tombstone extends Intent
   private val pendingDrops =
-    new ThreadLocal[scala.collection.mutable.ArrayBuffer[String]]()
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[Intent]]()
+
+  /** Abort the slice of `buf` at indices ≥ `mark` (the scope that
+    * threw), newest-first: restore renamed-aside mirrors over their
+    * fresh replacements and re-arm outer-scope drop slots their
+    * recreates had tombstoned. */
+  private def abortIntents(
+      buf: scala.collection.mutable.ArrayBuffer[Intent], mark: Int): Unit = {
+    val aborted = buf.slice(mark, buf.length).toSeq
+    buf.remove(mark, buf.length - mark)
+    aborted.reverse.foreach {
+      case RecreateIntent(name, aside, dropIdx) =>
+        val dir = Paths.get(tableDir(name))
+        LakeFs.deleteRec(dir)
+        Files.move(aside, dir)
+        if (dropIdx < mark) buf(dropIdx) = DropIntent(name)
+      case _ => ()
+    }
+  }
+
+  private def commitIntent(i: Intent): Unit = i match {
+    case DropIntent(name) => LakeFs.deleteRec(Paths.get(tableDir(name)))
+    case RecreateIntent(_, aside, _) => LakeFs.deleteRec(aside)
+    case Tombstone => ()
+  }
 
   /** Drop a mirror table (≈ the reference's drop event trigger,
     * `/root/reference/src/functions.rs:45-82`). The reference does NOT
@@ -215,7 +261,7 @@ class Mooncake(val warehouse: String, val database: String = "main") {
     * reproduced. */
   def dropTable(name: String): Unit = {
     val buf = pendingDrops.get()
-    if (buf != null) buf += name
+    if (buf != null) buf += DropIntent(name)
     else LakeFs.deleteRec(Paths.get(tableDir(name)))
   }
 
@@ -234,16 +280,19 @@ class Mooncake(val warehouse: String, val database: String = "main") {
   def inTransaction[T](body: => T): T = {
     val outer = pendingDrops.get()
     val buf = if (outer != null) outer
-      else scala.collection.mutable.ArrayBuffer.empty[String]
+      else scala.collection.mutable.ArrayBuffer.empty[Intent]
     pendingDrops.set(buf)
     val mark = buf.length // nested-scope rollback point
     var ok = false
     try { val r = body; ok = true; r }
     finally {
-      if (!ok && buf.length > mark) buf.remove(mark, buf.length - mark)
+      // subxact abort: undo the aborted slice's physical effects
+      // (restore renamed-aside mirrors) and re-arm any outer-scope
+      // drops its recreates had superseded
+      if (!ok && buf.length > mark) abortIntents(buf, mark)
       if (outer == null) {
         pendingDrops.remove()
-        if (ok) buf.foreach(n => LakeFs.deleteRec(Paths.get(tableDir(n))))
+        if (ok) buf.foreach(commitIntent)
       }
     }
   }
@@ -251,14 +300,36 @@ class Mooncake(val warehouse: String, val database: String = "main") {
   /** A table (re)created inside a scope supersedes any pending drop of
     * the same name: executing the stale intent at commit would delete
     * the FRESH mirror the create just wrote (physical dirs are reused
-    * by name). Net-of-scope effect matches Postgres DROP-then-CREATE
-    * in one transaction: the new table survives commit. */
+    * by name). The old mirror is RENAMED ASIDE (to `dbRoot/.trash/`,
+    * invisible to listings — no top-level `manifest/`), never deleted
+    * in-scope, and the drop slot becomes a [[RecreateIntent]]: commit
+    * nets DROP+CREATE, abort restores the old mirror byte-for-byte —
+    * Postgres DROP-then-CREATE-in-one-transaction semantics on both
+    * exits. Returns true when a pending drop was superseded (the
+    * caller's create proceeds onto the now-vacant dir). */
   private def cancelPendingDrop(name: String): Boolean = {
     val buf = pendingDrops.get()
-    if (buf != null && buf.contains(name)) {
-      buf.filterInPlace(_ != name)
-      true
-    } else false
+    if (buf == null) return false
+    val idx = buf.indexWhere {
+      case DropIntent(n) => n == name
+      case _ => false
+    }
+    if (idx < 0) return false
+    // duplicate drops of the same name would fire at commit and delete
+    // the FRESH mirror — tombstone them (in place: indices must stay
+    // stable under nested rollback marks) along with the superseded one
+    buf.indices.foreach { i =>
+      if (i != idx && buf(i) == DropIntent(name)) buf(i) = Tombstone
+    }
+    val dir = Paths.get(tableDir(name))
+    val aside = dbRoot.resolve(".trash")
+      .resolve(Identifier.parse(name).fileName + ".pending-" +
+        java.util.UUID.randomUUID())
+    Files.createDirectories(aside.getParent)
+    Files.move(dir, aside)
+    buf(idx) = Tombstone
+    buf += RecreateIntent(name, aside, idx)
+    true
   }
 
   /** Engine reset — the analog of the reference's "command to reset

@@ -54,20 +54,51 @@ object BroadcastGate {
     * CBO column stats a Filter passes its child's size estimate
     * through, so a date-window or segment filter that keeps 4% of a
     * fact-sized table still LOOKS fact-sized to [[maybeBroadcast]] and
-    * never broadcasts. This variant pays ONE counting job (a pushed-
-    * down, column-pruned scan — cheap next to the fact exchange a
-    * broadcast avoids) and hints only when the materialized row count
-    * fits. The frame is NOT persisted: the join re-evaluates it, which
-    * re-scans a (pruned) input once — cheaper than pinning executor
-    * memory for a side that may then shuffle anyway. Deterministic
-    * frames only, same contract as RuntimeFilter.keyPredicate. */
+    * never broadcasts. This variant PERSISTS the frame, pays ONE
+    * counting job (which materializes the cache as a side effect), and
+    * hints only when the row count fits — so the pass path evaluates
+    * the gated side exactly ONCE: the broadcast build reads the cache
+    * instead of re-running the frame's joins/scans (q5's orders ⋈
+    * customer side used to execute twice per query).
+    *
+    * Fail path: the cache is released immediately and the UNPINNED
+    * original frame is returned, so over the cap the query degrades to
+    * the same shuffle plan as before. The one count pass did write an
+    * over-cap frame through the cache — with MEMORY_AND_DISK that is a
+    * bounded spill spread across executors (at 100× scale, megabytes
+    * per executor, freed before the join runs), never an OOM and never
+    * a plan hazard. Deterministic frames only, same contract as
+    * RuntimeFilter.keyPredicate — the cache also FREEZES the counted
+    * rows, so the broadcast can never diverge from the gate decision.
+    *
+    * Pass-path pins are released FIFO once [[MaxLivePins]] accumulate:
+    * a broadcast side is consumed when its query's build completes, so
+    * by the time a pin is 16 queries old its blocks are dead weight;
+    * unpersisting a pin early would only force a recompute, never a
+    * wrong result. */
   def maybeBroadcastCounted(df: DataFrame,
       maxRows: Long = DefaultMaxRows): DataFrame = {
     val cap = df.sparkSession.conf
       .getOption("spark.graft.maxBroadcastRows")
       .map(_.toLong).getOrElse(maxRows)
-    if (df.count() <= cap) broadcast(df) else df
+    val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (pinned.count() <= cap) {
+      pins.synchronized {
+        pins.enqueue(pinned)
+        while (pins.size > MaxLivePins) pins.dequeue().unpersist(false)
+      }
+      broadcast(pinned)
+    } else {
+      pinned.unpersist(false)
+      df
+    }
   }
+
+  /** Live pass-path pins, released oldest-first (see above). ≤4M-row
+    * sides are ≤~200 MB each, so the bound caps idle cache at ~3 GB
+    * worst case in a query-per-second loop like Bench. */
+  private val pins = scala.collection.mutable.Queue.empty[DataFrame]
+  private val MaxLivePins = 16
 
   /** 4M rows ≈ 100-200 MB materialized for the narrow projected dims
     * this gates — the knee where a broadcast still beats re-shuffling a

@@ -213,7 +213,14 @@ object HitsQueries {
     // session tz fall back to the per-row timezone-aware path rather
     // than return silently shifted buckets. Output is TIMESTAMP_NTZ
     // either way — the oracle contract (DuckDB's naive TIMESTAMP).
-    val utc = s.conf.get("spark.sql.session.timeZone", "UTC") == "UTC"
+    // The guard reads the RESOLVED session zone (sessionLocalTimeZone
+    // defaults to the JVM zone when the conf was never set — a
+    // conf.get(key, "UTC") fallback would claim UTC on a non-UTC JVM
+    // and ship shifted buckets) and compares ZoneIds, so fixed-offset
+    // aliases like Etc/UTC, GMT, +00:00 also take the fast path.
+    val utc = java.time.ZoneId
+      .of(s.sessionState.conf.sessionLocalTimeZone)
+      .normalized() == java.time.ZoneOffset.UTC
     val bucketed =
       if (utc) hits(s, dir)
         // hour bucket as integer arithmetic: date_trunc walks the

@@ -491,6 +491,47 @@ class MooncakeSpec extends SparkSuite {
       "commit must keep the recreated mirror, not delete it")
   }
 
+  test("drop-then-recreate, scope ABORTS: the OLD mirror is restored") {
+    // The recreate renames the old mirror aside instead of deleting it,
+    // so an aborted scope keeps every mirror — including one a create
+    // had superseded. (Postgres: the rolled-back DROP+CREATE leaves the
+    // original table untouched.)
+    val lake = freshLake()
+    lake.createTable(spark, "lazarus", rTable(1 -> "a"), Seq("a"))
+    assertThrows[RuntimeException] {
+      lake.inTransaction {
+        lake.dropTable("lazarus")
+        lake.createTable(spark, "lazarus", rTable(2 -> "b"), Seq("a"))
+        throw new RuntimeException("abort")
+      }
+    }
+    val rows = lake.read(spark, "lazarus").collect()
+    assert(rows.length === 1 && rows(0).getString(1) === "a",
+      "abort must restore the ORIGINAL mirror, not keep the fresh one")
+    assert(lake.tableNames.size === 1 &&
+        !lake.tableNames.exists(_.contains("pending")),
+      "no aside/trash residue may appear in listings")
+  }
+
+  test("nested recreate of an OUTER drop: abort restores and re-arms the drop") {
+    // outer: DROP t; nested: CREATE t then abort. Postgres discards the
+    // subxact's CREATE but keeps the outer DROP — at outer commit the
+    // table must be gone; DURING the outer scope after the nested abort
+    // the old mirror must be back on disk (intact for readers).
+    val lake = freshLake()
+    lake.createTable(spark, "reaper", rTable(1 -> "a"), Seq("a"))
+    lake.inTransaction {
+      lake.dropTable("reaper")
+      try lake.inTransaction {
+        lake.createTable(spark, "reaper", rTable(2 -> "b"), Seq("a"))
+        throw new RuntimeException("subxact rollback")
+      } catch { case _: RuntimeException => () }
+      // nested abort restored the original mirror in place
+      assert(lake.read(spark, "reaper").collect()(0).getString(1) === "a")
+    }
+    assertThrows[NoSuchElementException] { lake.read(spark, "reaper") }
+  }
+
   test("invalid transitions are refused: duplicate create, stale version, torn commit") {
     val lake = freshLake()
     lake.createTable(spark, "g", rTable(1 -> "a"), Seq("a"))

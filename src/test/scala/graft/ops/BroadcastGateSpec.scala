@@ -56,4 +56,41 @@ class BroadcastGateSpec extends SparkSuite {
         s"a 1-byte ceiling must demote every hint:\n$plan")
     }
   }
+
+  test("counted gate, pass path: gated side is evaluated exactly ONCE") {
+    // The counting job materializes the persisted frame; the broadcast
+    // build must read the cache, not re-run the frame's plan. An
+    // evaluation-counting expression (non-deterministic UDF backed by
+    // an accumulator) exposes any re-execution.
+    val evals = spark.sparkContext.longAccumulator("gate-evals")
+    val tick = org.apache.spark.sql.functions.udf { (k: Long) =>
+      evals.add(1L); k
+    }.asNondeterministic()
+    val dim = spark.range(100L).select(tick(org.apache.spark.sql.functions.col("id")).as("k"))
+    val gated = BroadcastGate.maybeBroadcastCounted(dim)
+    val fact = spark.range(1000L).selectExpr("id AS k")
+    val plan = fact.join(gated, "k").queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan") || plan.contains("InMemoryRelation"),
+      s"pass path must read the pinned cache:\n$plan")
+    fact.join(gated, "k").write.format("noop").mode("overwrite").save()
+    assert(evals.value === 100L,
+      s"gated side must run once (count materializes the cache), " +
+        s"got ${evals.value} row-evals for 100 rows")
+  }
+
+  test("counted gate, fail path: no hint, no pinned cache left behind") {
+    withConf("spark.graft.maxBroadcastRows" -> "10") {
+      val dim = spark.range(100L).selectExpr("id AS k", "id * 2 AS v")
+      val gated = BroadcastGate.maybeBroadcastCounted(dim)
+      val fact = spark.range(1000000000L).selectExpr("id AS k")
+      val plan = fact.join(gated, "k").queryExecution.sparkPlan.toString
+      assert(!plan.contains("InMemoryRelation") && !plan.contains("InMemoryTableScan"),
+        s"fail path must return the UNPINNED original frame:\n$plan")
+      assert(spark.sharedState.cacheManager
+          .lookupCachedData(
+            dim.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+          .isEmpty,
+        "over-cap side's cache must be released immediately")
+    }
+  }
 }

@@ -1540,7 +1540,14 @@ object RelationalQueries {
     val o = t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
     val li = t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
     val oc = o.join(maybeBroadcast(c), o("o_custkey") === c("c_custkey"))
-    li.join(oc, li("l_orderkey") === oc("o_orderkey"))
+      .select(o("o_orderkey"), o("o_orderdate"), o("o_orderpriority"))
+    // The BUILDING segment (~1/5 of customers) times the date window
+    // leaves oc under the exact-count cap until ~sf14 — gate-broadcast
+    // it so the (far smaller, shipdate-filtered) lineitem side probes
+    // in place with zero exchange; over the cap the identical query
+    // degrades to the shuffle join below.
+    li.join(BroadcastGate.maybeBroadcastCounted(oc),
+        li("l_orderkey") === oc("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sumRevenueD.as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))

@@ -421,7 +421,7 @@ object IcebergCompat {
     // the spec their manifest was written under + decoded column bounds
     case class DataFileInfo(path: String, partVals: Map[String, Any],
         seq: Option[Long], specId: Int, lower: Map[String, Any],
-        upper: Map[String, Any])
+        upper: Map[String, Any], sizeBytes: Long)
     val allDataFiles: Seq[DataFileInfo] =
       keptDataManifests.flatMap { listRec =>
         val m = listRec.get("manifest_path").toString
@@ -467,7 +467,14 @@ object IcebergCompat {
               if (pruneCs.isEmpty) Map.empty
               else fpSafe(boundsOf(df, "lower_bounds", idToName, fieldType)),
               if (pruneCs.isEmpty) Map.empty
-              else fpSafe(boundsOf(df, "upper_bounds", idToName, fieldType))))
+              else fpSafe(boundsOf(df, "upper_bounds", idToName, fieldType)),
+              // spec field file_size_in_bytes: exact by contract; 0
+              // (fabricated/minimal manifests may omit it) degrades the
+              // scan to filesystem discovery in StaticParquet.read
+              (if (df.getSchema.getField("file_size_in_bytes") == null) 0L
+              else Option(df.get("file_size_in_bytes"))
+                .collect { case n: java.lang.Number => n.longValue }
+                .getOrElse(0L))))
           }
         }
       }
@@ -588,13 +595,16 @@ object IcebergCompat {
     // (identical pre-evolution; the historical name after a rename);
     // columns absent from the map come from `fill` (identity partition
     // tuples) or null-fill (columns added after the files were written).
-    def scanGroup(files: Seq[String], fileNameOf: Map[String, String],
+    def scanGroup(files: Seq[(String, Long)],
+        fileNameOf: Map[String, String],
         fill: Seq[(String, Any)]): DataFrame = {
       val dataSchema = StructType(schema.fields.toSeq
         .filter(f => fileNameOf.contains(f.name))
         .map(f => StructField(fileNameOf(f.name), f.dataType, f.nullable)))
-      val raw = spark.read.schema(dataSchema)
-        .parquet(files.sorted.distinct: _*)
+      // manifest-carried exact sizes -> StaticParquet: the planner gets
+      // the file list directly, no per-path discovery at 10^5 entries
+      val raw = org.apache.spark.sql.graft.StaticParquet.read(spark,
+        files.distinct.sortBy(_._1), dataSchema)
       val base = // metadata columns only materialize when deletes exist
         if (needMeta) raw
           .withColumn("__file", normPathCol(col("_metadata.file_path")))
@@ -661,7 +671,7 @@ object IcebergCompat {
           f.partVals.getOrElse(specName, null) })
         .toSeq.sortBy(_._1.toString)
         .map { case (tuple, group) =>
-          scanGroup(group.map(_.path), fileNameOf,
+          scanGroup(group.map(f => (f.path, f.sizeBytes)), fileNameOf,
             reconPairs.map(_._2).zip(tuple))
         }
     }
@@ -694,7 +704,7 @@ object IcebergCompat {
             val missing = schema.fieldNames
               .filterNot(present.contains).toSeq
             if (missing.isEmpty)
-              Seq(scanGroup(fs.map(_.path), fileNameOf, Nil))
+              Seq(scanGroup(fs.map(f => (f.path, f.sizeBytes)), fileNameOf, Nil))
             else reconstructGroups(fs, specId, fileNameOf, missing)
           }
       else {
@@ -746,7 +756,7 @@ object IcebergCompat {
             val missing = schema.fields.toSeq.zip(sig)
               .collect { case (f, None) => f.name }
             if (missing.isEmpty)
-              Seq(scanGroup(fs.map(_.path), fileNameOf, Nil))
+              Seq(scanGroup(fs.map(f => (f.path, f.sizeBytes)), fileNameOf, Nil))
             else reconstructGroups(fs, specId, fileNameOf, missing)
           }
       }
@@ -2627,10 +2637,15 @@ object IcebergCompat {
         }
       new GenericData.Array[AnyRef](arrSchema, entries.asJava)
     }
-    val entriesWithRows = moved.map { case (p, tuple) =>
+    // footer stats on a pool: a 10⁴-file commit must not serialize 10⁴
+    // footer opens on one driver thread (MetaScaleProbe finding)
+    val fileStats = Manifest.parFiles(moved.map(_._1)) { p =>
       val path = Paths.get(p)
-      val rows = parquetRowCount(path)
-      val bounds = parquetBounds(path)
+      (parquetRowCount(path), parquetBounds(path), Files.size(path))
+    }
+    val entriesWithRows = moved.zip(fileStats).map {
+      case ((p, tuple), (rows, bounds, fsize)) =>
+      val path = Paths.get(p)
       val d = new GenericData.Record(dataFileSchema)
       d.put("content", 0) // DATA
       d.put("file_path", p)
@@ -2639,7 +2654,7 @@ object IcebergCompat {
       partFields.map(_.name).zip(tuple).foreach { case (c, v) => pr.put(c, v) }
       d.put("partition", pr)
       d.put("record_count", rows)
-      d.put("file_size_in_bytes", Files.size(path))
+      d.put("file_size_in_bytes", fsize)
       d.put("lower_bounds", boundsArray("lower_bounds", _._1, bounds))
       d.put("upper_bounds", boundsArray("upper_bounds", _._2, bounds))
       // Per spec, float/double bounds EXCLUDE NaN, so readers (ours at

@@ -138,17 +138,41 @@ object Manifest {
 
   /** Run `f` over a parquet file's footer metadata, always closing the
     * reader — the shared open/close boilerplate behind commit-time file
-    * statistics (Mooncake) and Iceberg record counts. */
+    * statistics (Mooncake) and Iceberg record counts.
+    *
+    * ONE shared Hadoop Configuration: constructing it per call re-reads
+    * core-default.xml out of the hadoop jar (a classpath ZIP walk) —
+    * measured as the dominant cost of a 10k-file commit's stats pass
+    * (MetaScaleProbe). The conf is never mutated here, and Configuration
+    * is thread-safe for reads, so commit paths may also fan footer reads
+    * across a pool. */
+  private[lake] lazy val footerConf = new org.apache.hadoop.conf.Configuration()
   private[lake] def withFooter[A](p: Path)(
       f: org.apache.parquet.hadoop.metadata.ParquetMetadata => A): A = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val in = HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(p.toUri),
-      new org.apache.hadoop.conf.Configuration())
+      new org.apache.hadoop.fs.Path(p.toUri), footerConf)
     val reader = ParquetFileReader.open(in)
     try f(reader.getFooter) finally reader.close()
   }
+
+  /** Map `f` over `items` on a bounded pool — the commit-time pattern
+    * for per-file footer work (stats, record counts): a 10⁴-file commit
+    * must not serialize 10⁴ footer opens on one driver thread. Order
+    * preserved. Sized to the JVM's cores (these are short IO+parse
+    * tasks, not Spark jobs). */
+  private[lake] def parFiles[A, B](items: Seq[A])(f: A => B): Seq[B] =
+    if (items.size < 8) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(Runtime.getRuntime.availableProcessors(), 32))
+      try {
+        val futs = items.map(i => pool.submit(
+          new java.util.concurrent.Callable[B] { def call(): B = f(i) }))
+        futs.map(_.get())
+      } finally pool.shutdown()
+    }
 
   /** Probe a parquet file's bloom filter for an integer point value:
     * true iff some row group MIGHT contain it (missing blooms or a

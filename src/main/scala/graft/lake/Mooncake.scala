@@ -634,8 +634,12 @@ class Mooncake(val warehouse: String, val database: String = "main") {
     // Explicit manifest schema, not file-inferred: after a CDC schema
     // evolution the manifest may carry files written before a column
     // existed — the parquet reader null-fills them, which is exactly the
-    // evolution semantic (and matches Iceberg/Delta readers).
-    } else spark.read.schema(schema).parquet(files.map(_.path): _*)
+    // evolution semantic (and matches Iceberg/Delta readers). The
+    // manifest-carried exact sizes feed the planner directly
+    // (StaticParquet): no per-path filesystem discovery at plan time —
+    // minutes of driver work at 10⁴-10⁶ files.
+    } else org.apache.spark.sql.graft.StaticParquet.read(spark,
+      files.map(f => (f.path, f.bytes)).sortBy(_._1), schema)
   }
 
   def currentManifest(name: String): Manifest =
@@ -1066,7 +1070,8 @@ class Mooncake(val warehouse: String, val database: String = "main") {
 
     val written = Manifest.withListing(out)(_.filter(
       _.getFileName.toString.endsWith(".parquet")).toSeq).sortBy(_.toString)
-    val newFiles = written.map { p =>
+    // footer stats on a pool — never 10⁴ sequential driver opens
+    val newFiles = Manifest.parFiles(written) { p =>
       val (rows, mins, maxs, sMins, sMaxs) = footerStats(p)
       val lead = pk.headOption
       DataFile(p.toString, rows, Files.size(p),

@@ -2457,13 +2457,24 @@ object RelationalQueries {
     val p = t(s, dir, "part")
       .filter(col("p_brand") === "Brand#23" && col("p_size") <= 25)
       .select("p_partkey")
+    // The brand×size-filtered fact feeds BOTH the per-part aggregate
+    // and the probe side — without materialization the broadcast-join
+    // over the FULL lineitem scan executes twice (measured as ~half
+    // this query's wall at sf10). One eager checkpoint pins the
+    // ~2%-of-lineitem survivor set (filter-proportional, spills to
+    // executor disk at 100 TB — the q21 key-set pattern); both
+    // consumers then read blocks, and the fact is scanned ONCE.
     val li = t(s, dir, "lineitem")
       .join(maybeBroadcast(p), col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
         col("l_extendedprice"), col("l_discount"))
+      .localCheckpoint(true)
     val avgq = li.groupBy(col("l_partkey").as("aq_partkey"))
       .agg(sum("qty").as("sum_qty"), count(lit(1)).as("cnt"))
-    li.join(avgq, col("l_partkey") === col("aq_partkey"))
+    // group count ≤ the filtered part cardinality (~2% of part — scale-
+    // proportional), so the join back is exact-count gated, not hinted
+    li.join(BroadcastGate.maybeBroadcastCounted(avgq),
+        col("l_partkey") === col("aq_partkey"))
       .filter(col("qty") * 5 * col("cnt") < col("sum_qty"))
       .agg(AE.unscaled_sum_long(volU, 0).as("total_dec"),
         count(lit(1)).as("n_items"))

@@ -55,7 +55,9 @@ object MetaScaleProbe {
     def timed[T](name: String)(body: => T): T = {
       val t0 = System.nanoTime()
       val r = body
-      results(name) = (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      results(name) = sec
+      println(f"ARM $name%-40s $sec%9.3f s")
       r
     }
     // key-clustered: file i owns keys [i*rowsPerFile, (i+1)*rowsPerFile)

@@ -213,18 +213,26 @@ object Probe {
       val v = Tables.load(spark, dir, "lineitem")
         .select(col("l_returnflag").as("g"),
           (col("l_extendedprice") * 100).cast("bigint").as("x"))
-      time("qs.scan")(noop(v))
-      time("qs.sketch_leg")(noop(v.groupBy("g")
-        .agg(percentile_approx(col("x"),
-          array(lit(0.5), lit(0.9), lit(0.99)), lit(1000)))))
       val wc = Window.partitionBy("g").orderBy("x")
       val wn = Window.partitionBy("g")
-      time("qs.counts")(noop(v.groupBy("g", "x").agg(count(lit(1)).as("cnt"))))
-      time("qs.windows")(noop(v.groupBy("g", "x").agg(count(lit(1)).as("cnt"))
-        .select(col("g"), col("x"), col("cnt"),
-          sum("cnt").over(wc).as("cum"), sum("cnt").over(wn).as("ntot"))))
-      time("qs.full")(noop(graft.ops.RelationalQueries
-        .quantileSketch(spark, dir)))
+      for (i <- 0 until 3) {
+        time(s"qs.scan/$i")(noop(v))
+        time(s"qs.sketch_leg/$i")(noop(v.groupBy("g")
+          .agg(percentile_approx(col("x"),
+            array(lit(0.5), lit(0.9), lit(0.99)), lit(1000)))))
+        time(s"qs.sketch_acc200/$i")(noop(v.groupBy("g")
+          .agg(percentile_approx(col("x"),
+            array(lit(0.5), lit(0.9), lit(0.99)), lit(200)))))
+        time(s"qs.counts/$i")(noop(v.groupBy("g", "x").agg(count(lit(1)).as("cnt"))))
+        time(s"qs.windows/$i")(noop(v.groupBy("g", "x").agg(count(lit(1)).as("cnt"))
+          .select(col("g"), col("x"), col("cnt"),
+            sum("cnt").over(wc).as("cum"), sum("cnt").over(wn).as("ntot"))))
+        time(s"qs.bkt_leg/$i")(noop(v
+          .groupBy(col("g"), expr("x DIV 65536").as("bkt"))
+          .agg(count(lit(1)).as("bc"))))
+        time(s"qs.full/$i")(noop(graft.ops.RelationalQueries
+          .quantileSketch(spark, dir)))
+      }
     }
     // --- exact-distinct class decomposition (min-of-3: this box
     // drifts; single shots mislead) -----------------------------------------

@@ -76,6 +76,30 @@ class HitsQueriesSpec extends SparkSuite {
     assert(rows.nonEmpty && rows.forall(_.getLong(2) > 0))
   }
 
+  test("hourly: UTC guard resolves the REAL session zone, aliases included") {
+    // ts is TIMESTAMP_NTZ, so the CORRECT hourly buckets are the same
+    // under every session zone (date_trunc on a naive timestamp is
+    // session-independent). The integer-bucket fast path reaches the
+    // same answer only when the session zone is UTC — under a
+    // half-hour zone its instant-hour boundaries land at :30 wall time
+    // and the buckets silently shift. The guard must therefore (a)
+    // keep the fast path for fixed-offset UTC aliases, and (b) fall
+    // back under any real zone — proven by output EQUALITY across
+    // zones, which only holds if the fallback actually branches.
+    val utcRows = HitsQueries.hourly(spark, sf).collect().toSeq
+    def underTz(tz: String) = {
+      val saved = spark.conf.get("spark.sql.session.timeZone")
+      spark.conf.set("spark.sql.session.timeZone", tz)
+      try HitsQueries.hourly(spark, sf).collect().toSeq
+      finally spark.conf.set("spark.sql.session.timeZone", saved)
+    }
+    assert(underTz("Etc/UTC") === utcRows,
+      "Etc/UTC must take the same (fast) path as UTC")
+    assert(underTz("Asia/Kolkata") === utcRows,
+      "a half-hour zone must fall back to the per-row path and still " +
+        "produce the session-independent NTZ buckets")
+  }
+
   test("scan stats: one-pass scalar aggregate, integer-exact avg") {
     val df = HitsQueries.scanStats(spark, sf)
     val phys = df.queryExecution.executedPlan.toString

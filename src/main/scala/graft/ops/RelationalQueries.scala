@@ -1900,8 +1900,13 @@ object RelationalQueries {
     * way this query can drift between engines, so it never happens.
     * Volume rides ×10⁴ micro-units (scale-4 product is integral there).
     * Scale shape: part filters before its broadcast (ECONOMY = 1/6 of
-    * part), the one exchange is lineitem ⋈ orders, and the case-sum
-    * means the nation split costs zero extra passes. */
+    * part), the ASIA-customer filter folds into the date-filtered
+    * orders BEFORE the fact join and the result is count-gate broadcast
+    * (2-year window × 1/5 region ≈ 6% of orders — under the 4M cap
+    * until ~sf60), so the part-pruned lineitem scan probes in place
+    * with zero fact exchange; over the cap the gate degrades to the
+    * shuffle join. The case-sum means the nation split costs zero
+    * extra passes. */
   val q8MarketShare: Q = (s, dir) => {
     val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
     val n2 = t(s, dir, "nation")
@@ -1926,9 +1931,11 @@ object RelationalQueries {
         "l_discount")
     val vol = (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))) *
       lit(10000)).cast("decimal(38,0)")
+    val oc = o.join(maybeBroadcast(cust), o("o_custkey") === cust("c_custkey"))
+      .select("o_orderkey", "o_orderdate")
+    val ocB = BroadcastGate.maybeBroadcastCounted(oc)
     li.join(maybeBroadcast(p), li("l_partkey") === p("p_partkey"))
-      .join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(maybeBroadcast(cust), o("o_custkey") === cust("c_custkey"))
+      .join(ocB, li("l_orderkey") === col("o_orderkey"))
       .join(maybeBroadcast(sup), li("l_suppkey") === sup("s_suppkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(sum(when(col("supp_nation") === "NATION_3", vol)
@@ -2551,9 +2558,10 @@ object RelationalQueries {
   /** TPC-H Q21 shape: suppliers who kept orders waiting — the double
     * correlation on ONE fact: EXISTS (another supplier contributed to
     * the order) AND NOT EXISTS (another supplier was ALSO late). Both
-    * decorrelate to self-joins of lineitem on orderkey with a
-    * suppkey-inequality residual — a LEFT SEMI then a LEFT ANTI — so
-    * the plan is hash joins throughout, never a per-row subquery.
+    * decorrelate into ONE per-order aggregate (distinct-supplier count
+    * and distinct-LATE-supplier count) instead of semi/anti self-joins
+    * of the fact, so lineitem is read once per leg class, never probed
+    * per row.
     *
     * Scale shape: the one-nation filter (1/25 of suppliers) semi-prunes
     * lineitem BEFORE the F-orders join, and both correlation legs only
@@ -2586,22 +2594,28 @@ object RelationalQueries {
       .localCheckpoint(true) // small (nation-late rows); read 3×
     val ok = l1.select(col("l_orderkey").as("k_okey")).distinct()
     val okB = BroadcastGate.maybeBroadcastCounted(ok)
-    // l2/l3 source: lineitems of l1's orders only (in-place probe when
-    // the key set broadcast; shuffle semi otherwise)
+    // Both correlation legs collapse into ONE per-order aggregate over
+    // the lineitems of l1's orders: for an l1 row (which is itself a
+    // late lineitem of its order), EXISTS(other supplier) holds iff the
+    // order has >= 2 distinct suppliers, and NOT EXISTS(other LATE
+    // supplier) holds iff the order's distinct late-supplier count is
+    // exactly 1 (that one is necessarily l1's own). This reads lineitem
+    // once where the semi+anti legs read it twice, and the residual
+    // join is against a <=|ok|-row aggregate instead of the fact.
     val l2 = li.join(okB, col("l_orderkey") === col("k_okey"), "left_semi")
     val oK0 = o.join(okB, col("o_orderkey") === col("k_okey"), "left_semi")
     // bounded by the SAME exact count the gate just passed, so the hard
     // hint is safe exactly when it is applied
     val oK = if (okB ne ok) broadcast(oK0) else oK0
-    val l3 = l2.join(oK, col("l_orderkey") === col("o_orderkey"))
-      .filter(late)
-      .select(col("l_orderkey").as("l3_okey"), col("l_suppkey").as("l3_skey"))
-    val l2r = l2.select(col("l_orderkey").as("l2_okey"),
-      col("l_suppkey").as("l2_skey"))
-    l1.join(l2r, l1("l_orderkey") === l2r("l2_okey") &&
-        l1("l_suppkey") =!= l2r("l2_skey"), "left_semi")
-      .join(l3, l1("l_orderkey") === l3("l3_okey") &&
-        l1("l_suppkey") =!= l3("l3_skey"), "left_anti")
+    val perOrder = l2.join(oK, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey").as("p_okey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(late, col("l_suppkey"))).as("n_late"))
+    // one row per qualifying order — bounded by the gate's exact count
+    val perOrderB = if (okB ne ok) broadcast(perOrder) else perOrder
+    l1.join(perOrderB, l1("l_orderkey") === col("p_okey"))
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))

@@ -1342,6 +1342,11 @@ object RelationalQueries {
     // buckets. No global or per-group sort anywhere; parallelism is
     // bucket-, not group-, bounded.
     val W = 65536L
+    // The bucket frame is tiny (groups × ~value-range/W rows) but feeds
+    // THREE consumers (totals, target-rank broadcast, bucket pick) — an
+    // eager checkpoint computes the fact pass once and the downstream
+    // jobs run on the materialized ~500-row frame instead of re-scanning
+    // lineitem per consumer.
     val bkt = v.join(broadcast(sk), "g")
       .groupBy(col("g"), expr(s"x DIV $W").as("bkt"))
       .agg(count(lit(1)).as("bc"),
@@ -1351,6 +1356,7 @@ object RelationalQueries {
         count(when(col("x") < col("s90"), 1)).as("b90"),
         count(when(col("x") <= col("s99"), 1)).as("c99"),
         count(when(col("x") < col("s99"), 1)).as("b99"))
+      .localCheckpoint(true)
     val tot = bkt.groupBy("g").agg(sum("bc").as("n"),
       sum("c50").as("r50"), (sum("b50") + 1).as("l50"),
       sum("c90").as("r90"), (sum("b90") + 1).as("l90"),
@@ -1980,19 +1986,27 @@ object RelationalQueries {
 
   /** TPC-H Q14 shape: promotion-effect ratio — promo share of one
     * month's revenue, in exact basis points (same micro-unit `div`
-    * discipline as Q8). The part side broadcasts un-filtered (the
-    * promo/non-promo split must see every part), the month filter on
-    * shipdate is the scan's PushedFilter, output is ONE row. */
+    * discipline as Q8). The promo/non-promo split must see every part,
+    * so the part side cannot pre-filter — instead it is NARROWED to
+    * (key, is_promo boolean) (guide §2.3) and joined SHUFFLED-HASH with
+    * part as the build side: the probe (one month ≈ 1.2% of lineitem,
+    * its shipdate filter the scan's PushedFilter) is SMALLER than the
+    * un-filtered scale-proportional part table, so a broadcast pays a
+    * driver collect + per-executor build of the BIGGER side — measured
+    * 1.3-1.5 s of q14's 2.0 s at sf10 vs 0.8 s for the hash join whose
+    * per-partition build is |part|/shuffle.partitions × 9 bytes. Output
+    * is ONE row. */
   val q14Promo: Q = (s, dir) => {
-    val p = t(s, dir, "part").select("p_partkey", "p_type")
+    val p = t(s, dir, "part")
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
     val li = t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
       .select("l_partkey", "l_extendedprice", "l_discount")
     val vol = (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))) *
       lit(10000)).cast("decimal(38,0)")
-    li.join(maybeBroadcast(p), li("l_partkey") === p("p_partkey"))
-      .agg(sum(when(col("p_type") === "PROMO", vol)
+    li.join(p.hint("shuffle_hash"), li("l_partkey") === p("p_partkey"))
+      .agg(sum(when(col("is_promo"), vol)
           .otherwise(lit(0).cast("decimal(38,0)"))).as("promo_u"),
         sum(vol).as("total_u"))
       .selectExpr("CAST(promo_u AS BIGINT) AS promo_u",

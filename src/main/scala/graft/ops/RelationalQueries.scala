@@ -2189,13 +2189,19 @@ object RelationalQueries {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_name"),
         (dec(col("s_acctbal")) * 100).cast("long").as("bal_cents"))
-    val regional = partsupp(s, dir, suppKeys = sup.select("s_suppkey"))
-      .join(maybeBroadcast(sup), col("ps_suppkey") === col("s_suppkey"))
-    val minCost = regional.groupBy(col("ps_partkey").as("mc_partkey"))
-      .agg(min("ps_supplycost_cents").as("min_cost_cents"))
     val p = t(s, dir, "part")
       .filter(col("p_size").between(11, 20) && col("p_type") === "LARGE")
       .select("p_partkey")
+    // the part filter rides the partsupp derivation too: the correlated
+    // per-part min only matters for parts that survive the size/type
+    // band, and dropping other parts' rows cannot change a surviving
+    // part's min — so the selectivity multiplies into the distinct
+    // exchange (the relation's whole cost) instead of applying after it
+    val regional = partsupp(s, dir, suppKeys = sup.select("s_suppkey"),
+        partKeys = p)
+      .join(maybeBroadcast(sup), col("ps_suppkey") === col("s_suppkey"))
+    val minCost = regional.groupBy(col("ps_partkey").as("mc_partkey"))
+      .agg(min("ps_supplycost_cents").as("min_cost_cents"))
     regional
       .join(minCost, col("ps_partkey") === col("mc_partkey") &&
         col("ps_supplycost_cents") === col("min_cost_cents"))

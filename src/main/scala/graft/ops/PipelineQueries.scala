@@ -497,13 +497,18 @@ object PipelineQueries {
       .withColumn("lo", col("sh") % 65536)
     // An OR of the two half-matches would plan as a nested-loop join; two
     // hash equi-joins + dedup is the shape that scales (each bucket join
-    // shuffles on its 16-bit key).
+    // shuffles on its 16-bit key). The self-join is SKINNY — signature
+    // halves only: the hot 16-bit bucket pairs quadratically inside one
+    // task (sf0.1: 1839 of 2534 sigs share a half), and carrying the
+    // doc-id lists through it copies two arrays per CANDIDATE pair
+    // where the skinny join copies 16 bytes; the lists attach after the
+    // hamming filter + dedup cut candidates to the surviving sig pairs.
+    val sigs = groups.select("sh", "hi", "lo")
     def half(key: String) = {
-      val a = groups.as("a"); val b = groups.as("b")
+      val a = sigs.as("a"); val b = sigs.as("b")
       a.join(b, col(s"a.$key") === col(s"b.$key") &&
           col("a.sh") < col("b.sh"))
         .select(col("a.sh").as("sha"), col("b.sh").as("shb"),
-          col("a.ids").as("ida"), col("b.ids").as("idb"),
           bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("bigint")
             .as("hamming"))
         // filter BEFORE the dedup: hamming > 6 sig pairs are the vast
@@ -512,6 +517,10 @@ object PipelineQueries {
     }
     val crossSig = half("hi").unionAll(half("lo"))
       .dropDuplicates("sha", "shb")
+      // list attach: plain equi-joins on the signature (AQE broadcasts
+      // the side it measures small — never a corpus-sized hint)
+      .join(groups.select(col("sh").as("sha"), col("ids").as("ida")), "sha")
+      .join(groups.select(col("sh").as("shb"), col("ids").as("idb")), "shb")
       .select(explode(col("ida")).as("da"), col("idb"), col("hamming"))
       .select(col("da"), explode(col("idb")).as("db"), col("hamming"))
       .select(least(col("da"), col("db")).as("doc_a"),

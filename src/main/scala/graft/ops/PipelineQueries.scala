@@ -1553,12 +1553,15 @@ object PipelineQueries {
       .filter(col("c") > 0)
     val wa = Window.partitionBy("vec_a").orderBy(col("c").desc, col("vec_b"))
     val wb = Window.partitionBy("vec_b").orderBy(col("c").desc, col("vec_a"))
-    val ranked = pairs
+    // each side's rank and top-k sum run back-to-back on the SAME
+    // partitioning, so the pair frame is exchanged twice (once per
+    // side), not four times — the unordered sum window is satisfied by
+    // the rank window's hash partitioning and plans with no new shuffle
+    pairs
       .withColumn("rk_a", row_number().over(wa))
-      .withColumn("rk_b", row_number().over(wb))
-    ranked
       .withColumn("asum", sum(when(col("rk_a") <= k, col("c")).otherwise(0L))
         .over(Window.partitionBy("vec_a")))
+      .withColumn("rk_b", row_number().over(wb))
       .withColumn("bsum", sum(when(col("rk_b") <= k, col("c")).otherwise(0L))
         .over(Window.partitionBy("vec_b")))
       .filter(col("rk_a") === 1)

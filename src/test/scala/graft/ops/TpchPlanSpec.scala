@@ -265,12 +265,17 @@ class TpchPlanSpec extends SparkSuite {
     assert(df.collect().nonEmpty)
   }
 
-  test("q21: double correlation = one semi + one anti, never per-row subqueries") {
+  test("q21: double correlation = one per-order aggregate, never per-row subqueries") {
     val df = RelationalQueries.q21Waiting(spark, sf)
     val phys = df.queryExecution.executedPlan.toString
-    assert(phys.contains("LeftSemi"), s"EXISTS must be a semi join:\n$phys")
-    assert(phys.contains("LeftAnti"),
-      s"NOT EXISTS must be an anti join:\n$phys")
+    // both correlation legs ride ONE distinct-count aggregate over the
+    // orderkey-pruned fact (EXISTS ⟺ n_supp >= 2, NOT EXISTS other late
+    // ⟺ n_late == 1) — never semi/anti self-joins of lineitem and never
+    // a per-row subquery
+    assert(phys.contains("n_supp") && phys.contains("n_late"),
+      s"correlation legs must be the per-order aggregate:\n$phys")
+    assert(!phys.contains("LeftAnti"),
+      s"NOT EXISTS must not be a fact anti self-join anymore:\n$phys")
     assert(phys.contains("TakeOrderedAndProject"),
       s"top-100 must be a heap cut:\n$phys")
     assert("PushedFilters: \\[[^\\]]*o_orderstatus".r

@@ -2535,6 +2535,14 @@ object RelationalQueries {
   val q20Promotion: Q = (s, dir) => {
     val p = t(s, dir, "part").filter(col("p_name").like("hot%"))
       .select("p_partkey")
+    val n = t(s, dir, "nation").filter(col("n_name") === "NATION_3")
+    val natSup = t(s, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+    // the half-sum is self-contained per (partkey, suppkey) pair, so
+    // the one-nation supplier key set (1/25) prunes BOTH fact legs
+    // without changing any surviving pair's aggregate — the same push
+    // as partsupp's partKeys, applied on the supplier axis
+    val supK = natSup.select("s_suppkey")
     val shipped = t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
@@ -2543,17 +2551,17 @@ object RelationalQueries {
       // non-matching parts anyway (same push as partsupp's partKeys)
       .join(maybeBroadcast(p), col("l_partkey") === col("p_partkey"),
         "left_semi")
+      .join(maybeBroadcast(supK), col("l_suppkey") === col("s_suppkey"),
+        "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
-    val excess = partsupp(s, dir, partKeys = p)
+    val excess = partsupp(s, dir, suppKeys = supK, partKeys = p)
       .join(maybeBroadcast(p), col("ps_partkey") === col("p_partkey"))
       .join(shipped, col("ps_partkey") === col("l_partkey") &&
         col("ps_suppkey") === col("l_suppkey"))
       .filter(col("ps_availqty") * 2 > col("sum_qty"))
       .select("ps_suppkey").distinct()
-    val n = t(s, dir, "nation").filter(col("n_name") === "NATION_3")
-    t(s, dir, "supplier")
-      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+    natSup
       .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
       .select("s_suppkey", "s_name")
       .orderBy("s_suppkey")

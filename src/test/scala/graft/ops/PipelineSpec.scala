@@ -382,6 +382,38 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("bitext plan: rank+sum share one exchange per pair-frame side") {
+    // the vec_a windows (rank, top-k sum) and the vec_b windows must
+    // each plan over ONE hash exchange of the pair frame — the r17
+    // regression this pins doubled both (4 pair-frame shuffles)
+    val phys = PipelineQueries.mineBitext(spark, sf)
+      .queryExecution.executedPlan.toString
+    def count(sub: String): Int = sub.r.findAllIn(phys).length
+    assert(count("hashpartitioning\\(vec_a") == 1,
+      s"vec_a side must exchange once:\n$phys")
+    assert(count("hashpartitioning\\(vec_b") == 1,
+      s"vec_b side must exchange once:\n$phys")
+  }
+
+  test("simhash plan: the banded self-join carries no doc-id lists") {
+    // the quadratic in-bucket pairing must move 16-byte signature rows;
+    // the collect_list doc ids attach AFTER the hamming filter + dedup
+    val qe = PipelineQueries.dedupSimhash(spark, sf).queryExecution
+    val joins = qe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(c =>
+            c.references.exists(a =>
+              a.name == "hi" || a.name == "lo")) => j
+    }
+    assert(joins.nonEmpty, "banded self-join missing from the plan")
+    joins.foreach { j =>
+      val carried = (j.left.output ++ j.right.output).map(_.name)
+      assert(!carried.contains("ids") && !carried.contains("ida") &&
+        !carried.contains("idb"),
+        s"self-join must not carry doc-id lists, got: $carried")
+    }
+  }
+
   test("bitext margin: best-target, sums and mutual flag match brute force") {
     val out = PipelineQueries.mineBitext(spark, sf)
       .as[(Long, Long, Long, Long, Boolean)].collect()

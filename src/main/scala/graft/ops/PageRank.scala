@@ -24,44 +24,29 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  /** Single-entry memo of the last materialized result, keyed by the
-    * CANONICALIZED input plans + iteration count (`sameResult`, not a
-    * hash — no collision risk). An iterative operator's output is a
-    * materialized artifact in any production pipeline; recomputing all
-    * hops because the caller re-invoked the same query (Bench pass 2,
-    * a dashboard refresh) wasted ~2.5 s/call at sf0.1 and left each
-    * call's checkpoint blocks stranded until the ContextCleaner ran.
-    * The memo returns the live checkpoint instead, and a key MISS
-    * releases the previous entry's blocks explicitly — at most one
-    * result's blocks are ever pinned. Contract: inputs are immutable
-    * for the session (the fixture/lake-snapshot contract everywhere in
-    * this engine); a changed path or plan is a different key. */
-  private case class Memo(idsPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      pairsPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      iters: Int, out: DataFrame, rddIds: Seq[Int])
-  private var memo: Option[Memo] = None
+  /** Checkpoint blocks of the PREVIOUS invocation's result, released at
+    * the start of the next call (kept alive until then because the
+    * caller is still free to act on the returned frame). This is
+    * lifecycle hygiene only — every invocation RECOMPUTES all hops from
+    * its inputs; results are never memoized across calls, so a bench or
+    * oracle pass always measures the real computation. (An earlier spin
+    * returned a memoized checkpoint on identical input plans; that made
+    * repeat invocations ~free, which is result caching across runs —
+    * reverted. Without the explicit release, each call's checkpoint
+    * blocks lingered until the ContextCleaner ran, which is what made
+    * pass 2 SLOWER than pass 1 in round 16.) */
+  private var lastRun: Option[(org.apache.spark.SparkContext, Seq[Int])] = None
 
   /** `ids`: one column `id` (the node set, isolated nodes included).
     * `pairs`: columns `src`, `dst` — each UNDIRECTED pair once (both
     * directions are derived here). Returns (id, pr). */
   def run(ids: DataFrame, pairs: DataFrame, iters: Int): DataFrame = synchronized {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val idsPlan = ids.queryExecution.analyzed
-    val pairsPlan = pairs.queryExecution.analyzed
-    memo match {
-      case Some(m) if m.iters == iters && m.idsPlan.sameResult(idsPlan) &&
-          m.pairsPlan.sameResult(pairsPlan) &&
-          m.out.sparkSession.sparkContext == ids.sparkSession.sparkContext =>
-        return m.out
-      case Some(m) =>
-        // evict: drop the stale result's checkpoint blocks now instead
-        // of waiting for GC + ContextCleaner
-        val sc = m.out.sparkSession.sparkContext
-        if (!sc.isStopped)
-          m.rddIds.foreach(id =>
-            sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-        memo = None
-      case None => ()
+    lastRun.foreach { case (sc, rddIds) =>
+      if (!sc.isStopped)
+        rddIds.foreach(id =>
+          sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      lastRun = None
     }
     val edges = pairs
       .select(col("src"), col("dst"))
@@ -83,15 +68,15 @@ object PageRank {
     // un-materialized — the caller's execution re-ran every hop from
     // the pinned edges (measured as ~half this operator's wall). The
     // checkpoint materializes ONCE while the edge pin is hot, truncates
-    // the hop lineage, and its blocks live until the memo above evicts
-    // them (or the ContextCleaner collects a dead session's).
+    // the hop lineage, and its blocks are released by the NEXT
+    // invocation (or the ContextCleaner for a dead session's).
     val sc = ids.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val out = ranks.select(col("id"), col("r").as("pr"))
       .localCheckpoint(true)
     val newIds = (sc.getPersistentRDDs.keySet -- before).toSeq
     ed.unpersist()
-    memo = Some(Memo(idsPlan, pairsPlan, iters, out, newIds))
+    lastRun = Some((sc, newIds))
     out
   }
 }

@@ -85,7 +85,17 @@ object Bench {
         if (ok) (t1 - t0) / 1e9 else -1.0)
     }
 
-    val allPasses = (1 to passes).map(_ => runPass())
+    // Drain BroadcastGate's pass-path pins between (and after) passes:
+    // with ~11 gate sites per pass and a FIFO bound of 16, every pass-1
+    // pin would otherwise still be cached when pass 2 persists the same
+    // canonicalized plan, so pass 2 would read the gated side from
+    // pass-1's cache and min-of-2 would report a time that skips that
+    // compute. Each pass must evaluate every gated side itself.
+    val allPasses = (1 to passes).map { _ =>
+      val r = runPass()
+      graft.ops.BroadcastGate.reset()
+      r
+    }
     // Per query: min over passes (a query that failed in ANY pass stays
     // -1 — a crash-inducing regression can never read as a fast run).
     val results = suite.map(_._1).zipWithIndex.map { case (name, i) =>
@@ -145,10 +155,19 @@ object Bench {
       val minV = results(i)._2
       s""""$name":{"sec":$minV,"passes":$ts,"build":$bs}"""
     }.mkString("{", ",", "}")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_queries.json"),
+    val sidecar =
       s"""{"sf":"$sfDir","total":$total,"pass_totals":$passTotals,"queries":$perQuery}\n"""
-        .getBytes("UTF-8"))
+        .getBytes("UTF-8")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_queries.json"), sidecar)
+    // Round-stamped copy (SPARK_GRAFT_ROUND=18 → bench_queries_r18.json):
+    // bench_queries.json is overwritten every run, so committing a
+    // stamped snapshot per round is what makes per-query round-over-round
+    // diffs auditable from artifacts alone (scripts/bench_diff.py).
+    sys.env.get("SPARK_GRAFT_ROUND").foreach { r =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"bench_queries_r$r.json"), sidecar)
+    }
     spark.stop()
   }
 }

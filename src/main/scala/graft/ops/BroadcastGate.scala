@@ -100,6 +100,20 @@ object BroadcastGate {
   private val pins = scala.collection.mutable.Queue.empty[DataFrame]
   private val MaxLivePins = 16
 
+  /** Drain every live pass-path pin. Bench calls this BETWEEN its
+    * passes: only ~11 gate sites run per pass, so under the FIFO bound
+    * alone every pass-1 pin would still be alive when its pass-2 twin
+    * persists the same canonicalized plan — the CacheManager would hand
+    * pass 2 the pass-1 cache and min-of-2 would report a time that
+    * skips the gated side's compute. Draining restores the honest
+    * contract: each bench pass evaluates every gated side itself.
+    * (unpersist(false) removes the CacheManager entry synchronously, so
+    * a later identical persist recomputes; only the block release is
+    * async.) */
+  def reset(): Unit = pins.synchronized {
+    while (pins.nonEmpty) pins.dequeue().unpersist(false)
+  }
+
   /** 4M rows ≈ 100-200 MB materialized for the narrow projected dims
     * this gates — the knee where a broadcast still beats re-shuffling a
     * 10×-larger fact side. */

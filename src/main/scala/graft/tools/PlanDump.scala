@@ -36,6 +36,10 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
 
     val reg = SparkEntry.queries
+    // Failures are counted and fail the EXIT CODE: a dump run that
+    // breaks for every query must not look successful to a script and
+    // silently leave stale evidence files behind.
+    var failed = 0
     names.foreach { name =>
       reg.get(name) match {
         case Some(fn) =>
@@ -50,11 +54,16 @@ object PlanDump {
             println(s"[plandump] wrote ${name}_$suffix.txt")
           } catch {
             case e: Throwable =>
+              failed += 1
               println(s"[plandump] $name FAILED: ${e.getMessage}")
           }
-        case None => println(s"[plandump] unknown query: $name")
+        case None =>
+          failed += 1
+          println(s"[plandump] unknown query: $name")
       }
     }
+    println(s"[plandump] done: ${names.length - failed} ok, $failed failed")
     spark.stop()
+    if (failed > 0) sys.exit(1)
   }
 }

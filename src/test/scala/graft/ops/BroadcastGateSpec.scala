@@ -78,6 +78,32 @@ class BroadcastGateSpec extends SparkSuite {
         s"got ${evals.value} row-evals for 100 rows")
   }
 
+  test("reset() drains pins: a repeat pass re-executes the gated side") {
+    // Bench's min-of-2 contract: pass 2 must pay the gated side's
+    // compute itself. Without reset() the pass-1 pin is still cached,
+    // the CacheManager matches pass 2's identical canonicalized plan,
+    // and the accumulator would stay at 100 (pass 2 reads pass-1's
+    // cache). With reset() between passes it fires in BOTH passes.
+    val evals = spark.sparkContext.longAccumulator("gate-reset-evals")
+    val tick = org.apache.spark.sql.functions.udf { (k: Long) =>
+      evals.add(1L); k
+    }.asNondeterministic()
+    def pass(): Unit = {
+      val dim = spark.range(100L)
+        .select(tick(org.apache.spark.sql.functions.col("id")).as("k"))
+      val gated = BroadcastGate.maybeBroadcastCounted(dim)
+      val fact = spark.range(1000L).selectExpr("id AS k")
+      fact.join(gated, "k").write.format("noop").mode("overwrite").save()
+    }
+    pass()
+    BroadcastGate.reset()
+    pass()
+    BroadcastGate.reset()
+    assert(evals.value === 200L,
+      "the gated side must be evaluated once per pass (2 passes x 100 " +
+        s"rows), got ${evals.value} row-evals — pass 2 read pass-1's cache")
+  }
+
   test("counted gate, fail path: no hint, no pinned cache left behind") {
     withConf("spark.graft.maxBroadcastRows" -> "10") {
       val dim = spark.range(100L).selectExpr("id AS k", "id * 2 AS v")

@@ -31,6 +31,17 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // The suite's ~256 queries × ~5 whole-stage-codegen units evict
+      // Spark's DEFAULT 100-entry generated-class cache many times per
+      // pass, so pass 2 re-runs Janino on every query (and queries
+      // sharing fragments recompile within a pass). 5000 entries holds
+      // the whole suite: measured A-B-A on a 49-query subset, pass-2
+      // total 56.1/48.7 s (default, two arms) vs 38.6 s (raised) —
+      // ~25% of the suite wall was recompilation, not execution. This
+      // is driver-side compile cost, independent of data scale; any
+      // long-lived session serving many query shapes wants the same.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.graft.cacheInputs",

@@ -20,6 +20,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("graft.orderedOutput", "true")
+      // Hold every query's generated classes (default 100 entries
+      // thrashes on a 256-query run — see Bench for the measurement).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def deleteRec(p: java.nio.file.Path): Unit =

@@ -73,60 +73,156 @@ object BpeTrainer {
     * DISTINCT words under the merges adopted so far — counts are
     * weighted by word frequency, so the result equals training on the
     * raw corpus at a vanishing fraction of the cost. */
-  def train(words: Dataset[(String, Long)], k: Int): Seq[Merge] = {
+  def train(words: Dataset[(String, Long)], k: Int): Seq[Merge] =
+    trainFull(words, k)._1
+
+  /** Rows collected per mining pass (pairs + triples interleaved).
+    * Bounds the driver state; larger values lower the uncollected-count
+    * floor and so let a pass adopt longer merge batches. */
+  private val MineTopK = 512
+
+  /** [[train]] plus the (tokens_before, tokens_after) corpus totals,
+    * folded into the same final pass that computes per-rank nApplied —
+    * one reduce job instead of a reduce plus a separate aggregate.
+    *
+    * MULTI-MERGE BATCHING (sequential-BPE-exact): the wall here is the
+    * NUMBER of sequential fixed-latency jobs, not data (the word table
+    * is vocab-sized), so each mining pass counts adjacent PAIRS and
+    * TRIPLES in one aggregate, collects the global top-[[MineTopK]]
+    * keys, and adopts as many merges as are PROVABLY what the
+    * one-merge-per-pass loop would have adopted:
+    *
+    *   - the first adoption of a pass is the exact global pair argmax
+    *     (collected with its exact count, trusted when its count beats
+    *     the collection floor — ties at the floor fall back to a
+    *     pairs-only argmax job);
+    *   - a further pair (a,b) with count n is adopted only when (1) its
+    *     tokens are DISJOINT from every merge already adopted this
+    *     pass — merging (x,y) can then neither destroy nor create an
+    *     (a,b) adjacency, so n is exactly the count the fresh pass
+    *     would mine — and (2) n STRICTLY exceeds every possible count
+    *     of a pair the batch's merges create: a new pair (w,xy) occurs
+    *     at most count(triple w,x,y) times and (xy,w) at most
+    *     count(triple x,y,w) times (greedy merges a subset of
+    *     occurrences), and any triple NOT collected counts at most the
+    *     collection floor. Remaining old pairs rank at or below (a,b)
+    *     in the same (count desc, left, right) order the fresh pass
+    *     would use, and merging only ever lowers their counts.
+    *
+    *   The first unprovable candidate ends the batch; the next pass
+    *   re-mines with exact counts. Worst case (every top pair shares a
+    *   token) this degrades to the old one-merge-per-pass loop; the
+    *   Sennrich fixture adopts its 4 merges in 3 passes, the shipped
+    *   corpora cut the pass count roughly in half. */
+  private[ops] def trainFull(words: Dataset[(String, Long)], k: Int)
+      : (Seq[Merge], Long, Long) = {
     val spark = words.sparkSession
     import spark.implicits._
     var mined = Vector.empty[(String, String, Long)]
     var merges = Vector.empty[(String, String)]
-    var r = 1
     var done = false
-    while (r <= k && !done) {
+    while (mined.length < k && !done) {
       val m = merges // stable closure capture (not the mutating var)
-      val best = words.flatMap { case (w, c) =>
+      val top = words.flatMap { case (w, c) =>
         val t = tokenize(w, m)
-        (0 until t.length - 1).iterator.map(i => (t(i), t(i + 1), c))
-      }.toDF("a", "b", "c")
-        .groupBy("a", "b").agg(sum("c").as("n"))
-        .orderBy(col("n").desc, col("a"), col("b"))
-        .limit(1)
-        .as[(String, String, Long)]
+        val ps = (0 until t.length - 1).iterator
+          .map(i => (t(i), t(i + 1), null: String, c))
+        val ts = (0 until t.length - 2).iterator
+          .map(i => (t(i), t(i + 1), t(i + 2), c))
+        ps ++ ts
+      }.toDF("a", "b", "z", "c")
+        .groupBy("a", "b", "z").agg(sum("c").as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"), asc_nulls_first("z"))
+        .limit(MineTopK)
         .collect()
-      best.headOption.filter(_._3 >= 2L) match {
-        case Some((a, b, n)) =>
-          merges :+= ((a, b))
-          mined :+= ((a, b, n))
-          r += 1
-        case None => done = true
+      // Any key (pair or triple) NOT collected has count <= floor: the
+      // list is the global top-K under a total order on (n, key).
+      val floor = if (top.length >= MineTopK) top.last.getLong(3) else 0L
+      val pairsL = top.iterator.filter(_.isNullAt(2))
+        .map(r => (r.getString(0), r.getString(1), r.getLong(3))).toVector
+      val tripsL = top.iterator.filterNot(_.isNullAt(2))
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toVector
+      var batch = Vector.empty[(String, String)]
+      var endPass = false
+      var i = 0
+      while (!endPass && !done && i < pairsL.length && mined.length < k) {
+        val (a, b, n) = pairsL(i)
+        if (batch.isEmpty) {
+          // Exact global argmax — provided its count clears the floor
+          // (an uncollected pair tied AT the floor would sort after
+          // every collected row, hence lexicographically after (a,b),
+          // so >= floor suffices for pairs; triples are handled by the
+          // strict bound below for later candidates).
+          if (n < 2L) { done = true }
+          else if (n >= floor) {
+            merges :+= ((a, b)); mined :+= ((a, b, n)); batch :+= ((a, b))
+          } else endPass = true // degenerate: argmax not provably collected
+        } else {
+          val toks = batch.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+          val disjoint = !toks(a) && !toks(b)
+          // Highest possible count of any pair a batch merge creates.
+          val bound = batch.iterator.map { case (x, y) =>
+            val rel = tripsL.iterator.collect {
+              case (ta, tb, _, tn) if ta == x && tb == y => tn
+              case (_, tb, tz, tn) if tb == x && tz == y => tn
+            }
+            (rel ++ Iterator(floor)).max
+          }.max
+          if (n >= 2L && disjoint && n > bound) {
+            merges :+= ((a, b)); mined :+= ((a, b, n)); batch :+= ((a, b))
+          } else endPass = true
+        }
+        i += 1
+      }
+      if (!done && batch.isEmpty) {
+        // Fallback (ties at the collection floor, or a pathological
+        // all-triples top list): one pairs-only exact argmax job — the
+        // original per-round shape.
+        val best = words.flatMap { case (w, c) =>
+          val t = tokenize(w, m)
+          (0 until t.length - 1).iterator.map(i => (t(i), t(i + 1), c))
+        }.toDF("a", "b", "c")
+          .groupBy("a", "b").agg(sum("c").as("n"))
+          .orderBy(col("n").desc, col("a"), col("b"))
+          .limit(1)
+          .as[(String, String, Long)]
+          .collect()
+        best.headOption.filter(_._3 >= 2L) match {
+          case Some((a, b, n)) =>
+            merges :+= ((a, b)); mined :+= ((a, b, n))
+          case None => done = true
+        }
       }
     }
     // nApplied for EVERY rank in one pass: replaying the merge table
     // left-to-right per word yields, at step r, exactly the replacement
     // count applyMerge would have reported at adoption time (the word is
-    // tokenized by merges 1..r-1 when merge r applies). Folding this out
-    // of the round loop halves the per-round Spark jobs — round latency,
-    // not data volume, dominates this operator (the word table is
-    // vocab-sized), and 12 fixed-latency reduce jobs were most of the
-    // measured wall at sf0.1.
-    if (mined.isEmpty) Seq.empty
-    else {
-      val table = mined.map(t => (t._1, t._2))
-      val applied = words.map { case (w, c) =>
-        var toks = w.map(_.toString).toArray
-        table.map { case (a, b) =>
-          val (t2, n) = applyMerge(toks, a, b)
-          toks = t2
-          n * c
-        }.toArray
-      }.reduce { (x, y) =>
-        val z = new Array[Long](x.length)
-        var i = 0
-        while (i < x.length) { z(i) = x(i) + y(i); i += 1 }
-        z
-      }
-      mined.zipWithIndex.map { case ((a, b, n), i) =>
-        Merge(i + 1, a, b, n, applied(i))
-      }
+    // tokenized by merges 1..r-1 when merge r applies). The same pass
+    // carries the corpus token totals in two extra slots — the
+    // conservation identity's before/after used to be a second job.
+    val table = mined.map(t => (t._1, t._2))
+    def add(x: Array[Long], y: Array[Long]): Array[Long] = {
+      val z = new Array[Long](x.length)
+      var i = 0
+      while (i < x.length) { z(i) = x(i) + y(i); i += 1 }
+      z
     }
+    // rdd.aggregate (not Dataset.reduce): a zero value keeps the empty-
+    // corpus case total instead of throwing on reduce-of-nothing.
+    val stats = words.map { case (w, c) =>
+      var toks = w.map(_.toString).toArray
+      val per = table.map { case (a, b) =>
+        val (t2, n) = applyMerge(toks, a, b)
+        toks = t2
+        n * c
+      }.toArray
+      per :+ (c * w.length.toLong) :+ (c * toks.length.toLong)
+    }.rdd.treeAggregate(new Array[Long](table.length + 2))(add, add)
+    val ms = mined.zipWithIndex.map { case ((a, b, n), i) =>
+      Merge(i + 1, a, b, n, stats(i))
+    }
+    (ms, stats(mined.length), stats(mined.length + 1))
   }
 
   /** Single-JVM reference trainer over a collected word table — the
@@ -196,7 +292,11 @@ object BpeTrainer {
       .as[(String, Long)]
       .persist()
     try {
-      val ms = train(words, Rounds)
+      // trainFull carries tokens_before/after in the SAME final pass
+      // that computes per-rank nApplied — the standalone aggregate job
+      // this query used to pay is gone (round latency, not data volume,
+      // is this operator's wall).
+      val (ms, before, after) = trainFull(words, Rounds)
       // the oracle hardcodes n_merges = Rounds; an early-stopping corpus
       // must fail HERE with a named cause, not as a confusing oracle
       // row-mismatch downstream
@@ -205,12 +305,6 @@ object BpeTrainer {
           "(corpus ran out of repeated pairs) — the oracle's fixed " +
           s"n_merges=$Rounds cannot match; use a larger fixture or " +
           "lower Rounds")
-      val pairs = ms.map(m => (m.left, m.right))
-      val (before, after) = words.map { case (w, c) =>
-        (c * w.length, c * tokenize(w, pairs).length)
-      }.toDF("b", "a")
-        .agg(sum("b").cast("long"), sum("a").cast("long"))
-        .as[(Long, Long)].collect()(0)
       val conserved = before - ms.map(_.nApplied).sum == after
       val refMatch = referenceTrain(words.collect(), Rounds) == ms
       val nonInc = ms.map(_.nMined)

@@ -52,8 +52,11 @@ object ConnectedComponents {
       localThreshold: Long = LocalEdgeThreshold): DataFrame = {
     // Pin the (possibly expensive — LSH banding, kNN blocking) pair
     // generation ONCE; both the gate count and either strategy read
-    // the materialized blocks.
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    // the materialized blocks. CheckpointScope releases the PREVIOUS
+    // label() call's edge blocks on re-entry instead of stranding one
+    // edge copy per call until the ContextCleaner runs.
+    val e = CheckpointScope.checkpoint("cc.edges",
+      edges.select(col("src"), col("dst")))
     // The local path casts ids to long, which is lossless only for
     // integral types — any other id type (string hash ids, decimals)
     // keeps the distributed loop's any-ordered-type contract.

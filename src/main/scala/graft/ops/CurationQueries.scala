@@ -578,12 +578,12 @@ object CurationQueries {
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("bucket", expr("n_tokens div 16"))
-    val ranged = t0
+    val ranged0 = t0
       .repartitionByRange(col("bucket"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
       .withColumn("lrank", row_number().over(
         Window.partitionBy("pid", "bucket").orderBy("doc_id")))
-      .localCheckpoint(true)
+    val ranged = CheckpointScope.checkpoint("batch_by_length.ranged", ranged0)
     val offsets = ranged.groupBy("pid", "bucket")
       .agg(count(lit(1)).as("n"))
       .withColumn("offset",
@@ -662,7 +662,8 @@ object CurationQueries {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
 
   val packSequences: Q = (s, dir) => {
-    val ranged = packRanged(s, dir).localCheckpoint(true)
+    val ranged = CheckpointScope.checkpoint("pack_sequences.ranged",
+      packRanged(s, dir))
     val offsets = ranged.groupBy("pid", "source")
       .agg(sum("n_tok").as("ptot"))
       .withColumn("offset",

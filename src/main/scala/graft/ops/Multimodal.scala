@@ -410,13 +410,16 @@ object Multimodal {
         }
         (a.doc_id, lo, hi)
       }
-      // localCheckpoint pins the decoded hashes: the frame feeds three
+      // Checkpoint pins the decoded hashes: the frame feeds three
       // plan branches (both self-join sides + the count join-back) and
       // without it EACH branch re-runs the PNG decode — 3× the only
       // expensive work in the query (the ConnectedComponents
-      // precedent). 24 bytes/image of state, any corpus size.
-    }.toDF("doc_id", "h_lo", "h_hi").localCheckpoint(true)
-    val bands = hashed.select(col("doc_id"), col("h_lo"), col("h_hi"),
+      // precedent). 24 bytes/image of state, any corpus size; the
+      // PREVIOUS invocation's blocks release on re-entry
+      // (CheckpointScope) instead of lingering until ContextCleaner.
+    }.toDF("doc_id", "h_lo", "h_hi")
+    val pinned = graft.ops.CheckpointScope.checkpoint("phash.hashes", hashed)
+    val bands = pinned.select(col("doc_id"), col("h_lo"), col("h_hi"),
       posexplode(array(col("h_lo") % 65536L, expr("h_lo DIV 65536"),
         col("h_hi") % 65536L, expr("h_hi DIV 65536")))
         .as(Seq("band", "bkey")))
@@ -435,7 +438,7 @@ object Multimodal {
     val cnt = near.select(col("da").as("doc_id"))
       .union(near.select(col("db").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
-    hashed.join(cnt, Seq("doc_id"), "left")
+    pinned.join(cnt, Seq("doc_id"), "left")
       .select(col("doc_id"), col("h_lo"), col("h_hi"),
         coalesce(col("n_near"), lit(0L)).as("n_near"))
       .orderBy("doc_id")

@@ -24,30 +24,20 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  /** Checkpoint blocks of the PREVIOUS invocation's result, released at
-    * the start of the next call (kept alive until then because the
-    * caller is still free to act on the returned frame). This is
-    * lifecycle hygiene only — every invocation RECOMPUTES all hops from
-    * its inputs; results are never memoized across calls, so a bench or
-    * oracle pass always measures the real computation. (An earlier spin
-    * returned a memoized checkpoint on identical input plans; that made
-    * repeat invocations ~free, which is result caching across runs —
-    * reverted. Without the explicit release, each call's checkpoint
-    * blocks lingered until the ContextCleaner ran, which is what made
-    * pass 2 SLOWER than pass 1 in round 16.) */
-  private var lastRun: Option[(org.apache.spark.SparkContext, Seq[Int])] = None
-
   /** `ids`: one column `id` (the node set, isolated nodes included).
     * `pairs`: columns `src`, `dst` — each UNDIRECTED pair once (both
-    * directions are derived here). Returns (id, pr). */
+    * directions are derived here). Returns (id, pr).
+    *
+    * ONE-RESULT LIFETIME: the returned frame's checkpoint blocks stay
+    * alive only until the NEXT run() call ([[CheckpointScope]] releases
+    * the previous invocation's blocks on re-entry — lifecycle hygiene
+    * only; every invocation RECOMPUTES all hops from its inputs, results
+    * are never memoized across calls). A caller that holds a returned
+    * frame across a later run() and then acts on it gets a
+    * missing-checkpoint-block SparkException, not a recompute
+    * (localCheckpoint truncates lineage) — collect or copy first. */
   def run(ids: DataFrame, pairs: DataFrame, iters: Int): DataFrame = synchronized {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    lastRun.foreach { case (sc, rddIds) =>
-      if (!sc.isStopped)
-        rddIds.foreach(id =>
-          sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-      lastRun = None
-    }
     val edges = pairs
       .select(col("src"), col("dst"))
       .unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
@@ -67,16 +57,12 @@ object PageRank {
     // (sort + write), and a bare count() would leave the 3-hop plan
     // un-materialized — the caller's execution re-ran every hop from
     // the pinned edges (measured as ~half this operator's wall). The
-    // checkpoint materializes ONCE while the edge pin is hot, truncates
-    // the hop lineage, and its blocks are released by the NEXT
-    // invocation (or the ContextCleaner for a dead session's).
-    val sc = ids.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val out = ranks.select(col("id"), col("r").as("pr"))
-      .localCheckpoint(true)
-    val newIds = (sc.getPersistentRDDs.keySet -- before).toSeq
+    // checkpoint materializes ONCE while the edge pin is hot; its
+    // blocks are released by the NEXT invocation (CheckpointScope, or
+    // the ContextCleaner for a dead session's).
+    val out = CheckpointScope.checkpoint("pagerank.result",
+      ranks.select(col("id"), col("r").as("pr")))
     ed.unpersist()
-    lastRun = Some((sc, newIds))
     out
   }
 }

@@ -795,7 +795,8 @@ object RelationalQueries {
     // partitioning that both consumers read (the ConnectedComponents
     // loop's discipline, including its availability trade: blocks are
     // unreplicated executor state; an executor loss re-runs the query).
-    val local = rankedLocal(s, dir).localCheckpoint(true)
+    val local = CheckpointScope.checkpoint("window_rank_global.ranked",
+      rankedLocal(s, dir))
     val offsets = local.groupBy("pid").agg(count(lit(1)).as("n"))
       .withColumn("offset",
         coalesce(sum("n").over(Window.orderBy("pid")
@@ -1346,8 +1347,11 @@ object RelationalQueries {
     // THREE consumers (totals, target-rank broadcast, bucket pick) — an
     // eager checkpoint computes the fact pass once and the downstream
     // jobs run on the materialized ~500-row frame instead of re-scanning
-    // lineitem per consumer.
-    val bkt = v.join(broadcast(sk), "g")
+    // lineitem per consumer. (Cold-JVM re-measure, 2 fresh-JVM pairs:
+    // with-checkpoint 5.6/5.8 s cold, 1.6/1.8 warm vs without 6.0/5.8
+    // cold, 2.0/2.1 warm — the checkpoint wins or ties in every pairing;
+    // the one driver run that showed +32% was host drift.)
+    val bkt0 = v.join(broadcast(sk), "g")
       .groupBy(col("g"), expr(s"x DIV $W").as("bkt"))
       .agg(count(lit(1)).as("bc"),
         count(when(col("x") <= col("s50"), 1)).as("c50"),
@@ -1356,7 +1360,7 @@ object RelationalQueries {
         count(when(col("x") < col("s90"), 1)).as("b90"),
         count(when(col("x") <= col("s99"), 1)).as("c99"),
         count(when(col("x") < col("s99"), 1)).as("b99"))
-      .localCheckpoint(true)
+    val bkt = CheckpointScope.checkpoint("quantile_sketch.buckets", bkt0)
     val tot = bkt.groupBy("g").agg(sum("bc").as("n"),
       sum("c50").as("r50"), (sum("b50") + 1).as("l50"),
       sum("c90").as("r90"), (sum("b90") + 1).as("l90"),
@@ -2491,11 +2495,11 @@ object RelationalQueries {
     // ~2%-of-lineitem survivor set (filter-proportional, spills to
     // executor disk at 100 TB — the q21 key-set pattern); both
     // consumers then read blocks, and the fact is scanned ONCE.
-    val li = t(s, dir, "lineitem")
-      .join(maybeBroadcast(p), col("l_partkey") === col("p_partkey"))
-      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
-        col("l_extendedprice"), col("l_discount"))
-      .localCheckpoint(true)
+    val li = CheckpointScope.checkpoint("q17.survivors",
+      t(s, dir, "lineitem")
+        .join(maybeBroadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          col("l_extendedprice"), col("l_discount")))
     val avgq = li.groupBy(col("l_partkey").as("aq_partkey"))
       .agg(sum("qty").as("sum_qty"), count(lit(1)).as("cnt"))
     // group count ≤ the filtered part cardinality (~2% of part — scale-
@@ -2615,11 +2619,11 @@ object RelationalQueries {
     // outer leg: one nation's lineitems only, then the F-orders join
     val liS = li.join(maybeBroadcast(sup.select("s_suppkey")),
       col("l_suppkey") === col("s_suppkey"), "left_semi")
-    val l1 = liS.join(o, col("l_orderkey") === col("o_orderkey"))
-      .filter(late)
-      .join(maybeBroadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .select("l_orderkey", "l_suppkey", "s_name")
-      .localCheckpoint(true) // small (nation-late rows); read 3×
+    val l1 = CheckpointScope.checkpoint("q21.l1", // small (nation-late rows); read 3×
+      liS.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(late)
+        .join(maybeBroadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select("l_orderkey", "l_suppkey", "s_name"))
     val ok = l1.select(col("l_orderkey").as("k_okey")).distinct()
     val okB = BroadcastGate.maybeBroadcastCounted(ok)
     // Both correlation legs collapse into ONE per-order aggregate over

@@ -48,6 +48,29 @@ class BpeTrainerSpec extends SparkSuite {
     assert(ms.length === 1 && (ms.head.left, ms.head.right) === ("x", "y"))
   }
 
+  test("property: batched distributed trainer equals reference on random corpora") {
+    // The multi-merge batching adopts several merges from one mining
+    // pass when provably safe; a tiny alphabet maximizes shared tokens,
+    // overlap ties and merge-created pairs — the cases the safety
+    // conditions must catch. Any divergence from the one-merge-per-pass
+    // reference is a bug.
+    val rnd = new scala.util.Random(42)
+    (1 to 10).foreach { trial =>
+      val alphabet = "abc"
+      val nWords = 3 + rnd.nextInt(8)
+      val corpus = (1 to nWords).map { _ =>
+        val len = 1 + rnd.nextInt(7)
+        val w = (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+          .mkString
+        w -> (1L + rnd.nextInt(5))
+      }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
+      val k = 1 + rnd.nextInt(8)
+      val dist = BpeTrainer.train(ds(corpus: _*), k)
+      val ref = BpeTrainer.referenceTrain(corpus.toArray, k)
+      assert(dist === ref, s"trial $trial corpus=$corpus k=$k")
+    }
+  }
+
   test("real corpus: distributed equals reference, contract booleans hold") {
     import spark.implicits._
     val rows = BpeTrainer.bpeTrain(spark, sf).collect()

@@ -100,6 +100,33 @@ object BroadcastGate {
   private val pins = scala.collection.mutable.Queue.empty[DataFrame]
   private val MaxLivePins = 16
 
+  /** Scale-gated SHUFFLE_HASH hint. A hard `hint("shuffle_hash")` pins
+    * the join strategy at EVERY scale, and ShuffledHashJoin's
+    * per-partition build map must fit in execution memory — with
+    * partitions fixed, the build grows linearly with SF and has no
+    * AQE/broadcast fallback once hinted. This gate applies the hint
+    * only while the side's estimated bytes PER SHUFFLE PARTITION sit
+    * under a ceiling; past it the frame is returned unhinted and the
+    * planner keeps its default (sort-merge — spills, never OOMs).
+    * Same stats-only, zero-extra-jobs discipline as [[maybeBroadcast]];
+    * stats-less plans report the Long.MaxValue sentinel and degrade to
+    * the safe default. */
+  def maybeShuffleHash(df: DataFrame): DataFrame = {
+    val maxPerPartition: BigInt = df.sparkSession.conf
+      .getOption("spark.graft.maxHashBuildBytesPerPartition")
+      .map(BigInt(_)).getOrElse(DefaultMaxHashBuildBytes)
+    val parts = BigInt(df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200")).max(1)
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est / parts <= maxPerPartition) df.hint("shuffle_hash") else df
+  }
+
+  /** 32 MiB of plan-stat bytes per partition ≈ low-hundreds of MB of
+    * in-memory hash map per task worst case — comfortable executor
+    * headroom while keeping the hint active far past the benched SFs
+    * (q14's narrowed part side is ~9 B/row: ~sf500 at 32 partitions). */
+  val DefaultMaxHashBuildBytes: BigInt = BigInt(32L << 20)
+
   /** Drain every live pass-path pin. Bench calls this BETWEEN its
     * passes: only ~11 gate sites run per pass, so under the FIFO bound
     * alone every pass-1 pin would still be alive when its pass-2 twin

@@ -2009,7 +2009,10 @@ object RelationalQueries {
       .select("l_partkey", "l_extendedprice", "l_discount")
     val vol = (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))) *
       lit(10000)).cast("decimal(38,0)")
-    li.join(p.hint("shuffle_hash"), li("l_partkey") === p("p_partkey"))
+    // scale-gated: the hint pins SHJ only while the per-partition build
+    // fits (ADVICE r17); past the ceiling the planner keeps sort-merge
+    li.join(BroadcastGate.maybeShuffleHash(p),
+        li("l_partkey") === p("p_partkey"))
       .agg(sum(when(col("is_promo"), vol)
           .otherwise(lit(0).cast("decimal(38,0)"))).as("promo_u"),
         sum(vol).as("total_u"))

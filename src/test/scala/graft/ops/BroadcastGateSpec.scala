@@ -57,6 +57,22 @@ class BroadcastGateSpec extends SparkSuite {
     }
   }
 
+  test("shuffle-hash gate: hinted under the per-partition ceiling, default above it") {
+    val small = spark.range(1000L).selectExpr("id AS k", "id % 2 = 0 AS flag")
+    val fact = spark.range(100000L).selectExpr("id AS k")
+    val hinted = fact.join(BroadcastGate.maybeShuffleHash(small), "k")
+      .queryExecution.sparkPlan.toString
+    assert(hinted.contains("ShuffledHashJoin"),
+      s"small side must take the hinted shuffled-hash join:\n$hinted")
+    // ~16 GB of plan-stat bytes >> 32 MiB x partitions: the hint must be
+    // withheld so the planner keeps the spill-safe default.
+    val huge = spark.range(1000000000L).selectExpr("id AS k", "id % 2 = 0 AS flag")
+    val unhinted = fact.join(BroadcastGate.maybeShuffleHash(huge), "k")
+      .queryExecution.sparkPlan.toString
+    assert(!unhinted.contains("ShuffledHashJoin"),
+      s"oversized side must not be pinned to a hash build:\n$unhinted")
+  }
+
   test("counted gate, pass path: gated side is evaluated exactly ONCE") {
     // The counting job materializes the persisted frame; the broadcast
     // build must read the cache, not re-run the frame's plan. An
